@@ -1,0 +1,1558 @@
+"""Vectorized computational-geometry kernels over the columnar layout.
+
+Each function mirrors one operator of the reference's GeoSeries surface
+(SURVEY.md §2.2-2.3, reference: geopandas/base.py + geopandas/array.py) but
+is implemented directly in numpy instead of delegating to GEOS. Measures and
+coordinate transforms are single vectorized passes over the flat coord
+buffer; pairwise predicates decompose into three vectorized primitives
+(point-in-polygon, segment-segment intersection, point-segment distance).
+
+All operations are planar/Cartesian, matching the reference
+(geopandas/tools/sjoin.py:119-121).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geopandas_spark.geom.array import (
+    GT_MISSING, GT_POINT, GT_LINESTRING, GT_POLYGON, GT_MULTIPOINT,
+    GT_MULTILINESTRING, GT_MULTIPOLYGON, GEOM_TYPE_NAMES, MULTI_OF, SINGLE_OF,
+    POINT_TYPES, LINE_TYPES, POLYGON_TYPES, MULTI_TYPES,
+    GeometryArray, GeometryBuilder, points_from_xy, boxes_from_bounds,
+)
+
+_POLY_MASK = (GT_POLYGON, GT_MULTIPOLYGON)
+_LINE_MASK = (GT_LINESTRING, GT_MULTILINESTRING)
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+# ---------------------------------------------------------------------------
+
+def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum values over [offsets[i], offsets[i+1]) ranges; empty range → 0."""
+    s = np.concatenate([[0.0], np.cumsum(values)])
+    return s[offsets[1:]] - s[offsets[:-1]]
+
+
+def _seg_ranges_per_geom(ga: GeometryArray):
+    """Segment (consecutive-coord-pair) ranges and validity mask.
+
+    Segment i joins coords i and i+1; valid iff both ends in the same ring.
+    """
+    ring_idx = np.repeat(np.arange(ga.n_rings), ga.coords_per_ring())
+    valid = ring_idx[:-1] == ring_idx[1:] if len(ring_idx) > 1 else np.zeros(0, bool)
+    return valid
+
+
+def _signed_ring_areas(ga: GeometryArray) -> np.ndarray:
+    x = ga.coords[:, 0]
+    y = ga.coords[:, 1]
+    if len(x) < 2:
+        return np.zeros(ga.n_rings)
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    ro = ga.ring_offsets
+    starts = ro[:-1]
+    ends = np.maximum(ro[1:] - 1, starts)
+    s = np.concatenate([[0.0], np.cumsum(cross)])
+    return 0.5 * (s[ends] - s[starts])
+
+
+def _first_ring_mask(ga: GeometryArray) -> np.ndarray:
+    m = np.zeros(ga.n_rings, dtype=bool)
+    po = ga.part_offsets[:-1]
+    m[po[po < ga.n_rings]] = True
+    return m
+
+
+# ---------------------------------------------------------------------------
+# measures (reference: geopandas/base.py area:135 length:244 bounds:5254 ...)
+# ---------------------------------------------------------------------------
+
+def area(ga: GeometryArray) -> np.ndarray:
+    """Shoelace area; holes subtract (ring 0 of each part is the shell)."""
+    ring_a = np.abs(_signed_ring_areas(ga))
+    contrib = np.where(_first_ring_mask(ga), ring_a, -ring_a)
+    ring_type = np.repeat(ga.types, ga.rings_per_geom())
+    contrib = np.where(np.isin(ring_type, _POLY_MASK), contrib, 0.0)
+    out = _segment_sum(contrib, ga.part_offsets[ga.geom_offsets])
+    out[ga.is_missing()] = np.nan
+    return out
+
+
+def length(ga: GeometryArray) -> np.ndarray:
+    """Line length / polygon perimeter (GEOS length semantics)."""
+    c = ga.coords
+    if len(c) < 2:
+        seg = np.zeros(0)
+    else:
+        d = np.diff(c, axis=0)
+        seg = np.hypot(d[:, 0], d[:, 1])
+        seg = np.where(_seg_ranges_per_geom(ga), seg, 0.0)
+    # pad so offsets (in coord space) index one past the last segment
+    seg = np.concatenate([seg, [0.0]])
+    off = ga.coord_offsets_per_geom()
+    out = _segment_sum(seg[:max(len(seg), off[-1])], off) if len(seg) >= off[-1] \
+        else _segment_sum(np.concatenate([seg, np.zeros(off[-1] - len(seg))]), off)
+    gt = ga.types
+    out = np.where(np.isin(gt, _POLY_MASK + _LINE_MASK), out, 0.0)
+    out[ga.is_missing()] = np.nan
+    return out
+
+
+def bounds(ga: GeometryArray) -> np.ndarray:
+    """(n, 4) [minx, miny, maxx, maxy]; NaN rows for null/empty."""
+    n = len(ga)
+    out = np.full((n, 4), np.nan)
+    off = ga.coord_offsets_per_geom()
+    cnt = np.diff(off)
+    ne = cnt > 0
+    if not ne.any():
+        return out
+    starts = off[:-1][ne].astype(np.intp)
+    x = ga.coords[:, 0]
+    y = ga.coords[:, 1]
+    out[ne, 0] = np.minimum.reduceat(x, starts)
+    out[ne, 1] = np.minimum.reduceat(y, starts)
+    out[ne, 2] = np.maximum.reduceat(x, starts)
+    out[ne, 3] = np.maximum.reduceat(y, starts)
+    return out
+
+
+def total_bounds(ga: GeometryArray) -> np.ndarray:
+    if ga.n_coords == 0:
+        return np.full(4, np.nan)
+    c = ga.coords
+    return np.array([c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()])
+
+
+def count_coordinates(ga: GeometryArray) -> np.ndarray:
+    return ga.coords_per_geom().astype(np.int64)
+
+
+def count_geometries(ga: GeometryArray) -> np.ndarray:
+    """Parts for multi-types, 1 for single non-empty, 0 for empty/null."""
+    parts = ga.parts_per_geom().astype(np.int64)
+    single = ~np.isin(ga.types, list(MULTI_TYPES))
+    out = np.where(single, np.minimum(parts, 1), parts)
+    out[ga.is_missing()] = 0
+    return out
+
+
+def count_interior_rings(ga: GeometryArray) -> np.ndarray:
+    rp = np.diff(ga.part_offsets)
+    interior = np.maximum(rp - 1, 0)
+    per_geom = _segment_sum(interior.astype(float), ga.geom_offsets).astype(np.int64)
+    per_geom[~np.isin(ga.types, _POLY_MASK)] = 0
+    return per_geom
+
+
+def geom_type_name(ga: GeometryArray) -> list:
+    return [GEOM_TYPE_NAMES.get(int(t)) for t in ga.types]
+
+
+def get_x(ga: GeometryArray) -> np.ndarray:
+    if not np.isin(ga.types[~ga.is_missing()], [GT_POINT]).all():
+        raise ValueError("x/y accessors only work on Point geometries")
+    out = np.full(len(ga), np.nan)
+    ne = ~ga.is_missing() & ~ga.is_empty()
+    out[ne] = ga.coords[ga.coord_offsets_per_geom()[:-1][ne], 0]
+    return out
+
+
+def get_y(ga: GeometryArray) -> np.ndarray:
+    if not np.isin(ga.types[~ga.is_missing()], [GT_POINT]).all():
+        raise ValueError("x/y accessors only work on Point geometries")
+    out = np.full(len(ga), np.nan)
+    ne = ~ga.is_missing() & ~ga.is_empty()
+    out[ne] = ga.coords[ga.coord_offsets_per_geom()[:-1][ne], 1]
+    return out
+
+
+def is_closed(ga: GeometryArray) -> np.ndarray:
+    """Per-geometry: all line parts closed (first==last). False for non-lines."""
+    out = np.zeros(len(ga), dtype=bool)
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t not in (GT_LINESTRING, GT_MULTILINESTRING):
+            continue
+        parts = ga.geom_slices(i)
+        if not parts:
+            continue
+        out[i] = all(len(p[0]) >= 2 and np.array_equal(p[0][0], p[0][-1])
+                     for p in parts)
+    return out
+
+
+def is_ring(ga: GeometryArray) -> np.ndarray:
+    return is_closed(ga) & (ga.types == GT_LINESTRING) & is_simple(ga)
+
+
+def is_ccw(ga: GeometryArray) -> np.ndarray:
+    """Counter-clockwise test for LineString/LinearRing rows."""
+    ring_a = _signed_ring_areas(ga)
+    out = np.zeros(len(ga), dtype=bool)
+    gi = ga.ring_geom_index()
+    line = np.isin(ga.types, [GT_LINESTRING])
+    for r in range(ga.n_rings):
+        i = gi[r]
+        if line[i]:
+            out[i] = ring_a[r] > 0
+    return out & is_closed(ga)
+
+
+def is_valid(ga: GeometryArray) -> np.ndarray:
+    """Structural validity check (closed rings with >= 4 points, finite
+    coords, no self-intersecting rings). A subset of GEOS IsValid — the
+    common invalidity (bowtie / unclosed rings) is detected; exotic cases
+    (nested shells, touching rings) are not. Reference: base.py:301."""
+    out = np.ones(len(ga), dtype=bool)
+    out[ga.is_missing()] = False
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            continue
+        parts = ga.geom_slices(i)
+        if not np.isfinite(np.concatenate([r for p in parts for r in p])
+                           if parts else np.zeros(1)).all():
+            out[i] = False
+            continue
+        if t in (GT_POLYGON, GT_MULTIPOLYGON):
+            for p in parts:
+                for r in p:
+                    if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                        out[i] = False
+                        break
+                    if _ring_self_intersects(r):
+                        out[i] = False
+                        break
+    return out
+
+
+def is_simple(ga: GeometryArray) -> np.ndarray:
+    """Lines: no self-intersection (except closure). Points/polygons: True."""
+    out = np.ones(len(ga), dtype=bool)
+    out[ga.is_missing()] = False
+    for i in range(len(ga)):
+        if int(ga.types[i]) in (GT_LINESTRING, GT_MULTILINESTRING):
+            for p in ga.geom_slices(i):
+                if _ring_self_intersects(p[0], closed=False):
+                    out[i] = False
+    return out
+
+
+def _ring_self_intersects(ring: np.ndarray, closed: bool = True) -> bool:
+    """O(S^2) proper self-intersection test on one ring/chain."""
+    n = len(ring) - 1
+    if n < 2:
+        return False
+    a0 = ring[:-1]
+    a1 = ring[1:]
+    for i in range(n):
+        # against all non-adjacent segments j > i+1
+        j0 = i + 2
+        jn = n if not (closed and i == 0) else n - 1
+        if j0 >= jn:
+            continue
+        p, r = a0[i], a1[i] - a0[i]
+        q0 = a0[j0:jn]
+        q1 = a1[j0:jn]
+        if _any_segment_hit(p, r, q0, q1, proper_only=True):
+            return True
+    return False
+
+
+def _any_segment_hit(p, r, q0, q1, proper_only=False) -> bool:
+    """Does segment (p, p+r) hit any of segments (q0[i], q1[i])?"""
+    s = q1 - q0
+    denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+    qp = q0 - p
+    t_num = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    u_num = qp[:, 0] * r[1] - qp[:, 1] * r[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    nonpar = denom != 0
+    if proper_only:
+        hit = nonpar & (t > _EPS) & (t < 1 - _EPS) & (u > _EPS) & (u < 1 - _EPS)
+        return bool(hit.any())
+    hit = nonpar & (t >= -_EPS) & (t <= 1 + _EPS) & (u >= -_EPS) & (u <= 1 + _EPS)
+    if hit.any():
+        return True
+    # parallel: check collinear overlap
+    par = ~nonpar & (t_num == 0)
+    if par.any():
+        rr = r @ r
+        if rr > 0:
+            t0 = (qp[par] @ r) / rr
+            t1 = t0 + (s[par] @ r) / rr
+            lo = np.minimum(t0, t1)
+            hi = np.maximum(t0, t1)
+            if ((hi >= -_EPS) & (lo <= 1 + _EPS)).any():
+                return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon primitive
+# ---------------------------------------------------------------------------
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
+    """Classify points against one polygon (list of rings, ring 0 = shell).
+
+    Returns int8 per point: 0 = exterior, 1 = boundary, 2 = interior.
+    Vectorized over points × segments (even-odd ray casting + on-segment
+    boundary detection) — the distributed analogue of the reference's
+    prepared-geometry predicate refine (geopandas/sindex.py:128-130).
+    """
+    inside = np.zeros(len(px), dtype=np.int64)
+    boundary = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        x0 = ring[:-1, 0][None, :]
+        y0 = ring[:-1, 1][None, :]
+        x1 = ring[1:, 0][None, :]
+        y1 = ring[1:, 1][None, :]
+        X = px[:, None]
+        Y = py[:, None]
+        # boundary: point on segment
+        dx = x1 - x0
+        dy = y1 - y0
+        cross = (X - x0) * dy - (Y - y0) * dx
+        dot = (X - x0) * dx + (Y - y0) * dy
+        sq = dx * dx + dy * dy
+        on = (np.abs(cross) <= _EPS * np.maximum(1.0, np.abs(sq))) & \
+             (dot >= -_EPS) & (dot <= sq + _EPS)
+        boundary |= on.any(axis=1)
+        # even-odd crossings (half-open rule avoids double counting vertices)
+        cond = (y0 > Y) != (y1 > Y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (Y - y0) * dx / np.where(dy == 0, 1.0, dy)
+        crossing = cond & (X < xint)
+        inside += crossing.sum(axis=1)
+    out = np.where(inside % 2 == 1, 2, 0).astype(np.int8)
+    out[boundary] = 1
+    return out
+
+
+def points_in_geom(px, py, ga: GeometryArray, i: int) -> np.ndarray:
+    """Classify points vs row i of ga (must be polygonal)."""
+    res = np.zeros(len(px), dtype=np.int8)
+    for rings in ga.geom_slices(i):
+        r = points_in_rings(px, py, rings)
+        res = np.maximum(res, r)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# pairwise predicates & distance
+# ---------------------------------------------------------------------------
+
+def _geom_segments(ga: GeometryArray, i: int):
+    """(S,2,2) array of segments of row i (all rings of all parts)."""
+    segs = []
+    for p in ga.geom_slices(i):
+        for r in p:
+            if len(r) >= 2:
+                segs.append(np.stack([r[:-1], r[1:]], axis=1))
+    if segs:
+        return np.concatenate(segs, axis=0)
+    return np.empty((0, 2, 2))
+
+
+def _geom_points(ga: GeometryArray, i: int):
+    o = ga.coord_offsets_per_geom()
+    return ga.coords[o[i]:o[i + 1]]
+
+
+def _segs_intersect_flags(sa, sb):
+    """(any_hit, any_proper) between segment sets sa (S,2,2), sb (T,2,2)."""
+    if len(sa) == 0 or len(sb) == 0:
+        return False, False
+    p = sa[:, 0][:, None, :]
+    r = (sa[:, 1] - sa[:, 0])[:, None, :]
+    q = sb[:, 0][None, :, :]
+    s = (sb[:, 1] - sb[:, 0])[None, :, :]
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    t_num = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    u_num = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    nonpar = denom != 0
+    hit = nonpar & (t >= -_EPS) & (t <= 1 + _EPS) & (u >= -_EPS) & (u <= 1 + _EPS)
+    proper = nonpar & (t > _EPS) & (t < 1 - _EPS) & (u > _EPS) & (u < 1 - _EPS)
+    any_hit = bool(hit.any())
+    any_proper = bool(proper.any())
+    if not any_hit:
+        # collinear overlap check
+        par = ~nonpar & (np.abs(t_num) <= _EPS)
+        if par.any():
+            rr = (r * r).sum(-1)
+            rr = np.where(rr == 0, 1.0, rr)
+            t0 = (qp * r).sum(-1) / rr
+            t1 = t0 + (s * r).sum(-1) / rr
+            lo = np.minimum(t0, t1)
+            hi = np.maximum(t0, t1)
+            ov = par & (hi >= -_EPS) & (lo <= 1 + _EPS)
+            any_hit = bool(ov.any())
+    return any_hit, any_proper
+
+
+def _point_seg_dist(pts, segs):
+    """min distance from each of pts (P,2) to segment set (S,2,2) → (P,)"""
+    if len(segs) == 0 or len(pts) == 0:
+        return np.full(len(pts), np.inf)
+    a = segs[:, 0][None, :, :]
+    b = segs[:, 1][None, :, :]
+    p = pts[:, None, :]
+    ab = b - a
+    ap = p - a
+    denom = (ab * ab).sum(-1)
+    t = np.clip((ap * ab).sum(-1) / np.where(denom == 0, 1.0, denom), 0, 1)
+    proj = a + t[..., None] * ab
+    d = np.hypot(*(p - proj).transpose(2, 0, 1))
+    return d.min(axis=1)
+
+
+def _pair_intersects(ga, i, gb, j) -> bool:
+    ta, tb = int(ga.types[i]), int(gb.types[j])
+    pa, pb = _geom_points(ga, i), _geom_points(gb, j)
+    if len(pa) == 0 or len(pb) == 0:
+        return False
+    # bbox reject
+    if (pa[:, 0].max() < pb[:, 0].min() or pb[:, 0].max() < pa[:, 0].min() or
+            pa[:, 1].max() < pb[:, 1].min() or pb[:, 1].max() < pa[:, 1].min()):
+        return False
+    sa, sb = _geom_segments(ga, i), _geom_segments(gb, j)
+    if ta in POINT_TYPES and tb in POINT_TYPES:
+        return bool((np.abs(pa[:, None, :] - pb[None, :, :]).max(-1) <= _EPS).any())
+    if ta in POINT_TYPES:
+        return _points_hit_geom(pa, gb, j, tb, sb)
+    if tb in POINT_TYPES:
+        return _points_hit_geom(pb, ga, i, ta, sa)
+    hit, _ = _segs_intersect_flags(sa, sb)
+    if hit:
+        return True
+    if ta in POLYGON_TYPES and len(pb):
+        if (points_in_geom(pb[:, 0], pb[:, 1], ga, i) > 0).any():
+            return True
+    if tb in POLYGON_TYPES and len(pa):
+        if (points_in_geom(pa[:, 0], pa[:, 1], gb, j) > 0).any():
+            return True
+    return False
+
+
+def _points_hit_geom(pts, g, j, tg, sg) -> bool:
+    if tg in POLYGON_TYPES:
+        return bool((points_in_geom(pts[:, 0], pts[:, 1], g, j) > 0).any())
+    return bool((_point_seg_dist(pts, sg) <= _EPS).any())
+
+
+def _pair_covers(ga, i, gb, j, require_interior=False) -> bool:
+    """covers(A,B); with require_interior=True → contains(A,B)."""
+    ta, tb = int(ga.types[i]), int(gb.types[j])
+    pa, pb = _geom_points(ga, i), _geom_points(gb, j)
+    if len(pa) == 0 or len(pb) == 0:
+        return False
+    sa, sb = _geom_segments(ga, i), _geom_segments(gb, j)
+    if ta in POINT_TYPES:
+        # a point only covers coincident points
+        ok = (np.abs(pb[:, None, :] - pa[None, :, :]).max(-1) <= _EPS).any(axis=1)
+        return bool(ok.all())
+    if ta in POLYGON_TYPES:
+        # sample points of B: vertices + segment midpoints
+        test = pb
+        if len(sb):
+            mid = sb.mean(axis=1)
+            test = np.concatenate([pb, mid], axis=0)
+        cls = points_in_geom(test[:, 0], test[:, 1], ga, i)
+        if (cls == 0).any():
+            return False
+        _, proper = _segs_intersect_flags(sa, sb)
+        if proper:
+            return False
+        if require_interior:
+            if tb in POLYGON_TYPES:
+                # B has area; if fully covered its interior meets A's interior
+                return True
+            return bool((cls == 2).any())
+        return True
+    if ta in LINE_TYPES:
+        if tb in POLYGON_TYPES:
+            return False
+        test = pb
+        if len(sb):
+            test = np.concatenate([pb, sb.mean(axis=1)], axis=0)
+        d = _point_seg_dist(test, sa)
+        if (d > _EPS).any():
+            return False
+        if require_interior and tb in POINT_TYPES:
+            # contains excludes line boundary (endpoints)
+            ends = _line_endpoints(ga, i)
+            if ends is not None and len(ends):
+                at_end = (np.abs(pb[:, None, :] - ends[None, :, :]).max(-1)
+                          <= _EPS).any(axis=1)
+                if at_end.all():
+                    return False
+        return True
+    return False
+
+
+def _line_endpoints(ga, i):
+    """Boundary points of a (multi)linestring: endpoints of open parts."""
+    ends = []
+    for p in ga.geom_slices(i):
+        r = p[0]
+        if len(r) >= 2 and not np.array_equal(r[0], r[-1]):
+            ends.append(r[0])
+            ends.append(r[-1])
+    return np.array(ends) if ends else np.empty((0, 2))
+
+
+def _pair_distance(ga, i, gb, j) -> float:
+    ta, tb = int(ga.types[i]), int(gb.types[j])
+    pa, pb = _geom_points(ga, i), _geom_points(gb, j)
+    if len(pa) == 0 or len(pb) == 0:
+        return np.nan
+    if ta in POINT_TYPES and tb in POINT_TYPES:
+        d = np.hypot(pa[:, None, 0] - pb[None, :, 0],
+                     pa[:, None, 1] - pb[None, :, 1])
+        return float(d.min())
+    if _pair_intersects(ga, i, gb, j):
+        return 0.0
+    sa, sb = _geom_segments(ga, i), _geom_segments(gb, j)
+    cands = [np.hypot(pa[:, None, 0] - pb[None, :, 0],
+                      pa[:, None, 1] - pb[None, :, 1]).min()]
+    if len(sb):
+        cands.append(_point_seg_dist(pa, sb).min())
+    if len(sa):
+        cands.append(_point_seg_dist(pb, sa).min())
+    return float(min(cands))
+
+
+def _pairwise(ga, gb, fn, dtype, fill):
+    n = len(ga)
+    if len(gb) != n:
+        raise ValueError("pairwise op requires equal lengths")
+    out = np.full(n, fill, dtype=dtype)
+    ma = ga.is_missing() | ga.is_empty()
+    mb = gb.is_missing() | gb.is_empty()
+    for i in range(n):
+        if ma[i] or mb[i]:
+            continue
+        out[i] = fn(ga, i, gb, i)
+    return out
+
+
+def intersects(ga, gb):
+    return _pairwise(ga, gb, _pair_intersects, bool, False)
+
+
+def disjoint(ga, gb):
+    out = ~intersects(ga, gb)
+    # GEOS: disjoint with empty → True
+    return out
+
+
+def contains(ga, gb):
+    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(a, i, b, j, True),
+                     bool, False)
+
+
+def within(ga, gb):
+    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(b, j, a, i, True),
+                     bool, False)
+
+
+def covers(ga, gb):
+    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(a, i, b, j, False),
+                     bool, False)
+
+
+def covered_by(ga, gb):
+    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(b, j, a, i, False),
+                     bool, False)
+
+
+def distance(ga, gb):
+    # all-points fast path
+    if ((ga.types == GT_POINT).all() and (gb.types == GT_POINT).all()
+            and ga.n_coords == len(ga) and gb.n_coords == len(gb)):
+        d = ga.coords - gb.coords
+        return np.hypot(d[:, 0], d[:, 1])
+    return _pairwise(ga, gb, _pair_distance, np.float64, np.nan)
+
+
+def dwithin(ga, gb, dist):
+    return distance(ga, gb) <= dist
+
+
+def touches(ga, gb):
+    def f(a, i, b, j):
+        if not _pair_intersects(a, i, b, j):
+            return False
+        sa, sb = _geom_segments(a, i), _geom_segments(b, j)
+        _, proper = _segs_intersect_flags(sa, sb)
+        if proper:
+            return False
+        ta, tb = int(a.types[i]), int(b.types[j])
+        pa, pb = _geom_points(a, i), _geom_points(b, j)
+        if ta in POLYGON_TYPES:
+            test = pb if not len(sb) else np.concatenate([pb, sb.mean(axis=1)])
+            if (points_in_geom(test[:, 0], test[:, 1], a, i) == 2).any():
+                return False
+        if tb in POLYGON_TYPES:
+            test = pa if not len(sa) else np.concatenate([pa, sa.mean(axis=1)])
+            if (points_in_geom(test[:, 0], test[:, 1], b, j) == 2).any():
+                return False
+        if ta in LINE_TYPES and tb in POINT_TYPES:
+            ends = _line_endpoints(a, i)
+            return bool(len(ends) and
+                        (np.abs(pb[:, None] - ends[None]).max(-1) <= _EPS).any())
+        if tb in LINE_TYPES and ta in POINT_TYPES:
+            ends = _line_endpoints(b, j)
+            return bool(len(ends) and
+                        (np.abs(pa[:, None] - ends[None]).max(-1) <= _EPS).any())
+        return True
+    return _pairwise(ga, gb, f, bool, False)
+
+
+def crosses(ga, gb):
+    def f(a, i, b, j):
+        ta, tb = int(a.types[i]), int(b.types[j])
+        if ta in LINE_TYPES and tb in LINE_TYPES:
+            sa, sb = _geom_segments(a, i), _geom_segments(b, j)
+            _, proper = _segs_intersect_flags(sa, sb)
+            return proper
+        if ta in LINE_TYPES and tb in POLYGON_TYPES:
+            return _line_crosses_poly(a, i, b, j)
+        if ta in POLYGON_TYPES and tb in LINE_TYPES:
+            return _line_crosses_poly(b, j, a, i)
+        if ta in POINT_TYPES and tb not in POINT_TYPES:
+            return _multipoint_crosses(a, i, b, j)
+        if tb in POINT_TYPES and ta not in POINT_TYPES:
+            return _multipoint_crosses(b, j, a, i)
+        return False
+    return _pairwise(ga, gb, f, bool, False)
+
+
+def _line_crosses_poly(line_ga, i, poly_ga, j) -> bool:
+    pts = _geom_points(line_ga, i)
+    segs = _geom_segments(line_ga, i)
+    samples = [pts] + ([segs.mean(axis=1)] if len(segs) else [])
+    # refine: also quarter points for robustness
+    if len(segs):
+        samples.append(segs[:, 0] * 0.75 + segs[:, 1] * 0.25)
+        samples.append(segs[:, 0] * 0.25 + segs[:, 1] * 0.75)
+    s = np.concatenate(samples)
+    cls = points_in_geom(s[:, 0], s[:, 1], poly_ga, j)
+    return bool((cls == 2).any() and (cls == 0).any())
+
+
+def _multipoint_crosses(pt_ga, i, other, j) -> bool:
+    pts = _geom_points(pt_ga, i)
+    if len(pts) < 2:
+        return False
+    t = int(other.types[j])
+    if t in POLYGON_TYPES:
+        cls = points_in_geom(pts[:, 0], pts[:, 1], other, j)
+        return bool((cls == 2).any() and (cls == 0).any())
+    segs = _geom_segments(other, j)
+    d = _point_seg_dist(pts, segs)
+    return bool((d <= _EPS).any() and (d > _EPS).any())
+
+
+def overlaps(ga, gb):
+    def f(a, i, b, j):
+        ta, tb = int(a.types[i]), int(b.types[j])
+        dim = {**{t: 0 for t in POINT_TYPES}, **{t: 1 for t in LINE_TYPES},
+               **{t: 2 for t in POLYGON_TYPES}}
+        if dim[ta] != dim[tb]:
+            return False
+        if not _pair_intersects(a, i, b, j):
+            return False
+        if _pair_covers(a, i, b, j, False) or _pair_covers(b, j, a, i, False):
+            return False
+        if dim[ta] == 2:
+            sa, sb = _geom_segments(a, i), _geom_segments(b, j)
+            _, proper = _segs_intersect_flags(sa, sb)
+            if proper:
+                return True
+            pa, pb = _geom_points(a, i), _geom_points(b, j)
+            return bool((points_in_geom(pb[:, 0], pb[:, 1], a, i) == 2).any() or
+                        (points_in_geom(pa[:, 0], pa[:, 1], b, j) == 2).any())
+        if dim[ta] == 0:
+            pa, pb = _geom_points(a, i), _geom_points(b, j)
+            shared = (np.abs(pa[:, None] - pb[None]).max(-1) <= _EPS)
+            return bool(shared.any() and not shared.any(axis=1).all()
+                        and not shared.any(axis=0).all())
+        # line-line overlap: share a collinear piece but neither covers other
+        sa, sb = _geom_segments(a, i), _geom_segments(b, j)
+        mid_a = sa.mean(axis=1)
+        on_b = _point_seg_dist(mid_a, sb) <= _EPS
+        return bool(on_b.any())
+    return _pairwise(ga, gb, f, bool, False)
+
+
+def geom_equals(ga, gb):
+    def f(a, i, b, j):
+        return (_pair_covers(a, i, b, j, False) and
+                _pair_covers(b, j, a, i, False))
+    return _pairwise(ga, gb, f, bool, False)
+
+
+# ---------------------------------------------------------------------------
+# constructive ops
+# ---------------------------------------------------------------------------
+
+def centroid(ga: GeometryArray) -> GeometryArray:
+    """Area/length/count-weighted centroid by highest dimension present.
+
+    Reference: geopandas/base.py:1020 (GEOS centroid semantics)."""
+    n = len(ga)
+    cx = np.full(n, np.nan)
+    cy = np.full(n, np.nan)
+    types = ga.types
+    for i in range(n):
+        t = int(types[i])
+        if t == GT_MISSING:
+            continue
+        parts = ga.geom_slices(i)
+        if not parts:
+            continue
+        if t in POLYGON_TYPES:
+            A = 0.0
+            sx = sy = 0.0
+            for p in parts:
+                for k, r in enumerate(p):
+                    x0, y0 = r[:-1, 0], r[:-1, 1]
+                    x1, y1 = r[1:, 0], r[1:, 1]
+                    cr = x0 * y1 - x1 * y0
+                    a = 0.5 * cr.sum()
+                    if a == 0:
+                        continue
+                    sign = (1.0 if k == 0 else -1.0)
+                    # normalize orientation so shell positive, hole negative
+                    flip = sign * (1.0 if a > 0 else -1.0)
+                    A += flip * a
+                    sx += flip * ((x0 + x1) * cr).sum() / 6.0
+                    sy += flip * ((y0 + y1) * cr).sum() / 6.0
+            if A != 0:
+                cx[i] = sx / A
+                cy[i] = sy / A
+                continue
+            t = GT_LINESTRING  # degenerate: fall back to length method
+        if t in LINE_TYPES or t == GT_LINESTRING:
+            L = 0.0
+            sx = sy = 0.0
+            for p in parts:
+                r = p[0]
+                if len(r) < 2:
+                    continue
+                d = np.diff(r, axis=0)
+                seg = np.hypot(d[:, 0], d[:, 1])
+                mid = (r[:-1] + r[1:]) / 2.0
+                L += seg.sum()
+                sx += (seg * mid[:, 0]).sum()
+                sy += (seg * mid[:, 1]).sum()
+            if L > 0:
+                cx[i] = sx / L
+                cy[i] = sy / L
+                continue
+            t = GT_POINT
+        pts = _geom_points(ga, i)
+        if len(pts):
+            cx[i] = pts[:, 0].mean()
+            cy[i] = pts[:, 1].mean()
+    out = points_from_xy(cx, cy)
+    out.types[ga.is_missing()] = GT_MISSING
+    return _with_nulls(out, ga.is_missing() | ga.is_empty())
+
+
+def _with_nulls(ga: GeometryArray, null_mask) -> GeometryArray:
+    if not null_mask.any():
+        return ga
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if null_mask[i]:
+            b.append_null()
+        else:
+            b.append_from(ga, i)
+    return b.finish()
+
+
+def envelope(ga: GeometryArray) -> GeometryArray:
+    """Axis-aligned bounding geometry (point/line degenerate cases kept,
+    GEOS envelope semantics). Reference: base.py:1428."""
+    bb = bounds(ga)
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        xmin, ymin, xmax, ymax = bb[i]
+        if np.isnan(xmin):
+            b.append_empty(int(ga.types[i]))
+        elif xmin == xmax and ymin == ymax:
+            b.append_point(xmin, ymin)
+        elif xmin == xmax or ymin == ymax:
+            b.append(GT_LINESTRING, [[np.array([[xmin, ymin], [xmax, ymax]])]])
+        else:
+            b.append(GT_POLYGON, [[np.array([
+                [xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax],
+                [xmin, ymin]])]])
+    return b.finish()
+
+
+def boundary(ga: GeometryArray) -> GeometryArray:
+    """Polygon → rings as (Multi)LineString; line → endpoint MultiPoint;
+    point → empty. Reference: base.py:986."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        parts = ga.geom_slices(i)
+        if t in POLYGON_TYPES:
+            rings = [r for p in parts for r in p]
+            if not rings:
+                b.append_empty(GT_MULTILINESTRING)
+            elif len(rings) == 1:
+                b.append(GT_LINESTRING, [[rings[0]]])
+            else:
+                b.append(GT_MULTILINESTRING, [[r] for r in rings])
+        elif t in LINE_TYPES:
+            ends = _line_endpoints(ga, i)
+            if len(ends) == 0:
+                b.append_empty(GT_MULTIPOINT)
+            else:
+                b.append(GT_MULTIPOINT, [[e.reshape(1, 2)] for e in ends])
+        else:
+            b.append_empty(GT_MULTIPOINT if t in POINT_TYPES else t)
+    return b.finish()
+
+
+def convex_hull(ga: GeometryArray) -> GeometryArray:
+    """Andrew monotone chain per geometry. Reference: base.py:1156."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        pts = _geom_points(ga, i)
+        if len(pts) == 0:
+            b.append_empty(t)
+            continue
+        hull = _monotone_chain(np.unique(pts, axis=0))
+        if len(hull) == 1:
+            b.append_point(hull[0, 0], hull[0, 1])
+        elif len(hull) == 2:
+            b.append(GT_LINESTRING, [[hull]])
+        else:
+            ring = np.concatenate([hull, hull[:1]], axis=0)
+            b.append(GT_POLYGON, [[ring]])
+    return b.finish()
+
+
+def _monotone_chain(pts: np.ndarray) -> np.ndarray:
+    """CCW hull of unique lexicographically-sorted points."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) <= 2:
+        return pts
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def simplify(ga: GeometryArray, tol) -> GeometryArray:
+    """Douglas-Peucker, non-topology-preserving (GEOS simplify).
+    Reference: base.py:5475."""
+    tol = np.broadcast_to(np.asarray(tol, dtype=np.float64), (len(ga),))
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        parts = ga.geom_slices(i)
+        if not parts:
+            b.append_empty(t)
+            continue
+        new_parts = []
+        for p in parts:
+            new_rings = []
+            for r in p:
+                new_rings.append(_dp(r, tol[i]))
+            new_parts.append(new_rings)
+        b.append(t, new_parts)
+    return b.finish()
+
+
+def _dp(ring: np.ndarray, tol: float) -> np.ndarray:
+    n = len(ring)
+    if n <= 2:
+        return ring
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        seg = ring[hi] - ring[lo]
+        pts = ring[lo + 1:hi]
+        L = np.hypot(*seg)
+        if L == 0:
+            d = np.hypot(*(pts - ring[lo]).T)
+        else:
+            d = np.abs(np.cross(seg, pts - ring[lo])) / L
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[lo + 1 + k] = True
+            stack.append((lo, lo + 1 + k))
+            stack.append((lo + 1 + k, hi))
+    return ring[keep]
+
+
+def buffer(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
+    """Buffer with round joins. quad_segs default 16 matches the reference
+    (geopandas/array.py:916-943, not shapely's 8).
+
+    Supported: points (regular 4*quad_segs-gon), convex polygons, and
+    axis-aligned boxes (rounded-rectangle Minkowski sum). Concave polygons
+    and lines need a polygon-clipping union and are deferred (raises)."""
+    dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
+    nseg = 4 * quad_segs
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        d = float(dist[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        parts = ga.geom_slices(i)
+        if not parts or d == 0:
+            if parts:
+                b.append_from(ga, i)
+            else:
+                b.append_empty(GT_POLYGON)
+            continue
+        if t == GT_POINT and d > 0:
+            c = parts[0][0][0]
+            ang = 2 * np.pi * np.arange(nseg) / nseg
+            ring = np.column_stack([c[0] + d * np.cos(ang),
+                                    c[1] + d * np.sin(ang)])
+            ring = np.concatenate([ring, ring[:1]], axis=0)
+            b.append(GT_POLYGON, [[ring]])
+        elif t == GT_POLYGON and d > 0 and len(parts[0]) == 1:
+            ring = _ensure_ccw(parts[0][0])
+            if not _is_convex(ring):
+                raise NotImplementedError(
+                    "buffer of concave polygons not yet supported")
+            b.append(GT_POLYGON, [[_buffer_convex_ring(ring, d, quad_segs)]])
+        elif t == GT_POLYGON and d < 0 and len(parts[0]) == 1 and \
+                _is_axis_aligned_box(parts[0][0]):
+            r = parts[0][0]
+            xmin, ymin = r.min(axis=0)
+            xmax, ymax = r.max(axis=0)
+            if xmin - d * 2 >= xmax or ymin - d * 2 >= ymax:
+                b.append_empty(GT_POLYGON)
+            else:
+                bb = boxes_from_bounds([xmin - d], [ymin - d], [xmax + d],
+                                       [ymax + d])
+                b.append_from(bb, 0)
+        else:
+            raise NotImplementedError(
+                f"buffer not yet supported for {GEOM_TYPE_NAMES.get(t)} "
+                f"with distance {d}")
+    return b.finish()
+
+
+def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    if 0.5 * (x0 * y1 - x1 * y0).sum() < 0:
+        return ring[::-1]
+    return ring
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    v = np.diff(ring, axis=0)
+    cr = np.cross(v[:-1], v[1:])
+    return bool((cr >= -_EPS).all() or (cr <= _EPS).all())
+
+
+def _is_axis_aligned_box(ring: np.ndarray) -> bool:
+    if len(ring) != 5:
+        return False
+    xs = np.unique(ring[:, 0])
+    ys = np.unique(ring[:, 1])
+    return len(xs) == 2 and len(ys) == 2
+
+
+def _buffer_convex_ring(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarray:
+    """Minkowski sum of a convex CCW ring with a disc (round joins)."""
+    pts = ring[:-1]
+    n = len(pts)
+    out = []
+    for k in range(n):
+        prev = pts[k - 1]
+        cur = pts[k]
+        nxt = pts[(k + 1) % n]
+        v1 = cur - prev
+        v2 = nxt - cur
+        n1 = np.array([v1[1], -v1[0]])
+        n1 = n1 / np.hypot(*n1) if np.hypot(*n1) > 0 else n1
+        n2 = np.array([v2[1], -v2[0]])
+        n2 = n2 / np.hypot(*n2) if np.hypot(*n2) > 0 else n2
+        a1 = np.arctan2(n1[1], n1[0])
+        a2 = np.arctan2(n2[1], n2[0])
+        while a2 < a1:
+            a2 += 2 * np.pi
+        steps = max(1, int(np.ceil((a2 - a1) / (np.pi / 2 / quad_segs))))
+        angs = a1 + (a2 - a1) * np.arange(steps + 1) / steps
+        arc = cur + d * np.column_stack([np.cos(angs), np.sin(angs)])
+        out.append(arc)
+    ring_out = np.concatenate(out, axis=0)
+    return np.concatenate([ring_out, ring_out[:1]], axis=0)
+
+
+def reverse(ga: GeometryArray) -> GeometryArray:
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        parts = ga.geom_slices(i)
+        if not parts:
+            b.append_empty(t)
+        else:
+            b.append(t, [[r[::-1] for r in p] for p in parts])
+    return b.finish()
+
+
+def affine_transform(ga: GeometryArray, a, b_, d, e, xoff, yoff) -> GeometryArray:
+    """x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff  (shapely.affinity
+    matrix order [a, b, d, e, xoff, yoff]). Reference: base.py:5970."""
+    c = ga.coords
+    nc = np.empty_like(c)
+    nc[:, 0] = a * c[:, 0] + b_ * c[:, 1] + xoff
+    nc[:, 1] = d * c[:, 0] + e * c[:, 1] + yoff
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, nc)
+
+
+def translate(ga, xoff=0.0, yoff=0.0):
+    return affine_transform(ga, 1.0, 0.0, 0.0, 1.0, xoff, yoff)
+
+
+def _per_geom_origin(ga: GeometryArray, origin):
+    if origin == "center":
+        bb = bounds(ga)
+        ox = (bb[:, 0] + bb[:, 2]) / 2.0
+        oy = (bb[:, 1] + bb[:, 3]) / 2.0
+    elif origin == "centroid":
+        cg = centroid(ga)
+        ox = get_x(cg)
+        oy = get_y(cg)
+    else:
+        ox = np.full(len(ga), float(origin[0]))
+        oy = np.full(len(ga), float(origin[1]))
+    idx = ga.coord_geom_index()
+    return ox[idx], oy[idx]
+
+
+def scale(ga, xfact=1.0, yfact=1.0, origin="center"):
+    ox, oy = _per_geom_origin(ga, origin)
+    c = ga.coords
+    nc = np.empty_like(c)
+    nc[:, 0] = ox + xfact * (c[:, 0] - ox)
+    nc[:, 1] = oy + yfact * (c[:, 1] - oy)
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, nc)
+
+
+def rotate(ga, angle_deg, origin="center"):
+    ox, oy = _per_geom_origin(ga, origin)
+    th = np.deg2rad(angle_deg)
+    ct, st = np.cos(th), np.sin(th)
+    c = ga.coords
+    nc = np.empty_like(c)
+    dx = c[:, 0] - ox
+    dy = c[:, 1] - oy
+    nc[:, 0] = ox + ct * dx - st * dy
+    nc[:, 1] = oy + st * dx + ct * dy
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, nc)
+
+
+def skew(ga, xs_deg=0.0, ys_deg=0.0, origin="center"):
+    ox, oy = _per_geom_origin(ga, origin)
+    tx = np.tan(np.deg2rad(xs_deg))
+    ty = np.tan(np.deg2rad(ys_deg))
+    c = ga.coords
+    nc = np.empty_like(c)
+    dx = c[:, 0] - ox
+    dy = c[:, 1] - oy
+    nc[:, 0] = ox + dx + tx * dy
+    nc[:, 1] = oy + dy + ty * dx
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, nc)
+
+
+# ---------------------------------------------------------------------------
+# clipping / set ops (round-1 scope: convex clip windows; see SURVEY §7.3)
+# ---------------------------------------------------------------------------
+
+def _sh_clip_ring(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip (closed) subject ring by convex CCW clip
+    ring. 'Fast/dirty' semantics, same caveat as the reference's
+    clip_by_rect (geopandas/tools/clip.py:87-99)."""
+    subject = ring[:-1] if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]) \
+        else ring
+    out = subject
+    cr = clip_ring[:-1]
+    m = len(cr)
+    for k in range(m):
+        if len(out) == 0:
+            break
+        a = cr[k]
+        bdir = cr[(k + 1) % m] - a
+        prev = out[-1]
+        res = []
+        prev_in = np.cross(bdir, prev - a) >= -_EPS
+        for p in out:
+            cur_in = np.cross(bdir, p - a) >= -_EPS
+            if cur_in != prev_in:
+                # intersection of edge (prev,p) with clip line
+                d = p - prev
+                denom = np.cross(bdir, d)
+                t = np.cross(bdir, a - prev) / denom if denom != 0 else 0.0
+                res.append(prev + t * d)
+            if cur_in:
+                res.append(p)
+            prev = p
+            prev_in = cur_in
+        out = np.array(res) if res else np.empty((0, 2))
+    if len(out) < 3:
+        return np.empty((0, 2))
+    return np.concatenate([out, out[:1]], axis=0)
+
+
+def _clip_segments_convex(segs: np.ndarray, clip_ring: np.ndarray):
+    """Clip each segment to a convex CCW ring (parametric Cyrus–Beck)."""
+    if len(segs) == 0:
+        return []
+    cr = clip_ring[:-1]
+    edges_a = cr
+    edges_n = np.stack([-(np.roll(cr, -1, axis=0) - cr)[:, 1],
+                        (np.roll(cr, -1, axis=0) - cr)[:, 0]], axis=1)
+    # inward normal of CCW ring edge (dx,dy) is (-dy,dx)
+    out = []
+    for s in segs:
+        p0, p1 = s[0], s[1]
+        d = p1 - p0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for a, nrm in zip(edges_a, edges_n):
+            denom = nrm @ d
+            num = nrm @ (a - p0)
+            if denom == 0:
+                if num > _EPS:  # outside, parallel
+                    ok = False
+                    break
+            elif denom > 0:  # entering
+                t0 = max(t0, num / denom)
+            else:
+                t1 = min(t1, num / denom)
+            if t0 > t1:
+                ok = False
+                break
+        if ok and t1 - t0 > _EPS:
+            out.append(np.array([p0 + t0 * d, p0 + t1 * d]))
+    return out
+
+
+def clip_by_rect(ga: GeometryArray, xmin, ymin, xmax, ymax) -> GeometryArray:
+    """Fast/dirty rectangle clip (reference: base.py:4880, GEOS
+    clip_by_rect): polygons via Sutherland–Hodgman, lines via parametric
+    clipping, points filtered by closed bounds."""
+    rect = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax],
+                     [xmin, ymin]], dtype=np.float64)
+    return _clip_convex(ga, rect)
+
+
+def _clip_convex(ga: GeometryArray, clip_ring: np.ndarray) -> GeometryArray:
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        parts = ga.geom_slices(i)
+        if not parts:
+            b.append_empty(t)
+            continue
+        if t in POINT_TYPES:
+            pts = _geom_points(ga, i)
+            cls = points_in_rings(pts[:, 0], pts[:, 1], [clip_ring])
+            keep = pts[cls > 0]
+            if len(keep) == 0:
+                b.append_empty(t)
+            elif len(keep) == 1:
+                b.append_point(keep[0, 0], keep[0, 1])
+            else:
+                b.append(GT_MULTIPOINT, [[k.reshape(1, 2)] for k in keep])
+        elif t in LINE_TYPES:
+            segs = _geom_segments(ga, i)
+            clipped = _clip_segments_convex(segs, clip_ring)
+            merged = _merge_chains(clipped)
+            if not merged:
+                b.append_empty(t)
+            elif len(merged) == 1:
+                b.append(GT_LINESTRING, [[merged[0]]])
+            else:
+                b.append(GT_MULTILINESTRING, [[m] for m in merged])
+        else:
+            new_parts = []
+            for p in parts:
+                shell = _sh_clip_ring(p[0], clip_ring)
+                if len(shell) == 0:
+                    continue
+                rings = [shell]
+                for hole in p[1:]:
+                    h = _sh_clip_ring(hole, clip_ring)
+                    if len(h):
+                        rings.append(h)
+                new_parts.append(rings)
+            if not new_parts:
+                b.append_empty(GT_POLYGON)
+            elif len(new_parts) == 1:
+                b.append(GT_POLYGON, new_parts)
+            else:
+                b.append(GT_MULTIPOLYGON, new_parts)
+    return b.finish()
+
+
+def _merge_chains(segs: list) -> list:
+    """Greedy merge of clipped segments back into polylines."""
+    chains = []
+    for s in segs:
+        placed = False
+        for c in chains:
+            if np.allclose(c[-1], s[0], atol=1e-9):
+                c.append(s[1])
+                placed = True
+                break
+        if not placed:
+            chains.append([s[0], s[1]])
+    return [np.array(c) for c in chains if len(c) >= 2]
+
+
+def intersection(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
+    """Pairwise intersection. Round-1 scope: any × convex polygon (incl.
+    boxes), point × anything. General concave×concave needs the full
+    clipping machinery (SURVEY §7.3) and raises."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        ta, tb = int(ga.types[i]), int(gb.types[i])
+        if ta == GT_MISSING or tb == GT_MISSING:
+            b.append_null()
+            continue
+        if ga.is_empty()[i] or gb.is_empty()[i]:
+            b.append_empty(GT_POLYGON)
+            continue
+        if ta in POINT_TYPES:
+            pts = _geom_points(ga, i)
+            keep = pts[_points_member_mask(pts, gb, i)]
+            _append_points(b, keep, ta)
+            continue
+        if tb in POINT_TYPES:
+            pts = _geom_points(gb, i)
+            keep = pts[_points_member_mask(pts, ga, i)]
+            _append_points(b, keep, tb)
+            continue
+        clip_ring = _as_convex_ring(gb, i)
+        if clip_ring is None:
+            clip_ring = _as_convex_ring(ga, i)
+            if clip_ring is None:
+                raise NotImplementedError(
+                    "intersection requires one side to be a convex polygon "
+                    "(general clipping planned)")
+            sub = _clip_convex(gb.take([i]), clip_ring)
+        else:
+            sub = _clip_convex(ga.take([i]), clip_ring)
+        b.append_from(sub, 0)
+    return b.finish()
+
+
+def _points_member_mask(pts, g, i):
+    t = int(g.types[i])
+    if t in POLYGON_TYPES:
+        return points_in_geom(pts[:, 0], pts[:, 1], g, i) > 0
+    if t in LINE_TYPES:
+        return _point_seg_dist(pts, _geom_segments(g, i)) <= _EPS
+    gp = _geom_points(g, i)
+    return (np.abs(pts[:, None] - gp[None]).max(-1) <= _EPS).any(axis=1)
+
+
+def _append_points(b, pts, orig_type):
+    if len(pts) == 0:
+        b.append_empty(GT_POINT)
+    elif len(pts) == 1:
+        b.append_point(pts[0, 0], pts[0, 1])
+    else:
+        b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
+
+
+def _as_convex_ring(g, i):
+    t = int(g.types[i])
+    if t != GT_POLYGON:
+        return None
+    parts = g.geom_slices(i)
+    if len(parts) != 1 or len(parts[0]) != 1:
+        return None
+    ring = _ensure_ccw(parts[0][0])
+    return ring if _is_convex(ring) else None
+
+
+def difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
+    """Pairwise A − B. Round-1 scope: point/multipoint minuend, or disjoint
+    pairs (→ A unchanged)."""
+    b = GeometryBuilder()
+    inter = intersects(ga, gb)
+    for i in range(len(ga)):
+        ta = int(ga.types[i])
+        if ta == GT_MISSING or int(gb.types[i]) == GT_MISSING:
+            b.append_null()
+            continue
+        if not inter[i]:
+            b.append_from(ga, i)
+            continue
+        if ta in POINT_TYPES:
+            pts = _geom_points(ga, i)
+            keep = pts[~_points_member_mask(pts, gb, i)]
+            _append_points(b, keep, ta)
+            continue
+        raise NotImplementedError(
+            "difference of overlapping non-point geometries not yet supported")
+    return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# parts / coords reshaping (reference: explode geoseries.py:1017,
+# get_coordinates base.py:6242)
+# ---------------------------------------------------------------------------
+
+def get_parts(ga: GeometryArray):
+    """→ (parts GeometryArray, parent_index int64[], part_ordinal int64[])."""
+    b = GeometryBuilder()
+    parent = []
+    ordinal = []
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            continue
+        parts = ga.geom_slices(i)
+        st = SINGLE_OF.get(t, t)
+        if not parts:
+            b.append_empty(st)
+            parent.append(i)
+            ordinal.append(0)
+            continue
+        for k, p in enumerate(parts):
+            if st == GT_POINT:
+                b.append_point(p[0][0, 0], p[0][0, 1])
+            else:
+                b.append(st, [p])
+            parent.append(i)
+            ordinal.append(k)
+    return b.finish(), np.array(parent, dtype=np.int64), np.array(ordinal, dtype=np.int64)
+
+
+def get_coordinates(ga: GeometryArray):
+    """→ (coords float64[N,2], parent_index int64[N])."""
+    return ga.coords.copy(), ga.coord_geom_index()
+
+
+def collect(ga: GeometryArray, indices=None) -> tuple:
+    """Gather all rows into one multi-geometry (reference:
+    tools/util.py:13-44 collect). Returns a 1-row GeometryArray.
+    Mixed single types must share a class; collections unsupported."""
+    types = set(int(t) for t in ga.types if t != GT_MISSING)
+    singles = {SINGLE_OF.get(t, t) for t in types}
+    if len(singles) > 1:
+        raise NotImplementedError(
+            f"collect over mixed geometry classes {singles} needs "
+            "GEOMETRYCOLLECTION support")
+    b = GeometryBuilder()
+    if not singles:
+        b.append_null()
+        return b.finish()
+    st = singles.pop()
+    parts = []
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            continue
+        parts.extend(ga.geom_slices(i))
+    if not parts:
+        b.append_empty(MULTI_OF[st])
+    else:
+        b.append(MULTI_OF[st], parts)
+    return b.finish()
+
+
+def union_all(ga: GeometryArray) -> GeometryArray:
+    """Union of all rows. Exact for point sets (dedupe) and pairwise-disjoint
+    polygons/lines (GEOS returns the disjoint multi-geometry). Overlapping
+    area unions need polygon clipping — raises for now (SURVEY §7.3 risk)."""
+    types = set(int(t) for t in ga.types if t != GT_MISSING)
+    singles = {SINGLE_OF.get(t, t) for t in types}
+    b = GeometryBuilder()
+    if not singles:
+        b.append_null()
+        return b.finish()
+    if singles == {GT_POINT}:
+        pts = np.unique(ga.coords, axis=0)
+        if len(pts) == 0:
+            b.append_empty(GT_MULTIPOINT)
+        elif len(pts) == 1:
+            b.append_point(pts[0, 0], pts[0, 1])
+        else:
+            b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
+        return b.finish()
+    # disjointness check (bbox prefilter, then exact)
+    bb = bounds(ga)
+    idx = [i for i in range(len(ga)) if ga.types[i] != GT_MISSING
+           and not ga.is_empty()[i]]
+    for ii, i in enumerate(idx):
+        for j in idx[ii + 1:]:
+            if (bb[i, 2] < bb[j, 0] or bb[j, 2] < bb[i, 0] or
+                    bb[i, 3] < bb[j, 1] or bb[j, 3] < bb[i, 1]):
+                continue
+            if _pair_intersects(ga, i, ga, j):
+                raise NotImplementedError(
+                    "union_all of overlapping polygons/lines not yet "
+                    "supported (needs clipping union)")
+    return collect(ga)
+
+
+# ---------------------------------------------------------------------------
+# line referencing (reference: interpolate base.py:5925, project :5827)
+# ---------------------------------------------------------------------------
+
+def interpolate(ga: GeometryArray, dist, normalized=False) -> GeometryArray:
+    dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
+    cx = np.full(len(ga), np.nan)
+    cy = np.full(len(ga), np.nan)
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t not in (GT_LINESTRING, GT_MULTILINESTRING):
+            continue
+        parts = ga.geom_slices(i)
+        if not parts:
+            continue
+        r = parts[0][0]
+        d = np.diff(r, axis=0)
+        seg = np.hypot(d[:, 0], d[:, 1])
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        total = cum[-1]
+        target = dist[i] * total if normalized else dist[i]
+        target = min(max(target, 0.0), total)
+        k = int(np.searchsorted(cum, target, side="right") - 1)
+        k = min(k, len(seg) - 1)
+        frac = (target - cum[k]) / seg[k] if seg[k] > 0 else 0.0
+        p = r[k] + frac * d[k]
+        cx[i], cy[i] = p
+    out = points_from_xy(cx, cy)
+    return _with_nulls(out, ga.is_missing())
+
+
+def project(ga: GeometryArray, gb: GeometryArray, normalized=False) -> np.ndarray:
+    """Distance along line A to the point on A nearest to point B."""
+    out = np.full(len(ga), np.nan)
+    for i in range(len(ga)):
+        if int(ga.types[i]) != GT_LINESTRING or int(gb.types[i]) != GT_POINT:
+            continue
+        parts = ga.geom_slices(i)
+        p = _geom_points(gb, i)
+        if not parts or not len(p):
+            continue
+        r = parts[0][0]
+        d = np.diff(r, axis=0)
+        seg = np.hypot(d[:, 0], d[:, 1])
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        a = r[:-1]
+        denom = (d * d).sum(1)
+        t = np.clip(((p[0] - a) * d).sum(1) / np.where(denom == 0, 1, denom), 0, 1)
+        proj = a + t[:, None] * d
+        dd = np.hypot(*(p[0] - proj).T)
+        k = int(np.argmin(dd))
+        val = cum[k] + t[k] * seg[k]
+        out[i] = val / cum[-1] if (normalized and cum[-1] > 0) else val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (public algorithm; reference reimplements it too:
+# geopandas/tools/hilbert_curve.py — ours written from the standard
+# xy→d bit-interleave formulation, vectorized)
+# ---------------------------------------------------------------------------
+
+def hilbert_distance(ga: GeometryArray, total_bounds_=None, level: int = 15) -> np.ndarray:
+    """Distance along a 2^level × 2^level Hilbert curve of the bbox
+    midpoint of each geometry — the engine's spatial-partitioning key
+    (SURVEY §2.6/§4)."""
+    bb = bounds(ga)
+    mx = (bb[:, 0] + bb[:, 2]) / 2.0
+    my = (bb[:, 1] + bb[:, 3]) / 2.0
+    if total_bounds_ is None:
+        tb = [np.nanmin(bb[:, 0]), np.nanmin(bb[:, 1]),
+              np.nanmax(bb[:, 2]), np.nanmax(bb[:, 3])]
+    else:
+        tb = total_bounds_
+    side = 2 ** level
+    dx = (tb[2] - tb[0]) or 1.0
+    dy = (tb[3] - tb[1]) or 1.0
+    x = np.clip(((mx - tb[0]) / dx * (side - 1)), 0, side - 1)
+    y = np.clip(((my - tb[1]) / dy * (side - 1)), 0, side - 1)
+    x = np.nan_to_num(x).astype(np.int64)
+    y = np.nan_to_num(y).astype(np.int64)
+    return hilbert_xy_to_d(x, y, level)
+
+
+def hilbert_xy_to_d(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
+    """Standard Hilbert curve xy→d (vectorized over points)."""
+    x = x.copy()
+    y = y.copy()
+    d = np.zeros_like(x)
+    s = np.int64(2 ** (level - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = x[flip]
+        y_f = y[flip]
+        x[flip] = s - 1 - x_f
+        y[flip] = s - 1 - y_f
+        tx = x[swap].copy()
+        x[swap] = y[swap]
+        y[swap] = tx
+        s //= 2
+    return d

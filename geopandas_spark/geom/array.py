@@ -1,0 +1,254 @@
+"""Columnar geometry array: the kernel's in-memory representation.
+
+Layout (GeoArrow-inspired, uniform nesting depth for all geometry types):
+
+    types        uint8[n]        WKB geometry-type code per row (0 = NULL)
+    geom_offsets int64[n+1]      row i owns parts  [geom_offsets[i], geom_offsets[i+1])
+    part_offsets int64[nparts+1] part j owns rings [part_offsets[j], part_offsets[j+1])
+    ring_offsets int64[nrings+1] ring k owns coords[ring_offsets[k], ring_offsets[k+1])
+    coords       float64[ncoords, 2]
+
+Mapping per type:
+    POINT            1 part, 1 ring, 1 coord
+    LINESTRING       1 part, 1 ring (the vertex chain)
+    POLYGON          1 part, R rings (ring 0 = shell, rest = holes)
+    MULTIPOINT       P parts, each 1 ring / 1 coord
+    MULTILINESTRING  P parts, each 1 ring
+    MULTIPOLYGON     P parts, each R_i rings
+    NULL / EMPTY     0 parts / 0 coords
+
+This is a deliberate contrast with the reference, whose GeometryArray is a
+numpy *object* array of per-row GEOS pointers (reference:
+geopandas/array.py:346-372): here a whole Arrow batch is a handful of flat
+numpy buffers, so every measure/predicate kernel is a vectorized numpy pass
+with no per-row Python in the hot loop.
+
+GEOMETRYCOLLECTION is not representable in the uniform layout and is
+rejected at decode time for now (tracked limitation; the reference supports
+it via GEOS).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GT_MISSING = 0
+GT_POINT = 1
+GT_LINESTRING = 2
+GT_POLYGON = 3
+GT_MULTIPOINT = 4
+GT_MULTILINESTRING = 5
+GT_MULTIPOLYGON = 6
+GT_GEOMETRYCOLLECTION = 7
+
+GEOM_TYPE_NAMES = {
+    GT_POINT: "Point",
+    GT_LINESTRING: "LineString",
+    GT_POLYGON: "Polygon",
+    GT_MULTIPOINT: "MultiPoint",
+    GT_MULTILINESTRING: "MultiLineString",
+    GT_MULTIPOLYGON: "MultiPolygon",
+    GT_GEOMETRYCOLLECTION: "GeometryCollection",
+}
+
+WKT_TYPE_NAMES = {k: v.upper() for k, v in GEOM_TYPE_NAMES.items()}
+
+POINT_TYPES = frozenset({GT_POINT, GT_MULTIPOINT})
+LINE_TYPES = frozenset({GT_LINESTRING, GT_MULTILINESTRING})
+POLYGON_TYPES = frozenset({GT_POLYGON, GT_MULTIPOLYGON})
+MULTI_TYPES = frozenset({GT_MULTIPOINT, GT_MULTILINESTRING, GT_MULTIPOLYGON})
+
+MULTI_OF = {GT_POINT: GT_MULTIPOINT, GT_LINESTRING: GT_MULTILINESTRING,
+            GT_POLYGON: GT_MULTIPOLYGON}
+SINGLE_OF = {v: k for k, v in MULTI_OF.items()}
+
+
+class GeometryArray:
+    """Immutable batch of geometries in the columnar layout above."""
+
+    __slots__ = ("types", "geom_offsets", "part_offsets", "ring_offsets", "coords")
+
+    def __init__(self, types, geom_offsets, part_offsets, ring_offsets, coords):
+        self.types = np.asarray(types, dtype=np.uint8)
+        self.geom_offsets = np.asarray(geom_offsets, dtype=np.int64)
+        self.part_offsets = np.asarray(part_offsets, dtype=np.int64)
+        self.ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
+        self.coords = np.ascontiguousarray(coords, dtype=np.float64).reshape(-1, 2)
+
+    # -- sizes ------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.types)
+
+    @property
+    def n_parts(self) -> int:
+        return len(self.part_offsets) - 1
+
+    @property
+    def n_rings(self) -> int:
+        return len(self.ring_offsets) - 1
+
+    @property
+    def n_coords(self) -> int:
+        return len(self.coords)
+
+    # -- derived index structures ----------------------------------------
+    def parts_per_geom(self) -> np.ndarray:
+        return np.diff(self.geom_offsets)
+
+    def rings_per_part(self) -> np.ndarray:
+        return np.diff(self.part_offsets)
+
+    def coords_per_ring(self) -> np.ndarray:
+        return np.diff(self.ring_offsets)
+
+    def rings_per_geom(self) -> np.ndarray:
+        # ring index range per geometry = part_offsets composed over geom_offsets
+        return np.diff(self.part_offsets[self.geom_offsets])
+
+    def coords_per_geom(self) -> np.ndarray:
+        return np.diff(self.coord_offsets_per_geom())
+
+    def coord_offsets_per_geom(self) -> np.ndarray:
+        """int64[n+1]: coords slice per geometry (rings are contiguous)."""
+        return self.ring_offsets[self.part_offsets[self.geom_offsets]]
+
+    def coord_offsets_per_part(self) -> np.ndarray:
+        return self.ring_offsets[self.part_offsets]
+
+    def ring_geom_index(self) -> np.ndarray:
+        """int64[n_rings]: owning geometry row of each ring."""
+        return np.repeat(np.arange(len(self)), self.rings_per_geom())
+
+    def part_geom_index(self) -> np.ndarray:
+        return np.repeat(np.arange(len(self)), self.parts_per_geom())
+
+    def coord_geom_index(self) -> np.ndarray:
+        return np.repeat(np.arange(len(self)), self.coords_per_geom())
+
+    def is_missing(self) -> np.ndarray:
+        return self.types == GT_MISSING
+
+    def is_empty(self) -> np.ndarray:
+        """Non-null geometries with zero coordinates (POINT EMPTY etc.)."""
+        return (self.types != GT_MISSING) & (self.coords_per_geom() == 0)
+
+    # -- row access (slow path, for tests / per-row fallbacks) -----------
+    def geom_slices(self, i: int):
+        """Return list of parts; each part is a list of (k,2) coord arrays."""
+        parts = []
+        for p in range(self.geom_offsets[i], self.geom_offsets[i + 1]):
+            rings = []
+            for r in range(self.part_offsets[p], self.part_offsets[p + 1]):
+                rings.append(self.coords[self.ring_offsets[r]:self.ring_offsets[r + 1]])
+            parts.append(rings)
+        return parts
+
+    def take(self, indices) -> "GeometryArray":
+        """Gather rows (negative index not supported). Rebuilds offsets."""
+        indices = np.asarray(indices, dtype=np.int64)
+        b = GeometryBuilder()
+        for i in indices:
+            b.append_from(self, int(i))
+        return b.finish()
+
+    def __repr__(self):
+        return (f"GeometryArray(n={len(self)}, parts={self.n_parts}, "
+                f"rings={self.n_rings}, coords={self.n_coords})")
+
+
+class GeometryBuilder:
+    """Append-based builder producing a GeometryArray.
+
+    Used by the WKB/WKT parsers and by per-row constructive ops that cannot
+    be expressed as a flat vectorized pass (convex hull, simplify, ...).
+    """
+
+    __slots__ = ("types", "geom_offsets", "part_offsets", "ring_offsets", "_coords")
+
+    def __init__(self):
+        self.types = []
+        self.geom_offsets = [0]
+        self.part_offsets = [0]
+        self.ring_offsets = [0]
+        self._coords = []
+
+    def append_null(self):
+        self.types.append(GT_MISSING)
+        self.geom_offsets.append(self.geom_offsets[-1])
+
+    def append_empty(self, gtype: int):
+        self.types.append(gtype)
+        self.geom_offsets.append(self.geom_offsets[-1])
+
+    def append(self, gtype: int, parts):
+        """parts: list of list of (k,2) float arrays (see layout docstring)."""
+        self.types.append(gtype)
+        for rings in parts:
+            for ring in rings:
+                ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                self._coords.append(ring)
+                self.ring_offsets.append(self.ring_offsets[-1] + len(ring))
+            self.part_offsets.append(self.part_offsets[-1] + len(rings))
+        self.geom_offsets.append(self.geom_offsets[-1] + len(parts))
+
+    def append_point(self, x: float, y: float):
+        self.types.append(GT_POINT)
+        self._coords.append(np.array([[x, y]], dtype=np.float64))
+        self.ring_offsets.append(self.ring_offsets[-1] + 1)
+        self.part_offsets.append(self.part_offsets[-1] + 1)
+        self.geom_offsets.append(self.geom_offsets[-1] + 1)
+
+    def append_from(self, ga: GeometryArray, i: int):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            self.append_null()
+        else:
+            self.append(t, ga.geom_slices(i))
+
+    def finish(self) -> GeometryArray:
+        coords = (np.concatenate(self._coords, axis=0)
+                  if self._coords else np.empty((0, 2), dtype=np.float64))
+        return GeometryArray(
+            np.array(self.types, dtype=np.uint8),
+            np.array(self.geom_offsets, dtype=np.int64),
+            np.array(self.part_offsets, dtype=np.int64),
+            np.array(self.ring_offsets, dtype=np.int64),
+            coords,
+        )
+
+
+def points_from_xy(x, y) -> GeometryArray:
+    """Vectorized point construction (reference: geopandas/array.py:293-343).
+
+    NaN in either coordinate produces POINT EMPTY? No — the reference
+    produces a point with NaN coords; we mirror that (NULL handling is the
+    caller's job via masks).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    coords = np.column_stack([x, y])
+    ar = np.arange(n + 1, dtype=np.int64)
+    return GeometryArray(np.full(n, GT_POINT, np.uint8), ar, ar.copy(), ar.copy(), coords)
+
+
+def boxes_from_bounds(xmin, ymin, xmax, ymax) -> GeometryArray:
+    """Vectorized axis-aligned box polygons (shapely.box analogue).
+
+    Ring is CCW starting at (xmin, ymin), closed (5 coords), matching
+    shapely.geometry.box(ccw=True) vertex order.
+    """
+    xmin = np.asarray(xmin, dtype=np.float64)
+    ymin = np.asarray(ymin, dtype=np.float64)
+    xmax = np.asarray(xmax, dtype=np.float64)
+    ymax = np.asarray(ymax, dtype=np.float64)
+    n = len(xmin)
+    coords = np.empty((n * 5, 2), dtype=np.float64)
+    coords[0::5, 0] = xmin; coords[0::5, 1] = ymin
+    coords[1::5, 0] = xmax; coords[1::5, 1] = ymin
+    coords[2::5, 0] = xmax; coords[2::5, 1] = ymax
+    coords[3::5, 0] = xmin; coords[3::5, 1] = ymax
+    coords[4::5, 0] = xmin; coords[4::5, 1] = ymin
+    ar = np.arange(n + 1, dtype=np.int64)
+    return GeometryArray(np.full(n, GT_POLYGON, np.uint8), ar, ar.copy(),
+                         ar * 5, coords)

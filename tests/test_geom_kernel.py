@@ -1,0 +1,320 @@
+"""Unit tests for the pure-numpy geometry kernel (no Spark needed).
+
+Modeled on the reference's operator unit tests
+(geopandas/tests/test_geom_methods.py — hand-computed expectations on small
+constructed geometries, incl. empty/None edge cases)."""
+
+import numpy as np
+import pytest
+
+from geopandas_spark.geom import algos, wkb, wkt
+from geopandas_spark.geom.array import (
+    GT_POINT, GT_POLYGON, GT_MULTIPOINT, GeometryBuilder,
+    points_from_xy, boxes_from_bounds,
+)
+
+
+def ga_from_wkt(*strs):
+    return wkt.parse_array(list(strs))
+
+
+class TestCodecs:
+    def test_wkt_roundtrip(self):
+        samples = [
+            "POINT (3 7)",
+            "POINT EMPTY",
+            "LINESTRING (0 0, 1 1, 2 0)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+            "MULTIPOINT ((1 1), (2 2))",
+            "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+            None,
+        ]
+        ga = wkt.parse_array(samples)
+        out = wkt.format_array(ga)
+        assert out == samples
+
+    def test_wkb_roundtrip(self):
+        samples = [
+            "POINT (3 7)",
+            "LINESTRING (0 0, 1 1, 2 0)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "MULTIPOINT ((1 1), (2 2))",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+            None,
+        ]
+        ga = wkt.parse_array(samples)
+        blobs = wkb.encode(ga)
+        assert blobs[-1] is None
+        ga2 = wkb.decode(blobs)
+        assert wkt.format_array(ga2) == samples
+
+    def test_point_fast_path(self):
+        ga = points_from_xy([1.0, 2.0, 3.5], [4.0, 5.0, -6.25])
+        blobs = wkb.encode(ga)
+        assert all(len(b) == 21 for b in blobs)
+        ga2 = wkb.decode(blobs)
+        np.testing.assert_array_equal(ga2.coords, ga.coords)
+
+    def test_multipoint_bare_wkt(self):
+        ga = ga_from_wkt("MULTIPOINT (1 1, 2 2)")
+        assert wkt.format_array(ga) == ["MULTIPOINT ((1 1), (2 2))"]
+
+
+class TestMeasures:
+    def test_area(self):
+        ga = ga_from_wkt(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+            "POINT (1 1)",
+            "LINESTRING (0 0, 5 0)",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))",
+            None,
+        )
+        out = algos.area(ga)
+        np.testing.assert_allclose(out[:5], [16.0, 96.0, 0.0, 0.0, 4.5])
+        assert np.isnan(out[5])
+
+    def test_length(self):
+        ga = ga_from_wkt(
+            "LINESTRING (0 0, 3 4)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POINT (1 1)",
+            "MULTILINESTRING ((0 0, 1 0), (0 0, 0 2))",
+        )
+        np.testing.assert_allclose(algos.length(ga), [5.0, 16.0, 0.0, 3.0])
+
+    def test_bounds(self):
+        ga = ga_from_wkt("LINESTRING (1 2, 5 -3)", "POINT (7 8)", None)
+        bb = algos.bounds(ga)
+        np.testing.assert_allclose(bb[0], [1, -3, 5, 2])
+        np.testing.assert_allclose(bb[1], [7, 8, 7, 8])
+        assert np.isnan(bb[2]).all()
+
+    def test_centroid(self):
+        ga = ga_from_wkt(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "LINESTRING (0 0, 0 4)",
+            "MULTIPOINT ((0 0), (2 2))",
+            # hole: centroid of square with symmetric hole stays at center
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+        )
+        c = algos.centroid(ga)
+        np.testing.assert_allclose(algos.get_x(c), [2.0, 0.0, 1.0, 3.0])
+        np.testing.assert_allclose(algos.get_y(c), [2.0, 2.0, 1.0, 3.0])
+
+    def test_counts(self):
+        ga = ga_from_wkt(
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+            "POINT (0 0)",
+        )
+        np.testing.assert_array_equal(algos.count_geometries(ga), [2, 1, 1])
+        np.testing.assert_array_equal(algos.count_interior_rings(ga), [0, 1, 0])
+        np.testing.assert_array_equal(algos.count_coordinates(ga), [8, 10, 1])
+
+
+class TestPredicates:
+    def test_point_in_polygon(self):
+        poly = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        px = np.array([5.0, 10.0, 15.0, 0.0])
+        py = np.array([5.0, 5.0, 5.0, 0.0])
+        cls = algos.points_in_geom(px, py, poly, 0)
+        np.testing.assert_array_equal(cls, [2, 1, 0, 1])
+
+    def test_pip_with_hole(self):
+        poly = ga_from_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+        cls = algos.points_in_geom(np.array([5.0, 2.0]), np.array([5.0, 2.0]),
+                                   poly, 0)
+        np.testing.assert_array_equal(cls, [0, 2])
+
+    def test_intersects_contains(self):
+        a = ga_from_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "LINESTRING (0 0, 10 10)",
+            "POINT (3 3)",
+        )
+        b = ga_from_wkt(
+            "POINT (5 5)",
+            "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))",
+            "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))",
+            "LINESTRING (0 10, 10 0)",
+            "POINT (3 3)",
+        )
+        np.testing.assert_array_equal(
+            algos.intersects(a, b), [True, True, False, True, True])
+        np.testing.assert_array_equal(
+            algos.contains(a, b), [True, True, False, False, True])
+        np.testing.assert_array_equal(
+            algos.within(b, a), [True, True, False, False, True])
+
+    def test_boundary_not_contained(self):
+        a = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        b = ga_from_wkt("POINT (10 5)")
+        assert not algos.contains(a, b)[0]
+        assert algos.covers(a, b)[0]
+        assert algos.intersects(a, b)[0]
+
+    def test_touches(self):
+        a = ga_from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = ga_from_wkt("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",
+                        "POLYGON ((0.5 0.5, 2 0.5, 2 2, 0.5 2, 0.5 0.5))")
+        np.testing.assert_array_equal(algos.touches(a, b), [True, False])
+
+    def test_overlaps_crosses(self):
+        a = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                        "LINESTRING (0 0, 4 4)")
+        b = ga_from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+                        "POLYGON ((1 0, 3 0, 3 3, 1 3, 1 0))")
+        assert algos.overlaps(a, b)[0]
+        assert algos.crosses(a, b)[1]
+
+    def test_distance(self):
+        a = ga_from_wkt("POINT (0 0)", "POINT (0 0)",
+                        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = ga_from_wkt("POINT (3 4)", "LINESTRING (0 5, 10 5)",
+                        "POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0))")
+        np.testing.assert_allclose(algos.distance(a, b), [5.0, 5.0, 2.0])
+
+    def test_dwithin(self):
+        a = ga_from_wkt("POINT (0 0)")
+        b = ga_from_wkt("POINT (3 4)")
+        assert algos.dwithin(a, b, 5.0)[0]
+        assert not algos.dwithin(a, b, 4.99)[0]
+
+
+class TestConstructive:
+    def test_envelope(self):
+        ga = ga_from_wkt("LINESTRING (1 1, 4 5)", "POINT (2 2)")
+        env = wkt.format_array(algos.envelope(ga))
+        assert env[0] == "POLYGON ((1 1, 4 1, 4 5, 1 5, 1 1))"
+        assert env[1] == "POINT (2 2)"
+
+    def test_convex_hull(self):
+        ga = ga_from_wkt("MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2))")
+        h = algos.convex_hull(ga)
+        np.testing.assert_allclose(algos.area(h), [16.0])
+
+    def test_buffer_point(self):
+        ga = ga_from_wkt("POINT (0 0)")
+        buf = algos.buffer(ga, 10.0, quad_segs=16)
+        assert algos.count_coordinates(buf)[0] == 65
+        expected = 0.5 * 64 * 100 * np.sin(2 * np.pi / 64)
+        np.testing.assert_allclose(algos.area(buf), [expected], rtol=1e-12)
+        assert algos.contains(buf, ga_from_wkt("POINT (9.9 0)"))[0]
+
+    def test_buffer_box(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        buf = algos.buffer(ga, 2.0, quad_segs=4)
+        a = algos.area(buf)[0]
+        # area = box + perimeter*d + pi*d^2 (n-gon approx slightly less)
+        assert 100 + 80 + np.pi * 4 * 0.97 < a < 100 + 80 + np.pi * 4 + 0.01
+
+    def test_simplify(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)")
+        s = algos.simplify(ga, 0.1)
+        assert algos.count_coordinates(s)[0] == 2
+
+    def test_clip_by_rect(self):
+        ga = ga_from_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "LINESTRING (-5 5, 15 5)",
+            "MULTIPOINT ((3 3), (20 20))",
+        )
+        out = algos.clip_by_rect(ga, 2, 2, 8, 8)
+        np.testing.assert_allclose(algos.area(out)[0], 36.0)
+        np.testing.assert_allclose(algos.length(out)[1], 6.0)
+        assert wkt.format_array(out)[2] == "POINT (3 3)"
+
+    def test_intersection_boxes(self):
+        a = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        out = algos.intersection(a, b)
+        np.testing.assert_allclose(algos.area(out), [4.0])
+
+    def test_affine(self):
+        ga = ga_from_wkt("POINT (1 2)")
+        t = algos.translate(ga, 10, 20)
+        assert wkt.format_array(t) == ["POINT (11 22)"]
+        r = algos.rotate(ga, 90, origin=(0, 0))
+        np.testing.assert_allclose(algos.get_x(r), [-2], atol=1e-12)
+        np.testing.assert_allclose(algos.get_y(r), [1], atol=1e-12)
+        s = algos.scale(ga, 2, 3, origin=(0, 0))
+        assert wkt.format_array(s) == ["POINT (2 6)"]
+
+    def test_union_all_points(self):
+        ga = ga_from_wkt("POINT (1 1)", "POINT (2 2)", "POINT (1 1)")
+        u = algos.union_all(ga)
+        assert algos.count_geometries(u)[0] == 2
+
+    def test_union_all_disjoint_boxes(self):
+        ga = boxes_from_bounds([0, 10], [0, 0], [5, 15], [5, 5])
+        u = algos.union_all(ga)
+        assert wkt.format_array(u)[0].startswith("MULTIPOLYGON")
+        np.testing.assert_allclose(algos.area(u), [50.0])
+
+    def test_union_all_overlapping_raises(self):
+        ga = boxes_from_bounds([0, 2], [0, 0], [5, 7], [5, 5])
+        with pytest.raises(NotImplementedError):
+            algos.union_all(ga)
+
+    def test_get_parts(self):
+        ga = ga_from_wkt("MULTIPOINT ((1 1), (2 2))", "POINT (3 3)")
+        parts, parent, ordinal = algos.get_parts(ga)
+        assert wkt.format_array(parts) == ["POINT (1 1)", "POINT (2 2)",
+                                           "POINT (3 3)"]
+        np.testing.assert_array_equal(parent, [0, 0, 1])
+        np.testing.assert_array_equal(ordinal, [0, 1, 0])
+
+    def test_interpolate(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        p = algos.interpolate(ga, 4.0)
+        assert wkt.format_array(p) == ["POINT (4 0)"]
+        p = algos.interpolate(ga, 0.5, normalized=True)
+        assert wkt.format_array(p) == ["POINT (5 0)"]
+
+    def test_project(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        gb = ga_from_wkt("POINT (3 5)")
+        np.testing.assert_allclose(algos.project(ga, gb), [3.0])
+
+    def test_boundary(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))",
+                         "LINESTRING (0 0, 1 1)")
+        out = wkt.format_array(algos.boundary(ga))
+        assert out[0] == "LINESTRING (0 0, 1 0, 1 1, 0 0)"
+        assert out[1] == "MULTIPOINT ((0 0), (1 1))"
+
+
+class TestValidity:
+    def test_is_valid(self):
+        ga = ga_from_wkt(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",  # bowtie
+            None,
+        )
+        np.testing.assert_array_equal(algos.is_valid(ga), [True, False, False])
+
+    def test_is_ring_closed(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 1 0, 1 1, 0 0)",
+                         "LINESTRING (0 0, 1 1)")
+        np.testing.assert_array_equal(algos.is_closed(ga), [True, False])
+        np.testing.assert_array_equal(algos.is_ring(ga), [True, False])
+
+
+class TestHilbert:
+    def test_hilbert_locality(self):
+        ga = points_from_xy([0, 1, 1000], [0, 1, 1000])
+        d = algos.hilbert_distance(ga, [0, 0, 1000, 1000], level=10)
+        assert abs(int(d[0]) - int(d[1])) < abs(int(d[0]) - int(d[2]))
+
+    def test_hilbert_unique_cells(self):
+        rng = np.random.default_rng(42)
+        pts = points_from_xy(rng.uniform(0, 100, 200), rng.uniform(0, 100, 200))
+        d = algos.hilbert_distance(pts, [0, 0, 100, 100], level=15)
+        assert len(np.unique(d)) > 150
