@@ -1,0 +1,686 @@
+"""st_* column functions: the engine's scalar-function surface.
+
+Every elementwise operator of the reference's GeoSeries API (SURVEY.md
+§2.2-2.3) is exposed here twice:
+
+- as a Python column function: ``st.area(col)``
+- as a Spark SQL function: ``SELECT st_area(geom) ...`` (via
+  :func:`register_sql`)
+
+All geometry columns are WKB ``BinaryType``. Each function is a vectorized
+(Arrow-batched) pandas UDF that decodes the batch into the columnar kernel
+representation, runs a numpy kernel from :mod:`geopandas_spark.geom.algos`,
+and re-encodes. This is the engine's equivalent of the reference's thin
+delegation layer (geopandas/base.py:27-131 → shapely ufuncs): same shape —
+a batch-level C-speed kernel behind a per-operator 3-line registration.
+
+Scale notes (100 TB design): every function here is stateless and
+elementwise — it parallelizes trivially across partitions, survives AQE
+re-planning, and composes with Structured Streaming. The UDF boundary is
+the JVM→Python Arrow hop; batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, DoubleType, LongType, StringType,
+    StructField, StructType,
+)
+
+from geopandas_spark.geom import algos, wkb
+from geopandas_spark.geom import wkt as wktmod
+from geopandas_spark.geom.array import points_from_xy, boxes_from_bounds
+
+__all__ = ["register_sql"]
+
+_REGISTRY: dict = {}
+
+
+def _reg(name):
+    def deco(udf):
+        _REGISTRY[name] = udf
+        return udf
+    return deco
+
+
+def _col(c):
+    """pyspark convention: strings are column names, other scalars literals."""
+    if isinstance(c, Column):
+        return c
+    if isinstance(c, str):
+        return F.col(c)
+    return F.lit(c)
+
+
+def _decode(s: pd.Series):
+    return wkb.decode(s.tolist())
+
+
+def _enc(ga) -> pd.Series:
+    return pd.Series(wkb.encode(ga), dtype=object)
+
+
+def _mask_float(ga, vals: np.ndarray) -> pd.Series:
+    """NaN → None so Spark sees SQL NULL for null/empty inputs."""
+    out = pd.Series(vals, dtype="float64")
+    return out
+
+
+def _mask_null_bool(ga, vals) -> pd.Series:
+    # missing geometry → False, matching the reference's predicate
+    # semantics for missing values (geopandas/array.py:794-851)
+    return pd.Series(np.asarray(vals, dtype=bool))
+
+
+# ---------------------------------------------------------------------------
+# constructors / codecs
+# ---------------------------------------------------------------------------
+
+@_reg("st_point")
+@pandas_udf(BinaryType())
+def _point(x: pd.Series, y: pd.Series) -> pd.Series:
+    ga = points_from_xy(x.to_numpy(np.float64), y.to_numpy(np.float64))
+    out = wkb.encode(ga)
+    null = x.isna() | y.isna()
+    return pd.Series([None if null.iloc[i] else out[i] for i in range(len(out))],
+                     dtype=object)
+
+
+@_reg("st_makebox")
+@pandas_udf(BinaryType())
+def _makebox(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
+             ymax: pd.Series) -> pd.Series:
+    ga = boxes_from_bounds(xmin.to_numpy(np.float64), ymin.to_numpy(np.float64),
+                           xmax.to_numpy(np.float64), ymax.to_numpy(np.float64))
+    return _enc(ga)
+
+
+@_reg("st_geomfromtext")
+@pandas_udf(BinaryType())
+def _geomfromtext(s: pd.Series) -> pd.Series:
+    ga = wktmod.parse_array(s.tolist())
+    return _enc(ga)
+
+
+@_reg("st_astext")
+@pandas_udf(StringType())
+def _astext(s: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    return pd.Series(wktmod.format_array(ga), dtype=object)
+
+
+@_reg("st_geomfromwkb")
+@pandas_udf(BinaryType())
+def _geomfromwkb(s: pd.Series) -> pd.Series:
+    # validation round-trip (normalizes endianness / EWKB flags)
+    return _enc(_decode(s))
+
+
+@_reg("st_aswkb")
+@pandas_udf(BinaryType())
+def _aswkb(s: pd.Series) -> pd.Series:
+    return s
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+def _unary_double(name, kernel):
+    @_reg(name)
+    @pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        ga = _decode(s)
+        return _mask_float(ga, kernel(ga))
+    return f
+
+
+_unary_double("st_area", algos.area)
+_unary_double("st_length", algos.length)
+_unary_double("st_perimeter", algos.length)
+_unary_double("st_x", algos.get_x)
+_unary_double("st_y", algos.get_y)
+
+
+def _unary_long(name, kernel):
+    @_reg(name)
+    @pandas_udf(LongType())
+    def f(s: pd.Series) -> pd.Series:
+        ga = _decode(s)
+        return pd.Series(np.asarray(kernel(ga), dtype=np.int64))
+    return f
+
+
+_unary_long("st_npoints", algos.count_coordinates)
+_unary_long("st_ngeometries", algos.count_geometries)
+_unary_long("st_ninteriorrings", algos.count_interior_rings)
+
+
+def _unary_bool(name, kernel):
+    @_reg(name)
+    @pandas_udf(BooleanType())
+    def f(s: pd.Series) -> pd.Series:
+        ga = _decode(s)
+        return _mask_null_bool(ga, kernel(ga))
+    return f
+
+
+_unary_bool("st_isempty", lambda ga: ga.is_empty() | ga.is_missing())
+_unary_bool("st_isvalid", algos.is_valid)
+_unary_bool("st_issimple", algos.is_simple)
+_unary_bool("st_isring", algos.is_ring)
+_unary_bool("st_isclosed", algos.is_closed)
+_unary_bool("st_isccw", algos.is_ccw)
+
+
+@_reg("st_geometrytype")
+@pandas_udf(StringType())
+def _geometrytype(s: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    return pd.Series(algos.geom_type_name(ga), dtype=object)
+
+
+_BOUNDS_SCHEMA = StructType([
+    StructField("xmin", DoubleType()), StructField("ymin", DoubleType()),
+    StructField("xmax", DoubleType()), StructField("ymax", DoubleType()),
+])
+
+
+@_reg("st_bounds")
+@pandas_udf(_BOUNDS_SCHEMA)
+def _bounds(s: pd.Series) -> pd.DataFrame:
+    ga = _decode(s)
+    bb = algos.bounds(ga)
+    return pd.DataFrame(
+        {"xmin": bb[:, 0], "ymin": bb[:, 1], "xmax": bb[:, 2], "ymax": bb[:, 3]})
+
+
+for _nm, _ix in (("st_xmin", 0), ("st_ymin", 1), ("st_xmax", 2), ("st_ymax", 3)):
+    def _mk(ix):
+        @pandas_udf(DoubleType())
+        def f(s: pd.Series) -> pd.Series:
+            ga = _decode(s)
+            return pd.Series(algos.bounds(ga)[:, ix])
+        return f
+    _REGISTRY[_nm] = _mk(_ix)
+
+
+@_reg("st_hilbert")
+@pandas_udf(LongType())
+def _hilbert(s: pd.Series, xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
+             ymax: pd.Series) -> pd.Series:
+    """Hilbert-curve key of the bbox midpoint within the given total bounds —
+    the spatial partitioning key (SURVEY §2.6)."""
+    ga = _decode(s)
+    tb = [float(xmin.iloc[0]), float(ymin.iloc[0]),
+          float(xmax.iloc[0]), float(ymax.iloc[0])]
+    return pd.Series(algos.hilbert_distance(ga, tb, level=15))
+
+
+# ---------------------------------------------------------------------------
+# binary predicates / measures
+# ---------------------------------------------------------------------------
+
+def _binary_bool(name, kernel):
+    @_reg(name)
+    @pandas_udf(BooleanType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _mask_null_bool(None, kernel(_decode(a), _decode(b)))
+    return f
+
+
+_binary_bool("st_intersects", algos.intersects)
+_binary_bool("st_disjoint", algos.disjoint)
+_binary_bool("st_contains", algos.contains)
+_binary_bool("st_within", algos.within)
+_binary_bool("st_covers", algos.covers)
+_binary_bool("st_coveredby", algos.covered_by)
+_binary_bool("st_touches", algos.touches)
+_binary_bool("st_crosses", algos.crosses)
+_binary_bool("st_overlaps", algos.overlaps)
+_binary_bool("st_equals", algos.geom_equals)
+
+
+@_reg("st_distance")
+@pandas_udf(DoubleType())
+def _distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(algos.distance(_decode(a), _decode(b)))
+
+
+@_reg("st_dwithin")
+@pandas_udf(BooleanType())
+def _dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    return _mask_null_bool(
+        None, algos.distance(_decode(a), _decode(b)) <= d.to_numpy(np.float64))
+
+
+# ---------------------------------------------------------------------------
+# constructive (geometry → geometry)
+# ---------------------------------------------------------------------------
+
+def _unary_geom(name, kernel):
+    @_reg(name)
+    @pandas_udf(BinaryType())
+    def f(s: pd.Series) -> pd.Series:
+        return _enc(kernel(_decode(s)))
+    return f
+
+
+_unary_geom("st_centroid", algos.centroid)
+_unary_geom("st_envelope", algos.envelope)
+_unary_geom("st_boundary", algos.boundary)
+_unary_geom("st_convexhull", algos.convex_hull)
+_unary_geom("st_reverse", algos.reverse)
+_unary_geom("st_force2d", lambda ga: ga)  # kernel is 2-D throughout
+
+
+@_reg("st_buffer")
+@pandas_udf(BinaryType())
+def _buffer(s: pd.Series, d: pd.Series, quad_segs: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    return _enc(algos.buffer(ga, d.to_numpy(np.float64),
+                             int(quad_segs.iloc[0])))
+
+
+@_reg("st_simplify")
+@pandas_udf(BinaryType())
+def _simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return _enc(algos.simplify(_decode(s), tol.to_numpy(np.float64)))
+
+
+@_reg("st_clipbyrect")
+@pandas_udf(BinaryType())
+def _clipbyrect(s: pd.Series, xmin: pd.Series, ymin: pd.Series,
+                xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    return _enc(algos.clip_by_rect(ga, float(xmin.iloc[0]), float(ymin.iloc[0]),
+                                   float(xmax.iloc[0]), float(ymax.iloc[0])))
+
+
+@_reg("st_intersection")
+@pandas_udf(BinaryType())
+def _intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _enc(algos.intersection(_decode(a), _decode(b)))
+
+
+@_reg("st_difference")
+@pandas_udf(BinaryType())
+def _difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _enc(algos.difference(_decode(a), _decode(b)))
+
+
+@_reg("st_translate")
+@pandas_udf(BinaryType())
+def _translate(s: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    out = algos.translate(ga, xoff.to_numpy(np.float64)[ga.coord_geom_index()]
+                          if len(ga.coords) else 0.0,
+                          yoff.to_numpy(np.float64)[ga.coord_geom_index()]
+                          if len(ga.coords) else 0.0)
+    return _enc(out)
+
+
+@_reg("st_scale")
+@pandas_udf(BinaryType())
+def _scale(s: pd.Series, xfact: pd.Series, yfact: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    return _enc(algos.scale(ga, float(xfact.iloc[0]), float(yfact.iloc[0]),
+                            origin=(0.0, 0.0)))
+
+
+@_reg("st_rotate")
+@pandas_udf(BinaryType())
+def _rotate(s: pd.Series, angle_deg: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    return _enc(algos.rotate(ga, float(angle_deg.iloc[0]), origin=(0.0, 0.0)))
+
+
+@_reg("st_affine")
+@pandas_udf(BinaryType())
+def _affine(s: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
+            e: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    return _enc(algos.affine_transform(
+        ga, float(a.iloc[0]), float(b.iloc[0]), float(d.iloc[0]),
+        float(e.iloc[0]), float(xoff.iloc[0]), float(yoff.iloc[0])))
+
+
+@_reg("st_interpolate")
+@pandas_udf(BinaryType())
+def _interpolate(s: pd.Series, d: pd.Series) -> pd.Series:
+    return _enc(algos.interpolate(_decode(s), d.to_numpy(np.float64)))
+
+
+@_reg("st_lineinterpolatepoint")
+@pandas_udf(BinaryType())
+def _lineinterpolate_norm(s: pd.Series, frac: pd.Series) -> pd.Series:
+    return _enc(algos.interpolate(_decode(s), frac.to_numpy(np.float64),
+                                  normalized=True))
+
+
+@_reg("st_project")
+@pandas_udf(DoubleType())
+def _project(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(algos.project(_decode(a), _decode(b)))
+
+
+# ---------------------------------------------------------------------------
+# parts / coordinates
+# ---------------------------------------------------------------------------
+
+@_reg("st_dump")
+@pandas_udf(ArrayType(BinaryType()))
+def _dump(s: pd.Series) -> pd.Series:
+    """Multi-part → array of single-part WKB; pair with posexplode for the
+    reference's explode (geopandas/geoseries.py:1017)."""
+    ga = _decode(s)
+    parts, parent, _ = algos.get_parts(ga)
+    blobs = wkb.encode(parts)
+    out = [[] for _ in range(len(ga))]
+    for k, p in enumerate(parent):
+        out[p].append(blobs[k])
+    miss = ga.is_missing()
+    return pd.Series([None if miss[i] else out[i] for i in range(len(ga))],
+                     dtype=object)
+
+
+_COORD_SCHEMA = ArrayType(StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType())]))
+
+
+@_reg("st_dumpcoordinates")
+@pandas_udf(_COORD_SCHEMA)
+def _dumpcoords(s: pd.Series) -> pd.Series:
+    """get_coordinates analogue (reference: base.py:6242) — explode after."""
+    ga = _decode(s)
+    coords, parent = algos.get_coordinates(ga)
+    out = [[] for _ in range(len(ga))]
+    for k in range(len(coords)):
+        out[parent[k]].append({"x": coords[k, 0], "y": coords[k, 1]})
+    miss = ga.is_missing()
+    return pd.Series([None if miss[i] else out[i] for i in range(len(ga))],
+                     dtype=object)
+
+
+@_reg("st_geometryn")
+@pandas_udf(BinaryType())
+def _geometryn(s: pd.Series, n: pd.Series) -> pd.Series:
+    ga = _decode(s)
+    parts, parent, ordinal = algos.get_parts(ga)
+    blobs = wkb.encode(parts)
+    want = n.to_numpy(np.int64)
+    out = [None] * len(ga)
+    for k in range(len(parent)):
+        if ordinal[k] == want[parent[k]]:
+            out[parent[k]] = blobs[k]
+    return pd.Series(out, dtype=object)
+
+
+@_reg("st_startpoint")
+@pandas_udf(BinaryType())
+def _startpoint(s: pd.Series) -> pd.Series:
+    return _enc(algos.interpolate(_decode(s), 0.0))
+
+
+@_reg("st_endpoint")
+@pandas_udf(BinaryType())
+def _endpoint(s: pd.Series) -> pd.Series:
+    return _enc(algos.interpolate(_decode(s), 1.0, normalized=True))
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregates (dissolve/union_all building blocks, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@_reg("st_union_agg")
+@pandas_udf(BinaryType())
+def _union_agg(s: pd.Series) -> bytes:
+    """Geometric union of a group (GROUPED_AGG). Exact for point sets and
+    pairwise-disjoint polygons; overlapping-area union raises (round-1
+    limitation, SURVEY §7.3). For scale, prefer operators.dissolve which
+    runs a two-phase partial union."""
+    ga = wkb.decode(s.tolist())
+    out = algos.union_all(ga)
+    return wkb.encode(out)[0]
+
+
+@_reg("st_collect_agg")
+@pandas_udf(BinaryType())
+def _collect_agg(s: pd.Series) -> bytes:
+    ga = wkb.decode(s.tolist())
+    return wkb.encode(algos.collect(ga))[0]
+
+
+# ---------------------------------------------------------------------------
+# Python column API (what `from geopandas_spark import st` exposes)
+# ---------------------------------------------------------------------------
+
+def point(x, y) -> Column:
+    return _REGISTRY["st_point"](_col(x), _col(y))
+
+
+def makebox(xmin, ymin, xmax, ymax) -> Column:
+    return _REGISTRY["st_makebox"](_col(xmin), _col(ymin), _col(xmax), _col(ymax))
+
+
+def geom_from_text(c) -> Column:
+    return _REGISTRY["st_geomfromtext"](_col(c))
+
+
+def as_text(c) -> Column:
+    return _REGISTRY["st_astext"](_col(c))
+
+
+def geom_from_wkb(c) -> Column:
+    return _REGISTRY["st_geomfromwkb"](_col(c))
+
+
+def area(c) -> Column:
+    return _REGISTRY["st_area"](_col(c))
+
+
+def length(c) -> Column:
+    return _REGISTRY["st_length"](_col(c))
+
+
+def x(c) -> Column:
+    return _REGISTRY["st_x"](_col(c))
+
+
+def y(c) -> Column:
+    return _REGISTRY["st_y"](_col(c))
+
+
+def bounds(c) -> Column:
+    return _REGISTRY["st_bounds"](_col(c))
+
+
+def npoints(c) -> Column:
+    return _REGISTRY["st_npoints"](_col(c))
+
+
+def ngeometries(c) -> Column:
+    return _REGISTRY["st_ngeometries"](_col(c))
+
+
+def geometry_type(c) -> Column:
+    return _REGISTRY["st_geometrytype"](_col(c))
+
+
+def is_empty(c) -> Column:
+    return _REGISTRY["st_isempty"](_col(c))
+
+
+def is_valid(c) -> Column:
+    return _REGISTRY["st_isvalid"](_col(c))
+
+
+def distance(a, b) -> Column:
+    return _REGISTRY["st_distance"](_col(a), _col(b))
+
+
+def dwithin(a, b, d) -> Column:
+    return _REGISTRY["st_dwithin"](_col(a), _col(b), _col(d))
+
+
+def intersects(a, b) -> Column:
+    return _REGISTRY["st_intersects"](_col(a), _col(b))
+
+
+def contains(a, b) -> Column:
+    return _REGISTRY["st_contains"](_col(a), _col(b))
+
+
+def within(a, b) -> Column:
+    return _REGISTRY["st_within"](_col(a), _col(b))
+
+
+def covers(a, b) -> Column:
+    return _REGISTRY["st_covers"](_col(a), _col(b))
+
+
+def covered_by(a, b) -> Column:
+    return _REGISTRY["st_coveredby"](_col(a), _col(b))
+
+
+def touches(a, b) -> Column:
+    return _REGISTRY["st_touches"](_col(a), _col(b))
+
+
+def crosses(a, b) -> Column:
+    return _REGISTRY["st_crosses"](_col(a), _col(b))
+
+
+def overlaps(a, b) -> Column:
+    return _REGISTRY["st_overlaps"](_col(a), _col(b))
+
+
+def geom_equals(a, b) -> Column:
+    return _REGISTRY["st_equals"](_col(a), _col(b))
+
+
+def disjoint(a, b) -> Column:
+    return _REGISTRY["st_disjoint"](_col(a), _col(b))
+
+
+def centroid(c) -> Column:
+    return _REGISTRY["st_centroid"](_col(c))
+
+
+def envelope(c) -> Column:
+    return _REGISTRY["st_envelope"](_col(c))
+
+
+def boundary(c) -> Column:
+    return _REGISTRY["st_boundary"](_col(c))
+
+
+def convex_hull(c) -> Column:
+    return _REGISTRY["st_convexhull"](_col(c))
+
+
+def buffer(c, dist, quad_segs: int = 16) -> Column:
+    """quad_segs default 16 matches the reference's buffer default
+    (geopandas/array.py:916-943), not shapely's 8."""
+    return _REGISTRY["st_buffer"](_col(c), _col(dist), F.lit(quad_segs))
+
+
+def simplify(c, tol) -> Column:
+    return _REGISTRY["st_simplify"](_col(c), _col(tol))
+
+
+def clip_by_rect(c, xmin, ymin, xmax, ymax) -> Column:
+    return _REGISTRY["st_clipbyrect"](
+        _col(c), F.lit(float(xmin)), F.lit(float(ymin)), F.lit(float(xmax)),
+        F.lit(float(ymax)))
+
+
+def intersection(a, b) -> Column:
+    return _REGISTRY["st_intersection"](_col(a), _col(b))
+
+
+def difference(a, b) -> Column:
+    return _REGISTRY["st_difference"](_col(a), _col(b))
+
+
+def translate(c, xoff=0.0, yoff=0.0) -> Column:
+    return _REGISTRY["st_translate"](_col(c), _col(xoff), _col(yoff))
+
+
+def scale(c, xfact=1.0, yfact=1.0) -> Column:
+    return _REGISTRY["st_scale"](_col(c), F.lit(float(xfact)), F.lit(float(yfact)))
+
+
+def rotate(c, angle_deg) -> Column:
+    return _REGISTRY["st_rotate"](_col(c), F.lit(float(angle_deg)))
+
+
+def affine(c, a, b, d, e, xoff, yoff) -> Column:
+    return _REGISTRY["st_affine"](
+        _col(c), *(F.lit(float(v)) for v in (a, b, d, e, xoff, yoff)))
+
+
+def interpolate(c, dist) -> Column:
+    return _REGISTRY["st_interpolate"](_col(c), _col(dist))
+
+
+def line_interpolate_point(c, frac) -> Column:
+    return _REGISTRY["st_lineinterpolatepoint"](_col(c), _col(frac))
+
+
+def project(a, b) -> Column:
+    return _REGISTRY["st_project"](_col(a), _col(b))
+
+
+def dump(c) -> Column:
+    return _REGISTRY["st_dump"](_col(c))
+
+
+def dump_coordinates(c) -> Column:
+    return _REGISTRY["st_dumpcoordinates"](_col(c))
+
+
+def geometry_n(c, n) -> Column:
+    return _REGISTRY["st_geometryn"](_col(c), _col(n))
+
+
+def union_agg(c) -> Column:
+    return _REGISTRY["st_union_agg"](_col(c))
+
+
+def collect_agg(c) -> Column:
+    return _REGISTRY["st_collect_agg"](_col(c))
+
+
+def hilbert(c, xmin, ymin, xmax, ymax) -> Column:
+    return _REGISTRY["st_hilbert"](
+        _col(c), *(F.lit(float(v)) for v in (xmin, ymin, xmax, ymax)))
+
+
+def x_min(c) -> Column:
+    return _REGISTRY["st_xmin"](_col(c))
+
+
+def y_min(c) -> Column:
+    return _REGISTRY["st_ymin"](_col(c))
+
+
+def x_max(c) -> Column:
+    return _REGISTRY["st_xmax"](_col(c))
+
+
+def y_max(c) -> Column:
+    return _REGISTRY["st_ymax"](_col(c))
+
+
+def register_sql(spark) -> None:
+    """Register every st_* function for SQL use:
+    ``spark.sql("SELECT st_area(st_point(1,2))")``."""
+    for name, udf in _REGISTRY.items():
+        spark.udf.register(name, udf)

@@ -1,0 +1,106 @@
+"""Spark-layer tests for the st_* function surface."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark import st, register_sql
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    rows = [
+        (1, "POINT (3 7)"),
+        (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (3, "LINESTRING (0 0, 3 4)"),
+        (4, "MULTIPOINT ((1 1), (2 2))"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "wkt"])
+    return df.withColumn("geom", st.geom_from_text("wkt"))
+
+
+def test_roundtrip_wkt(geo_df):
+    out = {r.id: r.t for r in
+           geo_df.select("id", st.as_text("geom").alias("t")).collect()}
+    assert out[1] == "POINT (3 7)"
+    assert out[2] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert out[5] is None
+
+
+def test_measures(geo_df):
+    rows = {r.id: r for r in geo_df.select(
+        "id", st.area("geom").alias("a"), st.length("geom").alias("l"),
+        st.npoints("geom").alias("np"),
+        st.geometry_type("geom").alias("t")).collect()}
+    assert rows[2].a == 16.0
+    assert rows[3].l == 5.0
+    assert rows[4].np == 2
+    assert rows[1].t == "Point"
+
+
+def test_point_xy(spark):
+    df = spark.range(5).select(
+        st.point(F.col("id") * 2, F.col("id") * 3).alias("g"))
+    rows = df.select(st.x("g").alias("x"), st.y("g").alias("y")).collect()
+    assert [r.x for r in rows] == [0.0, 2.0, 4.0, 6.0, 8.0]
+    assert [r.y for r in rows] == [0.0, 3.0, 6.0, 9.0, 12.0]
+
+
+def test_predicates(spark):
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)"),
+         (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (50 50)")],
+        ["id", "a_wkt", "b_wkt"])
+    out = {r.id: r for r in df.select(
+        "id",
+        st.contains(st.geom_from_text("a_wkt"),
+                    st.geom_from_text("b_wkt")).alias("c"),
+        st.intersects(st.geom_from_text("a_wkt"),
+                      st.geom_from_text("b_wkt")).alias("i")).collect()}
+    assert out[1].c and out[1].i
+    assert not out[2].c and not out[2].i
+
+
+def test_buffer_distance(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 3.0, 4.0)], ["x1", "y1", "x2", "y2"])
+    r = df.select(
+        st.distance(st.point("x1", "y1"), st.point("x2", "y2")).alias("d"),
+        st.area(st.buffer(st.point("x1", "y1"), 10.0)).alias("ba")).collect()[0]
+    assert r.d == 5.0
+    expected = 0.5 * 64 * 100 * np.sin(2 * np.pi / 64)
+    assert abs(r.ba - expected) < 1e-9
+
+
+def test_sql_registration(spark):
+    register_sql(spark)
+    r = spark.sql(
+        "SELECT st_area(st_makebox(0D, 0D, 5D, 4D)) AS a, "
+        "st_astext(st_centroid(st_makebox(0D, 0D, 4D, 4D))) AS c").collect()[0]
+    assert r.a == 20.0
+    assert r.c == "POINT (2 2)"
+
+
+def test_dump_explode(spark):
+    df = spark.createDataFrame([(1, "MULTIPOINT ((1 1), (2 2))")], ["id", "w"])
+    out = (df.select("id", F.posexplode(st.dump(st.geom_from_text("w")))
+                     .alias("pos", "part"))
+           .select("id", "pos", st.as_text("part").alias("t")).collect())
+    assert [(r.pos, r.t) for r in out] == [(0, "POINT (1 1)"), (1, "POINT (2 2)")]
+
+
+def test_union_agg_points(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (1, 2.0, 2.0), (1, 1.0, 1.0), (2, 5.0, 5.0)],
+        ["k", "x", "y"])
+    out = {r.k: r.n for r in
+           df.groupBy("k").agg(st.union_agg(st.point("x", "y")).alias("u"))
+           .select("k", st.ngeometries("u").alias("n")).collect()}
+    assert out[1] == 2
+    assert out[2] == 1
+
+
+def test_bounds_struct(spark):
+    df = spark.createDataFrame([("LINESTRING (1 2, 5 -3)",)], ["w"])
+    r = df.select(st.bounds(st.geom_from_text("w")).alias("b")).collect()[0].b
+    assert (r.xmin, r.ymin, r.xmax, r.ymax) == (1.0, -3.0, 5.0, 2.0)
