@@ -1,0 +1,123 @@
+"""dissolve / total_bounds: geometric aggregation (SURVEY.md §2.5).
+
+Reference: GeoDataFrame.dissolve (geopandas/geodataframe.py:2172-2327) =
+groupby over attribute columns + per-group geometric union.
+
+Spark cannot mix a GROUPED_AGG pandas UDF with native aggregates in one
+``agg``, so dissolve runs as a single ``applyInPandas`` per group: one
+shuffle, geometry union + attribute aggs in the same pass (same cost shape
+as the reference's groupby-apply closure, geodataframe.py:2310-2316).
+
+Scale note: ``two_phase=True`` pre-aggregates per (key, input partition)
+before the final per-key pass — union is associative/commutative, so this
+is the map-side combine that bounds any single task's group size."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StructField,
+                               StructType)
+
+from geopandas_spark.functions import st
+from geopandas_spark.geom import algos, wkb
+
+_PARTIAL = {"sum": "sum", "min": "min", "max": "max", "count": "sum",
+            "first": "first"}
+
+
+def _agg_out_field(field, fn):
+    if fn == "count":
+        return StructField(f"{field.name}_{fn}", LongType(), False)
+    if fn in ("sum", "mean"):
+        return StructField(f"{field.name}_{fn}", DoubleType(), True)
+    return StructField(f"{field.name}_{fn}", field.dataType, True)
+
+
+def _apply_aggs(pdf: pd.DataFrame, aggfunc: dict) -> dict:
+    out = {}
+    for c, fn in aggfunc.items():
+        s = pdf[c]
+        if fn == "count":
+            out[f"{c}_{fn}"] = int(s.count())
+        elif fn == "sum":
+            out[f"{c}_{fn}"] = float(s.sum())
+        elif fn == "mean":
+            out[f"{c}_{fn}"] = float(s.mean())
+        elif fn == "min":
+            out[f"{c}_{fn}"] = s.min()
+        elif fn == "max":
+            out[f"{c}_{fn}"] = s.max()
+        elif fn == "first":
+            out[f"{c}_{fn}"] = s.iloc[0]
+        else:
+            raise ValueError(f"unsupported aggfunc {fn!r}")
+    return out
+
+
+def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
+             two_phase: bool = False) -> DataFrame:
+    """GroupBy ``by``, union geometries, aggregate other columns with
+    ``aggfunc`` = {column: "sum"|"min"|"max"|"count"|"first"|"mean"}."""
+    if isinstance(by, str):
+        by = [by]
+    aggfunc = dict(aggfunc or {})
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[k] for k in by] +
+        [StructField(geom, BinaryType(), True)] +
+        [_agg_out_field(in_fields[c], fn) for c, fn in aggfunc.items()])
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ga = wkb.decode(pdf[geom].tolist())
+        u = wkb.encode(algos.union_all(ga))[0]
+        row = {k: [v] for k, v in zip(by, key)}
+        row[geom] = [u]
+        for name, val in _apply_aggs(pdf, aggfunc).items():
+            row[name] = [val]
+        return pd.DataFrame(row)
+
+    if not two_phase:
+        return df.groupBy(*by).applyInPandas(merge, schema=out_schema)
+
+    bad = [fn for fn in aggfunc.values() if fn not in _PARTIAL]
+    if bad:
+        raise ValueError(f"two_phase dissolve cannot split {bad}; "
+                         "use sum+count instead of mean")
+
+    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return merge(key[:-1], pdf)
+
+    staged = (df.withColumn("__pid__", F.spark_partition_id())
+                .groupBy(*by, "__pid__")
+                .applyInPandas(partial, schema=out_schema))
+
+    final_agg = {f"{c}_{fn}": _PARTIAL[fn] for c, fn in aggfunc.items()}
+
+    def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ga = wkb.decode(pdf[geom].tolist())
+        parts, parent, _ = algos.get_parts(ga)
+        u = wkb.encode(algos.union_all(parts))[0]
+        row = {k: [v] for k, v in zip(by, key)}
+        row[geom] = [u]
+        for name, fn in final_agg.items():
+            s = pdf[name]
+            row[name] = [s.sum() if fn == "sum" else s.min() if fn == "min"
+                         else s.max() if fn == "max" else s.iloc[0]]
+        return pd.DataFrame(row)
+
+    return staged.groupBy(*by).applyInPandas(finish, schema=out_schema)
+
+
+def total_bounds(df: DataFrame, geom: str = "geom"):
+    """(minx, miny, maxx, maxy) over the whole frame (reference:
+    base.py:5288) — a single native agg over the st_bounds struct."""
+    r = (df.withColumn("__b__", st.bounds(geom))
+           .agg(F.min("__b__.xmin").alias("minx"),
+                F.min("__b__.ymin").alias("miny"),
+                F.max("__b__.xmax").alias("maxx"),
+                F.max("__b__.ymax").alias("maxy"))
+           .collect()[0])
+    return (r.minx, r.miny, r.maxx, r.maxy)

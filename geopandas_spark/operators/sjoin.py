@@ -1,0 +1,399 @@
+"""Spatial joins: the engine's core composed plans (SURVEY.md §2.4).
+
+Two physical strategies, mirroring the survey's design:
+
+- **broadcast**: right side is small → collected to the driver, shipped in
+  the task closure, and probed per left partition with vectorized
+  bbox-prefilter + exact predicate refine. This is the distributed analogue
+  of the reference's STRtree probe (geopandas/tools/sjoin.py:212-268) and
+  covers the reference's own benchmark shapes (many points × few polygons).
+
+- **grid**: large × large → both sides are mapped onto a fixed grid
+  *natively* (sequence + explode over bbox cell ranges — no UDF), equi-joined
+  on cell id (Catalyst hash join, AQE-skew-aware), de-duplicated with the
+  reference-point technique (a candidate pair is kept only in the cell
+  containing the lower-left corner of the two bboxes' intersection — no
+  distinct/shuffle needed), then refined with the exact predicate UDF.
+
+At 100 TB the grid join is the scale path: the only UDF runs after the
+equi-join has cut the candidate space, every other step is native and
+whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from geopandas_spark.functions import st
+from geopandas_spark.geom import algos, wkb
+
+_PREDICATES = {"intersects", "contains", "within", "covers", "covered_by",
+               "touches", "crosses", "overlaps", "dwithin"}
+
+_FLIP = {"within": "contains", "contains": "within",
+         "covers": "covered_by", "covered_by": "covers"}
+
+
+def _with_suffixes(left: DataFrame, right: DataFrame, lsuffix: str,
+                   rsuffix: str, skip=()):
+    overlap = (set(left.columns) & set(right.columns)) - set(skip)
+    lren = {c: f"{c}_{lsuffix}" for c in overlap}
+    rren = {c: f"{c}_{rsuffix}" for c in overlap}
+    for old, new in lren.items():
+        left = left.withColumnRenamed(old, new)
+    for old, new in rren.items():
+        right = right.withColumnRenamed(old, new)
+    return left, right
+
+
+def sjoin(left: DataFrame, right: DataFrame, *, predicate: str = "intersects",
+          how: str = "inner", geom_left: str = "geom", geom_right: str = "geom",
+          distance: Optional[float] = None, on_attribute=None,
+          lsuffix: str = "left", rsuffix: str = "right",
+          strategy: Optional[str] = None, broadcast_threshold: int = 100_000,
+          grid_cells: int = 64) -> DataFrame:
+    """Spatial predicate join (reference: geopandas/tools/sjoin.py:12-147).
+
+    ``how`` ∈ {inner, left, right}; ``predicate`` per the reference's set;
+    ``dwithin`` requires ``distance``. ``on_attribute`` adds equi-key(s).
+    ``strategy``: None (auto), "broadcast", or "grid".
+    """
+    if predicate not in _PREDICATES:
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    if predicate == "dwithin" and distance is None:
+        raise ValueError("dwithin requires distance=")
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"how must be inner/left/right, got {how!r}")
+    if on_attribute is None:
+        on_attribute = []
+    elif isinstance(on_attribute, str):
+        on_attribute = [on_attribute]
+
+    if strategy is None:
+        try:
+            rcount = right.count()
+        except Exception:
+            rcount = broadcast_threshold + 1
+        strategy = "broadcast" if rcount <= broadcast_threshold else "grid"
+    if strategy == "broadcast":
+        return _sjoin_broadcast(left, right, predicate, how, geom_left,
+                                geom_right, distance, on_attribute, lsuffix,
+                                rsuffix)
+    return _sjoin_grid(left, right, predicate, how, geom_left, geom_right,
+                       distance, on_attribute, lsuffix, rsuffix, grid_cells)
+
+
+# ---------------------------------------------------------------------------
+# broadcast strategy
+# ---------------------------------------------------------------------------
+
+def _match_one_side(lga, rga, j, predicate, distance, cand_mask):
+    """Vectorized/per-pair refine of left candidates vs broadcast right j.
+
+    Returns bool mask over the full left batch."""
+    out = np.zeros(len(lga), dtype=bool)
+    cand = np.nonzero(cand_mask)[0]
+    if len(cand) == 0:
+        return out
+    t_r = int(rga.types[j])
+    all_pts = (lga.types[cand] == 1).all() and \
+        (lga.coords_per_geom()[cand] == 1).all()
+    if all_pts and t_r in (3, 6) and predicate in (
+            "intersects", "within", "covered_by"):
+        off = lga.coord_offsets_per_geom()[:-1]
+        px = lga.coords[off[cand], 0]
+        py = lga.coords[off[cand], 1]
+        cls = algos.points_in_geom(px, py, rga, j)
+        ok = cls == 2 if predicate == "within" else cls > 0
+        out[cand[ok]] = True
+        return out
+    for i in cand:
+        if predicate == "intersects":
+            hit = algos._pair_intersects(lga, i, rga, j)
+        elif predicate == "contains":
+            hit = algos._pair_covers(lga, i, rga, j, True)
+        elif predicate == "within":
+            hit = algos._pair_covers(rga, j, lga, i, True)
+        elif predicate == "covers":
+            hit = algos._pair_covers(lga, i, rga, j, False)
+        elif predicate == "covered_by":
+            hit = algos._pair_covers(rga, j, lga, i, False)
+        elif predicate == "dwithin":
+            hit = algos._pair_distance(lga, i, rga, j) <= distance
+        else:  # touches / crosses / overlaps: single-pair kernel call
+            fn = {"touches": algos.touches, "crosses": algos.crosses,
+                  "overlaps": algos.overlaps}[predicate]
+            hit = bool(fn(lga.take([i]), rga.take([j]))[0])
+        out[i] = hit
+    return out
+
+
+def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
+                     distance, on_attribute, lsuffix, rsuffix):
+    spark = left.sparkSession
+    ridx_col, lidx_col = "__sjoin_ridx__", "__sjoin_lidx__"
+    right_rows = right.select(geom_right, *on_attribute).collect()
+    rblobs = [r[0] for r in right_rows]
+    rga = wkb.decode(rblobs)
+    rbounds = algos.bounds(rga)
+    rattrs = [tuple(r[1:]) for r in right_rows] if on_attribute else None
+    emit_unmatched = how in ("left", "right")
+
+    out_schema = StructType(
+        left.schema.fields + [StructField(ridx_col, LongType(), True)])
+    pad = float(distance or 0.0)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lga = wkb.decode(pdf[geom_left].tolist())
+            lb = algos.bounds(lga)
+            lattrs = (pdf[on_attribute].itertuples(index=False, name=None)
+                      if on_attribute else None)
+            lattrs = list(lattrs) if lattrs is not None else None
+            matched_rows = []
+            matched_r = []
+            seen = np.zeros(len(pdf), dtype=bool)
+            for j in range(len(rga)):
+                bb = rbounds[j]
+                if np.isnan(bb[0]):
+                    continue
+                cand = ((lb[:, 0] <= bb[2] + pad) & (lb[:, 2] >= bb[0] - pad) &
+                        (lb[:, 1] <= bb[3] + pad) & (lb[:, 3] >= bb[1] - pad))
+                if on_attribute and cand.any():
+                    cand &= np.array([la == rattrs[j] for la in lattrs])
+                if not cand.any():
+                    continue
+                ok = _match_one_side(lga, rga, j, predicate, distance, cand)
+                idx = np.nonzero(ok)[0]
+                if len(idx):
+                    matched_rows.append(idx)
+                    matched_r.append(np.full(len(idx), j, dtype=np.int64))
+                    seen[idx] = True
+            if matched_rows:
+                li = np.concatenate(matched_rows)
+                ri = np.concatenate(matched_r)
+            else:
+                li = np.empty(0, dtype=np.int64)
+                ri = np.empty(0, dtype=np.int64)
+            if emit_unmatched:
+                un = np.nonzero(~seen)[0]
+                li = np.concatenate([li, un])
+                ri = np.concatenate([ri, np.full(len(un), -1, dtype=np.int64)])
+            out = pdf.iloc[li].copy()
+            out[ridx_col] = ri
+            yield out
+
+    pairs = left.mapInPandas(run, schema=out_schema)
+
+    right_i = right.rdd.zipWithIndex().map(
+        lambda t: t[0] + (t[1],)).toDF(
+        StructType(right.schema.fields + [StructField(ridx_col, LongType(), True)]))
+    # NOTE: zipWithIndex forces a scan; acceptable for the broadcast (small)
+    # side only.
+    lefts, rights = _with_suffixes(pairs, right_i, lsuffix, rsuffix,
+                                   skip=(ridx_col, *on_attribute))
+    rights = rights.drop(*on_attribute)
+    join_how = "inner" if how == "inner" else (
+        "left" if how == "left" else "right")
+    if how == "right":
+        # matched pairs only from the UDF; right outer restores unmatched rights
+        lefts = lefts.filter(F.col(ridx_col) >= 0)
+    res = lefts.join(F.broadcast(rights), on=ridx_col, how=join_how)
+    return res.drop(ridx_col)
+
+
+# ---------------------------------------------------------------------------
+# grid strategy (large × large)
+# ---------------------------------------------------------------------------
+
+def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
+                on_attribute, lsuffix, rsuffix, grid_cells):
+    lidx, ridx = "__gj_lidx__", "__gj_ridx__"
+    left_i = left.withColumn(lidx, F.monotonically_increasing_id())
+    right_i = right.withColumn(ridx, F.monotonically_increasing_id())
+
+    lb = left_i.withColumn("__b__", st.bounds(geom_left))
+    rb = right_i.withColumn("__b__", st.bounds(geom_right))
+
+    # global grid from the union of both sides' total bounds (one agg each —
+    # the reference's early-exit disjoint check, tools/overlay.py:310-326,
+    # falls out for free: empty intersection → no shared cells)
+    def tb(df):
+        r = df.agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
+                   F.max("__b__.xmax"), F.max("__b__.ymax")).collect()[0]
+        return r
+    tl, tr = tb(lb), tb(rb)
+    x0 = min(tl[0], tr[0])
+    y0 = min(tl[1], tr[1])
+    x1 = max(tl[2], tr[2])
+    y1 = max(tl[3], tr[3])
+    pad = float(distance or 0.0)
+    w = max((x1 - x0) / grid_cells, 1e-9)
+    hgt = max((y1 - y0) / grid_cells, 1e-9)
+
+    def cells(df, pre_pad):
+        cx0 = F.floor((F.col("__b__.xmin") - F.lit(x0) - pre_pad) / F.lit(w))
+        cx1 = F.floor((F.col("__b__.xmax") - F.lit(x0) + pre_pad) / F.lit(w))
+        cy0 = F.floor((F.col("__b__.ymin") - F.lit(y0) - pre_pad) / F.lit(hgt))
+        cy1 = F.floor((F.col("__b__.ymax") - F.lit(y0) + pre_pad) / F.lit(hgt))
+        return (df.withColumn("__cx__", F.explode(F.sequence(cx0, cx1)))
+                  .withColumn("__cy__", F.explode(F.sequence(cy0, cy1))))
+
+    # pad only one side for dwithin (expanding both would double-count range)
+    lc = cells(lb, F.lit(pad))
+    rc = cells(rb, F.lit(0.0))
+
+    lsel = lc.select(lidx, F.col(geom_left).alias("__lg__"),
+                     F.col("__b__").alias("__lbb__"), "__cx__", "__cy__",
+                     *on_attribute)
+    rsel = rc.select(ridx, F.col(geom_right).alias("__rg__"),
+                     F.col("__b__").alias("__rbb__"), "__cx__", "__cy__",
+                     *on_attribute)
+
+    cond = ["__cx__", "__cy__", *on_attribute]
+    cand = lsel.join(rsel, on=cond, how="inner")
+
+    # reference-point de-dup: keep the pair only in the cell that contains
+    # the lower-left corner of the bbox intersection (no distinct needed)
+    refx = F.greatest(F.col("__lbb__.xmin") - F.lit(pad), F.col("__rbb__.xmin"))
+    refy = F.greatest(F.col("__lbb__.ymin") - F.lit(pad), F.col("__rbb__.ymin"))
+    cand = cand.filter(
+        (F.col("__cx__") == F.floor((refx - F.lit(x0)) / F.lit(w))) &
+        (F.col("__cy__") == F.floor((refy - F.lit(y0)) / F.lit(hgt))))
+
+    # exact refine — the only UDF in the plan
+    if predicate == "dwithin":
+        cand = cand.filter(st.dwithin("__lg__", "__rg__", F.lit(distance)))
+    else:
+        pred_fn = {"intersects": st.intersects, "contains": st.contains,
+                   "within": st.within, "covers": st.covers,
+                   "covered_by": st.covered_by, "touches": st.touches,
+                   "crosses": st.crosses, "overlaps": st.overlaps}[predicate]
+        cand = cand.filter(pred_fn("__lg__", "__rg__"))
+    pairs = cand.select(lidx, ridx).distinct()
+    # distinct is a safety net for bbox-degenerate duplicates; reference-point
+    # filtering already removes virtually all of them
+
+    lefts, rights = _with_suffixes(left_i, right_i, lsuffix, rsuffix,
+                                   skip=(lidx, ridx, *on_attribute))
+    rights = rights.drop(*on_attribute)
+    joined = (pairs.join(lefts, on=lidx, how="inner")
+                   .join(rights, on=ridx, how="inner"))
+    if how == "left":
+        missing = lefts.join(pairs.select(lidx), on=lidx, how="left_anti")
+        joined = joined.unionByName(missing, allowMissingColumns=True)
+    elif how == "right":
+        missing = rights.join(pairs.select(ridx), on=ridx, how="left_anti")
+        joined = joined.unionByName(missing, allowMissingColumns=True)
+    return joined.drop(lidx, ridx)
+
+
+# ---------------------------------------------------------------------------
+# nearest join (reference: tools/sjoin.py:589-741)
+# ---------------------------------------------------------------------------
+
+def sjoin_nearest(left: DataFrame, right: DataFrame, *,
+                  geom_left: str = "geom", geom_right: str = "geom",
+                  how: str = "inner", max_distance: Optional[float] = None,
+                  distance_col: Optional[str] = None,
+                  exclusive: bool = False) -> DataFrame:
+    """k=1 nearest join with ties, broadcast right side.
+
+    The reference itself recommends bounding max_distance for performance
+    (geopandas/sindex.py:399-400); at scale use it — it turns the search
+    into a bounded grid probe."""
+    if how not in ("inner", "left"):
+        raise ValueError("sjoin_nearest supports how = inner|left")
+    ridx_col = "__snj_ridx__"
+    dcol = distance_col or "__snj_dist__"
+    right_rows = right.select(geom_right).collect()
+    rga = wkb.decode([r[0] for r in right_rows])
+    rbounds = algos.bounds(rga)
+    emit_unmatched = how == "left"
+
+    out_schema = StructType(left.schema.fields +
+                            [StructField(ridx_col, LongType(), True),
+                             StructField(dcol, DoubleType(), True)])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lga = wkb.decode(pdf[geom_left].tolist())
+            li_out, ri_out, d_out = [], [], []
+            rpt = (rga.types == 1).all() and rga.n_coords == len(rga)
+            lpt = (lga.types == 1).all() and lga.n_coords == len(lga)
+            if rpt and lpt and len(rga):
+                lc = lga.coords
+                rc = rga.coords
+                # chunked full distance matrix (broadcast side is small)
+                for s0 in range(0, len(lc), 2048):
+                    blk = lc[s0:s0 + 2048]
+                    d = np.hypot(blk[:, None, 0] - rc[None, :, 0],
+                                 blk[:, None, 1] - rc[None, :, 1])
+                    if exclusive:
+                        d[d == 0] = np.inf
+                    dm = d.min(axis=1)
+                    for k in range(len(blk)):
+                        if max_distance is not None and dm[k] > max_distance:
+                            if emit_unmatched:
+                                li_out.append(s0 + k)
+                                ri_out.append(-1)
+                                d_out.append(np.nan)
+                            continue
+                        ties = np.nonzero(d[k] == dm[k])[0]
+                        for t in ties:
+                            li_out.append(s0 + k)
+                            ri_out.append(int(t))
+                            d_out.append(float(dm[k]))
+            else:
+                for i in range(len(lga)):
+                    best = np.inf
+                    best_j = []
+                    for j in range(len(rga)):
+                        if np.isnan(rbounds[j, 0]):
+                            continue
+                        dd = algos._pair_distance(lga, i, rga, j)
+                        if exclusive and dd == 0:
+                            continue
+                        if dd < best - 1e-15:
+                            best = dd
+                            best_j = [j]
+                        elif abs(dd - best) <= 1e-15:
+                            best_j.append(j)
+                    if (not best_j or
+                            (max_distance is not None and best > max_distance)):
+                        if emit_unmatched:
+                            li_out.append(i)
+                            ri_out.append(-1)
+                            d_out.append(np.nan)
+                        continue
+                    for j in best_j:
+                        li_out.append(i)
+                        ri_out.append(j)
+                        d_out.append(float(best))
+            out = pdf.iloc[li_out].copy()
+            out[ridx_col] = np.array(ri_out, dtype=np.int64)
+            out[dcol] = np.array(d_out, dtype=np.float64)
+            yield out
+
+    pairs = left.mapInPandas(run, schema=out_schema)
+    right_i = right.rdd.zipWithIndex().map(
+        lambda t: t[0] + (t[1],)).toDF(
+        StructType(right.schema.fields + [StructField(ridx_col, LongType(), True)]))
+    lefts, rights = _with_suffixes(pairs, right_i, "left", "right",
+                                   skip=(ridx_col, dcol))
+    res = lefts.join(F.broadcast(rights), on=ridx_col,
+                     how="inner" if how == "inner" else "left")
+    res = res.drop(ridx_col)
+    if distance_col is None:
+        res = res.drop(dcol)
+    return res

@@ -1,0 +1,133 @@
+"""Operator plan tests: sjoin (both strategies), dissolve, explode, clip.
+
+Modeled on the reference's parametrized matrix tests
+(geopandas/tools/tests/test_sjoin.py:145-990, tests/test_dissolve.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark import st
+from geopandas_spark.operators import (
+    clip, dissolve, explode, hilbert_repartition, sjoin, sjoin_nearest,
+    total_bounds,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    # 30 points on a line x=y, one per unit step
+    rows = [(i, float(i), float(i) + 0.5) for i in range(30)]
+    df = spark.createDataFrame(rows, ["pid", "x", "y"])
+    return df.withColumn("geom", st.point("x", "y")).drop("x", "y")
+
+
+@pytest.fixture(scope="module")
+def boxes(spark):
+    # 3 disjoint 10x10 boxes covering x in [0,10), [10,20), [20,30)
+    rows = [(k, f"box_{k}", 10.0 * k) for k in range(3)]
+    df = spark.createDataFrame(rows, ["bid", "name", "x0"])
+    return df.withColumn(
+        "geom",
+        st.makebox("x0", F.lit(0.0), F.col("x0") + 10.0, F.lit(40.0))
+    ).drop("x0")
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "grid"])
+def test_sjoin_inner_counts(points, boxes, strategy):
+    out = sjoin(points, boxes, predicate="within", strategy=strategy,
+                grid_cells=8)
+    counts = {r.bid: r.n for r in
+              out.groupBy("bid").agg(F.count("*").alias("n")).collect()}
+    # boxes span [10k, 10k+10]; within excludes boundaries, so points with
+    # x = 0, 10, 20 sit on box edges and match nothing
+    assert counts[0] == 9   # x=1..9
+    assert counts[1] == 9   # x=11..19
+    assert counts[2] == 9   # x=21..29
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "grid"])
+def test_sjoin_intersects_boundary(points, boxes, strategy):
+    out = sjoin(points, boxes, predicate="intersects", strategy=strategy,
+                grid_cells=8)
+    # boundary points x=10, x=20 match two boxes each
+    assert out.count() == 30 + 2
+
+
+def test_sjoin_left_outer(points, boxes, spark):
+    far = spark.createDataFrame([(99, 1000.0, 1000.0)], ["pid", "x", "y"]) \
+        .withColumn("geom", st.point("x", "y")).drop("x", "y")
+    pts = points.unionByName(far)
+    out = sjoin(pts, boxes, predicate="within", how="left",
+                strategy="broadcast")
+    assert out.count() == 31  # 27 matched + 3 boundary-unmatched + far
+    unmatched = out.filter(F.col("bid").isNull()).collect()
+    assert {r.pid for r in unmatched} == {0, 10, 20, 99}
+
+
+def test_sjoin_dwithin(points, boxes):
+    out = sjoin(points, boxes, predicate="dwithin", distance=0.6,
+                strategy="broadcast")
+    # every point within 0.6 of >= 1 box; boundary points near two
+    assert out.count() >= 30
+
+
+def test_sjoin_nearest(spark, points):
+    sites = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 29.0, 29.0)], ["sid", "x", "y"]) \
+        .withColumn("geom", st.point("x", "y")).drop("x", "y")
+    out = sjoin_nearest(points, sites, distance_col="d")
+    rows = {r.pid: (r.sid, r.d) for r in out.collect()}
+    assert rows[0][0] == 0
+    assert rows[29][0] == 1
+    assert len(rows) == 30
+
+
+def test_dissolve_counts(points, boxes):
+    tagged = sjoin(points, boxes, predicate="intersects",
+                   strategy="broadcast")
+    dis = dissolve(tagged, "bid", {"pid": "count"}, geom="geom_left")
+    out = {r.bid: (r.n, r.cnt) for r in dis.select(
+        "bid", st.ngeometries("geom_left").alias("n"),
+        F.col("pid_count").alias("cnt")).collect()}
+    # union of points dedupes nothing here (all distinct)
+    for bid in (0, 1, 2):
+        assert out[bid][0] == out[bid][1]
+
+
+def test_dissolve_two_phase_matches(points, boxes):
+    tagged = sjoin(points, boxes, predicate="intersects",
+                   strategy="broadcast")
+    a = dissolve(tagged, "bid", {"pid": "count"}, geom="geom_left")
+    b = dissolve(tagged, "bid", {"pid": "count"}, geom="geom_left",
+                 two_phase=True)
+    ra = {r.bid: (st_n := r.asDict()) for r in a.collect()}
+    rb = {r.bid: r.asDict() for r in b.collect()}
+    for bid in ra:
+        assert ra[bid]["pid_count"] == rb[bid]["pid_count"]
+
+
+def test_total_bounds(points):
+    assert total_bounds(points) == (0.0, 0.5, 29.0, 29.5)
+
+
+def test_explode(spark):
+    df = spark.createDataFrame(
+        [(1, "MULTIPOINT ((1 1), (2 2))"), (2, "POINT (9 9)")], ["id", "w"])
+    gdf = df.withColumn("geom", st.geom_from_text("w"))
+    out = explode(gdf)
+    rows = sorted((r.id, r.part_index, r.t) for r in
+                  out.select("id", "part_index",
+                             st.as_text("geom").alias("t")).collect())
+    assert rows == [(1, 0, "POINT (1 1)"), (1, 1, "POINT (2 2)"),
+                    (2, 0, "POINT (9 9)")]
+
+
+def test_clip_rect(points):
+    out = clip(points, "POLYGON ((5 0, 12 0, 12 40, 5 40, 5 0))")
+    assert out.count() == 8  # x = 5..12 inclusive (boundary intersects)
+
+
+def test_hilbert_repartition(points):
+    out = hilbert_repartition(points, 4)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 30
