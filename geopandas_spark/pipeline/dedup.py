@@ -1,0 +1,159 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy (one shuffle on a 32-hex key, not the text);
+- MinHash signatures are computed natively (shingles via substring
+  sequences, per-permutation min over md5 — no Python in the plan), so the
+  whole signature stage is whole-stage-codegen'd;
+- LSH banding turns near-dup detection into an equi-join on (band, key):
+  the classic shuffle-friendly formulation — candidate pairs only, never
+  the full n² comparison;
+- hashing is md5-based, deterministic and engine-portable (the DuckDB
+  oracle computes the identical signatures in plain SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """Keep one row per distinct ``text_col`` (the survivor has the
+    min/max ``id_col``). Shuffles on md5(text), not the text itself."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(
+        F.col(id_col).asc() if keep == "min" else F.col(id_col).desc())
+    return (df.withColumn("__rn__", F.row_number().over(w))
+              .filter(F.col("__rn__") == 1).drop("__rn__"))
+
+
+def shingles(text_col, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string, as an array column.
+
+    Pure native: substring over a sequence of offsets."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k)))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_hashes: int = 8, k: int = 5,
+                       out_prefix: str = "mh") -> DataFrame:
+    """Add ``num_hashes`` MinHash signature columns.
+
+    Permutation i is simulated by hashing each shingle as md5(i || '|' ||
+    shingle) and taking the lexicographic min — deterministic across
+    engines (DuckDB computes the same min(md5(...)) in SQL)."""
+    sh = shingles(text_col, k)
+    out = df.withColumn("__sh__", sh)
+    for i in range(num_hashes):
+        sig = F.array_min(
+            F.transform(F.col("__sh__"),
+                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        out = out.withColumn(f"{out_prefix}{i}", sig)
+    return out.drop("__sh__")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 8,
+                      bands: int = 4, k: int = 5) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    rows-per-band = num_hashes // bands; two docs become a candidate pair
+    iff some band of their signatures agrees exactly. Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, k)
+    sigs = sigs.select(id_col, *[f"mh{i}" for i in range(num_hashes)])
+    pairs = None
+    for b in range(bands):
+        key = F.concat_ws("#", *[F.col(f"mh{b * rows + r}")
+                                 for r in range(rows)])
+        banded = sigs.select(F.col(id_col).alias("id"), key.alias("bk")) \
+                     .withColumn("band", F.lit(b))
+        a = banded.alias("a")
+        bb = banded.alias("b")
+        p = (a.join(bb, on=["band", "bk"])
+              .filter(F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        threshold: float = 0.8,
+                        candidates: DataFrame = None) -> DataFrame:
+    """Exact character-k-gram Jaccard similarity for candidate pairs.
+
+    ``candidates`` defaults to the LSH pairs — at scale never the n² cross
+    join. Jaccard = |A∩B| / |A∪B| on distinct shingle sets (all native:
+    array_intersect / array_union)."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(df, id_col, text_col, k=k)
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(text_col, k).alias("sh"))
+    j = (candidates
+         .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+               on="id_a")
+         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+               on="id_b")
+         .withColumn("jaccard",
+                     F.size(F.array_intersect("sh_a", "sh_b")) /
+                     F.size(F.array_union("sh_a", "sh_b")))
+         .select("id_a", "id_b", "jaccard"))
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(text_col, k: int = 4) -> Column:
+    """64-bit SimHash over character k-grams, fully native.
+
+    Each shingle's md5's first 16 hex chars give 64 bits; per bit position
+    we sum +1/-1 votes across shingles and keep the sign. Expressed with
+    conv() + bit ops so the whole thing stays in codegen."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    sh = shingles(c, k)
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                    .cast("long"))
+    def _vote(mask):
+        return F.aggregate(
+            h, F.lit(0),
+            lambda acc, v: acc + F.when(
+                v.bitwiseAND(mask) != 0, 1).otherwise(-1))
+
+    bits = []
+    for b in range(60):
+        mask = F.lit(1 << b)
+        bits.append(F.when(_vote(mask) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out.bitwiseOR(x)
+    return out
+
+
+def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", max_hamming: int = 3
+                        ) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Candidate generation: split the 60-bit hash into 4 15-bit blocks; by
+    pigeonhole, pairs within Hamming distance 3 share ≥ 1 exact block →
+    equi-join per block, then exact popcount filter."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash64(text_col).alias("sh"))
+    pairs = None
+    for blk in range(4):
+        key = F.shiftright(F.col("sh"), blk * 15).bitwiseAND(F.lit((1 << 15) - 1))
+        t = sh.withColumn("bk", key).withColumn("blk", F.lit(blk))
+        a, b = t.alias("a"), t.alias("b")
+        p = (a.join(b, on=["blk", "bk"])
+              .filter(F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", ham)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))

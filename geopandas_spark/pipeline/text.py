@@ -1,0 +1,102 @@
+"""Text-analysis operators: tokens, quality, language-ID, fingerprints.
+
+All pure native Spark SQL expressions (regexp + arithmetic) — zero Python
+in the plan, so they run at codegen speed over 100 TB and have exact
+DuckDB-SQL oracle twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+
+def token_count(text_col) -> Column:
+    """Whitespace token count (maximal non-space runs)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+
+
+def bpe_ish_token_count(text_col) -> Column:
+    """BPE-ish token estimate: words + digits + punctuation as separate
+    tokens (a cl100k-style pre-tokenizer regex approximation)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def _count_matches(c, pattern) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_chars / n_tokens / punct & digit & upper ratios / mean word len."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    return (df
+            .withColumn("n_chars2", n_chars)
+            .withColumn("n_tokens", token_count(c))
+            .withColumn("punct_ratio",
+                        _count_matches(c, r"[^\w\s]") / safe)
+            .withColumn("digit_ratio", _count_matches(c, r"[0-9]") / safe)
+            .withColumn("upper_ratio", _count_matches(c, r"[A-Z]") / safe)
+            .withColumn("mean_token_len",
+                        n_chars.cast("double") /
+                        F.greatest(token_count(c), F.lit(1)).cast("double")))
+
+
+def stopword_ratio(text_col, lang: str = "en") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"), 0)
+    hits = F.size(F.array_intersect(F.array_distinct(words),
+                                    F.array(*[F.lit(w) for w in
+                                              LANG_MARKERS[lang]])))
+    return hits / F.greatest(F.size(F.array_distinct(words)),
+                             F.lit(1)).cast("double")
+
+
+def quality_score(text_col) -> Column:
+    """Heuristic document quality in [0, 1]: length sweet spot, moderate
+    punctuation, presence of stopwords (Gopher/C4-style rules)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(c).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct = _count_matches(c, r"[^\w\s]").cast("double") / F.greatest(
+        F.length(c), F.lit(1)).cast("double")
+    punct_score = F.when(punct > 0.2, F.lit(0.0)).otherwise(F.lit(1.0) - punct)
+    stop_score = F.least(stopword_ratio(c) * F.lit(5.0), F.lit(1.0))
+    return F.round((len_score + punct_score + stop_score) / F.lit(3.0), 6)
+
+
+def language_id(text_col) -> Column:
+    """Stopword-marker language ID: the language whose marker words hit the
+    most distinct words wins; ties and zero hits → 'und' (undetermined)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.array_distinct(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"), 0))
+    scores = {lang: F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((scores[lang] == best) & (best > 0),
+                     F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text_col) -> Column:
+    """Normalized document fingerprint: lowercase, collapse whitespace,
+    strip punctuation, md5 — robust to formatting-only edits."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return F.md5(norm)

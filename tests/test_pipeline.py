@@ -1,0 +1,129 @@
+"""Tests for the training-data pipeline operators on real testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark.pipeline import (
+    add_text_stats, cosine_topk, exact_dedup, fingerprint, language_id,
+    lsh_bucket_topk, minhash_lsh_pairs, ngram_jaccard_pairs, quality_score,
+    token_count,
+)
+from geopandas_spark.pipeline.dedup import simhash_dedup_pairs, minhash_signatures
+from geopandas_spark.pipeline.multimodal import decode_images, extract_image_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup(docs):
+    n = docs.count()
+    d = exact_dedup(docs).count()
+    assert 0 < d <= n
+    distinct_texts = docs.select("text").distinct().count()
+    assert d == distinct_texts
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a  b   c",), ("", ), ("  x ",)], ["text"])
+    out = [r.n for r in df.select(token_count("text").alias("n")).collect()]
+    assert out == [3, 0, 1]
+
+
+def test_text_stats(docs):
+    out = add_text_stats(docs).select("n_chars", "n_chars2", "n_tokens",
+                                      "punct_ratio").limit(50).collect()
+    for r in out:
+        assert r.n_chars == r.n_chars2  # matches the precomputed column
+        assert 0 <= r.punct_ratio <= 1
+
+
+def test_quality_and_lang(docs):
+    out = docs.select(quality_score("text").alias("q"),
+                      language_id("text").alias("l")).limit(100).collect()
+    for r in out:
+        assert 0.0 <= r.q <= 1.0
+        assert r.l in ("en", "de", "fr", "es", "und")
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",)], ["text"])
+    fps = [r.f for r in df.select(fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_identical_docs_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text about spark engines and planning")],
+        ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "unrelated words entirely here")],
+        ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b) == (1, 2)
+    assert 0.5 < out[0].jaccard < 1.0
+
+
+def test_simhash_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "spark is a unified analytics engine for large scale data"),
+         (2, "spark is a unified analytics engine for large scale data!"),
+         (3, "the cat sat on the mat and purred quietly all day long")],
+        ["doc_id", "text"])
+    out = simhash_dedup_pairs(df, max_hamming=8).collect()
+    ids = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in ids
+    assert (1, 3) not in ids and (2, 3) not in ids
+
+
+def test_cosine_topk(emb):
+    q = emb.limit(3)
+    out = cosine_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.000001 <= s <= 1.000001 for s in scores)
+
+
+def test_lsh_topk_subset_of_bucket(emb):
+    q = emb.limit(2)
+    out = lsh_bucket_topk(emb, q, k=3, planes=4)
+    assert out.count() <= 6
+
+
+def test_multimodal_stub_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"fakejpegbytes1"), (2, b"fakejpegbytes2"), (3, None)],
+        ["id", "image"])
+    out = decode_images(df).collect()
+    metas = {r.id: r.image_meta for r in out}
+    assert metas[3] is None
+    assert metas[1].width >= 16 and metas[1].format == "fake"
+    f = extract_image_features(df, dim=8).collect()
+    feats = {r.id: r.features for r in f}
+    assert len(feats[1]) == 8 and feats[3] is None
+    # determinism
+    f2 = extract_image_features(df, dim=8).collect()
+    assert {r.id: r.features for r in f2} == feats
