@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Headlines mirror the reference's asv workloads (BASELINE.md): sjoin
+(points × polygons, both physical strategies), elementwise sweeps
+(buffer/centroid/distance — the unary/binary geom-method benchmarks),
+dissolve (geometric aggregation), clip, plus the engine-added pipeline
+workloads (minhash dedup signatures, cosine top-k) and a native TPC-H-ish
+aggregate as the pure-Spark baseline."""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [REPO] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+              if p and p != REPO])
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("geopandas-spark-bench")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from geopandas_spark import st
+
+    qs = entry.queries()
+
+    def run_query(fn):
+        df = fn(spark, SF_DIR)
+        t0 = time.time()
+        df.count()
+        return time.time() - t0
+
+    def buffer_sweep(spark, sf_dir):
+        c = entry._cust(spark, sf_dir)
+        return c.select(st.area(st.buffer("geom", F.lit(10.0))).alias("a"),
+                        st.x(st.centroid("geom")).alias("cx"))
+
+    headlines = {
+        "sjoin_broadcast": qs["sjoin"],
+        "sjoin_grid": qs["sjoin_grid"],
+        "sjoin_nearest": qs["sjoin_nearest"],
+        "buffer_centroid_sweep": buffer_sweep,
+        "distance_pairs": qs["distance"],
+        "dissolve": qs["dissolve"],
+        "clip": qs["clip"],
+        "predicates": qs["predicates"],
+        "minhash": qs["minhash"],
+        "cosine_topk": qs["cosine_topk"],
+        "pricing_summary": qs["pricing_summary"],
+        "revenue_by_nation": qs["revenue_by_nation"],
+    }
+
+    # warm the JVM/Python-worker pool once (excluded from timings)
+    spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).count()
+
+    times = {}
+    for name, fn in headlines.items():
+        try:
+            times[name] = round(run_query(fn), 3)
+        except Exception as e:  # keep the bench line parseable on failure
+            times[name] = None
+            print(f"# bench {name} failed: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t is not None), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

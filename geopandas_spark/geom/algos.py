@@ -89,13 +89,21 @@ def length(ga: GeometryArray) -> np.ndarray:
         seg = np.zeros(0)
     else:
         d = np.diff(c, axis=0)
-        seg = np.hypot(d[:, 0], d[:, 1])
+        # sqrt(dx²+dy²) (not np.hypot): bit-identical to the SQL formula
+        seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
         seg = np.where(_seg_ranges_per_geom(ga), seg, 0.0)
     # pad so offsets (in coord space) index one past the last segment
-    seg = np.concatenate([seg, [0.0]])
+    seg = np.concatenate([seg, np.zeros(max(1, ga.n_coords - len(seg)))])
     off = ga.coord_offsets_per_geom()
-    out = _segment_sum(seg[:max(len(seg), off[-1])], off) if len(seg) >= off[-1] \
-        else _segment_sum(np.concatenate([seg, np.zeros(off[-1] - len(seg))]), off)
+    # np.add.reduceat (not cumsum-difference): per-geometry sums have no
+    # cross-batch cancellation, so single-segment lengths are bit-exact
+    # against the SQL sqrt formula
+    n = len(ga)
+    out = np.zeros(n)
+    ne = off[1:] > off[:-1]
+    if ne.any():
+        out[ne] = np.add.reduceat(seg, off[:-1][ne].astype(np.intp))[
+            :int(ne.sum())]
     gt = ga.types
     out = np.where(np.isin(gt, _POLY_MASK + _LINE_MASK), out, 0.0)
     out[ga.is_missing()] = np.nan
@@ -578,11 +586,12 @@ def covered_by(ga, gb):
 
 
 def distance(ga, gb):
-    # all-points fast path
+    # all-points fast path; sqrt(dx²+dy²) (not hypot) so results are
+    # bit-identical to the plain-SQL formula used by oracle queries
     if ((ga.types == GT_POINT).all() and (gb.types == GT_POINT).all()
             and ga.n_coords == len(ga) and gb.n_coords == len(gb)):
         d = ga.coords - gb.coords
-        return np.hypot(d[:, 0], d[:, 1])
+        return np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
     return _pairwise(ga, gb, _pair_distance, np.float64, np.nan)
 
 
@@ -753,7 +762,7 @@ def centroid(ga: GeometryArray) -> GeometryArray:
                 if len(r) < 2:
                     continue
                 d = np.diff(r, axis=0)
-                seg = np.hypot(d[:, 0], d[:, 1])
+                seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
                 mid = (r[:-1] + r[1:]) / 2.0
                 L += seg.sum()
                 sx += (seg * mid[:, 0]).sum()
@@ -1493,7 +1502,8 @@ def project(ga: GeometryArray, gb: GeometryArray, normalized=False) -> np.ndarra
             continue
         r = parts[0][0]
         d = np.diff(r, axis=0)
-        seg = np.hypot(d[:, 0], d[:, 1])
+        # sqrt form (not hypot) → bit-identical to SQL sqrt(dx*dx+dy*dy)
+        seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
         cum = np.concatenate([[0.0], np.cumsum(seg)])
         a = r[:-1]
         denom = (d * d).sum(1)

@@ -337,8 +337,11 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                 # chunked full distance matrix (broadcast side is small)
                 for s0 in range(0, len(lc), 2048):
                     blk = lc[s0:s0 + 2048]
-                    d = np.hypot(blk[:, None, 0] - rc[None, :, 0],
-                                 blk[:, None, 1] - rc[None, :, 1])
+                    dx = blk[:, None, 0] - rc[None, :, 0]
+                    dy = blk[:, None, 1] - rc[None, :, 1]
+                    # sqrt(dx²+dy²) matches the plain-SQL distance formula
+                    # bit-for-bit (np.hypot does not)
+                    d = np.sqrt(dx * dx + dy * dy)
                     if exclusive:
                         d[d == 0] = np.inf
                     dm = d.min(axis=1)

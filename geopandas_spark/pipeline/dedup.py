@@ -48,9 +48,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sh = shingles(text_col, k)
     out = df.withColumn("__sh__", sh)
     for i in range(num_hashes):
+        # NB: bind the prefix OUTSIDE the lambda — a 2-arg lambda would make
+        # pyspark pass the array index as the second argument
+        prefix = F.lit(f"{i}|")
         sig = F.array_min(
             F.transform(F.col("__sh__"),
-                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+                        lambda s: F.md5(F.concat(prefix, s))))
         out = out.withColumn(f"{out_prefix}{i}", sig)
     return out.drop("__sh__")
 
@@ -106,28 +109,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(text_col, k: int = 4) -> Column:
-    """64-bit SimHash over character k-grams, fully native.
+def simhash64(text_col, k: int = 4, bits: int = 60) -> Column:
+    """SimHash over character k-grams, fully native (≤ 60 bits).
 
-    Each shingle's md5's first 16 hex chars give 64 bits; per bit position
+    Each shingle's md5's leading hex chars give the bits; per bit position
     we sum +1/-1 votes across shingles and keep the sign. Expressed with
-    conv() + bit ops so the whole thing stays in codegen."""
+    conv() + bit ops so the whole thing stays in codegen. ``bits`` trades
+    selectivity vs expression-tree size (60 bits ≈ 1.3 MiB codegen)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     sh = shingles(c, k)
-    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+    nhex = (bits + 3) // 4
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, nhex), 16, 10)
                     .cast("long"))
+
     def _vote(mask):
         return F.aggregate(
             h, F.lit(0),
             lambda acc, v: acc + F.when(
                 v.bitwiseAND(mask) != 0, 1).otherwise(-1))
 
-    bits = []
-    for b in range(60):
+    parts = []
+    for b in range(bits):
         mask = F.lit(1 << b)
-        bits.append(F.when(_vote(mask) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for x in bits[1:]:
+        parts.append(F.when(_vote(mask) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = parts[0]
+    for x in parts[1:]:
         out = out.bitwiseOR(x)
     return out
 
