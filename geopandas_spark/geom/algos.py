@@ -21,6 +21,7 @@ from geopandas_spark.geom.array import (
     POINT_TYPES, LINE_TYPES, POLYGON_TYPES, MULTI_TYPES,
     GeometryArray, GeometryBuilder, points_from_xy, boxes_from_bounds,
 )
+from geopandas_spark.geom import clipping as _mr
 
 _POLY_MASK = (GT_POLYGON, GT_MULTIPOLYGON)
 _LINE_MASK = (GT_LINESTRING, GT_MULTILINESTRING)
@@ -1271,17 +1272,121 @@ def _merge_chains(segs: list) -> list:
     return [np.array(c) for c in chains if len(c) >= 2]
 
 
+def _geom_rings_closed(g: GeometryArray, i: int) -> list:
+    """All rings of row i (shells + holes + all parts, flattened, closed).
+
+    The Martinez–Rueda core uses even-odd parity, so nesting/orientation is
+    irrelevant for valid (non-self-overlapping) polygons."""
+    rings = []
+    for part in g.geom_slices(i):
+        for r in part:
+            rings.append(_mr._close(r))
+    return rings
+
+
+def _append_polys(b: GeometryBuilder, polys: list):
+    """Append a boolean_op result (list of [shell, *holes]) as (MULTI)POLYGON."""
+    if not polys:
+        b.append_empty(GT_POLYGON)
+    elif len(polys) == 1:
+        b.append(GT_POLYGON, polys)
+    else:
+        b.append(GT_MULTIPOLYGON, polys)
+
+
+def _split_segment_by_edges(p0, p1, E0, E1):
+    """Split segment (p0,p1) at every crossing with edges (E0[k],E1[k]).
+
+    Returns list of (2,2) sub-segments, ordered from p0 to p1. Vectorized
+    over the edge array; collinear-overlap endpoints also split."""
+    d = p1 - p0
+    e = E1 - E0
+    diff = E0 - p0
+    denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+    params = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[:, 0] * e[:, 1] - diff[:, 1] * e[:, 0]) / denom
+        u = (diff[:, 0] * d[1] - diff[:, 1] * d[0]) / denom
+    cross_mask = (denom != 0) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+    params.extend(t[cross_mask].tolist())
+    # collinear overlaps: project edge endpoints onto the segment
+    dd = d @ d
+    if dd > 0:
+        col = (denom == 0) & (diff[:, 0] * d[1] - diff[:, 1] * d[0] == 0)
+        if col.any():
+            t0 = ((E0[col] - p0) @ d) / dd
+            t1 = ((E1[col] - p0) @ d) / dd
+            for tv in np.concatenate([t0, t1]):
+                if 0 < tv < 1:
+                    params.append(float(tv))
+    ts = sorted(set([0.0, 1.0] + params))
+    out = []
+    for k in range(len(ts) - 1):
+        a = p0 + ts[k] * d
+        bq = p0 + ts[k + 1] * d
+        if abs(bq[0] - a[0]) > _EPS or abs(bq[1] - a[1]) > _EPS:
+            out.append(np.array([a, bq]))
+    return out
+
+
+def _flatten_edges(rings: list):
+    """Ring list → (E0, E1) edge endpoint arrays."""
+    e0s, e1s = [], []
+    for r in rings:
+        e0s.append(r[:-1])
+        e1s.append(r[1:])
+    return np.concatenate(e0s, axis=0), np.concatenate(e1s, axis=0)
+
+
+def _clip_line_by_polygon(g_line: GeometryArray, i: int,
+                          g_poly: GeometryArray, j: int,
+                          keep_inside: bool) -> list:
+    """Line ∩/− polygon via segment splitting at ring crossings + even-odd
+    midpoint classification. Returns merged chains (list of (k,2) arrays)."""
+    segs = _geom_segments(g_line, i)
+    rings = _geom_rings_closed(g_poly, j)
+    if len(segs) == 0 or not rings:
+        return [] if keep_inside else [s for s in segs]
+    E0, E1 = _flatten_edges(rings)
+    pieces = []
+    for s in segs:
+        pieces.extend(_split_segment_by_edges(s[0], s[1], E0, E1))
+    out = []
+    for p in pieces:
+        mid = (p[0] + p[1]) * 0.5
+        inside = points_in_rings(mid[:1], mid[1:], rings)[0] > 0
+        on_b = _point_seg_dist(mid.reshape(1, 2),
+                               np.stack([E0, E1], axis=1))[0] <= _EPS
+        if (inside or on_b) if keep_inside else (not inside and not on_b):
+            out.append(p)
+    return _merge_chains(out)
+
+
+def _append_chains(b: GeometryBuilder, chains: list):
+    if not chains:
+        b.append_empty(GT_LINESTRING)
+    elif len(chains) == 1:
+        b.append(GT_LINESTRING, [[chains[0]]])
+    else:
+        b.append(GT_MULTILINESTRING, [[c] for c in chains])
+
+
 def intersection(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
-    """Pairwise intersection. Round-1 scope: any × convex polygon (incl.
-    boxes), point × anything. General concave×concave needs the full
-    clipping machinery (SURVEY §7.3) and raises."""
+    """Pairwise intersection (reference: geopandas/base.py:4762).
+
+    point × any: membership filter. convex × convex polygons: vectorized
+    Sutherland–Hodgman fast path. General (multi)polygon pairs:
+    Martinez–Rueda sweep (geom/clipping.py). line × polygon: segment
+    splitting + even-odd classification. line × line: crossing points +
+    collinear overlap pieces."""
     b = GeometryBuilder()
+    empty_a, empty_b = ga.is_empty(), gb.is_empty()
     for i in range(len(ga)):
         ta, tb = int(ga.types[i]), int(gb.types[i])
         if ta == GT_MISSING or tb == GT_MISSING:
             b.append_null()
             continue
-        if ga.is_empty()[i] or gb.is_empty()[i]:
+        if empty_a[i] or empty_b[i]:
             b.append_empty(GT_POLYGON)
             continue
         if ta in POINT_TYPES:
@@ -1294,17 +1399,43 @@ def intersection(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
             keep = pts[_points_member_mask(pts, ga, i)]
             _append_points(b, keep, tb)
             continue
-        clip_ring = _as_convex_ring(gb, i)
-        if clip_ring is None:
-            clip_ring = _as_convex_ring(ga, i)
-            if clip_ring is None:
-                raise NotImplementedError(
-                    "intersection requires one side to be a convex polygon "
-                    "(general clipping planned)")
-            sub = _clip_convex(gb.take([i]), clip_ring)
-        else:
-            sub = _clip_convex(ga.take([i]), clip_ring)
-        b.append_from(sub, 0)
+        if ta in POLYGON_TYPES and tb in POLYGON_TYPES:
+            ca, cb = _as_convex_ring(ga, i), _as_convex_ring(gb, i)
+            if ca is not None and cb is not None:
+                sub = _clip_convex(ga.take([i]), cb)
+                b.append_from(sub, 0)
+            else:
+                polys = _mr.boolean_op(_geom_rings_closed(ga, i),
+                                       _geom_rings_closed(gb, i),
+                                       _mr.INTERSECTION)
+                _append_polys(b, polys)
+            continue
+        if ta in LINE_TYPES and tb in POLYGON_TYPES:
+            _append_chains(b, _clip_line_by_polygon(ga, i, gb, i, True))
+            continue
+        if ta in POLYGON_TYPES and tb in LINE_TYPES:
+            _append_chains(b, _clip_line_by_polygon(gb, i, ga, i, True))
+            continue
+        # line × line: split a's segments by b's, keep pieces lying on b
+        sb = _geom_segments(gb, i)
+        chains = []
+        pts = []
+        for s in _geom_segments(ga, i):
+            for p in _split_segment_by_edges(s[0], s[1], sb[:, 0], sb[:, 1]):
+                mid = ((p[0] + p[1]) * 0.5).reshape(1, 2)
+                if _point_seg_dist(mid, sb)[0] <= _EPS:
+                    chains.append(p)
+        if chains:
+            _append_chains(b, _merge_chains(chains))
+            continue
+        for s in _geom_segments(ga, i):
+            for q in sb:
+                for p in _mr._segment_intersection(
+                        tuple(s[0]), tuple(s[1]), tuple(q[0]), tuple(q[1])):
+                    pts.append(p)
+        uniq = sorted(set(pts))
+        _append_points(b, np.array(uniq, dtype=np.float64).reshape(-1, 2),
+                       GT_POINT)
     return b.finish()
 
 
@@ -1339,16 +1470,20 @@ def _as_convex_ring(g, i):
 
 
 def difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
-    """Pairwise A − B. Round-1 scope: point/multipoint minuend, or disjoint
-    pairs (→ A unchanged)."""
+    """Pairwise A − B (reference: geopandas/base.py:4405).
+
+    Martinez–Rueda for polygon − polygon; segment splitting for
+    line − polygon / line − line; membership filter for point minuends;
+    lower-dimensional subtrahends leave A unchanged (measure zero)."""
     b = GeometryBuilder()
     inter = intersects(ga, gb)
+    empty_b = gb.is_empty()
     for i in range(len(ga)):
-        ta = int(ga.types[i])
-        if ta == GT_MISSING or int(gb.types[i]) == GT_MISSING:
+        ta, tb = int(ga.types[i]), int(gb.types[i])
+        if ta == GT_MISSING or tb == GT_MISSING:
             b.append_null()
             continue
-        if not inter[i]:
+        if not inter[i] or empty_b[i]:
             b.append_from(ga, i)
             continue
         if ta in POINT_TYPES:
@@ -1356,8 +1491,107 @@ def difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
             keep = pts[~_points_member_mask(pts, gb, i)]
             _append_points(b, keep, ta)
             continue
+        if tb in POINT_TYPES or (ta in POLYGON_TYPES and tb in LINE_TYPES):
+            # subtracting a lower-dimensional geometry is a no-op
+            b.append_from(ga, i)
+            continue
+        if ta in POLYGON_TYPES and tb in POLYGON_TYPES:
+            polys = _mr.boolean_op(_geom_rings_closed(ga, i),
+                                   _geom_rings_closed(gb, i), _mr.DIFFERENCE)
+            _append_polys(b, polys)
+            continue
+        if ta in LINE_TYPES and tb in POLYGON_TYPES:
+            _append_chains(b, _clip_line_by_polygon(ga, i, gb, i, False))
+            continue
+        # line − line: drop pieces collinear with b
+        sb = _geom_segments(gb, i)
+        out = []
+        for s in _geom_segments(ga, i):
+            for p in _split_segment_by_edges(s[0], s[1], sb[:, 0], sb[:, 1]):
+                mid = ((p[0] + p[1]) * 0.5).reshape(1, 2)
+                if _point_seg_dist(mid, sb)[0] > _EPS:
+                    out.append(p)
+        _append_chains(b, _merge_chains(out))
+    return b.finish()
+
+
+def union(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
+    """Pairwise A ∪ B (reference: geopandas/base.py:4643).
+
+    Polygons via Martinez–Rueda; point sets via coordinate dedupe; lines
+    via noding at crossings + collinear-piece dedupe. Mixed dimension
+    pairs need GEOMETRYCOLLECTION output and raise."""
+    b = GeometryBuilder()
+    empty_a, empty_b = ga.is_empty(), gb.is_empty()
+    for i in range(len(ga)):
+        ta, tb = int(ga.types[i]), int(gb.types[i])
+        if ta == GT_MISSING or tb == GT_MISSING:
+            b.append_null()
+            continue
+        if empty_a[i]:
+            b.append_from(gb, i)
+            continue
+        if empty_b[i]:
+            b.append_from(ga, i)
+            continue
+        if ta in POINT_TYPES and tb in POINT_TYPES:
+            pts = np.unique(np.concatenate(
+                [_geom_points(ga, i), _geom_points(gb, i)], axis=0), axis=0)
+            _append_points(b, pts, GT_POINT)
+            continue
+        if ta in POLYGON_TYPES and tb in POLYGON_TYPES:
+            polys = _mr.boolean_op(_geom_rings_closed(ga, i),
+                                   _geom_rings_closed(gb, i), _mr.UNION)
+            _append_polys(b, polys)
+            continue
+        if ta in LINE_TYPES and tb in LINE_TYPES:
+            sa, sb = _geom_segments(ga, i), _geom_segments(gb, i)
+            pieces = []
+            for s in sa:
+                pieces.extend(_split_segment_by_edges(s[0], s[1],
+                                                      sb[:, 0], sb[:, 1]))
+            for s in sb:
+                for p in _split_segment_by_edges(s[0], s[1],
+                                                 sa[:, 0], sa[:, 1]):
+                    mid = ((p[0] + p[1]) * 0.5).reshape(1, 2)
+                    if _point_seg_dist(mid, sa)[0] > _EPS:  # dedupe overlap
+                        pieces.append(p)
+            _append_chains(b, _merge_chains(pieces))
+            continue
         raise NotImplementedError(
-            "difference of overlapping non-point geometries not yet supported")
+            "union of mixed-dimension pairs needs GEOMETRYCOLLECTION")
+    return b.finish()
+
+
+def symmetric_difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
+    """Pairwise A ⊕ B (reference: geopandas/base.py:4521). Polygons via
+    Martinez–Rueda XOR; point sets via symmetric coordinate-set diff."""
+    b = GeometryBuilder()
+    empty_a, empty_b = ga.is_empty(), gb.is_empty()
+    for i in range(len(ga)):
+        ta, tb = int(ga.types[i]), int(gb.types[i])
+        if ta == GT_MISSING or tb == GT_MISSING:
+            b.append_null()
+            continue
+        if empty_a[i]:
+            b.append_from(gb, i)
+            continue
+        if empty_b[i]:
+            b.append_from(ga, i)
+            continue
+        if ta in POINT_TYPES and tb in POINT_TYPES:
+            pa = {tuple(p) for p in _geom_points(ga, i)}
+            pb = {tuple(p) for p in _geom_points(gb, i)}
+            pts = np.array(sorted(pa ^ pb), dtype=np.float64).reshape(-1, 2)
+            _append_points(b, pts, GT_POINT)
+            continue
+        if ta in POLYGON_TYPES and tb in POLYGON_TYPES:
+            polys = _mr.boolean_op(_geom_rings_closed(ga, i),
+                                   _geom_rings_closed(gb, i), _mr.XOR)
+            _append_polys(b, polys)
+            continue
+        raise NotImplementedError(
+            "symmetric_difference supports point and polygon pairs")
     return b.finish()
 
 
@@ -1425,9 +1659,12 @@ def collect(ga: GeometryArray, indices=None) -> tuple:
 
 
 def union_all(ga: GeometryArray) -> GeometryArray:
-    """Union of all rows. Exact for point sets (dedupe) and pairwise-disjoint
-    polygons/lines (GEOS returns the disjoint multi-geometry). Overlapping
-    area unions need polygon clipping — raises for now (SURVEY §7.3 risk)."""
+    """Union of all rows (reference: geopandas/base.py:2500-2553).
+
+    Point sets: coordinate dedupe. Pairwise-disjoint polygons/lines: plain
+    collect (matches GEOS). Overlapping polygons: Martinez–Rueda pairwise
+    merge tree (associative → same result as GEOS's cascaded union up to
+    ring ordering)."""
     types = set(int(t) for t in ga.types if t != GT_MISSING)
     singles = {SINGLE_OF.get(t, t) for t in types}
     b = GeometryBuilder()
@@ -1443,20 +1680,43 @@ def union_all(ga: GeometryArray) -> GeometryArray:
         else:
             b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
         return b.finish()
-    # disjointness check (bbox prefilter, then exact)
+    # disjointness check (bbox prefilter, then exact) → fast collect path
     bb = bounds(ga)
+    empty = ga.is_empty()
     idx = [i for i in range(len(ga)) if ga.types[i] != GT_MISSING
-           and not ga.is_empty()[i]]
+           and not empty[i]]
+    disjoint_all = True
     for ii, i in enumerate(idx):
+        if not disjoint_all:
+            break
         for j in idx[ii + 1:]:
             if (bb[i, 2] < bb[j, 0] or bb[j, 2] < bb[i, 0] or
                     bb[i, 3] < bb[j, 1] or bb[j, 3] < bb[i, 1]):
                 continue
             if _pair_intersects(ga, i, ga, j):
-                raise NotImplementedError(
-                    "union_all of overlapping polygons/lines not yet "
-                    "supported (needs clipping union)")
-    return collect(ga)
+                disjoint_all = False
+                break
+    if disjoint_all:
+        return collect(ga)
+    if not singles <= {GT_POLYGON}:
+        raise NotImplementedError(
+            "union_all of overlapping lines not yet supported")
+    # overlapping polygons: pairwise merge tree over Martinez–Rueda UNION.
+    # Associative + each merge result is non-self-overlapping, so the flat
+    # even-odd ring representation stays exact between levels — this is the
+    # same tree-reduction st_union_agg uses across partitions (SURVEY §2.5).
+    items = [_geom_rings_closed(ga, i) for i in idx]
+    while len(items) > 1:
+        nxt = []
+        for k in range(0, len(items) - 1, 2):
+            polys = _mr.boolean_op(items[k], items[k + 1], _mr.UNION)
+            nxt.append([r for poly in polys for r in poly])
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    polys = _mr.assemble_rings(items[0])
+    _append_polys(b, polys)
+    return b.finish()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,565 @@
+"""General polygon boolean operations (intersection/union/difference/xor).
+
+Clean-room implementation of the Martinez–Rueda–Feito sweep-line algorithm
+("A new algorithm for computing Boolean operations on polygons", Computers &
+Geosciences 35, 2009) — the same algorithm family GEOS uses for overlay.
+Chosen over Greiner–Hormann because it handles the degenerate cases our
+integer-grid fixtures are full of: shared edges, vertex-on-edge touching,
+identical rings.
+
+This is the per-pair slow path used inside Arrow-batched pandas UDFs; the
+vectorized bbox prefilter in callers (algos.intersection / operators.overlay)
+keeps it off the hot path for disjoint pairs.
+
+Reference parity target: geopandas/base.py:4405-4879 (difference /
+symmetric_difference / union / intersection) and geopandas/tools/overlay.py.
+Results are polygonal-only: touching-only intersections return [] (the
+reference returns lower-dimensional collections; our overlay applies
+keep_geom_type anyway — documented deviation).
+
+Input: a polygon = list of rings, each an (n,2) float64 array (closed or
+open, any orientation; ring 0 + holes + further parts all flattened into one
+ring list — even-odd parity makes orientation and nesting irrelevant).
+Output: list of polygons, each a list of rings [shell(CCW), hole(CW), ...].
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+INTERSECTION = 0
+UNION = 1
+DIFFERENCE = 2
+XOR = 3
+
+# edge annotation types
+NORMAL = 0
+NON_CONTRIBUTING = 1
+SAME_TRANSITION = 2
+DIFFERENT_TRANSITION = 3
+
+
+def _signed_area(p0, p1, p2) -> float:
+    return (p0[0] - p2[0]) * (p1[1] - p2[1]) - (p1[0] - p2[0]) * (p0[1] - p2[1])
+
+
+class _SweepEvent:
+    __slots__ = ("point", "left", "other", "is_subject", "type",
+                 "in_out", "other_in_out", "in_result", "pos")
+
+    def __init__(self, point, left, other, is_subject):
+        self.point = point
+        self.left = left
+        self.other = other
+        self.is_subject = is_subject
+        self.type = NORMAL
+        self.in_out = False
+        self.other_in_out = False
+        self.in_result = False
+        self.pos = -1
+
+    def is_below(self, p) -> bool:
+        if self.left:
+            return _signed_area(self.point, self.other.point, p) > 0
+        return _signed_area(self.other.point, self.point, p) > 0
+
+    def is_above(self, p) -> bool:
+        return not self.is_below(p)
+
+    def is_vertical(self) -> bool:
+        return self.point[0] == self.other.point[0]
+
+    def __lt__(self, o) -> bool:  # heapq ordering
+        return _compare_events(self, o) < 0
+
+
+def _compare_events(e1, e2) -> int:
+    """Queue order: by x, then y; right endpoints before left; bottom edge
+    first; subject before clipping."""
+    p1, p2 = e1.point, e2.point
+    if p1[0] != p2[0]:
+        return 1 if p1[0] > p2[0] else -1
+    if p1[1] != p2[1]:
+        return 1 if p1[1] > p2[1] else -1
+    if e1.left != e2.left:
+        return 1 if e1.left else -1
+    if _signed_area(p1, e1.other.point, e2.other.point) != 0:
+        return 1 if not e1.is_below(e2.other.point) else -1
+    return 1 if (not e1.is_subject and e2.is_subject) else -1
+
+
+def _compare_segments(le1, le2) -> int:
+    """Sweep-line (status) order: which segment is below at the sweep
+    position."""
+    if le1 is le2:
+        return 0
+    if (_signed_area(le1.point, le1.other.point, le2.point) != 0 or
+            _signed_area(le1.point, le1.other.point, le2.other.point) != 0):
+        # not collinear
+        if le1.point == le2.point:
+            return -1 if le1.is_below(le2.other.point) else 1
+        if le1.point[0] == le2.point[0]:
+            return -1 if le1.point[1] < le2.point[1] else 1
+        if _compare_events(le1, le2) == 1:
+            return -1 if le2.is_above(le1.point) else 1
+        return -1 if le1.is_below(le2.point) else 1
+    # collinear
+    if le1.is_subject == le2.is_subject:
+        if le1.point == le2.point:
+            if le1.other.point == le2.other.point:
+                return 0
+            return -1 if id(le1) < id(le2) else 1
+    else:
+        return -1 if le1.is_subject else 1
+    return 1 if _compare_events(le1, le2) == 1 else -1
+
+
+def _segment_intersection(a1, a2, b1, b2):
+    """0, 1 or 2 intersection points of two closed segments.
+
+    Exact for grid-aligned inputs; standard parametric computation
+    otherwise. Returns a (possibly empty) list of points.
+    """
+    vax, vay = a2[0] - a1[0], a2[1] - a1[1]
+    vbx, vby = b2[0] - b1[0], b2[1] - b1[1]
+    ex, ey = b1[0] - a1[0], b1[1] - a1[1]
+    kross = vax * vby - vay * vbx
+    if kross != 0.0:
+        s = (ex * vby - ey * vbx) / kross
+        if s < 0.0 or s > 1.0:
+            return []
+        t = (ex * vay - ey * vax) / kross
+        if t < 0.0 or t > 1.0:
+            return []
+        if s == 0.0:
+            return [a1]
+        if s == 1.0:
+            return [a2]
+        if t == 0.0:
+            return [b1]
+        if t == 1.0:
+            return [b2]
+        return [(a1[0] + s * vax, a1[1] + s * vay)]
+    # parallel
+    if ex * vay - ey * vax != 0.0:
+        return []
+    # collinear: project b's endpoints onto a's parameter space
+    den = vax * vax + vay * vay
+    if den == 0.0:
+        # a is a degenerate point
+        if (a1 == b1 or a1 == b2 or
+                (min(b1[0], b2[0]) <= a1[0] <= max(b1[0], b2[0]) and
+                 min(b1[1], b2[1]) <= a1[1] <= max(b1[1], b2[1]) and
+                 (b2[0] - b1[0]) * (a1[1] - b1[1]) ==
+                 (b2[1] - b1[1]) * (a1[0] - b1[0]))):
+            return [a1]
+        return []
+    s0 = (ex * vax + ey * vay) / den
+    s1 = s0 + (vbx * vax + vby * vay) / den
+    smin, smax = (s0, s1) if s0 <= s1 else (s1, s0)
+    lo, hi = max(0.0, smin), min(1.0, smax)
+    if lo > hi:
+        return []
+
+    def _pt(s):
+        if s == 0.0:
+            return a1
+        if s == 1.0:
+            return a2
+        if s == s0:
+            return b1
+        if s == s1:
+            return b2
+        return (a1[0] + s * vax, a1[1] + s * vay)
+
+    if lo == hi:
+        return [_pt(lo)]
+    return [_pt(lo), _pt(hi)]
+
+
+class _SweepLine:
+    """Status structure: sorted list + binary search with _compare_segments.
+
+    O(n) insert/remove; per-pair polygons are small so this beats the
+    constant factor of a Python balanced tree.
+    """
+
+    __slots__ = ("items",)
+
+    def __init__(self):
+        self.items = []
+
+    def insert(self, ev) -> int:
+        lo, hi = 0, len(self.items)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _compare_segments(self.items[mid], ev) < 0:
+                lo = mid + 1
+            else:
+                hi = mid
+        self.items.insert(lo, ev)
+        return lo
+
+    def index(self, ev) -> int:
+        for k, it in enumerate(self.items):
+            if it is ev:
+                return k
+        return -1
+
+    def remove(self, ev):
+        k = self.index(ev)
+        if k >= 0:
+            del self.items[k]
+        return k
+
+
+def _divide_segment(se, p, queue):
+    """Split edge se—se.other at interior point p; push the two new events."""
+    r = _SweepEvent(p, False, se, se.is_subject)
+    l = _SweepEvent(p, True, se.other, se.is_subject)
+    if _compare_events(l, se.other) > 0:  # fp rounding guard (degenerate split)
+        se.other.left = True
+        l.left = False
+    se.other.other = l
+    se.other = r
+    heapq.heappush(queue, l)
+    heapq.heappush(queue, r)
+
+
+def _possible_intersection(se1, se2, queue) -> int:
+    pts = _segment_intersection(se1.point, se1.other.point,
+                                se2.point, se2.other.point)
+    if not pts:
+        return 0
+    if (len(pts) == 1 and (se1.point == se2.point or
+                           se1.other.point == se2.other.point)):
+        return 0  # meet at a common endpoint only
+    if len(pts) == 2 and se1.is_subject == se2.is_subject:
+        # overlapping edges within one input polygon: invalid input
+        raise ValueError("edges of the same polygon overlap (invalid input)")
+    if len(pts) == 1:
+        p = pts[0]
+        if se1.point != p and se1.other.point != p:
+            _divide_segment(se1, p, queue)
+        if se2.point != p and se2.other.point != p:
+            _divide_segment(se2, p, queue)
+        return 1
+    # overlapping collinear edges from different polygons
+    events = []
+    left_coincide = se1.point == se2.point
+    right_coincide = se1.other.point == se2.other.point
+    if not left_coincide:
+        if _compare_events(se1, se2) > 0:
+            events.extend((se2, se1))
+        else:
+            events.extend((se1, se2))
+    if not right_coincide:
+        if _compare_events(se1.other, se2.other) > 0:
+            events.extend((se2.other, se1.other))
+        else:
+            events.extend((se1.other, se2.other))
+    if left_coincide:
+        se2.type = NON_CONTRIBUTING
+        se1.type = (SAME_TRANSITION if se2.in_out == se1.in_out
+                    else DIFFERENT_TRANSITION)
+        if not right_coincide:
+            _divide_segment(events[1].other, events[0].point, queue)
+        return 2
+    if right_coincide:
+        _divide_segment(events[0], events[1].point, queue)
+        return 3
+    if events[0] is not events[3].other:
+        _divide_segment(events[0], events[1].point, queue)
+        _divide_segment(events[1], events[2].point, queue)
+        return 3
+    _divide_segment(events[0], events[1].point, queue)
+    _divide_segment(events[3].other, events[2].point, queue)
+    return 3
+
+
+def _in_result(event, op) -> bool:
+    if event.type == NORMAL:
+        if op == INTERSECTION:
+            return not event.other_in_out
+        if op == UNION:
+            return event.other_in_out
+        if op == DIFFERENCE:
+            return ((event.is_subject and event.other_in_out) or
+                    (not event.is_subject and not event.other_in_out))
+        return True  # XOR
+    if event.type == SAME_TRANSITION:
+        return op in (INTERSECTION, UNION)
+    if event.type == DIFFERENT_TRANSITION:
+        return op == DIFFERENCE
+    return False
+
+
+def _compute_fields(event, prev, op):
+    if prev is None:
+        event.in_out = False
+        event.other_in_out = True
+    elif event.is_subject == prev.is_subject:
+        event.in_out = not prev.in_out
+        event.other_in_out = prev.other_in_out
+    else:
+        event.in_out = not prev.other_in_out
+        event.other_in_out = (not prev.in_out) if prev.is_vertical() else prev.in_out
+    event.in_result = _in_result(event, op)
+
+
+def _rings_to_events(rings, is_subject, queue):
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        n = len(ring)
+        if n and ring[0][0] == ring[-1][0] and ring[0][1] == ring[-1][1]:
+            n -= 1  # drop duplicate closing vertex
+        if n < 3:
+            continue
+        for k in range(n):
+            p1 = (float(ring[k][0]), float(ring[k][1]))
+            p2 = (float(ring[(k + 1) % n][0]), float(ring[(k + 1) % n][1]))
+            if p1 == p2:
+                continue
+            e1 = _SweepEvent(p1, False, None, is_subject)
+            e2 = _SweepEvent(p2, False, e1, is_subject)
+            e1.other = e2
+            if (p1, p2) < ((p2, p1)):
+                e1.left = True
+            else:
+                e2.left = True
+            heapq.heappush(queue, e1)
+            heapq.heappush(queue, e2)
+
+
+def _rings_bbox(rings):
+    mnx = mny = np.inf
+    mxx = mxy = -np.inf
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if len(r) == 0:
+            continue
+        mnx = min(mnx, r[:, 0].min())
+        mxx = max(mxx, r[:, 0].max())
+        mny = min(mny, r[:, 1].min())
+        mxy = max(mxy, r[:, 1].max())
+    return mnx, mny, mxx, mxy
+
+
+def _subdivide(subject_rings, clipping_rings, op):
+    """Phase 1+2: sweep, subdivide at all intersections, flag result edges.
+
+    Returns the processed events in sweep order.
+    """
+    queue = []
+    _rings_to_events(subject_rings, True, queue)
+    _rings_to_events(clipping_rings, False, queue)
+    sbb = _rings_bbox(subject_rings)
+    cbb = _rings_bbox(clipping_rings)
+    if op == INTERSECTION:
+        rightbound = min(sbb[2], cbb[2])
+    elif op == DIFFERENCE:
+        rightbound = sbb[2]
+    else:
+        rightbound = np.inf
+
+    sweep = _SweepLine()
+    sorted_events = []
+    while queue:
+        event = heapq.heappop(queue)
+        if event.point[0] > rightbound:
+            break
+        sorted_events.append(event)
+        if event.left:
+            idx = sweep.insert(event)
+            prev = sweep.items[idx - 1] if idx > 0 else None
+            nxt = sweep.items[idx + 1] if idx + 1 < len(sweep.items) else None
+            _compute_fields(event, prev, op)
+            if nxt is not None:
+                if _possible_intersection(event, nxt, queue) == 2:
+                    _compute_fields(event, prev, op)
+                    _compute_fields(nxt, event, op)
+            if prev is not None:
+                if _possible_intersection(prev, event, queue) == 2:
+                    pidx = sweep.index(prev)
+                    pprev = sweep.items[pidx - 1] if pidx > 0 else None
+                    _compute_fields(prev, pprev, op)
+                    _compute_fields(event, prev, op)
+        else:
+            left = event.other
+            idx = sweep.index(left)
+            if idx >= 0:
+                prev = sweep.items[idx - 1] if idx > 0 else None
+                nxt = sweep.items[idx + 1] if idx + 1 < len(sweep.items) else None
+                del sweep.items[idx]
+                if prev is not None and nxt is not None:
+                    _possible_intersection(prev, nxt, queue)
+    return sorted_events
+
+
+def _order_result_events(sorted_events):
+    result_events = [e for e in sorted_events
+                     if (e.left and e.in_result) or
+                        (not e.left and e.other.in_result)]
+    # subdivision can leave the list locally unsorted
+    ok = False
+    while not ok:
+        ok = True
+        for i in range(len(result_events) - 1):
+            if _compare_events(result_events[i], result_events[i + 1]) > 0:
+                result_events[i], result_events[i + 1] = \
+                    result_events[i + 1], result_events[i]
+                ok = False
+    for i, e in enumerate(result_events):
+        e.pos = i
+    for e in result_events:
+        if not e.left:
+            e.pos, e.other.pos = e.other.pos, e.pos
+    return result_events
+
+
+def _next_pos(pos, result_events, processed, orig):
+    new_pos = pos + 1
+    p = result_events[pos].point
+    while new_pos < len(result_events) and result_events[new_pos].point == p:
+        if not processed[new_pos]:
+            return new_pos
+        new_pos += 1
+    new_pos = pos - 1
+    while new_pos > orig and processed[new_pos]:
+        new_pos -= 1
+    return new_pos
+
+
+def _walk_rings(result_events):
+    """Phase 3: chain flagged edges into closed rings (raw, unoriented)."""
+    processed = [False] * len(result_events)
+    rings = []
+    for i in range(len(result_events)):
+        if processed[i]:
+            continue
+        contour = [result_events[i].point]
+        pos = i
+        while True:
+            processed[pos] = True
+            pos = result_events[pos].pos
+            processed[pos] = True
+            contour.append(result_events[pos].point)
+            pos = _next_pos(pos, result_events, processed, i)
+            if pos == i or pos < 0 or processed[pos]:
+                break
+        if len(contour) >= 4 and contour[0] == contour[-1]:
+            rings.append(np.asarray(contour, dtype=np.float64))
+        elif len(contour) >= 3:
+            contour.append(contour[0])
+            rings.append(np.asarray(contour, dtype=np.float64))
+    return rings
+
+
+def _ring_signed_area(r) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _point_in_ring(px, py, r) -> bool:
+    """Strict interior test, even-odd ray cast."""
+    x, y = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    cond = (y <= py) != (y2 <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x + (py - y) * (x2 - x) / (y2 - y)
+    return bool(np.count_nonzero(cond & (px < xs)) % 2)
+
+
+def _assemble_polygons(rings):
+    """Phase 4: nest rings into polygons by containment parity.
+
+    Shell = ring contained by an even number of other rings; a hole's parent
+    is its immediate (smallest-area) containing shell.
+    """
+    if not rings:
+        return []
+    rings = [r for r in rings if abs(_ring_signed_area(r)) > 0.0]
+    if not rings:
+        return []
+    areas = [abs(_ring_signed_area(r)) for r in rings]
+    order = sorted(range(len(rings)), key=lambda k: -areas[k])
+    depth = [0] * len(rings)
+    parent = [-1] * len(rings)
+    for oi, i in enumerate(order):
+        # representative point: midpoint of first edge (never a vertex of
+        # another result ring: the sweep split all crossings)
+        mx = (rings[i][0, 0] + rings[i][1, 0]) * 0.5
+        my = (rings[i][0, 1] + rings[i][1, 1]) * 0.5
+        best = -1
+        for oj in range(oi - 1, -1, -1):  # candidates: larger rings only
+            j = order[oj]
+            if _point_in_ring(mx, my, rings[j]):
+                depth[i] = depth[j] + 1
+                best = j
+                break
+        parent[i] = best
+    polys = {}
+    for i, r in enumerate(rings):
+        a = _ring_signed_area(r)
+        if depth[i] % 2 == 0:  # shell: orient CCW
+            polys[i] = [r if a >= 0 else r[::-1]]
+    for i, r in enumerate(rings):
+        if depth[i] % 2 == 1:  # hole: orient CW, attach to parent shell
+            a = _ring_signed_area(r)
+            hole = r if a <= 0 else r[::-1]
+            polys[parent[i]].append(hole)
+    return [polys[i] for i in sorted(polys)]
+
+
+def boolean_op(subject_rings, clipping_rings, op):
+    """Boolean operation over two even-odd-filled ring sets.
+
+    Returns list of polygons (each [shell, *holes]); [] for empty result.
+    """
+    subject_rings = [np.asarray(r, dtype=np.float64) for r in subject_rings
+                     if len(r) >= 3]
+    clipping_rings = [np.asarray(r, dtype=np.float64) for r in clipping_rings
+                      if len(r) >= 3]
+    s_empty = not subject_rings
+    c_empty = not clipping_rings
+    if s_empty and c_empty:
+        return []
+    if s_empty:
+        if op in (UNION, XOR):
+            return _assemble_polygons(
+                [_close(r) for r in clipping_rings])
+        return []
+    if c_empty:
+        if op == INTERSECTION:
+            return []
+        return _assemble_polygons([_close(r) for r in subject_rings])
+    sbb = _rings_bbox(subject_rings)
+    cbb = _rings_bbox(clipping_rings)
+    if (sbb[2] < cbb[0] or cbb[2] < sbb[0] or
+            sbb[3] < cbb[1] or cbb[3] < sbb[1]):
+        # disjoint bboxes: no sweep needed
+        if op == INTERSECTION:
+            return []
+        if op == DIFFERENCE:
+            return _assemble_polygons([_close(r) for r in subject_rings])
+        return (_assemble_polygons([_close(r) for r in subject_rings]) +
+                _assemble_polygons([_close(r) for r in clipping_rings]))
+    sorted_events = _subdivide(subject_rings, clipping_rings, op)
+    result_events = _order_result_events(sorted_events)
+    rings = _walk_rings(result_events)
+    return _assemble_polygons(rings)
+
+
+def _close(r):
+    r = np.asarray(r, dtype=np.float64)
+    if len(r) and (r[0][0] != r[-1][0] or r[0][1] != r[-1][1]):
+        return np.vstack([r, r[:1]])
+    return r
+
+
+def assemble_rings(rings):
+    """Nest a flat list of mutually non-crossing closed rings into polygons
+    (used by union_all's merge tree to re-nest the final ring set)."""
+    return _assemble_polygons([_close(r) for r in rings])

@@ -258,10 +258,10 @@ class TestConstructive:
         assert wkt.format_array(u)[0].startswith("MULTIPOLYGON")
         np.testing.assert_allclose(algos.area(u), [50.0])
 
-    def test_union_all_overlapping_raises(self):
+    def test_union_all_overlapping_boxes(self):
         ga = boxes_from_bounds([0, 2], [0, 0], [5, 7], [5, 5])
-        with pytest.raises(NotImplementedError):
-            algos.union_all(ga)
+        u = algos.union_all(ga)
+        assert algos.area(u)[0] == 25.0 + 25.0 - 15.0
 
     def test_get_parts(self):
         ga = ga_from_wkt("MULTIPOINT ((1 1), (2 2))", "POINT (3 3)")
@@ -318,3 +318,94 @@ class TestHilbert:
         pts = points_from_xy(rng.uniform(0, 100, 200), rng.uniform(0, 100, 200))
         d = algos.hilbert_distance(pts, [0, 0, 100, 100], level=15)
         assert len(np.unique(d)) > 150
+
+
+class TestBooleanOps:
+    """Martinez–Rueda set ops (geom/clipping.py; reference:
+    geopandas/base.py:4405-4879)."""
+
+    def test_overlapping_boxes_all_ops(self):
+        a = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        b = ga_from_wkt("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        assert algos.area(algos.intersection(a, b))[0] == 25.0
+        assert algos.area(algos.union(a, b))[0] == 175.0
+        assert algos.area(algos.difference(a, b))[0] == 75.0
+        assert algos.area(algos.symmetric_difference(a, b))[0] == 150.0
+        # XOR of overlapping boxes is two disjoint L-shapes
+        assert wkt.format_array(
+            algos.symmetric_difference(a, b))[0].startswith("MULTIPOLYGON")
+
+    def test_concave_times_box(self):
+        L = ga_from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+        box = ga_from_wkt("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")
+        assert algos.area(algos.intersection(L, box))[0] == 7.0
+        assert algos.area(algos.difference(L, box))[0] == 13.0
+        assert algos.area(algos.union(L, box))[0] == 20.0 + 16.0 - 7.0
+
+    def test_hole_preserved(self):
+        H = ga_from_wkt("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0),"
+                        " (3 3, 5 3, 5 5, 3 5, 3 3))")
+        box = ga_from_wkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        assert algos.area(algos.intersection(H, box))[0] == 12.0
+        # difference carving a hole entirely inside the subject
+        big = ga_from_wkt("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))")
+        small = ga_from_wkt("POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))")
+        d = algos.difference(big, small)
+        assert algos.area(d)[0] == 60.0
+        assert algos.count_interior_rings(d)[0] == 1
+
+    def test_disjoint_and_empty(self):
+        a = ga_from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", None)
+        b = ga_from_wkt("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+                        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        inter = algos.intersection(a, b)
+        assert inter.is_empty()[0]
+        assert inter.types[1] == GT_MISSING
+        assert algos.area(algos.union(a, b))[0] == 2.0
+        assert wkt.format_array(algos.union(a, b))[0].startswith("MULTIPOLYGON")
+
+    def test_shared_edge_union_dissolves_edge(self):
+        a = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
+        u = algos.union(a, b)
+        assert algos.area(u)[0] == 8.0
+        assert wkt.format_array(u)[0].startswith("POLYGON")
+        # touching-only intersection is polygonal-empty (documented deviation)
+        assert algos.area(algos.intersection(a, b))[0] == 0.0
+
+    def test_line_polygon_clip(self):
+        L = ga_from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+        ln = ga_from_wkt("LINESTRING (-1 1, 7 1)")
+        assert algos.length(algos.intersection(ln, L))[0] == 6.0
+        assert algos.length(algos.difference(ln, L))[0] == 2.0
+
+    def test_line_line(self):
+        l1 = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        l2 = ga_from_wkt("LINESTRING (5 -5, 5 5)")
+        assert wkt.format_array(algos.intersection(l1, l2))[0] == "POINT (5 0)"
+        l3 = ga_from_wkt("LINESTRING (2 0, 6 0)")
+        assert algos.length(algos.intersection(l1, l3))[0] == 4.0
+        assert algos.length(algos.union(l1, l3))[0] == 10.0
+        assert algos.length(algos.difference(l1, l3))[0] == 6.0
+
+    def test_union_all_overlapping(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+                         "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))",
+                         "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
+        u = algos.union_all(ga)
+        assert algos.area(u)[0] == 29.0
+        assert wkt.format_array(u)[0].startswith("MULTIPOLYGON")
+
+    def test_union_all_tree_matches_pairwise(self):
+        # 7 shifted boxes in a row, each overlapping the next by half
+        texts = [f"POLYGON (({i} 0, {i+2} 0, {i+2} 2, {i} 2, {i} 0))"
+                 for i in range(7)]
+        u = algos.union_all(ga_from_wkt(*texts))
+        assert algos.area(u)[0] == 8.0 * 2.0  # x ∈ [0, 8], y ∈ [0, 2]
+
+    def test_multipolygon_inputs(self):
+        mp = ga_from_wkt("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+                         " ((4 0, 6 0, 6 2, 4 2, 4 0)))")
+        box = ga_from_wkt("POLYGON ((1 1, 5 1, 5 3, 1 3, 1 1))")
+        assert algos.area(algos.intersection(mp, box))[0] == 2.0
+        assert algos.area(algos.union(mp, box))[0] == 8.0 + 8.0 - 2.0
