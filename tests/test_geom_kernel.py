@@ -360,7 +360,7 @@ class TestBooleanOps:
                         "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
         inter = algos.intersection(a, b)
         assert inter.is_empty()[0]
-        assert inter.types[1] == GT_MISSING
+        assert inter.is_missing()[1]
         assert algos.area(algos.union(a, b))[0] == 2.0
         assert wkt.format_array(algos.union(a, b))[0].startswith("MULTIPOLYGON")
 
