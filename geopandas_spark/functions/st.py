@@ -315,6 +315,18 @@ def _difference(a: pd.Series, b: pd.Series) -> pd.Series:
     return _enc(algos.difference(_decode(a), _decode(b)))
 
 
+@_reg("st_union")
+@pandas_udf(BinaryType())
+def _union(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _enc(algos.union(_decode(a), _decode(b)))
+
+
+@_reg("st_symdifference")
+@pandas_udf(BinaryType())
+def _symdifference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _enc(algos.symmetric_difference(_decode(a), _decode(b)))
+
+
 @_reg("st_translate")
 @pandas_udf(BinaryType())
 def _translate(s: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
@@ -441,10 +453,10 @@ def _endpoint(s: pd.Series) -> pd.Series:
 @_reg("st_union_agg")
 @pandas_udf(BinaryType())
 def _union_agg(s: pd.Series) -> bytes:
-    """Geometric union of a group (GROUPED_AGG). Exact for point sets and
-    pairwise-disjoint polygons; overlapping-area union raises (round-1
-    limitation, SURVEY §7.3). For scale, prefer operators.dissolve which
-    runs a two-phase partial union."""
+    """Geometric union of a group (GROUPED_AGG). Point sets dedupe;
+    disjoint polygons collect; overlapping polygons run the Martinez–Rueda
+    merge tree (geom/clipping.py). For scale, prefer operators.dissolve
+    which runs a two-phase partial union."""
     ga = wkb.decode(s.tolist())
     out = algos.union_all(ga)
     return wkb.encode(out)[0]
@@ -607,6 +619,14 @@ def intersection(a, b) -> Column:
 
 def difference(a, b) -> Column:
     return _REGISTRY["st_difference"](_col(a), _col(b))
+
+
+def union(a, b) -> Column:
+    return _REGISTRY["st_union"](_col(a), _col(b))
+
+
+def symmetric_difference(a, b) -> Column:
+    return _REGISTRY["st_symdifference"](_col(a), _col(b))
 
 
 def translate(c, xoff=0.0, yoff=0.0) -> Column:

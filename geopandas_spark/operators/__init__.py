@@ -9,4 +9,5 @@ from geopandas_spark.operators.sjoin import sjoin, sjoin_nearest  # noqa: F401
 from geopandas_spark.operators.dissolve import dissolve, total_bounds  # noqa: F401
 from geopandas_spark.operators.reshape import explode, get_coordinates_df  # noqa: F401
 from geopandas_spark.operators.clip import clip  # noqa: F401
+from geopandas_spark.operators.overlay import overlay  # noqa: F401
 from geopandas_spark.operators.partitioning import hilbert_repartition  # noqa: F401

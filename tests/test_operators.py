@@ -131,3 +131,73 @@ def test_hilbert_repartition(points):
     out = hilbert_repartition(points, 4)
     assert out.rdd.getNumPartitions() == 4
     assert out.count() == 30
+
+
+# ---------------------------------------------------------------------------
+# overlay (reference: geopandas/tools/overlay.py; golden semantics from the
+# reference's own 2x2 polys fixture, tests/test_overlay.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def polys1(spark):
+    # two 2x2 squares side by side (the reference's dfs fixture)
+    rows = [(1, "a", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (2, "b", "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")]
+    df = spark.createDataFrame(rows, ["df1_id", "col1", "wkt"])
+    return df.withColumn("geom", st.geom_from_text("wkt")).drop("wkt")
+
+
+@pytest.fixture(scope="module")
+def polys2(spark):
+    # same two squares shifted by (1, 1)
+    rows = [(1, "x", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+            (2, "y", "POLYGON ((3 1, 5 1, 5 3, 3 3, 3 1))")]
+    df = spark.createDataFrame(rows, ["df2_id", "col2", "wkt"])
+    return df.withColumn("geom", st.geom_from_text("wkt")).drop("wkt")
+
+
+def _areas(df):
+    return sorted(round(r.a, 6) for r in
+                  df.select(st.area("geom").alias("a")).collect())
+
+
+def test_overlay_intersection(polys1, polys2):
+    from geopandas_spark.operators import overlay
+    out = overlay(polys1, polys2, "intersection", strategy="broadcast")
+    # squares overlap pairwise: (a∩x)=1, (b∩x)=1, (b∩y)=1
+    assert _areas(out) == [1.0, 1.0, 1.0]
+    assert set(out.columns) == {"df1_id", "col1", "df2_id", "col2", "geom"}
+
+
+def test_overlay_difference(polys1, polys2):
+    from geopandas_spark.operators import overlay
+    out = overlay(polys1, polys2, "difference", strategy="broadcast")
+    # each 4-area square loses its overlaps: a loses 1, b loses 2
+    assert _areas(out) == [2.0, 3.0]
+    assert set(out.columns) == {"df1_id", "col1", "geom"}
+
+
+def test_overlay_symmetric_difference(polys1, polys2):
+    from geopandas_spark.operators import overlay
+    out = overlay(polys1, polys2, "symmetric_difference",
+                  strategy="broadcast")
+    assert _areas(out) == [2.0, 2.0, 3.0, 3.0]
+    cols = set(out.columns)
+    assert {"df1_id_1", "df2_id_2", "geom"} <= cols or \
+           {"df1_id", "df2_id", "geom"} <= cols
+
+
+def test_overlay_union_total_area(polys1, polys2):
+    from geopandas_spark.operators import overlay
+    out = overlay(polys1, polys2, "union", strategy="broadcast")
+    # union fragments partition the union region: total area = |A ∪ B| = 13
+    assert round(sum(_areas(out)), 6) == 13.0
+    # intersection fragments carry both sides' attrs, diffs carry one
+    assert out.count() == 3 + 2 + 2
+
+
+def test_overlay_identity(polys1, polys2):
+    from geopandas_spark.operators import overlay
+    out = overlay(polys1, polys2, "identity", strategy="broadcast")
+    # identity = df1 region, fragmented by df2: total area = |A| = 8
+    assert round(sum(_areas(out)), 6) == 8.0
