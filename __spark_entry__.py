@@ -33,7 +33,9 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from geopandas_spark import st
-from geopandas_spark.operators import dissolve, explode, sjoin, sjoin_nearest, clip
+from geopandas_spark.operators import (
+    dissolve, explode, overlay, sjoin, sjoin_nearest, clip,
+)
 from geopandas_spark.pipeline import (
     cosine_topk, exact_dedup, fingerprint, language_id, minhash_lsh_pairs,
     quality_score, token_count,
@@ -833,6 +835,141 @@ FROM documents
 """
 
 
+def _nat_shifted(spark, sf_dir) -> DataFrame:
+    """Nation boxes translated by (+100, +100): overlaps the base grid with
+    strictly positive overlap widths (multiples of 100), so every set-op
+    area below is exact integer arithmetic on both engines."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.withColumn("b2x", F.expr(BX0))
+             .withColumn("b2y", F.expr(BY0))
+             .withColumn("geom", st.makebox(
+                 (F.col("b2x") + 100).cast("double"),
+                 (F.col("b2y") + 100).cast("double"),
+                 (F.col("b2x") + 300).cast("double"),
+                 (F.col("b2y") + 300).cast("double"))))
+
+
+def q_setops(spark, sf_dir):
+    """Pairwise boolean ops through the Martinez–Rueda sweep (union /
+    difference / xor always take it; intersection of convex boxes takes the
+    Sutherland–Hodgman fast path)."""
+    n1 = (_nat(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("k1"), F.col("bx0").alias("b1x"),
+                  F.col("by0").alias("b1y"), F.col("geom").alias("g1")))
+    n2 = (_nat_shifted(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("k2"), "b2x", "b2y",
+                  F.col("geom").alias("g2")))
+    j = n1.crossJoin(n2)
+    ox = F.least(F.col("b1x") + 200, F.col("b2x") + 300) - \
+        F.greatest(F.col("b1x"), F.col("b2x") + 100)
+    oy = F.least(F.col("b1y") + 200, F.col("b2y") + 300) - \
+        F.greatest(F.col("b1y"), F.col("b2y") + 100)
+    j = j.filter((ox > 0) & (oy > 0))
+    return j.select(
+        "k1", "k2",
+        F.round(st.area(st.intersection("g1", "g2")), 6).alias("inter_area"),
+        F.round(st.area(st.union("g1", "g2")), 6).alias("union_area"),
+        F.round(st.area(st.difference("g1", "g2")), 6).alias("diff_area"),
+        F.round(st.area(st.symmetric_difference("g1", "g2")), 6).alias("xor_area"))
+
+
+SQL_SETOPS = f"""
+WITH p AS (
+  SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+         LEAST({BX0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BX0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 100) AS ox,
+         LEAST({BY0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BY0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 100) AS oy
+  FROM nation n1 CROSS JOIN nation n2
+)
+SELECT k1, k2,
+       ROUND(CAST(ox * oy AS DOUBLE), 6) AS inter_area,
+       ROUND(CAST(80000 - ox * oy AS DOUBLE), 6) AS union_area,
+       ROUND(CAST(40000 - ox * oy AS DOUBLE), 6) AS diff_area,
+       ROUND(CAST(80000 - 2 * ox * oy AS DOUBLE), 6) AS xor_area
+FROM p WHERE ox > 0 AND oy > 0
+"""
+
+
+def q_overlay_intersection(spark, sf_dir):
+    """operators.overlay how=intersection (reference overlay.py:36)."""
+    d1 = _nat(spark, sf_dir).select(F.col("n_nationkey").alias("nk1"), "geom")
+    d2 = (_nat_shifted(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("nk2"), "geom"))
+    out = overlay(d1, d2, "intersection", strategy="broadcast")
+    return out.select("nk1", "nk2",
+                      F.round(st.area("geom"), 6).alias("area"))
+
+
+SQL_OVERLAY_INTERSECTION = f"""
+WITH p AS (
+  SELECT n1.n_nationkey AS nk1, n2.n_nationkey AS nk2,
+         LEAST({BX0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BX0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 100) AS ox,
+         LEAST({BY0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BY0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 100) AS oy
+  FROM nation n1 CROSS JOIN nation n2
+)
+SELECT nk1, nk2, ROUND(CAST(ox * oy AS DOUBLE), 6) AS area
+FROM p WHERE ox > 0 AND oy > 0
+"""
+
+
+def q_overlay_difference(spark, sf_dir):
+    """operators.overlay how=difference: per-row union of intersecting
+    opposite geometries (Martinez–Rueda merge tree) then one subtraction.
+    Fully-covered rows vanish; untouched rows survive whole."""
+    d1 = _nat(spark, sf_dir).select(F.col("n_nationkey").alias("nk1"), "geom")
+    d2 = _nat_shifted(spark, sf_dir).select("geom")
+    out = overlay(d1, d2, "difference", strategy="broadcast")
+    return out.select("nk1", F.round(st.area("geom"), 6).alias("area"))
+
+
+SQL_OVERLAY_DIFFERENCE = f"""
+WITH p AS (
+  SELECT n1.n_nationkey AS nk1,
+         GREATEST(0, LEAST({BX0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BX0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 100)) *
+         GREATEST(0, LEAST({BY0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BY0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 100)) AS cov
+  FROM nation n1 CROSS JOIN nation n2
+)
+SELECT nk1, ROUND(CAST(40000 - SUM(cov) AS DOUBLE), 6) AS area
+FROM p GROUP BY nk1 HAVING SUM(cov) < 40000
+"""
+
+
+def q_union_overlap(spark, sf_dir):
+    """union_agg over 25 mutually-overlapping 250-wide boxes on the 200
+    grid — the full pairwise merge tree. The union region is exactly
+    [0,1050]² (coverage is separable in x and y)."""
+    n = _nat(spark, sf_dir)
+    g = st.makebox(F.col("bx0").cast("double"), F.col("by0").cast("double"),
+                   (F.col("bx0") + 250).cast("double"),
+                   (F.col("by0") + 250).cast("double"))
+    u = n.select(g.alias("geom")).agg(st.union_agg("geom").alias("u"))
+    return u.select(st.ngeometries("u").alias("n_parts"),
+                    F.round(st.area("u"), 6).alias("total_area"))
+
+
+SQL_UNION_OVERLAP = """
+SELECT CAST(1 AS BIGINT) AS n_parts,
+       CAST(1050 * 1050 AS DOUBLE) AS total_area
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -848,6 +985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_nearest": q_sjoin_nearest,
         "dissolve": q_dissolve,
         "union_boxes": q_union_boxes,
+        "union_overlap": q_union_overlap,
+        "setops": q_setops,
+        "overlay_intersection": q_overlay_intersection,
+        "overlay_difference": q_overlay_difference,
         "explode": q_explode,
         "envelope": q_envelope,
         "validity": q_validity,
@@ -885,6 +1026,10 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_nearest": SQL_SJOIN_NEAREST,
         "dissolve": SQL_DISSOLVE,
         "union_boxes": SQL_UNION_BOXES,
+        "union_overlap": SQL_UNION_OVERLAP,
+        "setops": SQL_SETOPS,
+        "overlay_intersection": SQL_OVERLAY_INTERSECTION,
+        "overlay_difference": SQL_OVERLAY_DIFFERENCE,
         "explode": SQL_EXPLODE,
         "envelope": SQL_ENVELOPE,
         "validity": SQL_VALIDITY,

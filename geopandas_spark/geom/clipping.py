@@ -398,62 +398,98 @@ def _subdivide(subject_rings, clipping_rings, op):
     return sorted_events
 
 
-def _order_result_events(sorted_events):
-    result_events = [e for e in sorted_events
-                     if (e.left and e.in_result) or
-                        (not e.left and e.other.in_result)]
-    # subdivision can leave the list locally unsorted
-    ok = False
-    while not ok:
-        ok = True
-        for i in range(len(result_events) - 1):
-            if _compare_events(result_events[i], result_events[i + 1]) > 0:
-                result_events[i], result_events[i + 1] = \
-                    result_events[i + 1], result_events[i]
-                ok = False
-    for i, e in enumerate(result_events):
-        e.pos = i
-    for e in result_events:
-        if not e.left:
-            e.pos, e.other.pos = e.other.pos, e.pos
-    return result_events
+def _point_in_ringset(px, py, rings) -> bool:
+    """Even-odd membership of (px,py) against a flat closed-ring set."""
+    odd = False
+    for r in rings:
+        if _point_in_ring(px, py, r):
+            odd = not odd
+    return odd
 
 
-def _next_pos(pos, result_events, processed, orig):
-    new_pos = pos + 1
-    p = result_events[pos].point
-    while new_pos < len(result_events) and result_events[new_pos].point == p:
-        if not processed[new_pos]:
-            return new_pos
-        new_pos += 1
-    new_pos = pos - 1
-    while new_pos > orig and processed[new_pos]:
-        new_pos -= 1
-    return new_pos
+def _in_op_region(px, py, subject_rings, clipping_rings, op) -> bool:
+    ina = _point_in_ringset(px, py, subject_rings)
+    inb = _point_in_ringset(px, py, clipping_rings)
+    if op == INTERSECTION:
+        return ina and inb
+    if op == UNION:
+        return ina or inb
+    if op == DIFFERENCE:
+        return ina and not inb
+    return ina != inb
 
 
-def _walk_rings(result_events):
-    """Phase 3: chain flagged edges into closed rings (raw, unoriented)."""
-    processed = [False] * len(result_events)
-    rings = []
-    for i in range(len(result_events)):
-        if processed[i]:
+def _walk_rings(sorted_events, subject_rings, clipping_rings, op):
+    """Phase 3: chain flagged result edges into closed rings.
+
+    Robust planar-graph face trace instead of the original paper's
+    event-position chaining (which mispairs edges where two result regions
+    touch at a point, e.g. XOR of diagonally-overlapping boxes): orient
+    every result edge so the op region lies on its LEFT (midpoint ±normal
+    even-odd probe against the inputs), then trace cycles taking the
+    leftmost turn at every vertex. Each directed edge is consumed exactly
+    once; touching regions stay separate because the leftmost-turn pairing
+    never crosses a vertex fan."""
+    edges = []
+    for e in sorted_events:
+        if e.left and e.in_result:
+            edges.append((e.point, e.other.point))
+    directed = []
+    for p, q in edges:
+        mx, my = (p[0] + q[0]) * 0.5, (p[1] + q[1]) * 0.5
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ln = (dx * dx + dy * dy) ** 0.5
+        if ln == 0.0:
             continue
-        contour = [result_events[i].point]
-        pos = i
-        while True:
-            processed[pos] = True
-            pos = result_events[pos].pos
-            processed[pos] = True
-            contour.append(result_events[pos].point)
-            pos = _next_pos(pos, result_events, processed, i)
-            if pos == i or pos < 0 or processed[pos]:
+        eps = 1e-9 * ln
+        nx, ny = -dy / ln * eps, dx / ln * eps
+        if _in_op_region(mx + nx, my + ny, subject_rings, clipping_rings, op):
+            directed.append((p, q))
+        elif _in_op_region(mx - nx, my - ny, subject_rings,
+                           clipping_rings, op):
+            directed.append((q, p))
+        else:  # degenerate sliver thinner than eps: keep original direction
+            directed.append((p, q))
+    out_map = {}
+    for eid, (p, _q) in enumerate(directed):
+        out_map.setdefault(p, []).append(eid)
+
+    def _angle(p, q):
+        return np.arctan2(q[1] - p[1], q[0] - p[0])
+
+    used = [False] * len(directed)
+    rings = []
+    for start in range(len(directed)):
+        if used[start]:
+            continue
+        ring = [directed[start][0]]
+        eid = start
+        guard = 0
+        closed = False
+        while guard <= len(directed):
+            guard += 1
+            used[eid] = True
+            p, q = directed[eid]
+            ring.append(q)
+            inc = _angle(p, q)
+            best, best_rel = None, -1.0
+            for cand in out_map.get(q, ()):
+                if used[cand] and cand != start:
+                    continue
+                rel = (_angle(*directed[cand]) - inc - np.pi) % (2 * np.pi)
+                if rel > best_rel:
+                    best, best_rel = cand, rel
+            if best is None:
+                break  # dangling path (degenerate input); discard below
+            if best == start:
+                closed = True
                 break
-        if len(contour) >= 4 and contour[0] == contour[-1]:
-            rings.append(np.asarray(contour, dtype=np.float64))
-        elif len(contour) >= 3:
-            contour.append(contour[0])
-            rings.append(np.asarray(contour, dtype=np.float64))
+            eid = best
+        if closed and len(ring) >= 3:
+            if ring[0] != ring[-1]:
+                ring.append(ring[0])
+            if len(ring) >= 4:
+                rings.append(np.asarray(ring, dtype=np.float64))
     return rings
 
 
@@ -547,8 +583,9 @@ def boolean_op(subject_rings, clipping_rings, op):
         return (_assemble_polygons([_close(r) for r in subject_rings]) +
                 _assemble_polygons([_close(r) for r in clipping_rings]))
     sorted_events = _subdivide(subject_rings, clipping_rings, op)
-    result_events = _order_result_events(sorted_events)
-    rings = _walk_rings(result_events)
+    s_closed = [_close(r) for r in subject_rings]
+    c_closed = [_close(r) for r in clipping_rings]
+    rings = _walk_rings(sorted_events, s_closed, c_closed, op)
     return _assemble_polygons(rings)
 
 
