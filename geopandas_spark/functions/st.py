@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from geopandas_spark.geom import algos, wkb
+from geopandas_spark.geom import geojson as gjmod
 from geopandas_spark.geom import wkt as wktmod
 from geopandas_spark.geom.array import points_from_xy, boxes_from_bounds
 
@@ -126,6 +127,18 @@ def _geomfromwkb(s: pd.Series) -> pd.Series:
 @pandas_udf(BinaryType())
 def _aswkb(s: pd.Series) -> pd.Series:
     return s
+
+
+@_reg("st_geomfromgeojson")
+@pandas_udf(BinaryType())
+def _geomfromgeojson(s: pd.Series) -> pd.Series:
+    return _enc(gjmod.parse_array(s.tolist()))
+
+
+@_reg("st_asgeojson")
+@pandas_udf(StringType())
+def _asgeojson(s: pd.Series) -> pd.Series:
+    return pd.Series(gjmod.format_array(_decode(s)), dtype=object)
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +500,14 @@ def geom_from_text(c) -> Column:
 
 def as_text(c) -> Column:
     return _REGISTRY["st_astext"](_col(c))
+
+
+def geom_from_geojson(c) -> Column:
+    return _REGISTRY["st_geomfromgeojson"](_col(c))
+
+
+def as_geojson(c) -> Column:
+    return _REGISTRY["st_asgeojson"](_col(c))
 
 
 def geom_from_wkb(c) -> Column:

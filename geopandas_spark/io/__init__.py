@@ -1,0 +1,12 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+GeoParquet read/write with spec ``geo`` metadata + covering bbox pruning,
+and GeoJSON / newline-delimited GeoJSONSeq interchange.
+"""
+
+from geopandas_spark.io.geoparquet import (  # noqa: F401
+    read_parquet, to_parquet,
+)
+from geopandas_spark.io.geojson import (  # noqa: F401
+    read_geojson, to_geojson,
+)

@@ -1,0 +1,99 @@
+"""I/O round-trip tests (SURVEY §2.1; reference test model:
+geopandas/io/tests/test_arrow.py for GeoParquet metadata/bbox,
+io/tests/test_file.py for format round-trips)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark import st
+from geopandas_spark.io import read_geojson, read_parquet, to_geojson, to_parquet
+from geopandas_spark.io.geoparquet import read_geo_metadata
+
+
+@pytest.fixture(scope="module")
+def geodf(spark):
+    rows = [(i, float(i * 10), float(i * 5)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    return df.withColumn("geom", st.point("x", "y")).drop("x", "y")
+
+
+def test_geoparquet_roundtrip_metadata(geodf, tmp_path):
+    path = str(tmp_path / "pts_parquet")
+    meta = to_parquet(geodf, path, crs="EPSG:4326")
+    assert meta["version"] == "1.1.0"
+    assert meta["primary_column"] == "geom"
+    assert meta["columns"]["geom"]["encoding"] == "WKB"
+    assert meta["columns"]["geom"]["geometry_types"] == ["Point"]
+    assert meta["columns"]["geom"]["bbox"] == [0.0, 0.0, 190.0, 95.0]
+    # footer metadata is spec-readable from the files themselves
+    disk = read_geo_metadata(path)
+    assert disk == meta
+
+
+def test_geoparquet_bbox_filter(geodf, spark, tmp_path):
+    path = str(tmp_path / "pts_bbox")
+    to_parquet(geodf, path)
+    out = read_parquet(spark, path, bbox=(0, 0, 55, 100))
+    assert out.count() == 6  # x = 0,10,...,50
+    # bbox predicates reach the parquet scan as pushed filters
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bbox" in plan
+
+
+def test_geoparquet_bbox_filter_without_covering(geodf, spark, tmp_path):
+    path = str(tmp_path / "pts_nocover")
+    to_parquet(geodf, path, write_covering_bbox=False)
+    out = read_parquet(spark, path, bbox=(0, 0, 55, 100))
+    assert out.count() == 6  # exact st_intersects fallback
+
+
+def test_geoparquet_column_pruning(geodf, spark, tmp_path):
+    path = str(tmp_path / "pts_prune")
+    to_parquet(geodf, path)
+    out = read_parquet(spark, path, columns=["id"])
+    assert set(out.columns) == {"id", "geom"}
+
+
+def test_geojsonseq_roundtrip(spark, tmp_path):
+    rows = [(1, "a", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (2, "b", "LINESTRING (0 0, 5 5)"),
+            (3, "c", "POINT (7 8)")]
+    df = (spark.createDataFrame(rows, ["id", "name", "wkt"])
+          .withColumn("geom", st.geom_from_text("wkt")).drop("wkt"))
+    path = str(tmp_path / "seq_geojson")
+    to_geojson(df, path)
+    back = read_geojson(spark, path)
+    got = {json.loads(r.properties)["id"]: r.wkt for r in
+           back.select("properties", st.as_text("geom").alias("wkt")).collect()}
+    assert got[1] == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert got[2] == "LINESTRING (0 0, 5 5)"
+    assert got[3] == "POINT (7 8)"
+
+
+def test_featurecollection_read(spark, tmp_path):
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"id": 1},
+         "geometry": {"type": "Point", "coordinates": [3, 4]}},
+        {"type": "Feature", "properties": {"id": 2},
+         "geometry": {"type": "MultiPolygon", "coordinates":
+                      [[[[0, 0], [1, 0], [1, 1], [0, 0]]]]}},
+    ]}
+    p = tmp_path / "fc.geojson"
+    p.write_text(json.dumps(fc))
+    out = read_geojson(spark, str(p))
+    wkts = sorted(r.w for r in
+                  out.select(st.as_text("geom").alias("w")).collect())
+    assert wkts == ["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))", "POINT (3 4)"]
+
+
+def test_geojson_geometry_codec_via_sql(spark):
+    df = spark.createDataFrame([("POINT (1.5 -2)",)], ["wkt"])
+    out = (df.withColumn("g", st.geom_from_text("wkt"))
+             .withColumn("gj", st.as_geojson("g"))
+             .withColumn("back", st.geom_from_geojson("gj"))
+             .select("gj", st.as_text("back").alias("wkt2"))).collect()[0]
+    assert json.loads(out.gj) == {"type": "Point", "coordinates": [1.5, -2]}
+    assert out.wkt2 == "POINT (1.5 -2)"
