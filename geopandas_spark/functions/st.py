@@ -475,6 +475,22 @@ def _union_agg(s: pd.Series) -> bytes:
     return wkb.encode(out)[0]
 
 
+@_reg("st_union_array")
+@pandas_udf(BinaryType())
+def _union_array(s: pd.Series) -> pd.Series:
+    """Union an array<binary> of WKB per row. The streaming-safe union
+    path: Structured Streaming cannot run GROUPED_AGG pandas UDFs, so
+    windowed aggregation collects natively (collect_list, partial-agg'd
+    and state-store-backed) and reduces here with one scalar UDF."""
+    out = []
+    for lst in s:
+        if lst is None or len(lst) == 0:
+            out.append(None)
+        else:
+            out.append(wkb.encode(algos.union_all(wkb.decode(list(lst))))[0])
+    return pd.Series(out, dtype=object)
+
+
 @_reg("st_collect_agg")
 @pandas_udf(BinaryType())
 def _collect_agg(s: pd.Series) -> bytes:
@@ -693,6 +709,10 @@ def geometry_n(c, n) -> Column:
 
 def union_agg(c) -> Column:
     return _REGISTRY["st_union_agg"](_col(c))
+
+
+def union_array(c) -> Column:
+    return _REGISTRY["st_union_array"](_col(c))
 
 
 def collect_agg(c) -> Column:

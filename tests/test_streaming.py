@@ -1,0 +1,88 @@
+"""Structured Streaming tests: file source → availableNow trigger →
+memory sink (deterministic micro-batch replay)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from geopandas_spark import st
+from geopandas_spark.streaming import (
+    enrich_stream, filter_stream_bbox, windowed_union,
+)
+
+SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("x", DoubleType()),
+    StructField("y", DoubleType()),
+])
+
+
+def _write_input(spark, path):
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=30 * i), float(i), float(i))
+            for i in range(8)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+
+
+def _run(stream_df, name, mode="append"):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_union(spark, tmp_path):
+    src = str(tmp_path / "in_union")
+    _write_input(spark, src)
+    stream = (spark.readStream.schema(SCHEMA).parquet(src)
+              .withColumn("geom", st.point("x", "y")))
+    out = windowed_union(stream, "ts", "2 minutes", watermark="0 seconds")
+    # complete mode: emit open windows too (append would hold back the last
+    # window until the watermark passes its end)
+    _run(out, "win_union", mode="complete")
+    rows = spark.sql(
+        "SELECT window.start AS s, n, geom FROM win_union ORDER BY s"
+    ).collect()
+    # 8 rows, 30s apart → windows [0,2m) and [2m,4m), 4 points each
+    assert [r.n for r in rows] == [4, 4]
+    wkts = [r[0] for r in
+            spark.createDataFrame([(r.geom,) for r in rows], ["g"])
+            .select(st.as_text("g")).collect()]
+    assert wkts[0] == "MULTIPOINT ((0 0), (1 1), (2 2), (3 3))"
+    assert wkts[1] == "MULTIPOINT ((4 4), (5 5), (6 6), (7 7))"
+
+
+def test_enrich_stream_points_in_polygons(spark, tmp_path):
+    src = str(tmp_path / "in_enrich")
+    _write_input(spark, src)
+    stream = (spark.readStream.schema(SCHEMA).parquet(src)
+              .withColumn("geom", st.point("x", "y")))
+    zones = (spark.createDataFrame(
+        [("low", 0.0), ("high", 4.0)], ["zone", "x0"])
+        .withColumn("zgeom", st.makebox("x0", F.lit(-1.0),
+                                        F.col("x0") + 3.5, F.lit(100.0)))
+        .drop("x0"))
+    out = enrich_stream(stream, zones, geom_right="zgeom")
+    _run(out, "enriched")
+    got = {(r.id, r.zone) for r in
+           spark.sql("SELECT id, zone FROM enriched").collect()}
+    # low zone covers x in [0, 3.5] → ids 0-3; high covers [4, 7.5] → 4-7
+    assert got == {(0, "low"), (1, "low"), (2, "low"), (3, "low"),
+                   (4, "high"), (5, "high"), (6, "high"), (7, "high")}
+
+
+def test_filter_stream_bbox(spark, tmp_path):
+    src = str(tmp_path / "in_bbox")
+    _write_input(spark, src)
+    stream = (spark.readStream.schema(SCHEMA).parquet(src)
+              .withColumn("geom", st.point("x", "y")))
+    out = filter_stream_bbox(stream, (2, 2, 5, 5))
+    _run(out, "bboxed")
+    ids = sorted(r.id for r in spark.sql("SELECT id FROM bboxed").collect())
+    assert ids == [2, 3, 4, 5]
