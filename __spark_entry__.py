@@ -970,6 +970,57 @@ SELECT CAST(1 AS BIGINT) AS n_parts,
 """
 
 
+def q_line_metrics(spark, sf_dir):
+    """hausdorff/frechet/minimum_bounding_radius on 2-vertex lines, where
+    each has an exact closed form (= endpoint distance, and half of it for
+    the min enclosing circle)."""
+    j = _cust_supp_lines(spark, sf_dir)
+    start = st.startpoint("line")
+    return j.select(
+        F.col("c_custkey").alias("cid"), F.col("s_suppkey").alias("sid"),
+        F.round(st.hausdorff_distance("line", start), 6).alias("hausdorff"),
+        F.round(st.frechet_distance("line", start), 6).alias("frechet"),
+        F.round(st.minimum_bounding_radius("line"), 6).alias("mbr_radius"))
+
+
+SQL_LINE_METRICS = f"""
+SELECT c_custkey AS cid, s_suppkey AS sid,
+       ROUND(SQRT(POWER({PX} - {SX}, 2) + POWER({PY} - {SY}, 2)), 6) AS hausdorff,
+       ROUND(SQRT(POWER({PX} - {SX}, 2) + POWER({PY} - {SY}, 2)), 6) AS frechet,
+       ROUND(SQRT(POWER({PX} - {SX}, 2) + POWER({PY} - {SY}, 2)) / 2, 6) AS mbr_radius
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+"""
+
+
+def q_box_distance(spark, sf_dir):
+    """length(shortest_line) between all nation-box pairs — exact
+    rectilinear closed form in SQL."""
+    n1 = (_nat(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("k1"), F.col("bx0").alias("b1x"),
+                  F.col("by0").alias("b1y"), F.col("geom").alias("g1")))
+    n2 = (_nat(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("k2"), F.col("bx0").alias("b2x"),
+                  F.col("by0").alias("b2y"), F.col("geom").alias("g2")))
+    j = n1.crossJoin(n2)
+    return j.select(
+        "k1", "k2",
+        F.round(st.length(st.shortest_line("g1", "g2")), 6).alias("gap"))
+
+
+SQL_BOX_DISTANCE = f"""
+SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+       ROUND(SQRT(
+         POWER(GREATEST(0,
+           {BX0.replace('n_nationkey', 'n2.n_nationkey')} - {BX0.replace('n_nationkey', 'n1.n_nationkey')} - 200,
+           {BX0.replace('n_nationkey', 'n1.n_nationkey')} - {BX0.replace('n_nationkey', 'n2.n_nationkey')} - 200), 2) +
+         POWER(GREATEST(0,
+           {BY0.replace('n_nationkey', 'n2.n_nationkey')} - {BY0.replace('n_nationkey', 'n1.n_nationkey')} - 200,
+           {BY0.replace('n_nationkey', 'n1.n_nationkey')} - {BY0.replace('n_nationkey', 'n2.n_nationkey')} - 200), 2)
+       ), 6) AS gap
+FROM nation n1 CROSS JOIN nation n2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -989,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops": q_setops,
         "overlay_intersection": q_overlay_intersection,
         "overlay_difference": q_overlay_difference,
+        "line_metrics": q_line_metrics,
+        "box_distance": q_box_distance,
         "explode": q_explode,
         "envelope": q_envelope,
         "validity": q_validity,
@@ -1030,6 +1083,8 @@ def oracle_sql() -> dict[str, str]:
         "setops": SQL_SETOPS,
         "overlay_intersection": SQL_OVERLAY_INTERSECTION,
         "overlay_difference": SQL_OVERLAY_DIFFERENCE,
+        "line_metrics": SQL_LINE_METRICS,
+        "box_distance": SQL_BOX_DISTANCE,
         "explode": SQL_EXPLODE,
         "envelope": SQL_ENVELOPE,
         "validity": SQL_VALIDITY,

@@ -258,6 +258,7 @@ _binary_bool("st_touches", algos.touches)
 _binary_bool("st_crosses", algos.crosses)
 _binary_bool("st_overlaps", algos.overlaps)
 _binary_bool("st_equals", algos.geom_equals)
+_binary_bool("st_containsproperly", algos.contains_properly)
 
 
 @_reg("st_distance")
@@ -291,6 +292,66 @@ _unary_geom("st_boundary", algos.boundary)
 _unary_geom("st_convexhull", algos.convex_hull)
 _unary_geom("st_reverse", algos.reverse)
 _unary_geom("st_force2d", lambda ga: ga)  # kernel is 2-D throughout
+_unary_geom("st_normalize", algos.normalize)
+_unary_geom("st_orientpolygons", algos.orient_polygons)
+_unary_geom("st_points", algos.extract_unique_points)
+_unary_geom("st_minimumboundingcircle", algos.minimum_bounding_circle)
+_unary_geom("st_orientedenvelope", algos.minimum_rotated_rectangle)
+_unary_geom("st_pointonsurface", algos.representative_point)
+_unary_double("st_minimumboundingradius", algos.minimum_bounding_radius)
+
+
+@_reg("st_segmentize")
+@pandas_udf(BinaryType())
+def _segmentize(s: pd.Series, max_len: pd.Series) -> pd.Series:
+    return _enc(algos.segmentize(_decode(s), max_len.to_numpy(np.float64)))
+
+
+@_reg("st_removerepeatedpoints")
+@pandas_udf(BinaryType())
+def _removerepeatedpoints(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return _enc(algos.remove_repeated_points(_decode(s),
+                                             tol.to_numpy(np.float64)))
+
+
+@_reg("st_setprecision")
+@pandas_udf(BinaryType())
+def _setprecision(s: pd.Series, grid: pd.Series) -> pd.Series:
+    return _enc(algos.set_precision(_decode(s), grid.to_numpy(np.float64)))
+
+
+@_reg("st_snap")
+@pandas_udf(BinaryType())
+def _snap(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+    return _enc(algos.snap(_decode(a), _decode(b), tol.to_numpy(np.float64)))
+
+
+@_reg("st_shortestline")
+@pandas_udf(BinaryType())
+def _shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _enc(algos.shortest_line(_decode(a), _decode(b)))
+
+
+@_reg("st_hausdorffdistance")
+@pandas_udf(DoubleType())
+def _hausdorff(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga = _decode(a)
+    return _mask_float(ga, algos.hausdorff_distance(ga, _decode(b)))
+
+
+@_reg("st_frechetdistance")
+@pandas_udf(DoubleType())
+def _frechet(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga = _decode(a)
+    return _mask_float(ga, algos.frechet_distance(ga, _decode(b)))
+
+
+@_reg("st_equalsexact")
+@pandas_udf(BooleanType())
+def _equalsexact(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+    ga = _decode(a)
+    return _mask_null_bool(ga, algos.geom_equals_exact(
+        ga, _decode(b), tol.to_numpy(np.float64)))
 
 
 @_reg("st_buffer")
@@ -713,6 +774,78 @@ def union_agg(c) -> Column:
 
 def union_array(c) -> Column:
     return _REGISTRY["st_union_array"](_col(c))
+
+
+def startpoint(c) -> Column:
+    return _REGISTRY["st_startpoint"](_col(c))
+
+
+def endpoint(c) -> Column:
+    return _REGISTRY["st_endpoint"](_col(c))
+
+
+def normalize(c) -> Column:
+    return _REGISTRY["st_normalize"](_col(c))
+
+
+def orient_polygons(c) -> Column:
+    return _REGISTRY["st_orientpolygons"](_col(c))
+
+
+def extract_unique_points(c) -> Column:
+    return _REGISTRY["st_points"](_col(c))
+
+
+def minimum_bounding_circle(c) -> Column:
+    return _REGISTRY["st_minimumboundingcircle"](_col(c))
+
+
+def minimum_bounding_radius(c) -> Column:
+    return _REGISTRY["st_minimumboundingradius"](_col(c))
+
+
+def minimum_rotated_rectangle(c) -> Column:
+    return _REGISTRY["st_orientedenvelope"](_col(c))
+
+
+def representative_point(c) -> Column:
+    return _REGISTRY["st_pointonsurface"](_col(c))
+
+
+def segmentize(c, max_len) -> Column:
+    return _REGISTRY["st_segmentize"](_col(c), _col(max_len))
+
+
+def remove_repeated_points(c, tol=0.0) -> Column:
+    return _REGISTRY["st_removerepeatedpoints"](_col(c), _col(tol))
+
+
+def set_precision(c, grid_size) -> Column:
+    return _REGISTRY["st_setprecision"](_col(c), _col(grid_size))
+
+
+def snap(a, b, tol) -> Column:
+    return _REGISTRY["st_snap"](_col(a), _col(b), _col(tol))
+
+
+def shortest_line(a, b) -> Column:
+    return _REGISTRY["st_shortestline"](_col(a), _col(b))
+
+
+def hausdorff_distance(a, b) -> Column:
+    return _REGISTRY["st_hausdorffdistance"](_col(a), _col(b))
+
+
+def frechet_distance(a, b) -> Column:
+    return _REGISTRY["st_frechetdistance"](_col(a), _col(b))
+
+
+def geom_equals_exact(a, b, tol) -> Column:
+    return _REGISTRY["st_equalsexact"](_col(a), _col(b), _col(tol))
+
+
+def contains_properly(a, b) -> Column:
+    return _REGISTRY["st_containsproperly"](_col(a), _col(b))
 
 
 def collect_agg(c) -> Column:

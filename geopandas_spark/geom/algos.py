@@ -1826,3 +1826,563 @@ def hilbert_xy_to_d(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
         y[swap] = tx
         s //= 2
     return d
+
+
+# ---------------------------------------------------------------------------
+# constructive extras (reference: geopandas/base.py §2.3 lines cited per fn)
+# ---------------------------------------------------------------------------
+
+def segmentize(ga: GeometryArray, max_len) -> GeometryArray:
+    """Insert vertices so no segment exceeds max_len (base.py:2215)."""
+    max_len = np.broadcast_to(np.asarray(max_len, dtype=np.float64), (len(ga),))
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if t in POINT_TYPES or ga.is_empty()[i]:
+            b.append_from(ga, i)
+            continue
+        m = float(max_len[i])
+        parts = ga.geom_slices(i)
+        new_parts = []
+        for p in parts:
+            new_rings = []
+            for r in p:
+                if len(r) < 2 or m <= 0:
+                    new_rings.append(r)
+                    continue
+                segs = []
+                for k in range(len(r) - 1):
+                    p0, p1 = r[k], r[k + 1]
+                    d = float(np.hypot(*(p1 - p0)))
+                    n = max(1, int(np.ceil(d / m)))
+                    ts = np.linspace(0.0, 1.0, n + 1)[:-1]
+                    segs.append(p0 + ts[:, None] * (p1 - p0))
+                segs.append(r[-1:])
+                new_rings.append(np.concatenate(segs, axis=0))
+            new_parts.append(new_rings)
+        b.append(t, new_parts)
+    return b.finish()
+
+
+def remove_repeated_points(ga: GeometryArray, tol=0.0) -> GeometryArray:
+    """Drop consecutive vertices within tol (base.py:1663)."""
+    tol = np.broadcast_to(np.asarray(tol, dtype=np.float64), (len(ga),))
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if t in POINT_TYPES or ga.is_empty()[i]:
+            b.append_from(ga, i)
+            continue
+        tv = float(tol[i])
+        new_parts = []
+        for p in ga.geom_slices(i):
+            new_rings = []
+            for r in p:
+                if len(r) < 2:
+                    new_rings.append(r)
+                    continue
+                keep = [0]
+                for k in range(1, len(r)):
+                    if np.hypot(*(r[k] - r[keep[-1]])) > tv:
+                        keep.append(k)
+                closed = np.array_equal(r[0], r[-1])
+                rr = r[keep]
+                if closed and not np.array_equal(rr[0], rr[-1]):
+                    rr = np.concatenate([rr, rr[:1]], axis=0)
+                new_rings.append(rr)
+            new_parts.append(new_rings)
+        b.append(t, new_parts)
+    return b.finish()
+
+
+def extract_unique_points(ga: GeometryArray) -> GeometryArray:
+    """Unique vertices per geometry → MULTIPOINT (base.py:1544)."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        pts = _geom_points(ga, i)
+        # GEOS keeps first-seen order
+        seen, keep = set(), []
+        for p in pts:
+            k = (p[0], p[1])
+            if k not in seen:
+                seen.add(k)
+                keep.append(p)
+        _append_points(b, np.array(keep, dtype=np.float64).reshape(-1, 2),
+                       GT_POINT)
+    return b.finish()
+
+
+def orient_polygons(ga: GeometryArray, exterior_ccw: bool = True) -> GeometryArray:
+    """Force shell/hole winding (base.py:2059)."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if t not in POLYGON_TYPES:
+            b.append_from(ga, i)
+            continue
+        new_parts = []
+        for p in ga.geom_slices(i):
+            rings = []
+            for k, r in enumerate(p):
+                a = _ring_signed_area_arr(r)
+                want_ccw = exterior_ccw if k == 0 else not exterior_ccw
+                if (a < 0) == want_ccw:
+                    r = r[::-1]
+                rings.append(r)
+            new_parts.append(rings)
+        if new_parts:
+            b.append(t, new_parts)
+        else:
+            b.append_empty(t)
+    return b.finish()
+
+
+def _ring_signed_area_arr(r) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def normalize(ga: GeometryArray) -> GeometryArray:
+    """Canonical form (base.py:2027): shells CCW / holes CW, every ring
+    rotated to start at its lexicographically smallest vertex, parts sorted
+    by their smallest vertex. (GEOS's normal form differs in winding
+    convention; ours is self-consistent — documented deviation.)"""
+    oriented = orient_polygons(ga)
+    b = GeometryBuilder()
+    for i in range(len(oriented)):
+        t = int(oriented.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        parts = oriented.geom_slices(i)
+        if not parts:
+            b.append_empty(t)
+            continue
+        new_parts = []
+        for p in parts:
+            rings = []
+            for r in p:
+                closed = len(r) >= 2 and np.array_equal(r[0], r[-1])
+                if closed and len(r) > 2:
+                    body = r[:-1]
+                    k = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+                    body = np.roll(body, -k, axis=0)
+                    r = np.concatenate([body, body[:1]], axis=0)
+                rings.append(r)
+            new_parts.append(rings)
+        new_parts.sort(key=lambda p: (p[0][:, 0].min(), p[0][:, 1].min())
+                       if len(p[0]) else (np.inf, np.inf))
+        b.append(t, new_parts)
+    return b.finish()
+
+
+def set_precision(ga: GeometryArray, grid_size) -> GeometryArray:
+    """Snap coordinates to a grid (base.py:1700). Pure coordinate rounding;
+    no topology repair of collapsed rings (documented deviation)."""
+    grid = np.broadcast_to(np.asarray(grid_size, dtype=np.float64), (len(ga),))
+    gv = grid[ga.coord_geom_index()] if len(ga.coords) else grid[:0]
+    nc = ga.coords.copy()
+    nz = gv > 0
+    nc[nz] = np.round(nc[nz] / gv[nz, None]) * gv[nz, None]
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, nc)
+
+
+def snap(ga: GeometryArray, gb: GeometryArray, tol) -> GeometryArray:
+    """Snap a's vertices to b's vertices (then edges) within tol
+    (base.py:5051)."""
+    tol = np.broadcast_to(np.asarray(tol, dtype=np.float64), (len(ga),))
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING or int(gb.types[i]) == GT_MISSING:
+            b.append_null()
+            continue
+        tv = float(tol[i])
+        bpts = _geom_points(gb, i)
+        bsegs = _geom_segments(gb, i)
+        new_parts = []
+        for p in ga.geom_slices(i):
+            rings = []
+            for r in p:
+                rr = r.copy()
+                for k in range(len(rr)):
+                    v = rr[k]
+                    if len(bpts):
+                        d = np.hypot(*(bpts - v).T)
+                        j = int(np.argmin(d))
+                        if d[j] <= tv:
+                            rr[k] = bpts[j]
+                            continue
+                    if len(bsegs):
+                        dd = _point_seg_dist(v.reshape(1, 2), bsegs)[0]
+                        if dd <= tv:
+                            rr[k] = _closest_point_on_segs(v, bsegs)
+                rings.append(rr)
+            new_parts.append(rings)
+        if new_parts:
+            b.append(t, new_parts)
+        else:
+            b.append_empty(t)
+    return b.finish()
+
+
+def _closest_point_on_segs(v, segs):
+    p0 = segs[:, 0]
+    d = segs[:, 1] - p0
+    dd = (d * d).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tpar = ((v - p0) * d).sum(axis=1) / np.where(dd == 0, 1.0, dd)
+    tpar = np.clip(tpar, 0.0, 1.0)
+    proj = p0 + tpar[:, None] * d
+    dist = np.hypot(*(proj - v).T)
+    return proj[int(np.argmin(dist))]
+
+
+def shortest_line(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
+    """LINESTRING between the closest points of each pair (base.py:4949)."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        pa, pb = _closest_pair(ga, i, gb, i)
+        if pa is None:
+            b.append_empty(GT_LINESTRING)
+        else:
+            b.append(GT_LINESTRING, [[np.array([pa, pb])]])
+    return b.finish()
+
+
+def _closest_pair(ga, i, gb, j):
+    """Closest points between rows (vertices + edge projections)."""
+    if _pair_intersects(ga, i, gb, j):
+        # touching/overlapping: any shared point; use a vertex of a inside b
+        pts = _geom_points(ga, i)
+        m = _points_member_mask(pts, gb, j)
+        if m.any():
+            p = pts[m][0]
+            return p.copy(), p.copy()
+        pts_b = _geom_points(gb, j)
+        m = _points_member_mask(pts_b, ga, i)
+        if m.any():
+            p = pts_b[m][0]
+            return p.copy(), p.copy()
+        # crossing edges: compute a crossing point
+        sa, sb = _geom_segments(ga, i), _geom_segments(gb, j)
+        for s in sa:
+            for q in sb:
+                hits = _mr._segment_intersection(
+                    tuple(s[0]), tuple(s[1]), tuple(q[0]), tuple(q[1]))
+                if hits:
+                    p = np.asarray(hits[0], dtype=np.float64)
+                    return p, p.copy()
+    best = (np.inf, None, None)
+    pa_all, sa = _geom_points(ga, i), _geom_segments(ga, i)
+    pb_all, sb = _geom_points(gb, j), _geom_segments(gb, j)
+    for p in pa_all:
+        if len(sb):
+            q = _closest_point_on_segs(p, sb)
+        elif len(pb_all):
+            q = pb_all[int(np.argmin(np.hypot(*(pb_all - p).T)))]
+        else:
+            continue
+        d = float(np.hypot(*(q - p)))
+        if d < best[0]:
+            best = (d, p.copy(), q)
+    for q in pb_all:
+        if len(sa):
+            p = _closest_point_on_segs(q, sa)
+        elif len(pa_all):
+            p = pa_all[int(np.argmin(np.hypot(*(pa_all - q).T)))]
+        else:
+            continue
+        d = float(np.hypot(*(q - p)))
+        if d < best[0]:
+            best = (d, p, q.copy())
+    return best[1], best[2]
+
+
+def hausdorff_distance(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
+    """Discrete Hausdorff distance, vertex-sampled like GEOS's
+    DiscreteHausdorffDistance (base.py:4166): max over vertices of one side
+    of the true point-to-geometry distance to the other, symmetric."""
+    out = np.full(len(ga), np.nan)
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
+            continue
+        pa, sa = _geom_points(ga, i), _geom_segments(ga, i)
+        pb, sb = _geom_points(gb, i), _geom_segments(gb, i)
+        if len(pa) == 0 or len(pb) == 0:
+            continue
+
+        def _dir(pts, osegs, opts):
+            if len(osegs):
+                return max(float(_point_seg_dist(p.reshape(1, 2), osegs)[0])
+                           for p in pts)
+            return max(float(np.hypot(*(opts - p).T).min()) for p in pts)
+
+        out[i] = max(_dir(pa, sb, pb), _dir(pb, sa, pa))
+    return out
+
+
+def frechet_distance(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
+    """Discrete Fréchet distance over vertex sequences (base.py:4281)."""
+    out = np.full(len(ga), np.nan)
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
+            continue
+        P, Q = _geom_points(ga, i), _geom_points(gb, i)
+        n, m = len(P), len(Q)
+        if n == 0 or m == 0:
+            continue
+        d = np.hypot(P[:, None, 0] - Q[None, :, 0],
+                     P[:, None, 1] - Q[None, :, 1])
+        ca = np.full((n, m), np.inf)
+        ca[0, 0] = d[0, 0]
+        for r in range(n):
+            for c in range(m):
+                if r == 0 and c == 0:
+                    continue
+                prev = min(
+                    ca[r - 1, c] if r else np.inf,
+                    ca[r, c - 1] if c else np.inf,
+                    ca[r - 1, c - 1] if r and c else np.inf)
+                ca[r, c] = max(prev, d[r, c])
+        out[i] = float(ca[n - 1, m - 1])
+    return out
+
+
+def _welzl_circle(pts: np.ndarray):
+    """Minimum enclosing circle — deterministic incremental Welzl."""
+    def circle2(a, bq):
+        c = (a + bq) / 2.0
+        return c, float(np.hypot(*(a - c)))
+
+    def circle3(a, bq, cq):
+        ax, ay = a
+        bx, by = bq
+        cx, cy = cq
+        dd = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if dd == 0:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / dd
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / dd
+        c = np.array([ux, uy])
+        return c, float(np.hypot(*(a - c)))
+
+    def inside(c, r, p):
+        return np.hypot(*(p - c)) <= r * (1 + 1e-12) + 1e-12
+
+    c, r = pts[0], 0.0
+    for k in range(1, len(pts)):
+        if inside(c, r, pts[k]):
+            continue
+        c, r = pts[k], 0.0
+        for m in range(k):
+            if inside(c, r, pts[m]):
+                continue
+            c, r = circle2(pts[k], pts[m])
+            for q in range(m):
+                if inside(c, r, pts[q]):
+                    continue
+                res = circle3(pts[k], pts[m], pts[q])
+                if res is not None:
+                    c, r = res
+    return c, r
+
+
+def minimum_bounding_radius(ga: GeometryArray) -> np.ndarray:
+    """Radius of the minimum enclosing circle (base.py:1917)."""
+    out = np.full(len(ga), np.nan)
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            continue
+        pts = _geom_points(ga, i)
+        if len(pts) == 0:
+            out[i] = 0.0
+            continue
+        _c, r = _welzl_circle(np.unique(pts, axis=0))
+        out[i] = r
+    return out
+
+
+def minimum_bounding_circle(ga: GeometryArray, quad_segs: int = 16) -> GeometryArray:
+    """Minimum enclosing circle as a polygon (base.py:1820)."""
+    b = GeometryBuilder()
+    nseg = 4 * quad_segs
+    ang = 2 * np.pi * np.arange(nseg) / nseg
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        pts = _geom_points(ga, i)
+        if len(pts) == 0:
+            b.append_empty(GT_POLYGON)
+            continue
+        c, r = _welzl_circle(np.unique(pts, axis=0))
+        if r == 0.0:
+            b.append_point(c[0], c[1])
+            continue
+        ring = np.column_stack([c[0] + r * np.cos(ang),
+                                c[1] + r * np.sin(ang)])
+        ring = np.concatenate([ring, ring[:1]], axis=0)
+        b.append(GT_POLYGON, [[ring]])
+    return b.finish()
+
+
+def minimum_rotated_rectangle(ga: GeometryArray) -> GeometryArray:
+    """Minimum-area oriented envelope via rotating calipers over the convex
+    hull (base.py:1467)."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        pts = np.unique(_geom_points(ga, i), axis=0)
+        if len(pts) == 0:
+            b.append_empty(GT_POLYGON)
+            continue
+        if len(pts) == 1:
+            b.append_point(pts[0, 0], pts[0, 1])
+            continue
+        hull = _monotone_chain(pts)
+        if len(hull) < 3:
+            b.append(GT_LINESTRING, [[hull]])
+            continue
+        best = (np.inf, None)
+        for k in range(len(hull)):
+            e = hull[(k + 1) % len(hull)] - hull[k]
+            ln = np.hypot(*e)
+            if ln == 0:
+                continue
+            ux, uy = e / ln
+            R = np.array([[ux, uy], [-uy, ux]])
+            rot = hull @ R.T
+            mn = rot.min(axis=0)
+            mx = rot.max(axis=0)
+            area_k = (mx[0] - mn[0]) * (mx[1] - mn[1])
+            if area_k < best[0]:
+                corners = np.array([[mn[0], mn[1]], [mx[0], mn[1]],
+                                    [mx[0], mx[1]], [mn[0], mx[1]],
+                                    [mn[0], mn[1]]])
+                best = (area_k, corners @ R)
+        b.append(GT_POLYGON, [[best[1]]])
+    return b.finish()
+
+
+def representative_point(ga: GeometryArray) -> GeometryArray:
+    """A point guaranteed on/inside the geometry (base.py:1788): centroid
+    if interior, else midpoint of the widest interior scanline interval
+    (polygons) / a middle vertex (lines) / first point."""
+    b = GeometryBuilder()
+    cen = centroid(ga)
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        pts = _geom_points(ga, i)
+        if len(pts) == 0:
+            b.append_empty(GT_POINT)
+            continue
+        if t in POINT_TYPES:
+            b.append_point(pts[0, 0], pts[0, 1])
+            continue
+        if t in LINE_TYPES:
+            v = pts[len(pts) // 2]
+            b.append_point(v[0], v[1])
+            continue
+        cx, cy = cen.coords[cen.coord_offsets_per_geom()[i]]
+        if points_in_geom(np.array([cx]), np.array([cy]), ga, i)[0] == 2:
+            b.append_point(cx, cy)
+            continue
+        # scanline through the centroid y (nudged off vertex rows)
+        ys = pts[:, 1]
+        y = cy
+        if np.any(np.isclose(ys, y)):
+            lo, hi = ys.min(), ys.max()
+            y = np.nextafter(y, hi if y < (lo + hi) / 2 else lo)
+        xs = []
+        for rings in ga.geom_slices(i):
+            for r in rings:
+                y0, y1 = r[:-1, 1], r[1:, 1]
+                x0, x1 = r[:-1, 0], r[1:, 0]
+                crossing = (y0 > y) != (y1 > y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xc = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+                xs.extend(xc[crossing].tolist())
+        xs = sorted(xs)
+        if len(xs) >= 2:
+            widths = [(xs[k + 1] - xs[k], k) for k in range(0, len(xs) - 1, 2)]
+            _w, k = max(widths)
+            b.append_point((xs[k] + xs[k + 1]) / 2, y)
+        else:
+            b.append_point(pts[0, 0], pts[0, 1])
+    return b.finish()
+
+
+def geom_equals_exact(ga: GeometryArray, gb: GeometryArray, tol) -> np.ndarray:
+    """Structural equality within tolerance (base.py:3042): same type, same
+    part/ring/vertex structure, coordinates within tol."""
+    tol = np.broadcast_to(np.asarray(tol, dtype=np.float64), (len(ga),))
+    out = np.zeros(len(ga), dtype=bool)
+    for i in range(len(ga)):
+        if ga.types[i] != gb.types[i] or ga.types[i] == GT_MISSING:
+            continue
+        pa = ga.geom_slices(i)
+        pb = gb.geom_slices(i)
+        if len(pa) != len(pb):
+            continue
+        ok = True
+        for ra, rb in zip(pa, pb):
+            if len(ra) != len(rb):
+                ok = False
+                break
+            for xa, xb in zip(ra, rb):
+                if len(xa) != len(xb) or \
+                        (len(xa) and np.abs(xa - xb).max() > tol[i]):
+                    ok = False
+                    break
+            if not ok:
+                break
+        out[i] = ok
+    return out
+
+
+def contains_properly(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
+    """b entirely in a's interior — no boundary contact (base.py:2699)."""
+    out = np.zeros(len(ga), dtype=bool)
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
+            continue
+        if int(ga.types[i]) not in POLYGON_TYPES:
+            continue
+        pts = _geom_points(gb, i)
+        if len(pts) == 0:
+            continue
+        cls = points_in_geom(pts[:, 0], pts[:, 1], ga, i)
+        if not (cls == 2).all():
+            continue
+        # no b edge may cross or touch a's boundary
+        sa, sb = _geom_segments(ga, i), _geom_segments(gb, i)
+        if len(sa) and len(sb):
+            any_hit, _prop = _segs_intersect_flags(sb, sa)
+            if any_hit:
+                continue
+        out[i] = True
+    return out

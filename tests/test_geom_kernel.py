@@ -409,3 +409,111 @@ class TestBooleanOps:
         box = ga_from_wkt("POLYGON ((1 1, 5 1, 5 3, 1 3, 1 1))")
         assert algos.area(algos.intersection(mp, box))[0] == 2.0
         assert algos.area(algos.union(mp, box))[0] == 8.0 + 8.0 - 2.0
+
+
+class TestConstructiveExtras:
+    def test_segmentize(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        out = algos.segmentize(ga, 3.0)
+        assert wkt.format_array(out)[0] == \
+            "LINESTRING (0 0, 2.5 0, 5 0, 7.5 0, 10 0)"
+        assert algos.length(out)[0] == 10.0
+
+    def test_remove_repeated_points(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)")
+        assert wkt.format_array(algos.remove_repeated_points(ga))[0] == \
+            "LINESTRING (0 0, 1 1, 2 2)"
+
+    def test_extract_unique_points(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+        assert wkt.format_array(algos.extract_unique_points(ga))[0] == \
+            "MULTIPOINT ((0 0), (1 0), (1 1))"
+
+    def test_normalize_idempotent_across_rotation(self):
+        a = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 2, 0 2, 0 0, 2 0, 2 2))")  # rotated CCW
+        c = ga_from_wkt("POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))")  # CW winding
+        na = wkt.format_array(algos.normalize(a))[0]
+        nb = wkt.format_array(algos.normalize(b))[0]
+        nc = wkt.format_array(algos.normalize(c))[0]
+        assert na == nb == nc
+
+    def test_orient_polygons(self):
+        cw = ga_from_wkt("POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))")
+        out = algos.orient_polygons(cw)
+        assert algos.is_ccw(algos.boundary(out))[0]
+
+    def test_set_precision(self):
+        ga = ga_from_wkt("POINT (1.26 3.74)")
+        assert wkt.format_array(algos.set_precision(ga, 0.5))[0] == \
+            "POINT (1.5 3.5)"
+
+    def test_snap(self):
+        a = ga_from_wkt("LINESTRING (0.1 0.1, 5 5)")
+        b = ga_from_wkt("POINT (0 0)")
+        out = algos.snap(a, b, 0.5)
+        assert wkt.format_array(out)[0] == "LINESTRING (0 0, 5 5)"
+
+    def test_shortest_line(self):
+        a = ga_from_wkt("POINT (0 5)")
+        b = ga_from_wkt("LINESTRING (2 0, 2 10)")
+        out = algos.shortest_line(a, b)
+        assert wkt.format_array(out)[0] == "LINESTRING (0 5, 2 5)"
+
+    def test_hausdorff(self):
+        a = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        b = ga_from_wkt("LINESTRING (0 3, 10 3)")
+        np.testing.assert_allclose(algos.hausdorff_distance(a, b), [3.0])
+
+    def test_frechet(self):
+        a = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        b = ga_from_wkt("LINESTRING (0 3, 10 3)")
+        np.testing.assert_allclose(algos.frechet_distance(a, b), [3.0])
+
+    def test_minimum_bounding_radius_box(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 6 0, 6 8, 0 8, 0 0))")
+        np.testing.assert_allclose(algos.minimum_bounding_radius(ga), [5.0])
+
+    def test_minimum_bounding_circle_geometry(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 6 0, 6 8, 0 8, 0 0))")
+        circ = algos.minimum_bounding_circle(ga)
+        # center (3,4), radius 5 → bbox [-2,-1,8,9] up to the 64-gon chord
+        bb = algos.bounds(circ)[0]
+        np.testing.assert_allclose(bb, [-2, -1, 8, 9], atol=0.02)
+        # covers the input shrunk clear of the polygonized-chord sagitta
+        inner = ga_from_wkt("POLYGON ((0.1 0.1, 5.9 0.1, 5.9 7.9, 0.1 7.9,"
+                            " 0.1 0.1))")
+        assert algos.covers(circ, inner)[0]
+
+    def test_minimum_rotated_rectangle(self):
+        # 45-degree line of points → thin diagonal rect, area ~0
+        ga = ga_from_wkt("MULTIPOINT ((0 0), (2 2), (4 4))")
+        out = algos.minimum_rotated_rectangle(ga)
+        # degenerate → linestring hull
+        assert wkt.format_array(out)[0].startswith("LINESTRING")
+        ga2 = ga_from_wkt("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        out2 = algos.minimum_rotated_rectangle(ga2)
+        np.testing.assert_allclose(algos.area(out2), [8.0])
+
+    def test_representative_point_inside(self):
+        # C-shape whose centroid falls in the gap
+        ga = ga_from_wkt(
+            "POLYGON ((0 0, 5 0, 5 1, 1 1, 1 4, 5 4, 5 5, 0 5, 0 0))")
+        rp = algos.representative_point(ga)
+        x, y = algos.get_x(rp)[0], algos.get_y(rp)[0]
+        assert algos.points_in_geom(np.array([x]), np.array([y]), ga, 0)[0] == 2
+
+    def test_geom_equals_exact(self):
+        a = ga_from_wkt("LINESTRING (0 0, 1 1)")
+        b = ga_from_wkt("LINESTRING (0 0.0000001, 1 1)")
+        assert algos.geom_equals_exact(a, b, 1e-6)[0]
+        assert not algos.geom_equals_exact(a, b, 1e-9)[0]
+
+    def test_contains_properly(self):
+        a = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+                        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))",
+                        "POLYGON ((0 2, 4 2, 4 4, 0 4, 0 2))")  # touches edge
+        np.testing.assert_array_equal(algos.contains_properly(a, b),
+                                      [True, False])
+        np.testing.assert_array_equal(algos.contains(a, b), [True, True])
