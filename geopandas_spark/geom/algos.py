@@ -936,13 +936,80 @@ def _dp(ring: np.ndarray, tol: float) -> np.ndarray:
     return ring[keep]
 
 
+def _disk_ring(cx, cy, d, nseg):
+    ang = 2 * np.pi * np.arange(nseg) / nseg
+    ring = np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+    return np.concatenate([ring, ring[:1]], axis=0)
+
+
+def _seg_rect(p0, p1, d):
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    ln = (dx * dx + dy * dy) ** 0.5
+    if ln == 0:
+        return None
+    nx, ny = -dy / ln * d, dx / ln * d
+    return np.array([[p0[0] + nx, p0[1] + ny], [p1[0] + nx, p1[1] + ny],
+                     [p1[0] - nx, p1[1] - ny], [p0[0] - nx, p0[1] - ny],
+                     [p0[0] + nx, p0[1] + ny]])
+
+
+def _union_ring_sets(items):
+    """Pairwise Martinez–Rueda merge tree over flat even-odd ring sets."""
+    items = [it for it in items if it]
+    if not items:
+        return []
+    while len(items) > 1:
+        nxt = []
+        for k in range(0, len(items) - 1, 2):
+            polys = _mr.boolean_op(items[k], items[k + 1], _mr.UNION)
+            nxt.append([r for poly in polys for r in poly])
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return _mr.assemble_rings(items[0])
+
+
+def _dilation_rings(parts, d, nseg):
+    """Ring sets of the Minkowski dilation pieces of a geometry's segments
+    and vertices (per-segment rectangles + per-vertex disks).
+
+    Disks are circumscribed (radius d/cos(pi/nseg)) so the vertex disk
+    strictly contains the tangency point with its segment rectangles —
+    every sweep intersection is a clean transversal crossing instead of a
+    degenerate tangency. Radial error ~d*7.5e-4 at quad_segs=16, inside
+    the polygonization chord error GEOS itself accepts."""
+    dr = d / np.cos(np.pi / nseg)  # disks only — rects stay at d
+    out = []
+    for p in parts:
+        for r in p:
+            for k in range(len(r) - 1):
+                rect = _seg_rect(r[k], r[k + 1], d)
+                if rect is not None:
+                    out.append([rect])
+            seen = set()
+            for v in (r[:-1] if len(r) > 1 else r):
+                key = (v[0], v[1])
+                if key not in seen:
+                    seen.add(key)
+                    out.append([_disk_ring(v[0], v[1], dr, nseg)])
+            if len(r) >= 2 and not np.array_equal(r[0], r[-1]):
+                out.append([_disk_ring(r[-1][0], r[-1][1], dr, nseg)])
+    return out
+
+
 def buffer(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
     """Buffer with round joins. quad_segs default 16 matches the reference
     (geopandas/array.py:916-943, not shapely's 8).
 
-    Supported: points (regular 4*quad_segs-gon), convex polygons, and
-    axis-aligned boxes (rounded-rectangle Minkowski sum). Concave polygons
-    and lines need a polygon-clipping union and are deferred (raises)."""
+    Fast paths: points (regular 4*quad_segs-gon), single convex rings,
+    negative buffer of axis-aligned boxes. General path (any polygon /
+    line, positive d): Minkowski decomposition — union of the geometry
+    with per-segment rectangles and per-vertex disks via the
+    Martinez–Rueda merge tree. General negative d: erosion as
+    A − dilation(boundary(A), |d|), the set-theoretic identity
+    A ⊖ D = A − (∂A ⊕ D). Round joins are polygonized (full 4*quad_segs
+    circle per vertex) — areas agree with GEOS to the same chord error,
+    vertex layout differs (documented deviation)."""
     dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
     nseg = 4 * quad_segs
     b = GeometryBuilder()
@@ -966,11 +1033,9 @@ def buffer(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
                                     c[1] + d * np.sin(ang)])
             ring = np.concatenate([ring, ring[:1]], axis=0)
             b.append(GT_POLYGON, [[ring]])
-        elif t == GT_POLYGON and d > 0 and len(parts[0]) == 1:
+        elif t == GT_POLYGON and d > 0 and len(parts[0]) == 1 and \
+                _is_convex(_ensure_ccw(parts[0][0])):
             ring = _ensure_ccw(parts[0][0])
-            if not _is_convex(ring):
-                raise NotImplementedError(
-                    "buffer of concave polygons not yet supported")
             b.append(GT_POLYGON, [[_buffer_convex_ring(ring, d, quad_segs)]])
         elif t == GT_POLYGON and d < 0 and len(parts[0]) == 1 and \
                 _is_axis_aligned_box(parts[0][0]):
@@ -983,10 +1048,26 @@ def buffer(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
                 bb = boxes_from_bounds([xmin - d], [ymin - d], [xmax + d],
                                        [ymax + d])
                 b.append_from(bb, 0)
+        elif t in POINT_TYPES and d > 0:
+            items = [[_disk_ring(v[0], v[1], d, nseg)]
+                     for v in _geom_points(ga, i)]
+            _append_polys(b, _union_ring_sets(items))
+        elif d > 0:
+            items = _dilation_rings(parts, d, nseg)
+            if t in POLYGON_TYPES:
+                items.append([_mr._close(r) for p in parts for r in p])
+            _append_polys(b, _union_ring_sets(items))
+        elif t in POLYGON_TYPES:  # general negative: erosion identity
+            dd = -d
+            dil = _union_ring_sets(_dilation_rings(parts, dd, nseg))
+            dil_rings = [r for poly in dil for r in poly]
+            polys = _mr.boolean_op([_mr._close(r) for p in parts for r in p],
+                                   dil_rings, _mr.DIFFERENCE)
+            _append_polys(b, polys)
         else:
             raise NotImplementedError(
-                f"buffer not yet supported for {GEOM_TYPE_NAMES.get(t)} "
-                f"with distance {d}")
+                f"buffer not supported for {GEOM_TYPE_NAMES.get(t)} "
+                f"with negative distance {d}")
     return b.finish()
 
 

@@ -517,3 +517,43 @@ class TestConstructiveExtras:
         np.testing.assert_array_equal(algos.contains_properly(a, b),
                                       [True, False])
         np.testing.assert_array_equal(algos.contains(a, b), [True, True])
+
+
+class TestGeneralBuffer:
+    """General Minkowski buffer paths (reference: base.py:5389 buffer).
+    Areas compared against closed forms with the polygonized-arc chord
+    tolerance (circumscribed disks: rel error < 1e-3)."""
+
+    def test_line_capsule(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        a = algos.area(algos.buffer(ga, 1.0))[0]
+        np.testing.assert_allclose(a, 20 + np.pi, rtol=2e-3)
+
+    def test_concave_polygon_buffer(self):
+        L = ga_from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+        a = algos.area(algos.buffer(L, 0.5))[0]
+        # A + P*d + pi d^2 (convex corners) - reflex corner notch (d^2 - pi d^2/4)
+        exact = 20 + 24 * 0.5 + np.pi * 0.25 - (0.25 - np.pi * 0.25 / 4)
+        np.testing.assert_allclose(a, exact, rtol=2e-3)
+        assert algos.is_valid(algos.buffer(L, 0.5))[0]
+
+    def test_negative_buffer_erosion(self):
+        L = ga_from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+        a = algos.area(algos.buffer(L, -0.5))[0]
+        # arms union (9) + reflex-corner clearance (0.25 - pi/16)
+        np.testing.assert_allclose(a, 9 + 0.25 - np.pi / 16, rtol=3e-3)
+
+    def test_erosion_grows_hole(self):
+        H = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+                        " (4 4, 6 4, 6 6, 4 6, 4 4))")
+        out = algos.buffer(H, -1.0)
+        a = algos.area(out)[0]
+        np.testing.assert_allclose(a, 64 - 16 + (4 - np.pi), rtol=2e-3)
+        assert algos.count_interior_rings(out)[0] == 1
+
+    def test_multipoint_buffer_merges(self):
+        mp = ga_from_wkt("MULTIPOINT ((0 0), (0.5 0), (10 0))")
+        a = algos.area(algos.buffer(mp, 1.0))[0]
+        r = 1.0
+        dlens = 2 * r * r * np.arccos(0.25) - 0.25 * np.sqrt(4 - 0.25)
+        np.testing.assert_allclose(a, 2 * np.pi - dlens + np.pi, rtol=3e-3)
