@@ -1021,6 +1021,29 @@ FROM nation n1 CROSS JOIN nation n2
 """
 
 
+def q_to_crs(spark, sf_dir):
+    """Web-Mercator reprojection (reference to_crs, array.py:1098): keys
+    scaled into valid lon/lat range; the 4326→3857 closed form has an exact
+    SQL twin."""
+    c = _t(spark, sf_dir, "customer")
+    lon = (F.expr(PX) / 10.0 - 50.0).cast("double")
+    lat = (F.expr(PY) / 20.0).cast("double")
+    g = st.point(lon, lat)
+    m = st.to_crs(g, "EPSG:4326", "EPSG:3857")
+    return (_t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("cid"),
+                    F.round(st.x(m), 3).alias("mx"),
+                    F.round(st.y(m), 3).alias("my")))
+
+
+SQL_TO_CRS = f"""
+SELECT c_custkey AS cid,
+       ROUND(RADIANS({PX} / 10.0 - 50.0) * 6378137.0, 3) AS mx,
+       ROUND(LN(TAN(PI() / 4 + RADIANS({PY} / 20.0) / 2)) * 6378137.0, 3) AS my
+FROM customer
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -1042,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_difference": q_overlay_difference,
         "line_metrics": q_line_metrics,
         "box_distance": q_box_distance,
+        "to_crs": q_to_crs,
         "explode": q_explode,
         "envelope": q_envelope,
         "validity": q_validity,
@@ -1085,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_difference": SQL_OVERLAY_DIFFERENCE,
         "line_metrics": SQL_LINE_METRICS,
         "box_distance": SQL_BOX_DISTANCE,
+        "to_crs": SQL_TO_CRS,
         "explode": SQL_EXPLODE,
         "envelope": SQL_ENVELOPE,
         "validity": SQL_VALIDITY,

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from geopandas_spark.geom import algos, wkb
+from geopandas_spark.geom import crs as crsmod
 from geopandas_spark.geom import geojson as gjmod
 from geopandas_spark.geom import wkt as wktmod
 from geopandas_spark.geom.array import points_from_xy, boxes_from_bounds
@@ -552,6 +553,44 @@ def _union_array(s: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@_reg("st_transform")
+@pandas_udf(BinaryType())
+def _transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    """Reproject (reference to_crs, geopandas/array.py:1098-1187). One
+    vectorized pass over the batch's flat coordinate buffer."""
+    return _enc(crsmod.transform(_decode(s), src.iloc[0], dst.iloc[0]))
+
+
+@_reg("st_samplepoints")
+@pandas_udf(BinaryType())
+def _samplepoints(s: pd.Series, size: pd.Series, seed: pd.Series) -> pd.Series:
+    return _enc(algos.sample_points(_decode(s), size.to_numpy(np.int64),
+                                    int(seed.iloc[0])))
+
+
+@_reg("st_polygonize_agg")
+@pandas_udf(BinaryType())
+def _polygonize_agg(s: pd.Series) -> bytes:
+    """Faces enclosed by the group's linework, as one MULTIPOLYGON
+    (GROUPED_AGG; reference base.py:6545). Whole-group semantics — lines
+    must be grouped so related linework lands in one group (document scale
+    limit, SURVEY §2.8); explode with st_dump."""
+    ga = wkb.decode(s.tolist())
+    faces = algos.polygonize(ga)
+    if len(faces) == 0:
+        return None
+    return wkb.encode(algos.collect(faces))[0]
+
+
+@_reg("st_buildarea_agg")
+@pandas_udf(BinaryType())
+def _buildarea_agg(s: pd.Series) -> bytes:
+    """Areal geometry from the group's linework (GROUPED_AGG; reference
+    base.py:6484): enclosed faces nested by parity into shells + holes."""
+    ga = wkb.decode(s.tolist())
+    return wkb.encode(algos.build_area(ga))[0]
+
+
 @_reg("st_collect_agg")
 @pandas_udf(BinaryType())
 def _collect_agg(s: pd.Series) -> bytes:
@@ -774,6 +813,22 @@ def union_agg(c) -> Column:
 
 def union_array(c) -> Column:
     return _REGISTRY["st_union_array"](_col(c))
+
+
+def to_crs(c, src, dst) -> Column:
+    return _REGISTRY["st_transform"](_col(c), F.lit(str(src)), F.lit(str(dst)))
+
+
+def sample_points(c, size, seed=0) -> Column:
+    return _REGISTRY["st_samplepoints"](_col(c), _col(size), F.lit(int(seed)))
+
+
+def polygonize_agg(c) -> Column:
+    return _REGISTRY["st_polygonize_agg"](_col(c))
+
+
+def build_area_agg(c) -> Column:
+    return _REGISTRY["st_buildarea_agg"](_col(c))
 
 
 def startpoint(c) -> Column:

@@ -2467,3 +2467,162 @@ def contains_properly(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
                 continue
         out[i] = True
     return out
+
+
+# ---------------------------------------------------------------------------
+# linework → polygons (reference: polygonize base.py:6545, build_area :6484)
+# ---------------------------------------------------------------------------
+
+def _node_segments(segs: np.ndarray) -> list:
+    """Split every segment at its crossings with all others (noding)."""
+    out = []
+    for k in range(len(segs)):
+        others = np.delete(segs, k, axis=0)
+        if len(others):
+            out.extend(_split_segment_by_edges(segs[k][0], segs[k][1],
+                                               others[:, 0], others[:, 1]))
+        else:
+            out.append(segs[k])
+    return out
+
+
+def polygonize(ga: GeometryArray) -> GeometryArray:
+    """Whole-series: polygons formed by the input linework (base.py:6545).
+
+    Node all segments, build both directed half-edges per undirected edge,
+    trace faces with the leftmost-turn rule (same planar-graph machinery as
+    the overlay ring chaining); bounded faces come out CCW — the unbounded
+    outer face (CW) is dropped. Returns one polygon per face."""
+    segs = []
+    for i in range(len(ga)):
+        if int(ga.types[i]) in LINE_TYPES:
+            s = _geom_segments(ga, i)
+            if len(s):
+                segs.append(s)
+    if not segs:
+        b = GeometryBuilder()
+        return b.finish()
+    noded = _node_segments(np.concatenate(segs, axis=0))
+    # dedupe undirected edges
+    seen = {}
+    for s in noded:
+        p, q = (s[0][0], s[0][1]), (s[1][0], s[1][1])
+        if p == q:
+            continue
+        key = (p, q) if p < q else (q, p)
+        seen[key] = (p, q)
+    directed = []
+    for p, q in seen.values():
+        directed.append((p, q))
+        directed.append((q, p))
+    out_map = {}
+    for eid, (p, _q) in enumerate(directed):
+        out_map.setdefault(p, []).append(eid)
+
+    used = [False] * len(directed)
+    b = GeometryBuilder()
+    for start in range(len(directed)):
+        if used[start]:
+            continue
+        ring = [directed[start][0]]
+        eid = start
+        closed = False
+        guard = 0
+        while guard <= len(directed):
+            guard += 1
+            used[eid] = True
+            p, q = directed[eid]
+            ring.append(q)
+            inc = np.arctan2(q[1] - p[1], q[0] - p[0])
+            best, best_rel = None, -1.0
+            for cand in out_map.get(q, ()):
+                cp, cq = directed[cand]
+                if cq == p and len(out_map.get(q, ())) > 1:
+                    continue  # no immediate U-turn unless dead end
+                if used[cand] and cand != start:
+                    continue
+                rel = (np.arctan2(cq[1] - cp[1], cq[0] - cp[0])
+                       - inc - np.pi) % (2 * np.pi)
+                if rel > best_rel:
+                    best, best_rel = cand, rel
+            if best is None:
+                break
+            if best == start:
+                closed = True
+                break
+            eid = best
+        if not closed or len(ring) < 3:
+            continue
+        if ring[0] != ring[-1]:
+            ring.append(ring[0])
+        r = np.asarray(ring, dtype=np.float64)
+        if _ring_signed_area_arr(r) > 0:  # bounded faces only
+            b.append(GT_POLYGON, [[r]])
+    return b.finish()
+
+
+def build_area(ga: GeometryArray) -> GeometryArray:
+    """Areal geometry from linework (base.py:6484): polygonize, then treat
+    enclosed faces as a coverage — faces nested inside an odd number of
+    other faces become holes. Returns a single (multi)polygon row."""
+    faces = polygonize(ga)
+    b = GeometryBuilder()
+    if len(faces) == 0:
+        b.append_empty(GT_POLYGON)
+        return b.finish()
+    rings = [faces.geom_slices(i)[0][0] for i in range(len(faces))]
+    polys = _mr.assemble_rings(rings)
+    _append_polys(b, polys)
+    return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# random sampling (reference: sample_points base.py:6379, tools/_random.py)
+# ---------------------------------------------------------------------------
+
+def sample_points(ga: GeometryArray, size, seed: int = 0) -> GeometryArray:
+    """Uniform random points within each polygon (rejection sampling in the
+    bbox, like the reference's batched sampler) or along each line
+    (length-weighted). Deterministic: per-row rng seeded (seed, row) so
+    results are stable across partitionings and retries."""
+    size = np.broadcast_to(np.asarray(size, dtype=np.int64), (len(ga),))
+    bb = bounds(ga)
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        n = int(size[i])
+        rng = np.random.default_rng([seed, i])
+        if n <= 0 or ga.is_empty()[i]:
+            b.append_empty(GT_MULTIPOINT)
+            continue
+        if t in POLYGON_TYPES:
+            got = []
+            x0, y0, x1, y1 = bb[i]
+            need = n
+            while need > 0:
+                m = max(need * 4, 32)
+                px = rng.uniform(x0, x1, m)
+                py = rng.uniform(y0, y1, m)
+                cls = points_in_geom(px, py, ga, i)
+                hit = np.nonzero(cls == 2)[0][:need]
+                got.append(np.column_stack([px[hit], py[hit]]))
+                need -= len(hit)
+            pts = np.concatenate(got, axis=0)
+        elif t in LINE_TYPES:
+            segs = _geom_segments(ga, i)
+            lens = np.hypot(*(segs[:, 1] - segs[:, 0]).T)
+            tot = lens.sum()
+            if tot == 0:
+                pts = np.repeat(segs[0, 0][None, :], n, axis=0)
+            else:
+                ks = rng.choice(len(segs), size=n, p=lens / tot)
+                tpar = rng.uniform(0, 1, n)
+                pts = segs[ks, 0] + tpar[:, None] * (segs[ks, 1] - segs[ks, 0])
+        else:
+            pts = _geom_points(ga, i)[rng.integers(0, ga.coords_per_geom()[i],
+                                                   n)]
+        b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
+    return b.finish()

@@ -104,3 +104,48 @@ def test_bounds_struct(spark):
     df = spark.createDataFrame([("LINESTRING (1 2, 5 -3)",)], ["w"])
     r = df.select(st.bounds(st.geom_from_text("w")).alias("b")).collect()[0].b
     assert (r.xmin, r.ymin, r.xmax, r.ymax) == (1.0, -3.0, 5.0, 2.0)
+
+
+def test_to_crs_mercator_roundtrip(spark):
+    df = spark.createDataFrame([(-74.0, 40.7), (12.5, 41.9)], ["lon", "lat"])
+    out = (df.withColumn("g", st.point("lon", "lat"))
+             .withColumn("m", st.to_crs("g", "EPSG:4326", "EPSG:3857"))
+             .withColumn("back", st.to_crs("m", "EPSG:3857", "EPSG:4326"))
+             .select(st.x("back").alias("x"), st.y("back").alias("y"),
+                     st.x("m").alias("mx")).collect())
+    for r, (lon, lat) in zip(out, [(-74.0, 40.7), (12.5, 41.9)]):
+        assert abs(r.x - lon) < 1e-9 and abs(r.y - lat) < 1e-9
+    assert abs(out[0].mx - (-8237642.318702244)) < 1e-6
+
+
+def test_sample_points_deterministic_and_inside(spark):
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+         (2, "POLYGON ((100 100, 104 100, 104 104, 100 104, 100 100))")],
+        ["id", "w"])
+    g = st.geom_from_text("w")
+    out1 = (df.withColumn("pts", st.sample_points(g, F.lit(20), seed=7))
+            .select("id", st.npoints("pts").alias("n"),
+                    st.as_text("pts").alias("t"),
+                    st.within("pts", g).alias("inside")).collect())
+    assert all(r.n == 20 and r.inside for r in out1)
+    out2 = (df.withColumn("pts", st.sample_points(g, F.lit(20), seed=7))
+            .select(st.as_text("pts").alias("t")).collect())
+    assert [r.t for r in out1] == [r.t for r in out2]  # same seed → same pts
+
+
+def test_polygonize_and_build_area(spark):
+    rows = [(1, "LINESTRING (0 0, 4 0)"), (1, "LINESTRING (4 0, 2 3)"),
+            (1, "LINESTRING (2 3, 0 0)"),
+            (2, "LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)"),
+            (2, "LINESTRING (3 3, 7 3, 7 7, 3 7, 3 3)")]
+    df = (spark.createDataFrame(rows, ["k", "w"])
+          .withColumn("g", st.geom_from_text("w")))
+    out = {r.k: (r.n, r.a) for r in
+           df.groupBy("k").agg(
+               st.polygonize_agg("g").alias("faces"),
+               st.build_area_agg("g").alias("area_geom"))
+           .select("k", st.ngeometries("faces").alias("n"),
+                   st.area("area_geom").alias("a")).collect()}
+    assert out[1] == (1, 6.0)        # one triangular face
+    assert out[2] == (2, 84.0)       # square + hole face; area nets hole
