@@ -68,8 +68,14 @@ def main():
         "revenue_by_nation": qs["revenue_by_nation"],
     }
 
-    # warm the JVM/Python-worker pool once (excluded from timings)
+    # warm the JVM + Python UDF worker pool once (excluded from timings):
+    # the sf0.001 flagship runs the same plan shapes (ArrowEvalPython,
+    # MapInPandas, broadcast join, grouped agg) at trivial size
     spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).count()
+    try:
+        entry.entry(spark).count()
+    except Exception:
+        pass
 
     times = {}
     for name, fn in headlines.items():

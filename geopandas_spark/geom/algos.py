@@ -542,7 +542,7 @@ def _pair_distance(ga, i, gb, j) -> float:
     return float(min(cands))
 
 
-def _pairwise(ga, gb, fn, dtype, fill):
+def _pairwise(ga, gb, fn, dtype, fill, skip=None):
     n = len(ga)
     if len(gb) != n:
         raise ValueError("pairwise op requires equal lengths")
@@ -550,14 +550,95 @@ def _pairwise(ga, gb, fn, dtype, fill):
     ma = ga.is_missing() | ga.is_empty()
     mb = gb.is_missing() | gb.is_empty()
     for i in range(n):
-        if ma[i] or mb[i]:
+        if ma[i] or mb[i] or (skip is not None and skip[i]):
             continue
         out[i] = fn(ga, i, gb, i)
     return out
 
 
+def _pip_rows(pts_ga, poly_gb):
+    """Row mask where pts_ga is a 1-coordinate POINT and poly_gb polygonal
+    — the vectorizable sjoin-refine hot path."""
+    return ((pts_ga.types == GT_POINT) & (pts_ga.coords_per_geom() == 1) &
+            ((poly_gb.types == GT_POLYGON) |
+             (poly_gb.types == GT_MULTIPOLYGON)) &
+            (poly_gb.coords_per_geom() > 0))
+
+
+def _pairwise_point_in_poly(pts_ga, poly_gb, rows):
+    """Vectorized pairwise point-in-polygon classification for `rows`
+    (each row's point vs that row's OWN polygon). One numpy pass over a
+    segment-gather: every ring segment of every selected polygon is tested
+    against its row's point via even-odd crossings + on-segment boundary
+    detection — no per-row Python loop. This is the distributed refine hot
+    path of the grid spatial join (SURVEY §2.4)."""
+    rows = np.asarray(rows)
+    if len(rows) == 0:
+        return rows, np.zeros(0, dtype=np.int8)
+    pos_of_row = np.full(len(poly_gb), -1, dtype=np.int64)
+    pos_of_row[rows] = np.arange(len(rows))
+    poff = pts_ga.coord_offsets_per_geom()
+    px = pts_ga.coords[poff[rows], 0]
+    py = pts_ga.coords[poff[rows], 1]
+    # all outgoing segments of poly_gb: every coord except each ring's last
+    starts = poly_gb.ring_offsets[:-1]
+    ends = poly_gb.ring_offsets[1:]
+    n_coords = poly_gb.n_coords
+    valid = np.ones(n_coords, dtype=bool)
+    lasts = ends[ends > starts] - 1
+    valid[lasts] = False
+    seg_idx = np.nonzero(valid)[0]
+    seg_row = poly_gb.coord_geom_index()[seg_idx]
+    tgt = pos_of_row[seg_row]
+    sel = tgt >= 0
+    seg_idx, tgt = seg_idx[sel], tgt[sel]
+    x0 = poly_gb.coords[seg_idx, 0]
+    y0 = poly_gb.coords[seg_idx, 1]
+    x1 = poly_gb.coords[seg_idx + 1, 0]
+    y1 = poly_gb.coords[seg_idx + 1, 1]
+    X, Y = px[tgt], py[tgt]
+    dx, dy = x1 - x0, y1 - y0
+    # boundary: point on segment
+    cross = (X - x0) * dy - (Y - y0) * dx
+    dot = (X - x0) * dx + (Y - y0) * dy
+    sq = dx * dx + dy * dy
+    on = (np.abs(cross) <= _EPS * np.maximum(1.0, np.abs(sq))) & \
+         (dot >= -_EPS) & (dot <= sq + _EPS)
+    boundary = np.bincount(tgt[on], minlength=len(rows)) > 0
+    # even-odd ray crossings (half-open rule)
+    cond = (y0 > Y) != (y1 > Y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (Y - y0) * dx / np.where(dy == 0, 1.0, dy)
+    crossing = cond & (X < xint)
+    inside = np.bincount(tgt[crossing], minlength=len(rows)) % 2 == 1
+    cls = np.where(inside, 2, 0).astype(np.int8)
+    cls[boundary] = 1
+    return rows, cls
+
+
+def _pip_predicate(ga, gb, interior_only):
+    """(fast_mask, results) for the point-in-polygon rows of a predicate;
+    rows outside the mask need the generic per-pair path."""
+    out = np.zeros(len(ga), dtype=bool)
+    fast = np.zeros(len(ga), dtype=bool)
+    r1 = np.nonzero(_pip_rows(ga, gb))[0]
+    if len(r1):
+        rows, cls = _pairwise_point_in_poly(ga, gb, r1)
+        out[rows] = cls == 2 if interior_only else cls > 0
+        fast[rows] = True
+    return fast, out
+
+
 def intersects(ga, gb):
-    return _pairwise(ga, gb, _pair_intersects, bool, False)
+    fast, fres = _pip_predicate(ga, gb, False)
+    if not fast.all():
+        f2, r2 = _pip_predicate(gb, ga, False)
+        swap = f2 & ~fast
+        fres[swap] = r2[swap]
+        fast |= swap
+    out = _pairwise(ga, gb, _pair_intersects, bool, False, skip=fast)
+    out[fast] = fres[fast]
+    return out
 
 
 def disjoint(ga, gb):
@@ -567,23 +648,29 @@ def disjoint(ga, gb):
 
 
 def contains(ga, gb):
-    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(a, i, b, j, True),
-                     bool, False)
+    fast, fres = _pip_predicate(gb, ga, True)  # point b inside polygon a
+    out = _pairwise(ga, gb,
+                    lambda a, i, b, j: _pair_covers(a, i, b, j, True),
+                    bool, False, skip=fast)
+    out[fast] = fres[fast]
+    return out
 
 
 def within(ga, gb):
-    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(b, j, a, i, True),
-                     bool, False)
+    return contains(gb, ga)
 
 
 def covers(ga, gb):
-    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(a, i, b, j, False),
-                     bool, False)
+    fast, fres = _pip_predicate(gb, ga, False)
+    out = _pairwise(ga, gb,
+                    lambda a, i, b, j: _pair_covers(a, i, b, j, False),
+                    bool, False, skip=fast)
+    out[fast] = fres[fast]
+    return out
 
 
 def covered_by(ga, gb):
-    return _pairwise(ga, gb, lambda a, i, b, j: _pair_covers(b, j, a, i, False),
-                     bool, False)
+    return covers(gb, ga)
 
 
 def distance(ga, gb):

@@ -138,11 +138,16 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
                      distance, on_attribute, lsuffix, rsuffix):
     spark = left.sparkSession
     ridx_col, lidx_col = "__sjoin_ridx__", "__sjoin_lidx__"
-    right_rows = right.select(geom_right, *on_attribute).collect()
-    rblobs = [r[0] for r in right_rows]
+    # ONE collect serves both the task closure (geometry probe set) and the
+    # indexed attach frame — no zipWithIndex scan
+    full_rows = right.collect()
+    gpos = right.columns.index(geom_right)
+    apos = [right.columns.index(a) for a in on_attribute]
+    rblobs = [r[gpos] for r in full_rows]
     rga = wkb.decode(rblobs)
     rbounds = algos.bounds(rga)
-    rattrs = [tuple(r[1:]) for r in right_rows] if on_attribute else None
+    rattrs = [tuple(r[p] for p in apos) for r in full_rows] \
+        if on_attribute else None
     emit_unmatched = how in ("left", "right")
 
     out_schema = StructType(
@@ -193,11 +198,9 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
 
     pairs = left.mapInPandas(run, schema=out_schema)
 
-    right_i = right.rdd.zipWithIndex().map(
-        lambda t: t[0] + (t[1],)).toDF(
+    right_i = spark.createDataFrame(
+        [tuple(r) + (k,) for k, r in enumerate(full_rows)],
         StructType(right.schema.fields + [StructField(ridx_col, LongType(), True)]))
-    # NOTE: zipWithIndex forces a scan; acceptable for the broadcast (small)
-    # side only.
     lefts, rights = _with_suffixes(pairs, right_i, lsuffix, rsuffix,
                                    skip=(ridx_col, *on_attribute))
     rights = rights.drop(*on_attribute)
@@ -219,22 +222,23 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     lidx, ridx = "__gj_lidx__", "__gj_ridx__"
     left_i = left.withColumn(lidx, F.monotonically_increasing_id())
     right_i = right.withColumn(ridx, F.monotonically_increasing_id())
+    lefts, rights = _with_suffixes(left_i, right_i, lsuffix, rsuffix,
+                                   skip=(lidx, ridx, *on_attribute))
+    overlap = (set(left_i.columns) & set(right_i.columns)) - \
+        {lidx, ridx, *on_attribute}
+    gl = f"{geom_left}_{lsuffix}" if geom_left in overlap else geom_left
+    gr = f"{geom_right}_{rsuffix}" if geom_right in overlap else geom_right
 
-    lb = left_i.withColumn("__b__", st.bounds(geom_left))
-    rb = right_i.withColumn("__b__", st.bounds(geom_right))
+    lb = lefts.withColumn("__b__", st.bounds(gl))
+    rb = rights.withColumn("__b__", st.bounds(gr))
 
-    # global grid from the union of both sides' total bounds (one agg each —
-    # the reference's early-exit disjoint check, tools/overlay.py:310-326,
-    # falls out for free: empty intersection → no shared cells)
-    def tb(df):
-        r = df.agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
-                   F.max("__b__.xmax"), F.max("__b__.ymax")).collect()[0]
-        return r
-    tl, tr = tb(lb), tb(rb)
-    x0 = min(tl[0], tr[0])
-    y0 = min(tl[1], tr[1])
-    x1 = max(tl[2], tr[2])
-    y1 = max(tl[3], tr[3])
+    # combined extent of both sides in ONE job (the reference's early-exit
+    # disjoint check, tools/overlay.py:310-326, falls out for free: empty
+    # overlap → no shared cells)
+    tl = (lb.select("__b__").unionByName(rb.select("__b__"))
+          .agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
+               F.max("__b__.xmax"), F.max("__b__.ymax")).collect()[0])
+    x0, y0, x1, y1 = tl[0], tl[1], tl[2], tl[3]
     pad = float(distance or 0.0)
     w = max((x1 - x0) / grid_cells, 1e-9)
     hgt = max((y1 - y0) / grid_cells, 1e-9)
@@ -251,12 +255,13 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     lc = cells(lb, F.lit(pad))
     rc = cells(rb, F.lit(0.0))
 
-    lsel = lc.select(lidx, F.col(geom_left).alias("__lg__"),
-                     F.col("__b__").alias("__lbb__"), "__cx__", "__cy__",
-                     *on_attribute)
-    rsel = rc.select(ridx, F.col(geom_right).alias("__rg__"),
-                     F.col("__b__").alias("__rbb__"), "__cx__", "__cy__",
-                     *on_attribute)
+    # carry full rows through the candidate join: one shuffle, no join-back
+    # (the id-rejoin alternative rescans both sides and re-evaluates any
+    # geometry-producing UDFs feeding them)
+    lsel = (lc.withColumn("__lg__", F.col(gl))
+              .withColumnRenamed("__b__", "__lbb__"))
+    rsel = (rc.withColumn("__rg__", F.col(gr))
+              .withColumnRenamed("__b__", "__rbb__"))
 
     cond = ["__cx__", "__cy__", *on_attribute]
     cand = lsel.join(rsel, on=cond, how="inner")
@@ -278,20 +283,15 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
                    "covered_by": st.covered_by, "touches": st.touches,
                    "crosses": st.crosses, "overlaps": st.overlaps}[predicate]
         cand = cand.filter(pred_fn("__lg__", "__rg__"))
-    pairs = cand.select(lidx, ridx).distinct()
-    # distinct is a safety net for bbox-degenerate duplicates; reference-point
-    # filtering already removes virtually all of them
-
-    lefts, rights = _with_suffixes(left_i, right_i, lsuffix, rsuffix,
-                                   skip=(lidx, ridx, *on_attribute))
-    rights = rights.drop(*on_attribute)
-    joined = (pairs.join(lefts, on=lidx, how="inner")
-                   .join(rights, on=ridx, how="inner"))
+    # reference-point dedup guarantees each matched pair survives in exactly
+    # one cell — no distinct needed; drop the plan-internal columns
+    joined = cand.drop("__cx__", "__cy__", "__lg__", "__rg__",
+                       "__lbb__", "__rbb__")
     if how == "left":
-        missing = lefts.join(pairs.select(lidx), on=lidx, how="left_anti")
+        missing = lefts.join(cand.select(lidx), on=lidx, how="left_anti")
         joined = joined.unionByName(missing, allowMissingColumns=True)
     elif how == "right":
-        missing = rights.join(pairs.select(ridx), on=ridx, how="left_anti")
+        missing = rights.join(cand.select(ridx), on=ridx, how="left_anti")
         joined = joined.unionByName(missing, allowMissingColumns=True)
     return joined.drop(lidx, ridx)
 
@@ -314,8 +314,9 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
         raise ValueError("sjoin_nearest supports how = inner|left")
     ridx_col = "__snj_ridx__"
     dcol = distance_col or "__snj_dist__"
-    right_rows = right.select(geom_right).collect()
-    rga = wkb.decode([r[0] for r in right_rows])
+    full_right_rows = right.collect()
+    _gpos = right.columns.index(geom_right)
+    rga = wkb.decode([r[_gpos] for r in full_right_rows])
     rbounds = algos.bounds(rga)
     emit_unmatched = how == "left"
 
@@ -389,8 +390,8 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
             yield out
 
     pairs = left.mapInPandas(run, schema=out_schema)
-    right_i = right.rdd.zipWithIndex().map(
-        lambda t: t[0] + (t[1],)).toDF(
+    right_i = left.sparkSession.createDataFrame(
+        [tuple(r) + (k,) for k, r in enumerate(full_right_rows)],
         StructType(right.schema.fields + [StructField(ridx_col, LongType(), True)]))
     lefts, rights = _with_suffixes(pairs, right_i, "left", "right",
                                    skip=(ridx_col, dcol))
