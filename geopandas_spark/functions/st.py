@@ -300,6 +300,14 @@ _unary_geom("st_minimumboundingcircle", algos.minimum_bounding_circle)
 _unary_geom("st_orientedenvelope", algos.minimum_rotated_rectangle)
 _unary_geom("st_pointonsurface", algos.representative_point)
 _unary_double("st_minimumboundingradius", algos.minimum_bounding_radius)
+_unary_geom("st_makevalid", algos.make_valid)
+_unary_geom("st_linemerge", algos.line_merge)
+
+
+@_reg("st_isvalidreason")
+@pandas_udf(StringType())
+def _isvalidreason(s: pd.Series) -> pd.Series:
+    return pd.Series(algos.is_valid_reason(_decode(s)), dtype=object)
 
 
 @_reg("st_segmentize")
@@ -829,6 +837,18 @@ def polygonize_agg(c) -> Column:
 
 def build_area_agg(c) -> Column:
     return _REGISTRY["st_buildarea_agg"](_col(c))
+
+
+def make_valid(c) -> Column:
+    return _REGISTRY["st_makevalid"](_col(c))
+
+
+def line_merge(c) -> Column:
+    return _REGISTRY["st_linemerge"](_col(c))
+
+
+def is_valid_reason(c) -> Column:
+    return _REGISTRY["st_isvalidreason"](_col(c))
 
 
 def startpoint(c) -> Column:

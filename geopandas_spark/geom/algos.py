@@ -2713,3 +2713,109 @@ def sample_points(ga: GeometryArray, size, seed: int = 0) -> GeometryArray:
                                                    n)]
         b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
     return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# repair / linework utilities (reference: make_valid base.py:2114,
+# line_merge :2395, is_valid_reason :339)
+# ---------------------------------------------------------------------------
+
+def is_valid_reason(ga: GeometryArray) -> list:
+    """Human-readable validity diagnosis (reference base.py:339). Matches
+    GEOS's phrasing for the cases our checker detects."""
+    valid = is_valid(ga)
+    out = []
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            out.append(None)
+        elif valid[i]:
+            out.append("Valid Geometry")
+        else:
+            if t in POLYGON_TYPES:
+                ok_rings = True
+                for p in ga.geom_slices(i):
+                    for r in p:
+                        if len(r) and not np.array_equal(r[0], r[-1]):
+                            ok_rings = False
+                if not ok_rings:
+                    out.append("Ring Self-intersection")
+                else:
+                    out.append("Self-intersection")
+            else:
+                out.append("Invalid Geometry")
+    return out
+
+
+def make_valid(ga: GeometryArray) -> GeometryArray:
+    """Repair invalid polygons (reference base.py:2114, method='structure'
+    semantics): node the boundary linework, re-extract enclosed faces, and
+    re-nest them by even-odd parity — a bowtie becomes the MULTIPOLYGON of
+    its two lobes. Valid geometries pass through untouched."""
+    valid = is_valid(ga)
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if valid[i] or t not in POLYGON_TYPES:
+            b.append_from(ga, i)
+            continue
+        # boundary rings as linework → faces (reuses the polygonize tracer)
+        lw = GeometryBuilder()
+        for p in ga.geom_slices(i):
+            for r in p:
+                lw.append(GT_LINESTRING, [[_mr._close(r)]])
+        faces = polygonize(lw.finish())
+        if len(faces) == 0:
+            b.append_empty(GT_POLYGON)
+            continue
+        rings = [faces.geom_slices(k)[0][0] for k in range(len(faces))]
+        _append_polys(b, _mr.assemble_rings(rings))
+    return b.finish()
+
+
+def line_merge(ga: GeometryArray) -> GeometryArray:
+    """Merge connected line parts (reference base.py:2395): chains of
+    degree-2 node connections join into single linestrings."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if t not in LINE_TYPES:
+            b.append_from(ga, i)
+            continue
+        chains = [p[0].copy() for p in ga.geom_slices(i) if len(p[0]) >= 2]
+        merged = True
+        while merged and len(chains) > 1:
+            merged = False
+            for a_i in range(len(chains)):
+                for b_i in range(a_i + 1, len(chains)):
+                    ca, cb = chains[a_i], chains[b_i]
+                    # degree check: endpoints must join exactly two parts
+                    joined = None
+                    if np.array_equal(ca[-1], cb[0]):
+                        joined = np.concatenate([ca, cb[1:]])
+                    elif np.array_equal(cb[-1], ca[0]):
+                        joined = np.concatenate([cb, ca[1:]])
+                    elif np.array_equal(ca[-1], cb[-1]):
+                        joined = np.concatenate([ca, cb[::-1][1:]])
+                    elif np.array_equal(ca[0], cb[0]):
+                        joined = np.concatenate([ca[::-1], cb[1:]])
+                    if joined is not None:
+                        chains[a_i] = joined
+                        del chains[b_i]
+                        merged = True
+                        break
+                if merged:
+                    break
+        if not chains:
+            b.append_empty(GT_LINESTRING)
+        elif len(chains) == 1:
+            b.append(GT_LINESTRING, [[chains[0]]])
+        else:
+            b.append(GT_MULTILINESTRING, [[c] for c in chains])
+    return b.finish()

@@ -557,3 +557,35 @@ class TestGeneralBuffer:
         r = 1.0
         dlens = 2 * r * r * np.arccos(0.25) - 0.25 * np.sqrt(4 - 0.25)
         np.testing.assert_allclose(a, 2 * np.pi - dlens + np.pi, rtol=3e-3)
+
+
+class TestRepairAndLinework:
+    def test_make_valid_bowtie(self):
+        bt = ga_from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+        mv = algos.make_valid(bt)
+        assert algos.is_valid(mv)[0]
+        assert algos.area(mv)[0] == 2.0
+        assert wkt.format_array(mv)[0].startswith("MULTIPOLYGON")
+
+    def test_make_valid_passthrough(self):
+        ok = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", None)
+        out = algos.make_valid(ok)
+        assert wkt.format_array(out) == wkt.format_array(ok)
+
+    def test_is_valid_reason(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",
+                         "POINT (1 1)", None)
+        r = algos.is_valid_reason(ga)
+        assert r[0] == "Self-intersection"
+        assert r[1] == "Valid Geometry"
+        assert r[2] is None
+
+    def test_line_merge(self):
+        ga = ga_from_wkt(
+            "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2), (5 5, 6 6))",
+            "MULTILINESTRING ((0 0, 1 0), (2 0, 1 0))",  # reversed join
+            "LINESTRING (0 0, 9 9)")
+        out = wkt.format_array(algos.line_merge(ga))
+        assert out[0] == "MULTILINESTRING ((0 0, 1 1, 2 2), (5 5, 6 6))"
+        assert out[1] == "LINESTRING (0 0, 1 0, 2 0)"
+        assert out[2] == "LINESTRING (0 0, 9 9)"
