@@ -302,6 +302,8 @@ _unary_geom("st_pointonsurface", algos.representative_point)
 _unary_double("st_minimumboundingradius", algos.minimum_bounding_radius)
 _unary_geom("st_makevalid", algos.make_valid)
 _unary_geom("st_linemerge", algos.line_merge)
+_unary_geom("st_delaunaytriangles", algos.delaunay_triangles)
+_unary_geom("st_voronoipolygons", algos.voronoi_polygons)
 
 
 @_reg("st_isvalidreason")
@@ -841,6 +843,14 @@ def build_area_agg(c) -> Column:
 
 def make_valid(c) -> Column:
     return _REGISTRY["st_makevalid"](_col(c))
+
+
+def delaunay_triangles(c) -> Column:
+    return _REGISTRY["st_delaunaytriangles"](_col(c))
+
+
+def voronoi_polygons(c) -> Column:
+    return _REGISTRY["st_voronoipolygons"](_col(c))
 
 
 def line_merge(c) -> Column:

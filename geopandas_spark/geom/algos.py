@@ -2819,3 +2819,146 @@ def line_merge(ga: GeometryArray) -> GeometryArray:
         else:
             b.append(GT_MULTILINESTRING, [[c] for c in chains])
     return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# triangulation (reference: delaunay_triangles base.py:1201,
+# voronoi_polygons :1301)
+# ---------------------------------------------------------------------------
+
+def _delaunay(pts: np.ndarray) -> list:
+    """Bowyer–Watson over unique points → list of index triangles."""
+    n = len(pts)
+    if n < 3:
+        return []
+    mn = pts.min(axis=0)
+    mx = pts.max(axis=0)
+    span = max(mx[0] - mn[0], mx[1] - mn[1], 1.0)
+    cx, cy = (mn[0] + mx[0]) / 2, (mn[1] + mx[1]) / 2
+    # super-triangle
+    sup = np.array([[cx - 20 * span, cy - 10 * span],
+                    [cx + 20 * span, cy - 10 * span],
+                    [cx, cy + 20 * span]])
+    P = np.concatenate([pts, sup], axis=0)
+    tris = [(n, n + 1, n + 2)]
+
+    def circum(t):
+        a, bq, c = P[t[0]], P[t[1]], P[t[2]]
+        d = 2 * (a[0] * (bq[1] - c[1]) + bq[0] * (c[1] - a[1]) +
+                 c[0] * (a[1] - bq[1]))
+        if d == 0:
+            return None, np.inf
+        ux = ((a @ a) * (bq[1] - c[1]) + (bq @ bq) * (c[1] - a[1]) +
+              (c @ c) * (a[1] - bq[1])) / d
+        uy = ((a @ a) * (c[0] - bq[0]) + (bq @ bq) * (a[0] - c[0]) +
+              (c @ c) * (bq[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        return (ux, uy), r2
+
+    cc = {tris[0]: circum(tris[0])}
+    for pi in range(n):
+        px, py = P[pi]
+        bad = []
+        for t in tris:
+            c, r2 = cc[t]
+            if c is not None and (px - c[0]) ** 2 + (py - c[1]) ** 2 <= \
+                    r2 * (1 + 1e-12):
+                bad.append(t)
+        # polygonal hole boundary = edges appearing once among bad triangles
+        edge_count = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        for t in bad:
+            tris.remove(t)
+            del cc[t]
+        for (u, v), cnt in edge_count.items():
+            if cnt == 1:
+                nt = (u, v, pi)
+                tris.append(nt)
+                cc[nt] = circum(nt)
+    out = []
+    for t in tris:
+        if t[0] < n and t[1] < n and t[2] < n:
+            # orient CCW
+            a, bq, c = P[t[0]], P[t[1]], P[t[2]]
+            if (bq[0] - a[0]) * (c[1] - a[1]) - (bq[1] - a[1]) * (c[0] - a[0]) < 0:
+                t = (t[0], t[2], t[1])
+            out.append(t)
+    return out
+
+
+def delaunay_triangles(ga: GeometryArray) -> GeometryArray:
+    """Delaunay triangulation of each geometry's vertices → MULTIPOLYGON
+    per row (reference base.py:1201)."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        pts = np.unique(_geom_points(ga, i), axis=0)
+        tris = _delaunay(pts)
+        if not tris:
+            b.append_empty(GT_MULTIPOLYGON)
+            continue
+        parts = []
+        for t in tris:
+            ring = np.array([pts[t[0]], pts[t[1]], pts[t[2]], pts[t[0]]])
+            parts.append([ring])
+        b.append(GT_MULTIPOLYGON, parts)
+    return b.finish()
+
+
+def voronoi_polygons(ga: GeometryArray, extend_to=None) -> GeometryArray:
+    """Voronoi cells of each geometry's vertices → MULTIPOLYGON per row
+    (reference base.py:1301). Each cell = the envelope (expanded by half
+    the diagonal, GEOS-style) intersected with the closer half-plane
+    against every other site — exact for the modest per-row point counts
+    this elementwise operator sees."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        pts = np.unique(_geom_points(ga, i), axis=0)
+        if len(pts) == 0:
+            b.append_empty(GT_MULTIPOLYGON)
+            continue
+        mn = pts.min(axis=0)
+        mx = pts.max(axis=0)
+        pad = max(mx[0] - mn[0], mx[1] - mn[1], 1.0)
+        x0, y0, x1, y1 = mn[0] - pad, mn[1] - pad, mx[0] + pad, mx[1] + pad
+        parts = []
+        for k in range(len(pts)):
+            cell = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+            s = pts[k]
+            for m in range(len(pts)):
+                if m == k or len(cell) < 4:
+                    continue
+                t = pts[m]
+                mid = (s + t) / 2
+                nrm = s - t  # interior = side closer to s
+                # clip cell by half-plane nrm·(p - mid) >= 0
+                keep = []
+                prev = cell[-2]
+                prev_in = nrm @ (prev - mid) >= -_EPS
+                for p in cell[:-1]:
+                    cur_in = nrm @ (p - mid) >= -_EPS
+                    if cur_in != prev_in:
+                        d = p - prev
+                        denom = nrm @ d
+                        tt = (nrm @ (mid - prev)) / denom if denom else 0.0
+                        keep.append(prev + tt * d)
+                    if cur_in:
+                        keep.append(p)
+                    prev, prev_in = p, cur_in
+                cell = (np.concatenate([np.array(keep), np.array(keep)[:1]])
+                        if len(keep) >= 3 else np.empty((0, 2)))
+            if len(cell) >= 4:
+                parts.append([cell])
+        if parts:
+            b.append(GT_MULTIPOLYGON, parts)
+        else:
+            b.append_empty(GT_MULTIPOLYGON)
+    return b.finish()

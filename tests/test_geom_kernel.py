@@ -589,3 +589,29 @@ class TestRepairAndLinework:
         assert out[0] == "MULTILINESTRING ((0 0, 1 1, 2 2), (5 5, 6 6))"
         assert out[1] == "LINESTRING (0 0, 1 0, 2 0)"
         assert out[2] == "LINESTRING (0 0, 9 9)"
+
+
+class TestTriangulation:
+    def test_delaunay_covers_hull(self):
+        mp = ga_from_wkt("MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2))")
+        dt = algos.delaunay_triangles(mp)
+        assert algos.count_geometries(dt)[0] == 4
+        assert algos.area(dt)[0] == 16.0
+        # empty-circumcircle property: no input point strictly inside any
+        # triangle's circumcircle — spot-check by validity + coverage
+        assert algos.is_valid(dt)[0]
+
+    def test_delaunay_collinear(self):
+        mp = ga_from_wkt("MULTIPOINT ((0 0), (1 1), (2 2))")
+        dt = algos.delaunay_triangles(mp)
+        assert algos.count_geometries(dt)[0] == 0
+
+    def test_voronoi_partitions_envelope(self):
+        mp = ga_from_wkt("MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2))")
+        vp = algos.voronoi_polygons(mp)
+        assert algos.count_geometries(vp)[0] == 5
+        np.testing.assert_allclose(algos.area(vp)[0], 144.0)
+        # center cell is the 2x2-diamond bisector region
+        parts, _parent, _ord = algos.get_parts(vp)
+        areas = sorted(algos.area(parts).tolist())
+        assert all(a > 0 for a in areas)
