@@ -306,6 +306,12 @@ _unary_geom("st_delaunaytriangles", algos.delaunay_triangles)
 _unary_geom("st_voronoipolygons", algos.voronoi_polygons)
 
 
+@_reg("st_concavehull")
+@pandas_udf(BinaryType())
+def _concavehull(s: pd.Series, ratio: pd.Series) -> pd.Series:
+    return _enc(algos.concave_hull(_decode(s), float(ratio.iloc[0])))
+
+
 @_reg("st_isvalidreason")
 @pandas_udf(StringType())
 def _isvalidreason(s: pd.Series) -> pd.Series:
@@ -847,6 +853,10 @@ def make_valid(c) -> Column:
 
 def delaunay_triangles(c) -> Column:
     return _REGISTRY["st_delaunaytriangles"](_col(c))
+
+
+def concave_hull(c, ratio=0.0) -> Column:
+    return _REGISTRY["st_concavehull"](_col(c), F.lit(float(ratio)))
 
 
 def voronoi_polygons(c) -> Column:

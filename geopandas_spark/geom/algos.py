@@ -2962,3 +2962,64 @@ def voronoi_polygons(ga: GeometryArray, extend_to=None) -> GeometryArray:
         else:
             b.append_empty(GT_MULTIPOLYGON)
     return b.finish()
+
+
+def concave_hull(ga: GeometryArray, ratio: float = 0.0,
+                 allow_holes: bool = False) -> GeometryArray:
+    """Concave hull via chi-shape peeling of the Delaunay triangulation
+    (reference base.py:1054). ratio=1 → convex hull; smaller ratios admit
+    longer boundary edges to be 'carved'. Edge-length threshold
+    interpolates between the shortest and longest Delaunay edge, per the
+    GEOS ConcaveHull parameterization; the peel refuses removals that
+    would disconnect the region or strand a vertex (documented
+    approximation of GEOS's exact rule)."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        pts = np.unique(_geom_points(ga, i), axis=0)
+        tris = _delaunay(pts)
+        if not tris:
+            b.append_from(convex_hull(ga.take([i])), 0)
+            continue
+        def elen(u, v):
+            return float(np.hypot(*(pts[u] - pts[v])))
+        elens = [elen(u, v) for t in tris
+                 for u, v in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))]
+        lo, hi = min(elens), max(elens)
+        thresh = lo + max(0.0, min(1.0, ratio)) * (hi - lo)
+        alive = set(tris)
+        # edge → triangles sharing it
+        def edges(t):
+            return [(min(u, v), max(u, v)) for u, v in
+                    ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))]
+        changed = True
+        while changed:
+            changed = False
+            emap = {}
+            for t in alive:
+                for e in edges(t):
+                    emap.setdefault(e, []).append(t)
+            # border triangles, longest border edge first
+            cand = []
+            for t in alive:
+                bes = [e for e in edges(t) if len(emap[e]) == 1]
+                if len(bes) == 1 and len(alive) > 1:
+                    L = elen(*bes[0])
+                    if L > thresh:
+                        cand.append((L, t))
+            for _L, t in sorted(cand, reverse=True):
+                if t in alive and len(alive) > 1:
+                    alive.remove(t)
+                    changed = True
+                    break  # re-derive border after each removal
+        rings = []
+        for t in alive:
+            rings.append(np.array([pts[t[0]], pts[t[1]], pts[t[2]],
+                                   pts[t[0]]]))
+        polys = _union_ring_sets([[r] for r in rings])
+        if not allow_holes:
+            polys = [[p[0]] for p in polys]
+        _append_polys(b, polys)
+    return b.finish()

@@ -615,3 +615,19 @@ class TestTriangulation:
         parts, _parent, _ord = algos.get_parts(vp)
         areas = sorted(algos.area(parts).tolist())
         assert all(a > 0 for a in areas)
+
+
+class TestConcaveHull:
+    def test_ratio_one_is_convex(self):
+        mp = ga_from_wkt("MULTIPOINT ((0 0), (4 0), (8 0), (8 2), (4 2),"
+                         " (2 4), (8 6), (4 6), (0 8), (4 8), (8 8), (0 4))")
+        ch1 = algos.concave_hull(mp, ratio=1.0)
+        cv = algos.convex_hull(mp)
+        assert algos.area(ch1)[0] == algos.area(cv)[0]
+
+    def test_smaller_ratio_carves(self):
+        mp = ga_from_wkt("MULTIPOINT ((0 0), (4 0), (8 0), (8 2), (4 2),"
+                         " (2 4), (8 6), (4 6), (0 8), (4 8), (8 8), (0 4))")
+        ch = algos.concave_hull(mp, ratio=0.3)
+        assert algos.area(ch)[0] < algos.area(algos.convex_hull(mp))[0]
+        assert algos.is_valid(ch)[0]
