@@ -306,6 +306,22 @@ _unary_geom("st_delaunaytriangles", algos.delaunay_triangles)
 _unary_geom("st_voronoipolygons", algos.voronoi_polygons)
 
 
+_unary_double("st_minimumclearance", algos.minimum_clearance)
+
+
+@_reg("st_skew")
+@pandas_udf(BinaryType())
+def _skew(s: pd.Series, xs_deg: pd.Series, ys_deg: pd.Series) -> pd.Series:
+    return _enc(algos.skew(_decode(s), float(xs_deg.iloc[0]),
+                           float(ys_deg.iloc[0])))
+
+
+@_reg("st_interiorrings")
+@pandas_udf(ArrayType(BinaryType()))
+def _interiorrings(s: pd.Series) -> pd.Series:
+    return pd.Series(algos.interiors(_decode(s)), dtype=object)
+
+
 @_reg("st_concavehull")
 @pandas_udf(BinaryType())
 def _concavehull(s: pd.Series, ratio: pd.Series) -> pd.Series:
@@ -857,6 +873,19 @@ def delaunay_triangles(c) -> Column:
 
 def concave_hull(c, ratio=0.0) -> Column:
     return _REGISTRY["st_concavehull"](_col(c), F.lit(float(ratio)))
+
+
+def skew(c, xs_deg=0.0, ys_deg=0.0) -> Column:
+    return _REGISTRY["st_skew"](_col(c), F.lit(float(xs_deg)),
+                                F.lit(float(ys_deg)))
+
+
+def interiors(c) -> Column:
+    return _REGISTRY["st_interiorrings"](_col(c))
+
+
+def minimum_clearance(c) -> Column:
+    return _REGISTRY["st_minimumclearance"](_col(c))
 
 
 def voronoi_polygons(c) -> Column:

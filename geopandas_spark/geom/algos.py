@@ -3023,3 +3023,60 @@ def concave_hull(ga: GeometryArray, ratio: float = 0.0,
             polys = [[p[0]] for p in polys]
         _append_polys(b, polys)
     return b.finish()
+
+
+def interiors(ga: GeometryArray) -> list:
+    """Hole rings per geometry as WKB LINESTRING list (reference
+    base.py:1624; POLYGON rows only, like the reference)."""
+    from geopandas_spark.geom import wkb as _wkb
+    out = []
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t != GT_POLYGON:
+            out.append(None if t == GT_MISSING else [])
+            continue
+        parts = ga.geom_slices(i)
+        holes = parts[0][1:] if parts else []
+        bb = GeometryBuilder()
+        for h in holes:
+            bb.append(GT_LINESTRING, [[h]])
+        out.append(_wkb.encode(bb.finish()) if holes else [])
+    return out
+
+
+def minimum_clearance(ga: GeometryArray) -> np.ndarray:
+    """Minimum clearance (reference base.py:1950): smallest of (a) any
+    vertex's distance to a non-incident edge, (b) any two distinct
+    vertices' distance — the discrete form of GEOS's definition."""
+    out = np.full(len(ga), np.inf)
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            out[i] = np.nan
+            continue
+        pts = _geom_points(ga, i)
+        segs = _geom_segments(ga, i)
+        if len(pts) < 2:
+            continue
+        best = np.inf
+        # vertex-vertex (distinct coordinates)
+        uq = np.unique(pts, axis=0)
+        if len(uq) >= 2:
+            for k in range(len(uq)):
+                d = np.hypot(*(uq[k + 1:] - uq[k]).T)
+                d = d[d > 0]
+                if len(d):
+                    best = min(best, float(d.min()))
+        # vertex vs non-incident segments
+        for k in range(len(pts)):
+            p = pts[k]
+            if not len(segs):
+                break
+            incident = ((segs[:, 0] == p).all(axis=1) |
+                        (segs[:, 1] == p).all(axis=1))
+            rest = segs[~incident]
+            if len(rest):
+                d = _point_seg_dist(p.reshape(1, 2), rest)[0]
+                if d > 0:
+                    best = min(best, float(d))
+        out[i] = best
+    return out

@@ -149,3 +149,17 @@ def test_polygonize_and_build_area(spark):
                    st.area("area_geom").alias("a")).collect()}
     assert out[1] == (1, 6.0)        # one triangular face
     assert out[2] == (2, 84.0)       # square + hole face; area nets hole
+
+
+def test_skew_interiors_clearance(spark):
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+          " (2 2, 4 2, 4 4, 2 4, 2 2))",)], ["w"])
+    g = st.geom_from_text("w")
+    r = df.select(
+        F.size(st.interiors(g)).alias("nholes"),
+        st.minimum_clearance(g).alias("mc"),
+        st.area(st.skew(g, 0.0, 0.0)).alias("a0")).collect()[0]
+    assert r.nholes == 1
+    assert r.mc == 2.0
+    assert r.a0 == 96.0
