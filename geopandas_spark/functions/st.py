@@ -322,6 +322,20 @@ def _interiorrings(s: pd.Series) -> pd.Series:
     return pd.Series(algos.interiors(_decode(s)), dtype=object)
 
 
+@_reg("st_relate")
+@pandas_udf(StringType())
+def _relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(algos.relate(_decode(a), _decode(b)), dtype=object)
+
+
+@_reg("st_relatematch")
+@pandas_udf(BooleanType())
+def _relatematch(a: pd.Series, b: pd.Series, pat: pd.Series) -> pd.Series:
+    ga = _decode(a)
+    return _mask_null_bool(ga, algos.relate_pattern(ga, _decode(b),
+                                                    str(pat.iloc[0])))
+
+
 @_reg("st_concavehull")
 @pandas_udf(BinaryType())
 def _concavehull(s: pd.Series, ratio: pd.Series) -> pd.Series:
@@ -970,6 +984,14 @@ def geom_equals_exact(a, b, tol) -> Column:
 
 def contains_properly(a, b) -> Column:
     return _REGISTRY["st_containsproperly"](_col(a), _col(b))
+
+
+def relate(a, b) -> Column:
+    return _REGISTRY["st_relate"](_col(a), _col(b))
+
+
+def relate_pattern(a, b, pattern) -> Column:
+    return _REGISTRY["st_relatematch"](_col(a), _col(b), F.lit(str(pattern)))
 
 
 def collect_agg(c) -> Column:

@@ -3080,3 +3080,284 @@ def minimum_clearance(ga: GeometryArray) -> np.ndarray:
                     best = min(best, float(d))
         out[i] = best
     return out
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM (reference: relate base.py:5612, relate_pattern :5716)
+# ---------------------------------------------------------------------------
+
+def _line_boundary_points(ga, i):
+    """Mod-2 rule: line boundary = endpoints appearing an odd number of
+    times across parts (a closed ring has no boundary)."""
+    cnt = {}
+    for p in ga.geom_slices(i):
+        r = p[0]
+        if len(r) < 2:
+            continue
+        for v in (r[0], r[-1]):
+            k = (v[0], v[1])
+            cnt[k] = cnt.get(k, 0) + 1
+    return np.array([k for k, c in cnt.items() if c % 2 == 1],
+                    dtype=np.float64).reshape(-1, 2)
+
+
+def _dim_str(d):
+    return {-1: "F", 0: "0", 1: "1", 2: "2"}[d]
+
+
+def _relate_pair(ga, i, gb, j) -> str:
+    """DE-9IM matrix for one pair, computed from the kernel's own
+    primitives. Supported geometry classes: point, line, polygon (incl.
+    multi of each)."""
+    ta, tb = int(ga.types[i]), int(gb.types[j])
+    ca = ("pt" if ta in POINT_TYPES else
+          "ln" if ta in LINE_TYPES else "pg")
+    cb = ("pt" if tb in POINT_TYPES else
+          "ln" if tb in LINE_TYPES else "pg")
+
+    def regions(g, k, cls):
+        """(interior_probe, boundary_probe, has_area) accessors."""
+        return None
+
+    # Build the 9 cells as dims; EE always 2.
+    M = {(r, c): -1 for r in "IBE" for c in "IBE"}
+    M[("E", "E")] = 2
+
+    pa = _geom_points(ga, i)
+    pb = _geom_points(gb, j)
+    sa = _geom_segments(ga, i)
+    sb = _geom_segments(gb, j)
+
+    def pt_vs(cls_other, g, k, pts):
+        """classify points vs other geometry: returns (in_int, on_bnd,
+        in_ext) boolean arrays."""
+        if cls_other == "pg":
+            cls = points_in_geom(pts[:, 0], pts[:, 1], g, k)
+            return cls == 2, cls == 1, cls == 0
+        if cls_other == "ln":
+            segs = _geom_segments(g, k)
+            onb = np.zeros(len(pts), dtype=bool)
+            if len(segs):
+                onb = np.array([
+                    _point_seg_dist(p.reshape(1, 2), segs)[0] <= _EPS
+                    for p in pts])
+            bnd = _line_boundary_points(g, k)
+            on_endpoint = np.zeros(len(pts), dtype=bool)
+            if len(bnd):
+                on_endpoint = np.array([
+                    (np.abs(bnd - p).max(axis=1) <= _EPS).any() for p in pts])
+            return onb & ~on_endpoint, on_endpoint, ~onb
+        # other is point set
+        gp = _geom_points(g, k)
+        inn = np.array([(np.abs(gp - p).max(axis=1) <= _EPS).any()
+                        for p in pts]) if len(gp) else \
+            np.zeros(len(pts), dtype=bool)
+        return inn, np.zeros(len(pts), dtype=bool), ~inn
+
+    if ca == "pt":
+        ii, ib, ie = pt_vs(cb, gb, j, pa)
+        M[("I", "I")] = 0 if ii.any() else -1
+        M[("I", "B")] = 0 if ib.any() else -1
+        M[("I", "E")] = 0 if ie.any() else -1
+        # A point has no boundary → B row stays F
+        if cb == "pg":
+            M[("E", "I")] = 2
+            M[("E", "B")] = 1
+        elif cb == "ln":
+            M[("E", "I")] = 1
+            M[("E", "B")] = 0 if len(_line_boundary_points(gb, j)) else -1
+        else:
+            ji, _, _ = pt_vs("pt", ga, i, pb)
+            M[("E", "I")] = 0 if (~ji).any() else -1
+        return "".join(_dim_str(M[(r, c)]) for r in "IBE" for c in "IBE")
+
+    if cb == "pt":
+        # transpose of the case above
+        m = _relate_pair(gb, j, ga, i)
+        return m[0] + m[3] + m[6] + m[1] + m[4] + m[7] + m[2] + m[5] + m[8]
+
+    if ca == "ln" and cb == "pg":
+        inside = _clip_line_by_polygon(ga, i, gb, j, True)
+        outside = _clip_line_by_polygon(ga, i, gb, j, False)
+        rings_b = _geom_rings_closed(gb, j)
+        E0, E1 = _flatten_edges(rings_b)
+        bsegs = np.stack([E0, E1], axis=1)
+        # interior pieces strictly inside (not on boundary)
+        int_len = bnd_len = 0.0
+        for ch in inside:
+            for k in range(len(ch) - 1):
+                mid = (ch[k] + ch[k + 1]) / 2
+                if _point_seg_dist(mid.reshape(1, 2), bsegs)[0] <= _EPS:
+                    bnd_len += 1
+                else:
+                    int_len += 1
+        M[("I", "I")] = 1 if int_len else -1
+        bnd = _line_boundary_points(ga, i)
+        if bnd_len:
+            M[("I", "B")] = 1
+        else:
+            # contact points: A-segment × B-boundary-edge intersections that
+            # are NOT endpoints of A (those belong to A's boundary row)
+            contact = False
+            for s in sa:
+                for q in bsegs:
+                    for h in _mr._segment_intersection(
+                            tuple(s[0]), tuple(s[1]),
+                            tuple(q[0]), tuple(q[1])):
+                        hp = np.asarray(h)
+                        if not (len(bnd) and
+                                (np.abs(bnd - hp).max(axis=1) <= _EPS).any()):
+                            contact = True
+            M[("I", "B")] = 0 if contact else -1
+        M[("I", "E")] = 1 if outside else -1
+        if len(bnd):
+            bi, bb_, be = pt_vs("pg", gb, j, bnd)
+            M[("B", "I")] = 0 if bi.any() else -1
+            M[("B", "B")] = 0 if bb_.any() else -1
+            M[("B", "E")] = 0 if be.any() else -1
+        M[("E", "I")] = 2
+        M[("E", "B")] = 1
+        return "".join(_dim_str(M[(r, c)]) for r in "IBE" for c in "IBE")
+
+    if ca == "pg" and cb == "ln":
+        m = _relate_pair(gb, j, ga, i)
+        return m[0] + m[3] + m[6] + m[1] + m[4] + m[7] + m[2] + m[5] + m[8]
+
+    if ca == "ln" and cb == "ln":
+        # collinear overlap pieces → dim 1; crossings/touches → dim 0
+        shared = touch_pts = False
+        for s in sa:
+            for p in _split_segment_by_edges(s[0], s[1], sb[:, 0], sb[:, 1]):
+                mid = ((p[0] + p[1]) / 2).reshape(1, 2)
+                if len(sb) and _point_seg_dist(mid, sb)[0] <= _EPS:
+                    shared = True
+        hits = []
+        for s in sa:
+            for q in sb:
+                hits.extend(_mr._segment_intersection(
+                    tuple(s[0]), tuple(s[1]), tuple(q[0]), tuple(q[1])))
+        ba = _line_boundary_points(ga, i)
+        bb_ = _line_boundary_points(gb, j)
+        def _is_bnd(p, bnd):
+            return len(bnd) and (np.abs(bnd - np.asarray(p)).max(axis=1)
+                                 <= _EPS).any()
+        int_int_pt = any(not _is_bnd(h, ba) and not _is_bnd(h, bb_)
+                         for h in hits)
+        M[("I", "I")] = 1 if shared else (0 if int_int_pt else -1)
+        M[("I", "B")] = 0 if any(_is_bnd(h, bb_) and not _is_bnd(h, ba)
+                                 for h in hits) else -1
+        M[("B", "I")] = 0 if any(_is_bnd(h, ba) and not _is_bnd(h, bb_)
+                                 for h in hits) else -1
+        M[("B", "B")] = 0 if any(_is_bnd(h, ba) and _is_bnd(h, bb_)
+                                 for h in hits) else -1
+        # exterior reaches: any piece of A not on B, and vice versa
+        out_a = any(_point_seg_dist(((p[0] + p[1]) / 2).reshape(1, 2),
+                                    sb)[0] > _EPS if len(sb) else True
+                    for s in sa
+                    for p in _split_segment_by_edges(s[0], s[1],
+                                                     sb[:, 0], sb[:, 1]))
+        out_b = any(_point_seg_dist(((p[0] + p[1]) / 2).reshape(1, 2),
+                                    sa)[0] > _EPS if len(sa) else True
+                    for s in sb
+                    for p in _split_segment_by_edges(s[0], s[1],
+                                                     sa[:, 0], sa[:, 1]))
+        M[("I", "E")] = 1 if out_a else -1
+        M[("E", "I")] = 1 if out_b else -1
+        M[("B", "E")] = 0 if any(not _is_bnd(tuple(p), bb_) and
+                                 (not len(sb) or _point_seg_dist(
+                                     p.reshape(1, 2), sb)[0] > _EPS)
+                                 for p in ba) else -1
+        M[("E", "B")] = 0 if any(not _is_bnd(tuple(p), ba) and
+                                 (not len(sa) or _point_seg_dist(
+                                     p.reshape(1, 2), sa)[0] > _EPS)
+                                 for p in bb_) else -1
+        return "".join(_dim_str(M[(r, c)]) for r in "IBE" for c in "IBE")
+
+    # polygon × polygon
+    ra = _geom_rings_closed(ga, i)
+    rb = _geom_rings_closed(gb, j)
+    inter = _mr.boolean_op(ra, rb, _mr.INTERSECTION)
+    a_minus_b = _mr.boolean_op(ra, rb, _mr.DIFFERENCE)
+    b_minus_a = _mr.boolean_op(rb, ra, _mr.DIFFERENCE)
+
+    def _polys_area(polys):
+        return sum(_mr._ring_signed_area(r) for p in polys for r in p)
+
+    M[("I", "I")] = 2 if inter and _polys_area(inter) > _EPS else -1
+    M[("I", "E")] = 2 if a_minus_b and _polys_area(a_minus_b) > _EPS else -1
+    M[("E", "I")] = 2 if b_minus_a and _polys_area(b_minus_a) > _EPS else -1
+    # boundary×boundary: shared collinear edges → 1; corner contacts → 0
+    Ea0, Ea1 = _flatten_edges(ra)
+    Eb0, Eb1 = _flatten_edges(rb)
+    asegs = np.stack([Ea0, Ea1], axis=1)
+    bsegs = np.stack([Eb0, Eb1], axis=1)
+    shared_edge = contact = False
+    for s in asegs:
+        for p in _split_segment_by_edges(s[0], s[1], Eb0, Eb1):
+            mid = ((p[0] + p[1]) / 2).reshape(1, 2)
+            if _point_seg_dist(mid, bsegs)[0] <= _EPS:
+                shared_edge = True
+        for q in bsegs:
+            if _mr._segment_intersection(tuple(s[0]), tuple(s[1]),
+                                         tuple(q[0]), tuple(q[1])):
+                contact = True
+    M[("B", "B")] = 1 if shared_edge else (0 if contact else -1)
+    # boundary of A vs interior/exterior of B: classify A's boundary pieces
+    def bnd_vs(asegs_, g, k, other_bsegs):
+        has_int = has_ext = False
+        for s in asegs_:
+            for p in _split_segment_by_edges(s[0], s[1], other_bsegs[:, 0],
+                                             other_bsegs[:, 1]):
+                mid = (p[0] + p[1]) / 2
+                if _point_seg_dist(mid.reshape(1, 2), other_bsegs)[0] <= _EPS:
+                    continue
+                if points_in_geom(mid[:1], mid[1:], g, k)[0] == 2:
+                    has_int = True
+                else:
+                    has_ext = True
+        return has_int, has_ext
+    bi, be = bnd_vs(asegs, gb, j, bsegs)
+    M[("B", "I")] = 1 if bi else -1
+    M[("B", "E")] = 1 if be else -1
+    ib, eb = bnd_vs(bsegs, ga, i, asegs)
+    M[("I", "B")] = 1 if ib else -1
+    M[("E", "B")] = 1 if eb else -1
+    return "".join(_dim_str(M[(r, c)]) for r in "IBE" for c in "IBE")
+
+
+def relate(ga: GeometryArray, gb: GeometryArray) -> list:
+    """Pairwise DE-9IM matrices (reference base.py:5612)."""
+    out = []
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
+            out.append(None)
+        else:
+            out.append(_relate_pair(ga, i, gb, i))
+    return out
+
+
+def relate_pattern(ga: GeometryArray, gb: GeometryArray,
+                   pattern: str) -> np.ndarray:
+    """Test matrices against a DE-9IM pattern (reference base.py:5716).
+    Pattern chars: T (dim >= 0), F (no intersection), 0/1/2 (exact dim),
+    * (anything)."""
+    pattern = pattern.replace(" ", "")
+    if len(pattern) != 9:
+        raise ValueError("DE-9IM pattern must have 9 characters")
+    mats = relate(ga, gb)
+    out = np.zeros(len(ga), dtype=bool)
+    for i, m in enumerate(mats):
+        if m is None:
+            continue
+        ok = True
+        for mc, pc in zip(m, pattern.upper()):
+            if pc == "*":
+                continue
+            if pc == "T" and mc == "F":
+                ok = False
+            elif pc == "F" and mc != "F":
+                ok = False
+            elif pc in "012" and mc != pc:
+                ok = False
+        out[i] = ok
+    return out

@@ -631,3 +631,46 @@ class TestConcaveHull:
         ch = algos.concave_hull(mp, ratio=0.3)
         assert algos.area(ch)[0] < algos.area(algos.convex_hull(mp))[0]
         assert algos.is_valid(ch)[0]
+
+
+class TestRelate:
+    """DE-9IM matrices verified against GEOS-documented results
+    (reference base.py:5612 relate, :5716 relate_pattern)."""
+
+    CASES = [
+        ("POINT (5 5)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "0FFFFF212"),
+        ("POINT (10 5)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "F0FFFF212"),
+        ("POINT (20 5)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "FF0FFF212"),
+        ("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",
+         "POLYGON ((3 3, 8 3, 8 8, 3 8, 3 3))", "212101212"),
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", "FF2F11212"),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", "212FF1FF2"),
+        ("LINESTRING (0 5, 10 5)",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "1FFF0F212"),
+        ("LINESTRING (-5 5, 15 5)",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "101FF0212"),
+        ("LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 5)", "0F1FF0102"),
+        ("LINESTRING (0 0, 10 0)", "LINESTRING (2 0, 6 0)", "101FF0FF2"),
+        ("POINT (1 1)", "POINT (1 1)", "0FFFFFFF2"),
+    ]
+
+    def test_matrices(self):
+        for a, b, exp in self.CASES:
+            got = algos.relate(ga_from_wkt(a), ga_from_wkt(b))[0]
+            assert got == exp, f"{a} vs {b}: {got} != {exp}"
+
+    def test_relate_pattern_predicates(self):
+        a = ga_from_wkt("POINT (5 5)", "POINT (20 5)")
+        b = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+                        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        # within pattern
+        np.testing.assert_array_equal(
+            algos.relate_pattern(a, b, "T*F**F***"), [True, False])
+        # disjoint pattern
+        np.testing.assert_array_equal(
+            algos.relate_pattern(a, b, "FF*FF****"), [False, True])
