@@ -986,6 +986,47 @@ def contains_properly(a, b) -> Column:
     return _REGISTRY["st_containsproperly"](_col(a), _col(b))
 
 
+def transform_coords(c, fn) -> Column:
+    """Lift a user coordinate-level function into the engine's Arrow-batched
+    harness (reference: GeoSeries.transform, base.py:2257). ``fn`` receives
+    the batch's flat (N,2) float64 coordinate array and returns same-shape
+    coordinates; geometry structure is preserved. The function is shipped in
+    the task closure — it must be picklable."""
+    from geopandas_spark.geom.array import GeometryArray as _GA
+
+    @pandas_udf(BinaryType())
+    def _xform(s: pd.Series) -> pd.Series:
+        ga = _decode(s)
+        nc = np.asarray(fn(ga.coords.copy()), dtype=np.float64)
+        out = _GA(ga.types, ga.geom_offsets, ga.part_offsets,
+                  ga.ring_offsets, nc.reshape(-1, 2))
+        return _enc(out)
+
+    return _xform(_col(c))
+
+
+def apply(c, fn) -> Column:
+    """Elementwise user function over decoded geometry rows (reference:
+    GeoSeries.apply, geoseries.py:806): ``fn(GeometryArray, i)`` returns
+    (type, parts) appended via the builder, or None for null. Slow path —
+    prefer the built-in st_* functions."""
+    from geopandas_spark.geom.array import GeometryBuilder as _GB
+
+    @pandas_udf(BinaryType())
+    def _apply(s: pd.Series) -> pd.Series:
+        ga = _decode(s)
+        b = _GB()
+        for i in range(len(ga)):
+            res = fn(ga, i)
+            if res is None:
+                b.append_null()
+            else:
+                b.append(res[0], res[1])
+        return _enc(b.finish())
+
+    return _apply(_col(c))
+
+
 def relate(a, b) -> Column:
     return _REGISTRY["st_relate"](_col(a), _col(b))
 

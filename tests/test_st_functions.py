@@ -163,3 +163,15 @@ def test_skew_interiors_clearance(spark):
     assert r.nholes == 1
     assert r.mc == 2.0
     assert r.a0 == 96.0
+
+
+def test_transform_coords_user_fn(spark):
+    df = spark.createDataFrame([("LINESTRING (0 0, 1 1)",)], ["w"])
+    g = st.geom_from_text("w")
+
+    def shift(coords):
+        coords[:, 0] += 100.0
+        return coords
+
+    out = df.select(st.as_text(st.transform_coords(g, shift)).alias("t"))
+    assert out.collect()[0].t == "LINESTRING (100 0, 101 1)"
