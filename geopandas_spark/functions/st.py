@@ -307,6 +307,21 @@ _unary_geom("st_voronoipolygons", algos.voronoi_polygons)
 
 
 _unary_double("st_minimumclearance", algos.minimum_clearance)
+_unary_double("st_precision", algos.get_precision)
+
+
+@_reg("st_offsetcurve")
+@pandas_udf(BinaryType())
+def _offsetcurve(s: pd.Series, d: pd.Series) -> pd.Series:
+    return _enc(algos.offset_curve(_decode(s), d.to_numpy(np.float64)))
+
+
+@_reg("st_isvalidcoverage_agg")
+@pandas_udf(BooleanType())
+def _isvalidcoverage_agg(s: pd.Series) -> bool:
+    """Whole-group coverage validity (GROUPED_AGG; reference base.py:378):
+    polygon interiors pairwise disjoint."""
+    return bool(algos.is_valid_coverage(wkb.decode(s.tolist())))
 
 
 @_reg("st_skew")
@@ -900,6 +915,18 @@ def interiors(c) -> Column:
 
 def minimum_clearance(c) -> Column:
     return _REGISTRY["st_minimumclearance"](_col(c))
+
+
+def get_precision(c) -> Column:
+    return _REGISTRY["st_precision"](_col(c))
+
+
+def offset_curve(c, d) -> Column:
+    return _REGISTRY["st_offsetcurve"](_col(c), _col(d))
+
+
+def is_valid_coverage_agg(c) -> Column:
+    return _REGISTRY["st_isvalidcoverage_agg"](_col(c))
 
 
 def voronoi_polygons(c) -> Column:

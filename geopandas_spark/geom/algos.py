@@ -3361,3 +3361,111 @@ def relate_pattern(ga: GeometryArray, gb: GeometryArray,
                 ok = False
         out[i] = ok
     return out
+
+
+def offset_curve(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
+    """Parallel offset of lines (reference base.py:1573): positive distance
+    offsets to the LEFT of the line direction. Segments shift along their
+    left normal; convex turns get arc fillets, concave turns the offset
+    lines' intersection (GEOS-style round joins; self-intersection for
+    offsets larger than the local feature size is possible, as in GEOS)."""
+    dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if t not in LINE_TYPES or ga.is_empty()[i]:
+            b.append_from(ga, i)
+            continue
+        d = float(dist[i])
+        if d == 0:
+            b.append_from(ga, i)
+            continue
+        chains = []
+        for p in ga.geom_slices(i):
+            r = p[0]
+            if len(r) < 2:
+                continue
+            seg = r[1:] - r[:-1]
+            ln = np.hypot(seg[:, 0], seg[:, 1])
+            keep = ln > 0
+            seg, ln = seg[keep], ln[keep]
+            verts = np.concatenate([r[:1], r[1:][keep]], axis=0)
+            if len(verts) < 2:
+                continue
+            nx, ny = -seg[:, 1] / ln, seg[:, 0] / ln  # left normals
+            off = d
+            pts = [verts[0] + np.array([nx[0], ny[0]]) * off]
+            for k in range(len(seg) - 1):
+                v = verts[k + 1]
+                n0 = np.array([nx[k], ny[k]]) * off
+                n1 = np.array([nx[k + 1], ny[k + 1]]) * off
+                cross = seg[k, 0] * seg[k + 1, 1] - seg[k, 1] * seg[k + 1, 0]
+                turn_left = cross > 0
+                arc_outside = (off > 0) != turn_left
+                if arc_outside and abs(cross) > _EPS:
+                    # n0/n1 already point to the offset side; sweep the arc
+                    # in the turn's rotation direction
+                    a0 = np.arctan2(n0[1], n0[0])
+                    a1 = np.arctan2(n1[1], n1[0])
+                    if cross < 0:  # right turn → clockwise sweep
+                        while a1 > a0:
+                            a1 -= 2 * np.pi
+                    else:  # left turn → counterclockwise sweep
+                        while a1 < a0:
+                            a1 += 2 * np.pi
+                    steps = max(1, int(abs(a1 - a0) / (np.pi / 2 / quad_segs)))
+                    for s_ in range(steps + 1):
+                        aa = a0 + (a1 - a0) * s_ / steps
+                        pts.append(v + abs(off) * np.array(
+                            [np.cos(aa), np.sin(aa)]))
+                else:
+                    # miter: intersection of the two offset lines
+                    p0, d0 = verts[k] + n0, seg[k]
+                    p1, d1 = verts[k + 1] + n1, seg[k + 1]
+                    den = d0[0] * d1[1] - d0[1] * d1[0]
+                    if abs(den) > _EPS:
+                        tt = ((p1[0] - p0[0]) * d1[1] -
+                              (p1[1] - p0[1]) * d1[0]) / den
+                        pts.append(p0 + tt * d0)
+                    else:
+                        pts.append(v + n0)
+            pts.append(verts[-1] + np.array([nx[-1], ny[-1]]) * off)
+            chains.append(np.asarray(pts))
+        _append_chains(b, chains)
+    return b.finish()
+
+
+def get_precision(ga: GeometryArray) -> np.ndarray:
+    """Coordinate precision grid (reference base.py:875): this kernel keeps
+    full double precision, so 0.0 everywhere (GEOS's value for ungridded
+    geometry); NaN for missing."""
+    out = np.zeros(len(ga))
+    out[ga.is_missing()] = np.nan
+    return out
+
+
+def is_valid_coverage(ga: GeometryArray, gap_width: float = 0.0) -> bool:
+    """Whole-series coverage check (reference base.py:378): polygons form a
+    valid coverage when their interiors are pairwise disjoint (boundary
+    touching allowed). Pairwise Martinez–Rueda intersection areas over a
+    bbox prefilter."""
+    bb = bounds(ga)
+    idx = [i for i in range(len(ga))
+           if int(ga.types[i]) in POLYGON_TYPES and not ga.is_empty()[i]]
+    for a_i in range(len(idx)):
+        i = idx[a_i]
+        for b_i in range(a_i + 1, len(idx)):
+            j = idx[b_i]
+            if (bb[i, 2] < bb[j, 0] or bb[j, 2] < bb[i, 0] or
+                    bb[i, 3] < bb[j, 1] or bb[j, 3] < bb[i, 1]):
+                continue
+            polys = _mr.boolean_op(_geom_rings_closed(ga, i),
+                                   _geom_rings_closed(ga, j),
+                                   _mr.INTERSECTION)
+            area_ij = sum(_mr._ring_signed_area(r) for p in polys for r in p)
+            if area_ij > _EPS:
+                return False
+    return True

@@ -674,3 +674,34 @@ class TestRelate:
         # disjoint pattern
         np.testing.assert_array_equal(
             algos.relate_pattern(a, b, "FF*FF****"), [False, True])
+
+
+class TestOffsetAndCoverage:
+    def test_offset_straight(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        assert wkt.format_array(algos.offset_curve(ga, 2.0))[0] == \
+            "LINESTRING (0 2, 10 2)"
+        assert wkt.format_array(algos.offset_curve(ga, -2.0))[0] == \
+            "LINESTRING (0 -2, 10 -2)"
+
+    def test_offset_corner_miter_and_arc(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 5 0, 5 5)")
+        # inside (left) offset miters: length 4 + 4
+        assert algos.length(algos.offset_curve(ga, 1.0))[0] == 8.0
+        # outside (right) offset rounds: length 10 + pi/2 (chord error)
+        np.testing.assert_allclose(
+            algos.length(algos.offset_curve(ga, -1.0))[0],
+            10 + np.pi / 2, rtol=1e-3)
+
+    def test_is_valid_coverage(self):
+        ok = ga_from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                         "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")
+        bad = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                          "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))")
+        assert algos.is_valid_coverage(ok)
+        assert not algos.is_valid_coverage(bad)
+
+    def test_get_precision(self):
+        ga = ga_from_wkt("POINT (1 1)", None)
+        p = algos.get_precision(ga)
+        assert p[0] == 0.0 and np.isnan(p[1])
