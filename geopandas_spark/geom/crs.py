@@ -56,3 +56,12 @@ def transform(ga, src: str, dst: str):
     nc = transform_coords(ga.coords, src, dst)
     return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
                          ga.ring_offsets, np.asarray(nc, dtype=np.float64))
+
+
+def estimate_utm_crs(lon: float, lat: float) -> str:
+    """UTM CRS for a lon/lat centroid (reference: estimate_utm_crs,
+    geopandas/array.py:1190-1270 — same zone arithmetic, minus the pyproj
+    database query)."""
+    zone = int((lon + 180.0) // 6.0) + 1
+    zone = min(max(zone, 1), 60)
+    return f"EPSG:{32600 + zone if lat >= 0 else 32700 + zone}"
