@@ -232,16 +232,23 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     lb = lefts.withColumn("__b__", st.bounds(gl))
     rb = rights.withColumn("__b__", st.bounds(gr))
 
-    # combined extent of both sides in ONE job (the reference's early-exit
-    # disjoint check, tools/overlay.py:310-326, falls out for free: empty
-    # overlap → no shared cells)
+    # combined extent + mean bbox size of both sides in ONE job (the
+    # reference's early-exit disjoint check, tools/overlay.py:310-326,
+    # falls out for free: empty overlap → no shared cells)
     tl = (lb.select("__b__").unionByName(rb.select("__b__"))
           .agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
-               F.max("__b__.xmax"), F.max("__b__.ymax")).collect()[0])
+               F.max("__b__.xmax"), F.max("__b__.ymax"),
+               F.avg(F.col("__b__.xmax") - F.col("__b__.xmin")),
+               F.avg(F.col("__b__.ymax") - F.col("__b__.ymin")))
+          .collect()[0])
     x0, y0, x1, y1 = tl[0], tl[1], tl[2], tl[3]
+    avg_w, avg_h = tl[4] or 0.0, tl[5] or 0.0
     pad = float(distance or 0.0)
-    w = max((x1 - x0) / grid_cells, 1e-9)
-    hgt = max((y1 - y0) / grid_cells, 1e-9)
+    # adaptive cell size: never smaller than the mean bbox side, else each
+    # geometry explodes into O((bbox/cell)^2) cells — the duplication-vs-
+    # selectivity balance that matters at the 100 TB scale point
+    w = max((x1 - x0) / grid_cells, 2.0 * avg_w, 1e-9)
+    hgt = max((y1 - y0) / grid_cells, 2.0 * avg_h, 1e-9)
 
     def cells(df, pre_pad):
         cx0 = F.floor((F.col("__b__.xmin") - F.lit(x0) - pre_pad) / F.lit(w))
