@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the boolean-op kernel.
+
+The reference has no property testing (SURVEY §5); these pin the set-op
+algebra on random integer-grid geometry where every area is an exact
+double, so the identities must hold exactly:
+
+    area(A∩B) + area(A∖B) = area(A)
+    area(A∪B) = area(A) + area(B) − area(A∩B)
+    area(A⊕B) = area(A∪B) − area(A∩B)
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st_
+
+from geopandas_spark.geom import algos, wkt
+from geopandas_spark.geom.array import boxes_from_bounds
+
+
+def _box(x0, y0, w, h):
+    return boxes_from_bounds([x0], [y0], [x0 + w], [y0 + h])
+
+
+coords = st_.integers(min_value=0, max_value=40)
+sizes = st_.integers(min_value=1, max_value=30)
+
+
+@settings(max_examples=120, deadline=None)
+@given(coords, coords, sizes, sizes, coords, coords, sizes, sizes)
+def test_boolean_area_identities_boxes(x0, y0, w0, h0, x1, y1, w1, h1):
+    a = _box(x0, y0, w0, h0)
+    b = _box(x1, y1, w1, h1)
+    A = algos.area(a)[0]
+    B = algos.area(b)[0]
+    I = algos.area(algos.intersection(a, b))[0]
+    U = algos.area(algos.union(a, b))[0]
+    D = algos.area(algos.difference(a, b))[0]
+    X = algos.area(algos.symmetric_difference(a, b))[0]
+    assert I + D == A
+    assert U == A + B - I
+    assert X == U - I
+    # exact rectangle-overlap cross-check
+    ox = max(0, min(x0 + w0, x1 + w1) - max(x0, x1))
+    oy = max(0, min(y0 + h0, y1 + h1) - max(y0, y1))
+    assert I == ox * oy
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.lists(st_.tuples(coords, coords, sizes, sizes), min_size=2,
+                 max_size=6))
+def test_union_all_upper_lower_bounds(boxes):
+    ga = boxes_from_bounds([b[0] for b in boxes], [b[1] for b in boxes],
+                           [b[0] + b[2] for b in boxes],
+                           [b[1] + b[3] for b in boxes])
+    areas = algos.area(ga)
+    u = algos.union_all(ga)
+    ua = algos.area(u)[0]
+    assert ua <= areas.sum() + 1e-9
+    assert ua >= areas.max() - 1e-9
+    # every input box is covered by the union
+    for k in range(len(ga)):
+        assert algos.covers(u.take([0] * 1), ga.take([k]))[0] or \
+            algos.area(algos.difference(ga.take([k]), u))[0] <= 1e-9
+
+
+@settings(max_examples=80, deadline=None)
+@given(coords, coords, coords, coords, sizes, sizes)
+def test_predicate_consistency(px, py, x0, y0, w, h):
+    p = wkt.parse_array([f"POINT ({px} {py})"])
+    bx = _box(x0, y0, w, h)
+    inter = algos.intersects(p, bx)[0]
+    within = algos.within(p, bx)[0]
+    covered = algos.covered_by(p, bx)[0]
+    contains = algos.contains(bx, p)[0]
+    covers = algos.covers(bx, p)[0]
+    assert within == contains
+    assert covered == covers
+    # geometry truth
+    strictly_in = x0 < px < x0 + w and y0 < py < y0 + h
+    on_or_in = x0 <= px <= x0 + w and y0 <= py <= y0 + h
+    assert within == strictly_in
+    assert covered == on_or_in
+    assert inter == on_or_in
+    if within:
+        assert covered and inter
+
+
+@settings(max_examples=80, deadline=None)
+@given(st_.lists(st_.tuples(coords, coords), min_size=3, max_size=3,
+                 unique=True),
+       st_.lists(st_.tuples(coords, coords), min_size=3, max_size=3,
+                 unique=True))
+def test_boolean_identities_triangles(ta, tb):
+    def tri(pts):
+        (x0, y0), (x1, y1), (x2, y2) = pts
+        ar2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        if ar2 == 0:
+            return None
+        if ar2 < 0:
+            pts = [pts[0], pts[2], pts[1]]
+        w = ", ".join(f"{x} {y}" for x, y in pts + [pts[0]])
+        return wkt.parse_array([f"POLYGON (({w}))"])
+
+    a, b = tri(ta), tri(tb)
+    if a is None or b is None:
+        return
+    A = algos.area(a)[0]
+    B = algos.area(b)[0]
+    I = algos.area(algos.intersection(a, b))[0]
+    U = algos.area(algos.union(a, b))[0]
+    D = algos.area(algos.difference(a, b))[0]
+    X = algos.area(algos.symmetric_difference(a, b))[0]
+    np.testing.assert_allclose(I + D, A, atol=1e-7)
+    np.testing.assert_allclose(U, A + B - I, atol=1e-7)
+    np.testing.assert_allclose(X, U - I, atol=1e-7)
