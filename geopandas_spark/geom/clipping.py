@@ -430,10 +430,33 @@ def _walk_rings(sorted_events, subject_rings, clipping_rings, op):
     leftmost turn at every vertex. Each directed edge is consumed exactly
     once; touching regions stay separate because the leftmost-turn pairing
     never crosses a vertex fan."""
+    # Membership probes decide BOTH which noded edges bound the result and
+    # their orientation — the sweep is used only for noding (robust); the
+    # in_out/in_result flag propagation (fragile on near-parallel edges) is
+    # bypassed entirely. An edge bounds the op region iff exactly one of
+    # its two side-probes lands inside; it is oriented region-on-left.
+    # vertex quantization: crossing points computed from different edge
+    # pairs can differ in the last ulp — unify them so graph adjacency
+    # holds (snap radius 1e-9, far below any real feature size)
+    canon_table = {}
+
+    def _canon(pt):
+        key = (round(pt[0], 9), round(pt[1], 9))
+        return canon_table.setdefault(key, pt)
+
+    seen = set()
     edges = []
     for e in sorted_events:
-        if e.left and e.in_result:
-            edges.append((e.point, e.other.point))
+        if not e.left:
+            continue
+        p, q = _canon(e.point), _canon(e.other.point)
+        if p == q:
+            continue
+        key = (p, q) if p < q else (q, p)
+        if key in seen:  # collinear shared edges appear once per input side
+            continue
+        seen.add(key)
+        edges.append((p, q))
     directed = []
     for p, q in edges:
         mx, my = (p[0] + q[0]) * 0.5, (p[1] + q[1]) * 0.5
@@ -443,13 +466,16 @@ def _walk_rings(sorted_events, subject_rings, clipping_rings, op):
             continue
         eps = 1e-9 * ln
         nx, ny = -dy / ln * eps, dx / ln * eps
-        if _in_op_region(mx + nx, my + ny, subject_rings, clipping_rings, op):
+        left_in = _in_op_region(mx + nx, my + ny, subject_rings,
+                                clipping_rings, op)
+        right_in = _in_op_region(mx - nx, my - ny, subject_rings,
+                                 clipping_rings, op)
+        if left_in and not right_in:
             directed.append((p, q))
-        elif _in_op_region(mx - nx, my - ny, subject_rings,
-                           clipping_rings, op):
+        elif right_in and not left_in:
             directed.append((q, p))
-        else:  # degenerate sliver thinner than eps: keep original direction
-            directed.append((p, q))
+        # both-in (interior edge) or both-out (exterior edge): not a
+        # boundary of the result — dropped
     out_map = {}
     for eid, (p, _q) in enumerate(directed):
         out_map.setdefault(p, []).append(eid)
