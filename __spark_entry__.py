@@ -512,6 +512,126 @@ def q_hilbert(spark, sf_dir):
 # Hilbert curve has no plain-SQL twin → rows-only check (documented).
 
 
+def q_inscribed_clearance(spark, sf_dir):
+    """maximum_inscribed_circle radius + minimum_clearance(-line) length on
+    per-nation rectangles of varying aspect; for a w×h rectangle the
+    inscribed radius is min(w,h)/2 and the clearance is min(w,h) — both
+    exact doubles."""
+    n = _t(spark, sf_dir, "nation")
+    w = (F.col("n_nationkey") % 5 * 20 + 100).cast("double")
+    h = F.lit(150.0)
+    g = st.makebox(F.lit(0.0), F.lit(0.0), w, h)
+    return n.select(
+        F.col("n_nationkey").alias("id"),
+        F.round(st.length(st.maximum_inscribed_circle(g)), 6)
+         .alias("mic_radius"),
+        F.round(st.minimum_clearance(g), 6).alias("clearance"),
+        F.round(st.length(st.minimum_clearance_line(g)), 6)
+         .alias("clearance_len"))
+
+
+SQL_INSCRIBED_CLEARANCE = """
+SELECT n_nationkey AS id,
+       ROUND(LEAST(n_nationkey % 5 * 20 + 100, 150) / 2.0, 6) AS mic_radius,
+       ROUND(CAST(LEAST(n_nationkey % 5 * 20 + 100, 150) AS DOUBLE), 6)
+           AS clearance,
+       ROUND(CAST(LEAST(n_nationkey % 5 * 20 + 100, 150) AS DOUBLE), 6)
+           AS clearance_len
+FROM nation
+"""
+
+
+def q_intersection_all(spark, sf_dir):
+    """Reduction by intersection per nation: 500-wide boxes anchored at
+    (c_custkey%100, (c_custkey*3)%100) all pairwise overlap, so the group
+    intersection is the box [max(a), min(a)+500] × [max(b), min(b)+500]."""
+    c = _t(spark, sf_dir, "customer")
+    a = (F.col("c_custkey") % 100).cast("double")
+    b = (F.col("c_custkey") * 3 % 100).cast("double")
+    g = st.makebox(a, b, a + 500.0, b + 500.0)
+    return (c.select(F.col("c_nationkey").alias("nk"), g.alias("geom"))
+             .groupBy("nk")
+             .agg(st.intersection_all_agg("geom").alias("ix"))
+             .select("nk", F.round(st.area("ix"), 6).alias("inter_area")))
+
+
+SQL_INTERSECTION_ALL = """
+SELECT c_nationkey AS nk,
+       ROUND((500.0 - (MAX(c_custkey % 100) - MIN(c_custkey % 100)))
+           * (500.0 - (MAX(c_custkey * 3 % 100) - MIN(c_custkey * 3 % 100))),
+           6) AS inter_area
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def q_shared_paths(spark, sf_dir):
+    """shared_paths of two horizontal lines on the same row: A spans
+    [0,600]; B spans [s, s+400] forward for even keys, reversed for odd —
+    the collinear overlap length LEAST(600, s+400) - s lands in the
+    same/opposite struct field by B's direction."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = k % 300
+    y = (k * 7 % 1000)
+    a = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (0 "), y, F.lit(", 600 "), y, F.lit(")")))
+    fwd = F.concat(F.lit("LINESTRING ("), s, F.lit(" "), y, F.lit(", "),
+                   s + 400, F.lit(" "), y, F.lit(")"))
+    rev = F.concat(F.lit("LINESTRING ("), s + 400, F.lit(" "), y,
+                   F.lit(", "), s, F.lit(" "), y, F.lit(")"))
+    b = st.geom_from_text(F.when(k % 2 == 0, fwd).otherwise(rev))
+    sp = st.shared_paths(a, b)
+    return c.select(
+        k.alias("id"),
+        F.round(st.length(sp.getField("same_direction")), 6)
+         .alias("len_same"),
+        F.round(st.length(sp.getField("opposite_direction")), 6)
+         .alias("len_opp"))
+
+
+SQL_SHARED_PATHS = """
+SELECT c_custkey AS id,
+       ROUND(CASE WHEN c_custkey % 2 = 0
+             THEN LEAST(600, c_custkey % 300 + 400) - c_custkey % 300
+             ELSE 0 END * 1.0, 6) AS len_same,
+       ROUND(CASE WHEN c_custkey % 2 = 1
+             THEN LEAST(600, c_custkey % 300 + 400) - c_custkey % 300
+             ELSE 0 END * 1.0, 6) AS len_opp
+FROM customer
+"""
+
+
+def q_cdt(spark, sf_dir):
+    """constrained_delaunay_triangles of a 200×200 square with a centered
+    square hole of side 20+10*(n%4): any triangulation of an n-vertex
+    1-hole polygon has n+2h-2 = 8 triangles summing to the exact area."""
+    n = _t(spark, sf_dir, "nation")
+    hs = (F.col("n_nationkey") % 4 * 10 + 20)
+    x0, y0 = F.lit(90), F.lit(90)
+    wktcol = F.concat(
+        F.lit("POLYGON ((0 0, 200 0, 200 200, 0 200, 0 0), ("),
+        x0, F.lit(" "), y0, F.lit(", "),
+        x0 + hs, F.lit(" "), y0, F.lit(", "),
+        x0 + hs, F.lit(" "), y0 + hs, F.lit(", "),
+        x0, F.lit(" "), y0 + hs, F.lit(", "),
+        x0, F.lit(" "), y0, F.lit("))"))
+    g = st.constrained_delaunay_triangles(st.geom_from_text(wktcol))
+    return n.select(F.col("n_nationkey").alias("id"),
+                    st.ngeometries(g).alias("n_tri"),
+                    F.round(st.area(g), 6).alias("tri_area"))
+
+
+SQL_CDT = """
+SELECT n_nationkey AS id,
+       CAST(8 AS BIGINT) AS n_tri,
+       ROUND(200.0 * 200.0
+             - (n_nationkey % 4 * 10 + 20) * (n_nationkey % 4 * 10 + 20),
+             6) AS tri_area
+FROM nation
+"""
+
+
 # --- training-data pipeline queries ----------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -1072,6 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": q_interpolate,
         "project": q_project,
         "hilbert": q_hilbert,
+        "inscribed_clearance": q_inscribed_clearance,
+        "intersection_all": q_intersection_all,
+        "shared_paths": q_shared_paths,
+        "cdt": q_cdt,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
@@ -1116,6 +1240,10 @@ def oracle_sql() -> dict[str, str]:
         "interpolate": SQL_INTERPOLATE,
         "project": SQL_PROJECT,
         # "hilbert": rows-only (no plain-SQL twin)
+        "inscribed_clearance": SQL_INSCRIBED_CLEARANCE,
+        "intersection_all": SQL_INTERSECTION_ALL,
+        "shared_paths": SQL_SHARED_PATHS,
+        "cdt": SQL_CDT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "fingerprint": SQL_FINGERPRINT,

@@ -300,6 +300,17 @@ _unary_geom("st_minimumboundingcircle", algos.minimum_bounding_circle)
 _unary_geom("st_orientedenvelope", algos.minimum_rotated_rectangle)
 _unary_geom("st_pointonsurface", algos.representative_point)
 _unary_double("st_minimumboundingradius", algos.minimum_bounding_radius)
+_unary_geom("st_minimumclearanceline", algos.minimum_clearance_line)
+_unary_geom("st_constraineddelaunaytriangles",
+            algos.constrained_delaunay_triangles)
+
+
+@_reg("st_maximuminscribedcircle")
+@pandas_udf(BinaryType())
+def _maxinscribedcircle(s: pd.Series, tol: pd.Series) -> pd.Series:
+    t = tol.iloc[0]
+    return _enc(algos.maximum_inscribed_circle(
+        _decode(s), None if t is None or t <= 0 else float(t)))
 _unary_geom("st_makevalid", algos.make_valid)
 _unary_geom("st_linemerge", algos.line_merge)
 _unary_geom("st_delaunaytriangles", algos.delaunay_triangles)
@@ -598,6 +609,32 @@ def _union_agg(s: pd.Series) -> bytes:
     return wkb.encode(out)[0]
 
 
+@_reg("st_intersection_all_agg")
+@pandas_udf(BinaryType())
+def _intersection_all_agg(s: pd.Series) -> bytes:
+    """Reduction by intersection (GROUPED_AGG; reference base.py:2554).
+    Associative — safe under Spark's partial aggregation."""
+    return wkb.encode(algos.intersection_all(wkb.decode(s.tolist())))[0]
+
+
+_SHAREDPATHS_T = StructType([
+    StructField("same_direction", BinaryType()),
+    StructField("opposite_direction", BinaryType()),
+])
+
+
+@_reg("st_sharedpaths")
+@pandas_udf(_SHAREDPATHS_T)
+def _sharedpaths(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Collinear shared portions of two lines (reference base.py:5152).
+    GEOS wraps the two direction classes in a GEOMETRYCOLLECTION; we
+    return a struct<same_direction, opposite_direction> of WKB instead
+    (no collection type in the kernel — documented deviation)."""
+    same, opp = algos.shared_paths(_decode(a), _decode(b))
+    return pd.DataFrame({"same_direction": _enc(same),
+                         "opposite_direction": _enc(opp)})
+
+
 @_reg("st_union_array")
 @pandas_udf(BinaryType())
 def _union_array(s: pd.Series) -> pd.Series:
@@ -872,6 +909,14 @@ def union_agg(c) -> Column:
     return _REGISTRY["st_union_agg"](_col(c))
 
 
+def intersection_all_agg(c) -> Column:
+    return _REGISTRY["st_intersection_all_agg"](_col(c))
+
+
+def shared_paths(a, b) -> Column:
+    return _REGISTRY["st_sharedpaths"](_col(a), _col(b))
+
+
 def union_array(c) -> Column:
     return _REGISTRY["st_union_array"](_col(c))
 
@@ -900,6 +945,10 @@ def delaunay_triangles(c) -> Column:
     return _REGISTRY["st_delaunaytriangles"](_col(c))
 
 
+def constrained_delaunay_triangles(c) -> Column:
+    return _REGISTRY["st_constraineddelaunaytriangles"](_col(c))
+
+
 def concave_hull(c, ratio=0.0) -> Column:
     return _REGISTRY["st_concavehull"](_col(c), F.lit(float(ratio)))
 
@@ -915,6 +964,17 @@ def interiors(c) -> Column:
 
 def minimum_clearance(c) -> Column:
     return _REGISTRY["st_minimumclearance"](_col(c))
+
+
+def minimum_clearance_line(c) -> Column:
+    return _REGISTRY["st_minimumclearanceline"](_col(c))
+
+
+def maximum_inscribed_circle(c, tolerance=0.0) -> Column:
+    """Two-point line center→nearest boundary point (length = radius);
+    tolerance<=0 means automatic (bbox diagonal / 1000)."""
+    return _REGISTRY["st_maximuminscribedcircle"](
+        _col(c), F.lit(float(tolerance)))
 
 
 def get_precision(c) -> Column:

@@ -1887,6 +1887,77 @@ def union_all(ga: GeometryArray) -> GeometryArray:
     return b.finish()
 
 
+def intersection_all(ga: GeometryArray) -> GeometryArray:
+    """Reduction by pairwise intersection, ignoring missing rows
+    (reference: geopandas/base.py:2554-2582, array.py:1021-1022).
+    Associative, so the same tree/sequential reduction is valid across
+    Spark partitions. Early-exits once the accumulator is empty."""
+    idx = [i for i in range(len(ga)) if ga.types[i] != GT_MISSING]
+    b = GeometryBuilder()
+    if not idx:
+        b.append_null()
+        return b.finish()
+    acc = ga.take(idx[:1])
+    for i in idx[1:]:
+        acc = intersection(acc, ga.take([i]))
+        if acc.is_empty()[0]:
+            break
+    return acc
+
+
+def shared_paths(ga: GeometryArray, gb: GeometryArray) -> tuple:
+    """Collinear shared portions of two line inputs (reference
+    base.py:5152; GEOS SharedPaths). GEOS packs the two direction classes
+    into a GEOMETRYCOLLECTION of two MULTILINESTRINGs; our kernel has no
+    collection type (documented deviation), so this returns a pair of
+    GeometryArrays ``(same_direction, opposite_direction)`` — the st_
+    layer exposes them as a struct column, which is the Spark-idiomatic
+    shape anyway.
+    """
+    bs, bo = GeometryBuilder(), GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
+            bs.append_null()
+            bo.append_null()
+            continue
+        sa, sb = _geom_segments(ga, i), _geom_segments(gb, i)
+        same, opp = [], []
+        if len(sa) and len(sb):
+            a1 = sa[:, 0][:, None, :]
+            r = (sa[:, 1] - sa[:, 0])[:, None, :]
+            b1 = sb[:, 0][None, :, :]
+            s = (sb[:, 1] - sb[:, 0])[None, :, :]
+            rlen2 = (r * r).sum(-1)
+            scale = np.sqrt(np.where(rlen2 == 0, 1.0, rlen2))
+            cross_rs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+            qp = b1 - a1
+            cross_qr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+            # parallel AND collinear (eps scaled by segment length)
+            eps = 1e-12
+            par = np.abs(cross_rs) <= eps * scale * scale
+            col = np.abs(cross_qr) <= eps * scale * scale
+            cand = par & col & (rlen2 > 0)
+            ii, jj = np.nonzero(cand)
+            for k in range(len(ii)):
+                ai, bj = ii[k], jj[k]
+                rv = sa[ai, 1] - sa[ai, 0]
+                rr = float((rv * rv).sum())
+                t0 = float(((sb[bj, 0] - sa[ai, 0]) * rv).sum() / rr)
+                t1 = float(((sb[bj, 1] - sa[ai, 0]) * rv).sum() / rr)
+                lo, hi = max(0.0, min(t0, t1)), min(1.0, max(t0, t1))
+                if hi - lo <= eps:
+                    continue
+                p = sa[ai, 0] + lo * rv
+                q = sa[ai, 0] + hi * rv
+                (same if t1 > t0 else opp).append(np.array([p, q]))
+        for out, segs2 in ((bs, same), (bo, opp)):
+            if segs2:
+                out.append(GT_MULTILINESTRING, [[sg] for sg in segs2])
+            else:
+                out.append_empty(GT_MULTILINESTRING)
+    return line_merge(bs.finish()), line_merge(bo.finish())
+
+
 # ---------------------------------------------------------------------------
 # line referencing (reference: interpolate base.py:5925, project :5827)
 # ---------------------------------------------------------------------------
@@ -2910,6 +2981,204 @@ def delaunay_triangles(ga: GeometryArray) -> GeometryArray:
     return b.finish()
 
 
+def _ring_signed_area(pts):
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _earclip(pts):
+    """Triangulate a simple polygon given as an open CCW vertex list
+    (n,2) → list of index triples."""
+    n = len(pts)
+    if n < 3:
+        return []
+    idx = list(range(n))
+    tris = []
+    fail = 0
+    while len(idx) > 3 and fail <= len(idx):
+        m = len(idx)
+        clipped = False
+        for k in range(m):
+            ia, ib, ic = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            A, B, C = pts[ia], pts[ib], pts[ic]
+            cr = (B[0] - A[0]) * (C[1] - B[1]) - (B[1] - A[1]) * (C[0] - B[0])
+            if cr <= 1e-18:       # reflex or collinear: not an ear
+                continue
+            # no other remaining vertex strictly inside ABC
+            others = [j for j in idx if j not in (ia, ib, ic)]
+            ok = True
+            for j in others:
+                P = pts[j]
+                # bridge splices duplicate vertices: a coordinate-equal
+                # copy of an ear corner never blocks the ear
+                if ((P[0] == A[0] and P[1] == A[1]) or
+                        (P[0] == B[0] and P[1] == B[1]) or
+                        (P[0] == C[0] and P[1] == C[1])):
+                    continue
+                d1 = (B[0] - A[0]) * (P[1] - A[1]) - (B[1] - A[1]) * (P[0] - A[0])
+                d2 = (C[0] - B[0]) * (P[1] - B[1]) - (C[1] - B[1]) * (P[0] - B[0])
+                d3 = (A[0] - C[0]) * (P[1] - C[1]) - (A[1] - C[1]) * (P[0] - C[0])
+                if d1 >= 0 and d2 >= 0 and d3 >= 0:
+                    ok = False
+                    break
+            if ok:
+                tris.append((ia, ib, ic))
+                idx.pop(k)
+                clipped = True
+                break
+        if not clipped:  # numeric degeneracy: drop the flattest corner
+            flat = min(range(m), key=lambda k: abs(
+                (pts[idx[k]][0] - pts[idx[(k - 1) % m]][0]) *
+                (pts[idx[(k + 1) % m]][1] - pts[idx[k]][1]) -
+                (pts[idx[k]][1] - pts[idx[(k - 1) % m]][1]) *
+                (pts[idx[(k + 1) % m]][0] - pts[idx[k]][0])))
+            idx.pop(flat)
+            fail += 1
+    if len(idx) == 3:
+        tris.append(tuple(idx))
+    return tris
+
+
+def _bridge_holes(outer, holes):
+    """Splice holes into the outer ring via mutually-visible bridges
+    (earcut's eliminate-holes strategy) → single open vertex list."""
+    poly = [tuple(p) for p in outer]
+    for hole in sorted(holes, key=lambda h: -h[:, 0].max()):
+        h = [tuple(p) for p in hole]
+        mi = max(range(len(h)), key=lambda k: h[k][0])
+        M = h[mi]
+        # candidate outer vertices right of M, nearest first
+        order = sorted(range(len(poly)),
+                       key=lambda k: (poly[k][0] - M[0]) ** 2 +
+                                     (poly[k][1] - M[1]) ** 2)
+        bridged = False
+        for pi in order:
+            P = poly[pi]
+            seg = np.array([[M, P]])
+            blocked = False
+            for ring_pts in [np.array(poly + poly[:1])] + \
+                    [np.array(hh + hh[:1]) for hh in [h]]:
+                edges = np.stack([ring_pts[:-1], ring_pts[1:]], axis=1)
+                # exclude edges incident to M or P
+                inc = (np.all(edges[:, 0] == M, axis=1) |
+                       np.all(edges[:, 1] == M, axis=1) |
+                       np.all(edges[:, 0] == P, axis=1) |
+                       np.all(edges[:, 1] == P, axis=1))
+                hit, proper = _segs_intersect_flags(seg, edges[~inc])
+                if hit:
+                    blocked = True
+                    break
+            if not blocked:
+                # splice: outer[:pi+1] + [M..hole..M] + outer[pi:]
+                rot = h[mi:] + h[:mi]
+                poly = poly[:pi + 1] + [M] + rot[1:] + [M, P] + poly[pi + 1:]
+                # ^ rot starts at M; walk hole once, return to M, back to P
+                bridged = True
+                break
+        if not bridged:   # fully blocked (shouldn't happen on valid input)
+            continue
+    return np.array(poly, dtype=np.float64)
+
+
+def constrained_delaunay_triangles(ga: GeometryArray) -> GeometryArray:
+    """Constrained Delaunay triangulation of each polygon's interior →
+    MULTIPOLYGON of triangles per row (reference base.py:1123; GEOS
+    returns a GEOMETRYCOLLECTION — collection-free deviation as
+    elsewhere). Ear-clip for a valid triangulation honoring the boundary,
+    then Lawson edge flips (constrained edges pinned) for the Delaunay
+    property."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if t not in POLYGON_TYPES:
+            b.append_empty(GT_MULTIPOLYGON)
+            continue
+        parts_out = []
+        for rings in ga.geom_slices(i):
+            if not rings or len(rings[0]) < 4:
+                continue
+            outer = rings[0][:-1]
+            if _ring_signed_area(rings[0]) < 0:
+                outer = outer[::-1]
+            holes = []
+            for hring in rings[1:]:
+                h = hring[:-1]
+                if _ring_signed_area(hring) > 0:
+                    h = h[::-1]   # holes walked CW so splice keeps CCW
+                holes.append(h)
+            pts = _bridge_holes(outer, holes) if holes else np.asarray(outer)
+            tris = _earclip(pts)
+            if not tris:
+                continue
+            # constrained edges: consecutive vertex pairs of the spliced
+            # boundary walk (includes bridge duplicates — conservative)
+            def _ek(a, c):
+                ka = (round(pts[a][0], 12), round(pts[a][1], 12))
+                kc = (round(pts[c][0], 12), round(pts[c][1], 12))
+                return (ka, kc) if ka <= kc else (kc, ka)
+            constrained = {_ek(k, (k + 1) % len(pts))
+                           for k in range(len(pts))}
+            tris = _lawson_flips(pts, tris, constrained, _ek)
+            for (ia, ib, ic) in tris:
+                ring = np.array([pts[ia], pts[ib], pts[ic], pts[ia]])
+                parts_out.append([ring])
+        if parts_out:
+            b.append(GT_MULTIPOLYGON, parts_out)
+        else:
+            b.append_empty(GT_MULTIPOLYGON)
+    return b.finish()
+
+
+def _lawson_flips(pts, tris, constrained, ek, max_rounds=30):
+    """Flip non-constrained shared edges failing the incircle test."""
+    tris = [tuple(t) for t in tris]
+    for _ in range(max_rounds):
+        # edge → list of (triangle index, opposite vertex)
+        emap = {}
+        for ti, (a, b2, c) in enumerate(tris):
+            for (u, v, w) in ((a, b2, c), (b2, c, a), (c, a, b2)):
+                emap.setdefault(ek(u, v), []).append((ti, u, v, w))
+        flipped = False
+        done = set()
+        for key, lst in emap.items():
+            if len(lst) != 2 or key in constrained:
+                continue
+            (t1, u1, v1, w1), (t2, u2, v2, w2) = lst
+            if t1 in done or t2 in done:
+                continue
+            A, B, C, D = pts[u1], pts[v1], pts[w1], pts[w2]
+            # incircle(A,B,C;D) > 0 → D inside circumcircle of (A,B,C)
+            m = np.array([
+                [A[0] - D[0], A[1] - D[1],
+                 (A[0] - D[0]) ** 2 + (A[1] - D[1]) ** 2],
+                [B[0] - D[0], B[1] - D[1],
+                 (B[0] - D[0]) ** 2 + (B[1] - D[1]) ** 2],
+                [C[0] - D[0], C[1] - D[1],
+                 (C[0] - D[0]) ** 2 + (C[1] - D[1]) ** 2]])
+            orient = (B[0] - A[0]) * (C[1] - A[1]) - \
+                     (B[1] - A[1]) * (C[0] - A[0])
+            det = float(np.linalg.det(m)) * np.sign(orient or 1.0)
+            if det <= 1e-12:
+                continue
+            # flip shared edge (u1,v1) → (w1,w2); keep orientations valid
+            n1, n2 = (u1, w2, w1), (w2, v1, w1)
+            def _ok(tr):
+                P, Q, R = pts[tr[0]], pts[tr[1]], pts[tr[2]]
+                return abs((Q[0] - P[0]) * (R[1] - P[1]) -
+                           (Q[1] - P[1]) * (R[0] - P[0])) > 1e-18
+            if not (_ok(n1) and _ok(n2)):
+                continue
+            tris[t1], tris[t2] = n1, n2
+            done.update((t1, t2))
+            flipped = True
+        if not flipped:
+            break
+    return tris
+
+
 def voronoi_polygons(ga: GeometryArray, extend_to=None) -> GeometryArray:
     """Voronoi cells of each geometry's vertices → MULTIPOLYGON per row
     (reference base.py:1301). Each cell = the envelope (expanded by half
@@ -3044,42 +3313,169 @@ def interiors(ga: GeometryArray) -> list:
     return out
 
 
+def _clearance_pair(ga: GeometryArray, i: int):
+    """(distance, p, q) realizing the minimum clearance of row i, or
+    (inf, None, None): smallest of (a) any vertex's distance to a
+    non-incident edge, (b) any two distinct vertices' distance — the
+    discrete form of GEOS's definition."""
+    pts = _geom_points(ga, i)
+    segs = _geom_segments(ga, i)
+    best, bp, bq = np.inf, None, None
+    if len(pts) < 2:
+        return best, bp, bq
+    # vertex-vertex (distinct coordinates)
+    uq = np.unique(pts, axis=0)
+    if len(uq) >= 2:
+        for k in range(len(uq)):
+            rest = uq[k + 1:]
+            d = np.hypot(*(rest - uq[k]).T)
+            pos = d > 0
+            if pos.any():
+                j = int(np.argmin(np.where(pos, d, np.inf)))
+                if d[j] < best:
+                    best, bp, bq = float(d[j]), uq[k], rest[j]
+    # vertex vs non-incident segments
+    for k in range(len(pts)):
+        p = pts[k]
+        if not len(segs):
+            break
+        incident = ((segs[:, 0] == p).all(axis=1) |
+                    (segs[:, 1] == p).all(axis=1))
+        rest = segs[~incident]
+        if not len(rest):
+            continue
+        a, b = rest[:, 0], rest[:, 1]
+        ab = b - a
+        denom = (ab * ab).sum(-1)
+        t = np.clip(((p - a) * ab).sum(-1) /
+                    np.where(denom == 0, 1.0, denom), 0, 1)
+        proj = a + t[:, None] * ab
+        d = np.hypot(*(p - proj).T)
+        pos = d > 0
+        if pos.any():
+            j = int(np.argmin(np.where(pos, d, np.inf)))
+            if d[j] < best:
+                best, bp, bq = float(d[j]), p, proj[j]
+    return best, bp, bq
+
+
 def minimum_clearance(ga: GeometryArray) -> np.ndarray:
-    """Minimum clearance (reference base.py:1950): smallest of (a) any
-    vertex's distance to a non-incident edge, (b) any two distinct
-    vertices' distance — the discrete form of GEOS's definition."""
+    """Minimum clearance (reference base.py:1950)."""
     out = np.full(len(ga), np.inf)
     for i in range(len(ga)):
         if ga.types[i] == GT_MISSING:
             out[i] = np.nan
             continue
-        pts = _geom_points(ga, i)
-        segs = _geom_segments(ga, i)
-        if len(pts) < 2:
-            continue
-        best = np.inf
-        # vertex-vertex (distinct coordinates)
-        uq = np.unique(pts, axis=0)
-        if len(uq) >= 2:
-            for k in range(len(uq)):
-                d = np.hypot(*(uq[k + 1:] - uq[k]).T)
-                d = d[d > 0]
-                if len(d):
-                    best = min(best, float(d.min()))
-        # vertex vs non-incident segments
-        for k in range(len(pts)):
-            p = pts[k]
-            if not len(segs):
-                break
-            incident = ((segs[:, 0] == p).all(axis=1) |
-                        (segs[:, 1] == p).all(axis=1))
-            rest = segs[~incident]
-            if len(rest):
-                d = _point_seg_dist(p.reshape(1, 2), rest)[0]
-                if d > 0:
-                    best = min(best, float(d))
-        out[i] = best
+        out[i] = _clearance_pair(ga, i)[0]
     return out
+
+
+def minimum_clearance_line(ga: GeometryArray) -> GeometryArray:
+    """Two-point LINESTRING realizing the minimum clearance (reference
+    base.py:1986; GEOS MinimumClearance::getLine). LINESTRING EMPTY when
+    clearance is undefined (fewer than two distinct vertices)."""
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        d, p, q = _clearance_pair(ga, i)
+        if p is None or not np.isfinite(d):
+            b.append_empty(GT_LINESTRING)
+        else:
+            b.append(GT_LINESTRING, [[np.array([p, q])]])
+    return b.finish()
+
+
+def maximum_inscribed_circle(ga: GeometryArray, tolerance=None) -> GeometryArray:
+    """Largest circle contained in a polygon (reference base.py:1853; GEOS
+    MaximumInscribedCircle): returned, like GEOS, as a two-point LINESTRING
+    from the circle center to the nearest boundary point (its length is the
+    radius).
+
+    Algorithm: quadtree cell refinement over the bbox maximizing the signed
+    distance to the boundary (the "polylabel" approach — same structure as
+    GEOS's implementation), terminating when the best cell's potential
+    improvement drops below ``tolerance`` (default: bbox diagonal / 1000).
+    """
+    import heapq
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        pts = _geom_points(ga, i)
+        if t not in POLYGON_TYPES or len(pts) == 0:
+            b.append_empty(GT_LINESTRING)
+            continue
+        segs = _geom_segments(ga, i)
+
+        def sdist(xs, ys):
+            """signed distance to boundary: >0 inside, <0 outside."""
+            d = _point_seg_dist(np.column_stack([xs, ys]), segs)
+            inside = points_in_geom(np.asarray(xs, float),
+                                    np.asarray(ys, float), ga, i)
+            return np.where(inside == 2, d, np.where(inside == 1, 0.0, -d))
+
+        xmin, ymin = pts.min(axis=0)
+        xmax, ymax = pts.max(axis=0)
+        w, h = xmax - xmin, ymax - ymin
+        diag = float(np.hypot(w, h))
+        if diag == 0:
+            b.append(GT_LINESTRING, [[np.array([pts[0], pts[0]])]])
+            continue
+        tol = float(tolerance) if tolerance else diag / 1000.0
+        cell = min(w, h) / 2.0 or diag / 4.0
+        # seed grid + centroid candidate
+        cx = np.arange(xmin + cell, xmax + cell, 2 * cell)
+        cy = np.arange(ymin + cell, ymax + cell, 2 * cell)
+        gx, gy = np.meshgrid(cx, cy)
+        gx, gy = gx.ravel(), gy.ravel()
+        dists = sdist(gx, gy)
+        half = cell  # half-size of seed cells
+        # heap of (-potential, x, y, half); potential = d + half*sqrt2
+        rt2 = np.sqrt(2.0)
+        heap = [(-(dists[k] + half * rt2), float(gx[k]), float(gy[k]), half)
+                for k in range(len(gx))]
+        heapq.heapify(heap)
+        best_d = float(dists.max()) if len(dists) else -np.inf
+        best_xy = (float(gx[int(np.argmax(dists))]),
+                   float(gy[int(np.argmax(dists))])) if len(dists) else \
+            (float(pts[0, 0]), float(pts[0, 1]))
+        # Work cap: shapes whose optimum is a ridge (e.g. rectangles — any
+        # point on the medial segment is optimal) make the optimality proof
+        # exponential in 1/tol; the answer itself converges almost
+        # immediately, so bound the refinement instead of the tolerance.
+        pops = 0
+        while heap and pops < 4096:
+            pops += 1
+            neg_pot, x, y, hs = heapq.heappop(heap)
+            if -neg_pot - best_d <= tol:
+                break
+            hs2 = hs / 2.0
+            qx = np.array([x - hs2, x + hs2, x - hs2, x + hs2])
+            qy = np.array([y - hs2, y - hs2, y + hs2, y + hs2])
+            qd = sdist(qx, qy)
+            for k in range(4):
+                d = float(qd[k])
+                if d > best_d:
+                    best_d, best_xy = d, (float(qx[k]), float(qy[k]))
+                pot = d + hs2 * rt2
+                if pot - best_d > tol:
+                    heapq.heappush(heap, (-pot, float(qx[k]),
+                                          float(qy[k]), hs2))
+        # nearest boundary point from the center
+        c = np.array(best_xy)
+        a, bb2 = segs[:, 0], segs[:, 1]
+        ab = bb2 - a
+        denom = (ab * ab).sum(-1)
+        tt = np.clip(((c - a) * ab).sum(-1) /
+                     np.where(denom == 0, 1.0, denom), 0, 1)
+        proj = a + tt[:, None] * ab
+        j = int(np.argmin(np.hypot(*(c - proj).T)))
+        b.append(GT_LINESTRING, [[np.array([c, proj[j]])]])
+    return b.finish()
 
 
 # ---------------------------------------------------------------------------

@@ -705,3 +705,90 @@ class TestOffsetAndCoverage:
         ga = ga_from_wkt("POINT (1 1)", None)
         p = algos.get_precision(ga)
         assert p[0] == 0.0 and np.isnan(p[1])
+
+
+class TestInscribedClearance:
+    def test_mic_rectangle(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+        mic = algos.maximum_inscribed_circle(ga, tolerance=1e-9)
+        assert algos.length(mic)[0] == 1.0  # radius = min(w,h)/2
+
+    def test_mic_reentrant_corner(self):
+        # L-shape optimum hugs the reentrant corner: r = 4 - 2*sqrt(2)
+        ga = ga_from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+        mic = algos.maximum_inscribed_circle(ga, tolerance=1e-7)
+        np.testing.assert_allclose(algos.length(mic)[0],
+                                   4 - 2 * np.sqrt(2), atol=1e-5)
+
+    def test_mic_edge_cases(self):
+        ga = ga_from_wkt("POLYGON EMPTY", None, "POINT (1 1)")
+        out = wkt.format_array(algos.maximum_inscribed_circle(ga))
+        assert out == ["LINESTRING EMPTY", None, "LINESTRING EMPTY"]
+
+    def test_clearance_line_matches_clearance(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 4 0, 4 1, 0 1, 0 0))",
+                         "POLYGON ((0 0, 3 0, 1 2, 0 0))")
+        line = algos.minimum_clearance_line(ga)
+        np.testing.assert_allclose(algos.length(line),
+                                   algos.minimum_clearance(ga))
+
+
+class TestIntersectionAll:
+    def test_sliding_boxes(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+                         "POLYGON ((1 0, 5 0, 5 4, 1 4, 1 0))",
+                         "POLYGON ((2 0, 6 0, 6 4, 2 4, 2 0))")
+        r = algos.intersection_all(ga)
+        assert algos.area(r)[0] == 8.0  # x in [2,4]
+
+    def test_ignores_missing_and_empty_result(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", None)
+        assert algos.area(algos.intersection_all(ga))[0] == 4.0
+        disj = ga_from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                           "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")
+        assert algos.intersection_all(disj).is_empty()[0]
+
+
+class TestSharedPaths:
+    def test_direction_split(self):
+        a = ga_from_wkt("LINESTRING (0 0, 10 0)", "LINESTRING (0 0, 10 0)")
+        b = ga_from_wkt("LINESTRING (2 0, 6 0)", "LINESTRING (6 0, 2 0)")
+        same, opp = algos.shared_paths(a, b)
+        assert algos.length(same)[0] == 4.0 and algos.length(opp)[0] == 0.0
+        assert algos.length(same)[1] == 0.0 and algos.length(opp)[1] == 4.0
+
+    def test_merges_across_vertices(self):
+        a = ga_from_wkt("LINESTRING (0 0, 5 0, 5 5)")
+        b = ga_from_wkt("LINESTRING (3 0, 5 0, 5 2)")
+        same, _ = algos.shared_paths(a, b)
+        assert wkt.format_array(same)[0] == "LINESTRING (3 0, 5 0, 5 2)"
+
+    def test_disjoint(self):
+        a = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        b = ga_from_wkt("LINESTRING (0 5, 10 5)")
+        same, opp = algos.shared_paths(a, b)
+        assert same.is_empty()[0] and opp.is_empty()[0]
+
+
+class TestConstrainedDelaunay:
+    def test_square_and_lshape(self):
+        ga = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+                         "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+        r = algos.constrained_delaunay_triangles(ga)
+        np.testing.assert_allclose(algos.area(r), [16.0, 20.0])
+        assert list(algos.count_geometries(r)) == [2, 4]
+
+    def test_hole_bridging(self):
+        ga = ga_from_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (4 4, 6 4, 6 6, 4 6, 4 4))")
+        r = algos.constrained_delaunay_triangles(ga)
+        assert algos.area(r)[0] == 96.0
+        assert algos.count_geometries(r)[0] == 8
+        # triangles tile the polygon: union area == polygon area
+        assert algos.area(algos.union_all(r))[0] == 96.0
+
+    def test_non_polygon_inputs(self):
+        ga = ga_from_wkt("LINESTRING (0 0, 1 1)", None, "POLYGON EMPTY")
+        out = wkt.format_array(algos.constrained_delaunay_triangles(ga))
+        assert out == ["MULTIPOLYGON EMPTY", None, "MULTIPOLYGON EMPTY"]
