@@ -632,6 +632,58 @@ FROM nation
 """
 
 
+def q_coverage(spark, sf_dir):
+    """Coverage ops per nation: an 'ok' layer (two boxes with a wiggly
+    shared edge — simplify_coverage straightens the shared arc identically
+    on both sides, so areas become exact W×100 / 100×100) and a 'bad'
+    layer (two boxes overlapping horizontally — each box's vertical edge
+    lies inside the other, so invalid_coverage_edges has length H)."""
+    from geopandas_spark.operators import (invalid_coverage_edges,
+                                           simplify_coverage)
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    W, H, wig, o = k % 5 * 10 + 100, k % 4 * 10 + 50, k % 3 * 2 + 2, k % 3 + 1
+    c = lambda *parts: st.geom_from_text(F.concat(*[
+        F.lit(p) if isinstance(p, str) else p for p in parts]))
+    ok_a = c("POLYGON ((0 0, ", W, " 0, ", W + wig, " 50, ", W,
+             " 100, 0 100, 0 0))")
+    ok_b = c("POLYGON ((", W, " 0, ", W + 100, " 0, ", W + 100, " 100, ",
+             W, " 100, ", W + wig, " 50, ", W, " 0))")
+    bad_a = c("POLYGON ((0 0, 100 0, 100 ", H, ", 0 ", H, ", 0 0))")
+    bad_b = c("POLYGON ((", 100 - o, " 0, ", 200 - o, " 0, ", 200 - o,
+              " ", H, ", ", 100 - o, " ", H, ", ", 100 - o, " 0))")
+    rows = n.select(k.alias("nk"), F.explode(F.array(
+        F.struct(F.lit(0).alias("idx"), F.lit("ok").alias("layer"),
+                 ok_a.alias("geom")),
+        F.struct(F.lit(1).alias("idx"), F.lit("ok").alias("layer"),
+                 ok_b.alias("geom")),
+        F.struct(F.lit(2).alias("idx"), F.lit("bad").alias("layer"),
+                 bad_a.alias("geom")),
+        F.struct(F.lit(3).alias("idx"), F.lit("bad").alias("layer"),
+                 bad_b.alias("geom")),
+    )).alias("r")).select("nk", "r.idx", "r.layer", "r.geom")
+    simp = simplify_coverage(rows, 20.0, ["nk", "layer"])
+    # invalid edges computed on the ORIGINAL geometry; rejoin the
+    # simplified one on (nk, idx)
+    both = invalid_coverage_edges(rows, ["nk", "layer"]) \
+        .join(simp.select("nk", "idx", F.col("geom").alias("simp")),
+              ["nk", "idx"])
+    return both.select(
+        (F.col("nk") * 4 + F.col("idx")).alias("id"),
+        F.round(F.when(F.col("layer") == "ok", st.area("simp"))
+                 .otherwise(st.length("invalid_edges")), 6).alias("metric"))
+
+
+SQL_COVERAGE = """
+SELECT n_nationkey * 4 + idx AS id,
+       ROUND(CASE idx
+             WHEN 0 THEN (n_nationkey % 5 * 10 + 100) * 100.0
+             WHEN 1 THEN 10000.0
+             ELSE n_nationkey % 4 * 10 + 50.0 END, 6) AS metric
+FROM nation CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS idx)
+"""
+
+
 # --- training-data pipeline queries ----------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -1196,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_all": q_intersection_all,
         "shared_paths": q_shared_paths,
         "cdt": q_cdt,
+        "coverage": q_coverage,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
@@ -1244,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "intersection_all": SQL_INTERSECTION_ALL,
         "shared_paths": SQL_SHARED_PATHS,
         "cdt": SQL_CDT,
+        "coverage": SQL_COVERAGE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "fingerprint": SQL_FINGERPRINT,

@@ -3865,3 +3865,156 @@ def is_valid_coverage(ga: GeometryArray, gap_width: float = 0.0) -> bool:
             if area_ij > _EPS:
                 return False
     return True
+
+
+def invalid_coverage_edges(ga: GeometryArray) -> GeometryArray:
+    """Per-row MULTILINESTRING of the boundary portions that break the
+    coverage — sub-segments of a polygon's boundary lying strictly inside
+    another polygon (reference base.py:450; GEOS CoverageValidator's
+    invalid-edge output). Empty line for rows that are coverage-clean."""
+    bb = bounds(ga)
+    empty = ga.is_empty()
+    idx = [i for i in range(len(ga))
+           if int(ga.types[i]) in POLYGON_TYPES and not empty[i]]
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == GT_MISSING:
+            b.append_null()
+            continue
+        if i not in idx:
+            b.append_empty(GT_MULTILINESTRING)
+            continue
+        bad = []
+        mysegs = _geom_segments(ga, i)
+        for j in idx:
+            if j == i:
+                continue
+            if (bb[i, 2] < bb[j, 0] or bb[j, 2] < bb[i, 0] or
+                    bb[i, 3] < bb[j, 1] or bb[j, 3] < bb[i, 1]):
+                continue
+            osegs = _geom_segments(ga, j)
+            oa, ob = osegs[:, 0], osegs[:, 1]
+            s = ob - oa
+            for k in range(len(mysegs)):
+                p, q = mysegs[k]
+                r = q - p
+                # split params where this segment crosses j's boundary
+                denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+                ap = oa - p
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (ap[:, 0] * s[:, 1] - ap[:, 1] * s[:, 0]) / denom
+                    u = (ap[:, 0] * r[1] - ap[:, 1] * r[0]) / denom
+                ok = (denom != 0) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+                ts = np.concatenate([[0.0, 1.0], t[ok]])
+                ts = np.unique(ts)
+                mids = p + (ts[:-1] + np.diff(ts) / 2)[:, None] * r
+                inside = points_in_geom(mids[:, 0], mids[:, 1], ga, j) == 2
+                for m in np.nonzero(inside)[0]:
+                    bad.append(np.array([p + ts[m] * r, p + ts[m + 1] * r]))
+        if bad:
+            b.append(GT_MULTILINESTRING, [[sg] for sg in bad])
+        else:
+            b.append_empty(GT_MULTILINESTRING)
+    return line_merge(b.finish())
+
+
+def simplify_coverage(ga: GeometryArray, tolerance: float) -> GeometryArray:
+    """Topology-preserving coverage simplification (reference base.py:5536;
+    GEOS CoverageSimplifier): rings are decomposed into arcs at junction
+    vertices, each shared arc is Douglas-Peucker-simplified ONCE, and both
+    neighbors reuse the same simplified arc — edges stay coincident, so a
+    valid coverage stays valid."""
+    tol = float(tolerance)
+    key = lambda v: (round(float(v[0]), 9), round(float(v[1]), 9))
+    # --- edge ownership: undirected edge -> set of rows using it
+    owners = {}
+    rings_by_row = []   # list of (row, [ring arrays])
+    for i in range(len(ga)):
+        rr = []
+        if int(ga.types[i]) in POLYGON_TYPES:
+            for part in ga.geom_slices(i):
+                rr.extend(part)
+        rings_by_row.append(rr)
+        for ring2 in rr:
+            for k in range(len(ring2) - 1):
+                a, c = key(ring2[k]), key(ring2[k + 1])
+                if a == c:
+                    continue
+                e = (a, c) if a <= c else (c, a)
+                owners.setdefault(e, set()).add(i)
+    # --- vertex adjacency in the union graph
+    vdeg = {}
+    for (a, c) in owners:
+        vdeg.setdefault(a, set()).add((a, c))
+        vdeg.setdefault(c, set()).add((a, c))
+
+    def _is_junction(v, e_prev, e_next):
+        es = vdeg.get(v, set())
+        if len(es) != 2:
+            return True
+        return owners.get(e_prev) != owners.get(e_next)
+
+    arc_cache = {}
+
+    def _simplified(arc):
+        """arc: (n,2) coords; cache on canonical direction so both
+        neighbors get the identical polyline."""
+        fwd = tuple(key(p) for p in arc)
+        rev = fwd[::-1]
+        if fwd <= rev:
+            ck, flip = fwd, False
+        else:
+            ck, flip = rev, True
+        if ck not in arc_cache:
+            arc_cache[ck] = _dp(arc[::-1] if flip else arc, tol)
+        out = arc_cache[ck]
+        return out[::-1] if flip else out
+
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+            continue
+        if t not in POLYGON_TYPES or not rings_by_row[i]:
+            b.append_from(ga, i)
+            continue
+        new_parts = []
+        for part in ga.geom_slices(i):
+            new_rings = []
+            for ring2 in part:
+                vk = [key(p) for p in ring2[:-1]]
+                n = len(vk)
+                if n < 3:
+                    new_rings.append(ring2)
+                    continue
+                # junction positions along the ring
+                juncs = []
+                for k in range(n):
+                    e_prev = tuple(sorted((vk[(k - 1) % n], vk[k])))
+                    e_next = tuple(sorted((vk[k], vk[(k + 1) % n])))
+                    if _is_junction(vk[k], e_prev, e_next):
+                        juncs.append(k)
+                if not juncs:
+                    # isolated ring: simplify closed (endpoints pinned)
+                    out = _dp(ring2, tol)
+                    new_rings.append(out if len(out) >= 4 else ring2)
+                    continue
+                pieces = []
+                for a_i in range(len(juncs)):
+                    k0, k1 = juncs[a_i], juncs[(a_i + 1) % len(juncs)]
+                    if k1 > k0:
+                        arc = ring2[k0:k1 + 1]
+                    else:
+                        arc = np.concatenate([ring2[k0:n], ring2[:k1 + 1]])
+                    pieces.append(_simplified(arc))
+                coords = [pieces[0]] + [p[1:] for p in pieces[1:]]
+                ring_new = np.concatenate(coords)
+                if (len(ring_new) >= 4 and
+                        abs(_ring_signed_area(ring_new)) > _EPS):
+                    new_rings.append(ring_new)
+                else:
+                    new_rings.append(ring2)
+            new_parts.append(new_rings)
+        b.append(t, new_parts)
+    return b.finish()

@@ -11,3 +11,6 @@ from geopandas_spark.operators.reshape import explode, get_coordinates_df  # noq
 from geopandas_spark.operators.clip import clip  # noqa: F401
 from geopandas_spark.operators.overlay import overlay  # noqa: F401
 from geopandas_spark.operators.partitioning import hilbert_repartition  # noqa: F401
+from geopandas_spark.operators.coverage import (  # noqa: F401
+    invalid_coverage_edges, simplify_coverage,
+)

@@ -201,3 +201,38 @@ def test_overlay_identity(polys1, polys2):
     out = overlay(polys1, polys2, "identity", strategy="broadcast")
     # identity = df1 region, fragmented by df2: total area = |A| = 8
     assert round(sum(_areas(out)), 6) == 8.0
+
+
+def test_coverage_operators(spark):
+    from geopandas_spark.operators import (invalid_coverage_edges,
+                                           simplify_coverage)
+    from geopandas_spark.geom import wkt as wktmod, wkb as wkbmod, algos
+
+    def row(gid, layer, w):
+        return (gid, layer, wkbmod.encode(wktmod.parse_array([w]))[0])
+
+    # layer "ok": clean 2-box coverage with a wiggly shared edge;
+    # layer "bad": two overlapping boxes
+    data = [
+        row(0, "ok", "POLYGON ((0 0, 2 0, 2.1 1, 2 2, 0 2, 0 0))"),
+        row(1, "ok", "POLYGON ((2 0, 4 0, 4 2, 2 2, 2.1 1, 2 0))"),
+        row(2, "bad", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        row(3, "bad", "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"),
+    ]
+    df = spark.createDataFrame(data, "gid long, layer string, geom binary")
+
+    inv = invalid_coverage_edges(df, "layer").collect()
+    lens = {r.gid: algos.length(wkbmod.decode([r.invalid_edges]))[0]
+            for r in inv}
+    assert lens[0] == 0.0 and lens[1] == 0.0   # clean layer
+    assert lens[2] == 2.0 and lens[3] == 2.0   # each boundary crosses 2u
+
+    simp = simplify_coverage(df, 0.5, "layer").collect()
+    geoms = {r.gid: wkbmod.decode([r.geom]) for r in simp}
+    # shared wiggle straightened identically on both sides → areas 4 + 4
+    assert algos.area(geoms[0])[0] == 4.0
+    assert algos.area(geoms[1])[0] == 4.0
+    two = wkbmod.decode([simp[0].geom if simp[0].gid == 0 else simp[1].geom])
+    # coverage still valid after simplification
+    ok_rows = [r.geom for r in simp if r.layer == "ok"]
+    assert algos.is_valid_coverage(wkbmod.decode(ok_rows))
