@@ -10,3 +10,6 @@ from geopandas_spark.io.geoparquet import (  # noqa: F401
 from geopandas_spark.io.geojson import (  # noqa: F401
     read_geojson, to_geojson,
 )
+from geopandas_spark.io.feather import (  # noqa: F401
+    from_arrow, read_feather, to_arrow, to_feather,
+)

@@ -97,3 +97,40 @@ def test_geojson_geometry_codec_via_sql(spark):
              .select("gj", st.as_text("back").alias("wkt2"))).collect()[0]
     assert json.loads(out.gj) == {"type": "Point", "coordinates": [1.5, -2]}
     assert out.wkt2 == "POINT (1.5 -2)"
+
+
+def test_feather_roundtrip(geodf, spark, tmp_path):
+    from geopandas_spark.io import read_feather, to_feather
+    from geopandas_spark.io.feather import read_geo_metadata_feather
+
+    path = str(tmp_path / "pts_feather")
+    meta = to_feather(geodf, path, crs="EPSG:4326")
+    assert meta["columns"]["geom"]["geometry_types"] == ["Point"]
+    assert meta["columns"]["geom"]["bbox"] == [0.0, 0.0, 190.0, 95.0]
+    assert read_geo_metadata_feather(path) == meta
+
+    back = read_feather(spark, path)
+    assert back.count() == 20
+    assert set(back.columns) == {"id", "geom"}
+    got = {r.id: (r.x, r.y) for r in back.select(
+        "id", st.x("geom").alias("x"), st.y("geom").alias("y")).collect()}
+    assert got[7] == (70.0, 35.0)
+    # column pruning
+    only = read_feather(spark, path, columns=["id"])
+    assert only.columns == ["id"]
+    assert only.count() == 20
+
+
+def test_arrow_interchange(geodf, spark):
+    from geopandas_spark.io import from_arrow, to_arrow
+
+    table = to_arrow(geodf, crs="EPSG:3857")
+    fld = table.schema.field("geom")
+    assert fld.metadata[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    assert json.loads(fld.metadata[b"ARROW:extension:metadata"]) == {
+        "crs": "EPSG:3857"}
+
+    back = from_arrow(spark, table)
+    assert back.count() == 20
+    assert back.select(st.x("geom").alias("x")).agg(
+        F.max("x")).collect()[0][0] == 190.0
