@@ -21,6 +21,7 @@ Public surface:
 """
 
 from geopandas_spark.functions import st, register_sql  # noqa: F401
+from geopandas_spark.frame import GeoFrame, concat  # noqa: F401
 
 __version__ = "0.1.0"
 __all__ = ["st", "register_sql"]

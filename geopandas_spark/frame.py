@@ -1,0 +1,294 @@
+"""GeoFrame: the engine's GeoDataFrame analogue (SURVEY.md §1.1).
+
+Reference: GeoDataFrame (geopandas/geodataframe.py:83,143-148) — a frame
+with zero or more geometry columns and one "active" geometry tracked in
+``_geometry_column_name``. Here it is a THIN wrapper over a
+``pyspark.sql.DataFrame``: geometry stays a WKB BinaryType column, the
+wrapper records the active column name and per-column CRS, and every
+spatial method delegates to the ``st`` column functions / ``operators``
+composed plans. The wrapped DataFrame is always accessible (``.df``), and
+nothing here adds any execution step — the wrapper is pure bookkeeping, so
+Catalyst sees exactly the plan you'd write by hand.
+
+CRS (reference GeometryArray._crs, geopandas/array.py:405-434): tracked in
+the wrapper and mirrored into ``StructField.metadata`` (survives parquet
+round-trips) via ``withMetadata``. ``set_crs`` is metadata-only assignment
+(reference geoseries.py:1083); ``to_crs`` reprojects through the
+coordinate transform UDF and updates the metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from geopandas_spark.functions import st
+from geopandas_spark.geom.crs import _norm
+
+
+class _CxIndexer:
+    """Reference ``GeoDataFrame.cx`` (geopandas/base.py:6206-6240): bbox
+    intersection filter via slice syntax ``gf.cx[x0:x1, y0:y1]``; open
+    ends supported."""
+
+    def __init__(self, gf: "GeoFrame"):
+        self._gf = gf
+
+    def __getitem__(self, key):
+        xs, ys = key
+        g = self._gf.geometry
+        b = st.bounds(g)
+        conds = []
+        if xs.start is not None:
+            conds.append(b.getField("xmax") >= float(xs.start))
+        if xs.stop is not None:
+            conds.append(b.getField("xmin") <= float(xs.stop))
+        if ys.start is not None:
+            conds.append(b.getField("ymax") >= float(ys.start))
+        if ys.stop is not None:
+            conds.append(b.getField("ymin") <= float(ys.stop))
+        cond = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            cond = cond & c
+        return self._gf._wrap(self._gf.df.filter(cond))
+
+
+class GeoFrame:
+    def __init__(self, df: DataFrame, geometry: str = "geom",
+                 crs: Optional[dict | str] = None):
+        if geometry not in df.columns:
+            raise ValueError(f"geometry column {geometry!r} not in frame "
+                             f"(columns: {df.columns})")
+        self.df = df
+        self._geometry = geometry
+        if crs is None:
+            crs = {}
+        elif isinstance(crs, str):
+            crs = {geometry: crs}
+        self._crs = dict(crs)
+
+    # -- bookkeeping --------------------------------------------------------
+
+    def _wrap(self, df: DataFrame, geometry: Optional[str] = None,
+              crs: Optional[dict] = None) -> "GeoFrame":
+        g = geometry or self._geometry
+        c = dict(self._crs if crs is None else crs)
+        c = {k: v for k, v in c.items() if k in df.columns}
+        return GeoFrame(df, geometry=g, crs=c)
+
+    @property
+    def active_geometry_name(self) -> str:
+        """Reference GeoDataFrame.active_geometry_name
+        (geodataframe.py:304)."""
+        return self._geometry
+
+    @property
+    def geometry(self) -> Column:
+        return F.col(self._geometry)
+
+    @property
+    def crs(self) -> Optional[str]:
+        return self._crs.get(self._geometry)
+
+    def set_geometry(self, name: str) -> "GeoFrame":
+        """Switch the active geometry column (reference
+        geodataframe.py:1913)."""
+        if name not in self.df.columns:
+            raise ValueError(f"no column {name!r}")
+        return self._wrap(self.df, geometry=name)
+
+    def rename_geometry(self, new_name: str) -> "GeoFrame":
+        df = self.df.withColumnRenamed(self._geometry, new_name)
+        crs = dict(self._crs)
+        if self._geometry in crs:
+            crs[new_name] = crs.pop(self._geometry)
+        return GeoFrame(df, geometry=new_name, crs=crs)
+
+    # -- CRS ----------------------------------------------------------------
+
+    def set_crs(self, crs: str, *, allow_override: bool = False) -> "GeoFrame":
+        """Metadata-only CRS assignment (reference geoseries.py:1083):
+        never transforms coordinates."""
+        cur = self._crs.get(self._geometry)
+        if cur is not None and not allow_override and _norm(cur) != _norm(crs):
+            raise ValueError(
+                f"geometry already has CRS {cur!r}; pass "
+                "allow_override=True to replace it (set_crs never "
+                "reprojects — use to_crs)")
+        out = dict(self._crs)
+        out[self._geometry] = crs
+        df = self.df.withMetadata(self._geometry,
+                                  {"crs": crs, "encoding": "WKB"})
+        return self._wrap(df, crs=out)
+
+    def to_crs(self, crs: str) -> "GeoFrame":
+        """Actual reprojection of the active geometry (reference
+        array.py:1098-1187); no-op when already in the target CRS."""
+        cur = self._crs.get(self._geometry)
+        if cur is None:
+            raise ValueError("cannot to_crs: frame has no CRS; set_crs first")
+        if _norm(cur) == _norm(crs):
+            return self
+        df = self.df.withColumn(
+            self._geometry, st.to_crs(self.geometry, cur, crs))
+        df = df.withMetadata(self._geometry, {"crs": crs, "encoding": "WKB"})
+        out = dict(self._crs)
+        out[self._geometry] = crs
+        return self._wrap(df, crs=out)
+
+    # -- filters ------------------------------------------------------------
+
+    @property
+    def cx(self) -> _CxIndexer:
+        return _CxIndexer(self)
+
+    def filter(self, cond) -> "GeoFrame":
+        return self._wrap(self.df.filter(cond))
+
+    def select(self, *cols) -> DataFrame:
+        return self.df.select(*cols)
+
+    # -- elementwise sugar (each returns a new GeoFrame / adds a column) ----
+
+    def with_column(self, name: str, col: Column) -> "GeoFrame":
+        return self._wrap(self.df.withColumn(name, col))
+
+    def buffer(self, distance, **kw) -> "GeoFrame":
+        return self.with_column(self._geometry,
+                                st.buffer(self.geometry, distance, **kw))
+
+    def centroid(self) -> "GeoFrame":
+        return self.with_column(self._geometry, st.centroid(self.geometry))
+
+    def simplify(self, tolerance) -> "GeoFrame":
+        return self.with_column(self._geometry,
+                                st.simplify(self.geometry, tolerance))
+
+    def area(self, name: str = "area") -> "GeoFrame":
+        return self.with_column(name, st.area(self.geometry))
+
+    def length(self, name: str = "length") -> "GeoFrame":
+        return self.with_column(name, st.length(self.geometry))
+
+    def bounds(self, name: str = "bounds") -> "GeoFrame":
+        return self.with_column(name, st.bounds(self.geometry))
+
+    def fillna(self, value=None) -> "GeoFrame":
+        """Fill missing geometry (reference geoseries.py:919): with a
+        geometry WKB literal, or GEOMETRYCOLLECTION-free empty default
+        (POINT EMPTY)."""
+        if value is None:
+            value = st.geom_from_text(F.lit("POINT EMPTY"))
+        elif isinstance(value, (bytes, bytearray)):
+            value = F.lit(bytes(value))
+        elif isinstance(value, str):
+            value = st.geom_from_text(F.lit(value))
+        return self.with_column(
+            self._geometry, F.coalesce(self.geometry, value))
+
+    def total_bounds(self):
+        """(minx, miny, maxx, maxy) over the frame — one native agg job
+        (reference base.py:5288)."""
+        from geopandas_spark.operators import total_bounds as _tb
+        return _tb(self.df, geom=self._geometry)
+
+    # -- composed operators --------------------------------------------------
+
+    def sjoin(self, other: "GeoFrame | DataFrame", **kw) -> "GeoFrame":
+        from geopandas_spark.operators import sjoin as _sjoin
+        odf = other.df if isinstance(other, GeoFrame) else other
+        ogeom = (other.active_geometry_name
+                 if isinstance(other, GeoFrame) else kw.pop("geom_right", "geom"))
+        out = _sjoin(self.df, odf, geom_left=self._geometry,
+                     geom_right=ogeom, **kw)
+        gname = (self._geometry if self._geometry in out.columns
+                 else f"{self._geometry}_left")
+        return GeoFrame(out, geometry=gname, crs=self._crs)
+
+    def dissolve(self, by, aggfunc=None, **kw) -> "GeoFrame":
+        from geopandas_spark.operators import dissolve as _dissolve
+        out = _dissolve(self.df, by, aggfunc, geom=self._geometry, **kw)
+        return GeoFrame(out, geometry=self._geometry, crs=self._crs)
+
+    def clip(self, mask, **kw) -> "GeoFrame":
+        from geopandas_spark.operators import clip as _clip
+        out = _clip(self.df, mask, geom=self._geometry, **kw)
+        return self._wrap(out)
+
+    def overlay(self, other: "GeoFrame | DataFrame", how="intersection",
+                **kw) -> "GeoFrame":
+        from geopandas_spark.operators import overlay as _overlay
+        odf = other.df if isinstance(other, GeoFrame) else other
+        out = _overlay(self.df, odf, how=how, **kw)
+        return GeoFrame(out, geometry="geom" if "geom" in out.columns
+                        else self._geometry, crs=self._crs)
+
+    def explode(self, **kw) -> "GeoFrame":
+        from geopandas_spark.operators import explode as _explode
+        out = _explode(self.df, geom=self._geometry, **kw)
+        return self._wrap(out)
+
+    # -- I/O -----------------------------------------------------------------
+
+    def to_parquet(self, path: str, **kw):
+        from geopandas_spark.io import to_parquet as _tp
+        kw.setdefault("crs", self.crs)
+        return _tp(self.df, path, geom=self._geometry, **kw)
+
+    def to_feather(self, path: str, **kw):
+        from geopandas_spark.io import to_feather as _tf
+        kw.setdefault("crs", self.crs)
+        return _tf(self.df, path, geom=self._geometry, **kw)
+
+    def to_geojson(self, path: str, **kw):
+        from geopandas_spark.io import to_geojson as _tg
+        return _tg(self.df, path, geom=self._geometry, **kw)
+
+    # -- plumbing ------------------------------------------------------------
+
+    def __getattr__(self, item):
+        # delegate everything else to the wrapped DataFrame (count, cache,
+        # explain, columns, ...)
+        return getattr(self.df, item)
+
+    def __repr__(self):
+        crs = self._crs.get(self._geometry)
+        return (f"GeoFrame(geometry={self._geometry!r}, crs={crs!r}, "
+                f"columns={self.df.columns})")
+
+
+def read_parquet(spark, path, **kw) -> GeoFrame:
+    """GeoParquet → GeoFrame with geometry + CRS restored from the spec
+    ``geo`` footer metadata."""
+    from geopandas_spark.io import read_parquet as _rp
+    from geopandas_spark.io.geoparquet import read_geo_metadata
+    df = _rp(spark, path, **kw)
+    meta = read_geo_metadata(path) or {}
+    gcol = kw.get("geom") or meta.get("primary_column", "geom")
+    crs = {}
+    for name, cm in meta.get("columns", {}).items():
+        if cm.get("crs"):
+            crs[name] = cm["crs"]
+    return GeoFrame(df, geometry=gcol, crs=crs)
+
+
+def concat(frames) -> GeoFrame:
+    """Vertical concat with CRS consistency (reference _get_common_crs,
+    geopandas/array.py:1935-1964): all frames must agree (None counts as
+    'unset' and adopts the common CRS); mismatch raises."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("concat of no frames")
+    g = frames[0].active_geometry_name
+    crss = {_norm(f.crs) for f in frames if f.crs is not None}
+    if len(crss) > 1:
+        raise ValueError(f"cannot concat frames with mixed CRS: {crss}")
+    out = frames[0].df
+    for f in frames[1:]:
+        if f.active_geometry_name != g:
+            f = f.rename_geometry(g)
+        out = out.unionByName(f.df, allowMissingColumns=False)
+    crs = ({g: frames[0].crs} if frames[0].crs
+           else ({g: next(iter(crss))} if crss else {}))
+    return GeoFrame(out, geometry=g, crs=crs)

@@ -1,0 +1,98 @@
+"""GeoFrame wrapper tests (SURVEY §1.1, §2.2 API surface: active geometry,
+cx indexer, set_crs/to_crs, concat CRS consistency)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopandas_spark import GeoFrame, concat, st
+
+
+@pytest.fixture(scope="module")
+def gf(spark):
+    rows = [(i, float(i * 10), float(i % 7)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"]) \
+              .withColumn("geom", st.point("x", "y"))
+    return GeoFrame(df, geometry="geom")
+
+
+def test_active_geometry_and_rename(gf):
+    assert gf.active_geometry_name == "geom"
+    r = gf.rename_geometry("the_geom")
+    assert r.active_geometry_name == "the_geom"
+    assert "the_geom" in r.df.columns and "geom" not in r.df.columns
+    # set_geometry to a second geometry column
+    two = gf.with_column("geom2", st.buffer(gf.geometry, 1.0))
+    assert two.set_geometry("geom2").active_geometry_name == "geom2"
+    with pytest.raises(ValueError):
+        gf.set_geometry("nope")
+
+
+def test_cx_bbox_filter(gf):
+    # x in [50, 120] -> ids 5..12
+    sel = gf.cx[50:120, :]
+    assert sorted(r.id for r in sel.df.collect()) == list(range(5, 13))
+    # open start
+    assert gf.cx[:30, :].count() == 4  # x = 0,10,20,30
+
+
+def test_set_crs_and_to_crs(gf):
+    a = gf.set_crs("EPSG:4326")
+    assert a.crs == "EPSG:4326"
+    with pytest.raises(ValueError):
+        a.set_crs("EPSG:3857")  # override requires flag
+    b = a.set_crs("EPSG:3857", allow_override=True)
+    assert b.crs == "EPSG:3857"
+    # metadata mirrored into the schema
+    fld = dict(zip(a.df.schema.names, a.df.schema.fields))["geom"]
+    assert fld.metadata["crs"] == "EPSG:4326"
+    # to_crs reprojects: x=10deg -> 1113194.9079327357 m
+    m = a.to_crs("EPSG:3857")
+    xs = {r.id: r.mx for r in m.with_column(
+        "mx", st.x(m.geometry)).df.collect()}
+    assert abs(xs[1] - 1113194.9079327357) < 1e-6
+    # no-op path returns self
+    assert a.to_crs("OGC:CRS84") is a
+
+
+def test_fillna_and_area(gf, spark):
+    import geopandas_spark.geom.wkt as wktmod
+    import geopandas_spark.geom.wkb as wkbmod
+    df = spark.createDataFrame(
+        [(1, wkbmod.encode(wktmod.parse_array(
+            ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"]))[0]), (2, None)],
+        "id long, geom binary")
+    g = GeoFrame(df).fillna("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    areas = {r.id: r.area for r in g.area().df.collect()}
+    assert areas == {1: 4.0, 2: 1.0}
+
+
+def test_concat_crs_consistency(gf):
+    a = gf.set_crs("EPSG:4326")
+    b = gf.set_crs("EPSG:4326")
+    both = concat([a, b])
+    assert both.count() == 40 and both.crs == "EPSG:4326"
+    c = gf.set_crs("EPSG:3857")
+    with pytest.raises(ValueError):
+        concat([a, c])
+    # None-CRS frame adopts the common one
+    adopted = concat([gf, a])
+    assert adopted.count() == 40
+
+
+def test_frame_operators(gf):
+    dis = gf.with_column("k", F.col("id") % 2).dissolve(
+        "k", {"id": "count"})
+    got = {r.k: r.id_count for r in dis.df.collect()}
+    assert got == {0: 10, 1: 10}
+    ex = gf.total_bounds()
+    assert ex == (0.0, 0.0, 190.0, 6.0)
+
+
+def test_frame_parquet_roundtrip(gf, tmp_path):
+    from geopandas_spark.frame import read_parquet
+    path = str(tmp_path / "gf_parquet")
+    gf.set_crs("EPSG:4326").to_parquet(path)
+    back = read_parquet(gf.df.sparkSession, path)
+    assert back.crs == "EPSG:4326"
+    assert back.active_geometry_name == "geom"
+    assert back.count() == 20
