@@ -194,3 +194,19 @@ def encode(ga: GeometryArray) -> list:
             raise ValueError(f"cannot encode geometry type {t}")
         out.append(b"".join(buf))
     return out
+
+
+def encode_ewkb(ga: GeometryArray, srid: int) -> list:
+    """PostGIS-flavor EWKB: the top-level header carries the SRID flag +
+    a 4-byte SRID (reference _convert_to_ewkb, geopandas/io/sql.py:300-313).
+    Nested sub-geometry headers stay plain, per PostGIS convention."""
+    out = []
+    tail = struct.pack("<I", int(srid))
+    for b in encode(ga):
+        if b is None:
+            out.append(None)
+            continue
+        (gtype,) = struct.unpack_from("<I", b, 1)
+        out.append(b[:1] + struct.pack("<I", gtype | _EWKB_SRID) +
+                   tail + b[5:])
+    return out

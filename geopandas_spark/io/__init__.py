@@ -13,3 +13,6 @@ from geopandas_spark.io.geojson import (  # noqa: F401
 from geopandas_spark.io.feather import (  # noqa: F401
     from_arrow, read_feather, to_arrow, to_feather,
 )
+from geopandas_spark.io.sql import (  # noqa: F401
+    read_postgis, to_postgis,
+)

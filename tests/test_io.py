@@ -134,3 +134,39 @@ def test_arrow_interchange(geodf, spark):
     assert back.count() == 20
     assert back.select(st.x("geom").alias("x")).agg(
         F.max("x")).collect()[0][0] == 190.0
+
+
+def test_ewkb_codec_roundtrip():
+    import struct
+    from geopandas_spark.geom import wkb as wkbmod, wkt as wktmod, algos
+
+    ga = wktmod.parse_array([
+        "POINT (3 7)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+        None,
+    ])
+    ew = wkbmod.encode_ewkb(ga, 4326)
+    assert ew[3] is None
+    # top-level header carries the SRID flag + value
+    (gtype,) = struct.unpack_from("<I", ew[0], 1)
+    assert gtype & 0x20000000
+    (srid,) = struct.unpack_from("<I", ew[0], 5)
+    assert srid == 4326
+    # codec accepts EWKB back, dropping SRID
+    back = wkbmod.decode(ew)
+    assert algos.area(back)[1] == 16.0
+    assert wkbmod.encode(back)[0] == wkbmod.encode(ga)[0]
+
+
+def test_postgis_hex_decode(spark):
+    from geopandas_spark.io.sql import decode_geom
+    from geopandas_spark.geom import wkb as wkbmod, wkt as wktmod
+
+    raw = wkbmod.encode_ewkb(wktmod.parse_array(["POINT (5 9)"]), 3857)[0]
+    df = spark.createDataFrame([(1, raw.hex().upper())],
+                               "id long, geom string")
+    out = decode_geom(df)
+    row = out.select(st.x("geom").alias("x"),
+                     st.y("geom").alias("y")).collect()[0]
+    assert (row.x, row.y) == (5.0, 9.0)
