@@ -112,3 +112,62 @@ def test_boolean_identities_triangles(ta, tb):
     np.testing.assert_allclose(I + D, A, atol=1e-7)
     np.testing.assert_allclose(U, A + B - I, atol=1e-7)
     np.testing.assert_allclose(X, U - I, atol=1e-7)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.lists(st_.tuples(coords, coords), min_size=3, max_size=8,
+                 unique=True))
+def test_cdt_tiles_convex_hull_of_simple_polygons(pts):
+    """For the convex hull of random integer points (a simple convex
+    polygon), any constrained triangulation must tile it exactly: triangle
+    areas sum to the hull area, and n_tri = n_vertices - 2."""
+    ga = wkt.parse_array([
+        "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y in pts) + ")"])
+    hull = algos.convex_hull(ga)
+    if algos.area(hull)[0] == 0:  # collinear input
+        return
+    tris = algos.constrained_delaunay_triangles(hull)
+    assert algos.area(tris)[0] == algos.area(hull)[0]
+    nv = algos.count_coordinates(hull)[0] - 1  # closed ring repeats first
+    assert algos.count_geometries(tris)[0] == nv - 2
+
+
+@settings(max_examples=60, deadline=None)
+@given(coords, coords, sizes, sizes)
+def test_mic_radius_bounded_by_half_min_side(x0, y0, w, h):
+    """Inscribed radius of a rectangle is exactly min(w,h)/2, and the
+    clearance is exactly min(w,h)."""
+    a = _box(x0, y0, w, h)
+    mic = algos.maximum_inscribed_circle(a)
+    assert algos.length(mic)[0] == min(w, h) / 2
+    assert algos.minimum_clearance(a)[0] == min(w, h)
+    assert algos.length(algos.minimum_clearance_line(a))[0] == min(w, h)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.lists(st_.tuples(coords, coords, sizes, sizes), min_size=2,
+                 max_size=5))
+def test_intersection_all_monotone(boxes):
+    """intersection_all is contained in every input: its area is ≤ the
+    smallest input area, and adding inputs never grows it."""
+    ga = wkt.parse_array([
+        f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h}, {x} {y}))"
+        for x, y, w, h in boxes])
+    full = algos.area(algos.intersection_all(ga))[0]
+    assert full <= min(w * h for _, _, w, h in boxes)
+    prefix = algos.area(algos.intersection_all(ga.take(
+        list(range(len(boxes) - 1)))))[0]
+    assert full <= prefix
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(0, 50), st_.integers(1, 50), st_.integers(0, 50),
+       st_.integers(1, 50))
+def test_shared_paths_length_formula(s1, l1, s2, l2):
+    """Collinear overlap length of [s1,s1+l1] and [s2,s2+l2] on one axis."""
+    a = wkt.parse_array([f"LINESTRING ({s1} 0, {s1+l1} 0)"])
+    b = wkt.parse_array([f"LINESTRING ({s2} 0, {s2+l2} 0)"])
+    same, opp = algos.shared_paths(a, b)
+    expect = max(0, min(s1 + l1, s2 + l2) - max(s1, s2))
+    assert algos.length(same)[0] == expect
+    assert algos.length(opp)[0] == 0.0
