@@ -217,6 +217,40 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
 # grid strategy (large × large)
 # ---------------------------------------------------------------------------
 
+def _pick_cell_size(X, Y, nl, nr, wlx, wly, wrx, wry):
+    """Grid cell size minimizing an explicit cost model.
+
+    Two costs trade off (the 100 TB knob): exploded-row duplication
+    ``n·(1 + bbox/cell)²`` grows as cells shrink; candidate-pair refine
+    ``nl·nr·((wl+wr+cell)/X)·(…/Y)`` grows as cells coarsen (cells ≫ bbox
+    degrade toward a per-cell cross join — measured 8× slower at
+    600k×100k). Neither a fixed grid (old extent/64) nor 2×mean-bbox
+    (breaks when one side's mean is diluted by a point-heavy other side)
+    lands both regimes, so: evaluate the model on a log sweep of scale
+    factors and take the argmin. Empty cells emit no rows, so fine grids
+    carry no hidden cost beyond the floor()-key floor of extent/4096.
+    """
+    X = X if X and X > 0 else 1.0
+    Y = Y if Y and Y > 0 else 1.0
+    if not nl or not nr:
+        return X / 64, Y / 64
+    base_x = max(wlx, wrx, X / 4096)
+    base_y = max(wly, wry, Y / 4096)
+    REFINE_WEIGHT = 4.0   # refine decodes two geometries per pair
+    best = None
+    for t in np.geomspace(0.25, 64.0, 25):
+        cx = max(t * base_x, X / 4096)
+        cy = max(t * base_y, Y / 4096)
+        dup = (nl * (1 + wlx / cx) * (1 + wly / cy) +
+               nr * (1 + wrx / cx) * (1 + wry / cy))
+        cand = nl * nr * min(1.0, (wlx + wrx + cx) / X) * \
+            min(1.0, (wly + wry + cy) / Y)
+        cost = dup + REFINE_WEIGHT * cand
+        if best is None or cost < best[0]:
+            best = (cost, cx, cy)
+    return best[1], best[2]
+
+
 def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
                 on_attribute, lsuffix, rsuffix, grid_cells):
     lidx, ridx = "__gj_lidx__", "__gj_ridx__"
@@ -232,23 +266,30 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     lb = lefts.withColumn("__b__", st.bounds(gl))
     rb = rights.withColumn("__b__", st.bounds(gr))
 
-    # combined extent + mean bbox size of both sides in ONE job (the
+    # combined extent + PER-SIDE count / mean bbox dims in ONE job (the
     # reference's early-exit disjoint check, tools/overlay.py:310-326,
     # falls out for free: empty overlap → no shared cells)
-    tl = (lb.select("__b__").unionByName(rb.select("__b__"))
+    bw = F.col("__b__.xmax") - F.col("__b__.xmin")
+    bh = F.col("__b__.ymax") - F.col("__b__.ymin")
+    tl = (lb.select(F.lit(1).alias("__s__"), "__b__")
+          .unionByName(rb.select(F.lit(0).alias("__s__"), "__b__"))
           .agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
                F.max("__b__.xmax"), F.max("__b__.ymax"),
-               F.avg(F.col("__b__.xmax") - F.col("__b__.xmin")),
-               F.avg(F.col("__b__.ymax") - F.col("__b__.ymin")))
+               F.count(F.when(F.col("__s__") == 1, 1)),
+               F.avg(F.when(F.col("__s__") == 1, bw)),
+               F.avg(F.when(F.col("__s__") == 1, bh)),
+               F.count(F.when(F.col("__s__") == 0, 1)),
+               F.avg(F.when(F.col("__s__") == 0, bw)),
+               F.avg(F.when(F.col("__s__") == 0, bh)))
           .collect()[0])
     x0, y0, x1, y1 = tl[0], tl[1], tl[2], tl[3]
-    avg_w, avg_h = tl[4] or 0.0, tl[5] or 0.0
+    nl, wlx, wly = tl[4] or 0, tl[5] or 0.0, tl[6] or 0.0
+    nr, wrx, wry = tl[7] or 0, tl[8] or 0.0, tl[9] or 0.0
     pad = float(distance or 0.0)
-    # adaptive cell size: never smaller than the mean bbox side, else each
-    # geometry explodes into O((bbox/cell)^2) cells — the duplication-vs-
-    # selectivity balance that matters at the 100 TB scale point
-    w = max((x1 - x0) / grid_cells, 2.0 * avg_w, 1e-9)
-    hgt = max((y1 - y0) / grid_cells, 2.0 * avg_h, 1e-9)
+    w, hgt = _pick_cell_size(x1 - x0, y1 - y0, nl, nr,
+                             wlx + pad, wly + pad, wrx, wry)
+    w = max(w, pad, 1e-9)
+    hgt = max(hgt, pad, 1e-9)
 
     def cells(df, pre_pad):
         cx0 = F.floor((F.col("__b__.xmin") - F.lit(x0) - pre_pad) / F.lit(w))

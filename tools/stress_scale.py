@@ -1,0 +1,73 @@
+"""Large×large scale stress: the grid sjoin on the two biggest tables.
+
+Evidence for the 100 TB story: 600k lineitem boxes × 100k event points
+through the grid-partitioned join path (no broadcast side), printing the
+timing plus plan shape (exchanges / broadcasts / UDF evals). At cluster
+scale the same plan fans out by cell key; nothing here collects to the
+driver.
+
+Usage: python tools/stress_scale.py [sf_dir] [cpus]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+CPUS = sys.argv[2] if len(sys.argv) > 2 else "32"
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+    # lineitem: small boxes scattered on a 10000x10000 plane
+    x0 = (F.col("l_orderkey") % 10000).cast("double")
+    y0 = (F.col("l_partkey") * 17 % 10000).cast("double")
+    boxes = li.select(
+        F.col("l_orderkey").alias("lid"),
+        st.makebox(x0, y0, x0 + 12.0, y0 + 12.0).alias("geom"))
+
+    # events: points on the same plane
+    ex = (F.col("event_id") * 13 % 10000).cast("double")
+    ey = (F.col("event_id") * 31 % 10000).cast("double")
+    pts = ev.select(F.col("event_id").alias("eid"),
+                    st.point(ex, ey).alias("geom"))
+
+    j = sjoin(pts, boxes, predicate="intersects", strategy="grid")
+    agg = j.agg(F.count("*").alias("pairs"))
+
+    t0 = time.time()
+    pairs = agg.collect()[0]["pairs"]
+    dt = time.time() - t0
+
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    print(f"rows: {pts.count()} points x {boxes.count()} boxes")
+    print(f"matched pairs: {pairs}")
+    print(f"wall: {dt:.2f}s on local[{CPUS}]")
+    print(f"plan: exchanges={plan.count('Exchange')} "
+          f"(broadcast={plan.count('BroadcastExchange')}), "
+          f"python-evals={plan.count('ArrowEvalPython')}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
