@@ -41,7 +41,10 @@ from geopandas_spark.pipeline import (
     quality_score, token_count,
 )
 from geopandas_spark.pipeline.dedup import minhash_signatures, simhash64
-from geopandas_spark.pipeline.multimodal import decode_images
+from geopandas_spark.pipeline.multimodal import decode_images, sample_frames
+from geopandas_spark.pipeline.similarity import (
+    embedding_dedup_pairs, ivf_topk,
+)
 
 # ---------------------------------------------------------------------------
 # deterministic geometry synthesis (shared by Spark and the SQL oracles)
@@ -1216,6 +1219,110 @@ FROM customer
 """
 
 
+def _sql_cos(a: str, b: str) -> str:
+    """Cosine(a, b) in DuckDB with the same evaluation shape as
+    pipeline.similarity.cosine (sequential double accumulation,
+    dot / (norm_a * norm_b), round 6) — bit-identical results."""
+    def _dot(x, y):
+        return (f"list_sum(list_transform(range(1, len({x}) + 1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
+    return (f"ROUND({_dot(a, b)} / "
+            f"(SQRT({_dot(a, a)}) * SQRT({_dot(b, b)})), 6)")
+
+
+def q_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return ivf_topk(e, q, k=3, nlist=8, nprobe=3)
+
+
+SQL_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cscore AS (
+  SELECT e.vec_id AS c_id, k.cent_id,
+         {_sql_cos('e.embedding', 'k.cvec')} AS s
+  FROM embeddings e CROSS JOIN cents k
+), assign AS (
+  SELECT c_id, cent_id FROM (
+    SELECT c_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY s DESC, cent_id ASC) AS rn
+    FROM cscore) t WHERE rn = 1
+), probes AS (
+  SELECT c_id AS q_id, cent_id FROM (
+    SELECT c_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY s DESC, cent_id ASC) AS rn
+    FROM cscore WHERE c_id < 3) t WHERE rn <= 3
+), cand AS (
+  SELECT p.q_id, a.c_id FROM probes p JOIN assign a USING (cent_id)
+  WHERE a.c_id <> p.q_id
+), scored AS (
+  SELECT cd.q_id, cd.c_id, {_sql_cos('c.embedding', 'q.embedding')} AS score
+  FROM cand cd
+  JOIN embeddings q ON q.vec_id = cd.q_id
+  JOIN embeddings c ON c.vec_id = cd.c_id
+)
+SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, c_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+  FROM scored) t WHERE rank <= 3
+"""
+
+
+def q_embed_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(e, threshold=0.4, method="exact")
+
+
+SQL_EMBED_DEDUP = f"""
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_cos('a.embedding', 'b.embedding')} AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+WHERE score >= 0.4
+"""
+
+
+def q_geom_value_counts(spark, sf_dir):
+    """Geometry value_counts: grouping on raw WKB bytes — byte equality ==
+    the reference's factorize-via-WKB semantics (array.py:1688-1706);
+    entirely native (no UDF in the aggregation)."""
+    c = _cust(spark, sf_dir)
+    g = c.groupBy("geom").agg(F.count("*").alias("cnt"))
+    return g.select(st.x("geom").alias("x"), st.y("geom").alias("y"), "cnt")
+
+
+SQL_GEOM_VALUE_COUNTS = f"""
+SELECT CAST(px AS DOUBLE) AS x, CAST(py AS DOUBLE) AS y, COUNT(*) AS cnt
+FROM (SELECT {PX} AS px, {PY} AS py FROM customer) t
+GROUP BY px, py
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+         .withColumn("video", F.encode("text", "UTF-8")))
+    out = sample_frames(d, max_frames=4, blob_col="video",
+                        id_cols=("doc_id",))
+    return out.select(F.col("doc_id").alias("id"), "frame_idx", "n_frames")
+
+
+SQL_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id,
+         1 + (16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 4
+         AS n_frames
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id AS id, CAST(g.generate_series AS INT) AS frame_idx,
+       CAST(n_frames AS INT) AS n_frames
+FROM f CROSS JOIN generate_series(0, 3) g
+WHERE g.generate_series < n_frames
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -1262,6 +1369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "multimodal_meta": q_multimodal_meta,
+        "ivf_topk": q_ivf_topk,
+        "embed_dedup": q_embed_dedup,
+        "geom_value_counts": q_geom_value_counts,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1311,4 +1422,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "ivf_topk": SQL_IVF_TOPK,
+        "embed_dedup": SQL_EMBED_DEDUP,
+        "geom_value_counts": SQL_GEOM_VALUE_COUNTS,
+        "frame_sample": SQL_FRAME_SAMPLE,
     }

@@ -90,3 +90,92 @@ def extract_image_features(df: DataFrame, blob_col: str = "image",
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+RESIZED_META_SCHEMA = StructType([
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("format", StringType()),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  blob_col: str = "image",
+                  out_col: str = "image_resized",
+                  meta_col: str = "resized_meta") -> DataFrame:
+    """Resize every image to ``width``×``height``.
+
+    STUB resize (no PIL/libjpeg here): emits a deterministic byte payload of
+    the right nominal size derived from the source bytes, so batch shape,
+    memory profile and schema match a real resizer. The Spark plumbing is
+    real: Arrow-batched mapInPandas, explicit output schema, null
+    passthrough. Swap the inner function for PIL's ``Image.resize`` on a
+    cluster that has it."""
+    out_schema = StructType(df.schema.fields + [
+        StructField(out_col, BinaryType(), True),
+        StructField(meta_col, RESIZED_META_SCHEMA, True)])
+
+    def run(batches):
+        for pdf in batches:
+            blobs, metas = [], []
+            for blob in pdf[blob_col]:
+                if blob is None:
+                    blobs.append(None)
+                    metas.append(None)
+                    continue
+                # STUB: tile the md5 digest to width*height*3 bytes — the
+                # size a real uint8 RGB resize would produce.
+                seed = hashlib.md5(blob).digest()
+                n = width * height * 3
+                blobs.append((seed * (n // len(seed) + 1))[:n])
+                metas.append({"width": width, "height": height,
+                              "channels": 3, "format": "raw"})
+            pdf = pdf.copy()
+            pdf[out_col] = blobs
+            pdf[meta_col] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, max_frames: int = 4,
+                  blob_col: str = "video",
+                  id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Video → sampled frame rows (one output row per frame).
+
+    The one-to-many shape is the real thing a frame sampler needs from the
+    engine: mapInPandas yields MORE rows than it receives, so a 100 TB video
+    corpus fans out to frames without ever materializing whole videos in
+    one task. STUB decode: frame count and frame bytes derive
+    deterministically from the blob (a real impl calls pyav/ffmpeg per
+    batch row); nulls produce no rows."""
+    fields = [f for f in df.schema.fields if f.name in id_cols]
+    out_schema = StructType(fields + [
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame", BinaryType())])
+
+    def run(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in fields}
+            idxs, totals, frames = [], [], []
+            for _, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    continue
+                h = hashlib.md5(blob).digest()
+                n = 1 + h[0] % max_frames
+                for i in range(n):
+                    for f in fields:
+                        out[f.name].append(row[f.name])
+                    idxs.append(i)
+                    totals.append(n)
+                    frames.append(hashlib.md5(blob + bytes([i])).digest())
+            out["frame_idx"] = idxs
+            out["n_frames"] = totals
+            out["frame"] = frames
+            yield pd.DataFrame(out, columns=[f.name for f in fields] +
+                               ["frame_idx", "n_frames", "frame"])
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -127,3 +127,69 @@ def test_multimodal_stub_plumbing(spark):
     # determinism
     f2 = extract_image_features(df, dim=8).collect()
     assert {r.id: r.features for r in f2} == feats
+
+
+def test_ivf_topk_recall(emb):
+    from geopandas_spark.pipeline.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.q_id, r.c_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = ivf_topk(emb, q, k=5, nlist=8, nprobe=4).collect()
+    got = {(r.q_id, r.c_id) for r in approx}
+    # approximate: every returned pair must be scored correctly and recall
+    # against the exact top-5 should be substantial with nprobe=4 of 8 lists
+    assert len(got & exact) >= len(exact) * 0.4
+    for r in approx:
+        assert 1 <= r.rank <= 5 and -1.0 <= r.score <= 1.0
+
+
+def test_embedding_dedup_exact_vs_lsh(emb):
+    from geopandas_spark.pipeline.similarity import embedding_dedup_pairs
+
+    sub = emb.filter(F.col("vec_id") < 300)
+    exact = {(r.id_a, r.id_b): r.score
+             for r in embedding_dedup_pairs(sub, 0.35,
+                                            method="exact").collect()}
+    lsh = {(r.id_a, r.id_b): r.score
+           for r in embedding_dedup_pairs(sub, 0.35, method="lsh",
+                                          planes=4, bands=8).collect()}
+    assert exact  # threshold yields pairs on this data
+    # lsh candidates are a subset with identical scores where present
+    for k, v in lsh.items():
+        assert k in exact and v == exact[k]
+    assert len(lsh) >= len(exact) * 0.3
+
+
+def test_resize_images_plumbing(spark):
+    from geopandas_spark.pipeline.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-a"), (2, None), (3, b"imagebytes-c")],
+        ["id", "image"])
+    out = resize_images(df, 8, 6).orderBy("id").collect()
+    assert out[0].image_resized is not None
+    assert len(out[0].image_resized) == 8 * 6 * 3
+    assert out[0].resized_meta.width == 8 and out[0].resized_meta.height == 6
+    assert out[1].image_resized is None and out[1].resized_meta is None
+    # deterministic: same bytes → same resize payload
+    again = resize_images(df, 8, 6).orderBy("id").collect()
+    assert again[0].image_resized == out[0].image_resized
+
+
+def test_sample_frames_plumbing(spark):
+    from geopandas_spark.pipeline.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"video-a"), (2, None), (3, b"video-c")], ["doc_id", "video"])
+    rows = sample_frames(df, max_frames=4).collect()
+    ids = {r.doc_id for r in rows}
+    assert 2 not in ids and {1, 3} <= ids  # nulls drop, others fan out
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, fr in by_doc.items():
+        n = fr[0].n_frames
+        assert sorted(f.frame_idx for f in fr) == list(range(n))
+        assert all(len(f.frame) == 16 for f in fr)  # stub md5 frames
+        assert len({bytes(f.frame) for f in fr}) == n  # distinct per idx
