@@ -768,6 +768,50 @@ def is_valid(c) -> Column:
     return _REGISTRY["st_isvalid"](_col(c))
 
 
+def is_simple(c) -> Column:
+    return _REGISTRY["st_issimple"](_col(c))
+
+
+def is_ring(c) -> Column:
+    return _REGISTRY["st_isring"](_col(c))
+
+
+def is_closed(c) -> Column:
+    return _REGISTRY["st_isclosed"](_col(c))
+
+
+def is_ccw(c) -> Column:
+    return _REGISTRY["st_isccw"](_col(c))
+
+
+def n_interior_rings(c) -> Column:
+    return _REGISTRY["st_ninteriorrings"](_col(c))
+
+
+def has_z(c) -> Column:
+    """Always False for non-null geometries: the kernel is 2-D, Z is
+    dropped at WKB decode (documented deviation; reference
+    geopandas/base.py:812). Native — no UDF."""
+    c = _col(c)
+    return F.when(c.isNotNull(), F.lit(False))
+
+
+def has_m(c) -> Column:
+    """Always False (no M support; reference geopandas/base.py:843)."""
+    c = _col(c)
+    return F.when(c.isNotNull(), F.lit(False))
+
+
+def geom_equals_identical(a, b) -> Column:
+    """Exact coordinate-by-coordinate, order-sensitive equality
+    (reference geopandas/base.py:3108). Native byte comparison: the
+    kernel's WKB encoding is canonical (little-endian, fixed layout), so
+    identical geometry <=> identical bytes — zero-UDF, codegen'd."""
+    a, b = _col(a), _col(b)
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean")
+                  ).otherwise(a == b)
+
+
 def distance(a, b) -> Column:
     return _REGISTRY["st_distance"](_col(a), _col(b))
 

@@ -8,5 +8,6 @@ pieces that need streaming-aware plans.
 """
 
 from geopandas_spark.streaming.ops import (  # noqa: F401
-    enrich_stream, filter_stream_bbox, windowed_union,
+    cell_stats_stream, dedup_stream, enrich_stream, filter_stream_bbox,
+    windowed_union,
 )

@@ -68,3 +68,90 @@ def filter_stream_bbox(stream: DataFrame, bbox, *,
     return stream.filter(st.intersects(
         F.col(geom), st.makebox(F.lit(xmin), F.lit(ymin), F.lit(xmax),
                                 F.lit(ymax))))
+
+
+def dedup_stream(stream: DataFrame, *, key=None, geom: str = "geom",
+                 time_col: Optional[str] = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication on a content key.
+
+    Default key = the geometry's WKB bytes (the reference's
+    factorize-via-WKB equality, array.py:1688-1706); pass ``key`` for
+    attribute/text dedup. Entirely native: ``dropDuplicatesWithinWatermark``
+    keeps per-key state in the state store and expires it as the watermark
+    advances, so state is bounded — the shape a 100 TB/day dedup stream
+    needs (an unbounded ``dropDuplicates`` would accrete state forever).
+    Without ``time_col`` falls back to the unbounded exact variant.
+    """
+    key_col = F.col(key) if key else F.col(geom)
+    tagged = stream.withColumn("__dk__", F.sha2(
+        key_col.cast("binary") if key else key_col, 256))
+    if time_col is None:
+        return tagged.dropDuplicates(["__dk__"]).drop("__dk__")
+    return (tagged.withWatermark(time_col, watermark)
+                  .dropDuplicatesWithinWatermark(["__dk__"])
+                  .drop("__dk__"))
+
+
+def cell_stats_stream(stream: DataFrame, cell_size: float, *,
+                      geom: str = "geom", timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: running per-grid-cell stats via
+    ``applyInPandasWithState``.
+
+    Each centroid maps natively to a grid cell; per cell the state holds a
+    running (count, total_bounds) that every micro-batch updates — the
+    canonical "hypertable rollup" shape for a geometry stream. State is one
+    tiny tuple per cell (bounded by the grid, not the stream), updates are
+    vectorized numpy over the batch, and the cell key is the shuffle key —
+    the same partitioning a 1000-executor cluster would use.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("cell", StringType()),
+        StructField("n", LongType()),
+        StructField("xmin", DoubleType()), StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()), StructField("ymax", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("xmin", DoubleType()), StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()), StructField("ymax", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        n = 0
+        xmin = ymin = float("inf")
+        xmax = ymax = float("-inf")
+        if state.exists:
+            n, xmin, ymin, xmax, ymax = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                xmin = min(xmin, float(pdf["__bx0__"].min()))
+                ymin = min(ymin, float(pdf["__by0__"].min()))
+                xmax = max(xmax, float(pdf["__bx1__"].max()))
+                ymax = max(ymax, float(pdf["__by1__"].max()))
+        state.update((n, xmin, ymin, xmax, ymax))
+        yield pd.DataFrame([{"cell": key[0], "n": n, "xmin": xmin,
+                             "ymin": ymin, "xmax": xmax, "ymax": ymax}])
+
+    c = stream.withColumn("__ct__", st.centroid(F.col(geom)))
+    b = c.withColumn("__b__", st.bounds(F.col(geom)))
+    keyed = (b.withColumn("__cell__", F.concat_ws(
+                 ",",
+                 F.floor(st.x("__ct__") / F.lit(cell_size)).cast("string"),
+                 F.floor(st.y("__ct__") / F.lit(cell_size)).cast("string")))
+              .select(F.col("__cell__"),
+                      F.col("__b__.xmin").alias("__bx0__"),
+                      F.col("__b__.ymin").alias("__by0__"),
+                      F.col("__b__.xmax").alias("__bx1__"),
+                      F.col("__b__.ymax").alias("__by1__")))
+    return (keyed.groupBy("__cell__")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -86,3 +86,41 @@ def test_filter_stream_bbox(spark, tmp_path):
     _run(out, "bboxed")
     ids = sorted(r.id for r in spark.sql("SELECT id FROM bboxed").collect())
     assert ids == [2, 3, 4, 5]
+
+
+def test_dedup_stream(spark, tmp_path):
+    from geopandas_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "in_dedup")
+    t0 = dt.datetime(2026, 1, 1)
+    # ids 0..5 but only 3 distinct points (i % 3)
+    rows = [(i, t0 + dt.timedelta(seconds=i), float(i % 3), float(i % 3))
+            for i in range(6)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    stream = (spark.readStream.schema(SCHEMA).parquet(src)
+              .withColumn("geom", st.point("x", "y")))
+    out = dedup_stream(stream, time_col="ts", watermark="1 minute")
+    _run(out, "dedup_sink")
+    got = spark.sql("SELECT x FROM dedup_sink ORDER BY x").collect()
+    assert [r.x for r in got] == [0.0, 1.0, 2.0]
+
+
+def test_cell_stats_stream(spark, tmp_path):
+    from geopandas_spark.streaming import cell_stats_stream
+
+    src = str(tmp_path / "in_cells")
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(i, t0, float(i), float(i)) for i in range(8)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    stream = (spark.readStream.schema(SCHEMA).parquet(src)
+              .withColumn("geom", st.point("x", "y")))
+    out = cell_stats_stream(stream, cell_size=4.0)
+    _run(out, "cell_sink", mode="update")
+    got = {r.cell: r for r in spark.sql("SELECT * FROM cell_sink").collect()}
+    # points 0..3 → cell "0,0"; 4..7 → cell "1,1"
+    assert set(got) == {"0,0", "1,1"}
+    assert got["0,0"].n == 4 and got["1,1"].n == 4
+    assert (got["0,0"].xmin, got["0,0"].xmax) == (0.0, 3.0)
+    assert (got["1,1"].ymin, got["1,1"].ymax) == (4.0, 7.0)
