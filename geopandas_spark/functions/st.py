@@ -292,6 +292,7 @@ _unary_geom("st_envelope", algos.envelope)
 _unary_geom("st_boundary", algos.boundary)
 _unary_geom("st_convexhull", algos.convex_hull)
 _unary_geom("st_reverse", algos.reverse)
+_unary_geom("st_exterior", algos.exterior)
 _unary_geom("st_force2d", lambda ga: ga)  # kernel is 2-D throughout
 _unary_geom("st_normalize", algos.normalize)
 _unary_geom("st_orientpolygons", algos.orient_polygons)
@@ -786,6 +787,10 @@ def is_ccw(c) -> Column:
 
 def n_interior_rings(c) -> Column:
     return _REGISTRY["st_ninteriorrings"](_col(c))
+
+
+def exterior(c) -> Column:
+    return _REGISTRY["st_exterior"](_col(c))
 
 
 def has_z(c) -> Column:

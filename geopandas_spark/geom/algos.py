@@ -3313,6 +3313,24 @@ def interiors(ga: GeometryArray) -> list:
     return out
 
 
+def exterior(ga: GeometryArray) -> GeometryArray:
+    """Exterior shell per POLYGON row as LINESTRING (reference
+    base.py:1507 / geoseries exterior accessor); None for non-polygon and
+    missing rows, matching the reference's elementwise semantics."""
+    bb = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t != GT_POLYGON:
+            bb.append_null()
+            continue
+        parts = ga.geom_slices(i)
+        if not parts or not parts[0]:
+            bb.append_empty(GT_LINESTRING)
+            continue
+        bb.append(GT_LINESTRING, [[parts[0][0]]])
+    return bb.finish()
+
+
 def _clearance_pair(ga: GeometryArray, i: int):
     """(distance, p, q) realizing the minimum clearance of row i, or
     (inf, None, None): smallest of (a) any vertex's distance to a

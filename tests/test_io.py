@@ -170,3 +170,110 @@ def test_postgis_hex_decode(spark):
     row = out.select(st.x("geom").alias("x"),
                      st.y("geom").alias("y")).collect()[0]
     assert (row.x, row.y) == (5.0, 9.0)
+
+
+def test_shapefile_roundtrip(spark, tmp_path):
+    from geopandas_spark.io import read_shapefile, to_shapefile
+
+    df = spark.createDataFrame([
+        (1, 2.5, "alpha", True,
+         "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (2, -0.25, "beta", False,
+         "MULTIPOLYGON (((10 10, 14 10, 14 14, 10 14, 10 10)), "
+         "((20 20, 22 20, 22 22, 20 22, 20 20)))"),
+        (3, None, None, None, None)], ["k", "v", "s", "b", "w"]) \
+        .withColumn("geom", st.geom_from_text("w")).drop("w")
+    p = str(tmp_path / "t.shp")
+    assert to_shapefile(df, p) == 3
+    # sidecars written
+    for ext in (".shp", ".shx", ".dbf"):
+        assert os.path.exists(str(tmp_path / "t") + ext)
+    back = read_shapefile(spark, p)
+    rows = back.withColumn("t", st.as_text("geom")).orderBy("k").collect()
+    assert rows[0].v == 2.5 and rows[0].s == "alpha" and rows[0].b is True
+    assert rows[0].t.startswith("POLYGON") and "(1 1," in rows[0].t
+    assert rows[1].t.startswith("MULTIPOLYGON")
+    assert rows[2].t is None and rows[2].v is None
+    # geometric equality through the winding/ring-assignment round trip
+    a1 = df.select(F.sum(st.area("geom"))).collect()[0][0]
+    a2 = back.select(F.sum(st.area("geom"))).collect()[0][0]
+    assert a1 == a2
+
+
+def test_shapefile_lines_points(spark, tmp_path):
+    from geopandas_spark.io import read_shapefile, to_shapefile
+
+    lines = spark.createDataFrame([
+        (1, "LINESTRING (0 0, 1 1, 2 0)"),
+        (2, "MULTILINESTRING ((0 0, 1 0), (2 2, 3 3))")], ["k", "w"]) \
+        .withColumn("geom", st.geom_from_text("w")).drop("w")
+    p = str(tmp_path / "l.shp")
+    to_shapefile(lines, p)
+    t = [r.t for r in read_shapefile(spark, p)
+         .withColumn("t", st.as_text("geom")).orderBy("k").collect()]
+    assert t[0].startswith("LINESTRING") and t[1].startswith("MULTILINESTRING")
+
+    pts = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(5)], ["k", "x", "y"]) \
+        .withColumn("geom", st.point("x", "y"))
+    p2 = str(tmp_path / "p.shp")
+    to_shapefile(pts, p2)
+    got = read_shapefile(spark, p2).withColumn(
+        "t", st.as_text("geom")).orderBy("k").collect()
+    assert [r.t for r in got] == [f"POINT ({i} {-i})" for i in range(5)]
+
+
+def test_gpkg_roundtrip(spark, tmp_path):
+    import sqlite3
+    from geopandas_spark.io import read_gpkg, to_gpkg
+
+    df = spark.createDataFrame([
+        (1, 2.5, "alpha", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (2, -0.25, "beta", "POINT (7 8)"),
+        (3, None, None, None)], ["k", "v", "s", "w"]) \
+        .withColumn("geom", st.geom_from_text("w")).drop("w")
+    p = str(tmp_path / "t.gpkg")
+    assert to_gpkg(df, p, table="demo") == 3
+    rows = read_gpkg(spark, p).withColumn(
+        "t", st.as_text("geom")).orderBy("k").collect()
+    assert rows[0].t.startswith("POLYGON")
+    assert rows[1].t == "POINT (7 8)"
+    assert rows[2].t is None
+    con = sqlite3.connect(p)
+    assert con.execute("SELECT application_id FROM pragma_application_id"
+                       ).fetchone()[0] == 0x47504B47
+    (tn, dt, sid) = con.execute(
+        "SELECT table_name, data_type, srs_id FROM gpkg_contents").fetchone()
+    assert (tn, dt, sid) == ("demo", "features", 0)
+    con.close()
+
+
+def test_gpkg_distributed_read(spark, sf_dir, tmp_path):
+    from geopandas_spark.io import read_gpkg, to_gpkg
+
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .withColumn("geom", st.point(
+             (F.col("c_custkey") % 1000).cast("double"),
+             ((F.col("c_custkey") * 7) % 1000).cast("double")))
+         .select("c_custkey", "c_acctbal", "geom"))
+    p = str(tmp_path / "c.gpkg")
+    n = to_gpkg(c, p, table="customer")
+    back = read_gpkg(spark, p, num_partitions=8)
+    assert back.count() == n == c.count()
+    assert (back.select(F.sum(st.x("geom"))).collect()[0][0]
+            == c.select(F.sum(st.x("geom"))).collect()[0][0])
+
+
+def test_read_to_file_dispatch(spark, tmp_path):
+    from geopandas_spark.io import read_file, to_file
+
+    df = spark.createDataFrame([(1, "POINT (1 2)")], ["k", "w"]) \
+        .withColumn("geom", st.geom_from_text("w")).drop("w")
+    for name in ("d.shp", "d.gpkg", "d.geojson"):
+        path = str(tmp_path / name)
+        to_file(df, path)
+        back = read_file(spark, path)
+        t = back.withColumn("t", st.as_text("geom")).collect()[0].t
+        assert t == "POINT (1 2)", name
+    with pytest.raises(ValueError):
+        to_file(df, str(tmp_path / "d.xyz"))
