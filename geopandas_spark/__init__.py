@@ -21,7 +21,9 @@ Public surface:
 """
 
 from geopandas_spark.functions import st, register_sql  # noqa: F401
-from geopandas_spark.frame import GeoFrame, concat  # noqa: F401
+from geopandas_spark.frame import (  # noqa: F401
+    GeoFrame, concat, read_file,
+)
 
 __version__ = "0.1.0"
 __all__ = ["st", "register_sql"]

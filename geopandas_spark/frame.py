@@ -245,6 +245,13 @@ class GeoFrame:
         from geopandas_spark.io import to_geojson as _tg
         return _tg(self.df, path, geom=self._geometry, **kw)
 
+    def to_file(self, path: str, **kw):
+        """Extension-dispatched write (reference GeoDataFrame.to_file,
+        geopandas/io/file.py:614-795): .shp/.gpkg/.geojson/.parquet/
+        .feather."""
+        from geopandas_spark.io import to_file as _tf
+        return _tf(self.df, path, geom=self._geometry, **kw)
+
     # -- plumbing ------------------------------------------------------------
 
     def __getattr__(self, item):
@@ -271,6 +278,14 @@ def read_parquet(spark, path, **kw) -> GeoFrame:
         if cm.get("crs"):
             crs[name] = cm["crs"]
     return GeoFrame(df, geometry=gcol, crs=crs)
+
+
+def read_file(spark, path, **kw) -> GeoFrame:
+    """Extension-dispatched read (reference geopandas.read_file,
+    geopandas/io/file.py:197-339) wrapped as a GeoFrame."""
+    from geopandas_spark.io import read_file as _rf
+    gcol = kw.get("geom", "geom")
+    return GeoFrame(_rf(spark, path, **kw), geometry=gcol)
 
 
 def concat(frames) -> GeoFrame:

@@ -96,3 +96,23 @@ def test_frame_parquet_roundtrip(gf, tmp_path):
     assert back.crs == "EPSG:4326"
     assert back.active_geometry_name == "geom"
     assert back.count() == 20
+
+
+def test_geoframe_file_roundtrip(spark, tmp_path):
+    import geopandas_spark as gps
+    from geopandas_spark import st
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "POINT (3 4)"), (2, "POINT (5 6)")],
+                               ["k", "w"]) \
+        .withColumn("geom", st.geom_from_text("w")).drop("w")
+    gf = gps.GeoFrame(df)
+    for name in ("f.shp", "f.gpkg"):
+        p = str(tmp_path / name)
+        gf.to_file(p)
+        back = gps.read_file(spark, p)
+        assert isinstance(back, gps.GeoFrame)
+        assert back.active_geometry_name == "geom"
+        xs = sorted(r[0] for r in
+                    back.select(st.x(back.geometry)).collect())
+        assert xs == [3.0, 5.0], name
