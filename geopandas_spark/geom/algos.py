@@ -673,6 +673,59 @@ def covered_by(ga, gb):
     return covers(gb, ga)
 
 
+def _pairwise_point_dist(pts_ga, gb, rows):
+    """Vectorized rowwise distance from pts_ga[row] (1-coord POINT) to
+    gb[row] (any geometry), for `rows`: one vertex gather + one segment
+    gather + one point-in-polygon pass — no per-row Python loop. Matches
+    _pair_distance bit-for-bit (same np.hypot / clamped-projection math).
+    This is the dwithin/nearest grid-join refine hot path."""
+    rows = np.asarray(rows, dtype=np.int64)
+    n = len(rows)
+    if n == 0:
+        return np.zeros(0)
+    pos_of_row = np.full(len(gb), -1, dtype=np.int64)
+    pos_of_row[rows] = np.arange(n)
+    poff = pts_ga.coord_offsets_per_geom()
+    px = pts_ga.coords[poff[rows], 0]
+    py = pts_ga.coords[poff[rows], 1]
+    best = np.full(n, np.inf)
+    # vertex distances (covers point/multipoint gb rows entirely)
+    tgtv = pos_of_row[gb.coord_geom_index()]
+    selv = np.nonzero(tgtv >= 0)[0]
+    tv = tgtv[selv]
+    np.minimum.at(best, tv, np.hypot(gb.coords[selv, 0] - px[tv],
+                                     gb.coords[selv, 1] - py[tv]))
+    # segment distances (line/polygon rows): clamped projection
+    starts = gb.ring_offsets[:-1]
+    ends = gb.ring_offsets[1:]
+    valid = np.ones(gb.n_coords, dtype=bool)
+    valid[ends[ends > starts] - 1] = False
+    seg_idx = np.nonzero(valid)[0]
+    tgt = pos_of_row[gb.coord_geom_index()[seg_idx]]
+    sel = tgt >= 0
+    seg_idx, tgt = seg_idx[sel], tgt[sel]
+    if len(seg_idx):
+        x0 = gb.coords[seg_idx, 0]
+        y0 = gb.coords[seg_idx, 1]
+        dx = gb.coords[seg_idx + 1, 0] - x0
+        dy = gb.coords[seg_idx + 1, 1] - y0
+        X, Y = px[tgt], py[tgt]
+        denom = dx * dx + dy * dy
+        t = np.clip(((X - x0) * dx + (Y - y0) * dy) /
+                    np.where(denom == 0, 1.0, denom), 0, 1)
+        np.minimum.at(best, tgt,
+                      np.hypot(X - (x0 + t * dx), Y - (y0 + t * dy)))
+    # interior/boundary containment → 0 (the _pair_intersects short-cut)
+    poly = rows[(gb.types[rows] == GT_POLYGON) |
+                (gb.types[rows] == GT_MULTIPOLYGON)]
+    if len(poly):
+        rr, cls = _pairwise_point_in_poly(pts_ga, gb, poly)
+        best[pos_of_row[rr[cls > 0]]] = 0.0
+    empty = (pts_ga.coords_per_geom()[rows] == 0) |         (gb.coords_per_geom()[rows] == 0)
+    best[empty] = np.nan
+    return best
+
+
 def distance(ga, gb):
     # all-points fast path; sqrt(dx²+dy²) (not hypot) so results are
     # bit-identical to the plain-SQL formula used by oracle queries
@@ -680,7 +733,25 @@ def distance(ga, gb):
             and ga.n_coords == len(ga) and gb.n_coords == len(gb)):
         d = ga.coords - gb.coords
         return np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
-    return _pairwise(ga, gb, _pair_distance, np.float64, np.nan)
+    # vectorized point-vs-geometry rows (either orientation); remaining
+    # mixed rows take the per-pair path
+    apt = (ga.types == GT_POINT) & (ga.coords_per_geom() == 1)
+    bpt = (gb.types == GT_POINT) & (gb.coords_per_geom() == 1)
+    rows_ab = np.nonzero(apt)[0]          # point vs anything (incl. point:
+    rows_ba = np.nonzero(bpt & ~apt)[0]   # vertex gather = pair-path hypot)
+    fast = np.zeros(len(ga), dtype=bool)
+    out = np.full(len(ga), np.nan)
+    if len(rows_ab):
+        out[rows_ab] = _pairwise_point_dist(ga, gb, rows_ab)
+        fast[rows_ab] = True
+    if len(rows_ba):
+        out[rows_ba] = _pairwise_point_dist(gb, ga, rows_ba)
+        fast[rows_ba] = True
+    if fast.all():
+        return out
+    rest = _pairwise(ga, gb, _pair_distance, np.float64, np.nan, skip=fast)
+    out[~fast] = rest[~fast]
+    return out
 
 
 def dwithin(ga, gb, dist):

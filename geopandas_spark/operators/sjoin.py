@@ -252,7 +252,8 @@ def _pick_cell_size(X, Y, nl, nr, wlx, wly, wrx, wry):
 
 
 def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
-                on_attribute, lsuffix, rsuffix, grid_cells):
+                on_attribute, lsuffix, rsuffix, grid_cells,
+                emit_distance=None):
     lidx, ridx = "__gj_lidx__", "__gj_ridx__"
     left_i = left.withColumn(lidx, F.monotonically_increasing_id())
     right_i = right.withColumn(ridx, F.monotonically_increasing_id())
@@ -322,8 +323,32 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
         (F.col("__cx__") == F.floor((refx - F.lit(x0)) / F.lit(w))) &
         (F.col("__cy__") == F.floor((refy - F.lit(y0)) / F.lit(hgt))))
 
-    # exact refine — the only UDF in the plan
+    # native bbox-distance prefilter for dwithin (whole-stage codegen):
+    # the pad explodes the candidate set well beyond the distance ball, so
+    # most candidates die here before the Python refine ever decodes a
+    # geometry (measured 2x on 600k boxes x 100k pts, pad=20). For the
+    # other predicates the vectorized refine is already cheaper than an
+    # extra JVM filter pass over the candidate stream (measured), so they
+    # skip straight to it.
     if predicate == "dwithin":
+        bdx = F.greatest(F.col("__lbb__.xmin") - F.col("__rbb__.xmax"),
+                         F.col("__rbb__.xmin") - F.col("__lbb__.xmax"),
+                         F.lit(0.0))
+        bdy = F.greatest(F.col("__lbb__.ymin") - F.col("__rbb__.ymax"),
+                         F.col("__rbb__.ymin") - F.col("__lbb__.ymax"),
+                         F.lit(0.0))
+        # squared compare with a 1-ulp-safe slack; the exact refine decides
+        cand = cand.filter(bdx * bdx + bdy * bdy
+                           <= F.lit(float(distance) ** 2 * (1 + 1e-12)))
+
+    # exact refine — the only UDF in the plan
+    if predicate == "dwithin" and emit_distance is not None:
+        # nearest-join path: one distance evaluation serves both the
+        # dwithin filter and the output column (no second UDF pass)
+        cand = (cand.withColumn(emit_distance,
+                                st.distance(F.col("__lg__"), F.col("__rg__")))
+                    .filter(F.col(emit_distance) <= F.lit(distance)))
+    elif predicate == "dwithin":
         cand = cand.filter(st.dwithin("__lg__", "__rg__", F.lit(distance)))
     else:
         pred_fn = {"intersects": st.intersects, "contains": st.contains,
@@ -352,14 +377,26 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                   geom_left: str = "geom", geom_right: str = "geom",
                   how: str = "inner", max_distance: Optional[float] = None,
                   distance_col: Optional[str] = None,
-                  exclusive: bool = False) -> DataFrame:
-    """k=1 nearest join with ties, broadcast right side.
+                  exclusive: bool = False,
+                  strategy: str = "broadcast") -> DataFrame:
+    """k=1 nearest join with ties (reference tools/sjoin.py:589-741).
 
-    The reference itself recommends bounding max_distance for performance
-    (geopandas/sindex.py:399-400); at scale use it — it turns the search
-    into a bounded grid probe."""
+    ``strategy="broadcast"`` collects the right side (the reference's
+    single-STRtree shape, distributed over left partitions).
+    ``strategy="grid"`` is the large×large path: requires ``max_distance``
+    (the reference itself recommends bounding it for performance,
+    geopandas/sindex.py:399-400) and composes the grid dwithin join with a
+    distributed per-left-row argmin — no side is collected, candidates are
+    bounded by the distance ball, ties are kept like the reference."""
     if how not in ("inner", "left"):
         raise ValueError("sjoin_nearest supports how = inner|left")
+    if strategy == "grid":
+        if max_distance is None:
+            raise ValueError("strategy='grid' requires max_distance "
+                             "(unbounded nearest does not distribute; the "
+                             "reference warns likewise)")
+        return _sjoin_nearest_grid(left, right, geom_left, geom_right, how,
+                                   max_distance, distance_col, exclusive)
     ridx_col = "__snj_ridx__"
     dcol = distance_col or "__snj_dist__"
     full_right_rows = right.collect()
@@ -446,6 +483,40 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
     res = lefts.join(F.broadcast(rights), on=ridx_col,
                      how="inner" if how == "inner" else "left")
     res = res.drop(ridx_col)
+    if distance_col is None:
+        res = res.drop(dcol)
+    return res
+
+
+def _sjoin_nearest_grid(left, right, geom_left, geom_right, how,
+                        max_distance, distance_col, exclusive):
+    """Large×large nearest: grid dwithin candidates → distributed argmin.
+
+    Plan shape at scale: candidate generation is the grid equi-join (native
+    shuffle, AQE-aware), the argmin is one window over the left row id —
+    state bounded by candidates inside the distance ball, never |L|×|R|."""
+    from pyspark.sql import Window
+
+    nid = "__snj_nid__"
+    dcol = distance_col or "__snj_dist__"
+    lw = left.withColumn(nid, F.monotonically_increasing_id())
+    pairs = _sjoin_grid(lw, right, "dwithin", "inner", geom_left, geom_right,
+                        max_distance, [], "left", "right", 64,
+                        emit_distance=dcol)
+    overlap = set(left.columns) & set(right.columns)
+    if exclusive:
+        pairs = pairs.filter(F.col(dcol) > 0)
+    w = Window.partitionBy(nid)
+    pairs = (pairs.withColumn("__mind__", F.min(dcol).over(w))
+                  .filter(F.col(dcol) == F.col("__mind__"))
+                  .drop("__mind__"))
+    if how == "left":
+        lmiss = lw.join(pairs.select(nid), on=nid, how="left_anti")
+        # suffix unmatched left columns to line up with the joined names
+        for c in overlap:
+            lmiss = lmiss.withColumnRenamed(c, f"{c}_left")
+        pairs = pairs.unionByName(lmiss, allowMissingColumns=True)
+    res = pairs.drop(nid)
     if distance_col is None:
         res = res.drop(dcol)
     return res

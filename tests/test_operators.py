@@ -236,3 +236,56 @@ def test_coverage_operators(spark):
     # coverage still valid after simplification
     ok_rows = [r.geom for r in simp if r.layer == "ok"]
     assert algos.is_valid_coverage(wkbmod.decode(ok_rows))
+
+
+def test_sjoin_nearest_grid_matches_broadcast(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from geopandas_spark import st
+    from geopandas_spark.operators.sjoin import sjoin_nearest
+
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet").limit(400)
+         .withColumn("geom", st.point(
+             (F.col("c_custkey") % 1000).cast("double"),
+             ((F.col("c_custkey") * 7) % 1000).cast("double")))
+         .select("c_custkey", "geom"))
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .withColumn("geom", st.point(
+             ((F.col("s_suppkey") * 13) % 1000).cast("double"),
+             ((F.col("s_suppkey") * 31) % 1000).cast("double")))
+         .select("s_suppkey", "geom"))
+
+    bc = sjoin_nearest(c, s, max_distance=150.0, distance_col="d")
+    gr = sjoin_nearest(c, s, max_distance=150.0, distance_col="d",
+                       strategy="grid")
+    b = {(r.c_custkey, r.s_suppkey, round(r.d, 9)) for r in bc.collect()}
+    g = {(r.c_custkey, r.s_suppkey, round(r.d, 9)) for r in gr.collect()}
+    assert b == g and len(b) > 0
+
+
+def test_sjoin_nearest_grid_left_and_exclusive(spark):
+    from pyspark.sql import functions as F
+    from geopandas_spark import st
+    from geopandas_spark.operators.sjoin import sjoin_nearest
+    import pytest as _pytest
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 500.0, 500.0)],
+        ["k", "x", "y"]).withColumn("geom", st.point("x", "y"))
+    tgt = spark.createDataFrame(
+        [(101, 0.0, 0.0), (102, 11.0, 0.0)],
+        ["t", "x", "y"]).withColumn("geom", st.point("x", "y"))
+
+    out = sjoin_nearest(pts, tgt, max_distance=5.0, distance_col="d",
+                        how="left", strategy="grid").collect()
+    by_k = {r.k: r for r in out}
+    assert by_k[1].t == 101 and by_k[1].d == 0.0
+    assert by_k[2].t == 102 and by_k[2].d == 1.0
+    assert by_k[3].t is None and by_k[3].d is None  # beyond max_distance
+
+    ex = sjoin_nearest(pts, tgt, max_distance=15.0, distance_col="d",
+                       exclusive=True, strategy="grid").collect()
+    k1 = [r for r in ex if r.k == 1]
+    assert len(k1) == 1 and k1[0].t == 102  # self at d=0 excluded
+
+    with _pytest.raises(ValueError):
+        sjoin_nearest(pts, tgt, strategy="grid")

@@ -52,20 +52,28 @@ def main():
     pts = ev.select(F.col("event_id").alias("eid"),
                     st.point(ex, ey).alias("geom"))
 
-    j = sjoin(pts, boxes, predicate="intersects", strategy="grid")
-    agg = j.agg(F.count("*").alias("pairs"))
+    from geopandas_spark.operators.sjoin import sjoin_nearest
 
-    t0 = time.time()
-    pairs = agg.collect()[0]["pairs"]
-    dt = time.time() - t0
-
-    plan = agg._jdf.queryExecution().executedPlan().toString()
     print(f"rows: {pts.count()} points x {boxes.count()} boxes")
-    print(f"matched pairs: {pairs}")
-    print(f"wall: {dt:.2f}s on local[{CPUS}]")
-    print(f"plan: exchanges={plan.count('Exchange')} "
-          f"(broadcast={plan.count('BroadcastExchange')}), "
-          f"python-evals={plan.count('ArrowEvalPython')}")
+    cases = [
+        ("intersects", lambda: sjoin(pts, boxes, predicate="intersects",
+                                     strategy="grid")),
+        ("dwithin20", lambda: sjoin(pts, boxes, predicate="dwithin",
+                                    distance=20.0, strategy="grid")),
+        ("nearest20", lambda: sjoin_nearest(pts, boxes, max_distance=20.0,
+                                            distance_col="d",
+                                            strategy="grid")),
+    ]
+    for name, mk in cases:
+        agg = mk().agg(F.count("*").alias("pairs"))
+        t0 = time.time()
+        pairs = agg.collect()[0]["pairs"]
+        dt = time.time() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        print(f"{name}: {pairs} pairs, {dt:.2f}s, "
+              f"exchanges={plan.count('Exchange')} "
+              f"(broadcast={plan.count('BroadcastExchange')}), "
+              f"python-evals={plan.count('ArrowEvalPython')}")
     spark.stop()
 
 
