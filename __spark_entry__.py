@@ -364,6 +364,33 @@ FROM d JOIN m ON d.cid = m.cid AND d.dist = m.mind
 """
 
 
+def q_sjoin_nearest_grid(spark, sf_dir):
+    """Large x large nearest path: grid dwithin candidates + distributed
+    argmin — no collected side (the broadcast variant above is the
+    reference's single-STRtree shape)."""
+    cust = _cust(spark, sf_dir)
+    supp = _supp(spark, sf_dir).select("s_suppkey", "geom")
+    j = sjoin_nearest(cust, supp, distance_col="dist", max_distance=100.0,
+                      strategy="grid")
+    return j.select(F.col("c_custkey").alias("cid"),
+                    F.col("s_suppkey").alias("sid"), F.col("dist"))
+
+
+SQL_SJOIN_NEAREST_GRID = f"""
+WITH d AS (
+  SELECT c_custkey AS cid, s_suppkey AS sid,
+         SQRT(CAST(({PX} - {SX}) * ({PX} - {SX}) +
+                   ({PY} - {SY}) * ({PY} - {SY}) AS DOUBLE)) AS dist
+  FROM customer CROSS JOIN supplier
+), m AS (
+  SELECT cid, MIN(dist) AS mind FROM d GROUP BY cid
+)
+SELECT d.cid, d.sid, d.dist
+FROM d JOIN m ON d.cid = m.cid AND d.dist = m.mind
+WHERE m.mind <= 100
+"""
+
+
 def q_dissolve(spark, sf_dir):
     cust = _cust(spark, sf_dir)
     dis = dissolve(cust, "c_nationkey", {"c_acctbal": "sum"})
@@ -1336,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin": q_sjoin,
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
         "dissolve": q_dissolve,
         "union_boxes": q_union_boxes,
         "union_overlap": q_union_overlap,
@@ -1389,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "sjoin": SQL_SJOIN,
         "sjoin_grid": SQL_SJOIN_GRID,
         "sjoin_nearest": SQL_SJOIN_NEAREST,
+        "sjoin_nearest_grid": SQL_SJOIN_NEAREST_GRID,
         "dissolve": SQL_DISSOLVE,
         "union_boxes": SQL_UNION_BOXES,
         "union_overlap": SQL_UNION_OVERLAP,
