@@ -323,24 +323,66 @@ def _encode_ring(out, ring):
 
 
 def encode(ga: GeometryArray) -> list:
-    """Encode to a list of (bytes | None), little-endian ISO WKB 2-D."""
+    """Encode to a list of (bytes | None), little-endian ISO WKB 2-D.
+
+    Vectorized for POINT / single-ring LINESTRING / single-ring POLYGON
+    rows (one numpy scatter into a single output buffer + per-row bytes
+    slicing); multi-part/holed/empty rows take the per-row writer."""
     n = len(ga)
     types = ga.types
-    # fast path: all points, non-empty
-    if n and (types == GT_POINT).all() and ga.n_coords == n:
-        coords = np.ascontiguousarray(ga.coords, dtype="<f8")
-        body = coords.view(np.uint8).reshape(n, 16)
-        hdr = np.frombuffer(_POINT_HDR, dtype=np.uint8)
-        rows = np.empty((n, 21), dtype=np.uint8)
-        rows[:, :5] = hdr
-        rows[:, 5:] = body
-        flat = rows.tobytes()
-        return [flat[i * 21:(i + 1) * 21] for i in range(n)]
-    out = []
-    for i in range(n):
+    if n == 0:
+        return []
+    ppg = ga.parts_per_geom()
+    rpg = ga.rings_per_geom()
+    cpg = ga.coords_per_geom()
+    co = ga.coord_offsets_per_geom()
+    fast = (((types == GT_POINT) & (cpg == 1)) |
+            (((types == GT_LINESTRING) | (types == GT_POLYGON)) &
+             (ppg == 1) & (rpg == 1) & (cpg > 0)))
+    if fast.any():
+        rows = np.nonzero(fast)[0]
+        t = types[rows].astype(np.int64)
+        nv = cpg[rows]
+        hdrlen = np.where(t == GT_POINT, 5,
+                          np.where(t == GT_LINESTRING, 9, 13))
+        rowlen = hdrlen + 16 * nv
+        off = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(rowlen, out=off[1:])
+        buf = np.zeros(off[-1], dtype=np.uint8)
+        o = off[:-1]
+        buf[o] = 1
+        buf[o + 1] = t.astype(np.uint8)
+        ls_pg = t != GT_POINT
+        # vertex-count field (and ring count 1 for polygons)
+        cnt_pos = np.where(t == GT_POLYGON, o + 9, o + 5)[ls_pg]
+        cnt_val = nv[ls_pg]
+        for k in range(4):
+            buf[cnt_pos + k] = ((cnt_val >> (8 * k)) & 255).astype(np.uint8)
+        pg = t == GT_POLYGON
+        if pg.any():
+            buf[o[pg] + 5] = 1
+        # coords: scatter 16-byte pairs
+        reps = nv
+        crow = np.repeat(np.arange(len(rows)), reps)
+        within = np.arange(int(reps.sum())) - np.repeat(off_c := (np.cumsum(reps) - reps), reps)
+        src = co[rows][crow] + within
+        dst = o[crow] + hdrlen[crow] + 16 * within
+        cb = np.ascontiguousarray(ga.coords[src], dtype="<f8")             .view(np.uint8).reshape(-1, 16)
+        buf[dst[:, None] + np.arange(16, dtype=np.int64)[None, :]] = cb
+        flat = buf.tobytes()
+        out = [None] * n
+        offl = off.tolist()
+        for z, i in enumerate(rows.tolist()):
+            out[i] = flat[offl[z]:offl[z + 1]]
+        if fast.all():
+            return out
+        todo = np.nonzero(~fast)[0]
+    else:
+        out = [None] * n
+        todo = np.arange(n)
+    for i in todo:
         t = int(types[i])
         if t == GT_MISSING:
-            out.append(None)
             continue
         parts = ga.geom_slices(i)
         buf = [struct.pack("<BI", 1, t)]
@@ -372,7 +414,7 @@ def encode(ga: GeometryArray) -> list:
                         _encode_ring(buf, r)
         else:
             raise ValueError(f"cannot encode geometry type {t}")
-        out.append(b"".join(buf))
+        out[i] = b"".join(buf)
     return out
 
 
