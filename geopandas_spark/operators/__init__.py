@@ -10,6 +10,9 @@ from geopandas_spark.operators.dissolve import dissolve, total_bounds  # noqa: F
 from geopandas_spark.operators.reshape import explode, get_coordinates_df  # noqa: F401
 from geopandas_spark.operators.clip import clip  # noqa: F401
 from geopandas_spark.operators.overlay import overlay  # noqa: F401
+from geopandas_spark.operators.geocoding import (  # noqa: F401
+    geocode, reverse_geocode,
+)
 from geopandas_spark.operators.partitioning import hilbert_repartition  # noqa: F401
 from geopandas_spark.operators.coverage import (  # noqa: F401
     invalid_coverage_edges, simplify_coverage,

@@ -289,3 +289,31 @@ def test_sjoin_nearest_grid_left_and_exclusive(spark):
 
     with _pytest.raises(ValueError):
         sjoin_nearest(pts, tgt, strategy="grid")
+
+
+def test_geocode_roundtrip_stub(spark):
+    from pyspark.sql import functions as F
+    from geopandas_spark import st
+    from geopandas_spark.operators.geocoding import geocode, reverse_geocode
+
+    df = spark.createDataFrame(
+        [(1, "10 Main St"), (2, None), (3, "Plaza Mayor 1")],
+        ["k", "address"])
+    g = geocode(df)
+    rows = {r.k: r for r in g.withColumn("x", st.x("geom"))
+            .withColumn("y", st.y("geom")).collect()}
+    assert rows[2].geom is None
+    assert rows[1].geom is not None and -180 <= rows[1].x <= 180
+    # determinism: same address → same point
+    again = {r.k: r for r in geocode(df).withColumn("x", st.x("geom")).collect()}
+    assert again[1].x == rows[1].x
+
+    back = reverse_geocode(g.filter(F.col("geom").isNotNull()))
+    got = {r.k: r.address for r in back.collect()}
+    assert all(a and ("N" in a or "S" in a) for a in got.values())
+
+    # injectable provider
+    fixed = geocode(df, provider=lambda a: (1.0, 2.0))
+    vals = {(r.x, r.y) for r in fixed.filter(F.col("geom").isNotNull())
+            .select(st.x("geom").alias("x"), st.y("geom").alias("y")).collect()}
+    assert vals == {(1.0, 2.0)}
