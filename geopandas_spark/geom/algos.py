@@ -1919,42 +1919,115 @@ def union_all(ga: GeometryArray) -> GeometryArray:
         else:
             b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
         return b.finish()
-    # disjointness check (bbox prefilter, then exact) → fast collect path
+    # connected-component decomposition (GEOS cascaded-union shape):
+    # bbox-overlap pairs from a vectorized x-sweep build a union-find;
+    # only components that genuinely interact pay Martinez–Rueda, the
+    # (typically dominant) disjoint remainder passes through untouched.
+    # Correct because cross-component nesting is impossible: containment
+    # implies bbox overlap implies same component.
     bb = bounds(ga)
     empty = ga.is_empty()
     idx = [i for i in range(len(ga)) if ga.types[i] != GT_MISSING
            and not empty[i]]
-    disjoint_all = True
-    for ii, i in enumerate(idx):
-        if not disjoint_all:
-            break
-        for j in idx[ii + 1:]:
-            if (bb[i, 2] < bb[j, 0] or bb[j, 2] < bb[i, 0] or
-                    bb[i, 3] < bb[j, 1] or bb[j, 3] < bb[i, 1]):
+    n = len(idx)
+    uf = list(range(n))
+
+    def find(a):
+        root = a
+        while uf[root] != root:
+            root = uf[root]
+        while uf[a] != root:
+            uf[a], a = root, uf[a]
+        return root
+
+    pairs = []
+    PAIR_CAP = 500_000
+    if n > 1:
+        ii = np.asarray(idx)
+        order = np.argsort(bb[ii, 0], kind="stable")
+        x0, x1 = bb[ii[order], 0], bb[ii[order], 2]
+        y0, y1 = bb[ii[order], 1], bb[ii[order], 3]
+        for a in range(n):
+            hi = np.searchsorted(x0, x1[a], side="right")
+            if hi <= a + 1:
                 continue
-            if _pair_intersects(ga, i, ga, j):
-                disjoint_all = False
+            cand = np.nonzero((y0[a + 1:hi] <= y1[a]) &
+                              (y1[a + 1:hi] >= y0[a]))[0]
+            for c in cand:
+                pairs.append((int(order[a]), int(order[a + 1 + c])))
+            if len(pairs) > PAIR_CAP:
                 break
-    if disjoint_all:
+        if len(pairs) > PAIR_CAP:
+            # dense regime: one global component (conservative, correct)
+            for a in range(1, n):
+                uf[a] = 0
+            pairs = [(0, 1)] if n > 1 else []
+        else:
+            # small inputs: exact per-pair test keeps the passthrough set
+            # maximal (bbox overlap without true intersection stays
+            # disjoint, preserving the reference's collect semantics).
+            # Beyond the cap the per-pair Python tests cost more than the
+            # extra MR work they would avoid (measured on 8k dense boxes:
+            # 29k exact tests ≈ +6 s vs ~0 saved) — bbox components are
+            # conservative but correct.
+            if len(pairs) <= 2_000:
+                pairs = [(a, c) for a, c in pairs
+                         if _pair_intersects(ga, idx[a], ga, idx[c])]
+            for a, c in pairs:
+                ra, rc = find(a), find(c)
+                if ra != rc:
+                    uf[rc] = ra
+    if not pairs:
         return collect(ga)
     if not singles <= {GT_POLYGON}:
         raise NotImplementedError(
             "union_all of overlapping lines not yet supported")
-    # overlapping polygons: pairwise merge tree over Martinez–Rueda UNION.
-    # Associative + each merge result is non-self-overlapping, so the flat
-    # even-odd ring representation stays exact between levels — this is the
-    # same tree-reduction st_union_agg uses across partitions (SURVEY §2.5).
-    items = [_geom_rings_closed(ga, i) for i in idx]
-    while len(items) > 1:
-        nxt = []
-        for k in range(0, len(items) - 1, 2):
-            polys = _mr.boolean_op(items[k], items[k + 1], _mr.UNION)
-            nxt.append([r for poly in polys for r in poly])
-        if len(items) % 2:
-            nxt.append(items[-1])
-        items = nxt
-    polys = _mr.assemble_rings(items[0])
-    _append_polys(b, polys)
+
+    comps = {}
+    for a in range(n):
+        comps.setdefault(find(a), []).append(idx[a])
+
+    def _merge_component(members):
+        """Morton-ordered pairwise merge tree over one component.
+
+        Associative + each merge result is non-self-overlapping, so the
+        flat even-odd ring representation stays exact between levels —
+        the same tree-reduction st_union_agg uses across partitions
+        (SURVEY §2.5). Spatial ordering keeps intermediates compact (the
+        reason GEOS's cascaded union packs an STR-tree)."""
+        if len(members) > 2:
+            cxs = (bb[members, 0] + bb[members, 2]) * 0.5
+            cys = (bb[members, 1] + bb[members, 3]) * 0.5
+            qx = np.clip(((cxs - cxs.min()) /
+                          max(cxs.max() - cxs.min(), 1e-300) *
+                          65535).astype(np.int64), 0, 65535)
+            qy = np.clip(((cys - cys.min()) /
+                          max(cys.max() - cys.min(), 1e-300) *
+                          65535).astype(np.int64), 0, 65535)
+            code = np.zeros(len(members), dtype=np.int64)
+            for bit in range(16):
+                code |= ((qx >> bit) & 1) << (2 * bit)
+                code |= ((qy >> bit) & 1) << (2 * bit + 1)
+            members = [members[k] for k in np.argsort(code, kind="stable")]
+        items = [_geom_rings_closed(ga, i) for i in members]
+        while len(items) > 1:
+            nxt = []
+            for k in range(0, len(items) - 1, 2):
+                polys = _mr.boolean_op(items[k], items[k + 1], _mr.UNION)
+                nxt.append([r for poly in polys for r in poly])
+            if len(items) % 2:
+                nxt.append(items[-1])
+            items = nxt
+        return _mr.assemble_rings(items[0])
+
+    all_polys = []
+    for root in sorted(comps, key=lambda r: min(comps[r])):
+        members = comps[root]
+        if len(members) == 1:
+            all_polys.extend(ga.geom_slices(members[0]))
+        else:
+            all_polys.extend(_merge_component(np.asarray(members)))
+    _append_polys(b, all_polys)
     return b.finish()
 
 

@@ -74,6 +74,35 @@ def main():
               f"exchanges={plan.count('Exchange')} "
               f"(broadcast={plan.count('BroadcastExchange')}), "
               f"python-evals={plan.count('ArrowEvalPython')}")
+
+    # skewed variant: 80% of both sides in 0.25% of the plane (city
+    # clustering) — exercises the sampled cell sizing; the 25M result
+    # pairs are genuine (dense zone), so throughput = pairs/sec matters
+    hot = (F.col("l_orderkey") % 10 < 8)
+    sx0 = F.when(hot, (F.col("l_orderkey") % 500).cast("double"))         .otherwise((F.col("l_orderkey") % 10000).cast("double"))
+    sy0 = F.when(hot, (F.col("l_partkey") * 17 % 500).cast("double"))         .otherwise((F.col("l_partkey") * 17 % 10000).cast("double"))
+    sboxes = li.select(F.col("l_orderkey").alias("lid"),
+                       st.makebox(sx0, sy0, sx0 + 12.0,
+                                  sy0 + 12.0).alias("geom"))
+    ehot = (F.col("event_id") % 10 < 8)
+    sex = F.when(ehot, (F.col("event_id") * 13 % 500).cast("double"))         .otherwise((F.col("event_id") * 13 % 10000).cast("double"))
+    sey = F.when(ehot, (F.col("event_id") * 31 % 500).cast("double"))         .otherwise((F.col("event_id") * 31 % 10000).cast("double"))
+    spts = ev.select(F.col("event_id").alias("eid"),
+                     st.point(sex, sey).alias("geom"))
+    t0 = time.time()
+    n = sjoin(spts, sboxes, predicate="intersects",
+              strategy="grid").count()
+    dt = time.time() - t0
+    print(f"skewed-intersects: {n} pairs, {dt:.2f}s "
+          f"({n / dt / 1e6:.1f}M pairs/s)")
+
+    # wide dissolve: two-phase union of all 600k boxes into 25 groups
+    from geopandas_spark.operators import dissolve
+    t0 = time.time()
+    d = dissolve(boxes.withColumn("g", F.col("lid") % 25), "g")
+    rows = d.select("g", st.area("geom").alias("a")).collect()
+    print(f"dissolve-600k-into-25: {len(rows)} groups, "
+          f"{time.time() - t0:.2f}s")
     spark.stop()
 
 
