@@ -1390,7 +1390,19 @@ def _sh_clip_ring(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
                 d = p - prev
                 denom = np.cross(bdir, d)
                 t = np.cross(bdir, a - prev) / denom if denom != 0 else 0.0
-                res.append(prev + t * d)
+                q = prev + t * d
+                # axis-aligned lines pin their constant coordinate exactly
+                # (the parametric form loses it: (13/23)*23 != 13); integer
+                # -grid boolean ops must stay bit-exact
+                if bdir[0] == 0.0:
+                    q[0] = a[0]
+                elif d[0] == 0.0:
+                    q[0] = prev[0]
+                if bdir[1] == 0.0:
+                    q[1] = a[1]
+                elif d[1] == 0.0:
+                    q[1] = prev[1]
+                res.append(q)
             if cur_in:
                 res.append(p)
             prev = p

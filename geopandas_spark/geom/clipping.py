@@ -141,7 +141,19 @@ def _segment_intersection(a1, a2, b1, b2):
             return [b1]
         if t == 1.0:
             return [b2]
-        return [(a1[0] + s * vax, a1[1] + s * vay)]
+        px, py = a1[0] + s * vax, a1[1] + s * vay
+        # axis-aligned segments pin their constant coordinate exactly —
+        # the parametric form loses it ((13/23)*23 != 13 in doubles),
+        # and boolean ops on integer grids must stay bit-exact
+        if vax == 0.0:
+            px = a1[0]
+        elif vbx == 0.0:
+            px = b1[0]
+        if vay == 0.0:
+            py = a1[1]
+        elif vby == 0.0:
+            py = b1[1]
+        return [(px, py)]
     # parallel
     if ex * vay - ey * vax != 0.0:
         return []

@@ -229,3 +229,41 @@ def test_wkb_codec_vectorized_equals_reference(rows):
         assert np.array_equal(getattr(g_vec, name), getattr(g_ref, name))
     assert np.array_equal(g_vec.coords, g_ref.coords)
     assert wkb.encode(g_vec) == bts
+
+
+def _klee_area(boxes):
+    """Independent exact union-area oracle for axis-aligned boxes:
+    coordinate-compressed grid occupancy (Klee's measure problem)."""
+    xs = np.unique(np.concatenate([[b[0], b[2]] for b in boxes]))
+    ys = np.unique(np.concatenate([[b[1], b[3]] for b in boxes]))
+    occ = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    for x0, y0, x1, y1 in boxes:
+        i0, i1 = np.searchsorted(xs, [x0, x1])
+        j0, j1 = np.searchsorted(ys, [y0, y1])
+        occ[i0:i1, j0:j1] = True
+    w = np.diff(xs)[:, None]
+    h = np.diff(ys)[None, :]
+    return float((occ * (w * h)).sum())
+
+
+@given(st_.integers(0, 10_000), st_.integers(5, 40),
+       st_.sampled_from([30, 120, 400]), st_.sampled_from([3, 8, 20]))
+@settings(max_examples=40, deadline=None)
+def test_union_all_area_matches_klee(seed, n, plane, size):
+    """union_all (component-decomposed cascaded union) area equals the
+    independent Klee's-measure computation on random box sets, including
+    duplicates and nesting."""
+    rng = np.random.default_rng(seed)
+    boxes = []
+    for _ in range(n):
+        x, y = rng.integers(0, plane, 2)
+        w, h = rng.integers(1, size + 1, 2)
+        boxes.append((float(x), float(y), float(x + w), float(y + h)))
+    boxes += boxes[:2]                       # exact duplicates
+    x, y = boxes[0][0], boxes[0][1]
+    boxes.append((x + 0.25, y + 0.25, x + 0.5, y + 0.5))   # nested
+    ws = [f"POLYGON (({a} {b}, {c} {b}, {c} {d}, {a} {d}, {a} {b}))"
+          for a, b, c, d in boxes]
+    ga = wkt.parse_array(np.array(ws, dtype=object))
+    got = algos.area(algos.union_all(ga))[0]
+    assert np.isclose(got, _klee_area(boxes), rtol=1e-9, atol=1e-9)
