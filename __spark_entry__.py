@@ -539,7 +539,17 @@ def q_hilbert(spark, sf_dir):
     c = _cust(spark, sf_dir)
     return c.select(F.col("c_custkey").alias("id"),
                     st.hilbert("geom", 0.0, 0.0, 1000.0, 1000.0).alias("hkey"))
-# Hilbert curve has no plain-SQL twin → rows-only check (documented).
+
+
+# The key depends only on c_custkey % 1000, so a 1000-row fixture computed
+# by an INDEPENDENT scalar Hilbert implementation (tools/make_hilbert_fixture.py)
+# is a complete oracle. DuckDB reads the fixture parquet directly.
+SQL_HILBERT = """
+SELECT c_custkey AS id, f.hkey AS hkey
+FROM customer
+JOIN read_parquet('/root/repo/fixtures/hilbert_mod1000.parquet') f
+  ON c_custkey % 1000 = f.m
+"""
 
 
 def q_inscribed_clearance(spark, sf_dir):
@@ -1226,22 +1236,27 @@ FROM nation n1 CROSS JOIN nation n2
 def q_to_crs(spark, sf_dir):
     """Web-Mercator reprojection (reference to_crs, array.py:1098): keys
     scaled into valid lon/lat range; the 4326→3857 closed form has an exact
-    SQL twin."""
+    SQL twin. Hash stability: outputs are FLOOR'd to 1-metre integers, and
+    the lon/lat offsets (+0.031, +0.001) were searched numerically so that
+    every one of the 1000 distinct true outputs sits >= 5.3e-4 m away from
+    the nearest integer boundary — ~5 orders of magnitude beyond any libm
+    tan/log cross-engine ulp drift (the round-3 variant of this query had a
+    1.4e-8 worst-case margin and flipped in round 1)."""
     c = _t(spark, sf_dir, "customer")
-    lon = (F.expr(PX) / 10.0 - 50.0).cast("double")
-    lat = (F.expr(PY) / 20.0).cast("double")
+    lon = (F.expr(PX) / 10.0 - 50.0 + 0.031).cast("double")
+    lat = (F.expr(PY) / 20.0 + 0.001).cast("double")
     g = st.point(lon, lat)
     m = st.to_crs(g, "EPSG:4326", "EPSG:3857")
     return (_t(spark, sf_dir, "customer")
             .select(F.col("c_custkey").alias("cid"),
-                    F.round(st.x(m), 3).alias("mx"),
-                    F.round(st.y(m), 3).alias("my")))
+                    F.floor(st.x(m)).cast("long").alias("mx"),
+                    F.floor(st.y(m)).cast("long").alias("my")))
 
 
 SQL_TO_CRS = f"""
 SELECT c_custkey AS cid,
-       ROUND(RADIANS({PX} / 10.0 - 50.0) * 6378137.0, 3) AS mx,
-       ROUND(LN(TAN(PI() / 4 + RADIANS({PY} / 20.0) / 2)) * 6378137.0, 3) AS my
+       CAST(FLOOR(RADIANS({PX} / 10.0 - 50.0 + 0.031) * 6378137.0) AS BIGINT) AS mx,
+       CAST(FLOOR(LN(TAN(PI() / 4 + RADIANS({PY} / 20.0 + 0.001) / 2)) * 6378137.0) AS BIGINT) AS my
 FROM customer
 """
 
@@ -1432,7 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "validity": SQL_VALIDITY,
         "interpolate": SQL_INTERPOLATE,
         "project": SQL_PROJECT,
-        # "hilbert": rows-only (no plain-SQL twin)
+        "hilbert": SQL_HILBERT,
         "inscribed_clearance": SQL_INSCRIBED_CLEARANCE,
         "intersection_all": SQL_INTERSECTION_ALL,
         "shared_paths": SQL_SHARED_PATHS,

@@ -57,9 +57,14 @@ def _apply_aggs(pdf: pd.DataFrame, aggfunc: dict) -> dict:
 
 
 def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
-             two_phase: bool = False) -> DataFrame:
+             two_phase: bool = True) -> DataFrame:
     """GroupBy ``by``, union geometries, aggregate other columns with
-    ``aggfunc`` = {column: "sum"|"min"|"max"|"count"|"first"|"mean"}."""
+    ``aggfunc`` = {column: "sum"|"min"|"max"|"count"|"first"|"mean"}.
+
+    ``two_phase`` (the default — the scale-safe plan) pre-unions per
+    (key, input partition) before the final per-key merge, so one hot key
+    never concentrates its whole group in a single task's memory. ``mean``
+    splits into sum+count partials and divides at the end."""
     if isinstance(by, str):
         by = [by]
     aggfunc = dict(aggfunc or {})
@@ -82,30 +87,57 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
     if not two_phase:
         return df.groupBy(*by).applyInPandas(merge, schema=out_schema)
 
-    bad = [fn for fn in aggfunc.values() if fn not in _PARTIAL]
-    if bad:
-        raise ValueError(f"two_phase dissolve cannot split {bad}; "
-                         "use sum+count instead of mean")
+    # -- phase 1: per (key, input-partition) combine ----------------------
+    partial_fields = []
+    for c, fn in aggfunc.items():
+        if fn == "mean":
+            partial_fields += [
+                StructField(f"{c}__psum", DoubleType(), True),
+                StructField(f"{c}__pcnt", LongType(), False)]
+        else:
+            partial_fields.append(_agg_out_field(in_fields[c], fn))
+    partial_schema = StructType(
+        [in_fields[k] for k in by] +
+        [StructField(geom, BinaryType(), True)] + partial_fields)
 
     def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return merge(key[:-1], pdf)
+        ga = wkb.decode(pdf[geom].tolist())
+        u = wkb.encode(algos.union_all(ga))[0]
+        row = {k: [v] for k, v in zip(by, key[:-1])}
+        row[geom] = [u]
+        for c, fn in aggfunc.items():
+            s = pdf[c]
+            if fn == "mean":
+                row[f"{c}__psum"] = [float(s.sum())]
+                row[f"{c}__pcnt"] = [int(s.count())]
+            else:
+                row.update({k2: [v2] for k2, v2 in
+                            _apply_aggs(pdf, {c: fn}).items()})
+        return pd.DataFrame(row)
 
     staged = (df.withColumn("__pid__", F.spark_partition_id())
                 .groupBy(*by, "__pid__")
-                .applyInPandas(partial, schema=out_schema))
+                .applyInPandas(partial, schema=partial_schema))
 
-    final_agg = {f"{c}_{fn}": _PARTIAL[fn] for c, fn in aggfunc.items()}
-
+    # -- phase 2: merge partials per key ----------------------------------
     def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ga = wkb.decode(pdf[geom].tolist())
         parts, parent, _ = algos.get_parts(ga)
         u = wkb.encode(algos.union_all(parts))[0]
         row = {k: [v] for k, v in zip(by, key)}
         row[geom] = [u]
-        for name, fn in final_agg.items():
+        for c, fn in aggfunc.items():
+            if fn == "mean":
+                cnt = pdf[f"{c}__pcnt"].sum()
+                row[f"{c}_mean"] = [float(pdf[f"{c}__psum"].sum()) / cnt
+                                    if cnt else float("nan")]
+                continue
+            name = f"{c}_{fn}"
             s = pdf[name]
-            row[name] = [s.sum() if fn == "sum" else s.min() if fn == "min"
-                         else s.max() if fn == "max" else s.iloc[0]]
+            comb = _PARTIAL[fn]
+            row[name] = [s.sum() if comb == "sum" else s.min()
+                         if comb == "min" else s.max() if comb == "max"
+                         else s.iloc[0]]
         return pd.DataFrame(row)
 
     return staged.groupBy(*by).applyInPandas(finish, schema=out_schema)

@@ -52,6 +52,27 @@ def _with_suffixes(left: DataFrame, right: DataFrame, lsuffix: str,
     return left, right
 
 
+def _right_exceeds(df: DataFrame, threshold: int) -> bool:
+    """Estimate whether ``df`` has more than ``threshold`` rows WITHOUT a
+    full-table scan job (at 100 TB a ``count()`` here would be a full pass
+    over the build side before any join work).
+
+    Primary: Catalyst's optimized-plan statistics (free — derived from file
+    sizes / exact local-relation counts). Unknown statistics default to a
+    huge sizeInBytes, which safely routes to the partitioned grid strategy.
+    Fallback: a bounded ``limit(threshold+1).count()`` probe that scans at
+    most threshold+1 rows."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get())) > threshold
+        # no exact row count: assume a conservative 64 B/row lower bound
+        return int(str(stats.sizeInBytes())) > threshold * 64
+    except Exception:
+        return df.limit(threshold + 1).count() > threshold
+
+
 def sjoin(left: DataFrame, right: DataFrame, *, predicate: str = "intersects",
           how: str = "inner", geom_left: str = "geom", geom_right: str = "geom",
           distance: Optional[float] = None, on_attribute=None,
@@ -76,11 +97,8 @@ def sjoin(left: DataFrame, right: DataFrame, *, predicate: str = "intersects",
         on_attribute = [on_attribute]
 
     if strategy is None:
-        try:
-            rcount = right.count()
-        except Exception:
-            rcount = broadcast_threshold + 1
-        strategy = "broadcast" if rcount <= broadcast_threshold else "grid"
+        strategy = ("grid" if _right_exceeds(right, broadcast_threshold)
+                    else "broadcast")
     if strategy == "broadcast":
         return _sjoin_broadcast(left, right, predicate, how, geom_left,
                                 geom_right, distance, on_attribute, lsuffix,
