@@ -850,18 +850,46 @@ def overlaps(ga, gb):
             if proper:
                 return True
             pa, pb = _geom_points(a, i), _geom_points(b, j)
-            return bool((points_in_geom(pb[:, 0], pb[:, 1], a, i) == 2).any() or
-                        (points_in_geom(pa[:, 0], pa[:, 1], b, j) == 2).any())
+            if ((points_in_geom(pb[:, 0], pb[:, 1], a, i) == 2).any() or
+                    (points_in_geom(pa[:, 0], pa[:, 1], b, j) == 2).any()):
+                return True
+            # aligned-edge case: boundaries only touch along shared edge
+            # lines yet interiors still intersect (e.g. [0,10]² vs
+            # [5,15]×[0,10]) — decide by positive intersection area
+            inter = intersection(a.take([i]), b.take([j]))
+            return bool(area(inter)[0] > _EPS)
         if dim[ta] == 0:
             pa, pb = _geom_points(a, i), _geom_points(b, j)
             shared = (np.abs(pa[:, None] - pb[None]).max(-1) <= _EPS)
             return bool(shared.any() and not shared.any(axis=1).all()
                         and not shared.any(axis=0).all())
-        # line-line overlap: share a collinear piece but neither covers other
+        # line-line overlap: share a positive-length collinear piece but
+        # neither covers the other. Check every segment pair for parallel
+        # collinear 1-D interval overlap (midpoint probes miss partial
+        # overlaps like (0,0)-(10,0) vs (8,0)-(20,0)).
         sa, sb = _geom_segments(a, i), _geom_segments(b, j)
-        mid_a = sa.mean(axis=1)
-        on_b = _point_seg_dist(mid_a, sb) <= _EPS
-        return bool(on_b.any())
+        d1 = sa[:, 1] - sa[:, 0]                      # (n,2)
+        len1 = np.hypot(d1[:, 0], d1[:, 1])
+        ok = len1 > _EPS
+        if not ok.any():
+            return False
+        sa, d1, len1 = sa[ok], d1[ok], len1[ok]
+        # cross products of both b endpoints vs each a segment: (n,m)
+        r0 = sb[None, :, 0] - sa[:, None, 0]          # (n,m,2)
+        r1 = sb[None, :, 1] - sa[:, None, 0]
+        cr0 = d1[:, None, 0] * r0[..., 1] - d1[:, None, 1] * r0[..., 0]
+        cr1 = d1[:, None, 0] * r1[..., 1] - d1[:, None, 1] * r1[..., 0]
+        tol = _EPS * np.maximum(len1[:, None], 1.0)
+        collinear = (np.abs(cr0) <= tol) & (np.abs(cr1) <= tol)
+        if not collinear.any():
+            return False
+        # param of b endpoints along a segment, overlap length of [0, len1]
+        t0 = (d1[:, None, 0] * r0[..., 0] + d1[:, None, 1] * r0[..., 1]) / len1[:, None]
+        t1 = (d1[:, None, 0] * r1[..., 0] + d1[:, None, 1] * r1[..., 1]) / len1[:, None]
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        ov = np.minimum(hi, len1[:, None]) - np.maximum(lo, 0.0)
+        return bool((collinear & (ov > _EPS)).any())
     return _pairwise(ga, gb, f, bool, False)
 
 
