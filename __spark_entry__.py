@@ -1365,6 +1365,386 @@ WHERE g.generate_series < n_frames
 
 
 
+# ---------------------------------------------------------------------------
+# round-2 oracle batch: constructive / predicate operators previously
+# covered only by pytest (VERDICT r1 "close the oracle gap")
+# ---------------------------------------------------------------------------
+
+def q_boundary(spark, sf_dir):
+    """boundary of polygon (ring), line (endpoints), point (empty) —
+    reference base.py boundary."""
+    n = _t(spark, sf_dir, "nation")
+    w = (F.col("n_nationkey") % 5 * 20 + 100)
+    box = st.makebox(F.lit(0.0), F.lit(0.0), w.cast("double"), F.lit(150.0))
+    line = st.geom_from_text(F.concat(F.lit("LINESTRING (0 0, "), w,
+                                      F.lit(" 0)")))
+    pt = st.point(F.lit(3.0), F.lit(4.0))
+    return n.select(
+        F.col("n_nationkey").alias("id"),
+        st.geometry_type(st.boundary(box)).alias("b_gtype"),
+        F.round(st.length(st.boundary(box)), 6).alias("b_len"),
+        st.npoints(st.boundary(box)).alias("b_npts"),
+        st.ngeometries(st.boundary(line)).alias("line_b_n"),
+        st.is_empty(st.boundary(pt)).alias("pt_b_empty"))
+
+
+SQL_BOUNDARY = """
+SELECT n_nationkey AS id,
+       'LineString' AS b_gtype,
+       ROUND(2.0 * ((n_nationkey % 5 * 20 + 100) + 150), 6) AS b_len,
+       CAST(5 AS BIGINT) AS b_npts,
+       CAST(2 AS BIGINT) AS line_b_n,
+       TRUE AS pt_b_empty
+FROM nation
+"""
+
+
+def q_simplify(spark, sf_dir):
+    """Douglas–Peucker: zigzag (0 0, 100 h, 200 0); mid-point perpendicular
+    distance to the chord is exactly h, so tol=4.5 keeps h>=5 only."""
+    c = _t(spark, sf_dir, "customer")
+    h = F.col("c_custkey") % 10
+    zig = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (0 0, 100 "), h, F.lit(", 200 0)")))
+    s = st.simplify(zig, F.lit(4.5))
+    return c.select(F.col("c_custkey").alias("id"),
+                    st.npoints(s).alias("npts"),
+                    F.round(st.length(s), 6).alias("slen"))
+
+
+SQL_SIMPLIFY = """
+SELECT c_custkey AS id,
+       CAST(CASE WHEN c_custkey % 10 < 5 THEN 2 ELSE 3 END AS BIGINT) AS npts,
+       ROUND(CASE WHEN c_custkey % 10 < 5 THEN 200.0
+             ELSE 2 * SQRT(10000.0 + (c_custkey % 10) * (c_custkey % 10))
+             END, 6) AS slen
+FROM customer
+"""
+
+
+def q_snap(spark, sf_dir):
+    """snap(A, B, tol): vertex A moves onto B iff within tol; plus
+    shortest_line endpoints between the two points."""
+    c = _cust(spark, sf_dir)
+    d = F.col("c_custkey") % 8
+    b = st.point((F.col("px") + d).cast("double"),
+                 F.col("py").cast("double"))
+    snapped = st.snap("geom", b, F.lit(4.5))
+    sl = st.shortest_line("geom", b)
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        st.x(snapped).alias("sx"),
+        F.round(st.length(sl), 6).alias("sl_len"),
+        st.x(st.startpoint(sl)).alias("sl_x0"),
+        st.x(st.endpoint(sl)).alias("sl_x1"))
+
+
+SQL_SNAP = f"""
+SELECT c_custkey AS id,
+       CAST(CASE WHEN c_custkey % 8 <= 4 THEN {PX} + c_custkey % 8
+            ELSE {PX} END AS DOUBLE) AS sx,
+       ROUND(CAST(c_custkey % 8 AS DOUBLE), 6) AS sl_len,
+       CAST({PX} AS DOUBLE) AS sl_x0,
+       CAST({PX} + c_custkey % 8 AS DOUBLE) AS sl_x1
+FROM customer
+"""
+
+
+def q_make_valid(spark, sf_dir):
+    """make_valid on a bowtie (self-crossing ring) splits it into the two
+    triangles: n=2 parts, area W*H/2 (reference: make_valid base.py)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 5 + 1) * 10, (k % 7 + 1) * 10
+    bow = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" "), h, F.lit(", "), w,
+        F.lit(" 0, 0 "), h, F.lit(", 0 0))")))
+    mv = st.make_valid(bow)
+    return n.select(k.alias("id"),
+                    st.is_valid(bow).alias("orig_valid"),
+                    st.is_valid(mv).alias("fixed_valid"),
+                    st.ngeometries(mv).alias("n_parts"),
+                    F.round(st.area(mv), 6).alias("mv_area"))
+
+
+SQL_MAKE_VALID = """
+SELECT n_nationkey AS id,
+       FALSE AS orig_valid,
+       TRUE AS fixed_valid,
+       CAST(2 AS BIGINT) AS n_parts,
+       ROUND((n_nationkey % 5 + 1) * 10 * (n_nationkey % 7 + 1) * 10 / 2.0,
+             6) AS mv_area
+FROM nation
+"""
+
+
+def q_line_merge(spark, sf_dir):
+    """line_merge: touching segments fuse into one LineString; disjoint
+    parts stay a MultiLineString (reference base.py line_merge)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a, b = k % 50 + 10, k % 30 + 5
+    touching = st.geom_from_text(F.concat(
+        F.lit("MULTILINESTRING ((0 0, "), a, F.lit(" 0), ("), a,
+        F.lit(" 0, "), a, F.lit(" "), b, F.lit("))")))
+    disjoint = st.geom_from_text(F.concat(
+        F.lit("MULTILINESTRING ((0 0, "), a, F.lit(" 0), ("), a + 5,
+        F.lit(" 0, "), a + 5, F.lit(" "), b, F.lit("))")))
+    mt, md = st.line_merge(touching), st.line_merge(disjoint)
+    return c.select(
+        k.alias("id"),
+        st.geometry_type(mt).alias("t_gtype"),
+        st.npoints(mt).alias("t_npts"),
+        F.round(st.length(mt), 6).alias("t_len"),
+        st.geometry_type(md).alias("d_gtype"),
+        st.ngeometries(md).alias("d_n"))
+
+
+SQL_LINE_MERGE = """
+SELECT c_custkey AS id,
+       'LineString' AS t_gtype,
+       CAST(3 AS BIGINT) AS t_npts,
+       ROUND(CAST(c_custkey % 50 + 10 + c_custkey % 30 + 5 AS DOUBLE), 6) AS t_len,
+       'MultiLineString' AS d_gtype,
+       CAST(2 AS BIGINT) AS d_n
+FROM customer
+"""
+
+
+def q_delaunay(spark, sf_dir):
+    """delaunay_triangles of a W×H rectangle's corners + centre: the fan of
+    4 triangles (unique triangulation), total area W*H."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 5 + 1) * 20, (k % 4 + 1) * 20
+    mp = st.geom_from_text(F.concat(
+        F.lit("MULTIPOINT ((0 0), ("), w, F.lit(" 0), ("), w, F.lit(" "), h,
+        F.lit("), (0 "), h, F.lit("), ("), w / 2, F.lit(" "), h / 2,
+        F.lit("))")))
+    d = st.delaunay_triangles(mp)
+    return n.select(k.alias("id"),
+                    st.ngeometries(d).alias("n_tri"),
+                    F.round(st.area(d), 6).alias("tri_area"))
+
+
+SQL_DELAUNAY = """
+SELECT n_nationkey AS id,
+       CAST(4 AS BIGINT) AS n_tri,
+       ROUND(CAST((n_nationkey % 5 + 1) * 20 * (n_nationkey % 4 + 1) * 20
+             AS DOUBLE), 6) AS tri_area
+FROM nation
+"""
+
+
+def q_concave(spark, sf_dir):
+    """concave_hull with ratio=1.0 degenerates to the convex hull
+    (reference base.py:1054) — exact triangle area."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    tri = F.concat(F.lit("MULTIPOINT ((0 0), ("), 100 + k,
+                   F.lit(" 0), (0 "), 200 + k, F.lit("), (10 10))"))
+    ch = st.concave_hull(st.geom_from_text(tri), ratio=1.0)
+    return n.select(k.alias("id"),
+                    F.round(st.area(ch), 6).alias("hull_area"),
+                    st.geometry_type(ch).alias("gtype"))
+
+
+SQL_CONCAVE = """
+SELECT n_nationkey AS id,
+       ROUND(CAST((100 + n_nationkey) * (200 + n_nationkey) AS DOUBLE) / 2.0,
+             6) AS hull_area,
+       'Polygon' AS gtype
+FROM nation
+"""
+
+
+def q_mbc_mrr(spark, sf_dir):
+    """minimum_rotated_rectangle of a rectangle is itself (area W*H);
+    minimum_bounding_circle centre = box centre, radius = half-diagonal."""
+    n = _t(spark, sf_dir, "nation")
+    w = (F.col("n_nationkey") % 5 * 20 + 100)
+    box = st.makebox(F.lit(0.0), F.lit(0.0), w.cast("double"), F.lit(150.0))
+    mrr = st.minimum_rotated_rectangle(box)
+    mbc = st.minimum_bounding_circle(box)
+    c = st.centroid(mbc)
+    return n.select(
+        F.col("n_nationkey").alias("id"),
+        F.round(st.area(mrr), 6).alias("mrr_area"),
+        F.round(st.x(c), 6).alias("mbc_cx"),
+        F.round(st.y(c), 6).alias("mbc_cy"),
+        F.round(st.minimum_bounding_radius(box), 6).alias("mbr_r"))
+
+
+SQL_MBC_MRR = """
+SELECT n_nationkey AS id,
+       ROUND((n_nationkey % 5 * 20 + 100) * 150.0, 6) AS mrr_area,
+       ROUND((n_nationkey % 5 * 20 + 100) / 2.0, 6) AS mbc_cx,
+       ROUND(75.0, 6) AS mbc_cy,
+       ROUND(SQRT((n_nationkey % 5 * 20 + 100) * (n_nationkey % 5 * 20 + 100)
+                  / 4.0 + 5625.0), 6) AS mbr_r
+FROM nation
+"""
+
+
+def q_normalize_reverse(spark, sf_dir):
+    """normalize canonicalizes ring orientation + start vertex (engine
+    convention: CCW shell starting at the lexicographically-lowest vertex);
+    reverse flips vertex order."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    w, h = (k % 5 + 1) * 8, (k % 3 + 1) * 6
+    rot = st.geom_from_text(F.concat(
+        F.lit("POLYGON (("), w, F.lit(" "), h, F.lit(", "), w,
+        F.lit(" 0, 0 0, 0 "), h, F.lit(", "), w, F.lit(" "), h,
+        F.lit("))")))
+    rev = st.reverse(_cust_line(k))
+    return c.select(
+        k.alias("id"),
+        st.as_text(st.normalize(rot)).alias("norm_wkt"),
+        st.x(st.startpoint(rev)).alias("rev_x0"),
+        st.y(st.startpoint(rev)).alias("rev_y0"))
+
+
+def _cust_line(k):
+    return st.geom_from_text(F.concat(
+        F.lit("LINESTRING ("), k % 1000, F.lit(" "), k * 7 % 1000,
+        F.lit(", "), k * 13 % 1000, F.lit(" "), k * 31 % 1000, F.lit(")")))
+
+
+SQL_NORMALIZE_REVERSE = f"""
+SELECT c_custkey AS id,
+       'POLYGON ((0 0, ' || (c_custkey % 5 + 1) * 8 || ' 0, '
+           || (c_custkey % 5 + 1) * 8 || ' ' || (c_custkey % 3 + 1) * 6
+           || ', 0 ' || (c_custkey % 3 + 1) * 6 || ', 0 0))' AS norm_wkt,
+       CAST(c_custkey * 13 % 1000 AS DOUBLE) AS rev_x0,
+       CAST(c_custkey * 31 % 1000 AS DOUBLE) AS rev_y0
+FROM customer
+"""
+
+
+def q_segmentize_rrp(spark, sf_dir):
+    """segmentize splits segments to <= max_len (ceil(L/d) pieces, length
+    preserved); remove_repeated_points drops consecutive duplicates."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    L = k % 40 + 10
+    line = st.geom_from_text(F.concat(F.lit("LINESTRING (0 0, "), L,
+                                      F.lit(" 0)")))
+    seg = st.segmentize(line, F.lit(4.0))
+    dup = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (0 0, 0 0, "), L, F.lit(" 0, "), L, F.lit(" 0, "),
+        L, F.lit(" 5)")))
+    rr = st.remove_repeated_points(dup)
+    return c.select(k.alias("id"),
+                    st.npoints(seg).alias("seg_npts"),
+                    F.round(st.length(seg), 6).alias("seg_len"),
+                    st.npoints(rr).alias("rr_npts"))
+
+
+SQL_SEGMENTIZE_RRP = """
+SELECT c_custkey AS id,
+       CAST(CEIL((c_custkey % 40 + 10) / 4.0) + 1 AS BIGINT) AS seg_npts,
+       ROUND(CAST(c_custkey % 40 + 10 AS DOUBLE), 6) AS seg_len,
+       CAST(3 AS BIGINT) AS rr_npts
+FROM customer
+"""
+
+
+def q_rotate_skew(spark, sf_dir):
+    """rotate 180°/90° about the origin on points; 45° x-skew about the
+    default origin (geometry centre) on a line — endpoint (2a,2b) of
+    LINESTRING(0 0, 2a 2b) maps to x' = 2a + b. True results are integers
+    (cos/sin/tan ulp noise ~1e-13 « the round-5 grid)."""
+    c = _cust(spark, sf_dir)
+    k = F.col("c_custkey")
+    r180 = st.rotate("geom", 180.0)
+    r90 = st.rotate("geom", 90.0)
+    a, b = k % 100, k % 50
+    line = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (0 0, "), a * 2, F.lit(" "), b * 2, F.lit(")")))
+    sk = st.skew(line, 45.0, 0.0)
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(r180), 5).alias("r180x"),
+        F.round(st.y(r180), 5).alias("r180y"),
+        F.round(st.x(r90), 5).alias("r90x"),
+        F.round(st.y(r90), 5).alias("r90y"),
+        F.round(st.x(st.endpoint(sk)), 5).alias("skx"))
+
+
+SQL_ROTATE_SKEW = f"""
+SELECT c_custkey AS id,
+       ROUND(-CAST({PX} AS DOUBLE), 5) AS r180x,
+       ROUND(-CAST({PY} AS DOUBLE), 5) AS r180y,
+       ROUND(-CAST({PY} AS DOUBLE), 5) AS r90x,
+       ROUND(CAST({PX} AS DOUBLE), 5) AS r90y,
+       ROUND(CAST(2 * (c_custkey % 100) + c_custkey % 50 AS DOUBLE), 5) AS skx
+FROM customer
+"""
+
+
+def q_relate(spark, sf_dir):
+    """DE-9IM relate strings + relate_pattern(contains) for a point
+    inside / on the edge of / outside a box (reference base.py:5612)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    box = st.geom_from_text(F.lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    px = F.when(k % 3 == 0, F.lit(5)).when(k % 3 == 1, F.lit(5)).otherwise(F.lit(15))
+    py = F.when(k % 3 == 0, F.lit(5)).otherwise(F.lit(0)) + \
+        F.when(k % 3 == 2, F.lit(5)).otherwise(F.lit(0))
+    pt = st.point(px.cast("double"), py.cast("double"))
+    return c.select(
+        k.alias("id"),
+        st.relate(box, pt).alias("im"),
+        st.relate_pattern(box, pt, "T*****FF*").alias("contains_pat"))
+
+
+SQL_RELATE = """
+SELECT c_custkey AS id,
+       CASE c_custkey % 3 WHEN 0 THEN '0F2FF1FF2'
+            WHEN 1 THEN 'FF20F1FF2' ELSE 'FF2FF10F2' END AS im,
+       (c_custkey % 3 = 0) AS contains_pat
+FROM customer
+"""
+
+
+def q_polygonize_buildarea(spark, sf_dir):
+    """polygonize assembles the box from its 4 edge lines (the dangling
+    extra line is ignored); build_area nests the hole ring."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 5 + 1) * 10, (k % 4 + 1) * 10
+    edges = [
+        F.concat(F.lit("LINESTRING (0 0, "), w, F.lit(" 0)")),
+        F.concat(F.lit("LINESTRING ("), w, F.lit(" 0, "), w, F.lit(" "), h, F.lit(")")),
+        F.concat(F.lit("LINESTRING ("), w, F.lit(" "), h, F.lit(", 0 "), h, F.lit(")")),
+        F.concat(F.lit("LINESTRING (0 "), h, F.lit(", 0 0)")),
+        F.lit("LINESTRING (500 500, 600 600)"),
+    ]
+    rows = n.select(k.alias("id"), F.explode(F.array(
+        *[st.geom_from_text(e).alias("g") for e in edges])).alias("geom"))
+    pz = (rows.groupBy("id").agg(st.polygonize_agg("geom").alias("pz")))
+    hole = st.geom_from_text(F.concat(
+        F.lit("MULTILINESTRING ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")))
+    ba = n.select(k.alias("id"),
+                  F.round(st.area(st.build_area(hole)), 6).alias("ba_area"))
+    out = pz.select("id", st.ngeometries("pz").alias("pz_n"),
+                    F.round(st.area("pz"), 6).alias("pz_area"))
+    return out.join(ba, "id")
+
+
+SQL_POLYGONIZE_BUILDAREA = """
+SELECT n_nationkey AS id,
+       CAST(1 AS BIGINT) AS pz_n,
+       ROUND(CAST((n_nationkey % 5 + 1) * 10 * (n_nationkey % 4 + 1) * 10
+             AS DOUBLE), 6) AS pz_area,
+       ROUND(CAST((n_nationkey % 5 + 1) * 10 * (n_nationkey % 4 + 1) * 10
+             - 4 AS DOUBLE), 6) AS ba_area
+FROM nation
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -1416,6 +1796,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dedup": q_embed_dedup,
         "geom_value_counts": q_geom_value_counts,
         "frame_sample": q_frame_sample,
+        "boundary": q_boundary,
+        "simplify": q_simplify,
+        "snap": q_snap,
+        "make_valid": q_make_valid,
+        "line_merge": q_line_merge,
+        "delaunay": q_delaunay,
+        "concave": q_concave,
+        "mbc_mrr": q_mbc_mrr,
+        "normalize_reverse": q_normalize_reverse,
+        "segmentize_rrp": q_segmentize_rrp,
+        "rotate_skew": q_rotate_skew,
+        "relate": q_relate,
+        "polygonize_buildarea": q_polygonize_buildarea,
     }
 
 
@@ -1470,4 +1863,17 @@ def oracle_sql() -> dict[str, str]:
         "embed_dedup": SQL_EMBED_DEDUP,
         "geom_value_counts": SQL_GEOM_VALUE_COUNTS,
         "frame_sample": SQL_FRAME_SAMPLE,
+        "boundary": SQL_BOUNDARY,
+        "simplify": SQL_SIMPLIFY,
+        "snap": SQL_SNAP,
+        "make_valid": SQL_MAKE_VALID,
+        "line_merge": SQL_LINE_MERGE,
+        "delaunay": SQL_DELAUNAY,
+        "concave": SQL_CONCAVE,
+        "mbc_mrr": SQL_MBC_MRR,
+        "normalize_reverse": SQL_NORMALIZE_REVERSE,
+        "segmentize_rrp": SQL_SEGMENTIZE_RRP,
+        "rotate_skew": SQL_ROTATE_SKEW,
+        "relate": SQL_RELATE,
+        "polygonize_buildarea": SQL_POLYGONIZE_BUILDAREA,
     }

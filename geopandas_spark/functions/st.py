@@ -690,6 +690,22 @@ def _buildarea_agg(s: pd.Series) -> bytes:
     return wkb.encode(algos.build_area(ga))[0]
 
 
+@_reg("st_buildarea")
+@pandas_udf(BinaryType())
+def _buildarea(s: pd.Series) -> pd.Series:
+    """Per-row build_area: each row's own linework assembled independently
+    (scalar twin of st_buildarea_agg; reference base.py:6484)."""
+    from geopandas_spark.geom.array import GeometryBuilder
+    ga = _decode(s)
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if ga.types[i] == 0:
+            b.append_null()
+        else:
+            b.append_from(algos.build_area(ga.take([i])), 0)
+    return _enc(b.finish())
+
+
 @_reg("st_collect_agg")
 @pandas_udf(BinaryType())
 def _collect_agg(s: pd.Series) -> bytes:
@@ -984,6 +1000,14 @@ def polygonize_agg(c) -> Column:
 
 def build_area_agg(c) -> Column:
     return _REGISTRY["st_buildarea_agg"](_col(c))
+
+
+def build_area(c) -> Column:
+    return _REGISTRY["st_buildarea"](_col(c))
+
+
+def reverse(c) -> Column:
+    return _REGISTRY["st_reverse"](_col(c))
 
 
 def make_valid(c) -> Column:
