@@ -1745,6 +1745,400 @@ FROM nation
 """
 
 
+def q_collect_bounds(spark, sf_dir):
+    """st_collect_agg per nation (MULTIPOINT, duplicates kept) + native
+    per-group bounds agg (total_bounds building block, dissolve.py:114).
+    Centroid = mean of integer coords — exact in double on both engines."""
+    c = _cust(spark, sf_dir)
+    g = (c.groupBy("c_nationkey")
+          .agg(st.collect_agg("geom").alias("mp")))
+    cen = st.centroid("mp")
+    return g.select(F.col("c_nationkey").alias("nk"),
+                    st.ngeometries("mp").alias("n_pts"),
+                    st.x(cen).alias("cx"), st.y(cen).alias("cy"),
+                    st.x_min("mp").alias("minx"), st.x_max("mp").alias("maxx"),
+                    st.y_min("mp").alias("miny"), st.y_max("mp").alias("maxy"))
+
+
+SQL_COLLECT_BOUNDS = f"""
+SELECT c_nationkey AS nk,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       SUM(CAST({PX} AS DOUBLE)) / COUNT(*) AS cx,
+       SUM(CAST({PY} AS DOUBLE)) / COUNT(*) AS cy,
+       CAST(MIN({PX}) AS DOUBLE) AS minx, CAST(MAX({PX}) AS DOUBLE) AS maxx,
+       CAST(MIN({PY}) AS DOUBLE) AS miny, CAST(MAX({PY}) AS DOUBLE) AS maxy
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def q_coords_dump(spark, sf_dir):
+    """dump_coordinates (reference get_coordinates base.py:6242) +
+    positional explode."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    line = _cust_line(k)
+    d = c.select(k.alias("id"), F.posexplode(st.dump_coordinates(line)))
+    return d.select("id", F.col("pos").alias("idx"),
+                    F.col("col.x").alias("x"), F.col("col.y").alias("y"))
+
+
+SQL_COORDS_DUMP = """
+SELECT c_custkey AS id, i AS idx,
+       CAST(CASE WHEN i = 0 THEN c_custkey % 1000
+            ELSE c_custkey * 13 % 1000 END AS DOUBLE) AS x,
+       CAST(CASE WHEN i = 0 THEN c_custkey * 7 % 1000
+            ELSE c_custkey * 31 % 1000 END AS DOUBLE) AS y
+FROM customer CROSS JOIN (SELECT UNNEST([0, 1]) AS i)
+"""
+
+
+def q_tco(spark, sf_dir):
+    """touches / crosses / overlaps triple, including the aligned-edge
+    overlap case (interiors intersect, boundaries only share edge lines)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    off = (k % 3) * 5 + 5   # 5, 10, 15 ; box width 10 → overlap iff off<10
+    a = st.geom_from_text(F.lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    b = st.geom_from_text(F.concat(
+        F.lit("POLYGON (("), off, F.lit(" 0, "), off + 10, F.lit(" 0, "),
+        off + 10, F.lit(" 10, "), off, F.lit(" 10, "), off, F.lit(" 0))")))
+    cut = (k % 4) * 4       # 0,4,8,12 ; line y=cut crosses box iff 0<cut<10
+    line = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (-5 "), cut, F.lit(", 15 "), cut, F.lit(")")))
+    return c.select(
+        k.alias("id"),
+        st.touches(a, b).alias("t"),
+        st.overlaps(a, b).alias("o"),
+        st.crosses(line, a).alias("x"))
+
+
+SQL_TCO = """
+SELECT c_custkey AS id,
+       (c_custkey % 3 = 1) AS t,
+       (c_custkey % 3 = 0) AS o,
+       (c_custkey % 4 = 1 OR c_custkey % 4 = 2) AS x
+FROM customer
+"""
+
+
+def q_exterior_interiors(spark, sf_dir):
+    """exterior ring / interior rings of a donut: hole perimeter recovered
+    as length(boundary) - length(exterior)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h, s = (k % 5 + 1) * 20, (k % 4 + 1) * 20, k % 3 + 2
+    donut = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0), (5 5, "), 5 + s, F.lit(" 5, "),
+        5 + s, F.lit(" "), 5 + s, F.lit(", 5 "), 5 + s, F.lit(", 5 5))")))
+    ext = st.exterior(donut)
+    return n.select(
+        k.alias("id"),
+        F.round(st.length(ext), 6).alias("ext_len"),
+        st.n_interior_rings(donut).alias("n_holes"),
+        F.round(st.length(st.boundary(donut)) - st.length(ext), 6)
+         .alias("hole_len"),
+        st.geometry_type(ext).alias("ext_gtype"))
+
+
+SQL_EXTERIOR_INTERIORS = """
+SELECT n_nationkey AS id,
+       ROUND(2.0 * ((n_nationkey % 5 + 1) * 20 + (n_nationkey % 4 + 1) * 20),
+             6) AS ext_len,
+       CAST(1 AS BIGINT) AS n_holes,
+       ROUND(4.0 * (n_nationkey % 3 + 2), 6) AS hole_len,
+       'LineString' AS ext_gtype
+FROM nation
+"""
+
+
+def q_offset_eq(spark, sf_dir):
+    """offset_curve ±d of a horizontal line (parallel at y±d); geometry
+    equality family: geom_equals (ring rotation invariant), equals_exact
+    (tolerance on shifted point), equals_identical (byte-identity)."""
+    c = _cust(spark, sf_dir)
+    k = F.col("c_custkey")
+    d = (k % 9 + 1).cast("double")
+    line = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (0 "), F.col("py"), F.lit(", 50 "), F.col("py"),
+        F.lit(")")))
+    up = st.offset_curve(line, d)
+    dn = st.offset_curve(line, -d)
+    ring_a = st.geom_from_text(F.lit("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))"))
+    ring_b = st.geom_from_text(F.lit("POLYGON ((8 0, 8 8, 0 8, 0 0, 8 0))"))
+    pt_a = st.point(F.lit(0.0), F.lit(0.0))
+    pt_b = st.point((k % 6).cast("double"), F.lit(0.0))
+    return c.select(
+        k.alias("id"),
+        st.y(st.startpoint(up)).alias("up_y"),
+        st.y(st.startpoint(dn)).alias("dn_y"),
+        st.geom_equals(ring_a, ring_b).alias("eq_rot"),
+        st.geom_equals_identical(ring_a, ring_b).alias("eq_ident"),
+        st.geom_equals_exact(pt_a, pt_b, F.lit(3.5)).alias("eq_tol"))
+
+
+SQL_OFFSET_EQ = f"""
+SELECT c_custkey AS id,
+       CAST({PY} + c_custkey % 9 + 1 AS DOUBLE) AS up_y,
+       CAST({PY} - (c_custkey % 9 + 1) AS DOUBLE) AS dn_y,
+       TRUE AS eq_rot,
+       FALSE AS eq_ident,
+       (c_custkey % 6 <= 3) AS eq_tol
+FROM customer
+"""
+
+
+def q_clip_rect(spark, sf_dir):
+    """clip_by_rect: box [0,W]×[0,H] clipped to [10,5]–[1000,1000] →
+    (W-10)(H-5) (parameters keep the rect strictly inside)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 5 + 2) * 20, (k % 4 + 2) * 20
+    box = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0))")))
+    cr = st.clip_by_rect(box, 10.0, 5.0, 1000.0, 1000.0)
+    return n.select(k.alias("id"),
+                    F.round(st.area(cr), 6).alias("clip_area"))
+
+
+SQL_CLIP_RECT = """
+SELECT n_nationkey AS id,
+       ROUND(CAST(((n_nationkey % 5 + 2) * 20 - 10)
+             * ((n_nationkey % 4 + 2) * 20 - 5) AS DOUBLE), 6) AS clip_area
+FROM nation
+"""
+
+
+def q_unique_rep(spark, sf_dir):
+    """extract_unique_points (dedup within MULTIPOINT) +
+    representative_point (guaranteed interior; box centre here)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 5 + 1) * 10, (k % 4 + 1) * 10
+    mp = st.geom_from_text(F.concat(
+        F.lit("MULTIPOINT ((1 1), (1 1), (2 2), (2 2), ("), k,
+        F.lit(" 0))")))
+    box = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0))")))
+    rp = st.representative_point(box)
+    return n.select(
+        k.alias("id"),
+        st.ngeometries(st.extract_unique_points(mp)).alias("n_uniq"),
+        st.x(rp).alias("rp_x"), st.y(rp).alias("rp_y"),
+        st.contains(box, rp).alias("rp_in"))
+
+
+SQL_UNIQUE_REP = """
+SELECT n_nationkey AS id,
+       CAST(3 AS BIGINT) AS n_uniq,
+       CAST((n_nationkey % 5 + 1) * 10 AS DOUBLE) / 2.0 AS rp_x,
+       CAST((n_nationkey % 4 + 1) * 10 AS DOUBLE) / 2.0 AS rp_y,
+       TRUE AS rp_in
+FROM nation
+"""
+
+
+def q_geometry_n(spark, sf_dir):
+    """geometry_n / get_geometry: nth part of a MULTIPOINT; out-of-range
+    yields NULL (reference get_geometry base.py)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    mp = st.geom_from_text(F.concat(
+        F.lit("MULTIPOINT (("), k % 100, F.lit(" 1), ("), k % 100 + 1,
+        F.lit(" 2), ("), k % 100 + 2, F.lit(" 3))")))
+    part = st.geometry_n(mp, (k % 3).cast("int"))
+    oob = st.geometry_n(mp, F.lit(7))
+    return c.select(k.alias("id"),
+                    st.x(part).alias("gx"), st.y(part).alias("gy"),
+                    F.isnull(oob).alias("oob_null"))
+
+
+SQL_GEOMETRY_N = """
+SELECT c_custkey AS id,
+       CAST(c_custkey % 100 + c_custkey % 3 AS DOUBLE) AS gx,
+       CAST(c_custkey % 3 + 1 AS DOUBLE) AS gy,
+       TRUE AS oob_null
+FROM customer
+"""
+
+
+def _shift_double(coords):
+    """Module-level (picklable) coordinate fn for q_transform_apply."""
+    out = coords.copy()
+    out[:, 0] = out[:, 0] + 1.0
+    out[:, 1] = out[:, 1] * 2.0
+    return out
+
+
+def q_transform_apply(spark, sf_dir):
+    """st.transform_coords: user fn over the flat coordinate buffer
+    (reference GeoSeries.transform base.py:2257)."""
+    c = _cust(spark, sf_dir)
+    g = st.transform_coords("geom", _shift_double)
+    return c.select(F.col("c_custkey").alias("id"),
+                    st.x(g).alias("tx"), st.y(g).alias("ty"))
+
+
+SQL_TRANSFORM_APPLY = f"""
+SELECT c_custkey AS id,
+       CAST({PX} + 1 AS DOUBLE) AS tx,
+       CAST({PY} * 2 AS DOUBLE) AS ty
+FROM customer
+"""
+
+
+def q_estimate_utm(spark, sf_dir):
+    """Frame-level estimate_utm_crs: one native bounds agg + zone
+    arithmetic (reference array.py:1190-1270). Exercises GeoFrame.set_crs
+    metadata plumbing too."""
+    from geopandas_spark import GeoFrame
+    c = _cust(spark, sf_dir)
+    lon = (F.col("px") / 40.0 - 10.0).cast("double")   # [-10, 15)
+    lat = (F.col("py") / 50.0).cast("double")          # [0, 20)
+    pts = c.select(st.point(lon, lat).alias("geom"))
+    gf = GeoFrame(pts, geometry="geom").set_crs("EPSG:4326")
+    code = gf.estimate_utm_crs()
+    return spark.createDataFrame([(code,)], "epsg string")
+
+
+SQL_ESTIMATE_UTM = f"""
+WITH b AS (
+  SELECT (MIN({PX} / 40.0 - 10.0) + MAX({PX} / 40.0 - 10.0)) / 2.0 AS lon,
+         (MIN({PY} / 50.0) + MAX({PY} / 50.0)) / 2.0 AS lat
+  FROM customer
+)
+SELECT 'EPSG:' || CAST(CASE WHEN lat >= 0 THEN 32600 ELSE 32700 END
+       + LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 6.0) AS INT) + 1, 1), 60)
+       AS VARCHAR) AS epsg
+FROM b
+"""
+
+
+def q_codec_roundtrip(spark, sf_dir):
+    """WKT → WKB → WKT round trip and GeoJSON encode/decode round trip
+    (reference array.py from_wkb/to_wkb:217-252, from_features)."""
+    c = _cust(spark, sf_dir)
+    rt = st.geom_from_wkb("geom")   # WKB validate/identity path
+    gj = st.as_geojson("geom")
+    back = st.geom_from_geojson(gj)
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        st.x(rt).alias("rt_x"),
+        st.as_text(back).alias("gj_wkt"),
+        gj.alias("gj"))
+
+
+SQL_CODEC_ROUNDTRIP = f"""
+SELECT c_custkey AS id,
+       CAST({PX} AS DOUBLE) AS rt_x,
+       'POINT (' || {PX} || ' ' || {PY} || ')' AS gj_wkt,
+       '{{"type":"Point","coordinates":[' || {PX} || ',' || {PY} || ']}}' AS gj
+FROM customer
+"""
+
+
+def q_ring_flags(spark, sf_dir):
+    """is_simple / is_ring / is_ccw / is_closed + 2-D has_z/has_m flags
+    (reference base.py is_* family)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    zig = st.geom_from_text(F.lit("LINESTRING (0 0, 10 0, 10 10)"))
+    crossl = st.geom_from_text(F.lit("LINESTRING (0 0, 10 10, 10 0, 0 10)"))
+    line = F.when(k % 2 == 0, zig).otherwise(crossl)
+    ccw_ring = st.geom_from_text(F.lit("LINESTRING (0 0, 10 0, 10 10, 0 0)"))
+    cw_ring = st.geom_from_text(F.lit("LINESTRING (0 0, 10 10, 10 0, 0 0)"))
+    ring = F.when(k % 2 == 0, ccw_ring).otherwise(cw_ring)
+    return c.select(
+        k.alias("id"),
+        st.is_simple(line).alias("simple"),
+        st.is_ring(ring).alias("ring"),
+        st.is_ccw(ring).alias("ccw"),
+        st.is_closed(line).alias("closed"),
+        st.has_z(ring).alias("hz"),
+        st.has_m(ring).alias("hm"))
+
+
+SQL_RING_FLAGS = """
+SELECT c_custkey AS id,
+       (c_custkey % 2 = 0) AS simple,
+       TRUE AS ring,
+       (c_custkey % 2 = 0) AS ccw,
+       FALSE AS closed,
+       FALSE AS hz,
+       FALSE AS hm
+FROM customer
+"""
+
+
+def q_set_precision(spark, sf_dir):
+    """set_precision snaps to a grid (grid 7: integer inputs never fall on
+    a .5 tie, so round-half conventions agree across engines)."""
+    c = _cust(spark, sf_dir)
+    g = st.set_precision("geom", F.lit(7.0))
+    return c.select(F.col("c_custkey").alias("id"),
+                    st.x(g).alias("qx"), st.y(g).alias("qy"))
+
+
+SQL_SET_PRECISION = f"""
+SELECT c_custkey AS id,
+       ROUND({PX} / 7.0) * 7 AS qx,
+       ROUND({PY} / 7.0) * 7 AS qy
+FROM customer
+"""
+
+
+def q_sample_pts(spark, sf_dir):
+    """sample_points: seeded-deterministic size + containment property
+    oracle (exact point values are engine-internal RNG; the count and
+    the all-inside invariant are the reference's documented contract)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 5 + 1) * 20, (k % 4 + 1) * 20
+    box = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0))")))
+    size = (k % 4 + 2).cast("int")
+    sp = st.sample_points(box, size, seed=42)
+    return n.select(k.alias("id"),
+                    st.ngeometries(sp).alias("n_sampled"),
+                    st.contains(box, sp).alias("all_in"))
+
+
+SQL_SAMPLE_PTS = """
+SELECT n_nationkey AS id,
+       CAST(n_nationkey % 4 + 2 AS BIGINT) AS n_sampled,
+       TRUE AS all_in
+FROM nation
+"""
+
+
+def q_voronoi(spark, sf_dir):
+    """voronoi_polygons of a symmetric 2-point set: cells are the two
+    halves of the engine's documented clip envelope (bbox expanded by
+    max-extent on each side) → total area 6d², 2 cells."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    d = (k % 5 + 1) * 20
+    mp = st.geom_from_text(F.concat(
+        F.lit("MULTIPOINT ((100 50), ("), 100 + d, F.lit(" 50))")))
+    v = st.voronoi_polygons(mp)
+    return n.select(k.alias("id"),
+                    st.ngeometries(v).alias("n_cells"),
+                    F.round(st.area(v), 6).alias("v_area"))
+
+
+SQL_VORONOI = """
+SELECT n_nationkey AS id,
+       CAST(2 AS BIGINT) AS n_cells,
+       ROUND(6.0 * ((n_nationkey % 5 + 1) * 20) * ((n_nationkey % 5 + 1) * 20),
+             6) AS v_area
+FROM nation
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -1809,6 +2203,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotate_skew": q_rotate_skew,
         "relate": q_relate,
         "polygonize_buildarea": q_polygonize_buildarea,
+        "collect_bounds": q_collect_bounds,
+        "coords_dump": q_coords_dump,
+        "tco": q_tco,
+        "exterior_interiors": q_exterior_interiors,
+        "offset_eq": q_offset_eq,
+        "clip_rect": q_clip_rect,
+        "unique_rep": q_unique_rep,
+        "geometry_n": q_geometry_n,
+        "transform_apply": q_transform_apply,
+        "estimate_utm": q_estimate_utm,
+        "codec_roundtrip": q_codec_roundtrip,
+        "ring_flags": q_ring_flags,
+        "set_precision": q_set_precision,
+        "sample_pts": q_sample_pts,
+        "voronoi": q_voronoi,
     }
 
 
@@ -1876,4 +2285,19 @@ def oracle_sql() -> dict[str, str]:
         "rotate_skew": SQL_ROTATE_SKEW,
         "relate": SQL_RELATE,
         "polygonize_buildarea": SQL_POLYGONIZE_BUILDAREA,
+        "collect_bounds": SQL_COLLECT_BOUNDS,
+        "coords_dump": SQL_COORDS_DUMP,
+        "tco": SQL_TCO,
+        "exterior_interiors": SQL_EXTERIOR_INTERIORS,
+        "offset_eq": SQL_OFFSET_EQ,
+        "clip_rect": SQL_CLIP_RECT,
+        "unique_rep": SQL_UNIQUE_REP,
+        "geometry_n": SQL_GEOMETRY_N,
+        "transform_apply": SQL_TRANSFORM_APPLY,
+        "estimate_utm": SQL_ESTIMATE_UTM,
+        "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
+        "ring_flags": SQL_RING_FLAGS,
+        "set_precision": SQL_SET_PRECISION,
+        "sample_pts": SQL_SAMPLE_PTS,
+        "voronoi": SQL_VORONOI,
     }

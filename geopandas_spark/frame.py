@@ -137,6 +137,21 @@ class GeoFrame:
         out[self._geometry] = crs
         return self._wrap(df, crs=out)
 
+    def estimate_utm_crs(self) -> str:
+        """UTM CRS covering the frame's extent centre (reference
+        geoseries.py estimate_utm_crs / array.py:1190-1270): one native
+        min/max aggregation over the bounds struct, then pure zone
+        arithmetic — no full-geometry collect."""
+        from geopandas_spark.geom.crs import estimate_utm_crs as _est
+        from pyspark.sql import functions as F
+        b = (self.df.withColumn("__b__", st.bounds(self.geometry))
+             .agg(F.min("__b__.xmin").alias("x0"),
+                  F.min("__b__.ymin").alias("y0"),
+                  F.max("__b__.xmax").alias("x1"),
+                  F.max("__b__.ymax").alias("y1"))
+             .collect()[0])
+        return _est((b.x0 + b.x1) / 2.0, (b.y0 + b.y1) / 2.0)
+
     # -- filters ------------------------------------------------------------
 
     @property
