@@ -2139,6 +2139,120 @@ FROM nation
 """
 
 
+def q_z_coords(spark, sf_dir):
+    """Z round trip: WKT Z → kernel → WKB (ISO +1000) → accessors.
+    Covers z, has_z, force_2d, force_3d, Z WKT formatting (reference
+    geoseries.py:251 z, base.py:812 has_z, :2290/:2332 force_2d/3d)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    px, py, pz = k % 1000, k * 7 % 1000, k % 17
+    g = st.geom_from_text(F.concat(
+        F.lit("POINT Z ("), px, F.lit(" "), py, F.lit(" "), pz, F.lit(")")))
+    g2 = st.force_2d(g)
+    return c.select(
+        k.alias("id"),
+        st.z(g).alias("zv"),
+        st.has_z(g).alias("hz"),
+        st.has_z(g2).alias("hz2"),
+        st.z(st.force_3d(g2, 7.0)).alias("z7"),
+        st.as_text(g).alias("wkt3"))
+
+
+SQL_Z_COORDS = f"""
+SELECT c_custkey AS id,
+       CAST(c_custkey % 17 AS DOUBLE) AS zv,
+       TRUE AS hz,
+       FALSE AS hz2,
+       7.0 AS z7,
+       'POINT Z (' || {PX} || ' ' || {PY} || ' ' || c_custkey % 17 || ')'
+           AS wkt3
+FROM customer
+"""
+
+
+def q_geomcollection(spark, sf_dir):
+    """GEOMETRYCOLLECTION: WKT/WKB round trip, ngeometries (top-level
+    children), area/length over mixed children, collection_extract
+    (reference array.py:50-69 GC as first-class type; overlay.py:395-454
+    keep_geom_type explode)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a, b, L = k % 50, k % 30, k % 40 + 10
+    w, h = (k % 5 + 1) * 10, (k % 4 + 1) * 10
+    gc_wkt = F.concat(
+        F.lit("GEOMETRYCOLLECTION (POINT ("), a, F.lit(" "), b,
+        F.lit("), LINESTRING (0 0, "), L, F.lit(" 0), POLYGON ((0 0, "),
+        w, F.lit(" 0, "), w, F.lit(" "), h, F.lit(", 0 "), h,
+        F.lit(", 0 0)))"))
+    g = st.geom_from_text(gc_wkt)
+    rt = st.geom_from_wkb(g)        # WKB round trip through the codec
+    pt = st.collection_extract(g, "point")
+    ln = st.collection_extract(g, "line")
+    return c.select(
+        k.alias("id"),
+        st.ngeometries(g).alias("n_children"),
+        st.geometry_type(g).alias("gtype"),
+        F.round(st.area(g), 6).alias("gc_area"),
+        F.round(st.length(g), 6).alias("gc_len"),
+        st.x(st.geometry_n(pt, F.lit(0))).alias("pt_x"),
+        F.round(st.length(ln), 6).alias("line_len"),
+        st.as_text(rt).alias("rt_wkt"))
+
+
+SQL_GEOMCOLLECTION = """
+SELECT c_custkey AS id,
+       CAST(3 AS BIGINT) AS n_children,
+       'GeometryCollection' AS gtype,
+       ROUND(CAST((c_custkey % 5 + 1) * 10 * ((c_custkey % 4 + 1) * 10)
+             AS DOUBLE), 6) AS gc_area,
+       ROUND(CAST((c_custkey % 40 + 10)
+             + 2 * ((c_custkey % 5 + 1) * 10 + (c_custkey % 4 + 1) * 10)
+             AS DOUBLE), 6) AS gc_len,
+       CAST(c_custkey % 50 AS DOUBLE) AS pt_x,
+       ROUND(CAST(c_custkey % 40 + 10 AS DOUBLE), 6) AS line_len,
+       'GEOMETRYCOLLECTION (POINT (' || c_custkey % 50 || ' '
+           || c_custkey % 30 || '), LINESTRING (0 0, '
+           || c_custkey % 40 + 10 || ' 0), POLYGON ((0 0, '
+           || (c_custkey % 5 + 1) * 10 || ' 0, ' || (c_custkey % 5 + 1) * 10
+           || ' ' || (c_custkey % 4 + 1) * 10 || ', 0 '
+           || (c_custkey % 4 + 1) * 10 || ', 0 0)))' AS rt_wkt
+FROM customer
+"""
+
+
+def q_to_crs_utm(spark, sf_dir):
+    """General to_crs: WGS84 ↔ UTM (Karney–Krüger transverse Mercator,
+    EPSG:326xx — the CRS family estimate_utm_crs emits; reference
+    array.py:1098-1187). Oracle = round-trip identity (forward+inverse
+    agree to ~1e-14°, 9 orders inside the round-5 grid) + exact central
+    meridian / equator anchors (E=500000, N=0 by construction)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(6.0) + (k % 600) / F.lit(100.0)).cast("double")   # zone 32
+    lat = ((k * 7 % 1000) / F.lit(20.0)).cast("double")
+    g = st.point(lon, lat)
+    utm = st.to_crs(g, "EPSG:4326", "EPSG:32632")
+    back = st.to_crs(utm, "EPSG:32632", "EPSG:4326")
+    anchor = st.to_crs(st.point(F.lit(9.0), F.lit(0.0)),
+                       "EPSG:4326", "EPSG:32632")
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"),
+        st.x(anchor).alias("cm_e"),
+        st.y(anchor).alias("cm_n"))
+
+
+SQL_TO_CRS_UTM = """
+SELECT c_custkey AS id,
+       ROUND(6.0 + (c_custkey % 600) / 100.0, 5) AS rlon,
+       ROUND((c_custkey * 7 % 1000) / 20.0, 5) AS rlat,
+       500000.0 AS cm_e,
+       0.0 AS cm_n
+FROM customer
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -2218,6 +2332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_precision": q_set_precision,
         "sample_pts": q_sample_pts,
         "voronoi": q_voronoi,
+        "z_coords": q_z_coords,
+        "geomcollection": q_geomcollection,
+        "to_crs_utm": q_to_crs_utm,
     }
 
 
@@ -2300,4 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "set_precision": SQL_SET_PRECISION,
         "sample_pts": SQL_SAMPLE_PTS,
         "voronoi": SQL_VORONOI,
+        "z_coords": SQL_Z_COORDS,
+        "geomcollection": SQL_GEOMCOLLECTION,
+        "to_crs_utm": SQL_TO_CRS_UTM,
     }

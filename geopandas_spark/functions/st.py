@@ -160,6 +160,8 @@ _unary_double("st_length", algos.length)
 _unary_double("st_perimeter", algos.length)
 _unary_double("st_x", algos.get_x)
 _unary_double("st_y", algos.get_y)
+_unary_double("st_z", algos.get_z)
+_unary_double("st_m", algos.get_m)
 
 
 def _unary_long(name, kernel):
@@ -293,7 +295,24 @@ _unary_geom("st_boundary", algos.boundary)
 _unary_geom("st_convexhull", algos.convex_hull)
 _unary_geom("st_reverse", algos.reverse)
 _unary_geom("st_exterior", algos.exterior)
-_unary_geom("st_force2d", lambda ga: ga)  # kernel is 2-D throughout
+_unary_geom("st_force2d", algos.force_2d)
+_unary_bool("st_hasz", lambda ga: ga.row_has_z())
+_unary_bool("st_hasm", lambda ga: ga.row_has_m())
+
+
+@_reg("st_force3d")
+@pandas_udf(BinaryType())
+def _force3d(s: pd.Series, zfill: pd.Series) -> pd.Series:
+    """force_3d (reference base.py:2332): keep existing Z, fill 2-D rows."""
+    return _enc(algos.force_3d(_decode(s), float(zfill.iloc[0])))
+
+
+@_reg("st_collectionextract")
+@pandas_udf(BinaryType())
+def _collectionextract(s: pd.Series, gtype: pd.Series) -> pd.Series:
+    """Parts of one dimension (reference overlay keep_geom_type explode,
+    geopandas/tools/overlay.py:395-454)."""
+    return _enc(algos.collection_extract(_decode(s), str(gtype.iloc[0])))
 _unary_geom("st_normalize", algos.normalize)
 _unary_geom("st_orientpolygons", algos.orient_polygons)
 _unary_geom("st_points", algos.extract_unique_points)
@@ -810,17 +829,36 @@ def exterior(c) -> Column:
 
 
 def has_z(c) -> Column:
-    """Always False for non-null geometries: the kernel is 2-D, Z is
-    dropped at WKB decode (documented deviation; reference
-    geopandas/base.py:812). Native — no UDF."""
-    c = _col(c)
-    return F.when(c.isNotNull(), F.lit(False))
+    """Per-row Z presence (reference geopandas/base.py:812). Z rides the
+    kernel's optional parallel buffer; planar ops ignore it."""
+    return _REGISTRY["st_hasz"](_col(c))
 
 
 def has_m(c) -> Column:
-    """Always False (no M support; reference geopandas/base.py:843)."""
-    c = _col(c)
-    return F.when(c.isNotNull(), F.lit(False))
+    """Per-row M presence (reference geopandas/base.py:843)."""
+    return _REGISTRY["st_hasm"](_col(c))
+
+
+def z(c) -> Column:
+    """Z of point rows (reference geoseries.py:251); NaN when 2-D."""
+    return _REGISTRY["st_z"](_col(c))
+
+
+def m(c) -> Column:
+    """M of point rows (reference geoseries.py:340)."""
+    return _REGISTRY["st_m"](_col(c))
+
+
+def force_2d(c) -> Column:
+    return _REGISTRY["st_force2d"](_col(c))
+
+
+def force_3d(c, z=0.0) -> Column:
+    return _REGISTRY["st_force3d"](_col(c), F.lit(float(z)))
+
+
+def collection_extract(c, geom_type) -> Column:
+    return _REGISTRY["st_collectionextract"](_col(c), F.lit(str(geom_type)))
 
 
 def geom_equals_identical(a, b) -> Column:

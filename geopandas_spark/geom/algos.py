@@ -17,7 +17,8 @@ import numpy as np
 
 from geopandas_spark.geom.array import (
     GT_MISSING, GT_POINT, GT_LINESTRING, GT_POLYGON, GT_MULTIPOINT,
-    GT_MULTILINESTRING, GT_MULTIPOLYGON, GEOM_TYPE_NAMES, MULTI_OF, SINGLE_OF,
+    GT_MULTILINESTRING, GT_MULTIPOLYGON, GT_GEOMETRYCOLLECTION,
+    GEOM_TYPE_NAMES, MULTI_OF, SINGLE_OF,
     POINT_TYPES, LINE_TYPES, POLYGON_TYPES, MULTI_TYPES,
     GeometryArray, GeometryBuilder, points_from_xy, boxes_from_bounds,
 )
@@ -74,6 +75,8 @@ def _first_ring_mask(ga: GeometryArray) -> np.ndarray:
 
 def area(ga: GeometryArray) -> np.ndarray:
     """Shoelace area; holes subtract (ring 0 of each part is the shell)."""
+    if (ga.types == GT_GEOMETRYCOLLECTION).any():
+        ga = resolve_collections(ga, "polygon")
     ring_a = np.abs(_signed_ring_areas(ga))
     contrib = np.where(_first_ring_mask(ga), ring_a, -ring_a)
     ring_type = np.repeat(ga.types, ga.rings_per_geom())
@@ -106,7 +109,9 @@ def length(ga: GeometryArray) -> np.ndarray:
         out[ne] = np.add.reduceat(seg, off[:-1][ne].astype(np.intp))[
             :int(ne.sum())]
     gt = ga.types
-    out = np.where(np.isin(gt, _POLY_MASK + _LINE_MASK), out, 0.0)
+    # GC rows sum their linear parts (point parts have no segments)
+    out = np.where(np.isin(gt, tuple(_POLY_MASK) + tuple(_LINE_MASK) +
+                           (GT_GEOMETRYCOLLECTION,)), out, 0.0)
     out[ga.is_missing()] = np.nan
     return out
 
@@ -142,12 +147,77 @@ def count_coordinates(ga: GeometryArray) -> np.ndarray:
 
 
 def count_geometries(ga: GeometryArray) -> np.ndarray:
-    """Parts for multi-types, 1 for single non-empty, 0 for empty/null."""
+    """Parts for multi-types, 1 for single non-empty, 0 for empty/null;
+    top-level children for collections (GEOS semantics)."""
     parts = ga.parts_per_geom().astype(np.int64)
     single = ~np.isin(ga.types, list(MULTI_TYPES))
     out = np.where(single, np.minimum(parts, 1), parts)
     out[ga.is_missing()] = 0
+    if (ga.types == GT_GEOMETRYCOLLECTION).any():
+        for i in np.nonzero(ga.types == GT_GEOMETRYCOLLECTION)[0]:
+            out[i] = len(ga.children_of(int(i)))
     return out
+
+
+def resolve_collections(ga: GeometryArray, keep: str) -> GeometryArray:
+    """Replace GEOMETRYCOLLECTION rows by a MULTI* of their parts of one
+    dimension (``keep`` in {"polygon", "line", "point"}) so planar measure
+    kernels apply unchanged. No-op (same object) without GC rows."""
+    if not (ga.types == GT_GEOMETRYCOLLECTION).any():
+        return ga
+    want = {"polygon": POLYGON_TYPES, "line": LINE_TYPES,
+            "point": POINT_TYPES}[keep]
+    multi_t = {"polygon": GT_MULTIPOLYGON, "line": GT_MULTILINESTRING,
+               "point": GT_MULTIPOINT}[keep]
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        if int(ga.types[i]) != GT_GEOMETRYCOLLECTION:
+            b.append_from(ga, i)
+            continue
+        parts = [rings for ct, cparts in ga.children_of(i)
+                 if ct in want for rings in cparts]
+        if parts:
+            b.append(multi_t, parts)
+        else:
+            b.append_empty(multi_t)
+    return b.finish()
+
+
+def collection_extract(ga: GeometryArray, geom_type: str) -> GeometryArray:
+    """Parts of one dimension from any geometry (reference shapely
+    collection_extract / overlay keep_geom_type explode,
+    geopandas/tools/overlay.py:395-454): GC rows pick matching children,
+    matching single/multi rows pass through, others become empty."""
+    kind = geom_type.lower()
+    if kind in ("polygon", "multipolygon"):
+        kind = "polygon"
+    elif kind in ("linestring", "multilinestring", "line"):
+        kind = "line"
+    elif kind in ("point", "multipoint"):
+        kind = "point"
+    else:
+        raise ValueError(f"unsupported collection_extract type {geom_type!r}")
+    want = {"polygon": POLYGON_TYPES, "line": LINE_TYPES,
+            "point": POINT_TYPES}[kind]
+    multi_t = {"polygon": GT_MULTIPOLYGON, "line": GT_MULTILINESTRING,
+               "point": GT_MULTIPOINT}[kind]
+    b = GeometryBuilder()
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING:
+            b.append_null()
+        elif t in want:
+            b.append_from(ga, i)
+        elif t == GT_GEOMETRYCOLLECTION:
+            parts = [rings for ct, cparts in ga.children_of(i)
+                     if ct in want for rings in cparts]
+            if parts:
+                b.append(multi_t, parts)
+            else:
+                b.append_empty(multi_t)
+        else:
+            b.append_empty(multi_t)
+    return b.finish()
 
 
 def count_interior_rings(ga: GeometryArray) -> np.ndarray:
@@ -169,6 +239,54 @@ def get_x(ga: GeometryArray) -> np.ndarray:
     ne = ~ga.is_missing() & ~ga.is_empty()
     out[ne] = ga.coords[ga.coord_offsets_per_geom()[:-1][ne], 0]
     return out
+
+
+def get_z(ga: GeometryArray) -> np.ndarray:
+    """Z of point rows (reference geoseries.py:251 GeoSeries.z); NaN for
+    2-D rows, mirroring shapely."""
+    if not np.isin(ga.types[~ga.is_missing()], [GT_POINT]).all():
+        raise ValueError("x/y/z/m accessors only work on Point geometries")
+    out = np.full(len(ga), np.nan)
+    if ga.z is None:
+        return out
+    ne = ~ga.is_missing() & ~ga.is_empty()
+    out[ne] = ga.z[ga.coord_offsets_per_geom()[:-1][ne]]
+    return out
+
+
+def get_m(ga: GeometryArray) -> np.ndarray:
+    """M of point rows (reference geoseries.py:340 GeoSeries.m)."""
+    if not np.isin(ga.types[~ga.is_missing()], [GT_POINT]).all():
+        raise ValueError("x/y/z/m accessors only work on Point geometries")
+    out = np.full(len(ga), np.nan)
+    if ga.m is None:
+        return out
+    ne = ~ga.is_missing() & ~ga.is_empty()
+    out[ne] = ga.m[ga.coord_offsets_per_geom()[:-1][ne]]
+    return out
+
+
+def force_2d(ga: GeometryArray) -> GeometryArray:
+    """Drop Z/M (reference base.py force_2d:2290)."""
+    if ga.z is None and ga.m is None:
+        return ga
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, ga.coords)
+
+
+def force_3d(ga: GeometryArray, z=0.0) -> GeometryArray:
+    """Ensure every coord has a Z; existing Z kept, 2-D rows filled with
+    ``z`` (reference base.py force_3d:2332)."""
+    zfill = np.broadcast_to(np.asarray(z, dtype=np.float64), (len(ga),))
+    co = ga.coord_offsets_per_geom()
+    per_row = np.diff(co)
+    newz = np.repeat(zfill, per_row)
+    if ga.z is not None:
+        keep = ~np.isnan(ga.z)
+        newz = newz.copy()
+        newz[keep] = ga.z[keep]
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, ga.coords, z=newz, m=ga.m)
 
 
 def get_y(ga: GeometryArray) -> np.ndarray:
@@ -1887,6 +2005,16 @@ def get_parts(ga: GeometryArray):
     for i in range(len(ga)):
         t = int(ga.types[i])
         if t == GT_MISSING:
+            continue
+        if t == GT_GEOMETRYCOLLECTION:
+            # top-level children (GEOS get_parts semantics)
+            for k, (ct, cparts) in enumerate(ga.children_of(i)):
+                if not cparts:
+                    b.append_empty(ct)
+                else:
+                    b.append(ct, cparts)
+                parent.append(i)
+                ordinal.append(k)
             continue
         parts = ga.geom_slices(i)
         st = SINGLE_OF.get(t, t)

@@ -23,9 +23,11 @@ geopandas/array.py:346-372): here a whole Arrow batch is a handful of flat
 numpy buffers, so every measure/predicate kernel is a vectorized numpy pass
 with no per-row Python in the hot loop.
 
-GEOMETRYCOLLECTION is not representable in the uniform layout and is
-rejected at decode time for now (tracked limitation; the reference supports
-it via GEOS).
+GEOMETRYCOLLECTION rows flatten their children's single-type parts into the
+uniform layout and record the child structure in an auxiliary per-row
+``gc_meta`` list ([(child_type, n_parts), ...]); codecs, get_parts /
+collection_extract and the measures (via dimension decomposition) consume
+it. GC children are 2-D.
 """
 
 from __future__ import annotations
@@ -64,16 +66,33 @@ SINGLE_OF = {v: k for k, v in MULTI_OF.items()}
 
 
 class GeometryArray:
-    """Immutable batch of geometries in the columnar layout above."""
+    """Immutable batch of geometries in the columnar layout above.
 
-    __slots__ = ("types", "geom_offsets", "part_offsets", "ring_offsets", "coords")
+    Z/M support: optional parallel buffers ``z`` / ``m`` (float64[ncoords]
+    or None) — NaN marks coords of 2-D rows inside a mixed batch. All 2-D
+    kernels ignore them (planar semantics, like the reference's shapely
+    ops); the codec, accessors (z/m/has_z/has_m) and force_2d/force_3d
+    carry them. A row is 3-D iff its first coord's z is non-NaN (rows are
+    uniformly dimensioned, as in WKB)."""
 
-    def __init__(self, types, geom_offsets, part_offsets, ring_offsets, coords):
+    __slots__ = ("types", "geom_offsets", "part_offsets", "ring_offsets",
+                 "coords", "z", "m", "gc_meta")
+
+    def __init__(self, types, geom_offsets, part_offsets, ring_offsets,
+                 coords, z=None, m=None, gc_meta=None):
         self.types = np.asarray(types, dtype=np.uint8)
         self.geom_offsets = np.asarray(geom_offsets, dtype=np.int64)
         self.part_offsets = np.asarray(part_offsets, dtype=np.int64)
         self.ring_offsets = np.asarray(ring_offsets, dtype=np.int64)
         self.coords = np.ascontiguousarray(coords, dtype=np.float64).reshape(-1, 2)
+        self.z = (None if z is None
+                  else np.ascontiguousarray(z, dtype=np.float64).reshape(-1))
+        self.m = (None if m is None
+                  else np.ascontiguousarray(m, dtype=np.float64).reshape(-1))
+        # GEOMETRYCOLLECTION rows: parts are the flattened single-type
+        # parts of all children; gc_meta[i] = [(child_type, n_parts), ...]
+        # (None for non-GC rows / arrays without collections).
+        self.gc_meta = gc_meta
 
     # -- sizes ------------------------------------------------------------
     def __len__(self) -> int:
@@ -128,6 +147,32 @@ class GeometryArray:
     def is_missing(self) -> np.ndarray:
         return self.types == GT_MISSING
 
+    def _row_has_dim(self, buf) -> np.ndarray:
+        if buf is None:
+            return np.zeros(len(self), dtype=bool)
+        co = self.coord_offsets_per_geom()
+        first = np.minimum(co[:-1], max(len(buf) - 1, 0))
+        out = ~np.isnan(buf[first]) if len(buf) else np.zeros(len(self), bool)
+        out[co[:-1] == co[1:]] = False   # empty rows
+        return out
+
+    def row_has_z(self) -> np.ndarray:
+        """bool[n]: row carries Z (first coord's z non-NaN)."""
+        return self._row_has_dim(self.z)
+
+    def row_has_m(self) -> np.ndarray:
+        return self._row_has_dim(self.m)
+
+    def dim_slice(self, buf, i: int):
+        """z/m slice of row i (or None)."""
+        if buf is None:
+            return None
+        co = self.coord_offsets_per_geom()
+        s = buf[co[i]:co[i + 1]]
+        if len(s) == 0 or np.isnan(s[0]):
+            return None
+        return s
+
     def is_empty(self) -> np.ndarray:
         """Non-null geometries with zero coordinates (POINT EMPTY etc.)."""
         return (self.types != GT_MISSING) & (self.coords_per_geom() == 0)
@@ -142,6 +187,20 @@ class GeometryArray:
                 rings.append(self.coords[self.ring_offsets[r]:self.ring_offsets[r + 1]])
             parts.append(rings)
         return parts
+
+    def children_of(self, i: int):
+        """GC row i → list of (child_type, parts) in geom_slices format;
+        non-GC rows yield themselves as a single child."""
+        t = int(self.types[i])
+        parts = self.geom_slices(i)
+        if t != GT_GEOMETRYCOLLECTION:
+            return [(t, parts)]
+        meta = (self.gc_meta[i] if self.gc_meta is not None else None) or []
+        out, pos = [], 0
+        for ctype, nparts in meta:
+            out.append((ctype, parts[pos:pos + nparts]))
+            pos += nparts
+        return out
 
     def take(self, indices) -> "GeometryArray":
         """Gather rows (negative index not supported). Rebuilds offsets."""
@@ -161,9 +220,15 @@ class GeometryBuilder:
 
     Used by the WKB/WKT parsers and by per-row constructive ops that cannot
     be expressed as a flat vectorized pass (convex hull, simplify, ...).
+
+    Z/M: rings may be passed as (k, 2+extra) arrays with ``zm`` naming the
+    extra columns ("", "z", "m", "zm"); global z/m buffers are built only
+    if any row carries them (NaN elsewhere).
     """
 
-    __slots__ = ("types", "geom_offsets", "part_offsets", "ring_offsets", "_coords")
+    __slots__ = ("types", "geom_offsets", "part_offsets", "ring_offsets",
+                 "_coords", "_zrings", "_mrings", "_any_z", "_any_m",
+                 "_gc_meta")
 
     def __init__(self):
         self.types = []
@@ -171,6 +236,11 @@ class GeometryBuilder:
         self.part_offsets = [0]
         self.ring_offsets = [0]
         self._coords = []
+        self._zrings = []
+        self._mrings = []
+        self._any_z = False
+        self._any_m = False
+        self._gc_meta = {}      # row index -> [(child_type, n_parts), ...]
 
     def append_null(self):
         self.types.append(GT_MISSING)
@@ -180,40 +250,103 @@ class GeometryBuilder:
         self.types.append(gtype)
         self.geom_offsets.append(self.geom_offsets[-1])
 
-    def append(self, gtype: int, parts):
-        """parts: list of list of (k,2) float arrays (see layout docstring)."""
+    def append(self, gtype: int, parts, zm: str = ""):
+        """parts: list of list of (k, 2+len(zm)) float arrays."""
         self.types.append(gtype)
+        width = 2 + len(zm)
+        zi = 2 if "z" in zm else None
+        mi = (2 + ("z" in zm)) if "m" in zm else None
         for rings in parts:
             for ring in rings:
-                ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
-                self._coords.append(ring)
+                ring = np.asarray(ring, dtype=np.float64).reshape(-1, width)
+                self._coords.append(ring[:, :2])
+                self._zrings.append(ring[:, zi] if zi is not None else None)
+                self._mrings.append(ring[:, mi] if mi is not None else None)
                 self.ring_offsets.append(self.ring_offsets[-1] + len(ring))
             self.part_offsets.append(self.part_offsets[-1] + len(rings))
         self.geom_offsets.append(self.geom_offsets[-1] + len(parts))
+        self._any_z |= zi is not None
+        self._any_m |= mi is not None
 
-    def append_point(self, x: float, y: float):
+    def append_point(self, x: float, y: float, z: float = None,
+                     m: float = None):
         self.types.append(GT_POINT)
         self._coords.append(np.array([[x, y]], dtype=np.float64))
+        self._zrings.append(None if z is None else np.array([z], np.float64))
+        self._mrings.append(None if m is None else np.array([m], np.float64))
+        self._any_z |= z is not None
+        self._any_m |= m is not None
         self.ring_offsets.append(self.ring_offsets[-1] + 1)
         self.part_offsets.append(self.part_offsets[-1] + 1)
         self.geom_offsets.append(self.geom_offsets[-1] + 1)
+
+    def append_collection(self, children):
+        """GEOMETRYCOLLECTION row: children = [(child_type, parts), ...]
+        (standard nested parts format, 2-D)."""
+        meta = [(int(ct), len(parts)) for ct, parts in children]
+        row = len(self.types)
+        flat = [rings for _, parts in children for rings in parts]
+        self.append(GT_GEOMETRYCOLLECTION, flat)
+        self._gc_meta[row] = meta
 
     def append_from(self, ga: GeometryArray, i: int):
         t = int(ga.types[i])
         if t == GT_MISSING:
             self.append_null()
-        else:
+            return
+        if t == GT_GEOMETRYCOLLECTION:
+            self.append_collection(ga.children_of(i))
+            return
+        zs = ga.dim_slice(ga.z, i)
+        ms = ga.dim_slice(ga.m, i)
+        if zs is None and ms is None:
             self.append(t, ga.geom_slices(i))
+            return
+        zm = ("z" if zs is not None else "") + ("m" if ms is not None else "")
+        parts, pos = [], 0
+        for rings in ga.geom_slices(i):
+            out_rings = []
+            for ring in rings:
+                k = len(ring)
+                cols = [ring]
+                if zs is not None:
+                    cols.append(zs[pos:pos + k, None])
+                if ms is not None:
+                    cols.append(ms[pos:pos + k, None])
+                out_rings.append(np.hstack(cols))
+                pos += k
+            parts.append(out_rings)
+        self.append(t, parts, zm=zm)
 
     def finish(self) -> GeometryArray:
         coords = (np.concatenate(self._coords, axis=0)
                   if self._coords else np.empty((0, 2), dtype=np.float64))
+
+        def _dim(rings, any_flag):
+            if not any_flag:
+                return None
+            out = np.full(len(coords), np.nan, dtype=np.float64)
+            pos = 0
+            for i, c in enumerate(self._coords):
+                k = len(c)
+                r = rings[i]
+                if r is not None:
+                    out[pos:pos + k] = r
+                pos += k
+            return out
+
+        gc_meta = None
+        if self._gc_meta:
+            gc_meta = [self._gc_meta.get(i) for i in range(len(self.types))]
         return GeometryArray(
             np.array(self.types, dtype=np.uint8),
             np.array(self.geom_offsets, dtype=np.int64),
             np.array(self.part_offsets, dtype=np.int64),
             np.array(self.ring_offsets, dtype=np.int64),
             coords,
+            z=_dim(self._zrings, self._any_z),
+            m=_dim(self._mrings, self._any_m),
+            gc_meta=gc_meta,
         )
 
 

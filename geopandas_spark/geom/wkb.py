@@ -1,10 +1,13 @@
 """WKB codec: bytes ⇄ GeometryArray.
 
-ISO WKB, 2-D, little-endian on write; both endiannesses and EWKB SRID
+ISO WKB, little-endian on write; both endiannesses and EWKB Z/M/SRID
 flags accepted on read (SRID is dropped — CRS lives in column metadata, see
-SURVEY.md §1.1). This is the on-the-wire format of every geometry column in
-the engine (BinaryType), matching GeoParquet's WKB encoding so parquet
-round-trips are zero-copy (reference: geopandas/io/arrow.py:385-448).
+SURVEY.md §1.1). Z and M coordinates round-trip: they ride in the array's
+optional parallel buffers and re-emit as ISO type codes (+1000/+2000)
+(reference: geopandas/base.py:812 has_z, :843 has_m). This is the
+on-the-wire format of every geometry column in the engine (BinaryType),
+matching GeoParquet's WKB encoding so parquet round-trips are zero-copy
+(reference: geopandas/io/arrow.py:385-448).
 
 Fast paths:
 - all-POINT batches decode via a single strided ``np.frombuffer`` pass —
@@ -58,21 +61,29 @@ def _parse_header(buf, pos):
 
 
 def _read_coords(buf, pos, n, e, dim):
+    """Full-width (n, dim) coord block: x y [z] [m] per WKB order."""
     arr = np.frombuffer(buf, dtype=np.dtype(e + "f8"), count=n * dim, offset=pos)
     pos += n * dim * 8
-    return arr.reshape(n, dim)[:, :2], pos
+    return arr.reshape(n, dim), pos
+
+
+def _zm_str(has_z, has_m) -> str:
+    return ("z" if has_z else "") + ("m" if has_m else "")
 
 
 def _parse_one(buf, pos, builder: GeometryBuilder):
     gtype, has_z, has_m, pos, e = _parse_header(buf, pos)
     dim = 2 + has_z + has_m
+    zm = _zm_str(has_z, has_m)
     u32 = e + "I"
     if gtype == GT_POINT:
         c, pos = _read_coords(buf, pos, 1, e, dim)
         if np.isnan(c[0, 0]) and np.isnan(c[0, 1]):
             builder.append_empty(GT_POINT)
         else:
-            builder.append_point(c[0, 0], c[0, 1])
+            builder.append_point(c[0, 0], c[0, 1],
+                                 z=c[0, 2] if has_z else None,
+                                 m=c[0, 2 + has_z] if has_m else None)
         return pos
     if gtype == GT_LINESTRING:
         (n,) = struct.unpack_from(u32, buf, pos); pos += 4
@@ -80,7 +91,7 @@ def _parse_one(buf, pos, builder: GeometryBuilder):
         if n == 0:
             builder.append_empty(GT_LINESTRING)
         else:
-            builder.append(GT_LINESTRING, [[c]])
+            builder.append(GT_LINESTRING, [[c]], zm=zm)
         return pos
     if gtype == GT_POLYGON:
         (nr,) = struct.unpack_from(u32, buf, pos); pos += 4
@@ -92,7 +103,7 @@ def _parse_one(buf, pos, builder: GeometryBuilder):
         if nr == 0:
             builder.append_empty(GT_POLYGON)
         else:
-            builder.append(GT_POLYGON, [rings])
+            builder.append(GT_POLYGON, [rings], zm=zm)
         return pos
     if gtype in (GT_MULTIPOINT, GT_MULTILINESTRING, GT_MULTIPOLYGON):
         (np_,) = struct.unpack_from(u32, buf, pos); pos += 4
@@ -100,18 +111,47 @@ def _parse_one(buf, pos, builder: GeometryBuilder):
         for _ in range(np_):
             pos = _parse_one(buf, pos, sub)
         ga = sub.finish()
-        parts = []
+        # re-stack sub rows into parts, z/m columns appended when present
+        parts, zms = [], set()
         for i in range(len(ga)):
+            zs, ms = ga.dim_slice(ga.z, i), ga.dim_slice(ga.m, i)
+            zms.add(("z" if zs is not None else "") +
+                    ("m" if ms is not None else ""))
+            qpos = 0
             for p in ga.geom_slices(i):
-                parts.append(p)
+                out_rings = []
+                for ring in p:
+                    k = len(ring)
+                    cols = [ring]
+                    if zs is not None:
+                        cols.append(zs[qpos:qpos + k, None])
+                    if ms is not None:
+                        cols.append(ms[qpos:qpos + k, None])
+                    out_rings.append(np.hstack(cols))
+                    qpos += k
+                parts.append(out_rings)
         if not parts:
             builder.append_empty(gtype)
         else:
-            builder.append(gtype, parts)
+            sub_zm = zms.pop() if len(zms) == 1 else ""
+            if len(zms) > 1:   # mixed-dim children: degrade to 2-D
+                parts = [[r[:, :2] for r in p] for p in parts]
+            builder.append(gtype, parts, zm=sub_zm)
         return pos
     if gtype == GT_GEOMETRYCOLLECTION:
-        raise NotImplementedError(
-            "GEOMETRYCOLLECTION is not supported by the columnar kernel yet")
+        (nchild,) = struct.unpack_from(u32, buf, pos); pos += 4
+        sub = GeometryBuilder()
+        for _ in range(nchild):
+            pos = _parse_one(buf, pos, sub)
+        ga = sub.finish()
+        children = []
+        for i in range(len(ga)):
+            children.extend(ga.children_of(i))
+        if not children:
+            builder.append_empty(GT_GEOMETRYCOLLECTION)
+        else:
+            builder.append_collection(children)
+        return pos
     raise ValueError(f"unsupported WKB geometry type code {gtype}")
 
 
@@ -239,6 +279,12 @@ def decode(values) -> GeometryArray:
     coord_start = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(coord_counts, out=coord_start[1:])
     coords = np.empty((coord_start[-1], 2), dtype=np.float64)
+    # Z/M can only come from fallback rows (fast-path rows are 2-D by the
+    # header check); allocate lazily
+    zbuf = (np.full(coord_start[-1], np.nan)
+            if fb_ga is not None and fb_ga.z is not None else None)
+    mbuf = (np.full(coord_start[-1], np.nan)
+            if fb_ga is not None and fb_ga.m is not None else None)
 
     # bucket parse: one frombuffer per (type, length) group
     hdr = {GT_POINT: 5, GT_LINESTRING: 9, GT_POLYGON: 13}
@@ -307,19 +353,56 @@ def decode(values) -> GeometryArray:
             nrr = ring_counts[i]
             coords_per_ring[r0:r0 + nrr] = fb_cpr[fr0:fr0 + nrr]
             c0, c1 = fb_coord_of_geom[z], fb_coord_of_geom[z + 1]
-            coords[coord_start[i]:coord_start[i] + (c1 - c0)] =                 fb_ga.coords[c0:c1]
+            coords[coord_start[i]:coord_start[i] + (c1 - c0)] = \
+                fb_ga.coords[c0:c1]
+            if zbuf is not None:
+                zbuf[coord_start[i]:coord_start[i] + (c1 - c0)] = \
+                    fb_ga.z[c0:c1]
+            if mbuf is not None:
+                mbuf[coord_start[i]:coord_start[i] + (c1 - c0)] = \
+                    fb_ga.m[c0:c1]
 
     part_offsets = np.zeros(n_parts + 1, dtype=np.int64)
     np.cumsum(rings_per_part, out=part_offsets[1:])
     ring_offsets = np.zeros(n_rings + 1, dtype=np.int64)
     np.cumsum(coords_per_ring, out=ring_offsets[1:])
+    gc_meta = None
+    if fb_ga is not None and fb_ga.gc_meta is not None:
+        gc_meta = [None] * n
+        for z, i in enumerate(fb_rows):
+            gc_meta[i] = fb_ga.gc_meta[z]
     return GeometryArray(types, geom_offsets, part_offsets, ring_offsets,
-                         coords)
+                         coords, z=zbuf, m=mbuf, gc_meta=gc_meta)
 
 
 def _encode_ring(out, ring):
     out.append(struct.pack("<I", len(ring)))
     out.append(np.ascontiguousarray(ring, dtype="<f8").tobytes())
+
+
+def _encode_plain(buf, t, parts):
+    """Append one 2-D geometry (header included) — GC child writer."""
+    buf.append(struct.pack("<BI", 1, t))
+    if t == GT_POINT:
+        if not parts:
+            buf.append(struct.pack("<dd", np.nan, np.nan))
+        else:
+            buf.append(np.ascontiguousarray(parts[0][0], dtype="<f8").tobytes())
+    elif t == GT_LINESTRING:
+        _encode_ring(buf, parts[0][0] if parts else np.empty((0, 2)))
+    elif t == GT_POLYGON:
+        rings = parts[0] if parts else []
+        buf.append(struct.pack("<I", len(rings)))
+        for r in rings:
+            _encode_ring(buf, r)
+    elif t in (GT_MULTIPOINT, GT_MULTILINESTRING, GT_MULTIPOLYGON):
+        buf.append(struct.pack("<I", len(parts)))
+        sub_t = {GT_MULTIPOINT: GT_POINT, GT_MULTILINESTRING: GT_LINESTRING,
+                 GT_MULTIPOLYGON: GT_POLYGON}[t]
+        for p in parts:
+            _encode_plain(buf, sub_t, [p])
+    else:
+        raise ValueError(f"cannot encode GC child type {t}")
 
 
 def encode(ga: GeometryArray) -> list:
@@ -339,6 +422,8 @@ def encode(ga: GeometryArray) -> list:
     fast = (((types == GT_POINT) & (cpg == 1)) |
             (((types == GT_LINESTRING) | (types == GT_POLYGON)) &
              (ppg == 1) & (rpg == 1) & (cpg > 0)))
+    if ga.z is not None or ga.m is not None:
+        fast &= ~ga.row_has_z() & ~ga.row_has_m()   # 3-D rows: slow writer
     if fast.any():
         rows = np.nonzero(fast)[0]
         t = types[rows].astype(np.int64)
@@ -384,11 +469,34 @@ def encode(ga: GeometryArray) -> list:
         t = int(types[i])
         if t == GT_MISSING:
             continue
+        zs = ga.dim_slice(ga.z, i) if ga.z is not None else None
+        ms = ga.dim_slice(ga.m, i) if ga.m is not None else None
+        iso = t + (_ISO_Z if zs is not None else 0) + \
+            (_ISO_M if ms is not None else 0)
         parts = ga.geom_slices(i)
-        buf = [struct.pack("<BI", 1, t)]
+        if zs is not None or ms is not None:
+            # widen rings with the z / m columns (ISO WKB interleaved)
+            pos = 0
+            wparts = []
+            for p in parts:
+                wr = []
+                for ring in p:
+                    k = len(ring)
+                    cols = [ring]
+                    if zs is not None:
+                        cols.append(zs[pos:pos + k, None])
+                    if ms is not None:
+                        cols.append(ms[pos:pos + k, None])
+                    wr.append(np.hstack(cols))
+                    pos += k
+                wparts.append(wr)
+            parts = wparts
+        ndim = 2 + (zs is not None) + (ms is not None)
+        buf = [struct.pack("<BI", 1, iso)]
         if t == GT_POINT:
             if not parts:
-                buf.append(struct.pack("<dd", np.nan, np.nan))
+                buf.append(struct.pack("<" + "d" * ndim,
+                                       *([np.nan] * ndim)))
             else:
                 buf.append(np.ascontiguousarray(parts[0][0], dtype="<f8").tobytes())
         elif t == GT_LINESTRING:
@@ -402,8 +510,9 @@ def encode(ga: GeometryArray) -> list:
             buf.append(struct.pack("<I", len(parts)))
             sub_t = {GT_MULTIPOINT: GT_POINT, GT_MULTILINESTRING: GT_LINESTRING,
                      GT_MULTIPOLYGON: GT_POLYGON}[t]
+            sub_iso = sub_t + (iso - t)
             for p in parts:
-                buf.append(struct.pack("<BI", 1, sub_t))
+                buf.append(struct.pack("<BI", 1, sub_iso))
                 if sub_t == GT_POINT:
                     buf.append(np.ascontiguousarray(p[0], dtype="<f8").tobytes())
                 elif sub_t == GT_LINESTRING:
@@ -412,6 +521,11 @@ def encode(ga: GeometryArray) -> list:
                     buf.append(struct.pack("<I", len(p)))
                     for r in p:
                         _encode_ring(buf, r)
+        elif t == GT_GEOMETRYCOLLECTION:
+            children = ga.children_of(i)
+            buf.append(struct.pack("<I", len(children)))
+            for ct, cparts in children:
+                _encode_plain(buf, ct, cparts)
         else:
             raise ValueError(f"cannot encode geometry type {t}")
         out[i] = b"".join(buf)

@@ -13,13 +13,13 @@ import numpy as np
 
 from geopandas_spark.geom.array import (
     GT_MISSING, GT_POINT, GT_LINESTRING, GT_POLYGON, GT_MULTIPOINT,
-    GT_MULTILINESTRING, GT_MULTIPOLYGON, WKT_TYPE_NAMES,
-    GeometryArray, GeometryBuilder,
+    GT_MULTILINESTRING, GT_MULTIPOLYGON, GT_GEOMETRYCOLLECTION,
+    WKT_TYPE_NAMES, GeometryArray, GeometryBuilder,
 )
 
 _TYPE_BY_NAME = {v: k for k, v in WKT_TYPE_NAMES.items()}
 _NUM = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
-_HEAD = re.compile(r"\s*([A-Za-z]+)\s*(Z|M|ZM)?\s*(EMPTY)?\s*", re.IGNORECASE)
+_HEAD = re.compile(r"\s*([A-Za-z]+)\s*(ZM|Z|M)?\s*(EMPTY)?\s*", re.IGNORECASE)
 
 
 def _fmt(v: float) -> str:
@@ -29,7 +29,28 @@ def _fmt(v: float) -> str:
 
 
 def _fmt_coords(arr) -> str:
-    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in arr)
+    return ", ".join(" ".join(_fmt(v) for v in pt) for pt in arr)
+
+
+def _format_plain(t: int, parts) -> str:
+    """One 2-D geometry from nested parts (GC child formatter)."""
+    name = WKT_TYPE_NAMES[t]
+    if not parts or (t == GT_POINT and len(parts[0][0]) == 0):
+        return f"{name} EMPTY"
+    if t in (GT_POINT, GT_LINESTRING):
+        return f"{name} ({_fmt_coords(parts[0][0])})"
+    if t == GT_POLYGON:
+        return f"{name} (" + ", ".join(
+            f"({_fmt_coords(r)})" for r in parts[0]) + ")"
+    if t == GT_MULTIPOINT:
+        return f"{name} (" + ", ".join(
+            f"({_fmt_coords(p[0])})" for p in parts) + ")"
+    if t == GT_MULTILINESTRING:
+        return f"{name} (" + ", ".join(
+            f"({_fmt_coords(p[0])})" for p in parts) + ")"
+    return f"{name} (" + ", ".join(
+        "(" + ", ".join(f"({_fmt_coords(r)})" for r in p) + ")"
+        for p in parts) + ")"
 
 
 def format_one(ga: GeometryArray, i: int):
@@ -37,7 +58,33 @@ def format_one(ga: GeometryArray, i: int):
     if t == GT_MISSING:
         return None
     name = WKT_TYPE_NAMES[t]
+    if t == GT_GEOMETRYCOLLECTION:
+        children = ga.children_of(i)
+        if not children:
+            return f"{name} EMPTY"
+        return f"{name} (" + ", ".join(
+            _format_plain(ct, cparts) for ct, cparts in children) + ")"
     parts = ga.geom_slices(i)
+    zs = ga.dim_slice(ga.z, i) if ga.z is not None else None
+    ms = ga.dim_slice(ga.m, i) if ga.m is not None else None
+    if zs is not None or ms is not None:
+        tag = ("Z" if zs is not None else "") + ("M" if ms is not None else "")
+        name = f"{name} {tag}"
+        pos = 0
+        wparts = []
+        for p in parts:
+            wr = []
+            for ring in p:
+                k = len(ring)
+                cols = [ring]
+                if zs is not None:
+                    cols.append(zs[pos:pos + k, None])
+                if ms is not None:
+                    cols.append(ms[pos:pos + k, None])
+                wr.append(np.hstack(cols))
+                pos += k
+            wparts.append(wr)
+        parts = wparts
     if not parts or (t == GT_POINT and len(parts[0][0]) == 0):
         return f"{name} EMPTY"
     if t == GT_POINT:
@@ -96,20 +143,22 @@ class _Cursor:
 
 
 def _parse_coord_seq(c: _Cursor, dim: int):
-    """Parse '(' x y, x y, ... ')' → (k,2) array (extra dims dropped)."""
+    """Parse '(' x y [z] [m], ... ')' → (k, width) array; Z/M kept."""
     c.expect("(")
     pts = []
     while True:
         vals = [c.number(), c.number()]
-        # optional Z/M values
         while c.peek() not in ",)":
-            c.number()
+            vals.append(c.number())
         pts.append(vals)
         if c.peek() == ",":
             c.expect(",")
             continue
         break
     c.expect(")")
+    w = max(len(p) for p in pts)
+    if any(len(p) != w for p in pts):
+        pts = [p + [np.nan] * (w - len(p)) for p in pts]
     return np.array(pts, dtype=np.float64)
 
 
@@ -127,41 +176,95 @@ def _parse_rings(c: _Cursor, dim: int):
 
 
 def parse_one(s: str, builder: GeometryBuilder):
-    m = _HEAD.match(s)
+    c = _Cursor(s)
+    _parse_geom(c, builder)
+
+
+def _parse_geom(c: _Cursor, builder: GeometryBuilder):
+    """Parse one geometry at the cursor (recursive for collections)."""
+    s = c.s
+    m = _HEAD.match(s, c.pos)
     if not m:
-        raise ValueError(f"invalid WKT: {s[:80]!r}")
+        raise ValueError(f"invalid WKT: {s[c.pos:c.pos + 80]!r}")
     name = m.group(1).upper()
     if name not in _TYPE_BY_NAME:
         raise ValueError(f"unsupported WKT type {name!r}")
     t = _TYPE_BY_NAME[name]
-    dim = 2 + (len(m.group(2) or ""))
-    c = _Cursor(s)
+    tag = (m.group(2) or "").upper()
+    dim = 2 + len(tag)
     c.pos = m.end(2) if m.group(2) else m.end(1)
     if m.group(3):  # EMPTY
+        c.pos = m.end(3)
         builder.append_empty(t)
         return
+    if t == GT_GEOMETRYCOLLECTION:
+        c.expect("(")
+        sub = GeometryBuilder()
+        while True:
+            _parse_geom(c, sub)
+            if c.peek() == ",":
+                c.expect(",")
+                continue
+            break
+        c.expect(")")
+        ga = sub.finish()
+        children = []
+        for i in range(len(ga)):
+            children.extend(ga.children_of(i))
+        if not children:
+            builder.append_empty(t)
+        else:
+            builder.append_collection(children)
+        return
+
+    def _zm_of(width: int) -> str:
+        """Z/M layout: explicit tag wins; bare width 3 → Z, 4 → ZM."""
+        if tag:
+            return tag.lower() if width >= dim else ""
+        return {3: "z", 4: "zm"}.get(width, "")
+
+    def _append_parts(parts):
+        w = max(r.shape[1] for rings in parts for r in rings)
+        zm = _zm_of(w)
+        if len(zm) + 2 < w:     # inconsistent widths: drop extras
+            parts = [[r[:, :2] for r in rings] for rings in parts]
+            zm = ""
+        else:
+            parts = [[np.pad(r, ((0, 0), (0, w - r.shape[1])))
+                      if r.shape[1] < w else r for r in rings]
+                     for rings in parts]
+        builder.append(t, parts, zm=zm)
+
     if t == GT_POINT:
         pts = _parse_coord_seq(c, dim)
-        builder.append_point(pts[0, 0], pts[0, 1])
+        w = pts.shape[1]
+        zm = _zm_of(w)
+        builder.append_point(
+            pts[0, 0], pts[0, 1],
+            z=pts[0, 2] if "z" in zm else None,
+            m=pts[0, 2 + ("z" in zm)] if "m" in zm and w > 2 + ("z" in zm)
+            else None)
     elif t == GT_LINESTRING:
-        builder.append(t, [[_parse_coord_seq(c, dim)]])
+        _append_parts([[_parse_coord_seq(c, dim)]])
     elif t == GT_POLYGON:
-        builder.append(t, [_parse_rings(c, dim)])
+        _append_parts([_parse_rings(c, dim)])
     elif t == GT_MULTIPOINT:
         c.expect("(")
         parts = []
         while True:
             if c.peek() == "(":
                 parts.append([_parse_coord_seq(c, dim)])
-            else:  # bare "x y" form
-                x, y = c.number(), c.number()
-                parts.append([np.array([[x, y]])])
+            else:  # bare "x y [z [m]]" form
+                vals = [c.number(), c.number()]
+                while c.peek() not in ",)":
+                    vals.append(c.number())
+                parts.append([np.array([vals])])
             if c.peek() == ",":
                 c.expect(",")
                 continue
             break
         c.expect(")")
-        builder.append(t, parts)
+        _append_parts(parts)
     elif t == GT_MULTILINESTRING:
         c.expect("(")
         parts = []
@@ -172,7 +275,7 @@ def parse_one(s: str, builder: GeometryBuilder):
                 continue
             break
         c.expect(")")
-        builder.append(t, parts)
+        _append_parts(parts)
     elif t == GT_MULTIPOLYGON:
         c.expect("(")
         parts = []
@@ -183,7 +286,7 @@ def parse_one(s: str, builder: GeometryBuilder):
                 continue
             break
         c.expect(")")
-        builder.append(t, parts)
+        _append_parts(parts)
     else:
         raise NotImplementedError(f"WKT type {name} not supported")
 

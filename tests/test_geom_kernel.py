@@ -792,3 +792,85 @@ class TestConstrainedDelaunay:
         ga = ga_from_wkt("LINESTRING (0 0, 1 1)", None, "POLYGON EMPTY")
         out = wkt.format_array(algos.constrained_delaunay_triangles(ga))
         assert out == ["MULTIPOLYGON EMPTY", None, "MULTIPOLYGON EMPTY"]
+
+
+def test_z_m_roundtrip():
+    """Z/M ride codec round trips; planar kernels ignore them."""
+    import numpy as np
+    from geopandas_spark.geom import algos, wkb, wkt
+    cases = ["POINT Z (1 2 3)", "POINT M (1 2 42)", "POINT ZM (1 2 3 4)",
+             "LINESTRING Z (0 0 5, 10 0 7)",
+             "POLYGON Z ((0 0 1, 10 0 1, 10 10 1, 0 10 1, 0 0 1))",
+             "MULTIPOINT Z ((1 2 3), (4 5 6))", "POINT (9 8)", None]
+    ga = wkt.parse_array(cases)
+    assert wkt.format_array(wkb.decode(wkb.encode(ga)))[:-1] == cases[:-1]
+    assert list(ga.row_has_z()) == [True, False, True, True, True, True,
+                                    False, False]
+    assert list(ga.row_has_m()) == [False, True, True, False, False, False,
+                                    False, False]
+    # planar measures unaffected by Z
+    assert algos.length(wkt.parse_array(["LINESTRING Z (0 0 5, 10 0 7)"]))[0] == 10.0
+    # z accessor + force_3d/force_2d
+    pts = wkt.parse_array(["POINT Z (1 2 3)", "POINT (4 5)"])
+    assert list(algos.get_z(pts))[0] == 3.0 and np.isnan(algos.get_z(pts)[1])
+    f3 = algos.force_3d(pts, 9.0)
+    assert wkt.format_array(f3) == ["POINT Z (1 2 3)", "POINT Z (4 5 9)"]
+    assert wkt.format_array(algos.force_2d(f3)) == ["POINT (1 2)", "POINT (4 5)"]
+    # take preserves z
+    assert wkt.format_array(pts.take([0]))[0] == "POINT Z (1 2 3)"
+
+
+def test_geometrycollection():
+    """GC: codec round trips, child-aware measures, extraction."""
+    import numpy as np
+    from geopandas_spark.geom import algos, wkb, wkt
+    cases = [
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 10 0))",
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)), "
+        "MULTIPOINT ((1 1), (2 2)))",
+        "GEOMETRYCOLLECTION EMPTY",
+    ]
+    ga = wkt.parse_array(cases)
+    assert wkt.format_array(ga) == cases
+    assert wkt.format_array(wkb.decode(wkb.encode(ga))) == cases
+    assert list(algos.count_geometries(ga)) == [2, 2, 0]
+    assert list(algos.area(ga)) == [0.0, 100.0, 0.0]
+    assert list(algos.length(ga)) == [10.0, 40.0, 0.0]
+    parts, parent, ordinal = algos.get_parts(ga)
+    assert wkt.format_array(parts) == [
+        "POINT (1 2)", "LINESTRING (0 0, 10 0)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "MULTIPOINT ((1 1), (2 2))"]
+    assert wkt.format_array(algos.collection_extract(ga, "point")) == [
+        "MULTIPOINT ((1 2))", "MULTIPOINT ((1 1), (2 2))",
+        "MULTIPOINT EMPTY"]
+    # nested GC flattens to top-level children
+    nested = wkt.parse_array(
+        ["GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (5 5)), POINT (7 7))"])
+    assert algos.count_geometries(nested)[0] == 2
+    # take preserves collection structure
+    assert wkt.format_array(ga.take([1]))[0] == cases[1]
+
+
+def test_utm_transform():
+    """Karney–Krüger UTM: anchors + round-trip + known meridian arc."""
+    import numpy as np
+    from geopandas_spark.geom import crs
+    E, N = crs.utm_forward(np.array([9.0]), np.array([0.0]), 32, True)
+    assert E[0] == 500000.0 and N[0] == 0.0
+    # published WGS84 meridian arc length at 45N: 4984944.378 m
+    E, N = crs.utm_forward(np.array([9.0]), np.array([45.0]), 32, True)
+    assert abs(N[0] - 0.9996 * 4984944.378) < 1e-3
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(6.0, 12.0, 500)
+    lat = rng.uniform(-80.0, 84.0, 500)
+    E, N = crs.utm_forward(lon, lat, 32, True)
+    lon2, lat2 = crs.utm_inverse(E, N, 32, True)
+    assert np.abs(lon2 - lon).max() < 1e-12
+    assert np.abs(lat2 - lat).max() < 1e-12
+    # south-hemisphere false northing + composition through 4326
+    c = np.array([[-58.4, -34.6]])
+    out = crs.transform_coords(c, "EPSG:4326", "EPSG:32721")
+    assert out[0, 1] > 6e6
+    back = crs.transform_coords(out, "EPSG:32721", "EPSG:4326")
+    assert np.abs(back - c).max() < 1e-12
