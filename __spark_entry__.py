@@ -2253,6 +2253,167 @@ FROM customer
 """
 
 
+def q_buffer_styles(spark, sf_dir):
+    """Buffer kwarg matrix (reference array.py:916-943): square/flat caps,
+    mitre/bevel joins, single_sided — all with exact rectilinear areas."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    r = (k % 4 + 2).cast("double")      # 2..5
+    L = (k % 30 + 20)
+    w, h = (k % 5 + 2) * 10, (k % 3 + 2) * 10
+    pt = st.point(F.lit(10.0), F.lit(10.0))
+    line = st.geom_from_text(F.concat(F.lit("LINESTRING (0 0, "), L,
+                                      F.lit(" 0)")))
+    box = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0))")))
+    return c.select(
+        k.alias("id"),
+        F.round(st.area(st.buffer(pt, r, cap_style="square")), 6)
+         .alias("pt_square"),
+        st.is_empty(st.buffer(pt, r, cap_style="flat")).alias("pt_flat"),
+        F.round(st.area(st.buffer(line, r, cap_style="flat",
+                                  join_style="mitre")), 6).alias("l_flat"),
+        F.round(st.area(st.buffer(line, r, cap_style="square",
+                                  join_style="mitre")), 6).alias("l_square"),
+        F.round(st.area(st.buffer(box, r, join_style="mitre")), 6)
+         .alias("b_mitre"),
+        F.round(st.area(st.buffer(box, r, join_style="bevel")), 6)
+         .alias("b_bevel"),
+        F.round(st.area(st.buffer(line, r, single_sided=True)), 6)
+         .alias("l_ss"))
+
+
+SQL_BUFFER_STYLES = """
+SELECT c_custkey AS id,
+       ROUND(4.0 * (c_custkey % 4 + 2) * (c_custkey % 4 + 2), 6) AS pt_square,
+       TRUE AS pt_flat,
+       ROUND(2.0 * (c_custkey % 4 + 2) * (c_custkey % 30 + 20), 6) AS l_flat,
+       ROUND(2.0 * (c_custkey % 4 + 2)
+             * (c_custkey % 30 + 20 + 2 * (c_custkey % 4 + 2)), 6) AS l_square,
+       ROUND((c_custkey % 5 + 2) * 10.0 * ((c_custkey % 3 + 2) * 10)
+             + 2.0 * (c_custkey % 4 + 2)
+               * ((c_custkey % 5 + 2) * 10 + (c_custkey % 3 + 2) * 10)
+             + 4.0 * (c_custkey % 4 + 2) * (c_custkey % 4 + 2), 6) AS b_mitre,
+       ROUND((c_custkey % 5 + 2) * 10.0 * ((c_custkey % 3 + 2) * 10)
+             + 2.0 * (c_custkey % 4 + 2)
+               * ((c_custkey % 5 + 2) * 10 + (c_custkey % 3 + 2) * 10)
+             + 2.0 * (c_custkey % 4 + 2) * (c_custkey % 4 + 2), 6) AS b_bevel,
+       ROUND(1.0 * (c_custkey % 4 + 2) * (c_custkey % 30 + 20), 6) AS l_ss
+FROM customer
+"""
+
+
+def q_grid_size(spark, sf_dir):
+    """Set ops with the grid_size kwarg (reference base.py:4405-4879):
+    boxes at x.3/x.6 fractional offsets snap onto the unit grid before the
+    op, so every output area is exact integer arithmetic."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    w, h, o = (k % 4 + 3) * 10, (k % 3 + 2) * 10, (k % 5 + 1) * 5
+    d3, d6 = F.lit(0.3), F.lit(0.6)
+    a = st.makebox(d3, d3, w + F.lit(0.4), h + F.lit(0.4))
+    b = st.makebox(o + d6, F.lit(0.6), o + w + d6, h + F.lit(1.6))
+    return c.select(
+        k.alias("id"),
+        F.round(st.area(st.intersection(a, b, grid_size=1.0)), 6)
+         .alias("inter_a"),
+        F.round(st.area(st.union(a, b, grid_size=1.0)), 6).alias("union_a"),
+        F.round(st.area(st.difference(a, b, grid_size=1.0)), 6)
+         .alias("diff_a"),
+        F.round(st.area(st.symmetric_difference(a, b, grid_size=1.0)), 6)
+         .alias("xor_a"))
+
+
+SQL_GRID_SIZE = """
+WITH p AS (
+  SELECT c_custkey AS id,
+         (c_custkey % 4 + 3) * 10 AS w,
+         (c_custkey % 3 + 2) * 10 AS h,
+         (c_custkey % 5 + 1) * 5 AS o
+  FROM customer
+)
+SELECT id,
+       ROUND(CAST((w - o - 1) * (h - 1) AS DOUBLE), 6) AS inter_a,
+       ROUND(CAST(2 * w * h + w - (w - o - 1) * (h - 1) AS DOUBLE), 6)
+           AS union_a,
+       ROUND(CAST(w * h - (w - o - 1) * (h - 1) AS DOUBLE), 6) AS diff_a,
+       ROUND(CAST(2 * w * h + w - 2 * (w - o - 1) * (h - 1) AS DOUBLE), 6)
+           AS xor_a
+FROM p
+"""
+
+
+# --- file-format round-trip oracles ----------------------------------------
+# Each writes the synthesized customer points through a format and reads
+# them back; the SQL twin is the closed-form original. This is a genuine
+# end-to-end oracle of the writer AND reader (schema, geometry codec,
+# distributed range logic).
+
+def _roundtrip_cust(spark, sf_dir, fmt: str) -> DataFrame:
+    import tempfile
+    from geopandas_spark import io as gio
+    c = (_cust(spark, sf_dir)
+         .select("c_custkey", F.col("c_acctbal").cast("double")
+                 .alias("bal"), "geom"))
+    d = tempfile.mkdtemp(prefix=f"gs_{fmt}_")
+    path = os.path.join(d, f"rt.{fmt}")
+    gio.to_file(c, path, geom="geom")
+    rkw = {} if fmt == "feather" else {"geom": "geom"}
+    back = gio.read_file(spark, path, **rkw)
+    return back.select(F.col("c_custkey").alias("id"),
+                       F.round("bal", 2).alias("bal"),
+                       st.x("geom").alias("x"), st.y("geom").alias("y"))
+
+
+_SQL_RT = f"""
+SELECT c_custkey AS id, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal,
+       CAST({PX} AS DOUBLE) AS x, CAST({PY} AS DOUBLE) AS y
+FROM customer
+"""
+
+
+def q_rt_geoparquet(spark, sf_dir):
+    return _roundtrip_cust(spark, sf_dir, "parquet")
+
+
+def q_rt_shapefile(spark, sf_dir):
+    return _roundtrip_cust(spark, sf_dir, "shp")
+
+
+def q_rt_gpkg(spark, sf_dir):
+    return _roundtrip_cust(spark, sf_dir, "gpkg")
+
+
+def q_rt_geojsonseq(spark, sf_dir):
+    return _roundtrip_cust(spark, sf_dir, "geojsonl")
+
+
+def q_rt_feather(spark, sf_dir):
+    return _roundtrip_cust(spark, sf_dir, "feather")
+
+
+def q_list_layers(spark, sf_dir):
+    """list_layers (reference geopandas/io/file.py:867-895) over a
+    two-layer GeoPackage written by the engine's own gpkg sink."""
+    import tempfile
+    from geopandas_spark import io as gio
+    c = _cust(spark, sf_dir).select("c_custkey", "geom").limit(10)
+    d = tempfile.mkdtemp(prefix="gs_layers_")
+    path = os.path.join(d, "multi.gpkg")
+    gio.to_gpkg(c, path, table="alpha", geom="geom")
+    gio.to_gpkg(c, path, table="beta", geom="geom")
+    layers = gio.list_layers(path)
+    return spark.createDataFrame(layers, "layer string, gtype string")
+
+
+SQL_LIST_LAYERS = """
+SELECT 'alpha' AS layer, 'Unknown' AS gtype
+UNION ALL
+SELECT 'beta', 'Unknown'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -2335,6 +2496,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_coords": q_z_coords,
         "geomcollection": q_geomcollection,
         "to_crs_utm": q_to_crs_utm,
+        "buffer_styles": q_buffer_styles,
+        "grid_size": q_grid_size,
+        "rt_geoparquet": q_rt_geoparquet,
+        "rt_shapefile": q_rt_shapefile,
+        "rt_gpkg": q_rt_gpkg,
+        "rt_geojsonseq": q_rt_geojsonseq,
+        "rt_feather": q_rt_feather,
+        "list_layers": q_list_layers,
     }
 
 
@@ -2420,4 +2589,12 @@ def oracle_sql() -> dict[str, str]:
         "z_coords": SQL_Z_COORDS,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
+        "buffer_styles": SQL_BUFFER_STYLES,
+        "grid_size": SQL_GRID_SIZE,
+        "rt_geoparquet": _SQL_RT,
+        "rt_shapefile": _SQL_RT,
+        "rt_gpkg": _SQL_RT,
+        "rt_geojsonseq": _SQL_RT,
+        "rt_feather": _SQL_RT,
+        "list_layers": SQL_LIST_LAYERS,
     }

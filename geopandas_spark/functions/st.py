@@ -449,10 +449,16 @@ def _equalsexact(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
 
 @_reg("st_buffer")
 @pandas_udf(BinaryType())
-def _buffer(s: pd.Series, d: pd.Series, quad_segs: pd.Series) -> pd.Series:
+def _buffer(s: pd.Series, d: pd.Series, quad_segs: pd.Series,
+            cap_style: pd.Series, join_style: pd.Series,
+            mitre_limit: pd.Series, single_sided: pd.Series) -> pd.Series:
     ga = _decode(s)
     return _enc(algos.buffer(ga, d.to_numpy(np.float64),
-                             int(quad_segs.iloc[0])))
+                             int(quad_segs.iloc[0]),
+                             cap_style=str(cap_style.iloc[0]),
+                             join_style=str(join_style.iloc[0]),
+                             mitre_limit=float(mitre_limit.iloc[0]),
+                             single_sided=bool(single_sided.iloc[0])))
 
 
 @_reg("st_simplify")
@@ -472,26 +478,34 @@ def _clipbyrect(s: pd.Series, xmin: pd.Series, ymin: pd.Series,
 
 @_reg("st_intersection")
 @pandas_udf(BinaryType())
-def _intersection(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _enc(algos.intersection(_decode(a), _decode(b)))
+def _intersection(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Series:
+    g = float(grid_size.iloc[0])
+    return _enc(algos.intersection(_decode(a), _decode(b),
+                             grid_size=g if g > 0 else None))
 
 
 @_reg("st_difference")
 @pandas_udf(BinaryType())
-def _difference(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _enc(algos.difference(_decode(a), _decode(b)))
+def _difference(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Series:
+    g = float(grid_size.iloc[0])
+    return _enc(algos.difference(_decode(a), _decode(b),
+                             grid_size=g if g > 0 else None))
 
 
 @_reg("st_union")
 @pandas_udf(BinaryType())
-def _union(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _enc(algos.union(_decode(a), _decode(b)))
+def _union(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Series:
+    g = float(grid_size.iloc[0])
+    return _enc(algos.union(_decode(a), _decode(b),
+                             grid_size=g if g > 0 else None))
 
 
 @_reg("st_symdifference")
 @pandas_udf(BinaryType())
-def _symdifference(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _enc(algos.symmetric_difference(_decode(a), _decode(b)))
+def _symdifference(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Series:
+    g = float(grid_size.iloc[0])
+    return _enc(algos.symmetric_difference(_decode(a), _decode(b),
+                             grid_size=g if g > 0 else None))
 
 
 @_reg("st_translate")
@@ -616,6 +630,16 @@ def _endpoint(s: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 # grouped aggregates (dissolve/union_all building blocks, SURVEY §2.5)
 # ---------------------------------------------------------------------------
+
+@_reg("st_union_agg_grid")
+@pandas_udf(BinaryType())
+def _union_agg_grid(s: pd.Series, grid: pd.Series) -> bytes:
+    """union_all with the grid_size robustness knob (base.py:2500,
+    array.py:1002-1019): operands and result snapped to the grid."""
+    ga = wkb.decode(s.tolist())
+    g = float(grid.iloc[0]) if len(grid) else 0.0
+    return wkb.encode(algos.union_all(ga, grid_size=g if g > 0 else None))[0]
+
 
 @_reg("st_union_agg")
 @pandas_udf(BinaryType())
@@ -935,10 +959,16 @@ def convex_hull(c) -> Column:
     return _REGISTRY["st_convexhull"](_col(c))
 
 
-def buffer(c, dist, quad_segs: int = 16) -> Column:
-    """quad_segs default 16 matches the reference's buffer default
-    (geopandas/array.py:916-943), not shapely's 8."""
-    return _REGISTRY["st_buffer"](_col(c), _col(dist), F.lit(quad_segs))
+def buffer(c, dist, quad_segs: int = 16, cap_style: str = "round",
+           join_style: str = "round", mitre_limit: float = 5.0,
+           single_sided: bool = False) -> Column:
+    """quad_segs default 16 matches the reference's buffer default; the
+    full cap_style/join_style/mitre_limit/single_sided kwarg matrix
+    mirrors geopandas/array.py:916-943."""
+    return _REGISTRY["st_buffer"](
+        _col(c), _col(dist), F.lit(quad_segs), F.lit(str(cap_style)),
+        F.lit(str(join_style)), F.lit(float(mitre_limit)),
+        F.lit(bool(single_sided)))
 
 
 def simplify(c, tol) -> Column:
@@ -951,20 +981,24 @@ def clip_by_rect(c, xmin, ymin, xmax, ymax) -> Column:
         F.lit(float(ymax)))
 
 
-def intersection(a, b) -> Column:
-    return _REGISTRY["st_intersection"](_col(a), _col(b))
+def intersection(a, b, grid_size=None) -> Column:
+    return _REGISTRY["st_intersection"](_col(a), _col(b),
+                                        F.lit(float(grid_size or 0.0)))
 
 
-def difference(a, b) -> Column:
-    return _REGISTRY["st_difference"](_col(a), _col(b))
+def difference(a, b, grid_size=None) -> Column:
+    return _REGISTRY["st_difference"](_col(a), _col(b),
+                                      F.lit(float(grid_size or 0.0)))
 
 
-def union(a, b) -> Column:
-    return _REGISTRY["st_union"](_col(a), _col(b))
+def union(a, b, grid_size=None) -> Column:
+    return _REGISTRY["st_union"](_col(a), _col(b),
+                                 F.lit(float(grid_size or 0.0)))
 
 
-def symmetric_difference(a, b) -> Column:
-    return _REGISTRY["st_symdifference"](_col(a), _col(b))
+def symmetric_difference(a, b, grid_size=None) -> Column:
+    return _REGISTRY["st_symdifference"](_col(a), _col(b),
+                                         F.lit(float(grid_size or 0.0)))
 
 
 def translate(c, xoff=0.0, yoff=0.0) -> Column:
@@ -1008,7 +1042,10 @@ def geometry_n(c, n) -> Column:
     return _REGISTRY["st_geometryn"](_col(c), _col(n))
 
 
-def union_agg(c) -> Column:
+def union_agg(c, grid_size=None) -> Column:
+    if grid_size:
+        return _REGISTRY["st_union_agg_grid"](_col(c),
+                                              F.lit(float(grid_size)))
     return _REGISTRY["st_union_agg"](_col(c))
 
 

@@ -1301,9 +1301,138 @@ def _dilation_rings(parts, d, nseg):
     return out
 
 
-def buffer(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
+def _join_pieces(v, u1, u2, d, join_style, mitre_limit):
+    """Join fill at vertex v between unit directions u1 (incoming) and u2
+    (outgoing), both sides (the inner-side piece is swallowed by the
+    segment-rectangle union). Returns list of rings."""
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    if abs(cross) < 1e-12:          # collinear: rectangles already meet
+        return []
+    out = []
+    for s in (1.0, -1.0):
+        n1 = np.array([-u1[1], u1[0]]) * d * s
+        n2 = np.array([-u2[1], u2[0]]) * d * s
+        a, c = v + n1, v + n2
+        if join_style == "bevel":
+            out.append(np.array([v, a, c, v]))
+            continue
+        # mitre apex: intersection of the two offset lines
+        # (v+n1)+t*u1 = (v+n2)+s2*u2
+        rhs = n2 - n1
+        det = u1[0] * (-u2[1]) - u1[1] * (-u2[0])
+        t = (rhs[0] * (-u2[1]) - rhs[1] * (-u2[0])) / det
+        apex = a + t * u1
+        if np.hypot(*(apex - v)) > mitre_limit * abs(d):
+            out.append(np.array([v, a, c, v]))   # over limit: bevel
+            continue
+        out.append(np.array([v, a, apex, c, v]))
+    return out
+
+
+def _cap_pieces(e, u, d, cap_style, nseg):
+    """End cap at endpoint e with outward unit direction u."""
+    if cap_style == "flat":
+        return []
+    if cap_style == "square":
+        n = np.array([-u[1], u[0]]) * d
+        q = np.array([e + n, e + n + u * d, e - n + u * d, e - n, e + n])
+        return [q]
+    dr = d / np.cos(np.pi / nseg)
+    return [_disk_ring(e[0], e[1], dr, nseg)]
+
+
+def _styled_dilation_rings(parts, d, nseg, cap_style, join_style,
+                           mitre_limit, closed_rings):
+    """Dilation pieces with explicit cap/join styles (reference
+    geopandas/array.py:916-943 buffer kwargs; GEOS BufferParameters).
+    ``closed_rings`` True treats every ring as closed (polygon outline:
+    joins at all vertices, no caps)."""
+    out = []
+    for p in parts:
+        for r in p:
+            if len(r) < 2:
+                if cap_style != "flat":
+                    out.append([_disk_ring(r[0][0], r[0][1],
+                                           d / np.cos(np.pi / nseg), nseg)])
+                continue
+            for k in range(len(r) - 1):
+                rect = _seg_rect(r[k], r[k + 1], d)
+                if rect is not None:
+                    out.append([rect])
+            isring = closed_rings or np.array_equal(r[0], r[-1])
+            segs = []
+            for k in range(len(r) - 1):
+                dvec = r[k + 1] - r[k]
+                L = np.hypot(*dvec)
+                if L > 0:
+                    segs.append((r[k], r[k + 1], dvec / L))
+            if not segs:
+                continue
+            if join_style == "round":
+                dr = d / np.cos(np.pi / nseg)
+                vs = [s[0] for s in segs[1:]] + ([segs[0][0]] if isring else [])
+                for v in vs:
+                    out.append([_disk_ring(v[0], v[1], dr, nseg)])
+            else:
+                for k in range(1, len(segs)):
+                    pieces = _join_pieces(segs[k][0], segs[k - 1][2],
+                                          segs[k][2], d, join_style,
+                                          mitre_limit)
+                    out.extend([pc] for pc in pieces)
+                if isring:
+                    pieces = _join_pieces(segs[0][0], segs[-1][2],
+                                          segs[0][2], d, join_style,
+                                          mitre_limit)
+                    out.extend([pc] for pc in pieces)
+            if not isring:
+                for e, u in ((segs[0][0], -segs[0][2]),
+                             (segs[-1][1], segs[-1][2])):
+                    out.extend([pc] for pc in
+                               _cap_pieces(e, u, d, cap_style, nseg))
+    return out
+
+
+def _single_sided_rings(parts, d):
+    """Left (d>0) / right (d<0) one-sided strip of each polyline
+    (GEOS single-sided buffer: flat ends, strip between the line and its
+    offset curve)."""
+    out = []
+    for p in parts:
+        for r in p:
+            for k in range(len(r) - 1):
+                dvec = r[k + 1] - r[k]
+                L = np.hypot(*dvec)
+                if L == 0:
+                    continue
+                u = dvec / L
+                n = np.array([-u[1], u[0]]) * d
+                out.append([np.array([r[k], r[k + 1], r[k + 1] + n,
+                                      r[k] + n, r[k]])])
+            # wedge fill at interior vertices on the offset side
+            for k in range(1, len(r) - 1):
+                u1 = r[k] - r[k - 1]
+                u2 = r[k + 1] - r[k]
+                L1, L2 = np.hypot(*u1), np.hypot(*u2)
+                if L1 == 0 or L2 == 0:
+                    continue
+                u1, u2 = u1 / L1, u2 / L2
+                n1 = np.array([-u1[1], u1[0]]) * d
+                n2 = np.array([-u2[1], u2[0]]) * d
+                out.append([np.array([r[k], r[k] + n1, r[k] + n2, r[k]])])
+    return out
+
+
+def buffer(ga: GeometryArray, dist, quad_segs: int = 16,
+           cap_style: str = "round", join_style: str = "round",
+           mitre_limit: float = 5.0,
+           single_sided: bool = False) -> GeometryArray:
     """Buffer with round joins. quad_segs default 16 matches the reference
     (geopandas/array.py:916-943, not shapely's 8).
+
+    ``cap_style`` ∈ {round, flat, square}, ``join_style`` ∈ {round, mitre,
+    bevel}, ``single_sided`` — the reference's full buffer kwarg matrix
+    (geopandas/array.py:916-943). Non-default styles supported for
+    positive distances; negative distances keep round semantics.
 
     Fast paths: points (regular 4*quad_segs-gon), single convex rings,
     negative buffer of axis-aligned boxes. General path (any polygon /
@@ -1330,6 +1459,34 @@ def buffer(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
             else:
                 b.append_empty(GT_POLYGON)
             continue
+        if single_sided and t in LINE_TYPES:
+            items = _single_sided_rings(parts, d)
+            _append_polys(b, _union_ring_sets(items))
+            continue
+        styled = cap_style != "round" or join_style != "round"
+        if styled and d > 0:
+            if t in POINT_TYPES:
+                if cap_style == "flat":
+                    b.append_empty(GT_POLYGON)
+                    continue
+                if cap_style == "square":
+                    items = [[np.array([[v[0] - d, v[1] - d],
+                                        [v[0] + d, v[1] - d],
+                                        [v[0] + d, v[1] + d],
+                                        [v[0] - d, v[1] + d],
+                                        [v[0] - d, v[1] - d]])]
+                             for v in _geom_points(ga, i)]
+                    _append_polys(b, _union_ring_sets(items))
+                    continue
+                # round cap on points: default path below
+            else:
+                items = _styled_dilation_rings(
+                    parts, d, nseg, cap_style, join_style, mitre_limit,
+                    closed_rings=t in POLYGON_TYPES)
+                if t in POLYGON_TYPES:
+                    items.append([_mr._close(r) for p in parts for r in p])
+                _append_polys(b, _union_ring_sets(items))
+                continue
         if t == GT_POINT and d > 0:
             c = parts[0][0][0]
             ang = 2 * np.pi * np.arange(nseg) / nseg
@@ -2197,6 +2354,31 @@ def union_all(ga: GeometryArray) -> GeometryArray:
             all_polys.extend(_merge_component(np.asarray(members)))
     _append_polys(b, all_polys)
     return b.finish()
+
+
+def _gridded(op):
+    """Add the reference's ``grid_size`` kwarg (base.py:4405-4879,
+    array.py:1002-1019) to a set operation: snap the operands to the grid,
+    run the op, snap the result — the robustness knob SURVEY §7.3
+    prescribes for stable distributed unions."""
+    import functools
+
+    @functools.wraps(op)
+    def wrapper(*arrays, grid_size=None, **kw):
+        if grid_size:
+            arrays = tuple(set_precision(a, grid_size) for a in arrays)
+        out = op(*arrays, **kw)
+        if grid_size:
+            out = set_precision(out, grid_size)
+        return out
+    return wrapper
+
+
+intersection = _gridded(intersection)
+difference = _gridded(difference)
+union = _gridded(union)
+symmetric_difference = _gridded(symmetric_difference)
+union_all = _gridded(union_all)
 
 
 def intersection_all(ga: GeometryArray) -> GeometryArray:

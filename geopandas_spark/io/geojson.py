@@ -24,9 +24,16 @@ from geopandas_spark.functions import st
 
 
 def read_geojson(spark: SparkSession, path: str, *,
-                 geom: str = "geom") -> DataFrame:
+                 geom: str = "geom",
+                 expand_properties: bool = True) -> DataFrame:
     """Read GeoJSONSeq (one Feature per line) or a FeatureCollection file
-    into a DataFrame with string properties + a WKB geometry column."""
+    into a DataFrame with property columns + a WKB geometry column.
+
+    ``expand_properties`` infers the property schema from the first
+    feature (driver-side peek) and expands it into top-level columns via
+    native ``from_json`` — the reference's read_file returns one column
+    per property (geopandas/io/file.py:197-339). Set False to keep the
+    raw ``properties`` JSON string column."""
     first = spark.read.text(path).limit(1).collect()
     head = first[0][0].lstrip() if first else ""
     if head.startswith("{") and '"FeatureCollection"' in head:
@@ -45,8 +52,20 @@ def read_geojson(spark: SparkSession, path: str, *,
         raw = lines.select(
             F.get_json_object("line", "$.properties").alias("properties"),
             F.get_json_object("line", "$.geometry").alias("__geojson__"))
-    return (raw.withColumn(geom, st.geom_from_geojson("__geojson__"))
-               .drop("__geojson__"))
+    out = (raw.withColumn(geom, st.geom_from_geojson("__geojson__"))
+              .drop("__geojson__"))
+    if expand_properties:
+        sample = out.select("properties").filter(
+            F.col("properties").isNotNull()).limit(1).collect()
+        if sample and sample[0][0] and sample[0][0] != "{}":
+            schema = spark.range(1).select(
+                F.schema_of_json(F.lit(sample[0][0])).alias("s")
+            ).collect()[0][0]
+            out = (out.withColumn("__p__", F.from_json("properties", schema))
+                      .select("__p__.*", geom))
+        else:
+            out = out.drop("properties")
+    return out
 
 
 def to_geojson(df: DataFrame, path: str, *, geom: str = "geom",

@@ -142,12 +142,20 @@ def to_gpkg(df: DataFrame, path: str, *, table: str = "layer",
     """Write a spec-compliant GeoPackage (registry tables + feature table).
 
     Streams through the driver with ``toLocalIterator`` (bounded memory);
-    returns the row count."""
-    if mode == "overwrite" and os.path.exists(path):
-        os.remove(path)
+    returns the row count. ``mode="overwrite"`` replaces only the target
+    TABLE (GeoPackages are multi-layer — reference to_file(layer=...)
+    appends layers to an existing file); other layers are preserved."""
     attrs = [f for f in df.schema.fields if f.name != geom]
     con = sqlite3.connect(path)
     try:
+        if mode == "overwrite":
+            con.execute(f'DROP TABLE IF EXISTS "{table}"')
+            for reg in ("gpkg_contents", "gpkg_geometry_columns"):
+                try:
+                    con.execute(f"DELETE FROM {reg} WHERE table_name = ?",
+                                (table,))
+                except sqlite3.OperationalError:
+                    pass    # registry not created yet (fresh file)
         con.execute("PRAGMA application_id = 0x47504B47")
         con.execute("PRAGMA user_version = 10300")
         con.execute("""CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (

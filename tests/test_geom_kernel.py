@@ -874,3 +874,51 @@ def test_utm_transform():
     assert out[0, 1] > 6e6
     back = crs.transform_coords(out, "EPSG:32721", "EPSG:4326")
     assert np.abs(back - c).max() < 1e-12
+
+
+def test_buffer_styles():
+    """cap_style / join_style / single_sided matrix — exact areas."""
+    import numpy as np
+    from geopandas_spark.geom import algos, wkt
+    def g(w): return wkt.parse_array([w])
+    r = 5.0
+    assert algos.area(algos.buffer(g("POINT (10 10)"), r,
+                                   cap_style="square"))[0] == 100.0
+    assert algos.count_geometries(algos.buffer(g("POINT (10 10)"), r,
+                                               cap_style="flat"))[0] == 0
+    line = "LINESTRING (0 0, 40 0)"
+    assert algos.area(algos.buffer(g(line), r, cap_style="flat",
+                                   join_style="mitre"))[0] == 400.0
+    assert algos.area(algos.buffer(g(line), r, cap_style="square",
+                                   join_style="mitre"))[0] == 500.0
+    # right-angle polyline: union(2 rects)=675, mitre corner +25, bevel +12.5
+    bent = "LINESTRING (0 0, 40 0, 40 30)"
+    assert algos.area(algos.buffer(g(bent), r, cap_style="flat",
+                                   join_style="mitre"))[0] == 700.0
+    assert algos.area(algos.buffer(g(bent), r, cap_style="flat",
+                                   join_style="bevel"))[0] == 687.5
+    box = "POLYGON ((0 0, 40 0, 40 20, 0 20, 0 0))"
+    assert algos.area(algos.buffer(g(box), r, join_style="mitre"))[0] == 1500.0
+    assert algos.area(algos.buffer(g(box), r, join_style="bevel"))[0] == 1450.0
+    # single-sided: left of direction for +d, right for -d
+    ss = algos.buffer(g(line), r, single_sided=True)
+    assert algos.area(ss)[0] == 200.0 and algos.bounds(ss)[0][1] == 0.0
+    ss2 = algos.buffer(g(line), -r, single_sided=True)
+    assert algos.area(ss2)[0] == 200.0 and algos.bounds(ss2)[0][1] == -5.0
+
+
+def test_grid_size_setops():
+    """grid_size snaps operands + result (reference base.py:4405-4879)."""
+    from geopandas_spark.geom import algos, wkt
+    def g(w): return wkt.parse_array([w])
+    a = g("POLYGON ((0.3 0.3, 10.4 0.3, 10.4 10.4, 0.3 10.4, 0.3 0.3))")
+    b = g("POLYGON ((5.6 0.6, 15.6 0.6, 15.6 10.6, 5.6 10.6, 5.6 0.6))")
+    # snapped: a=[0,10]^2, b=[6,16]x[1,11] -> inter (10-6)*(10-1)=36
+    assert algos.area(algos.intersection(a, b, grid_size=1.0))[0] == 36.0
+    assert algos.area(algos.union(a, b, grid_size=1.0))[0] == 100 + 100 - 36
+    assert algos.area(algos.difference(a, b, grid_size=1.0))[0] == 64.0
+    # union_all with grid
+    both = wkt.parse_array([
+        "POLYGON ((0.3 0.3, 10.4 0.3, 10.4 10.4, 0.3 10.4, 0.3 0.3))",
+        "POLYGON ((5.6 0.6, 15.6 0.6, 15.6 10.6, 5.6 10.6, 5.6 0.6))"])
+    assert algos.area(algos.union_all(both, grid_size=1.0))[0] == 164.0

@@ -66,11 +66,16 @@ def test_geojsonseq_roundtrip(spark, tmp_path):
     path = str(tmp_path / "seq_geojson")
     to_geojson(df, path)
     back = read_geojson(spark, path)
-    got = {json.loads(r.properties)["id"]: r.wkt for r in
-           back.select("properties", st.as_text("geom").alias("wkt")).collect()}
+    # properties expand into typed top-level columns (reference read_file)
+    assert set(back.columns) == {"id", "name", "geom"}
+    got = {r.id: r.wkt for r in
+           back.select("id", st.as_text("geom").alias("wkt")).collect()}
     assert got[1] == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
     assert got[2] == "LINESTRING (0 0, 5 5)"
     assert got[3] == "POINT (7 8)"
+    # raw mode keeps the JSON string column
+    raw = read_geojson(spark, path, expand_properties=False)
+    assert "properties" in raw.columns
 
 
 def test_featurecollection_read(spark, tmp_path):
