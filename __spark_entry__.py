@@ -2414,6 +2414,137 @@ SELECT 'beta', 'Unknown'
 """
 
 
+_SQL_OVERLAY_COV = f"""
+  SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+         GREATEST(0, LEAST({BX0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BX0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BX0.replace('n_nationkey', 'n2.n_nationkey')} + 100)) *
+         GREATEST(0, LEAST({BY0.replace('n_nationkey', 'n1.n_nationkey')} + 200,
+               {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 300)
+         - GREATEST({BY0.replace('n_nationkey', 'n1.n_nationkey')},
+                    {BY0.replace('n_nationkey', 'n2.n_nationkey')} + 100)) AS cov
+  FROM nation n1 CROSS JOIN nation n2
+"""
+
+
+def q_overlay_union(spark, sf_dir):
+    """overlay how=union (reference tools/overlay.py:36): intersection
+    pieces + left remainders + right remainders."""
+    d1 = _nat(spark, sf_dir).select(F.col("n_nationkey").alias("nk1"), "geom")
+    d2 = (_nat_shifted(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("nk2"), "geom"))
+    out = overlay(d1, d2, "union", strategy="broadcast")
+    return out.select("nk1", "nk2", F.round(st.area("geom"), 6).alias("area"))
+
+
+SQL_OVERLAY_UNION = f"""
+WITH cov AS ({_SQL_OVERLAY_COV})
+SELECT k1 AS nk1, k2 AS nk2, ROUND(CAST(cov AS DOUBLE), 6) AS area
+FROM cov WHERE cov > 0
+UNION ALL
+SELECT k1 AS nk1, NULL AS nk2, ROUND(CAST(40000 - SUM(cov) AS DOUBLE), 6)
+FROM cov GROUP BY k1 HAVING SUM(cov) < 40000
+UNION ALL
+SELECT NULL AS nk1, k2 AS nk2, ROUND(CAST(40000 - SUM(cov) AS DOUBLE), 6)
+FROM cov GROUP BY k2 HAVING SUM(cov) < 40000
+"""
+
+
+def q_overlay_identity(spark, sf_dir):
+    """overlay how=identity: union restricted to the left frame's extent
+    (intersection pieces + left remainders)."""
+    d1 = _nat(spark, sf_dir).select(F.col("n_nationkey").alias("nk1"), "geom")
+    d2 = (_nat_shifted(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("nk2"), "geom"))
+    out = overlay(d1, d2, "identity", strategy="broadcast")
+    return out.select("nk1", "nk2", F.round(st.area("geom"), 6).alias("area"))
+
+
+SQL_OVERLAY_IDENTITY = f"""
+WITH cov AS ({_SQL_OVERLAY_COV})
+SELECT k1 AS nk1, k2 AS nk2, ROUND(CAST(cov AS DOUBLE), 6) AS area
+FROM cov WHERE cov > 0
+UNION ALL
+SELECT k1 AS nk1, NULL AS nk2, ROUND(CAST(40000 - SUM(cov) AS DOUBLE), 6)
+FROM cov GROUP BY k1 HAVING SUM(cov) < 40000
+"""
+
+
+def q_overlay_symdiff(spark, sf_dir):
+    """overlay how=symmetric_difference: both remainders, no pairs."""
+    d1 = _nat(spark, sf_dir).select(F.col("n_nationkey").alias("nk1"), "geom")
+    d2 = (_nat_shifted(spark, sf_dir)
+          .select(F.col("n_nationkey").alias("nk2"), "geom"))
+    out = overlay(d1, d2, "symmetric_difference", strategy="broadcast")
+    return out.select("nk1", "nk2", F.round(st.area("geom"), 6).alias("area"))
+
+
+SQL_OVERLAY_SYMDIFF = f"""
+WITH cov AS ({_SQL_OVERLAY_COV})
+SELECT k1 AS nk1, NULL AS nk2, ROUND(CAST(40000 - SUM(cov) AS DOUBLE), 6)
+    AS area
+FROM cov GROUP BY k1 HAVING SUM(cov) < 40000
+UNION ALL
+SELECT NULL AS nk1, k2 AS nk2, ROUND(CAST(40000 - SUM(cov) AS DOUBLE), 6)
+FROM cov GROUP BY k2 HAVING SUM(cov) < 40000
+"""
+
+
+def q_dissolve_mean(spark, sf_dir):
+    """Two-phase dissolve with the mean aggregate (sum+count split across
+    partials — exact for integer inputs in double)."""
+    cust = _cust(spark, sf_dir)
+    dis = dissolve(cust, "c_nationkey",
+                   {"c_custkey": "mean", "c_acctbal": "max"},
+                   two_phase=True)
+    return dis.select(
+        F.col("c_nationkey").alias("nk"),
+        st.ngeometries("geom").alias("n_pts"),
+        F.col("c_custkey_mean").alias("key_mean"),
+        F.round("c_acctbal_max", 2).alias("bal_max"))
+
+
+SQL_DISSOLVE_MEAN = f"""
+SELECT c_nationkey AS nk,
+       COUNT(DISTINCT {PX} * 1000 + {PY}) AS n_pts,
+       SUM(CAST(c_custkey AS DOUBLE)) / COUNT(*) AS key_mean,
+       ROUND(MAX(c_acctbal), 2) AS bal_max
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def q_concat_cx(spark, sf_dir):
+    """Frame surface: concat (CRS-checked vertical union), cx bbox
+    indexer, set_geometry/rename_geometry metadata plumbing."""
+    from geopandas_spark import GeoFrame
+    from geopandas_spark.frame import concat
+    c = (_cust(spark, sf_dir)
+         .select(F.col("c_custkey").alias("k"), "geom"))
+    s = (_supp(spark, sf_dir)
+         .select((F.col("s_suppkey") + 1000000).alias("k"),
+                 F.col("geom").alias("g2")))
+    gf1 = GeoFrame(c, geometry="geom").set_crs("EPSG:3857")
+    gf2 = (GeoFrame(s, geometry="g2").set_crs("EPSG:3857")
+           .rename_geometry("geom"))
+    both = concat([gf1, gf2])
+    box = both.cx[0:500, 0:500]
+    return (box.df.agg(F.count("*").alias("n_in"),
+                       F.sum("k").cast("double").alias("k_sum")))
+
+
+SQL_CONCAT_CX = f"""
+WITH pts AS (
+  SELECT c_custkey AS k, {PX} AS x, {PY} AS y FROM customer
+  UNION ALL
+  SELECT s_suppkey + 1000000, {SX}, {SY} FROM supplier
+)
+SELECT COUNT(*) AS n_in, CAST(SUM(k) AS DOUBLE) AS k_sum
+FROM pts WHERE x <= 500 AND y <= 500
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -2504,6 +2635,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_geojsonseq": q_rt_geojsonseq,
         "rt_feather": q_rt_feather,
         "list_layers": q_list_layers,
+        "overlay_union": q_overlay_union,
+        "overlay_identity": q_overlay_identity,
+        "overlay_symdiff": q_overlay_symdiff,
+        "dissolve_mean": q_dissolve_mean,
+        "concat_cx": q_concat_cx,
     }
 
 
@@ -2597,4 +2733,9 @@ def oracle_sql() -> dict[str, str]:
         "rt_geojsonseq": _SQL_RT,
         "rt_feather": _SQL_RT,
         "list_layers": SQL_LIST_LAYERS,
+        "overlay_union": SQL_OVERLAY_UNION,
+        "overlay_identity": SQL_OVERLAY_IDENTITY,
+        "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
+        "dissolve_mean": SQL_DISSOLVE_MEAN,
+        "concat_cx": SQL_CONCAT_CX,
     }

@@ -85,13 +85,57 @@ def main():
             times[name] = None
             print(f"# bench {name} failed: {e}", file=sys.stderr)
 
+    # single-node baseline: DuckDB running each query's oracle-SQL twin on
+    # the same parquet (geopandas/shapely are not installable in this
+    # container — see VERDICT r1 'Performance vs baseline'; the twins are
+    # algebraic rewrites, so this anchors the constant factors, not the
+    # geometry kernels). Skipped quietly if duckdb is unavailable.
+    baseline = {}
+    headline_to_oracle = {
+        "sjoin_broadcast": "sjoin", "sjoin_grid": "sjoin_grid",
+        "sjoin_nearest": "sjoin_nearest", "distance_pairs": "distance",
+        "dissolve": "dissolve", "clip": "clip", "predicates": "predicates",
+        "minhash": "minhash", "cosine_topk": "cosine_topk",
+        "pricing_summary": "pricing_summary",
+        "revenue_by_nation": "revenue_by_nation",
+        "buffer_centroid_sweep": "buffer",
+    }
+    try:
+        import duckdb
+        sqls = entry.oracle_sql()
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            p = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS "
+                            f"SELECT * FROM read_parquet('{p}')")
+        for name, oname in headline_to_oracle.items():
+            if oname not in sqls:
+                continue
+            try:
+                t0 = time.time()
+                con.execute(sqls[oname]).fetchall()
+                baseline[name] = round(time.time() - t0, 3)
+            except Exception as e:
+                baseline[name] = None
+                print(f"# baseline {name} failed: {e}", file=sys.stderr)
+        con.close()
+    except ImportError:
+        pass
+
     total = round(sum(t for t in times.values() if t is not None), 3)
+    base_total = round(sum(t for t in baseline.values() if t is not None), 3) \
+        if baseline else None
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_suite_runtime",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "baseline": baseline,
+        "baseline_total": base_total,
+        "baseline_engine": "duckdb-oracle-twins",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
     }))

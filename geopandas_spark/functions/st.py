@@ -384,8 +384,10 @@ def _relatematch(a: pd.Series, b: pd.Series, pat: pd.Series) -> pd.Series:
 
 @_reg("st_concavehull")
 @pandas_udf(BinaryType())
-def _concavehull(s: pd.Series, ratio: pd.Series) -> pd.Series:
-    return _enc(algos.concave_hull(_decode(s), float(ratio.iloc[0])))
+def _concavehull(s: pd.Series, ratio: pd.Series,
+                 allow_holes: pd.Series) -> pd.Series:
+    return _enc(algos.concave_hull(_decode(s), float(ratio.iloc[0]),
+                                   bool(allow_holes.iloc[0])))
 
 
 @_reg("st_isvalidreason")
@@ -1065,7 +1067,10 @@ def to_crs(c, src, dst) -> Column:
     return _REGISTRY["st_transform"](_col(c), F.lit(str(src)), F.lit(str(dst)))
 
 
-def sample_points(c, size, seed=0) -> Column:
+def sample_points(c, size, seed=0, method="uniform") -> Column:
+    if method != "uniform":
+        raise NotImplementedError(
+            "sample_points: only method='uniform' is built in")
     return _REGISTRY["st_samplepoints"](_col(c), _col(size), F.lit(int(seed)))
 
 
@@ -1097,8 +1102,9 @@ def constrained_delaunay_triangles(c) -> Column:
     return _REGISTRY["st_constraineddelaunaytriangles"](_col(c))
 
 
-def concave_hull(c, ratio=0.0) -> Column:
-    return _REGISTRY["st_concavehull"](_col(c), F.lit(float(ratio)))
+def concave_hull(c, ratio=0.0, allow_holes=False) -> Column:
+    return _REGISTRY["st_concavehull"](_col(c), F.lit(float(ratio)),
+                                       F.lit(bool(allow_holes)))
 
 
 def skew(c, xs_deg=0.0, ys_deg=0.0) -> Column:

@@ -3232,11 +3232,17 @@ def build_area(ga: GeometryArray) -> GeometryArray:
 # random sampling (reference: sample_points base.py:6379, tools/_random.py)
 # ---------------------------------------------------------------------------
 
-def sample_points(ga: GeometryArray, size, seed: int = 0) -> GeometryArray:
+def sample_points(ga: GeometryArray, size, seed: int = 0,
+                  method: str = "uniform") -> GeometryArray:
     """Uniform random points within each polygon (rejection sampling in the
     bbox, like the reference's batched sampler) or along each line
     (length-weighted). Deterministic: per-row rng seeded (seed, row) so
     results are stable across partitionings and retries."""
+    if method != "uniform":
+        raise NotImplementedError(
+            f"sample_points method={method!r}: only 'uniform' is built in "
+            "(the reference delegates other methods to the optional "
+            "pointpats package, geopandas/tools/_random.py)")
     size = np.broadcast_to(np.asarray(size, dtype=np.int64), (len(ga),))
     bb = bounds(ga)
     b = GeometryBuilder()

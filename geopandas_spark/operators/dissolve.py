@@ -57,17 +57,25 @@ def _apply_aggs(pdf: pd.DataFrame, aggfunc: dict) -> dict:
 
 
 def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
-             two_phase: bool = True) -> DataFrame:
+             two_phase=None) -> DataFrame:
     """GroupBy ``by``, union geometries, aggregate other columns with
     ``aggfunc`` = {column: "sum"|"min"|"max"|"count"|"first"|"mean"}.
 
-    ``two_phase`` (the default — the scale-safe plan) pre-unions per
-    (key, input partition) before the final per-key merge, so one hot key
-    never concentrates its whole group in a single task's memory. ``mean``
-    splits into sum+count partials and divides at the end."""
+    ``two_phase`` pre-unions WITHIN each input partition (shuffle-free
+    mapInPandas combine) before the final per-key merge, so one hot key
+    never concentrates its whole group in a single task's memory — the
+    scale-safe plan. Default ``None`` = auto: two-phase whenever the input
+    has more than one partition (with a single partition the combine is
+    pure overhead and the plans are identical). ``mean`` splits into
+    sum+count partials and divides at the end."""
     if isinstance(by, str):
         by = [by]
     aggfunc = dict(aggfunc or {})
+    if two_phase is None:
+        try:
+            two_phase = df.rdd.getNumPartitions() > 1
+        except Exception:
+            two_phase = True
 
     in_fields = {f.name: f for f in df.schema.fields}
     out_schema = StructType(
@@ -100,24 +108,33 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
         [in_fields[k] for k in by] +
         [StructField(geom, BinaryType(), True)] + partial_fields)
 
-    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ga = wkb.decode(pdf[geom].tolist())
-        u = wkb.encode(algos.union_all(ga))[0]
-        row = {k: [v] for k, v in zip(by, key[:-1])}
-        row[geom] = [u]
-        for c, fn in aggfunc.items():
-            s = pdf[c]
-            if fn == "mean":
-                row[f"{c}__psum"] = [float(s.sum())]
-                row[f"{c}__pcnt"] = [int(s.count())]
-            else:
-                row.update({k2: [v2] for k2, v2 in
-                            _apply_aggs(pdf, {c: fn}).items()})
-        return pd.DataFrame(row)
+    def partial(batches):
+        # map-side combine: pandas groupby WITHIN each input partition —
+        # no shuffle; the only shuffle in the whole plan is phase 2's
+        # per-key merge of the (bounded) partials
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {name: [] for name in
+                    [*by, geom] + [f.name for f in partial_fields]}
+            for key, grp in pdf.groupby(by, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                ga = wkb.decode(grp[geom].tolist())
+                u = wkb.encode(algos.union_all(ga))[0]
+                for k, v in zip(by, key):
+                    rows[k].append(v)
+                rows[geom].append(u)
+                for c, fn in aggfunc.items():
+                    s = grp[c]
+                    if fn == "mean":
+                        rows[f"{c}__psum"].append(float(s.sum()))
+                        rows[f"{c}__pcnt"].append(int(s.count()))
+                    else:
+                        for k2, v2 in _apply_aggs(grp, {c: fn}).items():
+                            rows[k2].append(v2)
+            yield pd.DataFrame(rows)
 
-    staged = (df.withColumn("__pid__", F.spark_partition_id())
-                .groupBy(*by, "__pid__")
-                .applyInPandas(partial, schema=partial_schema))
+    staged = df.mapInPandas(partial, schema=partial_schema)
 
     # -- phase 2: merge partials per key ----------------------------------
     def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
