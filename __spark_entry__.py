@@ -1973,19 +1973,32 @@ def _shift_double(coords):
     return out
 
 
+def _mirror_row(ga, i):
+    """Row fn for st.apply: mirror each point through the origin."""
+    if ga.types[i] == 0:
+        return None
+    parts = ga.geom_slices(i)
+    return int(ga.types[i]), [[-r for r in rings] for rings in parts]
+
+
 def q_transform_apply(spark, sf_dir):
-    """st.transform_coords: user fn over the flat coordinate buffer
-    (reference GeoSeries.transform base.py:2257)."""
+    """st.transform_coords (flat coordinate-buffer fn, reference
+    GeoSeries.transform base.py:2257) + st.apply (per-row fn, reference
+    GeoSeries.apply geoseries.py:806)."""
     c = _cust(spark, sf_dir)
     g = st.transform_coords("geom", _shift_double)
+    m = st.apply("geom", _mirror_row)
     return c.select(F.col("c_custkey").alias("id"),
-                    st.x(g).alias("tx"), st.y(g).alias("ty"))
+                    st.x(g).alias("tx"), st.y(g).alias("ty"),
+                    st.x(m).alias("mx"), st.y(m).alias("my"))
 
 
 SQL_TRANSFORM_APPLY = f"""
 SELECT c_custkey AS id,
        CAST({PX} + 1 AS DOUBLE) AS tx,
-       CAST({PY} * 2 AS DOUBLE) AS ty
+       CAST({PY} * 2 AS DOUBLE) AS ty,
+       CAST(-{PX} AS DOUBLE) AS mx,
+       CAST(-{PY} AS DOUBLE) AS my
 FROM customer
 """
 
@@ -2545,6 +2558,45 @@ FROM pts WHERE x <= 500 AND y <= 500
 """
 
 
+def q_valid_reason_orient(spark, sf_dir):
+    """is_valid_reason strings, orient_polygons (CCW exterior
+    canonicalization), absolute + normalized line interpolation."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    w, h = (k % 5 + 1) * 8, (k % 3 + 1) * 6
+    ok_ring = F.concat(F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w,
+                       F.lit(" "), h, F.lit(", 0 "), h, F.lit(", 0 0))"))
+    bow = F.concat(F.lit("POLYGON ((0 0, "), w, F.lit(" "), h, F.lit(", "),
+                   w, F.lit(" 0, 0 "), h, F.lit(", 0 0))"))
+    geom = st.geom_from_text(F.when(k % 2 == 0, ok_ring).otherwise(bow))
+    cw = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, 0 "), h, F.lit(", "), w, F.lit(" "), h,
+        F.lit(", "), w, F.lit(" 0, 0 0))")))
+    oriented = st.orient_polygons(cw)
+    line = st.geom_from_text(F.concat(F.lit("LINESTRING (0 0, "), w * 10,
+                                      F.lit(" 0)")))
+    return c.select(
+        k.alias("id"),
+        st.is_valid_reason(geom).alias("reason"),
+        st.is_ccw(st.exterior(oriented)).alias("or_ccw"),
+        F.round(st.area(oriented), 6).alias("or_area"),
+        st.x(st.interpolate(line, F.lit(13.0))).alias("ip_abs"),
+        st.x(st.line_interpolate_point(line, F.lit(0.25))).alias("ip_norm"))
+
+
+SQL_VALID_REASON_ORIENT = """
+SELECT c_custkey AS id,
+       CASE WHEN c_custkey % 2 = 0 THEN 'Valid Geometry'
+            ELSE 'Self-intersection' END AS reason,
+       TRUE AS or_ccw,
+       ROUND(CAST((c_custkey % 5 + 1) * 8 * ((c_custkey % 3 + 1) * 6)
+             AS DOUBLE), 6) AS or_area,
+       13.0 AS ip_abs,
+       ROUND((c_custkey % 5 + 1) * 8 * 10 * 0.25, 6) AS ip_norm
+FROM customer
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -2640,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_symdiff": q_overlay_symdiff,
         "dissolve_mean": q_dissolve_mean,
         "concat_cx": q_concat_cx,
+        "valid_reason_orient": q_valid_reason_orient,
     }
 
 
@@ -2738,4 +2791,5 @@ def oracle_sql() -> dict[str, str]:
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
         "dissolve_mean": SQL_DISSOLVE_MEAN,
         "concat_cx": SQL_CONCAT_CX,
+        "valid_reason_orient": SQL_VALID_REASON_ORIENT,
     }

@@ -140,33 +140,144 @@ def read_feather(spark: SparkSession, path: str, *,
 # GeoArrow interchange (reference io/_geoarrow.py:83-199 — WKB encoding)
 # ---------------------------------------------------------------------------
 
-def to_arrow(df: DataFrame, *, geom: str = "geom", crs=None):
+_GA_NATIVE_NAMES = {1: "geoarrow.point", 2: "geoarrow.linestring",
+                    3: "geoarrow.polygon", 4: "geoarrow.multipoint",
+                    5: "geoarrow.multilinestring", 6: "geoarrow.multipolygon"}
+
+
+def _native_geoarrow_array(blobs):
+    """WKB column → (pyarrow nested array, geoarrow extension name) using
+    the GeoArrow interleaved-coordinate encoding (reference
+    geopandas/io/_geoarrow.py:264-408 native encodings): point =
+    fixed_size_list<double,2>, each further level adds a list."""
+    import pyarrow as pa
+    from geopandas_spark.geom import wkb as _wkb
+
+    ga = _wkb.decode(blobs)
+    fams = {int(t) for t in ga.types if t != 0}
+    # promote single types to their multi within one family
+    promote = len(fams) > 1
+    fam_of = {1: 1, 4: 1, 2: 2, 5: 2, 3: 3, 6: 3}
+    if len({fam_of.get(t) for t in fams}) > 1:
+        raise ValueError(
+            "mixed geometry families cannot use a native geoarrow "
+            "encoding — use geometry_encoding='WKB' (the reference "
+            "raises likewise, io/_geoarrow.py)")
+    target = max(fams) if fams else 1
+    if promote:
+        target = {1: 4, 2: 5, 3: 6}.get(target, target)
+
+    rows = []
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == 0:
+            rows.append(None)
+            continue
+        parts = ga.geom_slices(i)
+        if target == 1:
+            rows.append(list(parts[0][0][0]) if parts else None)
+        elif target == 2:
+            rows.append([list(p) for p in parts[0][0]] if parts else [])
+        elif target == 3:
+            rows.append([[list(c) for c in r] for r in parts[0]]
+                        if parts else [])
+        elif target == 4:
+            rows.append([list(p[0][0]) for p in parts])
+        elif target == 5:
+            rows.append([[list(c) for c in p[0]] for p in parts])
+        else:
+            rows.append([[[list(c) for c in r] for r in p] for p in parts])
+
+    coord = pa.list_(pa.float64(), 2)
+    depth = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2, 6: 3}[target]
+    typ = coord
+    for _ in range(depth):
+        typ = pa.list_(typ)
+    return pa.array(rows, type=typ), _GA_NATIVE_NAMES[target]
+
+
+def to_arrow(df: DataFrame, *, geom: str = "geom", crs=None,
+             geometry_encoding: str = "WKB"):
     """Driver-side interchange: collect to a pyarrow Table whose geometry
-    field carries ``ARROW:extension:name = geoarrow.wkb`` metadata —
-    consumable by anything speaking the GeoArrow PyCapsule protocol
-    (reference GeoDataFrame.to_arrow). For big data use to_parquet/
-    to_feather instead; this materializes on the driver by design."""
+    field carries GeoArrow extension metadata — consumable by anything
+    speaking the GeoArrow PyCapsule protocol (reference
+    GeoDataFrame.to_arrow). ``geometry_encoding``: "WKB" (default) keeps
+    the bytes; "geoarrow" re-encodes into the native interleaved nested
+    layout (geoarrow.point/linestring/... per the uniform geometry type).
+    For big data use to_parquet/to_feather instead; this materializes on
+    the driver by design."""
     import pyarrow as pa
 
     table = pa.Table.from_batches(df._collect_as_arrow())
     idx = table.schema.get_field_index(geom)
-    fld = table.schema.field(idx)
     ext_meta = {"crs": crs} if crs else {}
+    if geometry_encoding.lower() in ("geoarrow", "native"):
+        arr, ext_name = _native_geoarrow_array(
+            table.column(idx).to_pylist())
+        fld = pa.field(geom, arr.type, nullable=True, metadata={
+            b"ARROW:extension:name": ext_name.encode(),
+            b"ARROW:extension:metadata": json.dumps(ext_meta).encode()})
+        return table.set_column(idx, fld, arr)
+    fld = table.schema.field(idx)
     fld = fld.with_metadata({
         b"ARROW:extension:name": b"geoarrow.wkb",
         b"ARROW:extension:metadata": json.dumps(ext_meta).encode()})
     return table.cast(table.schema.set(idx, fld))
 
 
+def _native_geoarrow_to_wkb(arr, ext_name: str):
+    """GeoArrow native nested array → list of WKB bytes."""
+    from geopandas_spark.geom import wkb as _wkb
+    from geopandas_spark.geom.array import GeometryBuilder
+    import numpy as np
+
+    t = {"geoarrow.point": 1, "geoarrow.linestring": 2,
+         "geoarrow.polygon": 3, "geoarrow.multipoint": 4,
+         "geoarrow.multilinestring": 5, "geoarrow.multipolygon": 6}[ext_name]
+    b = GeometryBuilder()
+    for row in arr.to_pylist():
+        if row is None:
+            b.append_null()
+            continue
+        if t == 1:
+            b.append_point(row[0], row[1])
+        elif t == 2:
+            b.append(2, [[np.asarray(row, float)]])
+        elif t == 3:
+            b.append(3, [[np.asarray(r, float) for r in row]])
+        elif t == 4:
+            b.append(4, [[np.asarray([p], float)] for p in row])
+        elif t == 5:
+            b.append(5, [[np.asarray(p, float)] for p in row])
+        else:
+            b.append(6, [[np.asarray(r, float) for r in p] for p in row])
+    return _wkb.encode(b.finish())
+
+
 def from_arrow(spark: SparkSession, table) -> DataFrame:
     """Driver-side interchange: a pyarrow Table (or any object exporting
-    the Arrow PyCapsule stream protocol) → DataFrame; ``geoarrow.wkb``
-    extension columns arrive as plain WKB binary (reference
-    GeoDataFrame.from_arrow, geodataframe.py:917)."""
+    the Arrow PyCapsule stream protocol) → DataFrame. ``geoarrow.wkb``
+    columns arrive as plain WKB binary; native ``geoarrow.point`` /
+    ``linestring`` / ``polygon`` / ``multi*`` nested encodings are
+    re-encoded to WKB (reference GeoDataFrame.from_arrow,
+    geodataframe.py:917, io/_geoarrow.py:264-408)."""
     import pyarrow as pa
 
     if not isinstance(table, pa.Table):
         table = pa.table(table)
+    # native nested encodings → WKB columns
+    for idx in range(table.num_columns):
+        fld = table.schema.field(idx)
+        md = fld.metadata or {}
+        name = md.get(b"ARROW:extension:name", b"").decode()
+        if name.startswith("geoarrow.") and name != "geoarrow.wkb":
+            blobs = _native_geoarrow_to_wkb(
+                table.column(idx).combine_chunks(), name)
+            keep = {k: v for k, v in md.items()
+                    if not k.startswith(b"ARROW:extension")}
+            table = table.set_column(
+                idx, pa.field(fld.name, pa.binary(), metadata=keep or None),
+                pa.array(blobs, pa.binary()))
     # strip extension metadata so Spark sees plain binary
     fields = []
     for fld in table.schema:

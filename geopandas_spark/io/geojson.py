@@ -9,8 +9,10 @@ Two framings:
   the geometry object. Write is the exact inverse — native ``to_json``
   over a struct column. Arbitrarily large datasets stream through.
 - **FeatureCollection** (single JSON document): inherently one object —
-  read/written driver-side for small files only, mirroring the
-  reference's single-machine behavior.
+  read/written driver-side for small files only (practical ceiling
+  ~1M features / driver heap), mirroring the reference's single-machine
+  behavior. Anything bigger belongs in GeoJSONSeq, the distributed
+  framing above.
 """
 
 from __future__ import annotations

@@ -144,7 +144,11 @@ def to_gpkg(df: DataFrame, path: str, *, table: str = "layer",
     Streams through the driver with ``toLocalIterator`` (bounded memory);
     returns the row count. ``mode="overwrite"`` replaces only the target
     TABLE (GeoPackages are multi-layer — reference to_file(layer=...)
-    appends layers to an existing file); other layers are preserved."""
+    appends layers to an existing file); other layers are preserved.
+
+    Throughput ceiling: SQLite is single-writer — driver-paced, practical
+    up to ~10M rows. At scale write GeoParquet/GeoJSONSeq (distributed
+    sinks) and produce a GeoPackage extract at the edge."""
     attrs = [f for f in df.schema.fields if f.name != geom]
     con = sqlite3.connect(path)
     try:

@@ -319,7 +319,12 @@ def _dbf_format(value, ftype: str, flen: int, fdec: int) -> bytes:
 
 def to_shapefile(df: DataFrame, path: str, *, geom: str = "geom") -> int:
     """Write .shp/.shx/.dbf. Streams through the driver via
-    ``toLocalIterator`` (bounded memory); returns the record count."""
+    ``toLocalIterator`` (bounded memory); returns the record count.
+
+    Throughput ceiling: single-writer by format (one .shp file, global
+    record offsets) — practical up to ~10M rows / the 2 GiB .shp format
+    cap, whichever comes first. At scale write GeoParquet or GeoJSONSeq
+    (distributed sinks) and export a shapefile extract at the edge."""
     base = os.path.splitext(path)[0]
     attrs = [f for f in df.schema.fields if f.name != geom]
     specs = [(f.name, *_dbf_field_spec(f)) for f in attrs]

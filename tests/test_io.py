@@ -282,3 +282,45 @@ def test_read_to_file_dispatch(spark, tmp_path):
         assert t == "POINT (1 2)", name
     with pytest.raises(ValueError):
         to_file(df, str(tmp_path / "d.xyz"))
+
+
+def test_geoarrow_native_roundtrip(spark):
+    """Native geoarrow.* nested encodings round-trip through to_arrow /
+    from_arrow (reference io/_geoarrow.py:264-408)."""
+    from geopandas_spark.io.feather import to_arrow, from_arrow
+    wkts = ["POINT (1 2)", "POINT (3 4)", None]
+    df = (spark.createDataFrame([(i, w) for i, w in enumerate(wkts)],
+                                ["id", "wkt"])
+          .withColumn("geom", st.geom_from_text("wkt")).drop("wkt"))
+    t = to_arrow(df, geom="geom", geometry_encoding="geoarrow")
+    fld = t.schema.field(t.schema.get_field_index("geom"))
+    assert fld.metadata[b"ARROW:extension:name"] == b"geoarrow.point"
+    back = from_arrow(spark, t)
+    got = {r.id: r.w for r in
+           back.withColumn("w", st.as_text("geom")).collect()}
+    assert got[0] == "POINT (1 2)" and got[1] == "POINT (3 4)"
+    assert got[2] is None
+
+    wkts2 = ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+             "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))"]
+    df2 = (spark.createDataFrame([(i, w) for i, w in enumerate(wkts2)],
+                                 ["id", "wkt"])
+           .withColumn("geom", st.geom_from_text("wkt")).drop("wkt"))
+    t2 = to_arrow(df2, geom="geom", geometry_encoding="geoarrow")
+    fld2 = t2.schema.field(t2.schema.get_field_index("geom"))
+    # mixed polygon/multipolygon promotes to multipolygon
+    assert fld2.metadata[b"ARROW:extension:name"] == b"geoarrow.multipolygon"
+    back2 = from_arrow(spark, t2)
+    got2 = {r.id: r.w for r in
+            back2.withColumn("w", st.as_text("geom")).collect()}
+    assert got2[0].startswith("MULTIPOLYGON (((0 0, 4 0")
+    # lines
+    wkts3 = ["LINESTRING (0 0, 5 5)", "LINESTRING (1 1, 2 2, 3 3)"]
+    df3 = (spark.createDataFrame([(i, w) for i, w in enumerate(wkts3)],
+                                 ["id", "wkt"])
+           .withColumn("geom", st.geom_from_text("wkt")).drop("wkt"))
+    t3 = to_arrow(df3, geom="geom", geometry_encoding="geoarrow")
+    back3 = from_arrow(spark, t3)
+    got3 = {r.id: r.w for r in
+            back3.withColumn("w", st.as_text("geom")).collect()}
+    assert got3[1] == "LINESTRING (1 1, 2 2, 3 3)"
