@@ -2597,6 +2597,215 @@ FROM customer
 """
 
 
+def q_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification on LSH candidate pairs (the
+    scale path: never all-pairs; pipeline/dedup.py:87)."""
+    from geopandas_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                                ngram_jaccard_pairs)
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.col("n_chars") >= 8))
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1000)
+    both = d.unionByName(dup)
+    cand = minhash_lsh_pairs(both, num_hashes=4, bands=2, k=8)
+    out = ngram_jaccard_pairs(both, k=8, threshold=0.5, candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jac"))
+
+
+SQL_JACCARD = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100 AND n_chars >= 8
+  UNION ALL
+  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100 AND n_chars >= 8
+), sigs AS (
+  SELECT doc_id AS id,
+         {_sql_minhash_sig(0)} AS s0, {_sql_minhash_sig(1)} AS s1,
+         {_sql_minhash_sig(2)} AS s2, {_sql_minhash_sig(3)} AS s3
+  FROM base
+), banded AS (
+  SELECT id, 0 AS band, s0 || '#' || s1 AS bk FROM sigs
+  UNION ALL
+  SELECT id, 1 AS band, s2 || '#' || s3 AS bk FROM sigs
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk
+  WHERE a.id < b.id
+), sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 7, 1) + 1),
+           i -> substr(text, i, 8))) AS s
+  FROM base
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Sign-bucket LSH approximate top-k (pipeline/similarity.py:70):
+    deterministic axis-aligned hyperplanes — SQL-reproducible."""
+    from geopandas_spark.pipeline.similarity import lsh_bucket_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return lsh_bucket_topk(e, q, k=3, planes=6)
+
+
+SQL_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {' + '.join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+                     for i in range(6))} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {_sql_cos('c.embedding', 'q.embedding')} AS score
+  FROM b c JOIN (SELECT * FROM b WHERE vec_id < 3) q USING (bucket)
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT q_id, c_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, c_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, c_id ASC) AS rank
+  FROM scored) t WHERE rank <= 3
+"""
+
+
+def q_fillna(spark, sf_dir):
+    """GeoFrame.fillna (reference geoseries.py:919): nulls → literal
+    geometry / POINT EMPTY default."""
+    from geopandas_spark import GeoFrame
+    c = _cust(spark, sf_dir)
+    k = F.col("c_custkey")
+    holey = c.withColumn(
+        "geom", F.when(k % 5 == 0, F.lit(None).cast("binary"))
+                 .otherwise(F.col("geom")))
+    a = GeoFrame(holey, geometry="geom").fillna()    # POINT EMPTY default
+    marked = a.df.withColumn("was_empty", st.is_empty("geom"))
+    reholed = marked.withColumn(
+        "geom", F.when(F.col("was_empty"), F.lit(None).cast("binary"))
+                 .otherwise(F.col("geom")))
+    b = GeoFrame(reholed, geometry="geom").fillna("POINT (1 2)")
+    return b.df.select(
+        k.alias("id"),
+        st.x("geom").alias("x"), st.y("geom").alias("y"), "was_empty")
+
+
+SQL_FILLNA = f"""
+SELECT c_custkey AS id,
+       CAST(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE {PX} END AS DOUBLE) AS x,
+       CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE {PY} END AS DOUBLE) AS y,
+       (c_custkey % 5 = 0) AS was_empty
+FROM customer
+"""
+
+
+def q_stream_sjoin(spark, sf_dir):
+    """A REAL Structured Streaming execution with a static SQL oracle:
+    customer parquet read as a bounded file stream → stream-static
+    spatial join into nation boxes (streaming/ops.py enrich_stream) →
+    per-nation counts via foreachBatch into a temp sink; the returned
+    DataFrame is the sink's content. Exercises the streaming plan
+    end-to-end (micro-batches, stream-static broadcast join) while
+    staying deterministically checkable."""
+    import tempfile
+    from geopandas_spark.streaming import enrich_stream
+    d = tempfile.mkdtemp(prefix="gs_stream_")
+    src = os.path.join(sf_dir, "customer.parquet")
+    # the file stream source wants a directory: link the table in
+    src_dir = os.path.join(d, "in")
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(src), os.path.join(src_dir, "part-0.parquet"))
+    static_schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(static_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    pts = (stream.withColumn("px", F.expr(PX)).withColumn("py", F.expr(PY))
+           .withColumn("geom", st.point(F.col("px").cast("double"),
+                                        F.col("py").cast("double"))))
+    nat = _nat(spark, sf_dir).select("n_nationkey", "geom")
+    tagged = enrich_stream(pts, nat)
+    out_dir = os.path.join(d, "out")
+
+    def sink(batch_df, batch_id):
+        (batch_df.groupBy("n_nationkey").agg(F.count("*").alias("n"))
+         .write.mode("append").parquet(out_dir))
+
+    q = (tagged.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(d, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    res = spark.read.parquet(out_dir)
+    return (res.groupBy("n_nationkey").agg(F.sum("n").alias("n"))
+               .select(F.col("n_nationkey").alias("nationkey"),
+                       F.col("n").cast("long").alias("n")))
+
+
+SQL_STREAM_SJOIN = f"""
+SELECT n_nationkey AS nationkey, COUNT(*) AS n
+FROM customer JOIN nation
+  ON {PX} >= {BX0} AND {PX} <= {BX0} + 200
+ AND {PY} >= {BY0} AND {PY} <= {BY0} + 200
+GROUP BY n_nationkey
+"""
+
+
+def q_stream_window_union(spark, sf_dir):
+    """Watermarked windowed geometric union over a REAL file stream
+    (streaming/ops.py windowed_union): events become points, tumbling
+    1-hour windows emit each window's multipoint union + count. Oracle:
+    per-hour distinct-point counts and bounds in plain SQL."""
+    import tempfile
+    from geopandas_spark.streaming import windowed_union
+    d = tempfile.mkdtemp(prefix="gs_swin_")
+    src = os.path.join(sf_dir, "events.parquet")
+    src_dir = os.path.join(d, "in")
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(src), os.path.join(src_dir, "part-0.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    pts = (stream.withColumn("ts", F.col("ts").cast("timestamp"))
+           .withColumn(
+               "geom", st.point((F.col("event_id") % 500).cast("double"),
+                                (F.col("user_id") % 500).cast("double"))))
+    win = windowed_union(pts, "ts", "1 hour", watermark="2 hours")
+    out_dir = os.path.join(d, "out")
+
+    def sink(batch_df, batch_id):
+        (batch_df.select(F.col("window.start").alias("ws"),
+                         "n", "geom")
+         .write.mode("append").parquet(out_dir))
+
+    q = (win.writeStream.foreachBatch(sink)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(d, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    res = spark.read.parquet(out_dir)
+    # update-mode may emit a window more than once; keep the final state
+    # (max n per window start)
+    w = Window.partitionBy("ws").orderBy(F.col("n").desc())
+    final = (res.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1))
+    return final.select(
+        F.col("ws").cast("long").alias("win_start"),
+        F.col("n").cast("long").alias("n_events"),
+        st.ngeometries("geom").alias("n_distinct_pts"))
+
+
+SQL_STREAM_WINDOW_UNION = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT (event_id % 500) * 1000 + (user_id % 500))
+           AS n_distinct_pts
+FROM events
+GROUP BY date_trunc('hour', ts)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -2693,6 +2902,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_mean": q_dissolve_mean,
         "concat_cx": q_concat_cx,
         "valid_reason_orient": q_valid_reason_orient,
+        "jaccard": q_jaccard,
+        "lsh_topk": q_lsh_topk,
+        "fillna": q_fillna,
+        "stream_sjoin": q_stream_sjoin,
+        "stream_window_union": q_stream_window_union,
     }
 
 
@@ -2792,4 +3006,9 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_mean": SQL_DISSOLVE_MEAN,
         "concat_cx": SQL_CONCAT_CX,
         "valid_reason_orient": SQL_VALID_REASON_ORIENT,
+        "jaccard": SQL_JACCARD,
+        "lsh_topk": SQL_LSH_TOPK,
+        "fillna": SQL_FILLNA,
+        "stream_sjoin": SQL_STREAM_SJOIN,
+        "stream_window_union": SQL_STREAM_WINDOW_UNION,
     }
