@@ -2806,6 +2806,40 @@ GROUP BY date_trunc('hour', ts)
 """
 
 
+def q_multimodal_ops(spark, sf_dir):
+    """resize_images + extract_image_features plumbing: the stub resizer
+    tiles the md5 digest to the exact w*h*3 payload a real RGB resize
+    would produce, so the payload head equals md5(source bytes) — SQL
+    checkable; the feature extractor's contract (dim, determinism across
+    two invocations) is asserted Spark-side into boolean columns."""
+    from geopandas_spark.pipeline.multimodal import (extract_image_features,
+                                                     resize_images)
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+         .withColumn("image", F.encode("text", "UTF-8")))
+    r = resize_images(d, 32, 24)
+    f1 = extract_image_features(r, out_col="feat_a")
+    f2 = extract_image_features(f1, out_col="feat_b")
+    return f2.select(
+        F.col("doc_id").alias("id"),
+        F.length("image_resized").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring("image_resized", 1, 16))).alias("head"),
+        F.col("resized_meta.width").alias("rw"),
+        F.size("feat_a").cast("long").alias("n_feat"),
+        (F.to_json(F.col("feat_a")) == F.to_json(F.col("feat_b")))
+        .alias("deterministic"))
+
+
+SQL_MULTIMODAL_OPS = """
+SELECT doc_id AS id,
+       CAST(32 * 24 * 3 AS BIGINT) AS n_bytes,
+       md5(text) AS head,
+       CAST(32 AS INT) AS rw,
+       CAST(16 AS BIGINT) AS n_feat,
+       TRUE AS deterministic
+FROM documents WHERE doc_id < 300
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -2907,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna": q_fillna,
         "stream_sjoin": q_stream_sjoin,
         "stream_window_union": q_stream_window_union,
+        "multimodal_ops": q_multimodal_ops,
     }
 
 
@@ -3011,4 +3046,5 @@ def oracle_sql() -> dict[str, str]:
         "fillna": SQL_FILLNA,
         "stream_sjoin": SQL_STREAM_SJOIN,
         "stream_window_union": SQL_STREAM_WINDOW_UNION,
+        "multimodal_ops": SQL_MULTIMODAL_OPS,
     }

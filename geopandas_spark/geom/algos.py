@@ -2441,8 +2441,22 @@ def shared_paths(ga: GeometryArray, gb: GeometryArray) -> tuple:
                 lo, hi = max(0.0, min(t0, t1)), min(1.0, max(t0, t1))
                 if hi - lo <= eps:
                     continue
-                p = sa[ai, 0] + lo * rv
-                q = sa[ai, 0] + hi * rv
+
+                def _pt_at(t):
+                    # pin to an actual input vertex when the clamp landed
+                    # on one (bit-exact overlap endpoints — parametric
+                    # recompute drifts by an ulp, e.g. 41*(7/41))
+                    if t == 0.0:
+                        return sa[ai, 0]
+                    if t == 1.0:
+                        return sa[ai, 1]
+                    if t == t0:
+                        return sb[bj, 0]
+                    if t == t1:
+                        return sb[bj, 1]
+                    return sa[ai, 0] + t * rv
+
+                p, q = _pt_at(lo), _pt_at(hi)
                 (same if t1 > t0 else opp).append(np.array([p, q]))
         for out, segs2 in ((bs, same), (bo, opp)):
             if segs2:

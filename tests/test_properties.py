@@ -267,3 +267,53 @@ def test_union_all_area_matches_klee(seed, n, plane, size):
     ga = wkt.parse_array(np.array(ws, dtype=object))
     got = algos.area(algos.union_all(ga))[0]
     assert np.isclose(got, _klee_area(boxes), rtol=1e-9, atol=1e-9)
+
+
+# --- round-2 codec fuzz: Z/M + GEOMETRYCOLLECTION -------------------------
+
+_zm_pt = st_.tuples(st_.integers(-999, 999), st_.integers(-999, 999),
+                    st_.integers(-99, 99), st_.integers(-99, 99))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.lists(st_.tuples(_zm_pt, st_.sampled_from(["", "z", "m", "zm"])),
+                 min_size=1, max_size=8))
+def test_zm_wkb_wkt_roundtrip_fuzz(rows):
+    """Any mix of 2-D/Z/M/ZM points round-trips bit-for-bit through both
+    codecs; planar accessors never see the extra dims."""
+    wkts = []
+    for (x, y, z, m), zm in rows:
+        if zm == "":
+            wkts.append(f"POINT ({x} {y})")
+        elif zm == "z":
+            wkts.append(f"POINT Z ({x} {y} {z})")
+        elif zm == "m":
+            wkts.append(f"POINT M ({x} {y} {m})")
+        else:
+            wkts.append(f"POINT ZM ({x} {y} {z} {m})")
+    ga = wkt.parse_array(wkts)
+    assert wkt.format_array(ga) == wkts
+    assert wkt.format_array(wkb.decode(wkb.encode(ga))) == wkts
+    xs = algos.get_x(ga)
+    assert list(xs) == [float(r[0][0]) for r in rows]
+    hz = ga.row_has_z()
+    assert list(hz) == [("z" in zm) for _, zm in rows]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.lists(st_.sampled_from([
+    "POINT (3 4)", "LINESTRING (0 0, 7 0)", "MULTIPOINT ((1 1), (2 2))",
+    "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))",
+    "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+]), min_size=1, max_size=5))
+def test_gc_codec_roundtrip_fuzz(children):
+    """GEOMETRYCOLLECTION of arbitrary children round-trips through WKT
+    and WKB; ngeometries counts top-level children; area/length sum."""
+    gc = "GEOMETRYCOLLECTION (" + ", ".join(children) + ")"
+    ga = wkt.parse_array([gc])
+    assert wkt.format_array(ga) == [gc]
+    assert wkt.format_array(wkb.decode(wkb.encode(ga))) == [gc]
+    assert algos.count_geometries(ga)[0] == len(children)
+    child_ga = wkt.parse_array(children)
+    assert algos.area(ga)[0] == algos.area(child_ga).sum()
+    assert algos.length(ga)[0] == algos.length(child_ga).sum()
