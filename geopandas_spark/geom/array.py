@@ -203,12 +203,48 @@ class GeometryArray:
         return out
 
     def take(self, indices) -> "GeometryArray":
-        """Gather rows (negative index not supported). Rebuilds offsets."""
+        """Gather rows (negative index not supported).
+
+        Vectorized: three repeat/cumsum offset gathers (geom→part→ring→
+        coord) rebuild the nested layout with no per-row Python — this is
+        the hot path of pairwise refines (sjoin candidate batches gather
+        both sides per pair). GC rows fall back to the builder (rare)."""
         indices = np.asarray(indices, dtype=np.int64)
-        b = GeometryBuilder()
-        for i in indices:
-            b.append_from(self, int(i))
-        return b.finish()
+        if self.gc_meta is not None and \
+                (self.types[indices] == GT_GEOMETRYCOLLECTION).any():
+            b = GeometryBuilder()
+            for i in indices:
+                b.append_from(self, int(i))
+            return b.finish()
+
+        def _expand(starts, counts):
+            """Global ids [starts[k], starts[k]+counts[k]) concatenated."""
+            total = int(counts.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            within = np.arange(total, dtype=np.int64) - \
+                np.repeat(np.cumsum(counts) - counts, counts)
+            return np.repeat(starts, counts) + within
+
+        ppg = self.parts_per_geom()[indices]
+        part_ids = _expand(self.geom_offsets[indices], ppg)
+        rpp = np.diff(self.part_offsets)[part_ids]
+        ring_ids = _expand(self.part_offsets[part_ids], rpp)
+        cpr = np.diff(self.ring_offsets)[ring_ids]
+        coord_ids = _expand(self.ring_offsets[ring_ids], cpr)
+
+        n = len(indices)
+        geom_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ppg, out=geom_offsets[1:])
+        part_offsets = np.zeros(len(part_ids) + 1, dtype=np.int64)
+        np.cumsum(rpp, out=part_offsets[1:])
+        ring_offsets = np.zeros(len(ring_ids) + 1, dtype=np.int64)
+        np.cumsum(cpr, out=ring_offsets[1:])
+        return GeometryArray(
+            self.types[indices], geom_offsets, part_offsets, ring_offsets,
+            self.coords[coord_ids],
+            z=self.z[coord_ids] if self.z is not None else None,
+            m=self.m[coord_ids] if self.m is not None else None)
 
     def __repr__(self):
         return (f"GeometryArray(n={len(self)}, parts={self.n_parts}, "
