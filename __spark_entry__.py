@@ -2840,6 +2840,75 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def q_pii_gopher_split(spark, sf_dir):
+    """pii_scrub (regex redaction), gopher_rules (published heuristic
+    quality filters), train_split (deterministic md5 train/val) — the
+    standard pre-training curation pass, all codegen-native."""
+    from geopandas_spark.pipeline import gopher_rules, pii_scrub, train_split
+    d = _t(spark, sf_dir, "documents")
+    doc = F.concat(F.col("text"),
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.lit(" contact bob@example.com now"))
+                    .otherwise(F.lit("")))
+    g = gopher_rules(d.withColumn("doc", doc), "doc")
+    s = train_split(g)
+    return s.select(
+        F.col("doc_id").alias("id"),
+        pii_scrub("doc").contains("<EMAIL>").alias("had_email"),
+        pii_scrub("doc").contains("@").alias("at_left"),
+        "r_words", "r_wordlen", "r_symbols", "gopher_pass", "split")
+
+
+SQL_PII_GOPHER_SPLIT = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact bob@example.com now' ELSE '' END AS doc
+  FROM documents
+), w AS (
+  SELECT doc_id, doc,
+         regexp_extract_all(doc, '[A-Za-z]+') AS words,
+         len(regexp_extract_all(doc, '[#…]')) AS n_sym
+  FROM d
+), m AS (
+  SELECT doc_id, doc, len(words) AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+             / len(words) ELSE 0.0 END AS mean_wl,
+         CAST(n_sym AS DOUBLE) / greatest(length(doc), 1) AS sym_ratio
+  FROM w
+)
+SELECT doc_id AS id,
+       (doc_id % 7 = 0) AS had_email,
+       (regexp_matches(regexp_replace(regexp_replace(doc,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+?\d[\d\- ]{7,14}\d', '<PHONE>', 'g'), '@')) AS at_left,
+       (n_words >= 5 AND n_words <= 100000) AS r_words,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_wordlen,
+       (sym_ratio <= 0.1) AS r_symbols,
+       ((n_words >= 5 AND n_words <= 100000)
+        AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND sym_ratio <= 0.1) AS gopher_pass,
+       CASE WHEN CAST(
+              (CASE WHEN substr(md5('split-v1|' || doc_id), 1, 1) = 'a' THEN 10
+                    WHEN substr(md5('split-v1|' || doc_id), 1, 1) = 'b' THEN 11
+                    WHEN substr(md5('split-v1|' || doc_id), 1, 1) = 'c' THEN 12
+                    WHEN substr(md5('split-v1|' || doc_id), 1, 1) = 'd' THEN 13
+                    WHEN substr(md5('split-v1|' || doc_id), 1, 1) = 'e' THEN 14
+                    WHEN substr(md5('split-v1|' || doc_id), 1, 1) = 'f' THEN 15
+                    ELSE CAST(substr(md5('split-v1|' || doc_id), 1, 1) AS INT)
+               END) * 1048576
+            + (strpos('0123456789abcdef', substr(md5('split-v1|' || doc_id), 2, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(md5('split-v1|' || doc_id), 3, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5('split-v1|' || doc_id), 4, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5('split-v1|' || doc_id), 5, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5('split-v1|' || doc_id), 6, 1)) - 1)
+            AS BIGINT) % 100 < 10
+       THEN 'val' ELSE 'train' END AS split
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -2942,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sjoin": q_stream_sjoin,
         "stream_window_union": q_stream_window_union,
         "multimodal_ops": q_multimodal_ops,
+        "pii_gopher_split": q_pii_gopher_split,
     }
 
 
@@ -3047,4 +3117,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_sjoin": SQL_STREAM_SJOIN,
         "stream_window_union": SQL_STREAM_WINDOW_UNION,
         "multimodal_ops": SQL_MULTIMODAL_OPS,
+        "pii_gopher_split": SQL_PII_GOPHER_SPLIT,
     }

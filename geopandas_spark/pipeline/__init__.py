@@ -14,6 +14,7 @@ from geopandas_spark.pipeline.dedup import (  # noqa: F401
 )
 from geopandas_spark.pipeline.text import (  # noqa: F401
     add_text_stats, quality_score, language_id, fingerprint, token_count,
+    pii_scrub, gopher_rules, train_split,
 )
 from geopandas_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_bucket_topk,

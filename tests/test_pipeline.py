@@ -193,3 +193,25 @@ def test_sample_frames_plumbing(spark):
         assert sorted(f.frame_idx for f in fr) == list(range(n))
         assert all(len(f.frame) == 16 for f in fr)  # stub md5 frames
         assert len({bytes(f.frame) for f in fr}) == n  # distinct per idx
+
+
+def test_pii_gopher_split(spark):
+    from geopandas_spark.pipeline import gopher_rules, pii_scrub, train_split
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "Call +1 555-123-4567 or mail a.b@test.org about the offer"),
+         (2, "short"),
+         (3, "# # # # # # # # # #"),
+         (4, "perfectly ordinary sentence with several normal words here")],
+        ["doc_id", "text"])
+    scrubbed = df.select("doc_id", pii_scrub("text").alias("t")).collect()
+    s1 = {r.doc_id: r.t for r in scrubbed}
+    assert "<EMAIL>" in s1[1] and "<PHONE>" in s1[1]
+    assert "@" not in s1[1] and "555" not in s1[1]
+    g = gopher_rules(df).collect()
+    gp = {r.doc_id: r.gopher_pass for r in g}
+    assert gp[4] and not gp[2] and not gp[3]
+    s = train_split(df)
+    first = {r.doc_id: r.split for r in s.collect()}
+    again = {r.doc_id: r.split for r in train_split(df).collect()}
+    assert first == again and set(first.values()) <= {"train", "val"}
