@@ -2880,8 +2880,9 @@ WITH d AS (
 )
 SELECT doc_id AS id,
        (doc_id % 7 = 0) AS had_email,
-       (regexp_matches(regexp_replace(regexp_replace(doc,
+       (regexp_matches(regexp_replace(regexp_replace(regexp_replace(doc,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:\d[ -]?){15,18}\d\b', '<CARD>', 'g'),
           '\+?\d[\d\- ]{7,14}\d', '<PHONE>', 'g'), '@')) AS at_left,
        (n_words >= 5 AND n_words <= 100000) AS r_words,
        (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_wordlen,

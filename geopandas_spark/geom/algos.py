@@ -270,8 +270,7 @@ def force_2d(ga: GeometryArray) -> GeometryArray:
     """Drop Z/M (reference base.py force_2d:2290)."""
     if ga.z is None and ga.m is None:
         return ga
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, ga.coords)
+    return _with_coords(ga, ga.coords, z=None, m=None)
 
 
 def force_3d(ga: GeometryArray, z=0.0) -> GeometryArray:
@@ -285,8 +284,7 @@ def force_3d(ga: GeometryArray, z=0.0) -> GeometryArray:
         keep = ~np.isnan(ga.z)
         newz = newz.copy()
         newz[keep] = ga.z[keep]
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, ga.coords, z=newz, m=ga.m)
+    return _with_coords(ga, ga.coords, z=newz)
 
 
 def get_y(ga: GeometryArray) -> np.ndarray:
@@ -1596,6 +1594,22 @@ def reverse(ga: GeometryArray) -> GeometryArray:
     return b.finish()
 
 
+_KEEP = object()
+
+
+def _with_coords(ga: GeometryArray, nc, z=_KEEP, m=_KEEP) -> GeometryArray:
+    """Rebuild an array with new coordinates but identical structure:
+    offsets, gc_meta (GEOMETRYCOLLECTION child layout) and — since the
+    coord count is unchanged — the parallel z/m buffers all carry over.
+    Every coord-only kernel (affine family, set_precision, to_crs) must go
+    through this so GC rows don't silently collapse to EMPTY."""
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, nc,
+                         z=(ga.z if z is _KEEP else z),
+                         m=(ga.m if m is _KEEP else m),
+                         gc_meta=ga.gc_meta)
+
+
 def affine_transform(ga: GeometryArray, a, b_, d, e, xoff, yoff) -> GeometryArray:
     """x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff  (shapely.affinity
     matrix order [a, b, d, e, xoff, yoff]). Reference: base.py:5970."""
@@ -1603,8 +1617,7 @@ def affine_transform(ga: GeometryArray, a, b_, d, e, xoff, yoff) -> GeometryArra
     nc = np.empty_like(c)
     nc[:, 0] = a * c[:, 0] + b_ * c[:, 1] + xoff
     nc[:, 1] = d * c[:, 0] + e * c[:, 1] + yoff
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, nc)
+    return _with_coords(ga, nc)
 
 
 def translate(ga, xoff=0.0, yoff=0.0):
@@ -1633,8 +1646,7 @@ def scale(ga, xfact=1.0, yfact=1.0, origin="center"):
     nc = np.empty_like(c)
     nc[:, 0] = ox + xfact * (c[:, 0] - ox)
     nc[:, 1] = oy + yfact * (c[:, 1] - oy)
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, nc)
+    return _with_coords(ga, nc)
 
 
 def rotate(ga, angle_deg, origin="center"):
@@ -1647,8 +1659,7 @@ def rotate(ga, angle_deg, origin="center"):
     dy = c[:, 1] - oy
     nc[:, 0] = ox + ct * dx - st * dy
     nc[:, 1] = oy + st * dx + ct * dy
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, nc)
+    return _with_coords(ga, nc)
 
 
 def skew(ga, xs_deg=0.0, ys_deg=0.0, origin="center"):
@@ -1661,8 +1672,7 @@ def skew(ga, xs_deg=0.0, ys_deg=0.0, origin="center"):
     dy = c[:, 1] - oy
     nc[:, 0] = ox + dx + tx * dy
     nc[:, 1] = oy + dy + ty * dx
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, nc)
+    return _with_coords(ga, nc)
 
 
 # ---------------------------------------------------------------------------
@@ -2743,8 +2753,7 @@ def set_precision(ga: GeometryArray, grid_size) -> GeometryArray:
     nc = ga.coords.copy()
     nz = gv > 0
     nc[nz] = np.round(nc[nz] / gv[nz, None]) * gv[nz, None]
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, nc)
+    return _with_coords(ga, nc)
 
 
 def snap(ga: GeometryArray, gb: GeometryArray, tol) -> GeometryArray:

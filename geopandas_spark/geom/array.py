@@ -28,6 +28,13 @@ uniform layout and record the child structure in an auxiliary per-row
 ``gc_meta`` list ([(child_type, n_parts), ...]); codecs, get_parts /
 collection_extract and the measures (via dimension decomposition) consume
 it. GC children are 2-D.
+
+Documented deviation: *nested* GEOMETRYCOLLECTIONs are flattened one level
+— ``GC(GC(POINT a), POINT b)`` round-trips as ``GC(POINT a, POINT b)``.
+gc_meta holds one (type, n_parts) tier, so a sub-collection's children are
+promoted to the parent. GEOS/the reference preserve nesting; every
+measure, predicate, and extraction result is identical under flattening
+(only the WKB/WKT byte layout differs).
 """
 
 from __future__ import annotations

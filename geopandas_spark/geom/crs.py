@@ -173,11 +173,10 @@ def transform(ga, src: str, dst: str):
     """GeometryArray reprojection — one vectorized pass over the flat
     coordinate buffer (the same shape as the reference's
     shapely.transform(geoms, transformer.transform))."""
-    from geopandas_spark.geom.array import GeometryArray
+    from geopandas_spark.geom.algos import _with_coords
 
     nc = transform_coords(ga.coords, src, dst)
-    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
-                         ga.ring_offsets, np.asarray(nc, dtype=np.float64))
+    return _with_coords(ga, np.asarray(nc, dtype=np.float64))
 
 
 def estimate_utm_crs(lon: float, lat: float) -> str:

@@ -224,15 +224,15 @@ def _parse_geom(c: _Cursor, builder: GeometryBuilder):
         return {3: "z", 4: "zm"}.get(width, "")
 
     def _append_parts(parts):
-        w = max(r.shape[1] for rings in parts for r in rings)
+        widths = {r.shape[1] for rings in parts for r in rings}
+        w = max(widths)
         zm = _zm_of(w)
-        if len(zm) + 2 < w:     # inconsistent widths: drop extras
+        # malformed WKT with mixed ring widths degrades the whole row to
+        # 2-D (rows are uniformly dimensioned; zero-padding would invent
+        # Z=0 coordinate values that were never in the input)
+        if len(zm) + 2 < w or len(widths) > 1:
             parts = [[r[:, :2] for r in rings] for rings in parts]
             zm = ""
-        else:
-            parts = [[np.pad(r, ((0, 0), (0, w - r.shape[1])))
-                      if r.shape[1] < w else r for r in rings]
-                     for rings in parts]
         builder.append(t, parts, zm=zm)
 
     if t == GT_POINT:

@@ -109,6 +109,10 @@ def pii_scrub(text_col) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     out = F.regexp_replace(
         c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    # cards first (16-19 digits, optional space/dash groups) so the phone
+    # pass can't partially consume one and leak the tail
+    out = F.regexp_replace(
+        out, r"\b(?:\d[ -]?){15,18}\d\b", "<CARD>")
     out = F.regexp_replace(
         out, r"\+?\d[\d\- ]{7,14}\d", "<PHONE>")
     return out

@@ -850,6 +850,18 @@ def test_geometrycollection():
     assert algos.count_geometries(nested)[0] == 2
     # take preserves collection structure
     assert wkt.format_array(ga.take([1]))[0] == cases[1]
+    # coord-only kernels preserve GC structure (round-3 regression: these
+    # used to rebuild without gc_meta, collapsing GC rows to EMPTY)
+    assert wkt.format_array(algos.translate(ga, 1.0, 1.0))[0] == \
+        "GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (1 1, 11 1))"
+    assert wkt.format_array(algos.set_precision(ga, 0.5)) == cases
+    assert wkt.format_array(algos.rotate(ga, 0.0, origin=(0, 0))) == cases
+    assert wkt.format_array(algos.scale(ga, 2.0, 2.0, origin=(0, 0)))[0] == \
+        "GEOMETRYCOLLECTION (POINT (2 4), LINESTRING (0 0, 20 0))"
+    # grid_size set ops route through set_precision — GC input must survive
+    zpt = wkt.parse_array(["POINT Z (1 2 3)"])
+    assert wkt.format_array(algos.translate(zpt, 1.0, 1.0))[0] == \
+        "POINT Z (2 3 3)"
 
 
 def test_utm_transform():

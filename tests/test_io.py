@@ -94,6 +94,34 @@ def test_featurecollection_read(spark, tmp_path):
     assert wkts == ["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))", "POINT (3 4)"]
 
 
+def test_featurecollection_size_guard(spark, tmp_path):
+    import pytest
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"id": 1},
+         "geometry": {"type": "Point", "coordinates": [3, 4]}}]}
+    p = tmp_path / "big.geojson"
+    p.write_text(json.dumps(fc))
+    with pytest.raises(ValueError, match="GeoJSONSeq"):
+        read_geojson(spark, str(p), max_collection_bytes=10)
+
+
+def test_geojson_sparse_first_feature_schema(spark, tmp_path):
+    """Properties absent from the first feature still become columns
+    (schema is unioned over a sample, not taken from row 1)."""
+    lines = [
+        json.dumps({"type": "Feature", "properties": {"a": 1},
+                    "geometry": {"type": "Point", "coordinates": [0, 0]}}),
+        json.dumps({"type": "Feature", "properties": {"a": 2, "b": "x"},
+                    "geometry": {"type": "Point", "coordinates": [1, 1]}}),
+    ]
+    p = tmp_path / "sparse.geojsonl"
+    p.write_text("\n".join(lines) + "\n")
+    out = read_geojson(spark, str(p))
+    assert set(out.columns) == {"a", "b", "geom"}
+    rows = {r.a: r.b for r in out.collect()}
+    assert rows == {1: None, 2: "x"}
+
+
 def test_geojson_geometry_codec_via_sql(spark):
     df = spark.createDataFrame([("POINT (1.5 -2)",)], ["wkt"])
     out = (df.withColumn("g", st.geom_from_text("wkt"))

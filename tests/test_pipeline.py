@@ -202,12 +202,15 @@ def test_pii_gopher_split(spark):
         [(1, "Call +1 555-123-4567 or mail a.b@test.org about the offer"),
          (2, "short"),
          (3, "# # # # # # # # # #"),
-         (4, "perfectly ordinary sentence with several normal words here")],
+         (4, "perfectly ordinary sentence with several normal words here"),
+         (5, "card 4111 1111 1111 1111 on file, also 4242-4242-4242-4242")],
         ["doc_id", "text"])
     scrubbed = df.select("doc_id", pii_scrub("text").alias("t")).collect()
     s1 = {r.doc_id: r.t for r in scrubbed}
     assert "<EMAIL>" in s1[1] and "<PHONE>" in s1[1]
     assert "@" not in s1[1] and "555" not in s1[1]
+    # separator-grouped card numbers redact whole (no '<PHONE>111' tail leak)
+    assert s1[5].count("<CARD>") == 2 and not any(ch.isdigit() for ch in s1[5])
     g = gopher_rules(df).collect()
     gp = {r.doc_id: r.gopher_pass for r in g}
     assert gp[4] and not gp[2] and not gp[3]
