@@ -8,13 +8,15 @@ filter becomes plain range predicates on the covering bbox struct
 them to row-group min/max stats natively, so pruning is free and scales
 to any number of files.
 
-Write path (reference :385-448): the covering bbox struct column is
-computed inside the plan (one vectorized UDF), the parquet files are
-written natively (partitioned, any size), then the spec ``geo`` footer
-metadata is attached per file. Footer attachment is a driver-side
-metadata-only rewrite per part file; at cluster scale this step belongs in
-a commit-protocol hook, which Spark only exposes JVM-side — documented
-trade-off, the data path itself is fully distributed.
+Write path (reference :385-448): fully distributed — each ``mapInArrow``
+task streams its partition's Arrow batches into pyarrow parquet files,
+rolling at a size threshold, and embeds the spec ``geo`` footer (with the
+exact per-file bbox and geometry_types, which is what the spec scopes the
+footer to) at file-write time. Tasks emit one tiny summary row per file;
+the driver folds those into the dataset-level metadata dict that
+``to_parquet`` returns. Nothing re-reads or rewrites data after the job:
+the old driver-side per-file footer rewrite (a full extra read+write of
+the dataset on one machine) is gone.
 """
 
 from __future__ import annotations
@@ -48,55 +50,197 @@ def _geo_metadata(geom: str, geometry_types: Sequence[str], bbox,
             "columns": {geom: col}}
 
 
+_GT_COL = "__gp_gtype__"
+_SUMMARY_DDL = ("file string, n bigint, xmin double, ymin double, "
+                "xmax double, ymax double, types array<string>")
+
+
+def _resolve_fs(path: str):
+    """(pyarrow FileSystem, fs-local path) for a URI or plain path."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _hive_part_dir(cols, values) -> str:
+    segs = []
+    for c, v in zip(cols, values):
+        s = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        segs.append(f"{c}={s}")
+    return "/".join(segs)
+
+
+def _make_write_task(path: str, geom: str, crs: Optional[str],
+                     covering: bool, partition_cols, drop_cols,
+                     max_file_rows: int):
+    """Build the mapInArrow task: stream batches → rolled parquet files
+    with the exact per-file ``geo`` footer embedded at write time; yield
+    one summary row per file (the driver folds these into dataset
+    metadata). Runs entirely on executors; bounded memory (one rolled
+    file's batches per open partition-value)."""
+
+    def task(batches):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        fs, root = _resolve_fs(path)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        token = uuid.uuid4().hex[:12]
+        bufs = {}     # dirkey -> list[RecordBatch] of the current file
+        rows = {}     # dirkey -> buffered row count
+        seqs = {}     # dirkey -> files written so far
+        summaries = []
+
+        def flush(dirkey):
+            batch_list = bufs.pop(dirkey, None)
+            n = rows.pop(dirkey, 0)
+            if not batch_list or n == 0:
+                return
+            tbl = pa.Table.from_batches(batch_list)
+            # per-file stats from the in-plan bbox/type columns
+            xmin = ymin = xmax = ymax = None
+            bb = tbl.column(BBOX_COL) if BBOX_COL in tbl.column_names else None
+            if bb is not None:
+                flat = pa.Table.from_arrays(
+                    bb.combine_chunks().flatten(),
+                    names=["xmin", "ymin", "xmax", "ymax"])
+                xmin = pc.min(flat.column("xmin")).as_py()
+                ymin = pc.min(flat.column("ymin")).as_py()
+                xmax = pc.max(flat.column("xmax")).as_py()
+                ymax = pc.max(flat.column("ymax")).as_py()
+            types = sorted(t for t in
+                           pc.unique(tbl.column(_GT_COL)).to_pylist()
+                           if t is not None)
+            bbox = (None if xmin is None else (xmin, ymin, xmax, ymax))
+            meta = _geo_metadata(geom, types, bbox, crs, covering)
+            out = tbl.drop_columns(list(drop_cols))
+            out = out.replace_schema_metadata(
+                {**(out.schema.metadata or {}),
+                 b"geo": json.dumps(meta).encode()})
+            seq = seqs.get(dirkey, 0)
+            seqs[dirkey] = seq + 1
+            fn = f"part-{pid:05d}-{token}-{seq:03d}.snappy.parquet"
+            d = root if not dirkey else f"{root}/{dirkey}"
+            fs.create_dir(d, recursive=True)
+            pq.write_table(out, fs.open_output_stream(f"{d}/{fn}"),
+                           compression="snappy")
+            summaries.append((f"{dirkey}/{fn}" if dirkey else fn, n,
+                              xmin, ymin, xmax, ymax, types))
+
+        def add(dirkey, batch):
+            bufs.setdefault(dirkey, []).append(batch)
+            rows[dirkey] = rows.get(dirkey, 0) + batch.num_rows
+            if rows[dirkey] >= max_file_rows:
+                flush(dirkey)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if not partition_cols:
+                add("", batch)
+                continue
+            # hive-style split: group the batch by partition values
+            keys = pa.Table.from_batches([batch]).select(
+                list(partition_cols)).to_pandas()
+            grouped = keys.groupby(list(partition_cols), dropna=False,
+                                   sort=False).indices
+            for kv, idx in grouped.items():
+                vals = kv if isinstance(kv, tuple) else (kv,)
+                sub = batch.take(pa.array(idx))
+                add(_hive_part_dir(partition_cols, vals), sub)
+
+        for dk in list(bufs):
+            flush(dk)
+        if summaries:
+            yield pa.record_batch(
+                [pa.array([s[i] for s in summaries], type=t)
+                 for i, t in enumerate([pa.string(), pa.int64(),
+                                        pa.float64(), pa.float64(),
+                                        pa.float64(), pa.float64(),
+                                        pa.list_(pa.string())])],
+                names=["file", "n", "xmin", "ymin", "xmax", "ymax",
+                       "types"])
+
+    return task
+
+
 def to_parquet(df: DataFrame, path: str, *, geom: str = "geom",
                crs: Optional[str] = None, write_covering_bbox: bool = True,
-               mode: str = "overwrite", partition_by=None) -> dict:
-    """Write a GeoParquet dataset; returns the ``geo`` metadata dict.
+               mode: str = "overwrite", partition_by=None,
+               max_file_rows: int = 4_000_000) -> dict:
+    """Write a GeoParquet dataset; returns the dataset-level ``geo``
+    metadata dict (the per-file footers carry each file's own exact bbox
+    and geometry_types, per spec scope).
 
-    The covering bbox column makes subsequent ``read_parquet(bbox=...)``
-    scans prunable at the row-group level (reference arrow.py:182-190).
+    Distributed end to end: executors write rolled parquet files via
+    pyarrow with the footer embedded at write time and report per-file
+    summary rows; the only driver work is folding those summaries (and
+    mode handling). ``max_file_rows`` bounds both file size and the
+    per-task buffer. The covering bbox column makes subsequent
+    ``read_parquet(bbox=...)`` scans prunable at the row-group level
+    (reference arrow.py:182-190).
     """
-    out = df
-    if write_covering_bbox:
-        out = out.withColumn(BBOX_COL, st.bounds(geom))
-    writer = out.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    spark = df.sparkSession
+    fs, root = _resolve_fs(path)
+    from pyarrow import fs as pafs
 
-    # dataset-level stats for the footer metadata (one native agg each)
-    stats = df.select(st.geometry_type(geom).alias("t"),
-                      st.bounds(geom).alias("b")).agg(
-        F.collect_set("t").alias("types"),
-        F.min("b.xmin").alias("xmin"), F.min("b.ymin").alias("ymin"),
-        F.max("b.xmax").alias("xmax"), F.max("b.ymax").alias("ymax"),
-    ).collect()[0]
+    info = fs.get_file_info(root)
+    exists = info.type != pafs.FileType.NotFound
+    if exists:
+        if mode == "overwrite":
+            fs.delete_dir(root)
+        elif mode in ("error", "errorifexists"):
+            raise FileExistsError(f"path exists: {path} (mode={mode})")
+        elif mode == "ignore":
+            return {}
+    fs.create_dir(root, recursive=True)
+
+    partition_cols = list(partition_by) if partition_by else []
+    out = df.withColumn(_GT_COL, st.geometry_type(geom))
+    drop_cols = [_GT_COL] + partition_cols
+    out = out.withColumn(BBOX_COL, st.bounds(geom))
+    if not write_covering_bbox:
+        drop_cols.append(BBOX_COL)
+
+    task = _make_write_task(path, geom, crs, write_covering_bbox,
+                            partition_cols, drop_cols, max_file_rows)
+    summaries = out.mapInArrow(task, _SUMMARY_DDL).collect()
+
+    if not summaries:
+        # empty dataset: one schema-only file so the dir stays readable
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        keep = [f for f in out.schema.fields if f.name not in drop_cols]
+        sch = to_arrow_schema(type(out.schema)(keep)).with_metadata(
+            {b"geo": json.dumps(
+                _geo_metadata(geom, [], None, crs,
+                              write_covering_bbox)).encode()})
+        pq.write_table(sch.empty_table(),
+                       fs.open_output_stream(
+                           f"{root}/part-00000-empty.snappy.parquet"),
+                       compression="snappy")
+
+    types = sorted({t for s in summaries for t in s["types"]})
+    xs = [s["xmin"] for s in summaries if s["xmin"] is not None]
     bbox = None
-    if stats["xmin"] is not None:
-        bbox = (stats["xmin"], stats["ymin"], stats["xmax"], stats["ymax"])
-    meta = _geo_metadata(geom, [t for t in stats["types"] if t], bbox, crs,
-                         write_covering_bbox)
-    _attach_footer_metadata(path, meta)
+    if xs:
+        bbox = (min(xs),
+                min(s["ymin"] for s in summaries if s["ymin"] is not None),
+                max(s["xmax"] for s in summaries if s["xmax"] is not None),
+                max(s["ymax"] for s in summaries if s["ymax"] is not None))
+    meta = _geo_metadata(geom, types, bbox, crs, write_covering_bbox)
+    with fs.open_output_stream(f"{root}/_SUCCESS") as f:
+        f.write(b"")
     return meta
-
-
-def _attach_footer_metadata(path: str, meta: dict):
-    import pyarrow.parquet as pq
-
-    payload = json.dumps(meta).encode()
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            fp = os.path.join(root, fn)
-            table = pq.read_table(fp)
-            existing = table.schema.metadata or {}
-            table = table.replace_schema_metadata(
-                {**existing, b"geo": payload})
-            pq.write_table(table, fp)
-            crc = os.path.join(root, f".{fn}.crc")
-            if os.path.exists(crc):  # stale Hadoop checksum sidecar
-                os.remove(crc)
 
 
 def read_geo_metadata(spark_or_path, path: Optional[str] = None) -> Optional[dict]:

@@ -28,9 +28,26 @@ def test_geoparquet_roundtrip_metadata(geodf, tmp_path):
     assert meta["columns"]["geom"]["encoding"] == "WKB"
     assert meta["columns"]["geom"]["geometry_types"] == ["Point"]
     assert meta["columns"]["geom"]["bbox"] == [0.0, 0.0, 190.0, 95.0]
-    # footer metadata is spec-readable from the files themselves
+    # footer metadata is spec-readable from the files themselves; each
+    # footer scopes bbox/geometry_types to its own file (distributed
+    # write), so check structure + containment rather than equality
     disk = read_geo_metadata(path)
-    assert disk == meta
+    assert disk["version"] == meta["version"]
+    assert disk["primary_column"] == "geom"
+    dcol = disk["columns"]["geom"]
+    assert dcol["encoding"] == "WKB" and dcol["crs"] == "EPSG:4326"
+    assert set(dcol["geometry_types"]) <= {"Point"}
+    fb = dcol.get("bbox")
+    if fb is not None:  # per-file bbox nested inside the dataset bbox
+        assert fb[0] >= 0.0 and fb[1] >= 0.0
+        assert fb[2] <= 190.0 and fb[3] <= 95.0
+    # every part file carries a geo footer; none were rewritten driver-side
+    import pyarrow.parquet as pq
+    parts = [os.path.join(r, f) for r, _, fs_ in os.walk(path)
+             for f in fs_ if f.endswith(".parquet")]
+    assert parts
+    for p in parts:
+        assert b"geo" in (pq.read_schema(p).metadata or {})
 
 
 def test_geoparquet_bbox_filter(geodf, spark, tmp_path):
@@ -48,6 +65,36 @@ def test_geoparquet_bbox_filter_without_covering(geodf, spark, tmp_path):
     to_parquet(geodf, path, write_covering_bbox=False)
     out = read_parquet(spark, path, bbox=(0, 0, 55, 100))
     assert out.count() == 6  # exact st_intersects fallback
+
+
+def test_geoparquet_partitioned_write(geodf, spark, tmp_path):
+    path = str(tmp_path / "pts_part")
+    part = geodf.withColumn("k", (F.col("id") % 2).cast("int"))
+    to_parquet(part, path, partition_by=["k"])
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    assert sorted(r.k for r in back.select("k").distinct().collect()) == [0, 1]
+    # hive layout on disk, partition col not duplicated inside the files
+    assert os.path.isdir(os.path.join(path, "k=0"))
+    import pyarrow.parquet as pq
+    f = next(os.path.join(path, "k=0", f)
+             for f in os.listdir(os.path.join(path, "k=0"))
+             if f.endswith(".parquet"))
+    assert "k" not in pq.read_schema(f).names
+    assert b"geo" in (pq.read_schema(f).metadata or {})
+
+
+def test_geoparquet_empty_and_append(geodf, spark, tmp_path):
+    path = str(tmp_path / "pts_empty")
+    meta = to_parquet(geodf.filter("id < 0"), path)
+    assert meta["columns"]["geom"]["geometry_types"] == []
+    assert spark.read.parquet(path).count() == 0
+    path2 = str(tmp_path / "pts_append")
+    to_parquet(geodf.limit(3), path2)
+    to_parquet(geodf.limit(2), path2, mode="append")
+    assert spark.read.parquet(path2).count() == 5
+    with pytest.raises(FileExistsError):
+        to_parquet(geodf, path2, mode="error")
 
 
 def test_geoparquet_column_pruning(geodf, spark, tmp_path):
