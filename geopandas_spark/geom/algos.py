@@ -542,6 +542,90 @@ def _point_seg_dist(pts, segs):
     return d.min(axis=1)
 
 
+def _segments_all(ga: GeometryArray):
+    """All segments of every row, vectorized: (starts (S,2), ends (S,2),
+    seg_row int64[S]) — a coord starts a segment iff it is not the last
+    coord of its ring (1-coord point rings yield none)."""
+    n = ga.n_coords
+    if n == 0:
+        z = np.empty((0, 2))
+        return z, z, np.empty(0, dtype=np.int64)
+    starts = np.ones(n, dtype=bool)
+    last = ga.ring_offsets[1:] - 1
+    starts[last[last >= 0]] = False
+    idx = np.nonzero(starts)[0]
+    return ga.coords[idx], ga.coords[idx + 1], ga.coord_geom_index()[idx]
+
+
+def _ragged_cross_min(out, pa, pa_off, sa, sb, sb_off, chunk=4_000_000):
+    """min-reduce point×segment distances over aligned ragged pairs:
+    row r pairs points pa[pa_off[r]:pa_off[r+1]] against segments
+    (sa, sb)[sb_off[r]:sb_off[r+1]]; np.minimum.at folds into out[r].
+    One numpy pass, chunked by combo count."""
+    npp = np.diff(pa_off)
+    nss = np.diff(sb_off)
+    work = npp * nss
+    tot = int(work.sum())
+    if tot == 0:
+        return
+    cum = np.cumsum(work) - work
+    # chunk along pair rows so a single pass stays in memory
+    bounds_rows = np.searchsorted(cum, np.arange(0, tot, chunk))
+    bounds_rows = np.unique(np.append(bounds_rows, len(work)))
+    for s, e in zip(bounds_rows[:-1], bounds_rows[1:]):
+        w = work[s:e]
+        t = int(w.sum())
+        if t == 0:
+            continue
+        rep = np.repeat(np.arange(s, e), w)
+        combo = np.arange(t) - np.repeat(np.cumsum(w) - w, w)
+        pt = pa_off[rep] + combo // nss[rep]
+        sg = sb_off[rep] + combo % nss[rep]
+        p = pa[pt]
+        a = sa[sg]
+        b = sb[sg]
+        ab = b - a
+        ap = p - a
+        denom = (ab * ab).sum(-1)
+        tt = np.clip((ap * ab).sum(-1) / np.where(denom == 0, 1.0, denom),
+                     0.0, 1.0)
+        proj = a + tt[:, None] * ab
+        dx = p[:, 0] - proj[:, 0]
+        dy = p[:, 1] - proj[:, 1]
+        d = np.sqrt(dx * dx + dy * dy)
+        np.minimum.at(out, rep, d)
+
+
+def pairs_disjoint_distance(ga: GeometryArray, gb: GeometryArray):
+    """Exact distance for aligned row pairs KNOWN to be disjoint (e.g.
+    bbox lower bound > 0): min over vertex→segment in both directions,
+    plus vertex→vertex for point-only pairs — fully vectorized ragged
+    cross products, no per-pair Python. Callers own the disjointness
+    precondition (intersecting pairs would need the 0-distance test)."""
+    n = len(ga)
+    out = np.full(n, np.inf)
+    pa_off = ga.coord_offsets_per_geom()
+    pb_off = gb.coord_offsets_per_geom()
+    asa, asb, arow = _segments_all(ga)
+    bsa, bsb, brow = _segments_all(gb)
+    a_seg_off = np.concatenate([[0], np.cumsum(np.bincount(arow, minlength=n))]).astype(np.int64)
+    b_seg_off = np.concatenate([[0], np.cumsum(np.bincount(brow, minlength=n))]).astype(np.int64)
+    _ragged_cross_min(out, ga.coords, pa_off, bsa, bsb, b_seg_off)
+    _ragged_cross_min(out, gb.coords, pb_off, asa, asb, a_seg_off)
+    # pairs where both sides are segment-free (point×point)
+    both_pts = (np.diff(a_seg_off) == 0) & (np.diff(b_seg_off) == 0)
+    if both_pts.any():
+        rows = np.nonzero(both_pts)[0]
+        # treat B's coords as zero-length segments for the same kernel
+        sub_off = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(sub_off, rows + 1, np.diff(pb_off)[rows])
+        sub_off = np.cumsum(sub_off)
+        keep = np.repeat(both_pts, np.diff(pb_off))
+        bc = gb.coords[keep]
+        _ragged_cross_min(out, ga.coords, pa_off, bc, bc, sub_off)
+    return out
+
+
 def _pair_intersects(ga, i, gb, j) -> bool:
     ta, tb = int(ga.types[i]), int(gb.types[j])
     pa, pb = _geom_points(ga, i), _geom_points(gb, j)
