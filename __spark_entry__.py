@@ -2266,6 +2266,69 @@ FROM customer
 """
 
 
+def q_to_crs_bng(spark, sf_dir):
+    """General to_crs beyond UTM #1: EPSG:27700 British National Grid —
+    transverse Mercator on Airy 1830 with the published OS 7-parameter
+    Helmert datum shift (reference array.py:1098-1187 handles any pyproj
+    CRS; this is the closed-form equivalent). Oracle = round-trip
+    identity: WGS84 -> 27700 -> WGS84 recovers the 2-decimal input grid
+    to 5 decimals (round-trip closure ~5e-8 deg, bounded by the 2-D
+    datum-shift height drop; 3 orders inside the round-5 boundary
+    margin of 5e-6)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(-6.0) + (k % 760) / F.lit(100.0)).cast("double")  # -6..1.59
+    lat = (F.lit(50.0) + (k * 7 % 860) / F.lit(100.0)).cast("double")
+    g = st.point(lon, lat)
+    bng = st.to_crs(g, "EPSG:4326", "EPSG:27700")
+    back = st.to_crs(bng, "EPSG:27700", "EPSG:4326")
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"))
+
+
+SQL_TO_CRS_BNG = """
+SELECT c_custkey AS id,
+       ROUND(-6.0 + (c_custkey % 760) / 100.0, 5) AS rlon,
+       ROUND(50.0 + (c_custkey * 7 % 860) / 100.0, 5) AS rlat
+FROM customer
+"""
+
+
+def q_to_crs_lambert93(spark, sf_dir):
+    """General to_crs beyond UTM #2: EPSG:2154 RGF93/Lambert-93 — Lambert
+    Conformal Conic 2SP (EPSG method 9802) on GRS80. Oracle = round-trip
+    identity (closure ~1e-11 deg) + the natural-origin anchor (3E, 46.5N)
+    -> (700000, 6600000), exact by construction of the 2SP closed
+    form."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(-4.0) + (k % 1190) / F.lit(100.0)).cast("double")
+    lat = (F.lit(42.0) + (k * 7 % 900) / F.lit(100.0)).cast("double")
+    g = st.point(lon, lat)
+    l93 = st.to_crs(g, "EPSG:4326", "EPSG:2154")
+    back = st.to_crs(l93, "EPSG:2154", "EPSG:4326")
+    origin = st.to_crs(st.point(F.lit(3.0), F.lit(46.5)),
+                       "EPSG:4326", "EPSG:2154")
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"),
+        st.x(origin).alias("origin_e"),
+        st.y(origin).alias("origin_n"))
+
+
+SQL_TO_CRS_LAMBERT93 = """
+SELECT c_custkey AS id,
+       ROUND(-4.0 + (c_custkey % 1190) / 100.0, 5) AS rlon,
+       ROUND(42.0 + (c_custkey * 7 % 900) / 100.0, 5) AS rlat,
+       700000.0 AS origin_e,
+       6600000.0 AS origin_n
+FROM customer
+"""
+
+
 def q_buffer_styles(spark, sf_dir):
     """Buffer kwarg matrix (reference array.py:916-943): square/flat caps,
     mitre/bevel joins, single_sided — all with exact rectilinear areas."""
@@ -2992,6 +3055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_coords": q_z_coords,
         "geomcollection": q_geomcollection,
         "to_crs_utm": q_to_crs_utm,
+        "to_crs_bng": q_to_crs_bng,
+        "to_crs_lambert93": q_to_crs_lambert93,
         "buffer_styles": q_buffer_styles,
         "grid_size": q_grid_size,
         "rt_geoparquet": q_rt_geoparquet,
@@ -3098,6 +3163,8 @@ def oracle_sql() -> dict[str, str]:
         "z_coords": SQL_Z_COORDS,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
+        "to_crs_bng": SQL_TO_CRS_BNG,
+        "to_crs_lambert93": SQL_TO_CRS_LAMBERT93,
         "buffer_styles": SQL_BUFFER_STYLES,
         "grid_size": SQL_GRID_SIZE,
         "rt_geoparquet": _SQL_RT,

@@ -5,12 +5,19 @@ families get exact closed-form implementations and everything else gates
 on an import-try of pyproj. CRS identity is tracked at the wrapper level
 (column metadata convention, SURVEY §1.1), not per-value.
 
-Built-in pairs:
+Built-in:
 - EPSG:4326 ↔ EPSG:3857 (spherical web mercator, exact closed form)
-- EPSG:4326 ↔ EPSG:326xx/327xx (WGS84 UTM, ellipsoidal transverse
-  Mercator via the published Karney–Krüger n^6 series — nanometre-level
-  series truncation error; Newton inversion of the conformal latitude)
-- compositions through EPSG:4326 (e.g. 3857 ↔ UTM)
+- transverse-Mercator projected CRSs via the published Karney–Krüger n^6
+  series (nanometre series truncation; Newton inversion of the conformal
+  latitude), parameterized over ellipsoid / central meridian / latitude
+  of origin / scale / false origin: WGS84 UTM (EPSG:326xx/327xx), ETRS89
+  UTM (EPSG:258xx), NAD83 UTM (EPSG:269xx), British National Grid
+  (EPSG:27700, Airy 1830 + the published OS Helmert datum shift)
+- Lambert Conformal Conic 2SP (EPSG method 9802 closed form):
+  RGF93 Lambert-93 (EPSG:2154)
+- 7-parameter Helmert (position-vector) datum shifts through geocentric
+  coordinates for non-WGS84 datums
+- compositions through EPSG:4326 between any of the above
 """
 
 from __future__ import annotations
@@ -23,6 +30,19 @@ _F = 1.0 / 298.257223563             # WGS84 flattening
 _E = np.sqrt(_F * (2.0 - _F))        # first eccentricity
 _K0 = 0.9996                         # UTM scale on the central meridian
 _E0 = 500000.0                       # UTM false easting
+
+# ellipsoids: name -> (semi-major a, flattening f)
+_ELLPS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "airy": (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
+}
+
+# WGS84 -> OSGB36 position-vector Helmert (OS 'A guide to coordinate
+# systems in Great Britain', §6.6): (tx, ty, tz m; s ppm; rx, ry, rz
+# arc-seconds). Inverse = negated parameters (mm-level approximation).
+_HELMERT_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060,
+                            20.4894, -0.1502, -0.2470, -0.8421)
 
 
 def _norm(crs: str) -> str:
@@ -50,13 +70,20 @@ def _utm_zone_of(crs: str):
     return None
 
 
-def _tm_series():
+_TM_CACHE = {}
+
+
+def _tm_series(a_=_A, f_=_F):
     """Rectifying radius + Krüger alpha/beta coefficients to n^6
     (published series: Karney 2011, 'Transverse Mercator with an accuracy
-    of a few nanometers'; also the Wikipedia TM-series form)."""
-    n = _F / (2.0 - _F)
+    of a few nanometers'; also the Wikipedia TM-series form) for an
+    arbitrary ellipsoid."""
+    key = (a_, f_)
+    if key in _TM_CACHE:
+        return _TM_CACHE[key]
+    n = f_ / (2.0 - f_)
     n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
-    A = _A / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    A = a_ / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
     alpha = np.array([
         n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
         + 7891 * n6 / 37800,
@@ -78,17 +105,40 @@ def _tm_series():
         4583 * n5 / 161280 - 108847 * n6 / 3991680,
         20648693 * n6 / 638668800,
     ])
-    return A, alpha, beta
+    out = (A, alpha, beta)
+    _TM_CACHE[key] = out
+    return out
 
 
-def utm_forward(lon, lat, zone: int, north: bool):
-    """WGS84 geographic → UTM easting/northing (vectorized)."""
-    A, alpha, _ = _tm_series()
-    lon0 = zone * 6.0 - 183.0
-    lam = np.radians(np.asarray(lon, float) - lon0)
+def _tm_xi0(lat0: float, a_: float, f_: float) -> float:
+    """Rectifying value ξ of the latitude of natural origin (the forward
+    equations evaluated on the central meridian)."""
+    if lat0 == 0.0:
+        return 0.0
+    A, alpha, _ = _tm_series(a_, f_)
+    e_ = np.sqrt(f_ * (2.0 - f_))
+    phi = np.radians(lat0)
+    tau = np.tan(phi)
+    sigma = np.sinh(e_ * np.arctanh(e_ * tau / np.sqrt(1 + tau * tau)))
+    taup = tau * np.sqrt(1 + sigma * sigma) - sigma * np.sqrt(1 + tau * tau)
+    xi_p = np.arctan(taup)
+    xi = xi_p
+    for j, a in enumerate(alpha, start=1):
+        xi += a * np.sin(2 * j * xi_p)
+    return float(xi)
+
+
+def tm_forward(lon, lat, p: dict):
+    """Geographic (on the CRS's own datum) → projected TM easting/
+    northing, parameterized: p = {a, f, lon0, lat0, k0, fe, fn}."""
+    a_, f_ = p["a"], p["f"]
+    A, alpha, _ = _tm_series(a_, f_)
+    e_ = np.sqrt(f_ * (2.0 - f_))
+    k0 = p["k0"]
+    lam = np.radians(np.asarray(lon, float) - p["lon0"])
     phi = np.radians(np.asarray(lat, float))
     tau = np.tan(phi)
-    sigma = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau * tau)))
+    sigma = np.sinh(e_ * np.arctanh(e_ * tau / np.sqrt(1 + tau * tau)))
     taup = tau * np.sqrt(1 + sigma * sigma) - sigma * np.sqrt(1 + tau * tau)
     coslam = np.cos(lam)
     xi_p = np.arctan2(taup, coslam)
@@ -97,17 +147,20 @@ def utm_forward(lon, lat, zone: int, north: bool):
     for j, a in enumerate(alpha, start=1):
         xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
         eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    E = _E0 + _K0 * A * eta
-    N = (0.0 if north else 10000000.0) + _K0 * A * xi
+    E = p["fe"] + k0 * A * eta
+    N = p["fn"] + k0 * A * (xi - _tm_xi0(p["lat0"], a_, f_))
     return E, N
 
 
-def utm_inverse(E, N, zone: int, north: bool):
-    """UTM easting/northing → WGS84 geographic (vectorized)."""
-    A, _, beta = _tm_series()
-    lon0 = zone * 6.0 - 183.0
-    xi = (np.asarray(N, float) - (0.0 if north else 10000000.0)) / (_K0 * A)
-    eta = (np.asarray(E, float) - _E0) / (_K0 * A)
+def tm_inverse(E, N, p: dict):
+    """Projected TM → geographic on the CRS's own datum (vectorized)."""
+    a_, f_ = p["a"], p["f"]
+    A, _, beta = _tm_series(a_, f_)
+    e_ = np.sqrt(f_ * (2.0 - f_))
+    k0 = p["k0"]
+    n0 = k0 * A * _tm_xi0(p["lat0"], a_, f_)
+    xi = (np.asarray(N, float) - p["fn"] + n0) / (k0 * A)
+    eta = (np.asarray(E, float) - p["fe"]) / (k0 * A)
     xi_p, eta_p = xi.copy(), eta.copy()
     for j, b in enumerate(beta, start=1):
         xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
@@ -115,9 +168,9 @@ def utm_inverse(E, N, zone: int, north: bool):
     taup = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
     # Newton-invert the conformal latitude (quadratic convergence)
     tau = taup.copy()
-    e2 = _E * _E
+    e2 = e_ * e_
     for _ in range(6):
-        sigma = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau * tau)))
+        sigma = np.sinh(e_ * np.arctanh(e_ * tau / np.sqrt(1 + tau * tau)))
         taupi = (tau * np.sqrt(1 + sigma * sigma)
                  - sigma * np.sqrt(1 + tau * tau))
         dtau = ((taup - taupi) * (1 + (1 - e2) * tau * tau)
@@ -125,8 +178,202 @@ def utm_inverse(E, N, zone: int, north: bool):
                                       * (1 + tau * tau))))
         tau = tau + dtau
     lat = np.degrees(np.arctan(tau))
-    lon = lon0 + np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p)))
+    lon = p["lon0"] + np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p)))
     return lon, lat
+
+
+def _utm_params(zone: int, north: bool, ellps: str = "WGS84") -> dict:
+    a_, f_ = _ELLPS[ellps]
+    return {"a": a_, "f": f_, "lon0": zone * 6.0 - 183.0, "lat0": 0.0,
+            "k0": _K0, "fe": _E0, "fn": 0.0 if north else 10000000.0}
+
+
+def utm_forward(lon, lat, zone: int, north: bool):
+    """WGS84 geographic → UTM easting/northing (vectorized)."""
+    return tm_forward(lon, lat, _utm_params(zone, north))
+
+
+def utm_inverse(E, N, zone: int, north: bool):
+    """UTM easting/northing → WGS84 geographic (vectorized)."""
+    return tm_inverse(E, N, _utm_params(zone, north))
+
+
+# --- Lambert Conformal Conic 2SP (EPSG method 9802 / Snyder 1987) --------
+
+def _lcc_consts(p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2.0 - f_))
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e_ * e_ * s * s)
+
+    def t(phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4 - phi / 2)
+                / ((1 - e_ * s) / (1 + e_ * s)) ** (e_ / 2))
+
+    p1, p2 = np.radians(p["sp1"]), np.radians(p["sp2"])
+    p0 = np.radians(p["lat0"])
+    m1, m2 = m(p1), m(p2)
+    t1, t2, t0 = t(p1), t(p2), t(p0)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    Fc = m1 / (n * t1 ** n)
+    rho0 = a_ * Fc * t0 ** n
+    return e_, n, Fc, rho0, t
+
+
+def lcc_forward(lon, lat, p: dict):
+    """Geographic → LCC 2SP easting/northing (vectorized)."""
+    a_ = p["a"]
+    e_, n, Fc, rho0, t = _lcc_consts(p)
+    phi = np.radians(np.asarray(lat, float))
+    rho = a_ * Fc * t(phi) ** n
+    th = n * np.radians(np.asarray(lon, float) - p["lon0"])
+    E = p["fe"] + rho * np.sin(th)
+    # (rho0 - rho·cosθ) first so the natural origin lands exactly on
+    # (fe, fn) — the association matters at float precision
+    N = p["fn"] + (rho0 - rho * np.cos(th))
+    return E, N
+
+
+def lcc_inverse(E, N, p: dict):
+    """LCC 2SP easting/northing → geographic (vectorized)."""
+    a_ = p["a"]
+    e_, n, Fc, rho0, _t = _lcc_consts(p)
+    dE = np.asarray(E, float) - p["fe"]
+    dN = rho0 - (np.asarray(N, float) - p["fn"])
+    rho = np.sign(n) * np.sqrt(dE * dE + dN * dN)
+    tp = (rho / (a_ * Fc)) ** (1.0 / n)
+    th = np.arctan2(np.sign(n) * dE, np.sign(n) * dN)
+    lon = p["lon0"] + np.degrees(th / n)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = (np.pi / 2 - 2 * np.arctan(
+            tp * ((1 - e_ * s) / (1 + e_ * s)) ** (e_ / 2)))
+    return lon, np.degrees(phi)
+
+
+# --- Helmert datum shifts through geocentric coordinates ------------------
+
+def _geodetic_to_xyz(lon, lat, a_, f_):
+    e2 = f_ * (2.0 - f_)
+    phi = np.radians(np.asarray(lat, float))
+    lam = np.radians(np.asarray(lon, float))
+    s = np.sin(phi)
+    nu = a_ / np.sqrt(1 - e2 * s * s)
+    return (nu * np.cos(phi) * np.cos(lam),
+            nu * np.cos(phi) * np.sin(lam),
+            nu * (1 - e2) * s)
+
+
+def _xyz_to_geodetic(X, Y, Z, a_, f_):
+    e2 = f_ * (2.0 - f_)
+    p = np.sqrt(X * X + Y * Y)
+    phi = np.arctan2(Z, p * (1 - e2))
+    for _ in range(8):
+        s = np.sin(phi)
+        nu = a_ / np.sqrt(1 - e2 * s * s)
+        phi = np.arctan2(Z + e2 * nu * s, p)
+    return np.degrees(np.arctan2(Y, X)), np.degrees(phi)
+
+
+def _helmert(X, Y, Z, prm, inverse=False):
+    """Position-vector 7-parameter transform (EPSG 9606):
+    prm = (tx, ty, tz [m], s [ppm], rx, ry, rz [arc-sec]). The inverse is
+    the exact inverse of the forward affine map (not the cm-level
+    negated-parameter approximation), so round trips close to float
+    precision."""
+    tx, ty, tz, s_ppm, rx, ry, rz = prm
+    k = 1.0 + s_ppm * 1e-6
+    rx, ry, rz = (np.radians(v / 3600.0) for v in (rx, ry, rz))
+    M = k * np.array([[1.0, -rz, ry],
+                      [rz, 1.0, -rx],
+                      [-ry, rx, 1.0]])
+    v = np.stack([X, Y, Z])
+    t = np.array([tx, ty, tz])
+    if inverse:
+        out = np.linalg.inv(M) @ (v - t[:, None])
+    else:
+        out = M @ v + t[:, None]
+    return out[0], out[1], out[2]
+
+
+def _datum_from_wgs84(lon, lat, ellps: str, helmert):
+    """WGS84 geographic → target-datum geographic (h=0 on both)."""
+    if helmert is None and ellps in ("WGS84", "GRS80"):
+        return lon, lat      # modern ETRS89/NAD83/RGF93 ≈ WGS84 (cm-level)
+    X, Y, Z = _geodetic_to_xyz(lon, lat, *_ELLPS["WGS84"])
+    if helmert is not None:
+        X, Y, Z = _helmert(X, Y, Z, helmert)
+    return _xyz_to_geodetic(X, Y, Z, *_ELLPS[ellps])
+
+
+def _datum_to_wgs84(lon, lat, ellps: str, helmert):
+    if helmert is None and ellps in ("WGS84", "GRS80"):
+        return lon, lat
+    X, Y, Z = _geodetic_to_xyz(lon, lat, *_ELLPS[ellps])
+    if helmert is not None:
+        X, Y, Z = _helmert(X, Y, Z, helmert, inverse=True)
+    return _xyz_to_geodetic(X, Y, Z, *_ELLPS["WGS84"])
+
+
+# --- projected-CRS registry ----------------------------------------------
+
+def _proj_def(crs: str):
+    """(kind, params, ellps, helmert_from_wgs84) for a supported projected
+    EPSG code, else None. TM params follow the EPSG registry entries."""
+    c = _norm(crs)
+    z = _utm_zone_of(c)
+    if z is not None:
+        return ("tm", _utm_params(*z), "WGS84", None)
+    if not c.startswith("EPSG:"):
+        return None
+    try:
+        code = int(c[5:])
+    except ValueError:
+        return None
+    if 25828 <= code <= 25838:      # ETRS89 / UTM (GRS80, no shift)
+        return ("tm", _utm_params(code - 25800, True, "GRS80"),
+                "GRS80", None)
+    if 26901 <= code <= 26923:      # NAD83 / UTM (GRS80, no shift)
+        return ("tm", _utm_params(code - 26900, True, "GRS80"),
+                "GRS80", None)
+    if code == 27700:               # British National Grid (EPSG 27700)
+        a_, f_ = _ELLPS["airy"]
+        return ("tm", {"a": a_, "f": f_, "lon0": -2.0, "lat0": 49.0,
+                       "k0": 0.9996012717, "fe": 400000.0,
+                       "fn": -100000.0},
+                "airy", _HELMERT_WGS84_TO_OSGB36)
+    if code == 2154:                # RGF93 / Lambert-93 (EPSG 2154)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("lcc", {"a": a_, "f": f_, "lon0": 3.0, "lat0": 46.5,
+                        "sp1": 44.0, "sp2": 49.0, "fe": 700000.0,
+                        "fn": 6600000.0}, "GRS80", None)
+    return None
+
+
+def _project_from_wgs84(coords: np.ndarray, d: str):
+    pd_ = _proj_def(d)
+    if pd_ is None:
+        return None
+    kind, p, ellps, helm = pd_
+    lon, lat = _datum_from_wgs84(coords[:, 0], coords[:, 1], ellps, helm)
+    fwd = tm_forward if kind == "tm" else lcc_forward
+    E, N = fwd(lon, lat, p)
+    return np.column_stack([E, N])
+
+
+def _unproject_to_wgs84(coords: np.ndarray, s: str):
+    pd_ = _proj_def(s)
+    if pd_ is None:
+        return None
+    kind, p, ellps, helm = pd_
+    inv = tm_inverse if kind == "tm" else lcc_inverse
+    lon, lat = inv(coords[:, 0], coords[:, 1], p)
+    lon, lat = _datum_to_wgs84(lon, lat, ellps, helm)
+    return np.column_stack([lon, lat])
 
 
 def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
@@ -144,26 +391,28 @@ def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
         lon = np.degrees(coords[:, 0] / _R)
         lat = np.degrees(2 * np.arctan(np.exp(coords[:, 1] / _R)) - np.pi / 2)
         return np.column_stack([lon, lat])
-    dz = _utm_zone_of(d)
-    if s == "EPSG:4326" and dz is not None:
-        E, N = utm_forward(coords[:, 0], coords[:, 1], *dz)
-        return np.column_stack([E, N])
-    sz = _utm_zone_of(s)
-    if sz is not None and d == "EPSG:4326":
-        lon, lat = utm_inverse(coords[:, 0], coords[:, 1], *sz)
-        return np.column_stack([lon, lat])
-    if sz is not None or dz is not None or "EPSG:3857" in (s, d):
-        # compose through geographic coordinates
-        if s != "EPSG:4326" and (sz is not None or s == "EPSG:3857"):
-            mid = transform_coords(coords, s, "EPSG:4326")
-            return transform_coords(mid, "EPSG:4326", d)
+    if s == "EPSG:4326":
+        out = _project_from_wgs84(coords, d)
+        if out is not None:
+            return out
+    if d == "EPSG:4326":
+        out = _unproject_to_wgs84(coords, s)
+        if out is not None:
+            return out
+    # compose any supported pair through geographic coordinates
+    s_ok = s == "EPSG:4326" or s == "EPSG:3857" or _proj_def(s) is not None
+    d_ok = d == "EPSG:4326" or d == "EPSG:3857" or _proj_def(d) is not None
+    if s_ok and d_ok:
+        mid = transform_coords(coords, s, "EPSG:4326")
+        return transform_coords(mid, "EPSG:4326", d)
     try:
         from pyproj import Transformer
     except ImportError as e:
         raise NotImplementedError(
             f"transform {src}->{dst} needs pyproj (not installed); built-in "
-            "closed forms cover EPSG:4326 <-> EPSG:3857 and WGS84 UTM "
-            "(EPSG:326xx/327xx)") from e
+            "closed forms cover EPSG:4326 <-> EPSG:3857, UTM families "
+            "(EPSG:326xx/327xx/258xx/269xx), EPSG:27700 (British National "
+            "Grid) and EPSG:2154 (Lambert-93)") from e
     tr = Transformer.from_crs(s, d, always_xy=True)
     x, y = tr.transform(coords[:, 0], coords[:, 1])
     return np.column_stack([x, y])

@@ -864,6 +864,54 @@ def test_geometrycollection():
         "POINT Z (2 3 3)"
 
 
+def test_general_crs():
+    """Round-3 general to_crs: BNG (TM on Airy + OS Helmert), Lambert-93
+    (LCC 2SP on GRS80), ETRS89/NAD83 UTM — published anchors + round
+    trips."""
+    import numpy as np
+    from geopandas_spark.geom import crs
+    # OS Guide worked example (OSGB36 geographic -> grid, TM core only)
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    p = crs._proj_def("EPSG:27700")[1]
+    E, N = crs.tm_forward(np.array([lon]), np.array([lat]), p)
+    assert abs(E[0] - 651409.903) < 2e-3
+    assert abs(N[0] - 313177.270) < 2e-3
+    # full chain anchor: Tower of London (WGS84) ~= TQ 33614 80550
+    t = crs.transform_coords(np.array([[-0.0761, 51.5081]]),
+                             "EPSG:4326", "EPSG:27700")
+    assert abs(t[0, 0] - 533614.4) < 1.0 and abs(t[0, 1] - 180551.0) < 1.0
+    # Lambert-93 natural origin is exact by construction
+    o = crs.transform_coords(np.array([[3.0, 46.5]]),
+                             "EPSG:4326", "EPSG:2154")
+    assert o[0, 0] == 700000.0 and o[0, 1] == 6600000.0
+    # Eiffel Tower matches the published grid position
+    e = crs.transform_coords(np.array([[2.2945, 48.8584]]),
+                             "EPSG:4326", "EPSG:2154")
+    assert abs(e[0, 0] - 648237.3) < 1.0 and abs(e[0, 1] - 6862271.7) < 1.0
+    # round trips: Lambert exact-ish; BNG limited by the 2-D datum shift
+    rng = np.random.default_rng(3)
+    uk = np.column_stack([rng.uniform(-5.5, 1.7, 500),
+                          rng.uniform(50.0, 58.6, 500)])
+    assert np.abs(crs.transform_coords(
+        crs.transform_coords(uk, "EPSG:4326", "EPSG:27700"),
+        "EPSG:27700", "EPSG:4326") - uk).max() < 5e-8
+    fr = np.column_stack([rng.uniform(-4.5, 8.0, 500),
+                          rng.uniform(42.0, 51.0, 500)])
+    assert np.abs(crs.transform_coords(
+        crs.transform_coords(fr, "EPSG:4326", "EPSG:2154"),
+        "EPSG:2154", "EPSG:4326") - fr).max() < 1e-11
+    # ETRS89 UTM == WGS84 UTM to sub-mm (GRS80 vs WGS84 flattening)
+    d = np.abs(crs.transform_coords(fr, "EPSG:4326", "EPSG:25832")
+               - crs.transform_coords(fr, "EPSG:4326", "EPSG:32632"))
+    assert d.max() < 1e-3
+    # composition through 4326 between projected CRSs
+    comp = crs.transform_coords(
+        crs.transform_coords(fr, "EPSG:4326", "EPSG:2154"),
+        "EPSG:2154", "EPSG:25831")
+    assert comp.shape == fr.shape
+
+
 def test_utm_transform():
     """Karney–Krüger UTM: anchors + round-trip + known meridian arc."""
     import numpy as np
