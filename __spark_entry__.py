@@ -2591,6 +2591,45 @@ GROUP BY c_nationkey
 """
 
 
+def _key_spread(s):
+    """Custom dissolve aggfunc for the oracle: max-min key spread (exact
+    integer arithmetic in double)."""
+    return float(s.max() - s.min())
+
+
+def q_dissolve_aggfuncs(spark, sf_dir):
+    """dissolve aggfunc parity (reference geodataframe.py:2305): a LIST of
+    aggs on one column (sum+count+nunique on c_custkey), holistic named
+    aggs (median), and an arbitrary Python callable — holistic presence
+    routes the whole dissolve through the single-phase applyInPandas
+    plan."""
+    cust = _cust(spark, sf_dir)
+    dis = dissolve(cust, "c_nationkey",
+                   {"c_custkey": ["sum", "count", "median", _key_spread],
+                    "c_acctbal": "nunique"})
+    return dis.select(
+        F.col("c_nationkey").alias("nk"),
+        st.ngeometries("geom").alias("n_pts"),
+        F.col("c_custkey_sum").alias("key_sum"),
+        F.col("c_custkey_count").alias("key_cnt"),
+        F.col("c_custkey_median").alias("key_med"),
+        F.col("c_custkey__key_spread").alias("key_spread"),
+        F.col("c_acctbal_nunique").alias("bal_uniq"))
+
+
+SQL_DISSOLVE_AGGFUNCS = f"""
+SELECT c_nationkey AS nk,
+       COUNT(DISTINCT {PX} * 1000 + {PY}) AS n_pts,
+       CAST(SUM(c_custkey) AS DOUBLE) AS key_sum,
+       COUNT(c_custkey) AS key_cnt,
+       MEDIAN(CAST(c_custkey AS DOUBLE)) AS key_med,
+       CAST(MAX(c_custkey) - MIN(c_custkey) AS DOUBLE) AS key_spread,
+       COUNT(DISTINCT c_acctbal) AS bal_uniq
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
 def q_concat_cx(spark, sf_dir):
     """Frame surface: concat (CRS-checked vertical union), cx bbox
     indexer, set_geometry/rename_geometry metadata plumbing."""
@@ -2645,6 +2684,47 @@ def q_valid_reason_orient(spark, sf_dir):
         F.round(st.area(oriented), 6).alias("or_area"),
         st.x(st.interpolate(line, F.lit(13.0))).alias("ip_abs"),
         st.x(st.line_interpolate_point(line, F.lit(0.25))).alias("ip_norm"))
+
+
+def q_densify_distances(spark, sf_dir):
+    """hausdorff_distance / frechet_distance densify kwarg (reference
+    base.py:4166,4281). Anchors: the JTS DiscreteHausdorffDistance javadoc
+    example (vertex sqrt(200); densify=0.5 exactly 70.0 — the max lands on
+    densified vertex (70,80) vs the x=0 edge) and an integer tent chain
+    whose densified Fréchet is exactly 4.0. Scaled per row by an integer
+    factor so every row exercises the kernel."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = (k % 5 + 1)                      # integer scale 1..5
+    ha = st.geom_from_text(F.concat(
+        F.lit("LINESTRING ("), 130 * s, F.lit(" 0, 0 0, 0 "), 150 * s,
+        F.lit(")")))
+    hb = st.geom_from_text(F.concat(
+        F.lit("LINESTRING ("), 10 * s, F.lit(" "), 10 * s, F.lit(", "),
+        10 * s, F.lit(" "), 150 * s, F.lit(", "), 130 * s, F.lit(" "),
+        10 * s, F.lit(")")))
+    fa = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (0 0, "), 10 * s, F.lit(" 0)")))
+    fb = st.geom_from_text(F.concat(
+        F.lit("LINESTRING (0 0, "), 5 * s, F.lit(" "), 4 * s,
+        F.lit(", "), 10 * s, F.lit(" 0)")))
+    return c.select(
+        k.alias("id"),
+        st.hausdorff_distance(ha, hb).alias("hd_vertex"),
+        st.hausdorff_distance(ha, hb, densify=0.5).alias("hd_densified"),
+        st.frechet_distance(fa, fb).alias("fd_vertex"),
+        st.frechet_distance(fa, fb, densify=0.25).alias("fd_densified"))
+
+
+SQL_DENSIFY_DISTANCES = """
+SELECT c_custkey AS id,
+       SQRT(200.0 * (c_custkey % 5 + 1) * (c_custkey % 5 + 1))
+           AS hd_vertex,
+       70.0 * (c_custkey % 5 + 1) AS hd_densified,
+       SQRT(41.0 * (c_custkey % 5 + 1) * (c_custkey % 5 + 1)) AS fd_vertex,
+       4.0 * (c_custkey % 5 + 1) AS fd_densified
+FROM customer
+"""
 
 
 SQL_VALID_REASON_ORIENT = """
@@ -3069,8 +3149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
         "dissolve_mean": q_dissolve_mean,
+        "dissolve_aggfuncs": q_dissolve_aggfuncs,
         "concat_cx": q_concat_cx,
         "valid_reason_orient": q_valid_reason_orient,
+        "densify_distances": q_densify_distances,
         "jaccard": q_jaccard,
         "lsh_topk": q_lsh_topk,
         "fillna": q_fillna,
@@ -3177,8 +3259,10 @@ def oracle_sql() -> dict[str, str]:
         "overlay_identity": SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
         "dissolve_mean": SQL_DISSOLVE_MEAN,
+        "dissolve_aggfuncs": SQL_DISSOLVE_AGGFUNCS,
         "concat_cx": SQL_CONCAT_CX,
         "valid_reason_orient": SQL_VALID_REASON_ORIENT,
+        "densify_distances": SQL_DENSIFY_DISTANCES,
         "jaccard": SQL_JACCARD,
         "lsh_topk": SQL_LSH_TOPK,
         "fillna": SQL_FILLNA,

@@ -441,6 +441,26 @@ def _frechet(a: pd.Series, b: pd.Series) -> pd.Series:
     return _mask_float(ga, algos.frechet_distance(ga, _decode(b)))
 
 
+@_reg("st_hausdorffdistance_densify")
+@pandas_udf(DoubleType())
+def _hausdorff_densify(a: pd.Series, b: pd.Series,
+                       dens: pd.Series) -> pd.Series:
+    ga = _decode(a)
+    f = float(dens.iloc[0]) if len(dens) else None
+    return _mask_float(ga, algos.hausdorff_distance(ga, _decode(b),
+                                                    densify=f))
+
+
+@_reg("st_frechetdistance_densify")
+@pandas_udf(DoubleType())
+def _frechet_densify(a: pd.Series, b: pd.Series,
+                     dens: pd.Series) -> pd.Series:
+    ga = _decode(a)
+    f = float(dens.iloc[0]) if len(dens) else None
+    return _mask_float(ga, algos.frechet_distance(ga, _decode(b),
+                                                  densify=f))
+
+
 @_reg("st_equalsexact")
 @pandas_udf(BooleanType())
 def _equalsexact(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
@@ -1211,12 +1231,22 @@ def shortest_line(a, b) -> Column:
     return _REGISTRY["st_shortestline"](_col(a), _col(b))
 
 
-def hausdorff_distance(a, b) -> Column:
-    return _REGISTRY["st_hausdorffdistance"](_col(a), _col(b))
+def hausdorff_distance(a, b, densify=None) -> Column:
+    """densify (0<f<=1) samples round(1/f) points per segment before the
+    directed max (reference base.py:4166)."""
+    if densify is None:
+        return _REGISTRY["st_hausdorffdistance"](_col(a), _col(b))
+    return _REGISTRY["st_hausdorffdistance_densify"](
+        _col(a), _col(b), F.lit(float(densify)))
 
 
-def frechet_distance(a, b) -> Column:
-    return _REGISTRY["st_frechetdistance"](_col(a), _col(b))
+def frechet_distance(a, b, densify=None) -> Column:
+    """densify (0<f<=1) subdivides every edge of both chains before the
+    discrete-Fréchet DP (reference base.py:4281)."""
+    if densify is None:
+        return _REGISTRY["st_frechetdistance"](_col(a), _col(b))
+    return _REGISTRY["st_frechetdistance_densify"](
+        _col(a), _col(b), F.lit(float(densify)))
 
 
 def geom_equals_exact(a, b, tol) -> Column:

@@ -2955,10 +2955,48 @@ def _closest_pair(ga, i, gb, j):
     return best[1], best[2]
 
 
-def hausdorff_distance(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
+def _densify_samples(pts, segs, frac):
+    """Vertex set densified by a length fraction (GEOS
+    MaxDensifiedByFractionDistanceFilter semantics): every segment
+    contributes round(1/frac) equally spaced sample points, plus the
+    original vertices."""
+    if frac is None or not len(segs):
+        return pts
+    nsub = max(1, int(round(1.0 / float(frac))))
+    if nsub <= 1:
+        return pts
+    t = (np.arange(1, nsub) / nsub)[None, :, None]        # (1, nsub-1, 1)
+    a = segs[:, 0][:, None, :]
+    d = (segs[:, 1] - segs[:, 0])[:, None, :]
+    extra = (a + t * d).reshape(-1, 2)
+    return np.concatenate([pts, extra], axis=0)
+
+
+def _densify_chain(P, frac):
+    """Insert round(1/frac)-1 intermediate vertices per edge of an ordered
+    chain (discrete-Fréchet densification, base.py:4281 densify)."""
+    if frac is None or len(P) < 2:
+        return P
+    nsub = max(1, int(round(1.0 / float(frac))))
+    if nsub <= 1:
+        return P
+    t = (np.arange(nsub) / nsub)[None, :, None]
+    a = P[:-1][:, None, :]
+    d = (P[1:] - P[:-1])[:, None, :]
+    dense = (a + t * d).reshape(-1, 2)
+    return np.concatenate([dense, P[-1:]], axis=0)
+
+
+def hausdorff_distance(ga: GeometryArray, gb: GeometryArray,
+                       densify=None) -> np.ndarray:
     """Discrete Hausdorff distance, vertex-sampled like GEOS's
     DiscreteHausdorffDistance (base.py:4166): max over vertices of one side
-    of the true point-to-geometry distance to the other, symmetric."""
+    of the true point-to-geometry distance to the other, symmetric.
+    ``densify`` (0 < f <= 1) adds round(1/f) samples per segment on the
+    measuring side, tightening the discrete bound (base.py densify
+    kwarg)."""
+    if densify is not None and not 0.0 < float(densify) <= 1.0:
+        raise ValueError("densify must be in (0, 1]")
     out = np.full(len(ga), np.nan)
     for i in range(len(ga)):
         if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
@@ -2967,29 +3005,41 @@ def hausdorff_distance(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
         pb, sb = _geom_points(gb, i), _geom_segments(gb, i)
         if len(pa) == 0 or len(pb) == 0:
             continue
+        da = _densify_samples(pa, sa, densify)
+        db = _densify_samples(pb, sb, densify)
 
         def _dir(pts, osegs, opts):
             if len(osegs):
-                return max(float(_point_seg_dist(p.reshape(1, 2), osegs)[0])
-                           for p in pts)
-            return max(float(np.hypot(*(opts - p).T).min()) for p in pts)
+                return float(_point_seg_dist(pts, osegs).max())
+            dx = pts[:, None, 0] - opts[None, :, 0]
+            dy = pts[:, None, 1] - opts[None, :, 1]
+            # sqrt(dx²+dy²), not hypot: bit-identical to plain SQL
+            return float(np.sqrt(dx * dx + dy * dy).min(axis=1).max())
 
-        out[i] = max(_dir(pa, sb, pb), _dir(pb, sa, pa))
+        out[i] = max(_dir(da, sb, pb), _dir(db, sa, pa))
     return out
 
 
-def frechet_distance(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
-    """Discrete Fréchet distance over vertex sequences (base.py:4281)."""
+def frechet_distance(ga: GeometryArray, gb: GeometryArray,
+                     densify=None) -> np.ndarray:
+    """Discrete Fréchet distance over vertex sequences (base.py:4281);
+    ``densify`` subdivides every edge of both chains into round(1/f)
+    pieces before the DP, tightening the discrete approximation."""
+    if densify is not None and not 0.0 < float(densify) <= 1.0:
+        raise ValueError("densify must be in (0, 1]")
     out = np.full(len(ga), np.nan)
     for i in range(len(ga)):
         if ga.types[i] == GT_MISSING or gb.types[i] == GT_MISSING:
             continue
         P, Q = _geom_points(ga, i), _geom_points(gb, i)
+        P, Q = _densify_chain(P, densify), _densify_chain(Q, densify)
         n, m = len(P), len(Q)
         if n == 0 or m == 0:
             continue
-        d = np.hypot(P[:, None, 0] - Q[None, :, 0],
-                     P[:, None, 1] - Q[None, :, 1])
+        dpx = P[:, None, 0] - Q[None, :, 0]
+        dpy = P[:, None, 1] - Q[None, :, 1]
+        # sqrt(dx²+dy²), not hypot: bit-identical to plain SQL
+        d = np.sqrt(dpx * dpx + dpy * dpy)
         ca = np.full((n, m), np.inf)
         ca[0, 0] = d[0, 0]
         for r in range(n):

@@ -25,41 +25,74 @@ from geopandas_spark.geom import algos, wkb
 
 _PARTIAL = {"sum": "sum", "min": "min", "max": "max", "count": "sum",
             "first": "first"}
+# named aggs that can't split into associative partials (run single-phase)
+_HOLISTIC = {"median", "std", "var", "nunique"}
 
 
-def _agg_out_field(field, fn):
-    if fn == "count":
-        return StructField(f"{field.name}_{fn}", LongType(), False)
-    if fn in ("sum", "mean"):
-        return StructField(f"{field.name}_{fn}", DoubleType(), True)
-    return StructField(f"{field.name}_{fn}", field.dataType, True)
+def _fn_label(fn) -> str:
+    if callable(fn):
+        n = getattr(fn, "__name__", "agg")
+        return "agg" if n == "<lambda>" else n
+    return str(fn)
 
 
-def _apply_aggs(pdf: pd.DataFrame, aggfunc: dict) -> dict:
-    out = {}
-    for c, fn in aggfunc.items():
-        s = pdf[c]
-        if fn == "count":
-            out[f"{c}_{fn}"] = int(s.count())
-        elif fn == "sum":
-            out[f"{c}_{fn}"] = float(s.sum())
-        elif fn == "mean":
-            out[f"{c}_{fn}"] = float(s.mean())
-        elif fn == "min":
-            out[f"{c}_{fn}"] = s.min()
-        elif fn == "max":
-            out[f"{c}_{fn}"] = s.max()
-        elif fn == "first":
-            out[f"{c}_{fn}"] = s.iloc[0]
-        else:
-            raise ValueError(f"unsupported aggfunc {fn!r}")
+def _norm_aggfunc(aggfunc) -> list:
+    """{col: fn | [fn, ...]} → [(col, fn, out_name)] with unique names
+    (pandas-agg flattened naming: col_fn; reference dissolve accepts the
+    same dict/list/callable forms, geodataframe.py:2305)."""
+    out, seen = [], set()
+    for c, fns in dict(aggfunc or {}).items():
+        if not isinstance(fns, (list, tuple)):
+            fns = [fns]
+        for fn in fns:
+            if not callable(fn) and fn not in _PARTIAL and \
+                    fn not in _HOLISTIC and fn != "mean":
+                raise ValueError(f"unsupported aggfunc {fn!r}")
+            name = f"{c}_{_fn_label(fn)}"
+            k = name
+            i = 2
+            while k in seen:
+                k = f"{name}{i}"
+                i += 1
+            seen.add(k)
+            out.append((c, fn, k))
     return out
+
+
+def _agg_out_field(field, fn, name):
+    if fn == "count" or fn == "nunique":
+        return StructField(name, LongType(), False)
+    if callable(fn) or fn in ("sum", "mean", "median", "std", "var"):
+        return StructField(name, DoubleType(), True)
+    return StructField(name, field.dataType, True)
+
+
+def _apply_one(s: pd.Series, fn):
+    if callable(fn):
+        return float(fn(s))
+    if fn == "count":
+        return int(s.count())
+    if fn == "nunique":
+        return int(s.nunique())
+    if fn in ("sum", "mean", "median", "std", "var"):
+        return float(getattr(s, fn)())
+    if fn == "min":
+        return s.min()
+    if fn == "max":
+        return s.max()
+    if fn == "first":
+        return s.iloc[0]
+    raise ValueError(f"unsupported aggfunc {fn!r}")
 
 
 def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
              two_phase=None) -> DataFrame:
     """GroupBy ``by``, union geometries, aggregate other columns with
-    ``aggfunc`` = {column: "sum"|"min"|"max"|"count"|"first"|"mean"}.
+    ``aggfunc`` = {column: fn | [fn, ...]} where fn is one of
+    "sum"|"min"|"max"|"count"|"first"|"mean"|"median"|"std"|"var"|
+    "nunique" or an arbitrary Python callable Series -> scalar (cast to
+    double) — the reference accepts the same pandas-agg forms
+    (geodataframe.py:2305). Output columns are named ``col_fn``.
 
     ``two_phase`` pre-unions WITHIN each input partition (shuffle-free
     mapInPandas combine) before the final per-key merge, so one hot key
@@ -67,29 +100,35 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
     scale-safe plan. Default ``None`` = auto: two-phase whenever the input
     has more than one partition (with a single partition the combine is
     pure overhead and the plans are identical). ``mean`` splits into
-    sum+count partials and divides at the end."""
+    sum+count partials and divides at the end. Holistic aggs (median/std/
+    var/nunique and callables) have no associative partial form, so their
+    presence forces the single-phase plan — hot-key exposure is inherent
+    to them, exactly as in the reference's groupby-apply."""
     if isinstance(by, str):
         by = [by]
-    aggfunc = dict(aggfunc or {})
+    aggs = _norm_aggfunc(aggfunc)
+    holistic = any(callable(fn) or fn in _HOLISTIC for _, fn, _ in aggs)
     if two_phase is None:
         try:
             two_phase = df.rdd.getNumPartitions() > 1
         except Exception:
             two_phase = True
+    if holistic:
+        two_phase = False
 
     in_fields = {f.name: f for f in df.schema.fields}
     out_schema = StructType(
         [in_fields[k] for k in by] +
         [StructField(geom, BinaryType(), True)] +
-        [_agg_out_field(in_fields[c], fn) for c, fn in aggfunc.items()])
+        [_agg_out_field(in_fields[c], fn, name) for c, fn, name in aggs])
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ga = wkb.decode(pdf[geom].tolist())
         u = wkb.encode(algos.union_all(ga))[0]
         row = {k: [v] for k, v in zip(by, key)}
         row[geom] = [u]
-        for name, val in _apply_aggs(pdf, aggfunc).items():
-            row[name] = [val]
+        for c, fn, name in aggs:
+            row[name] = [_apply_one(pdf[c], fn)]
         return pd.DataFrame(row)
 
     if not two_phase:
@@ -97,13 +136,13 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
 
     # -- phase 1: per (key, input-partition) combine ----------------------
     partial_fields = []
-    for c, fn in aggfunc.items():
+    for c, fn, name in aggs:
         if fn == "mean":
             partial_fields += [
-                StructField(f"{c}__psum", DoubleType(), True),
-                StructField(f"{c}__pcnt", LongType(), False)]
+                StructField(f"{name}__psum", DoubleType(), True),
+                StructField(f"{name}__pcnt", LongType(), False)]
         else:
-            partial_fields.append(_agg_out_field(in_fields[c], fn))
+            partial_fields.append(_agg_out_field(in_fields[c], fn, name))
     partial_schema = StructType(
         [in_fields[k] for k in by] +
         [StructField(geom, BinaryType(), True)] + partial_fields)
@@ -124,14 +163,13 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
                 for k, v in zip(by, key):
                     rows[k].append(v)
                 rows[geom].append(u)
-                for c, fn in aggfunc.items():
+                for c, fn, name in aggs:
                     s = grp[c]
                     if fn == "mean":
-                        rows[f"{c}__psum"].append(float(s.sum()))
-                        rows[f"{c}__pcnt"].append(int(s.count()))
+                        rows[f"{name}__psum"].append(float(s.sum()))
+                        rows[f"{name}__pcnt"].append(int(s.count()))
                     else:
-                        for k2, v2 in _apply_aggs(grp, {c: fn}).items():
-                            rows[k2].append(v2)
+                        rows[name].append(_apply_one(s, fn))
             yield pd.DataFrame(rows)
 
     staged = df.mapInPandas(partial, schema=partial_schema)
@@ -143,13 +181,12 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
         u = wkb.encode(algos.union_all(parts))[0]
         row = {k: [v] for k, v in zip(by, key)}
         row[geom] = [u]
-        for c, fn in aggfunc.items():
+        for c, fn, name in aggs:
             if fn == "mean":
-                cnt = pdf[f"{c}__pcnt"].sum()
-                row[f"{c}_mean"] = [float(pdf[f"{c}__psum"].sum()) / cnt
-                                    if cnt else float("nan")]
+                cnt = pdf[f"{name}__pcnt"].sum()
+                row[name] = [float(pdf[f"{name}__psum"].sum()) / cnt
+                             if cnt else float("nan")]
                 continue
-            name = f"{c}_{fn}"
             s = pdf[name]
             comb = _PARTIAL[fn]
             row[name] = [s.sum() if comb == "sum" else s.min()

@@ -470,6 +470,24 @@ class TestConstructiveExtras:
         b = ga_from_wkt("LINESTRING (0 3, 10 3)")
         np.testing.assert_allclose(algos.frechet_distance(a, b), [3.0])
 
+    def test_hausdorff_frechet_densify(self):
+        # JTS DiscreteHausdorffDistance javadoc example: vertex-sampled
+        # sqrt(200), densifyFraction=0.5 -> exactly 70.0
+        a = ga_from_wkt("LINESTRING (130 0, 0 0, 0 150)")
+        b = ga_from_wkt("LINESTRING (10 10, 10 150, 130 10)")
+        np.testing.assert_allclose(algos.hausdorff_distance(a, b),
+                                   [np.sqrt(200.0)])
+        assert algos.hausdorff_distance(a, b, densify=0.5)[0] == 70.0
+        p = ga_from_wkt("LINESTRING (0 0, 10 0)")
+        q = ga_from_wkt("LINESTRING (0 0, 5 4, 10 0)")
+        np.testing.assert_allclose(algos.frechet_distance(p, q),
+                                   [np.sqrt(41.0)])
+        assert algos.frechet_distance(p, q, densify=0.5)[0] == 4.0
+        assert algos.frechet_distance(p, q, densify=0.25)[0] == 4.0
+        import pytest
+        with pytest.raises(ValueError):
+            algos.hausdorff_distance(a, b, densify=1.5)
+
     def test_minimum_bounding_radius_box(self):
         ga = ga_from_wkt("POLYGON ((0 0, 6 0, 6 8, 0 8, 0 0))")
         np.testing.assert_allclose(algos.minimum_bounding_radius(ga), [5.0])

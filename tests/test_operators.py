@@ -106,6 +106,25 @@ def test_dissolve_two_phase_matches(points, boxes):
         assert ra[bid]["pid_count"] == rb[bid]["pid_count"]
 
 
+def test_dissolve_aggfunc_lists_and_callables(points, boxes):
+    tagged = sjoin(points, boxes, predicate="intersects",
+                   strategy="broadcast")
+    spread = lambda s: float(s.max() - s.min())  # noqa: E731
+    dis = dissolve(tagged, "bid",
+                   {"pid": ["sum", "count", "median", spread, "nunique"]},
+                   geom="geom_left")
+    rows = {r.bid: r.asDict() for r in dis.collect()}
+    import pandas as pd
+    raw = tagged.select("bid", "pid").toPandas()
+    for bid, grp in raw.groupby("bid"):
+        got = rows[bid]
+        assert got["pid_sum"] == float(grp.pid.sum())
+        assert got["pid_count"] == int(grp.pid.count())
+        assert got["pid_median"] == float(grp.pid.median())
+        assert got["pid_agg"] == float(grp.pid.max() - grp.pid.min())
+        assert got["pid_nunique"] == int(grp.pid.nunique())
+
+
 def test_total_bounds(points):
     assert total_bounds(points) == (0.0, 0.5, 29.0, 29.5)
 
