@@ -2469,6 +2469,44 @@ def q_rt_feather(spark, sf_dir):
     return _roundtrip_cust(spark, sf_dir, "feather")
 
 
+def q_read_pushdown(spark, sf_dir):
+    """read_file pushdown kwargs (reference geopandas/io/file.py:197-339):
+    ``bbox=`` (envelope prefilter as native range predicates) and
+    ``columns=`` (projection) applied uniformly over the shapefile, gpkg
+    and geojsonl distributed readers — each format returns the same
+    filtered, pruned subset."""
+    import tempfile
+    from geopandas_spark import io as gio
+    c = (_cust(spark, sf_dir)
+         .select("c_custkey", F.col("c_acctbal").cast("double")
+                 .alias("bal"), "geom"))
+    d = tempfile.mkdtemp(prefix="gs_push_")
+    frames = []
+    for fmt in ("shp", "gpkg", "geojsonl"):
+        path = os.path.join(d, f"push.{fmt}")
+        gio.to_file(c, path, geom="geom")
+        back = gio.read_file(spark, path, geom="geom",
+                             bbox=(100.0, 0.0, 399.0, 650.0),
+                             columns=["c_custkey"])
+        assert set(back.columns) == {"c_custkey", "geom"}, back.columns
+        frames.append(back.select(
+            F.lit(fmt).alias("fmt"),
+            F.col("c_custkey").cast("long").alias("id"),
+            st.x("geom").alias("x"), st.y("geom").alias("y")))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+SQL_READ_PUSHDOWN = f"""
+SELECT fmt, c_custkey AS id,
+       CAST({PX} AS DOUBLE) AS x, CAST({PY} AS DOUBLE) AS y
+FROM customer, (SELECT UNNEST(['shp', 'gpkg', 'geojsonl']) AS fmt)
+WHERE {PX} BETWEEN 100 AND 399 AND {PY} BETWEEN 0 AND 650
+"""
+
+
 def q_list_layers(spark, sf_dir):
     """list_layers (reference geopandas/io/file.py:867-895) over a
     two-layer GeoPackage written by the engine's own gpkg sink."""
@@ -3144,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_gpkg": q_rt_gpkg,
         "rt_geojsonseq": q_rt_geojsonseq,
         "rt_feather": q_rt_feather,
+        "read_pushdown": q_read_pushdown,
         "list_layers": q_list_layers,
         "overlay_union": q_overlay_union,
         "overlay_identity": q_overlay_identity,
@@ -3254,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_gpkg": _SQL_RT,
         "rt_geojsonseq": _SQL_RT,
         "rt_feather": _SQL_RT,
+        "read_pushdown": SQL_READ_PUSHDOWN,
         "list_layers": SQL_LIST_LAYERS,
         "overlay_union": SQL_OVERLAY_UNION,
         "overlay_identity": SQL_OVERLAY_IDENTITY,

@@ -24,21 +24,71 @@ from geopandas_spark.io.gpkg import (  # noqa: F401
 )
 
 
+def _apply_read_kwargs(df, geom, bbox=None, mask=None, columns=None,
+                       rows=None):
+    """Reference read_file's pushdown kwargs (geopandas/io/file.py:197-339)
+    re-expressed as native plan operations after the distributed scan:
+
+    - ``bbox=(xmin, ymin, xmax, ymax)``: envelope-intersects prefilter —
+      plain range predicates over st_bounds, so Catalyst keeps it next to
+      the scan and prunes before any downstream shuffle
+    - ``mask=<WKT str | WKB bytes>``: exact intersects filter against one
+      geometry (applied after the bbox of the mask as a cheap prefilter)
+    - ``columns=[...]``: projection (geometry column always kept)
+    - ``rows=N``: limit
+    """
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.functions import st
+
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+        b = st.bounds(geom)
+        df = df.filter((b["xmin"] <= xmax) & (b["xmax"] >= xmin) &
+                       (b["ymin"] <= ymax) & (b["ymax"] >= ymin))
+    if mask is not None:
+        mg = (st.geom_from_text(F.lit(mask)) if isinstance(mask, str)
+              else F.lit(mask))
+        df = df.filter(st.intersects(F.col(geom), mg))
+    if columns is not None:
+        keep = list(columns)
+        if geom not in keep:
+            keep.append(geom)
+        df = df.select(*[c for c in keep if c in df.columns])
+    if rows is not None:
+        df = df.limit(int(rows))
+    return df
+
+
+_PUSHDOWN_KEYS = ("bbox", "mask", "columns", "rows")
+
+
 def read_file(spark, path, **kw):
     """Format-dispatching reader (reference read_file,
-    geopandas/io/file.py:197-339): extension picks the source."""
+    geopandas/io/file.py:197-339): extension picks the source. Supports
+    the reference's ``bbox=``, ``mask=``, ``columns=`` and ``rows=``
+    pushdown kwargs on every format (parquet additionally prunes at the
+    row-group level via its covering bbox stats)."""
     ext = path.rsplit(".", 1)[-1].lower()
-    if ext == "shp":
-        return read_shapefile(spark, path, **kw)
-    if ext == "gpkg":
-        return read_gpkg(spark, path, **kw)
-    if ext in ("geojson", "json", "geojsonl", "ndjson"):
-        return read_geojson(spark, path, **kw)
     if ext in ("parquet", "pq"):
-        return read_parquet(spark, path, **kw)
-    if ext in ("feather", "arrow", "ipc"):
-        return read_feather(spark, path, **kw)
-    raise ValueError(f"unsupported file extension: .{ext}")
+        # read_parquet implements bbox/columns natively (stats pruning)
+        mask = kw.pop("mask", None)
+        rows = kw.pop("rows", None)
+        df = read_parquet(spark, path, **kw)
+        return _apply_read_kwargs(df, kw.get("geom") or "geom",
+                                  mask=mask, rows=rows)
+    push = {k: kw.pop(k, None) for k in _PUSHDOWN_KEYS}
+    if ext == "shp":
+        df = read_shapefile(spark, path, **kw)
+    elif ext == "gpkg":
+        df = read_gpkg(spark, path, **kw)
+    elif ext in ("geojson", "json", "geojsonl", "ndjson"):
+        df = read_geojson(spark, path, **kw)
+    elif ext in ("feather", "arrow", "ipc"):
+        df = read_feather(spark, path, **kw)
+    else:
+        raise ValueError(f"unsupported file extension: .{ext}")
+    return _apply_read_kwargs(df, kw.get("geom", "geom"), **push)
 
 
 def list_layers(path):

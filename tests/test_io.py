@@ -169,6 +169,25 @@ def test_geojson_sparse_first_feature_schema(spark, tmp_path):
     assert rows == {1: None, 2: "x"}
 
 
+def test_read_file_pushdown_kwargs(geodf, spark, tmp_path):
+    """bbox/mask/columns/rows kwargs work uniformly across formats."""
+    from geopandas_spark.io import read_file, to_file
+    p = str(tmp_path / "push.geojsonl")
+    to_file(geodf.withColumn("tag", F.lit("t")), p)
+    out = read_file(spark, p, bbox=(0, 0, 55, 100))
+    assert out.count() == 6
+    out = read_file(spark, p, columns=["id"])
+    assert set(out.columns) == {"id", "geom"}
+    out = read_file(spark, p, mask="POLYGON ((0 0, 25 0, 25 25, 0 25, 0 0))")
+    assert out.count() == 3  # points (0,0) (10,5) (20,10)
+    assert read_file(spark, p, rows=4).count() == 4
+    # shapefile path too
+    ps = str(tmp_path / "push.shp")
+    to_file(geodf, ps)
+    assert read_file(spark, ps, bbox=(0, 0, 55, 100),
+                     columns=["id"]).count() == 6
+
+
 def test_geojson_geometry_codec_via_sql(spark):
     df = spark.createDataFrame([("POINT (1.5 -2)",)], ["wkt"])
     out = (df.withColumn("g", st.geom_from_text("wkt"))
