@@ -2565,6 +2565,44 @@ FROM cov GROUP BY k2 HAVING SUM(cov) < 40000
 """
 
 
+def q_overlay_mixed(spark, sf_dir):
+    """overlay(keep_geom_type=False): GEOS point-set output incl. the
+    lower-dimensional residue (reference tools/overlay.py:395-454). The
+    nation boxes tile a 5×5 grid exactly, so self-overlay yields Polygons
+    on the diagonal, shared-edge LineStrings for rook neighbors and
+    corner-touch Points for bishop neighbors."""
+    d1 = _nat(spark, sf_dir).select(F.col("n_nationkey").alias("nk1"), "geom")
+    d2 = _nat(spark, sf_dir).select(F.col("n_nationkey").alias("nk2"), "geom")
+    out = overlay(d1, d2, "intersection", keep_geom_type=False,
+                  strategy="broadcast")
+    t = st.geometry_type("geom")
+    measure = (F.when(t == "Polygon", st.area("geom"))
+                .when(t == "LineString", st.length("geom"))
+                .otherwise(F.lit(0.0)))
+    return out.select("nk1", "nk2", t.alias("gtype"),
+                      F.round(measure, 6).alias("measure"))
+
+
+SQL_OVERLAY_MIXED = """
+WITH p AS (
+  SELECT n1.n_nationkey AS nk1, n2.n_nationkey AS nk2,
+         (n1.n_nationkey % 5) AS c1,
+         CAST(FLOOR(n1.n_nationkey / 5.0) AS BIGINT) AS r1,
+         (n2.n_nationkey % 5) AS c2,
+         CAST(FLOOR(n2.n_nationkey / 5.0) AS BIGINT) AS r2
+  FROM nation n1 CROSS JOIN nation n2
+)
+SELECT nk1, nk2,
+  CASE WHEN c1 = c2 AND r1 = r2 THEN 'Polygon'
+       WHEN ABS(c1 - c2) + ABS(r1 - r2) = 1 THEN 'LineString'
+       ELSE 'Point' END AS gtype,
+  CASE WHEN c1 = c2 AND r1 = r2 THEN 40000.0
+       WHEN ABS(c1 - c2) + ABS(r1 - r2) = 1 THEN 200.0
+       ELSE 0.0 END AS measure
+FROM p WHERE ABS(c1 - c2) <= 1 AND ABS(r1 - r2) <= 1
+"""
+
+
 def q_overlay_identity(spark, sf_dir):
     """overlay how=identity: union restricted to the left frame's extent
     (intersection pieces + left remainders)."""
@@ -3185,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_pushdown": q_read_pushdown,
         "list_layers": q_list_layers,
         "overlay_union": q_overlay_union,
+        "overlay_mixed": q_overlay_mixed,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
         "dissolve_mean": q_dissolve_mean,
@@ -3296,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
         "read_pushdown": SQL_READ_PUSHDOWN,
         "list_layers": SQL_LIST_LAYERS,
         "overlay_union": SQL_OVERLAY_UNION,
+        "overlay_mixed": SQL_OVERLAY_MIXED,
         "overlay_identity": SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
         "dissolve_mean": SQL_DISSOLVE_MEAN,

@@ -500,10 +500,12 @@ def _clipbyrect(s: pd.Series, xmin: pd.Series, ymin: pd.Series,
 
 @_reg("st_intersection")
 @pandas_udf(BinaryType())
-def _intersection(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Series:
+def _intersection(a: pd.Series, b: pd.Series, grid_size: pd.Series,
+                  mixed: pd.Series) -> pd.Series:
     g = float(grid_size.iloc[0])
     return _enc(algos.intersection(_decode(a), _decode(b),
-                             grid_size=g if g > 0 else None))
+                             grid_size=g if g > 0 else None,
+                             mixed=bool(mixed.iloc[0])))
 
 
 @_reg("st_difference")
@@ -1003,9 +1005,13 @@ def clip_by_rect(c, xmin, ymin, xmax, ymax) -> Column:
         F.lit(float(ymax)))
 
 
-def intersection(a, b, grid_size=None) -> Column:
+def intersection(a, b, grid_size=None, mixed: bool = False) -> Column:
+    """``mixed=True`` emits lower-dimensional parts of polygon/line pairs
+    (shared edges, touch points) instead of the polygonal-only default —
+    GEOS point-set semantics, surfaced by overlay(keep_geom_type=False)."""
     return _REGISTRY["st_intersection"](_col(a), _col(b),
-                                        F.lit(float(grid_size or 0.0)))
+                                        F.lit(float(grid_size or 0.0)),
+                                        F.lit(bool(mixed)))
 
 
 def difference(a, b, grid_size=None) -> Column:

@@ -1890,6 +1890,13 @@ def _clip_convex(ga: GeometryArray, clip_ring: np.ndarray) -> GeometryArray:
                 shell = _sh_clip_ring(p[0], clip_ring)
                 if len(shell) == 0:
                     continue
+                # touching-only clips collapse to a zero-area sliver
+                # (e.g. two squares sharing an edge) — drop them so the
+                # polygonal-only contract stays "empty", not degenerate
+                sx, sy = shell[:, 0], shell[:, 1]
+                if abs(np.dot(sx, np.roll(sy, -1)) -
+                       np.dot(sy, np.roll(sx, -1))) == 0.0:
+                    continue
                 rings = [shell]
                 for hole in p[1:]:
                     h = _sh_clip_ring(hole, clip_ring)
@@ -2019,14 +2026,159 @@ def _append_chains(b: GeometryBuilder, chains: list):
         b.append(GT_MULTILINESTRING, [[c] for c in chains])
 
 
-def intersection(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
+def _collinear_overlaps(E0a, E1a, E0b, E1b):
+    """Collinear overlap pieces between two edge sets.
+
+    Returns (segs, touch_pts): segs is a list of (2,2) arrays whose
+    endpoints are drawn from the *input vertices* (never recomputed
+    parametrically — bit-exact on integer-grid fixtures), touch_pts is a
+    list of (x, y) single-point collinear touches (endpoint-to-endpoint
+    along the same line)."""
+    segs, pts = [], []
+    for k in range(len(E0a)):
+        p0, p1 = E0a[k], E1a[k]
+        d = p1 - p0
+        dd = float(d @ d)
+        if dd == 0.0:
+            continue
+        cross_e = (E1b[:, 0] - E0b[:, 0]) * d[1] - \
+            (E1b[:, 1] - E0b[:, 1]) * d[0]
+        cross_p = (E0b[:, 0] - p0[0]) * d[1] - (E0b[:, 1] - p0[1]) * d[0]
+        col = (cross_e == 0.0) & (cross_p == 0.0)
+        if not col.any():
+            continue
+        q0, q1 = E0b[col], E1b[col]
+        t0 = ((q0 - p0) @ d) / dd
+        t1 = ((q1 - p0) @ d) / dd
+        for idx in range(len(q0)):
+            lo = max(0.0, min(t0[idx], t1[idx]))
+            hi = min(1.0, max(t0[idx], t1[idx]))
+            if hi < lo:
+                continue
+
+            def _pin(t):
+                if t == 0.0:
+                    return p0
+                if t == 1.0:
+                    return p1
+                return q0[idx] if t == t0[idx] else q1[idx]
+
+            a, c = _pin(lo), _pin(hi)
+            if hi == lo:
+                pts.append((float(a[0]), float(a[1])))
+            else:
+                segs.append(np.array([a, c], dtype=np.float64))
+    return segs, pts
+
+
+def _edge_cross_points(E0a, E1a, E0b, E1b):
+    """Transversal/touching intersection points between two edge sets
+    (exact endpoint / axis-constant pinning via _mr._segment_intersection;
+    bbox-prefiltered per edge)."""
+    pts = []
+    for k in range(len(E0a)):
+        p0, p1 = E0a[k], E1a[k]
+        lo, hi = np.minimum(p0, p1), np.maximum(p0, p1)
+        blo = np.minimum(E0b, E1b)
+        bhi = np.maximum(E0b, E1b)
+        cand = np.nonzero((blo[:, 0] <= hi[0]) & (bhi[:, 0] >= lo[0]) &
+                          (blo[:, 1] <= hi[1]) & (bhi[:, 1] >= lo[1]))[0]
+        for j in cand:
+            for p in _mr._segment_intersection(
+                    (p0[0], p0[1]), (p1[0], p1[1]),
+                    (E0b[j, 0], E0b[j, 1]), (E1b[j, 0], E1b[j, 1])):
+                pts.append((float(p[0]), float(p[1])))
+    return pts
+
+
+_MIX_EPS = 1e-9   # on-boundary tolerance for residue classification
+
+
+def _poly_pair_mixed(ga: GeometryArray, i: int, gb: GeometryArray, j: int):
+    """Full point-set intersection of two (multi)polygons: the polygonal
+    part (Martinez–Rueda) plus the lower-dimensional residue — shared
+    boundary pieces not absorbed by the area part (LineStrings) and
+    isolated boundary touch points (Points). This is GEOS overlay-ng's
+    mixed-dimension output (reference exposes it through
+    overlay(keep_geom_type=False), tools/overlay.py:395-454).
+
+    Returns (polys, chains, pts)."""
+    ra = _geom_rings_closed(ga, i)
+    rb = _geom_rings_closed(gb, j)
+    polys = _mr.boolean_op(ra, rb, _mr.INTERSECTION)
+    EA0, EA1 = _flatten_edges(ra)
+    EB0, EB1 = _flatten_edges(rb)
+    segs, cpts = _collinear_overlaps(EA0, EA1, EB0, EB1)
+
+    rrings = [_mr._close(r) for poly in polys for r in poly]
+    rsegs = (np.stack(_flatten_edges(rrings), axis=1) if rrings else None)
+
+    def _covered(pt):
+        """pt lies in the area part (interior or within eps of boundary)."""
+        if not rrings:
+            return False
+        p = np.asarray(pt, dtype=np.float64).reshape(1, 2)
+        if points_in_rings(p[:, 0], p[:, 1], rrings)[0] > 0:
+            return True
+        return _point_seg_dist(p, rsegs)[0] <= _MIX_EPS
+
+    keep = [s for s in segs if not _covered((s[0] + s[1]) * 0.5)]
+    chains = _merge_chains(keep)
+    ch_segs = (np.concatenate([np.stack([c[:-1], c[1:]], axis=1)
+                               for c in chains]) if chains else None)
+    pts, seen = [], set()
+    for p in cpts + _edge_cross_points(EA0, EA1, EB0, EB1):
+        if p in seen:
+            continue
+        seen.add(p)
+        if _covered(p):
+            continue
+        if ch_segs is not None and _point_seg_dist(
+                np.array([p], dtype=np.float64), ch_segs)[0] <= _MIX_EPS:
+            continue
+        pts.append(p)
+    return polys, chains, pts
+
+
+def _append_mixed(b: GeometryBuilder, polys: list, chains: list, pts):
+    """Assemble a mixed-dimension op result: single-type output when only
+    one dimension is present (GEOS convention), GEOMETRYCOLLECTION when
+    dimensions mix, POLYGON EMPTY when nothing intersects."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    nkinds = int(bool(polys)) + int(bool(chains)) + int(len(pts) > 0)
+    if nkinds == 0:
+        b.append_empty(GT_POLYGON)
+        return
+    if nkinds == 1:
+        if polys:
+            _append_polys(b, polys)
+        elif chains:
+            _append_chains(b, chains)
+        else:
+            _append_points(b, pts, GT_POINT)
+        return
+    children = [(GT_POLYGON, [poly]) for poly in polys]
+    children += [(GT_LINESTRING, [[c]]) for c in chains]
+    children += [(GT_POINT, [[p.reshape(1, 2)]]) for p in pts]
+    b.append_collection(children)
+
+
+def intersection(ga: GeometryArray, gb: GeometryArray,
+                 mixed: bool = False) -> GeometryArray:
     """Pairwise intersection (reference: geopandas/base.py:4762).
 
     point × any: membership filter. convex × convex polygons: vectorized
     Sutherland–Hodgman fast path. General (multi)polygon pairs:
     Martinez–Rueda sweep (geom/clipping.py). line × polygon: segment
     splitting + even-odd classification. line × line: crossing points +
-    collinear overlap pieces."""
+    collinear overlap pieces.
+
+    ``mixed=True`` additionally emits the lower-dimensional residue of
+    polygon × polygon pairs (shared-edge LineStrings, touch Points —
+    GEOS's true point-set semantics, surfaced by the reference's
+    overlay(keep_geom_type=False)); the default keeps the historical
+    polygonal-only output that most callers (clip, polygonal overlay)
+    filter to anyway."""
     b = GeometryBuilder()
     empty_a, empty_b = ga.is_empty(), gb.is_empty()
     for i in range(len(ga)):
@@ -2048,6 +2200,9 @@ def intersection(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
             _append_points(b, keep, tb)
             continue
         if ta in POLYGON_TYPES and tb in POLYGON_TYPES:
+            if mixed:
+                _append_mixed(b, *_poly_pair_mixed(ga, i, gb, i))
+                continue
             ca, cb = _as_convex_ring(ga, i), _as_convex_ring(gb, i)
             if ca is not None and cb is not None:
                 sub = _clip_convex(ga.take([i]), cb)
@@ -2058,11 +2213,29 @@ def intersection(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
                                        _mr.INTERSECTION)
                 _append_polys(b, polys)
             continue
-        if ta in LINE_TYPES and tb in POLYGON_TYPES:
-            _append_chains(b, _clip_line_by_polygon(ga, i, gb, i, True))
-            continue
-        if ta in POLYGON_TYPES and tb in LINE_TYPES:
-            _append_chains(b, _clip_line_by_polygon(gb, i, ga, i, True))
+        if (ta in LINE_TYPES and tb in POLYGON_TYPES) or \
+                (ta in POLYGON_TYPES and tb in LINE_TYPES):
+            gl, gp = (ga, gb) if ta in LINE_TYPES else (gb, ga)
+            chains = _clip_line_by_polygon(gl, i, gp, i, True)
+            if not mixed:
+                _append_chains(b, chains)
+                continue
+            # tangent touch points: boundary crossings not on kept chains
+            sl = _geom_segments(gl, i)
+            E0, E1 = _flatten_edges(_geom_rings_closed(gp, i))
+            cross = _edge_cross_points(sl[:, 0], sl[:, 1], E0, E1)
+            ch_segs = (np.concatenate([np.stack([c[:-1], c[1:]], axis=1)
+                                       for c in chains]) if chains else None)
+            pts, seen = [], set()
+            for p in cross:
+                if p in seen:
+                    continue
+                seen.add(p)
+                if ch_segs is not None and _point_seg_dist(
+                        np.array([p], np.float64), ch_segs)[0] <= _MIX_EPS:
+                    continue
+                pts.append(p)
+            _append_mixed(b, [], chains, pts)
             continue
         # line × line: split a's segments by b's, keep pieces lying on b
         sb = _geom_segments(gb, i)
@@ -2073,17 +2246,25 @@ def intersection(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
                 mid = ((p[0] + p[1]) * 0.5).reshape(1, 2)
                 if _point_seg_dist(mid, sb)[0] <= _EPS:
                     chains.append(p)
-        if chains:
-            _append_chains(b, _merge_chains(chains))
+        merged = _merge_chains(chains) if chains else []
+        ch_segs = (np.concatenate([np.stack([c[:-1], c[1:]], axis=1)
+                                   for c in merged]) if merged else None)
+        if merged and not mixed:
+            _append_chains(b, merged)
             continue
         for s in _geom_segments(ga, i):
             for q in sb:
                 for p in _mr._segment_intersection(
                         tuple(s[0]), tuple(s[1]), tuple(q[0]), tuple(q[1])):
-                    pts.append(p)
-        uniq = sorted(set(pts))
-        _append_points(b, np.array(uniq, dtype=np.float64).reshape(-1, 2),
-                       GT_POINT)
+                    pts.append((float(p[0]), float(p[1])))
+        uniq = [p for p in sorted(set(pts))
+                if ch_segs is None or _point_seg_dist(
+                    np.array([p], np.float64), ch_segs)[0] > _MIX_EPS]
+        if mixed:
+            _append_mixed(b, [], merged, uniq)
+        else:
+            _append_points(b, np.array(uniq, dtype=np.float64).reshape(-1, 2),
+                           GT_POINT)
     return b.finish()
 
 

@@ -58,7 +58,13 @@ def _intersection_part(d1, d2, geom, keep_geom_type, strategy) -> DataFrame:
                   strategy=strategy)
     g1, g2 = f"{geom}_1", f"{geom}_2"
     res = pairs.withColumn("__ov_cls__", _geom_class(F.col(g1)))
-    res = res.withColumn(geom, st.intersection(F.col(g1), F.col(g2)))
+    # keep_geom_type=False surfaces GEOS's full point-set output (shared
+    # edges → LineStrings, touch points; mixed rows → GEOMETRYCOLLECTION),
+    # matching the reference's _collection_extract pass-through
+    # (tools/overlay.py:395-454). The polygonal-only kernel suffices when
+    # the dimension filter would drop the residue anyway.
+    res = res.withColumn(geom, st.intersection(F.col(g1), F.col(g2),
+                                               mixed=not keep_geom_type))
     res = res.filter(~st.is_empty(geom))
     if keep_geom_type:
         res = res.filter(_geom_class(F.col(geom)) == F.col("__ov_cls__"))

@@ -237,6 +237,53 @@ class TestConstructive:
         out = algos.intersection(a, b)
         np.testing.assert_allclose(algos.area(out), [4.0])
 
+    def test_intersection_touching_only_is_empty(self):
+        # polygonal-only default: shared edge / corner touch → empty,
+        # never a degenerate zero-area sliver
+        a = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))",
+                        "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        out = algos.intersection(a, b)
+        assert list(out.is_empty()) == [True, True]
+
+    def test_intersection_mixed_shared_edge(self):
+        a = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
+        out = algos.intersection(a, b, mixed=True)
+        assert wkt.format_array(out) == ["LINESTRING (2 0, 2 2)"]
+        np.testing.assert_allclose(algos.length(out), [2.0])
+
+    def test_intersection_mixed_corner_touch(self):
+        a = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        out = algos.intersection(a, b, mixed=True)
+        assert wkt.format_array(out) == ["POINT (2 2)"]
+
+    def test_intersection_mixed_collection(self):
+        # one part overlaps in area, the other only shares an edge → GC
+        a = ga_from_wkt("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+                        "((5 0, 6 0, 6 1, 5 1, 5 0)))")
+        b = ga_from_wkt("POLYGON ((1 0, 5 0, 5 1, 1 1, 1 0))")
+        out = algos.intersection(a, b, mixed=True)
+        s = wkt.format_array(out)[0]
+        assert s.startswith("GEOMETRYCOLLECTION")
+        assert "POLYGON" in s and "LINESTRING" in s
+        np.testing.assert_allclose(algos.area(out), [1.0])
+
+    def test_intersection_mixed_overlap_unaffected(self):
+        a = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        out = algos.intersection(a, b, mixed=True)
+        assert wkt.format_array(out)[0].startswith("POLYGON")
+        np.testing.assert_allclose(algos.area(out), [4.0])
+
+    def test_intersection_mixed_line_poly_tangent(self):
+        a = ga_from_wkt("LINESTRING (2 2, 4 4)")
+        b = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        out = algos.intersection(a, b, mixed=True)
+        assert wkt.format_array(out) == ["POINT (2 2)"]
+
     def test_affine(self):
         ga = ga_from_wkt("POINT (1 2)")
         t = algos.translate(ga, 10, 20)
