@@ -2183,6 +2183,36 @@ FROM customer
 """
 
 
+def q_affine3d(spark, sf_dir):
+    """3-D affine parity: 12-tuple affine_transform matrix (reference
+    base.py:5970 → shapely.affinity 3-D path), translate zoff and scale
+    zfact — Z actually transformed, not just carried."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    px, py, pz = k % 1000, k * 7 % 1000, k % 17
+    g = st.geom_from_text(F.concat(
+        F.lit("POINT Z ("), px, F.lit(" "), py, F.lit(" "), pz, F.lit(")")))
+    # x' = y + 10, y' = x + 20, z' = 2z + 5; then translate(1, 2, 3)
+    t = st.translate(st.affine_matrix(
+        g, [0, 1, 0, 1, 0, 0, 0, 0, 2, 10, 20, 5]), 1.0, 2.0, 3.0)
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(t), 6).alias("xa"),
+        F.round(st.y(t), 6).alias("ya"),
+        F.round(st.z(t), 6).alias("za"),
+        F.round(st.z(st.scale(g, 1.0, 1.0, 3.0)), 6).alias("z3"))
+
+
+SQL_AFFINE3D = f"""
+SELECT c_custkey AS id,
+       ROUND(CAST({PY} + 11 AS DOUBLE), 6) AS xa,
+       ROUND(CAST({PX} + 22 AS DOUBLE), 6) AS ya,
+       ROUND(CAST(2 * (c_custkey % 17) + 8 AS DOUBLE), 6) AS za,
+       ROUND(CAST(3 * (c_custkey % 17) AS DOUBLE), 6) AS z3
+FROM customer
+"""
+
+
 def q_geomcollection(spark, sf_dir):
     """GEOMETRYCOLLECTION: WKT/WKB round trip, ngeometries (top-level
     children), area/length over mixed children, collection_extract
@@ -3224,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_layers": q_list_layers,
         "overlay_union": q_overlay_union,
         "overlay_mixed": q_overlay_mixed,
+        "affine3d": q_affine3d,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
         "dissolve_mean": q_dissolve_mean,
@@ -3336,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "list_layers": SQL_LIST_LAYERS,
         "overlay_union": SQL_OVERLAY_UNION,
         "overlay_mixed": SQL_OVERLAY_MIXED,
+        "affine3d": SQL_AFFINE3D,
         "overlay_identity": SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
         "dissolve_mean": SQL_DISSOLVE_MEAN,

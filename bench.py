@@ -6,7 +6,20 @@ Headlines mirror the reference's asv workloads (BASELINE.md): sjoin
 (buffer/centroid/distance — the unary/binary geom-method benchmarks),
 dissolve (geometric aggregation), clip, plus the engine-added pipeline
 workloads (minhash dedup signatures, cosine top-k) and a native TPC-H-ish
-aggregate as the pure-Spark baseline."""
+aggregate as the pure-Spark baseline.
+
+Two tiers per run:
+- the base tier at $SPARK_GRAFT_SF_DIR (default sf0.1) — comparable with
+  BENCH_r01/r02;
+- a ×10 scale tier ("sf1"), generated deterministically from the base dir
+  by tools/make_scale.py (cached under .bench/), where per-query runtimes
+  clear the ~0.3-1 s Spark job-overhead floor so the spark/duckdb ratios
+  measure plans, not session constants (VERDICT r2 "Performance vs
+  baseline"). Disable with SPARK_GRAFT_SKIP_SCALE_TIER=1.
+
+Every query is timed against its DuckDB oracle-twin on the same parquet
+(geopandas itself is uninstallable in this container — BASELINE.md).
+"""
 
 import json
 import os
@@ -21,6 +34,59 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SKIP_SCALE = os.environ.get("SPARK_GRAFT_SKIP_SCALE_TIER", "") == "1"
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+HEADLINE_TO_ORACLE = {
+    "sjoin_broadcast": "sjoin", "sjoin_grid": "sjoin_grid",
+    "sjoin_nearest": "sjoin_nearest", "distance_pairs": "distance",
+    "dissolve": "dissolve", "clip": "clip", "predicates": "predicates",
+    "minhash": "minhash", "cosine_topk": "cosine_topk",
+    "pricing_summary": "pricing_summary",
+    "revenue_by_nation": "revenue_by_nation",
+    "buffer_centroid_sweep": "buffer",
+}
+
+
+def run_tier(spark, entry, headlines, sf_dir):
+    """Time each headline on Spark, then its oracle twin on DuckDB."""
+    times = {}
+    for name, fn in headlines.items():
+        try:
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line parseable on failure
+            times[name] = None
+            print(f"# bench {name} failed: {e}", file=sys.stderr)
+
+    baseline = {}
+    try:
+        import duckdb
+        sqls = entry.oracle_sql()
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS "
+                            f"SELECT * FROM read_parquet('{p}')")
+        for name in headlines:
+            oname = HEADLINE_TO_ORACLE.get(name)
+            if oname not in sqls:
+                continue
+            try:
+                t0 = time.time()
+                con.execute(sqls[oname]).fetchall()
+                baseline[name] = round(time.time() - t0, 3)
+            except Exception as e:
+                baseline[name] = None
+                print(f"# baseline {name} failed: {e}", file=sys.stderr)
+        con.close()
+    except ImportError:
+        pass
+    return times, baseline
 
 
 def main():
@@ -41,12 +107,6 @@ def main():
     from geopandas_spark import st
 
     qs = entry.queries()
-
-    def run_query(fn):
-        df = fn(spark, SF_DIR)
-        t0 = time.time()
-        df.count()
-        return time.time() - t0
 
     def buffer_sweep(spark, sf_dir):
         c = entry._cust(spark, sf_dir)
@@ -77,56 +137,33 @@ def main():
     except Exception:
         pass
 
-    times = {}
-    for name, fn in headlines.items():
-        try:
-            times[name] = round(run_query(fn), 3)
-        except Exception as e:  # keep the bench line parseable on failure
-            times[name] = None
-            print(f"# bench {name} failed: {e}", file=sys.stderr)
-
-    # single-node baseline: DuckDB running each query's oracle-SQL twin on
-    # the same parquet (geopandas/shapely are not installable in this
-    # container — see VERDICT r1 'Performance vs baseline'; the twins are
-    # algebraic rewrites, so this anchors the constant factors, not the
-    # geometry kernels). Skipped quietly if duckdb is unavailable.
-    baseline = {}
-    headline_to_oracle = {
-        "sjoin_broadcast": "sjoin", "sjoin_grid": "sjoin_grid",
-        "sjoin_nearest": "sjoin_nearest", "distance_pairs": "distance",
-        "dissolve": "dissolve", "clip": "clip", "predicates": "predicates",
-        "minhash": "minhash", "cosine_topk": "cosine_topk",
-        "pricing_summary": "pricing_summary",
-        "revenue_by_nation": "revenue_by_nation",
-        "buffer_centroid_sweep": "buffer",
-    }
-    try:
-        import duckdb
-        sqls = entry.oracle_sql()
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
-            p = os.path.join(SF_DIR, f"{t}.parquet")
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS "
-                            f"SELECT * FROM read_parquet('{p}')")
-        for name, oname in headline_to_oracle.items():
-            if oname not in sqls:
-                continue
-            try:
-                t0 = time.time()
-                con.execute(sqls[oname]).fetchall()
-                baseline[name] = round(time.time() - t0, 3)
-            except Exception as e:
-                baseline[name] = None
-                print(f"# baseline {name} failed: {e}", file=sys.stderr)
-        con.close()
-    except ImportError:
-        pass
-
+    times, baseline = run_tier(spark, entry, headlines, SF_DIR)
     total = round(sum(t for t in times.values() if t is not None), 3)
     base_total = round(sum(t for t in baseline.values() if t is not None), 3) \
         if baseline else None
+
+    tiers = {}
+    if not SKIP_SCALE:
+        scale_dir = os.path.join(REPO, ".bench",
+                                 f"scale{SCALE_FACTOR}x")
+        try:
+            if not os.path.exists(os.path.join(scale_dir,
+                                               "lineitem.parquet")):
+                from tools.make_scale import scale_dir as gen
+                gen(SF_DIR, scale_dir, SCALE_FACTOR)
+            st_times, st_base = run_tier(spark, entry, headlines, scale_dir)
+            tiers[f"scale{SCALE_FACTOR}x"] = {
+                "queries": st_times,
+                "baseline": st_base,
+                "total": round(sum(t for t in st_times.values()
+                                   if t is not None), 3),
+                "baseline_total": round(sum(t for t in st_base.values()
+                                            if t is not None), 3)
+                if st_base else None,
+            }
+        except Exception as e:
+            print(f"# scale tier failed: {e}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_suite_runtime",
@@ -136,6 +173,7 @@ def main():
         "baseline": baseline,
         "baseline_total": base_total,
         "baseline_engine": "duckdb-oracle-twins",
+        "tiers": tiers,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
     }))

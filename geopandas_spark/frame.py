@@ -244,6 +244,64 @@ class GeoFrame:
         out = _explode(self.df, geom=self._geometry, **kw)
         return self._wrap(out)
 
+    # -- GeoJSON feature export (driver-side, like the reference's) ----------
+
+    def iterfeatures(self, na: str = "null", show_bbox: bool = False,
+                     drop_id: bool = False):
+        """Generator of GeoJSON feature dicts (reference
+        geodataframe.py:1077-1176 iterfeatures). Geometry → GeoJSON and
+        per-feature bounds are computed distributed (st_asgeojson /
+        st_bounds codegen plans); only the serialized features stream to
+        the driver via toLocalIterator — one partition in memory at a
+        time, same ceiling as the reference's per-row generator."""
+        import json as _json
+        import math
+
+        if na not in ("null", "drop", "keep"):
+            raise ValueError(f"Unknown na kwarg {na!r}")
+        g = self._geometry
+        props = [c for c in self.df.columns if c != g]
+        sel = [st.as_geojson(g).alias("__gj__"),
+               st.bounds(g).alias("__bb__")] + [F.col(c) for c in props]
+        for i, row in enumerate(self.df.select(*sel).toLocalIterator()):
+            d = row.asDict()
+            gj = d.pop("__gj__")
+            bb = d.pop("__bb__")
+            if na == "drop":
+                d = {k: v for k, v in d.items()
+                     if v is not None and not (isinstance(v, float)
+                                               and math.isnan(v))}
+            feat = {"type": "Feature", "properties": d,
+                    "geometry": _json.loads(gj) if gj is not None else None}
+            if not drop_id:
+                feat = {"id": str(i), **feat}
+            if show_bbox and bb is not None:
+                feat["bbox"] = tuple(bb)
+            yield feat
+
+    @property
+    def __geo_interface__(self):
+        """The python geo interface (reference geodataframe.py:984):
+        FeatureCollection dict with per-feature bbox."""
+        return {"type": "FeatureCollection",
+                "features": list(self.iterfeatures(na="null",
+                                                   show_bbox=True)),
+                "bbox": tuple(self.total_bounds())}
+
+    def to_json(self, na: str = "null", show_bbox: bool = False,
+                drop_id: bool = False, **kw) -> str:
+        """GeoJSON FeatureCollection string (reference
+        geodataframe.py:1206-1276). Driver-side materialization — for
+        datasets beyond driver memory use to_geojson(path) (distributed
+        GeoJSONSeq write) instead."""
+        import json as _json
+        obj = {"type": "FeatureCollection",
+               "features": list(self.iterfeatures(
+                   na=na, show_bbox=show_bbox, drop_id=drop_id))}
+        if show_bbox:
+            obj["bbox"] = tuple(self.total_bounds())
+        return _json.dumps(obj, **kw)
+
     # -- I/O -----------------------------------------------------------------
 
     def to_parquet(self, path: str, **kw):

@@ -534,21 +534,25 @@ def _symdifference(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Serie
 
 @_reg("st_translate")
 @pandas_udf(BinaryType())
-def _translate(s: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
+def _translate(s: pd.Series, xoff: pd.Series, yoff: pd.Series,
+               zoff: pd.Series) -> pd.Series:
     ga = _decode(s)
     out = algos.translate(ga, xoff.to_numpy(np.float64)[ga.coord_geom_index()]
                           if len(ga.coords) else 0.0,
                           yoff.to_numpy(np.float64)[ga.coord_geom_index()]
-                          if len(ga.coords) else 0.0)
+                          if len(ga.coords) else 0.0,
+                          zoff=float(zoff.iloc[0]))
     return _enc(out)
 
 
 @_reg("st_scale")
 @pandas_udf(BinaryType())
-def _scale(s: pd.Series, xfact: pd.Series, yfact: pd.Series) -> pd.Series:
+def _scale(s: pd.Series, xfact: pd.Series, yfact: pd.Series,
+           zfact: pd.Series) -> pd.Series:
     ga = _decode(s)
     return _enc(algos.scale(ga, float(xfact.iloc[0]), float(yfact.iloc[0]),
-                            origin=(0.0, 0.0)))
+                            zfact=float(zfact.iloc[0]),
+                            origin=(0.0, 0.0, 0.0)))
 
 
 @_reg("st_rotate")
@@ -566,6 +570,16 @@ def _affine(s: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
     return _enc(algos.affine_transform(
         ga, float(a.iloc[0]), float(b.iloc[0]), float(d.iloc[0]),
         float(e.iloc[0]), float(xoff.iloc[0]), float(yoff.iloc[0])))
+
+
+@_reg("st_affine3d")
+@pandas_udf(BinaryType())
+def _affine3d(s: pd.Series, m: pd.Series) -> pd.Series:
+    """12-term 3-D affine; m is an array column [a b c d e f g h i
+    xoff yoff zoff] (shapely matrix order, reference base.py:5970)."""
+    ga = _decode(s)
+    vals = [float(v) for v in m.iloc[0]]
+    return _enc(algos.affine_transform12(ga, *vals))
 
 
 @_reg("st_interpolate")
@@ -1029,12 +1043,14 @@ def symmetric_difference(a, b, grid_size=None) -> Column:
                                          F.lit(float(grid_size or 0.0)))
 
 
-def translate(c, xoff=0.0, yoff=0.0) -> Column:
-    return _REGISTRY["st_translate"](_col(c), _col(xoff), _col(yoff))
+def translate(c, xoff=0.0, yoff=0.0, zoff=0.0) -> Column:
+    return _REGISTRY["st_translate"](_col(c), _col(xoff), _col(yoff),
+                                     F.lit(float(zoff)))
 
 
-def scale(c, xfact=1.0, yfact=1.0) -> Column:
-    return _REGISTRY["st_scale"](_col(c), F.lit(float(xfact)), F.lit(float(yfact)))
+def scale(c, xfact=1.0, yfact=1.0, zfact=1.0) -> Column:
+    return _REGISTRY["st_scale"](_col(c), F.lit(float(xfact)),
+                                 F.lit(float(yfact)), F.lit(float(zfact)))
 
 
 def rotate(c, angle_deg) -> Column:
@@ -1044,6 +1060,20 @@ def rotate(c, angle_deg) -> Column:
 def affine(c, a, b, d, e, xoff, yoff) -> Column:
     return _REGISTRY["st_affine"](
         _col(c), *(F.lit(float(v)) for v in (a, b, d, e, xoff, yoff)))
+
+
+def affine_matrix(c, matrix) -> Column:
+    """Reference-style affine_transform(geom, matrix): matrix is the
+    6-tuple [a b d e xoff yoff] (2-D) or 12-tuple
+    [a b c d e f g h i xoff yoff zoff] (3-D, Z-transforming) —
+    geopandas/base.py:5970."""
+    matrix = [float(v) for v in matrix]
+    if len(matrix) == 6:
+        return affine(c, *matrix)
+    if len(matrix) != 12:
+        raise ValueError("matrix must have 6 or 12 elements")
+    return _REGISTRY["st_affine3d"](
+        _col(c), F.array(*[F.lit(v) for v in matrix]))
 
 
 def interpolate(c, dist) -> Column:

@@ -1696,7 +1696,9 @@ def _with_coords(ga: GeometryArray, nc, z=_KEEP, m=_KEEP) -> GeometryArray:
 
 def affine_transform(ga: GeometryArray, a, b_, d, e, xoff, yoff) -> GeometryArray:
     """x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff  (shapely.affinity
-    matrix order [a, b, d, e, xoff, yoff]). Reference: base.py:5970."""
+    matrix order [a, b, d, e, xoff, yoff]). Reference: base.py:5970.
+    Z/M buffers carry through unchanged (a 2-D matrix leaves z alone,
+    matching shapely.affinity.affine_transform on 3-D input)."""
     c = ga.coords
     nc = np.empty_like(c)
     nc[:, 0] = a * c[:, 0] + b_ * c[:, 1] + xoff
@@ -1704,8 +1706,35 @@ def affine_transform(ga: GeometryArray, a, b_, d, e, xoff, yoff) -> GeometryArra
     return _with_coords(ga, nc)
 
 
-def translate(ga, xoff=0.0, yoff=0.0):
-    return affine_transform(ga, 1.0, 0.0, 0.0, 1.0, xoff, yoff)
+def affine_transform12(ga: GeometryArray, a, b_, c_, d, e, f_, g, h, i_,
+                       xoff, yoff, zoff) -> GeometryArray:
+    """Full 3-D affine, shapely's 12-tuple matrix order
+    [a b c d e f g h i xoff yoff zoff] (reference base.py:5970 passes it
+    straight to shapely.affinity.affine_transform):
+
+        x' = a x + b y + c z + xoff
+        y' = d x + e y + f z + yoff
+        z' = g x + h y + i z + zoff
+
+    2-D rows (z NaN / absent) use only the 2-D terms and stay 2-D."""
+    c = ga.coords
+    z = ga.z
+    zz = np.zeros(len(c)) if z is None else np.nan_to_num(z)
+    nc = np.empty_like(c)
+    nc[:, 0] = a * c[:, 0] + b_ * c[:, 1] + c_ * zz + xoff
+    nc[:, 1] = d * c[:, 0] + e * c[:, 1] + f_ * zz + yoff
+    if z is None:
+        return _with_coords(ga, nc)
+    nz = g * c[:, 0] + h * c[:, 1] + i_ * zz + zoff
+    nz = np.where(np.isnan(z), np.nan, nz)
+    return _with_coords(ga, nc, z=nz)
+
+
+def translate(ga, xoff=0.0, yoff=0.0, zoff=0.0):
+    out = affine_transform(ga, 1.0, 0.0, 0.0, 1.0, xoff, yoff)
+    if np.any(zoff != 0.0) and ga.z is not None:
+        out = _with_coords(out, out.coords, z=ga.z + zoff)  # NaN stays NaN
+    return out
 
 
 def _per_geom_origin(ga: GeometryArray, origin):
@@ -1724,13 +1753,28 @@ def _per_geom_origin(ga: GeometryArray, origin):
     return ox[idx], oy[idx]
 
 
-def scale(ga, xfact=1.0, yfact=1.0, origin="center"):
+def scale(ga, xfact=1.0, yfact=1.0, zfact=1.0, origin="center"):
     ox, oy = _per_geom_origin(ga, origin)
     c = ga.coords
     nc = np.empty_like(c)
     nc[:, 0] = ox + xfact * (c[:, 0] - ox)
     nc[:, 1] = oy + yfact * (c[:, 1] - oy)
-    return _with_coords(ga, nc)
+    if zfact == 1.0 or ga.z is None:
+        return _with_coords(ga, nc)
+    # z origin: explicit 3-tuple origin, else per-geom z midrange (shapely
+    # scales about the 3-D bounding-box center for origin="center")
+    if not isinstance(origin, str) and len(origin) >= 3:
+        oz = float(origin[2])
+    else:
+        co = ga.coord_offsets_per_geom()
+        oz = np.zeros(len(ga))
+        for k in range(len(ga)):
+            zs = ga.z[co[k]:co[k + 1]]
+            zs = zs[~np.isnan(zs)]
+            if len(zs):
+                oz[k] = (zs.min() + zs.max()) / 2.0
+        oz = oz[ga.coord_geom_index()]
+    return _with_coords(ga, nc, z=oz + zfact * (ga.z - oz))
 
 
 def rotate(ga, angle_deg, origin="center"):

@@ -116,3 +116,32 @@ def test_geoframe_file_roundtrip(spark, tmp_path):
         xs = sorted(r[0] for r in
                     back.select(st.x(back.geometry)).collect())
         assert xs == [3.0, 5.0], name
+
+
+def test_iterfeatures_and_geo_interface(gf):
+    feats = list(gf.iterfeatures(show_bbox=True))
+    assert len(feats) == 20
+    f0 = feats[0]
+    assert f0["type"] == "Feature" and f0["id"] == "0"
+    assert f0["geometry"]["type"] == "Point"
+    assert f0["geometry"]["coordinates"] == [0.0, 0.0]
+    assert set(f0["properties"]) == {"id", "x", "y"}
+    assert f0["bbox"] == (0.0, 0.0, 0.0, 0.0)
+    # drop_id removes the id member
+    assert "id" not in next(iter(gf.iterfeatures(drop_id=True)))
+    gi = gf.__geo_interface__
+    assert gi["type"] == "FeatureCollection" and len(gi["features"]) == 20
+    assert gi["bbox"] == (0.0, 0.0, 190.0, 6.0)
+
+
+def test_to_json(gf, spark):
+    import json
+    rows = [(1, None), (2, "x")]
+    df = spark.createDataFrame(rows, ["id", "tag"]) \
+              .withColumn("geom", st.point(F.lit(1.0), F.lit(2.0)))
+    g2 = GeoFrame(df, geometry="geom")
+    obj = json.loads(g2.to_json())
+    assert obj["features"][0]["properties"]["tag"] is None
+    obj2 = json.loads(g2.to_json(na="drop", show_bbox=True))
+    assert "tag" not in obj2["features"][0]["properties"]
+    assert obj2["bbox"] == [1.0, 2.0, 1.0, 2.0]

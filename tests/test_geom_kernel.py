@@ -284,6 +284,24 @@ class TestConstructive:
         out = algos.intersection(a, b, mixed=True)
         assert wkt.format_array(out) == ["POINT (2 2)"]
 
+    def test_affine3d(self):
+        ga = ga_from_wkt("POINT Z (1 2 3)", "POINT (1 2)")
+        out = algos.affine_transform12(ga, 0, 1, 0, 1, 0, 0, 0, 0, 2,
+                                       10, 20, 5)
+        assert wkt.format_array(out) == ["POINT Z (12 21 11)",
+                                         "POINT (12 21)"]
+        t = algos.translate(ga, 1, 2, 3)
+        assert wkt.format_array(t) == ["POINT Z (2 4 6)", "POINT (2 4)"]
+        s = algos.scale(ga, 1, 1, 3, origin=(0, 0, 0))
+        assert wkt.format_array(s) == ["POINT Z (1 2 9)", "POINT (1 2)"]
+
+    def test_affine_preserves_geometrycollection(self):
+        ga = ga_from_wkt(
+            "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 5 0))")
+        out = algos.translate(ga, 10, 0)
+        assert wkt.format_array(out) == [
+            "GEOMETRYCOLLECTION (POINT (11 2), LINESTRING (10 0, 15 0))"]
+
     def test_affine(self):
         ga = ga_from_wkt("POINT (1 2)")
         t = algos.translate(ga, 10, 20)
