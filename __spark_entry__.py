@@ -3159,6 +3159,120 @@ FROM m
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """LSH candidate pairs → connected components → duplicate clusters
+    (pipeline/dedup.py connected_components: iterative min-label
+    propagation, the MapReduce CC family). Every node gets the min doc_id
+    of its component — the survivor-selection key of dedup_by_components."""
+    from geopandas_spark.pipeline import connected_components
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.col("n_chars") >= 8))
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1000)
+    both = d.unionByName(dup)
+    pairs = minhash_lsh_pairs(both, num_hashes=4, bands=2, k=8)
+    return (connected_components(pairs)
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("comp").cast("long").alias("comp"))
+            .orderBy("id"))
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_LSH_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(lab) AS BIGINT) AS comp
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher repetition rules (pipeline/text.py repetition_stats):
+    duplicate-line / duplicate-paragraph fraction and top-bigram fraction.
+    The single-line fixture texts get newlines synthesized (space → \\n for
+    the line test, space → \\n\\n for the paragraph test)."""
+    from geopandas_spark.pipeline import repetition_stats
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = d.withColumn("lines_text",
+                     F.regexp_replace(F.col("text"), " ", "\n"))
+    d = d.withColumn("para_text",
+                     F.regexp_replace(F.col("text"), " ", "\n\n"))
+    a = repetition_stats(d, "lines_text").select(
+        "doc_id", "dup_line_frac", "top_bigram_frac")
+    b = repetition_stats(d, "para_text").select(
+        "doc_id", F.col("dup_para_frac").alias("dup_para_frac2"))
+    return (a.join(b, on="doc_id")
+             .select(F.col("doc_id").alias("id"), "dup_line_frac",
+                     F.col("dup_para_frac2").alias("dup_para_frac"),
+                     "top_bigram_frac"))
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     x -> length(trim(x)) > 0) AS parts,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, parts, words,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i + 1])
+         ELSE [] END AS grams
+  FROM w
+)
+SELECT doc_id AS id,
+  ROUND(CASE WHEN len(parts) > 0 THEN
+    CAST(len(parts) - len(list_distinct(parts)) AS DOUBLE) / len(parts)
+    ELSE 0.0 END, 6) AS dup_line_frac,
+  ROUND(CASE WHEN len(parts) > 0 THEN
+    CAST(len(parts) - len(list_distinct(parts)) AS DOUBLE) / len(parts)
+    ELSE 0.0 END, 6) AS dup_para_frac,
+  ROUND(CASE WHEN len(grams) > 0 THEN
+    CAST(list_max(list_transform(list_distinct(grams),
+          gg -> len(list_filter(grams, x -> x = gg)))) AS DOUBLE)
+      / len(grams)
+    ELSE 0.0 END, 6) AS top_bigram_frac
+FROM g
+"""
+
+
+def q_url_ops(spark, sf_dir):
+    """URL normalization + domain extraction for web-corpus dedup and
+    blocklist filtering (pipeline/text.py normalize_url / url_domain):
+    scheme/www/fragment/tracking-param stripping, case-normalized host,
+    case-preserved path — all native regexp chains."""
+    from geopandas_spark.pipeline import normalize_url, url_domain
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    url = F.concat(
+        F.lit("https://www.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/Path"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&q="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&fbclid=zz#frag"))
+    d = d.withColumn("u", url)
+    return d.select(F.col("doc_id").alias("id"),
+                    normalize_url("u").alias("norm"),
+                    url_domain("u").alias("dom"))
+
+
+SQL_URL_OPS = """
+SELECT doc_id AS id,
+       'site' || (doc_id % 7) || '.example.com/Path' || doc_id
+           || '?q=' || (doc_id % 3) AS norm,
+       'example.com' AS dom
+FROM documents WHERE doc_id < 500
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "point_accessors": q_point_accessors,
@@ -3255,6 +3369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_union": q_overlay_union,
         "overlay_mixed": q_overlay_mixed,
         "affine3d": q_affine3d,
+        "dedup_components": q_dedup_components,
+        "repetition": q_repetition,
+        "url_ops": q_url_ops,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
         "dissolve_mean": q_dissolve_mean,
@@ -3368,6 +3485,9 @@ def oracle_sql() -> dict[str, str]:
         "overlay_union": SQL_OVERLAY_UNION,
         "overlay_mixed": SQL_OVERLAY_MIXED,
         "affine3d": SQL_AFFINE3D,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
+        "repetition": SQL_REPETITION,
+        "url_ops": SQL_URL_OPS,
         "overlay_identity": SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
         "dissolve_mean": SQL_DISSOLVE_MEAN,

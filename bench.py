@@ -48,8 +48,26 @@ HEADLINE_TO_ORACLE = {
 }
 
 
-def run_tier(spark, entry, headlines, sf_dir):
-    """Time each headline on Spark, then its oracle twin on DuckDB."""
+def _baseline_cache_path(sf_dir):
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("._")
+    return os.path.join(REPO, ".bench", f"baseline_{tag}.json")
+
+
+def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False):
+    """Time each headline on Spark, then its oracle twin on DuckDB.
+
+    ``cache_baseline`` reuses a cached DuckDB timing file for the tier —
+    the scale tier's data is deterministic and the twins are the fixed
+    oracle SQL, so re-measuring the single-node baseline every round only
+    burns wall-clock (the spark side is always re-measured)."""
+    cached = None
+    if cache_baseline:
+        cp = _baseline_cache_path(sf_dir)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                c = json.load(f)
+            if set(c) >= set(headlines):
+                cached = {k: c[k] for k in headlines}
     times = {}
     for name, fn in headlines.items():
         try:
@@ -61,6 +79,8 @@ def run_tier(spark, entry, headlines, sf_dir):
             times[name] = None
             print(f"# bench {name} failed: {e}", file=sys.stderr)
 
+    if cached is not None:
+        return times, cached
     baseline = {}
     try:
         import duckdb
@@ -69,9 +89,12 @@ def run_tier(spark, entry, headlines, sf_dir):
         for t in ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings"):
             p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS "
-                            f"SELECT * FROM read_parquet('{p}')")
+            if os.path.isdir(p):      # multi-file scale-tier layout
+                p = os.path.join(p, "*.parquet")
+            elif not os.path.exists(p):
+                continue
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}')")
         for name in headlines:
             oname = HEADLINE_TO_ORACLE.get(name)
             if oname not in sqls:
@@ -86,6 +109,10 @@ def run_tier(spark, entry, headlines, sf_dir):
         con.close()
     except ImportError:
         pass
+    if cache_baseline and baseline:
+        os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
+        with open(_baseline_cache_path(sf_dir), "w") as f:
+            json.dump(baseline, f)
     return times, baseline
 
 
@@ -151,7 +178,8 @@ def main():
                                                "lineitem.parquet")):
                 from tools.make_scale import scale_dir as gen
                 gen(SF_DIR, scale_dir, SCALE_FACTOR)
-            st_times, st_base = run_tier(spark, entry, headlines, scale_dir)
+            st_times, st_base = run_tier(spark, entry, headlines, scale_dir,
+                                         cache_baseline=True)
             tiers[f"scale{SCALE_FACTOR}x"] = {
                 "queries": st_times,
                 "baseline": st_base,

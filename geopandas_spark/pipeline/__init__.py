@@ -11,10 +11,12 @@ SQL runs on DuckDB for the correctness oracle).
 
 from geopandas_spark.pipeline.dedup import (  # noqa: F401
     exact_dedup, minhash_signatures, minhash_lsh_pairs, ngram_jaccard_pairs,
+    connected_components, dedup_by_components,
 )
 from geopandas_spark.pipeline.text import (  # noqa: F401
     add_text_stats, quality_score, language_id, fingerprint, token_count,
-    pii_scrub, gopher_rules, train_split,
+    pii_scrub, gopher_rules, train_split, repetition_stats, normalize_url,
+    url_domain, filter_blocked_domains,
 )
 from geopandas_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_bucket_topk,

@@ -109,6 +109,61 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (id, comp) where ``comp``
+    is the min id in the node's connected component.
+
+    Iterative min-label propagation (the MapReduce connected-components
+    family — Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round every node takes the min label over
+    itself and its neighbors; converges in O(max component diameter)
+    rounds, which for near-dup clusters (dense, star-like) is small.
+    Each round is one shuffle-on-id join + groupBy; the frontier is
+    persisted and the loop exits at the fixpoint (count of changed labels
+    = 0 — one cheap action per round). At 100 TB the pairs input is the
+    LSH/SimHash candidate set (linear-ish in corpus size), never n²."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges.persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("comp", F.col("id")))
+    labels.persist()
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
+                                        F.col("comp").alias("dcomp")),
+                          on="dst")
+                    .groupBy("src").agg(F.min("dcomp").alias("ncomp")))
+        new = (labels.join(nbr, labels["id"] == nbr["src"], "left")
+                     .select(labels["id"],
+                             F.least("comp", "ncomp").alias("comp"),
+                             (F.col("ncomp") < F.col("comp"))
+                             .alias("__chg__")))
+        new = new.localCheckpoint(eager=True)   # truncate lineage per round
+        changed = new.filter(F.col("__chg__")).limit(1).count()
+        old = labels
+        labels = new.drop("__chg__")
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates: keep the min-id document of every duplicate
+    cluster plus all documents that never appeared in a candidate pair.
+    ``pairs`` is any (id_a, id_b) candidate set (LSH bands, SimHash
+    blocks, embedding buckets) — composition point of the dedup stack."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("comp") != F.col("id")) \
+                 .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash64(text_col, k: int = 4, bits: int = 60) -> Column:
     """SimHash over character k-grams, fully native (≤ 60 bits).
 

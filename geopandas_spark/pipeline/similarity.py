@@ -14,21 +14,45 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def dot(a, b) -> Column:
+def dot(a, b, dim: int = None) -> Column:
+    """Sequential left-associated dot product.
+
+    With ``dim`` the sum is unrolled into a flat ``e1*f1 + e2*f2 + …``
+    expression — higher-order functions (aggregate/zip_with) are
+    CodegenFallback in Spark, so the unrolled form runs in whole-stage
+    codegen ~10× faster while keeping the exact same left-to-right
+    accumulation order (bit-identical to the aggregate form and to the
+    DuckDB list_sum oracle twin). Without ``dim`` (ragged arrays) the
+    aggregate form is used."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
+    if dim:
+        out = F.element_at(a, 1).cast("double") * \
+            F.element_at(b, 1).cast("double")
+        for i in range(2, dim + 1):
+            out = out + F.element_at(a, i).cast("double") * \
+                F.element_at(b, i).cast("double")
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y:
                    x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a, dim: int = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a, b, dim: int = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _vec_dim(df: DataFrame, vec_col: str):
+    """Fixed vector dimensionality (one tiny first() job), or None if the
+    frame is empty. Embedding tables are fixed-dim in practice; the dim
+    unlocks the codegen'd unrolled dot product."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else None
 
 
 def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
@@ -40,12 +64,19 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
     queries is expected to be small (broadcast); the corpus side streams.
     Scores are rounded to 1e-6 before ranking with an id tie-break so
     results are deterministic across summation engines."""
+    dim = _vec_dim(df, vec_col)
+    # norms hoisted out of the pair join: each side's norm is computed
+    # once per row, not once per (candidate × query) pair
     q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"),
-                                   F.col(q_vec_col).alias("q_vec")))
+                                   F.col(q_vec_col).alias("q_vec"))
+                    .withColumn("q_norm", norm("q_vec", dim)))
     scored = (df.select(F.col(id_col).alias("c_id"),
                         F.col(vec_col).alias("c_vec"))
+                .withColumn("c_norm", norm("c_vec", dim))
                 .crossJoin(q)
-                .withColumn("score", F.round(cosine("c_vec", "q_vec"), 6)))
+                .withColumn("score", F.round(
+                    dot("c_vec", "q_vec", dim) /
+                    (F.col("c_norm") * F.col("q_norm")), 6)))
     if exclude_self:
         scored = scored.filter(F.col("c_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(),
@@ -73,14 +104,19 @@ def lsh_bucket_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
     """Approximate top-k: only corpus vectors in the query's sign bucket
     are scored. Recall loses near bucket boundaries; planes trades recall
     vs speedup (~2^planes candidate reduction)."""
+    dim = _vec_dim(df, vec_col)
     c = df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
-                  lsh_sign_bucket(vec_col, planes).alias("bucket"))
+                  lsh_sign_bucket(vec_col, planes).alias("bucket")) \
+          .withColumn("c_norm", norm("c_vec", dim))
     q = queries.select(F.col(id_col).alias("q_id"),
                        F.col(vec_col).alias("q_vec"),
-                       lsh_sign_bucket(vec_col, planes).alias("bucket"))
+                       lsh_sign_bucket(vec_col, planes).alias("bucket")) \
+               .withColumn("q_norm", norm("q_vec", dim))
     scored = (c.join(F.broadcast(q), on="bucket")
                .filter(F.col("c_id") != F.col("q_id"))
-               .withColumn("score", F.round(cosine("c_vec", "q_vec"), 6)))
+               .withColumn("score", F.round(
+                   dot("c_vec", "q_vec", dim) /
+                   (F.col("c_norm") * F.col("q_norm")), 6)))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(),
                                            F.col("c_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -115,19 +151,39 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
     Ties break exactly like :func:`cosine_topk` (score desc, id asc, scores
     rounded to 1e-6) so results are engine-reproducible.
     """
+    dim = _vec_dim(df, vec_col)
     cents = (df.select(F.col(id_col).alias("cent_id"),
                        F.col(vec_col).alias("cvec"))
                .orderBy("cent_id").limit(nlist).collect())
     cents = [(int(r["cent_id"]), [float(x) for x in r["cvec"]])
              for r in cents]
 
+    import math
+
+    def _dot_lit(vec, cvec):
+        """Unrolled vec·centroid with the centroid elements inlined as
+        scalar literals (not a literal array — element_at over a 64-elem
+        literal array per term blows the janino method-size limit and
+        forces interpreter fallback). Same left-assoc order as dot()."""
+        out = F.element_at(vec, 1).cast("double") * F.lit(float(cvec[0]))
+        for i in range(1, len(cvec)):
+            out = out + F.element_at(vec, i + 1).cast("double") * \
+                F.lit(float(cvec[i]))
+        return out
+
     def nearest_struct(vec):
         """array_max over per-centroid (score, -id) structs = argmax with
-        the (score desc, id asc) tie-break, all JVM-side."""
+        the (score desc, id asc) tie-break, all JVM-side. Centroid norms
+        are Python-precomputed doubles — bit-identical to the JVM's
+        sequential sum + Math.sqrt on the same values."""
+        vn = norm(vec, dim)
         entries = []
         for cid, cvec in cents:
-            cv = _lit_vec(cvec)
-            s = F.round(dot(vec, cv) / (norm(vec) * norm(cv)), 6)
+            acc = float(cvec[0]) * float(cvec[0])
+            for x in cvec[1:]:
+                acc = acc + float(x) * float(x)
+            cn = math.sqrt(acc)
+            s = F.round(_dot_lit(vec, cvec) / (vn * F.lit(cn)), 6)
             entries.append(F.struct(s.alias("s"),
                                     F.lit(-cid).alias("nid")))
         return F.array(*entries)
@@ -146,7 +202,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
                      .select("q_id", "q_vec",
                              (-F.col("__p__.nid")).alias("__list__")))
     scored = (corpus.join(F.broadcast(probes), on="__list__")
-                    .withColumn("score", F.round(cosine("c_vec", "q_vec"), 6)))
+                    .withColumn("score",
+                                F.round(cosine("c_vec", "q_vec", dim), 6)))
     if exclude_self:
         scored = scored.filter(F.col("c_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(),
@@ -170,6 +227,7 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.4, *,
     1-(1-p^planes)^bands for pair agreement probability p — tune bands up
     for higher recall at more candidate volume.
     """
+    dim = _vec_dim(df, vec_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
     if method == "exact":
@@ -191,6 +249,7 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.4, *,
         cand = cand.dropDuplicates(["id_a", "id_b"])
     else:
         raise ValueError(f"unknown method {method!r}")
-    return (cand.withColumn("score", F.round(cosine("__va__", "__vb__"), 6))
+    return (cand.withColumn("score",
+                            F.round(cosine("__va__", "__vb__", dim), 6))
                 .filter(F.col("score") >= threshold)
                 .select("id_a", "id_b", "score"))

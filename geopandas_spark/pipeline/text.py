@@ -146,6 +146,91 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
                           F.col("r_symbols")))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, "repetitious
+    documents"): duplicate-line fraction, duplicate-paragraph fraction and
+    top-bigram character fraction — the signals that catch boilerplate and
+    template spam that length/symbol rules miss.
+
+    All native array expressions (split / array_distinct / aggregate), so
+    the pass stays in whole-stage codegen at 100 TB. The top-bigram scan
+    is O(distinct-bigrams · bigrams) per row — bounded by document length,
+    no shuffle, no UDF."""
+    c = F.col(text_col)
+
+    def _dup_frac(sep):
+        parts = F.filter(F.split(c, sep),
+                         lambda x: F.length(F.trim(x)) > 0)
+        n = F.size(parts)
+        return F.when(n > 0,
+                      (n - F.size(F.array_distinct(parts))).cast("double")
+                      / n).otherwise(F.lit(0.0))
+
+    words = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), 0)
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                          F.element_at(words, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    top_cnt = F.when(
+        F.size(grams) > 0,
+        F.array_max(F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g))))
+    ).otherwise(F.lit(0))
+    top_frac = F.when(F.size(grams) > 0,
+                      top_cnt.cast("double") / F.size(grams)) \
+                .otherwise(F.lit(0.0))
+    return (df.withColumn("dup_line_frac", F.round(_dup_frac(r"\n"), 6))
+              .withColumn("dup_para_frac", F.round(_dup_frac(r"\n\n+"), 6))
+              .withColumn("top_bigram_frac", F.round(top_frac, 6)))
+
+
+def normalize_url(url_col) -> Column:
+    """Canonical URL for dedup/blocklists: lowercase scheme+host, strip
+    scheme, 'www.', trailing slash, fragment and tracking params
+    (utm_*/fbclid/gclid) — native regexp chain."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(c, r"#.*$", "")
+    # tracking params: mid-query (keep the delimiter for the next param)
+    # then trailing — two passes so '?utm=x&q=1' → '?q=1', not '&q=1'
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*&",
+                         "$1")
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"/$", "")
+    # host is case-insensitive; path is not — lowercase only up to the
+    # first '/'
+    host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
+    path = F.regexp_replace(u, r"^[^/]*", "")
+    return F.concat(host, path)
+
+
+def url_domain(url_col) -> Column:
+    """Registrable-ish domain of a URL (last two host labels)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(c, r"^[A-Za-z]+://", ""), r"^([^/:]*)", 1))
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def filter_blocked_domains(df: DataFrame, url_col: str,
+                           blocklist) -> DataFrame:
+    """Drop rows whose URL's domain is on the blocklist. The blocklist is
+    inlined as a literal array (typical lists are 10³–10⁵ entries → a
+    broadcast-able isin); for larger lists pass a DataFrame and this
+    becomes a broadcast anti-join."""
+    if isinstance(blocklist, DataFrame):
+        b = blocklist.select(F.col(blocklist.columns[0]).alias("__dom__"))
+        return (df.withColumn("__dom__", url_domain(url_col))
+                  .join(F.broadcast(b), on="__dom__", how="left_anti")
+                  .drop("__dom__"))
+    return df.filter(~url_domain(url_col).isin(list(blocklist)))
+
+
 def train_split(df: DataFrame, id_col: str = "doc_id",
                 val_pct: int = 10, salt: str = "split-v1") -> DataFrame:
     """Deterministic hash-based train/validation split: md5(salt|id) mod

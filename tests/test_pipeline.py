@@ -218,3 +218,63 @@ def test_pii_gopher_split(spark):
     first = {r.doc_id: r.split for r in s.collect()}
     again = {r.doc_id: r.split for r in train_split(df).collect()}
     assert first == again and set(first.values()) <= {"train", "val"}
+
+
+def test_connected_components_and_dedup(spark):
+    from geopandas_spark.pipeline import (connected_components,
+                                          dedup_by_components)
+    # two chains (1-2-3, 10-11) and one isolated pair (20-21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"])
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 20, 21, 99]],
+        ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in
+                  dedup_by_components(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # min-id survivor per cluster + untouched
+
+
+def test_connected_components_long_chain(spark):
+    from geopandas_spark.pipeline import connected_components
+    # path graph of length 12 — needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    comp = connected_components(pairs).collect()
+    assert all(r.comp == 0 for r in comp) and len(comp) == 13
+
+
+def test_repetition_stats(spark):
+    from geopandas_spark.pipeline import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nb\nc"),          # 2 of 5 lines are repeats
+         (2, "x y x y x y x y"),        # 'x y' dominates bigrams
+         (3, "all unique lines here")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].dup_line_frac == pytest.approx(0.4)
+    assert out[2].top_bigram_frac == pytest.approx(round(4 / 7, 6))
+    assert out[3].dup_line_frac == 0.0
+    para = spark.createDataFrame([(1, "p1\n\np2\n\np1")], ["doc_id", "text"])
+    assert repetition_stats(para).collect()[0].dup_para_frac == \
+        pytest.approx(1 / 3)
+
+
+def test_url_ops(spark):
+    from geopandas_spark.pipeline import (filter_blocked_domains,
+                                          normalize_url, url_domain)
+    df = spark.createDataFrame(
+        [(1, "https://www.Example.COM/Some/Path?utm_source=a&q=1&gclid=z#f"),
+         (2, "http://sub.spam.net/x/"),
+         (3, "example.com/plain")],
+        ["id", "url"])
+    out = {r.id: (r.n, r.d) for r in df.select(
+        "id", normalize_url("url").alias("n"),
+        url_domain("url").alias("d")).collect()}
+    assert out[1] == ("example.com/Some/Path?q=1", "example.com")
+    assert out[2] == ("sub.spam.net/x", "spam.net")
+    assert out[3] == ("example.com/plain", "example.com")
+    kept = sorted(r.id for r in
+                  filter_blocked_domains(df, "url", ["spam.net"]).collect())
+    assert kept == [1, 3]
