@@ -3274,7 +3274,76 @@ FROM documents WHERE doc_id < 500
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver stamps the first 50 entries into
+    # CORRECTNESS_r{N}.json. Round 2 stamped the original first 50
+    # (point_accessors … boundary — now at the tail); round 3 rotates the
+    # 50 highest-value not-yet-stamped queries into the window (incl. the
+    # new r3 ones). The 11 after position 50 (codec_roundtrip …
+    # valid_reason_orient) are lower-value repeats of stamped families and
+    # rotate in next round. All 111 run under tools/check_oracles.py
+    # regardless of position.
     return {
+        "simplify": q_simplify,
+        "snap": q_snap,
+        "make_valid": q_make_valid,
+        "line_merge": q_line_merge,
+        "delaunay": q_delaunay,
+        "concave": q_concave,
+        "mbc_mrr": q_mbc_mrr,
+        "normalize_reverse": q_normalize_reverse,
+        "segmentize_rrp": q_segmentize_rrp,
+        "rotate_skew": q_rotate_skew,
+        "relate": q_relate,
+        "polygonize_buildarea": q_polygonize_buildarea,
+        "tco": q_tco,
+        "exterior_interiors": q_exterior_interiors,
+        "transform_apply": q_transform_apply,
+        "set_precision": q_set_precision,
+        "voronoi": q_voronoi,
+        "z_coords": q_z_coords,
+        "geomcollection": q_geomcollection,
+        "to_crs_utm": q_to_crs_utm,
+        "to_crs_bng": q_to_crs_bng,
+        "to_crs_lambert93": q_to_crs_lambert93,
+        "buffer_styles": q_buffer_styles,
+        "grid_size": q_grid_size,
+        "rt_geoparquet": q_rt_geoparquet,
+        "rt_shapefile": q_rt_shapefile,
+        "rt_gpkg": q_rt_gpkg,
+        "rt_geojsonseq": q_rt_geojsonseq,
+        "rt_feather": q_rt_feather,
+        "read_pushdown": q_read_pushdown,
+        "list_layers": q_list_layers,
+        "overlay_union": q_overlay_union,
+        "overlay_mixed": q_overlay_mixed,
+        "affine3d": q_affine3d,
+        "dedup_components": q_dedup_components,
+        "repetition": q_repetition,
+        "url_ops": q_url_ops,
+        "overlay_identity": q_overlay_identity,
+        "overlay_symdiff": q_overlay_symdiff,
+        "dissolve_mean": q_dissolve_mean,
+        "dissolve_aggfuncs": q_dissolve_aggfuncs,
+        "concat_cx": q_concat_cx,
+        "densify_distances": q_densify_distances,
+        "jaccard": q_jaccard,
+        "lsh_topk": q_lsh_topk,
+        "fillna": q_fillna,
+        "stream_sjoin": q_stream_sjoin,
+        "stream_window_union": q_stream_window_union,
+        "multimodal_ops": q_multimodal_ops,
+        "pii_gopher_split": q_pii_gopher_split,
+        "codec_roundtrip": q_codec_roundtrip,
+        "ring_flags": q_ring_flags,
+        "unique_rep": q_unique_rep,
+        "collect_bounds": q_collect_bounds,
+        "coords_dump": q_coords_dump,
+        "offset_eq": q_offset_eq,
+        "clip_rect": q_clip_rect,
+        "geometry_n": q_geometry_n,
+        "sample_pts": q_sample_pts,
+        "estimate_utm": q_estimate_utm,
+        "valid_reason_orient": q_valid_reason_orient,
         "point_accessors": q_point_accessors,
         "box_measures": q_box_measures,
         "distance": q_distance,
@@ -3325,72 +3394,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_value_counts": q_geom_value_counts,
         "frame_sample": q_frame_sample,
         "boundary": q_boundary,
-        "simplify": q_simplify,
-        "snap": q_snap,
-        "make_valid": q_make_valid,
-        "line_merge": q_line_merge,
-        "delaunay": q_delaunay,
-        "concave": q_concave,
-        "mbc_mrr": q_mbc_mrr,
-        "normalize_reverse": q_normalize_reverse,
-        "segmentize_rrp": q_segmentize_rrp,
-        "rotate_skew": q_rotate_skew,
-        "relate": q_relate,
-        "polygonize_buildarea": q_polygonize_buildarea,
-        "collect_bounds": q_collect_bounds,
-        "coords_dump": q_coords_dump,
-        "tco": q_tco,
-        "exterior_interiors": q_exterior_interiors,
-        "offset_eq": q_offset_eq,
-        "clip_rect": q_clip_rect,
-        "unique_rep": q_unique_rep,
-        "geometry_n": q_geometry_n,
-        "transform_apply": q_transform_apply,
-        "estimate_utm": q_estimate_utm,
-        "codec_roundtrip": q_codec_roundtrip,
-        "ring_flags": q_ring_flags,
-        "set_precision": q_set_precision,
-        "sample_pts": q_sample_pts,
-        "voronoi": q_voronoi,
-        "z_coords": q_z_coords,
-        "geomcollection": q_geomcollection,
-        "to_crs_utm": q_to_crs_utm,
-        "to_crs_bng": q_to_crs_bng,
-        "to_crs_lambert93": q_to_crs_lambert93,
-        "buffer_styles": q_buffer_styles,
-        "grid_size": q_grid_size,
-        "rt_geoparquet": q_rt_geoparquet,
-        "rt_shapefile": q_rt_shapefile,
-        "rt_gpkg": q_rt_gpkg,
-        "rt_geojsonseq": q_rt_geojsonseq,
-        "rt_feather": q_rt_feather,
-        "read_pushdown": q_read_pushdown,
-        "list_layers": q_list_layers,
-        "overlay_union": q_overlay_union,
-        "overlay_mixed": q_overlay_mixed,
-        "affine3d": q_affine3d,
-        "dedup_components": q_dedup_components,
-        "repetition": q_repetition,
-        "url_ops": q_url_ops,
-        "overlay_identity": q_overlay_identity,
-        "overlay_symdiff": q_overlay_symdiff,
-        "dissolve_mean": q_dissolve_mean,
-        "dissolve_aggfuncs": q_dissolve_aggfuncs,
-        "concat_cx": q_concat_cx,
-        "valid_reason_orient": q_valid_reason_orient,
-        "densify_distances": q_densify_distances,
-        "jaccard": q_jaccard,
-        "lsh_topk": q_lsh_topk,
-        "fillna": q_fillna,
-        "stream_sjoin": q_stream_sjoin,
-        "stream_window_union": q_stream_window_union,
-        "multimodal_ops": q_multimodal_ops,
-        "pii_gopher_split": q_pii_gopher_split,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "simplify": SQL_SIMPLIFY,
+        "snap": SQL_SNAP,
+        "make_valid": SQL_MAKE_VALID,
+        "line_merge": SQL_LINE_MERGE,
+        "delaunay": SQL_DELAUNAY,
+        "concave": SQL_CONCAVE,
+        "mbc_mrr": SQL_MBC_MRR,
+        "normalize_reverse": SQL_NORMALIZE_REVERSE,
+        "segmentize_rrp": SQL_SEGMENTIZE_RRP,
+        "rotate_skew": SQL_ROTATE_SKEW,
+        "relate": SQL_RELATE,
+        "polygonize_buildarea": SQL_POLYGONIZE_BUILDAREA,
+        "tco": SQL_TCO,
+        "exterior_interiors": SQL_EXTERIOR_INTERIORS,
+        "transform_apply": SQL_TRANSFORM_APPLY,
+        "set_precision": SQL_SET_PRECISION,
+        "voronoi": SQL_VORONOI,
+        "z_coords": SQL_Z_COORDS,
+        "geomcollection": SQL_GEOMCOLLECTION,
+        "to_crs_utm": SQL_TO_CRS_UTM,
+        "to_crs_bng": SQL_TO_CRS_BNG,
+        "to_crs_lambert93": SQL_TO_CRS_LAMBERT93,
+        "buffer_styles": SQL_BUFFER_STYLES,
+        "grid_size": SQL_GRID_SIZE,
+        "rt_geoparquet": _SQL_RT,
+        "rt_shapefile": _SQL_RT,
+        "rt_gpkg": _SQL_RT,
+        "rt_geojsonseq": _SQL_RT,
+        "rt_feather": _SQL_RT,
+        "read_pushdown": SQL_READ_PUSHDOWN,
+        "list_layers": SQL_LIST_LAYERS,
+        "overlay_union": SQL_OVERLAY_UNION,
+        "overlay_mixed": SQL_OVERLAY_MIXED,
+        "affine3d": SQL_AFFINE3D,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
+        "repetition": SQL_REPETITION,
+        "url_ops": SQL_URL_OPS,
+        "overlay_identity": SQL_OVERLAY_IDENTITY,
+        "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
+        "dissolve_mean": SQL_DISSOLVE_MEAN,
+        "dissolve_aggfuncs": SQL_DISSOLVE_AGGFUNCS,
+        "concat_cx": SQL_CONCAT_CX,
+        "densify_distances": SQL_DENSIFY_DISTANCES,
+        "jaccard": SQL_JACCARD,
+        "lsh_topk": SQL_LSH_TOPK,
+        "fillna": SQL_FILLNA,
+        "stream_sjoin": SQL_STREAM_SJOIN,
+        "stream_window_union": SQL_STREAM_WINDOW_UNION,
+        "multimodal_ops": SQL_MULTIMODAL_OPS,
+        "pii_gopher_split": SQL_PII_GOPHER_SPLIT,
+        "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
+        "ring_flags": SQL_RING_FLAGS,
+        "unique_rep": SQL_UNIQUE_REP,
+        "collect_bounds": SQL_COLLECT_BOUNDS,
+        "coords_dump": SQL_COORDS_DUMP,
+        "offset_eq": SQL_OFFSET_EQ,
+        "clip_rect": SQL_CLIP_RECT,
+        "geometry_n": SQL_GEOMETRY_N,
+        "sample_pts": SQL_SAMPLE_PTS,
+        "estimate_utm": SQL_ESTIMATE_UTM,
+        "valid_reason_orient": SQL_VALID_REASON_ORIENT,
         "point_accessors": SQL_POINT_ACCESSORS,
         "box_measures": SQL_BOX_MEASURES,
         "distance": SQL_DISTANCE,
@@ -3441,65 +3510,4 @@ def oracle_sql() -> dict[str, str]:
         "geom_value_counts": SQL_GEOM_VALUE_COUNTS,
         "frame_sample": SQL_FRAME_SAMPLE,
         "boundary": SQL_BOUNDARY,
-        "simplify": SQL_SIMPLIFY,
-        "snap": SQL_SNAP,
-        "make_valid": SQL_MAKE_VALID,
-        "line_merge": SQL_LINE_MERGE,
-        "delaunay": SQL_DELAUNAY,
-        "concave": SQL_CONCAVE,
-        "mbc_mrr": SQL_MBC_MRR,
-        "normalize_reverse": SQL_NORMALIZE_REVERSE,
-        "segmentize_rrp": SQL_SEGMENTIZE_RRP,
-        "rotate_skew": SQL_ROTATE_SKEW,
-        "relate": SQL_RELATE,
-        "polygonize_buildarea": SQL_POLYGONIZE_BUILDAREA,
-        "collect_bounds": SQL_COLLECT_BOUNDS,
-        "coords_dump": SQL_COORDS_DUMP,
-        "tco": SQL_TCO,
-        "exterior_interiors": SQL_EXTERIOR_INTERIORS,
-        "offset_eq": SQL_OFFSET_EQ,
-        "clip_rect": SQL_CLIP_RECT,
-        "unique_rep": SQL_UNIQUE_REP,
-        "geometry_n": SQL_GEOMETRY_N,
-        "transform_apply": SQL_TRANSFORM_APPLY,
-        "estimate_utm": SQL_ESTIMATE_UTM,
-        "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
-        "ring_flags": SQL_RING_FLAGS,
-        "set_precision": SQL_SET_PRECISION,
-        "sample_pts": SQL_SAMPLE_PTS,
-        "voronoi": SQL_VORONOI,
-        "z_coords": SQL_Z_COORDS,
-        "geomcollection": SQL_GEOMCOLLECTION,
-        "to_crs_utm": SQL_TO_CRS_UTM,
-        "to_crs_bng": SQL_TO_CRS_BNG,
-        "to_crs_lambert93": SQL_TO_CRS_LAMBERT93,
-        "buffer_styles": SQL_BUFFER_STYLES,
-        "grid_size": SQL_GRID_SIZE,
-        "rt_geoparquet": _SQL_RT,
-        "rt_shapefile": _SQL_RT,
-        "rt_gpkg": _SQL_RT,
-        "rt_geojsonseq": _SQL_RT,
-        "rt_feather": _SQL_RT,
-        "read_pushdown": SQL_READ_PUSHDOWN,
-        "list_layers": SQL_LIST_LAYERS,
-        "overlay_union": SQL_OVERLAY_UNION,
-        "overlay_mixed": SQL_OVERLAY_MIXED,
-        "affine3d": SQL_AFFINE3D,
-        "dedup_components": SQL_DEDUP_COMPONENTS,
-        "repetition": SQL_REPETITION,
-        "url_ops": SQL_URL_OPS,
-        "overlay_identity": SQL_OVERLAY_IDENTITY,
-        "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
-        "dissolve_mean": SQL_DISSOLVE_MEAN,
-        "dissolve_aggfuncs": SQL_DISSOLVE_AGGFUNCS,
-        "concat_cx": SQL_CONCAT_CX,
-        "valid_reason_orient": SQL_VALID_REASON_ORIENT,
-        "densify_distances": SQL_DENSIFY_DISTANCES,
-        "jaccard": SQL_JACCARD,
-        "lsh_topk": SQL_LSH_TOPK,
-        "fillna": SQL_FILLNA,
-        "stream_sjoin": SQL_STREAM_SJOIN,
-        "stream_window_union": SQL_STREAM_WINDOW_UNION,
-        "multimodal_ops": SQL_MULTIMODAL_OPS,
-        "pii_gopher_split": SQL_PII_GOPHER_SPLIT,
     }
