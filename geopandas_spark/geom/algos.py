@@ -2233,6 +2233,9 @@ def intersection(ga: GeometryArray, gb: GeometryArray,
         if empty_a[i] or empty_b[i]:
             b.append_empty(GT_POLYGON)
             continue
+        if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
+            raise NotImplementedError(
+                "set operations with GEOMETRYCOLLECTION operands")
         if ta in POINT_TYPES:
             pts = _geom_points(ga, i)
             keep = pts[_points_member_mask(pts, gb, i)]
@@ -2359,6 +2362,9 @@ def difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
         if not inter[i] or empty_b[i]:
             b.append_from(ga, i)
             continue
+        if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
+            raise NotImplementedError(
+                "set operations with GEOMETRYCOLLECTION operands")
         if ta in POINT_TYPES:
             pts = _geom_points(ga, i)
             keep = pts[~_points_member_mask(pts, gb, i)]
@@ -2388,12 +2394,43 @@ def difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
     return b.finish()
 
 
+_DIM = {GT_POINT: 0, GT_MULTIPOINT: 0, GT_LINESTRING: 1,
+        GT_MULTILINESTRING: 1, GT_POLYGON: 2, GT_MULTIPOLYGON: 2}
+
+
+def _lower_residual(glo, ghi, i):
+    """lo − hi for a lower-dimensional lo operand: (chains, pts)."""
+    tlo = int(glo.types[i])
+    if tlo in POINT_TYPES:
+        pts = _geom_points(glo, i)
+        return [], pts[~_points_member_mask(pts, ghi, i)]
+    return (_clip_line_by_polygon(glo, i, ghi, i, False),
+            np.empty((0, 2), dtype=np.float64))
+
+
+def _append_hi_plus_residual(b, ghi, i, chains, pts):
+    """hi operand + lower-dim residual: plain hi row when the residual is
+    fully absorbed (GEOS drops covered lower dims), else a
+    GEOMETRYCOLLECTION of hi's parts and the residual pieces."""
+    if not chains and len(pts) == 0:
+        b.append_from(ghi, i)
+        return
+    thi = int(ghi.types[i])
+    base = SINGLE_OF.get(thi, thi)
+    children = [(base, [part]) for part in ghi.geom_slices(i)]
+    children += [(GT_LINESTRING, [[c]]) for c in chains]
+    children += [(GT_POINT, [[np.asarray(p).reshape(1, 2)]]) for p in pts]
+    b.append_collection(children)
+
+
 def union(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
     """Pairwise A ∪ B (reference: geopandas/base.py:4643).
 
     Polygons via Martinez–Rueda; point sets via coordinate dedupe; lines
-    via noding at crossings + collinear-piece dedupe. Mixed dimension
-    pairs need GEOMETRYCOLLECTION output and raise."""
+    via noding at crossings + collinear-piece dedupe. Mixed-dimension
+    pairs keep the higher-dim operand whole plus the lower-dim residual
+    outside it (GEOMETRYCOLLECTION when not absorbed — GEOS union
+    semantics)."""
     b = GeometryBuilder()
     empty_a, empty_b = ga.is_empty(), gb.is_empty()
     for i in range(len(ga)):
@@ -2431,8 +2468,16 @@ def union(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
                         pieces.append(p)
             _append_chains(b, _merge_chains(pieces))
             continue
-        raise NotImplementedError(
-            "union of mixed-dimension pairs needs GEOMETRYCOLLECTION")
+        if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
+            raise NotImplementedError(
+                "set operations with GEOMETRYCOLLECTION operands")
+        # mixed dimensions (GEOS union semantics): the higher-dimensional
+        # operand survives whole; the lower-dim one contributes only its
+        # residual outside it; absorbed residual → plain higher-dim output,
+        # otherwise a GEOMETRYCOLLECTION
+        ghi, glo = (ga, gb) if _DIM[ta] > _DIM[tb] else (gb, ga)
+        chains, pts = _lower_residual(glo, ghi, i)
+        _append_hi_plus_residual(b, ghi, i, chains, pts)
     return b.finish()
 
 
@@ -2463,8 +2508,28 @@ def symmetric_difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
                                    _geom_rings_closed(gb, i), _mr.XOR)
             _append_polys(b, polys)
             continue
-        raise NotImplementedError(
-            "symmetric_difference supports point and polygon pairs")
+        if ta in LINE_TYPES and tb in LINE_TYPES:
+            # (A − B) ∪ (B − A): pieces of each not collinear with the other
+            sa, sb = _geom_segments(ga, i), _geom_segments(gb, i)
+            pieces = []
+            for segs, other in ((sa, sb), (sb, sa)):
+                for s in segs:
+                    for p in _split_segment_by_edges(s[0], s[1],
+                                                     other[:, 0],
+                                                     other[:, 1]):
+                        mid = ((p[0] + p[1]) * 0.5).reshape(1, 2)
+                        if _point_seg_dist(mid, other)[0] > _EPS:
+                            pieces.append(p)
+            _append_chains(b, _merge_chains(pieces))
+            continue
+        if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
+            raise NotImplementedError(
+                "set operations with GEOMETRYCOLLECTION operands")
+        # mixed dimensions: the intersection is measure-zero in the higher
+        # dim, so A ⊕ B = hi whole + (lo − hi) — same shape as union
+        ghi, glo = (ga, gb) if _DIM[ta] > _DIM[tb] else (gb, ga)
+        chains, pts = _lower_residual(glo, ghi, i)
+        _append_hi_plus_residual(b, ghi, i, chains, pts)
     return b.finish()
 
 

@@ -312,6 +312,37 @@ class TestConstructive:
         s = algos.scale(ga, 2, 3, origin=(0, 0))
         assert wkt.format_array(s) == ["POINT (2 6)"]
 
+    def test_union_mixed_dimensions(self):
+        a = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                        "POINT (5 5)", "POINT (1 0)")
+        b = ga_from_wkt("LINESTRING (1 1, 5 1)",
+                        "LINESTRING (0.5 1, 1.5 1)",
+                        "LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 2 0)")
+        out = wkt.format_array(algos.union(a, b))
+        assert out[0] == ("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, "
+                          "0 2, 0 0)), LINESTRING (2 1, 5 1))")
+        assert out[1] == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"  # absorbed
+        assert out[2] == ("GEOMETRYCOLLECTION (LINESTRING (0 0, 2 0), "
+                          "POINT (5 5))")
+        assert out[3] == "LINESTRING (0 0, 2 0)"
+
+    def test_symmetric_difference_lines_and_mixed(self):
+        a = ga_from_wkt("LINESTRING (0 0, 4 0)",
+                        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = ga_from_wkt("LINESTRING (2 0, 6 0)", "POINT (5 5)")
+        out = wkt.format_array(algos.symmetric_difference(a, b))
+        assert out[0] == "MULTILINESTRING ((0 0, 2 0), (4 0, 6 0))"
+        assert out[1] == ("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, "
+                          "0 2, 0 0)), POINT (5 5))")
+
+    def test_setop_gc_operand_raises(self):
+        a = ga_from_wkt("GEOMETRYCOLLECTION (POINT (1 1))")
+        b = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        import pytest as _pt
+        with _pt.raises(NotImplementedError):
+            algos.intersection(a, b)
+
     def test_union_all_points(self):
         ga = ga_from_wkt("POINT (1 1)", "POINT (2 2)", "POINT (1 1)")
         u = algos.union_all(ga)
