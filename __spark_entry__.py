@@ -2499,6 +2499,24 @@ def q_rt_feather(spark, sf_dir):
     return _roundtrip_cust(spark, sf_dir, "feather")
 
 
+def q_rt_kml(spark, sf_dir):
+    """KML round trip (io/kml.py — clean-room stdlib XML KML driver;
+    reference reads/writes KML through OGR, geopandas/io/file.py:197).
+    ExtendedData values are untyped strings in KML, hence the casts."""
+    import tempfile
+    from geopandas_spark import io as gio
+    c = (_cust(spark, sf_dir)
+         .select("c_custkey", F.col("c_acctbal").cast("double")
+                 .alias("bal"), "geom"))
+    d = tempfile.mkdtemp(prefix="gs_kml_")
+    path = os.path.join(d, "rt.kml")
+    gio.to_file(c, path, geom="geom")
+    back = gio.read_file(spark, path, geom="geom")
+    return back.select(F.col("c_custkey").cast("long").alias("id"),
+                       F.round(F.col("bal").cast("double"), 2).alias("bal"),
+                       st.x("geom").alias("x"), st.y("geom").alias("y"))
+
+
 def q_read_pushdown(spark, sf_dir):
     """read_file pushdown kwargs (reference geopandas/io/file.py:197-339):
     ``bbox=`` (envelope prefilter as native range predicates) and
@@ -3312,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_gpkg": q_rt_gpkg,
         "rt_geojsonseq": q_rt_geojsonseq,
         "rt_feather": q_rt_feather,
+        "rt_kml": q_rt_kml,
         "read_pushdown": q_read_pushdown,
         "list_layers": q_list_layers,
         "overlay_union": q_overlay_union,
@@ -3428,6 +3447,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_gpkg": _SQL_RT,
         "rt_geojsonseq": _SQL_RT,
         "rt_feather": _SQL_RT,
+        "rt_kml": _SQL_RT,
         "read_pushdown": SQL_READ_PUSHDOWN,
         "list_layers": SQL_LIST_LAYERS,
         "overlay_union": SQL_OVERLAY_UNION,

@@ -22,6 +22,9 @@ from geopandas_spark.io.shapefile import (  # noqa: F401
 from geopandas_spark.io.gpkg import (  # noqa: F401
     read_gpkg, to_gpkg,
 )
+from geopandas_spark.io.kml import (  # noqa: F401
+    read_kml, to_kml,
+)
 
 
 def _apply_read_kwargs(df, geom, bbox=None, mask=None, columns=None,
@@ -86,6 +89,8 @@ def read_file(spark, path, **kw):
         df = read_geojson(spark, path, **kw)
     elif ext in ("feather", "arrow", "ipc"):
         df = read_feather(spark, path, **kw)
+    elif ext == "kml":
+        df = read_kml(spark, path, **kw)
     else:
         raise ValueError(f"unsupported file extension: .{ext}")
     return _apply_read_kwargs(df, kw.get("geom", "geom"), **push)
@@ -127,7 +132,7 @@ def list_layers(path):
                  15: "Polygon"}
         return [(stem, names.get(stype, "Unknown"))]
     if ext in ("geojson", "json", "geojsonl", "ndjson", "parquet", "pq",
-               "feather", "arrow", "ipc"):
+               "feather", "arrow", "ipc", "kml"):
         return [(stem, "Unknown")]
     raise ValueError(f"unsupported file extension: .{ext}")
 
@@ -146,4 +151,6 @@ def to_file(df, path, **kw):
         return to_parquet(df, path, **kw)
     if ext in ("feather", "arrow", "ipc"):
         return to_feather(df, path, **kw)
+    if ext == "kml":
+        return to_kml(df, path, **kw)
     raise ValueError(f"unsupported file extension: .{ext}")

@@ -418,3 +418,50 @@ def test_geoarrow_native_roundtrip(spark):
     got3 = {r.id: r.w for r in
             back3.withColumn("w", st.as_text("geom")).collect()}
     assert got3[1] == "LINESTRING (1 1, 2 2, 3 3)"
+
+
+def test_kml_roundtrip(spark, tmp_path):
+    from geopandas_spark.io import read_kml, to_kml
+    df = spark.createDataFrame(
+        [(1, "alpha", "POINT Z (10 20 5)"),
+         (2, "b <&> c", "LINESTRING (0 0, 1 1, 2 0)"),
+         (3, None, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                   "(1 1, 2 1, 2 2, 1 2, 1 1))"),
+         (4, "delta", "MULTIPOINT ((1 1), (2 2))"),
+         (5, "eps", "GEOMETRYCOLLECTION (POINT (1 2), "
+                    "LINESTRING (0 0, 5 0))")],
+        ["fid", "name", "wkt"]) \
+        .withColumn("geom", st.geom_from_text("wkt")).drop("wkt")
+    p = str(tmp_path / "rt.kml")
+    to_kml(df, p, document_name="doc")
+    back = read_kml(spark, p)
+    rows = {int(r.fid): r for r in back.withColumn(
+        "w", st.as_text("geom")).collect()}
+    assert rows[1].w == "POINT Z (10 20 5)"
+    assert rows[2].name == "b <&> c"   # XML escaping round-trips
+    assert rows[3].w.startswith("POLYGON ((0 0, 4 0")
+    assert "(1 1, 2 1" in rows[3].w    # hole preserved
+    assert rows[4].w == "MULTIPOINT ((1 1), (2 2))"
+    assert rows[5].w == ("GEOMETRYCOLLECTION (POINT (1 2), "
+                         "LINESTRING (0 0, 5 0))")
+
+
+def test_kml_read_foreign_file(spark, tmp_path):
+    # a hand-written (non-engine) KML with namespace + SchemaData
+    p = tmp_path / "ext.kml"
+    p.write_text("""<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+ <Placemark><name>pt</name>
+  <ExtendedData><SchemaData schemaUrl="#s">
+   <SimpleData name="pop">1234</SimpleData></SchemaData></ExtendedData>
+  <Point><coordinates>4.9,52.4</coordinates></Point>
+ </Placemark>
+ <Placemark><name>nogeom</name></Placemark>
+</Document></kml>""")
+    from geopandas_spark.io import read_kml
+    back = read_kml(spark, str(p))
+    rows = {r.name: r for r in back.withColumn(
+        "w", st.as_text("geom")).collect()}
+    assert rows["pt"].w == "POINT (4.9 52.4)"
+    assert rows["pt"].pop == "1234"
+    assert rows["nogeom"].w is None or rows["nogeom"]["geom"] is None
