@@ -216,9 +216,29 @@ def _refine_pairs(lga, rga, li, rj, predicate, distance):
     return ok
 
 
+def _ensure_parallelism(df, min_rows: int = 100_000):
+    """Thin inputs (fewer scan splits than cores — e.g. a handful of
+    parquet files) leave most of the cluster idle through a probe UDF; one
+    round-robin repartition fixes the fan-out. Gated on the free plan-stats
+    row estimate: small frames skip it (the exchange + planning overhead
+    outweighs the probe work), and real cluster-scale datasets already
+    arrive with ≥ defaultParallelism splits, so the shuffle only ever
+    triggers for the awkward middle — big rows, few files."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if not _right_exceeds(df, min_rows):
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(cores) if n < cores else df
+
+
 def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
                      distance, on_attribute, lsuffix, rsuffix):
     spark = left.sparkSession
+    left = _ensure_parallelism(left)
     ridx_col, lidx_col = "__sjoin_ridx__", "__sjoin_lidx__"
     # ONE collect serves both the task closure (geometry probe set) and the
     # indexed attach frame — no zipWithIndex scan
@@ -543,6 +563,7 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                                    max_distance, distance_col, exclusive)
     ridx_col = "__snj_ridx__"
     dcol = distance_col or "__snj_dist__"
+    left = _ensure_parallelism(left)
     full_right_rows = right.collect()
     _gpos = right.columns.index(geom_right)
     rga = wkb.decode([r[_gpos] for r in full_right_rows])
@@ -571,12 +592,19 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                 # applied only to the per-row minima: sqrt(min(dx²+dy²))
                 # is bit-identical to min(sqrt(dx²+dy²)) (monotone), which
                 # matches the plain-SQL distance formula bit-for-bit
-                # (np.hypot does not).
-                for s0 in range(0, len(lc), 512):
-                    blk = lc[s0:s0 + 512]
-                    dx = blk[:, None, 0] - rc[None, :, 0]
+                # (np.hypot does not). The two (chunk × right) buffers are
+                # preallocated once — per-chunk np.empty churned ~36 GB of
+                # allocations over a 150k × 10k input.
+                cs = 512
+                bufx = np.empty((min(cs, len(lc)), len(rc)))
+                bufy = np.empty_like(bufx)
+                for s0 in range(0, len(lc), cs):
+                    blk = lc[s0:s0 + cs]
+                    dx = bufx[:len(blk)]
+                    dy = bufy[:len(blk)]
+                    np.subtract(blk[:, None, 0], rc[None, :, 0], out=dx)
                     dx *= dx
-                    dy = blk[:, None, 1] - rc[None, :, 1]
+                    np.subtract(blk[:, None, 1], rc[None, :, 1], out=dy)
                     dy *= dy
                     dx += dy
                     d2 = dx
