@@ -224,6 +224,8 @@ def _ensure_parallelism(df, min_rows: int = 100_000):
     outweighs the probe work), and real cluster-scale datasets already
     arrive with ≥ defaultParallelism splits, so the shuffle only ever
     triggers for the awkward middle — big rows, few files."""
+    if df.isStreaming:   # no stats/rdd probes on streaming plans
+        return df
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if not _right_exceeds(df, min_rows):
