@@ -3177,6 +3177,41 @@ FROM m
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (pipeline/pack.py): documents
+    in doc_id order fill fixed-budget training sequences. The Spark side
+    computes the global prefix sum DISTRIBUTED (range shuffle +
+    per-partition totals — no single-reducer window); the twin is the
+    equivalent single-node window cumsum."""
+    from geopandas_spark.pipeline import pack_sequences
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_sequences(d, budget=512)
+    return out.select(F.col("doc_id").alias("id"), "n_tokens",
+                      "tok_start", "seq_first", "seq_last", "n_seqs")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+         AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id AS id, n_tokens, tok_start,
+       CAST(FLOOR(tok_start / 512.0) AS BIGINT) AS seq_first,
+       CAST(FLOOR((tok_start + GREATEST(n_tokens, 1) - 1) / 512.0)
+            AS BIGINT) AS seq_last,
+       CAST(FLOOR((tok_start + GREATEST(n_tokens, 1) - 1) / 512.0)
+            - FLOOR(tok_start / 512.0) + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """LSH candidate pairs → connected components → duplicate clusters
     (pipeline/dedup.py connected_components: iterative min-label
@@ -3337,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_mixed": q_overlay_mixed,
         "affine3d": q_affine3d,
         "dedup_components": q_dedup_components,
+        "pack_sequences": q_pack_sequences,
         "repetition": q_repetition,
         "url_ops": q_url_ops,
         "overlay_identity": q_overlay_identity,
@@ -3454,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_mixed": SQL_OVERLAY_MIXED,
         "affine3d": SQL_AFFINE3D,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "repetition": SQL_REPETITION,
         "url_ops": SQL_URL_OPS,
         "overlay_identity": SQL_OVERLAY_IDENTITY,

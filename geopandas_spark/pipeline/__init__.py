@@ -21,6 +21,9 @@ from geopandas_spark.pipeline.text import (  # noqa: F401
 from geopandas_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_bucket_topk,
 )
+from geopandas_spark.pipeline.pack import (  # noqa: F401
+    distributed_cumsum, pack_sequences,
+)
 from geopandas_spark.pipeline.multimodal import (  # noqa: F401
     decode_images, extract_image_features,
 )

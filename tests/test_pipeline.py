@@ -278,3 +278,24 @@ def test_url_ops(spark):
     kept = sorted(r.id for r in
                   filter_blocked_domains(df, "url", ["spam.net"]).collect())
     assert kept == [1, 3]
+
+
+def test_distributed_cumsum_and_packing(spark):
+    from geopandas_spark.pipeline import distributed_cumsum, pack_sequences
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = distributed_cumsum(
+        df.withColumn("n", F.length("text")), "doc_id", "n")
+    got = {r.doc_id: r.cumsum for r in out.collect()}
+    exp, acc = {}, 0
+    for i in range(100):
+        exp[i] = acc
+        acc += len("w " * (i % 7 + 1))
+    assert got == exp
+    # packing: sequences tile the stream; spans consistent
+    p = {r.doc_id: r for r in pack_sequences(df, budget=16).collect()}
+    assert p[0].tok_start == 0 and p[0].seq_first == 0
+    for i in range(1, 100):
+        assert p[i].tok_start == p[i - 1].tok_start + p[i - 1].n_tokens
+        assert p[i].seq_first == p[i].tok_start // 16
+        assert p[i].n_seqs == p[i].seq_last - p[i].seq_first + 1
