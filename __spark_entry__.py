@@ -2517,6 +2517,24 @@ def q_rt_kml(spark, sf_dir):
                        st.x("geom").alias("x"), st.y("geom").alias("y"))
 
 
+def q_rt_gml(spark, sf_dir):
+    """GML round trip (io/gml.py — clean-room stdlib XML GML 3.2/2
+    driver; reference reads/writes GML through OGR). Feature-property
+    elements are untyped text, hence the casts."""
+    import tempfile
+    from geopandas_spark import io as gio
+    c = (_cust(spark, sf_dir)
+         .select("c_custkey", F.col("c_acctbal").cast("double")
+                 .alias("bal"), "geom"))
+    d = tempfile.mkdtemp(prefix="gs_gml_")
+    path = os.path.join(d, "rt.gml")
+    gio.to_file(c, path, geom="geom")
+    back = gio.read_file(spark, path, geom="geom")
+    return back.select(F.col("c_custkey").cast("long").alias("id"),
+                       F.round(F.col("bal").cast("double"), 2).alias("bal"),
+                       st.x("geom").alias("x"), st.y("geom").alias("y"))
+
+
 def q_read_pushdown(spark, sf_dir):
     """read_file pushdown kwargs (reference geopandas/io/file.py:197-339):
     ``bbox=`` (envelope prefilter as native range predicates) and
@@ -3366,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_geojsonseq": q_rt_geojsonseq,
         "rt_feather": q_rt_feather,
         "rt_kml": q_rt_kml,
+        "rt_gml": q_rt_gml,
         "read_pushdown": q_read_pushdown,
         "list_layers": q_list_layers,
         "overlay_union": q_overlay_union,
@@ -3484,6 +3503,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_geojsonseq": _SQL_RT,
         "rt_feather": _SQL_RT,
         "rt_kml": _SQL_RT,
+        "rt_gml": _SQL_RT,
         "read_pushdown": SQL_READ_PUSHDOWN,
         "list_layers": SQL_LIST_LAYERS,
         "overlay_union": SQL_OVERLAY_UNION,

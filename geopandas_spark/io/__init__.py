@@ -25,6 +25,9 @@ from geopandas_spark.io.gpkg import (  # noqa: F401
 from geopandas_spark.io.kml import (  # noqa: F401
     read_kml, to_kml,
 )
+from geopandas_spark.io.gml import (  # noqa: F401
+    read_gml, to_gml,
+)
 
 
 def _apply_read_kwargs(df, geom, bbox=None, mask=None, columns=None,
@@ -91,6 +94,8 @@ def read_file(spark, path, **kw):
         df = read_feather(spark, path, **kw)
     elif ext == "kml":
         df = read_kml(spark, path, **kw)
+    elif ext == "gml":
+        df = read_gml(spark, path, **kw)
     else:
         raise ValueError(f"unsupported file extension: .{ext}")
     return _apply_read_kwargs(df, kw.get("geom", "geom"), **push)
@@ -132,7 +137,7 @@ def list_layers(path):
                  15: "Polygon"}
         return [(stem, names.get(stype, "Unknown"))]
     if ext in ("geojson", "json", "geojsonl", "ndjson", "parquet", "pq",
-               "feather", "arrow", "ipc", "kml"):
+               "feather", "arrow", "ipc", "kml", "gml"):
         return [(stem, "Unknown")]
     raise ValueError(f"unsupported file extension: .{ext}")
 
@@ -153,4 +158,6 @@ def to_file(df, path, **kw):
         return to_feather(df, path, **kw)
     if ext == "kml":
         return to_kml(df, path, **kw)
+    if ext == "gml":
+        return to_gml(df, path, **kw)
     raise ValueError(f"unsupported file extension: .{ext}")

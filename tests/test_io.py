@@ -465,3 +465,53 @@ def test_kml_read_foreign_file(spark, tmp_path):
     assert rows["pt"].w == "POINT (4.9 52.4)"
     assert rows["pt"].pop == "1234"
     assert rows["nogeom"].w is None or rows["nogeom"]["geom"] is None
+
+
+def test_gml_roundtrip(spark, tmp_path):
+    from geopandas_spark.io import read_gml, to_gml
+    df = spark.createDataFrame(
+        [(1, "alpha", "POINT (10 20)"),
+         (2, "beta", "LINESTRING (0 0, 1 1, 2 0)"),
+         (3, "gamma", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                      "(1 1, 2 1, 2 2, 1 2, 1 1))"),
+         (4, "delta", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+                      "((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+         (5, "eps", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")],
+        ["fid", "name", "wkt"]) \
+        .withColumn("geom", st.geom_from_text("wkt")).drop("wkt")
+    p = str(tmp_path / "rt.gml")
+    to_gml(df, p)
+    back = read_gml(spark, p)
+    rows = {int(r.fid): r for r in back.withColumn(
+        "w", st.as_text("geom")).collect()}
+    assert rows[1].w == "POINT (10 20)"
+    assert rows[3].w == ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                         "(1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert rows[4].w.startswith("MULTIPOLYGON")
+    assert rows[5].w == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"
+
+
+def test_gml_read_foreign_wfs_style(spark, tmp_path):
+    # hand-written GML 2-flavored file (coordinates + outerBoundaryIs)
+    p = tmp_path / "wfs.gml"
+    p.write_text("""<?xml version="1.0"?>
+<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs"
+  xmlns:gml="http://www.opengis.net/gml" xmlns:ns="http://x">
+ <gml:featureMember><ns:road>
+   <ns:rid>7</ns:rid>
+   <ns:geometry><gml:Polygon><gml:outerBoundaryIs><gml:LinearRing>
+     <gml:coordinates>0,0 2,0 2,2 0,2 0,0</gml:coordinates>
+   </gml:LinearRing></gml:outerBoundaryIs></gml:Polygon></ns:geometry>
+ </ns:road></gml:featureMember>
+ <gml:featureMember><ns:road>
+   <ns:rid>8</ns:rid>
+   <ns:geometry><gml:Point>
+     <gml:pos srsDimension="3">1 2 9</gml:pos></gml:Point></ns:geometry>
+ </ns:road></gml:featureMember>
+</wfs:FeatureCollection>""")
+    from geopandas_spark.io import read_gml
+    back = read_gml(spark, str(p))
+    rows = {int(r.rid): r for r in back.withColumn(
+        "w", st.as_text("geom")).collect()}
+    assert rows[7].w == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert rows[8].w == "POINT Z (1 2 9)"
