@@ -79,6 +79,10 @@ def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
         try:
             best = None
             for _ in range(runs):
+                try:     # settle heap from the previous query so each
+                    spark._jvm.System.gc()   # measurement stands alone
+                except Exception:
+                    pass
                 df = fn(spark, sf_dir)
                 t0 = time.time()
                 df.count()
