@@ -302,6 +302,56 @@ class GeoFrame:
             obj["bbox"] = tuple(self.total_bounds())
         return _json.dumps(obj, **kw)
 
+    def to_geo_dict(self, na: str = "null", show_bbox: bool = False,
+                    drop_id: bool = False) -> dict:
+        """FeatureCollection as a Python dict (reference
+        geodataframe.py:1278-1343 to_geo_dict) — to_json without the
+        serialization."""
+        obj = {"type": "FeatureCollection",
+               "features": list(self.iterfeatures(
+                   na=na, show_bbox=show_bbox, drop_id=drop_id))}
+        if show_bbox:
+            obj["bbox"] = tuple(self.total_bounds())
+        return obj
+
+    def plot(self, *args, limit: int = 10000, **kw):
+        """Matplotlib plot of (up to ``limit``) geometries (reference
+        geopandas/plotting.py:488-1404). Requires matplotlib — not
+        installed in every environment; the data path (bounded collect of
+        GeoJSON coordinate arrays) works wherever it is."""
+        try:
+            import matplotlib.pyplot as plt  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "GeoFrame.plot requires matplotlib (`pip install "
+                "matplotlib`). For headless pipelines export instead: "
+                "to_file(...), to_json(), or __geo_interface__.") from e
+        import json as _json
+
+        ax = kw.pop("ax", None) or plt.gca()
+        rows = (self.df.select(st.as_geojson(self.geometry).alias("g"))
+                .limit(limit).collect())
+        for r in rows:
+            if r["g"] is None:
+                continue
+            gj = _json.loads(r["g"])
+            for t, cs in _geojson_paths(gj):
+                xs = [c[0] for c in cs]
+                ys = [c[1] for c in cs]
+                if t == "point":
+                    ax.plot(xs, ys, marker="o", linestyle="", **kw)
+                else:
+                    ax.plot(xs, ys, **kw)
+        return ax
+
+    def explore(self, *args, **kw):
+        """Interactive folium map (reference geopandas/explore.py:34) —
+        requires folium; not installed here."""
+        raise ImportError(
+            "GeoFrame.explore requires folium/branca (not installed). "
+            "Use plot() with matplotlib, or export GeoJSON via to_json() "
+            "and view it in any web map.")
+
     # -- I/O -----------------------------------------------------------------
 
     def to_parquet(self, path: str, **kw):
@@ -380,3 +430,29 @@ def concat(frames) -> GeoFrame:
     crs = ({g: frames[0].crs} if frames[0].crs
            else ({g: next(iter(crss))} if crss else {}))
     return GeoFrame(out, geometry=g, crs=crs)
+
+
+def _geojson_paths(gj):
+    """GeoJSON geometry dict → iterable of ("point"|"path", coord list)
+    drawable segments (rings/lines flattened; collections recursed)."""
+    t = gj.get("type")
+    c = gj.get("coordinates")
+    if t == "Point":
+        yield "point", [c]
+    elif t == "MultiPoint":
+        yield "point", c
+    elif t == "LineString":
+        yield "path", c
+    elif t == "MultiLineString":
+        for line in c:
+            yield "path", line
+    elif t == "Polygon":
+        for ring in c:
+            yield "path", ring
+    elif t == "MultiPolygon":
+        for poly in c:
+            for ring in poly:
+                yield "path", ring
+    elif t == "GeometryCollection":
+        for g in gj.get("geometries", []):
+            yield from _geojson_paths(g)
