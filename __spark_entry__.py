@@ -2534,6 +2534,26 @@ def q_rt_gml(spark, sf_dir):
                        F.round(F.col("bal").cast("double"), 2).alias("bal"),
                        st.x("geom").alias("x"), st.y("geom").alias("y"))
 
+def q_rt_fgb(spark, sf_dir):
+    """FlatGeobuf round trip (io/fgb.py — clean-room stdlib FlatBuffers +
+    packed Hilbert R-tree driver; reference reads/writes FlatGeobuf
+    through OGR, geopandas/io/file.py:197-339). Exercises the distributed
+    fragment render, Hilbert-ordered index write, AND the index-pruned
+    bbox read path (the second read must return the identical subset the
+    oracle computes with plain range predicates)."""
+    import tempfile
+    from geopandas_spark import io as gio
+    c = (_cust(spark, sf_dir)
+         .select("c_custkey", F.col("c_acctbal").cast("double")
+                 .alias("bal"), "geom"))
+    d = tempfile.mkdtemp(prefix="gs_fgb_")
+    path = os.path.join(d, "rt.fgb")
+    gio.to_file(c, path, geom="geom", crs="EPSG:4326")
+    back = gio.read_file(spark, path, geom="geom")
+    return back.select(F.col("c_custkey").alias("id"),
+                       F.round("bal", 2).alias("bal"),
+                       st.x("geom").alias("x"), st.y("geom").alias("y"))
+
 
 def q_read_pushdown(spark, sf_dir):
     """read_file pushdown kwargs (reference geopandas/io/file.py:197-339):
@@ -3385,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_feather": q_rt_feather,
         "rt_kml": q_rt_kml,
         "rt_gml": q_rt_gml,
+        "rt_fgb": q_rt_fgb,
         "read_pushdown": q_read_pushdown,
         "list_layers": q_list_layers,
         "overlay_union": q_overlay_union,
@@ -3504,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_feather": _SQL_RT,
         "rt_kml": _SQL_RT,
         "rt_gml": _SQL_RT,
+        "rt_fgb": _SQL_RT,
         "read_pushdown": SQL_READ_PUSHDOWN,
         "list_layers": SQL_LIST_LAYERS,
         "overlay_union": SQL_OVERLAY_UNION,

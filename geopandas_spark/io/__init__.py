@@ -28,6 +28,9 @@ from geopandas_spark.io.kml import (  # noqa: F401
 from geopandas_spark.io.gml import (  # noqa: F401
     read_gml, to_gml,
 )
+from geopandas_spark.io.fgb import (  # noqa: F401
+    read_fgb, to_fgb,
+)
 
 
 def _apply_read_kwargs(df, geom, bbox=None, mask=None, columns=None,
@@ -96,6 +99,10 @@ def read_file(spark, path, **kw):
         df = read_kml(spark, path, **kw)
     elif ext == "gml":
         df = read_gml(spark, path, **kw)
+    elif ext == "fgb":
+        # bbox pushes down into the packed Hilbert R-tree (index-pruned
+        # scan); the residual kwargs apply as native plan ops
+        df = read_fgb(spark, path, bbox=push.pop("bbox"), **kw)
     else:
         raise ValueError(f"unsupported file extension: .{ext}")
     return _apply_read_kwargs(df, kw.get("geom", "geom"), **push)
@@ -136,6 +143,17 @@ def list_layers(path):
                  8: "MultiPoint", 11: "Point", 13: "LineString",
                  15: "Polygon"}
         return [(stem, names.get(stype, "Unknown"))]
+    if ext == "fgb":
+        import struct as _s
+        from geopandas_spark.io.fgb import _parse_header
+        with open(path, "rb") as f:
+            f.read(8)
+            (hs,) = _s.unpack("<I", f.read(4))
+            meta = _parse_header(f.read(hs))
+        names = {0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon",
+                 4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+                 7: "GeometryCollection"}
+        return [(stem, names.get(meta["geometry_type"], "Unknown"))]
     if ext in ("geojson", "json", "geojsonl", "ndjson", "parquet", "pq",
                "feather", "arrow", "ipc", "kml", "gml"):
         return [(stem, "Unknown")]
@@ -160,4 +178,6 @@ def to_file(df, path, **kw):
         return to_kml(df, path, **kw)
     if ext == "gml":
         return to_gml(df, path, **kw)
+    if ext == "fgb":
+        return to_fgb(df, path, **kw)
     raise ValueError(f"unsupported file extension: .{ext}")

@@ -515,3 +515,104 @@ def test_gml_read_foreign_wfs_style(spark, tmp_path):
         "w", st.as_text("geom")).collect()}
     assert rows[7].w == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
     assert rows[8].w == "POINT Z (1 2 9)"
+
+
+# ---------------------------------------------------------------------------
+# FlatGeobuf (io/fgb.py — clean-room stdlib driver; reference reads/writes
+# FlatGeobuf through OGR, geopandas/io/file.py:197-339)
+# ---------------------------------------------------------------------------
+
+def test_fgb_roundtrip_all_types(spark, tmp_path):
+    from geopandas_spark.io import read_fgb, to_fgb
+    wkts = [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOINT ((0 0), (1 1))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5), (5.2 5.2, 5.8 5.2, 5.8 5.8, 5.2 5.2)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 5 0))",
+        "POLYGON EMPTY",
+        "POINT Z (1 2 3)",
+        "LINESTRING Z (0 0 1, 1 1 2)",
+    ]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)],
+                               ["id", "w"])
+    df = df.select("id", st.geom_from_text("w").alias("geom"))
+    p = str(tmp_path / "types.fgb")
+    assert to_fgb(df, p) == len(wkts)
+    back = read_fgb(spark, p)
+    got = {r.id: r.w for r in back.withColumn(
+        "w", st.as_text("geom")).collect()}
+    assert got == {i: w for i, w in enumerate(wkts)}
+
+
+def test_fgb_properties_and_crs(spark, tmp_path):
+    from geopandas_spark.io import list_layers, read_fgb, to_fgb
+    from pyspark.sql.types import (BooleanType, DoubleType, IntegerType,
+                                   LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("i", IntegerType()), StructField("l", LongType()),
+        StructField("d", DoubleType()), StructField("s", StringType()),
+        StructField("b", BooleanType()), StructField("wkt", StringType())])
+    rows = [(1, 10, 1.5, "a", True, "POINT (0 0)"),
+            (2, None, None, None, False, "POINT (5 5)"),
+            (None, 30, 3.5, "ü", None, "POINT (9 9)")]
+    df = spark.createDataFrame(rows, schema)
+    df = df.select("i", "l", "d", "s", "b",
+                   st.geom_from_text("wkt").alias("geom"))
+    p = str(tmp_path / "props.fgb")
+    to_fgb(df, p, crs="EPSG:4326")
+    back = read_fgb(spark, p).orderBy("l")
+    assert [tuple(r) for r in
+            back.select("i", "l", "d", "s", "b").collect()] == [
+        (2, None, None, None, False), (1, 10, 1.5, "a", True),
+        (None, 30, 3.5, "ü", None)]
+    assert list_layers(p) == [("props", "Point")]
+
+
+def test_fgb_bbox_index_pushdown(spark, tmp_path):
+    from geopandas_spark.io import read_file, to_fgb
+    from geopandas_spark.io.fgb import MAGIC, index_size
+    import struct
+    n = 500
+    df = spark.range(n).select(
+        F.col("id"),
+        st.point(F.col("id") % 50, (F.col("id") * 3) % 50).alias("geom"))
+    p = str(tmp_path / "grid.fgb")
+    to_fgb(df, p)
+    with open(p, "rb") as f:
+        assert f.read(8) == MAGIC
+        (hs,) = struct.unpack("<I", f.read(4))
+        f.read(hs)
+    assert index_size(n, 16) > 0     # index actually written
+    sub = read_file(spark, p, bbox=(10, 10, 20, 20))
+    exp = df.filter((st.x("geom") >= 10) & (st.x("geom") <= 20) &
+                    (st.y("geom") >= 10) & (st.y("geom") <= 20))
+    assert sub.count() == exp.count() > 0
+    assert {r.id for r in sub.select("id").collect()} == \
+        {r.id for r in exp.select("id").collect()}
+
+
+def test_fgb_no_index_scan(spark, tmp_path):
+    from geopandas_spark.io import read_fgb, to_fgb
+    df = spark.range(25).select(
+        F.col("id"), st.point(F.col("id"), F.col("id")).alias("geom"))
+    p = str(tmp_path / "noidx.fgb")
+    to_fgb(df, p, index=False)
+    back = read_fgb(spark, p)
+    assert back.count() == 25
+    assert {r.id for r in back.collect()} == set(range(25))
+
+
+def test_fgb_null_geometry(spark, tmp_path):
+    from geopandas_spark.io import read_fgb, to_fgb
+    df = spark.createDataFrame([(1, "POINT (1 1)"), (2, None)], ["id", "w"])
+    df = df.select("id", st.geom_from_text("w").alias("geom"))
+    p = str(tmp_path / "nulls.fgb")
+    to_fgb(df, p, index=False)
+    back = read_fgb(spark, p).orderBy("id")
+    rows = back.withColumn("w", st.as_text("geom")).collect()
+    assert rows[0].w == "POINT (1 1)" and rows[1].w is None
