@@ -3336,6 +3336,50 @@ SELECT doc_id AS id,
 FROM g
 """
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-overlap decontamination (pipeline/text.py contamination /
+    decontaminate): per-document count of distinct 8-gram collisions with
+    a held-out "benchmark" subset (doc_id % 97 == 0 stands in for the eval
+    set), plus the decontaminate() survivor count cross-check. n=3 here
+    (the operator default is 8): the synthetic word-salad fixtures share
+    no 8-grams, and a zero-row oracle would not exercise the join. Both sides
+    join on md5(gram) so the shuffle key is skew-free; the benchmark side
+    broadcasts."""
+    from geopandas_spark.pipeline import contamination, decontaminate
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    c = contamination(corpus, bench, n=3)
+    hit = (c.filter(F.col("n_contaminated") > 0)
+            .select(F.col("doc_id").alias("id"),
+                    F.col("n_contaminated").cast("long")
+                     .alias("n_contaminated")))
+    n_clean = decontaminate(corpus, bench, n=3).count()
+    n_corpus = corpus.count()
+    assert n_clean == n_corpus - hit.count(), (n_clean, n_corpus)
+    return hit
+
+
+SQL_DECONTAMINATE = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         UNNEST([md5(array_to_string(t[i:i+2], ' '))
+                 FOR i IN range(1, len(t) - 1)]) AS gh
+  FROM tok WHERE len(t) >= 3
+), bench AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0
+), docg AS (
+  SELECT DISTINCT doc_id, gh FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT doc_id AS id, COUNT(*) AS n_contaminated
+FROM docg JOIN bench USING (gh)
+GROUP BY doc_id
+"""
+
 
 def q_url_ops(spark, sf_dir):
     """URL normalization + domain extraction for web-corpus dedup and
@@ -3414,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "pack_sequences": q_pack_sequences,
         "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
         "url_ops": q_url_ops,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
@@ -3534,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "repetition": SQL_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
         "url_ops": SQL_URL_OPS,
         "overlay_identity": SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,

@@ -16,7 +16,8 @@ from geopandas_spark.pipeline.dedup import (  # noqa: F401
 from geopandas_spark.pipeline.text import (  # noqa: F401
     add_text_stats, quality_score, language_id, fingerprint, token_count,
     pii_scrub, gopher_rules, train_split, repetition_stats, normalize_url,
-    url_domain, filter_blocked_domains,
+    url_domain, filter_blocked_domains, word_ngrams, contamination,
+    decontaminate,
 )
 from geopandas_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_bucket_topk,

@@ -6,6 +6,8 @@ DuckDB-SQL oracle twins."""
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -243,3 +245,77 @@ def train_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn(
         "split", F.when(bucket < val_pct, F.lit("val"))
                   .otherwise(F.lit("train")))
+
+
+def word_ngrams(text_col, n: int = 8) -> Column:
+    """Lower-cased whitespace word n-grams as an array<string> column —
+    pure codegen (split + sequence + transform + slice), no Python.
+    Documents shorter than n tokens yield an empty array (guarded:
+    Spark's sequence() would otherwise produce a descending range)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def contamination(df: DataFrame, bench_df: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: Optional[str] = None,
+                  n: int = 8) -> DataFrame:
+    """Benchmark-overlap (decontamination) scan: per-document count of
+    distinct word n-grams shared with an evaluation/benchmark corpus —
+    the published n-gram-collision decontamination method used by large
+    LM training pipelines (13-gram in GPT-3's appendix; n is a knob).
+
+    Scale design (100 TB corpus × small benchmark set):
+    - n-gram generation is whole-stage codegen (no UDF);
+    - both sides join on md5(ngram) — a uniform 128-bit key, so the
+      shuffle has no linguistic skew (common phrases hash apart) and
+      equality on the hash equals equality on the gram;
+    - the benchmark side is distinct-ed and typically tiny → Catalyst/AQE
+      broadcasts it, so the corpus never shuffles at all;
+    - per-doc distinct() bounds the explode before the join.
+
+    Returns df + ``n_contaminated`` (0 for clean docs).
+    """
+    bt = bench_text_col or text_col
+    bench_grams = (bench_df
+                   .select(F.explode(word_ngrams(bt, n)).alias("g"))
+                   .select(F.md5("g").alias("__gh__")).distinct())
+    doc_grams = (df.select(F.col(id_col),
+                           F.explode(word_ngrams(text_col, n)).alias("g"))
+                 .select(id_col, F.md5("g").alias("__gh__")).distinct())
+    hits = (doc_grams.join(bench_grams, "__gh__")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated")))
+    return (df.join(hits, id_col, "left")
+              .withColumn("n_contaminated",
+                          F.coalesce("n_contaminated", F.lit(0))))
+
+
+def decontaminate(df: DataFrame, bench_df: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: Optional[str] = None, n: int = 8,
+                  max_matches: int = 0) -> DataFrame:
+    """Drop documents sharing more than ``max_matches`` distinct word
+    n-grams with the benchmark corpus (see ``contamination``). With the
+    default max_matches=0 this is a left-anti join on the hit set — the
+    cheapest possible plan (no count aggregation needed)."""
+    bt = bench_text_col or text_col
+    if max_matches == 0:
+        bench_grams = (bench_df
+                       .select(F.explode(word_ngrams(bt, n)).alias("g"))
+                       .select(F.md5("g").alias("__gh__")).distinct())
+        dirty = (df.select(F.col(id_col),
+                           F.explode(word_ngrams(text_col, n)).alias("g"))
+                 .select(id_col, F.md5("g").alias("__gh__"))
+                 .join(bench_grams, "__gh__")
+                 .select(id_col).distinct())
+        return df.join(dirty, id_col, "left_anti")
+    c = contamination(df, bench_df, text_col=text_col, id_col=id_col,
+                      bench_text_col=bench_text_col, n=n)
+    return (c.filter(F.col("n_contaminated") <= max_matches)
+             .drop("n_contaminated"))

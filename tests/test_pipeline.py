@@ -299,3 +299,35 @@ def test_distributed_cumsum_and_packing(spark):
         assert p[i].tok_start == p[i - 1].tok_start + p[i - 1].n_tokens
         assert p[i].seq_first == p[i].tok_start // 16
         assert p[i].n_seqs == p[i].seq_last - p[i].seq_first + 1
+
+
+def test_word_ngrams_and_decontaminate(spark):
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.pipeline import (contamination, decontaminate,
+                                          word_ngrams)
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different sentence with no overlap at all"),
+        (3, "short text"),                       # < n tokens
+        (4, "quick brown fox appears here too today"),
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")], ["doc_id", "text"])
+
+    # n-gram generation: counts and the short-doc guard
+    g = docs.select("doc_id", F.size(word_ngrams("text", 3)).alias("k")) \
+            .orderBy("doc_id").collect()
+    assert [r.k for r in g] == [7, 7, 0, 5]
+
+    c = contamination(docs, bench, n=3).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r.n_contaminated for r in c}
+    # shared 3-grams with bench: "the quick brown", "quick brown fox"
+    assert by_id[1] == 2 and by_id[4] == 1
+    assert by_id[2] == 0 and by_id[3] == 0
+
+    clean = decontaminate(docs, bench, n=3)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {2, 3}
+    # threshold: allow up to 1 shared gram
+    loose = decontaminate(docs, bench, n=3, max_matches=1)
+    assert {r.doc_id for r in loose.select("doc_id").collect()} == {2, 3, 4}
