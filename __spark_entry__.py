@@ -363,6 +363,18 @@ SELECT d.cid, d.sid, d.dist
 FROM d JOIN m ON d.cid = m.cid AND d.dist = m.mind
 """
 
+def q_sjoin_nearest_xr(spark, sf_dir):
+    """Unbounded large×large nearest: exact expanding-radius rounds over
+    the grid dwithin argmin (operators/sjoin.py
+    _sjoin_nearest_grid_expanding) — no max_distance, no collected side;
+    matched rows leave the loop, the rest retry at 4r up to the combined
+    bounds diagonal. Must equal the full-cross argmin oracle exactly."""
+    cust = _cust(spark, sf_dir)
+    supp = _supp(spark, sf_dir).select("s_suppkey", "geom")
+    j = sjoin_nearest(cust, supp, distance_col="dist", strategy="grid")
+    return j.select(F.col("c_custkey").alias("cid"),
+                    F.col("s_suppkey").alias("sid"), F.col("dist"))
+
 
 def q_sjoin_nearest_grid(spark, sf_dir):
     """Large x large nearest path: grid dwithin candidates + distributed
@@ -3496,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "sjoin_nearest_xr": q_sjoin_nearest_xr,
         "dissolve": q_dissolve,
         "union_boxes": q_union_boxes,
         "union_overlap": q_union_overlap,
@@ -3617,6 +3630,7 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_grid": SQL_SJOIN_GRID,
         "sjoin_nearest": SQL_SJOIN_NEAREST,
         "sjoin_nearest_grid": SQL_SJOIN_NEAREST_GRID,
+        "sjoin_nearest_xr": SQL_SJOIN_NEAREST,
         "dissolve": SQL_DISSOLVE,
         "union_boxes": SQL_UNION_BOXES,
         "union_overlap": SQL_UNION_OVERLAP,

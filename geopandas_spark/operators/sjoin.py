@@ -558,9 +558,9 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
         raise ValueError("sjoin_nearest supports how = inner|left")
     if strategy == "grid":
         if max_distance is None:
-            raise ValueError("strategy='grid' requires max_distance "
-                             "(unbounded nearest does not distribute; the "
-                             "reference warns likewise)")
+            return _sjoin_nearest_grid_expanding(
+                left, right, geom_left, geom_right, how, distance_col,
+                exclusive)
         return _sjoin_nearest_grid(left, right, geom_left, geom_right, how,
                                    max_distance, distance_col, exclusive)
     ridx_col = "__snj_ridx__"
@@ -738,6 +738,84 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
     if distance_col is None:
         res = res.drop(dcol)
     return res
+
+
+def _sjoin_nearest_grid_expanding(left, right, geom_left, geom_right, how,
+                                  distance_col, exclusive):
+    """Unbounded large×large nearest: exact expanding-radius rounds.
+
+    The reference's STRtree ``query_nearest`` has no distributed analogue
+    without a distance bound (it warns to set one,
+    geopandas/sindex.py:399-400). This closes the gap exactly: run the
+    bounded grid nearest at radius r; any left row with >=1 candidate
+    within r has its TRUE global nearest within r, so its round-r argmin
+    is final — matched rows leave the loop, the rest retry at 4r, capped
+    at the diagonal of the two sides' combined bounds (an upper bound on
+    any nearest distance), so the loop is O(log(diag/r0)) rounds.
+
+    Scale shape: every round is the grid dwithin equi-join + window argmin
+    over only the still-unmatched lefts (shrinks geometrically; r0 is set
+    near the expected nearest-neighbor spacing diag/sqrt(|R|) so round 1
+    resolves the bulk). Nothing is ever collected; per-round state is
+    bounded by the distance ball like the bounded path."""
+    import math
+
+    from geopandas_spark.functions import st
+
+    dcol = distance_col or "__xnn_dist__"
+
+    def _tb(df, g):
+        return df.select(st.bounds(g).alias("b")).agg(
+            F.min("b.xmin").alias("x0"), F.min("b.ymin").alias("y0"),
+            F.max("b.xmax").alias("x1"), F.max("b.ymax").alias("y1"),
+        ).collect()[0]
+
+    lb, rb = _tb(left, geom_left), _tb(right, geom_right)
+    if rb["x0"] is None or lb["x0"] is None:
+        # one side empty/all-null: the bounded path handles the how= cases
+        return _sjoin_nearest_grid(left, right, geom_left, geom_right, how,
+                                   1.0, distance_col, exclusive)
+    diag = math.hypot(max(lb["x1"], rb["x1"]) - min(lb["x0"], rb["x0"]),
+                      max(lb["y1"], rb["y1"]) - min(lb["y0"], rb["y0"]))
+    if diag <= 0:
+        diag = 1.0
+    cap = diag * 1.001            # >= any nearest distance (+ float slack)
+    n_right = right.count()
+    r = max(2.0 * diag / math.sqrt(max(n_right, 1)), cap / 2 ** 24)
+
+    lid = "__xnn_id__"
+    lw = left.withColumn(lid, F.monotonically_increasing_id())
+    # pin the nondeterministic ids before branching the plan
+    lw = lw.persist()
+    lw.count()
+
+    overlap = set(left.columns) & set(right.columns)
+    remaining = lw
+    rounds = []
+    while True:
+        m = _sjoin_nearest_grid(remaining, right, geom_left, geom_right,
+                                "inner", r, dcol if distance_col is None
+                                else distance_col, exclusive)
+        m = m.persist()
+        rounds.append(m)
+        remaining = remaining.join(m.select(lid).distinct(), on=lid,
+                                   how="left_anti").persist()
+        if r >= cap or remaining.isEmpty():
+            break
+        r = min(r * 4.0, cap)
+
+    out = rounds[0]
+    for m in rounds[1:]:
+        out = out.unionByName(m)
+    if how == "left":
+        lmiss = remaining
+        for c in overlap:
+            lmiss = lmiss.withColumnRenamed(c, f"{c}_left")
+        out = out.unionByName(lmiss, allowMissingColumns=True)
+    out = out.drop(lid)
+    if distance_col is None:
+        out = out.drop(dcol)
+    return out
 
 
 def _sjoin_nearest_grid(left, right, geom_left, geom_right, how,

@@ -336,3 +336,30 @@ def test_geocode_roundtrip_stub(spark):
     vals = {(r.x, r.y) for r in fixed.filter(F.col("geom").isNotNull())
             .select(st.x("geom").alias("x"), st.y("geom").alias("y")).collect()}
     assert vals == {(1.0, 2.0)}
+
+
+def test_sjoin_nearest_grid_unbounded(spark):
+    """Expanding-radius unbounded nearest must equal the broadcast path
+    (the reference's single-STRtree shape) on every pair + distance."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators.sjoin import sjoin_nearest
+    left = spark.range(200).select(
+        F.col("id").alias("lid"),
+        st.point(F.col("id") % 23, (F.col("id") * 13) % 29).alias("geom"))
+    right = spark.range(40).select(
+        F.col("id").alias("rid"),
+        st.point((F.col("id") * 5) % 23, (F.col("id") * 3) % 29).alias("geom"))
+    a = sjoin_nearest(left, right, distance_col="d", strategy="broadcast")
+    b = sjoin_nearest(left, right, distance_col="d", strategy="grid")
+    ka = {(r.lid, r.rid, round(r.d, 9)) for r in a.collect()}
+    kb = {(r.lid, r.rid, round(r.d, 9)) for r in b.collect()}
+    assert ka == kb and len(kb) >= 200
+
+    # how=left with an empty right side: all lefts survive unmatched
+    empty = right.filter(F.lit(False))
+    l = sjoin_nearest(left, empty, distance_col="d", strategy="grid",
+                      how="left")
+    assert l.count() == 200
+    assert l.filter(F.col("rid").isNotNull()).count() == 0
