@@ -22,7 +22,7 @@ Public surface:
 
 from geopandas_spark.functions import st, register_sql  # noqa: F401
 from geopandas_spark.frame import (  # noqa: F401
-    GeoFrame, concat, read_file,
+    GeoFrame, concat, from_features, read_file,
 )
 
 __version__ = "0.1.0"

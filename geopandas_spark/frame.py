@@ -375,6 +375,49 @@ class GeoFrame:
         from geopandas_spark.io import to_file as _tf
         return _tf(self.df, path, geom=self._geometry, **kw)
 
+    def sjoin_nearest(self, other: "GeoFrame | DataFrame",
+                      **kw) -> "GeoFrame":
+        """Method form of sjoin_nearest (reference GeoDataFrame
+        .sjoin_nearest, geopandas/geodataframe.py:2641)."""
+        from geopandas_spark.operators.sjoin import sjoin_nearest as _snj
+        odf = other.df if isinstance(other, GeoFrame) else other
+        ogeom = (other.active_geometry_name
+                 if isinstance(other, GeoFrame)
+                 else kw.pop("geom_right", "geom"))
+        out = _snj(self.df, odf, geom_left=self._geometry,
+                   geom_right=ogeom, **kw)
+        gname = (self._geometry if self._geometry in out.columns
+                 else f"{self._geometry}_left")
+        return GeoFrame(out, geometry=gname, crs=self._crs)
+
+    def to_wkt(self, **kw) -> DataFrame:
+        """All geometry columns → WKT strings (reference GeoDataFrame
+        .to_wkt, geopandas/geodataframe.py:1299). Returns a plain
+        DataFrame — geometry typing is gone by definition."""
+        from geopandas_spark.functions import st as _st
+        out = self.df
+        for c in self._geom_columns():
+            out = out.withColumn(c, _st.as_text(c))
+        return out
+
+    def to_wkb(self, hex: bool = False) -> DataFrame:
+        """All geometry columns as WKB (hex-encoded on request; reference
+        GeoDataFrame.to_wkb, geopandas/geodataframe.py:1277). The binary
+        columns already ARE WKB, so this is a no-op projection unless
+        hex=True."""
+        from pyspark.sql import functions as F
+        out = self.df
+        if hex:
+            for c in self._geom_columns():
+                out = out.withColumn(c, F.lower(F.hex(c)))
+        return out
+
+    def _geom_columns(self):
+        from pyspark.sql.types import BinaryType
+        cols = [f.name for f in self.df.schema.fields
+                if isinstance(f.dataType, BinaryType)]
+        return cols or [self._geometry]
+
     # -- plumbing ------------------------------------------------------------
 
     def __getattr__(self, item):
@@ -409,6 +452,41 @@ def read_file(spark, path, **kw) -> GeoFrame:
     from geopandas_spark.io import read_file as _rf
     gcol = kw.get("geom", "geom")
     return GeoFrame(_rf(spark, path, **kw), geometry=gcol)
+
+
+def from_features(spark, features, geometry: str = "geom",
+                  crs=None) -> GeoFrame:
+    """Build a GeoFrame from GeoJSON-like features — a FeatureCollection
+    dict, a list of feature dicts, or objects exposing
+    ``__geo_interface__`` (reference GeoDataFrame.from_features,
+    geopandas/geodataframe.py:747). Driver-side by design (features are
+    already in driver memory); large data belongs in read_file."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.functions import st as _st
+    if hasattr(features, "__geo_interface__"):
+        features = features.__geo_interface__
+    if isinstance(features, dict):
+        features = features.get("features", [])
+    rows, keys = [], []
+    for f in features:
+        if hasattr(f, "__geo_interface__"):
+            f = f.__geo_interface__
+        props = dict(f.get("properties") or {})
+        for k in props:
+            if k not in keys:
+                keys.append(k)
+        rows.append((props, _json.dumps(f.get("geometry"))
+                     if f.get("geometry") is not None else None))
+    data = [tuple(props.get(k) for k in keys) + (gj,)
+            for props, gj in rows]
+    df = spark.createDataFrame(data, keys + ["__gj__"])
+    df = (df.withColumn(geometry, _st.geom_from_geojson(F.col("__gj__")))
+            .drop("__gj__"))
+    return GeoFrame(df, geometry=geometry,
+                    crs={geometry: crs} if crs else None)
 
 
 def concat(frames) -> GeoFrame:

@@ -145,3 +145,55 @@ def test_to_json(gf, spark):
     obj2 = json.loads(g2.to_json(na="drop", show_bbox=True))
     assert "tag" not in obj2["features"][0]["properties"]
     assert obj2["bbox"] == [1.0, 2.0, 1.0, 2.0]
+
+
+def test_from_features_and_to_wkt_wkb(spark):
+    from geopandas_spark import from_features, st
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"name": "a", "v": 1},
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+        {"type": "Feature", "properties": {"name": "b"},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0.0, 0.0], [3.0, 4.0]]}},
+        {"type": "Feature", "properties": {"name": "c", "v": 3},
+         "geometry": None},
+    ]}
+    gf = from_features(spark, fc, crs="EPSG:4326")
+    assert gf.crs == "EPSG:4326"
+    rows = {r["name"]: r for r in
+            gf.df.withColumn("w", st.as_text("geom")).collect()}
+    assert rows["a"].w == "POINT (1 2)" and rows["a"].v == 1
+    assert rows["b"].w == "LINESTRING (0 0, 3 4)" and rows["b"].v is None
+    assert rows["c"].w is None
+
+    wkt_df = gf.to_wkt()
+    got = {r["name"]: r.geom for r in wkt_df.collect()}
+    assert got["a"] == "POINT (1 2)" and got["c"] is None
+
+    hx = gf.to_wkb(hex=True).filter("name = 'a'").collect()[0].geom
+    assert isinstance(hx, str) and hx.startswith("01")  # LE WKB point
+
+    # __geo_interface__ objects are accepted too
+    class Feat:
+        __geo_interface__ = {"type": "Feature", "properties": {"k": 9},
+                             "geometry": {"type": "Point",
+                                          "coordinates": [7.0, 8.0]}}
+    g2 = from_features(spark, [Feat()])
+    r = g2.df.withColumn("w", st.as_text("geom")).collect()[0]
+    assert r.w == "POINT (7 8)" and r.k == 9
+
+
+def test_sjoin_nearest_method_form(spark):
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import GeoFrame, st
+    left = GeoFrame(spark.range(10).select(
+        F.col("id"), st.point(F.col("id"), F.lit(0.0)).alias("geom")))
+    right = GeoFrame(spark.range(3).select(
+        (F.col("id") * 4).alias("rid"),
+        st.point(F.col("id") * 4, F.lit(1.0)).alias("geom")))
+    j = left.sjoin_nearest(right, distance_col="d")
+    assert j.active_geometry_name == "geom_left"
+    got = {r.id: (r.rid, round(r.d, 6)) for r in j.df.collect()}
+    assert got[0] == (0, 1.0) and got[5] == (4, 1.414214)
