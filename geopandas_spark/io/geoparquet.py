@@ -174,6 +174,7 @@ def _make_write_task(path: str, geom: str, crs: Optional[str],
 def to_parquet(df: DataFrame, path: str, *, geom: str = "geom",
                crs: Optional[str] = None, write_covering_bbox: bool = True,
                mode: str = "overwrite", partition_by=None,
+               hilbert_partitions: Optional[int] = None,
                max_file_rows: int = 4_000_000) -> dict:
     """Write a GeoParquet dataset; returns the dataset-level ``geo``
     metadata dict (the per-file footers carry each file's own exact bbox
@@ -186,7 +187,20 @@ def to_parquet(df: DataFrame, path: str, *, geom: str = "geom",
     per-task buffer. The covering bbox column makes subsequent
     ``read_parquet(bbox=...)`` scans prunable at the row-group level
     (reference arrow.py:182-190).
+
+    ``hilbert_partitions=N`` range-shuffles rows into N spatially
+    clustered partitions (Hilbert key of the bbox midpoint) before
+    writing. Spatially clustered files have *tight, near-disjoint* bbox
+    column stats, so a later ``read_parquet(bbox=...)`` prunes whole
+    files/row groups instead of matching every file — at 100 TB this is
+    the difference between scanning the dataset and scanning the query
+    window. Costs one extra shuffle at write time.
     """
+    if hilbert_partitions:
+        from geopandas_spark.operators.partitioning import (
+            hilbert_repartition,
+        )
+        df = hilbert_repartition(df, int(hilbert_partitions), geom=geom)
     spark = df.sparkSession
     fs, root = _resolve_fs(path)
     from pyarrow import fs as pafs

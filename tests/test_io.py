@@ -616,3 +616,38 @@ def test_fgb_null_geometry(spark, tmp_path):
     back = read_fgb(spark, p).orderBy("id")
     rows = back.withColumn("w", st.as_text("geom")).collect()
     assert rows[0].w == "POINT (1 1)" and rows[1].w is None
+
+
+def test_to_parquet_hilbert_clustered_write(spark, tmp_path):
+    """hilbert_partitions= range-shuffles rows spatially before the write,
+    so per-file footer bboxes are tight (near-disjoint) — the property
+    that lets read_parquet(bbox=...) prune whole files at scale."""
+    import pyarrow.parquet as pq
+
+    from geopandas_spark.io import read_parquet, to_parquet
+    df = spark.range(8000).select(
+        F.col("id"),
+        st.point((F.col("id") * 7919) % 500,
+                 (F.col("id") * 104729) % 500).alias("geom"))
+    pc = str(tmp_path / "clustered")
+    pr = str(tmp_path / "plain")
+    to_parquet(df, pc, hilbert_partitions=8)
+    to_parquet(df, pr)
+
+    def bbox_area(path):
+        tot = 0.0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = json.loads(
+                pq.read_schema(os.path.join(path, f)).metadata[b"geo"])
+            bb = md["columns"]["geom"].get("bbox")
+            if bb:
+                tot += (bb[2] - bb[0]) * (bb[3] - bb[1])
+        return tot
+
+    assert bbox_area(pc) < bbox_area(pr) * 0.5
+    got = read_parquet(spark, pc, bbox=(100, 100, 150, 150)).count()
+    exp = df.filter((st.x("geom") >= 100) & (st.x("geom") <= 150) &
+                    (st.y("geom") >= 100) & (st.y("geom") <= 150)).count()
+    assert got == exp > 0
