@@ -1039,6 +1039,60 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+def q_stream_stream_join(spark, sf_dir):
+    """REAL stream-stream spatial join execution (streaming/ops.py
+    sjoin_stream_stream — no reference analogue, SURVEY §2.9): customer
+    and supplier parquet as two bounded file streams with synthetic event
+    times (key % 120 minutes past a fixed epoch), joined dwithin<=50 when
+    event times are within 10 minutes. Grid-cell equi-keys + the time
+    range condition bound the stream-stream state; reference-point filter
+    dedups statelessly. Oracle: the equivalent batch cross join."""
+    import tempfile
+    from geopandas_spark.streaming import sjoin_stream_stream
+    d = tempfile.mkdtemp(prefix="gs_ssj_")
+
+    def as_stream(table, key, xe, ye):
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        src_dir = os.path.join(d, f"in_{table}")
+        os.makedirs(src_dir)
+        os.symlink(os.path.abspath(src),
+                   os.path.join(src_dir, "part-0.parquet"))
+        sch = spark.read.parquet(src).schema
+        s = spark.readStream.schema(sch).parquet(src_dir)
+        return (s.withColumn("geom", st.point(
+                    F.expr(xe).cast("double"), F.expr(ye).cast("double")))
+                 .withColumn("ts", F.timestamp_seconds(
+                     F.lit(1750000000) + (F.col(key) % 120) * 60))
+                 .select(F.col(key), "ts", "geom"))
+
+    ls = as_stream("customer", "c_custkey", PX, PY)
+    rs = as_stream("supplier", "s_suppkey", SX, SY)
+    j = sjoin_stream_stream(ls, rs, cell_size=50.0, predicate="dwithin",
+                            distance=50.0, max_delay="10 minutes",
+                            watermark="30 minutes")
+    out_dir = os.path.join(d, "out")
+
+    def sink(batch_df, batch_id):
+        (batch_df.select("c_custkey", "s_suppkey")
+         .write.mode("append").parquet(out_dir))
+
+    q = (j.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(d, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    res = spark.read.parquet(out_dir)
+    return res.select(F.col("c_custkey").alias("cid"),
+                      F.col("s_suppkey").alias("sid"))
+
+
+SQL_STREAM_STREAM_JOIN = f"""
+SELECT c_custkey AS cid, s_suppkey AS sid
+FROM customer CROSS JOIN supplier
+WHERE SQRT(CAST(({PX} - {SX}) * ({PX} - {SX}) +
+                ({PY} - {SY}) * ({PY} - {SY}) AS DOUBLE)) <= 50
+  AND ABS((c_custkey % 120) - (s_suppkey % 120)) <= 10
+"""
+
 
 def q_multimodal_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
@@ -3483,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna": q_fillna,
         "stream_sjoin": q_stream_sjoin,
         "stream_window_union": q_stream_window_union,
+        "stream_stream_join": q_stream_stream_join,
         "multimodal_ops": q_multimodal_ops,
         "pii_gopher_split": q_pii_gopher_split,
         "codec_roundtrip": q_codec_roundtrip,
@@ -3605,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         "fillna": SQL_FILLNA,
         "stream_sjoin": SQL_STREAM_SJOIN,
         "stream_window_union": SQL_STREAM_WINDOW_UNION,
+        "stream_stream_join": SQL_STREAM_STREAM_JOIN,
         "multimodal_ops": SQL_MULTIMODAL_OPS,
         "pii_gopher_split": SQL_PII_GOPHER_SPLIT,
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,

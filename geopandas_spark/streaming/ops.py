@@ -155,3 +155,95 @@ def cell_stats_stream(stream: DataFrame, cell_size: float, *,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def sjoin_stream_stream(left: DataFrame, right: DataFrame, *,
+                        time_left: str = "ts", time_right: str = "ts",
+                        cell_size: float, predicate: str = "intersects",
+                        distance: Optional[float] = None,
+                        max_delay: str = "5 minutes",
+                        watermark: str = "10 minutes",
+                        geom_left: str = "geom", geom_right: str = "geom",
+                        lsuffix: str = "left",
+                        rsuffix: str = "right") -> DataFrame:
+    """Stream-stream spatial join within a time tolerance — two live
+    geometry streams matched on a spatial predicate when their event
+    times are within ``max_delay`` of each other. No reference analogue
+    (the reference has no streaming at all, SURVEY §2.9); this is the
+    grid sjoin re-expressed under Structured Streaming's stream-stream
+    join rules:
+
+    - each side explodes its (padded) bbox into covering grid cells —
+      native ``sequence``+``explode``, stateless;
+    - the join itself is an equi-join on (cell_x, cell_y) plus the
+      ``|t_left - t_right| <= max_delay`` range condition. Equality keys
+      give the state store a shuffle key; the time range + watermarks
+      bound how long each row is retained — state is
+      O(rows within the watermark horizon), never the whole stream;
+    - the reference-point filter (pair kept only in the cell holding the
+      lower-left corner of the bbox intersection) dedups cell-duplicated
+      pairs statelessly — streaming cannot run a post-join ``distinct``;
+    - the exact predicate refines last (the plan's only UDF).
+
+    ``cell_size`` must be chosen by the caller (a stream cannot be
+    sampled for the batch path's cost model): pick the typical geometry
+    bbox size, or the dwithin ``distance``.
+    """
+    if predicate == "dwithin":
+        if distance is None:
+            raise ValueError("dwithin requires distance")
+    elif predicate not in ("intersects", "contains", "within", "covers",
+                           "covered_by", "touches", "crosses", "overlaps"):
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    pad = float(distance or 0.0)
+    w = float(cell_size)
+
+    overlap = sorted(set(left.columns) & set(right.columns))
+    for c in overlap:
+        left = left.withColumnRenamed(c, f"{c}_{lsuffix}")
+        right = right.withColumnRenamed(c, f"{c}_{rsuffix}")
+    gl = f"{geom_left}_{lsuffix}" if geom_left in overlap else geom_left
+    gr = f"{geom_right}_{rsuffix}" if geom_right in overlap else geom_right
+    tl = f"{time_left}_{lsuffix}" if time_left in overlap else time_left
+    tr = f"{time_right}_{rsuffix}" if time_right in overlap else time_right
+
+    lb = (left.withColumn("__lbb__", st.bounds(gl))
+              .withWatermark(tl, watermark))
+    rb = (right.withColumn("__rbb__", st.bounds(gr))
+               .withWatermark(tr, watermark))
+
+    def cells(df, bb, cx, cy, pre_pad):
+        x0 = F.floor((F.col(f"{bb}.xmin") - F.lit(pre_pad)) / F.lit(w))
+        x1 = F.floor((F.col(f"{bb}.xmax") + F.lit(pre_pad)) / F.lit(w))
+        y0 = F.floor((F.col(f"{bb}.ymin") - F.lit(pre_pad)) / F.lit(w))
+        y1 = F.floor((F.col(f"{bb}.ymax") + F.lit(pre_pad)) / F.lit(w))
+        return (df.withColumn(cx, F.explode(F.sequence(x0, x1)))
+                  .withColumn(cy, F.explode(F.sequence(y0, y1))))
+
+    lc = cells(lb, "__lbb__", "__lcx__", "__lcy__", pad)
+    rc = cells(rb, "__rbb__", "__rcx__", "__rcy__", 0.0)
+
+    delay = F.expr(f"interval {max_delay}")
+    cond = ((F.col("__lcx__") == F.col("__rcx__")) &
+            (F.col("__lcy__") == F.col("__rcy__")) &
+            (F.col(tl) >= F.col(tr) - delay) &
+            (F.col(tl) <= F.col(tr) + delay))
+    cand = lc.join(rc, on=cond, how="inner")
+
+    refx = F.greatest(F.col("__lbb__.xmin") - F.lit(pad),
+                      F.col("__rbb__.xmin"))
+    refy = F.greatest(F.col("__lbb__.ymin") - F.lit(pad),
+                      F.col("__rbb__.ymin"))
+    cand = cand.filter((F.col("__lcx__") == F.floor(refx / F.lit(w))) &
+                       (F.col("__lcy__") == F.floor(refy / F.lit(w))))
+
+    if predicate == "dwithin":
+        cand = cand.filter(st.dwithin(gl, gr, F.lit(float(distance))))
+    else:
+        pred_fn = {"intersects": st.intersects, "contains": st.contains,
+                   "within": st.within, "covers": st.covers,
+                   "covered_by": st.covered_by, "touches": st.touches,
+                   "crosses": st.crosses, "overlaps": st.overlaps}[predicate]
+        cand = cand.filter(pred_fn(gl, gr))
+    return cand.drop("__lbb__", "__rbb__", "__lcx__", "__lcy__",
+                     "__rcx__", "__rcy__")

@@ -124,3 +124,67 @@ def test_cell_stats_stream(spark, tmp_path):
     assert got["0,0"].n == 4 and got["1,1"].n == 4
     assert (got["0,0"].xmin, got["0,0"].xmax) == (0.0, 3.0)
     assert (got["1,1"].ymin, got["1,1"].ymax) == (4.0, 7.0)
+
+
+def test_sjoin_stream_stream(spark, tmp_path):
+    """REAL stream-stream spatial join execution: two file streams,
+    availableNow, dwithin predicate + time tolerance. Expected pairs
+    computed by the equivalent batch crossing."""
+    from geopandas_spark.streaming import sjoin_stream_stream
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    lrows = [(i, t0 + dt.timedelta(minutes=i), float(i * 3), 0.0)
+             for i in range(6)]
+    rrows = [(100 + i, t0 + dt.timedelta(minutes=i, seconds=30),
+              float(i * 3) + 0.5, 0.0) for i in range(6)]
+    lsrc, rsrc = str(tmp_path / "ss_l"), str(tmp_path / "ss_r")
+    spark.createDataFrame(lrows, SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(lsrc)
+    spark.createDataFrame(rrows, SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(rsrc)
+    ls = (spark.readStream.schema(SCHEMA).parquet(lsrc)
+          .withColumn("geom", st.point("x", "y")))
+    rs = (spark.readStream.schema(SCHEMA).parquet(rsrc)
+          .withColumn("geom", st.point("x", "y")))
+    out = sjoin_stream_stream(
+        ls, rs, cell_size=1.0, predicate="dwithin", distance=1.0,
+        max_delay="2 minutes", watermark="10 minutes")
+    _run(out, "ss_join")
+    got = {(r.id_left, r.id_right)
+           for r in spark.sql("SELECT * FROM ss_join").collect()}
+    # batch truth: pairs within distance 1 and 2 minutes
+    import itertools
+    want = set()
+    for (li, lt, lx, ly), (ri, rt, rx, ry) in itertools.product(
+            lrows, rrows):
+        if abs((lt - rt).total_seconds()) <= 120 and \
+                ((lx - rx) ** 2 + (ly - ry) ** 2) ** 0.5 <= 1.0:
+            want.add((li, ri))
+    assert got == want and len(want) >= 6, (sorted(got), sorted(want))
+
+
+def test_sjoin_stream_stream_intersects(spark, tmp_path):
+    """Polygon stream × point stream with the intersects predicate —
+    verifies the reference-point dedup emits each pair exactly once even
+    when a polygon spans many grid cells."""
+    from geopandas_spark.streaming import sjoin_stream_stream
+    t0 = dt.datetime(2026, 1, 1)
+    box = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"   # spans many 1.0-cells
+    lrows = [(1, t0, box)]
+    rrows = [(10, t0, "POINT (4 4)"), (11, t0, "POINT (20 20)")]
+    sch = StructType([StructField("id", LongType()),
+                      StructField("ts", TimestampType()),
+                      StructField("wkt", StringType())])
+    lsrc, rsrc = str(tmp_path / "ssp_l"), str(tmp_path / "ssp_r")
+    spark.createDataFrame(lrows, sch).coalesce(1).write.mode(
+        "overwrite").parquet(lsrc)
+    spark.createDataFrame(rrows, sch).coalesce(1).write.mode(
+        "overwrite").parquet(rsrc)
+    ls = (spark.readStream.schema(sch).parquet(lsrc)
+          .withColumn("geom", st.geom_from_text("wkt")).drop("wkt"))
+    rs = (spark.readStream.schema(sch).parquet(rsrc)
+          .withColumn("geom", st.geom_from_text("wkt")).drop("wkt"))
+    out = sjoin_stream_stream(ls, rs, cell_size=1.0,
+                              max_delay="1 minute", watermark="1 minute")
+    _run(out, "ssp_join")
+    rows = spark.sql("SELECT id_left, id_right FROM ssp_join").collect()
+    assert [(r.id_left, r.id_right) for r in rows] == [(1, 10)]
