@@ -2424,6 +2424,59 @@ SELECT c_custkey AS id,
 FROM customer
 """
 
+def q_to_crs_polar(spark, sf_dir):
+    """General to_crs beyond UTM #3: EPSG:3413 NSIDC polar stereographic
+    North — Polar Stereographic variant B (EPSG method 9829) on WGS84.
+    Oracle = round-trip identity over an arctic lon/lat grid (closure
+    ~1e-11 deg, see geom/crs.py ps_forward/ps_inverse; k=1 at the 70N
+    standard parallel is unit-tested as the defining property)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(-180.0) + (k % 3600) / F.lit(10.0)).cast("double")
+    lat = (F.lit(60.0) + (k * 7 % 290) / F.lit(10.0)).cast("double")
+    g = st.point(lon, lat)
+    ps = st.to_crs(g, "EPSG:4326", "EPSG:3413")
+    back = st.to_crs(ps, "EPSG:3413", "EPSG:4326")
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"))
+
+
+SQL_TO_CRS_POLAR = """
+SELECT c_custkey AS id,
+       ROUND(-180.0 + (c_custkey % 3600) / 10.0, 5) AS rlon,
+       ROUND(60.0 + (c_custkey * 7 % 290) / 10.0, 5) AS rlat
+FROM customer
+"""
+
+
+def q_to_crs_albers(spark, sf_dir):
+    """General to_crs beyond UTM #4: EPSG:5070 NAD83 Conus Albers —
+    Albers Equal Area conic (EPSG method 9822) on GRS80, validated
+    against Snyder's Clarke-1866 worked example in unit tests. Oracle =
+    round-trip identity over a CONUS lon/lat grid (closure ~1e-13
+    deg)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(-125.0) + (k % 580) / F.lit(10.0)).cast("double")
+    lat = (F.lit(24.0) + (k * 7 % 250) / F.lit(10.0)).cast("double")
+    g = st.point(lon, lat)
+    ab = st.to_crs(g, "EPSG:4326", "EPSG:5070")
+    back = st.to_crs(ab, "EPSG:5070", "EPSG:4326")
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"))
+
+
+SQL_TO_CRS_ALBERS = """
+SELECT c_custkey AS id,
+       ROUND(-125.0 + (c_custkey % 580) / 10.0, 5) AS rlon,
+       ROUND(24.0 + (c_custkey * 7 % 250) / 10.0, 5) AS rlat
+FROM customer
+"""
+
 
 def q_buffer_styles(spark, sf_dir):
     """Buffer kwarg matrix (reference array.py:916-943): square/flat caps,
@@ -3506,6 +3559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_utm": q_to_crs_utm,
         "to_crs_bng": q_to_crs_bng,
         "to_crs_lambert93": q_to_crs_lambert93,
+        "to_crs_polar": q_to_crs_polar,
+        "to_crs_albers": q_to_crs_albers,
         "buffer_styles": q_buffer_styles,
         "grid_size": q_grid_size,
         "rt_geoparquet": q_rt_geoparquet,
@@ -3629,6 +3684,8 @@ def oracle_sql() -> dict[str, str]:
         "to_crs_utm": SQL_TO_CRS_UTM,
         "to_crs_bng": SQL_TO_CRS_BNG,
         "to_crs_lambert93": SQL_TO_CRS_LAMBERT93,
+        "to_crs_polar": SQL_TO_CRS_POLAR,
+        "to_crs_albers": SQL_TO_CRS_ALBERS,
         "buffer_styles": SQL_BUFFER_STYLES,
         "grid_size": SQL_GRID_SIZE,
         "rt_geoparquet": _SQL_RT,

@@ -15,6 +15,11 @@ Built-in:
   (EPSG:27700, Airy 1830 + the published OS Helmert datum shift)
 - Lambert Conformal Conic 2SP (EPSG method 9802 closed form):
   RGF93 Lambert-93 (EPSG:2154)
+- Polar Stereographic variant B (EPSG method 9829 / Snyder 1987):
+  NSIDC North (EPSG:3413), Arctic (EPSG:3995), Antarctic (EPSG:3031)
+- Albers Equal Area conic (EPSG method 9822 / Snyder 1987, validated
+  against Snyder's Clarke-1866 worked example): NAD83 Conus Albers
+  (EPSG:5070), GDA94 Australian Albers (EPSG:3577)
 - 7-parameter Helmert (position-vector) datum shifts through geocentric
   coordinates for non-WGS84 datums
 - compositions through EPSG:4326 between any of the above
@@ -257,6 +262,121 @@ def lcc_inverse(E, N, p: dict):
 
 # --- Helmert datum shifts through geocentric coordinates ------------------
 
+# --- Polar Stereographic variant B (EPSG method 9829 / Snyder 1987) ------
+
+def _ps_tm(phi, e_):
+    """Isometric t and m at latitude phi (north-pole formulation)."""
+    es = e_ * np.sin(phi)
+    t = np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e_ / 2)
+    m = np.cos(phi) / np.sqrt(1 - es * es)
+    return t, m
+
+
+def ps_forward(lon, lat, p: dict):
+    """Geographic → polar stereographic E/N (variant B: standard parallel
+    ``lat_ts``; ``north`` picks the pole). Vectorized."""
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    north = p["north"]
+    lat_w = np.radians(lat if north else -np.asarray(lat))
+    lon_w = np.radians(np.asarray(lon) - p["lon0"])
+    tF, mF = _ps_tm(np.radians(abs(p["lat_ts"])), e_)
+    t, _ = _ps_tm(lat_w, e_)
+    rho = a_ * mF * t / tF
+    E = p["fe"] + rho * np.sin(lon_w)
+    N_off = rho * np.cos(lon_w)
+    N = p["fn"] - N_off if north else p["fn"] + N_off
+    return E, N
+
+
+def ps_inverse(E, N, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    north = p["north"]
+    dE = np.asarray(E, dtype=np.float64) - p["fe"]
+    dN = np.asarray(N, dtype=np.float64) - p["fn"]
+    tF, mF = _ps_tm(np.radians(abs(p["lat_ts"])), e_)
+    rho = np.hypot(dE, dN)
+    t = rho * tF / (a_ * mF)
+    chi = np.pi / 2 - 2 * np.arctan(t)
+    e2 = e_ * e_
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    phi = (chi
+           + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360)
+           * np.sin(2 * chi)
+           + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520)
+           * np.sin(4 * chi)
+           + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+           + (4279 * e8 / 161280) * np.sin(8 * chi))
+    lon_w = np.arctan2(dE, -dN if north else dN)
+    lat = np.degrees(phi if north else -phi)
+    lon = p["lon0"] + np.degrees(lon_w)
+    return lon, lat
+
+
+# --- Albers Equal Area conic (EPSG method 9822 / Snyder 1987) -------------
+
+def _aea_q(phi, e_):
+    es = e_ * np.sin(phi)
+    return (1 - e_ * e_) * (np.sin(phi) / (1 - es * es)
+                            - np.log((1 - es) / (1 + es)) / (2 * e_))
+
+
+def _aea_consts(p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    p1, p2 = np.radians(p["sp1"]), np.radians(p["sp2"])
+    p0 = np.radians(p["lat0"])
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - (e_ * np.sin(phi)) ** 2)
+
+    m1, m2 = m(p1), m(p2)
+    q1, q2 = _aea_q(p1, e_), _aea_q(p2, e_)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a_ * np.sqrt(C - n * _aea_q(p0, e_)) / n
+    return e_, n, C, rho0
+
+
+def aea_forward(lon, lat, p: dict):
+    """Geographic → Albers equal-area E/N (2 standard parallels).
+    Vectorized."""
+    a_ = p["a"]
+    e_, n, C, rho0 = _aea_consts(p)
+    q = _aea_q(np.radians(np.asarray(lat, dtype=np.float64)), e_)
+    rho = a_ * np.sqrt(C - n * q) / n
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    E = p["fe"] + rho * np.sin(theta)
+    N = p["fn"] + rho0 - rho * np.cos(theta)
+    return E, N
+
+
+def aea_inverse(E, N, p: dict):
+    a_ = p["a"]
+    e_, n, C, rho0 = _aea_consts(p)
+    dE = np.asarray(E, dtype=np.float64) - p["fe"]
+    dy = rho0 - (np.asarray(N, dtype=np.float64) - p["fn"])
+    rho = np.hypot(dE, dy)
+    q = (C - (rho * n / a_) ** 2) / n
+    if n < 0:          # southern-hemisphere cone: angles flip sign
+        theta = np.arctan2(-dE, -dy)
+    else:
+        theta = np.arctan2(dE, dy)
+    lon = p["lon0"] + np.degrees(theta / n)
+    # Newton iteration for phi from the authalic q (Snyder 3-16)
+    e2 = e_ * e_
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        es = e_ * s
+        one = 1 - es * es
+        phi = phi + (one * one / (2 * np.cos(phi) * (1 - e2))) * (
+            q / (1 - e2) - s / one
+            + np.log((1 - es) / (1 + es)) / (2 * e_))
+    return lon, np.degrees(phi)
+
+
 def _geodetic_to_xyz(lon, lat, a_, f_):
     e2 = f_ * (2.0 - f_)
     phi = np.radians(np.asarray(lat, float))
@@ -351,6 +471,28 @@ def _proj_def(crs: str):
         return ("lcc", {"a": a_, "f": f_, "lon0": 3.0, "lat0": 46.5,
                         "sp1": 44.0, "sp2": 49.0, "fe": 700000.0,
                         "fn": 6600000.0}, "GRS80", None)
+    if code == 3413:                # WGS84 / NSIDC polar stereo North
+        return ("ps", {"a": _A, "f": _F, "lat_ts": 70.0, "lon0": -45.0,
+                       "fe": 0.0, "fn": 0.0, "north": True},
+                "WGS84", None)
+    if code == 3995:                # WGS84 / Arctic polar stereographic
+        return ("ps", {"a": _A, "f": _F, "lat_ts": 71.0, "lon0": 0.0,
+                       "fe": 0.0, "fn": 0.0, "north": True},
+                "WGS84", None)
+    if code == 3031:                # WGS84 / Antarctic polar stereographic
+        return ("ps", {"a": _A, "f": _F, "lat_ts": -71.0, "lon0": 0.0,
+                       "fe": 0.0, "fn": 0.0, "north": False},
+                "WGS84", None)
+    if code == 5070:                # NAD83 / Conus Albers (GRS80)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("aea", {"a": a_, "f": f_, "lat0": 23.0, "lon0": -96.0,
+                        "sp1": 29.5, "sp2": 45.5, "fe": 0.0, "fn": 0.0},
+                "GRS80", None)
+    if code == 3577:                # GDA94 / Australian Albers (GRS80)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("aea", {"a": a_, "f": f_, "lat0": 0.0, "lon0": 132.0,
+                        "sp1": -18.0, "sp2": -36.0, "fe": 0.0, "fn": 0.0},
+                "GRS80", None)
     return None
 
 
@@ -360,7 +502,8 @@ def _project_from_wgs84(coords: np.ndarray, d: str):
         return None
     kind, p, ellps, helm = pd_
     lon, lat = _datum_from_wgs84(coords[:, 0], coords[:, 1], ellps, helm)
-    fwd = tm_forward if kind == "tm" else lcc_forward
+    fwd = {"tm": tm_forward, "lcc": lcc_forward, "ps": ps_forward,
+           "aea": aea_forward}[kind]
     E, N = fwd(lon, lat, p)
     return np.column_stack([E, N])
 
@@ -370,7 +513,8 @@ def _unproject_to_wgs84(coords: np.ndarray, s: str):
     if pd_ is None:
         return None
     kind, p, ellps, helm = pd_
-    inv = tm_inverse if kind == "tm" else lcc_inverse
+    inv = {"tm": tm_inverse, "lcc": lcc_inverse, "ps": ps_inverse,
+           "aea": aea_inverse}[kind]
     lon, lat = inv(coords[:, 0], coords[:, 1], p)
     lon, lat = _datum_to_wgs84(lon, lat, ellps, helm)
     return np.column_stack([lon, lat])
@@ -412,7 +556,8 @@ def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
             f"transform {src}->{dst} needs pyproj (not installed); built-in "
             "closed forms cover EPSG:4326 <-> EPSG:3857, UTM families "
             "(EPSG:326xx/327xx/258xx/269xx), EPSG:27700 (British National "
-            "Grid) and EPSG:2154 (Lambert-93)") from e
+            "Grid), EPSG:2154 (Lambert-93), polar stereographic "
+            "(EPSG:3413/3995/3031) and Albers (EPSG:5070/3577)") from e
     tr = Transformer.from_crs(s, d, always_xy=True)
     x, y = tr.transform(coords[:, 0], coords[:, 1])
     return np.column_stack([x, y])

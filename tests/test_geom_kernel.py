@@ -1096,3 +1096,53 @@ def test_grid_size_setops():
         "POLYGON ((0.3 0.3, 10.4 0.3, 10.4 10.4, 0.3 10.4, 0.3 0.3))",
         "POLYGON ((5.6 0.6, 15.6 0.6, 15.6 10.6, 5.6 10.6, 5.6 0.6))"])
     assert algos.area(algos.union_all(both, grid_size=1.0))[0] == 164.0
+
+
+def test_crs_polar_stereographic_and_albers():
+    """Polar Stereographic variant B (EPSG 9829) + Albers Equal Area
+    (EPSG 9822). Validation: Snyder's Clarke-1866 Albers worked example
+    (exact to 0.1 m), k=1 at the PS standard parallel (the projection's
+    defining property), natural-origin anchors, and 1e-7-deg round-trip
+    closure on all five registered codes."""
+    import math
+
+    import numpy as np
+
+    from geopandas_spark.geom import crs
+
+    # Snyder's Albers example: Clarke 1866, sp 29.5/45.5, origin 23N 96W,
+    # input 35N 75W -> E 1,885,472.7  N 1,535,925.0
+    pC = {"a": 6378206.4, "f": 1 / 294.9786982, "lat0": 23.0,
+          "lon0": -96.0, "sp1": 29.5, "sp2": 45.5, "fe": 0.0, "fn": 0.0}
+    E, N = crs.aea_forward(np.array([-75.0]), np.array([35.0]), pC)
+    assert abs(E[0] - 1885472.7) < 0.1 and abs(N[0] - 1535925.0) < 0.1
+
+    # k = 1 along the standard parallel (both hemispheres)
+    e2 = (1 / 298.257223563) * (2 - 1 / 298.257223563)
+    for code, lat_ts in [("EPSG:3413", 70.0), ("EPSG:3031", -71.0)]:
+        a = np.array([[30.0, lat_ts], [30.001, lat_ts]])
+        p = crs.transform_coords(a, "EPSG:4326", code)
+        d = float(np.hypot(*(p[1] - p[0])))
+        phi = math.radians(lat_ts)
+        nr = 6378137.0 / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        true = math.radians(0.001) * nr * math.cos(phi)
+        assert abs(d / true - 1) < 1e-6
+
+    # natural-origin anchors
+    p = crs.transform_coords(np.array([[-45.0, 90.0]]),
+                             "EPSG:4326", "EPSG:3413")
+    assert np.abs(p).max() < 1e-6
+    p = crs.transform_coords(np.array([[-96.0, 23.0]]),
+                             "EPSG:4326", "EPSG:5070")
+    assert np.abs(p).max() < 1e-6
+
+    # round trips (excluding the exact pole, where longitude degenerates)
+    for code, pts in [("EPSG:3413", [(-44.9, 89.9), (10, 75), (-120, 62)]),
+                      ("EPSG:3995", [(0, 80), (170, 66)]),
+                      ("EPSG:3031", [(0.1, -89.9), (45, -70), (-170, -62)]),
+                      ("EPSG:5070", [(-96, 23), (-75, 35), (-120, 49)]),
+                      ("EPSG:3577", [(132, 0), (115, -35), (153, -43)])]:
+        a = np.array(pts, dtype=float)
+        back = crs.transform_coords(
+            crs.transform_coords(a, "EPSG:4326", code), code, "EPSG:4326")
+        assert np.abs(back - a).max() < 1e-7, code
