@@ -306,8 +306,14 @@ def test_sjoin_nearest_grid_left_and_exclusive(spark):
     k1 = [r for r in ex if r.k == 1]
     assert len(k1) == 1 and k1[0].t == 102  # self at d=0 excluded
 
-    with _pytest.raises(ValueError):
-        sjoin_nearest(pts, tgt, strategy="grid")
+    # no max_distance: the exact expanding-radius path kicks in (matches
+    # the broadcast/reference semantics instead of raising)
+    unb = sjoin_nearest(pts, tgt, distance_col="d",
+                        strategy="grid").collect()
+    by_k2 = {r.k: (r.t, round(r.d, 6)) for r in unb}
+    # previously unmatched row resolves: (500,500) -> 102 at (11,0)
+    assert by_k2[3] == (102, round((489.0 ** 2 + 500.0 ** 2) ** 0.5, 6))
+    assert by_k2[1] == (101, 0.0) and by_k2[2] == (102, 1.0)
 
 
 def test_geocode_roundtrip_stub(spark):
