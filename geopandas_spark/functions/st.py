@@ -333,8 +333,21 @@ def _maxinscribedcircle(s: pd.Series, tol: pd.Series) -> pd.Series:
         _decode(s), None if t is None or t <= 0 else float(t)))
 _unary_geom("st_makevalid", algos.make_valid)
 _unary_geom("st_linemerge", algos.line_merge)
-_unary_geom("st_delaunaytriangles", algos.delaunay_triangles)
-_unary_geom("st_voronoipolygons", algos.voronoi_polygons)
+@_reg("st_delaunaytriangles")
+@pandas_udf(BinaryType())
+def _delaunaytriangles(s: pd.Series, tolerance: pd.Series,
+                       only_edges: pd.Series) -> pd.Series:
+    return _enc(algos.delaunay_triangles(
+        _decode(s), float(tolerance.iloc[0]), bool(only_edges.iloc[0])))
+
+
+@_reg("st_voronoipolygons")
+@pandas_udf(BinaryType())
+def _voronoipolygons(s: pd.Series, tolerance: pd.Series,
+                     only_edges: pd.Series) -> pd.Series:
+    return _enc(algos.voronoi_polygons(
+        _decode(s), tolerance=float(tolerance.iloc[0]),
+        only_edges=bool(only_edges.iloc[0])))
 
 
 _unary_double("st_minimumclearance", algos.minimum_clearance)
@@ -1150,8 +1163,9 @@ def make_valid(c) -> Column:
     return _REGISTRY["st_makevalid"](_col(c))
 
 
-def delaunay_triangles(c) -> Column:
-    return _REGISTRY["st_delaunaytriangles"](_col(c))
+def delaunay_triangles(c, tolerance=0.0, only_edges=False) -> Column:
+    return _REGISTRY["st_delaunaytriangles"](
+        _col(c), F.lit(float(tolerance)), F.lit(bool(only_edges)))
 
 
 def constrained_delaunay_triangles(c) -> Column:
@@ -1199,8 +1213,9 @@ def is_valid_coverage_agg(c) -> Column:
     return _REGISTRY["st_isvalidcoverage_agg"](_col(c))
 
 
-def voronoi_polygons(c) -> Column:
-    return _REGISTRY["st_voronoipolygons"](_col(c))
+def voronoi_polygons(c, tolerance=0.0, only_edges=False) -> Column:
+    return _REGISTRY["st_voronoipolygons"](
+        _col(c), F.lit(float(tolerance)), F.lit(bool(only_edges)))
 
 
 def line_merge(c) -> Column:

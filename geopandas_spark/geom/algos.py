@@ -3907,18 +3907,44 @@ def _delaunay(pts: np.ndarray) -> list:
     return out
 
 
-def delaunay_triangles(ga: GeometryArray) -> GeometryArray:
+def _snap_cluster(pts: np.ndarray, tolerance: float) -> np.ndarray:
+    """Greedy tolerance clustering: drop points within ``tolerance`` of an
+    already-kept one (GEOS uses its snapping tolerance the same way to
+    improve robustness; reference base.py:1221)."""
+    if tolerance <= 0 or len(pts) < 2:
+        return pts
+    keep = [pts[0]]
+    for p in pts[1:]:
+        ka = np.asarray(keep)
+        if (np.hypot(ka[:, 0] - p[0], ka[:, 1] - p[1]) > tolerance).all():
+            keep.append(p)
+    return np.asarray(keep)
+
+
+def delaunay_triangles(ga: GeometryArray, tolerance: float = 0.0,
+                       only_edges: bool = False) -> GeometryArray:
     """Delaunay triangulation of each geometry's vertices → MULTIPOLYGON
-    per row (reference base.py:1201)."""
+    per row, or MULTILINESTRING of unique edges with ``only_edges``
+    (reference base.py:1201, kwargs :1221)."""
     b = GeometryBuilder()
     for i in range(len(ga)):
         if ga.types[i] == GT_MISSING:
             b.append_null()
             continue
-        pts = np.unique(_geom_points(ga, i), axis=0)
+        pts = _snap_cluster(np.unique(_geom_points(ga, i), axis=0),
+                            tolerance)
         tris = _delaunay(pts)
         if not tris:
-            b.append_empty(GT_MULTIPOLYGON)
+            b.append_empty(GT_MULTILINESTRING if only_edges
+                           else GT_MULTIPOLYGON)
+            continue
+        if only_edges:
+            edges = sorted({(min(u, v), max(u, v))
+                            for t in tris
+                            for u, v in ((t[0], t[1]), (t[1], t[2]),
+                                         (t[2], t[0]))})
+            parts = [[np.array([pts[u], pts[v]])] for u, v in edges]
+            b.append(GT_MULTILINESTRING, parts)
             continue
         parts = []
         for t in tris:
@@ -4126,18 +4152,22 @@ def _lawson_flips(pts, tris, constrained, ek, max_rounds=30):
     return tris
 
 
-def voronoi_polygons(ga: GeometryArray, extend_to=None) -> GeometryArray:
-    """Voronoi cells of each geometry's vertices → MULTIPOLYGON per row
-    (reference base.py:1301). Each cell = the envelope (expanded by half
-    the diagonal, GEOS-style) intersected with the closer half-plane
-    against every other site — exact for the modest per-row point counts
-    this elementwise operator sees."""
+def voronoi_polygons(ga: GeometryArray, extend_to=None,
+                     tolerance: float = 0.0,
+                     only_edges: bool = False) -> GeometryArray:
+    """Voronoi cells of each geometry's vertices → MULTIPOLYGON per row,
+    or the diagram's unique cell-boundary edges as MULTILINESTRING with
+    ``only_edges`` (reference base.py:1301). Each cell = the envelope
+    (expanded by half the diagonal, GEOS-style) intersected with the
+    closer half-plane against every other site — exact for the modest
+    per-row point counts this elementwise operator sees."""
     b = GeometryBuilder()
     for i in range(len(ga)):
         if ga.types[i] == GT_MISSING:
             b.append_null()
             continue
-        pts = np.unique(_geom_points(ga, i), axis=0)
+        pts = _snap_cluster(np.unique(_geom_points(ga, i), axis=0),
+                            tolerance)
         if len(pts) == 0:
             b.append_empty(GT_MULTIPOLYGON)
             continue
@@ -4173,7 +4203,21 @@ def voronoi_polygons(ga: GeometryArray, extend_to=None) -> GeometryArray:
                         if len(keep) >= 3 else np.empty((0, 2)))
             if len(cell) >= 4:
                 parts.append([cell])
-        if parts:
+        if only_edges:
+            edges = {}
+            for rings in parts:
+                ring = rings[0]
+                for k in range(len(ring) - 1):
+                    a_, b_ = ring[k], ring[k + 1]
+                    key = tuple(sorted((tuple(np.round(a_, 9)),
+                                        tuple(np.round(b_, 9)))))
+                    edges.setdefault(key, np.array([a_, b_]))
+            if edges:
+                b.append(GT_MULTILINESTRING,
+                         [[seg] for _, seg in sorted(edges.items())])
+            else:
+                b.append_empty(GT_MULTILINESTRING)
+        elif parts:
             b.append(GT_MULTIPOLYGON, parts)
         else:
             b.append_empty(GT_MULTIPOLYGON)

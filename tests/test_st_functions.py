@@ -175,3 +175,23 @@ def test_transform_coords_user_fn(spark):
 
     out = df.select(st.as_text(st.transform_coords(g, shift)).alias("t"))
     assert out.collect()[0].t == "LINESTRING (100 0, 101 1)"
+
+
+def test_delaunay_voronoi_only_edges_and_tolerance(spark):
+    from geopandas_spark import st
+    df = spark.createDataFrame(
+        [(1, "MULTIPOINT ((0 0), (4 0), (2 3), (2 1))"),
+         (2, "MULTIPOINT ((0 0), (0.05 0.02), (4 0), (2 3))")], ["id", "w"]
+    ).select("id", st.geom_from_text("w").alias("g"))
+    rows = {r.id: r for r in df.select(
+        "id",
+        st.as_text(st.delaunay_triangles("g", only_edges=True)).alias("e"),
+        st.as_text(st.voronoi_polygons("g", only_edges=True)).alias("v"),
+        st.as_text(st.delaunay_triangles("g", tolerance=0.1)).alias("s"),
+    ).collect()}
+    # 4 points, 3 triangles -> 6 unique edges as MULTILINESTRING
+    assert rows[1].e == ("MULTILINESTRING ((0 0, 2 1), (0 0, 2 3), "
+                        "(0 0, 4 0), (2 1, 2 3), (2 1, 4 0), (2 3, 4 0))")
+    assert rows[1].v.startswith("MULTILINESTRING")
+    # tolerance clusters the two near-coincident sites -> one triangle
+    assert rows[2].s == "MULTIPOLYGON (((0 0, 4 0, 2 3, 0 0)))"
