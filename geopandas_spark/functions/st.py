@@ -498,8 +498,10 @@ def _buffer(s: pd.Series, d: pd.Series, quad_segs: pd.Series,
 
 @_reg("st_simplify")
 @pandas_udf(BinaryType())
-def _simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
-    return _enc(algos.simplify(_decode(s), tol.to_numpy(np.float64)))
+def _simplify(s: pd.Series, tol: pd.Series,
+              preserve: pd.Series) -> pd.Series:
+    return _enc(algos.simplify(_decode(s), tol.to_numpy(np.float64),
+                               preserve_topology=bool(preserve.iloc[0])))
 
 
 @_reg("st_clipbyrect")
@@ -597,8 +599,10 @@ def _affine3d(s: pd.Series, m: pd.Series) -> pd.Series:
 
 @_reg("st_interpolate")
 @pandas_udf(BinaryType())
-def _interpolate(s: pd.Series, d: pd.Series) -> pd.Series:
-    return _enc(algos.interpolate(_decode(s), d.to_numpy(np.float64)))
+def _interpolate(s: pd.Series, d: pd.Series,
+                 normalized: pd.Series) -> pd.Series:
+    return _enc(algos.interpolate(_decode(s), d.to_numpy(np.float64),
+                                  normalized=bool(normalized.iloc[0])))
 
 
 @_reg("st_lineinterpolatepoint")
@@ -610,8 +614,10 @@ def _lineinterpolate_norm(s: pd.Series, frac: pd.Series) -> pd.Series:
 
 @_reg("st_project")
 @pandas_udf(DoubleType())
-def _project(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(algos.project(_decode(a), _decode(b)))
+def _project(a: pd.Series, b: pd.Series,
+             normalized: pd.Series) -> pd.Series:
+    return pd.Series(algos.project(_decode(a), _decode(b),
+                                   normalized=bool(normalized.iloc[0])))
 
 
 # ---------------------------------------------------------------------------
@@ -1022,8 +1028,12 @@ def buffer(c, dist, quad_segs: int = 16, cap_style: str = "round",
         F.lit(bool(single_sided)))
 
 
-def simplify(c, tol) -> Column:
-    return _REGISTRY["st_simplify"](_col(c), _col(tol))
+def simplify(c, tol, preserve_topology=False) -> Column:
+    """Reference default is preserve_topology=True (base.py:5475); here
+    the cheap non-preserving DP is the default and the preserving guard
+    is opt-in (see algos.simplify for the guard semantics)."""
+    return _REGISTRY["st_simplify"](_col(c), _col(tol),
+                                    F.lit(bool(preserve_topology)))
 
 
 def clip_by_rect(c, xmin, ymin, xmax, ymax) -> Column:
@@ -1089,16 +1099,18 @@ def affine_matrix(c, matrix) -> Column:
         _col(c), F.array(*[F.lit(v) for v in matrix]))
 
 
-def interpolate(c, dist) -> Column:
-    return _REGISTRY["st_interpolate"](_col(c), _col(dist))
+def interpolate(c, dist, normalized=False) -> Column:
+    return _REGISTRY["st_interpolate"](_col(c), _col(dist),
+                                       F.lit(bool(normalized)))
 
 
 def line_interpolate_point(c, frac) -> Column:
     return _REGISTRY["st_lineinterpolatepoint"](_col(c), _col(frac))
 
 
-def project(a, b) -> Column:
-    return _REGISTRY["st_project"](_col(a), _col(b))
+def project(a, b, normalized=False) -> Column:
+    return _REGISTRY["st_project"](_col(a), _col(b),
+                                   F.lit(bool(normalized)))
 
 
 def dump(c) -> Column:

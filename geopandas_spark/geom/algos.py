@@ -1272,9 +1272,16 @@ def _monotone_chain(pts: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1])
 
 
-def simplify(ga: GeometryArray, tol) -> GeometryArray:
-    """Douglas-Peucker, non-topology-preserving (GEOS simplify).
-    Reference: base.py:5475."""
+def simplify(ga: GeometryArray, tol,
+             preserve_topology: bool = False) -> GeometryArray:
+    """Douglas-Peucker simplification (GEOS simplify). Reference:
+    base.py:5475 (its default is preserve_topology=True).
+
+    ``preserve_topology=True`` is a conservative approximation of GEOS's
+    TopologyPreservingSimplifier: a simplified ring that would collapse
+    (<4 points / zero area) or become self-intersecting falls back to its
+    original vertices — output validity is guaranteed, at the cost of
+    sometimes simplifying less than GEOS would."""
     tol = np.broadcast_to(np.asarray(tol, dtype=np.float64), (len(ga),))
     b = GeometryBuilder()
     for i in range(len(ga)):
@@ -1286,11 +1293,25 @@ def simplify(ga: GeometryArray, tol) -> GeometryArray:
         if not parts:
             b.append_empty(t)
             continue
+        is_poly = t in POLYGON_TYPES
         new_parts = []
         for p in parts:
             new_rings = []
             for r in p:
-                new_rings.append(_dp(r, tol[i]))
+                s = _dp(r, tol[i])
+                if preserve_topology:
+                    bad = False
+                    if is_poly:
+                        area = (abs(float(np.cross(s[:-1], s[1:]).sum()))
+                                * 0.5 if len(s) >= 4 else 0.0)
+                        bad = (len(s) < 4 or area == 0.0
+                               or _ring_self_intersects(s))
+                    elif t in LINE_TYPES and len(s) >= 2:
+                        bad = _ring_self_intersects(s, closed=False) and \
+                            not _ring_self_intersects(r, closed=False)
+                    if bad:
+                        s = r
+                new_rings.append(s)
             new_parts.append(new_rings)
         b.append(t, new_parts)
     return b.finish()

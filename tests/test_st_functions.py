@@ -195,3 +195,25 @@ def test_delaunay_voronoi_only_edges_and_tolerance(spark):
     assert rows[1].v.startswith("MULTILINESTRING")
     # tolerance clusters the two near-coincident sites -> one triangle
     assert rows[2].s == "MULTIPOLYGON (((0 0, 4 0, 2 3, 0 0)))"
+
+
+def test_simplify_preserve_topology_and_normalized_kwargs(spark):
+    from geopandas_spark import st
+    # a skinny spike polygon where plain DP at tol=2 collapses the ring
+    df = spark.createDataFrame([
+        (1, "POLYGON ((0 0, 2 0.2, 4 0, 2 0.6, 0 0))"),
+        (2, "LINESTRING (0 0, 10 0)"),
+    ], ["id", "w"]).select("id", st.geom_from_text("w").alias("g"))
+    r = {x.id: x for x in df.select(
+        "id",
+        st.as_text(st.simplify("g", 2.0)).alias("plain"),
+        st.as_text(st.simplify("g", 2.0, preserve_topology=True)).alias("tp"),
+        st.as_text(st.interpolate("g", 0.5, normalized=True)).alias("mid"),
+        st.project("g", st.geom_from_text(F.lit("POINT (3 1)"))).alias("pr"),
+        st.project("g", st.geom_from_text(F.lit("POINT (3 1)")),
+                   normalized=True).alias("prn"),
+    ).collect()}
+    # non-preserving DP degenerates the spike; preserving falls back
+    assert r[1].tp == "POLYGON ((0 0, 2 0.2, 4 0, 2 0.6, 0 0))"
+    assert r[2].mid == "POINT (5 0)"
+    assert r[2].pr == 3.0 and r[2].prn == 0.3
