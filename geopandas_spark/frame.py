@@ -289,17 +289,24 @@ class GeoFrame:
                 "bbox": tuple(self.total_bounds())}
 
     def to_json(self, na: str = "null", show_bbox: bool = False,
-                drop_id: bool = False, **kw) -> str:
+                drop_id: bool = False, to_wgs84: bool = False,
+                **kw) -> str:
         """GeoJSON FeatureCollection string (reference
-        geodataframe.py:1206-1276). Driver-side materialization — for
-        datasets beyond driver memory use to_geojson(path) (distributed
-        GeoJSONSeq write) instead."""
+        geodataframe.py:1206-1276). ``to_wgs84=True`` reprojects to
+        EPSG:4326 first (RFC 7946 requires WGS84 coordinates). Driver-side
+        materialization — for datasets beyond driver memory use
+        to_geojson(path) (distributed GeoJSONSeq write) instead."""
         import json as _json
+        src = self
+        if to_wgs84:
+            crs = self._crs.get(self._geometry)
+            if crs and crs not in ("EPSG:4326", "OGC:CRS84"):
+                src = self.to_crs("EPSG:4326")
         obj = {"type": "FeatureCollection",
-               "features": list(self.iterfeatures(
+               "features": list(src.iterfeatures(
                    na=na, show_bbox=show_bbox, drop_id=drop_id))}
         if show_bbox:
-            obj["bbox"] = tuple(self.total_bounds())
+            obj["bbox"] = tuple(src.total_bounds())
         return _json.dumps(obj, **kw)
 
     def to_geo_dict(self, na: str = "null", show_bbox: bool = False,

@@ -1171,7 +1171,17 @@ def reverse(c) -> Column:
     return _REGISTRY["st_reverse"](_col(c))
 
 
-def make_valid(c) -> Column:
+def make_valid(c, method: str = "structure",
+               keep_collapsed: bool = True) -> Column:
+    """Repair invalid geometry (reference base.py:2114; its default
+    method is 'linework'). Documented deviation: both method names run
+    the engine's structure-style repair (node boundary linework, extract
+    faces, even-odd re-nesting) — for invalid polygonal input both GEOS
+    methods and this one agree on the repaired area; GEOS's
+    linework-specific lower-dimensional collapse artifacts are not
+    reproduced (keep_collapsed is accepted for signature parity)."""
+    if method not in ("structure", "linework"):
+        raise ValueError(f"make_valid method {method!r} not supported")
     return _REGISTRY["st_makevalid"](_col(c))
 
 

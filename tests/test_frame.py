@@ -197,3 +197,17 @@ def test_sjoin_nearest_method_form(spark):
     assert j.active_geometry_name == "geom_left"
     got = {r.id: (r.rid, round(r.d, 6)) for r in j.df.collect()}
     assert got[0] == (0, 1.0) and got[5] == (4, 1.414214)
+
+
+def test_to_json_to_wgs84(spark):
+    from geopandas_spark import GeoFrame, st
+    import json as _json
+    df = spark.createDataFrame([(1,)], ["id"]).select(
+        "id", st.to_crs(st.point(F.lit(0.0), F.lit(0.0)),
+                        "EPSG:4326", "EPSG:3857").alias("geom"))
+    gf = GeoFrame(df, crs="EPSG:3857")
+    out = _json.loads(gf.to_json(to_wgs84=True))
+    x, y = out["features"][0]["geometry"]["coordinates"]
+    assert abs(x) < 1e-9 and abs(y) < 1e-9   # back at lon/lat origin
+    raw = _json.loads(gf.to_json())
+    assert raw["features"][0]["geometry"]["coordinates"] == [0.0, 0.0]
