@@ -11,7 +11,7 @@ SQL runs on DuckDB for the correctness oracle).
 
 from geopandas_spark.pipeline.dedup import (  # noqa: F401
     exact_dedup, minhash_signatures, minhash_lsh_pairs, ngram_jaccard_pairs,
-    connected_components, dedup_by_components,
+    connected_components, dedup_by_components, fuzzy_dedup,
 )
 from geopandas_spark.pipeline.text import (  # noqa: F401
     add_text_stats, quality_score, language_id, fingerprint, token_count,

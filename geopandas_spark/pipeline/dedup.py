@@ -217,3 +217,29 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     return (pairs.withColumn("hamming", ham)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
+
+
+def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", *, num_hashes: int = 8,
+                bands: int = 4, k: int = 5,
+                jaccard_threshold: float = 0.8) -> DataFrame:
+    """The canonical large-corpus fuzzy-dedup recipe as one call:
+
+        MinHash signatures → LSH band candidates → exact n-gram Jaccard
+        verify → connected components → min-id survivor per cluster.
+
+    Every stage is the already-oracle-checked building block (minhash /
+    lsh_pairs / jaccard / dedup_components queries); this composition is
+    the pipeline a 100 TB pretraining corpus actually runs. Scale shape:
+    candidate generation is banded equi-joins (never all-pairs), exact
+    Jaccard scores only LSH candidates, and cluster resolution is the
+    iterative min-label propagation bounded by the candidate graph.
+
+    Returns the deduplicated DataFrame (original columns)."""
+    cands = minhash_lsh_pairs(df, id_col, text_col,
+                              num_hashes=num_hashes, bands=bands, k=k)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, k=k,
+                                   threshold=jaccard_threshold,
+                                   candidates=cands)
+    return dedup_by_components(df, verified.select("id_a", "id_b"),
+                               id_col=id_col)

@@ -331,3 +331,22 @@ def test_word_ngrams_and_decontaminate(spark):
     # threshold: allow up to 1 shared gram
     loose = decontaminate(docs, bench, n=3, max_matches=1)
     assert {r.doc_id for r in loose.select("doc_id").collect()} == {2, 3, 4}
+
+
+def test_fuzzy_dedup_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.pipeline import fuzzy_dedup
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame([
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("lazy", "hazy")),          # near dup of 1
+        (4, "completely unrelated content that shares nothing at all"),
+        (5, "another fully distinct document body with its own words"),
+    ], ["doc_id", "text"])
+    out = fuzzy_dedup(docs, jaccard_threshold=0.6)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # 1/2/3 collapse to min-id survivor 1; 4 and 5 survive untouched
+    assert ids == {1, 4, 5}, ids
+    assert set(out.columns) == {"doc_id", "text"}
