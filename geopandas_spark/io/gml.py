@@ -274,6 +274,6 @@ def to_gml(df: DataFrame, path: str, *, geom: str = "geom",
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n'
                 '<gml:FeatureCollection '
                 'xmlns:gml="http://www.opengis.net/gml/3.2">')
-        for row in frags.toLocalIterator():
+        for row in frags.toLocalIterator(prefetchPartitions=True):
             f.write(row["frag"])
         f.write("</gml:FeatureCollection>\n")

@@ -201,7 +201,7 @@ def to_gpkg(df: DataFrame, path: str, *, table: str = "layer",
         maxx = maxy = float("-inf")
         from geopandas_spark.geom import wkb as _wkb
         batch = []
-        for row in df.toLocalIterator():
+        for row in df.toLocalIterator(prefetchPartitions=True):
             w = row[geom]
             if w is not None:
                 ga = _wkb.decode(np.array([w], dtype=object))

@@ -328,6 +328,6 @@ def to_kml(df: DataFrame, path: str, *, geom: str = "geom",
                 '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>')
         if document_name:
             f.write(f"<name>{_xml_escape(document_name)}</name>")
-        for row in frags.toLocalIterator():
+        for row in frags.toLocalIterator(prefetchPartitions=True):
             f.write(row["frag"])
         f.write("</Document></kml>\n")

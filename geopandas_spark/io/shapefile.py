@@ -333,7 +333,7 @@ def to_shapefile(df: DataFrame, path: str, *, geom: str = "geom") -> int:
     stype_seen = SHP_NULL
     minx = miny = np.inf
     maxx = maxy = -np.inf
-    for row in df.toLocalIterator():
+    for row in df.toLocalIterator(prefetchPartitions=True):
         ga = _wkb.decode(np.array([row[geom]], dtype=object))
         st_, payload = _shape_record(ga, 0)
         if st_ != SHP_NULL:
