@@ -103,6 +103,33 @@ def main():
     rows = d.select("g", st.area("geom").alias("a")).collect()
     print(f"dissolve-600k-into-25: {len(rows)} groups, "
           f"{time.time() - t0:.2f}s")
+
+    # unbounded nearest (no max_distance): exact expanding-radius rounds
+    t0 = time.time()
+    n = sjoin_nearest(pts, boxes, distance_col="d",
+                      strategy="grid").count()
+    dt = time.time() - t0
+    print(f"nearest-unbounded: {n} pairs, {dt:.2f}s "
+          "(expanding-radius, no collected side)")
+
+    # FlatGeobuf single-file sink/source: Hilbert-ordered indexed write,
+    # full distributed read, index-pruned bbox read
+    import tempfile
+
+    from geopandas_spark.io import read_fgb, to_fgb
+    p = os.path.join(tempfile.mkdtemp(prefix="gs_fgbstress_"), "pts.fgb")
+    t0 = time.time()
+    nf = to_fgb(pts, p)
+    tw = time.time() - t0
+    t0 = time.time()
+    full = read_fgb(spark, p).count()
+    tr = time.time() - t0
+    t0 = time.time()
+    sub = read_fgb(spark, p, bbox=(4000, 4000, 4400, 4400)).count()
+    tb = time.time() - t0
+    print(f"fgb: write {nf} feats {tw:.1f}s "
+          f"({os.path.getsize(p) / 1e6:.0f} MB), full read {tr:.1f}s, "
+          f"bbox read {sub} rows {tb:.1f}s")
     spark.stop()
 
 
