@@ -1685,18 +1685,23 @@ def _buffer_convex_ring(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarra
 
 
 def reverse(ga: GeometryArray) -> GeometryArray:
-    b = GeometryBuilder()
-    for i in range(len(ga)):
-        t = int(ga.types[i])
-        if t == GT_MISSING:
-            b.append_null()
-            continue
-        parts = ga.geom_slices(i)
-        if not parts:
-            b.append_empty(t)
-        else:
-            b.append(t, [[r[::-1] for r in p] for p in parts])
-    return b.finish()
+    """Reverse coordinate order per ring (reference base.py:2184).
+
+    A within-ring index permutation: structure (offsets, gc_meta) is
+    unchanged, so Z/M buffers permute along and GEOMETRYCOLLECTION rows
+    survive — and the whole pass is three vectorized gathers instead of
+    the per-row builder loop this replaced."""
+    n = ga.n_coords
+    if n == 0:
+        return _with_coords(ga, ga.coords.copy())
+    ro = ga.ring_offsets
+    sizes = np.diff(ro)
+    starts = np.repeat(ro[:-1], sizes)
+    ends = np.repeat(ro[1:], sizes)
+    idx = starts + ends - 1 - np.arange(n, dtype=np.int64)
+    return _with_coords(ga, ga.coords[idx],
+                        z=(ga.z[idx] if ga.z is not None else None),
+                        m=(ga.m[idx] if ga.m is not None else None))
 
 
 _KEEP = object()
@@ -3074,31 +3079,33 @@ def extract_unique_points(ga: GeometryArray) -> GeometryArray:
 
 
 def orient_polygons(ga: GeometryArray, exterior_ccw: bool = True) -> GeometryArray:
-    """Force shell/hole winding (base.py:2059)."""
-    b = GeometryBuilder()
-    for i in range(len(ga)):
-        t = int(ga.types[i])
-        if t == GT_MISSING:
-            b.append_null()
-            continue
-        if t not in POLYGON_TYPES:
-            b.append_from(ga, i)
-            continue
-        new_parts = []
-        for p in ga.geom_slices(i):
-            rings = []
-            for k, r in enumerate(p):
-                a = _ring_signed_area_arr(r)
-                want_ccw = exterior_ccw if k == 0 else not exterior_ccw
-                if (a < 0) == want_ccw:
-                    r = r[::-1]
-                rings.append(r)
-            new_parts.append(rings)
-        if new_parts:
-            b.append(t, new_parts)
-        else:
-            b.append_empty(t)
-    return b.finish()
+    """Force shell/hole winding (base.py:2059).
+
+    A conditional per-ring permutation (flip rings whose winding is
+    wrong): structure is unchanged, so Z/M and GEOMETRYCOLLECTION carry
+    through `_with_coords`, and the pass is vectorized — signed ring
+    areas come from one segment-sum, the flip gather touches only the
+    rings that need it."""
+    if ga.n_coords == 0:
+        return _with_coords(ga, ga.coords.copy())
+    areas = _signed_ring_areas(ga)                    # per ring
+    first = _first_ring_mask(ga)                      # ring 0 of each part
+    want_ccw = np.where(first, exterior_ccw, not exterior_ccw)
+    # only polygonal rows orient; others pass through untouched
+    poly_row = np.isin(ga.types, list(POLYGON_TYPES))
+    ring_poly = poly_row[ga.ring_geom_index()]
+    flip = ring_poly & ((areas < 0) == want_ccw) & (areas != 0)
+    idx = np.arange(ga.n_coords, dtype=np.int64)
+    ro = ga.ring_offsets
+    sizes = np.diff(ro)
+    csel = np.repeat(flip, sizes)
+    starts = np.repeat(ro[:-1], sizes)
+    ends = np.repeat(ro[1:], sizes)
+    rev = starts + ends - 1 - idx
+    idx = np.where(csel, rev, idx)
+    return _with_coords(ga, ga.coords[idx],
+                        z=(ga.z[idx] if ga.z is not None else None),
+                        m=(ga.m[idx] if ga.m is not None else None))
 
 
 def _ring_signed_area_arr(r) -> float:
