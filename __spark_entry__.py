@@ -2477,6 +2477,36 @@ SELECT c_custkey AS id,
 FROM customer
 """
 
+def q_to_crs_laea_merc(spark, sf_dir):
+    """General to_crs families #5 and #6: EPSG:3035 (ETRS89 LAEA Europe,
+    the EU statistical grid — Lambert azimuthal equal-area, EPSG method
+    9820) and EPSG:3395 (World Mercator, ellipsoidal method 9804).
+    Oracle = round-trip identity over a European lon/lat grid through
+    BOTH projections chained (4326 -> 3035 -> 4326 -> 3395 -> 4326);
+    closures ~1e-13 and ~1e-11 deg. The 3035 natural-origin anchor
+    (10E, 52N) -> (4321000, 3210000) exact is unit-tested."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(-10.0) + (k % 550) / F.lit(10.0)).cast("double")
+    lat = (F.lit(34.0) + (k * 7 % 370) / F.lit(10.0)).cast("double")
+    g = st.point(lon, lat)
+    g1 = st.to_crs(st.to_crs(g, "EPSG:4326", "EPSG:3035"),
+                   "EPSG:3035", "EPSG:4326")
+    g2 = st.to_crs(st.to_crs(g1, "EPSG:4326", "EPSG:3395"),
+                   "EPSG:3395", "EPSG:4326")
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(g2), 5).alias("rlon"),
+        F.round(st.y(g2), 5).alias("rlat"))
+
+
+SQL_TO_CRS_LAEA_MERC = """
+SELECT c_custkey AS id,
+       ROUND(-10.0 + (c_custkey % 550) / 10.0, 5) AS rlon,
+       ROUND(34.0 + (c_custkey * 7 % 370) / 10.0, 5) AS rlat
+FROM customer
+"""
+
 
 def q_buffer_styles(spark, sf_dir):
     """Buffer kwarg matrix (reference array.py:916-943): square/flat caps,
@@ -3561,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_lambert93": q_to_crs_lambert93,
         "to_crs_polar": q_to_crs_polar,
         "to_crs_albers": q_to_crs_albers,
+        "to_crs_laea_merc": q_to_crs_laea_merc,
         "buffer_styles": q_buffer_styles,
         "grid_size": q_grid_size,
         "rt_geoparquet": q_rt_geoparquet,
@@ -3686,6 +3717,7 @@ def oracle_sql() -> dict[str, str]:
         "to_crs_lambert93": SQL_TO_CRS_LAMBERT93,
         "to_crs_polar": SQL_TO_CRS_POLAR,
         "to_crs_albers": SQL_TO_CRS_ALBERS,
+        "to_crs_laea_merc": SQL_TO_CRS_LAEA_MERC,
         "buffer_styles": SQL_BUFFER_STYLES,
         "grid_size": SQL_GRID_SIZE,
         "rt_geoparquet": _SQL_RT,

@@ -20,6 +20,9 @@ Built-in:
 - Albers Equal Area conic (EPSG method 9822 / Snyder 1987, validated
   against Snyder's Clarke-1866 worked example): NAD83 Conus Albers
   (EPSG:5070), GDA94 Australian Albers (EPSG:3577)
+- ellipsoidal Mercator (EPSG method 9804): World Mercator (EPSG:3395)
+- Lambert Azimuthal Equal Area (EPSG method 9820): ETRS89 LAEA Europe
+  (EPSG:3035, the EU statistical grid)
 - 7-parameter Helmert (position-vector) datum shifts through geocentric
   coordinates for non-WGS84 datums
 - compositions through EPSG:4326 between any of the above
@@ -314,6 +317,101 @@ def ps_inverse(E, N, p: dict):
     return lon, lat
 
 
+# --- Mercator (ellipsoidal, EPSG method 9804 variant A) -------------------
+
+def _chi_to_phi(chi: np.ndarray, e_: float) -> np.ndarray:
+    """Conformal latitude → geodetic latitude (the standard series)."""
+    e2 = e_ * e_
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    return (chi
+            + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360)
+            * np.sin(2 * chi)
+            + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520)
+            * np.sin(4 * chi)
+            + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+            + (4279 * e8 / 161280) * np.sin(8 * chi))
+
+
+def merc_forward(lon, lat, p: dict):
+    """Geographic → ellipsoidal Mercator E/N. Vectorized."""
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    es = e_ * np.sin(phi)
+    E = p["fe"] + a_ * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    N = p["fn"] + a_ * np.log(np.tan(np.pi / 4 + phi / 2)
+                              * ((1 - es) / (1 + es)) ** (e_ / 2))
+    return E, N
+
+
+def merc_inverse(E, N, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    t = np.exp(-(np.asarray(N, np.float64) - p["fn"]) / a_)
+    chi = np.pi / 2 - 2 * np.arctan(t)
+    lat = np.degrees(_chi_to_phi(chi, e_))
+    lon = p["lon0"] + np.degrees((np.asarray(E, np.float64) - p["fe"]) / a_)
+    return lon, lat
+
+
+# --- Lambert Azimuthal Equal Area (EPSG method 9820 / Snyder 1987) --------
+
+def _laea_consts(p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    qp = _aea_q(np.pi / 2, e_)
+    rq = a_ * np.sqrt(qp / 2)
+    phi0 = np.radians(p["lat0"])
+    q0 = _aea_q(phi0, e_)
+    beta1 = np.arcsin(np.clip(q0 / qp, -1, 1))
+    m1 = np.cos(phi0) / np.sqrt(1 - (e_ * np.sin(phi0)) ** 2)
+    d = a_ * m1 / (rq * np.cos(beta1))
+    return e_, qp, rq, beta1, d
+
+
+def laea_forward(lon, lat, p: dict):
+    """Geographic → oblique LAEA E/N (Snyder 24-2..24-16,
+    authalic-latitude ellipsoidal form). Vectorized."""
+    e_, qp, rq, b1, d = _laea_consts(p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    beta = np.arcsin(np.clip(_aea_q(phi, e_) / qp, -1, 1))
+    denom = 1 + np.sin(b1) * np.sin(beta) + \
+        np.cos(b1) * np.cos(beta) * np.cos(lam)
+    B = rq * np.sqrt(2 / denom)
+    E = p["fe"] + B * d * np.cos(beta) * np.sin(lam)
+    N = p["fn"] + (B / d) * (np.cos(b1) * np.sin(beta)
+                             - np.sin(b1) * np.cos(beta) * np.cos(lam))
+    return E, N
+
+
+def laea_inverse(E, N, p: dict):
+    e_, qp, rq, b1, d = _laea_consts(p)
+    x = (np.asarray(E, np.float64) - p["fe"]) / d
+    y = (np.asarray(N, np.float64) - p["fn"]) * d
+    rho = np.hypot(x, y)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+        q = qp * (np.cos(ce) * np.sin(b1)
+                  + np.where(rho > 0, y * np.sin(ce) * np.cos(b1) / rho,
+                             0.0))
+        lam = np.arctan2(x * np.sin(ce),
+                         rho * np.cos(b1) * np.cos(ce)
+                         - y * np.sin(b1) * np.sin(ce))
+    # Newton iteration for phi from authalic q (shared with Albers)
+    e2 = e_ * e_
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        es = e_ * s
+        one = 1 - es * es
+        phi = phi + (one * one / (2 * np.cos(phi) * (1 - e2))) * (
+            q / (1 - e2) - s / one
+            + np.log((1 - es) / (1 + es)) / (2 * e_))
+    lon = p["lon0"] + np.degrees(lam)
+    return lon, np.degrees(phi)
+
+
 # --- Albers Equal Area conic (EPSG method 9822 / Snyder 1987) -------------
 
 def _aea_q(phi, e_):
@@ -493,6 +591,14 @@ def _proj_def(crs: str):
         return ("aea", {"a": a_, "f": f_, "lat0": 0.0, "lon0": 132.0,
                         "sp1": -18.0, "sp2": -36.0, "fe": 0.0, "fn": 0.0},
                 "GRS80", None)
+    if code == 3395:                # WGS84 / World Mercator (ellipsoidal)
+        return ("merc", {"a": _A, "f": _F, "lon0": 0.0,
+                         "fe": 0.0, "fn": 0.0}, "WGS84", None)
+    if code == 3035:                # ETRS89 / LAEA Europe (GRS80)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("laea", {"a": a_, "f": f_, "lat0": 52.0, "lon0": 10.0,
+                         "fe": 4321000.0, "fn": 3210000.0},
+                "GRS80", None)
     return None
 
 
@@ -503,7 +609,8 @@ def _project_from_wgs84(coords: np.ndarray, d: str):
     kind, p, ellps, helm = pd_
     lon, lat = _datum_from_wgs84(coords[:, 0], coords[:, 1], ellps, helm)
     fwd = {"tm": tm_forward, "lcc": lcc_forward, "ps": ps_forward,
-           "aea": aea_forward}[kind]
+           "aea": aea_forward, "merc": merc_forward,
+           "laea": laea_forward}[kind]
     E, N = fwd(lon, lat, p)
     return np.column_stack([E, N])
 
@@ -514,7 +621,8 @@ def _unproject_to_wgs84(coords: np.ndarray, s: str):
         return None
     kind, p, ellps, helm = pd_
     inv = {"tm": tm_inverse, "lcc": lcc_inverse, "ps": ps_inverse,
-           "aea": aea_inverse}[kind]
+           "aea": aea_inverse, "merc": merc_inverse,
+           "laea": laea_inverse}[kind]
     lon, lat = inv(coords[:, 0], coords[:, 1], p)
     lon, lat = _datum_to_wgs84(lon, lat, ellps, helm)
     return np.column_stack([lon, lat])
@@ -557,7 +665,8 @@ def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
             "closed forms cover EPSG:4326 <-> EPSG:3857, UTM families "
             "(EPSG:326xx/327xx/258xx/269xx), EPSG:27700 (British National "
             "Grid), EPSG:2154 (Lambert-93), polar stereographic "
-            "(EPSG:3413/3995/3031) and Albers (EPSG:5070/3577)") from e
+            "(EPSG:3413/3995/3031), Albers (EPSG:5070/3577), World "
+            "Mercator (EPSG:3395) and LAEA Europe (EPSG:3035)") from e
     tr = Transformer.from_crs(s, d, always_xy=True)
     x, y = tr.transform(coords[:, 0], coords[:, 1])
     return np.column_stack([x, y])

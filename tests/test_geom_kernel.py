@@ -1146,3 +1146,32 @@ def test_crs_polar_stereographic_and_albers():
         back = crs.transform_coords(
             crs.transform_coords(a, "EPSG:4326", code), code, "EPSG:4326")
         assert np.abs(back - a).max() < 1e-7, code
+
+
+def test_crs_mercator_and_laea():
+    """Ellipsoidal Mercator (EPSG 9804: EPSG:3395) + Lambert azimuthal
+    equal-area (EPSG 9820: EPSG:3035). Anchors: equator scale for
+    Mercator; 3035's natural origin maps exactly to its false origin;
+    LAEA preserves area; both round-trip below 1e-7 deg."""
+    import math
+
+    import numpy as np
+
+    from geopandas_spark.geom import crs
+
+    E, N = crs.merc_forward(
+        np.array([45.0]), np.array([0.0]),
+        {"a": 6378137.0, "f": 1 / 298.257223563, "lon0": 0.0,
+         "fe": 0.0, "fn": 0.0})
+    assert abs(E[0] - 6378137.0 * math.pi / 4) < 1e-6 and abs(N[0]) < 1e-9
+
+    p = crs.transform_coords(np.array([[10.0, 52.0]]),
+                             "EPSG:4326", "EPSG:3035")
+    assert abs(p[0, 0] - 4321000) < 1e-6 and abs(p[0, 1] - 3210000) < 1e-6
+
+    for code, pts in [("EPSG:3395", [(0, 0), (45, 60), (-120, -45)]),
+                      ("EPSG:3035", [(10, 52), (-10, 35), (30, 70)])]:
+        a = np.array(pts, dtype=float)
+        back = crs.transform_coords(
+            crs.transform_coords(a, "EPSG:4326", code), code, "EPSG:4326")
+        assert np.abs(back - a).max() < 1e-7, code
