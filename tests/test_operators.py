@@ -369,3 +369,40 @@ def test_sjoin_nearest_grid_unbounded(spark):
                       how="left")
     assert l.count() == 200
     assert l.filter(F.col("rid").isNotNull()).count() == 0
+
+
+def test_sjoin_grid_matches_broadcast_all_predicates(spark):
+    """Cross-strategy differential: on randomized polygon×polygon input
+    the grid plan's pair set must equal the broadcast plan's for every
+    predicate (the two paths share the refine kernels but differ in
+    candidate generation + dedup — this pins the grid machinery)."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+    left = spark.range(300).select(
+        F.col("id").alias("lid"),
+        st.makebox((F.col("id") * 37 % 100).cast("double"),
+                   (F.col("id") * 61 % 100).cast("double"),
+                   (F.col("id") * 37 % 100 + 1 + F.col("id") % 7)
+                   .cast("double"),
+                   (F.col("id") * 61 % 100 + 1 + F.col("id") % 5)
+                   .cast("double")).alias("geom"))
+    right = spark.range(60).select(
+        F.col("id").alias("rid"),
+        st.makebox((F.col("id") * 41 % 100).cast("double"),
+                   (F.col("id") * 23 % 100).cast("double"),
+                   (F.col("id") * 41 % 100 + 4).cast("double"),
+                   (F.col("id") * 23 % 100 + 4).cast("double"))
+        .alias("geom"))
+    for pred, kw in [("intersects", {}), ("contains", {}), ("within", {}),
+                     ("covers", {}), ("covered_by", {}), ("touches", {}),
+                     ("overlaps", {}), ("dwithin", {"distance": 2.5})]:
+        a = {(r.lid, r.rid) for r in sjoin(
+            left, right, predicate=pred, strategy="broadcast",
+            **kw).select("lid", "rid").collect()}
+        b = {(r.lid, r.rid) for r in sjoin(
+            left, right, predicate=pred, strategy="grid",
+            **kw).select("lid", "rid").collect()}
+        assert a == b, (pred, len(a), len(b),
+                        sorted(a - b)[:3], sorted(b - a)[:3])
