@@ -369,3 +369,58 @@ def test_fgb_properties_codec_roundtrip(vals):
         if vals[row][2] is not None:
             want[2] = float(np.float64(vals[row][2]))
         assert got == want
+
+
+@st_.composite
+def _star_polygon(draw, cx_rng=(10, 30), holes=True):
+    """Random star-convex polygon (always simple): integer-ish radii at
+    fixed angular steps around a center, optionally with a small interior
+    hole (a scaled copy well inside the shell)."""
+    cx = draw(st_.integers(*cx_rng))
+    cy = draw(st_.integers(*cx_rng))
+    k = draw(st_.integers(5, 10))
+    radii = [draw(st_.integers(4, 12)) for _ in range(k)]
+    ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+    pts = np.column_stack([cx + np.array(radii) * np.cos(ang),
+                           cy + np.array(radii) * np.sin(ang)])
+    pts = np.round(pts, 3)
+    shell = np.concatenate([pts, pts[:1]], axis=0)
+    rings = [shell]
+    if holes and draw(st_.booleans()):
+        hole = np.column_stack([cx + 0.25 * np.array(radii) * np.cos(ang),
+                                cy + 0.25 * np.array(radii) * np.sin(ang)])
+        hole = np.round(hole, 3)[::-1]
+        rings.append(np.concatenate([hole, hole[:1]], axis=0))
+    return rings
+
+
+@given(_star_polygon(), _star_polygon())
+@settings(max_examples=80, deadline=None)
+def test_boolean_identities_star_polygons_with_holes(ra, rb):
+    """Set-op algebra on random star polygons (optionally holed):
+      area(A∩B) + area(A∖B) = area(A)
+      area(A∪B) = area(A) + area(B) − area(A∩B)
+      area(A⊕B) = area(A∪B) − area(A∩B)
+      A∪A = A, A∩A = A, A∖A = ∅ (idempotence / self-annihilation)
+    exercising the Martinez–Rueda sweep on curved-ish, holed input rather
+    than the axis-aligned boxes above."""
+    from geopandas_spark.geom.array import GeometryBuilder, GT_POLYGON
+
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [ra])
+    b.append(GT_POLYGON, [rb])
+    ga = b.finish()
+    A, B = ga.take([0]), ga.take([1])
+    area_a = float(algos.area(A)[0])
+    area_b = float(algos.area(B)[0])
+    inter = float(algos.area(algos.intersection(A, B))[0])
+    union = float(algos.area(algos.union(A, B))[0])
+    diff = float(algos.area(algos.difference(A, B))[0])
+    xor = float(algos.area(algos.symmetric_difference(A, B))[0])
+    tol = 1e-6 * max(area_a, area_b, 1.0)
+    assert abs(inter + diff - area_a) < tol, (inter, diff, area_a)
+    assert abs(union - (area_a + area_b - inter)) < tol
+    assert abs(xor - (union - inter)) < tol
+    assert abs(float(algos.area(algos.union(A, A))[0]) - area_a) < tol
+    assert abs(float(algos.area(algos.intersection(A, A))[0]) - area_a) < tol
+    assert float(algos.area(algos.difference(A, A))[0]) < tol
