@@ -13,7 +13,10 @@ The FlatBuffers wire format (little-endian tables with vtables, forward
 uoffsets, length-prefixed vectors/strings) is implemented from the public
 FlatBuffers binary-format documentation in ~150 lines below — enough for
 the three FlatGeobuf tables — rather than depending on the flatbuffers
-package (not in this environment).
+package (not in this environment). Honesty note: no external FlatGeobuf
+implementation exists in this sandbox, so cross-implementation interop is
+untested; compliance rests on the spec-derived codec plus property-fuzzed
+self round trips (tests/test_properties.py, tests/test_io.py).
 
 Scale design:
 - **read** is distributed exactly like the shapefile driver: the driver

@@ -757,7 +757,12 @@ def _sjoin_nearest_grid_expanding(left, right, geom_left, geom_right, how,
     over only the still-unmatched lefts (shrinks geometrically; r0 is set
     near the expected nearest-neighbor spacing diag/sqrt(|R|) so round 1
     resolves the bulk). Nothing is ever collected; per-round state is
-    bounded by the distance ball like the bounded path."""
+    bounded by the distance ball like the bounded path.
+
+    The id-tagged left and per-round results stay persisted until the
+    returned plan is consumed (monotonically_increasing_id is
+    nondeterministic across recomputation, so the pin is required for
+    correctness); storage is evicted LRU / on session end."""
     import math
 
     from geopandas_spark.functions import st
