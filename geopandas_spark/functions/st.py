@@ -332,7 +332,11 @@ def _maxinscribedcircle(s: pd.Series, tol: pd.Series) -> pd.Series:
     return _enc(algos.maximum_inscribed_circle(
         _decode(s), None if t is None or t <= 0 else float(t)))
 _unary_geom("st_makevalid", algos.make_valid)
-_unary_geom("st_linemerge", algos.line_merge)
+@_reg("st_linemerge")
+@pandas_udf(BinaryType())
+def _linemerge(s: pd.Series, directed: pd.Series) -> pd.Series:
+    return _enc(algos.line_merge(_decode(s),
+                                 directed=bool(directed.iloc[0])))
 @_reg("st_delaunaytriangles")
 @pandas_udf(BinaryType())
 def _delaunaytriangles(s: pd.Series, tolerance: pd.Series,
@@ -1240,8 +1244,8 @@ def voronoi_polygons(c, tolerance=0.0, only_edges=False) -> Column:
         _col(c), F.lit(float(tolerance)), F.lit(bool(only_edges)))
 
 
-def line_merge(c) -> Column:
-    return _REGISTRY["st_linemerge"](_col(c))
+def line_merge(c, directed=False) -> Column:
+    return _REGISTRY["st_linemerge"](_col(c), F.lit(bool(directed)))
 
 
 def is_valid_reason(c) -> Column:

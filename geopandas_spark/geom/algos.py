@@ -3822,9 +3822,14 @@ def make_valid(ga: GeometryArray) -> GeometryArray:
     return b.finish()
 
 
-def line_merge(ga: GeometryArray) -> GeometryArray:
-    """Merge connected line parts (reference base.py:2395): chains of
-    degree-2 node connections join into single linestrings."""
+def line_merge(ga: GeometryArray, directed: bool = False) -> GeometryArray:
+    """Merge connected line parts (reference base.py:2395): chains join
+    only through nodes of degree exactly 2 (GEOS LineMerger semantics —
+    a Y-junction where three parts meet merges nothing through that
+    node). ``directed=True`` additionally merges only end-to-start, never
+    flipping a part's direction."""
+    from collections import Counter
+
     b = GeometryBuilder()
     for i in range(len(ga)):
         t = int(ga.types[i])
@@ -3838,18 +3843,25 @@ def line_merge(ga: GeometryArray) -> GeometryArray:
         merged = True
         while merged and len(chains) > 1:
             merged = False
+            deg = Counter()
+            for c in chains:
+                deg[tuple(c[0])] += 1
+                deg[tuple(c[-1])] += 1
             for a_i in range(len(chains)):
                 for b_i in range(a_i + 1, len(chains)):
                     ca, cb = chains[a_i], chains[b_i]
-                    # degree check: endpoints must join exactly two parts
                     joined = None
-                    if np.array_equal(ca[-1], cb[0]):
+                    if np.array_equal(ca[-1], cb[0]) and \
+                            deg[tuple(ca[-1])] == 2:
                         joined = np.concatenate([ca, cb[1:]])
-                    elif np.array_equal(cb[-1], ca[0]):
+                    elif np.array_equal(cb[-1], ca[0]) and \
+                            deg[tuple(ca[0])] == 2:
                         joined = np.concatenate([cb, ca[1:]])
-                    elif np.array_equal(ca[-1], cb[-1]):
+                    elif not directed and np.array_equal(ca[-1], cb[-1]) \
+                            and deg[tuple(ca[-1])] == 2:
                         joined = np.concatenate([ca, cb[::-1][1:]])
-                    elif np.array_equal(ca[0], cb[0]):
+                    elif not directed and np.array_equal(ca[0], cb[0]) \
+                            and deg[tuple(ca[0])] == 2:
                         joined = np.concatenate([ca[::-1], cb[1:]])
                     if joined is not None:
                         chains[a_i] = joined

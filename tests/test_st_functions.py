@@ -217,3 +217,27 @@ def test_simplify_preserve_topology_and_normalized_kwargs(spark):
     assert r[1].tp == "POLYGON ((0 0, 2 0.2, 4 0, 2 0.6, 0 0))"
     assert r[2].mid == "POINT (5 0)"
     assert r[2].pr == 3.0 and r[2].prn == 0.3
+
+
+def test_line_merge_degree_rule_and_directed(spark):
+    from geopandas_spark import st
+    rows = [
+        # Y-junction: three lines meet at (0 0) — degree 3, nothing merges
+        (1, "MULTILINESTRING ((0 0, 1 0), (0 0, 0 1), (0 0, -1 -1))"),
+        # simple chain: end-to-start, merges both ways
+        (2, "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))"),
+        # opposing directions: merges only when undirected
+        (3, "MULTILINESTRING ((0 0, 1 1), (2 2, 1 1))"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "w"]).select(
+        "id", st.geom_from_text("w").alias("g"))
+    out = {r.id: (r.u, r.d) for r in df.select(
+        "id",
+        st.as_text(st.line_merge("g")).alias("u"),
+        st.as_text(st.line_merge("g", directed=True)).alias("d")).collect()}
+    assert out[1][0].startswith("MULTILINESTRING")  # Y stays unmerged
+    assert out[1][0].count("(") == 4
+    assert out[2][0] == "LINESTRING (0 0, 1 1, 2 2)"
+    assert out[2][1] == "LINESTRING (0 0, 1 1, 2 2)"
+    assert out[3][0] == "LINESTRING (0 0, 1 1, 2 2)"
+    assert out[3][1].startswith("MULTILINESTRING")  # directed: no flip
