@@ -711,14 +711,20 @@ def _pair_covers(ga, i, gb, j, require_interior=False) -> bool:
 
 
 def _line_endpoints(ga, i):
-    """Boundary points of a (multi)linestring: endpoints of open parts."""
-    ends = []
+    """Mod-2 boundary points of a (multi)linestring: endpoints of open
+    parts that occur an odd number of times (the OGC Mod-2 rule GEOS
+    applies — a point where two part-ends meet is interior, not
+    boundary)."""
+    from collections import Counter
+    cnt = Counter()
     for p in ga.geom_slices(i):
         r = p[0]
         if len(r) >= 2 and not np.array_equal(r[0], r[-1]):
-            ends.append(r[0])
-            ends.append(r[-1])
-    return np.array(ends) if ends else np.empty((0, 2))
+            cnt[tuple(r[0])] += 1
+            cnt[tuple(r[-1])] += 1
+    ends = [k for k, v in cnt.items() if v % 2 == 1]
+    return (np.array(ends, dtype=np.float64) if ends
+            else np.empty((0, 2)))
 
 
 def _pair_distance(ga, i, gb, j) -> float:
@@ -1228,7 +1234,10 @@ def boundary(ga: GeometryArray) -> GeometryArray:
             else:
                 b.append(GT_MULTIPOINT, [[e.reshape(1, 2)] for e in ends])
         else:
-            b.append_empty(GT_MULTIPOINT if t in POINT_TYPES else t)
+            # point boundary is the empty set — GEOS types it as an empty
+            # GEOMETRYCOLLECTION
+            b.append_empty(GT_GEOMETRYCOLLECTION if t in POINT_TYPES
+                           else t)
     return b.finish()
 
 
@@ -2880,7 +2889,28 @@ def shared_paths(ga: GeometryArray, gb: GeometryArray) -> tuple:
 # line referencing (reference: interpolate base.py:5925, project :5827)
 # ---------------------------------------------------------------------------
 
+def _measure_segments(ga: GeometryArray, i: int):
+    """Per-part segments of a (multi)linestring concatenated WITHOUT
+    bridge segments between parts (GEOS's cumulative linear-referencing
+    convention): returns (starts, vecs, seg_lengths) or None."""
+    rs = [p[0] for p in ga.geom_slices(i) if len(p[0]) >= 2]
+    if not rs:
+        return None
+    starts, vecs, lens = [], [], []
+    for r in rs:
+        d = np.diff(r, axis=0)
+        starts.append(r[:-1])
+        vecs.append(d)
+        # sqrt form (not hypot) → bit-identical to SQL sqrt(dx*dx+dy*dy)
+        lens.append(np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]))
+    return (np.concatenate(starts), np.concatenate(vecs),
+            np.concatenate(lens))
+
+
 def interpolate(ga: GeometryArray, dist, normalized=False) -> GeometryArray:
+    """Point at a distance along a (multi)linestring (base.py:5925):
+    measures accumulate across MultiLineString parts; negative distances
+    measure backwards from the end (GEOS convention)."""
     dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
     cx = np.full(len(ga), np.nan)
     cy = np.full(len(ga), np.nan)
@@ -2888,41 +2918,39 @@ def interpolate(ga: GeometryArray, dist, normalized=False) -> GeometryArray:
         t = int(ga.types[i])
         if t not in (GT_LINESTRING, GT_MULTILINESTRING):
             continue
-        parts = ga.geom_slices(i)
-        if not parts:
+        ms = _measure_segments(ga, i)
+        if ms is None:
             continue
-        r = parts[0][0]
-        d = np.diff(r, axis=0)
-        seg = np.hypot(d[:, 0], d[:, 1])
+        a, d, seg = ms
         cum = np.concatenate([[0.0], np.cumsum(seg)])
         total = cum[-1]
         target = dist[i] * total if normalized else dist[i]
+        if target < 0:
+            target += total
         target = min(max(target, 0.0), total)
         k = int(np.searchsorted(cum, target, side="right") - 1)
         k = min(k, len(seg) - 1)
         frac = (target - cum[k]) / seg[k] if seg[k] > 0 else 0.0
-        p = r[k] + frac * d[k]
+        p = a[k] + frac * d[k]
         cx[i], cy[i] = p
     out = points_from_xy(cx, cy)
     return _with_nulls(out, ga.is_missing())
 
 
 def project(ga: GeometryArray, gb: GeometryArray, normalized=False) -> np.ndarray:
-    """Distance along line A to the point on A nearest to point B."""
+    """Distance along (multi)line A to the point on A nearest to point B
+    (base.py:5827); MultiLineString measures accumulate across parts."""
     out = np.full(len(ga), np.nan)
     for i in range(len(ga)):
-        if int(ga.types[i]) != GT_LINESTRING or int(gb.types[i]) != GT_POINT:
+        if int(ga.types[i]) not in (GT_LINESTRING, GT_MULTILINESTRING) \
+                or int(gb.types[i]) != GT_POINT:
             continue
-        parts = ga.geom_slices(i)
+        ms = _measure_segments(ga, i)
         p = _geom_points(gb, i)
-        if not parts or not len(p):
+        if ms is None or not len(p):
             continue
-        r = parts[0][0]
-        d = np.diff(r, axis=0)
-        # sqrt form (not hypot) → bit-identical to SQL sqrt(dx*dx+dy*dy)
-        seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+        a, d, seg = ms
         cum = np.concatenate([[0.0], np.cumsum(seg)])
-        a = r[:-1]
         denom = (d * d).sum(1)
         t = np.clip(((p[0] - a) * d).sum(1) / np.where(denom == 0, 1, denom), 0, 1)
         proj = a + t[:, None] * d

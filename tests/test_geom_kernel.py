@@ -1175,3 +1175,53 @@ def test_crs_mercator_and_laea():
         back = crs.transform_coords(
             crs.transform_coords(a, "EPSG:4326", code), code, "EPSG:4326")
         assert np.abs(back - a).max() < 1e-7, code
+
+
+def test_boundary_mod2_rule_and_point_type():
+    """OGC Mod-2 boundary: a point where an even number of line-part ends
+    meet is interior (drops); odd counts stay. Point boundaries are empty
+    GEOMETRYCOLLECTIONs (GEOS typing)."""
+    from geopandas_spark.geom import algos, wkt
+    from geopandas_spark.geom.array import GeometryBuilder
+    b = GeometryBuilder()
+    cases = ["MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))",
+             "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))",
+             "POINT (1 1)", "MULTIPOINT ((1 1), (2 2))",
+             "LINESTRING (0 0, 5 5)"]
+    for w in cases:
+        wkt.parse_one(w, b)
+    out = wkt.format_array(algos.boundary(b.finish()))
+    assert out[0] == "MULTIPOINT ((0 0), (2 0))"          # shared end drops
+    assert out[1] == "MULTIPOINT ((0 0), (1 0), (2 0), (1 5))"  # odd kept
+    assert out[2] == "GEOMETRYCOLLECTION EMPTY"
+    assert out[3] == "GEOMETRYCOLLECTION EMPTY"
+    assert out[4] == "MULTIPOINT ((0 0), (5 5))"
+
+
+def test_interpolate_project_multiline_and_negative():
+    """Linear referencing accumulates across MultiLineString parts (no
+    bridge segments); negative interpolate distances measure backwards
+    from the end (GEOS conventions)."""
+    import numpy as np
+
+    from geopandas_spark.geom import algos, wkt
+    from geopandas_spark.geom.array import GeometryBuilder
+
+    def arr(*ws):
+        b = GeometryBuilder()
+        for w in ws:
+            wkt.parse_one(w, b)
+        return b.finish()
+
+    mls = arr("MULTILINESTRING ((0 0, 10 0), (10 0, 10 10))")
+    pt = arr("POINT (10 3)")
+    assert algos.project(mls, pt)[0] == 13.0
+    assert abs(algos.project(mls, pt, normalized=True)[0] - 0.65) < 1e-12
+    assert wkt.format_array(
+        algos.interpolate(mls, np.array([13.0])))[0] == "POINT (10 3)"
+    ls = arr("LINESTRING (0 0, 10 0)")
+    assert wkt.format_array(
+        algos.interpolate(ls, np.array([-2.0])))[0] == "POINT (8 0)"
+    assert wkt.format_array(
+        algos.interpolate(ls, np.array([-0.25]),
+                          normalized=True))[0] == "POINT (7.5 0)"
