@@ -1169,9 +1169,23 @@ def centroid(ga: GeometryArray) -> GeometryArray:
         if len(pts):
             cx[i] = pts[:, 0].mean()
             cy[i] = pts[:, 1].mean()
-    out = points_from_xy(cx, cy)
-    out.types[ga.is_missing()] = GT_MISSING
-    return _with_nulls(out, ga.is_missing() | ga.is_empty())
+    return _points_with_empties(cx, cy, ga.is_missing(),
+                                (~ga.is_missing()) & ga.is_empty())
+
+
+def _points_with_empties(cx, cy, missing, empty) -> GeometryArray:
+    """Point array where ``missing`` rows are NULL and ``empty`` rows are
+    POINT EMPTY — GEOS distinguishes the two (centroid/interpolate of an
+    empty geometry is POINT EMPTY, not missing)."""
+    n = len(cx)
+    val = ~(missing | empty)
+    types = np.where(missing, GT_MISSING, GT_POINT).astype(np.uint8)
+    counts = val.astype(np.int64)
+    geom_offsets = np.concatenate([[0], np.cumsum(counts)])
+    npts = int(counts.sum())
+    ppr = np.arange(npts + 1, dtype=np.int64)
+    coords = np.column_stack([np.asarray(cx)[val], np.asarray(cy)[val]])
+    return GeometryArray(types, geom_offsets, ppr, ppr.copy(), coords)
 
 
 def _with_nulls(ga: GeometryArray, null_mask) -> GeometryArray:
@@ -2933,8 +2947,12 @@ def interpolate(ga: GeometryArray, dist, normalized=False) -> GeometryArray:
         frac = (target - cum[k]) / seg[k] if seg[k] > 0 else 0.0
         p = a[k] + frac * d[k]
         cx[i], cy[i] = p
-    out = points_from_xy(cx, cy)
-    return _with_nulls(out, ga.is_missing())
+    miss = ga.is_missing()
+    lineal = np.isin(ga.types, (GT_LINESTRING, GT_MULTILINESTRING))
+    # non-lineal / empty lineal input → POINT EMPTY (GEOS convention)
+    return _points_with_empties(cx, cy, miss,
+                                (~miss) & np.isnan(cx) & lineal
+                                | ((~miss) & ~lineal))
 
 
 def project(ga: GeometryArray, gb: GeometryArray, normalized=False) -> np.ndarray:

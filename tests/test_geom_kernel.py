@@ -1225,3 +1225,21 @@ def test_interpolate_project_multiline_and_negative():
     assert wkt.format_array(
         algos.interpolate(ls, np.array([-0.25]),
                           normalized=True))[0] == "POINT (7.5 0)"
+
+
+def test_centroid_interpolate_empty_vs_missing():
+    """GEOS distinguishes empty from missing: centroid/interpolate of an
+    EMPTY geometry is POINT EMPTY; only NULL input stays NULL."""
+    import numpy as np
+
+    from geopandas_spark.geom import algos, wkb, wkt
+    from geopandas_spark.geom.array import GeometryBuilder
+    b = GeometryBuilder()
+    for w in ["POLYGON EMPTY", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+              "LINESTRING EMPTY"]:
+        wkt.parse_one(w, b)
+    ga = wkb.decode(wkb.encode(b.finish()) + [None])
+    assert wkt.format_array(algos.centroid(ga)) == \
+        ["POINT EMPTY", "POINT (2 2)", "POINT EMPTY", None]
+    assert wkt.format_array(algos.interpolate(ga, np.array([1.0] * 4))) == \
+        ["POINT EMPTY", "POINT EMPTY", "POINT EMPTY", None]
