@@ -3529,6 +3529,31 @@ FROM docg JOIN bench USING (gh)
 GROUP BY doc_id
 """
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (pipeline/text.py char_entropy):
+    Shannon bits/char over the document's character distribution, the
+    cheap gibberish/boilerplate detector curation stacks pair with the
+    Gopher rules. Sorted-alphabet summation keeps the float fold order
+    identical across engines; ROUND(6) absorbs ULP noise."""
+    from geopandas_spark.pipeline import char_entropy
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return d.select(F.col("doc_id").alias("id"),
+                    F.round(char_entropy("text"), 6).alias("h"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH t AS (
+  SELECT doc_id, string_split(text, '') AS ch
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id AS id,
+       ROUND(-COALESCE(list_sum(
+         [ (len(list_filter(ch, x -> x = c)) * 1.0 / len(ch))
+           * log2(len(list_filter(ch, x -> x = c)) * 1.0 / len(ch))
+           FOR c IN list_sort(list_distinct(ch)) ]), 0.0), 6) AS h
+FROM t
+"""
+
 
 def q_url_ops(spark, sf_dir):
     """URL normalization + domain extraction for web-corpus dedup and
@@ -3611,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
+        "char_entropy": q_char_entropy,
         "url_ops": q_url_ops,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
@@ -3737,6 +3763,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "repetition": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
+        "char_entropy": SQL_CHAR_ENTROPY,
         "url_ops": SQL_URL_OPS,
         "overlay_identity": SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,

@@ -17,7 +17,7 @@ from geopandas_spark.pipeline.text import (  # noqa: F401
     add_text_stats, quality_score, language_id, fingerprint, token_count,
     pii_scrub, gopher_rules, train_split, repetition_stats, normalize_url,
     url_domain, filter_blocked_domains, word_ngrams, contamination,
-    decontaminate,
+    decontaminate, char_entropy,
 )
 from geopandas_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_bucket_topk,

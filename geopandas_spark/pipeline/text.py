@@ -319,3 +319,25 @@ def decontaminate(df: DataFrame, bench_df: DataFrame, *,
                       bench_text_col=bench_text_col, n=n)
     return (c.filter(F.col("n_contaminated") <= max_matches)
              .drop("n_contaminated"))
+
+
+def char_entropy(text_col) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    cheap gibberish/boilerplate detector curation pipelines pair with the
+    Gopher rules (near-zero = repeated filler, ~4+ = natural text,
+    higher = random noise). Pure native: split-to-chars + a sorted
+    distinct alphabet + one aggregate; O(|alphabet|·len) per doc with a
+    small constant (text alphabets are tiny), no Python in the plan."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # the (?!^) lookahead also matches at end-of-string, leaving a
+    # trailing "" element — drop empties
+    chars = F.filter(F.split(c, "(?!^)"), lambda x: x != "")
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    probs = F.transform(
+        uniq,
+        lambda u: F.size(F.filter(chars, lambda x: x == u))
+        / n.cast("double"))
+    h = -F.aggregate(probs, F.lit(0.0),
+                     lambda acc, p: acc + p * F.log2(p))
+    return F.when(n > 0, h).otherwise(F.lit(0.0))

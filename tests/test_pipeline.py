@@ -350,3 +350,30 @@ def test_fuzzy_dedup_end_to_end(spark):
     # 1/2/3 collapse to min-id survivor 1; 4 and 5 survive untouched
     assert ids == {1, 4, 5}, ids
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_char_entropy(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.pipeline import char_entropy
+    df = spark.createDataFrame([
+        (1, "aaaa"),                  # zero entropy
+        (2, "abab"),                  # 1 bit/char
+        (3, "abcd"),                  # 2 bits/char
+        (4, ""),                      # empty -> 0
+    ], ["id", "text"])
+    out = {r.id: r.h for r in df.select(
+        "id", F.round(char_entropy("text"), 9).alias("h")).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 2.0
+    assert out[4] == 0.0
+    # matches a python reference on arbitrary text
+    txt = "the quick brown fox! 123"
+    import collections
+    cnt = collections.Counter(txt)
+    n = len(txt)
+    ref = -sum((v / n) * math.log2(v / n) for v in cnt.values())
+    got = df.sparkSession.createDataFrame([(txt,)], ["text"]).select(
+        char_entropy("text").alias("h")).collect()[0].h
+    assert abs(got - ref) < 1e-9
