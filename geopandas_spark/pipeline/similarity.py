@@ -128,15 +128,79 @@ def _lit_vec(vals) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
+def _nearest_struct_expr(vec, cents, dim):
+    """array of per-centroid (cosine-score, -label) structs for `vec`;
+    array_max of it = (score desc, label asc) argmax, all JVM-side.
+    Centroid elements inline as scalar literals (see _dot_lit note)."""
+    import math
+
+    def _dot_lit(v, cvec):
+        out = F.element_at(v, 1).cast("double") * F.lit(float(cvec[0]))
+        for i in range(1, len(cvec)):
+            out = out + F.element_at(v, i + 1).cast("double") * \
+                F.lit(float(cvec[i]))
+        return out
+
+    vn = norm(vec, dim)
+    entries = []
+    for cid, cvec in cents:
+        acc = float(cvec[0]) * float(cvec[0])
+        for x in cvec[1:]:
+            acc = acc + float(x) * float(x)
+        cn = math.sqrt(acc) or 1.0
+        s = F.round(_dot_lit(vec, cvec) / (vn * F.lit(cn)), 6)
+        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nid")))
+    return F.array(*entries)
+
+
+def kmeans_centroids(df: DataFrame, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id", k: int = 8,
+                     iters: int = 5) -> list:
+    """Distributed spherical Lloyd's k-means returning [(label, vector)]
+    for use as IVF centroids (``ivf_topk(centroids=...)``).
+
+    Deterministic by construction (reproducible across retries/engines):
+    init = the k lowest-id vectors; each iteration is one fully native
+    pass — inlined-literal cosine assignment (the same codegen shape as
+    the IVF list assignment, no UDF, no shuffle before the agg) →
+    posexplode → groupBy (cluster, dim) avg → collect k×dim doubles.
+    Empty clusters keep their previous centroid. Driver state is
+    k×dim floats; the corpus is scanned ``iters`` times."""
+    dim = _vec_dim(df, vec_col)
+    init = (df.select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cvec"))
+              .orderBy("cid").limit(k).collect())
+    cents = [(i, [float(x) for x in r["cvec"]])
+             for i, r in enumerate(init)]
+    base = df.select(F.col(vec_col).alias("v"))
+    for _ in range(int(iters)):
+        assign = -F.array_max(
+            _nearest_struct_expr(F.col("v"), cents, dim))["nid"]
+        means = (base.withColumn("__c__", assign)
+                 .select("__c__", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("__c__", "pos")
+                 .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                 .collect())
+        upd = {}
+        for r in means:
+            upd.setdefault(int(r["__c__"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [(cid,
+                  [upd[cid][p] for p in range(dim)] if cid in upd else old)
+                 for cid, old in cents]
+    return cents
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
              vec_col: str = "embedding", id_col: str = "vec_id",
              nlist: int = 8, nprobe: int = 3,
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True, centroids=None) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Centroids are the ``nlist`` lowest-id vectors — a deterministic stand-in
-    for offline k-means training (at cluster scale you train centroids once
-    and broadcast them; the query plan is identical). Scale shape:
+    Default centroids are the ``nlist`` lowest-id vectors — a
+    deterministic stand-in usable as an oracle fixture; pass
+    ``centroids=kmeans_centroids(df, k=nlist)`` (or any [(label, vec)]
+    list) for trained lists — at cluster scale you train once offline
+    and broadcast. Scale shape:
 
     - assignment is **pure map-side codegen**: centroids are collected once
       (tiny) and inlined as literal arrays, so each corpus vector finds its
@@ -152,11 +216,15 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
     rounded to 1e-6) so results are engine-reproducible.
     """
     dim = _vec_dim(df, vec_col)
-    cents = (df.select(F.col(id_col).alias("cent_id"),
-                       F.col(vec_col).alias("cvec"))
-               .orderBy("cent_id").limit(nlist).collect())
-    cents = [(int(r["cent_id"]), [float(x) for x in r["cvec"]])
-             for r in cents]
+    if centroids is not None:
+        cents = [(int(cid), [float(x) for x in cvec])
+                 for cid, cvec in centroids]
+    else:
+        rows = (df.select(F.col(id_col).alias("cent_id"),
+                          F.col(vec_col).alias("cvec"))
+                  .orderBy("cent_id").limit(nlist).collect())
+        cents = [(int(r["cent_id"]), [float(x) for x in r["cvec"]])
+                 for r in rows]
 
     import math
 

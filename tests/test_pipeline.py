@@ -377,3 +377,32 @@ def test_char_entropy(spark):
     got = df.sparkSession.createDataFrame([(txt,)], ["text"]).select(
         char_entropy("text").alias("h")).collect()[0].h
     assert abs(got - ref) < 1e-9
+
+
+def test_kmeans_centroids_and_trained_ivf(emb):
+    from geopandas_spark.pipeline import kmeans_centroids
+    from geopandas_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    sub = emb.filter(F.col("vec_id") < 400)
+    c1 = kmeans_centroids(sub, k=8, iters=3)
+    c2 = kmeans_centroids(sub, k=8, iters=3)
+    assert c1 == c2                       # deterministic across runs
+    assert len(c1) == 8
+    dim = len(c1[0][1])
+    assert all(len(v) == dim for _, v in c1)
+
+    q = sub.filter(F.col("vec_id") < 5)
+    exact = {(r.q_id, r.c_id) for r in cosine_topk(sub, q, k=5).collect()}
+    naive = {(r.q_id, r.c_id) for r in
+             ivf_topk(sub, q, k=5, nlist=8, nprobe=3).collect()}
+    trained = {(r.q_id, r.c_id) for r in
+               ivf_topk(sub, q, k=5, nlist=8, nprobe=3,
+                        centroids=c1).collect()}
+    rec_naive = len(naive & exact) / len(exact)
+    rec_trained = len(trained & exact) / len(exact)
+    # the synthetic embeddings are uniform (no cluster structure), so
+    # trained and lowest-id centroids are statistically equivalent here —
+    # assert comparable recall, not superiority (on genuinely clustered
+    # corpora k-means lists is where the win appears)
+    assert rec_trained >= 0.6 and rec_naive >= 0.6, (rec_trained,
+                                                     rec_naive)
