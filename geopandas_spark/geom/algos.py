@@ -1667,8 +1667,14 @@ def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
 
 
 def _is_convex(ring: np.ndarray) -> bool:
+    """Convexity of a closed ring. The wrap-around edge pair
+    (last edge → first edge) MUST be included: a ring reflex only at its
+    starting vertex is otherwise misclassified as convex, which sent
+    such polygons down the Sutherland–Hodgman / convex-buffer fast paths
+    and produced wrong boolean results (caught by the star-polygon
+    property fuzz)."""
     v = np.diff(ring, axis=0)
-    cr = np.cross(v[:-1], v[1:])
+    cr = np.cross(v, np.roll(v, -1, axis=0))
     return bool((cr >= -_EPS).all() or (cr <= _EPS).all())
 
 
