@@ -424,3 +424,28 @@ def test_boolean_identities_star_polygons_with_holes(ra, rb):
     assert abs(float(algos.area(algos.union(A, A))[0]) - area_a) < tol
     assert abs(float(algos.area(algos.intersection(A, A))[0]) - area_a) < tol
     assert float(algos.area(algos.difference(A, A))[0]) < tol
+
+
+@given(_star_polygon(holes=False))
+@settings(max_examples=60, deadline=None)
+def test_buffer_containment_and_steiner_bound(ra):
+    """Positive buffer must contain the input and obey the Steiner lower
+    bound area(buf) >= area + perimeter*d; negative buffer must be
+    contained in the input. Exercises the convex/general buffer fast-path
+    dispatch on rings that may be reflex anywhere, including the start
+    vertex (the class the fixed convexity test misclassified)."""
+    from geopandas_spark.geom.array import GeometryBuilder, GT_POLYGON
+
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [ra])
+    A = b.finish()
+    area0 = float(algos.area(A)[0])
+    per = float(algos.length(algos.boundary(A))[0])
+    d = 0.5
+    buf = algos.buffer(A, np.array([d]))
+    a1 = float(algos.area(buf)[0])
+    assert bool(algos.contains(buf, A)[0])
+    assert a1 >= area0 + per * d - 1e-6 * max(area0, 1.0)
+    neg = algos.buffer(A, np.array([-0.3]))
+    if not neg.is_empty()[0]:
+        assert bool(algos.contains(A, neg)[0])
