@@ -449,3 +449,39 @@ def test_buffer_containment_and_steiner_bound(ra):
     neg = algos.buffer(A, np.array([-0.3]))
     if not neg.is_empty()[0]:
         assert bool(algos.contains(A, neg)[0])
+
+
+@given(_star_polygon(holes=False), _star_polygon(holes=False))
+@settings(max_examples=60, deadline=None)
+def test_predicate_consistency_polygons(ra, rb):
+    """Cross-predicate logical consistency on random polygon pairs:
+    intersects == !disjoint; intersects <=> distance 0; touches implies
+    zero-area contact; overlaps excludes containment; contains implies
+    covers; equals <=> mutual containment; positive intersection area
+    implies intersects."""
+    from geopandas_spark.geom.array import GeometryBuilder, GT_POLYGON
+
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [ra])
+    b.append(GT_POLYGON, [rb])
+    ga = b.finish()
+    A, B = ga.take([0]), ga.take([1])
+    inter = bool(algos.intersects(A, B)[0])
+    disj = bool(algos.disjoint(A, B)[0])
+    tch = bool(algos.touches(A, B)[0])
+    ovl = bool(algos.overlaps(A, B)[0])
+    cont = bool(algos.contains(A, B)[0])
+    wthn = bool(algos.within(A, B)[0])
+    cov = bool(algos.covers(A, B)[0])
+    eq = bool(algos.geom_equals(A, B)[0])
+    d = float(algos.distance(A, B)[0])
+    ia = float(algos.area(algos.intersection(A, B))[0])
+    assert inter != disj
+    assert (not inter) or d == 0.0
+    assert inter or d > 0.0
+    assert (not tch) or (inter and ia < 1e-9)
+    assert (not ovl) or (ia > 0 and not cont and not wthn)
+    assert (not cont) or cov
+    assert (not eq) or (cont and wthn)
+    assert (not (cont and wthn)) or eq
+    assert (ia <= 1e-6) or inter
