@@ -990,6 +990,18 @@ def touches(ga, gb):
             ends = _line_endpoints(b, j)
             return bool(len(ends) and
                         (np.abs(pa[:, None] - ends[None]).max(-1) <= _EPS).any())
+        if ta in POLYGON_TYPES and tb in POLYGON_TYPES:
+            # coincident-boundary pairs (e.g. identical polygons) defeat
+            # the boundary probes above: every vertex/midpoint of each
+            # lies ON the other's boundary while the interiors fully
+            # overlap. A strict interior point of `a` settles it (caught
+            # by the predicate-consistency property fuzz).
+            rp = representative_point(a.take([i]))
+            if rp.n_coords:
+                px, py = rp.coords[0]
+                if points_in_geom(np.array([px]), np.array([py]),
+                                  b, j)[0] == 2:
+                    return False
         return True
     return _pairwise(ga, gb, f, bool, False)
 
