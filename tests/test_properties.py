@@ -485,3 +485,32 @@ def test_predicate_consistency_polygons(ra, rb):
     assert (not eq) or (cont and wthn)
     assert (not (cont and wthn)) or eq
     assert (ia <= 1e-6) or inter
+
+
+@given(_star_polygon(holes=False),
+       st_.lists(st_.tuples(st_.integers(-5, 45), st_.integers(-5, 45)),
+                 min_size=2, max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_line_clip_length_identity(rp, lpts):
+    """len(L∩P) + len(L∖P) = len(L) for a polyline against a polygon —
+    the lineal analogue of the area identities, pinning the line-clip
+    segment splitting + even-odd classification."""
+    from geopandas_spark.geom.array import (GT_LINESTRING, GT_POLYGON,
+                                            GeometryBuilder)
+
+    keep = [np.array(lpts[0], float)]
+    for p in lpts[1:]:
+        if not np.array_equal(np.array(p, float), keep[-1]):
+            keep.append(np.array(p, float))
+    if len(keep) < 2:
+        return
+    lp = np.array(keep)
+    b = GeometryBuilder()
+    b.append(GT_LINESTRING, [[lp]])
+    b.append(GT_POLYGON, [rp])
+    g = b.finish()
+    L, P = g.take([0]), g.take([1])
+    li = float(algos.length(algos.intersection(L, P))[0])
+    ld = float(algos.length(algos.difference(L, P))[0])
+    lt = float(algos.length(L)[0])
+    assert abs(li + ld - lt) < 1e-6 * max(lt, 1.0), (li, ld, lt)
