@@ -514,3 +514,47 @@ def test_line_clip_length_identity(rp, lpts):
     ld = float(algos.length(algos.difference(L, P))[0])
     lt = float(algos.length(L)[0])
     assert abs(li + ld - lt) < 1e-6 * max(lt, 1.0), (li, ld, lt)
+
+
+@st_.composite
+def _valid_multipolygon(draw):
+    """1-3 star parts in disjoint 20×20 grid cells (valid by
+    construction: MultiPolygon parts may not overlap)."""
+    ncells = draw(st_.integers(1, 3))
+    cells = draw(st_.permutations(list(range(9))))[:ncells]
+    parts = []
+    for c in cells:
+        cx, cy = (c % 3) * 20 + 10, (c // 3) * 20 + 10
+        k = draw(st_.integers(4, 8))
+        radii = [draw(st_.integers(2, 8)) for _ in range(k)]
+        ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        pts = np.round(np.column_stack([cx + np.array(radii) * np.cos(ang),
+                                        cy + np.array(radii) * np.sin(ang)]),
+                       2)
+        parts.append([np.concatenate([pts, pts[:1]], axis=0)])
+    return parts
+
+
+@given(_valid_multipolygon(), _valid_multipolygon())
+@settings(max_examples=50, deadline=None)
+def test_boolean_identities_multipolygons(pa, pb):
+    """Set-op area identities with MultiPolygon operands (multi-part
+    inputs exercise the ring flattening + face tracing differently than
+    single polygons)."""
+    from geopandas_spark.geom.array import GT_MULTIPOLYGON, GeometryBuilder
+
+    b = GeometryBuilder()
+    b.append(GT_MULTIPOLYGON, pa)
+    b.append(GT_MULTIPOLYGON, pb)
+    g = b.finish()
+    A, B = g.take([0]), g.take([1])
+    area_a = float(algos.area(A)[0])
+    area_b = float(algos.area(B)[0])
+    inter = float(algos.area(algos.intersection(A, B))[0])
+    diff = float(algos.area(algos.difference(A, B))[0])
+    union = float(algos.area(algos.union(A, B))[0])
+    xor = float(algos.area(algos.symmetric_difference(A, B))[0])
+    tol = 1e-6 * max(area_a, area_b, 1.0)
+    assert abs(inter + diff - area_a) < tol
+    assert abs(union - (area_a + area_b - inter)) < tol
+    assert abs(xor - (union - inter)) < tol
