@@ -2514,6 +2514,113 @@ FROM customer
 """
 
 
+def q_to_crs_gk(spark, sf_dir):
+    """General to_crs family #7: EPSG:31466-31469 (DHDN / 3-degree
+    Gauss-Krüger zones 2-5) — transverse Mercator on Bessel 1841 with the
+    EPSG-1777 position-vector Helmert to DHDN (exact affine inverse, so
+    the round trip closes to float precision). Oracle = round-trip
+    identity over a Germany lon/lat grid through the zone matching the
+    longitude (zone = round(lon/3))."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(6.0) + (k % 900) / F.lit(100.0)).cast("double")  # 6..15
+    lat = (F.lit(47.5) + (k * 7 % 750) / F.lit(100.0)).cast("double")
+    g = st.point(lon, lat)
+    zone_code = (F.round(lon / 3.0, 0).cast("long") + 31464)
+    back = g
+    for code in (31466, 31467, 31468, 31469):
+        rt = st.to_crs(st.to_crs(g, "EPSG:4326", f"EPSG:{code}"),
+                       f"EPSG:{code}", "EPSG:4326")
+        back = F.when(zone_code == code, rt).otherwise(back)
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"))
+
+
+SQL_TO_CRS_GK = """
+SELECT c_custkey AS id,
+       ROUND(6.0 + (c_custkey % 900) / 100.0, 5) AS rlon,
+       ROUND(47.5 + (c_custkey * 7 % 750) / 100.0, 5) AS rlat
+FROM customer
+"""
+
+
+def q_to_crs_spcs(spark, sf_dir):
+    """General to_crs family #8: NAD83 US State Plane LCC-2SP metre zones
+    (EPSG:32118 NY Long Island, 26985 Maryland, 32139 Texas Central,
+    26943 California 3). Oracle = round-trip identity per zone grid plus
+    the false-origin anchors ((lon0,lat0) -> (fe,fn), exact in the 2SP
+    closed form)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(-74.6) + (k % 120) / F.lit(100.0)).cast("double")
+    lat = (F.lit(40.4) + (k * 7 % 110) / F.lit(100.0)).cast("double")
+    g = st.point(lon, lat)
+    rt = st.to_crs(st.to_crs(g, "EPSG:4326", "EPSG:32118"),
+                   "EPSG:32118", "EPSG:4326")
+    anchors = [(-74.0, 40.0 + 10.0 / 60, "EPSG:32118", 300000.0, 0.0),
+               (-77.0, 37.0 + 40.0 / 60, "EPSG:26985", 400000.0, 0.0),
+               (-(100.0 + 20.0 / 60), 29.0 + 40.0 / 60, "EPSG:32139",
+                700000.0, 3000000.0),
+               (-120.5, 36.5, "EPSG:26943", 2000000.0, 500000.0)]
+    cols = [k.alias("id"),
+            F.round(st.x(rt), 5).alias("rlon"),
+            F.round(st.y(rt), 5).alias("rlat")]
+    for i, (lo, la, code, fe, fn) in enumerate(anchors):
+        a = st.to_crs(st.point(F.lit(lo), F.lit(la)), "EPSG:4326", code)
+        cols.append((F.round(st.x(a), 3) + 0.0).alias(f"fe{i}"))
+        cols.append((F.round(st.y(a), 3) + 0.0).alias(f"fn{i}"))
+    return c.select(*cols)
+
+
+SQL_TO_CRS_SPCS = """
+SELECT c_custkey AS id,
+       ROUND(-74.6 + (c_custkey % 120) / 100.0, 5) AS rlon,
+       ROUND(40.4 + (c_custkey * 7 % 110) / 100.0, 5) AS rlat,
+       300000.0 + 0.0 AS fe0, 0.0 + 0.0 AS fn0,
+       400000.0 + 0.0 AS fe1, 0.0 + 0.0 AS fn1,
+       700000.0 + 0.0 AS fe2, 3000000.0 + 0.0 AS fn2,
+       2000000.0 + 0.0 AS fe3, 500000.0 + 0.0 AS fn3
+FROM customer
+"""
+
+
+def q_to_crs_somerc(spark, sf_dir):
+    """General to_crs family #9: EPSG:2056 (CH1903+/LV95) and EPSG:21781
+    (CH1903/LV03) — Swiss Oblique Mercator (EPSG method 9815 Swiss
+    variant; swisstopo closed form on Bessel 1841, translation-only datum
+    shift). Oracle = round-trip identity over a Switzerland grid chained
+    through BOTH CRSs, plus the LV95-vs-LV03 false-origin offset
+    (E_lv95 - E_lv03 = 2_000_000, N diff = 1_000_000 for every point,
+    exact because the two CRSs differ only in false origin)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(6.0) + (k % 450) / F.lit(100.0)).cast("double")
+    lat = (F.lit(45.9) + (k * 7 % 180) / F.lit(100.0)).cast("double")
+    g = st.point(lon, lat)
+    lv95 = st.to_crs(g, "EPSG:4326", "EPSG:2056")
+    g1 = st.to_crs(lv95, "EPSG:2056", "EPSG:4326")
+    lv03 = st.to_crs(g1, "EPSG:4326", "EPSG:21781")
+    g2 = st.to_crs(lv03, "EPSG:21781", "EPSG:4326")
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(g2), 5).alias("rlon"),
+        F.round(st.y(g2), 5).alias("rlat"),
+        F.round(st.x(lv95) - st.x(lv03), 2).alias("de"),
+        F.round(st.y(lv95) - st.y(lv03), 2).alias("dn"))
+
+
+SQL_TO_CRS_SOMERC = """
+SELECT c_custkey AS id,
+       ROUND(6.0 + (c_custkey % 450) / 100.0, 5) AS rlon,
+       ROUND(45.9 + (c_custkey * 7 % 180) / 100.0, 5) AS rlat,
+       2000000.0 AS de,
+       1000000.0 AS dn
+FROM customer
+"""
+
+
 def q_buffer_styles(spark, sf_dir):
     """Buffer kwarg matrix (reference array.py:916-943): square/flat caps,
     mitre/bevel joins, single_sided — all with exact rectilinear areas."""
@@ -2942,6 +3049,42 @@ SELECT c_nationkey AS nk,
        MEDIAN(CAST(c_custkey AS DOUBLE)) AS key_med,
        CAST(MAX(c_custkey) - MIN(c_custkey) AS DOUBLE) AS key_spread,
        COUNT(DISTINCT c_acctbal) AS bal_uniq
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def q_dissolve_coverage(spark, sf_dir):
+    """dissolve(method='coverage'): per-nation edge-matched tile strips
+    (rank-indexed unit squares, 8 wide) union via edge cancellation +
+    face tracing — no sweep (reference dissolve(method=)/union_all
+    (method='coverage'), geodataframe.py:2172, array.py:1002-1019).
+    Closed form: area = tile count n; the left-aligned strip's perimeter
+    is 2*(8 + ceil(n/8)) regardless of the last row's width."""
+    from pyspark.sql import Window
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    r = F.row_number().over(w) - 1
+    tile = st.makebox((r % 8).cast("double"),
+                      F.floor(r / 8).cast("double"),
+                      (r % 8 + 1).cast("double"),
+                      (F.floor(r / 8) + 1).cast("double"))
+    tiles = c.select("c_nationkey", tile.alias("geom"))
+    dis = dissolve(tiles, "c_nationkey", method="coverage")
+    return dis.select(
+        F.col("c_nationkey").alias("nk"),
+        F.round(st.area("geom"), 6).alias("tile_area"),
+        F.round(st.length("geom"), 6).alias("perim"),
+        st.ngeometries("geom").alias("n_parts"),
+        st.n_interior_rings("geom").alias("n_holes"))
+
+
+SQL_DISSOLVE_COVERAGE = """
+SELECT c_nationkey AS nk,
+       ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS tile_area,
+       ROUND(2.0 * (8 + CEIL(COUNT(*) / 8.0)), 6) AS perim,
+       CAST(1 AS BIGINT) AS n_parts,
+       CAST(0 AS BIGINT) AS n_holes
 FROM customer
 GROUP BY c_nationkey
 """
@@ -3625,6 +3768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotate_skew": q_rotate_skew,
         "transform_apply": q_transform_apply,
         # (c) new round-4 queries go here (inserted as built)
+        "dissolve_coverage": q_dissolve_coverage,
+        "to_crs_gk": q_to_crs_gk,
+        "to_crs_spcs": q_to_crs_spcs,
+        "to_crs_somerc": q_to_crs_somerc,
         # --- previously-stamped green queries (r3 window order) ---
         "simplify": q_simplify,
         "snap": q_snap,
@@ -3779,6 +3926,10 @@ def oracle_sql() -> dict[str, str]:
         "overlay_symdiff": SQL_OVERLAY_SYMDIFF,
         "dissolve_mean": SQL_DISSOLVE_MEAN,
         "dissolve_aggfuncs": SQL_DISSOLVE_AGGFUNCS,
+        "dissolve_coverage": SQL_DISSOLVE_COVERAGE,
+        "to_crs_gk": SQL_TO_CRS_GK,
+        "to_crs_spcs": SQL_TO_CRS_SPCS,
+        "to_crs_somerc": SQL_TO_CRS_SOMERC,
         "concat_cx": SQL_CONCAT_CX,
         "densify_distances": SQL_DENSIFY_DISTANCES,
         "jaccard": SQL_JACCARD,

@@ -420,9 +420,20 @@ class GeoFrame:
         return out
 
     def _geom_columns(self):
+        """Columns known to hold geometry: the active geometry plus any
+        column tracked in the CRS map or carrying WKB geometry field
+        metadata. NOT every BinaryType column — a plain binary attribute
+        (bytea from read_postgis, an FGB BINARY property) must survive
+        to_wkt/to_wkb untouched, matching the reference's geometry-dtype
+        scoping (geopandas/geodataframe.py:1277-1323)."""
         from pyspark.sql.types import BinaryType
-        cols = [f.name for f in self.df.schema.fields
-                if isinstance(f.dataType, BinaryType)]
+        cols = []
+        for f in self.df.schema.fields:
+            if not isinstance(f.dataType, BinaryType):
+                continue
+            if (f.name == self._geometry or f.name in self._crs
+                    or (f.metadata or {}).get("encoding") == "WKB"):
+                cols.append(f.name)
         return cols or [self._geometry]
 
     # -- plumbing ------------------------------------------------------------

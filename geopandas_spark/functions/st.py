@@ -714,6 +714,18 @@ def _union_agg(s: pd.Series) -> bytes:
     return wkb.encode(out)[0]
 
 
+@_reg("st_union_agg_coverage")
+@pandas_udf(BinaryType())
+def _union_agg_coverage(s: pd.Series) -> bytes:
+    """union_all(method="coverage") as a GROUPED_AGG: edge-cancellation
+    fast path for edge-matched polygon groups (reference
+    array.py:1002-1019; GEOS CoverageUnion). Detectable violations fall
+    back to the full union; crossing overlaps that share no edge are
+    undefined input, per the GEOS contract."""
+    ga = wkb.decode(s.tolist())
+    return wkb.encode(algos.union_all(ga, method="coverage"))[0]
+
+
 @_reg("st_intersection_all_agg")
 @pandas_udf(BinaryType())
 def _intersection_all_agg(s: pd.Series) -> bytes:
@@ -1032,10 +1044,10 @@ def buffer(c, dist, quad_segs: int = 16, cap_style: str = "round",
         F.lit(bool(single_sided)))
 
 
-def simplify(c, tol, preserve_topology=False) -> Column:
-    """Reference default is preserve_topology=True (base.py:5475); here
-    the cheap non-preserving DP is the default and the preserving guard
-    is opt-in (see algos.simplify for the guard semantics)."""
+def simplify(c, tol, preserve_topology=True) -> Column:
+    """Douglas-Peucker simplification. Default preserve_topology=True
+    matches the reference (base.py:5475); pass False for the cheap
+    non-preserving DP (see algos.simplify for the guard semantics)."""
     return _REGISTRY["st_simplify"](_col(c), _col(tol),
                                     F.lit(bool(preserve_topology)))
 
@@ -1129,10 +1141,17 @@ def geometry_n(c, n) -> Column:
     return _REGISTRY["st_geometryn"](_col(c), _col(n))
 
 
-def union_agg(c, grid_size=None) -> Column:
+def union_agg(c, grid_size=None, method: str = "unary") -> Column:
+    """Geometric union aggregate. ``method="coverage"`` takes the
+    edge-cancellation fast path for edge-matched groups (reference
+    union_all(method=), base.py:2500-2553)."""
     if grid_size:
         return _REGISTRY["st_union_agg_grid"](_col(c),
                                               F.lit(float(grid_size)))
+    if method == "coverage":
+        return _REGISTRY["st_union_agg_coverage"](_col(c))
+    if method not in ("unary", "disjoint_subset"):
+        raise ValueError(f"unknown union method {method!r}")
     return _REGISTRY["st_union_agg"](_col(c))
 
 

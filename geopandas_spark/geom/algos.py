@@ -2650,7 +2650,7 @@ def collect(ga: GeometryArray, indices=None) -> tuple:
     """Gather all rows into one multi-geometry (reference:
     tools/util.py:13-44 collect). Returns a 1-row GeometryArray.
     Mixed single types must share a class; collections unsupported."""
-    types = set(int(t) for t in ga.types if t != GT_MISSING)
+    types = set(int(t) for t in np.unique(ga.types) if t != GT_MISSING)
     singles = {SINGLE_OF.get(t, t) for t in types}
     if len(singles) > 1:
         raise NotImplementedError(
@@ -2661,6 +2661,15 @@ def collect(ga: GeometryArray, indices=None) -> tuple:
         b.append_null()
         return b.finish()
     st = singles.pop()
+    if st == GT_POINT and types <= {GT_POINT}:
+        # all single points: missing/empty rows span zero coords, so the
+        # coord buffer IS the part list — one vectorized block append
+        # (the per-row geom_slices loop costs ~0.5 s per 100k rows)
+        if len(ga.coords):
+            b.append_multipoint(ga.coords)
+        else:
+            b.append_empty(GT_MULTIPOINT)
+        return b.finish()
     parts = []
     for i in range(len(ga)):
         if ga.types[i] == GT_MISSING:
@@ -2673,27 +2682,157 @@ def collect(ga: GeometryArray, indices=None) -> tuple:
     return b.finish()
 
 
-def union_all(ga: GeometryArray) -> GeometryArray:
+def _coverage_union(ga: GeometryArray):
+    """Union of an edge-matched polygonal coverage WITHOUT a sweep —
+    O(E log E) edge cancellation (reference union_all(method="coverage"),
+    geopandas/base.py:2500, array.py:1002-1019; GEOS CoverageUnion).
+
+    Every interior (shared) edge of a valid coverage appears exactly twice
+    with opposite directions and cancels under a net-signed count; the
+    survivors are the union boundary, traced into rings (leftmost-turn at
+    pinch vertices) and re-nested by containment parity. Returns None on
+    DETECTABLE violations (an edge reused in the same direction,
+    dangling boundaries, non-polygon rows, full cancellation) — callers
+    fall back to the full union. Like GEOS CoverageUnion, overlaps that
+    share no edge (crossing rings) are undetectable without a sweep: the
+    result is undefined for such invalid coverages, per the reference
+    contract. Associative across subsets of a coverage, so two-phase
+    dissolve partials compose."""
+    import math
+
+    empty = ga.is_empty()
+    idx = [i for i in range(len(ga))
+           if ga.types[i] != GT_MISSING and not empty[i]]
+    if not idx:
+        return None
+    if any(int(ga.types[i]) not in POLYGON_TYPES for i in idx):
+        return None
+    if len(idx) == 1:
+        b = GeometryBuilder()
+        _append_polys(b, [[r for r in p] for p in ga.geom_slices(idx[0])])
+        return b.finish()
+    ps, qs = [], []
+    for i in idx:
+        for r in _geom_rings_closed(ga, i):
+            if len(r) >= 4:
+                ps.append(r[:-1])
+                qs.append(r[1:])
+    if not ps:
+        return None
+    P = np.concatenate(ps, axis=0)
+    Q = np.concatenate(qs, axis=0)
+    keep = (P[:, 0] != Q[:, 0]) | (P[:, 1] != Q[:, 1])
+    P, Q = P[keep], Q[keep]
+    if len(P) == 0:
+        return None
+    swap = (P[:, 0] > Q[:, 0]) | ((P[:, 0] == Q[:, 0]) & (P[:, 1] > Q[:, 1]))
+    A = np.where(swap[:, None], Q, P)
+    B = np.where(swap[:, None], P, Q)
+    sgn = np.where(swap, -1.0, 1.0)
+    order = np.lexsort((B[:, 1], B[:, 0], A[:, 1], A[:, 0]))
+    A, B, sgn = A[order], B[order], sgn[order]
+    new = np.ones(len(A), dtype=bool)
+    new[1:] = ((A[1:, 0] != A[:-1, 0]) | (A[1:, 1] != A[:-1, 1]) |
+               (B[1:, 0] != B[:-1, 0]) | (B[1:, 1] != B[:-1, 1]))
+    grp = np.cumsum(new) - 1
+    net = np.bincount(grp, weights=sgn)
+    if len(net) and np.abs(net).max() > 1.5:
+        return None            # an edge used twice the same way: overlap
+    starts = np.nonzero(new)[0]
+    surv = np.nonzero(net != 0)[0]
+    if len(surv) == 0:
+        return None            # full cancellation (stacked duplicates)
+    sA, sB, sd = A[starts[surv]], B[starts[surv]], net[surv]
+    fwd = sd > 0
+    frm = np.where(fwd[:, None], sA, sB)
+    to = np.where(fwd[:, None], sB, sA)
+    out_map = {}
+    for e in range(len(frm)):
+        out_map.setdefault((frm[e, 0], frm[e, 1]), []).append(e)
+    used = np.zeros(len(frm), dtype=bool)
+    rings = []
+    for s0 in range(len(frm)):
+        if used[s0]:
+            continue
+        first = (frm[s0, 0], frm[s0, 1])
+        ring = [first]
+        e = s0
+        closed = False
+        for _guard in range(len(frm) + 1):
+            used[e] = True
+            p = (frm[e, 0], frm[e, 1])
+            q = (to[e, 0], to[e, 1])
+            ring.append(q)
+            if q == first:
+                closed = True
+                break
+            cands = [c for c in out_map.get(q, ()) if not used[c]]
+            if not cands:
+                return None    # dangling boundary: not a clean coverage
+            if len(cands) == 1:
+                e = cands[0]
+            else:              # pinch vertex: leftmost (most-CCW) turn
+                inc = math.atan2(q[1] - p[1], q[0] - p[0])
+                best, best_rel = cands[0], -1.0
+                for c in cands:
+                    cq = (to[c, 0], to[c, 1])
+                    rel = (math.atan2(cq[1] - q[1], cq[0] - q[0])
+                           - inc - math.pi) % (2 * math.pi)
+                    if rel > best_rel:
+                        best, best_rel = c, rel
+                e = best
+        if not closed or len(ring) < 4:
+            return None
+        rings.append(np.asarray(ring, dtype=np.float64))
+    b = GeometryBuilder()
+    _append_polys(b, _mr.assemble_rings(rings))
+    return b.finish()
+
+
+def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
     """Union of all rows (reference: geopandas/base.py:2500-2553).
 
     Point sets: coordinate dedupe. Pairwise-disjoint polygons/lines: plain
     collect (matches GEOS). Overlapping polygons: Martinez–Rueda pairwise
     merge tree (associative → same result as GEOS's cascaded union up to
-    ring ordering)."""
-    types = set(int(t) for t in ga.types if t != GT_MISSING)
+    ring ordering).
+
+    ``method`` mirrors the reference (array.py:1002-1019): "coverage"
+    takes the O(E log E) edge-cancellation fast path for edge-matched
+    inputs (falling back to the full union when the input isn't a clean
+    coverage); "unary" and "disjoint_subset" both run the
+    connected-component decomposition below (which IS a disjoint-subset
+    strategy: only overlapping components pay the sweep)."""
+    if method not in ("unary", "coverage", "disjoint_subset"):
+        raise ValueError(f"unknown union method {method!r}")
+    if method == "coverage":
+        out = _coverage_union(ga)
+        if out is not None:
+            return out
+    types = set(int(t) for t in np.unique(ga.types) if t != GT_MISSING)
     singles = {SINGLE_OF.get(t, t) for t in types}
     b = GeometryBuilder()
     if not singles:
         b.append_null()
         return b.finish()
     if singles == {GT_POINT}:
-        pts = np.unique(ga.coords, axis=0)
+        # dedupe via lexsort (np.unique(axis=0)'s void-view sort is ~10x
+        # slower on large coord blocks)
+        c = ga.coords
+        if len(c) > 1:
+            order = np.lexsort((c[:, 1], c[:, 0]))
+            sc = c[order]
+            keep = np.ones(len(sc), dtype=bool)
+            keep[1:] = (sc[1:] != sc[:-1]).any(axis=1)
+            pts = sc[keep]
+        else:
+            pts = c
         if len(pts) == 0:
             b.append_empty(GT_MULTIPOINT)
         elif len(pts) == 1:
             b.append_point(pts[0, 0], pts[0, 1])
         else:
-            b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
+            b.append_multipoint(pts)
         return b.finish()
     # connected-component decomposition (GEOS cascaded-union shape):
     # bbox-overlap pairs from a vectorized x-sweep build a union-find;

@@ -311,6 +311,26 @@ class GeometryBuilder:
         self._any_z |= zi is not None
         self._any_m |= mi is not None
 
+    def append_multipoint(self, coords):
+        """Bulk MULTIPOINT append from an (n, 2) float64 coords array —
+        offsets built with C-level range extends instead of the per-part
+        python loop in append() (which costs ~0.5 s per 100k parts —
+        the union_all point-dedupe hot path)."""
+        coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+        n = len(coords)
+        if n == 0:
+            self.append_empty(GT_MULTIPOINT)
+            return
+        self.types.append(GT_MULTIPOINT)
+        self._coords.append(coords)
+        self._zrings.append(None)
+        self._mrings.append(None)
+        r0 = self.ring_offsets[-1]
+        self.ring_offsets.extend(range(r0 + 1, r0 + n + 1))
+        p0 = self.part_offsets[-1]
+        self.part_offsets.extend(range(p0 + 1, p0 + n + 1))
+        self.geom_offsets.append(self.geom_offsets[-1] + n)
+
     def append_point(self, x: float, y: float, z: float = None,
                      m: float = None):
         self.types.append(GT_POINT)

@@ -44,6 +44,7 @@ _ELLPS = {
     "WGS84": (6378137.0, 1.0 / 298.257223563),
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "airy": (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
+    "bessel": (6377397.155, 1.0 / 299.1528128),     # Bessel 1841 (DHDN/CH)
 }
 
 # WGS84 -> OSGB36 position-vector Helmert (OS 'A guide to coordinate
@@ -51,6 +52,17 @@ _ELLPS = {
 # arc-seconds). Inverse = negated parameters (mm-level approximation).
 _HELMERT_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060,
                             20.4894, -0.1502, -0.2470, -0.8421)
+
+# Helmert sets published in the datum->WGS84 direction are stored wrapped
+# as ("inv", prm); _datum_from/to_wgs84 apply the EXACT inverse (the
+# _helmert(inverse=True) affine inverse, not the negated-parameter
+# approximation).
+# DHDN -> WGS84 position-vector (EPSG 1777 values, Germany-wide ~3 m).
+_HELMERT_DHDN_TO_WGS84 = ("inv", (598.1, 73.7, 418.2,
+                                  6.7, 0.202, 0.045, -2.455))
+# CH1903+ -> WGS84 (swisstopo: translation-only, exact by definition).
+_HELMERT_CH1903P_TO_WGS84 = ("inv", (674.374, 15.056, 405.346,
+                                     0.0, 0.0, 0.0, 0.0))
 
 
 def _norm(crs: str) -> str:
@@ -475,6 +487,64 @@ def aea_inverse(E, N, p: dict):
     return lon, np.degrees(phi)
 
 
+def _somerc_consts(p: dict):
+    """Swiss Oblique Mercator constants (swisstopo 'Formulas and constants
+    for the calculation of the Swiss conformal cylindrical projection',
+    public document; EPSG method 9815 Swiss variant)."""
+    a_, f_ = p["a"], p["f"]
+    e2 = f_ * (2.0 - f_)
+    e_ = np.sqrt(e2)
+    phi0 = np.radians(p["lat0"])
+    s0 = np.sin(phi0)
+    alpha = np.sqrt(1.0 + (e2 / (1.0 - e2)) * np.cos(phi0) ** 4)
+    R = a_ * p.get("k0", 1.0) * np.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    b0 = np.arcsin(s0 / alpha)
+    K = (np.log(np.tan(np.pi / 4 + b0 / 2))
+         - alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+         + alpha * (e_ / 2) * np.log((1 + e_ * s0) / (1 - e_ * s0)))
+    return e_, alpha, R, b0, K
+
+
+def somerc_forward(lon, lat, p: dict):
+    e_, alpha, R, b0, K = _somerc_consts(p)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    # conformal-sphere latitude b and rotated longitude l
+    S = (alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+         - alpha * (e_ / 2) * np.log((1 + e_ * s) / (1 - e_ * s)) + K)
+    b = 2 * (np.arctan(np.exp(S)) - np.pi / 4)
+    ell = alpha * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    # rotate to the oblique (pseudo-)equator through (b0, 0)
+    lbar = np.arctan2(np.sin(ell),
+                      np.sin(b0) * np.tan(b) + np.cos(b0) * np.cos(ell))
+    sbb = np.clip(np.cos(b0) * np.sin(b)
+                  - np.sin(b0) * np.cos(b) * np.cos(ell), -1.0, 1.0)
+    E = p["fe"] + R * lbar
+    N = p["fn"] + (R / 2) * np.log((1 + sbb) / (1 - sbb))
+    return E, N
+
+
+def somerc_inverse(E, N, p: dict):
+    e_, alpha, R, b0, K = _somerc_consts(p)
+    lbar = (np.asarray(E, dtype=np.float64) - p["fe"]) / R
+    X = (np.asarray(N, dtype=np.float64) - p["fn"]) / R
+    bbar = 2 * (np.arctan(np.exp(X)) - np.pi / 4)
+    b = np.arcsin(np.clip(np.cos(b0) * np.sin(bbar)
+                          + np.sin(b0) * np.cos(bbar) * np.cos(lbar),
+                          -1.0, 1.0))
+    ell = np.arctan2(np.sin(lbar),
+                     np.cos(b0) * np.cos(lbar) - np.sin(b0) * np.tan(bbar))
+    lon = p["lon0"] + np.degrees(ell / alpha)
+    # ellipsoidal latitude from the conformal latitude (fixed point)
+    iso = (np.log(np.tan(np.pi / 4 + b / 2)) - K) / alpha
+    phi = b
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = 2 * np.arctan(np.exp(
+            iso + (e_ / 2) * np.log((1 + e_ * s) / (1 - e_ * s)))) - np.pi / 2
+    return lon, np.degrees(phi)
+
+
 def _geodetic_to_xyz(lon, lat, a_, f_):
     e2 = f_ * (2.0 - f_)
     phi = np.radians(np.asarray(lat, float))
@@ -519,12 +589,16 @@ def _helmert(X, Y, Z, prm, inverse=False):
 
 
 def _datum_from_wgs84(lon, lat, ellps: str, helmert):
-    """WGS84 geographic → target-datum geographic (h=0 on both)."""
+    """WGS84 geographic → target-datum geographic (h=0 on both).
+    ``helmert`` is WGS84→datum, or ("inv", prm) with prm datum→WGS84."""
     if helmert is None and ellps in ("WGS84", "GRS80"):
         return lon, lat      # modern ETRS89/NAD83/RGF93 ≈ WGS84 (cm-level)
     X, Y, Z = _geodetic_to_xyz(lon, lat, *_ELLPS["WGS84"])
     if helmert is not None:
-        X, Y, Z = _helmert(X, Y, Z, helmert)
+        if helmert[0] == "inv":
+            X, Y, Z = _helmert(X, Y, Z, helmert[1], inverse=True)
+        else:
+            X, Y, Z = _helmert(X, Y, Z, helmert)
     return _xyz_to_geodetic(X, Y, Z, *_ELLPS[ellps])
 
 
@@ -533,11 +607,33 @@ def _datum_to_wgs84(lon, lat, ellps: str, helmert):
         return lon, lat
     X, Y, Z = _geodetic_to_xyz(lon, lat, *_ELLPS[ellps])
     if helmert is not None:
-        X, Y, Z = _helmert(X, Y, Z, helmert, inverse=True)
+        if helmert[0] == "inv":
+            X, Y, Z = _helmert(X, Y, Z, helmert[1])
+        else:
+            X, Y, Z = _helmert(X, Y, Z, helmert, inverse=True)
     return _xyz_to_geodetic(X, Y, Z, *_ELLPS["WGS84"])
 
 
 # --- projected-CRS registry ----------------------------------------------
+
+# NAD83 / US State Plane (metre) Lambert Conformal Conic 2SP zones.
+# Parameters from the EPSG registry entries (lat0/lon0 = false origin,
+# sp1/sp2 = standard parallels, fe/fn metres).
+_SPCS_LCC = {
+    32118: {"lat0": 40.0 + 10.0 / 60, "lon0": -74.0,            # NY Long I.
+            "sp1": 41.0 + 2.0 / 60, "sp2": 40.0 + 40.0 / 60,
+            "fe": 300000.0, "fn": 0.0},
+    26985: {"lat0": 37.0 + 40.0 / 60, "lon0": -77.0,            # Maryland
+            "sp1": 39.0 + 27.0 / 60, "sp2": 38.0 + 18.0 / 60,
+            "fe": 400000.0, "fn": 0.0},
+    32139: {"lat0": 29.0 + 40.0 / 60, "lon0": -(100.0 + 20.0 / 60),
+            "sp1": 31.0 + 53.0 / 60, "sp2": 30.0 + 7.0 / 60,    # TX Central
+            "fe": 700000.0, "fn": 3000000.0},
+    26943: {"lat0": 36.5, "lon0": -120.5,                       # CA zone 3
+            "sp1": 38.0 + 26.0 / 60, "sp2": 37.0 + 4.0 / 60,
+            "fe": 2000000.0, "fn": 500000.0},
+}
+
 
 def _proj_def(crs: str):
     """(kind, params, ellps, helmert_from_wgs84) for a supported projected
@@ -599,6 +695,31 @@ def _proj_def(crs: str):
         return ("laea", {"a": a_, "f": f_, "lat0": 52.0, "lon0": 10.0,
                          "fe": 4321000.0, "fn": 3210000.0},
                 "GRS80", None)
+    if 31466 <= code <= 31469:      # DHDN / 3-degree Gauss-Krüger z2-z5
+        zone = code - 31464         # 31466 -> zone 2 (lon0 6°E), ...
+        a_, f_ = _ELLPS["bessel"]
+        return ("tm", {"a": a_, "f": f_, "lon0": 3.0 * zone, "lat0": 0.0,
+                       "k0": 1.0, "fe": zone * 1e6 + 500000.0, "fn": 0.0},
+                "bessel", _HELMERT_DHDN_TO_WGS84)
+    if code == 2056:                # CH1903+ / LV95 (Swiss Oblique Merc.)
+        a_, f_ = _ELLPS["bessel"]
+        return ("somerc", {"a": a_, "f": f_,
+                           "lat0": 46.0 + 57.0 / 60 + 8.66 / 3600,
+                           "lon0": 7.0 + 26.0 / 60 + 22.5 / 3600,
+                           "k0": 1.0, "fe": 2600000.0, "fn": 1200000.0},
+                "bessel", _HELMERT_CH1903P_TO_WGS84)
+    if code == 21781:               # CH1903 / LV03 (same axes, old FE/FN;
+        a_, f_ = _ELLPS["bessel"]   # CH1903->CH1903+ is sub-dm — folded
+        return ("somerc", {"a": a_, "f": f_,   # into the same translation)
+                           "lat0": 46.0 + 57.0 / 60 + 8.66 / 3600,
+                           "lon0": 7.0 + 26.0 / 60 + 22.5 / 3600,
+                           "k0": 1.0, "fe": 600000.0, "fn": 200000.0},
+                "bessel", _HELMERT_CH1903P_TO_WGS84)
+    if code in _SPCS_LCC:           # NAD83 US State Plane LCC-2SP (metre)
+        a_, f_ = _ELLPS["GRS80"]
+        prm = dict(_SPCS_LCC[code])
+        prm.update({"a": a_, "f": f_})
+        return ("lcc", prm, "GRS80", None)
     return None
 
 
@@ -610,7 +731,7 @@ def _project_from_wgs84(coords: np.ndarray, d: str):
     lon, lat = _datum_from_wgs84(coords[:, 0], coords[:, 1], ellps, helm)
     fwd = {"tm": tm_forward, "lcc": lcc_forward, "ps": ps_forward,
            "aea": aea_forward, "merc": merc_forward,
-           "laea": laea_forward}[kind]
+           "laea": laea_forward, "somerc": somerc_forward}[kind]
     E, N = fwd(lon, lat, p)
     return np.column_stack([E, N])
 
@@ -622,7 +743,7 @@ def _unproject_to_wgs84(coords: np.ndarray, s: str):
     kind, p, ellps, helm = pd_
     inv = {"tm": tm_inverse, "lcc": lcc_inverse, "ps": ps_inverse,
            "aea": aea_inverse, "merc": merc_inverse,
-           "laea": laea_inverse}[kind]
+           "laea": laea_inverse, "somerc": somerc_inverse}[kind]
     lon, lat = inv(coords[:, 0], coords[:, 1], p)
     lon, lat = _datum_to_wgs84(lon, lat, ellps, helm)
     return np.column_stack([lon, lat])

@@ -107,6 +107,20 @@ def _parse_one(buf, pos, builder: GeometryBuilder):
         return pos
     if gtype in (GT_MULTIPOINT, GT_MULTILINESTRING, GT_MULTIPOLYGON):
         (np_,) = struct.unpack_from(u32, buf, pos); pos += 4
+        if (gtype == GT_MULTIPOINT and np_ > 16 and not has_z and not has_m
+                and len(buf) >= pos + np_ * 21):
+            # vectorized reader for big uniform 2-D LE multipoints
+            # (21-byte records): the recursive per-part parse costs
+            # ~0.5 s per 100k parts — union_all/collect results
+            rec = np.frombuffer(buf, dtype=np.uint8, count=np_ * 21,
+                                offset=pos).reshape(np_, 21)
+            if ((rec[:, 0] == 1).all() and (rec[:, 1] == 1).all()
+                    and not rec[:, 2:5].any()):
+                coords = rec[:, 5:21].copy().view("<f8").reshape(np_, 2)
+                if not np.isnan(coords).any():
+                    builder.append_multipoint(
+                        coords.astype(np.float64, copy=False))
+                    return pos + np_ * 21
         sub = GeometryBuilder()
         for _ in range(np_):
             pos = _parse_one(buf, pos, sub)
@@ -473,6 +487,23 @@ def encode(ga: GeometryArray) -> list:
         ms = ga.dim_slice(ga.m, i) if ga.m is not None else None
         iso = t + (_ISO_Z if zs is not None else 0) + \
             (_ISO_M if ms is not None else 0)
+        if (t == GT_MULTIPOINT and zs is None and ms is None
+                and cpg[i] == ppg[i] == rpg[i] and cpg[i] > 0):
+            # vectorized writer for big 2-D multipoints (one point per
+            # part): the per-part loop below costs ~0.25 s per 100k parts
+            # — the union_all/collect point-dedupe hot path
+            npart = int(cpg[i])
+            k0 = int(co[i])
+            block = np.empty((npart, 21), dtype=np.uint8)
+            block[:, 0] = 1
+            block[:, 1] = GT_POINT
+            block[:, 2:5] = 0
+            block[:, 5:21] = np.ascontiguousarray(
+                ga.coords[k0:k0 + npart],
+                dtype="<f8").view(np.uint8).reshape(npart, 16)
+            out[i] = struct.pack("<BII", 1, GT_MULTIPOINT, npart) + \
+                block.tobytes()
+            continue
         parts = ga.geom_slices(i)
         if zs is not None or ms is not None:
             # widen rings with the z / m columns (ISO WKB interleaved)

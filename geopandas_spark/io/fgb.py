@@ -687,11 +687,18 @@ def read_fgb(spark: SparkSession, path: str, *, geom: str = "geom",
         isz = index_size(n, node_size)
         index = f.read(isz) if isz else b""
         data_start = 8 + 4 + hsize + isz
+        envelope_filter = None
         if bbox is not None and isz:
             offsets = _search_index(index, n, node_size, bbox)
         elif isz:
             offsets = _leaf_offsets(index, n, node_size)
         else:
+            if bbox is not None:
+                # no spatial index (written with index=False): fall back
+                # to an envelope filter over the scanned DataFrame so
+                # bbox= keeps its candidates-by-bbox-intersection
+                # semantics instead of being silently ignored.
+                envelope_filter = tuple(float(v) for v in bbox)
             # no index: seek-scan the u32 size prefixes (headers only)
             offsets = []
             f.seek(0, os.SEEK_END)
@@ -745,7 +752,14 @@ def read_fgb(spark: SparkSession, path: str, *, geom: str = "geom",
                 yield pd.DataFrame(
                     rows, columns=[fld.name for fld in out_schema.fields])
 
-    return rdf.mapInPandas(read_range, schema=out_schema)
+    out = rdf.mapInPandas(read_range, schema=out_schema)
+    if envelope_filter is not None:
+        from geopandas_spark.functions import st
+        xmin, ymin, xmax, ymax = envelope_filter
+        b = st.bounds(geom)
+        out = out.filter((b["xmin"] <= xmax) & (b["xmax"] >= xmin) &
+                         (b["ymin"] <= ymax) & (b["ymax"] >= ymin))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -902,7 +916,18 @@ def to_fgb(df: DataFrame, path: str, *, geom: str = "geom",
         f.write(struct.pack("<I", len(header)))
         f.write(header)
         if use_index:
+            # NULL / non-finite geometry rows get an inverted-infinite
+            # sentinel bbox that intersects no query window (and cannot
+            # widen parent nodes — the reducer fills are the same infs),
+            # instead of (0,0,0,0) which spuriously matched any window
+            # containing the origin.
             safe = np.where(np.isfinite(bb), bb, 0.0)
+            nullrow = ~np.isfinite(bb[:, 0])
+            if nullrow.any():
+                safe[nullrow, 0] = np.inf
+                safe[nullrow, 1] = np.inf
+                safe[nullrow, 2] = -np.inf
+                safe[nullrow, 3] = -np.inf
             f.write(_build_index(safe, offsets, node_size))
         # one bulk write per 64k fragments (1.5M individual f.write calls
         # measured seconds of driver time)

@@ -86,13 +86,21 @@ def _apply_one(s: pd.Series, fn):
 
 
 def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
-             two_phase=None) -> DataFrame:
+             two_phase=None, method: str = "unary") -> DataFrame:
     """GroupBy ``by``, union geometries, aggregate other columns with
     ``aggfunc`` = {column: fn | [fn, ...]} where fn is one of
     "sum"|"min"|"max"|"count"|"first"|"mean"|"median"|"std"|"var"|
     "nunique" or an arbitrary Python callable Series -> scalar (cast to
     double) — the reference accepts the same pandas-agg forms
     (geodataframe.py:2305). Output columns are named ``col_fn``.
+
+    ``method="coverage"`` (reference dissolve(method=),
+    geodataframe.py:2172) takes the edge-cancellation coverage-union fast
+    path per group — the right choice when groups are edge-matched tiles
+    (dissolve after grid partitioning); subsets of a coverage are still
+    coverages, so the two-phase partials compose. Detectable violations
+    fall back to the full union per group; like GEOS CoverageUnion,
+    crossing overlaps that share no edge are undefined input.
 
     ``two_phase`` pre-unions WITHIN each input partition (shuffle-free
     mapInPandas combine) before the final per-key merge, so one hot key
@@ -104,6 +112,8 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
     var/nunique and callables) have no associative partial form, so their
     presence forces the single-phase plan — hot-key exposure is inherent
     to them, exactly as in the reference's groupby-apply."""
+    if method not in ("unary", "coverage", "disjoint_subset"):
+        raise ValueError(f"unknown union method {method!r}")
     if isinstance(by, str):
         by = [by]
     aggs = _norm_aggfunc(aggfunc)
@@ -124,7 +134,7 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ga = wkb.decode(pdf[geom].tolist())
-        u = wkb.encode(algos.union_all(ga))[0]
+        u = wkb.encode(algos.union_all(ga, method=method))[0]
         row = {k: [v] for k, v in zip(by, key)}
         row[geom] = [u]
         for c, fn, name in aggs:
@@ -159,7 +169,7 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
             for key, grp in pdf.groupby(by, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
                 ga = wkb.decode(grp[geom].tolist())
-                u = wkb.encode(algos.union_all(ga))[0]
+                u = wkb.encode(algos.union_all(ga, method=method))[0]
                 for k, v in zip(by, key):
                     rows[k].append(v)
                 rows[geom].append(u)
@@ -178,7 +188,7 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
     def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ga = wkb.decode(pdf[geom].tolist())
         parts, parent, _ = algos.get_parts(ga)
-        u = wkb.encode(algos.union_all(parts))[0]
+        u = wkb.encode(algos.union_all(parts, method=method))[0]
         row = {k: [v] for k, v in zip(by, key)}
         row[geom] = [u]
         for c, fn, name in aggs:

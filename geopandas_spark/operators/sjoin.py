@@ -759,10 +759,13 @@ def _sjoin_nearest_grid_expanding(left, right, geom_left, geom_right, how,
     resolves the bulk). Nothing is ever collected; per-round state is
     bounded by the distance ball like the bounded path.
 
-    The id-tagged left and per-round results stay persisted until the
-    returned plan is consumed (monotonically_increasing_id is
-    nondeterministic across recomputation, so the pin is required for
-    correctness); storage is evicted LRU / on session end."""
+    Row-id stability: the tagged left is localCheckpoint-ed (eager), which
+    truncates lineage — monotonically_increasing_id can then never be
+    silently regenerated with different values on partition loss; a lost
+    checkpoint partition fails the job loudly instead. The final result is
+    likewise checkpointed so every intermediate (per-round matches, the
+    shrinking remaining chain, the tagged left) is unpersisted before
+    returning — no storage leak outlives the call."""
     import math
 
     from geopandas_spark.functions import st
@@ -789,14 +792,14 @@ def _sjoin_nearest_grid_expanding(left, right, geom_left, geom_right, how,
     r = max(2.0 * diag / math.sqrt(max(n_right, 1)), cap / 2 ** 24)
 
     lid = "__xnn_id__"
-    lw = left.withColumn(lid, F.monotonically_increasing_id())
-    # pin the nondeterministic ids before branching the plan
-    lw = lw.persist()
-    lw.count()
+    # eager localCheckpoint: pins the nondeterministic ids AND truncates
+    # lineage, so a lost partition can never recompute different ids
+    lw = (left.withColumn(lid, F.monotonically_increasing_id())
+              .localCheckpoint(eager=True))
 
     overlap = set(left.columns) & set(right.columns)
     remaining = lw
-    rounds = []
+    rounds, anti_chain = [], []
     while True:
         m = _sjoin_nearest_grid(remaining, right, geom_left, geom_right,
                                 "inner", r, dcol if distance_col is None
@@ -805,6 +808,7 @@ def _sjoin_nearest_grid_expanding(left, right, geom_left, geom_right, how,
         rounds.append(m)
         remaining = remaining.join(m.select(lid).distinct(), on=lid,
                                    how="left_anti").persist()
+        anti_chain.append(remaining)
         if r >= cap or remaining.isEmpty():
             break
         r = min(r * 4.0, cap)
@@ -820,6 +824,13 @@ def _sjoin_nearest_grid_expanding(left, right, geom_left, geom_right, how,
     out = out.drop(lid)
     if distance_col is None:
         out = out.drop(dcol)
+    # materialize the result, then free every intermediate
+    out = out.localCheckpoint(eager=True)
+    for df in rounds + anti_chain + [lw]:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     return out
 
 

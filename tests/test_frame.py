@@ -147,6 +147,25 @@ def test_to_json(gf, spark):
     assert obj2["bbox"] == [1.0, 2.0, 1.0, 2.0]
 
 
+def test_to_wkt_wkb_skip_non_geometry_binary(spark):
+    """A plain binary attribute column (e.g. bytea from read_postgis) must
+    pass through to_wkt/to_wkb untouched — only tracked geometry columns
+    convert (reference converts geometry-dtype columns only)."""
+    from geopandas_spark import GeoFrame, st
+
+    payload = b"\x00\x01\xffnot-wkb"
+    df = spark.createDataFrame([(1, "POINT (1 2)", payload)],
+                               ["id", "w", "blob"])
+    df = df.select("id", st.geom_from_text("w").alias("geom"), "blob")
+    gf = GeoFrame(df, geometry="geom")
+    row = gf.to_wkt().collect()[0]
+    assert row.geom == "POINT (1 2)"
+    assert bytes(row.blob) == payload          # untouched
+    row = gf.to_wkb(hex=True).collect()[0]
+    assert isinstance(row.geom, str)
+    assert bytes(row.blob) == payload          # not hex-mangled
+
+
 def test_from_features_and_to_wkt_wkb(spark):
     from geopandas_spark import from_features, st
 

@@ -359,6 +359,46 @@ class TestConstructive:
         u = algos.union_all(ga)
         assert algos.area(u)[0] == 25.0 + 25.0 - 15.0
 
+    def test_union_all_coverage_grid(self):
+        # 3x3 edge-matched unit tiles -> one 3x3 square, no sweep
+        ws = [f"POLYGON (({i} {j}, {i+1} {j}, {i+1} {j+1}, {i} {j+1}, "
+              f"{i} {j}))" for i in range(3) for j in range(3)]
+        u = algos.union_all(ga_from_wkt(*ws), method="coverage")
+        assert algos.area(u)[0] == 9.0
+        assert algos.length(u)[0] == 12.0
+        assert algos.count_interior_rings(u)[0] == 0
+
+    def test_union_all_coverage_hole(self):
+        # ring of 8 tiles around an empty center -> square with hole
+        ws = [f"POLYGON (({i} {j}, {i+1} {j}, {i+1} {j+1}, {i} {j+1}, "
+              f"{i} {j}))" for i in range(3) for j in range(3)
+              if not (i == 1 and j == 1)]
+        u = algos.union_all(ga_from_wkt(*ws), method="coverage")
+        assert algos.area(u)[0] == 8.0
+        assert algos.count_interior_rings(u)[0] == 1
+
+    def test_union_all_coverage_fallback_matches_unary(self):
+        # detectable violation (duplicated directed edge: stacked tiles)
+        # falls back to the full union — same result as method="unary"
+        ws = ["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"] * 2 + \
+             ["POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"]
+        cu = algos.union_all(ga_from_wkt(*ws), method="coverage")
+        uu = algos.union_all(ga_from_wkt(*ws))
+        assert algos.area(cu)[0] == algos.area(uu)[0] == 2.0
+
+    def test_union_all_coverage_disjoint_and_pinch(self):
+        ws = ["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+              "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",   # corner touch
+              "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"]   # disjoint
+        u = algos.union_all(ga_from_wkt(*ws), method="coverage")
+        assert algos.area(u)[0] == 3.0
+        assert algos.count_geometries(u)[0] == 3
+
+    def test_union_all_coverage_method_validation(self):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            algos.union_all(ga_from_wkt("POINT (0 0)"), method="nope")
+
     def test_get_parts(self):
         ga = ga_from_wkt("MULTIPOINT ((1 1), (2 2))", "POINT (3 3)")
         parts, parent, ordinal = algos.get_parts(ga)
@@ -1146,6 +1186,60 @@ def test_crs_polar_stereographic_and_albers():
         back = crs.transform_coords(
             crs.transform_coords(a, "EPSG:4326", code), code, "EPSG:4326")
         assert np.abs(back - a).max() < 1e-7, code
+
+
+def test_crs_gk_spcs_somerc():
+    """Round-4 registry families: DHDN 3-degree Gauss-Krüger (31466-9,
+    Bessel + EPSG-1777 Helmert), NAD83 State Plane LCC-2SP metre zones,
+    and the Swiss Oblique Mercator (2056/21781, swisstopo closed form).
+    Anchors: LCC false origins exact; LV95 Zimmerwald reference point to
+    <1 m (translation-only datum accuracy); LV95-LV03 offset exactly
+    (2e6, 1e6); GK zone-3 Stuttgart within the published metre grid;
+    round trips close below 1e-7 deg on every code."""
+    import numpy as np
+
+    from geopandas_spark.geom import crs
+
+    # SPCS false-origin anchors (exact in the LCC-2SP closed form)
+    for lon0, lat0, code, fe, fn in [
+            (-74.0, 40.0 + 10.0 / 60, "EPSG:32118", 300000.0, 0.0),
+            (-77.0, 37.0 + 40.0 / 60, "EPSG:26985", 400000.0, 0.0),
+            (-(100.0 + 20.0 / 60), 29.0 + 40.0 / 60, "EPSG:32139",
+             700000.0, 3000000.0),
+            (-120.5, 36.5, "EPSG:26943", 2000000.0, 500000.0)]:
+        out = crs.transform_coords(np.array([[lon0, lat0]]),
+                                   "EPSG:4326", code)
+        assert abs(out[0, 0] - fe) < 1e-6 and abs(out[0, 1] - fn) < 1e-6
+
+    # Swiss LV95: Zimmerwald ZIM (swisstopo reference frame point)
+    zim = crs.transform_coords(np.array([[7.465270, 46.877098]]),
+                               "EPSG:4326", "EPSG:2056")
+    assert abs(zim[0, 0] - 2602030.7) < 1.0
+    assert abs(zim[0, 1] - 1191775.0) < 1.0
+    lv03 = crs.transform_coords(np.array([[7.465270, 46.877098]]),
+                                "EPSG:4326", "EPSG:21781")
+    assert abs((zim[0, 0] - lv03[0, 0]) - 2000000.0) < 1e-6
+    assert abs((zim[0, 1] - lv03[0, 1]) - 1000000.0) < 1e-6
+
+    # GK zone 3: Stuttgart ~9.18E 48.78N lands in the 3.5M easting band
+    gk = crs.transform_coords(np.array([[9.18, 48.78]]),
+                              "EPSG:4326", "EPSG:31467")
+    assert 3500000 < gk[0, 0] < 3530000 and 5390000 < gk[0, 1] < 5420000
+
+    # round trips on all new codes
+    rng = np.random.default_rng(7)
+    for code, lo, hi, la, lb in [("EPSG:31466", 5.5, 7.4, 49.0, 52.0),
+                                 ("EPSG:31469", 13.6, 15.0, 50.0, 53.0),
+                                 ("EPSG:32118", -74.5, -72.0, 40.5, 41.3),
+                                 ("EPSG:26943", -122.0, -119.0, 36.6, 38.3),
+                                 ("EPSG:32139", -102.0, -98.0, 29.8, 31.8),
+                                 ("EPSG:2056", 6.0, 10.5, 45.9, 47.8),
+                                 ("EPSG:21781", 6.0, 10.5, 45.9, 47.8)]:
+        pts = np.column_stack([rng.uniform(lo, hi, 50),
+                               rng.uniform(la, lb, 50)])
+        back = crs.transform_coords(
+            crs.transform_coords(pts, "EPSG:4326", code), code, "EPSG:4326")
+        assert np.abs(back - pts).max() < 1e-7
 
 
 def test_crs_mercator_and_laea():

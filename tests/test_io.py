@@ -607,6 +607,39 @@ def test_fgb_no_index_scan(spark, tmp_path):
     assert {r.id for r in back.collect()} == set(range(25))
 
 
+def test_fgb_no_index_bbox_fallback(spark, tmp_path):
+    """bbox= on an index=False file must still filter (envelope fallback),
+    not silently return every feature."""
+    from geopandas_spark.io import read_fgb, to_fgb
+    df = spark.range(40).select(
+        F.col("id"), st.point(F.col("id"), F.col("id")).alias("geom"))
+    p = str(tmp_path / "noidx_bbox.fgb")
+    to_fgb(df, p, index=False)
+    sub = read_fgb(spark, p, bbox=(10, 10, 20, 20))
+    assert {r.id for r in sub.select("id").collect()} == set(range(10, 21))
+    # and read_file routes the kwarg the same way
+    from geopandas_spark.io import read_file
+    sub2 = read_file(spark, p, bbox=(10, 10, 20, 20))
+    assert sub2.count() == 11
+
+
+def test_fgb_null_geometry_not_in_bbox_index(spark, tmp_path):
+    """NULL-geometry rows get a never-intersecting sentinel leaf, so a
+    bbox window containing the origin doesn't spuriously return them."""
+    from geopandas_spark.io import read_fgb, to_fgb
+    rows = [(i, f"POINT ({i + 5} {i + 5})") for i in range(20)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, ["id", "w"]).select(
+        "id", st.geom_from_text("w").alias("geom"))
+    p = str(tmp_path / "nulls_idx.fgb")
+    to_fgb(df, p, index=True)
+    got = {r.id for r in
+           read_fgb(spark, p, bbox=(-1, -1, 8, 8)).select("id").collect()}
+    assert got == {0, 1, 2, 3}          # points (5,5)..(8,8); no null row
+    # full scan still returns the null row
+    assert read_fgb(spark, p).count() == 21
+
+
 def test_fgb_null_geometry(spark, tmp_path):
     from geopandas_spark.io import read_fgb, to_fgb
     df = spark.createDataFrame([(1, "POINT (1 1)"), (2, None)], ["id", "w"])

@@ -106,6 +106,28 @@ def test_dissolve_two_phase_matches(points, boxes):
         assert ra[bid]["pid_count"] == rb[bid]["pid_count"]
 
 
+def test_dissolve_coverage_method(spark):
+    """Edge-matched tiles per group: method='coverage' unions without the
+    sweep and matches the default method's result."""
+    rows = []
+    for g in range(3):
+        for k in range(7):          # 7 tiles in a 4-wide grid strip
+            i, j = k % 4, k // 4
+            rows.append((g, f"POLYGON (({i} {j}, {i+1} {j}, {i+1} {j+1}, "
+                            f"{i} {j+1}, {i} {j}))"))
+    df = spark.createDataFrame(rows, ["g", "w"]).select(
+        "g", st.geom_from_text("w").alias("geom"))
+    cov = dissolve(df, "g", method="coverage")
+    una = dissolve(df, "g")
+    for d in (cov, una):
+        out = {r.g: (r.a, r.p) for r in d.select(
+            "g", st.area("geom").alias("a"),
+            st.length("geom").alias("p")).collect()}
+        for g in range(3):
+            assert out[g][0] == 7.0
+            assert out[g][1] == 2 * (4 + 2)   # 4-wide, 2 rows
+
+
 def test_dissolve_aggfunc_lists_and_callables(points, boxes):
     tagged = sjoin(points, boxes, predicate="intersects",
                    strategy="broadcast")
