@@ -1544,6 +1544,43 @@ FROM nation
 """
 
 
+def q_make_valid_linework(spark, sf_dir):
+    """make_valid method split (reference base.py:2114, GEOS MakeValid):
+    a hole jutting outside its shell (shell 10x10, hole 8..8+w x 4..4+h
+    with w>=3 so it crosses the boundary). linework discards ring roles
+    — the jutting region contributes AREA: 100 + (w-2)*h. structure
+    subtracts the repaired hole inside the shell and drops the outside
+    part: 100 - 2*h. Both outputs are valid."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    w, h = k % 5 + 3, k % 4 + 1
+    poly = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (8 4, "),
+        w + 8, F.lit(" 4, "), w + 8, F.lit(" "), h + 4,
+        F.lit(", 8 "), h + 4, F.lit(", 8 4))")))
+    lw = st.make_valid(poly, method="linework")
+    sv = st.make_valid(poly, method="structure")
+    return c.select(
+        k.alias("id"),
+        st.is_valid(poly).alias("orig_valid"),
+        st.is_valid(lw).alias("lw_valid"),
+        st.is_valid(sv).alias("sv_valid"),
+        F.round(st.area(lw), 6).alias("lw_area"),
+        F.round(st.area(sv), 6).alias("sv_area"))
+
+
+SQL_MAKE_VALID_LINEWORK = """
+SELECT c_custkey AS id,
+       FALSE AS orig_valid,
+       TRUE AS lw_valid,
+       TRUE AS sv_valid,
+       ROUND(100.0 + (c_custkey % 5 + 1) * (c_custkey % 4 + 1), 6)
+           AS lw_area,
+       ROUND(100.0 - 2.0 * (c_custkey % 4 + 1), 6) AS sv_area
+FROM customer
+"""
+
+
 def q_line_merge(spark, sf_dir):
     """line_merge: touching segments fuse into one LineString; disjoint
     parts stay a MultiLineString (reference base.py line_merge)."""
@@ -3772,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_gk": q_to_crs_gk,
         "to_crs_spcs": q_to_crs_spcs,
         "to_crs_somerc": q_to_crs_somerc,
+        "make_valid_linework": q_make_valid_linework,
         # --- previously-stamped green queries (r3 window order) ---
         "simplify": q_simplify,
         "snap": q_snap,
@@ -3930,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "to_crs_gk": SQL_TO_CRS_GK,
         "to_crs_spcs": SQL_TO_CRS_SPCS,
         "to_crs_somerc": SQL_TO_CRS_SOMERC,
+        "make_valid_linework": SQL_MAKE_VALID_LINEWORK,
         "concat_cx": SQL_CONCAT_CX,
         "densify_distances": SQL_DENSIFY_DISTANCES,
         "jaccard": SQL_JACCARD,

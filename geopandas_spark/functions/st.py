@@ -331,7 +331,10 @@ def _maxinscribedcircle(s: pd.Series, tol: pd.Series) -> pd.Series:
     t = tol.iloc[0]
     return _enc(algos.maximum_inscribed_circle(
         _decode(s), None if t is None or t <= 0 else float(t)))
-_unary_geom("st_makevalid", algos.make_valid)
+@_reg("st_makevalid")
+@pandas_udf(BinaryType())
+def _makevalid(s: pd.Series, method: pd.Series) -> pd.Series:
+    return _enc(algos.make_valid(_decode(s), method=str(method.iloc[0])))
 @_reg("st_linemerge")
 @pandas_udf(BinaryType())
 def _linemerge(s: pd.Series, directed: pd.Series) -> pd.Series:
@@ -1194,18 +1197,18 @@ def reverse(c) -> Column:
     return _REGISTRY["st_reverse"](_col(c))
 
 
-def make_valid(c, method: str = "structure",
+def make_valid(c, method: str = "linework",
                keep_collapsed: bool = True) -> Column:
-    """Repair invalid geometry (reference base.py:2114; its default
-    method is 'linework'). Documented deviation: both method names run
-    the engine's structure-style repair (node boundary linework, extract
-    faces, even-odd re-nesting) — for invalid polygonal input both GEOS
-    methods and this one agree on the repaired area; GEOS's
-    linework-specific lower-dimensional collapse artifacts are not
-    reproduced (keep_collapsed is accepted for signature parity)."""
+    """Repair invalid geometry (reference base.py:2114; default method
+    'linework' matching the reference). 'linework' = node all boundary
+    rings, extract faces, even-odd re-nesting (ring roles discarded);
+    'structure' = repair rings separately, union shells, subtract the
+    union of holes — see algos.make_valid. GEOS linework's
+    lower-dimensional collapse artifacts are not reproduced
+    (keep_collapsed accepted for signature parity)."""
     if method not in ("structure", "linework"):
         raise ValueError(f"make_valid method {method!r} not supported")
-    return _REGISTRY["st_makevalid"](_col(c))
+    return _REGISTRY["st_makevalid"](_col(c), F.lit(str(method)))
 
 
 def delaunay_triangles(c, tolerance=0.0, only_edges=False) -> Column:

@@ -330,9 +330,11 @@ def is_ccw(ga: GeometryArray) -> np.ndarray:
 
 def is_valid(ga: GeometryArray) -> np.ndarray:
     """Structural validity check (closed rings with >= 4 points, finite
-    coords, no self-intersecting rings). A subset of GEOS IsValid — the
-    common invalidity (bowtie / unclosed rings) is detected; exotic cases
-    (nested shells, touching rings) are not. Reference: base.py:301."""
+    coords, no self-intersecting rings, holes properly inside their
+    shell with no ring-cross). A subset of GEOS IsValid — remaining
+    undetected exotica: nested/overlapping sibling shells in a
+    MultiPolygon, rings touching at more than one point.
+    Reference: base.py:301."""
     out = np.ones(len(ga), dtype=bool)
     out[ga.is_missing()] = False
     for i in range(len(ga)):
@@ -346,13 +348,36 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
             continue
         if t in (GT_POLYGON, GT_MULTIPOLYGON):
             for p in parts:
+                bad = False
                 for r in p:
                     if len(r) < 4 or not np.array_equal(r[0], r[-1]):
-                        out[i] = False
+                        bad = True
                         break
                     if _ring_self_intersects(r):
-                        out[i] = False
+                        bad = True
                         break
+                if not bad and len(p) > 1:
+                    # holes: no proper cross with the shell, and at least
+                    # one hole vertex strictly inside/on the shell
+                    shell = p[0]
+                    for h in p[1:]:
+                        sa = np.column_stack([shell[:-1], shell[1:]]) \
+                            .reshape(-1, 2, 2)
+                        ha = np.column_stack([h[:-1], h[1:]]) \
+                            .reshape(-1, 2, 2)
+                        hit, _prop = _segs_intersect_flags(ha, sa)
+                        if _prop:
+                            bad = True
+                            break
+                        mid = (h[0] + h[1]) * 0.5
+                        cls = points_in_rings(np.array([mid[0]]),
+                                              np.array([mid[1]]), [shell])
+                        if cls[0] == 0:     # hole edge midpoint outside
+                            bad = True
+                            break
+                if bad:
+                    out[i] = False
+                    break
     return out
 
 
@@ -3996,11 +4021,36 @@ def is_valid_reason(ga: GeometryArray) -> list:
     return out
 
 
-def make_valid(ga: GeometryArray) -> GeometryArray:
-    """Repair invalid polygons (reference base.py:2114, method='structure'
-    semantics): node the boundary linework, re-extract enclosed faces, and
-    re-nest them by even-odd parity — a bowtie becomes the MULTIPOLYGON of
-    its two lobes. Valid geometries pass through untouched."""
+def _repair_ring_faces(ring: np.ndarray) -> list:
+    """One (possibly self-intersecting) closed ring → the simple rings of
+    its enclosed faces (node + polygonize). A bowtie yields its two
+    lobes; a simple ring yields itself."""
+    if len(ring) < 4:
+        return []
+    if not _ring_self_intersects(ring):
+        return [_mr._close(ring)]
+    lw = GeometryBuilder()
+    lw.append(GT_LINESTRING, [[_mr._close(ring)]])
+    faces = polygonize(lw.finish())
+    return [faces.geom_slices(k)[0][0] for k in range(len(faces))]
+
+
+def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
+    """Repair invalid polygons (reference base.py:2114; GEOS MakeValid).
+
+    method="linework" (the reference default): node ALL boundary rings as
+    one linework, extract every enclosed face, and re-nest by even-odd
+    parity — ring roles (shell vs hole) are discarded, so a hole jutting
+    outside its shell contributes AREA there (the documented GEOS
+    linework behavior; lower-dimensional collapse artifacts are not
+    reproduced).
+
+    method="structure": repair each ring separately (bowtie → lobes),
+    then union the shells and subtract the union of the holes — the
+    jutting hole SUBTRACTS inside the shell and its outside part
+    disappears. Valid rows pass through untouched on both methods."""
+    if method not in ("linework", "structure"):
+        raise ValueError(f"make_valid method {method!r} not supported")
     valid = is_valid(ga)
     b = GeometryBuilder()
     for i in range(len(ga)):
@@ -4011,17 +4061,64 @@ def make_valid(ga: GeometryArray) -> GeometryArray:
         if valid[i] or t not in POLYGON_TYPES:
             b.append_from(ga, i)
             continue
-        # boundary rings as linework → faces (reuses the polygonize tracer)
-        lw = GeometryBuilder()
+        if method == "linework":
+            # all rings as one linework → faces (polygonize tracer) →
+            # even-odd re-nesting
+            lw = GeometryBuilder()
+            for p in ga.geom_slices(i):
+                for r in p:
+                    lw.append(GT_LINESTRING, [[_mr._close(r)]])
+            faces = polygonize(lw.finish())
+            if len(faces) == 0:
+                b.append_empty(GT_POLYGON)
+                continue
+            rings = [faces.geom_slices(k)[0][0] for k in range(len(faces))]
+            # merge edge-adjacent faces via coverage union BEFORE any
+            # containment nesting: arrangement faces share whole edges, so
+            # assemble_rings' edge-midpoint representative test would land
+            # ON a neighbor's boundary and misnest it as a hole. After
+            # cancellation the surviving rings share no edges, and the
+            # union's own re-nesting handles disconnected nested faces
+            # (odd-depth face -> hole, the BuildArea rule).
+            tmp = GeometryBuilder()
+            for r in rings:
+                tmp.append(GT_POLYGON, [[r]])
+            merged = _coverage_union(tmp.finish())
+            if merged is not None:
+                b.append_from(merged, 0)
+                continue
+            _append_polys(b, _mr.assemble_rings(rings))
+            continue
+        # structure: union of repaired shells minus union of repaired holes
+        shell_sets, hole_sets = [], []
         for p in ga.geom_slices(i):
-            for r in p:
-                lw.append(GT_LINESTRING, [[_mr._close(r)]])
-        faces = polygonize(lw.finish())
-        if len(faces) == 0:
+            sh = _repair_ring_faces(p[0])
+            if sh:
+                shell_sets.append(sh)
+            for h in p[1:]:
+                hf = _repair_ring_faces(h)
+                if hf:
+                    hole_sets.append(hf)
+
+        def _union_sets(sets):
+            if not sets:
+                return []
+            acc = sets[0]
+            for nxt in sets[1:]:
+                acc = [r for poly in _mr.boolean_op(acc, nxt, _mr.UNION)
+                       for r in poly]
+            return acc
+
+        shells = _union_sets(shell_sets)
+        holes = _union_sets(hole_sets)
+        if not shells:
             b.append_empty(GT_POLYGON)
             continue
-        rings = [faces.geom_slices(k)[0][0] for k in range(len(faces))]
-        _append_polys(b, _mr.assemble_rings(rings))
+        if holes:
+            polys = _mr.boolean_op(shells, holes, _mr.DIFFERENCE)
+        else:
+            polys = _mr.assemble_rings(shells)
+        _append_polys(b, polys)
     return b.finish()
 
 

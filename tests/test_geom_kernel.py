@@ -726,6 +726,35 @@ class TestRepairAndLinework:
         out = algos.make_valid(ok)
         assert wkt.format_array(out) == wkt.format_array(ok)
 
+    def test_make_valid_method_split(self):
+        """Jutting hole (crosses the shell): linework keeps the jutting
+        region as AREA (ring roles discarded, even-odd faces), structure
+        subtracts the hole inside and drops the outside part (GEOS
+        MakeValid method semantics, reference base.py:2114)."""
+        g = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                        "(8 4, 13 4, 13 7, 8 7, 8 4))")
+        assert not algos.is_valid(g)[0]
+        lw = algos.make_valid(g, method="linework")
+        sv = algos.make_valid(g, method="structure")
+        assert algos.area(lw)[0] == 109.0 and algos.is_valid(lw)[0]
+        assert algos.area(sv)[0] == 94.0 and algos.is_valid(sv)[0]
+
+    def test_make_valid_hole_outside_shell(self):
+        g = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                        "(10 10, 12 10, 12 12, 10 12, 10 10))")
+        assert not algos.is_valid(g)[0]
+        assert algos.area(algos.make_valid(g, method="linework"))[0] == 20.0
+        assert algos.area(algos.make_valid(g, method="structure"))[0] == 16.0
+
+    def test_is_valid_detects_ring_cross(self):
+        bad = ga_from_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(8 4, 12 4, 12 6, 8 6, 8 4))",          # hole crosses shell
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))")            # proper hole: valid
+        v = algos.is_valid(bad)
+        assert not v[0] and v[1]
+
     def test_is_valid_reason(self):
         ga = ga_from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",
                          "POINT (1 1)", None)
