@@ -1544,6 +1544,52 @@ FROM nation
 """
 
 
+def q_to_crs_tm_more(spark, sf_dir):
+    """General to_crs family #10: NZGD2000/NZTM (EPSG:2193), Korea 2000
+    Unified (5179), TWD97 TM2 (3826) — TM natural-origin anchors are
+    exact by construction — and Belgian Lambert 72 (31370, International
+    1924 + the NGI 7-parameter shift), all verified by round-trip
+    identity; the anchors ride along as constant columns."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (F.lit(166.0) + (k % 1300) / F.lit(100.0)).cast("double")
+    lat = (F.lit(-47.0) + (k * 7 % 1250) / F.lit(100.0)).cast("double")
+    g = st.point(lon, lat)
+    rt = st.to_crs(st.to_crs(g, "EPSG:4326", "EPSG:2193"),
+                   "EPSG:2193", "EPSG:4326")
+    anchors = [(173.0, 0.0, "EPSG:2193", 1600000.0, 10000000.0),
+               (127.5, 38.0, "EPSG:5179", 1000000.0, 2000000.0),
+               (121.0, 0.0, "EPSG:3826", 250000.0, 0.0)]
+    cols = [k.alias("id"),
+            F.round(st.x(rt), 5).alias("rlon"),
+            F.round(st.y(rt), 5).alias("rlat")]
+    for i, (lo, la, code, fe, fn) in enumerate(anchors):
+        a = st.to_crs(st.point(F.lit(lo), F.lit(la)), "EPSG:4326", code)
+        cols.append((F.round(st.x(a), 3) + 0.0).alias(f"fe{i}"))
+        cols.append((F.round(st.y(a), 3) + 0.0).alias(f"fn{i}"))
+    # Belgian round trip folded into one boolean (datum shift + LCC)
+    bg = st.point((F.lit(2.5) + (k % 390) / F.lit(100.0)).cast("double"),
+                  (F.lit(49.5) + (k * 3 % 200) / F.lit(100.0)).cast("double"))
+    brt = st.to_crs(st.to_crs(bg, "EPSG:4326", "EPSG:31370"),
+                    "EPSG:31370", "EPSG:4326")
+    cols.append((F.round(st.x(brt) - st.x(bg), 6) + 0.0).alias("bel_dx"))
+    cols.append((F.round(st.y(brt) - st.y(bg), 6) + 0.0).alias("bel_dy"))
+    return c.select(*cols)
+
+
+SQL_TO_CRS_TM_MORE = """
+SELECT c_custkey AS id,
+       ROUND(166.0 + (c_custkey % 1300) / 100.0, 5) AS rlon,
+       ROUND(-47.0 + (c_custkey * 7 % 1250) / 100.0, 5) AS rlat,
+       1600000.0 + 0.0 AS fe0, 10000000.0 + 0.0 AS fn0,
+       1000000.0 + 0.0 AS fe1, 2000000.0 + 0.0 AS fn1,
+       250000.0 + 0.0 AS fe2, 0.0 + 0.0 AS fn2,
+       0.0 + 0.0 AS bel_dx,
+       0.0 + 0.0 AS bel_dy
+FROM customer
+"""
+
+
 def q_make_valid_linework(spark, sf_dir):
     """make_valid method split (reference base.py:2114, GEOS MakeValid):
     a hole jutting outside its shell (shell 10x10, hole 8..8+w x 4..4+h
@@ -2234,6 +2280,38 @@ SELECT n_nationkey AS id,
        CAST(n_nationkey % 4 + 2 AS BIGINT) AS n_sampled,
        TRUE AS all_in
 FROM nation
+"""
+
+
+def q_sample_poisson(spark, sf_dir):
+    """sample_points(method='cluster_poisson') — the pointpats-style
+    clustered process the reference reaches through its optional
+    pointpats dependency (tools/_random.py:14-83). Property oracle like
+    sample_pts: seeded-deterministic count, all-inside containment, and
+    bitwise determinism across two evaluations of the same seed."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    k = F.col("c_custkey")
+    w, h = (k % 5 + 1) * 20, (k % 4 + 1) * 20
+    box = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0))")))
+    size = (k % 6 + 4).cast("int")
+    sp = st.sample_points(box, size, seed=11, method="cluster_poisson",
+                          n_parents=3, cluster_radius=8.0)
+    sp2 = st.sample_points(box, size, seed=11, method="cluster_poisson",
+                           n_parents=3, cluster_radius=8.0)
+    return c.select(k.alias("id"),
+                    st.ngeometries(sp).alias("n_sampled"),
+                    st.contains(box, sp).alias("all_in"),
+                    (sp == sp2).alias("deterministic"))
+
+
+SQL_SAMPLE_POISSON = """
+SELECT c_custkey AS id,
+       CAST(c_custkey % 6 + 4 AS BIGINT) AS n_sampled,
+       TRUE AS all_in,
+       TRUE AS deterministic
+FROM customer WHERE c_custkey <= 200
 """
 
 
@@ -3810,6 +3888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_spcs": q_to_crs_spcs,
         "to_crs_somerc": q_to_crs_somerc,
         "make_valid_linework": q_make_valid_linework,
+        "sample_poisson": q_sample_poisson,
+        "to_crs_tm_more": q_to_crs_tm_more,
         # --- previously-stamped green queries (r3 window order) ---
         "simplify": q_simplify,
         "snap": q_snap,
@@ -3969,6 +4049,8 @@ def oracle_sql() -> dict[str, str]:
         "to_crs_spcs": SQL_TO_CRS_SPCS,
         "to_crs_somerc": SQL_TO_CRS_SOMERC,
         "make_valid_linework": SQL_MAKE_VALID_LINEWORK,
+        "sample_poisson": SQL_SAMPLE_POISSON,
+        "to_crs_tm_more": SQL_TO_CRS_TM_MORE,
         "concat_cx": SQL_CONCAT_CX,
         "densify_distances": SQL_DENSIFY_DISTANCES,
         "jaccard": SQL_JACCARD,

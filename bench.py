@@ -36,6 +36,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SKIP_SCALE = os.environ.get("SPARK_GRAFT_SKIP_SCALE_TIER", "") == "1"
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+SKIP_BIG = os.environ.get("SPARK_GRAFT_SKIP_BIG_TIER", "") == "1"
+BIG_FACTOR = int(os.environ.get("SPARK_GRAFT_BIG_SCALE_FACTOR", "100"))
+BIG_TWIN_TIMEOUT = int(os.environ.get("SPARK_GRAFT_BIG_TWIN_TIMEOUT",
+                                      "120"))
 
 HEADLINE_TO_ORACLE = {
     "sjoin_broadcast": "sjoin", "sjoin_grid": "sjoin_grid",
@@ -53,8 +57,51 @@ def _baseline_cache_path(sf_dir):
     return os.path.join(REPO, ".bench", f"baseline_{tag}.json")
 
 
+_TABLES = ("region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _twin_proc(sf_dir, sql, q):
+    """Subprocess body: one DuckDB twin, result seconds via queue."""
+    import time as _time
+
+    import duckdb
+    con = duckdb.connect()
+    for t in _TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    t0 = _time.time()
+    con.execute(sql).fetchall()
+    q.put(round(_time.time() - t0, 3))
+
+
+def _twin_with_timeout(sf_dir, sql, timeout):
+    """Run one DuckDB twin in a subprocess, killed at `timeout` seconds —
+    the big tier's quadratic twins (nearest/distance/minhash) would
+    otherwise run for hours; a timed-out twin records None (reported as
+    '>timeout' by readers)."""
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    proc = ctx.Process(target=_twin_proc, args=(sf_dir, sql, q))
+    proc.start()
+    proc.join(timeout)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join(5)
+        return None
+    try:
+        return q.get_nowait()
+    except Exception:
+        return None
+
+
 def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
-             runs=1):
+             runs=1, baseline_timeout=None):
     """Time each headline on Spark, then its oracle twin on DuckDB.
 
     ``cache_baseline`` reuses a cached DuckDB timing file for the tier —
@@ -99,28 +146,38 @@ def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
     try:
         import duckdb
         sqls = entry.oracle_sql()
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"):
-            p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.isdir(p):      # multi-file scale-tier layout
-                p = os.path.join(p, "*.parquet")
-            elif not os.path.exists(p):
-                continue
-            con.execute(f"CREATE VIEW {t} AS "
-                        f"SELECT * FROM read_parquet('{p}')")
-        for name in headlines:
-            oname = HEADLINE_TO_ORACLE.get(name)
-            if oname not in sqls:
-                continue
-            try:
-                t0 = time.time()
-                con.execute(sqls[oname]).fetchall()
-                baseline[name] = round(time.time() - t0, 3)
-            except Exception as e:
-                baseline[name] = None
-                print(f"# baseline {name} failed: {e}", file=sys.stderr)
-        con.close()
+        if baseline_timeout is not None:
+            for name in headlines:
+                oname = HEADLINE_TO_ORACLE.get(name)
+                if oname not in sqls:
+                    continue
+                baseline[name] = _twin_with_timeout(
+                    sf_dir, sqls[oname], baseline_timeout)
+                if baseline[name] is None:
+                    print(f"# baseline {name}: killed at "
+                          f"{baseline_timeout}s", file=sys.stderr)
+        else:
+            con = duckdb.connect()
+            for t in _TABLES:
+                p = os.path.join(sf_dir, f"{t}.parquet")
+                if os.path.isdir(p):      # multi-file scale-tier layout
+                    p = os.path.join(p, "*.parquet")
+                elif not os.path.exists(p):
+                    continue
+                con.execute(f"CREATE VIEW {t} AS "
+                            f"SELECT * FROM read_parquet('{p}')")
+            for name in headlines:
+                oname = HEADLINE_TO_ORACLE.get(name)
+                if oname not in sqls:
+                    continue
+                try:
+                    t0 = time.time()
+                    con.execute(sqls[oname]).fetchall()
+                    baseline[name] = round(time.time() - t0, 3)
+                except Exception as e:
+                    baseline[name] = None
+                    print(f"# baseline {name} failed: {e}", file=sys.stderr)
+            con.close()
     except ImportError:
         pass
     if cache_baseline and baseline:
@@ -205,6 +262,35 @@ def main():
             }
         except Exception as e:
             print(f"# scale tier failed: {e}", file=sys.stderr)
+
+    if not SKIP_SCALE and not SKIP_BIG:
+        # ×100 tier (sf10-equivalent from the default sf0.1): the tier
+        # where plan shape fully dominates session constants — exposes
+        # dissolve's union constant factor, grid-join cell sizing under
+        # real density, nearest's expanding-radius round count. Spark
+        # side runs once; DuckDB twins are subprocess-capped (the
+        # quadratic ones would run for hours) and cached across rounds.
+        big_dir = os.path.join(REPO, ".bench", f"scale{BIG_FACTOR}x")
+        try:
+            if not os.path.exists(os.path.join(big_dir,
+                                               "lineitem.parquet")):
+                from tools.make_scale import scale_dir as gen
+                gen(SF_DIR, big_dir, BIG_FACTOR)
+            bt_times, bt_base = run_tier(
+                spark, entry, headlines, big_dir, cache_baseline=True,
+                runs=1, baseline_timeout=BIG_TWIN_TIMEOUT)
+            tiers[f"scale{BIG_FACTOR}x"] = {
+                "queries": bt_times,
+                "baseline": bt_base,
+                "baseline_timeout_sec": BIG_TWIN_TIMEOUT,
+                "total": round(sum(t for t in bt_times.values()
+                                   if t is not None), 3),
+                "baseline_total": round(sum(t for t in bt_base.values()
+                                            if t is not None), 3)
+                if bt_base else None,
+            }
+        except Exception as e:
+            print(f"# big tier failed: {e}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({

@@ -786,6 +786,19 @@ def _samplepoints(s: pd.Series, size: pd.Series, seed: pd.Series) -> pd.Series:
                                     int(seed.iloc[0])))
 
 
+@_reg("st_samplepoints_cluster")
+@pandas_udf(BinaryType())
+def _samplepoints_cluster(s: pd.Series, size: pd.Series, seed: pd.Series,
+                          n_parents: pd.Series,
+                          radius: pd.Series) -> pd.Series:
+    npar = int(n_parents.iloc[0])
+    rad = float(radius.iloc[0])
+    return _enc(algos.sample_points(
+        _decode(s), size.to_numpy(np.int64), int(seed.iloc[0]),
+        method="cluster_poisson", n_parents=npar if npar > 0 else None,
+        cluster_radius=rad if rad > 0 else None))
+
+
 @_reg("st_polygonize_agg")
 @pandas_udf(BinaryType())
 def _polygonize_agg(s: pd.Series) -> bytes:
@@ -1174,11 +1187,22 @@ def to_crs(c, src, dst) -> Column:
     return _REGISTRY["st_transform"](_col(c), F.lit(str(src)), F.lit(str(dst)))
 
 
-def sample_points(c, size, seed=0, method="uniform") -> Column:
-    if method != "uniform":
-        raise NotImplementedError(
-            "sample_points: only method='uniform' is built in")
-    return _REGISTRY["st_samplepoints"](_col(c), _col(size), F.lit(int(seed)))
+def sample_points(c, size, seed=0, method="uniform", n_parents=None,
+                  cluster_radius=None) -> Column:
+    """Random points per geometry (reference base.py:6379). 'uniform' or
+    'cluster_poisson' (pointpats-style parent/offspring clustering — the
+    reference reaches it through the optional pointpats package)."""
+    if method == "uniform":
+        return _REGISTRY["st_samplepoints"](_col(c), _col(size),
+                                            F.lit(int(seed)))
+    if method == "cluster_poisson":
+        return _REGISTRY["st_samplepoints_cluster"](
+            _col(c), _col(size), F.lit(int(seed)),
+            F.lit(int(n_parents or 0)),
+            F.lit(float(cluster_radius or 0.0)))
+    raise NotImplementedError(
+        "sample_points: methods 'uniform' and 'cluster_poisson' are "
+        "built in")
 
 
 def polygonize_agg(c) -> Column:

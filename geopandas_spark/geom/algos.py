@@ -1740,10 +1740,16 @@ def _buffer_convex_ring(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarra
         n2 = n2 / np.hypot(*n2) if np.hypot(*n2) > 0 else n2
         a1 = np.arctan2(n1[1], n1[0])
         a2 = np.arctan2(n2[1], n2[0])
-        while a2 < a1:
-            a2 += 2 * np.pi
-        steps = max(1, int(np.ceil((a2 - a1) / (np.pi / 2 / quad_segs))))
-        angs = a1 + (a2 - a1) * np.arange(steps + 1) / steps
+        da = a2 - a1
+        if da < -1e-9:
+            da += 2 * np.pi
+        elif da < 0.0:
+            # exactly-collinear vertex: the two normals differ by an ulp;
+            # a raw `while a2 < a1: a2 += 2pi` would sweep a full
+            # backwards circle here and corrupt the ring (hypothesis-found)
+            da = 0.0
+        steps = max(1, int(np.ceil(da / (np.pi / 2 / quad_segs))))
+        angs = a1 + da * np.arange(steps + 1) / steps
         arc = cur + d * np.column_stack([np.cos(angs), np.sin(angs)])
         out.append(arc)
     ring_out = np.concatenate(out, axis=0)
@@ -2927,14 +2933,34 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
     for a in range(n):
         comps.setdefault(find(a), []).append(idx[a])
 
-    def _merge_component(members):
-        """Morton-ordered pairwise merge tree over one component.
+    def _oriented_rings(i):
+        """Row i's rings, closed, shells CCW / holes CW (the winding
+        probe in union_many relies on orientation)."""
+        rings = []
+        for part in ga.geom_slices(i):
+            for j, r in enumerate(part):
+                r = _mr._close(r)
+                if len(r) < 4:
+                    continue
+                a = _mr._ring_signed_area(r)
+                if (a > 0) != (j == 0) and a != 0:
+                    r = r[::-1]
+                rings.append(r)
+        return rings
 
-        Associative + each merge result is non-self-overlapping, so the
-        flat even-odd ring representation stays exact between levels —
-        the same tree-reduction st_union_agg uses across partitions
-        (SURVEY §2.5). Spatial ordering keeps intermediates compact (the
-        reason GEOS's cascaded union packs an STR-tree)."""
+    def _merge_component(members):
+        """One-sweep N-way union (Martinez–Rueda noding + winding probe,
+        clipping.union_many) — O((E+I) log E) for the whole component
+        instead of the pairwise tree's O(levels × E) re-sweeps. The
+        pairwise Morton-ordered merge tree below remains as the fallback
+        for inputs union_many rejects (e.g. a polygon overlapping
+        itself)."""
+        try:
+            out = _mr.union_many([_oriented_rings(i) for i in members])
+            if out:
+                return out
+        except ValueError:
+            pass
         if len(members) > 2:
             cxs = (bb[members, 0] + bb[members, 2]) * 0.5
             cys = (bb[members, 1] + bb[members, 3]) * 0.5
@@ -3936,19 +3962,43 @@ def build_area(ga: GeometryArray) -> GeometryArray:
 # ---------------------------------------------------------------------------
 
 def sample_points(ga: GeometryArray, size, seed: int = 0,
-                  method: str = "uniform") -> GeometryArray:
-    """Uniform random points within each polygon (rejection sampling in the
-    bbox, like the reference's batched sampler) or along each line
-    (length-weighted). Deterministic: per-row rng seeded (seed, row) so
-    results are stable across partitionings and retries."""
-    if method != "uniform":
+                  method: str = "uniform", n_parents=None,
+                  cluster_radius=None) -> GeometryArray:
+    """Random points within each polygon / along each line (reference
+    base.py:6379, tools/_random.py). Deterministic: per-row rng seeded
+    (seed, row) so results are stable across partitionings and retries.
+
+    method="uniform": rejection sampling in the bbox (polygons) or
+    length-weighted positions (lines) — the reference's built-in.
+    method="cluster_poisson": the pointpats-style clustered process the
+    reference reaches through its optional pointpats dependency —
+    ``n_parents`` uniform parent points (default max(1, size//10)), each
+    of the ``size`` offspring scattered uniformly in a disc of
+    ``cluster_radius`` (default 5% of the bbox diagonal) around a random
+    parent, rejected outside the polygon."""
+    if method not in ("uniform", "cluster_poisson"):
         raise NotImplementedError(
-            f"sample_points method={method!r}: only 'uniform' is built in "
-            "(the reference delegates other methods to the optional "
-            "pointpats package, geopandas/tools/_random.py)")
+            f"sample_points method={method!r}: 'uniform' and "
+            "'cluster_poisson' are built in (the reference delegates "
+            "other methods to the optional pointpats package, "
+            "geopandas/tools/_random.py)")
     size = np.broadcast_to(np.asarray(size, dtype=np.int64), (len(ga),))
     bb = bounds(ga)
     b = GeometryBuilder()
+
+    def _uniform_in_poly(rng, i, n):
+        got, need = [], n
+        x0, y0, x1, y1 = bb[i]
+        while need > 0:
+            m = max(need * 4, 32)
+            px = rng.uniform(x0, x1, m)
+            py = rng.uniform(y0, y1, m)
+            cls = points_in_geom(px, py, ga, i)
+            hit = np.nonzero(cls == 2)[0][:need]
+            got.append(np.column_stack([px[hit], py[hit]]))
+            need -= len(hit)
+        return np.concatenate(got, axis=0)
+
     for i in range(len(ga)):
         t = int(ga.types[i])
         if t == GT_MISSING:
@@ -3959,19 +4009,27 @@ def sample_points(ga: GeometryArray, size, seed: int = 0,
         if n <= 0 or ga.is_empty()[i]:
             b.append_empty(GT_MULTIPOINT)
             continue
-        if t in POLYGON_TYPES:
-            got = []
+        if t in POLYGON_TYPES and method == "cluster_poisson":
             x0, y0, x1, y1 = bb[i]
-            need = n
+            npar = int(n_parents) if n_parents else max(1, n // 10)
+            rad = (float(cluster_radius) if cluster_radius
+                   else 0.05 * float(np.hypot(x1 - x0, y1 - y0)))
+            parents = _uniform_in_poly(rng, i, npar)
+            got, need = [], n
             while need > 0:
                 m = max(need * 4, 32)
-                px = rng.uniform(x0, x1, m)
-                py = rng.uniform(y0, y1, m)
+                ks = rng.integers(0, npar, m)
+                ang = rng.uniform(0, 2 * np.pi, m)
+                rr = rad * np.sqrt(rng.uniform(0, 1, m))
+                px = parents[ks, 0] + rr * np.cos(ang)
+                py = parents[ks, 1] + rr * np.sin(ang)
                 cls = points_in_geom(px, py, ga, i)
                 hit = np.nonzero(cls == 2)[0][:need]
                 got.append(np.column_stack([px[hit], py[hit]]))
                 need -= len(hit)
             pts = np.concatenate(got, axis=0)
+        elif t in POLYGON_TYPES:
+            pts = _uniform_in_poly(rng, i, n)
         elif t in LINE_TYPES:
             segs = _geom_segments(ga, i)
             lens = np.hypot(*(segs[:, 1] - segs[:, 0]).T)
@@ -3985,7 +4043,7 @@ def sample_points(ga: GeometryArray, size, seed: int = 0,
         else:
             pts = _geom_points(ga, i)[rng.integers(0, ga.coords_per_geom()[i],
                                                    n)]
-        b.append(GT_MULTIPOINT, [[p.reshape(1, 2)] for p in pts])
+        b.append_multipoint(pts)
     return b.finish()
 
 
@@ -4015,7 +4073,31 @@ def is_valid_reason(ga: GeometryArray) -> list:
                 if not ok_rings:
                     out.append("Ring Self-intersection")
                 else:
-                    out.append("Self-intersection")
+                    # distinguish an escaped hole (rings don't cross but
+                    # the hole lies outside) — GEOS's phrasing
+                    escaped = False
+                    for p in ga.geom_slices(i):
+                        if len(p) <= 1:
+                            continue
+                        if any(_ring_self_intersects(r) for r in p):
+                            continue
+                        shell = p[0]
+                        for h in p[1:]:
+                            ha = np.column_stack([h[:-1], h[1:]]) \
+                                .reshape(-1, 2, 2)
+                            sa = np.column_stack([shell[:-1], shell[1:]]) \
+                                .reshape(-1, 2, 2)
+                            _hit, prop = _segs_intersect_flags(ha, sa)
+                            if prop:
+                                continue
+                            mid = (h[0] + h[1]) * 0.5
+                            cls = points_in_rings(np.array([mid[0]]),
+                                                  np.array([mid[1]]),
+                                                  [shell])
+                            if cls[0] == 0:
+                                escaped = True
+                    out.append("Hole lies outside shell" if escaped
+                               else "Self-intersection")
             else:
                 out.append("Invalid Geometry")
     return out

@@ -77,7 +77,9 @@ class _SweepEvent:
 
 def _compare_events(e1, e2) -> int:
     """Queue order: by x, then y; right endpoints before left; bottom edge
-    first; subject before clipping."""
+    first; subject before clipping. is_subject may be a bool (2-op) or a
+    polygon id int (union_many) — higher sorts first either way, matching
+    the original subject-before-clipping boolean behavior."""
     p1, p2 = e1.point, e2.point
     if p1[0] != p2[0]:
         return 1 if p1[0] > p2[0] else -1
@@ -87,7 +89,7 @@ def _compare_events(e1, e2) -> int:
         return 1 if e1.left else -1
     if _signed_area(p1, e1.other.point, e2.other.point) != 0:
         return 1 if not e1.is_below(e2.other.point) else -1
-    return 1 if (not e1.is_subject and e2.is_subject) else -1
+    return -1 if e1.is_subject >= e2.is_subject else 1
 
 
 def _compare_segments(le1, le2) -> int:
@@ -112,7 +114,7 @@ def _compare_segments(le1, le2) -> int:
                 return 0
             return -1 if id(le1) < id(le2) else 1
     else:
-        return -1 if le1.is_subject else 1
+        return -1 if le1.is_subject > le2.is_subject else 1
     return 1 if _compare_events(le1, le2) == 1 else -1
 
 
@@ -241,6 +243,38 @@ def _divide_segment(se, p, queue):
 
 
 def _possible_intersection(se1, se2, queue) -> int:
+    p1, q1 = se1.point, se1.other.point
+    p2, q2 = se2.point, se2.other.point
+    if (p1 == p2) != (q1 == q2):
+        # cascade robustness: when one op's output feeds another, a
+        # previously-computed crossing vertex can sit an ulp OFF the
+        # exactly-collinear line of the original (un-noded) edge. The
+        # exact collinear-overlap branch then never fires and the long
+        # edge crosses the region unsplit (hypothesis-found via
+        # (A∪B)∪A). If two edges share exactly one endpoint and the
+        # shorter's free endpoint lies within 1e-9 of the longer's line
+        # (the same quantum as the tracer's vertex canonicalization),
+        # split the longer there.
+        free1 = q1 if p1 == p2 else p1
+        free2 = q2 if p1 == p2 else p2
+        v1x, v1y = q1[0] - p1[0], q1[1] - p1[1]
+        v2x, v2y = q2[0] - p2[0], q2[1] - p2[1]
+        l1sq = v1x * v1x + v1y * v1y
+        l2sq = v2x * v2x + v2y * v2y
+        if l1sq > 0.0 and l2sq > 0.0:
+            if l1sq >= l2sq:
+                longe, fp = se1, free2
+                ax, ay, vx, vy, lsq = p1[0], p1[1], v1x, v1y, l1sq
+            else:
+                longe, fp = se2, free1
+                ax, ay, vx, vy, lsq = p2[0], p2[1], v2x, v2y, l2sq
+            ln = lsq ** 0.5
+            area2 = abs(vx * (fp[1] - ay) - vy * (fp[0] - ax))
+            if 0.0 < area2 / ln < 1e-9:
+                t = ((fp[0] - ax) * vx + (fp[1] - ay) * vy) / lsq
+                if 1e-12 < t < 1.0 - 1e-12:
+                    _divide_segment(longe, fp, queue)
+                    return 1
     pts = _segment_intersection(se1.point, se1.other.point,
                                 se2.point, se2.other.point)
     if not pts:
@@ -488,6 +522,94 @@ def _points_in_segs(px, py, segs):
     return out
 
 
+def _points_winding(px, py, segs):
+    """Winding number for MANY points at once (signed +x ray crossings:
+    +1 where the segment crosses the ray upward, -1 downward). Same
+    crossing test and arithmetic as _points_in_segs, so a |winding|==1
+    region classifies bit-identically to the even-odd probe."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(len(px), dtype=np.int64)
+    if segs is None or len(px) == 0:
+        return out
+    buckets = segs.bucket_of(py)
+    order = np.argsort(buckets, kind="stable")
+    bo = buckets[order]
+    starts = np.searchsorted(bo, np.arange(segs.nb + 1))
+    for b in np.unique(bo):
+        pidx = order[starts[b]:starts[b + 1]]
+        sidx = segs.bin_segs[segs.bin_off[b]:segs.bin_off[b + 1]]
+        if len(sidx) == 0:
+            continue
+        P = px[pidx][:, None]
+        Q = py[pidx][:, None]
+        y = segs.y[sidx][None, :]
+        y2 = segs.y2[sidx][None, :]
+        cond = (y <= Q) != (y2 <= Q)
+        xs = segs.x[sidx][None, :] + (Q - y) * segs.slope[sidx][None, :]
+        sgn = np.where(y2 > y, 1, -1)
+        out[pidx] = np.where(cond & (P < xs), sgn, 0).sum(axis=1)
+    return out
+
+
+def union_many(polygons):
+    """Union of N polygons in ONE noding sweep (Martinez–Rueda machinery
+    used as a noder) + winding-number side probes + the shared face
+    tracer — O((E + I) log E) total, versus the pairwise merge tree's
+    O(tree-levels × E) repeated re-sweeps of growing intermediates.
+
+    ``polygons``: list of polygons, each a list of CLOSED rings with
+    shells CCW and holes CW (the winding probe relies on orientation —
+    callers orient; union_all does). Returns the boolean_op output shape:
+    list of polygons, each ``[shell(CCW), hole(CW), ...]``.
+    """
+    queue = []
+    ring_count = 0
+    for pid, rings in enumerate(polygons):
+        rings = [np.asarray(r, dtype=np.float64) for r in rings
+                 if len(r) >= 3]
+        ring_count += len(rings)
+        _rings_to_events(rings, pid, queue)
+    if not queue:
+        return []
+    all_rings = [_close(np.asarray(r, dtype=np.float64))
+                 for poly in polygons for r in poly if len(r) >= 3]
+
+    # noding sweep: identical status walk to _subdivide, minus the 2-op
+    # flag computation (_trace_result never reads the flags)
+    sweep = _SweepLine()
+    sorted_events = []
+    while queue:
+        event = heapq.heappop(queue)
+        sorted_events.append(event)
+        if event.left:
+            idx = sweep.insert(event)
+            nxt = sweep.items[idx + 1] if idx + 1 < len(sweep.items) else None
+            if nxt is not None:
+                _possible_intersection(event, nxt, queue)
+            prev = sweep.items[idx - 1] if idx > 0 else None
+            if prev is not None:
+                _possible_intersection(prev, event, queue)
+        else:
+            left = event.other
+            idx = sweep.index(left)
+            if idx >= 0:
+                prev = sweep.items[idx - 1] if idx > 0 else None
+                nxt = (sweep.items[idx + 1]
+                       if idx + 1 < len(sweep.items) else None)
+                del sweep.items[idx]
+                if prev is not None and nxt is not None:
+                    _possible_intersection(prev, nxt, queue)
+
+    segs = _ringset_segments(all_rings)
+
+    def inside(xs, ys):
+        return _points_winding(xs, ys, segs) != 0
+
+    rings = _trace_result(sorted_events, inside)
+    return _assemble_polygons(rings)
+
+
 def _point_in_ringset(px, py, rings) -> bool:
     """Even-odd membership of (px,py) against a flat closed-ring set."""
     odd = False
@@ -525,6 +647,28 @@ def _walk_rings(sorted_events, subject_rings, clipping_rings, op):
     # in_out/in_result flag propagation (fragile on near-parallel edges) is
     # bypassed entirely. An edge bounds the op region iff exactly one of
     # its two side-probes lands inside; it is oriented region-on-left.
+    ssegs = _ringset_segments(subject_rings)
+    csegs = _ringset_segments(clipping_rings)
+
+    def region(xs, ys):
+        ina = _points_in_segs(xs, ys, ssegs)
+        inb = _points_in_segs(xs, ys, csegs)
+        if op == INTERSECTION:
+            return ina & inb
+        if op == UNION:
+            return ina | inb
+        if op == DIFFERENCE:
+            return ina & ~inb
+        return ina != inb
+
+    return _trace_result(sorted_events, region)
+
+
+def _trace_result(sorted_events, inside_fn):
+    """Noded sweep events + a vectorized membership oracle → result rings.
+
+    Shared by the 2-op boolean path (even-odd oracle per operand) and
+    union_many (winding oracle over all operands)."""
     # vertex quantization: crossing points computed from different edge
     # pairs can differ in the last ulp — unify them so graph adjacency
     # holds (snap radius 1e-9, far below any real feature size)
@@ -563,22 +707,8 @@ def _walk_rings(sorted_events, subject_rings, clipping_rings, op):
         with np.errstate(divide="ignore", invalid="ignore"):
             nx = -dy / ln * eps
             ny = dx / ln * eps
-        ssegs = _ringset_segments(subject_rings)
-        csegs = _ringset_segments(clipping_rings)
-
-        def region(xs, ys):
-            ina = _points_in_segs(xs, ys, ssegs)
-            inb = _points_in_segs(xs, ys, csegs)
-            if op == INTERSECTION:
-                return ina & inb
-            if op == UNION:
-                return ina | inb
-            if op == DIFFERENCE:
-                return ina & ~inb
-            return ina != inb
-
-        left_in = region(mx + nx, my + ny)
-        right_in = region(mx - nx, my - ny)
+        left_in = inside_fn(mx + nx, my + ny)
+        right_in = inside_fn(mx - nx, my - ny)
         fwd = ok & left_in & ~right_in
         rev = ok & right_in & ~left_in
         for k in np.nonzero(fwd | rev)[0]:

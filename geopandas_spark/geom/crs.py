@@ -45,6 +45,7 @@ _ELLPS = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "airy": (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
     "bessel": (6377397.155, 1.0 / 299.1528128),     # Bessel 1841 (DHDN/CH)
+    "intl": (6378388.0, 1.0 / 297.0),               # International 1924
 }
 
 # WGS84 -> OSGB36 position-vector Helmert (OS 'A guide to coordinate
@@ -63,6 +64,9 @@ _HELMERT_DHDN_TO_WGS84 = ("inv", (598.1, 73.7, 418.2,
 # CH1903+ -> WGS84 (swisstopo: translation-only, exact by definition).
 _HELMERT_CH1903P_TO_WGS84 = ("inv", (674.374, 15.056, 405.346,
                                      0.0, 0.0, 0.0, 0.0))
+# BD72 -> WGS84 position-vector (NGI Belgium 7-parameter set, ~m level).
+_HELMERT_BD72_TO_WGS84 = ("inv", (-106.8686, 52.2978, -103.7239,
+                                  -1.2747, 0.3366, -0.457, 1.8422))
 
 
 def _norm(crs: str) -> str:
@@ -720,6 +724,28 @@ def _proj_def(crs: str):
         prm = dict(_SPCS_LCC[code])
         prm.update({"a": a_, "f": f_})
         return ("lcc", prm, "GRS80", None)
+    if code == 2193:                # NZGD2000 / New Zealand TM (GRS80)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_, "lon0": 173.0, "lat0": 0.0,
+                       "k0": 0.9996, "fe": 1600000.0, "fn": 10000000.0},
+                "GRS80", None)
+    if code == 5179:                # Korea 2000 / Unified CS (GRS80 TM)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_, "lon0": 127.5, "lat0": 38.0,
+                       "k0": 0.9996, "fe": 1000000.0, "fn": 2000000.0},
+                "GRS80", None)
+    if code == 3826:                # TWD97 / TM2 zone 121 (GRS80)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_, "lon0": 121.0, "lat0": 0.0,
+                       "k0": 0.9999, "fe": 250000.0, "fn": 0.0},
+                "GRS80", None)
+    if code == 31370:               # Belgian Lambert 72 (Intl 1924 LCC-2SP)
+        a_, f_ = _ELLPS["intl"]
+        return ("lcc", {"a": a_, "f": f_,
+                        "lat0": 90.0, "lon0": 4.0 + 22.0 / 60 + 2.952 / 3600,
+                        "sp1": 51.0 + 10.0 / 60, "sp2": 49.0 + 50.0 / 60,
+                        "fe": 150000.013, "fn": 5400088.438},
+                "intl", _HELMERT_BD72_TO_WGS84)
     return None
 
 

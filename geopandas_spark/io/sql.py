@@ -47,16 +47,24 @@ def read_postgis(spark: SparkSession, url: str, query: str, *,
     """Distributed JDBC read of a PostGIS query/table; pass
     ``partition_column`` (+bounds) to fan the scan across tasks
     (reference geopandas/io/sql.py:126-211 reads single-connection)."""
-    reader = spark.read.format("jdbc") \
-        .option("url", url) \
-        .option("query", query)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
-        reader = (reader.option("partitionColumn", partition_column)
+        # Spark's JDBC source rejects partitionColumn together with the
+        # `query` option — partitioned scans need `dbtable`; wrap a full
+        # SELECT as a derived table
+        src = query.strip().rstrip(";")
+        if " " in src:
+            src = f"({src}) AS gps_sub"   # no leading underscore: Derby
+            # (and other engines) reject identifiers starting with '_'
+        reader = (reader.option("dbtable", src)
+                  .option("partitionColumn", partition_column)
                   .option("numPartitions", num_partitions)
                   .option("lowerBound", lower_bound)
                   .option("upperBound", upper_bound))
+    else:
+        reader = reader.option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
     return decode_geom(reader.load(), geom)
 
 

@@ -544,18 +544,25 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                   how: str = "inner", max_distance: Optional[float] = None,
                   distance_col: Optional[str] = None,
                   exclusive: bool = False,
-                  strategy: str = "broadcast") -> DataFrame:
+                  strategy: Optional[str] = None,
+                  broadcast_threshold: int = 200_000) -> DataFrame:
     """k=1 nearest join with ties (reference tools/sjoin.py:589-741).
 
     ``strategy="broadcast"`` collects the right side (the reference's
     single-STRtree shape, distributed over left partitions).
-    ``strategy="grid"`` is the large×large path: requires ``max_distance``
-    (the reference itself recommends bounding it for performance,
-    geopandas/sindex.py:399-400) and composes the grid dwithin join with a
-    distributed per-left-row argmin — no side is collected, candidates are
-    bounded by the distance ball, ties are kept like the reference."""
+    ``strategy="grid"`` is the large×large path: with ``max_distance``,
+    the bounded grid dwithin join + distributed argmin; without, exact
+    expanding-radius rounds — no side is collected, candidates are
+    bounded by the distance ball, ties are kept like the reference.
+    ``strategy=None`` auto-routes: the grid path when the right side's
+    plan statistics exceed ``broadcast_threshold`` rows (collecting it —
+    and the broadcast path's per-partition chunk × |R| distance buffers —
+    would not survive a large build side)."""
     if how not in ("inner", "left"):
         raise ValueError("sjoin_nearest supports how = inner|left")
+    if strategy is None:
+        strategy = ("grid" if _right_exceeds(right, broadcast_threshold)
+                    else "broadcast")
     if strategy == "grid":
         if max_distance is None:
             return _sjoin_nearest_grid_expanding(
@@ -597,7 +604,9 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                 # (np.hypot does not). The two (chunk × right) buffers are
                 # preallocated once — per-chunk np.empty churned ~36 GB of
                 # allocations over a 150k × 10k input.
-                cs = 512
+                # chunk height bounded so the two (chunk × |R|) buffers
+                # stay ~80 MB each regardless of the build side's size
+                cs = max(16, min(512, int(1e7 // max(len(rc), 1))))
                 bufx = np.empty((min(cs, len(lc)), len(rc)))
                 bufy = np.empty_like(bufx)
                 for s0 in range(0, len(lc), cs):

@@ -359,6 +359,40 @@ class TestConstructive:
         u = algos.union_all(ga)
         assert algos.area(u)[0] == 25.0 + 25.0 - 15.0
 
+    def test_union_many_one_sweep_matches_pairwise(self):
+        """The N-way single-sweep union (clipping.union_many) must agree
+        with the pairwise Morton merge tree on overlapping, touching,
+        duplicated and holed inputs."""
+        import numpy as np
+
+        import geopandas_spark.geom.clipping as mr
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 40, 300)
+        y = rng.uniform(0, 40, 300)
+        ga = boxes_from_bounds(x, y, x + 4.0, y + 4.0)
+        u1 = algos.union_all(ga)
+        orig = mr.union_many
+        mr.union_many = lambda p: (_ for _ in ()).throw(ValueError())
+        try:
+            u2 = algos.union_all(ga)
+        finally:
+            mr.union_many = orig
+        assert abs(algos.area(u1)[0] - algos.area(u2)[0]) < 1e-9
+        assert abs(algos.length(u1)[0] - algos.length(u2)[0]) < 1e-9
+        assert algos.count_geometries(u1)[0] == algos.count_geometries(u2)[0]
+
+    def test_union_many_holes_and_duplicates(self):
+        ws = ["POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), "
+              "(4 4, 8 4, 8 8, 4 8, 4 4))",          # donut
+              "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))",  # island in the hole
+              "POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), "
+              "(4 4, 8 4, 8 8, 4 8, 4 4))"]           # exact duplicate
+        u = algos.union_all(ga_from_wkt(*ws))
+        # 144 - 16 (hole) + 4 (island) = 132
+        assert algos.area(u)[0] == 132.0
+        assert algos.count_geometries(u)[0] == 2   # donut + island
+
     def test_union_all_coverage_grid(self):
         # 3x3 edge-matched unit tiles -> one 3x3 square, no sweep
         ws = [f"POLYGON (({i} {j}, {i+1} {j}, {i+1} {j+1}, {i} {j+1}, "
@@ -1255,6 +1289,17 @@ def test_crs_gk_spcs_somerc():
                               "EPSG:4326", "EPSG:31467")
     assert 3500000 < gk[0, 0] < 3530000 and 5390000 < gk[0, 1] < 5420000
 
+    # TM natural-origin anchors for the Pacific additions (exact)
+    for lonlat, code, exp in [((173.0, 0.0), "EPSG:2193",
+                               (1600000.0, 10000000.0)),
+                              ((127.5, 38.0), "EPSG:5179",
+                               (1000000.0, 2000000.0)),
+                              ((121.0, 0.0), "EPSG:3826",
+                               (250000.0, 0.0))]:
+        out = crs.transform_coords(np.array([lonlat]), "EPSG:4326", code)
+        assert abs(out[0, 0] - exp[0]) < 1e-6
+        assert abs(out[0, 1] - exp[1]) < 1e-6
+
     # round trips on all new codes
     rng = np.random.default_rng(7)
     for code, lo, hi, la, lb in [("EPSG:31466", 5.5, 7.4, 49.0, 52.0),
@@ -1263,7 +1308,11 @@ def test_crs_gk_spcs_somerc():
                                  ("EPSG:26943", -122.0, -119.0, 36.6, 38.3),
                                  ("EPSG:32139", -102.0, -98.0, 29.8, 31.8),
                                  ("EPSG:2056", 6.0, 10.5, 45.9, 47.8),
-                                 ("EPSG:21781", 6.0, 10.5, 45.9, 47.8)]:
+                                 ("EPSG:21781", 6.0, 10.5, 45.9, 47.8),
+                                 ("EPSG:2193", 166.0, 179.0, -47.0, -34.5),
+                                 ("EPSG:5179", 124.0, 131.0, 33.0, 39.0),
+                                 ("EPSG:3826", 119.0, 123.0, 21.0, 26.0),
+                                 ("EPSG:31370", 2.5, 6.4, 49.5, 51.5)]:
         pts = np.column_stack([rng.uniform(lo, hi, 50),
                                rng.uniform(la, lb, 50)])
         back = crs.transform_coords(

@@ -271,6 +271,43 @@ def test_postgis_hex_decode(spark):
     assert (row.x, row.y) == (5.0, 9.0)
 
 
+def test_postgis_live_jdbc_roundtrip(spark, tmp_path):
+    """Exercise the REAL spark.read.jdbc / df.write.jdbc branches of
+    read_postgis / to_postgis against a live embedded Derby database
+    (the JDBC driver Spark ships for its metastore) — EWKB+SRID write,
+    binary read-back, SRID stripped by the codec, plus the partitioned
+    parallel-read option path. PostGIS itself is unavailable in the
+    sandbox; the JDBC plumbing is identical."""
+    from geopandas_spark.io.sql import read_postgis, to_postgis
+    from geopandas_spark.geom import wkb as wkbmod
+
+    url = f"jdbc:derby:{tmp_path}/geodb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(i, f"POINT ({i} {i * 2})") for i in range(1, 21)], ["id", "w"]
+    ).select("id", st.geom_from_text("w").alias("geom"))
+    to_postgis(df, url, "pts", srid=3857, mode="overwrite",
+               properties=props)
+
+    back = read_postgis(spark, url, "SELECT * FROM pts",
+                        properties=props)
+    rows = {r.id: r for r in back.select(
+        "id", st.x("geom").alias("x"), st.y("geom").alias("y")).collect()}
+    assert len(rows) == 20
+    assert (rows[7].x, rows[7].y) == (7.0, 14.0)
+    # the stored bytes really are EWKB with the SRID flag+value embedded
+    raw = back.filter("id = 1").collect()[0].geom
+    assert bytes(raw)[:9] != wkbmod.encode(
+        wkbmod.decode([bytes(raw)]))[0][:9]   # header differs (SRID flag)
+
+    # partitioned parallel read path
+    par = read_postgis(spark, url, "SELECT * FROM pts",
+                       partition_column="id", num_partitions=4,
+                       lower_bound=1, upper_bound=21, properties=props)
+    assert par.count() == 20
+    assert par.rdd.getNumPartitions() == 4
+
+
 def test_shapefile_roundtrip(spark, tmp_path):
     from geopandas_spark.io import read_shapefile, to_shapefile
 

@@ -558,3 +558,64 @@ def test_boolean_identities_multipolygons(pa, pb):
     assert abs(inter + diff - area_a) < tol
     assert abs(union - (area_a + area_b - inter)) < tol
     assert abs(xor - (union - inter)) < tol
+
+
+@given(st_.lists(_star_polygon(), min_size=3, max_size=7))
+@settings(max_examples=40, deadline=None)
+def test_union_many_matches_pairwise_tree(polys):
+    """The one-sweep N-way union (clipping.union_many) must agree with
+    the pairwise Morton merge tree on random (optionally holed) star
+    polygons — area, perimeter, and part count, exactly up to fp noise."""
+    import geopandas_spark.geom.clipping as mr
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    b = GeometryBuilder()
+    for rings in polys:
+        b.append(GT_POLYGON, [rings])
+    ga = b.finish()
+    u1 = algos.union_all(ga)
+    orig = mr.union_many
+    mr.union_many = lambda p: (_ for _ in ()).throw(ValueError())
+    try:
+        u2 = algos.union_all(ga)
+    finally:
+        mr.union_many = orig
+    a1, a2 = float(algos.area(u1)[0]), float(algos.area(u2)[0])
+    p1, p2 = float(algos.length(u1)[0]), float(algos.length(u2)[0])
+    tol = 1e-6 * max(a1, 1.0)
+    assert abs(a1 - a2) < tol
+    assert abs(p1 - p2) < 1e-6 * max(p1, 1.0)
+    assert algos.count_geometries(u1)[0] == algos.count_geometries(u2)[0]
+
+
+@given(st_.integers(2, 6), st_.integers(2, 6), st_.integers(0, 3))
+@settings(max_examples=30, deadline=None)
+def test_coverage_union_grid_matches_unary(w, h, holes):
+    """Coverage union of an edge-matched W×H tile grid (with up to
+    `holes` interior tiles removed) equals the unary union exactly."""
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    removed = set()
+    if holes and w > 2 and h > 2:
+        rng = np.random.default_rng(w * 31 + h * 7 + holes)
+        for _ in range(holes):
+            removed.add((int(rng.integers(1, w - 1)),
+                         int(rng.integers(1, h - 1))))
+    b = GeometryBuilder()
+    n = 0
+    for i in range(w):
+        for j in range(h):
+            if (i, j) in removed:
+                continue
+            ring = np.array([[i, j], [i + 1, j], [i + 1, j + 1],
+                             [i, j + 1], [i, j]], dtype=np.float64)
+            b.append(GT_POLYGON, [[ring]])
+            n += 1
+    ga = b.finish()
+    cu = algos.union_all(ga, method="coverage")
+    uu = algos.union_all(ga)
+    assert float(algos.area(cu)[0]) == float(n)
+    assert float(algos.area(uu)[0]) == float(n)
+    assert float(algos.length(cu)[0]) == float(algos.length(uu)[0])
+    assert algos.count_interior_rings(cu)[0] == \
+        algos.count_interior_rings(uu)[0]

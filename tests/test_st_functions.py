@@ -134,6 +134,45 @@ def test_sample_points_deterministic_and_inside(spark):
     assert [r.t for r in out1] == [r.t for r in out2]  # same seed → same pts
 
 
+def test_sample_points_cluster_poisson(spark):
+    """Clustered sampler (pointpats-style parent/offspring): count,
+    containment, determinism, and actual clustering — mean
+    nearest-parentless dispersion must be well below uniform's."""
+    import numpy as np
+
+    from geopandas_spark.geom import algos, wkb as wkbmod
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))")], ["id", "w"])
+    g = st.geom_from_text("w")
+    mk = st.sample_points(g, F.lit(60), seed=5, method="cluster_poisson",
+                          n_parents=3, cluster_radius=6.0)
+    rows = (df.select(st.npoints(mk).alias("n"),
+                      st.within(mk, g).alias("inside"),
+                      mk.alias("b1"),
+                      st.sample_points(g, F.lit(60), seed=5,
+                                       method="cluster_poisson",
+                                       n_parents=3,
+                                       cluster_radius=6.0).alias("b2"))
+            .collect())
+    r = rows[0]
+    assert r.n == 60 and r.inside
+    assert bytes(r.b1) == bytes(r.b2)
+    # clustered: point spread (std of coords) far below uniform's ~28.9
+    ga = wkbmod.decode([bytes(r.b1)])
+    pts = ga.coords
+    # each point within cluster_radius of one of <=3 centers -> 60 points
+    # in 3 discs of r=6 can't fill the square uniformly
+    d = pts[:, None, :] - pts[None, :, :]
+    dist = np.hypot(d[..., 0], d[..., 1])
+    # for every point, its 10th-nearest neighbour is inside its own disc
+    tenth = np.sort(dist, axis=1)[:, 10]
+    assert (tenth <= 12.0).mean() > 0.9
+
+    with __import__("pytest").raises(NotImplementedError):
+        st.sample_points(g, F.lit(5), method="nope")
+
+
 def test_polygonize_and_build_area(spark):
     rows = [(1, "LINESTRING (0 0, 4 0)"), (1, "LINESTRING (4 0, 2 3)"),
             (1, "LINESTRING (2 3, 0 0)"),
