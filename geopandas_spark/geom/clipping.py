@@ -270,11 +270,53 @@ def _possible_intersection(se1, se2, queue) -> int:
                 ax, ay, vx, vy, lsq = p2[0], p2[1], v2x, v2y, l2sq
             ln = lsq ** 0.5
             area2 = abs(vx * (fp[1] - ay) - vy * (fp[0] - ax))
-            if 0.0 < area2 / ln < 1e-9:
+            # handle ulp-off collinearity here; EXACT collinearity (both
+            # area2 and the direction cross zero) defers to the exact
+            # overlap branch below — EXCEPT the mixed-rounding case where
+            # the vertex sits exactly on the line but the differently-
+            # rounded direction cross is nonzero, which would otherwise
+            # fall between the two branches (hypothesis-found)
+            kross = v1x * v2y - v1y * v2x
+            if 0.0 < area2 / ln < 1e-9 or (area2 == 0.0 and kross != 0.0):
                 t = ((fp[0] - ax) * vx + (fp[1] - ay) * vy) / lsq
-                if 1e-12 < t < 1.0 - 1e-12:
+                # the split point must clear the canonicalization quantum
+                # on both sides, or subdivision makes no progress and the
+                # sweep loops on ulp-apart fragments
+                if 1e-9 < t * ln and 1e-9 < (1.0 - t) * ln:
                     _divide_segment(longe, fp, queue)
                     return 1
+    elif p1 != p2 and q1 != q2:
+        # same hazard with NO shared endpoint: both edges are fragments
+        # of the same original line, re-noded in different ops with
+        # ulp-different endpoints. If both endpoints of the shorter lie
+        # within the canonicalization quantum of the longer's line (but
+        # not exactly on it), split the longer at the first interior one;
+        # the halves then share an endpoint and converge via the branch
+        # above.
+        v1x, v1y = q1[0] - p1[0], q1[1] - p1[1]
+        v2x, v2y = q2[0] - p2[0], q2[1] - p2[1]
+        l1sq = v1x * v1x + v1y * v1y
+        l2sq = v2x * v2x + v2y * v2y
+        if l1sq > 0.0 and l2sq > 0.0:
+            if l1sq >= l2sq:
+                longe = se1
+                ax, ay, vx, vy, lsq = p1[0], p1[1], v1x, v1y, l1sq
+                cands = (p2, q2)
+            else:
+                longe = se2
+                ax, ay, vx, vy, lsq = p2[0], p2[1], v2x, v2y, l2sq
+                cands = (p1, q1)
+            ln = lsq ** 0.5
+            d0 = abs(vx * (cands[0][1] - ay) - vy * (cands[0][0] - ax)) / ln
+            d1 = abs(vx * (cands[1][1] - ay) - vy * (cands[1][0] - ax)) / ln
+            kross = v1x * v2y - v1y * v2x
+            if (0.0 < max(d0, d1) < 1e-9
+                    or (max(d0, d1) == 0.0 and kross != 0.0)):
+                for fp in cands:
+                    t = ((fp[0] - ax) * vx + (fp[1] - ay) * vy) / lsq
+                    if 1e-9 < t * ln and 1e-9 < (1.0 - t) * ln:
+                        _divide_segment(longe, fp, queue)
+                        return 1
     pts = _segment_intersection(se1.point, se1.other.point,
                                 se2.point, se2.other.point)
     if not pts:
@@ -282,9 +324,13 @@ def _possible_intersection(se1, se2, queue) -> int:
     if (len(pts) == 1 and (se1.point == se2.point or
                            se1.other.point == se2.other.point)):
         return 0  # meet at a common endpoint only
-    if len(pts) == 2 and se1.is_subject == se2.is_subject:
-        # overlapping edges within one input polygon: invalid input
-        raise ValueError("edges of the same polygon overlap (invalid input)")
+    # NOTE: same-side collinear overlaps are processed like cross-side
+    # ones (splits aligned, one edge NON_CONTRIBUTING). They arise
+    # legitimately from the near-collinear cascade splits above (a
+    # fragment re-aligned onto a sibling fragment of the same operand);
+    # the probe-based tracer then classifies the doubled edge by its
+    # side membership, which is exactly even-odd semantics. (This branch
+    # used to raise "invalid input", which aborted whole unions.)
     if len(pts) == 1:
         p = pts[0]
         if se1.point != p and se1.other.point != p:

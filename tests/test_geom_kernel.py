@@ -359,6 +359,29 @@ class TestConstructive:
         u = algos.union_all(ga)
         assert algos.area(u)[0] == 25.0 + 25.0 - 15.0
 
+    def test_boolean_op_same_side_shared_edge(self):
+        """A flat even-odd ring set whose rings share an edge exactly
+        (two adjacent tiles — the shape cascade outputs produce) used to
+        raise 'invalid input'; the probe-based tracer handles it."""
+        import numpy as np
+
+        from geopandas_spark.geom import clipping as mr
+
+        subject = [np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
+                            dtype=float),
+                   np.array([[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]],
+                            dtype=float)]
+        clip = [np.array([[0.5, -0.5], [1.5, -0.5], [1.5, 0.5],
+                          [0.5, 0.5], [0.5, -0.5]], dtype=float)]
+        out = mr.boolean_op(subject, clip, mr.UNION)
+        area = sum(abs(mr._ring_signed_area(r)) * (1 if k == 0 else -1)
+                   for poly in out for k, r in enumerate(poly))
+        assert abs(area - 2.5) < 1e-9
+        inter = mr.boolean_op(subject, clip, mr.INTERSECTION)
+        iarea = sum(abs(mr._ring_signed_area(r)) * (1 if k == 0 else -1)
+                    for poly in inter for k, r in enumerate(poly))
+        assert abs(iarea - 0.5) < 1e-9
+
     def test_union_many_one_sweep_matches_pairwise(self):
         """The N-way single-sweep union (clipping.union_many) must agree
         with the pairwise Morton merge tree on overlapping, touching,

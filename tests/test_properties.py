@@ -619,3 +619,42 @@ def test_coverage_union_grid_matches_unary(w, h, holes):
     assert float(algos.length(cu)[0]) == float(algos.length(uu)[0])
     assert algos.count_interior_rings(cu)[0] == \
         algos.count_interior_rings(uu)[0]
+
+
+@given(_star_polygon(), _star_polygon(holes=False), _star_polygon(holes=False))
+@settings(max_examples=40, deadline=None)
+def test_cascaded_boolean_identities(ra, rb, rc):
+    """Identities that feed one op's OUTPUT into another op — the cascade
+    class where a previously-computed crossing vertex sits an ulp off an
+    original edge's line (the r4 noding-robustness fix):
+
+        (A∪B)∪A = A∪B          (idempotence through a cascade)
+        (A∪B)∩A = A
+        ((A∪B)∖B)∪(A∩B) = A    (partition of A by B)
+        ((A∪B)∪C) area = inclusion-exclusion over A,B,C
+    """
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    b = GeometryBuilder()
+    for rings in (ra, rb, rc):
+        b.append(GT_POLYGON, [rings])
+    g = b.finish()
+    A, B, C = g.take([0]), g.take([1]), g.take([2])
+
+    def ar(x):
+        return float(algos.area(x)[0])
+
+    U = algos.union(A, B)
+    tol = 1e-6 * max(ar(A), ar(B), ar(C), 1.0)
+    assert abs(ar(algos.union(U, A)) - ar(U)) < tol
+    assert abs(ar(algos.intersection(U, A)) - ar(A)) < tol
+    lhs = algos.union(algos.difference(U, B), algos.intersection(A, B))
+    assert abs(ar(lhs) - ar(A)) < tol
+    # 3-way inclusion-exclusion via cascaded unions
+    UC = algos.union(U, C)
+    ie = (ar(A) + ar(B) + ar(C)
+          - ar(algos.intersection(A, B))
+          - ar(algos.intersection(A, C))
+          - ar(algos.intersection(B, C))
+          + ar(algos.intersection(algos.intersection(A, B), C)))
+    assert abs(ar(UC) - ie) < 4 * tol
