@@ -1544,6 +1544,89 @@ FROM nation
 """
 
 
+def q_trajectory(spark, sf_dir):
+    """Trajectory assembly (engine-added spatio-temporal op): per-user
+    event points ordered by (ts, event_id) stitched into a LINESTRING —
+    grouping/ordering fully native (sort_array over collect_list of a
+    struct, partial-aggregated), one scalar UDF stitches vertices
+    (st.make_line). Twin recomputes vertex count and path length with a
+    LAG window over the same ordering."""
+    e = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") % 97).cast("double")
+    y = (F.col("event_id") * 7 % 89).cast("double")
+    pt = st.point(x, y)
+    seq = F.sort_array(F.collect_list(F.struct(
+        F.col("ts"), F.col("event_id"), pt.alias("g"))))
+    g = e.groupBy("user_id").agg(seq.alias("seq"))
+    line = st.make_line(F.transform("seq", lambda s: s["g"]))
+    return g.select(F.col("user_id").alias("id"),
+                    st.npoints(line).alias("npts"),
+                    F.round(st.length(line), 6).alias("path_len"))
+
+
+SQL_TRAJECTORY = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(event_id % 97 AS DOUBLE) AS x,
+         CAST(event_id * 7 % 89 AS DOUBLE) AS y
+  FROM events
+), d AS (
+  SELECT user_id,
+         SQRT(POWER(x - LAG(x) OVER w, 2) +
+              POWER(y - LAG(y) OVER w, 2)) AS step
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id AS id,
+       -- a single-event trajectory degenerates to a 2-point zero-length
+       -- line on the engine side (1-point LINESTRINGs are invalid WKB)
+       CAST(CASE WHEN COUNT(*) = 1 THEN 2 ELSE COUNT(*) END
+            AS BIGINT) AS npts,
+       ROUND(COALESCE(SUM(step), 0.0), 6) AS path_len
+FROM d GROUP BY user_id
+"""
+
+
+def q_subdivide(spark, sf_dir):
+    """Engine-added ST_Subdivide analogue (algos.subdivide): per-nation
+    w×h boxes densified to unit segments (2(w+h)+1 vertices), split to
+    <= 40-vertex pieces via recursive bbox-halving clips. Invariant
+    oracle: piece areas sum EXACTLY to w*h (rectangle clips on halved
+    bounds are exact here), every piece is small, and there are at least
+    ceil(npts/40) pieces — plus coverage-union reassembly equality, all
+    reduced to booleans the twin states as constants."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 4 + 2) * 10, (k % 3 + 2) * 10
+    box = st.makebox(F.lit(0.0), F.lit(0.0),
+                     w.cast("double"), h.cast("double"))
+    dense = st.segmentize(box, F.lit(1.0))
+    parts = st.subdivide(dense, 40)
+    one = F.explode(parts).alias("p")
+    ex = n.select(k.alias("id"), (w * h).cast("double").alias("wh"),
+                  st.npoints(dense).alias("npts"), one)
+    agg = ex.groupBy("id", "wh", "npts").agg(
+        F.sum(st.area("p")).alias("tot"),
+        F.max(st.npoints("p")).alias("maxp"),
+        F.count("*").alias("np_"))
+    return agg.select(
+        F.col("id"),
+        F.round("tot", 6).alias("tot_area"),
+        (F.col("tot") == F.col("wh")).alias("area_exact"),
+        (F.col("maxp") <= 40).alias("pieces_small"),
+        (F.col("np_") >= F.ceil(F.col("npts") / 40.0)).alias("enough"))
+
+
+SQL_SUBDIVIDE = """
+SELECT n_nationkey AS id,
+       ROUND(CAST((n_nationkey % 4 + 2) * 10 * (n_nationkey % 3 + 2) * 10
+             AS DOUBLE), 6) AS tot_area,
+       TRUE AS area_exact,
+       TRUE AS pieces_small,
+       TRUE AS enough
+FROM nation
+"""
+
+
 def q_to_crs_tm_more(spark, sf_dir):
     """General to_crs family #10: NZGD2000/NZTM (EPSG:2193), Korea 2000
     Unified (5179), TWD97 TM2 (3826) — TM natural-origin anchors are
@@ -3890,6 +3973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_valid_linework": q_make_valid_linework,
         "sample_poisson": q_sample_poisson,
         "to_crs_tm_more": q_to_crs_tm_more,
+        "subdivide": q_subdivide,
+        "trajectory": q_trajectory,
         # --- previously-stamped green queries (r3 window order) ---
         "simplify": q_simplify,
         "snap": q_snap,
@@ -4051,6 +4136,8 @@ def oracle_sql() -> dict[str, str]:
         "make_valid_linework": SQL_MAKE_VALID_LINEWORK,
         "sample_poisson": SQL_SAMPLE_POISSON,
         "to_crs_tm_more": SQL_TO_CRS_TM_MORE,
+        "subdivide": SQL_SUBDIVIDE,
+        "trajectory": SQL_TRAJECTORY,
         "concat_cx": SQL_CONCAT_CX,
         "densify_distances": SQL_DENSIFY_DISTANCES,
         "jaccard": SQL_JACCARD,

@@ -779,6 +779,49 @@ def _transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
     return _enc(crsmod.transform(_decode(s), src.iloc[0], dst.iloc[0]))
 
 
+@_reg("st_makeline_array")
+@pandas_udf(BinaryType())
+def _makeline_array(s: pd.Series) -> pd.Series:
+    """array<binary> of WKB points (pre-ordered by the caller — e.g.
+    sort_array over struct(ts, key, geom)) → one LINESTRING per row.
+    The trajectory-assembly pattern: ordering and grouping stay native
+    (collect_list is partial-aggregated and state-store-safe in
+    streaming); only the final vertex stitch crosses into Python."""
+    from geopandas_spark.geom.array import GT_LINESTRING
+    out = []
+    for lst in s:
+        if lst is None or len(lst) == 0:
+            out.append(None)
+            continue
+        ga = wkb.decode([bytes(v) for v in lst])
+        c = ga.coords
+        b = algos.GeometryBuilder()
+        if len(c) == 0:
+            b.append_empty(GT_LINESTRING)
+        elif len(c) == 1:
+            b.append(GT_LINESTRING, [[np.repeat(c, 2, axis=0)]])
+        else:
+            b.append(GT_LINESTRING, [[c]])
+        out.append(wkb.encode(b.finish())[0])
+    return pd.Series(out, dtype=object)
+
+
+@_reg("st_subdivide")
+@pandas_udf(ArrayType(BinaryType()))
+def _subdivide_udf(s: pd.Series, mv: pd.Series) -> pd.Series:
+    """PostGIS-style ST_Subdivide (engine-added): pieces with bounded
+    vertex counts, as array<binary> for posexplode — the scale pattern
+    for monster polygons (see algos.subdivide)."""
+    ga = _decode(s)
+    parts, parent = algos.subdivide(ga, int(mv.iloc[0]))
+    enc = wkb.encode(parts)
+    out = [None if b is None else [] for b in s]
+    for k, pi in enumerate(parent):
+        if enc[k] is not None and out[pi] is not None:
+            out[pi].append(enc[k])
+    return pd.Series(out, dtype=object)
+
+
 @_reg("st_samplepoints")
 @pandas_udf(BinaryType())
 def _samplepoints(s: pd.Series, size: pd.Series, seed: pd.Series) -> pd.Series:
@@ -1203,6 +1246,20 @@ def sample_points(c, size, seed=0, method="uniform", n_parents=None,
     raise NotImplementedError(
         "sample_points: methods 'uniform' and 'cluster_poisson' are "
         "built in")
+
+
+def make_line(c) -> Column:
+    """Stitch an array<binary> of WKB points (pre-ordered) into one
+    LINESTRING — the trajectory assembly step; pair with native
+    sort_array(collect_list(struct(ts, key, geom)))."""
+    return _REGISTRY["st_makeline_array"](_col(c))
+
+
+def subdivide(c, max_vertices: int = 256) -> Column:
+    """Pieces of each geometry with <= max_vertices coordinates, as
+    array<binary> — pair with posexplode to spread monster polygons
+    across tasks (engine-added; PostGIS ST_Subdivide analogue)."""
+    return _REGISTRY["st_subdivide"](_col(c), F.lit(int(max_vertices)))
 
 
 def polygonize_agg(c) -> Column:

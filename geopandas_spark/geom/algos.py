@@ -1986,6 +1986,74 @@ def _clip_segments_convex(segs: np.ndarray, clip_ring: np.ndarray):
     return out
 
 
+def subdivide(ga: GeometryArray, max_vertices: int = 256):
+    """PostGIS-style ST_Subdivide (engine-added, beyond the reference):
+    recursively halve each geometry's bbox along its longer axis and
+    rectangle-clip until every piece has <= max_vertices coordinates.
+
+    THE standard 100-TB trick for monster polygons (continent coastlines,
+    basin boundaries): pieces bound per-row refine cost, index tighter in
+    the grid join (smaller bboxes -> fewer candidate cells), and spread
+    one hot row across tasks. Area/length are preserved exactly up to the
+    clip arithmetic; re-union of the pieces = the input (it's an
+    edge-matched coverage, so union_all(method='coverage') reassembles it
+    without a sweep).
+
+    Returns (parts, parent_index): a GeometryArray of pieces and the
+    originating row per piece — the same shape as get_parts, made for
+    ``posexplode`` after the st-layer array wrapper."""
+    if max_vertices < 8:
+        raise ValueError("subdivide needs max_vertices >= 8")
+    out = GeometryBuilder()
+    parent = []
+
+    def _emit(g1, i_src):
+        out.append_from(g1, 0)
+        parent.append(i_src)
+
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t == GT_MISSING or t not in POLYGON_TYPES | LINE_TYPES:
+            _emit(ga.take([i]), i)
+            continue
+        stack = [ga.take([i])]
+        guard = 0
+        while stack:
+            guard += 1
+            if guard > 100000:
+                raise RuntimeError("subdivide failed to converge")
+            g1 = stack.pop()
+            if g1.is_empty()[0]:
+                continue
+            n = int(g1.coords_per_geom()[0])
+            if n <= max_vertices:
+                _emit(g1, i)
+                continue
+            x0, y0, x1, y1 = bounds(g1)[0]
+            if not (x1 > x0 or y1 > y0):
+                _emit(g1, i)      # degenerate extent: cannot split
+                continue
+            if (x1 - x0) >= (y1 - y0):
+                xm = (x0 + x1) * 0.5
+                halves = ((x0, y0, xm, y1), (xm, y0, x1, y1))
+            else:
+                ym = (y0 + y1) * 0.5
+                halves = ((x0, y0, x1, ym), (x0, ym, x1, y1))
+            pieces = []
+            for hx0, hy0, hx1, hy1 in halves:
+                piece = clip_by_rect(g1, hx0, hy0, hx1, hy1)
+                if not piece.is_empty()[0]:
+                    pieces.append(piece)
+            if any(int(p.coords_per_geom()[0]) < n for p in pieces):
+                stack.extend(pieces)
+            else:
+                # no half shed a vertex (degenerate input): emit as-is
+                # rather than loop forever
+                for p in pieces:
+                    _emit(p, i)
+    return out.finish(), np.asarray(parent, dtype=np.int64)
+
+
 def clip_by_rect(ga: GeometryArray, xmin, ymin, xmax, ymax) -> GeometryArray:
     """Fast/dirty rectangle clip (reference: base.py:4880, GEOS
     clip_by_rect): polygons via Sutherland–Hodgman, lines via parametric

@@ -359,6 +359,32 @@ class TestConstructive:
         u = algos.union_all(ga)
         assert algos.area(u)[0] == 25.0 + 25.0 - 15.0
 
+    def test_subdivide_bounds_vertices_and_preserves_area(self):
+        """ST_Subdivide analogue: pieces bounded by max_vertices, exact
+        area preservation, coverage-union reassembly, passthrough for
+        small/non-areal rows."""
+        import numpy as np
+
+        ring = ([(k, 0) for k in range(40)] + [(40, k) for k in range(20)]
+                + [(40 - k, 20) for k in range(40)]
+                + [(0, 20 - k) for k in range(20)] + [(0, 0)])
+        b = GeometryBuilder()
+        b.append(GT_POLYGON, [[np.array(ring, dtype=float)]])
+        ga = b.finish()
+        parts, parent = algos.subdivide(ga, 40)
+        assert len(parts) > 1
+        assert algos.count_coordinates(parts).max() <= 40
+        assert float(algos.area(parts).sum()) == 800.0
+        assert (parent == 0).all()
+        u = algos.union_all(parts, method="coverage")
+        assert float(algos.area(u)[0]) == 800.0
+        # small polygons / points / lines / nulls pass through untouched
+        small = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+                            "POINT (1 2)", "LINESTRING (0 0, 9 0)", None)
+        p2, par2 = algos.subdivide(small, 40)
+        assert wkt.format_array(p2) == wkt.format_array(small)
+        np.testing.assert_array_equal(par2, [0, 1, 2, 3])
+
     def test_boolean_op_same_side_shared_edge(self):
         """A flat even-odd ring set whose rings share an edge exactly
         (two adjacent tiles — the shape cascade outputs produce) used to

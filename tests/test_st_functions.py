@@ -173,6 +173,36 @@ def test_sample_points_cluster_poisson(spark):
         st.sample_points(g, F.lit(5), method="nope")
 
 
+def test_subdivide_and_make_line(spark):
+    """Engine-added scale ops: subdivide bounds piece vertices and
+    preserves area through explode; make_line stitches ordered points."""
+    df = spark.createDataFrame([(1,)], ["id"])
+    box = st.makebox(F.lit(0.0), F.lit(0.0), F.lit(30.0), F.lit(20.0))
+    dense = st.segmentize(box, F.lit(1.0))
+    parts = df.select("id", F.explode(st.subdivide(dense, 30)).alias("p"))
+    agg = parts.groupBy("id").agg(
+        F.sum(st.area("p")).alias("tot"),
+        F.max(st.npoints("p")).alias("mx"),
+        F.count("*").alias("n")).collect()[0]
+    assert agg.tot == 600.0 and agg.mx <= 30 and agg.n > 1
+
+    rows = [(1, 3, 0.0, 0.0), (1, 1, 1.0, 0.0), (1, 2, 1.0, 1.0),
+            (2, 1, 5.0, 5.0)]
+    e = spark.createDataFrame(rows, ["uid", "seq", "x", "y"])
+    g = e.groupBy("uid").agg(F.sort_array(F.collect_list(F.struct(
+        "seq", st.point("x", "y").alias("g")))).alias("s"))
+    out = {r.uid: (r.w, r.ln) for r in g.select(
+        "uid",
+        st.as_text(st.make_line(F.transform("s", lambda s: s["g"])))
+        .alias("w"),
+        F.round(st.length(st.make_line(
+            F.transform("s", lambda s: s["g"]))), 6).alias("ln")).collect()}
+    # ordered by seq: (1,0) -> (1,1) -> (0,0)
+    assert out[1][0] == "LINESTRING (1 0, 1 1, 0 0)"
+    assert abs(out[1][1] - (1.0 + 2 ** 0.5)) < 1e-5   # round-6 column
+    assert out[2][1] == 0.0          # single point -> zero-length line
+
+
 def test_polygonize_and_build_area(spark):
     rows = [(1, "LINESTRING (0 0, 4 0)"), (1, "LINESTRING (4 0, 2 3)"),
             (1, "LINESTRING (2 3, 0 0)"),
