@@ -1392,6 +1392,57 @@ WHERE score >= 0.4
 """
 
 
+def q_embed_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (engine-added
+    training-data op, pipeline/similarity.quantize_embeddings): per-row
+    scale = max|v|/127, q = floor(v/scale + 0.5) as array<tinyint> — a
+    map-only native pass. Twin replicates the identical arithmetic with
+    DuckDB list functions; compares the integer L1 mass of the quantized
+    vector (hash-exact), the extremal |q| = 127 invariant, and the
+    per-component reconstruction-error bound scale/2."""
+    from geopandas_spark.pipeline import quantize_embeddings, dequantize
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    recon = dequantize("qvec", "qscale")
+    err = F.aggregate(
+        F.zip_with(F.col("embedding"), recon,
+                   lambda a, b: F.abs(a.cast("double") - b)),
+        F.lit(0.0), lambda acc, v: F.greatest(acc, v))
+    l1 = F.aggregate(F.col("qvec"), F.lit(0),
+                     lambda acc, v: acc + F.abs(v.cast("int")))
+    mx = F.aggregate(F.col("qvec"), F.lit(0),
+                     lambda acc, v: F.greatest(acc, F.abs(v.cast("int"))))
+    return q.select(
+        F.col("vec_id").alias("id"),
+        l1.cast("long").alias("l1"),
+        (mx == 127).alias("hits_127"),
+        (err <= F.col("qscale") * 0.5 + 1e-12).alias("err_bounded"))
+
+
+SQL_EMBED_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+             AS sc,
+         embedding
+  FROM embeddings
+), q AS (
+  SELECT vec_id, sc,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) /
+                             (CASE WHEN sc > 0 THEN sc ELSE 1.0 END)
+                             + 0.5) AS INTEGER)) AS qv
+  FROM s
+)
+SELECT vec_id AS id,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS l1,
+       list_max(list_transform(qv, v -> abs(v))) = 127 AS hits_127,
+       TRUE AS err_bounded
+FROM q
+"""
+
+
 def q_geom_value_counts(spark, sf_dir):
     """Geometry value_counts: grouping on raw WKB bytes — byte equality ==
     the reference's factorize-via-WKB semantics (array.py:1688-1706);
@@ -3975,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_tm_more": q_to_crs_tm_more,
         "subdivide": q_subdivide,
         "trajectory": q_trajectory,
+        "embed_quantize": q_embed_quantize,
         # --- previously-stamped green queries (r3 window order) ---
         "simplify": q_simplify,
         "snap": q_snap,
@@ -4138,6 +4190,7 @@ def oracle_sql() -> dict[str, str]:
         "to_crs_tm_more": SQL_TO_CRS_TM_MORE,
         "subdivide": SQL_SUBDIVIDE,
         "trajectory": SQL_TRAJECTORY,
+        "embed_quantize": SQL_EMBED_QUANTIZE,
         "concat_cx": SQL_CONCAT_CX,
         "densify_distances": SQL_DENSIFY_DISTANCES,
         "jaccard": SQL_JACCARD,

@@ -21,6 +21,7 @@ from geopandas_spark.pipeline.text import (  # noqa: F401
 )
 from geopandas_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_bucket_topk, ivf_topk, kmeans_centroids,
+    quantize_embeddings, dequantize,
 )
 from geopandas_spark.pipeline.pack import (  # noqa: F401
     distributed_cumsum, pack_sequences,

@@ -321,3 +321,52 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.4, *,
                             F.round(cosine("__va__", "__vb__", dim), 6))
                 .filter(F.col("score") >= threshold)
                 .select("id_a", "id_b", "score"))
+
+
+def _abs_max(vec, dim: int = None) -> Column:
+    """max(|v_i|) — unrolled into codegen'd GREATEST when dim is known."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    if dim:
+        parts = [F.abs(F.element_at(vec, i).cast("double"))
+                 for i in range(1, dim + 1)]
+        return parts[0] if dim == 1 else F.greatest(*parts)
+    return F.aggregate(vec, F.lit(0.0),
+                       lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+
+
+def quantize_embeddings(df: DataFrame, *, vec_col: str = "embedding",
+                        out_col: str = "qvec", scale_col: str = "qscale",
+                        dim: int = None) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    compression for trillion-token embedding stores (engine-added; the
+    reference has no embedding surface at all).
+
+    scale = max|v|/127; q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]
+    (floor(x+0.5) rather than round() so the twin's arithmetic is
+    engine-independent), stored as array<tinyint> + a double scale.
+    Cosine is scale-invariant, so quantized cosine approximates the
+    exact score within ~1/127 per component; reconstruction error is
+    bounded by scale/2 per component. Fully native columnar expressions
+    — at 100 TB this is a map-only pass that writes a 4×-smaller
+    column."""
+    dim = dim or _vec_dim(df, vec_col)
+    v = F.col(vec_col)
+    scale = _abs_max(v, dim) / F.lit(127.0)
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    if dim:
+        q = F.array(*[
+            F.floor(F.element_at(v, i).cast("double") / safe + 0.5)
+             .cast("tinyint") for i in range(1, dim + 1)])
+    else:
+        q = F.transform(v, lambda x:
+                        F.floor(x.cast("double") / safe + 0.5)
+                         .cast("tinyint"))
+    return (df.withColumn(scale_col, safe)
+              .withColumn(out_col, q))
+
+
+def dequantize(qvec, scale) -> Column:
+    """array<tinyint> + scale → array<double> reconstruction."""
+    qvec = F.col(qvec) if isinstance(qvec, str) else qvec
+    scale = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(qvec, lambda q: q.cast("double") * scale)

@@ -107,6 +107,32 @@ def test_cosine_topk(emb):
         assert all(-1.000001 <= s <= 1.000001 for s in scores)
 
 
+def test_quantize_embeddings_roundtrip(emb):
+    """int8 SQ: reconstruction bounded by scale/2 per component, extremal
+    component hits ±127, quantized cosine tracks the exact cosine."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.pipeline import dequantize, quantize_embeddings
+    from geopandas_spark.pipeline.similarity import cosine
+
+    q = quantize_embeddings(emb.limit(50))
+    recon = dequantize("qvec", "qscale")
+    err = F.aggregate(
+        F.zip_with(F.col("embedding"), recon,
+                   lambda a, b: F.abs(a.cast("double") - b)),
+        F.lit(0.0), lambda acc, v: F.greatest(acc, v))
+    mx = F.aggregate(F.col("qvec"), F.lit(0),
+                     lambda acc, v: F.greatest(acc, F.abs(v.cast("int"))))
+    rows = q.select(err.alias("e"), F.col("qscale").alias("s"),
+                    mx.alias("m"),
+                    cosine(recon, F.col("embedding")).alias("cq")).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.e <= r.s * 0.5 + 1e-12
+        assert r.m == 127
+        assert r.cq > 0.999     # 8-bit SQ keeps cosine within ~1e-3
+
+
 def test_lsh_topk_subset_of_bucket(emb):
     q = emb.limit(2)
     out = lsh_bucket_topk(emb, q, k=3, planes=4)
