@@ -1681,18 +1681,189 @@ def buffer(ga: GeometryArray, dist, quad_segs: int = 16,
             if t in POLYGON_TYPES:
                 items.append([_mr._close(r) for p in parts for r in p])
             _append_polys(b, _union_ring_sets(items))
-        elif t in POLYGON_TYPES:  # general negative: erosion identity
-            dd = -d
-            dil = _union_ring_sets(_dilation_rings(parts, dd, nseg))
-            dil_rings = [r for poly in dil for r in poly]
-            polys = _mr.boolean_op([_mr._close(r) for p in parts for r in p],
-                                   dil_rings, _mr.DIFFERENCE)
-            _append_polys(b, polys)
+        elif t in POLYGON_TYPES:  # general negative: offset-curve erosion
+            _append_polys(b, _erode_polygon(parts, -d, nseg))
         else:
             raise NotImplementedError(
                 f"buffer not supported for {GEOM_TYPE_NAMES.get(t)} "
                 f"with negative distance {d}")
     return b.finish()
+
+
+def _ring_scan_y(r: np.ndarray):
+    """A scanline y strictly between two distinct vertex ys of the ring."""
+    ys = np.unique(r[:, 1])
+    if len(ys) < 2:
+        return None
+    mid = 0.5 * (ys[0] + ys[-1])
+    k = np.searchsorted(ys, mid)
+    k = min(max(k, 1), len(ys) - 1)
+    return 0.5 * (ys[k - 1] + ys[k])
+
+
+def _ring_crossings(r: np.ndarray, ym: float) -> np.ndarray:
+    y0, y1 = r[:-1, 1], r[1:, 1]
+    x0, x1 = r[:-1, 0], r[1:, 0]
+    crossing = (y0 <= ym) != (y1 <= ym)
+    if not crossing.any():
+        return np.empty(0)
+    tpar = (ym - y0[crossing]) / (y1[crossing] - y0[crossing])
+    return np.sort(x0[crossing] + tpar * (x1[crossing] - x0[crossing]))
+
+
+def _ring_interior_point(r: np.ndarray, others=()):
+    """A point strictly inside ring ``r`` and outside any NESTED ring
+    from ``others`` — scanline crossings, midpoint between r's first
+    crossing and the next crossing of ANY ring (the sliver immediately
+    inside r's boundary belongs to r's arrangement face, not to a
+    nested ring). No tiny-offset probes; robust for sliver faces."""
+    ym = _ring_scan_y(r)
+    if ym is None:
+        return None
+    own = _ring_crossings(r, ym)
+    if len(own) < 2:
+        return None
+    x0 = own[0]
+    x_next = own[1]
+    for o in others:
+        if o is r:
+            continue
+        if o[:, 1].min() > ym or o[:, 1].max() < ym:
+            continue
+        oc = _ring_crossings(o, ym)
+        oc = oc[oc > x0 + 1e-12]
+        if len(oc) and oc[0] < x_next:
+            x_next = oc[0]
+    if x_next <= x0 + 1e-12:
+        return None
+    return (0.5 * (x0 + x_next), ym)
+
+
+def _point_boundary_distance(px: float, py: float, segs: np.ndarray) -> float:
+    """Distance from one point to a (S,2,2) segment set (vectorized)."""
+    a = segs[:, 0]
+    v = segs[:, 1] - segs[:, 0]
+    w0 = px - a[:, 0]
+    w1 = py - a[:, 1]
+    den = v[:, 0] * v[:, 0] + v[:, 1] * v[:, 1]
+    tpar = np.clip((w0 * v[:, 0] + w1 * v[:, 1]) /
+                   np.where(den == 0.0, 1.0, den), 0.0, 1.0)
+    dx = w0 - tpar * v[:, 0]
+    dy = w1 - tpar * v[:, 1]
+    return float(np.sqrt(dx * dx + dy * dy).min())
+
+
+def _erode_polygon(parts, d: float, nseg: int) -> list:
+    """Erosion A ⊖ d via the offset curve (the standard algorithm; GEOS
+    buffers negatively the same way): shift every boundary edge distance
+    d to the INTERIOR side, bridge reflex vertices with polygonized arcs,
+    node the offset linework, trace the arrangement faces, and keep the
+    region whose points are inside A at boundary distance >= d.
+
+    Face classification uses scanline interior points + exact
+    point-to-segment distances — no tiny side probes, so dense chordal
+    rings (outputs of a positive round buffer — the morphological
+    closing composition) erode correctly where the earlier
+    boundary-band subtraction collapsed (property-fuzz find).
+    Returns boolean_op-shaped polys."""
+    rings = []
+    for p in parts:
+        for k, r in enumerate(p):
+            r = _mr._close(np.asarray(r, dtype=np.float64))
+            if len(r) < 4:
+                continue
+            a = _mr._ring_signed_area(r)
+            if a == 0:
+                continue
+            # interior on the LEFT: shells CCW, holes CW
+            if (a > 0) != (k == 0):
+                r = r[::-1]
+            rings.append(r)
+    if not rings:
+        return []
+    bsegs = np.concatenate(
+        [np.stack([r[:-1], r[1:]], axis=1) for r in rings], axis=0)
+
+    lw = GeometryBuilder()
+    arc_step = np.pi / 2 / max(nseg // 4, 4)
+    for r in rings:
+        v = np.diff(r, axis=0)
+        ln = np.hypot(v[:, 0], v[:, 1])
+        keep = ln > 0
+        v, ln = v[keep], ln[keep]
+        pts = r[:-1][keep]
+        n = len(pts)
+        if n < 2:
+            continue
+        ux, uy = v[:, 0] / ln, v[:, 1] / ln
+        # left normal (interior side)
+        nx, ny = -uy * d, ux * d
+        seg_a = pts + np.column_stack([nx, ny])
+        seg_b = pts + v + np.column_stack([nx, ny])
+        for k in range(n):
+            lw.append(GT_LINESTRING, [[np.array([seg_a[k], seg_b[k]])]])
+            k2 = (k + 1) % n
+            crossz = ux[k] * uy[k2] - uy[k] * ux[k2]
+            if crossz < 0:      # reflex interior vertex: bridge with arc
+                vtx = pts[k2] if k2 != 0 else pts[0]
+                a1 = np.arctan2(ny[k], nx[k])
+                a2 = np.arctan2(ny[k2], nx[k2])
+                while a2 > a1:          # rotate clockwise the short way
+                    a2 -= 2 * np.pi
+                steps = max(1, int(np.ceil((a1 - a2) / arc_step)))
+                angs = a1 + (a2 - a1) * np.arange(steps + 1) / steps
+                arc = vtx + abs(d) * np.column_stack(
+                    [np.cos(angs), np.sin(angs)])
+                lw.append(GT_LINESTRING, [[arc]])
+    faces = polygonize(lw.finish())
+    if len(faces) == 0:
+        return []
+    tol = abs(d) * 1e-2 + 1e-9
+    face_rings = [faces.geom_slices(k)[0][0] for k in range(len(faces))]
+    keep_info = []
+    for k in range(len(faces)):
+        fr = face_rings[k]
+        ip = _ring_interior_point(fr, face_rings)
+        if ip is None:
+            continue
+        dist = _point_boundary_distance(ip[0], ip[1], bsegs)
+        inside = bool(_mr._point_in_ringset(ip[0], ip[1], rings))
+        keep_info.append((fr, ip, inside and dist >= abs(d) - tol))
+    if not keep_info:
+        return []
+    # laminar nesting: a ring's parent is the smallest face containing its
+    # interior point; a ring bounds the result iff its class differs from
+    # its parent's (even-odd over the kept rings reconstructs the region)
+    areas = [abs(_mr._ring_signed_area(fr)) for fr, _, _ in keep_info]
+    order = sorted(range(len(keep_info)), key=lambda q: areas[q])
+    out_rings = []
+    for qi, (fr, ip, cls) in enumerate(keep_info):
+        parent_cls = False
+        best = np.inf
+        for qj in order:
+            if qj == qi or areas[qj] <= areas[qi] or areas[qj] >= best:
+                continue
+            fr2 = keep_info[qj][0]
+            if (fr2[:, 0].min() <= ip[0] <= fr2[:, 0].max()
+                    and fr2[:, 1].min() <= ip[1] <= fr2[:, 1].max()
+                    and _mr._point_in_ring(ip[0], ip[1], fr2)):
+                parent_cls = keep_info[qj][2]
+                best = areas[qj]
+        if cls != parent_cls:
+            out_rings.append(fr)
+    if not out_rings:
+        return []
+    # adjacent kept faces each emit their full ring, so shared offset
+    # edges appear twice in opposite directions — coverage union cancels
+    # them into maximal polygons while nested (hole-boundary) rings
+    # survive once and re-nest
+    tmp = GeometryBuilder()
+    for r in out_rings:
+        tmp.append(GT_POLYGON, [[_mr._close(r)]])
+    merged = _coverage_union(tmp.finish())
+    if merged is not None:
+        return [list(poly) for poly in merged.geom_slices(0)]
+    return _mr.assemble_rings(out_rings)
 
 
 def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
@@ -3952,10 +4123,19 @@ def polygonize(ga: GeometryArray) -> GeometryArray:
         b = GeometryBuilder()
         return b.finish()
     noded = _node_segments(np.concatenate(segs, axis=0))
-    # dedupe undirected edges
+    # dedupe undirected edges; canonicalize vertices first — the same
+    # crossing computed from the two partner segments can differ in the
+    # last ulp (irrational intersections), which would disconnect the
+    # half-edge graph (same 1e-9 snap as the boolean tracer)
+    canon_table = {}
+
+    def _canon(pt):
+        key = (round(pt[0], 9), round(pt[1], 9))
+        return canon_table.setdefault(key, pt)
+
     seen = {}
     for s in noded:
-        p, q = (s[0][0], s[0][1]), (s[1][0], s[1][1])
+        p, q = _canon((s[0][0], s[0][1])), _canon((s[1][0], s[1][1]))
         if p == q:
             continue
         key = (p, q) if p < q else (q, p)

@@ -230,7 +230,20 @@ class _SweepLine:
 
 
 def _divide_segment(se, p, queue):
-    """Split edge se—se.other at interior point p; push the two new events."""
+    """Split edge se—se.other at interior point p; push the two new events.
+
+    A split at (numerically) an endpoint is a no-op: the parametric
+    intersection can return a point ~1e-13 off an endpoint (s tiny but
+    not exactly 0), and splitting there creates a micro-fragment whose
+    re-intersections propose the same split again — an infinite loop
+    (caught on a 174-piece dilation union). Fragments that tiny are far
+    below the tracer's 1e-9 canonicalization quantum anyway."""
+    a, b2 = se.point, se.other.point
+    mag = max(abs(a[0]), abs(a[1]), abs(b2[0]), abs(b2[1]), 1.0)
+    eps = 1e-13 * mag
+    if ((abs(p[0] - a[0]) <= eps and abs(p[1] - a[1]) <= eps) or
+            (abs(p[0] - b2[0]) <= eps and abs(p[1] - b2[1]) <= eps)):
+        return
     r = _SweepEvent(p, False, se, se.is_subject)
     l = _SweepEvent(p, True, se.other, se.is_subject)
     if _compare_events(l, se.other) > 0:  # fp rounding guard (degenerate split)
@@ -275,9 +288,15 @@ def _possible_intersection(se1, se2, queue) -> int:
             # overlap branch below — EXCEPT the mixed-rounding case where
             # the vertex sits exactly on the line but the differently-
             # rounded direction cross is nonzero, which would otherwise
-            # fall between the two branches (hypothesis-found)
+            # fall between the two branches (hypothesis-found).
+            # The off-line tolerance is RELATIVE to coordinate magnitude
+            # (~1000 ulps): an absolute 1e-9 misfired on genuinely-tiny
+            # wedge features (0.05-long chord edges 2.6e-10 apart in a
+            # dense dilation union are REAL geometry, 1e5 ulps wide).
             kross = v1x * v2y - v1y * v2x
-            if 0.0 < area2 / ln < 1e-9 or (area2 == 0.0 and kross != 0.0):
+            mag = max(abs(ax), abs(ay), abs(fp[0]), abs(fp[1]), 1.0)
+            tol = 1e-13 * mag
+            if 0.0 < area2 / ln < tol or (area2 == 0.0 and kross != 0.0):
                 t = ((fp[0] - ax) * vx + (fp[1] - ay) * vy) / lsq
                 # the split point must clear the canonicalization quantum
                 # on both sides, or subdivision makes no progress and the
@@ -310,7 +329,10 @@ def _possible_intersection(se1, se2, queue) -> int:
             d0 = abs(vx * (cands[0][1] - ay) - vy * (cands[0][0] - ax)) / ln
             d1 = abs(vx * (cands[1][1] - ay) - vy * (cands[1][0] - ax)) / ln
             kross = v1x * v2y - v1y * v2x
-            if (0.0 < max(d0, d1) < 1e-9
+            mag = max(abs(ax), abs(ay), abs(cands[0][0]), abs(cands[0][1]),
+                      abs(cands[1][0]), abs(cands[1][1]), 1.0)
+            tol = 1e-13 * mag
+            if (0.0 < max(d0, d1) < tol
                     or (max(d0, d1) == 0.0 and kross != 0.0)):
                 for fp in cands:
                     t = ((fp[0] - ax) * vx + (fp[1] - ay) * vy) / lsq

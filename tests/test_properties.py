@@ -658,3 +658,52 @@ def test_cascaded_boolean_identities(ra, rb, rc):
           - ar(algos.intersection(B, C))
           + ar(algos.intersection(algos.intersection(A, B), C)))
     assert abs(ar(UC) - ie) < 4 * tol
+
+
+@given(_star_polygon(), st_.integers(0, 30), st_.integers(0, 30),
+       st_.integers(4, 20), st_.integers(4, 20))
+@settings(max_examples=50, deadline=None)
+def test_clip_by_rect_matches_intersection(ra, x0, y0, w, h):
+    """The fast Sutherland–Hodgman rectangle clip must agree with the
+    full Martinez–Rueda intersection on area (the reference's
+    clip_by_rect is 'fast/dirty' only about output FORM, not area)."""
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [ra])
+    A = b.finish()
+    fast = algos.clip_by_rect(A, x0, y0, x0 + w, y0 + h)
+    rect = boxes_from_bounds([x0], [y0], [x0 + w], [y0 + h])
+    exact = algos.intersection(A, rect)
+    a1 = float(algos.area(fast)[0])
+    a2 = float(algos.area(exact)[0])
+    assert abs(a1 - a2) < 1e-6 * max(a2, 1.0)
+
+
+@given(_star_polygon(holes=False), st_.floats(0.3, 1.5))
+@settings(max_examples=30, deadline=None)
+def test_erosion_dilation_sandwich(ra, d):
+    """Morphology sandwich: dilate(erode(A, d), d) ⊆ A ⊆ erode(dilate(A,
+    d), d) — the opening/closing containment identities that tie the
+    positive and negative buffer paths together."""
+    import numpy as np
+
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [ra])
+    A = b.finish()
+    area_a = float(algos.area(A)[0])
+    er = algos.buffer(A, np.array([-d]))
+    if not er.is_empty()[0]:
+        opened = algos.buffer(er, np.array([d]))
+        # opening is contained in A up to the polygonized-arc chord error
+        # (erosion uses inscribed chordal disks, so the eroded set is a
+        # hair too large; re-dilating can poke O(chord) slivers past A)
+        extra = float(algos.area(algos.difference(opened, A))[0])
+        assert extra < 1e-3 * max(area_a, 1.0)
+    di = algos.buffer(A, np.array([d]))
+    closed = algos.buffer(di, np.array([-d]))
+    # closing contains A: A minus closing is (numerically) empty
+    missing = float(algos.area(algos.difference(A, closed))[0])
+    assert missing < 1e-4 * max(area_a, 1.0)   # chordal arc tolerance
