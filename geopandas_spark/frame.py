@@ -180,6 +180,17 @@ class GeoFrame:
         return self.with_column(self._geometry,
                                 st.simplify(self.geometry, tolerance))
 
+    def subdivide(self, max_vertices: int = 256) -> "GeoFrame":
+        """One row per bounded-vertex piece (engine-added ST_Subdivide
+        analogue; see st.subdivide) — the pre-join step for monster
+        polygons at scale."""
+        out = (self.df
+               .withColumn("__sd__", st.subdivide(self.geometry,
+                                                  max_vertices))
+               .withColumn(self._geometry, F.explode("__sd__"))
+               .drop("__sd__"))
+        return self._wrap(out)
+
     def area(self, name: str = "area") -> "GeoFrame":
         return self.with_column(name, st.area(self.geometry))
 

@@ -147,6 +147,23 @@ def test_to_json(gf, spark):
     assert obj2["bbox"] == [1.0, 2.0, 1.0, 2.0]
 
 
+def test_frame_subdivide(spark):
+    from geopandas_spark import GeoFrame, st
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    dense = st.segmentize(
+        st.makebox(F.lit(0.0), F.lit(0.0), F.lit(30.0), F.lit(20.0)),
+        F.lit(1.0))
+    gf = GeoFrame(df.withColumn("geom", dense), geometry="geom")
+    parts = gf.subdivide(max_vertices=30)
+    agg = parts.df.groupBy("id").agg(
+        F.sum(st.area("geom")).alias("tot"),
+        F.max(st.npoints("geom")).alias("mx"),
+        F.count("*").alias("n")).collect()[0]
+    assert agg.tot == 600.0 and agg.mx <= 30 and agg.n > 1
+    assert parts.active_geometry_name == "geom"
+
+
 def test_to_wkt_wkb_skip_non_geometry_binary(spark):
     """A plain binary attribute column (e.g. bytea from read_postgis) must
     pass through to_wkt/to_wkb untouched — only tracked geometry columns
