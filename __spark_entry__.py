@@ -1727,8 +1727,10 @@ FROM customer
 def q_make_valid_linework(spark, sf_dir):
     """make_valid method split (reference base.py:2114, GEOS MakeValid):
     a hole jutting outside its shell (shell 10x10, hole 8..8+w x 4..4+h
-    with w>=3 so it crosses the boundary). linework discards ring roles
-    — the jutting region contributes AREA: 100 + (w-2)*h. structure
+    with w>=3 so it crosses the boundary). linework applies the even-odd
+    strategy: the overlap (depth 2) becomes a hole, the jutting region
+    (depth 1) contributes AREA: 100 - 2*h + (w-2)*h = 100 + (w-4)*h.
+    structure
     subtracts the repaired hole inside the shell and drops the outside
     part: 100 - 2*h. Both outputs are valid."""
     c = _t(spark, sf_dir, "customer")
@@ -1754,7 +1756,7 @@ SELECT c_custkey AS id,
        FALSE AS orig_valid,
        TRUE AS lw_valid,
        TRUE AS sv_valid,
-       ROUND(100.0 + (c_custkey % 5 + 1) * (c_custkey % 4 + 1), 6)
+       ROUND(100.0 + (c_custkey % 5 - 1) * (c_custkey % 4 + 1), 6)
            AS lw_area,
        ROUND(100.0 - 2.0 * (c_custkey % 4 + 1), 6) AS sv_area
 FROM customer

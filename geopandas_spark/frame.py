@@ -187,7 +187,9 @@ class GeoFrame:
         out = (self.df
                .withColumn("__sd__", st.subdivide(self.geometry,
                                                   max_vertices))
-               .withColumn(self._geometry, F.explode("__sd__"))
+               # explode_outer: NULL-geometry rows keep one NULL piece
+               # (other GeoFrame ops preserve missing-geometry rows)
+               .withColumn(self._geometry, F.explode_outer("__sd__"))
                .drop("__sd__"))
         return self._wrap(out)
 

@@ -331,10 +331,10 @@ def is_ccw(ga: GeometryArray) -> np.ndarray:
 def is_valid(ga: GeometryArray) -> np.ndarray:
     """Structural validity check (closed rings with >= 4 points, finite
     coords, no self-intersecting rings, holes properly inside their
-    shell with no ring-cross). A subset of GEOS IsValid — remaining
-    undetected exotica: nested/overlapping sibling shells in a
-    MultiPolygon, rings touching at more than one point.
-    Reference: base.py:301."""
+    shell with no ring-cross, no hole nested inside another hole). A
+    subset of GEOS IsValid — remaining undetected exotica:
+    nested/overlapping sibling shells in a MultiPolygon, rings touching
+    at more than one point. Reference: base.py:301."""
     out = np.ones(len(ga), dtype=bool)
     out[ga.is_missing()] = False
     for i in range(len(ga)):
@@ -374,6 +374,23 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                                               np.array([mid[1]]), [shell])
                         if cls[0] == 0:     # hole edge midpoint outside
                             bad = True
+                            break
+                if not bad and len(p) > 2:
+                    # a hole nested inside another hole (GEOS phrasing
+                    # 'Holes are nested'): one hole's edge midpoint
+                    # strictly interior to a sibling hole
+                    for j in range(1, len(p)):
+                        mj = (p[j][0] + p[j][1]) * 0.5
+                        for k2 in range(1, len(p)):
+                            if k2 == j:
+                                continue
+                            cls = points_in_rings(np.array([mj[0]]),
+                                                  np.array([mj[1]]),
+                                                  [p[k2]])
+                            if cls[0] == 2:
+                                bad = True
+                                break
+                        if bad:
                             break
                 if bad:
                     out[i] = False
@@ -1684,9 +1701,9 @@ def buffer(ga: GeometryArray, dist, quad_segs: int = 16,
         elif t in POLYGON_TYPES:  # general negative: offset-curve erosion
             _append_polys(b, _erode_polygon(parts, -d, nseg))
         else:
-            raise NotImplementedError(
-                f"buffer not supported for {GEOM_TYPE_NAMES.get(t)} "
-                f"with negative distance {d}")
+            # GEOS: negative (or zero) buffer of lines/points is empty —
+            # lower-dimensional geometry has no interior to erode
+            b.append_empty(GT_POLYGON)
     return b.finish()
 
 
@@ -2189,9 +2206,15 @@ def subdivide(ga: GeometryArray, max_vertices: int = 256):
             continue
         stack = [ga.take([i])]
         guard = 0
+        # every emitted piece costs >= 1 pop plus ~2x interior splits, so
+        # the pop budget must scale with the expected piece count — a
+        # fixed guard trips on legitimate giant inputs (e.g. a 15M-vertex
+        # coastline at max_vertices=256 needs >100k pops)
+        n0 = int(ga.coords_per_geom()[i])
+        guard_limit = max(100000, 8 * (n0 // max_vertices + 1) + 64)
         while stack:
             guard += 1
-            if guard > 100000:
+            if guard > guard_limit:
                 raise RuntimeError("subdivide failed to converge")
             g1 = stack.pop()
             if g1.is_empty()[0]:
@@ -3192,8 +3215,10 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
         clipping.union_many) — O((E+I) log E) for the whole component
         instead of the pairwise tree's O(levels × E) re-sweeps. The
         pairwise Morton-ordered merge tree below remains as the fallback
-        for inputs union_many rejects (e.g. a polygon overlapping
-        itself)."""
+        for the rare degenerate sweeps union_many still rejects (empty
+        result / internal ValueError); self-overlapping operands no
+        longer raise — the sweep resolves them with even-odd
+        semantics."""
         try:
             out = _mr.union_many([_oriented_rings(i) for i in members])
             if out:
@@ -4392,32 +4417,67 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             b.append_from(ga, i)
             continue
         if method == "linework":
-            # all rings as one linework → faces (polygonize tracer) →
-            # even-odd re-nesting
+            # all rings as one linework → arrangement faces → even-odd
+            # classification (the reference documents make_valid(linework)
+            # as 'an alternating even-odd strategy', base.py:2114; GEOS
+            # MakeValid): a face is kept iff a point in its interior lies
+            # inside an ODD number of the ORIGINAL rings. The shell∩hole
+            # overlap (depth 2) becomes a hole; the part of a hole jutting
+            # outside its shell (depth 1) becomes area.
+            orig = [_mr._close(r) for p in ga.geom_slices(i) for r in p]
             lw = GeometryBuilder()
-            for p in ga.geom_slices(i):
-                for r in p:
-                    lw.append(GT_LINESTRING, [[_mr._close(r)]])
+            for r in orig:
+                lw.append(GT_LINESTRING, [[r]])
             faces = polygonize(lw.finish())
             if len(faces) == 0:
                 b.append_empty(GT_POLYGON)
                 continue
             rings = [faces.geom_slices(k)[0][0] for k in range(len(faces))]
-            # merge edge-adjacent faces via coverage union BEFORE any
-            # containment nesting: arrangement faces share whole edges, so
-            # assemble_rings' edge-midpoint representative test would land
-            # ON a neighbor's boundary and misnest it as a hole. After
-            # cancellation the surviving rings share no edges, and the
-            # union's own re-nesting handles disconnected nested faces
-            # (odd-depth face -> hole, the BuildArea rule).
-            tmp = GeometryBuilder()
-            for r in rings:
-                tmp.append(GT_POLYGON, [[r]])
-            merged = _coverage_union(tmp.finish())
-            if merged is not None:
-                b.append_from(merged, 0)
+            ips = [_ring_interior_point(fr, rings) for fr in rings]
+            live = [k for k in range(len(rings)) if ips[k] is not None]
+            if not live:
+                b.append_empty(GT_POLYGON)
                 continue
-            _append_polys(b, _mr.assemble_rings(rings))
+            ipx = np.array([ips[k][0] for k in live])
+            ipy = np.array([ips[k][1] for k in live])
+            depth = np.zeros(len(live), dtype=np.int64)
+            for r in orig:
+                depth += points_in_rings(ipx, ipy, [r]) == 2
+            # nesting forest among the faces: a dropped (even-depth) face
+            # directly inside a kept face is that polygon's hole — e.g.
+            # three nested disjoint rings, where the middle face is even
+            # and must punch a hole through the outer polygon.
+            nf = len(live)
+            contains = np.zeros((nf, nf), dtype=bool)
+            for a_ in range(nf):
+                contains[a_] = points_in_rings(ipx, ipy,
+                                               [rings[live[a_]]]) == 2
+                contains[a_, a_] = False
+            depth_among = contains.sum(axis=0)
+            polys = []
+            for a_ in range(nf):
+                if depth[a_] % 2 == 0:
+                    continue
+                shell = rings[live[a_]]
+                holes = [rings[live[c_]][::-1] for c_ in range(nf)
+                         if contains[a_, c_]
+                         and depth_among[c_] == depth_among[a_] + 1]
+                polys.append([shell] + holes)
+            if not polys:
+                b.append_empty(GT_POLYGON)
+                continue
+            if len(polys) > 1:
+                # adjacent same-parity faces can only arise from collinear
+                # overlapping ring edges (depth jumps by 2 across the
+                # shared edge) — cancel such shared edges opportunistically
+                tmp = GeometryBuilder()
+                for p in polys:
+                    tmp.append(GT_POLYGON, [p])
+                merged = _coverage_union(tmp.finish())
+                if merged is not None:
+                    b.append_from(merged, 0)
+                    continue
+            _append_polys(b, polys)
             continue
         # structure: union of repaired shells minus union of repaired holes
         shell_sets, hole_sets = [], []

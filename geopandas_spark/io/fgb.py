@@ -922,7 +922,10 @@ def to_fgb(df: DataFrame, path: str, *, geom: str = "geom",
             # instead of (0,0,0,0) which spuriously matched any window
             # containing the origin.
             safe = np.where(np.isfinite(bb), bb, 0.0)
-            nullrow = ~np.isfinite(bb[:, 0])
+            # ANY non-finite component poisons the row (a partially-NaN
+            # bbox zero-filled would spuriously match windows near the
+            # origin — the exact bug the sentinel exists to prevent)
+            nullrow = ~np.isfinite(bb).all(axis=1)
             if nullrow.any():
                 safe[nullrow, 0] = np.inf
                 safe[nullrow, 1] = np.inf

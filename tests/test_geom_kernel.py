@@ -788,6 +788,15 @@ class TestGeneralBuffer:
         np.testing.assert_allclose(a, 64 - 16 + (4 - np.pi), rtol=2e-3)
         assert algos.count_interior_rings(out)[0] == 1
 
+    def test_negative_buffer_lines_points_empty(self):
+        """GEOS: negative buffer of lower-dimensional geometry is empty
+        (nothing to erode), not an error."""
+        ga = ga_from_wkt("LINESTRING (0 0, 5 0)", "POINT (1 2)",
+                         "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+        out = algos.buffer(ga, -1.0)
+        assert out.is_empty().all()
+        assert algos.area(out).sum() == 0.0
+
     def test_multipoint_buffer_merges(self):
         mp = ga_from_wkt("MULTIPOINT ((0 0), (0.5 0), (10 0))")
         a = algos.area(algos.buffer(mp, 1.0))[0]
@@ -810,17 +819,29 @@ class TestRepairAndLinework:
         assert wkt.format_array(out) == wkt.format_array(ok)
 
     def test_make_valid_method_split(self):
-        """Jutting hole (crosses the shell): linework keeps the jutting
-        region as AREA (ring roles discarded, even-odd faces), structure
-        subtracts the hole inside and drops the outside part (GEOS
-        MakeValid method semantics, reference base.py:2114)."""
+        """Jutting hole (crosses the shell): linework applies the even-odd
+        strategy — the shell∩hole overlap (depth 2) becomes a hole, the
+        jutting region (depth 1) becomes AREA: 100 - 6 + 9 = 103.
+        structure subtracts the hole inside and drops the outside part
+        (GEOS MakeValid method semantics, reference base.py:2114)."""
         g = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
                         "(8 4, 13 4, 13 7, 8 7, 8 4))")
         assert not algos.is_valid(g)[0]
         lw = algos.make_valid(g, method="linework")
         sv = algos.make_valid(g, method="structure")
-        assert algos.area(lw)[0] == 109.0 and algos.is_valid(lw)[0]
+        assert algos.area(lw)[0] == 103.0 and algos.is_valid(lw)[0]
         assert algos.area(sv)[0] == 94.0 and algos.is_valid(sv)[0]
+
+    def test_make_valid_linework_nested_rings(self):
+        """Three nested disjoint rings as one 'polygon': even-odd keeps
+        the outer annulus (with the middle ring as hole) and the inner
+        island — area 100 - 36 + 4 = 68."""
+        g = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                        "(2 2, 8 2, 8 8, 2 8, 2 2), "
+                        "(4 4, 6 4, 6 6, 4 6, 4 4))")
+        lw = algos.make_valid(g, method="linework")
+        assert algos.area(lw)[0] == 68.0
+        assert algos.is_valid(lw)[0]
 
     def test_make_valid_hole_outside_shell(self):
         g = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
