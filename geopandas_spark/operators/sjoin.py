@@ -723,7 +723,19 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
     emit_unmatched = how == "left"
     rpt = bool((rga.types == 1).all()) and rga.n_coords == len(rga) \
         and len(rga) > 0
-    rgrid = _point_grid_build(rga.coords) if rpt else None
+    if rpt:
+        # dedupe coincident right coordinates: the search runs over
+        # unique locations and pairs carry a LOCATION id; duplicate
+        # right rows at a tied location fan out JVM-side in the
+        # broadcast join instead of being replicated through Arrow
+        # (the 100x bench tier has ~100 coincident rows per location —
+        # 153M tie rows would otherwise round-trip through Python)
+        uniq_coords, loc_of_row = np.unique(rga.coords, axis=0,
+                                            return_inverse=True)
+        loc_of_row = loc_of_row.astype(np.int64)
+        rgrid = _point_grid_build(uniq_coords)
+    else:
+        uniq_coords = loc_of_row = rgrid = None
 
     out_schema = StructType(left.schema.fields +
                             [StructField(ridx_col, LongType(), True),
@@ -842,6 +854,16 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                         tie = (np.isfinite(bt) & (bt <= cap) &
                                (np.abs(ed - bt) <= 1e-15))
                         er, ej = er[tie], ej[tie]
+                        if rpt:
+                            # pairs carry LOCATION ids when the right
+                            # side is points (see driver-side dedup);
+                            # coincident duplicates collapse here and
+                            # fan back out in the broadcast join
+                            ej = loc_of_row[ej]
+                            comb = er.astype(np.int64) * np.int64(
+                                len(uniq_coords)) + ej
+                            _, ui = np.unique(comb, return_index=True)
+                            er, ej = er[ui], ej[ui]
                         srt = np.lexsort((ej, er))
                         er, ej = er[srt], ej[srt]
                         matched[er] = True
@@ -865,7 +887,8 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
 
     pairs = left.mapInPandas(run, schema=out_schema)
     right_i = left.sparkSession.createDataFrame(
-        [tuple(r) + (k,) for k, r in enumerate(full_right_rows)],
+        [tuple(r) + ((int(loc_of_row[k]) if rpt else k),)
+         for k, r in enumerate(full_right_rows)],
         StructType(right.schema.fields + [StructField(ridx_col, LongType(), True)]))
     lefts, rights = _with_suffixes(pairs, right_i, "left", "right",
                                    skip=(ridx_col, dcol))
