@@ -251,13 +251,21 @@ def _divide_segment(se, p, queue):
         l.left = False
     se.other.other = l
     se.other = r
-    heapq.heappush(queue, l)
-    heapq.heappush(queue, r)
+    queue.push(l)
+    queue.push(r)
 
 
 def _possible_intersection(se1, se2, queue) -> int:
     p1, q1 = se1.point, se1.other.point
     p2, q2 = se2.point, se2.other.point
+    # strict bbox reject: adjacent status segments usually overlap in x
+    # but not in y — skip the whole cascade/intersection machinery when
+    # the boxes are strictly disjoint (touching boxes fall through)
+    if (min(p1[1], q1[1]) > max(p2[1], q2[1]) or
+            min(p2[1], q2[1]) > max(p1[1], q1[1]) or
+            min(p1[0], q1[0]) > max(p2[0], q2[0]) or
+            min(p2[0], q2[0]) > max(p1[0], q1[0])):
+        return 0
     if (p1 == p2) != (q1 == q2):
         # cascade robustness: when one op's output feeds another, a
         # previously-computed crossing vertex can sit an ulp OFF the
@@ -423,7 +431,9 @@ def _compute_fields(event, prev, op):
     event.in_result = _in_result(event, op)
 
 
-def _rings_to_events(rings, is_subject, queue):
+def _rings_to_events(rings, is_subject, events):
+    """Create the two endpoint events per segment, appending to ``events``
+    (a plain list — ordering happens once, vectorized, in _EventStream)."""
     for ring in rings:
         ring = np.asarray(ring, dtype=np.float64)
         n = len(ring)
@@ -443,8 +453,67 @@ def _rings_to_events(rings, is_subject, queue):
                 e1.left = True
             else:
                 e2.left = True
-            heapq.heappush(queue, e1)
-            heapq.heappush(queue, e2)
+            events.append(e1)
+            events.append(e2)
+
+
+class _EventStream:
+    """Priority stream of sweep events: the initial (ring-endpoint)
+    events are sorted ONCE with a vectorized numpy lexsort, and only the
+    few split-created events go through a heap. The r3/r4 profile showed
+    heappop + per-comparison _compare_events dominating the whole sweep
+    (4.5M Python comparisons on a 24k-box union); with presorting, each
+    pop costs at most ONE comparator call (merge against the heap top).
+
+    The lexsort uses the comparator's first three keys (x, y,
+    right-before-left) exactly; events tying on all three (vertex fans)
+    are re-sorted per run with the exact comparator, so stream order ==
+    comparator order everywhere the comparator is consistent."""
+
+    __slots__ = ("arr", "i", "heap")
+
+    def __init__(self, events):
+        n = len(events)
+        px = np.empty(n)
+        py = np.empty(n)
+        left = np.empty(n, dtype=np.int8)
+        for k, e in enumerate(events):
+            px[k] = e.point[0]
+            py[k] = e.point[1]
+            left[k] = e.left
+        order = np.lexsort((left, py, px))
+        arr = [events[k] for k in order]
+        pxs, pys, lfs = px[order], py[order], left[order]
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = ((pxs[1:] == pxs[:-1]) & (pys[1:] == pys[:-1]) &
+                        (lfs[1:] == lfs[:-1]))
+        if same.any():
+            import functools
+            ck = functools.cmp_to_key(_compare_events)
+            starts = np.nonzero(~same)[0]
+            ends = np.append(starts[1:], n)
+            for s, t in zip(starts, ends):
+                if t - s > 1:
+                    arr[s:t] = sorted(arr[s:t], key=ck)
+        self.arr = arr
+        self.i = 0
+        self.heap = []
+
+    def push(self, ev):
+        heapq.heappush(self.heap, ev)
+
+    def pop(self):
+        if self.heap and (self.i >= len(self.arr) or
+                          _compare_events(self.heap[0],
+                                          self.arr[self.i]) < 0):
+            return heapq.heappop(self.heap)
+        ev = self.arr[self.i]
+        self.i += 1
+        return ev
+
+    def __bool__(self):
+        return bool(self.heap) or self.i < len(self.arr)
 
 
 def _rings_bbox(rings):
@@ -466,9 +535,10 @@ def _subdivide(subject_rings, clipping_rings, op):
 
     Returns the processed events in sweep order.
     """
-    queue = []
-    _rings_to_events(subject_rings, True, queue)
-    _rings_to_events(clipping_rings, False, queue)
+    initial = []
+    _rings_to_events(subject_rings, True, initial)
+    _rings_to_events(clipping_rings, False, initial)
+    queue = _EventStream(initial)
     sbb = _rings_bbox(subject_rings)
     cbb = _rings_bbox(clipping_rings)
     if op == INTERSECTION:
@@ -481,7 +551,7 @@ def _subdivide(subject_rings, clipping_rings, op):
     sweep = _SweepLine()
     sorted_events = []
     while queue:
-        event = heapq.heappop(queue)
+        event = queue.pop()
         if event.point[0] > rightbound:
             break
         sorted_events.append(event)
@@ -631,15 +701,16 @@ def union_many(polygons):
     callers orient; union_all does). Returns the boolean_op output shape:
     list of polygons, each ``[shell(CCW), hole(CW), ...]``.
     """
-    queue = []
+    initial = []
     ring_count = 0
     for pid, rings in enumerate(polygons):
         rings = [np.asarray(r, dtype=np.float64) for r in rings
                  if len(r) >= 3]
         ring_count += len(rings)
-        _rings_to_events(rings, pid, queue)
-    if not queue:
+        _rings_to_events(rings, pid, initial)
+    if not initial:
         return []
+    queue = _EventStream(initial)
     all_rings = [_close(np.asarray(r, dtype=np.float64))
                  for poly in polygons for r in poly if len(r) >= 3]
 
@@ -648,7 +719,7 @@ def union_many(polygons):
     sweep = _SweepLine()
     sorted_events = []
     while queue:
-        event = heapq.heappop(queue)
+        event = queue.pop()
         sorted_events.append(event)
         if event.left:
             idx = sweep.insert(event)
@@ -739,78 +810,86 @@ def _trace_result(sorted_events, inside_fn):
     union_many (winding oracle over all operands)."""
     # vertex quantization: crossing points computed from different edge
     # pairs can differ in the last ulp — unify them so graph adjacency
-    # holds (snap radius 1e-9, far below any real feature size)
-    canon_table = {}
-
-    def _canon(pt):
-        key = (round(pt[0], 9), round(pt[1], 9))
-        return canon_table.setdefault(key, pt)
-
-    seen = set()
-    edges = []
-    for e in sorted_events:
-        if not e.left:
-            continue
-        p, q = _canon(e.point), _canon(e.other.point)
-        if p == q:
-            continue
-        key = (p, q) if p < q else (q, p)
-        if key in seen:  # collinear shared edges appear once per input side
-            continue
-        seen.add(key)
-        edges.append((p, q))
-    directed = []
-    if edges:
-        # ALL side probes in two batched passes — membership probing is
-        # the dominant cost of the whole boolean op (measured 90%+), so
-        # it must never run one point × one ring at a time
-        E = np.asarray(edges, dtype=np.float64)     # (n, 2 points, 2)
-        mx = (E[:, 0, 0] + E[:, 1, 0]) * 0.5
-        my = (E[:, 0, 1] + E[:, 1, 1]) * 0.5
-        dx = E[:, 1, 0] - E[:, 0, 0]
-        dy = E[:, 1, 1] - E[:, 0, 1]
-        ln = np.sqrt(dx * dx + dy * dy)
-        ok = ln > 0.0
-        eps = 1e-9 * ln
-        with np.errstate(divide="ignore", invalid="ignore"):
-            nx = -dy / ln * eps
-            ny = dx / ln * eps
-        left_in = inside_fn(mx + nx, my + ny)
-        right_in = inside_fn(mx - nx, my - ny)
-        fwd = ok & left_in & ~right_in
-        rev = ok & right_in & ~left_in
-        for k in np.nonzero(fwd | rev)[0]:
-            p, q = edges[k]
-            directed.append((p, q) if fwd[k] else (q, p))
-        # both-in (interior edge) or both-out (exterior edge): not a
-        # boundary of the result — dropped
+    # holds (snap radius 1e-9, far below any real feature size). All
+    # canonicalization/dedup/angle math is vectorized on INTEGER vertex
+    # ids (the per-tuple round()/dict version was ~25%% of a large
+    # union's runtime); the representative coordinate per id is the
+    # FIRST occurrence, matching the old canon_table.setdefault.
+    pts = [(e.point, e.other.point) for e in sorted_events if e.left]
+    if not pts:
+        return []
+    flat = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    # complex encoding sorts lexicographically by (x, y) — same key order
+    # as unique(axis=0) on the rounded pairs, minus its void-view sort
+    # overhead (matters: a big dissolve merge traces thousands of small
+    # components, each paying this call)
+    rkey = np.round(flat, 9)
+    uv, vid = np.unique(rkey[:, 0] + 1j * rkey[:, 1], return_inverse=True)
+    vid = vid.astype(np.int64).ravel()
+    first = np.full(len(uv), len(flat), dtype=np.int64)
+    np.minimum.at(first, vid, np.arange(len(flat)))
+    vx = flat[first, 0]
+    vy = flat[first, 1]
+    pe, qe = vid[0::2], vid[1::2]
+    keep = pe != qe
+    pe, qe = pe[keep], qe[keep]
+    if not len(pe):
+        return []
+    lo = np.minimum(pe, qe)
+    hi = np.maximum(pe, qe)
+    # collinear shared edges appear once per input side: keep the first
+    _, ui = np.unique(lo * np.int64(len(uv)) + hi, return_index=True)
+    pe, qe = pe[ui], qe[ui]
+    # ALL side probes in two batched passes — membership probing is
+    # the dominant cost of the whole boolean op (measured 90%+), so
+    # it must never run one point × one ring at a time
+    mx = (vx[pe] + vx[qe]) * 0.5
+    my = (vy[pe] + vy[qe]) * 0.5
+    dx = vx[qe] - vx[pe]
+    dy = vy[qe] - vy[pe]
+    ln = np.sqrt(dx * dx + dy * dy)
+    ok = ln > 0.0
+    eps = 1e-9 * ln
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nx = -dy / ln * eps
+        ny = dx / ln * eps
+    left_in = inside_fn(mx + nx, my + ny)
+    right_in = inside_fn(mx - nx, my - ny)
+    fwd = ok & left_in & ~right_in
+    rev = ok & right_in & ~left_in
+    # both-in (interior edge) or both-out (exterior edge): not a
+    # boundary of the result — dropped
+    sel = np.nonzero(fwd | rev)[0]
+    if not len(sel):
+        return []
+    dfrm = np.where(fwd[sel], pe[sel], qe[sel])
+    dto = np.where(fwd[sel], qe[sel], pe[sel])
+    ang = np.arctan2(vy[dto] - vy[dfrm], vx[dto] - vx[dfrm])
+    nd = len(dfrm)
     out_map = {}
-    for eid, (p, _q) in enumerate(directed):
-        out_map.setdefault(p, []).append(eid)
-
-    def _angle(p, q):
-        return np.arctan2(q[1] - p[1], q[0] - p[0])
-
-    used = [False] * len(directed)
+    for eid in range(nd):
+        out_map.setdefault(int(dfrm[eid]), []).append(eid)
+    used = np.zeros(nd, dtype=bool)
     rings = []
-    for start in range(len(directed)):
+    twopi = 2 * np.pi
+    for start in range(nd):
         if used[start]:
             continue
-        ring = [directed[start][0]]
+        ringv = [int(dfrm[start])]
         eid = start
         guard = 0
         closed = False
-        while guard <= len(directed):
+        while guard <= nd:
             guard += 1
             used[eid] = True
-            p, q = directed[eid]
-            ring.append(q)
-            inc = _angle(p, q)
+            q = int(dto[eid])
+            ringv.append(q)
+            inc = ang[eid]
             best, best_rel = None, -1.0
             for cand in out_map.get(q, ()):
                 if used[cand] and cand != start:
                     continue
-                rel = (_angle(*directed[cand]) - inc - np.pi) % (2 * np.pi)
+                rel = (ang[cand] - inc - np.pi) % twopi
                 if rel > best_rel:
                     best, best_rel = cand, rel
             if best is None:
@@ -819,11 +898,12 @@ def _trace_result(sorted_events, inside_fn):
                 closed = True
                 break
             eid = best
-        if closed and len(ring) >= 3:
-            if ring[0] != ring[-1]:
-                ring.append(ring[0])
-            if len(ring) >= 4:
-                rings.append(np.asarray(ring, dtype=np.float64))
+        if closed and len(ringv) >= 3:
+            if ringv[0] != ringv[-1]:
+                ringv.append(ringv[0])
+            if len(ringv) >= 4:
+                ids = np.asarray(ringv, dtype=np.int64)
+                rings.append(np.column_stack([vx[ids], vy[ids]]))
     return rings
 
 
@@ -850,45 +930,57 @@ def _assemble_polygons(rings):
     """
     if not rings:
         return []
-    rings = [r for r in rings if abs(_ring_signed_area(r)) > 0.0]
-    if not rings:
+    sa = np.array([_ring_signed_area(r) for r in rings])
+    keepm = np.abs(sa) > 0.0
+    if not keepm.any():
         return []
-    areas = [abs(_ring_signed_area(r)) for r in rings]
-    order = sorted(range(len(rings)), key=lambda k: -areas[k])
-    depth = [0] * len(rings)
-    parent = [-1] * len(rings)
-    # bbox prefilter: a ring can only contain rep points inside its bbox —
-    # for the common mostly-disjoint union this makes nesting near-linear
-    # instead of R² full ray-casts (the 4k-box dissolve blow-up)
+    rings = [r for r, k in zip(rings, keepm) if k]
+    sa = sa[keepm]
+    areas = np.abs(sa)
+    n = len(rings)
+    order = sorted(range(n), key=lambda k: -areas[k])
+    pos = np.empty(n, dtype=np.int64)
+    for oi, i in enumerate(order):
+        pos[i] = oi
     bbs = np.array([[r[:, 0].min(), r[:, 1].min(),
                      r[:, 0].max(), r[:, 1].max()] for r in rings])
-    obbs = bbs[order]
+    # representative point: midpoint of first edge (never a vertex of
+    # another result ring: the sweep split all crossings)
     mxs = np.array([(r[0, 0] + r[1, 0]) * 0.5 for r in rings])
     mys = np.array([(r[0, 1] + r[1, 1]) * 0.5 for r in rings])
-    for oi, i in enumerate(order):
-        # representative point: midpoint of first edge (never a vertex of
-        # another result ring: the sweep split all crossings)
-        mx, my = mxs[i], mys[i]
-        best = -1
-        cand = np.nonzero((obbs[:oi, 0] <= mx) & (obbs[:oi, 2] >= mx) &
-                          (obbs[:oi, 1] <= my) & (obbs[:oi, 3] >= my))[0]
-        for oj in cand[::-1]:           # same order as the original scan:
-            j = order[oj]               # immediately-smaller areas first
-            if _point_in_ring(mx, my, rings[j]):
-                depth[i] = depth[j] + 1
-                best = j
-                break
-        parent[i] = best
+    # inverted scan: containers from SMALLEST area upward claim the
+    # unassigned rep points inside their bbox (x-range via one
+    # searchsorted on the point order — the per-ring growing-slice bbox
+    # mask was O(R^2) on a 22k-ring union). A point's first claimant is
+    # its immediate (smallest containing, larger-area-rank) parent —
+    # identical semantics to the old immediately-smaller-first scan.
+    parent = np.full(n, -1, dtype=np.int64)
+    xs_order = np.argsort(mxs, kind="stable")
+    xs_sorted = mxs[xs_order]
+    for oi in range(n - 1, -1, -1):
+        j = order[oi]
+        lo = np.searchsorted(xs_sorted, bbs[j, 0], "left")
+        hi = np.searchsorted(xs_sorted, bbs[j, 2], "right")
+        if lo >= hi:
+            continue
+        cand = xs_order[lo:hi]
+        cand = cand[(mys[cand] >= bbs[j, 1]) & (mys[cand] <= bbs[j, 3]) &
+                    (parent[cand] == -1) & (pos[cand] > oi)]
+        for i in cand:
+            if _point_in_ring(mxs[i], mys[i], rings[j]):
+                parent[i] = j
+    depth = np.zeros(n, dtype=np.int64)
+    for i in order:          # decreasing area: parents resolve first
+        if parent[i] >= 0:
+            depth[i] = depth[parent[i]] + 1
     polys = {}
     for i, r in enumerate(rings):
-        a = _ring_signed_area(r)
         if depth[i] % 2 == 0:  # shell: orient CCW
-            polys[i] = [r if a >= 0 else r[::-1]]
+            polys[i] = [r if sa[i] >= 0 else r[::-1]]
     for i, r in enumerate(rings):
         if depth[i] % 2 == 1:  # hole: orient CW, attach to parent shell
-            a = _ring_signed_area(r)
-            hole = r if a <= 0 else r[::-1]
-            polys[parent[i]].append(hole)
+            hole = r if sa[i] <= 0 else r[::-1]
+            polys[int(parent[i])].append(hole)
     return [polys[i] for i in sorted(polys)]
 
 

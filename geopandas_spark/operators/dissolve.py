@@ -144,6 +144,12 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
     if not two_phase:
         return df.groupBy(*by).applyInPandas(merge, schema=out_schema)
 
+    # thin scans (few parquet splits) would run the whole phase-1 union
+    # on a handful of tasks — fan out first (measured: the 600k-box
+    # stress dissolve spent ~14 of 18.5s in 4 phase-1 tasks)
+    from geopandas_spark.operators.sjoin import _ensure_parallelism
+    df = _ensure_parallelism(df)
+
     # -- phase 1: per (key, input-partition) combine ----------------------
     partial_fields = []
     for c, fn, name in aggs:
@@ -204,6 +210,17 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
                          else s.iloc[0]]
         return pd.DataFrame(row)
 
+    # pre-partition the (small) partials WIDER than the default shuffle
+    # partition count: with ~#cores keys, hash collisions put 2-3 groups
+    # on one task and the heavy per-key merge serializes (measured 2x on
+    # the 600k-box stress dissolve, 25 keys into 32 partitions). Hash
+    # partitioning on the keys satisfies applyInPandas' required
+    # distribution, so no second exchange is added.
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        staged = staged.repartition(max(4 * cores, 64), *by)
+    except Exception:
+        pass
     return staged.groupBy(*by).applyInPandas(finish, schema=out_schema)
 
 

@@ -195,7 +195,8 @@ def _with_suffixes(left: DataFrame, right: DataFrame, lsuffix: str,
     return left, right
 
 
-def _right_exceeds(df: DataFrame, threshold: int) -> bool:
+def _right_exceeds(df: DataFrame, threshold: int,
+                   bytes_per_row: int = 64) -> bool:
     """Estimate whether ``df`` has more than ``threshold`` rows WITHOUT a
     full-table scan job (at 100 TB a ``count()`` here would be a full pass
     over the build side before any join work).
@@ -203,6 +204,11 @@ def _right_exceeds(df: DataFrame, threshold: int) -> bool:
     Primary: Catalyst's optimized-plan statistics (free — derived from file
     sizes / exact local-relation counts). Unknown statistics default to a
     huge sizeInBytes, which safely routes to the partitioned grid strategy.
+    ``bytes_per_row`` sets the assumed row width when only sizeInBytes is
+    known — join routing keeps the conservative 64 (over-estimating width
+    routes big sides to the grid), while the parallelism fan-out gate
+    passes 16 (a pruned two-int-column scan is ~8-16 B/row, and there the
+    conservative direction is to repartition).
     Fallback: a bounded ``limit(threshold+1).count()`` probe that scans at
     most threshold+1 rows."""
     try:
@@ -210,8 +216,7 @@ def _right_exceeds(df: DataFrame, threshold: int) -> bool:
         rc = stats.rowCount()
         if rc.isDefined():
             return int(str(rc.get())) > threshold
-        # no exact row count: assume a conservative 64 B/row lower bound
-        return int(str(stats.sizeInBytes())) > threshold * 64
+        return int(str(stats.sizeInBytes())) > threshold * bytes_per_row
     except Exception:
         return df.limit(threshold + 1).count() > threshold
 
@@ -371,7 +376,7 @@ def _ensure_parallelism(df, min_rows: int = 100_000):
         return df
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    if not _right_exceeds(df, min_rows):
+    if not _right_exceeds(df, min_rows, bytes_per_row=16):
         return df
     try:
         n = df.rdd.getNumPartitions()
@@ -391,9 +396,24 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
     gpos = right.columns.index(geom_right)
     apos = [right.columns.index(a) for a in on_attribute]
     rblobs = [r[gpos] for r in full_rows]
-    rga = wkb.decode(rblobs)
+    # dedupe the probe set on (WKB bytes, join attrs): duplicate right
+    # geometries (shared admin boundaries, repeated dim rows) refine ONCE
+    # and fan back out in the broadcast attach join — the 100x bench tier
+    # has ~100 identical rows per geometry, a 100x refine reduction
+    group_of = {}
+    loc_of_row = np.empty(len(full_rows), dtype=np.int64)
+    uniq_idx = []
+    for k, r in enumerate(full_rows):
+        key = (rblobs[k], tuple(r[p] for p in apos))
+        gid = group_of.get(key)
+        if gid is None:
+            gid = len(uniq_idx)
+            group_of[key] = gid
+            uniq_idx.append(k)
+        loc_of_row[k] = gid
+    rga = wkb.decode([rblobs[k] for k in uniq_idx])
     rbounds = algos.bounds(rga)
-    rattrs = [tuple(r[p] for p in apos) for r in full_rows] \
+    rattrs = [tuple(full_rows[k][p] for p in apos) for k in uniq_idx] \
         if on_attribute else None
     emit_unmatched = how in ("left", "right")
 
@@ -438,7 +458,7 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
     pairs = left.mapInPandas(run, schema=out_schema)
 
     right_i = spark.createDataFrame(
-        [tuple(r) + (k,) for k, r in enumerate(full_rows)],
+        [tuple(r) + (int(loc_of_row[k]),) for k, r in enumerate(full_rows)],
         StructType(right.schema.fields + [StructField(ridx_col, LongType(), True)]))
     lefts, rights = _with_suffixes(pairs, right_i, lsuffix, rsuffix,
                                    skip=(ridx_col, *on_attribute))
@@ -557,8 +577,10 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     # falls out for free: empty overlap → no shared cells)
     bw = F.col("__b__.xmax") - F.col("__b__.xmin")
     bh = F.col("__b__.ymax") - F.col("__b__.ymin")
-    tl = (lb.select(F.lit(1).alias("__s__"), "__b__")
-          .unionByName(rb.select(F.lit(0).alias("__s__"), "__b__"))
+    tl = (lb.select(F.lit(1).alias("__s__"), "__b__",
+                    F.col(gl).alias("__g__"))
+          .unionByName(rb.select(F.lit(0).alias("__s__"), "__b__",
+                                 F.col(gr).alias("__g__")))
           .agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
                F.max("__b__.xmax"), F.max("__b__.ymax"),
                F.count(F.when(F.col("__s__") == 1, 1)),
@@ -566,11 +588,23 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
                F.avg(F.when(F.col("__s__") == 1, bh)),
                F.count(F.when(F.col("__s__") == 0, 1)),
                F.avg(F.when(F.col("__s__") == 0, bw)),
-               F.avg(F.when(F.col("__s__") == 0, bh)))
+               F.avg(F.when(F.col("__s__") == 0, bh)),
+               F.approx_count_distinct(
+                   F.when(F.col("__s__") == 0, F.col("__g__"))))
           .collect()[0])
     x0, y0, x1, y1 = tl[0], tl[1], tl[2], tl[3]
     nl, wlx, wly = tl[4] or 0, tl[5] or 0.0, tl[6] or 0.0
     nr, wrx, wry = tl[7] or 0, tl[8] or 0.0, tl[9] or 0.0
+    nd_right = tl[10] or 0
+    # duplicate-heavy right geometries (repeated dim rows, shared admin
+    # boundaries — the 100x scale tier has ~100 rows per geometry):
+    # dedupe BEFORE cell explosion so every (cell, geometry) candidate is
+    # refined once, then fan matches back out with a native equi-join on
+    # the WKB bytes. Probe is free — piggybacked on the stats job.
+    dedup_right = bool(nr and nd_right and nr >= 4 * nd_right)
+    if dedup_right:
+        rb = (rights.select(gr, *on_attribute).distinct()
+              .withColumn("__b__", st.bounds(gr)))
     pad = float(distance or 0.0)
     X, Y = x1 - x0, y1 - y0
     w = hgt = None
@@ -667,13 +701,22 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
         cand = cand.filter(pred_fn("__lg__", "__rg__"))
     # reference-point dedup guarantees each matched pair survives in exactly
     # one cell — no distinct needed; drop the plan-internal columns
-    joined = cand.drop("__cx__", "__cy__", "__lg__", "__rg__",
-                       "__lbb__", "__rbb__")
+    if dedup_right:
+        # fan unique-geometry matches back out to every duplicate right
+        # row: native hash join on the WKB bytes (+ join attrs)
+        fan = cand.drop("__cx__", "__cy__", "__lg__", "__lbb__", "__rbb__",
+                        gr)  # __rg__ stays as the fan-out key
+        joined = (fan.join(rights.withColumnRenamed(gr, "__rg__"),
+                           on=["__rg__", *on_attribute], how="inner")
+                  .withColumnRenamed("__rg__", gr))
+    else:
+        joined = cand.drop("__cx__", "__cy__", "__lg__", "__rg__",
+                           "__lbb__", "__rbb__")
     if how == "left":
         missing = lefts.join(cand.select(lidx), on=lidx, how="left_anti")
         joined = joined.unionByName(missing, allowMissingColumns=True)
     elif how == "right":
-        missing = rights.join(cand.select(ridx), on=ridx, how="left_anti")
+        missing = rights.join(joined.select(ridx), on=ridx, how="left_anti")
         joined = joined.unionByName(missing, allowMissingColumns=True)
     return joined.drop(lidx, ridx)
 
