@@ -441,6 +441,95 @@ FROM nation
 """
 
 
+def q_gc_setops(spark, sf_dir):
+    """Set ops with GEOMETRYCOLLECTION operands (engine r5; reference
+    base.py:4762, GEOS OverlayNG GC input). Per customer:
+    A = GC(box w x h at origin, line x 20..20+L at y=0, point (50 5));
+    B = box (1,-1)-(60,10) covering line+point and cutting the box at
+    x>=1; C = GC(box w2 x h2 at origin, point (70 7)).
+    A ∩ B: poly (w-1)*h + the covered line and point (3 children).
+    A ∪ C: overlapping-corner boxes union to w*h + w2*h2 -
+    min(w,w2)*min(h,h2); line/points lie outside and survive."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    w, h, L = k % 5 + 2, k % 3 + 2, k % 7 + 1
+    w2, h2 = k % 4 + 3, k % 2 + 3
+    gc_a = st.geom_from_text(F.concat(
+        F.lit("GEOMETRYCOLLECTION (POLYGON ((0 0, "), w, F.lit(" 0, "),
+        w, F.lit(" "), h, F.lit(", 0 "), h,
+        F.lit(", 0 0)), LINESTRING (20 0, "), L + 20,
+        F.lit(" 0), POINT (50 5))")))
+    bpoly = st.geom_from_text(F.lit(
+        "POLYGON ((1 -1, 60 -1, 60 10, 1 10, 1 -1))"))
+    gc_c = st.geom_from_text(F.concat(
+        F.lit("GEOMETRYCOLLECTION (POLYGON ((0 0, "), w2, F.lit(" 0, "),
+        w2, F.lit(" "), h2, F.lit(", 0 "), h2,
+        F.lit(", 0 0)), POINT (70 7))")))
+    inter = st.intersection(gc_a, bpoly)
+    uni = st.union(gc_a, gc_c)
+    return c.select(
+        k.alias("id"),
+        F.round(st.area(inter), 6).alias("i_area"),
+        st.ngeometries(inter).alias("i_parts"),
+        st.geometry_type(inter).alias("i_type"),
+        F.round(st.area(uni), 6).alias("u_area"),
+        F.round(st.length(st.collection_extract(uni, "line")),
+                6).alias("u_len"))
+
+
+SQL_GC_SETOPS = """
+SELECT c_custkey AS id,
+       ROUND(CAST((c_custkey % 5 + 1) * (c_custkey % 3 + 2) AS DOUBLE), 6)
+           AS i_area,
+       CAST(3 AS BIGINT) AS i_parts,
+       'GeometryCollection' AS i_type,
+       ROUND(CAST((c_custkey % 5 + 2) * (c_custkey % 3 + 2)
+             + (c_custkey % 4 + 3) * (c_custkey % 2 + 3)
+             - LEAST(c_custkey % 5 + 2, c_custkey % 4 + 3)
+               * LEAST(c_custkey % 3 + 2, c_custkey % 2 + 3) AS DOUBLE), 6)
+           AS u_area,
+       ROUND(CAST(c_custkey % 7 + 1 AS DOUBLE), 6) AS u_len
+FROM customer
+"""
+
+
+def q_union_lines(spark, sf_dir):
+    """Lineal union (engine r5: union_all over overlapping lines —
+    reference base.py:2500-2553, GEOS unary_union on lineal input).
+    Per customer: a horizontal road (x0..x0+10 at y=c%10, x0=c%5 — heavy
+    collinear overlap within a nation) plus a vertical road (x=c%7,
+    y 0..9 — exact duplicates dedupe, crossings node). Union length per
+    nation is closed-form: sum over y-rows of (max(x0)-min(x0)+10) plus
+    9 * count(distinct vertical x)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0, y, vx = k % 5, k % 10, k % 7
+    ml = st.geom_from_text(F.concat(
+        F.lit("MULTILINESTRING (("), x0, F.lit(" "), y, F.lit(", "),
+        x0 + 10, F.lit(" "), y, F.lit("), ("), vx, F.lit(" 0, "),
+        vx, F.lit(" 9))")))
+    g = c.select(F.col("c_nationkey").alias("nationkey"), ml.alias("geom"))
+    u = g.groupBy("nationkey").agg(st.union_agg("geom").alias("u"))
+    return u.select("nationkey",
+                    F.round(st.length("u"), 6).alias("union_len"),
+                    st.geometry_type("u").alias("gtype"))
+
+
+SQL_UNION_LINES = """
+WITH h AS (
+  SELECT c_nationkey AS nationkey, c_custkey % 10 AS y,
+         MAX(c_custkey % 5) - MIN(c_custkey % 5) + 10 AS seg
+  FROM customer GROUP BY 1, 2
+), hh AS (SELECT nationkey, SUM(seg) AS hl FROM h GROUP BY 1),
+v AS (SELECT c_nationkey AS nationkey,
+             COUNT(DISTINCT c_custkey % 7) * 9 AS vl
+      FROM customer GROUP BY 1)
+SELECT hh.nationkey, ROUND(CAST(hh.hl + v.vl AS DOUBLE), 6) AS union_len,
+       'MultiLineString' AS gtype
+FROM hh JOIN v USING (nationkey)
+"""
+
+
 def q_explode(spark, sf_dir):
     n = _nat(spark, sf_dir)
     corners = F.concat(
@@ -4092,6 +4181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
         "dissolve": q_dissolve,
         "union_boxes": q_union_boxes,
+        "union_lines": q_union_lines,
+        "gc_setops": q_gc_setops,
         "union_overlap": q_union_overlap,
         "setops": q_setops,
         "overlay_intersection": q_overlay_intersection,
@@ -4229,6 +4320,8 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_nearest_xr": SQL_SJOIN_NEAREST,
         "dissolve": SQL_DISSOLVE,
         "union_boxes": SQL_UNION_BOXES,
+        "union_lines": SQL_UNION_LINES,
+        "gc_setops": SQL_GC_SETOPS,
         "union_overlap": SQL_UNION_OVERLAP,
         "setops": SQL_SETOPS,
         "overlay_intersection": SQL_OVERLAY_INTERSECTION,

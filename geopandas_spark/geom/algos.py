@@ -2567,6 +2567,115 @@ def _append_mixed(b: GeometryBuilder, polys: list, chains: list, pts):
     b.append_collection(children)
 
 
+def _gc_typed_rows(ga: GeometryArray, i: int) -> list:
+    """Row i as up to three single-row typed arrays (multi-polygon /
+    -line / -point) — a GEOMETRYCOLLECTION decomposed by dimension
+    class; non-GC rows yield themselves."""
+    if int(ga.types[i]) != GT_GEOMETRYCOLLECTION:
+        return [ga.take([i])]
+    out = []
+    for multi_t, want in ((GT_MULTIPOLYGON, POLYGON_TYPES),
+                          (GT_MULTILINESTRING, LINE_TYPES),
+                          (GT_MULTIPOINT, POINT_TYPES)):
+        parts = [rings for ct, cparts in ga.children_of(i)
+                 if ct in want for rings in cparts]
+        if parts:
+            b = GeometryBuilder()
+            b.append(multi_t, parts)
+            out.append(b.finish())
+    return out
+
+
+def _append_combined_setop(b: GeometryBuilder, rows: list):
+    """Combine per-component set-op results into ONE row with GEOS
+    OverlayNG normalization: polygonal parts unioned, lineal parts
+    unioned then reduced by the polygonal region, points deduped and
+    dropped where covered by a higher-dimensional part."""
+    poly_rows, line_rows, pt_list = [], [], []
+    stack = list(rows)
+    while stack:
+        r = stack.pop()
+        if len(r) == 0 or int(r.types[0]) == GT_MISSING or r.is_empty()[0]:
+            continue
+        t = int(r.types[0])
+        if t == GT_GEOMETRYCOLLECTION:
+            stack.extend(_gc_typed_rows(r, 0))
+        elif t in POLYGON_TYPES:
+            poly_rows.append(r)
+        elif t in LINE_TYPES:
+            line_rows.append(r)
+        else:
+            pt_list.append(_geom_points(r, 0))
+    polys_row = lines_row = None
+    if poly_rows:
+        tmp = GeometryBuilder()
+        for r in poly_rows:
+            tmp.append_from(r, 0)
+        polys_row = union_all(tmp.finish())
+        if polys_row.is_empty()[0]:
+            polys_row = None
+    if line_rows:
+        tmp = GeometryBuilder()
+        for r in line_rows:
+            tmp.append_from(r, 0)
+        lines_row = union_all(tmp.finish())
+        if polys_row is not None and not lines_row.is_empty()[0]:
+            lines_row = difference(lines_row, polys_row)
+        if lines_row.is_empty()[0]:
+            lines_row = None
+    pts = (np.concatenate(pt_list) if pt_list
+           else np.empty((0, 2), dtype=np.float64))
+    if len(pts):
+        pts = np.unique(pts, axis=0)
+        keep = np.ones(len(pts), dtype=bool)
+        if polys_row is not None:
+            keep &= ~_points_member_mask(pts, polys_row, 0)
+        if lines_row is not None:
+            keep &= ~_points_member_mask(pts, lines_row, 0)
+        pts = pts[keep]
+    polys = ([list(p) for p in polys_row.geom_slices(0)]
+             if polys_row is not None else [])
+    chains = ([p[0] for p in lines_row.geom_slices(0)]
+              if lines_row is not None else [])
+    _append_mixed(b, polys, chains, pts)
+
+
+def _gc_setop(b: GeometryBuilder, op: str, ga: GeometryArray,
+              gb: GeometryArray, i: int):
+    """Set operation with GEOMETRYCOLLECTION operand(s) (reference
+    base.py:4405-4879; GEOS OverlayNG accepts GC input): dispatch per
+    dimension class of the decomposed operands, then merge with the
+    standard normalization. ∩ distributes over the component union;
+    − subtracts each subtrahend component in turn; ∪/⊕ compose."""
+    A = _gc_typed_rows(ga, i)
+    B = _gc_typed_rows(gb, i)
+    rows = []
+    if op == "intersection":
+        for ra in A:
+            for rb in B:
+                rows.append(intersection(ra, rb, mixed=True))
+    elif op == "union":
+        rows = A + B
+    elif op == "difference":
+        for ra in A:
+            cur = ra
+            for rb in B:
+                cur = difference(cur, rb)
+            rows.append(cur)
+    else:  # symmetric_difference = (A − B) ∪ (B − A)
+        for ra in A:
+            cur = ra
+            for rb in B:
+                cur = difference(cur, rb)
+            rows.append(cur)
+        for rb in B:
+            cur = rb
+            for ra in A:
+                cur = difference(cur, ra)
+            rows.append(cur)
+    _append_combined_setop(b, rows)
+
+
 def intersection(ga: GeometryArray, gb: GeometryArray,
                  mixed: bool = False) -> GeometryArray:
     """Pairwise intersection (reference: geopandas/base.py:4762).
@@ -2594,8 +2703,8 @@ def intersection(ga: GeometryArray, gb: GeometryArray,
             b.append_empty(GT_POLYGON)
             continue
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
-            raise NotImplementedError(
-                "set operations with GEOMETRYCOLLECTION operands")
+            _gc_setop(b, "intersection", ga, gb, i)
+            continue
         if ta in POINT_TYPES:
             pts = _geom_points(ga, i)
             keep = pts[_points_member_mask(pts, gb, i)]
@@ -2723,8 +2832,8 @@ def difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
             b.append_from(ga, i)
             continue
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
-            raise NotImplementedError(
-                "set operations with GEOMETRYCOLLECTION operands")
+            _gc_setop(b, "difference", ga, gb, i)
+            continue
         if ta in POINT_TYPES:
             pts = _geom_points(ga, i)
             keep = pts[~_points_member_mask(pts, gb, i)]
@@ -2829,8 +2938,8 @@ def union(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
             _append_chains(b, _merge_chains(pieces))
             continue
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
-            raise NotImplementedError(
-                "set operations with GEOMETRYCOLLECTION operands")
+            _gc_setop(b, "union", ga, gb, i)
+            continue
         # mixed dimensions (GEOS union semantics): the higher-dimensional
         # operand survives whole; the lower-dim one contributes only its
         # residual outside it; absorbed residual → plain higher-dim output,
@@ -2883,8 +2992,8 @@ def symmetric_difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
             _append_chains(b, _merge_chains(pieces))
             continue
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
-            raise NotImplementedError(
-                "set operations with GEOMETRYCOLLECTION operands")
+            _gc_setop(b, "symmetric_difference", ga, gb, i)
+            continue
         # mixed dimensions: the intersection is measure-zero in the higher
         # dim, so A ⊕ B = hi whole + (lo − hi) — same shape as union
         ghi, glo = (ga, gb) if _DIM[ta] > _DIM[tb] else (gb, ga)
@@ -3082,6 +3191,84 @@ def _coverage_union(ga: GeometryArray):
     return b.finish()
 
 
+def _lineal_union(ga: GeometryArray, idx) -> GeometryArray:
+    """Union of (multi)linestrings (reference base.py:2500-2553, GEOS
+    unary_union over lineal input): node every segment at its crossings
+    with all other segments, drop collinear-duplicate noded pieces
+    (overlap dedupe — union length is exact), and re-chain each input
+    part's surviving pieces, breaking at noding split points. Matches
+    GEOS's noded output geometrically; piece layout deviates only where
+    another line passes exactly through an interior VERTEX (GEOS splits
+    there, we keep the chain — documented deviation, same point set).
+
+    Noding is the vectorized per-segment split against all others
+    (O(S^2) work, S = total segments) — fine for per-group dissolve
+    sizes; callers at scale pre-partition by key."""
+    seglists = []
+    for i in idx:
+        for p in ga.geom_slices(i):
+            for r in p:
+                if len(r) >= 2:
+                    seglists.append(np.stack([r[:-1], r[1:]], axis=1))
+    b = GeometryBuilder()
+    if not seglists:
+        b.append_empty(GT_MULTILINESTRING)
+        return b.finish()
+    all_segs = np.concatenate(seglists, axis=0)
+    lens = np.array([len(s) for s in seglists])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+    def canon(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    seen = set()
+    pieces = []
+    chain = None
+
+    def flush():
+        nonlocal chain
+        if chain is not None and len(chain) >= 2:
+            pieces.append(np.asarray(chain, dtype=np.float64))
+        chain = None
+
+    for pi, segs in enumerate(seglists):
+        flush()
+        for k in range(len(segs)):
+            gidx = starts[pi] + k
+            others = np.delete(all_segs, gidx, axis=0)
+            p0, p1 = segs[k][0], segs[k][1]
+            if len(others):
+                subs = _split_segment_by_edges(p0, p1,
+                                               others[:, 0], others[:, 1])
+            else:
+                subs = [segs[k]]
+            for si, sub in enumerate(subs):
+                a, b2 = canon(sub[0]), canon(sub[1])
+                if a == b2:
+                    continue
+                key = (a, b2) if a <= b2 else (b2, a)
+                dup = key in seen
+                seen.add(key)
+                if si > 0:      # noding split point: always a break
+                    flush()
+                if dup:
+                    flush()
+                    continue
+                if chain is None:
+                    chain = [sub[0], sub[1]]
+                else:
+                    chain.append(sub[1])
+        flush()
+    flush()
+    if not pieces:
+        b.append_empty(GT_MULTILINESTRING)
+    elif len(pieces) == 1:
+        b.append(GT_LINESTRING, [[pieces[0]]])
+    else:
+        b.append(GT_MULTILINESTRING, [[p] for p in pieces])
+    return b.finish()
+
+
 def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
     """Union of all rows (reference: geopandas/base.py:2500-2553).
 
@@ -3187,9 +3374,11 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
                     uf[rc] = ra
     if not pairs:
         return collect(ga)
+    if singles == {GT_LINESTRING}:
+        return _lineal_union(ga, idx)
     if not singles <= {GT_POLYGON}:
         raise NotImplementedError(
-            "union_all of overlapping lines not yet supported")
+            "union_all of mixed geometry types not yet supported")
 
     comps = {}
     for a in range(n):

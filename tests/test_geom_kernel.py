@@ -336,12 +336,12 @@ class TestConstructive:
         assert out[1] == ("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, "
                           "0 2, 0 0)), POINT (5 5))")
 
-    def test_setop_gc_operand_raises(self):
+    def test_setop_gc_point_operand(self):
+        """GC with a lone point operand (r5: no longer raises)."""
         a = ga_from_wkt("GEOMETRYCOLLECTION (POINT (1 1))")
         b = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
-        import pytest as _pt
-        with _pt.raises(NotImplementedError):
-            algos.intersection(a, b)
+        out = algos.intersection(a, b)
+        assert wkt.format_array(out)[0] == "POINT (1 1)"
 
     def test_union_all_points(self):
         ga = ga_from_wkt("POINT (1 1)", "POINT (2 2)", "POINT (1 1)")
@@ -358,6 +358,47 @@ class TestConstructive:
         ga = boxes_from_bounds([0, 2], [0, 0], [5, 7], [5, 5])
         u = algos.union_all(ga)
         assert algos.area(u)[0] == 25.0 + 25.0 - 15.0
+
+    def test_union_all_overlapping_lines(self):
+        """Lineal union (GEOS unary_union over lines): collinear overlap
+        dedupes, crossings node, duplicates collapse, length exact."""
+        g = ga_from_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)")
+        u = algos.union_all(g)
+        assert algos.length(u)[0] == 3.0
+        assert wkt.format_array(u)[0] == \
+            "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (2 0, 3 0))"
+        x = ga_from_wkt("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)")
+        ux = algos.union_all(x)
+        assert algos.count_geometries(ux)[0] == 4
+        np.testing.assert_allclose(algos.length(ux)[0], 4 * np.sqrt(2))
+        dup = ga_from_wkt("LINESTRING (0 0, 1 1)", "LINESTRING (0 0, 1 1)")
+        assert wkt.format_array(algos.union_all(dup))[0] == \
+            "LINESTRING (0 0, 1 1)"
+
+    def test_gc_setops(self):
+        """GEOMETRYCOLLECTION operands (GEOS OverlayNG semantics):
+        dispatch per dimension class, merge with absorption."""
+        gc = ga_from_wkt("GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, "
+                         "0 4, 0 0)), LINESTRING (6 0, 10 0), POINT (8 5))")
+        poly = ga_from_wkt("POLYGON ((2 -1, 12 -1, 12 6, 2 6, 2 -1))")
+        inter = algos.intersection(gc, poly)
+        assert algos.area(inter)[0] == 8.0
+        assert algos.count_geometries(inter)[0] == 3
+        assert algos.area(algos.union(gc, poly))[0] == 78.0
+        diff = algos.difference(gc, poly)
+        assert algos.area(diff)[0] == 8.0
+        assert wkt.format_array(diff)[0].startswith("POLYGON")
+        assert algos.area(algos.symmetric_difference(gc, poly))[0] == 70.0
+        gc2 = ga_from_wkt("GEOMETRYCOLLECTION (POLYGON ((2 2, 6 2, 6 6, "
+                          "2 6, 2 2)), POINT (0 0))")
+        u2 = algos.union(gc, gc2)
+        assert algos.area(u2)[0] == 16.0 + 16.0 - 4.0
+
+    def test_union_all_line_grid(self):
+        rows = [f"LINESTRING (0 {y}, 10 {y})" for y in (2, 5, 8)] + \
+               [f"LINESTRING ({x} 0, {x} 10)" for x in (2, 5, 8)]
+        u = algos.union_all(ga_from_wkt(*rows))
+        assert algos.length(u)[0] == 60.0
 
     def test_subdivide_bounds_vertices_and_preserves_area(self):
         """ST_Subdivide analogue: pieces bounded by max_vertices, exact
