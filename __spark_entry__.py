@@ -441,6 +441,88 @@ FROM nation
 """
 
 
+_EPSG_TABLE_REGIONS = [
+    # (code, lon_base, lon_span, lat_base, lat_span, cm, anchor_e, anchor_n)
+    (4527, 115.5, 3.0, 30.0, 15.0, 117.0, 39500000.0, 0.0),
+    (4546, 109.5, 3.0, 20.0, 15.0, 111.0, 500000.0, 0.0),
+    (28407, 36.0, 6.0, 45.0, 15.0, 39.0, 0.0, 0.0),   # datum-shifted: rt only
+    (28354, 138.0, 6.0, -40.0, 18.0, 141.0, 500000.0, 10000000.0),
+    (7850, 114.0, 6.0, -36.0, 14.0, 117.0, 500000.0, 10000000.0),
+    (3006, 11.0, 8.0, 55.0, 13.0, 15.0, 500000.0, 0.0),
+]
+
+
+def q_to_crs_epsg_table(spark, sf_dir):
+    """General to_crs: the r5 mechanical EPSG ranges (geom/crs.py
+    _proj_def) — CGCS2000 3° Gauss-Krüger zones (4513-4533 zoned +
+    4534-4554 CM), Pulkovo 1942 6° GK zones (28402-28432, Krassowsky +
+    EPSG-1254 shift), GDA94/GDA2020 MGA (28348-28358 / 7846-7859),
+    SWEREF99 TM (3006). Oracle = round-trip identity over each code's
+    home region plus the central-meridian/equator anchor
+    ((cm, 0) -> (FE, FN), exact in the TM closed form for the
+    no-datum-shift codes; the Pulkovo anchor is datum-shifted and
+    checked by round trip only)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    sel = (k % 6).cast("int")
+    u = (k % 90).cast("double") / F.lit(90.0)
+    v = ((k * 11) % 90).cast("double") / F.lit(90.0)
+    lon = F.lit(0.0)
+    lat = F.lit(0.0)
+    for j, (code, lo0, spx, la0, spy, cm, ae_, an_) in \
+            enumerate(_EPSG_TABLE_REGIONS):
+        lon = F.when(sel == j, F.lit(lo0) + u * F.lit(spx)).otherwise(lon)
+        lat = F.when(sel == j, F.lit(la0) + v * F.lit(spy)).otherwise(lat)
+    g = st.point(lon, lat)
+    back = g
+    ax = F.lit(0.0)
+    ay = F.lit(0.0)
+    for j, (code, lo0, spx, la0, spy, cm, ae_, an_) in \
+            enumerate(_EPSG_TABLE_REGIONS):
+        crs = f"EPSG:{code}"
+        rt = st.to_crs(st.to_crs(g, "EPSG:4326", crs), crs, "EPSG:4326")
+        back = F.when(sel == j, rt).otherwise(back)
+        if ae_ or an_:
+            ap = st.to_crs(st.point(F.lit(cm), F.lit(0.0)),
+                           "EPSG:4326", crs)
+            ax = F.when(sel == j, st.x(ap)).otherwise(ax)
+            ay = F.when(sel == j, st.y(ap)).otherwise(ay)
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"),
+        F.round(ax, 4).alias("anchor_e"),
+        F.round(ay, 4).alias("anchor_n"))
+
+
+SQL_TO_CRS_EPSG_TABLE = """
+SELECT c_custkey AS id,
+       ROUND(CASE c_custkey % 6
+         WHEN 0 THEN 115.5 + (c_custkey % 90) / 90.0 * 3.0
+         WHEN 1 THEN 109.5 + (c_custkey % 90) / 90.0 * 3.0
+         WHEN 2 THEN 36.0 + (c_custkey % 90) / 90.0 * 6.0
+         WHEN 3 THEN 138.0 + (c_custkey % 90) / 90.0 * 6.0
+         WHEN 4 THEN 114.0 + (c_custkey % 90) / 90.0 * 6.0
+         ELSE 11.0 + (c_custkey % 90) / 90.0 * 8.0 END, 5) AS rlon,
+       ROUND(CASE c_custkey % 6
+         WHEN 0 THEN 30.0 + (c_custkey * 11 % 90) / 90.0 * 15.0
+         WHEN 1 THEN 20.0 + (c_custkey * 11 % 90) / 90.0 * 15.0
+         WHEN 2 THEN 45.0 + (c_custkey * 11 % 90) / 90.0 * 15.0
+         WHEN 3 THEN -40.0 + (c_custkey * 11 % 90) / 90.0 * 18.0
+         WHEN 4 THEN -36.0 + (c_custkey * 11 % 90) / 90.0 * 14.0
+         ELSE 55.0 + (c_custkey * 11 % 90) / 90.0 * 13.0 END, 5) AS rlat,
+       ROUND(CASE c_custkey % 6
+         WHEN 0 THEN 39500000.0
+         WHEN 2 THEN 0.0
+         ELSE 500000.0 END, 4) AS anchor_e,
+       ROUND(CASE c_custkey % 6
+         WHEN 3 THEN 10000000.0
+         WHEN 4 THEN 10000000.0
+         ELSE 0.0 END, 4) AS anchor_n
+FROM customer
+"""
+
+
 def q_gc_setops(spark, sf_dir):
     """Set ops with GEOMETRYCOLLECTION operands (engine r5; reference
     base.py:4762, GEOS OverlayNG GC input). Per customer:
@@ -1729,8 +1811,11 @@ FROM d GROUP BY user_id
 def q_subdivide(spark, sf_dir):
     """Engine-added ST_Subdivide analogue (algos.subdivide): per-nation
     w×h boxes densified to unit segments (2(w+h)+1 vertices), split to
-    <= 40-vertex pieces via recursive bbox-halving clips. Invariant
-    oracle: piece areas sum EXACTLY to w*h (rectangle clips on halved
+    <= 40-vertex pieces via recursive bbox-halving clips. Value oracle
+    (r5, upgraded): the bbox-halving recursion is deterministic, so the
+    piece COUNT and max piece vertex count are exact functions of
+    (w, h) — the twin pins all 12 (w%4, h%3) combos as CASE values;
+    piece areas sum EXACTLY to w*h (rectangle clips on halved
     bounds are exact here), every piece is small, and there are at least
     ceil(npts/40) pieces — plus coverage-union reassembly equality, all
     reduced to booleans the twin states as constants."""
@@ -1752,8 +1837,8 @@ def q_subdivide(spark, sf_dir):
         F.col("id"),
         F.round("tot", 6).alias("tot_area"),
         (F.col("tot") == F.col("wh")).alias("area_exact"),
-        (F.col("maxp") <= 40).alias("pieces_small"),
-        (F.col("np_") >= F.ceil(F.col("npts") / 40.0)).alias("enough"))
+        F.col("np_").alias("n_pieces"),
+        F.col("maxp").alias("max_pts"))
 
 
 SQL_SUBDIVIDE = """
@@ -1761,8 +1846,16 @@ SELECT n_nationkey AS id,
        ROUND(CAST((n_nationkey % 4 + 2) * 10 * (n_nationkey % 3 + 2) * 10
              AS DOUBLE), 6) AS tot_area,
        TRUE AS area_exact,
-       TRUE AS pieces_small,
-       TRUE AS enough
+       CAST(CASE (n_nationkey % 4) * 3 + (n_nationkey % 3)
+         WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 4
+         WHEN 3 THEN 4 WHEN 4 THEN 4 WHEN 5 THEN 4
+         WHEN 6 THEN 6 WHEN 7 THEN 4 WHEN 8 THEN 8
+         WHEN 9 THEN 6 WHEN 10 THEN 8 ELSE 8 END AS BIGINT) AS n_pieces,
+       CAST(CASE (n_nationkey % 4) * 3 + (n_nationkey % 3)
+         WHEN 0 THEN 25 WHEN 1 THEN 30 WHEN 2 THEN 35
+         WHEN 3 THEN 30 WHEN 4 THEN 35 WHEN 5 THEN 40
+         WHEN 6 THEN 27 WHEN 7 THEN 40 WHEN 8 THEN 35
+         WHEN 9 THEN 31 WHEN 10 THEN 32 ELSE 37 END AS BIGINT) AS max_pts
 FROM nation
 """
 
@@ -3157,6 +3250,46 @@ def q_rt_fgb(spark, sf_dir):
                        st.x("geom").alias("x"), st.y("geom").alias("y"))
 
 
+def q_fgb_bbox_paths(spark, sf_dir):
+    """FlatGeobuf bbox-read robustness (r4 ADVICE fixes, driver-stamped
+    per r4 VERDICT item #7): (a) a file written with index=False must
+    apply the bbox as an envelope filter instead of silently returning
+    everything (io/fgb.py unindexed fallback); (b) NULL-geometry rows
+    must never match a bbox (inverted-infinite sentinel in the packed
+    R-tree, io/fgb.py index build). Both paths must return exactly the
+    subset the oracle computes with plain range predicates over the
+    synthesized coordinates, excluding the NULLed rows."""
+    import tempfile
+    from geopandas_spark import io as gio
+    k = F.col("c_custkey")
+    c = (_cust(spark, sf_dir)
+         .select("c_custkey",
+                 F.when(k % 11 == 0, F.lit(None).cast("binary"))
+                  .otherwise(F.col("geom")).alias("geom")))
+    d = tempfile.mkdtemp(prefix="gs_fgbb_")
+    frames = []
+    for tag, use_index in (("indexed", True), ("plain", False)):
+        path = os.path.join(d, f"bb_{tag}.fgb")
+        gio.to_fgb(c, path, geom="geom", index=use_index)
+        back = gio.read_file(spark, path, geom="geom",
+                             bbox=(100.0, 0.0, 399.0, 650.0))
+        frames.append(back.select(F.lit(tag).alias("path_"),
+                                  F.col("c_custkey").alias("id"),
+                                  st.x("geom").alias("x"),
+                                  st.y("geom").alias("y")))
+    return frames[0].unionByName(frames[1])
+
+
+SQL_FGB_BBOX_PATHS = f"""
+SELECT p.path_, c.c_custkey AS id,
+       CAST({PX} AS DOUBLE) AS x, CAST({PY} AS DOUBLE) AS y
+FROM customer c
+CROSS JOIN (SELECT 'indexed' AS path_ UNION ALL SELECT 'plain') p
+WHERE c.c_custkey % 11 <> 0
+  AND {PX} BETWEEN 100 AND 399 AND {PY} BETWEEN 0 AND 650
+"""
+
+
 def q_read_pushdown(spark, sf_dir):
     """read_file pushdown kwargs (reference geopandas/io/file.py:197-339):
     ``bbox=`` (envelope prefilter as native range predicates) and
@@ -4183,6 +4316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_boxes": q_union_boxes,
         "union_lines": q_union_lines,
         "gc_setops": q_gc_setops,
+        "to_crs_epsg_table": q_to_crs_epsg_table,
+        "fgb_bbox_paths": q_fgb_bbox_paths,
         "union_overlap": q_union_overlap,
         "setops": q_setops,
         "overlay_intersection": q_overlay_intersection,
@@ -4322,6 +4457,8 @@ def oracle_sql() -> dict[str, str]:
         "union_boxes": SQL_UNION_BOXES,
         "union_lines": SQL_UNION_LINES,
         "gc_setops": SQL_GC_SETOPS,
+        "to_crs_epsg_table": SQL_TO_CRS_EPSG_TABLE,
+        "fgb_bbox_paths": SQL_FGB_BBOX_PATHS,
         "union_overlap": SQL_UNION_OVERLAP,
         "setops": SQL_SETOPS,
         "overlay_intersection": SQL_OVERLAY_INTERSECTION,
