@@ -1837,13 +1837,51 @@ def _erode_polygon(parts, d: float, nseg: int) -> list:
         return []
     tol = abs(d) * 1e-2 + 1e-9
     face_rings = [faces.geom_slices(k)[0][0] for k in range(len(faces))]
+
+    def _face_probe(fr):
+        """Interior probes on several scanlines; trust the most DECISIVE
+        (max |dist - d|). A single probe can land arbitrarily close to
+        the offset curve, where the chord-sag tolerance window flips the
+        verdict — property-fuzz find: the hole-offset loop's face
+        classified as kept from a probe at dist = d - 1e-3, erasing the
+        hole from the erosion of a holed polygon."""
+        ys = np.unique(fr[:, 1])
+        if len(ys) < 2:
+            return None
+        best = None
+        for frac in (0.5, 0.25, 0.75, 0.1, 0.9):
+            yq = ys[0] + frac * (ys[-1] - ys[0])
+            k2 = min(max(np.searchsorted(ys, yq), 1), len(ys) - 1)
+            ym = 0.5 * (ys[k2 - 1] + ys[k2])
+            own = _ring_crossings(fr, ym)
+            if len(own) < 2:
+                continue
+            x0, x_next = own[0], own[1]
+            for o in face_rings:
+                if o is fr:
+                    continue
+                if o[:, 1].min() > ym or o[:, 1].max() < ym:
+                    continue
+                oc = _ring_crossings(o, ym)
+                oc = oc[oc > x0 + 1e-12]
+                if len(oc) and oc[0] < x_next:
+                    x_next = oc[0]
+            if x_next <= x0 + 1e-12:
+                continue
+            ip = (0.5 * (x0 + x_next), ym)
+            dist = _point_boundary_distance(ip[0], ip[1], bsegs)
+            margin = abs(dist - abs(d))
+            if best is None or margin > best[0]:
+                best = (margin, ip, dist)
+        return best
+
     keep_info = []
     for k in range(len(faces)):
         fr = face_rings[k]
-        ip = _ring_interior_point(fr, face_rings)
-        if ip is None:
+        probe = _face_probe(fr)
+        if probe is None:
             continue
-        dist = _point_boundary_distance(ip[0], ip[1], bsegs)
+        _margin, ip, dist = probe
         inside = bool(_mr._point_in_ringset(ip[0], ip[1], rings))
         keep_info.append((fr, ip, inside and dist >= abs(d) - tol))
     if not keep_info:

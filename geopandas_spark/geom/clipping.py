@@ -350,6 +350,32 @@ def _possible_intersection(se1, se2, queue) -> int:
     pts = _segment_intersection(se1.point, se1.other.point,
                                 se2.point, se2.other.point)
     if not pts:
+        # ulp-level T-junction (hypothesis-found via the duplicated-
+        # operand pairwise tree): a NODED endpoint of one segment lies
+        # exactly ON the other segment's interior in real arithmetic —
+        # an earlier op computed that vertex as a crossing on the same
+        # original line the other fragment comes from — but the
+        # parametric test misses by an ulp (s or t marginally outside
+        # [0,1]). Non-collinear, so neither cascade branch above
+        # applies. Split the crossed segment at the vertex when it is
+        # within the canonicalization quantum of its line and clears
+        # the 1e-9 progress bound on both sides.
+        for sa, sb in ((se1, se2), (se2, se1)):
+            a, b2 = sb.point, sb.other.point
+            vx, vy = b2[0] - a[0], b2[1] - a[1]
+            lsq = vx * vx + vy * vy
+            if lsq <= 0.0:
+                continue
+            ln = lsq ** 0.5
+            for fp in (sa.point, sa.other.point):
+                area2 = abs(vx * (fp[1] - a[1]) - vy * (fp[0] - a[0]))
+                mag = max(abs(a[0]), abs(a[1]),
+                          abs(fp[0]), abs(fp[1]), 1.0)
+                if 0.0 < area2 / ln < 1e-13 * mag:
+                    t = ((fp[0] - a[0]) * vx + (fp[1] - a[1]) * vy) / lsq
+                    if 1e-9 < t * ln and 1e-9 < (1.0 - t) * ln:
+                        _divide_segment(sb, fp, queue)
+                        return 1
         return 0
     if (len(pts) == 1 and (se1.point == se2.point or
                            se1.other.point == se2.other.point)):

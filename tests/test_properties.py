@@ -707,3 +707,81 @@ def test_erosion_dilation_sandwich(ra, d):
     # closing contains A: A minus closing is (numerically) empty
     missing = float(algos.area(algos.difference(A, closed))[0])
     assert missing < 1e-4 * max(area_a, 1.0)   # chordal arc tolerance
+
+
+@given(_star_polygon(holes=True), st_.floats(0.3, 1.2))
+@settings(max_examples=30, deadline=None)
+def test_erosion_holed_inputs(ra, d):
+    """r4-VERDICT fuzz target: erosion on HOLED / multi-ring inputs.
+    Identities: erode(A, d) ⊆ A exactly (offset-curve erosion never
+    grows); eroding a holed polygon keeps (grows) the hole — the eroded
+    area is bounded by area(A) minus the swept boundary band's lower
+    bound; and erode(A, d) ⊆ erode(shell-only A, d)."""
+    import numpy as np
+
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [ra])
+    A = b.finish()
+    er = algos.buffer(A, np.array([-d]))
+    if not er.is_empty()[0]:
+        # strict containment: erosion minus A is empty (no chord slack —
+        # the eroded set is inside the true erosion's closure)
+        outside = float(algos.area(algos.difference(er, A))[0])
+        assert outside < 1e-9
+        assert algos.area(er)[0] <= algos.area(A)[0] + 1e-9
+    if len(ra) > 1:
+        bs = GeometryBuilder()
+        bs.append(GT_POLYGON, [ra[:1]])
+        shell_only = bs.finish()
+        er_shell = algos.buffer(shell_only, np.array([-d]))
+        if not er.is_empty()[0] and not er_shell.is_empty()[0]:
+            outside = float(algos.area(algos.difference(er, er_shell))[0])
+            assert outside < 1e-9
+            # the hole strictly removes area from the erosion
+            assert algos.area(er)[0] <= algos.area(er_shell)[0] + 1e-9
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(1, 60),
+       st_.integers(1, 80), st_.booleans())
+@settings(max_examples=60, deadline=None)
+def test_grid_nearest_clustered_matches_brute_force(seed, nr, nl, excl):
+    """r4-VERDICT fuzz target: the cell-pruned nearest point search
+    (operators/sjoin.py _point_grid_nearest) on CLUSTERED (skewed)
+    points must return exactly the brute-force tie set and distances."""
+    from geopandas_spark.operators.sjoin import (_point_grid_build,
+                                                 _point_grid_nearest)
+
+    rng = np.random.default_rng(seed)
+    # two dense clusters + sparse background (skewed occupancy)
+    rc = np.concatenate([
+        rng.normal(10.0, 0.5, (max(nr // 3, 1), 2)),
+        rng.normal(900.0, 0.5, (max(nr // 3, 1), 2)),
+        rng.uniform(0, 1000, (max(nr // 3, 1), 2))])
+    lc = np.concatenate([
+        rng.normal(10.0, 2.0, (max(nl // 2, 1), 2)),
+        rng.uniform(-200, 1200, (nl - max(nl // 2, 1) + 1, 2))])
+    if excl:
+        lc[:2] = rc[:2]          # coincident probes
+    maxd = float(rng.uniform(0.5, 500.0)) if seed % 2 else None
+    grid = _point_grid_build(rc)
+    li, ri, dm = _point_grid_nearest(lc, grid, maxd, excl)
+    ok = np.isfinite(dm)
+    if maxd is not None:
+        ok &= dm <= maxd
+    got = set(zip(li[ok].tolist(), ri[ok].tolist()))
+    d2 = ((lc[:, None, 0] - rc[None, :, 0]) ** 2 +
+          (lc[:, None, 1] - rc[None, :, 1]) ** 2)
+    if excl:
+        d2[d2 == 0.0] = np.inf
+    dm2 = d2.min(axis=1)
+    okb = np.isfinite(dm2)
+    if maxd is not None:
+        okb &= np.sqrt(dm2) <= maxd
+    tr, tc = np.nonzero((d2 == dm2[:, None]) & okb[:, None])
+    want = set(zip(tr.tolist(), tc.tolist()))
+    assert got == want
+    dmap = dict(zip(zip(li.tolist(), ri.tolist()), dm.tolist()))
+    for a, b2 in want:
+        assert dmap[(a, b2)] == np.sqrt(dm2[a])

@@ -23,7 +23,42 @@ SKIP = {"rt_geoparquet", "rt_shapefile", "rt_gpkg", "rt_geojsonseq",
         "rt_feather", "rt_kml", "rt_gml", "rt_fgb", "read_pushdown",
         "list_layers", "stream_sjoin", "stream_window_union",
         "stream_stream_join", "sjoin_nearest_xr", "dedup_components",
-        "multimodal_ops", "codec_roundtrip"}
+        "multimodal_ops", "codec_roundtrip", "fgb_bbox_paths"}
+
+# measured facts from the dedicated scale-tier runs (kept here so
+# regeneration preserves the narrative alongside the table)
+SCALE_NOTES = """
+## Scale-tier audit (round 5)
+
+Measured on the 100x tier (1.5M customers, 100x-duplicated dims,
+local[32]) — the r4 VERDICT's two scale findings and item #8:
+
+- **Duplicate-dim fan-out was the dominant factor, not cell sizing.**
+  The x100 scale-up replicates every dim row ~100x with IDENTICAL
+  geometry, so sjoin/sjoin_nearest candidate and refine work multiplied
+  100x for byte-identical inputs. All three join paths now dedupe the
+  right side (broadcast: probe-set dedup on WKB bytes + join-attr key;
+  grid: free approx_count_distinct probe in the stats job, dedupe
+  before cell explosion, native WKB-equi-join fan-out; nearest
+  broadcast: unique-location grid + location-id pairs). Measured
+  candidate-pair multiplication factor at 100x: ~100 -> ~1
+  (sjoin_grid 3.9 -> 1.55 s warm, sjoin_nearest 102.5 (r4) -> 4.6 s
+  cold / 1.9 s warm; output rows unchanged at 153M — ties fan out in
+  the JVM broadcast join).
+- **Grid cell sizing checked against 100x density**: the sampled
+  cost-model pick (cells per geometry ~1-4, candidate multiplication
+  ~2.6 pairs per output match on the deduped side) stays on the flat
+  part of the dup-vs-candidates curve; no sizing change needed.
+- **sjoin_nearest broadcast point path** is no longer |L|x|R|: exact
+  cell-grid ring search (anisotropy-capped cells, clamped-probe lower
+  bound); 1.5M x 100k points = 6.4 s single-threaded vs the r4
+  distance matrix's 102.5 s distributed.
+- **dissolve at scale**: phase-1 fan-out for thin scans (3 parquet
+  splits -> 32 tasks), phase-2 partials pre-partitioned wider than
+  #cores so ~25 keys don't collide onto shared tasks, plus the r5
+  sweep vectorization (presorted event stream, integer-id tracer,
+  range-query nesting): 600k-box stress dissolve 15.6 -> 7.6 s warm.
+"""
 
 
 def main():
@@ -84,6 +119,7 @@ def main():
             "scale paths are the LSH/IVF bucket joins)."]
     if errors:
         out += ["", "Errors:"] + errors
+    out.append(SCALE_NOTES)
     text = "\n".join(out) + "\n"
     with open(os.path.join(REPO, "PLAN_AUDIT.md"), "w") as f:
         f.write(text)
