@@ -575,6 +575,49 @@ FROM customer
 """
 
 
+def q_union_mixed(spark, sf_dir):
+    """Mixed-dimension union_all (engine r5; reference unary_union over
+    mixed input, base.py:2500): per nation a w x h box, a line entering
+    the box and jutting L past its right edge, a covered point and a
+    free point — union = GC(box, jutting line piece, free point), so
+    area/residual-length/point-count are closed-form."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h, L = k % 4 + 3, k % 3 + 2, k % 5 + 1
+    poly = st.geom_from_text(F.concat(
+        F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "), w, F.lit(" "), h,
+        F.lit(", 0 "), h, F.lit(", 0 0))")))
+    line = st.geom_from_text(F.concat(
+        F.lit("LINESTRING ("), w - 2, F.lit(" 1, "), w + L, F.lit(" 1)")))
+    pin = st.geom_from_text(F.lit("POINT (1 1)"))
+    pout = st.geom_from_text(F.concat(F.lit("POINT ("), w + 5,
+                                      F.lit(" 50)")))
+    rows = (n.select(k.alias("nk"), poly.alias("geom"))
+            .unionByName(n.select(k.alias("nk"), line.alias("geom")))
+            .unionByName(n.select(k.alias("nk"), pin.alias("geom")))
+            .unionByName(n.select(k.alias("nk"), pout.alias("geom"))))
+    u = rows.groupBy("nk").agg(st.union_agg("geom").alias("u"))
+    return u.select(
+        F.col("nk").alias("nationkey"),
+        st.geometry_type("u").alias("gtype"),
+        F.round(st.area("u"), 6).alias("u_area"),
+        F.round(st.length(st.collection_extract("u", "line")), 6)
+         .alias("line_len"),
+        st.ngeometries(st.collection_extract("u", "point"))
+          .alias("n_pts"))
+
+
+SQL_UNION_MIXED = """
+SELECT n_nationkey AS nationkey,
+       'GeometryCollection' AS gtype,
+       ROUND(CAST((n_nationkey % 4 + 3) * (n_nationkey % 3 + 2)
+             AS DOUBLE), 6) AS u_area,
+       ROUND(CAST(n_nationkey % 5 + 1 AS DOUBLE), 6) AS line_len,
+       CAST(1 AS BIGINT) AS n_pts
+FROM nation
+"""
+
+
 def q_union_lines(spark, sf_dir):
     """Lineal union (engine r5: union_all over overlapping lines —
     reference base.py:2500-2553, GEOS unary_union on lineal input).
@@ -4315,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve": q_dissolve,
         "union_boxes": q_union_boxes,
         "union_lines": q_union_lines,
+        "union_mixed": q_union_mixed,
         "gc_setops": q_gc_setops,
         "to_crs_epsg_table": q_to_crs_epsg_table,
         "fgb_bbox_paths": q_fgb_bbox_paths,
@@ -4456,6 +4500,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve": SQL_DISSOLVE,
         "union_boxes": SQL_UNION_BOXES,
         "union_lines": SQL_UNION_LINES,
+        "union_mixed": SQL_UNION_MIXED,
         "gc_setops": SQL_GC_SETOPS,
         "to_crs_epsg_table": SQL_TO_CRS_EPSG_TABLE,
         "fgb_bbox_paths": SQL_FGB_BBOX_PATHS,

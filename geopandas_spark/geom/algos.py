@@ -3333,6 +3333,20 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
     if not singles:
         b.append_null()
         return b.finish()
+    if GT_GEOMETRYCOLLECTION in singles or len(singles) > 1:
+        # mixed dimension classes / GC rows (reference unary_union over
+        # mixed input, base.py:2500): decompose every row by dimension
+        # class and merge with the standard OverlayNG normalization —
+        # polygonal union, lineal union reduced by the polygonal region,
+        # points deduped and dropped where covered
+        empty = ga.is_empty()
+        rows = []
+        for i in range(len(ga)):
+            if int(ga.types[i]) == GT_MISSING or empty[i]:
+                continue
+            rows.extend(_gc_typed_rows(ga, i))
+        _append_combined_setop(b, rows)
+        return b.finish()
     if singles == {GT_POINT}:
         # dedupe via lexsort (np.unique(axis=0)'s void-view sort is ~10x
         # slower on large coord blocks)

@@ -394,6 +394,22 @@ class TestConstructive:
         u2 = algos.union(gc, gc2)
         assert algos.area(u2)[0] == 16.0 + 16.0 - 4.0
 
+    def test_union_all_mixed_types(self):
+        """Mixed-dimension union_all (reference unary_union): polygons
+        union, line residue outside them survives, covered points drop,
+        GC rows decompose."""
+        g = ga_from_wkt(
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "LINESTRING (2 2, 8 2)",
+            "POINT (6 6)", "POINT (2 2)",
+            "GEOMETRYCOLLECTION (POLYGON ((3 3, 6 3, 6 6, 3 6, 3 3)), "
+            "POINT (9 9))")
+        u = algos.union_all(g)
+        assert algos.area(u)[0] == 24.0
+        assert algos.length(algos.collection_extract(u, "line"))[0] == 4.0
+        assert algos.count_geometries(
+            algos.collection_extract(u, "point"))[0] == 1
+
     def test_union_all_line_grid(self):
         rows = [f"LINESTRING (0 {y}, 10 {y})" for y in (2, 5, 8)] + \
                [f"LINESTRING ({x} 0, {x} 10)" for x in (2, 5, 8)]
