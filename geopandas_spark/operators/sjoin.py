@@ -382,7 +382,12 @@ def _ensure_parallelism(df, min_rows: int = 100_000):
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    return df.repartition(cores) if n < cores else df
+    # repartition only when the scan is genuinely thin: going from
+    # (say) 25 to 32 partitions buys +28% parallelism for a full extra
+    # shuffle — a bad trade (measured on the 100x point dissolve);
+    # 3 -> 32 is the case that matters (measured 14s of an 18.5s
+    # stress dissolve stuck on 3 phase-1 tasks)
+    return df.repartition(cores) if n < max(2, cores // 2) else df
 
 
 def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
