@@ -4588,8 +4588,9 @@ def is_valid_reason(ga: GeometryArray) -> list:
                     out.append("Ring Self-intersection")
                 else:
                     # distinguish an escaped hole (rings don't cross but
-                    # the hole lies outside) — GEOS's phrasing
-                    escaped = False
+                    # the hole lies outside) and nested holes — GEOS's
+                    # phrasings
+                    escaped = nested = False
                     for p in ga.geom_slices(i):
                         if len(p) <= 1:
                             continue
@@ -4610,7 +4611,16 @@ def is_valid_reason(ga: GeometryArray) -> list:
                                                   [shell])
                             if cls[0] == 0:
                                 escaped = True
+                        for j in range(1, len(p)):
+                            mj = (p[j][0] + p[j][1]) * 0.5
+                            for k2 in range(1, len(p)):
+                                if k2 != j and points_in_rings(
+                                        np.array([mj[0]]),
+                                        np.array([mj[1]]),
+                                        [p[k2]])[0] == 2:
+                                    nested = True
                     out.append("Hole lies outside shell" if escaped
+                               else "Holes are nested" if nested
                                else "Self-intersection")
             else:
                 out.append("Invalid Geometry")

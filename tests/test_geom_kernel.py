@@ -916,6 +916,13 @@ class TestRepairAndLinework:
         v = algos.is_valid(bad)
         assert not v[0] and v[1]
 
+    def test_is_valid_reason_nested_holes(self):
+        g = ga_from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                        "(2 2, 8 2, 8 8, 2 8, 2 2), "
+                        "(4 4, 6 4, 6 6, 4 6, 4 4))")
+        assert not algos.is_valid(g)[0]
+        assert algos.is_valid_reason(g) == ["Holes are nested"]
+
     def test_is_valid_reason(self):
         ga = ga_from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",
                          "POINT (1 1)", None)

@@ -680,7 +680,7 @@ def test_clip_by_rect_matches_intersection(ra, x0, y0, w, h):
     assert abs(a1 - a2) < 1e-6 * max(a2, 1.0)
 
 
-@given(_star_polygon(holes=False), st_.floats(0.3, 1.5))
+@given(_star_polygon(holes=True), st_.floats(0.3, 1.5))
 @settings(max_examples=30, deadline=None)
 def test_erosion_dilation_sandwich(ra, d):
     """Morphology sandwich: dilate(erode(A, d), d) ⊆ A ⊆ erode(dilate(A,
