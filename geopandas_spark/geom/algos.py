@@ -1098,6 +1098,24 @@ def overlaps(ga, gb):
         ta, tb = int(a.types[i]), int(b.types[j])
         dim = {**{t: 0 for t in POINT_TYPES}, **{t: 1 for t in LINE_TYPES},
                **{t: 2 for t in POLYGON_TYPES}}
+        if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
+            # GEOS: a GC's dimension is its max child dimension; overlaps
+            # requires equal dims, so compare against the dominant class
+            def _gcdim(g, k):
+                t = int(g.types[k])
+                if t != GT_GEOMETRYCOLLECTION:
+                    return dim[t]
+                return max((dim[ct] for ct, _ in g.children_of(k)
+                            if ct in dim), default=0)
+            if _gcdim(a, i) != _gcdim(b, j):
+                return False
+            # resolve to the dominant-dimension parts and recurse
+            keep = {0: "point", 1: "line", 2: "polygon"}[_gcdim(a, i)]
+            ra = resolve_collections(a.take([i]), keep) \
+                if ta == GT_GEOMETRYCOLLECTION else a.take([i])
+            rb = resolve_collections(b.take([j]), keep) \
+                if tb == GT_GEOMETRYCOLLECTION else b.take([j])
+            return bool(overlaps(ra, rb)[0])
         if dim[ta] != dim[tb]:
             return False
         if not _pair_intersects(a, i, b, j):
