@@ -3106,14 +3106,27 @@ def get_coordinates(ga: GeometryArray):
 
 def collect(ga: GeometryArray, indices=None) -> tuple:
     """Gather all rows into one multi-geometry (reference:
-    tools/util.py:13-44 collect). Returns a 1-row GeometryArray.
-    Mixed single types must share a class; collections unsupported."""
+    tools/util.py:13-44 collect). Returns a 1-row GeometryArray; mixed
+    dimension classes (or GC rows) collect into a GEOMETRYCOLLECTION of
+    every single-geometry part, like GEOS GeometryCollect."""
     types = set(int(t) for t in np.unique(ga.types) if t != GT_MISSING)
     singles = {SINGLE_OF.get(t, t) for t in types}
-    if len(singles) > 1:
-        raise NotImplementedError(
-            f"collect over mixed geometry classes {singles} needs "
-            "GEOMETRYCOLLECTION support")
+    if len(singles) > 1 or GT_GEOMETRYCOLLECTION in singles:
+        b = GeometryBuilder()
+        children = []
+        for i in range(len(ga)):
+            t = int(ga.types[i])
+            if t == GT_MISSING:
+                continue
+            if t == GT_GEOMETRYCOLLECTION:
+                children.extend(ga.children_of(i))
+            else:
+                children.append((t, ga.geom_slices(i)))
+        if not children:
+            b.append_null()
+        else:
+            b.append_collection(children)
+        return b.finish()
     b = GeometryBuilder()
     if not singles:
         b.append_null()
@@ -3446,9 +3459,9 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
         return collect(ga)
     if singles == {GT_LINESTRING}:
         return _lineal_union(ga, idx)
-    if not singles <= {GT_POLYGON}:
-        raise NotImplementedError(
-            "union_all of mixed geometry types not yet supported")
+    # only the pure-polygon class reaches the component machinery below
+    # (points returned above; mixed/GC diverted to the combined merge)
+    assert singles <= {GT_POLYGON}, singles
 
     comps = {}
     for a in range(n):

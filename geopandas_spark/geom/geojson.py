@@ -15,7 +15,7 @@ import numpy as np
 
 from geopandas_spark.geom.array import (
     GT_MISSING, GT_POINT, GT_LINESTRING, GT_POLYGON, GT_MULTIPOINT,
-    GT_MULTILINESTRING, GT_MULTIPOLYGON,
+    GT_MULTILINESTRING, GT_MULTIPOLYGON, GT_GEOMETRYCOLLECTION,
     GeometryArray, GeometryBuilder,
 )
 
@@ -40,6 +40,13 @@ def format_one(ga: GeometryArray, i: int):
     t = int(ga.types[i])
     if t == GT_MISSING:
         return None
+    if t == GT_GEOMETRYCOLLECTION:
+        kids = []
+        for ct, cparts in ga.children_of(i):
+            cb = GeometryBuilder()
+            cb.append(ct, cparts)
+            kids.append(format_one(cb.finish(), 0))
+        return {"type": "GeometryCollection", "geometries": kids}
     parts = ga.geom_slices(i)
     name = _GJ_NAMES[t]
     if t == GT_POINT:
@@ -76,7 +83,27 @@ def _parse_obj(obj, b: GeometryBuilder):
     t = _GJ_TYPES.get(obj.get("type"))
     if t is None:
         if obj.get("type") == "GeometryCollection":
-            raise NotImplementedError("GeometryCollection not supported")
+            # children parse through a scratch builder and keep their
+            # (possibly Multi*) type — same GC layout as the WKT/WKB
+            # codecs; nested collections flatten one level (GEOS also
+            # normalizes nested GCs on most write paths)
+            children = []
+            for child in obj.get("geometries") or ():
+                cb = GeometryBuilder()
+                _parse_obj(child, cb)
+                row = cb.finish()
+                ct = int(row.types[0])
+                if ct == GT_MISSING:
+                    continue
+                if ct == GT_GEOMETRYCOLLECTION:
+                    children.extend(row.children_of(0))
+                    continue
+                children.append((ct, row.geom_slices(0)))
+            if children:
+                b.append_collection(children)
+            else:
+                b.append_empty(GT_GEOMETRYCOLLECTION)
+            return
         raise ValueError(f"unknown GeoJSON type {obj.get('type')!r}")
     c = obj.get("coordinates")
     if c is None or len(c) == 0:

@@ -1549,3 +1549,26 @@ def test_centroid_interpolate_empty_vs_missing():
         ["POINT EMPTY", "POINT (2 2)", "POINT EMPTY", None]
     assert wkt.format_array(algos.interpolate(ga, np.array([1.0] * 4))) == \
         ["POINT EMPTY", "POINT EMPTY", "POINT EMPTY", None]
+
+
+class TestMixedCollect:
+    def test_collect_mixed_types_gc(self):
+        """collect over mixed dimension classes → GEOMETRYCOLLECTION,
+        Multi children preserved (GEOS GeometryCollect; r5)."""
+        g = ga_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                        "LINESTRING (5 5, 6 6)", "POINT (9 9)", None,
+                        "MULTIPOINT ((1 8), (2 8))")
+        c = algos.collect(g)
+        assert wkt.format_array(c)[0] == (
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "LINESTRING (5 5, 6 6), POINT (9 9), "
+            "MULTIPOINT ((1 8), (2 8)))")
+
+    def test_geojson_gc_roundtrip(self):
+        from geopandas_spark.geom import geojson as gj
+        g = ga_from_wkt("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, "
+                        "0 2, 0 0)), MULTIPOINT ((1 8), (2 8)), "
+                        "POINT (9 9))")
+        s = gj.format_array(g)
+        back = gj.parse_array(s)
+        assert wkt.format_array(back) == wkt.format_array(g)
