@@ -890,6 +890,35 @@ def _trace_result(sorted_events, inside_fn):
         return []
     dfrm = np.where(fwd[sel], pe[sel], qe[sel])
     dto = np.where(fwd[sel], qe[sel], pe[sel])
+    # stitch split junctions: near-tangential crossings computed from
+    # different edge pairs can land the "same" junction up to ~1e-6
+    # apart (intersection error ~ eps/sin(crossing angle), far above the
+    # 1e-9 canon quantum) — the boundary chain then dangles and a whole
+    # result ring is discarded (fuzz-found: a band union filled its
+    # interior hole). Only DEGREE-UNBALANCED vertices are candidates, so
+    # genuine small features (balanced) are never merged.
+    co = np.bincount(dfrm, minlength=len(uv))
+    ci = np.bincount(dto, minlength=len(uv))
+    imb = np.nonzero(co != ci)[0]
+    if len(imb) > 1:
+        need_out = [v for v in imb if co[v] < ci[v]]
+        need_in = [v for v in imb if co[v] > ci[v]]
+        taken = set()
+        for v in need_out:
+            best = None
+            magv = max(abs(vx[v]), abs(vy[v]), 1.0)
+            for w in need_in:
+                if w in taken:
+                    continue
+                dd = (vx[v] - vx[w]) ** 2 + (vy[v] - vy[w]) ** 2
+                if dd < (1e-5 * magv) ** 2 and \
+                        (best is None or dd < best[0]):
+                    best = (dd, w)
+            if best is not None:
+                taken.add(best[1])
+                w = best[1]
+                dfrm[dfrm == w] = v
+                dto[dto == w] = v
     ang = np.arctan2(vy[dto] - vy[dfrm], vx[dto] - vx[dfrm])
     nd = len(dfrm)
     out_map = {}

@@ -583,7 +583,7 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     bw = F.col("__b__.xmax") - F.col("__b__.xmin")
     bh = F.col("__b__.ymax") - F.col("__b__.ymin")
     tl = (lb.select(F.lit(1).alias("__s__"), "__b__",
-                    F.col(gl).alias("__g__"))
+                    F.lit(None).cast("binary").alias("__g__"))
           .unionByName(rb.select(F.lit(0).alias("__s__"), "__b__",
                                  F.col(gr).alias("__g__")))
           .agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
