@@ -3270,9 +3270,10 @@ def _lineal_union(ga: GeometryArray, idx) -> GeometryArray:
     another line passes exactly through an interior VERTEX (GEOS splits
     there, we keep the chain — documented deviation, same point set).
 
-    Noding is the vectorized per-segment split against all others
-    (O(S^2) work, S = total segments) — fine for per-group dissolve
-    sizes; callers at scale pre-partition by key."""
+    Noding is the vectorized per-segment split against the x-window
+    bbox candidates (near-linear for locally-crossing networks;
+    worst-case O(S^2) when one segment spans everything); callers at
+    scale pre-partition by key."""
     seglists = []
     for i in idx:
         for p in ga.geom_slices(i):
@@ -3286,6 +3287,25 @@ def _lineal_union(ga: GeometryArray, idx) -> GeometryArray:
     all_segs = np.concatenate(seglists, axis=0)
     lens = np.array([len(s) for s in seglists])
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # x-window bbox prefilter for the noding: per segment, only edges
+    # whose bbox can overlap are tested (the naive np.delete + full-array
+    # split was O(S^2) copies — 8k segments took 3.1 s; local road
+    # networks node near-linearly with the window)
+    bx0 = np.minimum(all_segs[:, 0, 0], all_segs[:, 1, 0])
+    bx1 = np.maximum(all_segs[:, 0, 0], all_segs[:, 1, 0])
+    by0 = np.minimum(all_segs[:, 0, 1], all_segs[:, 1, 1])
+    by1 = np.maximum(all_segs[:, 0, 1], all_segs[:, 1, 1])
+    xorder = np.argsort(bx0, kind="stable")
+    sbx0 = bx0[xorder]
+    wmax = float((bx1 - bx0).max()) if len(bx0) else 0.0
+
+    def _others_for(gidx):
+        lo = np.searchsorted(sbx0, bx0[gidx] - wmax, "left")
+        hi = np.searchsorted(sbx0, bx1[gidx], "right")
+        cand = xorder[lo:hi]
+        m = ((bx1[cand] >= bx0[gidx]) & (by0[cand] <= by1[gidx]) &
+             (by1[cand] >= by0[gidx]) & (cand != gidx))
+        return all_segs[cand[m]]
 
     def canon(p):
         return (round(float(p[0]), 9), round(float(p[1]), 9))
@@ -3304,7 +3324,7 @@ def _lineal_union(ga: GeometryArray, idx) -> GeometryArray:
         flush()
         for k in range(len(segs)):
             gidx = starts[pi] + k
-            others = np.delete(all_segs, gidx, axis=0)
+            others = _others_for(gidx)
             p0, p1 = segs[k][0], segs[k][1]
             if len(others):
                 subs = _split_segment_by_edges(p0, p1,
