@@ -371,7 +371,11 @@ def _possible_intersection(se1, se2, queue) -> int:
                 area2 = abs(vx * (fp[1] - a[1]) - vy * (fp[0] - a[0]))
                 mag = max(abs(a[0]), abs(a[1]),
                           abs(fp[0]), abs(fp[1]), 1.0)
-                if 0.0 < area2 / ln < 1e-13 * mag:
+                # area2 == 0.0 included: a vertex EXACTLY on the line
+                # (it was computed as a crossing on this very line) with
+                # the parametric s an ulp outside [0,1] is the canonical
+                # miss; the 1e-9 progress bounds exclude endpoints
+                if area2 / ln < 1e-13 * mag:
                     t = ((fp[0] - a[0]) * vx + (fp[1] - a[1]) * vy) / lsq
                     if 1e-9 < t * ln and 1e-9 < (1.0 - t) * ln:
                         _divide_segment(sb, fp, queue)
