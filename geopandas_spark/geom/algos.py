@@ -1850,6 +1850,12 @@ def _erode_polygon(parts, d: float, nseg: int) -> list:
                 arc = vtx + abs(d) * np.column_stack(
                     [np.cos(angs), np.sin(angs)])
                 lw.append(GT_LINESTRING, [[arc]])
+    # the ORIGINAL boundary joins the arrangement: faces are then
+    # uniformly inside or outside A, so a chord-tolerance misclassified
+    # face can never leak area past ∂A (fuzz-found: a sliver face near a
+    # spiky hole straddled the boundary and the erosion poked outside A)
+    for r in rings:
+        lw.append(GT_LINESTRING, [[r]])
     faces = polygonize(lw.finish())
     if len(faces) == 0:
         return []
