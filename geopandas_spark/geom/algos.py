@@ -1792,8 +1792,10 @@ def _erode_polygon(parts, d: float, nseg: int) -> list:
     """Erosion A ⊖ d via the offset curve (the standard algorithm; GEOS
     buffers negatively the same way): shift every boundary edge distance
     d to the INTERIOR side, bridge reflex vertices with polygonized arcs,
-    node the offset linework, trace the arrangement faces, and keep the
-    region whose points are inside A at boundary distance >= d.
+    node the offset linework TOGETHER WITH the original boundary (so
+    every arrangement face is uniformly inside or outside A — r5
+    fuzz fix), trace the faces, and keep the region whose points are
+    inside A at boundary distance >= d.
 
     Face classification uses scanline interior points + exact
     point-to-segment distances — no tiny side probes, so dense chordal
