@@ -740,6 +740,24 @@ def union_many(polygons):
         _rings_to_events(rings, pid, initial)
     if not initial:
         return []
+    # collapse exactly-duplicated DIRECTED segments (stacked identical
+    # operands — fuzz find: a crossing edge becomes status-adjacent to
+    # only ONE of the twins, so the other never splits and the traced
+    # chains break, dropping the whole result). The winding probe
+    # counts orientation, so k identical copies and one copy classify
+    # every region identically; opposite-direction coincident edges
+    # (shell against reversed hole) keep both copies and still cancel.
+    seen_dir = set()
+    dedup = []
+    for k in range(0, len(initial), 2):
+        e1, e2 = initial[k], initial[k + 1]
+        key = (e1.point, e2.point)
+        if key in seen_dir:
+            continue
+        seen_dir.add(key)
+        dedup.append(e1)
+        dedup.append(e2)
+    initial = dedup
     queue = _EventStream(initial)
     all_rings = [_close(np.asarray(r, dtype=np.float64))
                  for poly in polygons for r in poly if len(r) >= 3]

@@ -697,11 +697,14 @@ def test_erosion_dilation_sandwich(ra, d):
     er = algos.buffer(A, np.array([-d]))
     if not er.is_empty()[0]:
         opened = algos.buffer(er, np.array([d]))
-        # opening is contained in A up to the polygonized-arc chord error
-        # (erosion uses inscribed chordal disks, so the eroded set is a
-        # hair too large; re-dilating can poke O(chord) slivers past A)
+        # opening is contained in A up to the polygonized-arc chord
+        # error: the dilation's vertex disks are deliberately
+        # CIRCUMSCRIBED (radius d/cos(pi/nseg), ~1.2e-3*d overshoot at
+        # quad_segs=16), so the leak budget scales with the opened
+        # PERIMETER, not just the area (fuzz-calibrated)
         extra = float(algos.area(algos.difference(opened, A))[0])
-        assert extra < 1e-3 * max(area_a, 1.0)
+        peri = float(algos.length(opened)[0])
+        assert extra < 2e-3 * d * max(peri, 1.0) + 1e-3 * max(area_a, 1.0)
     di = algos.buffer(A, np.array([d]))
     closed = algos.buffer(di, np.array([-d]))
     # closing contains A: A minus closing is (numerically) empty
