@@ -793,3 +793,70 @@ def test_grid_nearest_clustered_matches_brute_force(seed, nr, nl, excl):
     dmap = dict(zip(zip(li.tolist(), ri.tolist()), dm.tolist()))
     for a, b2 in want:
         assert dmap[(a, b2)] == np.sqrt(dm2[a])
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(2, 40))
+@settings(max_examples=40, deadline=None)
+def test_lineal_union_properties(seed, n):
+    """r5 lineal union (union_all over overlapping lines): length is
+    subadditive and bounded below by the longest input; idempotent on
+    its own output; invariant under row permutation."""
+    from geopandas_spark.geom.array import GT_LINESTRING, GeometryBuilder
+
+    rng = np.random.default_rng(seed)
+    b = GeometryBuilder()
+    rows = []
+    for _ in range(n):
+        x0, y0 = rng.integers(0, 40, 2).astype(float)
+        if rng.integers(0, 2):
+            seg = np.array([[x0, y0], [x0 + float(rng.integers(1, 15)), y0]])
+        else:
+            seg = np.array([[x0, y0], [x0, y0 + float(rng.integers(1, 15))]])
+        rows.append(seg)
+        b.append(GT_LINESTRING, [[seg]])
+    ga = b.finish()
+    u = algos.union_all(ga)
+    lu = float(algos.length(u)[0])
+    lsum = float(algos.length(ga).sum())
+    lmax = float(algos.length(ga).max())
+    assert lu <= lsum + 1e-9
+    assert lu >= lmax - 1e-9
+    # idempotence: union of the union's parts has the same length
+    parts, _par, _ = algos.get_parts(u)
+    if len(parts) > 1:
+        u2 = algos.union_all(parts)
+        assert abs(float(algos.length(u2)[0]) - lu) < 1e-9
+    # permutation invariance
+    perm = rng.permutation(n)
+    b2 = GeometryBuilder()
+    for i in perm:
+        b2.append(GT_LINESTRING, [[rows[i]]])
+    up = algos.union_all(b2.finish())
+    assert abs(float(algos.length(up)[0]) - lu) < 1e-9
+
+
+@given(_star_polygon(holes=False), _star_polygon(holes=False),
+       st_.integers(0, 3))
+@settings(max_examples=40, deadline=None)
+def test_gc_setop_identities(ra, rb, shift):
+    """r5 GC set ops: with A wrapped in a GEOMETRYCOLLECTION (plus a far
+    point child), the area algebra must match the plain-polygon ops:
+      area(GC(A) ∩ B) == area(A ∩ B)
+      area(GC(A) ∖ B) == area(A ∖ B)
+      area(GC(A) ∪ B) == area(A ∪ B)"""
+    from geopandas_spark.geom.array import (GT_POINT, GT_POLYGON,
+                                            GeometryBuilder)
+
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [ra])
+    b.append(GT_POLYGON, [[r + shift for r in rb]])
+    g = b.finish()
+    A, B = g.take([0]), g.take([1])
+    gb_ = GeometryBuilder()
+    gb_.append_collection([(GT_POLYGON, [ra]),
+                           (GT_POINT, [[np.array([[999.0, 999.0]])]])])
+    GA = gb_.finish()
+    for op in ("intersection", "difference", "union"):
+        plain = float(algos.area(getattr(algos, op)(A, B))[0])
+        gc = float(algos.area(getattr(algos, op)(GA, B))[0])
+        assert abs(plain - gc) < 1e-6 * max(plain, 1.0), (op, plain, gc)
