@@ -3517,14 +3517,33 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
         pairwise Morton-ordered merge tree below remains as the fallback
         for the rare degenerate sweeps union_many still rejects (empty
         result / internal ValueError); self-overlapping operands no
-        longer raise — the sweep resolves them with even-odd
-        semantics."""
+        longer raise — the sweep resolves them with even-odd semantics.
+        Known fallback envelope: stacked byte-identical members routed
+        through multi-level cascades can yield near-parallel boundary
+        fragments ~1e-7 apart, beyond the probe tracer's tolerance —
+        union_many dedupes identical directed segments up front and is
+        immune, so the fallback dedupes identical members before
+        merging too."""
         try:
             out = _mr.union_many([_oriented_rings(i) for i in members])
             if out:
                 return out
         except ValueError:
             pass
+        # byte-identical duplicate members contribute nothing to a
+        # union and are the main trigger of near-parallel cascade
+        # fragments the probe tracer can't separate — drop them first
+        seen_keys = set()
+        uniq_members = []
+        for i in members:
+            key = b"".join(r.tobytes() for r in _geom_rings_closed(ga, i))
+            if key in seen_keys:
+                continue
+            seen_keys.add(key)
+            uniq_members.append(i)
+        members = np.asarray(uniq_members)
+        if len(members) == 1:
+            return list(ga.geom_slices(int(members[0])))
         if len(members) > 2:
             cxs = (bb[members, 0] + bb[members, 2]) * 0.5
             cys = (bb[members, 1] + bb[members, 3]) * 0.5

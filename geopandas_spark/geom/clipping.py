@@ -890,57 +890,99 @@ def _trace_result(sorted_events, inside_fn):
     pe, qe = pe[ui], qe[ui]
     # ALL side probes in two batched passes — membership probing is
     # the dominant cost of the whole boolean op (measured 90%+), so
-    # it must never run one point × one ring at a time
-    mx = (vx[pe] + vx[qe]) * 0.5
-    my = (vy[pe] + vy[qe]) * 0.5
-    dx = vx[qe] - vx[pe]
-    dy = vy[qe] - vy[pe]
-    ln = np.sqrt(dx * dx + dy * dy)
-    ok = ln > 0.0
-    eps = 1e-9 * ln
-    with np.errstate(divide="ignore", invalid="ignore"):
-        nx = -dy / ln * eps
-        ny = dx / ln * eps
-    left_in = inside_fn(mx + nx, my + ny)
-    right_in = inside_fn(mx - nx, my - ny)
-    fwd = ok & left_in & ~right_in
-    rev = ok & right_in & ~left_in
-    # both-in (interior edge) or both-out (exterior edge): not a
-    # boundary of the result — dropped
-    sel = np.nonzero(fwd | rev)[0]
-    if not len(sel):
-        return []
-    dfrm = np.where(fwd[sel], pe[sel], qe[sel])
-    dto = np.where(fwd[sel], qe[sel], pe[sel])
-    # stitch split junctions: near-tangential crossings computed from
-    # different edge pairs can land the "same" junction up to ~1e-6
-    # apart (intersection error ~ eps/sin(crossing angle), far above the
-    # 1e-9 canon quantum) — the boundary chain then dangles and a whole
-    # result ring is discarded (fuzz-found: a band union filled its
-    # interior hole). Only DEGREE-UNBALANCED vertices are candidates, so
-    # genuine small features (balanced) are never merged.
-    co = np.bincount(dfrm, minlength=len(uv))
-    ci = np.bincount(dto, minlength=len(uv))
-    imb = np.nonzero(co != ci)[0]
-    if len(imb) > 1:
-        need_out = [v for v in imb if co[v] < ci[v]]
-        need_in = [v for v in imb if co[v] > ci[v]]
-        taken = set()
-        for v in need_out:
-            best = None
-            magv = max(abs(vx[v]), abs(vy[v]), 1.0)
-            for w in need_in:
-                if w in taken:
-                    continue
-                dd = (vx[v] - vx[w]) ** 2 + (vy[v] - vy[w]) ** 2
-                if dd < (1e-5 * magv) ** 2 and \
-                        (best is None or dd < best[0]):
-                    best = (dd, w)
-            if best is not None:
-                taken.add(best[1])
-                w = best[1]
-                dfrm[dfrm == w] = v
-                dto[dto == w] = v
+    # it must never run one point × one ring at a time. The probe →
+    # direct → stitch pipeline runs inside a REPAIR loop: surviving
+    # degree imbalance marks a chain break from a noding split the
+    # sweep's adjacency testing missed (cascade outputs place earlier
+    # crossing vertices exactly ON partner fragments); the repair
+    # splits any edge whose interior passes through an unbalanced
+    # vertex and re-probes the halves.
+    dfrm = dto = None
+    for _repair in range(4):
+        mx = (vx[pe] + vx[qe]) * 0.5
+        my = (vy[pe] + vy[qe]) * 0.5
+        dx = vx[qe] - vx[pe]
+        dy = vy[qe] - vy[pe]
+        ln = np.sqrt(dx * dx + dy * dy)
+        ok = ln > 0.0
+        eps = 1e-9 * ln
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nx = -dy / ln * eps
+            ny = dx / ln * eps
+        left_in = inside_fn(mx + nx, my + ny)
+        right_in = inside_fn(mx - nx, my - ny)
+        fwd = ok & left_in & ~right_in
+        rev = ok & right_in & ~left_in
+        # both-in (interior edge) or both-out (exterior edge): not a
+        # boundary of the result — dropped
+        sel = np.nonzero(fwd | rev)[0]
+        if not len(sel):
+            return []
+        dfrm = np.where(fwd[sel], pe[sel], qe[sel])
+        dto = np.where(fwd[sel], qe[sel], pe[sel])
+        # (A) stitch split junctions: near-tangential crossings computed
+        # from different edge pairs can land the "same" junction up to
+        # ~1e-6 apart (intersection error ~ eps/sin(crossing angle),
+        # far above the 1e-9 canon quantum) — the boundary chain then
+        # dangles and a whole result ring is discarded. DEGREE-
+        # UNBALANCED vertices with complementary deficits pair up
+        # within the junction radius; balanced vertices (genuine small
+        # features) are never merged.
+        co = np.bincount(dfrm, minlength=len(uv))
+        ci = np.bincount(dto, minlength=len(uv))
+        imb = np.nonzero(co != ci)[0]
+        if len(imb) > 1:
+            need_out = [v for v in imb if co[v] < ci[v]]
+            need_in = [v for v in imb if co[v] > ci[v]]
+            taken = set()
+            for v in need_out:
+                best = None
+                magv = max(abs(vx[v]), abs(vy[v]), 1.0)
+                for w in need_in:
+                    if w in taken:
+                        continue
+                    dd = (vx[v] - vx[w]) ** 2 + (vy[v] - vy[w]) ** 2
+                    if dd < (1e-5 * magv) ** 2 and \
+                            (best is None or dd < best[0]):
+                        best = (dd, w)
+                if best is not None:
+                    taken.add(best[1])
+                    w = best[1]
+                    dfrm[dfrm == w] = v
+                    dto[dto == w] = v
+        co = np.bincount(dfrm, minlength=len(uv))
+        ci = np.bincount(dto, minlength=len(uv))
+        imb2 = np.nonzero(co != ci)[0]
+        if not len(imb2):
+            break
+        changed = False
+        for v in imb2:
+            pxv, pyv = vx[v], vy[v]
+            w0 = pxv - vx[pe]
+            w1 = pyv - vy[pe]
+            ddx = vx[qe] - vx[pe]
+            ddy = vy[qe] - vy[pe]
+            L2 = ddx * ddx + ddy * ddy
+            tpar = (w0 * ddx + w1 * ddy) / np.where(L2 == 0.0, 1.0, L2)
+            cxr = w0 - tpar * ddx
+            cyr = w1 - tpar * ddy
+            d2v = cxr * cxr + cyr * cyr
+            lnv = np.sqrt(L2)
+            magv = max(abs(pxv), abs(pyv), 1.0)
+            hits = np.nonzero((d2v <= (1e-9 * magv) ** 2) &
+                              (tpar * lnv > 1e-9) &
+                              ((1.0 - tpar) * lnv > 1e-9))[0]
+            for h in hits:
+                pe = np.append(pe, v)
+                qe = np.append(qe, qe[h])
+                qe[h] = v
+                changed = True
+        if not changed:
+            break
+        lo = np.minimum(pe, qe)
+        hi = np.maximum(pe, qe)
+        _, ui = np.unique(lo * np.int64(len(uv)) + hi, return_index=True)
+        pe, qe = pe[ui], qe[ui]
     ang = np.arctan2(vy[dto] - vy[dfrm], vx[dto] - vx[dfrm])
     nd = len(dfrm)
     out_map = {}
