@@ -428,3 +428,61 @@ def test_sjoin_grid_matches_broadcast_all_predicates(spark):
             **kw).select("lid", "rid").collect()}
         assert a == b, (pred, len(a), len(b),
                         sorted(a - b)[:3], sorted(b - a)[:3])
+
+
+def test_sjoin_strategies_agree_with_duplicate_geoms(spark):
+    """r5 insurance for the duplicate-geometry dedup in both join
+    strategies: random points x boxes with heavy right-side geometry
+    duplication (the 100x scale-tier shape) must produce IDENTICAL
+    (pid, bid) pair sets and identical nearest (pid, sid, dist) sets
+    under broadcast and grid, and under the dedup-vs-not regimes."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pts_rows = [(int(i), float(x), float(y)) for i, (x, y) in
+                enumerate(rng.uniform(0, 100, (300, 2)).round(2))]
+    pts = (spark.createDataFrame(pts_rows, ["pid", "x", "y"])
+           .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+    # 12 unique boxes, each duplicated 5x with distinct ids
+    box_rows = []
+    bid = 0
+    for k in range(12):
+        x0, y0 = rng.uniform(0, 80, 2).round(1)
+        for _dup in range(5):
+            box_rows.append((bid, float(x0), float(y0)))
+            bid += 1
+    boxes_df = (spark.createDataFrame(box_rows, ["bid", "x0", "y0"])
+                .withColumn("geom", st.makebox(
+                    "x0", "y0", F.col("x0") + 15.0, F.col("y0") + 15.0))
+                .drop("x0", "y0"))
+    got = {}
+    for strategy in ("broadcast", "grid"):
+        out = sjoin(pts, boxes_df, predicate="intersects",
+                    strategy=strategy, grid_cells=8)
+        got[strategy] = {(r.pid, r.bid) for r in
+                         out.select("pid", "bid").collect()}
+    assert got["broadcast"] == got["grid"]
+    assert len(got["broadcast"]) > 0
+    # nearest: duplicated right points (5 copies per location)
+    sup_rows = []
+    sid = 0
+    for k in range(20):
+        x, y = rng.uniform(0, 100, 2).round(2)
+        for _dup in range(5):
+            sup_rows.append((sid, float(x), float(y)))
+            sid += 1
+    sup = (spark.createDataFrame(sup_rows, ["sid", "x", "y"])
+           .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+    near = {}
+    for strategy in ("broadcast", "grid"):
+        out = sjoin_nearest(pts, sup, strategy=strategy,
+                            distance_col="d")
+        near[strategy] = {(r.pid, r.sid, round(r.d, 9)) for r in
+                          out.select("pid", "sid", "d").collect()}
+    assert near["broadcast"] == near["grid"]
+    # every pid matched, and every tie location fans out to all 5 copies
+    pids = {p for p, _s, _d in near["broadcast"]}
+    assert pids == set(range(300))
+    from collections import Counter
+    per_pid = Counter(p for p, _s, _d in near["broadcast"])
+    assert min(per_pid.values()) >= 5
