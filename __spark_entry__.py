@@ -442,13 +442,18 @@ FROM nation
 
 
 _EPSG_TABLE_REGIONS = [
-    # (code, lon_base, lon_span, lat_base, lat_span, cm, anchor_e, anchor_n)
-    (4527, 115.5, 3.0, 30.0, 15.0, 117.0, 39500000.0, 0.0),
-    (4546, 109.5, 3.0, 20.0, 15.0, 111.0, 500000.0, 0.0),
-    (28407, 36.0, 6.0, 45.0, 15.0, 39.0, 0.0, 0.0),   # datum-shifted: rt only
-    (28354, 138.0, 6.0, -40.0, 18.0, 141.0, 500000.0, 10000000.0),
-    (7850, 114.0, 6.0, -36.0, 14.0, 117.0, 500000.0, 10000000.0),
-    (3006, 11.0, 8.0, 55.0, 13.0, 15.0, 500000.0, 0.0),
+    # (code, lon_base, lon_span, lat_base, lat_span,
+    #  anchor_lon, anchor_lat, anchor_e, anchor_n)
+    (4527, 115.5, 3.0, 30.0, 15.0, 117.0, 0.0, 39500000.0, 0.0),
+    (4546, 109.5, 3.0, 20.0, 15.0, 111.0, 0.0, 500000.0, 0.0),
+    # 28407 is datum-shifted: round-trip check only, no anchor
+    (28407, 36.0, 6.0, 45.0, 15.0, 39.0, 0.0, 0.0, 0.0),
+    (28354, 138.0, 6.0, -40.0, 18.0, 141.0, 0.0, 500000.0, 10000000.0),
+    (7850, 114.0, 6.0, -36.0, 14.0, 117.0, 0.0, 500000.0, 10000000.0),
+    (3006, 11.0, 8.0, 55.0, 13.0, 15.0, 0.0, 500000.0, 0.0),
+    # RGF93 / CC46 (r5 zone-arithmetic LCC range 3942-3950); the LCC
+    # false origin (lon0, lat0) -> (FE, FN) is exact in the 2SP form
+    (3946, 1.0, 4.5, 45.1, 1.8, 3.0, 46.0, 1700000.0, 5200000.0),
 ]
 
 
@@ -464,12 +469,12 @@ def q_to_crs_epsg_table(spark, sf_dir):
     checked by round trip only)."""
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
-    sel = (k % 6).cast("int")
+    sel = (k % 7).cast("int")
     u = (k % 90).cast("double") / F.lit(90.0)
     v = ((k * 11) % 90).cast("double") / F.lit(90.0)
     lon = F.lit(0.0)
     lat = F.lit(0.0)
-    for j, (code, lo0, spx, la0, spy, cm, ae_, an_) in \
+    for j, (code, lo0, spx, la0, spy, alon, alat, ae_, an_) in \
             enumerate(_EPSG_TABLE_REGIONS):
         lon = F.when(sel == j, F.lit(lo0) + u * F.lit(spx)).otherwise(lon)
         lat = F.when(sel == j, F.lit(la0) + v * F.lit(spy)).otherwise(lat)
@@ -477,13 +482,13 @@ def q_to_crs_epsg_table(spark, sf_dir):
     back = g
     ax = F.lit(0.0)
     ay = F.lit(0.0)
-    for j, (code, lo0, spx, la0, spy, cm, ae_, an_) in \
+    for j, (code, lo0, spx, la0, spy, alon, alat, ae_, an_) in \
             enumerate(_EPSG_TABLE_REGIONS):
         crs = f"EPSG:{code}"
         rt = st.to_crs(st.to_crs(g, "EPSG:4326", crs), crs, "EPSG:4326")
         back = F.when(sel == j, rt).otherwise(back)
         if ae_ or an_:
-            ap = st.to_crs(st.point(F.lit(cm), F.lit(0.0)),
+            ap = st.to_crs(st.point(F.lit(alon), F.lit(alat)),
                            "EPSG:4326", crs)
             ax = F.when(sel == j, st.x(ap)).otherwise(ax)
             ay = F.when(sel == j, st.y(ap)).otherwise(ay)
@@ -497,27 +502,31 @@ def q_to_crs_epsg_table(spark, sf_dir):
 
 SQL_TO_CRS_EPSG_TABLE = """
 SELECT c_custkey AS id,
-       ROUND(CASE c_custkey % 6
+       ROUND(CASE c_custkey % 7
          WHEN 0 THEN 115.5 + (c_custkey % 90) / 90.0 * 3.0
          WHEN 1 THEN 109.5 + (c_custkey % 90) / 90.0 * 3.0
          WHEN 2 THEN 36.0 + (c_custkey % 90) / 90.0 * 6.0
          WHEN 3 THEN 138.0 + (c_custkey % 90) / 90.0 * 6.0
          WHEN 4 THEN 114.0 + (c_custkey % 90) / 90.0 * 6.0
-         ELSE 11.0 + (c_custkey % 90) / 90.0 * 8.0 END, 5) AS rlon,
-       ROUND(CASE c_custkey % 6
+         WHEN 5 THEN 11.0 + (c_custkey % 90) / 90.0 * 8.0
+         ELSE 1.0 + (c_custkey % 90) / 90.0 * 4.5 END, 5) AS rlon,
+       ROUND(CASE c_custkey % 7
          WHEN 0 THEN 30.0 + (c_custkey * 11 % 90) / 90.0 * 15.0
          WHEN 1 THEN 20.0 + (c_custkey * 11 % 90) / 90.0 * 15.0
          WHEN 2 THEN 45.0 + (c_custkey * 11 % 90) / 90.0 * 15.0
          WHEN 3 THEN -40.0 + (c_custkey * 11 % 90) / 90.0 * 18.0
          WHEN 4 THEN -36.0 + (c_custkey * 11 % 90) / 90.0 * 14.0
-         ELSE 55.0 + (c_custkey * 11 % 90) / 90.0 * 13.0 END, 5) AS rlat,
-       ROUND(CASE c_custkey % 6
+         WHEN 5 THEN 55.0 + (c_custkey * 11 % 90) / 90.0 * 13.0
+         ELSE 45.1 + (c_custkey * 11 % 90) / 90.0 * 1.8 END, 5) AS rlat,
+       ROUND(CASE c_custkey % 7
          WHEN 0 THEN 39500000.0
          WHEN 2 THEN 0.0
+         WHEN 6 THEN 1700000.0
          ELSE 500000.0 END, 4) AS anchor_e,
-       ROUND(CASE c_custkey % 6
+       ROUND(CASE c_custkey % 7
          WHEN 3 THEN 10000000.0
          WHEN 4 THEN 10000000.0
+         WHEN 6 THEN 5200000.0
          ELSE 0.0 END, 4) AS anchor_n
 FROM customer
 """

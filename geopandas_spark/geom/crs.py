@@ -784,6 +784,14 @@ def _proj_def(crs: str):
         return ("tm", {"a": a_, "f": f_, "lon0": 15.0, "lat0": 0.0,
                        "k0": 0.9996, "fe": 500000.0, "fn": 0.0},
                 "GRS80", None)
+    if 3942 <= code <= 3950:        # RGF93 / CC42-CC50 conic zones
+        n = code - 3900              # zone latitude: 42..50
+        a_, f_ = _ELLPS["GRS80"]
+        return ("lcc", {"a": a_, "f": f_, "lon0": 3.0, "lat0": float(n),
+                        "sp1": n - 0.75, "sp2": n + 0.75,
+                        "fe": 1700000.0,
+                        "fn": (n - 42) * 1e6 + 1200000.0},
+                "GRS80", None)
     return None
 
 
