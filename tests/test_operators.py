@@ -486,3 +486,50 @@ def test_sjoin_strategies_agree_with_duplicate_geoms(spark):
     from collections import Counter
     per_pid = Counter(p for p, _s, _d in near["broadcast"])
     assert min(per_pid.values()) >= 5
+
+
+def test_dissolve_two_phase_polygon_union_matches(spark):
+    """r5 insurance for the dissolve phase changes: overlapping POLYGON
+    groups must produce identical union areas (exact) under the
+    single-phase plan, the two-phase plan, and union lengths for LINE
+    groups under both plans (lineal union associativity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(4):
+        for _ in range(40):
+            x0, y0 = rng.integers(0, 50, 2)
+            w, h = rng.integers(2, 12, 2)
+            rows.append((int(g), float(x0), float(y0),
+                         float(x0 + w), float(y0 + h)))
+    df = (spark.createDataFrame(rows, ["g", "x0", "y0", "x1", "y1"])
+          .withColumn("geom", st.makebox("x0", "y0", "x1", "y1"))
+          .drop("x0", "y0", "x1", "y1").repartition(6))
+    one = dissolve(df, "g", two_phase=False)
+    two = dissolve(df, "g", two_phase=True)
+    a1 = {r.g: r.a for r in
+          one.select("g", st.area("geom").alias("a")).collect()}
+    a2 = {r.g: r.a for r in
+          two.select("g", st.area("geom").alias("a")).collect()}
+    assert set(a1) == set(a2) == set(range(4))
+    for g in a1:
+        assert abs(a1[g] - a2[g]) < 1e-9 * max(a1[g], 1.0), (g, a1[g], a2[g])
+    # line groups: grid roads with collinear overlap
+    lrows = []
+    for g in range(3):
+        for k in range(25):
+            x0 = float(k % 5) * 2
+            y = float(k % 7)
+            lrows.append((int(g), f"LINESTRING ({x0} {y}, {x0 + 8} {y})"))
+    ldf = (spark.createDataFrame(lrows, ["g", "w"])
+           .withColumn("geom", st.geom_from_text("w")).drop("w")
+           .repartition(5))
+    lone = dissolve(ldf, "g", two_phase=False)
+    ltwo = dissolve(ldf, "g", two_phase=True)
+    l1 = {r.g: r.ln for r in
+          lone.select("g", st.length("geom").alias("ln")).collect()}
+    l2 = {r.g: r.ln for r in
+          ltwo.select("g", st.length("geom").alias("ln")).collect()}
+    for g in l1:
+        assert abs(l1[g] - l2[g]) < 1e-9, (g, l1[g], l2[g])
