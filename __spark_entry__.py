@@ -2740,6 +2740,47 @@ FROM customer
 """
 
 
+def q_m_coords(spark, sf_dir):
+    """M round trip: WKT M / ZM → kernel WKB (ISO +2000/+3000) →
+    accessors → WKT formatting. Covers m, has_m end-to-end with VALUES,
+    the way z_coords does for Z (reference base.py:843 m, :812 has_z
+    family; shapely 2.1 M support). VERDICT r5 item #6."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    px, py, pm, pz = k % 1000, k * 7 % 1000, k % 23, k % 17
+    gm = st.geom_from_text(F.concat(
+        F.lit("POINT M ("), px, F.lit(" "), py, F.lit(" "), pm, F.lit(")")))
+    gzm = st.geom_from_text(F.concat(
+        F.lit("POINT ZM ("), px, F.lit(" "), py, F.lit(" "), pz,
+        F.lit(" "), pm, F.lit(")")))
+    g2 = st.geom_from_text(F.concat(
+        F.lit("POINT ("), px, F.lit(" "), py, F.lit(")")))
+    return c.select(
+        k.alias("id"),
+        st.m(gm).alias("mv"),
+        st.has_m(gm).alias("hm"),
+        st.has_m(g2).alias("hm2"),
+        st.m(gzm).alias("mzm"),
+        st.z(gzm).alias("zzm"),
+        st.as_text(gm).alias("wktm"),
+        st.as_text(gzm).alias("wktzm"))
+
+
+SQL_M_COORDS = f"""
+SELECT c_custkey AS id,
+       CAST(c_custkey % 23 AS DOUBLE) AS mv,
+       TRUE AS hm,
+       FALSE AS hm2,
+       CAST(c_custkey % 23 AS DOUBLE) AS mzm,
+       CAST(c_custkey % 17 AS DOUBLE) AS zzm,
+       'POINT M (' || {PX} || ' ' || {PY} || ' ' || c_custkey % 23 || ')'
+           AS wktm,
+       'POINT ZM (' || {PX} || ' ' || {PY} || ' ' || c_custkey % 17 ||
+           ' ' || c_custkey % 23 || ')' AS wktzm
+FROM customer
+"""
+
+
 def q_affine3d(spark, sf_dir):
     """3-D affine parity: 12-tuple affine_transform matrix (reference
     base.py:5970 → shapely.affinity 3-D path), translate zoff and scale
@@ -4257,16 +4298,24 @@ FROM documents WHERE doc_id < 500
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver stamps the first 50 entries into
-    # CORRECTNESS_r{N}.json. Rounds 2+3 stamped 100 distinct queries; the
-    # round-4 window leads with (a) the 22 queries never driver-stamped in
-    # any round, (b) rotate_skew + transform_apply (r3-red from the signed
-    # zero artifact, now normalized — need a green re-stamp), then (c) the
-    # new round-4 queries. After r4, every registry query has a driver row
-    # across r2–r4. All queries run under tools/check_oracles.py
-    # regardless of position.
+    # ORDERING CONTRACT: the driver stamps only the FIRST 50 entries into
+    # CORRECTNESS_r{N}.json. Therefore every query that has never carried a
+    # green driver stamp — in particular, any query added this round — MUST
+    # be placed at the HEAD of this dict, before previously-stamped entries.
+    # (Round 5 violated this: its 5 new queries sat at positions ~85-110 and
+    # got no driver stamp; round 6 leads with them.) All queries run under
+    # tools/check_oracles.py regardless of position, but the driver stamp is
+    # the hard external signal.
     return {
-        # (a) never-stamped until now
+        # (a) round-5 queries never driver-stamped (VERDICT r5 item #1)
+        "union_lines": q_union_lines,
+        "union_mixed": q_union_mixed,
+        "gc_setops": q_gc_setops,
+        "to_crs_epsg_table": q_to_crs_epsg_table,
+        "fgb_bbox_paths": q_fgb_bbox_paths,
+        # (b) new round-6 queries (inserted as built, at the head)
+        "m_coords": q_m_coords,
+        # (c) previously-stamped green queries
         "concat_cx": q_concat_cx,
         "densify_distances": q_densify_distances,
         "jaccard": q_jaccard,
@@ -4366,11 +4415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
         "dissolve": q_dissolve,
         "union_boxes": q_union_boxes,
-        "union_lines": q_union_lines,
-        "union_mixed": q_union_mixed,
-        "gc_setops": q_gc_setops,
-        "to_crs_epsg_table": q_to_crs_epsg_table,
-        "fgb_bbox_paths": q_fgb_bbox_paths,
         "union_overlap": q_union_overlap,
         "setops": q_setops,
         "overlay_intersection": q_overlay_intersection,
@@ -4430,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "set_precision": SQL_SET_PRECISION,
         "voronoi": SQL_VORONOI,
         "z_coords": SQL_Z_COORDS,
+        "m_coords": SQL_M_COORDS,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
         "to_crs_bng": SQL_TO_CRS_BNG,

