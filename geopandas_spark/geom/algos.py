@@ -3448,6 +3448,7 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
 
     pairs = []
     PAIR_CAP = 500_000
+    row_cap = False
     if n > 1:
         ii = np.asarray(idx)
         order = np.argsort(bb[ii, 0], kind="stable")
@@ -3465,6 +3466,7 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
                 break
         if len(pairs) > PAIR_CAP:
             # dense regime: one global component (conservative, correct)
+            row_cap = True
             for a in range(1, n):
                 uf[a] = 0
             pairs = [(0, 1)] if n > 1 else []
@@ -3477,8 +3479,14 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
             # 29k exact tests ≈ +6 s vs ~0 saved) — bbox components are
             # conservative but correct.
             if len(pairs) <= 2_000:
+                # per-pair exact test cost scales with the coord-count
+                # product; two multi-hundred-part MultiPolygon rows per
+                # pair (dissolve partials) took minutes for ~500 pairs —
+                # heavy pairs stay conservatively joined instead
+                cpg = ga.coords_per_geom()
                 pairs = [(a, c) for a, c in pairs
-                         if _pair_intersects(ga, idx[a], ga, idx[c])]
+                         if cpg[idx[a]] * cpg[idx[c]] > 250_000
+                         or _pair_intersects(ga, idx[a], ga, idx[c])]
             for a, c in pairs:
                 ra, rc = find(a), find(c)
                 if ra != rc:
@@ -3491,74 +3499,139 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
     # (points returned above; mixed/GC diverted to the combined merge)
     assert singles <= {GT_POLYGON}, singles
 
-    comps = {}
+    # ---- part-level component analysis ----
+    # Rows touched by a row-level bbox pair are decomposed into their
+    # polygon PARTS and the union-find reruns at part granularity. The
+    # motivating shape is the dissolve merge phase: each input row is a
+    # several-hundred-part MultiPolygon partial whose parts only overlap
+    # other partials near partition seams — row granularity fused entire
+    # partials into one sweep (every part re-noded), part granularity
+    # passes the disjoint bulk through untouched and sweeps only the
+    # seam parts. Union semantics are unchanged (union of parts = union
+    # of rows); parts of a self-overlapping row resolve against each
+    # other, matching GEOS unary_union.
+    if row_cap:
+        involved = np.ones(n, dtype=bool)
+    else:
+        involved = np.zeros(n, dtype=bool)
+        for a, c in pairs:
+            involved[a] = involved[c] = True
+    parts = []      # oriented closed ring-lists, one per involved part
+    prow_of = []    # originating row position (ascending)
+    pb_list = []
     for a in range(n):
-        comps.setdefault(find(a), []).append(idx[a])
-
-    def _oriented_rings(i):
-        """Row i's rings, closed, shells CCW / holes CW (the winding
-        probe in union_many relies on orientation)."""
-        rings = []
-        for part in ga.geom_slices(i):
+        if not involved[a]:
+            continue
+        for part in ga.geom_slices(idx[a]):
+            rings = []
             for j, r in enumerate(part):
                 r = _mr._close(r)
                 if len(r) < 4:
                     continue
-                a = _mr._ring_signed_area(r)
-                if (a > 0) != (j == 0) and a != 0:
+                sa = _mr._ring_signed_area(r)
+                if (sa > 0) != (j == 0) and sa != 0:
                     r = r[::-1]
                 rings.append(r)
-        return rings
+            if not rings:
+                continue
+            parts.append(rings)
+            prow_of.append(a)
+            pb_list.append((min(r[:, 0].min() for r in rings),
+                            min(r[:, 1].min() for r in rings),
+                            max(r[:, 0].max() for r in rings),
+                            max(r[:, 1].max() for r in rings)))
+    m = len(parts)
+    pb = np.asarray(pb_list, dtype=np.float64).reshape(m, 4)
+    pcomps = {}
+    multipart = m and bool(
+        (ga.parts_per_geom()[np.asarray(idx)[involved]] > 1).any())
+    if not multipart:
+        # every involved row is a single polygon: parts ↔ rows 1:1, so the
+        # row-level union-find already IS the part component structure —
+        # skip the redundant second bbox sweep (the dissolve merge phase
+        # explodes partials with get_parts before union_all, landing here)
+        for p in range(m):
+            pcomps.setdefault(find(prow_of[p]), []).append(p)
+    else:
+        puf = list(range(m))
 
-    def _merge_component(members):
-        """One-sweep N-way union (Martinez–Rueda noding + winding probe,
-        clipping.union_many) — O((E+I) log E) for the whole component
-        instead of the pairwise tree's O(levels × E) re-sweeps. The
-        pairwise Morton-ordered merge tree below remains as the fallback
-        for the rare degenerate sweeps union_many still rejects (empty
-        result / internal ValueError); self-overlapping operands no
-        longer raise — the sweep resolves them with even-odd semantics.
-        Known fallback envelope: stacked byte-identical members routed
-        through multi-level cascades can yield near-parallel boundary
-        fragments ~1e-7 apart, beyond the probe tracer's tolerance —
-        union_many dedupes identical directed segments up front and is
-        immune, so the fallback dedupes identical members before
-        merging too."""
+        def pfind(a):
+            root = a
+            while puf[root] != root:
+                root = puf[root]
+            while puf[a] != root:
+                puf[a], a = root, puf[a]
+            return root
+
+        porder = np.argsort(pb[:, 0], kind="stable")
+        px0, px1 = pb[porder, 0], pb[porder, 2]
+        py0, py1 = pb[porder, 1], pb[porder, 3]
+        npairs = 0
+        for a in range(m):
+            hi = np.searchsorted(px0, px1[a], side="right")
+            if hi <= a + 1:
+                continue
+            cand = np.nonzero((py0[a + 1:hi] <= py1[a]) &
+                              (py1[a + 1:hi] >= py0[a]))[0]
+            for c in cand:
+                ra, rc = pfind(int(porder[a])), pfind(int(porder[a + 1 + c]))
+                if ra != rc:
+                    puf[rc] = ra
+            npairs += len(cand)
+            if npairs > PAIR_CAP:
+                for k in range(1, m):
+                    puf[k] = 0
+                break
+        for p in range(m):
+            pcomps.setdefault(pfind(p), []).append(p)
+    single_parts = {v[0] for v in pcomps.values() if len(v) == 1}
+    multi_comps = sorted((v for v in pcomps.values() if len(v) > 1),
+                         key=lambda v: min(v))
+
+    def _merge_parts(comp):
+        """One-sweep N-way union of a part component (Martinez–Rueda
+        noding + winding probe, clipping.union_many) — O((E+I) log E)
+        for the whole component instead of the pairwise tree's
+        O(tree-levels × E) re-sweeps. The pairwise Morton-ordered merge
+        tree remains as the fallback for the rare degenerate sweeps
+        union_many still rejects (empty result / internal ValueError).
+        Byte-identical duplicate parts contribute nothing to a union and
+        are the main trigger of near-parallel cascade fragments the probe
+        tracer can't separate — the fallback drops them first (union_many
+        itself dedupes identical directed segments up front and is
+        immune)."""
         try:
-            out = _mr.union_many([_oriented_rings(i) for i in members])
+            out = _mr.union_many([parts[p] for p in comp])
             if out:
                 return out
         except ValueError:
             pass
-        # byte-identical duplicate members contribute nothing to a
-        # union and are the main trigger of near-parallel cascade
-        # fragments the probe tracer can't separate — drop them first
         seen_keys = set()
-        uniq_members = []
-        for i in members:
-            key = b"".join(r.tobytes() for r in _geom_rings_closed(ga, i))
+        uniq = []
+        for p in comp:
+            key = b"".join(r.tobytes() for r in parts[p])
             if key in seen_keys:
                 continue
             seen_keys.add(key)
-            uniq_members.append(i)
-        members = np.asarray(uniq_members)
-        if len(members) == 1:
-            return list(ga.geom_slices(int(members[0])))
-        if len(members) > 2:
-            cxs = (bb[members, 0] + bb[members, 2]) * 0.5
-            cys = (bb[members, 1] + bb[members, 3]) * 0.5
+            uniq.append(p)
+        if len(uniq) == 1:
+            return [parts[uniq[0]]]
+        if len(uniq) > 2:
+            ua = np.asarray(uniq)
+            cxs = (pb[ua, 0] + pb[ua, 2]) * 0.5
+            cys = (pb[ua, 1] + pb[ua, 3]) * 0.5
             qx = np.clip(((cxs - cxs.min()) /
                           max(cxs.max() - cxs.min(), 1e-300) *
                           65535).astype(np.int64), 0, 65535)
             qy = np.clip(((cys - cys.min()) /
                           max(cys.max() - cys.min(), 1e-300) *
                           65535).astype(np.int64), 0, 65535)
-            code = np.zeros(len(members), dtype=np.int64)
+            code = np.zeros(len(ua), dtype=np.int64)
             for bit in range(16):
                 code |= ((qx >> bit) & 1) << (2 * bit)
                 code |= ((qy >> bit) & 1) << (2 * bit + 1)
-            members = [members[k] for k in np.argsort(code, kind="stable")]
-        items = [_geom_rings_closed(ga, i) for i in members]
+            uniq = [uniq[k] for k in np.argsort(code, kind="stable")]
+        items = [parts[p] for p in uniq]
         while len(items) > 1:
             nxt = []
             for k in range(0, len(items) - 1, 2):
@@ -3569,13 +3642,41 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
             items = nxt
         return _mr.assemble_rings(items[0])
 
+    # ONE global sweep across every interacting part component:
+    # components are mutually disjoint, so union_many resolves them all
+    # in a single noding pass. The per-call setup (event stream, segment
+    # index, trace, winding probe) dominated the former per-component
+    # loop on sparse many-component inputs — 24k stress boxes form ~10k
+    # 2-3-member components, and 10k× setup was ~90% of a 9.3 s union.
+    # Degenerate sweeps fall back to the per-component path (which
+    # itself falls back to the pairwise merge tree).
+    merged = None
+    if multi_comps:
+        if len(multi_comps) > 1:
+            try:
+                merged = _mr.union_many(
+                    [parts[p] for comp in multi_comps for p in comp])
+            except ValueError:
+                merged = None
+            if not merged:
+                merged = None
+        if merged is None:
+            merged = []
+            for comp in multi_comps:
+                merged.extend(_merge_parts(comp))
+
     all_polys = []
-    for root in sorted(comps, key=lambda r: min(comps[r])):
-        members = comps[root]
-        if len(members) == 1:
-            all_polys.extend(ga.geom_slices(members[0]))
-        else:
-            all_polys.extend(_merge_component(np.asarray(members)))
+    pi = 0
+    for a in range(n):
+        if not involved[a]:
+            all_polys.extend(ga.geom_slices(idx[a]))
+            continue
+        while pi < m and prow_of[pi] == a:
+            if pi in single_parts:
+                all_polys.append(parts[pi])
+            pi += 1
+    if merged:
+        all_polys.extend(merged)
     _append_polys(b, all_polys)
     return b.finish()
 
