@@ -532,6 +532,93 @@ FROM customer
 """
 
 
+_EPSG_JP_SPCS_REGIONS = [
+    # (code, lon_base, lon_span, lat_base, lat_span,
+    #  anchor_lon, anchor_lat, anchor_e, anchor_n)
+    (6677, 139.0, 1.6, 35.0, 2.0, 139.0 + 50.0 / 60, 36.0, 0.0, 0.0),
+    (6673, 133.6, 1.5, 34.2, 1.6, 134.0 + 20.0 / 60, 36.0, 0.0, 0.0),
+    (6687, 153.5, 1.0, 24.0, 3.0, 154.0, 26.0, 0.0, 0.0),
+    (2444, 130.2, 1.6, 32.0, 2.0, 131.0, 33.0, 0.0, 0.0),
+    (26930, -88.5, 2.0, 30.0, 3.5, -87.5, 30.0, 600000.0, 0.0),
+    (26948, -111.0, 1.5, 31.0, 4.0, -(110.0 + 10.0 / 60), 31.0,
+     213360.0, 0.0),
+    (26973, -86.5, 1.6, 37.5, 3.5, -(85.0 + 40.0 / 60), 37.5,
+     100000.0, 250000.0),
+]
+
+
+def q_to_crs_jp_spcs(spark, sf_dir):
+    """to_crs through the r6 data-table codes (geom/crs.py _JPRCS /
+    _SPCS_TM): Japan Plane Rectangular CS zones V/IX/XIX on both JGD
+    datums (EPSG 2444, 6673, 6677, 6687) and the NAD83 State Plane TM
+    zones AL-W / AZ-E / IN-E (26930, 26948, 26973 — nonzero FN and the
+    international-foot 213360 m FE). Oracle = round-trip identity over
+    each code's home region plus the projection-origin anchor
+    ((lon0, lat0) -> (FE, FN), exact in the TM closed form; the JP zones
+    have FE = FN = 0, so the anchor also pins the origin mapping).
+    Anchors are always COMPUTED through to_crs (never constant-folded on
+    the Spark side), and +0.0 normalizes any signed zero."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    sel = (k % 7).cast("int")
+    u = (k % 90).cast("double") / F.lit(90.0)
+    v = ((k * 11) % 90).cast("double") / F.lit(90.0)
+    lon = F.lit(0.0)
+    lat = F.lit(0.0)
+    for j, (code, lo0, spx, la0, spy, *_a) in \
+            enumerate(_EPSG_JP_SPCS_REGIONS):
+        lon = F.when(sel == j, F.lit(lo0) + u * F.lit(spx)).otherwise(lon)
+        lat = F.when(sel == j, F.lit(la0) + v * F.lit(spy)).otherwise(lat)
+    g = st.point(lon, lat)
+    back = g
+    ax = F.lit(0.0)
+    ay = F.lit(0.0)
+    for j, (code, lo0, spx, la0, spy, alon, alat, ae_, an_) in \
+            enumerate(_EPSG_JP_SPCS_REGIONS):
+        crs = f"EPSG:{code}"
+        rt = st.to_crs(st.to_crs(g, "EPSG:4326", crs), crs, "EPSG:4326")
+        back = F.when(sel == j, rt).otherwise(back)
+        ap = st.to_crs(st.point(F.lit(alon), F.lit(alat)), "EPSG:4326", crs)
+        ax = F.when(sel == j, st.x(ap)).otherwise(ax)
+        ay = F.when(sel == j, st.y(ap)).otherwise(ay)
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"),
+        (F.round(ax, 4) + F.lit(0.0)).alias("anchor_e"),
+        (F.round(ay, 4) + F.lit(0.0)).alias("anchor_n"))
+
+
+SQL_TO_CRS_JP_SPCS = """
+SELECT c_custkey AS id,
+       ROUND(CASE c_custkey % 7
+         WHEN 0 THEN 139.0 + (c_custkey % 90) / 90.0 * 1.6
+         WHEN 1 THEN 133.6 + (c_custkey % 90) / 90.0 * 1.5
+         WHEN 2 THEN 153.5 + (c_custkey % 90) / 90.0 * 1.0
+         WHEN 3 THEN 130.2 + (c_custkey % 90) / 90.0 * 1.6
+         WHEN 4 THEN -88.5 + (c_custkey % 90) / 90.0 * 2.0
+         WHEN 5 THEN -111.0 + (c_custkey % 90) / 90.0 * 1.5
+         ELSE -86.5 + (c_custkey % 90) / 90.0 * 1.6 END, 5) AS rlon,
+       ROUND(CASE c_custkey % 7
+         WHEN 0 THEN 35.0 + (c_custkey * 11 % 90) / 90.0 * 2.0
+         WHEN 1 THEN 34.2 + (c_custkey * 11 % 90) / 90.0 * 1.6
+         WHEN 2 THEN 24.0 + (c_custkey * 11 % 90) / 90.0 * 3.0
+         WHEN 3 THEN 32.0 + (c_custkey * 11 % 90) / 90.0 * 2.0
+         WHEN 4 THEN 30.0 + (c_custkey * 11 % 90) / 90.0 * 3.5
+         WHEN 5 THEN 31.0 + (c_custkey * 11 % 90) / 90.0 * 4.0
+         ELSE 37.5 + (c_custkey * 11 % 90) / 90.0 * 3.5 END, 5) AS rlat,
+       ROUND(CASE c_custkey % 7
+         WHEN 4 THEN 600000.0
+         WHEN 5 THEN 213360.0
+         WHEN 6 THEN 100000.0
+         ELSE 0.0 END, 4) AS anchor_e,
+       ROUND(CASE c_custkey % 7
+         WHEN 6 THEN 250000.0
+         ELSE 0.0 END, 4) AS anchor_n
+FROM customer
+"""
+
+
 def q_gc_setops(spark, sf_dir):
     """Set ops with GEOMETRYCOLLECTION operands (engine r5; reference
     base.py:4762, GEOS OverlayNG GC input). Per customer:
@@ -4315,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_bbox_paths": q_fgb_bbox_paths,
         # (b) new round-6 queries (inserted as built, at the head)
         "m_coords": q_m_coords,
+        "to_crs_jp_spcs": q_to_crs_jp_spcs,
         # (c) previously-stamped green queries
         "concat_cx": q_concat_cx,
         "densify_distances": q_densify_distances,
@@ -4475,6 +4563,7 @@ def oracle_sql() -> dict[str, str]:
         "voronoi": SQL_VORONOI,
         "z_coords": SQL_Z_COORDS,
         "m_coords": SQL_M_COORDS,
+        "to_crs_jp_spcs": SQL_TO_CRS_JP_SPCS,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
         "to_crs_bng": SQL_TO_CRS_BNG,

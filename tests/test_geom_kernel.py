@@ -1483,6 +1483,43 @@ def test_crs_mercator_and_laea():
         assert np.abs(back - a).max() < 1e-7, code
 
 
+def test_crs_jp_zones_and_spcs_tm():
+    """Round-6 data-table codes (crs._JPRCS / crs._SPCS_TM): Japan Plane
+    Rectangular CS zones I-XIX on JGD2000 (2443-2461) and JGD2011
+    (6669-6687), and the NAD83 State Plane TM metre zones. Anchors: each
+    projection origin maps exactly to (FE, FN) (TM closed form); both JGD
+    datums agree bit-for-bit (identical defining params); Tokyo Station
+    lands in zone IX's published ~(-6.0 km, -35.4 km) window; round
+    trips close below 1e-7 deg."""
+    import numpy as np
+
+    from geopandas_spark.geom import crs
+
+    # every JP zone: origin -> (0, 0) exactly, on both datum code ranges
+    for z, (lat0, lon0) in enumerate(crs._JPRCS):
+        for base in (2443, 6669):
+            out = crs.transform_coords(np.array([[lon0, lat0]]),
+                                       "EPSG:4326", f"EPSG:{base + z}")
+            assert abs(out[0, 0]) < 1e-6 and abs(out[0, 1]) < 1e-6, base + z
+    tokyo = np.array([[139.767, 35.681]])
+    t11 = crs.transform_coords(tokyo, "EPSG:4326", "EPSG:6677")
+    t00 = crs.transform_coords(tokyo, "EPSG:4326", "EPSG:2451")
+    assert np.array_equal(t11, t00)
+    assert -6100 < t11[0, 0] < -5900 and -35500 < t11[0, 1] < -35300
+
+    # every SPCS TM zone: origin -> (FE, FN) exactly + round trip
+    for code, (lat0, lon0, _k0, fe, fn) in crs._SPCS_TM.items():
+        out = crs.transform_coords(np.array([[lon0, lat0]]),
+                                   "EPSG:4326", f"EPSG:{code}")
+        assert abs(out[0, 0] - fe) < 1e-6, code
+        assert abs(out[0, 1] - fn) < 1e-6, code
+        a = np.array([[lon0 + 1.2, lat0 + 1.5], [lon0 - 0.8, lat0 + 3.0]])
+        back = crs.transform_coords(
+            crs.transform_coords(a, "EPSG:4326", f"EPSG:{code}"),
+            f"EPSG:{code}", "EPSG:4326")
+        assert np.abs(back - a).max() < 1e-7, code
+
+
 def test_boundary_mod2_rule_and_point_type():
     """OGC Mod-2 boundary: a point where an even number of line-part ends
     meet is interior (drops); odd counts stay. Point boundaries are empty
