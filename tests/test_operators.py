@@ -533,3 +533,50 @@ def test_dissolve_two_phase_polygon_union_matches(spark):
           ltwo.select("g", st.length("geom").alias("ln")).collect()}
     for g in l1:
         assert abs(l1[g] - l2[g]) < 1e-9, (g, l1[g], l2[g])
+
+
+def test_sjoin_nearest_tie_semantics_across_strategies(spark):
+    """r5-VERDICT #7: the coincident-location dedupe + tie fan-out
+    (operators/sjoin.py) must keep reference tie semantics — ALL
+    equidistant rights returned (geopandas tools/sjoin.py:589-741) —
+    identically on the broadcast, bounded-grid, and expanding-radius
+    paths. Lattice coordinates force exact ties and duplicated right
+    locations (several right rows at identical points); a numpy
+    brute-force tie set is the oracle."""
+    import numpy as np
+
+    for seed in (3, 11, 42):
+        rng = np.random.default_rng(seed)
+        nl, nr = 40, 60
+        # small integer lattice: exact ties + duplicate locations abound
+        lc = rng.integers(0, 12, (nl, 2)).astype(float)
+        rc = rng.integers(0, 12, (nr, 2)).astype(float)
+        rc[nr // 2:nr // 2 + 5] = rc[0]      # stacked duplicate location
+        lpdf = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(lc)],
+            "lk long, x double, y double").withColumn(
+                "geom", st.point("x", "y")).select("lk", "geom")
+        rpdf = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(rc)],
+            "rk long, x double, y double").withColumn(
+                "geom", st.point("x", "y")).select("rk", "geom")
+
+        d2 = ((lc[:, None, 0] - rc[None, :, 0]) ** 2 +
+              (lc[:, None, 1] - rc[None, :, 1]) ** 2)
+        dmin = d2.min(axis=1)
+
+        for maxd in (4.0, None):
+            want = set()
+            for i in range(nl):
+                if maxd is not None and np.sqrt(dmin[i]) > maxd:
+                    continue
+                for j in np.nonzero(d2[i] == dmin[i])[0]:
+                    want.add((i, int(j), round(float(np.sqrt(dmin[i])), 9)))
+            outs = {}
+            for strat in ("broadcast", "grid"):
+                res = sjoin_nearest(lpdf, rpdf, max_distance=maxd,
+                                    distance_col="d", strategy=strat)
+                outs[strat] = {(r.lk, r.rk, round(r.d, 9))
+                               for r in res.collect()}
+            assert outs["broadcast"] == want, (seed, maxd, "broadcast")
+            assert outs["grid"] == want, (seed, maxd, "grid")

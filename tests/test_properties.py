@@ -879,3 +879,155 @@ def test_gc_setop_identities(ra, rb, shift):
         plain = float(algos.area(getattr(algos, op)(A, B))[0])
         gc = float(algos.area(getattr(algos, op)(GA, B))[0])
         assert abs(plain - gc) < 1e-6 * max(plain, 1.0), (op, plain, gc)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(1, 5), st_.integers(0, 3))
+@settings(max_examples=50, deadline=None)
+def test_gc_setops_nested_collections_and_empty_members(seed, nboxes, nempty):
+    """r6 fuzz target (r5 VERDICT #8): GEOMETRYCOLLECTION operands with
+    NESTED collections and EMPTY members. Nesting flattens on parse, so
+    every set op against the nested/empty-padded GC must produce the
+    same area and length as against the flat equivalent."""
+    rng = np.random.default_rng(seed)
+    flat_children = []
+    for _ in range(nboxes):
+        x0, y0 = rng.integers(0, 30, 2)
+        w, h = rng.integers(1, 12, 2)
+        flat_children.append(
+            f"POLYGON (({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, "
+            f"{x0} {y0+h}, {x0} {y0}))")
+    x0, y0 = rng.integers(0, 30, 2)
+    flat_children.append(f"LINESTRING ({x0} {y0}, {x0+9} {y0})")
+    flat_children.append(f"POINT ({x0} {y0 + 1})")
+
+    empties = ["POLYGON EMPTY", "LINESTRING EMPTY", "POINT EMPTY",
+               "GEOMETRYCOLLECTION EMPTY"][:nempty]
+    # nested form: half the children wrapped in an inner GC, empties
+    # sprinkled at both levels
+    k = max(1, len(flat_children) // 2)
+    inner = "GEOMETRYCOLLECTION (" + ", ".join(
+        flat_children[:k] + empties) + ")"
+    nested = "GEOMETRYCOLLECTION (" + ", ".join(
+        [inner] + flat_children[k:] + empties) + ")"
+    flat = "GEOMETRYCOLLECTION (" + ", ".join(flat_children) + ")"
+    GN = wkt.parse_array([nested])
+    GF = wkt.parse_array([flat])
+    bx, by = rng.integers(0, 25, 2)
+    B = wkt.parse_array([
+        f"POLYGON (({bx} {by}, {bx+14} {by}, {bx+14} {by+10}, "
+        f"{bx} {by+10}, {bx} {by}))"])
+    for op in ("intersection", "difference", "union",
+               "symmetric_difference"):
+        rn = getattr(algos, op)(GN, B)
+        rf = getattr(algos, op)(GF, B)
+        an, af = float(algos.area(rn)[0]), float(algos.area(rf)[0])
+        ln, lf = float(algos.length(rn)[0]), float(algos.length(rf)[0])
+        assert abs(an - af) < 1e-9 * max(af, 1.0), (op, an, af)
+        assert abs(ln - lf) < 1e-9 * max(lf, 1.0), (op, ln, lf)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(2, 25),
+       st_.sampled_from([0.0, 1e-15, 1e-12, 1e-9]))
+@settings(max_examples=60, deadline=None)
+def test_lineal_union_near_collinear_ulp_offsets(seed, n, eps):
+    """r6 fuzz target: the lineal-union noding kernel on near-collinear
+    segments separated by ulp-scale offsets (the regime where a naive
+    collinearity test misclassifies). Invariants: no exception; length
+    subadditive and >= the longest input; idempotent on its own parts;
+    permutation invariant."""
+    from geopandas_spark.geom.array import GT_LINESTRING, GeometryBuilder
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        x0 = float(rng.integers(0, 20))
+        ln = float(rng.integers(1, 15))
+        y = float(rng.integers(0, 3)) + eps * rng.integers(0, 2)
+        if rng.integers(0, 4) == 0:
+            # slightly tilted twin: endpoints ulp-separated in y
+            seg = np.array([[x0, y], [x0 + ln, y + eps]])
+        else:
+            seg = np.array([[x0, y], [x0 + ln, y]])
+        rows.append(seg)
+    b = GeometryBuilder()
+    for seg in rows:
+        b.append(GT_LINESTRING, [[seg]])
+    ga = b.finish()
+    u = algos.union_all(ga)
+    lu = float(algos.length(u)[0])
+    assert lu <= float(algos.length(ga).sum()) + 1e-9
+    assert lu >= float(algos.length(ga).max()) - 1e-9
+    parts, _par, _ = algos.get_parts(u)
+    if len(parts) > 1:
+        u2 = algos.union_all(parts)
+        assert abs(float(algos.length(u2)[0]) - lu) < 1e-7 * max(lu, 1.0)
+    perm = rng.permutation(n)
+    b2 = GeometryBuilder()
+    for i in perm:
+        b2.append(GT_LINESTRING, [[rows[i]]])
+    up = algos.union_all(b2.finish())
+    assert abs(float(algos.length(up)[0]) - lu) < 1e-7 * max(lu, 1.0)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(1, 8), st_.integers(1, 6),
+       st_.integers(1, 6))
+@settings(max_examples=40, deadline=None)
+def test_mixed_union_matches_per_dimension_twins(seed, npoly, nline, npt):
+    """r6 fuzz target: union_all over MIXED-dimension rows (GC result per
+    GEOS) must agree with the per-dimension composition:
+      polygonal area   == area(union_all(polygons))
+      lineal length    == length(difference(union_all(lines), poly_union))
+      surviving points == unique points not covered by the poly or line
+                          union (distance == 0 test)."""
+    from geopandas_spark.geom.array import (GT_LINESTRING, GT_POINT,
+                                            GT_POLYGON, GeometryBuilder)
+
+    rng = np.random.default_rng(seed)
+    b = GeometryBuilder()
+    bp = GeometryBuilder()
+    bl = GeometryBuilder()
+    pts = []
+    for _ in range(npoly):
+        x0, y0 = rng.integers(0, 25, 2)
+        w, h = rng.integers(1, 10, 2)
+        ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                         [x0, y0 + h], [x0, y0]], dtype=float)
+        b.append(GT_POLYGON, [[ring]])
+        bp.append(GT_POLYGON, [[ring]])
+    for _ in range(nline):
+        x0, y0 = rng.integers(0, 30, 2)
+        ln = float(rng.integers(1, 12))
+        seg = (np.array([[x0, y0], [x0 + ln, y0]], dtype=float)
+               if rng.integers(0, 2)
+               else np.array([[x0, y0], [x0, y0 + ln]], dtype=float))
+        b.append(GT_LINESTRING, [[seg]])
+        bl.append(GT_LINESTRING, [[seg]])
+    for _ in range(npt):
+        p = rng.integers(0, 35, 2).astype(float)
+        pts.append(p)
+        b.append_point(p[0], p[1])
+    mixed = algos.union_all(b.finish())
+    poly_u = algos.union_all(bp.finish())
+    line_u = algos.union_all(bl.finish())
+    line_part = algos.difference(line_u, poly_u)
+
+    am = float(algos.area(mixed)[0])
+    ap = float(algos.area(poly_u)[0])
+    assert abs(am - ap) < 1e-9 * max(ap, 1.0), (am, ap)
+    lm = float(algos.length(mixed)[0]) - float(algos.length(poly_u)[0])
+    lt = float(algos.length(line_part)[0])
+    assert abs(lm - lt) < 1e-7 * max(lt, 1.0), (lm, lt)
+
+    # surviving points: unique coords at distance > 0 from both unions
+    uniq = {(p[0], p[1]) for p in pts}
+    bq = GeometryBuilder()
+    for x, y in sorted(uniq):
+        bq.append_point(x, y)
+    q = bq.finish()
+    rep = lambda u: u.take(np.zeros(len(q), dtype=np.int64))  # noqa: E731
+    dpoly = algos.distance(q, rep(poly_u))
+    dline = algos.distance(q, rep(line_u))
+    want = int(((dpoly > 0) & (dline > 0)).sum())
+    parts, _par, _ = algos.get_parts(mixed)
+    got = int((parts.types == 1).sum())
+    assert got == want, (got, want)
