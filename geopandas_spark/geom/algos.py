@@ -378,19 +378,20 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                 if not bad and len(p) > 2:
                     # a hole nested inside another hole (GEOS phrasing
                     # 'Holes are nested'): one hole's edge midpoint
-                    # strictly interior to a sibling hole
-                    for j in range(1, len(p)):
-                        mj = (p[j][0] + p[j][1]) * 0.5
-                        for k2 in range(1, len(p)):
-                            if k2 == j:
-                                continue
-                            cls = points_in_rings(np.array([mj[0]]),
-                                                  np.array([mj[1]]),
-                                                  [p[k2]])
-                            if cls[0] == 2:
-                                bad = True
-                                break
-                        if bad:
+                    # strictly interior to a sibling hole. Batched per
+                    # ADVICE r5: ONE vectorized points_in_rings call per
+                    # sibling classifies ALL hole midpoints at once
+                    # (self-pair masked), so the former O(holes²) call
+                    # loop with per-pair ring marshalling is O(holes)
+                    # calls over the same total point×segment work.
+                    mids = np.array([(p[j][0] + p[j][1]) * 0.5
+                                     for j in range(1, len(p))])
+                    for k2 in range(1, len(p)):
+                        cls = points_in_rings(mids[:, 0], mids[:, 1],
+                                              [p[k2]])
+                        cls[k2 - 1] = 0     # a hole is not its own nest
+                        if (cls == 2).any():
+                            bad = True
                             break
                 if bad:
                     out[i] = False
@@ -1100,7 +1101,15 @@ def overlaps(ga, gb):
                **{t: 2 for t in POLYGON_TYPES}}
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
             # GEOS: a GC's dimension is its max child dimension; overlaps
-            # requires equal dims, so compare against the dominant class
+            # requires equal dims, so compare against the dominant class.
+            # KNOWN DEVIATION (ADVICE r5, low): lower-dimension children
+            # are dropped before the covers tests below, so
+            # GC(polygon, protruding line) vs a polygon that covers only
+            # the polygon part returns False here, where GEOS RelateNG's
+            # pointwise mixed-GC semantics would see the protruding line
+            # as uncovered interior and return True. Full parity needs
+            # RelateNG's per-point dimension-dominance model in relate();
+            # documented rather than approximated.
             def _gcdim(g, k):
                 t = int(g.types[k])
                 if t != GT_GEOMETRYCOLLECTION:

@@ -934,6 +934,40 @@ def _trace_result(sorted_events, inside_fn):
         if len(imb) > 1:
             need_out = [v for v in imb if co[v] < ci[v]]
             need_in = [v for v in imb if co[v] > ci[v]]
+            # ADVICE r5: the 1e-5·|coord| pairing radius is ~10 m at
+            # projected-CRS magnitudes — wide enough to cross-pair two
+            # genuinely distinct unbalanced junctions. A merge is now
+            # accepted only when (a) the pair sits within the noding
+            # error bound proper (1e-6·|coord| ≈ 1e3× the intersection
+            # ulp error at shallow crossing angles), or (b) one vertex
+            # lies on the LINE of an edge incident to the other —
+            # fragments of one true junction sit on the common split
+            # edge (perp error ~machine-eps), distinct junctions don't.
+            inc = {}
+            unb = set(need_in) | set(need_out)
+            for k in range(len(dfrm)):
+                a_, b_ = int(dfrm[k]), int(dto[k])
+                if a_ in unb or b_ in unb:
+                    inc.setdefault(a_, []).append(b_)
+                    inc.setdefault(b_, []).append(a_)
+
+            def _on_incident_edge(v, w):
+                for o in inc.get(w, ()):
+                    ax_, ay_ = vx[w], vy[w]
+                    dx_ = vx[o] - ax_
+                    dy_ = vy[o] - ay_
+                    L2_ = dx_ * dx_ + dy_ * dy_
+                    if L2_ == 0.0:
+                        continue
+                    t_ = ((vx[v] - ax_) * dx_ + (vy[v] - ay_) * dy_) / L2_
+                    cx_ = vx[v] - ax_ - t_ * dx_
+                    cy_ = vy[v] - ay_ - t_ * dy_
+                    tol = 1e-8 * max(abs(ax_), abs(ay_),
+                                     abs(vx[o]), abs(vy[o]), 1.0)
+                    if cx_ * cx_ + cy_ * cy_ <= tol * tol:
+                        return True
+                return False
+
             taken = set()
             for v in need_out:
                 best = None
@@ -942,8 +976,13 @@ def _trace_result(sorted_events, inside_fn):
                     if w in taken:
                         continue
                     dd = (vx[v] - vx[w]) ** 2 + (vy[v] - vy[w]) ** 2
-                    if dd < (1e-5 * magv) ** 2 and \
-                            (best is None or dd < best[0]):
+                    if dd >= (1e-5 * magv) ** 2:
+                        continue
+                    if dd > (1e-6 * magv) ** 2 and \
+                            not (_on_incident_edge(v, w) or
+                                 _on_incident_edge(w, v)):
+                        continue
+                    if best is None or dd < best[0]:
                         best = (dd, w)
                 if best is not None:
                     taken.add(best[1])
