@@ -810,7 +810,44 @@ def _proj_def(crs: str):
         return ("tm", {"a": a_, "f": f_, "lon0": lon0, "lat0": lat0,
                        "k0": k0, "fe": fe, "fn": fn},
                 "GRS80", None)
+    if code in _EURO_TM:            # ETRS89-family national TM grids
+        lat0, lon0, k0, fe, fn = _EURO_TM[code]
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_, "lon0": lon0, "lat0": lat0,
+                       "k0": k0, "fe": fe, "fn": fn},
+                "GRS80", None)
+    if 2176 <= code <= 2179:        # ETRS89 / Poland CS2000 zones 5-8
+        zone = code - 2171          # 2176 -> zone 5 (CM 15°E)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_, "lon0": 3.0 * zone, "lat0": 0.0,
+                       "k0": 0.999923, "fe": zone * 1e6 + 500000.0,
+                       "fn": 0.0}, "GRS80", None)
+    if 5253 <= code <= 5259:        # TUREF / TM27..TM45 (3-degree CM)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("tm", {"a": a_, "f": f_,
+                       "lon0": 27.0 + 3.0 * (code - 5253), "lat0": 0.0,
+                       "k0": 1.0, "fe": 500000.0, "fn": 0.0},
+                "GRS80", None)
+    if code == 3057:                # ISN93 / Lambert 1993 (Iceland)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("lcc", {"a": a_, "f": f_, "lon0": -19.0, "lat0": 65.0,
+                        "sp1": 64.25, "sp2": 65.75,
+                        "fe": 500000.0, "fn": 500000.0},
+                "GRS80", None)
     return None
+
+
+# ETRS89-family national TM grids: code -> (lat0, lon0, k0, FE, FN), all
+# GRS80 with no datum shift (EPSG registry entries)
+_EURO_TM = {
+    3067: (0.0, 27.0, 0.9996, 500000.0, 0.0),        # ETRS-TM35FIN
+    2180: (0.0, 19.0, 0.9993, 500000.0, -5300000.0),  # Poland CS92
+    2157: (53.5, -8.0, 0.99982, 600000.0, 750000.0),  # IRENET95 Irish TM
+    3763: (39.0 + 40.0 / 60 + 5.73 / 3600,            # Portugal PT-TM06
+           -(8.0 + 7.0 / 60 + 59.19 / 3600), 1.0, 0.0, 0.0),
+    3765: (0.0, 16.5, 0.9999, 500000.0, 0.0),         # Croatia HTRS96/TM
+    3794: (0.0, 15.0, 0.9999, 500000.0, -5000000.0),  # Slovenia 1996
+}
 
 
 # Japan Plane Rectangular CS zone origins (lat0, lon0), zones I-XIX in
@@ -956,7 +993,13 @@ def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
             "(EPSG:326xx/327xx/258xx/269xx), EPSG:27700 (British National "
             "Grid), EPSG:2154 (Lambert-93), polar stereographic "
             "(EPSG:3413/3995/3031), Albers (EPSG:5070/3577), World "
-            "Mercator (EPSG:3395) and LAEA Europe (EPSG:3035)") from e
+            "Mercator (EPSG:3395), LAEA Europe (EPSG:3035), national "
+            "Gauss-Krüger/TM zone ranges (CGCS2000 4513-4554, Pulkovo "
+            "28402-28432, MGA 28348-58/7846-59, DHDN 31466-9, Poland "
+            "2176-80, TUREF 5253-9), RGF93 CC42-50 conic zones, US State "
+            "Plane LCC+TM metre zones, Japan Plane Rectangular CS "
+            "(2443-61/6669-87), Swiss LV03/LV95, and the national TM/LCC "
+            "grids of NZ/KR/TW/BE/SE/FI/IE/PT/HR/SI/IS") from e
     tr = Transformer.from_crs(s, d, always_xy=True)
     x, y = tr.transform(coords[:, 0], coords[:, 1])
     return np.column_stack([x, y])

@@ -1507,6 +1507,28 @@ def test_crs_jp_zones_and_spcs_tm():
     assert np.array_equal(t11, t00)
     assert -6100 < t11[0, 0] < -5900 and -35500 < t11[0, 1] < -35300
 
+    # European national TM grids: origin -> (FE, FN) exactly + round trip
+    for code, (lat0, lon0, _k0, fe, fn) in crs._EURO_TM.items():
+        out = crs.transform_coords(np.array([[lon0, lat0]]),
+                                   "EPSG:4326", f"EPSG:{code}")
+        assert abs(out[0, 0] - fe) < 1e-6, code
+        assert abs(out[0, 1] - fn) < 1e-6, code
+        a = np.array([[lon0 + 1.5, lat0 + 1.0 if lat0 else 50.0]])
+        back = crs.transform_coords(
+            crs.transform_coords(a, "EPSG:4326", f"EPSG:{code}"),
+            f"EPSG:{code}", "EPSG:4326")
+        assert np.abs(back - a).max() < 1e-7, code
+    # Poland CS2000 zone arithmetic + TUREF CM arithmetic + ISN93 LCC
+    for code, lon0, fe in [(2176, 15.0, 5500000.0), (2179, 24.0, 8500000.0),
+                           (5253, 27.0, 500000.0), (5259, 45.0, 500000.0)]:
+        out = crs.transform_coords(np.array([[lon0, 0.0]]),
+                                   "EPSG:4326", f"EPSG:{code}")
+        assert abs(out[0, 0] - fe) < 1e-6 and abs(out[0, 1]) < 1e-6, code
+    isn = crs.transform_coords(np.array([[-19.0, 65.0]]),
+                               "EPSG:4326", "EPSG:3057")
+    assert abs(isn[0, 0] - 500000.0) < 1e-6
+    assert abs(isn[0, 1] - 500000.0) < 1e-6
+
     # every SPCS TM zone: origin -> (FE, FN) exactly + round trip
     for code, (lat0, lon0, _k0, fe, fn) in crs._SPCS_TM.items():
         out = crs.transform_coords(np.array([[lon0, lat0]]),
