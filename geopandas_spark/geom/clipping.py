@@ -471,9 +471,13 @@ def _rings_to_events(rings, is_subject, events):
             n -= 1  # drop duplicate closing vertex
         if n < 3:
             continue
+        # bulk-convert once: per-element numpy scalar indexing + float()
+        # was ~60% of event-building time on a 24k-box union
+        pts = [(c[0], c[1]) for c in ring[:n].tolist()]
+        pts.append(pts[0])
         for k in range(n):
-            p1 = (float(ring[k][0]), float(ring[k][1]))
-            p2 = (float(ring[(k + 1) % n][0]), float(ring[(k + 1) % n][1]))
+            p1 = pts[k]
+            p2 = pts[k + 1]
             if p1 == p2:
                 continue
             e1 = _SweepEvent(p1, False, None, is_subject)
