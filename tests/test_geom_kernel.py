@@ -1542,6 +1542,29 @@ def test_crs_jp_zones_and_spcs_tm():
         assert np.abs(back - a).max() < 1e-7, code
 
 
+def test_to_crs_preserves_z_and_m():
+    """Reprojection is XY-only: the parallel z/m buffers ride through
+    unchanged, matching the reference's shapely.transform(include_z) over
+    a 2-D pyproj transformer (geopandas/array.py:1098-1187 leaves z at
+    the datum-shifted ellipsoidal height it came in with — for projected
+    2-D CRS pairs that is identity on z)."""
+    import numpy as np
+
+    from geopandas_spark.geom import crs
+    from geopandas_spark.geom.wkt import format_array, parse_array
+
+    ga = parse_array(["POINT Z (0 51 100)",
+                      "LINESTRING Z (-1 50 1.5, 1 51 2.5)",
+                      "POINT M (0 51 7)"])
+    out = crs.transform(ga, "EPSG:4326", "EPSG:27700")
+    assert np.array_equal(out.z[~np.isnan(out.z)], [100.0, 1.5, 2.5])
+    assert np.array_equal(out.m[~np.isnan(out.m)], [7.0])
+    back = crs.transform(out, "EPSG:27700", "EPSG:4326")
+    txt = format_array(back)
+    assert txt[0].startswith("POINT Z") and txt[0].endswith("100)")
+    assert "M (" in txt[2] and txt[2].endswith("7)")
+
+
 def test_boundary_mod2_rule_and_point_type():
     """OGC Mod-2 boundary: a point where an even number of line-part ends
     meet is interior (drops); odd counts stay. Point boundaries are empty
