@@ -89,9 +89,11 @@ def _mask_null_bool(ga, vals) -> pd.Series:
 def _point(x: pd.Series, y: pd.Series) -> pd.Series:
     ga = points_from_xy(x.to_numpy(np.float64), y.to_numpy(np.float64))
     out = wkb.encode(ga)
-    null = x.isna() | y.isna()
-    return pd.Series([None if null.iloc[i] else out[i] for i in range(len(out))],
-                     dtype=object)
+    null = (x.isna() | y.isna()).to_numpy()
+    if null.any():
+        for i in np.nonzero(null)[0]:
+            out[i] = None
+    return pd.Series(out, dtype=object)
 
 
 @_reg("st_makebox")
@@ -892,12 +894,84 @@ def _collect_agg(s: pd.Series) -> bytes:
 # Python column API (what `from geopandas_spark import st` exposes)
 # ---------------------------------------------------------------------------
 
+def _f64_bits(c: Column) -> Column:
+    """IEEE-754 bits of a double as bigint, in pure native expressions —
+    whole-stage-codegen'd, no Python eval node. floor(log2()) can be off
+    by one near powers of two (log2 = ln/ln2 in the JVM); one exact pow()
+    comparison corrects it, after which the mantissa arithmetic is exact:
+    a/2^e is an exact power-of-two division, (m-1) is Sterbenz-exact for
+    m in [1,2), and (m-1)*2^52 is an exact integer <= 2^52 (a carry into
+    the exponent field via plain addition stays bit-correct). Deviation:
+    -0.0 encodes as +0.0 (coordinate semantics treat them equal)."""
+    a = F.abs(c)
+    e0 = F.floor(F.log2(a))
+    p0 = F.pow(F.lit(2.0), e0.cast("double"))
+    e = (F.when(a >= p0 * 2.0, e0 + 1)
+          .when(a < p0, e0 - 1).otherwise(e0))
+    p = F.pow(F.lit(2.0), e.cast("double"))
+    mant = F.round((a / p - F.lit(1.0)) *
+                   F.lit(float(2 ** 52))).cast("bigint")
+    norm = (e.cast("bigint") + F.lit(1023)) * F.lit(2 ** 52) + mant
+    # denormals: bits = a * 2^1074 exactly, staged as two power-of-two
+    # factors (2^1074 itself overflows a double; each stage is exact)
+    sub = F.round((a * F.lit(2.0 ** 537)) *
+                  F.lit(2.0 ** 537)).cast("bigint")
+    mag = (F.when(F.isnan(c), F.lit(0x7FF8000000000000))
+            .when(a == F.lit(float("inf")), F.lit(0x7FF0000000000000))
+            .when(a < F.lit(2.0 ** -1022), sub)   # includes +-0 -> 0
+            .otherwise(norm))
+    return F.when(c < 0.0, mag + F.lit(-(2 ** 63))).otherwise(mag)
+
+
+def _f64_be(c: Column) -> Column:
+    """8 big-endian IEEE-754 bytes of a double (hex of the bits bigint is
+    already big-endian nibble order; negative bigints print all 16)."""
+    return F.unhex(F.lpad(F.hex(_f64_bits(c.cast("double"))), 16, "0"))
+
+
 def point(x, y) -> Column:
+    """WKB point constructor (Arrow-batched UDF — the measured default).
+
+    An all-expression JVM variant exists (``point_native``), but the
+    IEEE-754 bit extraction it needs (floor/log2/pow per coordinate; Spark
+    has no double->bits builtin, ANSI forbids bigint->binary cast, and
+    reflect() is Catalyst-nondeterministic) measured 3x SLOWER than this
+    Arrow-batched numpy encode at the 100x bench tier (1.25 s vs 0.40 s
+    per pass over 1.5M rows), and grid-join plans evaluate the constructor
+    several times (stats probe, sample, cell explode, refine)."""
     return _REGISTRY["st_point"](_col(x), _col(y))
 
 
+def point_native(x, y) -> Column:
+    """Pure-expression WKB point — big-endian ISO WKB (byte-order flag 0),
+    no Python eval node anywhere in the plan. Use when the plan must stay
+    JVM-only (SQL-only deployments, stateless streaming maps where a
+    Python worker round trip is unwanted); for throughput prefer
+    ``point``, which is ~3x faster per evaluation (see its docstring).
+    The decoder's vectorized bucket parse handles the big-endian batch
+    with one frombuffer, same as little-endian. NULL in either coordinate
+    propagates to a NULL geometry (concat null semantics)."""
+    return F.concat(F.lit(bytes.fromhex("0000000001")),
+                    _f64_be(_col(x)), _f64_be(_col(y)))
+
+
 def makebox(xmin, ymin, xmax, ymax) -> Column:
-    return _REGISTRY["st_makebox"](_col(xmin), _col(ymin), _col(xmax), _col(ymax))
+    """WKB axis-aligned box constructor (Arrow-batched UDF — the measured
+    default; see ``point`` for why the all-expression variant lost)."""
+    return _REGISTRY["st_makebox"](_col(xmin), _col(ymin),
+                                   _col(xmax), _col(ymax))
+
+
+def makebox_native(xmin, ymin, xmax, ymax) -> Column:
+    """Pure-expression WKB box: big-endian POLYGON, one CCW ring of 5
+    coords starting (xmin,ymin) — identical vertex order to
+    geom.array.boxes_from_bounds (shapely.box ccw=True). Same tradeoff
+    as ``point_native``."""
+    x0, y0 = _f64_be(_col(xmin)), _f64_be(_col(ymin))
+    x1, y1 = _f64_be(_col(xmax)), _f64_be(_col(ymax))
+    return F.concat(
+        F.lit(bytes.fromhex("00" + "00000003" + "00000001" + "00000005")),
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
 
 
 def geom_from_text(c) -> Column:

@@ -175,7 +175,15 @@ def _decode_fallback(vals) -> GeometryArray:
         if v is None or (isinstance(v, float) and np.isnan(v)):
             b.append_null()
         else:
-            _parse_one(bytes(v), 0, b)
+            try:
+                _parse_one(bytes(v), 0, b)
+            except (struct.error, IndexError, ValueError) as ex:
+                # truncated/garbage buffer: surface a parse error naming
+                # the row (raw struct.error gives the caller nothing),
+                # matching the reference's GEOS ParseException behavior
+                raise ValueError(
+                    "malformed WKB (%d bytes, prefix %s): %s"
+                    % (len(v), bytes(v)[:9].hex() or "<empty>", ex)) from ex
     return b.finish()
 
 
@@ -218,21 +226,33 @@ def decode(values) -> GeometryArray:
 
     lens = np.zeros(n, dtype=np.int64)
     tcode = np.full(n, -2, dtype=np.int64)     # -1 missing, -2 fallback
+    bigend = np.zeros(n, dtype=bool)           # per-row byte order
     if offs is not None:
         lens = np.diff(offs)
         tcode[nulls | (lens == 0)] = -1
         valid = np.nonzero(~(nulls | (lens < 9)))[0]
         s = offs[valid]
-        hdr_ok = ((data[s] == 1) & (data[s + 2] == 0) &
+        hdr_le = ((data[s] == 1) & (data[s + 2] == 0) &
                   (data[s + 3] == 0) & (data[s + 4] == 0))
-        t = data[s + 1].astype(np.int64)
+        hdr_be = ((data[s] == 0) & (data[s + 1] == 0) &
+                  (data[s + 2] == 0) & (data[s + 3] == 0))
+        t = np.where(hdr_be, data[s + 4], data[s + 1]).astype(np.int64)
+        hdr_ok = hdr_le | hdr_be
         L = lens[valid]
         good_pt = hdr_ok & (t == GT_POINT) & (L == 21)
         good_ls = hdr_ok & (t == GT_LINESTRING) & (L >= 25) &             ((L - 9) % 16 == 0)
-        good_pg = hdr_ok & (t == GT_POLYGON) & (L >= 29) &             ((L - 13) % 16 == 0) & (data[s + 5] == 1) &             (data[s + 6] == 0) & (data[s + 7] == 0) & (data[s + 8] == 0)
+        ring1 = np.where(
+            hdr_be,
+            (data[s + 5] == 0) & (data[s + 6] == 0) &
+            (data[s + 7] == 0) & (data[s + 8] == 1),
+            (data[s + 5] == 1) & (data[s + 6] == 0) &
+            (data[s + 7] == 0) & (data[s + 8] == 0))
+        good_pg = hdr_ok & (t == GT_POLYGON) & (L >= 29) &             ((L - 13) % 16 == 0) & ring1
         tcode[valid[good_pt]] = GT_POINT
         tcode[valid[good_ls]] = GT_LINESTRING
         tcode[valid[good_pg]] = GT_POLYGON
+        bigend[valid[good_pt | good_ls | good_pg]] = \
+            hdr_be[good_pt | good_ls | good_pg]
     else:
         for i, v in enumerate(vals):
             if v is None or (isinstance(v, float) and np.isnan(v)):
@@ -240,16 +260,25 @@ def decode(values) -> GeometryArray:
                 continue
             L = len(v)
             lens[i] = L
-            if L >= 9 and v[0] == 1 and v[2] == 0 and v[3] == 0 and v[4] == 0:
-                t = v[1]
-                if t == GT_POINT and L == 21:
-                    tcode[i] = t
-                elif t == GT_LINESTRING and L >= 25 and (L - 9) % 16 == 0:
-                    tcode[i] = t
-                elif (t == GT_POLYGON and L >= 29 and (L - 13) % 16 == 0
-                      and v[5] == 1 and v[6] == 0 and v[7] == 0
-                      and v[8] == 0):
-                    tcode[i] = t
+            if L < 9:
+                continue
+            le = v[0] == 1 and v[2] == 0 and v[3] == 0 and v[4] == 0
+            be = v[0] == 0 and v[1] == 0 and v[2] == 0 and v[3] == 0
+            if not (le or be):
+                continue
+            t = v[1] if le else v[4]
+            ring1 = (v[5] == 1 and v[6] == 0 and v[7] == 0 and v[8] == 0) \
+                if le else (v[5] == 0 and v[6] == 0 and v[7] == 0
+                            and v[8] == 1)
+            if t == GT_POINT and L == 21:
+                tcode[i] = t
+            elif t == GT_LINESTRING and L >= 25 and (L - 9) % 16 == 0:
+                tcode[i] = t
+            elif (t == GT_POLYGON and L >= 29 and (L - 13) % 16 == 0
+                  and ring1):
+                tcode[i] = t
+            if tcode[i] > 0:
+                bigend[i] = be
     fallback = tcode == -2
     if fallback.all():
         return _decode_fallback(vals)
@@ -300,9 +329,9 @@ def decode(values) -> GeometryArray:
     mbuf = (np.full(coord_start[-1], np.nan)
             if fb_ga is not None and fb_ga.m is not None else None)
 
-    # bucket parse: one frombuffer per (type, length) group
+    # bucket parse: one frombuffer per (endianness, type, length) group
     hdr = {GT_POINT: 5, GT_LINESTRING: 9, GT_POLYGON: 13}
-    keys = tcode * (1 << 40) + lens
+    keys = tcode * (1 << 40) + lens + bigend.astype(np.int64) * (1 << 50)
     for key in np.unique(keys[simple]):
         rows = np.nonzero(keys == key)[0]
         t = int(tcode[rows[0]])
@@ -323,10 +352,11 @@ def decode(values) -> GeometryArray:
                                 dtype=np.uint8).reshape(k, L)
         off = hdr[t]
         g_nv = int(nv[rows[0]])
+        eo = ">" if bigend[rows[0]] else "<"
         # validate the count field(s) across the bucket; deviants (should
         # not exist given the length arithmetic) drop to per-row parse
         if t != GT_POINT:
-            cnt = raw[:, off - 4:off].copy().view("<u4").ravel()
+            cnt = raw[:, off - 4:off].copy().view(eo + "u4").ravel()
             ok = cnt == g_nv
             if not ok.all():
                 bad = rows[~ok]
@@ -339,7 +369,10 @@ def decode(values) -> GeometryArray:
                 k = len(rows)
                 if k == 0:
                     continue
-        c = raw[:, off:off + 16 * g_nv].copy().view("<f8").reshape(k, g_nv, 2)
+        c = raw[:, off:off + 16 * g_nv].copy().view(eo + "f8")
+        if eo == ">":
+            c = c.astype(np.float64)
+        c = c.reshape(k, g_nv, 2)
         if t == GT_POINT:
             nanpt = np.isnan(c[:, 0, 0]) & np.isnan(c[:, 0, 1])
             if nanpt.any():
@@ -438,6 +471,32 @@ def encode(ga: GeometryArray) -> list:
              (ppg == 1) & (rpg == 1) & (cpg > 0)))
     if ga.z is not None or ga.m is not None:
         fast &= ~ga.row_has_z() & ~ga.row_has_m()   # 3-D rows: slow writer
+    if fast.all():
+        # uniform batch (every row same type + same vertex count — the
+        # all-points / all-boxes hot case): the coord buffer is already
+        # row-ordered and contiguous, so the whole output is one 2-D
+        # header-broadcast + reshape, ~3x faster than the general
+        # scatter below (no dst index matrix, no fancy writes)
+        t0i = int(types[0]) if n else 0
+        nv0 = int(cpg[0]) if n else 0
+        if ((types == t0i).all() and (cpg == nv0).all()
+                and len(ga.coords) == n * nv0):
+            hd = 5 if t0i == GT_POINT else 9 if t0i == GT_LINESTRING else 13
+            L = hd + 16 * nv0
+            buf2 = np.empty((n, L), dtype=np.uint8)
+            buf2[:, 0] = 1
+            buf2[:, 1:5] = np.frombuffer(struct.pack("<I", t0i), np.uint8)
+            if t0i == GT_POLYGON:
+                buf2[:, 5:9] = np.frombuffer(struct.pack("<I", 1), np.uint8)
+                buf2[:, 9:13] = np.frombuffer(struct.pack("<I", nv0),
+                                              np.uint8)
+            elif t0i == GT_LINESTRING:
+                buf2[:, 5:9] = np.frombuffer(struct.pack("<I", nv0),
+                                             np.uint8)
+            buf2[:, hd:] = np.ascontiguousarray(
+                ga.coords, dtype="<f8").view(np.uint8).reshape(n, 16 * nv0)
+            flat = buf2.tobytes()
+            return [flat[i * L:(i + 1) * L] for i in range(n)]
     if fast.any():
         rows = np.nonzero(fast)[0]
         t = types[rows].astype(np.int64)
