@@ -28,6 +28,28 @@ _PARTIAL = {"sum": "sum", "min": "min", "max": "max", "count": "sum",
 # named aggs that can't split into associative partials (run single-phase)
 _HOLISTIC = {"median", "std", "var", "nunique"}
 
+# duplication-probe memo keyed by (plan semanticHash, by, geom): the probe
+# result is a perf-only plan choice, so a (rare) hash collision costs
+# speed, never correctness
+_DUP_PROBE_CACHE: dict = {}
+
+
+def _probe_duplication(df: DataFrame, by, geom: str) -> bool:
+    """One agg job (no shuffle: map-side HLL partials) comparing row count
+    vs approx-distinct (by, geom). The 25% sample keeps the probe from
+    paying full geometry construction; sampling only ever UNDER-observes
+    duplication (dup_sample <= dup_true), so the >=2.5x-on-sample gate is
+    a sufficient condition for ~>=4x true duplication — a miss just keeps
+    the regular two-phase plan (correct, slower)."""
+    try:
+        pr = df.sample(fraction=0.25, seed=7).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(
+                F.struct(*by, geom)).alias("nd")).collect()[0]
+        return bool(pr.n > 0 and pr.n >= 2.5 * max(pr.nd, 1))
+    except Exception:
+        return False
+
 
 def _fn_label(fn) -> str:
     if callable(fn):
@@ -144,6 +166,75 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
     if not two_phase:
         return df.groupBy(*by).applyInPandas(merge, schema=out_schema)
 
+    # per-key merge of partial rows (phase 2 of the two-phase plan, and
+    # the only Python stage of the dedupe plan): combiner semantics —
+    # sum of sums, min of mins, count -> sum, mean -> psum/pcnt
+    def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ga = wkb.decode(pdf[geom].tolist())
+        parts, parent, _ = algos.get_parts(ga)
+        u = wkb.encode(algos.union_all(parts, method=method))[0]
+        row = {k: [v] for k, v in zip(by, key)}
+        row[geom] = [u]
+        for c, fn, name in aggs:
+            if fn == "mean":
+                cnt = pdf[f"{name}__pcnt"].sum()
+                row[name] = [float(pdf[f"{name}__psum"].sum()) / cnt
+                             if cnt else float("nan")]
+                continue
+            s = pdf[name]
+            comb = _PARTIAL[fn]
+            row[name] = [s.sum() if comb == "sum" else s.min()
+                         if comb == "min" else s.max() if comb == "max"
+                         else s.iloc[0]]
+        return pd.DataFrame(row)
+
+    # Duplicate-heavy inputs (e.g. point dissolve where many rows share a
+    # location): union is idempotent over byte-identical geometries, so a
+    # NATIVE (key, geom) hash aggregate — map-side combined in Tungsten,
+    # never touching Python — collapses the data before any Arrow
+    # transfer, and only the distinct rows reach the per-key merge. The
+    # decomposable aggfuncs become native partials on the same pass. One
+    # cheap probe gates it: a single no-shuffle agg job comparing total
+    # vs approx-distinct rows (same pattern as sjoin's stats probe);
+    # below 4x duplication the extra shuffle of full geometry bytes buys
+    # nothing and the partition-local phase-1 combine wins.
+    if not holistic:
+        try:
+            ck = (df.semanticHash(), tuple(by), geom)
+        except Exception:
+            ck = None
+        if ck is not None and ck in _DUP_PROBE_CACHE:
+            dup_heavy = _DUP_PROBE_CACHE[ck]
+        else:
+            dup_heavy = _probe_duplication(df, by, geom)
+            if ck is not None:
+                if len(_DUP_PROBE_CACHE) > 256:
+                    _DUP_PROBE_CACHE.clear()
+                _DUP_PROBE_CACHE[ck] = dup_heavy
+        if dup_heavy:
+            nat = []
+            for c, fn, name in aggs:
+                if fn == "mean":
+                    nat += [F.sum(c).cast("double").alias(f"{name}__psum"),
+                            F.count(c).alias(f"{name}__pcnt")]
+                elif fn == "sum":
+                    nat.append(F.sum(c).cast("double").alias(name))
+                elif fn == "count":
+                    nat.append(F.count(c).alias(name))
+                elif fn == "min":
+                    nat.append(F.min(c).alias(name))
+                elif fn == "max":
+                    nat.append(F.max(c).alias(name))
+                else:  # first
+                    nat.append(F.first(c).alias(name))
+            deduped = df.groupBy(*by, geom).agg(*nat)
+            try:
+                cores = df.sparkSession.sparkContext.defaultParallelism
+                deduped = deduped.repartition(max(4 * cores, 64), *by)
+            except Exception:
+                pass
+            return deduped.groupBy(*by).applyInPandas(finish, out_schema)
+
     # thin scans (few parquet splits) would run the whole phase-1 union
     # on a handful of tasks — fan out first (measured: the 600k-box
     # stress dissolve spent ~14 of 18.5s in 4 phase-1 tasks)
@@ -190,26 +281,7 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
 
     staged = df.mapInPandas(partial, schema=partial_schema)
 
-    # -- phase 2: merge partials per key ----------------------------------
-    def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ga = wkb.decode(pdf[geom].tolist())
-        parts, parent, _ = algos.get_parts(ga)
-        u = wkb.encode(algos.union_all(parts, method=method))[0]
-        row = {k: [v] for k, v in zip(by, key)}
-        row[geom] = [u]
-        for c, fn, name in aggs:
-            if fn == "mean":
-                cnt = pdf[f"{name}__pcnt"].sum()
-                row[name] = [float(pdf[f"{name}__psum"].sum()) / cnt
-                             if cnt else float("nan")]
-                continue
-            s = pdf[name]
-            comb = _PARTIAL[fn]
-            row[name] = [s.sum() if comb == "sum" else s.min()
-                         if comb == "min" else s.max() if comb == "max"
-                         else s.iloc[0]]
-        return pd.DataFrame(row)
-
+    # -- phase 2: merge partials per key (finish, defined above) ----------
     # pre-partition the (small) partials WIDER than the default shuffle
     # partition count: with ~#cores keys, hash collisions put 2-3 groups
     # on one task and the heavy per-key merge serializes (measured 2x on

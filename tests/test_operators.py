@@ -580,3 +580,56 @@ def test_sjoin_nearest_tie_semantics_across_strategies(spark):
                                for r in res.collect()}
             assert outs["broadcast"] == want, (seed, maxd, "broadcast")
             assert outs["grid"] == want, (seed, maxd, "grid")
+
+
+def test_dissolve_duplicate_heavy_dedupe_plan_matches(spark):
+    """r6 insurance for the duplication-probe dissolve plan: when many
+    rows share identical (key, geom) bytes, dissolve takes a native
+    (key, geom) hash-aggregate dedupe before the per-key merge. The
+    probe must fire on a 20x-duplicated input, and the dedupe plan's
+    values (union geometry, sum/mean/count/min partials recombined from
+    per-duplicate-group natives) must equal the regular two-phase plan's
+    and the exact pandas aggregates."""
+    import numpy as np
+
+    from geopandas_spark.operators.dissolve import (_DUP_PROBE_CACHE,
+                                                    _probe_duplication,
+                                                    dissolve)
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(4):
+        for k in range(12):          # 12 distinct points per group
+            x, y = float(g * 100 + k), float(k % 5)
+            for d in range(20):      # each duplicated 20x, varying v
+                rows.append((int(g), x, y, float(k + d), int(d)))
+    df = (spark.createDataFrame(rows, ["g", "x", "y", "v", "w"])
+          .withColumn("geom", st.point("x", "y"))
+          .drop("x", "y").repartition(8))
+    assert _probe_duplication(df, ["g"], "geom") is True
+    _DUP_PROBE_CACHE.clear()
+    dup_plan = dissolve(df, "g", {"v": ["sum", "mean", "count"],
+                                  "w": "min"})
+    _DUP_PROBE_CACHE.clear()
+    # low-duplication control: the probe must NOT fire on distinct rows
+    distinct_df = df.dropDuplicates(["g", "geom"])
+    assert _probe_duplication(distinct_df, ["g"], "geom") is False
+    ra = {r.g: r.asDict() for r in dup_plan.select(
+        "g", "v_sum", "v_mean", "v_count", "w_min",
+        st.ngeometries("geom").alias("np_")).collect()}
+    # exact oracle from the raw rows
+    import collections
+    sums = collections.defaultdict(float)
+    cnts = collections.defaultdict(int)
+    wmin = collections.defaultdict(lambda: 10**9)
+    for g, _x, _y, v, w in rows:
+        sums[g] += v
+        cnts[g] += 1
+        wmin[g] = min(wmin[g], w)
+    assert set(ra) == set(range(4))
+    for g in ra:
+        assert abs(ra[g]["v_sum"] - sums[g]) < 1e-9
+        assert ra[g]["v_count"] == cnts[g]
+        assert abs(ra[g]["v_mean"] - sums[g] / cnts[g]) < 1e-12
+        assert ra[g]["w_min"] == 0
+        assert ra[g]["np_"] == 12   # union deduped to the distinct points
