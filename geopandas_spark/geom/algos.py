@@ -3296,76 +3296,106 @@ def _lineal_union(ga: GeometryArray, idx) -> GeometryArray:
         for p in ga.geom_slices(i):
             for r in p:
                 if len(r) >= 2:
-                    seglists.append(np.stack([r[:-1], r[1:]], axis=1))
+                    # snap to the canon quantum (the same 1e-9 grid the
+                    # piece keys round to) BEFORE noding: ulp-separated
+                    # near-collinear twins (y vs y+1e-15) otherwise pass
+                    # neither the exact denom==0 collinear-overlap split
+                    # nor the 0<t<1 crossing test, leaving a double-
+                    # counted overlap the dedupe can't see (8th fuzz
+                    # find: idempotence broke by the overlap length).
+                    rs = np.round(np.asarray(r, np.float64), 9)
+                    seglists.append(np.stack([rs[:-1], rs[1:]], axis=1))
     b = GeometryBuilder()
     if not seglists:
         b.append_empty(GT_MULTILINESTRING)
         return b.finish()
-    all_segs = np.concatenate(seglists, axis=0)
-    lens = np.array([len(s) for s in seglists])
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    # x-window bbox prefilter for the noding: per segment, only edges
-    # whose bbox can overlap are tested (the naive np.delete + full-array
-    # split was O(S^2) copies — 8k segments took 3.1 s; local road
-    # networks node near-linearly with the window)
-    bx0 = np.minimum(all_segs[:, 0, 0], all_segs[:, 1, 0])
-    bx1 = np.maximum(all_segs[:, 0, 0], all_segs[:, 1, 0])
-    by0 = np.minimum(all_segs[:, 0, 1], all_segs[:, 1, 1])
-    by1 = np.maximum(all_segs[:, 0, 1], all_segs[:, 1, 1])
-    xorder = np.argsort(bx0, kind="stable")
-    sbx0 = bx0[xorder]
-    wmax = float((bx1 - bx0).max()) if len(bx0) else 0.0
-
-    def _others_for(gidx):
-        lo = np.searchsorted(sbx0, bx0[gidx] - wmax, "left")
-        hi = np.searchsorted(sbx0, bx1[gidx], "right")
-        cand = xorder[lo:hi]
-        m = ((bx1[cand] >= bx0[gidx]) & (by0[cand] <= by1[gidx]) &
-             (by1[cand] >= by0[gidx]) & (cand != gidx))
-        return all_segs[cand[m]]
 
     def canon(p):
         return (round(float(p[0]), 9), round(float(p[1]), 9))
 
-    seen = set()
-    pieces = []
-    chain = None
+    def _pass(seglists):
+        all_segs = np.concatenate(seglists, axis=0)
+        lens = np.array([len(s) for s in seglists])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # x-window bbox prefilter for the noding: per segment, only edges
+        # whose bbox can overlap are tested (the naive np.delete +
+        # full-array split was O(S^2) copies — 8k segments took 3.1 s;
+        # local road networks node near-linearly with the window)
+        bx0 = np.minimum(all_segs[:, 0, 0], all_segs[:, 1, 0])
+        bx1 = np.maximum(all_segs[:, 0, 0], all_segs[:, 1, 0])
+        by0 = np.minimum(all_segs[:, 0, 1], all_segs[:, 1, 1])
+        by1 = np.maximum(all_segs[:, 0, 1], all_segs[:, 1, 1])
+        xorder = np.argsort(bx0, kind="stable")
+        sbx0 = bx0[xorder]
+        wmax = float((bx1 - bx0).max()) if len(bx0) else 0.0
 
-    def flush():
-        nonlocal chain
-        if chain is not None and len(chain) >= 2:
-            pieces.append(np.asarray(chain, dtype=np.float64))
+        def _others_for(gidx):
+            lo = np.searchsorted(sbx0, bx0[gidx] - wmax, "left")
+            hi = np.searchsorted(sbx0, bx1[gidx], "right")
+            cand = xorder[lo:hi]
+            m = ((bx1[cand] >= bx0[gidx]) & (by0[cand] <= by1[gidx]) &
+                 (by1[cand] >= by0[gidx]) & (cand != gidx))
+            return all_segs[cand[m]]
+
+        seen = set()
+        pieces = []
         chain = None
 
-    for pi, segs in enumerate(seglists):
-        flush()
-        for k in range(len(segs)):
-            gidx = starts[pi] + k
-            others = _others_for(gidx)
-            p0, p1 = segs[k][0], segs[k][1]
-            if len(others):
-                subs = _split_segment_by_edges(p0, p1,
-                                               others[:, 0], others[:, 1])
-            else:
-                subs = [segs[k]]
-            for si, sub in enumerate(subs):
-                a, b2 = canon(sub[0]), canon(sub[1])
-                if a == b2:
-                    continue
-                key = (a, b2) if a <= b2 else (b2, a)
-                dup = key in seen
-                seen.add(key)
-                if si > 0:      # noding split point: always a break
-                    flush()
-                if dup:
-                    flush()
-                    continue
-                if chain is None:
-                    chain = [sub[0], sub[1]]
+        def flush():
+            nonlocal chain
+            if chain is not None and len(chain) >= 2:
+                pieces.append(np.asarray(chain, dtype=np.float64))
+            chain = None
+
+        for pi, segs in enumerate(seglists):
+            flush()
+            for k in range(len(segs)):
+                gidx = starts[pi] + k
+                others = _others_for(gidx)
+                p0, p1 = segs[k][0], segs[k][1]
+                if len(others):
+                    subs = _split_segment_by_edges(p0, p1, others[:, 0],
+                                                   others[:, 1])
                 else:
-                    chain.append(sub[1])
+                    subs = [segs[k]]
+                for si, sub in enumerate(subs):
+                    a, b2 = canon(sub[0]), canon(sub[1])
+                    if a == b2:
+                        continue
+                    key = (a, b2) if a <= b2 else (b2, a)
+                    dup = key in seen
+                    seen.add(key)
+                    if si > 0:      # noding split point: always a break
+                        flush()
+                    if dup:
+                        flush()
+                        continue
+                    if chain is None:
+                        chain = [sub[0], sub[1]]
+                    else:
+                        chain.append(sub[1])
+            flush()
         flush()
-    flush()
+        return pieces
+
+    # snap-rounding iteration: a pass over ON-GRID segments whose output
+    # is still on-grid is a fixed point (collinear overlaps of on-grid
+    # segments split at on-grid endpoints and dedupe by key; off-grid
+    # coords only arise from transversal crossing points). When crossings
+    # at sub-quantum angles mint off-grid split points, snapping them can
+    # create collinear overlaps the pass couldn't see — re-node until the
+    # output sits on the grid (real data: 1 pass; quantum-scale
+    # adversarial input: 2-3; hard cap keeps worst cases bounded).
+    pieces = _pass(seglists)
+    for _ in range(3):
+        if not pieces:
+            break
+        flat = np.concatenate([p.ravel() for p in pieces])
+        snapped = np.round(flat, 9)
+        if np.array_equal(flat, snapped):
+            break
+        pieces = _pass([np.stack([q[:-1], q[1:]], axis=1)
+                        for q in (np.round(p, 9) for p in pieces)])
     if not pieces:
         b.append_empty(GT_MULTILINESTRING)
     elif len(pieces) == 1:
