@@ -1031,3 +1031,55 @@ def test_mixed_union_matches_per_dimension_twins(seed, npoly, nline, npt):
     parts, _par, _ = algos.get_parts(mixed)
     got = int((parts.types == 1).sum())
     assert got == want, (got, want)
+
+
+@given(_wkt_rows(), st_.booleans())
+@settings(max_examples=40, deadline=None)
+def test_wkb_big_endian_decode_equals_little_endian(rows, flip_ring):
+    """r6 fuzz target for the big-endian decode paths: byte-swapping any
+    subset of a mixed batch to big-endian WKB (headers, counts, and
+    coordinate doubles all reversed, as JTS/GeoTools/PostGIS-XDR emit)
+    must decode to the identical GeometryArray through BOTH the
+    vectorized bucket parse and the per-row fallback."""
+    import struct
+
+    def to_be(b):
+        if b is None:
+            return None
+        # rewrite a little-endian simple geometry big-endian; non-simple
+        # rows (multi-part, empties as NaN points) handled by the
+        # recursive reference: just flip points/linestrings/polygons,
+        # leave others LE (mixed batches are the real-world case anyway)
+        t = b[1] if b[0] == 1 else None
+        if t == 1 and len(b) == 21:
+            x, y = struct.unpack_from("<dd", b, 5)
+            return b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", x, y)
+        if t == 2 and len(b) >= 25:
+            (n,) = struct.unpack_from("<I", b, 5)
+            cs = struct.unpack_from(f"<{2*n}d", b, 9)
+            return (b"\x00" + struct.pack(">I", 2) + struct.pack(">I", n)
+                    + struct.pack(f">{2*n}d", *cs))
+        if t == 3 and len(b) >= 29:
+            (nr,) = struct.unpack_from("<I", b, 5)
+            if nr != 1:
+                return b
+            (n,) = struct.unpack_from("<I", b, 9)
+            cs = struct.unpack_from(f"<{2*n}d", b, 13)
+            return (b"\x00" + struct.pack(">I", 3) + struct.pack(">II", 1, n)
+                    + struct.pack(f">{2*n}d", *cs))
+        return b
+
+    arr = np.array([r for r in rows], dtype=object)
+    ga = wkt.parse_array(arr)
+    bts = wkb.encode(ga)
+    # flip alternating (or all) rows to BE: buckets end up mixed-endian
+    mixed = [to_be(b) if (b is not None and (flip_ring or i % 2 == 0))
+             else b for i, b in enumerate(bts)]
+    g_le = wkb.decode(bts)
+    g_be = wkb.decode(mixed)
+    g_fb = wkb._decode_fallback(mixed)
+    for other in (g_be, g_fb):
+        for name in ("types", "geom_offsets", "part_offsets",
+                     "ring_offsets"):
+            assert np.array_equal(getattr(g_le, name), getattr(other, name))
+        assert np.array_equal(g_le.coords, other.coords, equal_nan=True)
