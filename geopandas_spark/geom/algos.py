@@ -3474,6 +3474,54 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
     empty = ga.is_empty()
     idx = [i for i in range(len(ga)) if ga.types[i] != GT_MISSING
            and not empty[i]]
+    # byte-identical row dedupe (union is idempotent, so dropping exact
+    # duplicates cannot change the result). Stacked duplicates are the
+    # dissolve phase-2 shape — the same input geometry re-surfaces in
+    # partials from many partitions — and each k-stack minted k^2/2 bbox
+    # pairs, blowing past PAIR_CAP and fusing everything into ONE sweep
+    # (measured: the 600k-box stress dissolve spent ~5.6 of 6.5 s there).
+    # Key = exact bounds + coord count via one lexsort; candidate runs
+    # verify with exact coord-slice comparison, so distinct geometries
+    # sharing a bbox are never merged.
+    dropped_dups = False
+    if len(idx) > 1:
+        ii0 = np.asarray(idx)
+        co = ga.coord_offsets_per_geom()
+        cpr = ga.coords_per_ring()
+        rpg = ga.rings_per_geom()
+        rstart = ga.part_offsets[ga.geom_offsets]
+        kb = bb[ii0]
+        nc = (co[1:] - co[:-1])[ii0]
+        order0 = np.lexsort((rpg[ii0], nc,
+                             kb[:, 3], kb[:, 2], kb[:, 1], kb[:, 0]))
+        kbo = kb[order0]
+        same = np.zeros(len(ii0), dtype=bool)
+        same[1:] = ((kbo[1:] == kbo[:-1]).all(axis=1) &
+                    (nc[order0][1:] == nc[order0][:-1]) &
+                    (rpg[ii0][order0][1:] == rpg[ii0][order0][:-1]) &
+                    np.isfinite(kbo[1:]).all(axis=1))
+        if same.any():
+            keep = np.ones(len(ii0), dtype=bool)
+            starts_r = np.nonzero(~same)[0]
+            ends_r = np.append(starts_r[1:], len(ii0))
+            C = ga.coords
+            for s, t in zip(starts_r, ends_r):
+                if t - s < 2:
+                    continue
+                reps = []   # distinct (ring-length seq, coords) in the run
+                for k in range(s, t):
+                    gi = int(ii0[order0[k]])
+                    ck = C[co[gi]:co[gi + 1]]
+                    rl = cpr[rstart[gi]:rstart[gi] + rpg[gi]]
+                    for rr, rc in reps:
+                        if np.array_equal(rl, rr) and np.array_equal(ck, rc):
+                            keep[order0[k]] = False
+                            break
+                    else:
+                        reps.append((rl, ck))
+            if not keep.all():
+                idx = [int(v) for v in ii0[keep]]
+                dropped_dups = True
     n = len(idx)
     uf = list(range(n))
 
@@ -3542,14 +3590,48 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
                 # pair (dissolve partials) took minutes for ~500 pairs —
                 # heavy pairs stay conservatively joined instead
                 cpg = ga.coords_per_geom()
+                co_g = ga.coord_offsets_per_geom()
+                rpg_g = ga.rings_per_geom()
+                C_g = ga.coords
+                rect_cache = {}
+
+                def _isrect(gi):
+                    # geometry == its own bbox (axis-aligned rectangle):
+                    # the already-verified bbox overlap IS the exact
+                    # intersection test, so skip _pair_intersects — the
+                    # dissolve merge phase is wall-to-wall boxes and the
+                    # exact filter was ~half its union_all time
+                    v = rect_cache.get(gi)
+                    if v is None:
+                        v = False
+                        if cpg[gi] == 5 and rpg_g[gi] == 1:
+                            c5 = C_g[co_g[gi]:co_g[gi] + 5]
+                            bx = bb[gi]
+                            if (c5[0, 0] == c5[4, 0] and
+                                    c5[0, 1] == c5[4, 1]):
+                                pts = {(c5[k, 0], c5[k, 1])
+                                       for k in range(4)}
+                                v = pts == {(bx[0], bx[1]), (bx[2], bx[1]),
+                                            (bx[2], bx[3]), (bx[0], bx[3])}
+                        rect_cache[gi] = v
+                    return v
+
                 pairs = [(a, c) for a, c in pairs
                          if cpg[idx[a]] * cpg[idx[c]] > 250_000
+                         or (_isrect(idx[a]) and _isrect(idx[c]))
                          or _pair_intersects(ga, idx[a], ga, idx[c])]
             for a, c in pairs:
                 ra, rc = find(a), find(c)
                 if ra != rc:
                     uf[rc] = ra
     if not pairs:
+        # after a dedupe, collect only the surviving rows — collect(ga)
+        # would resurrect the dropped duplicates; a single survivor
+        # returns as itself (GEOS: unary_union of k identical geometries
+        # is the geometry, not a 1-part MULTI)
+        if dropped_dups:
+            return (ga.take(np.asarray(idx)) if len(idx) == 1
+                    else collect(ga.take(np.asarray(idx))))
         return collect(ga)
     if singles == {GT_LINESTRING}:
         return _lineal_union(ga, idx)
