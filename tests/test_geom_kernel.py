@@ -1654,3 +1654,40 @@ class TestMixedCollect:
         s = gj.format_array(g)
         back = gj.parse_array(s)
         assert wkt.format_array(back) == wkt.format_array(g)
+
+
+def test_union_all_dedupe_same_bbox_distinct_geoms():
+    """r6 insurance for the byte-identical row dedupe in union_all: rows
+    sharing an identical bbox AND coord count but with different
+    coordinates (square vs wedge on the same corners) must NOT be
+    conflated; true duplicates (including k-stacks) must collapse to one
+    contribution; a deduped set whose survivors are disjoint must collect
+    only the survivors (the empty-pairs shortcut)."""
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    wedge = "POLYGON ((0 0, 10 0, 10 10, 5 5, 0 0))"  # same bbox, 5 pts
+    far = "POLYGON ((100 0, 110 0, 110 10, 100 10, 100 0))"
+    # same-bbox distinct shapes + stacks of each: union == square (wedge
+    # is inside it), never 75 or 175
+    u = algos.union_all(ga_from_wkt(sq, wedge, sq, wedge, sq))
+    assert algos.area(u)[0] == 100.0
+    # disjoint survivors after dedupe: 2 parts, not 5
+    u2 = algos.union_all(ga_from_wkt(sq, far, sq, far, sq))
+    assert algos.area(u2)[0] == 200.0
+    assert algos.count_geometries(u2)[0] == 2
+    # all-identical stack of a holed polygon keeps the hole
+    holed = ("POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), "
+             "(4 4, 8 4, 8 8, 4 8, 4 4))")
+    u3 = algos.union_all(ga_from_wkt(holed, holed, holed))
+    assert algos.area(u3)[0] == 128.0
+    # 40x stack of 200 distinct overlapping boxes == union of distinct
+    import numpy as np
+
+    from geopandas_spark.geom.array import boxes_from_bounds
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 100, 200); y = rng.uniform(0, 100, 200)
+    g1 = boxes_from_bounds(x, y, x + 8, y + 8)
+    xs = np.tile(x, 40); ys = np.tile(y, 40)
+    g40 = boxes_from_bounds(xs, ys, xs + 8, ys + 8)
+    a1 = float(algos.area(algos.union_all(g1))[0])
+    a40 = float(algos.area(algos.union_all(g40))[0])
+    assert abs(a1 - a40) < 1e-9
