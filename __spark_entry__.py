@@ -619,6 +619,107 @@ FROM customer
 """
 
 
+_EPSG_NATL_REGIONS = [
+    # (code, lon_base, lon_span, lat_base, lat_span,
+    #  anchor_lon, anchor_lat, anchor_e, anchor_n)
+    (5186, 126.8, 1.2, 33.1, 5.5, 127.0, 38.0, 200000.0, 600000.0),
+    (2039, 34.3, 1.5, 29.5, 3.6, 35.0 + 12.0 / 60 + 16.261 / 3600,
+     31.0 + 44.0 / 60 + 3.817 / 3600, 219529.584, 626907.39),
+    (3346, 21.0, 5.8, 53.9, 2.5, 24.0, 0.0, 500000.0, 0.0),
+    (3414, 103.6, 0.5, 1.15, 0.35, 103.0 + 50.0 / 60,
+     1.0 + 22.0 / 60 + 2.9154 / 3600, 28001.642, 38744.572),
+    (3301, 21.8, 6.3, 57.5, 2.2, 24.0,
+     57.0 + 31.0 / 60 + 3.19415 / 3600, 500000.0, 6375000.0),
+    (3416, 9.5, 7.6, 46.4, 2.6, 13.0 + 20.0 / 60, 47.5,
+     400000.0, 400000.0),
+    # POSGAR 98 faja 5 (GK from the south pole): origin degenerates at
+    # the pole, so the anchor is (CM, equator) -> (FE, quarter meridian)
+    # — 10001965.7292 is the GRS80 quarter meridian, exact in the
+    # closed-form meridian arc
+    (22175, -61.4, 2.7, -41.0, 14.0, -60.0, 0.0,
+     5500000.0, 10001965.7292),
+]
+
+
+def q_to_crs_natl(spark, sf_dir):
+    """to_crs through the r6 national data-table codes (geom/crs.py
+    _NATL_TM + Estonia/Austria LCC + POSGAR ranges): Korea 2000 Central
+    Belt (5186), Israeli TM Grid (2039, k0 1.0000067), LKS94 (3346),
+    SVY21 Singapore (3414), L-EST97 (3301, LCC-2SP), Austria Lambert
+    (3416), POSGAR 98 faja 5 (22175, Gauss-Krüger from the south pole).
+    Oracle = round-trip identity over each code's home region plus a
+    projection anchor computed THROUGH to_crs (origin -> (FE, FN) for
+    the TM/LCC codes; (CM, equator) -> (FE, quarter meridian) for
+    POSGAR). Same technique as q_to_crs_jp_spcs."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    sel = (k % 7).cast("int")
+    u = (k % 90).cast("double") / F.lit(90.0)
+    v = ((k * 11) % 90).cast("double") / F.lit(90.0)
+    lon = F.lit(0.0)
+    lat = F.lit(0.0)
+    for j, (code, lo0, spx, la0, spy, *_a) in \
+            enumerate(_EPSG_NATL_REGIONS):
+        lon = F.when(sel == j, F.lit(lo0) + u * F.lit(spx)).otherwise(lon)
+        lat = F.when(sel == j, F.lit(la0) + v * F.lit(spy)).otherwise(lat)
+    g = st.point(lon, lat)
+    back = g
+    ax = F.lit(0.0)
+    ay = F.lit(0.0)
+    for j, (code, lo0, spx, la0, spy, alon, alat, ae_, an_) in \
+            enumerate(_EPSG_NATL_REGIONS):
+        crs = f"EPSG:{code}"
+        rt = st.to_crs(st.to_crs(g, "EPSG:4326", crs), crs, "EPSG:4326")
+        back = F.when(sel == j, rt).otherwise(back)
+        ap = st.to_crs(st.point(F.lit(alon), F.lit(alat)), "EPSG:4326", crs)
+        ax = F.when(sel == j, st.x(ap)).otherwise(ax)
+        ay = F.when(sel == j, st.y(ap)).otherwise(ay)
+    return c.select(
+        k.alias("id"),
+        F.round(st.x(back), 5).alias("rlon"),
+        F.round(st.y(back), 5).alias("rlat"),
+        (F.round(ax, 4) + F.lit(0.0)).alias("anchor_e"),
+        (F.round(ay, 4) + F.lit(0.0)).alias("anchor_n"))
+
+
+SQL_TO_CRS_NATL = """
+SELECT c_custkey AS id,
+       ROUND(CASE c_custkey % 7
+         WHEN 0 THEN 126.8 + (c_custkey % 90) / 90.0 * 1.2
+         WHEN 1 THEN 34.3 + (c_custkey % 90) / 90.0 * 1.5
+         WHEN 2 THEN 21.0 + (c_custkey % 90) / 90.0 * 5.8
+         WHEN 3 THEN 103.6 + (c_custkey % 90) / 90.0 * 0.5
+         WHEN 4 THEN 21.8 + (c_custkey % 90) / 90.0 * 6.3
+         WHEN 5 THEN 9.5 + (c_custkey % 90) / 90.0 * 7.6
+         ELSE -61.4 + (c_custkey % 90) / 90.0 * 2.7 END, 5) AS rlon,
+       ROUND(CASE c_custkey % 7
+         WHEN 0 THEN 33.1 + (c_custkey * 11 % 90) / 90.0 * 5.5
+         WHEN 1 THEN 29.5 + (c_custkey * 11 % 90) / 90.0 * 3.6
+         WHEN 2 THEN 53.9 + (c_custkey * 11 % 90) / 90.0 * 2.5
+         WHEN 3 THEN 1.15 + (c_custkey * 11 % 90) / 90.0 * 0.35
+         WHEN 4 THEN 57.5 + (c_custkey * 11 % 90) / 90.0 * 2.2
+         WHEN 5 THEN 46.4 + (c_custkey * 11 % 90) / 90.0 * 2.6
+         ELSE -41.0 + (c_custkey * 11 % 90) / 90.0 * 14.0 END, 5) AS rlat,
+       ROUND(CASE c_custkey % 7
+         WHEN 0 THEN 200000.0
+         WHEN 1 THEN 219529.584
+         WHEN 2 THEN 500000.0
+         WHEN 3 THEN 28001.642
+         WHEN 4 THEN 500000.0
+         WHEN 5 THEN 400000.0
+         ELSE 5500000.0 END, 4) AS anchor_e,
+       ROUND(CASE c_custkey % 7
+         WHEN 0 THEN 600000.0
+         WHEN 1 THEN 626907.39
+         WHEN 2 THEN 0.0
+         WHEN 3 THEN 38744.572
+         WHEN 4 THEN 6375000.0
+         WHEN 5 THEN 400000.0
+         ELSE 10001965.7292 END, 4) AS anchor_n
+FROM customer
+"""
+
+
 def q_gc_setops(spark, sf_dir):
     """Set ops with GEOMETRYCOLLECTION operands (engine r5; reference
     base.py:4762, GEOS OverlayNG GC input). Per customer:
@@ -4403,6 +4504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new round-6 queries (inserted as built, at the head)
         "m_coords": q_m_coords,
         "to_crs_jp_spcs": q_to_crs_jp_spcs,
+        "to_crs_natl": q_to_crs_natl,
         # (c) previously-stamped green queries
         "concat_cx": q_concat_cx,
         "densify_distances": q_densify_distances,
@@ -4564,6 +4666,7 @@ def oracle_sql() -> dict[str, str]:
         "z_coords": SQL_Z_COORDS,
         "m_coords": SQL_M_COORDS,
         "to_crs_jp_spcs": SQL_TO_CRS_JP_SPCS,
+        "to_crs_natl": SQL_TO_CRS_NATL,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
         "to_crs_bng": SQL_TO_CRS_BNG,

@@ -834,7 +834,56 @@ def _proj_def(crs: str):
                         "sp1": 64.25, "sp2": 65.75,
                         "fe": 500000.0, "fn": 500000.0},
                 "GRS80", None)
+    if code in _NATL_TM:            # r6 table: national TM grids
+        lat0, lon0, k0, fe, fn, ell = _NATL_TM[code]
+        a_, f_ = _ELLPS[ell]
+        return ("tm", {"a": a_, "f": f_, "lon0": lon0, "lat0": lat0,
+                       "k0": k0, "fe": fe, "fn": fn}, ell, None)
+    if code == 3301:                # Estonia L-EST97 (GRS80 LCC-2SP)
+        a_, f_ = _ELLPS["GRS80"]
+        return ("lcc", {"a": a_, "f": f_,
+                        "lat0": 57.0 + 31.0 / 60 + 3.19415 / 3600,
+                        "lon0": 24.0, "sp1": 59.0 + 20.0 / 60, "sp2": 58.0,
+                        "fe": 500000.0, "fn": 6375000.0},
+                "GRS80", None)
+    if code == 3416:                # ETRS89 / Austria Lambert
+        a_, f_ = _ELLPS["GRS80"]
+        return ("lcc", {"a": a_, "f": f_, "lat0": 47.5,
+                        "lon0": 13.0 + 20.0 / 60, "sp1": 49.0, "sp2": 46.0,
+                        "fe": 400000.0, "fn": 400000.0},
+                "GRS80", None)
+    if 22171 <= code <= 22177 or 22181 <= code <= 22187:
+        # POSGAR 98 (22171-7) / POSGAR 94 (22181-7) Argentina fajas 1-7:
+        # GK from the SOUTH POLE (lat0 -90), CM -72..-54 by 3 degrees,
+        # FE = faja*1e6 + 500000, FN 0; both datums WGS84-equivalent
+        faja = code - (22170 if code <= 22177 else 22180)
+        a_, f_ = _ELLPS["GRS80" if code <= 22177 else "WGS84"]
+        return ("tm", {"a": a_, "f": f_, "lat0": -90.0,
+                       "lon0": -72.0 + 3.0 * (faja - 1), "k0": 1.0,
+                       "fe": faja * 1e6 + 500000.0, "fn": 0.0},
+                "GRS80" if code <= 22177 else "WGS84", None)
     return None
+
+
+# r6 national TM grids (registry data, not zone arithmetic):
+# code -> (lat0, lon0, k0, FE, FN, ellipsoid), no datum shift
+_NATL_TM = {
+    # Korea 2000 belts (2010 axes): West / Central / East / East Sea
+    5185: (38.0, 125.0, 1.0, 200000.0, 600000.0, "GRS80"),
+    5186: (38.0, 127.0, 1.0, 200000.0, 600000.0, "GRS80"),
+    5187: (38.0, 129.0, 1.0, 200000.0, 600000.0, "GRS80"),
+    5188: (38.0, 131.0, 1.0, 200000.0, 600000.0, "GRS80"),
+    # Israeli TM Grid (ITM)
+    2039: (31.0 + 44.0 / 60 + 3.817 / 3600,
+           35.0 + 12.0 / 60 + 16.261 / 3600,
+           1.0000067, 219529.584, 626907.390, "GRS80"),
+    # Baltic national grids
+    3346: (0.0, 24.0, 0.9998, 500000.0, 0.0, "GRS80"),       # LKS94 LT
+    3059: (0.0, 24.0, 0.9996, 500000.0, -6000000.0, "GRS80"),  # LKS92 LV
+    # SVY21 / Singapore TM
+    3414: (1.0 + 22.0 / 60 + 2.9154 / 3600, 103.0 + 50.0 / 60,
+           1.0, 28001.642, 38744.572, "WGS84"),
+}
 
 
 # ETRS89-family national TM grids: code -> (lat0, lon0, k0, FE, FN), all

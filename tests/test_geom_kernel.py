@@ -1691,3 +1691,62 @@ def test_union_all_dedupe_same_bbox_distinct_geoms():
     a1 = float(algos.area(algos.union_all(g1))[0])
     a40 = float(algos.area(algos.union_all(g40))[0])
     assert abs(a1 - a40) < 1e-9
+
+
+def test_crs_r6_national_tables():
+    """r6 registry additions (geom/crs.py _NATL_TM + Estonia/Austria LCC
+    + POSGAR ranges): Korea 2000 belts, Israeli TM Grid, LKS94/LKS92,
+    SVY21, L-EST97, Austria Lambert, Argentina POSGAR fajas. Anchors:
+    projection origin -> (FE, FN) exact in the closed forms; POSGAR
+    faja-5 Buenos Aires against the published ~(5648.6 km, 6170.6 km)
+    grid values; 1e-7-deg round-trip closure on every code."""
+    import numpy as np
+
+    from geopandas_spark.geom import crs
+
+    for lonlat, code, exp in [
+            ((125.0, 38.0), "EPSG:5185", (200000.0, 600000.0)),
+            ((127.0, 38.0), "EPSG:5186", (200000.0, 600000.0)),
+            ((129.0, 38.0), "EPSG:5187", (200000.0, 600000.0)),
+            ((131.0, 38.0), "EPSG:5188", (200000.0, 600000.0)),
+            ((35.0 + 12 / 60 + 16.261 / 3600,
+              31.0 + 44 / 60 + 3.817 / 3600), "EPSG:2039",
+             (219529.584, 626907.390)),
+            ((24.0, 0.0), "EPSG:3346", (500000.0, 0.0)),
+            ((24.0, 0.0), "EPSG:3059", (500000.0, -6000000.0)),
+            ((103.0 + 50 / 60, 1.0 + 22 / 60 + 2.9154 / 3600),
+             "EPSG:3414", (28001.642, 38744.572)),
+            ((24.0, 57.0 + 31 / 60 + 3.19415 / 3600), "EPSG:3301",
+             (500000.0, 6375000.0)),
+            ((13.0 + 20 / 60, 47.5), "EPSG:3416", (400000.0, 400000.0))]:
+        out = crs.transform_coords(np.array([lonlat]), "EPSG:4326", code)
+        assert abs(out[0, 0] - exp[0]) < 1e-6, code
+        assert abs(out[0, 1] - exp[1]) < 1e-6, code
+
+    # POSGAR faja 5 (CM -60, FE 5.5M, from the south pole): Buenos Aires
+    ba = crs.transform_coords(np.array([[-58.38, -34.60]]),
+                              "EPSG:4326", "EPSG:22175")
+    assert abs(ba[0, 0] - 5648610) < 2000 and abs(ba[0, 1] - 6170554) < 2000
+    # POSGAR 94 twin (same axes, WGS84 ellipsoid): sub-mm from POSGAR 98
+    ba94 = crs.transform_coords(np.array([[-58.38, -34.60]]),
+                                "EPSG:4326", "EPSG:22185")
+    assert np.abs(ba94 - ba).max() < 1e-2
+
+    rng = np.random.default_rng(7)
+    for code, lo, hi, la, lb in [
+            ("EPSG:5185", 124.5, 126.0, 33.0, 39.5),
+            ("EPSG:5188", 130.0, 132.0, 35.0, 39.5),
+            ("EPSG:2039", 34.2, 35.9, 29.4, 33.3),
+            ("EPSG:3346", 20.9, 26.9, 53.9, 56.5),
+            ("EPSG:3059", 20.9, 28.3, 55.6, 58.1),
+            ("EPSG:3414", 103.6, 104.1, 1.1, 1.5),
+            ("EPSG:3301", 21.7, 28.2, 57.5, 59.7),
+            ("EPSG:3416", 9.5, 17.2, 46.4, 49.1),
+            ("EPSG:22171", -72.5, -70.6, -55.0, -22.0),
+            ("EPSG:22177", -55.4, -53.6, -35.0, -25.0),
+            ("EPSG:22185", -61.4, -58.6, -41.0, -26.0)]:
+        pts = np.column_stack([rng.uniform(lo, hi, 40),
+                               rng.uniform(la, lb, 40)])
+        back = crs.transform_coords(
+            crs.transform_coords(pts, "EPSG:4326", code), code, "EPSG:4326")
+        assert np.abs(back - pts).max() < 1e-7, code
