@@ -3474,51 +3474,87 @@ def union_all(ga: GeometryArray, method: str = "unary") -> GeometryArray:
     empty = ga.is_empty()
     idx = [i for i in range(len(ga)) if ga.types[i] != GT_MISSING
            and not empty[i]]
-    # byte-identical row dedupe (union is idempotent, so dropping exact
-    # duplicates cannot change the result). Stacked duplicates are the
-    # dissolve phase-2 shape — the same input geometry re-surfaces in
-    # partials from many partitions — and each k-stack minted k^2/2 bbox
-    # pairs, blowing past PAIR_CAP and fusing everything into ONE sweep
-    # (measured: the 600k-box stress dissolve spent ~5.6 of 6.5 s there).
-    # Key = exact bounds + coord count via one lexsort; candidate runs
-    # verify with exact coord-slice comparison, so distinct geometries
-    # sharing a bbox are never merged.
+    # canon-quantum row dedupe (union is idempotent, and two rows whose
+    # every coordinate agrees within a few 1e-9 canon quanta are the
+    # SAME geometry at the kernel's resolution — the tracer rounds
+    # vertices to that grid, so sub-quantum-separated near-coincident
+    # boundaries are ambiguous for the sweep: 1e-9-jittered duplicate
+    # boxes traced as shell+hole net-zero or double-counted area, 9th
+    # fuzz find). Stacked duplicates are also the dissolve phase-2
+    # shape, where each k-stack minted k^2/2 bbox pairs, blowing past
+    # PAIR_CAP and fusing everything into ONE sweep (~5.6 of 6.5 s of
+    # the 600k-box stress dissolve). Candidates come from an x0-sorted
+    # tolerance window with vectorized bound/size rejection; a
+    # candidate is dropped only when ring structure matches exactly and
+    # max|coord delta| <= TOL, so distinct geometries sharing a bbox
+    # never conflate. Dropping changes the union by <= perimeter*TOL.
+    # LINES keep exact-only dedupe (TOL 0): two parallel lines 1e-9
+    # apart are distinct per GEOS (both lengths count) and the lineal
+    # kernel resolves at the 1e-9 canon grid — a coarser row TOL made
+    # union-of-own-parts non-idempotent (hypothesis-found).
+    TOL = 4e-9 if singles == {GT_POLYGON} else 0.0
     dropped_dups = False
     if len(idx) > 1:
         ii0 = np.asarray(idx)
         co = ga.coord_offsets_per_geom()
         cpr = ga.coords_per_ring()
-        rpg = ga.rings_per_geom()
+        rpg_a = ga.rings_per_geom()
         rstart = ga.part_offsets[ga.geom_offsets]
         kb = bb[ii0]
-        nc = (co[1:] - co[:-1])[ii0]
-        order0 = np.lexsort((rpg[ii0], nc,
-                             kb[:, 3], kb[:, 2], kb[:, 1], kb[:, 0]))
-        kbo = kb[order0]
-        same = np.zeros(len(ii0), dtype=bool)
-        same[1:] = ((kbo[1:] == kbo[:-1]).all(axis=1) &
-                    (nc[order0][1:] == nc[order0][:-1]) &
-                    (rpg[ii0][order0][1:] == rpg[ii0][order0][:-1]) &
-                    np.isfinite(kbo[1:]).all(axis=1))
-        if same.any():
+        nc = co[ii0 + 1] - co[ii0]
+        order0 = np.argsort(kb[:, 0], kind="stable")
+        x0s = kb[order0, 0]
+        m0 = len(ii0)
+        if bool((np.diff(x0s) <= TOL).any()):
             keep = np.ones(len(ii0), dtype=bool)
-            starts_r = np.nonzero(~same)[0]
-            ends_r = np.append(starts_r[1:], len(ii0))
             C = ga.coords
-            for s, t in zip(starts_r, ends_r):
-                if t - s < 2:
+            his = np.searchsorted(x0s, x0s + TOL, side="right")
+            cnt = his - np.arange(1, m0 + 1)
+            np.maximum(cnt, 0, out=cnt)
+            tot = int(cnt.sum())
+            if tot <= 30_000_000:
+                # phase A, fully batched (one flattened window build +
+                # one mask): surviving candidate pairs are the rare
+                # genuine near-dups; a per-row numpy loop here cost
+                # 0.5 s on 30k grid tiles sharing exact x0 columns
+                aa = np.repeat(np.arange(m0), cnt)
+                cc = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(np.cumsum(cnt) - cnt, cnt)) + aa + 1
+                oa, oc = order0[aa], order0[cc]
+                pm = ((nc[oc] == nc[oa]) &
+                      (np.abs(kb[oc, 1] - kb[oa, 1]) <= TOL) &
+                      (np.abs(kb[oc, 2] - kb[oa, 2]) <= TOL) &
+                      (np.abs(kb[oc, 3] - kb[oa, 3]) <= TOL))
+                cand_pairs = zip(oa[pm].tolist(), oc[pm].tolist())
+            else:
+                def _gen():
+                    for k in range(m0):
+                        if his[k] <= k + 1:
+                            continue
+                        ok = order0[k]
+                        for oj in order0[k + 1:his[k]]:
+                            if (nc[oj] == nc[ok] and
+                                abs(kb[oj, 1] - kb[ok, 1]) <= TOL and
+                                abs(kb[oj, 2] - kb[ok, 2]) <= TOL and
+                                    abs(kb[oj, 3] - kb[ok, 3]) <= TOL):
+                                yield ok, oj
+                cand_pairs = _gen()
+            # phase B: keep-aware exact verification, k-major order so
+            # each stack collapses onto its first-seen representative
+            for ok, oj in cand_pairs:
+                if not keep[ok] or not keep[oj]:
                     continue
-                reps = []   # distinct (ring-length seq, coords) in the run
-                for k in range(s, t):
-                    gi = int(ii0[order0[k]])
-                    ck = C[co[gi]:co[gi + 1]]
-                    rl = cpr[rstart[gi]:rstart[gi] + rpg[gi]]
-                    for rr, rc in reps:
-                        if np.array_equal(rl, rr) and np.array_equal(ck, rc):
-                            keep[order0[k]] = False
-                            break
-                    else:
-                        reps.append((rl, ck))
+                gi, gj = int(ii0[ok]), int(ii0[oj])
+                if rpg_a[gi] != rpg_a[gj]:
+                    continue
+                rli = cpr[rstart[gi]:rstart[gi] + rpg_a[gi]]
+                rlj = cpr[rstart[gj]:rstart[gj] + rpg_a[gj]]
+                if not np.array_equal(rli, rlj):
+                    continue
+                ci = C[co[gi]:co[gi + 1]]
+                cj = C[co[gj]:co[gj + 1]]
+                if np.abs(ci - cj).max() <= TOL:   # NaN -> keep both
+                    keep[oj] = False
             if not keep.all():
                 idx = [int(v) for v in ii0[keep]]
                 dropped_dups = True

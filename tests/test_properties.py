@@ -1083,3 +1083,42 @@ def test_wkb_big_endian_decode_equals_little_endian(rows, flip_ring):
                      "ring_offsets"):
             assert np.array_equal(getattr(g_le, name), getattr(other, name))
         assert np.array_equal(g_le.coords, other.coords, equal_nan=True)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(2, 60),
+       st_.integers(1, 20), st_.sampled_from([0.0, 1e-12, 1e-9]))
+@settings(max_examples=40, deadline=None)
+def test_polygon_union_stacked_duplicates_and_jitter(seed, n, dup, eps):
+    """r6 fuzz target for the union-row dedupe + component machinery:
+    union of n random boxes must be invariant (to area tolerance ~
+    perimeter*eps) under (a) k-fold duplication of every row, (b)
+    sub-quantum jitter on the duplicates, (c) permutation; and the
+    result must be idempotent on its own parts."""
+    from geopandas_spark.geom.array import boxes_from_bounds
+
+    rng = np.random.default_rng(seed)
+    x0 = rng.uniform(0, 200, n)
+    y0 = rng.uniform(0, 200, n)
+    w = rng.uniform(2, 30, n)
+    h = rng.uniform(2, 30, n)
+    base = boxes_from_bounds(x0, y0, x0 + w, y0 + h)
+    a_base = float(algos.area(algos.union_all(base))[0])
+    tol = max(1e-9, 4.0 * float((w + h).sum()) * dup * eps)
+
+    xs = np.tile(x0, dup) + eps * rng.integers(0, 2, n * dup)
+    ys = np.tile(y0, dup) + eps * rng.integers(0, 2, n * dup)
+    stacked = boxes_from_bounds(xs, ys, xs + np.tile(w, dup),
+                                ys + np.tile(h, dup))
+    u = algos.union_all(stacked)
+    a_stack = float(algos.area(u)[0])
+    assert abs(a_stack - a_base) <= tol, (a_stack, a_base, tol)
+
+    parts, _p, _ = algos.get_parts(u)
+    if len(parts) > 1:
+        a_idem = float(algos.area(algos.union_all(parts))[0])
+        assert abs(a_idem - a_stack) <= 1e-7 * max(a_stack, 1.0)
+
+    perm = rng.permutation(n * dup)
+    up = algos.union_all(stacked.take(perm))
+    a_perm = float(algos.area(up)[0])
+    assert abs(a_perm - a_stack) <= 1e-7 * max(a_stack, 1.0)
