@@ -1220,6 +1220,22 @@ def boolean_op(subject_rings, clipping_rings, op):
             return _assemble_polygons([_close(r) for r in subject_rings])
         return (_assemble_polygons([_close(r) for r in subject_rings]) +
                 _assemble_polygons([_close(r) for r in clipping_rings]))
+    # near-identical operands (duplicate records with float noise, every
+    # aligned coordinate within a few 1e-9 vertex-canon quanta): the two
+    # boundaries are sub-quantum-separated EVERYWHERE, the regime the
+    # tracer cannot classify (union traced shell+hole net-zero — 9th
+    # fuzz find; union_all dedupes rows, this guards the direct binary
+    # path). A == B at kernel resolution, so the ops are closed-form.
+    if (len(subject_rings) == len(clipping_rings)
+            and all(len(a) == len(b) for a, b in
+                    zip(subject_rings, clipping_rings))
+            and all(np.abs(a - b).max() <= 4e-9 for a, b in
+                    zip(subject_rings, clipping_rings))):
+        if op == XOR:
+            return []
+        if op == DIFFERENCE:
+            return []
+        return _assemble_polygons([_close(r) for r in subject_rings])
     sorted_events = _subdivide(subject_rings, clipping_rings, op)
     s_closed = [_close(r) for r in subject_rings]
     c_closed = [_close(r) for r in clipping_rings]

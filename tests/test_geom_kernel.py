@@ -1750,3 +1750,32 @@ def test_crs_r6_national_tables():
         back = crs.transform_coords(
             crs.transform_coords(pts, "EPSG:4326", code), code, "EPSG:4326")
         assert np.abs(back - pts).max() < 1e-7, code
+
+
+def test_setops_near_identical_operands():
+    """r6 (9th fuzz find, binary path): set ops where every aligned
+    coordinate of the two operands agrees within the vertex-canon
+    quantum (duplicate records with float noise) are closed-form —
+    union/intersection return the subject, difference/symdiff are
+    empty — instead of feeding the tracer sub-quantum-separated
+    boundaries it cannot classify."""
+    import numpy as np
+
+    from geopandas_spark.geom.array import boxes_from_bounds
+    X0, Y0, W, H = 127.39233746429086, 8.194704787238937, 24.77, 18.99
+    a = boxes_from_bounds(np.array([X0]), np.array([Y0]),
+                          np.array([X0 + W]), np.array([Y0 + H]))
+    b = boxes_from_bounds(np.array([X0 + 1.00000364e-9]),
+                          np.array([Y0 + 1.00000008e-9]),
+                          np.array([X0 + W + 1.00000364e-9]),
+                          np.array([Y0 + H + 1.00000008e-9]))
+    exp = W * H
+    assert abs(algos.area(algos.union(a, b))[0] - exp) < 1e-6
+    assert abs(algos.area(algos.intersection(a, b))[0] - exp) < 1e-6
+    assert algos.area(algos.difference(a, b))[0] == 0.0
+    assert algos.area(algos.symmetric_difference(a, b))[0] == 0.0
+    # union_all over jittered stacks (row-dedupe path)
+    xs = np.array([X0, X0 + 1e-9, X0 + 1.4e-9])
+    ys = np.array([Y0, Y0 + 1e-9, Y0])
+    st = boxes_from_bounds(xs, ys, xs + W, ys + H)
+    assert abs(algos.area(algos.union_all(st))[0] - exp) < 1e-6
