@@ -720,6 +720,44 @@ FROM customer
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Document chunking (pipeline/text.py chunk_documents): overlapping
+    whitespace-token windows (64 tokens, stride 48) — the pretraining
+    chunker ahead of sequence packing. Pure native plan (split +
+    sequence + posexplode + slice + array_join), map-only, no shuffle;
+    the 1->N fan-out happens inside the scan stage. Oracle mirrors the
+    formula with DuckDB list functions; empty docs keep one empty chunk
+    so no document silently disappears."""
+    from geopandas_spark.pipeline.text import chunk_documents
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
+        .select("doc_id", "text")
+    out = chunk_documents(d, "text", chunk_tokens=64, stride=48)
+    return out.select(F.col("doc_id").alias("id"), "chunk_id",
+                      "tok_start", "chunk_text", "chunk_tokens")
+
+
+SQL_CHUNK_DOCS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+  FROM documents WHERE doc_id < 300
+), c AS (
+  SELECT doc_id, toks,
+         GREATEST(CAST(CEIL((len(toks) - 64) / 48.0) AS INTEGER) + 1, 1)
+           AS nc
+  FROM t
+)
+SELECT doc_id AS id,
+       CAST(u.chunk_id AS INTEGER) AS chunk_id,
+       CAST(u.chunk_id * 48 AS INTEGER) AS tok_start,
+       array_to_string(list_slice(toks, u.chunk_id * 48 + 1,
+                                  u.chunk_id * 48 + 64), ' ')
+         AS chunk_text,
+       len(list_slice(toks, u.chunk_id * 48 + 1, u.chunk_id * 48 + 64))
+         AS chunk_tokens
+FROM c, UNNEST(range(c.nc)) AS u(chunk_id)
+"""
+
+
 def q_gc_setops(spark, sf_dir):
     """Set ops with GEOMETRYCOLLECTION operands (engine r5; reference
     base.py:4762, GEOS OverlayNG GC input). Per customer:
@@ -4505,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_coords": q_m_coords,
         "to_crs_jp_spcs": q_to_crs_jp_spcs,
         "to_crs_natl": q_to_crs_natl,
+        "chunk_docs": q_chunk_docs,
         # (c) previously-stamped green queries
         "concat_cx": q_concat_cx,
         "densify_distances": q_densify_distances,
@@ -4667,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
         "m_coords": SQL_M_COORDS,
         "to_crs_jp_spcs": SQL_TO_CRS_JP_SPCS,
         "to_crs_natl": SQL_TO_CRS_NATL,
+        "chunk_docs": SQL_CHUNK_DOCS,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
         "to_crs_bng": SQL_TO_CRS_BNG,

@@ -341,3 +341,42 @@ def char_entropy(text_col) -> Column:
     h = -F.aggregate(probs, F.lit(0.0),
                      lambda acc, p: acc + p * F.log2(p))
     return F.when(n > 0, h).otherwise(F.lit(0.0))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text", *,
+                    chunk_tokens: int = 64, stride: int = 32,
+                    id_cols: Optional[list] = None) -> DataFrame:
+    """Split each document into overlapping whitespace-token windows —
+    the pretraining chunker (context-window packing's upstream stage).
+
+    One output row per (doc, window): ``chunk_id`` (0-based), the window
+    start token index, the rejoined ``chunk_text`` (single-space
+    normalized) and its ``chunk_tokens`` count. Window starts step by
+    ``stride`` (< chunk_tokens gives overlap); the final window is the
+    shorter tail; an empty/whitespace-only doc yields one empty chunk
+    (chunk_id 0, 0 tokens) so no document silently disappears.
+
+    Scale shape: pure native expressions — split + sequence +
+    posexplode + slice + array_join, whole-stage codegen'd, map-only
+    (no shuffle); the 1->N fan-out is a generator inside the scan
+    stage, so it parallelizes by input split at 100 TB."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    c = F.col(text_col)
+    toks = F.regexp_extract_all(c, F.lit(r"\S+"), 0)
+    nt = F.size(toks)
+    nchunks = F.greatest(
+        (F.ceil((nt - F.lit(chunk_tokens)) / F.lit(float(stride)))
+         + F.lit(1)).cast("int"), F.lit(1))
+    starts = F.sequence(F.lit(0), (nchunks - 1) * stride, F.lit(stride))
+    keep = [F.col(k) for k in (id_cols if id_cols is not None
+                               else df.columns) if k != text_col]
+    ex = df.select(*keep, F.col(text_col).alias("__t__"),
+                   F.posexplode(starts).alias("chunk_id", "tok_start"))
+    toks2 = F.regexp_extract_all(F.col("__t__"), F.lit(r"\S+"), 0)
+    window = F.slice(toks2, F.col("tok_start") + 1, chunk_tokens)
+    return (ex.select(*[k for k in (id_cols if id_cols is not None
+                                    else df.columns) if k != text_col],
+                      "chunk_id", "tok_start",
+                      F.array_join(window, " ").alias("chunk_text"),
+                      F.size(window).alias("chunk_tokens")))

@@ -432,3 +432,40 @@ def test_kmeans_centroids_and_trained_ivf(emb):
     # corpora k-means lists is where the win appears)
     assert rec_trained >= 0.6 and rec_naive >= 0.6, (rec_trained,
                                                      rec_naive)
+
+
+def test_chunk_documents(spark):
+    """chunk_documents: window/stride arithmetic against a hand model,
+    overlap content, short-doc and empty-doc behavior, and a map-only
+    python-free plan."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.pipeline.text import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks
+        (2, "one two"),                               # shorter than chunk
+        (3, ""),                                      # empty
+        (4, "   "),                                   # whitespace only
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_documents(df, "text", chunk_tokens=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: starts 0,3,6,9 -> ceil((10-4)/3)+1 = 3 chunks: 0,3,6
+    d1 = sorted(k for k in rows if k[0] == 1)
+    assert d1 == [(1, 0), (1, 1), (1, 2)]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"    # stride-3 overlap
+    assert rows[(1, 2)].chunk_text == "t6 t7 t8 t9"
+    assert all(rows[(1, k)].chunk_tokens == 4 for k in range(3))
+    # every token appears in some chunk
+    got = set(" ".join(rows[(1, k)].chunk_text for k in range(3)).split())
+    assert got == {f"t{i}" for i in range(10)}
+    assert rows[(2, 0)].chunk_text == "one two"
+    assert rows[(2, 0)].chunk_tokens == 2
+    for d in (3, 4):   # empty docs keep one empty chunk
+        assert rows[(d, 0)].chunk_text == ""
+        assert rows[(d, 0)].chunk_tokens == 0
+    # plan: native, map-only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
