@@ -54,10 +54,41 @@ def _signed_ring_areas(ga: GeometryArray) -> np.ndarray:
     y = ga.coords[:, 1]
     if len(x) < 2:
         return np.zeros(ga.n_rings)
-    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
     ro = ga.ring_offsets
     starts = ro[:-1]
     ends = np.maximum(ro[1:] - 1, starts)
+    mag = max(abs(float(x.max())), abs(float(x.min())),
+              abs(float(y.max())), abs(float(y.min())))
+    if mag >= 1048576.0:
+        # local-origin shoelace: x*y products at web-mercator magnitudes
+        # (~1e14) cancel against ring areas ~1e2, losing ~1e-2 per term
+        # (measured: a 2k-box union's area off by 0.31 of 2e6 from this
+        # alone). Subtract each ring's first vertex first — area is
+        # translation-invariant — and sum per ring with reduceat (no
+        # cross-batch cumsum cancellation). Gated so small-coordinate
+        # batches keep the historical bit-exact values the SQL oracle
+        # twins encode.
+        cpr = np.diff(ro)
+        x0r = np.repeat(x[starts], cpr)
+        y0r = np.repeat(y[starts], cpr)
+        dx = x - x0r
+        dy = y - y0r
+        cross = dx[:-1] * dy[1:] - dx[1:] * dy[:-1]
+        # zero the ring-boundary terms (last coord of ring r paired with
+        # first of ring r+1), then reduceat over contiguous ring spans
+        bidx = ro[1:-1] - 1
+        bidx = bidx[(bidx >= 0) & (bidx < len(cross))]
+        cross[bidx] = 0.0
+        cross = np.concatenate([cross, [0.0]])
+        valid = starts < len(cross)
+        out = np.zeros(ga.n_rings)
+        if valid.any():
+            red = np.add.reduceat(cross, np.minimum(starts[valid],
+                                                    len(cross) - 1))
+            out[valid] = red
+            out[ends <= starts] = 0.0
+        return 0.5 * out
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
     s = np.concatenate([[0.0], np.cumsum(cross)])
     return 0.5 * (s[ends] - s[starts])
 
@@ -1195,6 +1226,23 @@ def centroid(ga: GeometryArray) -> GeometryArray:
     """Area/length/count-weighted centroid by highest dimension present.
 
     Reference: geopandas/base.py:1020 (GEOS centroid semantics)."""
+    # magnitude normalization (same 2^20 gate as _signed_ring_areas):
+    # the cross-product second moments cancel at web-mercator magnitudes
+    # — a box centroid at coords ~1e7 was off by 0.2 units. Centroid is
+    # translation-equivariant, so compute near the origin and shift back
+    # (the gate keeps small-coordinate values bit-identical).
+    c_all = ga.coords
+    if len(c_all):
+        mx = float(np.abs(c_all).max())
+        if np.isfinite(mx) and mx >= 1048576.0:
+            tx = float(np.floor(c_all[:, 0].min()))
+            ty = float(np.floor(c_all[:, 1].min()))
+            if (np.isfinite(tx) and np.isfinite(ty) and
+                    max(abs(float(c_all[:, 0].max()) - tx),
+                        abs(float(c_all[:, 1].max()) - ty),
+                        abs(float(c_all[:, 0].min()) - tx),
+                        abs(float(c_all[:, 1].min()) - ty)) < 0.5 * mx):
+                return translate(centroid(translate(ga, -tx, -ty)), tx, ty)
     n = len(ga)
     cx = np.full(n, np.nan)
     cy = np.full(n, np.nan)

@@ -776,6 +776,30 @@ def union_many(polygons):
     callers orient; union_all does). Returns the boolean_op output shape:
     list of polygons, each ``[shell(CCW), hole(CW), ...]``.
     """
+    # offset datum, same rationale and gates as boolean_op: sweep at
+    # local magnitude, translate back after
+    mnx = mny = np.inf
+    mxx = mxy = -np.inf
+    for rings in polygons:
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)
+            if len(r):
+                mnx = min(mnx, float(r[:, 0].min()))
+                mxx = max(mxx, float(r[:, 0].max()))
+                mny = min(mny, float(r[:, 1].min()))
+                mxy = max(mxy, float(r[:, 1].max()))
+    if np.isfinite(mnx):
+        mag = max(abs(mnx), abs(mny), abs(mxx), abs(mxy))
+        if mag >= 1048576.0:
+            tx, ty = float(np.floor(mnx)), float(np.floor(mny))
+            m2 = max(abs(mnx - tx), abs(mny - ty),
+                     abs(mxx - tx), abs(mxy - ty))
+            if np.isfinite(tx) and np.isfinite(ty) and m2 < 0.5 * mag:
+                t = np.array([tx, ty], dtype=np.float64)
+                out = union_many(
+                    [[np.asarray(r, np.float64) - t for r in rings]
+                     for rings in polygons])
+                return [[r + t for r in poly] for poly in out]
     initial = []
     ring_count = 0
     for pid, rings in enumerate(polygons):
@@ -1236,6 +1260,28 @@ def boolean_op(subject_rings, clipping_rings, op):
         if op == DIFFERENCE:
             return []
         return _assemble_polygons([_close(r) for r in subject_rings])
+    # offset datum: the sweep's quanta (vertex canon 1e-9, probe and
+    # stitch tolerances) are calibrated near the origin; at web-mercator
+    # magnitudes (~1e7, where ulp ~ 2e-9 rivals the canon) union area
+    # drifted ~5e-5 relative vs an exact reference. Translating both
+    # operands by the floored bbox min (exact by Sterbenz for typical
+    # local extents) restores machine precision (~1e-13 measured). The
+    # half-magnitude requirement guarantees termination when the extent
+    # itself is huge.
+    mag = max(abs(sbb[0]), abs(sbb[1]), abs(sbb[2]), abs(sbb[3]),
+              abs(cbb[0]), abs(cbb[1]), abs(cbb[2]), abs(cbb[3]))
+    if mag >= 1048576.0:
+        tx = float(np.floor(min(sbb[0], cbb[0])))
+        ty = float(np.floor(min(sbb[1], cbb[1])))
+        m2 = max(abs(sbb[2] - tx), abs(cbb[2] - tx),
+                 abs(sbb[3] - ty), abs(cbb[3] - ty),
+                 abs(sbb[0] - tx), abs(cbb[0] - tx),
+                 abs(sbb[1] - ty), abs(cbb[1] - ty))
+        if np.isfinite(tx) and np.isfinite(ty) and m2 < 0.5 * mag:
+            t = np.array([tx, ty], dtype=np.float64)
+            out = boolean_op([r - t for r in subject_rings],
+                             [r - t for r in clipping_rings], op)
+            return [[r + t for r in poly] for poly in out]
     sorted_events = _subdivide(subject_rings, clipping_rings, op)
     s_closed = [_close(r) for r in subject_rings]
     c_closed = [_close(r) for r in clipping_rings]

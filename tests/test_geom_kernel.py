@@ -1779,3 +1779,43 @@ def test_setops_near_identical_operands():
     ys = np.array([Y0, Y0 + 1e-9, Y0])
     st = boxes_from_bounds(xs, ys, xs + W, ys + H)
     assert abs(algos.area(algos.union_all(st))[0] - exp) < 1e-6
+
+
+def test_web_mercator_magnitude_accuracy():
+    """r6: measures and boolean ops at web-mercator coordinate magnitudes
+    (~1e7, where ulp rivals the kernel's 1e-9 quanta) must match the
+    same computation near the origin to machine precision. Covered by
+    the offset-datum translation in boolean_op/union_many, the
+    local-origin shoelace, and the centroid normalization (all gated at
+    2^20 so small-coordinate results stay bit-identical)."""
+    import numpy as np
+
+    from geopandas_spark.geom.array import boxes_from_bounds
+
+    B = 1e7
+    # area + centroid of a single box: exact
+    x = np.array([B + 123.456789]); y = np.array([B + 987.654321])
+    g = boxes_from_bounds(x, y, x + 777.125, y + 333.0625)
+    assert float(algos.area(g)[0]) == 777.125 * 333.0625
+    cx, cy = algos.centroid(g).coords[0]
+    assert cx == B + 123.456789 + 777.125 / 2
+    assert cy == B + 987.654321 + 333.0625 / 2
+    # binary ops at magnitude
+    a = boxes_from_bounds(np.array([B]), np.array([B]),
+                          np.array([B + 100]), np.array([B + 100]))
+    b = boxes_from_bounds(np.array([B + 50]), np.array([B + 50]),
+                          np.array([B + 150]), np.array([B + 150]))
+    assert float(algos.area(algos.union(a, b))[0]) == 17500.0
+    assert float(algos.area(algos.intersection(a, b))[0]) == 2500.0
+    assert float(algos.area(algos.difference(a, b))[0]) == 7500.0
+    # 2k-box union: must agree with the identical union at the origin
+    # to ~1e-12 relative (was 4.6e-5 before the offset datum)
+    rng = np.random.default_rng(11)
+    n = 2000
+    x0 = B + rng.uniform(0, 5000, n); y0 = B + rng.uniform(0, 5000, n)
+    w = rng.uniform(5, 60, n); h = rng.uniform(5, 60, n)
+    big = float(algos.area(algos.union_all(
+        boxes_from_bounds(x0, y0, x0 + w, y0 + h)))[0])
+    org = float(algos.area(algos.union_all(
+        boxes_from_bounds(x0 - B, y0 - B, x0 + w - B, y0 + h - B)))[0])
+    assert abs(big - org) < 1e-11 * org, (big, org)
