@@ -1122,3 +1122,35 @@ def test_polygon_union_stacked_duplicates_and_jitter(seed, n, dup, eps):
     up = algos.union_all(stacked.take(perm))
     a_perm = float(algos.area(up)[0])
     assert abs(a_perm - a_stack) <= 1e-7 * max(a_stack, 1.0)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(2, 40),
+       st_.sampled_from([1.5e6, 1e7, 2.5e7, -1e7]))
+@settings(max_examples=30, deadline=None)
+def test_union_magnitude_invariance(seed, n, base):
+    """r6 fuzz target for the offset-datum/magnitude fixes: union area,
+    part count, and centroid of random overlapping boxes at web-mercator
+    magnitudes must match the identical computation near the origin
+    (translation invariance/equivariance to ~1e-9 relative)."""
+    from geopandas_spark.geom.array import boxes_from_bounds
+
+    rng = np.random.default_rng(seed)
+    x0 = rng.uniform(0, 300, n)
+    y0 = rng.uniform(0, 300, n)
+    w = rng.uniform(2, 60, n)
+    h = rng.uniform(2, 60, n)
+    g0 = boxes_from_bounds(x0, y0, x0 + w, y0 + h)
+    gb = boxes_from_bounds(base + x0, base + y0,
+                           base + x0 + w, base + y0 + h)
+    u0 = algos.union_all(g0)
+    ub = algos.union_all(gb)
+    a0 = float(algos.area(u0)[0])
+    ab = float(algos.area(ub)[0])
+    assert abs(ab - a0) <= 1e-9 * max(a0, 1.0), (ab, a0)
+    p0, _x, _y = algos.get_parts(u0)
+    pb, _x2, _y2 = algos.get_parts(ub)
+    assert len(p0) == len(pb)
+    c0 = algos.centroid(algos.union_all(g0)).coords[0]
+    cb = algos.centroid(ub).coords[0]
+    assert abs((cb[0] - base) - c0[0]) < 1e-6
+    assert abs((cb[1] - base) - c0[1]) < 1e-6
