@@ -221,6 +221,35 @@ class GeoFrame:
         from geopandas_spark.operators import total_bounds as _tb
         return _tb(self.df, geom=self._geometry)
 
+    def union_all(self, method: str = "unary"):
+        """One geometry: the union of every row (reference
+        base.py:2500-2553 GeoSeries.union_all) — the distributed
+        two-phase union agg, one WKB value back to the driver."""
+        from pyspark.sql import functions as F
+
+        from geopandas_spark import st as _st
+        r = self.df.agg(
+            _st.union_agg(self._geometry, method=method).alias("u")
+        ).collect()[0]
+        return bytes(r.u) if r.u is not None else None
+
+    def unary_union(self):
+        """Deprecated reference spelling of union_all (geoseries.py)."""
+        return self.union_all()
+
+    def unique(self) -> DataFrame:
+        """Distinct geometries by WKB byte equality (reference
+        array.py:1688-1706 factorize-via-WKB semantics) — native."""
+        return self.df.select(self._geometry).distinct()
+
+    def value_counts(self) -> DataFrame:
+        """Per-geometry row counts by WKB byte equality — native
+        groupBy, descending like the pandas surface."""
+        from pyspark.sql import functions as F
+        return (self.df.groupBy(self._geometry)
+                .agg(F.count("*").alias("count"))
+                .orderBy(F.col("count").desc()))
+
     # -- composed operators --------------------------------------------------
 
     def sjoin(self, other: "GeoFrame | DataFrame", **kw) -> "GeoFrame":

@@ -1585,6 +1585,20 @@ def y_max(c) -> Column:
     return _REGISTRY["st_ymax"](_col(c))
 
 
+# ---------------------------------------------------------------------------
+# reference-name aliases (GeoSeries/GeoDataFrame surface): users switching
+# from the reference find the same names; each binds the SAME callable as
+# the canonical name above (reference geopandas/geoseries.py:414-664,
+# base.py geom_type/get_geometry)
+# ---------------------------------------------------------------------------
+
+geom_type = geometry_type
+get_geometry = geometry_n
+from_wkt = geom_from_text
+from_wkb = geom_from_wkb
+from_xy = point
+
+
 def register_sql(spark) -> None:
     """Register every st_* function for SQL use:
     ``spark.sql("SELECT st_area(st_point(1,2))")``."""

@@ -247,3 +247,35 @@ def test_to_json_to_wgs84(spark):
     assert abs(x) < 1e-9 and abs(y) < 1e-9   # back at lon/lat origin
     raw = _json.loads(gf.to_json())
     assert raw["features"][0]["geometry"]["coordinates"] == [0.0, 0.0]
+
+
+def test_reference_name_aliases_and_frame_aggregates(spark):
+    """Reference-parity aliases: st.geom_type/get_geometry/from_wkt/
+    from_wkb/from_xy bind the canonical callables, and the GeoFrame
+    grows union_all/unary_union (one-geometry union), unique, and
+    value_counts with WKB byte-equality semantics
+    (reference geoseries.py:414-664, base.py:2500-2553,
+    array.py:1688-1706)."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.frame import GeoFrame
+    from geopandas_spark.geom import wkb, wkt as wktm
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 1.0, 2.0), (3, 5.0, 6.0)], ["id", "x", "y"])
+    g = df.withColumn("geom", st.from_xy("x", "y"))
+    row = g.select(
+        st.geom_type("geom").alias("t"),
+        st.x(st.get_geometry("geom", F.lit(0))).alias("gx"),
+        st.as_text(st.from_wkt(F.lit("POINT (9 9)"))).alias("w"),
+        st.as_text(st.from_wkb(st.from_xy("x", "y"))).alias("rt")).first()
+    assert row.t == "Point" and row.gx == 1.0
+    assert row.w == "POINT (9 9)" and row.rt == "POINT (1 2)"
+    gf = GeoFrame(g, geometry="geom")
+    u = wktm.format_array(wkb.decode([gf.union_all()]))[0]
+    assert u == "MULTIPOINT ((1 2), (5 6))"
+    assert gf.unary_union() == gf.union_all()
+    assert gf.unique().count() == 2
+    vc = [(r["count"]) for r in gf.value_counts().collect()]
+    assert vc == [2, 1]
