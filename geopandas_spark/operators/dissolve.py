@@ -42,10 +42,16 @@ def _probe_duplication(df: DataFrame, by, geom: str) -> bool:
     a sufficient condition for ~>=4x true duplication — a miss just keeps
     the regular two-phase plan (correct, slower)."""
     try:
-        pr = df.sample(fraction=0.25, seed=7).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct(
-                F.struct(*by, geom)).alias("nd")).collect()[0]
+        # the limit caps probe work at scale (0.25 of a 100 TB input is
+        # not a plan-time cost): Spark stops the sampled scan once 200k
+        # rows surface. Duplication in the target workloads (duplicate
+        # records everywhere) shows up in any contiguous slice; a
+        # duplication pattern the first partitions miss just keeps the
+        # regular two-phase plan.
+        pr = (df.sample(fraction=0.25, seed=7).limit(200_000)
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.approx_count_distinct(
+                       F.struct(*by, geom)).alias("nd")).collect()[0])
         return bool(pr.n > 0 and pr.n >= 2.5 * max(pr.nd, 1))
     except Exception:
         return False
