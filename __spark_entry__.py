@@ -4138,6 +4138,53 @@ def q_stream_sjoin(spark, sf_dir):
                        F.col("n").cast("long").alias("n")))
 
 
+def q_stream_lsh_dedup(spark, sf_dir):
+    """REAL streaming MinHash-LSH dedup (streaming/ops.py
+    lsh_dedup_stream): documents stream in two micro-batches
+    (maxFilesPerTrigger=1) — originals first, exact duplicates
+    (doc_id + 1000) second. Every duplicate's band signature equals its
+    original's, so its bucket is already CLAIMED by batch-1 state and
+    the stateful stage must flag it — detection across micro-batches,
+    which batch dedup can't express. Deterministic check: the flagged
+    ids >= 1000 are exactly the duplicated (shingle-bearing) doc ids;
+    originals colliding among themselves are excluded by the filter."""
+    import tempfile
+
+    from geopandas_spark.streaming import lsh_dedup_stream
+    d = tempfile.mkdtemp(prefix="gs_lsh_")
+    base = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 100) & (F.col("n_chars") >= 8))
+            .select("doc_id", "text"))
+    src_dir = os.path.join(d, "in")
+    base.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    (base.withColumn("doc_id", F.col("doc_id") + 1000)
+     .coalesce(1).write.mode("append").parquet(src_dir))
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = lsh_dedup_stream(stream, id_col="doc_id", text_col="text",
+                           num_hashes=4, bands=2, k=8)
+    out_dir = os.path.join(d, "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (out.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", os.path.join(d, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    res = spark.read.parquet(out_dir)
+    return (res.filter(F.col("id").cast("long") >= 1000)
+               .select(F.col("id").cast("long").alias("id")).distinct())
+
+
+SQL_STREAM_LSH_DEDUP = """
+SELECT DISTINCT doc_id + 1000 AS id
+FROM documents
+WHERE doc_id < 100 AND n_chars >= 8 AND length(text) >= 8
+"""
+
+
 SQL_STREAM_SJOIN = f"""
 SELECT n_nationkey AS nationkey, COUNT(*) AS n
 FROM customer JOIN nation
@@ -4544,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_jp_spcs": q_to_crs_jp_spcs,
         "to_crs_natl": q_to_crs_natl,
         "chunk_docs": q_chunk_docs,
+        "stream_lsh_dedup": q_stream_lsh_dedup,
         # (c) previously-stamped green queries
         "concat_cx": q_concat_cx,
         "densify_distances": q_densify_distances,
@@ -4707,6 +4755,7 @@ def oracle_sql() -> dict[str, str]:
         "to_crs_jp_spcs": SQL_TO_CRS_JP_SPCS,
         "to_crs_natl": SQL_TO_CRS_NATL,
         "chunk_docs": SQL_CHUNK_DOCS,
+        "stream_lsh_dedup": SQL_STREAM_LSH_DEDUP,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
         "to_crs_bng": SQL_TO_CRS_BNG,

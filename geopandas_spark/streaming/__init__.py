@@ -9,5 +9,6 @@ pieces that need streaming-aware plans.
 
 from geopandas_spark.streaming.ops import (  # noqa: F401
     cell_stats_stream, dedup_stream, enrich_stream, filter_stream_bbox,
+    lsh_dedup_stream,
     sjoin_stream_stream, windowed_union,
 )

@@ -247,3 +247,70 @@ def sjoin_stream_stream(left: DataFrame, right: DataFrame, *,
         cand = cand.filter(pred_fn(gl, gr))
     return cand.drop("__lbb__", "__rbb__", "__lcx__", "__lcy__",
                      "__rcx__", "__rcy__")
+
+
+def lsh_dedup_stream(stream: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", num_hashes: int = 8,
+                     bands: int = 4, k: int = 5) -> DataFrame:
+    """Streaming near-duplicate detection: MinHash-LSH bucket state.
+
+    The streaming face of the batch ``minhash_lsh_pairs``: signatures and
+    band keys are pure native expressions (no Python until the stateful
+    stage); per LSH bucket, ``applyInPandasWithState`` keeps only the
+    FIRST-seen document id. Every later document landing in an
+    already-claimed bucket emits a candidate row
+    ``(id, first_id, band)`` — duplicates are detected across
+    micro-batches, the ingestion-time shape batch dedup can't cover.
+    Consumers drop ``DISTINCT id`` or verify candidates with the batch
+    Jaccard scorer.
+
+    Scale: state is ONE short string per occupied bucket (bounded by the
+    corpus's distinct-band cardinality, not the stream length), the
+    bucket key is the shuffle key, and the per-batch update is a tiny
+    pandas pass. IDs are carried as strings so the state schema stays
+    type-stable for any id column."""
+    import pandas as pd  # noqa: F401 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, StringType, StructField, \
+        StructType
+
+    from geopandas_spark.pipeline.dedup import minhash_signatures
+
+    rows = num_hashes // bands
+    if rows < 1:
+        raise ValueError("num_hashes must be >= bands")
+    sigs = minhash_signatures(stream, text_col, num_hashes, k)
+    banded = None
+    for b in range(bands):
+        key = F.concat_ws(
+            "#", F.lit(str(b)),
+            *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        sel = sigs.select(F.col(id_col).cast("string").alias("id"),
+                          key.alias("bk"), F.lit(b).alias("band"))
+        banded = sel if banded is None else banded.unionByName(sel)
+
+    out_schema = StructType([
+        StructField("id", StringType()),
+        StructField("first_id", StringType()),
+        StructField("band", IntegerType()),
+    ])
+    state_schema = StructType([StructField("first", StringType())])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        first = state.get[0] if state.exists else None
+        ids, firsts, bnds = [], [], []
+        for pdf in pdfs:
+            for i, bnd in zip(pdf["id"], pdf["band"]):
+                if first is None:
+                    first = i
+                elif i != first:
+                    ids.append(i)
+                    firsts.append(first)
+                    bnds.append(int(bnd))
+        state.update((first,))
+        yield pd.DataFrame({"id": ids, "first_id": firsts, "band": bnds})
+
+    return (banded.groupBy("bk")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -188,3 +188,41 @@ def test_sjoin_stream_stream_intersects(spark, tmp_path):
     _run(out, "ssp_join")
     rows = spark.sql("SELECT id_left, id_right FROM ssp_join").collect()
     assert [(r.id_left, r.id_right) for r in rows] == [(1, 10)]
+
+
+def test_lsh_dedup_stream(spark, tmp_path):
+    """REAL micro-batch execution of the streaming MinHash-LSH dedup:
+    two parquet files consumed one per trigger (maxFilesPerTrigger=1)
+    so the near-duplicate arriving in batch 2 must collide with batch
+    1's bucket STATE, not with same-batch rows."""
+    import pyspark.sql.types as T
+
+    from geopandas_spark.streaming import lsh_dedup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    near = base.replace("tonight", "at dawn")     # near-dup of base
+    other = ("completely unrelated text about distributed query "
+             "engines shuffling columnar batches across executors")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    src = str(tmp_path / "lsh_in")
+    spark.createDataFrame([(1, base), (2, other)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(3, near), (4, "short odd words zz qq")],
+                          schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = lsh_dedup_stream(stream, id_col="doc_id", text_col="text",
+                           num_hashes=8, bands=4, k=5)
+    q = (out.writeStream.format("memory").queryName("lsh_sink")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT DISTINCT id, first_id FROM lsh_sink").collect()
+    pairs = {(r.id, r.first_id) for r in got}
+    # doc 3 is a near-dup of doc 1 (from the EARLIER batch): must appear
+    assert ("3", "1") in pairs, pairs
+    # unrelated docs never collide with base
+    assert not any(i in ("2", "4") or f in ("2", "4") for i, f in pairs
+                   if (i, f) != ("3", "1")), pairs
