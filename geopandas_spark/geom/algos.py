@@ -59,7 +59,7 @@ def _signed_ring_areas(ga: GeometryArray) -> np.ndarray:
     ends = np.maximum(ro[1:] - 1, starts)
     mag = max(abs(float(x.max())), abs(float(x.min())),
               abs(float(y.max())), abs(float(y.min())))
-    if mag >= 1048576.0:
+    if mag >= 131072.0:
         # local-origin shoelace: x*y products at web-mercator magnitudes
         # (~1e14) cancel against ring areas ~1e2, losing ~1e-2 per term
         # (measured: a 2k-box union's area off by 0.31 of 2e6 from this
@@ -1226,7 +1226,7 @@ def centroid(ga: GeometryArray) -> GeometryArray:
     """Area/length/count-weighted centroid by highest dimension present.
 
     Reference: geopandas/base.py:1020 (GEOS centroid semantics)."""
-    # magnitude normalization (same 2^20 gate as _signed_ring_areas):
+    # magnitude normalization (same 2^17 gate as _signed_ring_areas):
     # the cross-product second moments cancel at web-mercator magnitudes
     # — a box centroid at coords ~1e7 was off by 0.2 units. Centroid is
     # translation-equivariant, so compute near the origin and shift back
@@ -1234,7 +1234,7 @@ def centroid(ga: GeometryArray) -> GeometryArray:
     c_all = ga.coords
     if len(c_all):
         mx = float(np.abs(c_all).max())
-        if np.isfinite(mx) and mx >= 1048576.0:
+        if np.isfinite(mx) and mx >= 131072.0:
             tx = float(np.floor(c_all[:, 0].min()))
             ty = float(np.floor(c_all[:, 1].min()))
             if (np.isfinite(tx) and np.isfinite(ty) and

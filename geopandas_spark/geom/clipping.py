@@ -790,7 +790,7 @@ def union_many(polygons):
                 mxy = max(mxy, float(r[:, 1].max()))
     if np.isfinite(mnx):
         mag = max(abs(mnx), abs(mny), abs(mxx), abs(mxy))
-        if mag >= 1048576.0:
+        if mag >= 131072.0:
             tx, ty = float(np.floor(mnx)), float(np.floor(mny))
             m2 = max(abs(mnx - tx), abs(mny - ty),
                      abs(mxx - tx), abs(mxy - ty))
@@ -974,7 +974,23 @@ def _trace_result(sorted_events, inside_fn):
         dy = vy[qe] - vy[pe]
         ln = np.sqrt(dx * dx + dy * dy)
         ok = ln > 0.0
-        eps = 1e-9 * ln
+        # probe offset: must separate the probe from the edge DECISIVELY
+        # (well above fp noise at the edge's coordinate magnitude) while
+        # staying SMALLER than the gap to any near-coincident parallel
+        # boundary. The old 1e-9*len offset violated the second
+        # requirement: for a ~500-long edge it probed 5e-7 out, jumping
+        # straight OVER a twin boundary 1e-7 away, so BOTH boundaries
+        # classified as result edges and the traced ring wound twice
+        # (fuzz: jittered duplicate boxes doubled or zeroed the union
+        # area). Three terms: a tiny length-relative part (keeps probes
+        # off degenerate micro-edges), an absolute floor 2e-10 (half a
+        # canon quantum — regions thinner than the 1e-9 vertex canon
+        # don't survive snapping), and a magnitude-relative floor
+        # ~13 ulp (the offset-datum translation bounds in-sweep
+        # magnitudes to the local extent, so this stays far below any
+        # representable feature separation).
+        mag_e = np.maximum(np.maximum(np.abs(mx), np.abs(my)), 1.0)
+        eps = np.maximum(np.maximum(1e-12 * ln, 2e-10), 3e-15 * mag_e)
         with np.errstate(divide="ignore", invalid="ignore"):
             nx = -dy / ln * eps
             ny = dx / ln * eps
@@ -1270,7 +1286,7 @@ def boolean_op(subject_rings, clipping_rings, op):
     # itself is huge.
     mag = max(abs(sbb[0]), abs(sbb[1]), abs(sbb[2]), abs(sbb[3]),
               abs(cbb[0]), abs(cbb[1]), abs(cbb[2]), abs(cbb[3]))
-    if mag >= 1048576.0:
+    if mag >= 131072.0:
         tx = float(np.floor(min(sbb[0], cbb[0])))
         ty = float(np.floor(min(sbb[1], cbb[1])))
         m2 = max(abs(sbb[2] - tx), abs(cbb[2] - tx),
