@@ -1212,3 +1212,124 @@ def test_union_area_vs_exact_rect_oracle(seed, n, dup, eps, base):
     tol = max(4.0 * float((w + h).sum()) * dup * max(eps, 1e-9),
               1e-9 * ex, 2e-7 * abs(base))
     assert abs(a - ex) <= tol, (a, ex, tol)
+
+
+def _sh_clip(subject, clipper):
+    """Sutherland–Hodgman convex clip — independent oracle for pairwise
+    intersection of convex polygons."""
+    out = list(subject)
+    n = len(clipper)
+    for i in range(n):
+        a, b = clipper[i], clipper[(i + 1) % n]
+        inp, out = out, []
+        if not inp:
+            break
+        ex, ey = b[0] - a[0], b[1] - a[1]
+
+        def inside(p):
+            return ex * (p[1] - a[1]) - ey * (p[0] - a[0]) >= 0
+
+        def inter(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            t = ((ex * (a[1] - p[1]) - ey * (a[0] - p[0]))
+                 / (ex * dy - ey * dx))
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        s = inp[-1]
+        for e in inp:
+            if inside(e):
+                if not inside(s):
+                    out.append(inter(s, e))
+                out.append(e)
+            elif inside(s):
+                out.append(inter(s, e))
+            s = e
+    return out
+
+
+def _sh_area(pts):
+    if len(pts) < 3:
+        return 0.0
+    a = 0.0
+    for i in range(len(pts)):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % len(pts)]
+        a += x0 * y1 - x1 * y0
+    return abs(a) / 2
+
+
+@given(st_.integers(0, 2**31 - 1), st_.sampled_from([0.0, 1e6]))
+@settings(max_examples=60, deadline=None)
+def test_rotated_pair_setops_vs_convex_clip_oracle(seed, base):
+    """r6 fuzz target for the NON-axis-aligned sweep paths (parametric
+    crossings, no axis pinning): intersection/union of random rotated
+    rectangles against an independent Sutherland–Hodgman oracle
+    (computed at the origin — the naive oracle itself cancels at 1e6,
+    which is the point of the engine's offset datum)."""
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    rng = np.random.default_rng(seed)
+
+    def rot_rect(cx, cy, w, h, th):
+        c, s = np.cos(th), np.sin(th)
+        return [(cx + dx * c - dy * s, cy + dx * s + dy * c)
+                for dx, dy in ((-w / 2, -h / 2), (w / 2, -h / 2),
+                               (w / 2, h / 2), (-w / 2, h / 2))]
+
+    A = rot_rect(base + rng.uniform(0, 50), base + rng.uniform(0, 50),
+                 rng.uniform(5, 60), rng.uniform(5, 60),
+                 rng.uniform(0, np.pi))
+    B = rot_rect(base + rng.uniform(0, 50), base + rng.uniform(0, 50),
+                 rng.uniform(5, 60), rng.uniform(5, 60),
+                 rng.uniform(0, np.pi))
+    b = GeometryBuilder()
+    b.append(GT_POLYGON, [[np.array(A + [A[0]])]])
+    b.append(GT_POLYGON, [[np.array(B + [B[0]])]])
+    ga = b.finish()
+    gA, gB = ga.take(np.array([0])), ga.take(np.array([1]))
+    A0 = [(p[0] - base, p[1] - base) for p in A]
+    B0 = [(p[0] - base, p[1] - base) for p in B]
+    exp = _sh_area(_sh_clip(A0, B0))
+    aA, aB = _sh_area(A0), _sh_area(B0)
+    inter = float(algos.area(algos.intersection(gA, gB))[0])
+    uni = float(algos.area(algos.union(gA, gB))[0])
+    assert abs(inter - exp) <= 1e-6 * max(exp, 1.0), (inter, exp)
+    assert abs(uni - (aA + aB - exp)) <= 1e-6 * max(aA + aB, 1.0)
+
+
+@given(st_.integers(0, 2**31 - 1),
+       st_.sampled_from([0.0, 1e-9, 1e-7, 1e-4]),
+       st_.sampled_from([0.0, 1e6, 1e7]), st_.integers(0, 2))
+@settings(max_examples=60, deadline=None)
+def test_binary_rect_setops_closed_form(seed, eps, base, mode):
+    """r6: all four binary set ops on axis-aligned rectangle pairs —
+    independent, near-coincident (eps jitter), or edge-adjacent —
+    against the closed-form rectangle-intersection area."""
+    from geopandas_spark.geom.array import boxes_from_bounds
+
+    rng = np.random.default_rng(seed)
+    ax0, ay0 = base + rng.uniform(0, 100, 2)
+    aw, ah = rng.uniform(1, 50, 2)
+    if mode == 0:
+        bx0, by0 = base + rng.uniform(0, 100, 2)
+        bw, bh = rng.uniform(1, 50, 2)
+    elif mode == 1:
+        bx0, by0, bw, bh = ax0 + eps, ay0 + eps, aw, ah
+    else:
+        bx0, by0 = ax0 + aw + eps, ay0
+        bw, bh = rng.uniform(1, 50, 2)
+    A = boxes_from_bounds(np.array([ax0]), np.array([ay0]),
+                          np.array([ax0 + aw]), np.array([ay0 + ah]))
+    B = boxes_from_bounds(np.array([bx0]), np.array([by0]),
+                          np.array([bx0 + bw]), np.array([by0 + bh]))
+    ix = max(0.0, min(ax0 + aw, bx0 + bw) - max(ax0, bx0))
+    iy = max(0.0, min(ay0 + ah, by0 + bh) - max(ay0, by0))
+    inter = ix * iy
+    exp = {"intersection": inter, "union": aw * ah + bw * bh - inter,
+           "difference": aw * ah - inter,
+           "symmetric_difference": aw * ah + bw * bh - 2 * inter}
+    tol = max(1e-9, 4 * (aw + ah + bw + bh) * max(eps, 1e-9),
+              2e-9 * abs(base))
+    for op, e in exp.items():
+        got = float(algos.area(getattr(algos, op)(A, B))[0])
+        assert abs(got - e) <= tol, (op, got, e, tol)
