@@ -2457,6 +2457,53 @@ FROM customer
 """
 
 
+def q_polygonize_full(spark, sf_dir):
+    """polygonize(full=True) end-to-end (reference base.py:6545, GEOS
+    polygonize_full; engine st_polygonize_full_agg): per nation, two
+    w×h square rings bridged by a mid-height segment whose endpoints
+    lie exactly ON the ring edges (noding splits there; the bridge
+    bounds no face → CUT edge of length w), plus a floating diagonal
+    (→ DANGLE). Expected areas/lengths are pure arithmetic in the
+    oracle; `invalid` stays NULL under the node-first default."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    w, h = (k % 5 + 1) * 10, (k % 4 + 1) * 10
+    x2 = w * 2  # second ring offset: bridge spans [w, 2w] at y = h/2
+    edges = [
+        F.concat(F.lit("LINESTRING (0 0, "), w, F.lit(" 0, "), w,
+                 F.lit(" "), h, F.lit(", 0 "), h, F.lit(", 0 0)")),
+        F.concat(F.lit("LINESTRING ("), x2, F.lit(" 0, "), x2 + w,
+                 F.lit(" 0, "), x2 + w, F.lit(" "), h, F.lit(", "), x2,
+                 F.lit(" "), h, F.lit(", "), x2, F.lit(" 0)")),
+        F.concat(F.lit("LINESTRING ("), w, F.lit(" "), h / 2,
+                 F.lit(", "), x2, F.lit(" "), h / 2, F.lit(")")),
+        F.lit("LINESTRING (900 900, 903 904)"),
+    ]
+    rows = n.select(k.alias("id"), F.explode(F.array(
+        *[st.geom_from_text(e).alias("g") for e in edges])).alias("geom"))
+    pz = rows.groupBy("id").agg(
+        st.polygonize_full_agg("geom").alias("pz"))
+    return pz.select(
+        "id",
+        F.round(st.area(F.element_at("pz", 1)), 6).alias("poly_area"),
+        st.ngeometries(F.element_at("pz", 1)).alias("n_polys"),
+        F.round(st.length(F.element_at("pz", 2)), 6).alias("cut_len"),
+        F.round(st.length(F.element_at("pz", 3)), 6).alias("dangle_len"),
+        F.isnull(F.element_at("pz", 4)).alias("invalid_null"))
+
+
+SQL_POLYGONIZE_FULL = """
+SELECT n_nationkey AS id,
+       ROUND(2.0 * ((n_nationkey % 5 + 1) * 10)
+                 * ((n_nationkey % 4 + 1) * 10), 6) AS poly_area,
+       2 AS n_polys,
+       ROUND(CAST((n_nationkey % 5 + 1) * 10 AS DOUBLE), 6) AS cut_len,
+       ROUND(5.0, 6) AS dangle_len,
+       TRUE AS invalid_null
+FROM nation
+"""
+
+
 def q_polygonize_buildarea(spark, sf_dir):
     """polygonize assembles the box from its 4 edge lines (the dangling
     extra line is ignored); build_area nests the hole ring."""
@@ -4592,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_natl": q_to_crs_natl,
         "chunk_docs": q_chunk_docs,
         "stream_lsh_dedup": q_stream_lsh_dedup,
+        "polygonize_full": q_polygonize_full,
         # (c) previously-stamped green queries
         "concat_cx": q_concat_cx,
         "densify_distances": q_densify_distances,
@@ -4756,6 +4804,7 @@ def oracle_sql() -> dict[str, str]:
         "to_crs_natl": SQL_TO_CRS_NATL,
         "chunk_docs": SQL_CHUNK_DOCS,
         "stream_lsh_dedup": SQL_STREAM_LSH_DEDUP,
+        "polygonize_full": SQL_POLYGONIZE_FULL,
         "geomcollection": SQL_GEOMCOLLECTION,
         "to_crs_utm": SQL_TO_CRS_UTM,
         "to_crs_bng": SQL_TO_CRS_BNG,

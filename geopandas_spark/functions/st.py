@@ -858,6 +858,25 @@ def _polygonize_agg(s: pd.Series) -> bytes:
     return wkb.encode(algos.collect(faces))[0]
 
 
+@_reg("st_polygonize_full_agg")
+@pandas_udf(ArrayType(BinaryType()))
+def _polygonize_full_agg(s: pd.Series) -> list:
+    """polygonize(full=True) over the group's linework (reference
+    base.py:6545): 4-element array of WKB collections — [polygons,
+    cut edges (connected both ends, bounding nothing), dangles
+    (free-ended after iterative pruning), invalid rings]. Elements are
+    NULL when that class is empty. Input is always noded first
+    (reference node=True default), so `invalid` is rarely non-empty.
+    (Array, not struct: Spark grouped-agg pandas UDFs cannot return
+    StructType.) Access with element_at(col, 1..4)."""
+    ga = wkb.decode(s.tolist())
+    polys, cuts, dangles, invalid = algos.polygonize_full(ga)
+
+    def enc(g):
+        return wkb.encode(algos.collect(g))[0] if len(g) else None
+    return [enc(polys), enc(cuts), enc(dangles), enc(invalid)]
+
+
 @_reg("st_buildarea_agg")
 @pandas_udf(BinaryType())
 def _buildarea_agg(s: pd.Series) -> bytes:
@@ -1334,6 +1353,10 @@ def subdivide(c, max_vertices: int = 256) -> Column:
     array<binary> — pair with posexplode to spread monster polygons
     across tasks (engine-added; PostGIS ST_Subdivide analogue)."""
     return _REGISTRY["st_subdivide"](_col(c), F.lit(int(max_vertices)))
+
+
+def polygonize_full_agg(c) -> Column:
+    return _REGISTRY["st_polygonize_full_agg"](_col(c))
 
 
 def polygonize_agg(c) -> Column:

@@ -4775,13 +4775,34 @@ def _node_segments(segs: np.ndarray) -> list:
     return out
 
 
-def polygonize(ga: GeometryArray) -> GeometryArray:
+def polygonize_full(ga: GeometryArray):
+    """Full polygonize (reference base.py:6545 ``full=True``, GEOS
+    polygonize_full): returns (polygons, cut_edges, dangles, invalid)
+    as four GeometryArrays.
+
+    - dangles: edges with a free endpoint after iterative degree-1
+      pruning (connected on at most one end);
+    - cut edges: edges connected on both ends that bound no polygon
+      (bridges between faces / isolated closed-walk chords);
+    - invalid: traced faces whose ring fails validity (bowties) —
+      diverted from the polygonal output like GEOS."""
+    polys, cuts, dangles = polygonize(ga, _full=True)
+    # validity split: bowtie faces divert to `invalid`
+    ok = is_valid(polys)
+    b_good, b_bad = GeometryBuilder(), GeometryBuilder()
+    for i in range(len(polys)):
+        (b_good if ok[i] else b_bad).append_from(polys, i)
+    return b_good.finish(), cuts, dangles, b_bad.finish()
+
+
+def polygonize(ga: GeometryArray, _full: bool = False):
     """Whole-series: polygons formed by the input linework (base.py:6545).
 
     Node all segments, build both directed half-edges per undirected edge,
     trace faces with the leftmost-turn rule (same planar-graph machinery as
     the overlay ring chaining); bounded faces come out CCW — the unbounded
-    outer face (CW) is dropped. Returns one polygon per face."""
+    outer face (CW) is dropped. Returns one polygon per face (or, with
+    ``_full``, the (polys, cuts, dangles) triple for polygonize_full)."""
     segs = []
     for i in range(len(ga)):
         if int(ga.types[i]) in LINE_TYPES:
@@ -4789,8 +4810,10 @@ def polygonize(ga: GeometryArray) -> GeometryArray:
             if len(s):
                 segs.append(s)
     if not segs:
-        b = GeometryBuilder()
-        return b.finish()
+        if _full:
+            return (GeometryBuilder().finish(), GeometryBuilder().finish(),
+                    GeometryBuilder().finish())
+        return GeometryBuilder().finish()
     noded = _node_segments(np.concatenate(segs, axis=0))
     # dedupe undirected edges; canonicalize vertices first — the same
     # crossing computed from the two partner segments can differ in the
@@ -4809,6 +4832,25 @@ def polygonize(ga: GeometryArray) -> GeometryArray:
             continue
         key = (p, q) if p < q else (q, p)
         seen[key] = (p, q)
+    dangle_edges = []
+    if _full:
+        # dangles: iterative degree-1 pruning (an edge with a free
+        # endpoint can never bound a face; removing it can free its
+        # neighbor, hence the loop — GEOS polygonize_full semantics)
+        deg = {}
+        for p, q in seen.values():
+            deg[p] = deg.get(p, 0) + 1
+            deg[q] = deg.get(q, 0) + 1
+        changed = True
+        while changed:
+            changed = False
+            for key, (p, q) in list(seen.items()):
+                if deg[p] <= 1 or deg[q] <= 1:
+                    dangle_edges.append((p, q))
+                    del seen[key]
+                    deg[p] -= 1
+                    deg[q] -= 1
+                    changed = True
     directed = []
     for p, q in seen.values():
         directed.append((p, q))
@@ -4818,6 +4860,7 @@ def polygonize(ga: GeometryArray) -> GeometryArray:
         out_map.setdefault(p, []).append(eid)
 
     used = [False] * len(directed)
+    used_in_poly = set()
     b = GeometryBuilder()
     for start in range(len(directed)):
         if used[start]:
@@ -4856,7 +4899,22 @@ def polygonize(ga: GeometryArray) -> GeometryArray:
         r = np.asarray(ring, dtype=np.float64)
         if _ring_signed_area_arr(r) > 0:  # bounded faces only
             b.append(GT_POLYGON, [[r]])
-    return b.finish()
+            if _full:
+                for k in range(len(ring) - 1):
+                    pp, qq = ring[k], ring[k + 1]
+                    used_in_poly.add((pp, qq) if pp < qq else (qq, pp))
+    if not _full:
+        return b.finish()
+    # cut edges: connected on both ends (survived dangle pruning) but
+    # bounding no polygon
+    bc, bd = GeometryBuilder(), GeometryBuilder()
+    for key, (p, q) in seen.items():
+        if key not in used_in_poly:
+            bc.append(GT_LINESTRING,
+                      [[np.asarray([p, q], dtype=np.float64)]])
+    for p, q in dangle_edges:
+        bd.append(GT_LINESTRING, [[np.asarray([p, q], dtype=np.float64)]])
+    return b.finish(), bc.finish(), bd.finish()
 
 
 def build_area(ga: GeometryArray) -> GeometryArray:

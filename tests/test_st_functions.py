@@ -358,3 +358,36 @@ def test_native_constructors_bit_exact_and_jvm_only(spark):
     plan = (df.select(st.point_native("x", "y").alias("g"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_polygonize_full_agg(spark):
+    """polygonize(full=True) parity (reference base.py:6545): the
+    4-way split into polygons / cut edges / dangles / invalid. Two
+    square rings joined by a bridge whose endpoints lie exactly on the
+    ring edges (noding splits there; the bridge bounds nothing -> cut),
+    plus a floating segment (-> dangle)."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "LINESTRING (0 0, 0 1, 1 1, 1 0, 0 0)"),
+            (1, "LINESTRING (3 0, 3 1, 4 1, 4 0, 3 0)"),
+            (1, "LINESTRING (1 0.5, 3 0.5)"),
+            (1, "LINESTRING (5 5, 6 6)")]
+    df = spark.createDataFrame(rows, ["g", "w"]).select(
+        "g", st.geom_from_text("w").alias("geom"))
+    r = df.groupBy("g").agg(
+        st.polygonize_full_agg("geom").alias("pz")).select(
+        st.area(F.element_at("pz", 1)).alias("a"),
+        st.ngeometries(F.element_at("pz", 1)).alias("np_"),
+        st.length(F.element_at("pz", 2)).alias("lc"),
+        st.length(F.element_at("pz", 3)).alias("ld"),
+        F.isnull(F.element_at("pz", 4)).alias("inv_null")).first()
+    assert r.a == 2.0 and r.np_ == 2
+    assert r.lc == 2.0                       # the bridge
+    assert abs(r.ld - 2 ** 0.5) < 1e-12     # the floating segment
+    assert r.inv_null
+    # kernel-level: plain polygonize is unchanged by the refactor
+    import numpy as np
+
+    from geopandas_spark.geom import algos, wkt as wktm
+    ga = wktm.parse_array(np.array([w for _g, w in rows], dtype=object))
+    assert float(algos.area(algos.polygonize(ga)).sum()) == 2.0
