@@ -57,7 +57,10 @@ local[32]) — the r4 VERDICT's two scale findings and item #8:
   splits -> 32 tasks), phase-2 partials pre-partitioned wider than
   #cores so ~25 keys don't collide onto shared tasks, plus the r5
   sweep vectorization (presorted event stream, integer-id tracer,
-  range-query nesting): 600k-box stress dissolve 15.6 -> 7.6 s warm.
+  range-query nesting): 600k-box stress dissolve 15.6 -> 7.6 s warm
+  (r6: comparator inlining + batched union-find candidates +
+  near-dup row dedupe + rectangle pair fast path -> ~5.6 s warm;
+  100x-tier dissolve 1.87 -> ~1.0-1.4 s).
 """
 
 
