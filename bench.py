@@ -122,9 +122,10 @@ def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
             if set(c) >= set(headlines):
                 cached = {k: c[k] for k in headlines}
     times = {}
+    spread = {}
     for name, fn in headlines.items():
         try:
-            best = None
+            samples = []
             for _ in range(runs):
                 try:     # settle heap from the previous query so each
                     spark._jvm.System.gc()   # measurement stands alone
@@ -133,15 +134,22 @@ def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
                 df = fn(spark, sf_dir)
                 t0 = time.time()
                 df.count()
-                el = time.time() - t0
-                best = el if best is None else min(best, el)
-            times[name] = round(best, 3)
+                samples.append(time.time() - t0)
+            # VM wall-clock swings 2-4x between runs (VERDICT r6 §perf:
+            # same plan measured {6.6, 17.9, 6.2} s in one session) —
+            # report min as the headline and keep the spread visible so
+            # cross-round readers stop "finding" phantom regressions.
+            times[name] = round(min(samples), 3)
+            spread[name] = {"min": round(min(samples), 3),
+                            "max": round(max(samples), 3),
+                            "runs": len(samples)}
         except Exception as e:  # keep the bench line parseable on failure
             times[name] = None
+            spread[name] = None
             print(f"# bench {name} failed: {e}", file=sys.stderr)
 
     if cached is not None:
-        return times, cached
+        return times, cached, spread
     baseline = {}
     try:
         import duckdb
@@ -184,7 +192,7 @@ def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
         os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
         with open(_baseline_cache_path(sf_dir), "w") as f:
             json.dump(baseline, f)
-    return times, baseline
+    return times, baseline, spread
 
 
 def main():
@@ -235,7 +243,8 @@ def main():
     except Exception:
         pass
 
-    times, baseline = run_tier(spark, entry, headlines, SF_DIR, runs=2)
+    times, baseline, spread = run_tier(spark, entry, headlines, SF_DIR,
+                                       runs=2)
     total = round(sum(t for t in times.values() if t is not None), 3)
     base_total = round(sum(t for t in baseline.values() if t is not None), 3) \
         if baseline else None
@@ -249,10 +258,12 @@ def main():
                                                "lineitem.parquet")):
                 from tools.make_scale import scale_dir as gen
                 gen(SF_DIR, scale_dir, SCALE_FACTOR)
-            st_times, st_base = run_tier(spark, entry, headlines, scale_dir,
-                                         cache_baseline=True, runs=2)
+            st_times, st_base, st_spread = run_tier(
+                spark, entry, headlines, scale_dir,
+                cache_baseline=True, runs=2)
             tiers[f"scale{SCALE_FACTOR}x"] = {
                 "queries": st_times,
+                "spread": st_spread,
                 "baseline": st_base,
                 "total": round(sum(t for t in st_times.values()
                                    if t is not None), 3),
@@ -276,11 +287,12 @@ def main():
                                                "lineitem.parquet")):
                 from tools.make_scale import scale_dir as gen
                 gen(SF_DIR, big_dir, BIG_FACTOR)
-            bt_times, bt_base = run_tier(
+            bt_times, bt_base, bt_spread = run_tier(
                 spark, entry, headlines, big_dir, cache_baseline=True,
-                runs=1, baseline_timeout=BIG_TWIN_TIMEOUT)
+                runs=2, baseline_timeout=BIG_TWIN_TIMEOUT)
             tiers[f"scale{BIG_FACTOR}x"] = {
                 "queries": bt_times,
+                "spread": bt_spread,
                 "baseline": bt_base,
                 "baseline_timeout_sec": BIG_TWIN_TIMEOUT,
                 "total": round(sum(t for t in bt_times.values()
@@ -298,6 +310,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "baseline": baseline,
         "baseline_total": base_total,
         "baseline_engine": "duckdb-oracle-twins",
