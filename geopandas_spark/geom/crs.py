@@ -44,10 +44,35 @@ _ELLPS = {
     "WGS84": (6378137.0, 1.0 / 298.257223563),
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "airy": (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
+    "mod_airy": (6377340.189,                        # Airy Modified (Irl.)
+                 (6377340.189 - 6356034.446) / 6377340.189),
     "bessel": (6377397.155, 1.0 / 299.1528128),     # Bessel 1841 (DHDN/CH)
     "intl": (6378388.0, 1.0 / 297.0),               # International 1924
     "krass": (6378245.0, 1.0 / 298.3),              # Krassowsky 1940
+    "clrk66": (6378206.4,                            # Clarke 1866 (NAD27)
+               (6378206.4 - 6356583.8) / 6378206.4),
+    "clrk80ign": (6378249.2,                         # Clarke 1880 IGN (NTF)
+                  (6378249.2 - 6356515.0) / 6378249.2),
+    "GRS67": (6378160.0, 1.0 / 298.247167427),
+    "evrst30": (6377276.345, 1.0 / 300.8017),        # Everest 1830
 }
+
+
+def _ellps_af(ellps):
+    """(a, f) for an ellipsoid key: a registry name or a raw
+    ``(a, f)`` tuple (custom +a/+b/+rf ellipsoids from parsed CRS text)."""
+    if isinstance(ellps, str):
+        return _ELLPS[ellps]
+    return float(ellps[0]), float(ellps[1])
+
+
+def _is_wgs84_like(ellps) -> bool:
+    """True when the datum step is a no-op (modern WGS84-aligned frames:
+    ETRS89/NAD83/GDA/CGCS2000/JGD on GRS80, or WGS84 itself)."""
+    if isinstance(ellps, str):
+        return ellps in ("WGS84", "GRS80")
+    a_, f_ = float(ellps[0]), float(ellps[1])
+    return abs(a_ - _A) < 0.5 and abs(f_ - _F) < 1e-8
 
 # WGS84 -> OSGB36 position-vector Helmert (OS 'A guide to coordinate
 # systems in Great Britain', §6.6): (tx, ty, tz m; s ppm; rx, ry, rz
@@ -75,10 +100,15 @@ _HELMERT_BD72_TO_WGS84 = ("inv", (-106.8686, 52.2978, -103.7239,
 
 def _norm(crs: str) -> str:
     c = str(crs).upper().replace(" ", "")
-    if c in ("EPSG:4326", "OGC:CRS84", "WGS84", "4326"):
+    if c.startswith("URN:OGC:DEF:CRS:EPSG:"):   # urn:ogc:def:crs:EPSG::n
+        c = "EPSG:" + c.rsplit(":", 1)[-1]
+    if c in ("EPSG:4326", "OGC:CRS84", "CRS84", "WGS84", "4326"):
         return "EPSG:4326"
-    if c in ("EPSG:3857", "EPSG:900913", "3857"):
+    if c in ("EPSG:3857", "EPSG:900913", "ESRI:102100", "ESRI:102113",
+             "3857"):
         return "EPSG:3857"
+    if c.isdigit():                             # bare numeric code
+        return "EPSG:" + c
     return c
 
 
@@ -245,8 +275,14 @@ def _lcc_consts(p: dict):
     p0 = np.radians(p["lat0"])
     m1, m2 = m(p1), m(p2)
     t1, t2, t0 = t(p1), t(p2), t(p0)
-    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
-    Fc = m1 / (n * t1 ** n)
+    if abs(p["sp1"] - p["sp2"]) < 1e-12:
+        # LCC 1SP (EPSG method 9801): tangent cone at sp1 == lat0,
+        # scaled by k0 — the 2SP formulas with n = sin(phi1) and F
+        # multiplied by the origin scale factor
+        n = np.sin(p1)
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    Fc = m1 / (n * t1 ** n) * p.get("k0", 1.0)
     rho0 = a_ * Fc * t0 ** n
     return e_, n, Fc, rho0, t
 
@@ -295,17 +331,30 @@ def _ps_tm(phi, e_):
     return t, m
 
 
+def _ps_rho_scale(p: dict, a_: float, e_: float) -> float:
+    """rho = C * t: C from the standard parallel (variant B) or from the
+    scale factor at the pole (variant A, EPSG 9810 — lat_ts absent or
+    ±90)."""
+    ts = p.get("lat_ts")
+    if ts is not None and abs(ts) < 90.0 - 1e-9:
+        tF, mF = _ps_tm(np.radians(abs(ts)), e_)
+        return a_ * mF / tF
+    k0 = p.get("k0", 1.0)
+    return 2.0 * a_ * k0 / np.sqrt((1 + e_) ** (1 + e_)
+                                   * (1 - e_) ** (1 - e_))
+
+
 def ps_forward(lon, lat, p: dict):
     """Geographic → polar stereographic E/N (variant B: standard parallel
-    ``lat_ts``; ``north`` picks the pole). Vectorized."""
+    ``lat_ts``; variant A: scale factor ``k0`` at the pole; ``north``
+    picks the pole). Vectorized."""
     a_, f_ = p["a"], p["f"]
     e_ = np.sqrt(f_ * (2 - f_))
     north = p["north"]
     lat_w = np.radians(lat if north else -np.asarray(lat))
     lon_w = np.radians(np.asarray(lon) - p["lon0"])
-    tF, mF = _ps_tm(np.radians(abs(p["lat_ts"])), e_)
     t, _ = _ps_tm(lat_w, e_)
-    rho = a_ * mF * t / tF
+    rho = _ps_rho_scale(p, a_, e_) * t
     E = p["fe"] + rho * np.sin(lon_w)
     N_off = rho * np.cos(lon_w)
     N = p["fn"] - N_off if north else p["fn"] + N_off
@@ -318,9 +367,8 @@ def ps_inverse(E, N, p: dict):
     north = p["north"]
     dE = np.asarray(E, dtype=np.float64) - p["fe"]
     dN = np.asarray(N, dtype=np.float64) - p["fn"]
-    tF, mF = _ps_tm(np.radians(abs(p["lat_ts"])), e_)
     rho = np.hypot(dE, dN)
-    t = rho * tF / (a_ * mF)
+    t = rho / _ps_rho_scale(p, a_, e_)
     chi = np.pi / 2 - 2 * np.arctan(t)
     e2 = e_ * e_
     e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
@@ -353,9 +401,11 @@ def _chi_to_phi(chi: np.ndarray, e_: float) -> np.ndarray:
 
 
 def merc_forward(lon, lat, p: dict):
-    """Geographic → ellipsoidal Mercator E/N. Vectorized."""
-    a_, f_ = p["a"], p["f"]
-    e_ = np.sqrt(f_ * (2 - f_))
+    """Geographic → ellipsoidal Mercator E/N (variant A ``k0``; a
+    variant-B standard parallel is folded into k0 by the CRS parser).
+    Vectorized."""
+    a_ = p["a"] * p.get("k0", 1.0)
+    e_ = np.sqrt(p["f"] * (2 - p["f"]))
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     es = e_ * np.sin(phi)
     E = p["fe"] + a_ * np.radians(np.asarray(lon, np.float64) - p["lon0"])
@@ -365,8 +415,8 @@ def merc_forward(lon, lat, p: dict):
 
 
 def merc_inverse(E, N, p: dict):
-    a_, f_ = p["a"], p["f"]
-    e_ = np.sqrt(f_ * (2 - f_))
+    a_ = p["a"] * p.get("k0", 1.0)
+    e_ = np.sqrt(p["f"] * (2 - p["f"]))
     t = np.exp(-(np.asarray(N, np.float64) - p["fn"]) / a_)
     chi = np.pi / 2 - 2 * np.arctan(t)
     lat = np.degrees(_chi_to_phi(chi, e_))
@@ -391,7 +441,10 @@ def _laea_consts(p: dict):
 
 def laea_forward(lon, lat, p: dict):
     """Geographic → oblique LAEA E/N (Snyder 24-2..24-16,
-    authalic-latitude ellipsoidal form). Vectorized."""
+    authalic-latitude ellipsoidal form); polar aspect (|lat0| = 90,
+    Snyder 24-23/24-25) for the EASE-Grid-style CRSs. Vectorized."""
+    if abs(p["lat0"]) > 89.999999:
+        return _laea_polar_forward(lon, lat, p)
     e_, qp, rq, b1, d = _laea_consts(p)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
@@ -405,7 +458,36 @@ def laea_forward(lon, lat, p: dict):
     return E, N
 
 
+def _laea_polar_forward(lon, lat, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    north = p["lat0"] > 0
+    qp = _aea_q(np.pi / 2, e_)
+    q = _aea_q(np.radians(np.asarray(lat, dtype=np.float64)), e_)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    rho = a_ * np.sqrt(np.maximum(qp - q if north else qp + q, 0.0))
+    E = p["fe"] + rho * np.sin(lam)
+    N = p["fn"] + (-rho * np.cos(lam) if north else rho * np.cos(lam))
+    return E, N
+
+
+def _laea_polar_inverse(E, N, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    north = p["lat0"] > 0
+    dE = np.asarray(E, dtype=np.float64) - p["fe"]
+    dN = np.asarray(N, dtype=np.float64) - p["fn"]
+    rho = np.hypot(dE, dN)
+    qp = _aea_q(np.pi / 2, e_)
+    r2 = (rho / a_) ** 2
+    q = qp - r2 if north else r2 - qp
+    lam = np.arctan2(dE, -dN) if north else np.arctan2(dE, dN)
+    return p["lon0"] + np.degrees(lam), np.degrees(_q_to_phi(q, e_))
+
+
 def laea_inverse(E, N, p: dict):
+    if abs(p["lat0"]) > 89.999999:
+        return _laea_polar_inverse(E, N, p)
     e_, qp, rq, b1, d = _laea_consts(p)
     x = (np.asarray(E, np.float64) - p["fe"]) / d
     y = (np.asarray(N, np.float64) - p["fn"]) * d
@@ -418,16 +500,7 @@ def laea_inverse(E, N, p: dict):
         lam = np.arctan2(x * np.sin(ce),
                          rho * np.cos(b1) * np.cos(ce)
                          - y * np.sin(b1) * np.sin(ce))
-    # Newton iteration for phi from authalic q (shared with Albers)
-    e2 = e_ * e_
-    phi = np.arcsin(np.clip(q / 2, -1, 1))
-    for _ in range(8):
-        s = np.sin(phi)
-        es = e_ * s
-        one = 1 - es * es
-        phi = phi + (one * one / (2 * np.cos(phi) * (1 - e2))) * (
-            q / (1 - e2) - s / one
-            + np.log((1 - es) / (1 + es)) / (2 * e_))
+    phi = _q_to_phi(q, e_)      # Newton (shared with Albers / CEA)
     lon = p["lon0"] + np.degrees(lam)
     return lon, np.degrees(phi)
 
@@ -435,9 +508,31 @@ def laea_inverse(E, N, p: dict):
 # --- Albers Equal Area conic (EPSG method 9822 / Snyder 1987) -------------
 
 def _aea_q(phi, e_):
+    if e_ < 1e-12:          # sphere: authalic q degenerates to 2 sin(phi)
+        return 2.0 * np.sin(np.asarray(phi, dtype=np.float64))
     es = e_ * np.sin(phi)
     return (1 - e_ * e_) * (np.sin(phi) / (1 - es * es)
                             - np.log((1 - es) / (1 + es)) / (2 * e_))
+
+
+def _q_to_phi(q, e_):
+    """Authalic q → geodetic latitude (Newton, Snyder 3-16). Shared by
+    Albers / LAEA / cylindrical-equal-area inverses."""
+    phi = np.arcsin(np.clip(np.asarray(q, dtype=np.float64) / 2, -1, 1))
+    if e_ < 1e-12:
+        return phi
+    e2 = e_ * e_
+    for _ in range(8):
+        s = np.sin(phi)
+        es = e_ * s
+        one = 1 - es * es
+        with np.errstate(invalid="ignore", divide="ignore"):
+            step = (one * one / (2 * np.cos(phi) * (1 - e2))) * (
+                q / (1 - e2) - s / one
+                + np.log((1 - es) / (1 + es)) / (2 * e_))
+        # poles: cos(phi) -> 0 blows the step up; phi is already exact
+        phi = phi + np.where(np.isfinite(step), step, 0.0)
+    return phi
 
 
 def _aea_consts(p: dict):
@@ -482,16 +577,7 @@ def aea_inverse(E, N, p: dict):
     else:
         theta = np.arctan2(dE, dy)
     lon = p["lon0"] + np.degrees(theta / n)
-    # Newton iteration for phi from the authalic q (Snyder 3-16)
-    e2 = e_ * e_
-    phi = np.arcsin(np.clip(q / 2, -1, 1))
-    for _ in range(8):
-        s = np.sin(phi)
-        es = e_ * s
-        one = 1 - es * es
-        phi = phi + (one * one / (2 * np.cos(phi) * (1 - e2))) * (
-            q / (1 - e2) - s / one
-            + np.log((1 - es) / (1 + es)) / (2 * e_))
+    phi = _q_to_phi(q, e_)      # Newton (Snyder 3-16, shared helper)
     return lon, np.degrees(phi)
 
 
@@ -553,6 +639,245 @@ def somerc_inverse(E, N, p: dict):
     return lon, np.degrees(phi)
 
 
+# --- Oblique (double) Stereographic (EPSG method 9809) --------------------
+# The Netherlands RD New projection family: conformal sphere at the
+# origin, then spherical stereographic. Formulas from the public EPSG
+# Guidance Note 7-2 worked example (Amersfoort / RD New).
+
+def _sterea_consts(p: dict):
+    a_, f_ = p["a"], p["f"]
+    e2 = f_ * (2.0 - f_)
+    e_ = np.sqrt(e2)
+    phi0 = np.radians(p["lat0"])
+    s0 = np.sin(phi0)
+    rho0 = a_ * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a_ / np.sqrt(1 - e2 * s0 * s0)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1 + e2 * np.cos(phi0) ** 4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e_ * s0) / (1 + e_ * s0)
+    w1 = (S1 * S2 ** e_) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+    return e_, n, c, R, chi0
+
+
+def _sterea_chi(lat, e_, n, c):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    Sa = (1 + s) / (1 - s)
+    Sb = (1 - e_ * s) / (1 + e_ * s)
+    w = c * (Sa * Sb ** e_) ** n
+    return np.arcsin(np.clip((w - 1) / (w + 1), -1.0, 1.0))
+
+
+def sterea_forward(lon, lat, p: dict):
+    """Geographic → oblique (double) stereographic E/N. Vectorized."""
+    e_, n, c, R, chi0 = _sterea_consts(p)
+    k0 = p.get("k0", 1.0)
+    chi = _sterea_chi(lat, e_, n, c)
+    dlam = n * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    B = 1 + np.sin(chi) * np.sin(chi0) + \
+        np.cos(chi) * np.cos(chi0) * np.cos(dlam)
+    E = p["fe"] + 2 * R * k0 * np.cos(chi) * np.sin(dlam) / B
+    N = p["fn"] + 2 * R * k0 * (np.sin(chi) * np.cos(chi0)
+                                - np.cos(chi) * np.sin(chi0)
+                                * np.cos(dlam)) / B
+    return E, N
+
+
+def sterea_inverse(E, N, p: dict):
+    e_, n, c, R, chi0 = _sterea_consts(p)
+    k0 = p.get("k0", 1.0)
+    dE = np.asarray(E, dtype=np.float64) - p["fe"]
+    dN = np.asarray(N, dtype=np.float64) - p["fn"]
+    g = 2 * R * k0 * np.tan(np.pi / 4 - chi0 / 2)
+    h = 4 * R * k0 * np.tan(chi0) + g
+    i = np.arctan2(dE, h + dN)
+    j = np.arctan2(dE, g - dN) - i
+    chi = chi0 + 2 * np.arctan((dN - dE * np.tan(j / 2)) / (2 * R * k0))
+    dlam = j + 2 * i
+    lon = p["lon0"] + np.degrees(dlam / n)
+    # isometric latitude of the conformal-sphere point, then fixed-point
+    # recover of the geodetic latitude (EPSG GN7-2 iteration)
+    psi = (np.log((1 + np.sin(chi))
+                  / (c * (1 - np.sin(chi)))) / 2) / n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(8):
+        s = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                       * ((1 - e_ * s) / (1 + e_ * s)) ** (e_ / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) * \
+            (1 - e_ * e_ * s * s) / (1 - e_ * e_)
+    return lon, np.degrees(phi)
+
+
+# --- Lambert Cylindrical Equal Area (EPSG method 9835) --------------------
+
+def cea_forward(lon, lat, p: dict):
+    """Geographic → cylindrical equal-area E/N (standard parallel
+    ``lat_ts``; the EASE-Grid 2.0 global projection). Vectorized."""
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    phts = np.radians(p.get("lat_ts", 0.0))
+    k0 = np.cos(phts) / np.sqrt(1 - (e_ * np.sin(phts)) ** 2)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    q = _aea_q(np.radians(np.asarray(lat, dtype=np.float64)), e_)
+    return p["fe"] + a_ * k0 * lam, p["fn"] + a_ * q / (2 * k0)
+
+
+def cea_inverse(E, N, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    phts = np.radians(p.get("lat_ts", 0.0))
+    k0 = np.cos(phts) / np.sqrt(1 - (e_ * np.sin(phts)) ** 2)
+    lon = p["lon0"] + np.degrees(
+        (np.asarray(E, dtype=np.float64) - p["fe"]) / (a_ * k0))
+    q = 2 * k0 * (np.asarray(N, dtype=np.float64) - p["fn"]) / a_
+    return lon, np.degrees(_q_to_phi(q, e_))
+
+
+# --- Equidistant Cylindrical (EPSG method 1028) + meridian arc ------------
+
+def _mdist(phi, a_, e_):
+    """Meridian distance from the equator (Snyder 3-21)."""
+    e2 = e_ * e_
+    e4, e6 = e2 * e2, e2 ** 3
+    return a_ * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+                 - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024)
+                 * np.sin(2 * phi)
+                 + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+                 - (35 * e6 / 3072) * np.sin(6 * phi))
+
+
+def _mdist_inv(M, a_, e_):
+    """Latitude from meridian distance (rectifying latitude series,
+    Snyder 3-26)."""
+    e2 = e_ * e_
+    mu = M / (a_ * (1 - e2 / 4 - 3 * e2 * e2 / 64
+                    - 5 * e2 ** 3 / 256))
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    return (mu
+            + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+
+
+def eqc_forward(lon, lat, p: dict):
+    """Geographic → equidistant cylindrical E/N (ellipsoidal Plate
+    Carrée). Vectorized."""
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    phts = np.radians(p.get("lat_ts", 0.0))
+    nu1c = np.cos(phts) / np.sqrt(1 - (e_ * np.sin(phts)) ** 2)
+    E = p["fe"] + a_ * nu1c * np.radians(
+        np.asarray(lon, dtype=np.float64) - p["lon0"])
+    N = p["fn"] + _mdist(np.radians(np.asarray(lat, dtype=np.float64)),
+                         a_, e_)
+    return E, N
+
+
+def eqc_inverse(E, N, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    phts = np.radians(p.get("lat_ts", 0.0))
+    nu1c = np.cos(phts) / np.sqrt(1 - (e_ * np.sin(phts)) ** 2)
+    lon = p["lon0"] + np.degrees(
+        (np.asarray(E, dtype=np.float64) - p["fe"]) / (a_ * nu1c))
+    phi = _mdist_inv(np.asarray(N, dtype=np.float64) - p["fn"], a_, e_)
+    return lon, np.degrees(phi)
+
+
+# --- Sinusoidal (spherical/ellipsoidal; the MODIS tiling grid) ------------
+
+def sinu_forward(lon, lat, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    E = p["fe"] + a_ * lam * np.cos(phi) / \
+        np.sqrt(1 - (e_ * np.sin(phi)) ** 2)
+    N = p["fn"] + _mdist(phi, a_, e_)
+    return E, N
+
+
+def sinu_inverse(E, N, p: dict):
+    a_, f_ = p["a"], p["f"]
+    e_ = np.sqrt(f_ * (2 - f_))
+    phi = _mdist_inv(np.asarray(N, dtype=np.float64) - p["fn"], a_, e_)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = (np.asarray(E, dtype=np.float64) - p["fe"]) * \
+            np.sqrt(1 - (e_ * np.sin(phi)) ** 2) / (a_ * np.cos(phi))
+    lam = np.where(np.isfinite(lam), lam, 0.0)   # at the exact pole
+    return p["lon0"] + np.degrees(lam), np.degrees(phi)
+
+
+# --- Mollweide (spherical; ESRI:54009-style world maps) -------------------
+
+def moll_forward(lon, lat, p: dict):
+    R_ = p["a"]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    # Newton for theta: 2θ + sin 2θ = π sin φ
+    target = np.pi * np.sin(phi)
+    th = phi.copy()
+    for _ in range(12):
+        f_v = 2 * th + np.sin(2 * th) - target
+        d_v = 2 + 2 * np.cos(2 * th)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            step = f_v / d_v
+        th = th - np.where(np.isfinite(step), step, 0.0)
+    E = p["fe"] + (2 * np.sqrt(2) / np.pi) * R_ * lam * np.cos(th)
+    N = p["fn"] + np.sqrt(2) * R_ * np.sin(th)
+    return E, N
+
+
+def moll_inverse(E, N, p: dict):
+    R_ = p["a"]
+    th = np.arcsin(np.clip(
+        (np.asarray(N, dtype=np.float64) - p["fn"]) / (np.sqrt(2) * R_),
+        -1.0, 1.0))
+    phi = np.arcsin(np.clip((2 * th + np.sin(2 * th)) / np.pi, -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = np.pi * (np.asarray(E, dtype=np.float64) - p["fe"]) / \
+            (2 * np.sqrt(2) * R_ * np.cos(th))
+    lam = np.where(np.isfinite(lam), lam, 0.0)
+    return p["lon0"] + np.degrees(lam), np.degrees(phi)
+
+
+# --- spherical web mercator + geographic passthrough families -------------
+
+def webmerc_forward(lon, lat, p: dict):
+    a_ = p["a"]
+    E = p["fe"] + a_ * np.radians(
+        np.asarray(lon, dtype=np.float64) - p["lon0"])
+    N = p["fn"] + a_ * np.log(np.tan(
+        np.pi / 4 + np.radians(np.asarray(lat, dtype=np.float64)) / 2))
+    return E, N
+
+
+def webmerc_inverse(E, N, p: dict):
+    a_ = p["a"]
+    lon = p["lon0"] + np.degrees(
+        (np.asarray(E, dtype=np.float64) - p["fe"]) / a_)
+    lat = np.degrees(2 * np.arctan(np.exp(
+        (np.asarray(N, dtype=np.float64) - p["fn"]) / a_)) - np.pi / 2)
+    return lon, lat
+
+
+def geog_forward(lon, lat, p: dict):
+    """Geographic CRS as a transform target: the datum step (applied by
+    the caller) is the whole transform — coordinates stay in degrees."""
+    return np.asarray(lon, dtype=np.float64), \
+        np.asarray(lat, dtype=np.float64)
+
+
+geog_inverse = geog_forward
+
+
 def _geodetic_to_xyz(lon, lat, a_, f_):
     e2 = f_ * (2.0 - f_)
     phi = np.radians(np.asarray(lat, float))
@@ -599,7 +924,7 @@ def _helmert(X, Y, Z, prm, inverse=False):
 def _datum_from_wgs84(lon, lat, ellps: str, helmert):
     """WGS84 geographic → target-datum geographic (h=0 on both).
     ``helmert`` is WGS84→datum, or ("inv", prm) with prm datum→WGS84."""
-    if helmert is None and ellps in ("WGS84", "GRS80"):
+    if helmert is None and _is_wgs84_like(ellps):
         return lon, lat      # modern ETRS89/NAD83/RGF93 ≈ WGS84 (cm-level)
     X, Y, Z = _geodetic_to_xyz(lon, lat, *_ELLPS["WGS84"])
     if helmert is not None:
@@ -607,13 +932,13 @@ def _datum_from_wgs84(lon, lat, ellps: str, helmert):
             X, Y, Z = _helmert(X, Y, Z, helmert[1], inverse=True)
         else:
             X, Y, Z = _helmert(X, Y, Z, helmert)
-    return _xyz_to_geodetic(X, Y, Z, *_ELLPS[ellps])
+    return _xyz_to_geodetic(X, Y, Z, *_ellps_af(ellps))
 
 
 def _datum_to_wgs84(lon, lat, ellps: str, helmert):
-    if helmert is None and ellps in ("WGS84", "GRS80"):
+    if helmert is None and _is_wgs84_like(ellps):
         return lon, lat
-    X, Y, Z = _geodetic_to_xyz(lon, lat, *_ELLPS[ellps])
+    X, Y, Z = _geodetic_to_xyz(lon, lat, *_ellps_af(ellps))
     if helmert is not None:
         if helmert[0] == "inv":
             X, Y, Z = _helmert(X, Y, Z, helmert[1])
@@ -643,10 +968,670 @@ _SPCS_LCC = {
 }
 
 
+# --- generic CRS descriptor: PROJ strings + WKT1/WKT2 ---------------------
+# The reference accepts any pyproj CRS (geopandas/array.py:1098-1187);
+# here the same front door is a parser producing the {family, params,
+# ellps, helmert} descriptor consumed by the closed-form kernels above —
+# no registry database needed, clean error for datum-grid transforms.
+
+_US_FT = 1200.0 / 3937.0            # US survey foot (exact definition)
+_UNITS = {"m": 1.0, "metre": 1.0, "meter": 1.0, "us-ft": _US_FT,
+          "ft": 0.3048, "yd": 0.9144, "km": 1000.0,
+          "link": 0.201168, "ind-yd": 0.91439523}
+_PMERIDIANS = {"greenwich": 0.0, "paris": 2.0 + 20.0 / 60 + 14.025 / 3600,
+               "lisbon": -(9.0 + 7.0 / 60 + 54.862 / 3600),
+               "rome": 12.0 + 27.0 / 60 + 8.4 / 3600,
+               "bogota": -(74.0 + 4.0 / 60 + 51.3 / 3600),
+               "oslo": 10.0 + 43.0 / 60 + 22.5 / 3600}
+_PROJ_ELLPS_ALIAS = {
+    "WGS84": "WGS84", "GRS80": "GRS80", "GRS67": "GRS67", "airy": "airy",
+    "mod_airy": "mod_airy", "bessel": "bessel", "intl": "intl",
+    "krass": "krass", "clrk66": "clrk66", "clrk80ign": "clrk80ign",
+    "evrst30": "evrst30", "sphere": (6370997.0, 0.0),
+}
+_PROJ_DATUM_ELLPS = {"WGS84": "WGS84", "NAD83": "GRS80", "GGRS87": "GRS80"}
+
+
+def _ellps_from_tokens(toks: dict):
+    """Resolve +a/+b/+rf/+f/+ellps/+datum tokens to an ellipsoid key."""
+    if "a" in toks:
+        a_ = float(toks["a"])
+        if "rf" in toks:
+            rf = float(toks["rf"])
+            f_ = 1.0 / rf if rf else 0.0
+        elif "b" in toks:
+            f_ = (a_ - float(toks["b"])) / a_
+        elif "f" in toks:
+            f_ = float(toks["f"])
+        else:
+            f_ = 0.0
+        return (a_, f_)
+    name = toks.get("ellps")
+    if name is None:
+        datum = toks.get("datum", "WGS84")
+        name = _PROJ_DATUM_ELLPS.get(datum)
+        if name is None:
+            raise NotImplementedError(
+                f"PROJ datum '{datum}' needs grid-shift files (no PROJ "
+                "data in this environment); use +ellps/+towgs84 instead")
+        return name
+    if name not in _PROJ_ELLPS_ALIAS:
+        raise NotImplementedError(
+            f"unknown PROJ ellipsoid '{name}'; supported: "
+            f"{sorted(k for k in _PROJ_ELLPS_ALIAS)} or raw +a/+b/+rf")
+    return _PROJ_ELLPS_ALIAS[name]
+
+
+def _helm_from_towgs84(text: str):
+    """+towgs84 / TOWGS84 list (tx,ty,tz[,rx,ry,rz,s_ppm], the published
+    datum→WGS84 direction) → the internal ("inv", prm) wrapper with prm
+    ordered (tx, ty, tz, s, rx, ry, rz)."""
+    v = [float(x) for x in str(text).split(",")]
+    if len(v) == 3:
+        v = v + [0.0, 0.0, 0.0, 0.0]
+    if len(v) != 7:
+        raise ValueError(f"towgs84 needs 3 or 7 values, got {len(v)}")
+    if all(x == 0.0 for x in v):
+        return None             # null transform: plain ellipsoid change
+    return ("inv", (v[0], v[1], v[2], v[6], v[3], v[4], v[5]))
+
+
+def _parse_proj_string(text: str):
+    """PROJ pipeline string → (kind, params, ellps, helmert). Raises
+    NotImplementedError with the supported-family list for projections
+    the closed-form kernels don't cover."""
+    toks, flags = {}, set()
+    for tok in text.split():
+        tok = tok.lstrip("+")
+        if not tok or tok in ("no_defs", "no_off", "wktext"):
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            toks[k] = v
+        else:
+            flags.add(tok)
+    proj = toks.get("proj")
+    if proj is None:
+        return None
+    if "nadgrids" in toks and toks["nadgrids"] not in ("@null", "null"):
+        raise NotImplementedError(
+            "datum grid-shift (+nadgrids) transforms need PROJ grid data, "
+            "which is not available in this environment")
+    ellps = _ellps_from_tokens(toks)
+    helm = _helm_from_towgs84(toks["towgs84"]) if "towgs84" in toks \
+        else None
+    a_, f_ = _ellps_af(ellps)
+
+    def num(key, default=0.0):
+        return float(toks.get(key, default))
+
+    pm = toks.get("pm", "greenwich")
+    try:
+        pm_off = float(pm)
+    except ValueError:
+        if pm not in _PMERIDIANS:
+            raise NotImplementedError(f"unsupported prime meridian '{pm}'")
+        pm_off = _PMERIDIANS[pm]
+    k0 = float(toks.get("k", toks.get("k_0", 1.0)))
+    to_m = float(toks.get("to_meter",
+                          _UNITS.get(toks.get("units", "m"), 0.0)))
+    if to_m == 0.0:
+        raise NotImplementedError(
+            f"unsupported +units '{toks.get('units')}'")
+    base = {"a": a_, "f": f_, "fe": num("x_0"), "fn": num("y_0"),
+            "lon0": num("lon_0") + pm_off, "to_meter": to_m}
+    if proj in ("longlat", "latlong", "lonlat"):
+        if pm_off:
+            raise NotImplementedError(
+                "non-Greenwich geographic CRS not supported")
+        return ("geog", {"a": a_, "f": f_, "to_meter": 1.0}, ellps, helm)
+    if proj == "utm":
+        zone = int(toks["zone"])
+        base.update({"lat0": 0.0, "k0": 0.9996, "fe": 500000.0,
+                     "fn": 1e7 if "south" in flags else 0.0,
+                     "lon0": zone * 6.0 - 183.0})
+        return ("tm", base, ellps, helm)
+    if proj in ("tmerc", "etmerc"):
+        base.update({"lat0": num("lat_0"), "k0": k0})
+        return ("tm", base, ellps, helm)
+    if proj == "lcc":
+        if "lat_2" in toks:         # 2SP
+            base.update({"sp1": num("lat_1"), "sp2": num("lat_2"),
+                         "lat0": num("lat_0", toks.get("lat_1", 0.0))})
+        else:                       # 1SP: tangent parallel + k0
+            sp = num("lat_1", toks.get("lat_0", 0.0))
+            base.update({"sp1": sp, "sp2": sp, "lat0": num("lat_0", sp),
+                         "k0": k0})
+        return ("lcc", base, ellps, helm)
+    if proj == "stere":
+        lat0 = num("lat_0")
+        if abs(lat0) < 90.0 - 1e-9:
+            raise NotImplementedError(
+                "oblique 'stere' (Snyder stereographic) is not supported; "
+                "the double stereographic ('sterea', EPSG 9809) is")
+        base.update({"north": lat0 > 0, "k0": k0,
+                     "lat_ts": float(toks["lat_ts"])
+                     if "lat_ts" in toks else None})
+        return ("ps", base, ellps, helm)
+    if proj == "sterea":
+        base.update({"lat0": num("lat_0"), "k0": k0})
+        return ("sterea", base, ellps, helm)
+    if proj == "merc":
+        if "lat_ts" in toks:        # variant B → equivalent k0
+            ts = np.radians(float(toks["lat_ts"]))
+            e_ = np.sqrt(f_ * (2 - f_))
+            k0 = float(np.cos(ts) / np.sqrt(1 - (e_ * np.sin(ts)) ** 2))
+        base.update({"k0": k0})
+        return ("merc", base, ellps, helm)
+    if proj == "webmerc":
+        return ("webmerc", base, ellps, helm)
+    if proj == "aea":
+        base.update({"sp1": num("lat_1"), "sp2": num("lat_2"),
+                     "lat0": num("lat_0")})
+        return ("aea", base, ellps, helm)
+    if proj == "laea":
+        base.update({"lat0": num("lat_0")})
+        return ("laea", base, ellps, helm)
+    if proj == "somerc":
+        base.update({"lat0": num("lat_0"), "k0": k0})
+        return ("somerc", base, ellps, helm)
+    if proj == "cea":
+        base.update({"lat_ts": num("lat_ts")})
+        return ("cea", base, ellps, helm)
+    if proj == "eqc":
+        base.update({"lat_ts": num("lat_ts", toks.get("lat_1", 0.0))})
+        return ("eqc", base, ellps, helm)
+    if proj == "sinu":
+        return ("sinu", base, ellps, helm)
+    if proj == "moll":
+        return ("moll", base, ellps, helm)
+    raise NotImplementedError(
+        f"PROJ projection '{proj}' has no closed-form kernel here; "
+        "supported: longlat utm tmerc lcc stere(polar) sterea merc "
+        "webmerc aea laea somerc cea eqc sinu moll")
+
+
+class _WktNode:
+    __slots__ = ("name", "args")
+
+    def __init__(self, name, args):
+        self.name, self.args = name, args
+
+    def find(self, *names):
+        """First child node whose keyword matches any of ``names``."""
+        up = {n.upper() for n in names}
+        for a in self.args:
+            if isinstance(a, _WktNode) and a.name.upper() in up:
+                return a
+        return None
+
+    def find_all(self, *names):
+        up = {n.upper() for n in names}
+        return [a for a in self.args
+                if isinstance(a, _WktNode) and a.name.upper() in up]
+
+
+def _wkt_tokenize(text: str):
+    """WKT1/WKT2 bracket syntax → _WktNode tree (strings, floats,
+    nodes)."""
+    i, n = 0, len(text)
+
+    def skip_ws():
+        nonlocal i
+        while i < n and text[i] in " \t\r\n":
+            i += 1
+
+    def parse_node():
+        nonlocal i
+        skip_ws()
+        j = i
+        while i < n and (text[i].isalnum() or text[i] in "_-"):
+            i += 1
+        name = text[j:i]
+        skip_ws()
+        if i >= n or text[i] not in "[(":
+            raise ValueError(f"WKT parse error at offset {i}")
+        close = "]" if text[i] == "[" else ")"
+        i += 1
+        args = []
+        while True:
+            skip_ws()
+            if i >= n:
+                raise ValueError("unterminated WKT node")
+            ch = text[i]
+            if ch == close:
+                i += 1
+                return _WktNode(name, args)
+            if ch == ",":
+                i += 1
+                continue
+            if ch == '"':
+                i += 1
+                j = i
+                buf = []
+                while i < n:
+                    if text[i] == '"':
+                        if i + 1 < n and text[i + 1] == '"':  # escaped ""
+                            buf.append(text[j:i + 1])
+                            i += 2
+                            j = i
+                            continue
+                        break
+                    i += 1
+                buf.append(text[j:i])
+                i += 1
+                args.append("".join(buf))
+            elif ch.isalpha():
+                j = i
+                k = i
+                while k < n and (text[k].isalnum() or text[k] in "_-"):
+                    k += 1
+                # keyword followed by a bracket = nested node, else enum
+                m = k
+                while m < n and text[m] in " \t\r\n":
+                    m += 1
+                if m < n and text[m] in "[(":
+                    args.append(parse_node())
+                else:
+                    args.append(text[j:k])
+                    i = k
+            else:                       # number
+                j = i
+                while i < n and text[i] not in f",{close} \t\r\n":
+                    i += 1
+                args.append(float(text[j:i]))
+        return _WktNode(name, args)
+
+    return parse_node()
+
+
+def _wkt_norm_name(s: str) -> str:
+    return "".join(ch for ch in str(s).lower() if ch.isalnum())
+
+
+_WKT_METHOD = {
+    "transversemercator": "tm", "gausskruger": "tm",
+    "gaussboaga": "tm", "utm": "tm",
+    "lambertconformalconic2sp": "lcc2", "lambertconicconformal2sp": "lcc2",
+    "lambertconformalconic": "lcc2",      # ESRI WKT1 carries both SPs
+    "lambertconformalconic1sp": "lcc1", "lambertconicconformal1sp": "lcc1",
+    "polarstereographic": "ps", "polarstereographicvariantb": "ps",
+    "polarstereographicvarianta": "psA",
+    "obliquestereographic": "sterea", "doublestereographic": "sterea",
+    "albersequalarea": "aea", "albersconicequalarea": "aea",
+    "albers": "aea",
+    "lambertazimuthalequalarea": "laea",
+    "mercatorvarianta": "merc", "mercator1sp": "merc",
+    "mercatorvariantb": "mercB", "mercator2sp": "mercB",
+    "lambertcylindricalequalarea": "cea", "cylindricalequalarea": "cea",
+    "equidistantcylindrical": "eqc", "equirectangular": "eqc",
+    "platecarree": "eqc",
+    "sinusoidal": "sinu", "mollweide": "moll",
+    "popularvisualisationpseudomercator": "webmerc",
+    "mercatorauxiliarysphere": "webmerc",
+    "swissobliquecylindrical": "somerc", "swissobliquemercator": "somerc",
+}
+_WKT_METHOD_EPSG = {9807: "tm", 9802: "lcc2", 9801: "lcc1", 9829: "ps",
+                    9810: "psA", 9809: "sterea", 9822: "aea",
+                    9820: "laea", 9804: "merc", 9805: "mercB",
+                    9835: "cea", 1028: "eqc", 1029: "eqc", 1024: "webmerc",
+                    9841: "somerc"}
+_WKT_PARAM = {
+    "latitudeofnaturalorigin": "lat0", "latitudeoforigin": "lat0",
+    "latitudeoffalseorigin": "lat0", "latitudeofprojectioncentre": "lat0",
+    "latitudeofcenter": "lat0", "latitudeofcentre": "lat0",
+    "longitudeofnaturalorigin": "lon0", "centralmeridian": "lon0",
+    "longitudeoffalseorigin": "lon0",
+    "longitudeofprojectioncentre": "lon0", "longitudeofcenter": "lon0",
+    "longitudeofcentre": "lon0", "longitudeoforigin": "lon0",
+    "standardparallel1": "sp1", "latitudeof1ststandardparallel": "sp1",
+    "standardparallel2": "sp2", "latitudeof2ndstandardparallel": "sp2",
+    "scalefactor": "k0", "scalefactoratnaturalorigin": "k0",
+    "scalefactoroninitialline": "k0", "scalefactoratprojectioncentre": "k0",
+    "falseeasting": "fe", "eastingatfalseorigin": "fe",
+    "eastingatprojectioncentre": "fe",
+    "falsenorthing": "fn", "northingatfalseorigin": "fn",
+    "northingatprojectioncentre": "fn",
+    "latitudeofstandardparallel": "lat_ts",
+}
+_ANGULAR_KEYS = {"lat0", "lon0", "sp1", "sp2", "lat_ts"}
+_WKT_ELLPS_NAMES = {
+    "wgs84": "WGS84", "grs1980": "GRS80", "grs80": "GRS80",
+    "airy1830": "airy", "airymodified1849": "mod_airy",
+    "bessel1841": "bessel", "international1924": "intl",
+    "krassowsky1940": "krass", "krassovsky1940": "krass",
+    "clarke1866": "clrk66", "clarke1880ign": "clrk80ign",
+    "grs1967": "GRS67", "everest1830": "evrst30",
+}
+
+
+def _wkt_geog_parts(g: _WktNode):
+    """(ellps, helmert, angle_unit_deg_factor, pm_offset_deg) from a
+    GEOGCS/GEOGCRS/BASEGEOGCRS node."""
+    datum = g.find("DATUM", "TRF", "GEODETICDATUM")
+    if datum is None:
+        ens = g.find("ENSEMBLE")       # WKT2 datum ensembles (WGS84/ETRS89)
+        if ens is not None:
+            datum = ens
+    if datum is None:
+        raise ValueError("WKT geographic CRS without DATUM")
+    ell = datum.find("SPHEROID", "ELLIPSOID")
+    if ell is None:
+        raise ValueError("WKT DATUM without ELLIPSOID")
+    a_ = float(ell.args[1])
+    u = ell.find("LENGTHUNIT", "UNIT")
+    if u is not None:
+        a_ *= float(u.args[1])
+    rf = float(ell.args[2])
+    f_ = 1.0 / rf if rf else 0.0
+    nm = _wkt_norm_name(ell.args[0])
+    ellps = _WKT_ELLPS_NAMES.get(nm, (a_, f_))
+    tow = datum.find("TOWGS84")
+    helm = _helm_from_towgs84(",".join(str(float(x)) for x in tow.args)) \
+        if tow is not None and tow.args else None
+    # angle unit (WKT1: the GEOGCS UNIT; WKT2: ANGLEUNIT under CS/AXIS)
+    au = g.find("UNIT", "ANGLEUNIT")
+    deg_factor = 1.0
+    if au is not None:
+        deg_factor = float(au.args[1]) * 180.0 / np.pi  # rad → deg
+    pm = g.find("PRIMEM", "PRIMEMERIDIAN")
+    pm_off = 0.0
+    if pm is not None and len(pm.args) > 1:
+        pmu = pm.find("ANGLEUNIT", "UNIT")
+        fac = (float(pmu.args[1]) * 180.0 / np.pi) if pmu is not None \
+            else deg_factor
+        pm_off = float(pm.args[1]) * fac
+    return ellps, helm, deg_factor, pm_off
+
+
+def _parse_wkt_crs(text: str):
+    """WKT1 (PROJCS/GEOGCS) or WKT2 (PROJCRS/GEOGCRS) → descriptor."""
+    root = _wkt_tokenize(text)
+    kw = root.name.upper()
+    if kw in ("GEOGCS", "GEOGCRS", "BASEGEOGCRS", "GEODCRS"):
+        ellps, helm, _f, pm_off = _wkt_geog_parts(root)
+        if abs(pm_off) > 1e-12:
+            raise NotImplementedError(
+                "non-Greenwich geographic CRS not supported")
+        a_, f_ = _ellps_af(ellps)
+        return ("geog", {"a": a_, "f": f_, "to_meter": 1.0}, ellps, helm)
+    if kw == "BOUNDCRS":
+        src = root.find("SOURCECRS")
+        if src is not None and src.args and \
+                isinstance(src.args[0], _WktNode):
+            return _parse_wkt_crs_node(src.args[0])
+        raise ValueError("BOUNDCRS without SOURCECRS")
+    if kw not in ("PROJCS", "PROJCRS"):
+        raise NotImplementedError(f"unsupported WKT root '{root.name}'")
+    return _parse_wkt_crs_node(root)
+
+
+def _parse_wkt_crs_node(root: _WktNode):
+    geog = root.find("GEOGCS", "BASEGEOGCRS", "GEOGCRS")
+    if geog is None:
+        raise ValueError("projected WKT without a base geographic CRS")
+    ellps, helm, ang_deg, pm_off = _wkt_geog_parts(geog)
+    a_, f_ = _ellps_af(ellps)
+    conv = root.find("CONVERSION")
+    host = conv if conv is not None else root
+    meth = host.find("PROJECTION", "METHOD")
+    if meth is None:
+        raise ValueError("projected WKT without PROJECTION/METHOD")
+    fam = _WKT_METHOD.get(_wkt_norm_name(meth.args[0]))
+    if fam is None:
+        mid = meth.find("ID", "AUTHORITY")
+        if mid is not None:
+            try:
+                fam = _WKT_METHOD_EPSG.get(int(float(mid.args[1])))
+            except (ValueError, TypeError):
+                fam = None
+    if fam is None:
+        raise NotImplementedError(
+            f"WKT projection method '{meth.args[0]}' has no closed-form "
+            "kernel here (supported methods mirror the PROJ-string list)")
+    # linear unit of the projected axes (WKT1: top-level UNIT; WKT2:
+    # LENGTHUNIT under CS/AXIS or trailing)
+    to_m = 1.0
+    lu = root.find("UNIT", "LENGTHUNIT")
+    if lu is None:
+        cs = root.find("CS")
+        ax = root.find_all("AXIS") or (cs.find_all("AXIS") if cs else [])
+        for a in ([cs] if cs else []) + list(ax):
+            u = a.find("LENGTHUNIT", "UNIT") if a else None
+            if u is not None:
+                lu = u
+                break
+    if lu is not None:
+        to_m = float(lu.args[1])
+    prm = {}
+    for pn in host.find_all("PARAMETER"):
+        key = _WKT_PARAM.get(_wkt_norm_name(pn.args[0]))
+        if key is None:
+            continue
+        val = float(pn.args[1])
+        pu = pn.find("ANGLEUNIT", "LENGTHUNIT", "UNIT")
+        if key in _ANGULAR_KEYS:
+            fac = (float(pu.args[1]) * 180.0 / np.pi) if pu is not None \
+                else ang_deg
+            val *= fac
+        else:                       # fe/fn in the CRS linear unit → metres
+            fac = float(pu.args[1]) if pu is not None else to_m
+            val *= fac
+        prm[key] = val
+    prm.setdefault("fe", 0.0)
+    prm.setdefault("fn", 0.0)
+    prm["lon0"] = prm.get("lon0", 0.0) + pm_off
+    base = {"a": a_, "f": f_, "to_meter": to_m, **prm}
+    if fam == "tm":
+        base.setdefault("lat0", 0.0)
+        base.setdefault("k0", 1.0)
+        return ("tm", base, ellps, helm)
+    if fam == "lcc2":
+        if "sp2" not in base:       # ESRI generic LCC with one parallel
+            fam = "lcc1"
+        else:
+            base.setdefault("lat0", base["sp1"])
+            return ("lcc", base, ellps, helm)
+    if fam == "lcc1":
+        sp = base.get("sp1", base.get("lat0", 0.0))
+        base.update({"sp1": sp, "sp2": sp,
+                     "lat0": base.get("lat0", sp)})
+        base.setdefault("k0", 1.0)
+        return ("lcc", base, ellps, helm)
+    if fam in ("ps", "psA"):
+        lat0 = base.get("lat0", base.get("lat_ts", 90.0))
+        base["north"] = (base.get("lat_ts", lat0) >= 0
+                         if fam == "ps" else lat0 >= 0)
+        if fam == "psA":
+            base["lat_ts"] = None
+            base.setdefault("k0", 1.0)
+        else:
+            base.setdefault("lat_ts", lat0)
+        return ("ps", base, ellps, helm)
+    if fam == "sterea":
+        base.setdefault("lat0", 0.0)
+        base.setdefault("k0", 1.0)
+        return ("sterea", base, ellps, helm)
+    if fam in ("merc", "mercB"):
+        if fam == "mercB" or ("lat_ts" in base and "k0" not in base):
+            ts = np.radians(base.get("lat_ts", base.get("sp1", 0.0)))
+            e_ = np.sqrt(f_ * (2 - f_))
+            base["k0"] = float(np.cos(ts)
+                               / np.sqrt(1 - (e_ * np.sin(ts)) ** 2))
+        base.setdefault("k0", 1.0)
+        base.setdefault("lon0", 0.0)
+        return ("merc", base, ellps, helm)
+    if fam == "webmerc":
+        return ("webmerc", base, ellps, helm)
+    if fam == "aea":
+        base.setdefault("lat0", 0.0)
+        return ("aea", base, ellps, helm)
+    if fam == "laea":
+        base.setdefault("lat0", 0.0)
+        return ("laea", base, ellps, helm)
+    if fam == "somerc":
+        base.setdefault("k0", 1.0)
+        return ("somerc", base, ellps, helm)
+    if fam == "cea":
+        base["lat_ts"] = base.get("lat_ts", base.get("sp1", 0.0))
+        return ("cea", base, ellps, helm)
+    if fam == "eqc":
+        base["lat_ts"] = base.get("lat_ts", base.get("sp1", 0.0))
+        return ("eqc", base, ellps, helm)
+    return (fam, base, ellps, helm)     # sinu / moll
+
+
+# Data-driven EPSG→parameter table (compact registry excerpt encoded as
+# PROJ strings, all consumed by _parse_proj_string — one parser, one
+# descriptor, the kernels never see per-code logic). Codes here are the
+# long-tail additions beyond the zone-arithmetic ranges in _proj_def.
+_EPSG_EXTRA = {
+    # geographic 2D frames
+    4258: "+proj=longlat +ellps=GRS80",                        # ETRS89
+    4269: "+proj=longlat +ellps=GRS80",                        # NAD83
+    4283: "+proj=longlat +ellps=GRS80",                        # GDA94
+    7844: "+proj=longlat +ellps=GRS80",                        # GDA2020
+    4490: "+proj=longlat +ellps=GRS80",                        # CGCS2000
+    4612: "+proj=longlat +ellps=GRS80",                        # JGD2000
+    6668: "+proj=longlat +ellps=GRS80",                        # JGD2011
+    4171: "+proj=longlat +ellps=GRS80",                        # RGF93
+    4617: "+proj=longlat +ellps=GRS80",                        # NAD83(CSRS)
+    4759: "+proj=longlat +ellps=GRS80",                        # NAD83(2007)
+    6318: "+proj=longlat +ellps=GRS80",                        # NAD83(2011)
+    9000: "+proj=longlat +ellps=GRS80",                        # ITRF2014
+    9990: "+proj=longlat +ellps=GRS80",                        # ITRF2020
+    4230: "+proj=longlat +ellps=intl +towgs84=-87,-98,-121",   # ED50
+    4277: "+proj=longlat +ellps=airy "                         # OSGB36
+          "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489",
+    4289: "+proj=longlat +ellps=bessel +towgs84=565.417,50.3319,"
+          "465.552,-0.398957,0.343988,-1.8774,4.0725",         # Amersfoort
+    4618: "+proj=longlat +ellps=intl +towgs84=-59,-11,-52",    # SAD69
+    # ED50 / UTM zones 28-38 (Europe-wide legacy grids)
+    **{23000 + z: f"+proj=utm +zone={z} +ellps=intl "
+       "+towgs84=-87,-98,-121" for z in range(28, 39)},
+    # SIRGAS 2000 / UTM (Brazil & South America standard grids)
+    **{31954 + z: f"+proj=utm +zone={z} +ellps=GRS80"
+       for z in range(11, 23)},                                # 11N-22N
+    **{31960 + z: f"+proj=utm +zone={z} +south +ellps=GRS80"
+       for z in range(17, 26)},                                # 17S-25S
+    # NTF (Paris) / Lambert zones I-III (grad-defined tangent conics)
+    27571: "+proj=lcc +lat_1=49.5 +lat_0=49.5 +lon_0=0 +k_0=0.999877341 "
+           "+x_0=600000 +y_0=1200000 +a=6378249.2 +b=6356515 "
+           "+towgs84=-168,-60,320 +pm=paris",
+    27572: "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+           "+x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515 "
+           "+towgs84=-168,-60,320 +pm=paris",
+    27573: "+proj=lcc +lat_1=44.1 +lat_0=44.1 +lon_0=0 +k_0=0.999877499 "
+           "+x_0=600000 +y_0=3200000 +a=6378249.2 +b=6356515 "
+           "+towgs84=-168,-60,320 +pm=paris",
+    # Irish Grid (TM65 / TM75 share defining parameters)
+    29902: "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 +x_0=200000 "
+           "+y_0=250000 +ellps=mod_airy "
+           "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15",
+    29903: "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 +x_0=200000 "
+           "+y_0=250000 +ellps=mod_airy "
+           "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15",
+    # Amersfoort / RD New (double stereographic)
+    28992: "+proj=sterea +lat_0=52.15616055555555 "
+           "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+           "+y_0=463000 +ellps=bessel +towgs84=565.417,50.3319,465.552,"
+           "-0.398957,0.343988,-1.8774,4.0725",
+    # GGRS87 / Greek Grid
+    2100: "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9996 +x_0=500000 +y_0=0 "
+          "+ellps=GRS80 +towgs84=-199.87,74.79,246.62",
+    # GDA94 / Geoscience Australia Lambert
+    3112: "+proj=lcc +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=134 +x_0=0 "
+          "+y_0=0 +ellps=GRS80",
+    # NAD83(+CSRS) / Canada Atlas Lambert
+    3978: "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 +x_0=0 "
+          "+y_0=0 +ellps=GRS80",
+    3979: "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 +x_0=0 "
+          "+y_0=0 +ellps=GRS80",
+    # ETRS89-extended / LCC Europe
+    3034: "+proj=lcc +lat_1=35 +lat_2=65 +lat_0=52 +lon_0=10 "
+          "+x_0=4000000 +y_0=2800000 +ellps=GRS80",
+    # EASE-Grid 2.0 (global CEA + polar LAEA pair)
+    6933: "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    6931: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    6932: "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    # WGS 84 / World Equidistant Cylindrical
+    4087: "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    # US National Atlas Equal Area (authalic-sphere LAEA)
+    2163: "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+          "+a=6370997 +b=6370997",
+    9311: "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+          "+a=6370997 +b=6370997",
+    # NAD83 State Plane, US-survey-foot codes (x_0/y_0 in metres,
+    # +units scales the axes — the proj-string registry convention)
+    2229: "+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 "
+          "+lat_0=33.5 +lon_0=-118 +x_0=2000000.0001016 "
+          "+y_0=500000.0001016002 +ellps=GRS80 +units=us-ft",   # CA 5
+    2230: "+proj=lcc +lat_1=33.88333333333333 +lat_2=32.78333333333333 "
+          "+lat_0=32.16666666666666 +lon_0=-116.25 +x_0=2000000.0001016 "
+          "+y_0=500000.0001016002 +ellps=GRS80 +units=us-ft",   # CA 6
+    2232: "+proj=lcc +lat_1=39.75 +lat_2=38.45 +lat_0=37.83333333333334 "
+          "+lon_0=-105.5 +x_0=914401.8288036576 +y_0=304800.6096012192 "
+          "+ellps=GRS80 +units=us-ft",                          # CO C
+    2236: "+proj=tmerc +lat_0=24.33333333333333 +lon_0=-81 "
+          "+k=0.9999411764705882 +x_0=200000.0001016002 +y_0=0 "
+          "+ellps=GRS80 +units=us-ft",                          # FL E
+    2248: "+proj=lcc +lat_1=39.45 +lat_2=38.3 +lat_0=37.66666666666666 "
+          "+lon_0=-77 +x_0=399999.9998983998 +y_0=0 +ellps=GRS80 "
+          "+units=us-ft",                                       # MD
+    2263: "+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 "
+          "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000.0000000001 "
+          "+y_0=0 +ellps=GRS80 +units=us-ft",                   # NY LI
+    2272: "+proj=lcc +lat_1=40.96666666666667 +lat_2=39.93333333333333 "
+          "+lat_0=39.33333333333334 +lon_0=-77.75 +x_0=600000 +y_0=0 "
+          "+ellps=GRS80 +units=us-ft",                          # PA S
+    2285: "+proj=lcc +lat_1=48.73333333333333 +lat_2=47.5 +lat_0=47 "
+          "+lon_0=-120.8333333333333 +x_0=500000.0001016001 +y_0=0 "
+          "+ellps=GRS80 +units=us-ft",                          # WA N
+}
+
+# ESRI-authority codes (web maps / geodata exports)
+_ESRI_EXTRA = {
+    54008: "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +a=6371000 +b=6371000",
+    54009: "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +a=6378137 +b=6378137",
+    54034: "+proj=cea +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    102100: "+proj=webmerc +ellps=WGS84",
+    102113: "+proj=webmerc +ellps=WGS84",
+}
+
+_PROJ_DEF_CACHE = {}
+
+
 def _proj_def(crs: str):
     """(kind, params, ellps, helmert_from_wgs84) for a supported projected
     EPSG code, else None. TM params follow the EPSG registry entries."""
+    key = str(crs)
+    if key in _PROJ_DEF_CACHE:
+        return _PROJ_DEF_CACHE[key]
+    out = _proj_def_uncached(key)
+    if len(_PROJ_DEF_CACHE) < 512:
+        _PROJ_DEF_CACHE[key] = out
+    return out
+
+
+def _proj_def_uncached(crs: str):
+    raw = str(crs).strip()
+    # CRS text syntaxes first — _norm would mangle them
+    if raw.startswith("+") or raw.lower().startswith("proj="):
+        return _parse_proj_string(raw)
+    head = raw[:16].upper().lstrip()
+    for kw in ("PROJCS", "PROJCRS", "GEOGCS", "GEOGCRS", "GEODCRS",
+               "BOUNDCRS", "BASEGEOGCRS"):
+        if head.startswith(kw + "[") or head.startswith(kw + " "):
+            return _parse_wkt_crs(raw)
     c = _norm(crs)
+    if c.startswith("ESRI:"):
+        try:
+            ec = int(c[5:])
+        except ValueError:
+            return None
+        if ec in _ESRI_EXTRA:
+            return _parse_proj_string(_ESRI_EXTRA[ec])
+        return None
     z = _utm_zone_of(c)
     if z is not None:
         return ("tm", _utm_params(*z), "WGS84", None)
@@ -862,7 +1847,45 @@ def _proj_def(crs: str):
                        "lon0": -72.0 + 3.0 * (faja - 1), "k0": 1.0,
                        "fe": faja * 1e6 + 500000.0, "fn": 0.0},
                 "GRS80" if code <= 22177 else "WGS84", None)
+    if code in _EPSG_EXTRA:          # r7 data-driven long tail: the code's
+        return _parse_proj_string(_EPSG_EXTRA[code])   # params ARE data
+    if code in _ESRI_EXTRA:          # common "EPSG:" misuse of ESRI codes
+        return _parse_proj_string(_ESRI_EXTRA[code])
     return None
+
+
+def supported_epsg_codes():
+    """Every EPSG code `to_crs` resolves without pyproj — the
+    zone-arithmetic ranges, the registry data tables, and the
+    PROJ-string extras. Used by the full-registry round-trip fuzz
+    (tests/test_properties.py) so transposed parameters in any table
+    fail a test, not a user."""
+    codes = set(_EPSG_EXTRA)
+    codes.update([4326, 3857])
+    codes.update(range(32601, 32661))
+    codes.update(range(32701, 32761))
+    codes.update(range(25828, 25839))
+    codes.update(range(26901, 26924))
+    codes.update([27700, 2154, 3413, 3995, 3031, 5070, 3577, 3395, 3035,
+                  2056, 21781, 2193, 5179, 3826, 31370, 3006, 3057, 3301,
+                  3416])
+    codes.update(range(31466, 31470))
+    codes.update(_SPCS_LCC)
+    codes.update(range(4513, 4555))
+    codes.update(range(28402, 28433))
+    codes.update(range(28348, 28359))
+    codes.update(range(7846, 7860))
+    codes.update(range(3942, 3951))
+    codes.update(range(2443, 2462))
+    codes.update(range(6669, 6688))
+    codes.update(_SPCS_TM)
+    codes.update(_EURO_TM)
+    codes.update(range(2176, 2180))
+    codes.update(range(5253, 5260))
+    codes.update(_NATL_TM)
+    codes.update(range(22171, 22178))
+    codes.update(range(22181, 22188))
+    return sorted(codes)
 
 
 # r6 national TM grids (registry data, not zone arithmetic):
@@ -978,16 +2001,32 @@ _SPCS_TM = {
 }
 
 
+_FWD = {"tm": tm_forward, "lcc": lcc_forward, "ps": ps_forward,
+        "aea": aea_forward, "merc": merc_forward,
+        "laea": laea_forward, "somerc": somerc_forward,
+        "sterea": sterea_forward, "cea": cea_forward,
+        "eqc": eqc_forward, "sinu": sinu_forward,
+        "moll": moll_forward, "webmerc": webmerc_forward,
+        "geog": geog_forward}
+_INV = {"tm": tm_inverse, "lcc": lcc_inverse, "ps": ps_inverse,
+        "aea": aea_inverse, "merc": merc_inverse,
+        "laea": laea_inverse, "somerc": somerc_inverse,
+        "sterea": sterea_inverse, "cea": cea_inverse,
+        "eqc": eqc_inverse, "sinu": sinu_inverse,
+        "moll": moll_inverse, "webmerc": webmerc_inverse,
+        "geog": geog_inverse}
+
+
 def _project_from_wgs84(coords: np.ndarray, d: str):
     pd_ = _proj_def(d)
     if pd_ is None:
         return None
     kind, p, ellps, helm = pd_
     lon, lat = _datum_from_wgs84(coords[:, 0], coords[:, 1], ellps, helm)
-    fwd = {"tm": tm_forward, "lcc": lcc_forward, "ps": ps_forward,
-           "aea": aea_forward, "merc": merc_forward,
-           "laea": laea_forward, "somerc": somerc_forward}[kind]
-    E, N = fwd(lon, lat, p)
+    E, N = _FWD[kind](lon, lat, p)
+    u = p.get("to_meter", 1.0)   # kernels work in metres; CRS axis unit
+    if u != 1.0:                 # (ftUS State Plane etc.) scales output
+        E, N = E / u, N / u
     return np.column_stack([E, N])
 
 
@@ -996,18 +2035,21 @@ def _unproject_to_wgs84(coords: np.ndarray, s: str):
     if pd_ is None:
         return None
     kind, p, ellps, helm = pd_
-    inv = {"tm": tm_inverse, "lcc": lcc_inverse, "ps": ps_inverse,
-           "aea": aea_inverse, "merc": merc_inverse,
-           "laea": laea_inverse, "somerc": somerc_inverse}[kind]
-    lon, lat = inv(coords[:, 0], coords[:, 1], p)
+    E = np.asarray(coords[:, 0], dtype=np.float64)
+    N = np.asarray(coords[:, 1], dtype=np.float64)
+    u = p.get("to_meter", 1.0)
+    if u != 1.0:
+        E, N = E * u, N * u
+    lon, lat = _INV[kind](E, N, p)
     lon, lat = _datum_to_wgs84(lon, lat, ellps, helm)
     return np.column_stack([lon, lat])
 
 
 def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
-    """(N,2) coordinate transform. Closed form for 4326↔3857 and
-    4326↔UTM (compositions via 4326); pyproj for anything else when
-    importable."""
+    """(N,2) coordinate transform. Closed form for everything _proj_def
+    resolves — EPSG codes, PROJ strings, WKT1/WKT2 text — composed
+    through WGS84 geographic; pyproj only for CRSs outside that set
+    (datum-grid transforms), when importable."""
     s, d = _norm(src), _norm(dst)
     if s == d or len(coords) == 0:
         return coords.copy()
@@ -1019,36 +2061,37 @@ def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
         lon = np.degrees(coords[:, 0] / _R)
         lat = np.degrees(2 * np.arctan(np.exp(coords[:, 1] / _R)) - np.pi / 2)
         return np.column_stack([lon, lat])
+    # NOTE: _proj_def gets the ORIGINAL strings — _norm strips spaces,
+    # which would mangle PROJ-string / WKT input
     if s == "EPSG:4326":
-        out = _project_from_wgs84(coords, d)
+        out = _project_from_wgs84(coords, dst)
         if out is not None:
             return out
     if d == "EPSG:4326":
-        out = _unproject_to_wgs84(coords, s)
+        out = _unproject_to_wgs84(coords, src)
         if out is not None:
             return out
     # compose any supported pair through geographic coordinates
-    s_ok = s == "EPSG:4326" or s == "EPSG:3857" or _proj_def(s) is not None
-    d_ok = d == "EPSG:4326" or d == "EPSG:3857" or _proj_def(d) is not None
+    s_ok = s in ("EPSG:4326", "EPSG:3857") or _proj_def(src) is not None
+    d_ok = d in ("EPSG:4326", "EPSG:3857") or _proj_def(dst) is not None
     if s_ok and d_ok:
-        mid = transform_coords(coords, s, "EPSG:4326")
-        return transform_coords(mid, "EPSG:4326", d)
+        mid = transform_coords(coords, src, "EPSG:4326")
+        return transform_coords(mid, "EPSG:4326", dst)
     try:
         from pyproj import Transformer
     except ImportError as e:
         raise NotImplementedError(
-            f"transform {src}->{dst} needs pyproj (not installed); built-in "
-            "closed forms cover EPSG:4326 <-> EPSG:3857, UTM families "
-            "(EPSG:326xx/327xx/258xx/269xx), EPSG:27700 (British National "
-            "Grid), EPSG:2154 (Lambert-93), polar stereographic "
-            "(EPSG:3413/3995/3031), Albers (EPSG:5070/3577), World "
-            "Mercator (EPSG:3395), LAEA Europe (EPSG:3035), national "
-            "Gauss-Krüger/TM zone ranges (CGCS2000 4513-4554, Pulkovo "
-            "28402-28432, MGA 28348-58/7846-59, DHDN 31466-9, Poland "
-            "2176-80, TUREF 5253-9), RGF93 CC42-50 conic zones, US State "
-            "Plane LCC+TM metre zones, Japan Plane Rectangular CS "
-            "(2443-61/6669-87), Swiss LV03/LV95, and the national TM/LCC "
-            "grids of NZ/KR/TW/BE/SE/FI/IE/PT/HR/SI/IS") from e
+            f"transform {src}->{dst} needs pyproj (not installed); "
+            "built-in closed forms accept PROJ strings (+proj=... for "
+            "longlat/utm/tmerc/lcc/polar stere/sterea/merc/webmerc/aea/"
+            "laea/somerc/cea/eqc/sinu/moll with +ellps/+a+b/+towgs84/"
+            "+units/+pm), WKT1/WKT2 CRS text for the same methods, and "
+            "~340 EPSG codes (supported_epsg_codes() lists them: UTM/"
+            "ETRS89/NAD83/ED50/SIRGAS families, national TM+GK zone "
+            "ranges, US State Plane metre+ftUS zones, Japan PRCS, Swiss "
+            "LV03/LV95, RD New, Irish Grid, NTF Lambert, EASE-Grid 2.0, "
+            "polar stereo, continental Albers/LCC/LAEA). Datum-grid "
+            "(NTv2/NADCON) transforms are the remaining gap") from e
     tr = Transformer.from_crs(s, d, always_xy=True)
     x, y = tr.transform(coords[:, 0], coords[:, 1])
     return np.column_stack([x, y])
