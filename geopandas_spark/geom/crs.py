@@ -66,19 +66,12 @@ def _ellps_af(ellps):
     return float(ellps[0]), float(ellps[1])
 
 
-def _is_wgs84_like(ellps) -> bool:
-    """True when the datum step is a no-op (modern WGS84-aligned frames:
-    ETRS89/NAD83/GDA/CGCS2000/JGD on GRS80, or WGS84 itself)."""
-    if isinstance(ellps, str):
-        return ellps in ("WGS84", "GRS80")
-    a_, f_ = float(ellps[0]), float(ellps[1])
-    return abs(a_ - _A) < 0.5 and abs(f_ - _F) < 1e-8
-
-# WGS84 -> OSGB36 position-vector Helmert (OS 'A guide to coordinate
-# systems in Great Britain', §6.6): (tx, ty, tz m; s ppm; rx, ry, rz
-# arc-seconds). Inverse = negated parameters (mm-level approximation).
-_HELMERT_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060,
-                            20.4894, -0.1502, -0.2470, -0.8421)
+# OSGB36 -> WGS84 position-vector Helmert, the EPSG/OS published
+# direction (tx, ty, tz m; s ppm; rx, ry, rz arc-seconds), stored in
+# the exact ("inv", prm) form — identical values to EPSG:4277's
+# +towgs84 entry so 27700 and 4277 share one datum definition.
+_HELMERT_WGS84_TO_OSGB36 = ("inv", (446.448, -125.157, 542.06,
+                                    -20.489, 0.15, 0.247, 0.842))
 
 # Helmert sets published in the datum->WGS84 direction are stored wrapped
 # as ("inv", prm); _datum_from/to_wgs84 apply the EXACT inverse (the
@@ -100,8 +93,16 @@ _HELMERT_BD72_TO_WGS84 = ("inv", (-106.8686, 52.2978, -103.7239,
 
 def _norm(crs: str) -> str:
     c = str(crs).upper().replace(" ", "")
-    if c.startswith("URN:OGC:DEF:CRS:EPSG:"):   # urn:ogc:def:crs:EPSG::n
-        c = "EPSG:" + c.rsplit(":", 1)[-1]
+    if c.startswith("URN:OGC:DEF:CRS:"):        # urn:ogc:def:crs:AUTH:v:code
+        rest = c[len("URN:OGC:DEF:CRS:"):]
+        auth = rest.split(":", 1)[0]
+        tail = rest.rsplit(":", 1)[-1]
+        if auth == "EPSG":
+            c = "EPSG:" + tail
+        elif auth == "OGC":                     # OGC:1.3:CRS84 and friends
+            c = "EPSG:4326" if tail in ("CRS84", "84") else tail
+        elif auth == "ESRI":
+            c = "ESRI:" + tail
     if c in ("EPSG:4326", "OGC:CRS84", "CRS84", "WGS84", "4326"):
         return "EPSG:4326"
     if c in ("EPSG:3857", "EPSG:900913", "ESRI:102100", "ESRI:102113",
@@ -466,6 +467,11 @@ def _laea_polar_forward(lon, lat, p: dict):
     q = _aea_q(np.radians(np.asarray(lat, dtype=np.float64)), e_)
     lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
     rho = a_ * np.sqrt(np.maximum(qp - q if north else qp + q, 0.0))
+    # sqrt amplifies the last-ulp residue of qp∓q to ~0.2 m at the
+    # exact pole; the pole maps to (fe, fn) by definition — snap it.
+    pole = 90.0 if north else -90.0
+    rho = np.where(np.abs(np.asarray(lat, dtype=np.float64) - pole)
+                   < 1e-12, 0.0, rho)
     E = p["fe"] + rho * np.sin(lam)
     N = p["fn"] + (-rho * np.cos(lam) if north else rho * np.cos(lam))
     return E, N
@@ -923,27 +929,45 @@ def _helmert(X, Y, Z, prm, inverse=False):
 
 def _datum_from_wgs84(lon, lat, ellps: str, helmert):
     """WGS84 geographic → target-datum geographic (h=0 on both).
-    ``helmert`` is WGS84→datum, or ("inv", prm) with prm datum→WGS84."""
-    if helmert is None and _is_wgs84_like(ellps):
-        return lon, lat      # modern ETRS89/NAD83/RGF93 ≈ WGS84 (cm-level)
+    ``helmert`` is WGS84→datum, or ("inv", prm) with prm datum→WGS84.
+
+    With no Helmert on record the datum step is a pass-through — PROJ's
+    "ballpark geographic offset" semantics.  This covers modern
+    WGS84-aligned frames (ETRS89/NAD83/RGF93, cm-level) AND sphere /
+    bare-ellipsoid CRSs (EPSG:2163/9311, ESRI:54009, MODIS sinusoidal):
+    PROJ feeds the geodetic latitude straight into the spherical
+    kernels; running the geocentric XYZ ellipsoid change instead would
+    shift lat 45° by ~0.19° (~21 km) off the reference answer.  An
+    explicit null shift (+towgs84=0,0,0) does NOT take this path —
+    _helm_from_towgs84 keeps it as an identity Helmert so the true
+    ellipsoid change still happens."""
+    if helmert is None:
+        return (np.asarray(lon, dtype=np.float64),
+                np.asarray(lat, dtype=np.float64))
     X, Y, Z = _geodetic_to_xyz(lon, lat, *_ELLPS["WGS84"])
-    if helmert is not None:
-        if helmert[0] == "inv":
-            X, Y, Z = _helmert(X, Y, Z, helmert[1], inverse=True)
-        else:
-            X, Y, Z = _helmert(X, Y, Z, helmert)
-    return _xyz_to_geodetic(X, Y, Z, *_ellps_af(ellps))
+    if helmert[0] == "inv":
+        X, Y, Z = _helmert(X, Y, Z, helmert[1], inverse=True)
+    else:
+        X, Y, Z = _helmert(X, Y, Z, helmert)
+    lo, la = _xyz_to_geodetic(X, Y, Z, *_ellps_af(ellps))
+    # One fixed-point correction against the exact forward map: the h=0
+    # clamp between the two geodetic conversions loses ~2 cm for 500 m
+    # class shifts (OSGB36/Amersfoort); after the correction
+    # to∘from and from∘to close to second order (<1e-9 deg).
+    lo2, la2 = _datum_to_wgs84(lo, la, ellps, helmert)
+    return (lo + (np.asarray(lon, dtype=np.float64) - lo2),
+            la + (np.asarray(lat, dtype=np.float64) - la2))
 
 
 def _datum_to_wgs84(lon, lat, ellps: str, helmert):
-    if helmert is None and _is_wgs84_like(ellps):
-        return lon, lat
+    if helmert is None:       # ballpark pass-through (see _datum_from_wgs84)
+        return (np.asarray(lon, dtype=np.float64),
+                np.asarray(lat, dtype=np.float64))
     X, Y, Z = _geodetic_to_xyz(lon, lat, *_ellps_af(ellps))
-    if helmert is not None:
-        if helmert[0] == "inv":
-            X, Y, Z = _helmert(X, Y, Z, helmert[1])
-        else:
-            X, Y, Z = _helmert(X, Y, Z, helmert, inverse=True)
+    if helmert[0] == "inv":
+        X, Y, Z = _helmert(X, Y, Z, helmert[1])
+    else:
+        X, Y, Z = _helmert(X, Y, Z, helmert, inverse=True)
     return _xyz_to_geodetic(X, Y, Z, *_ELLPS["WGS84"])
 
 
@@ -1031,8 +1055,10 @@ def _helm_from_towgs84(text: str):
         v = v + [0.0, 0.0, 0.0, 0.0]
     if len(v) != 7:
         raise ValueError(f"towgs84 needs 3 or 7 values, got {len(v)}")
-    if all(x == 0.0 for x in v):
-        return None             # null transform: plain ellipsoid change
+    # An explicit all-zero shift stays an identity Helmert (not None):
+    # it declares the datum WGS84-coincident, so the geocentric
+    # ellipsoid change must still run — unlike the no-towgs84 case,
+    # where the datum step is a ballpark pass-through.
     return ("inv", (v[0], v[1], v[2], v[6], v[3], v[4], v[5]))
 
 
@@ -1344,6 +1370,45 @@ def _wkt_geog_parts(g: _WktNode):
     return ellps, helm, deg_factor, pm_off
 
 
+def _helm_from_abridged(abr: "_WktNode"):
+    """WKT2 ABRIDGEDTRANSFORMATION → ("inv", prm) Helmert.  Abridged
+    parameters carry implied units: translations in metres, rotations
+    in arc-seconds, and Scale difference as the RATIO (1 + s·1e-6) per
+    ISO 19162 §17 — PROJ writes e.g. 1.0000005462.  The transform maps
+    source datum → WGS84 hub, i.e. the stored-inverse direction."""
+    vals = {}
+    for pr in abr.find_all("PARAMETER"):
+        try:
+            vals[_wkt_norm_name(pr.args[0])] = float(pr.args[1])
+        except (TypeError, ValueError, IndexError):
+            pass
+    tx = vals.get("xaxistranslation", 0.0)
+    ty = vals.get("yaxistranslation", 0.0)
+    tz = vals.get("zaxistranslation", 0.0)
+    rx = vals.get("xaxisrotation", 0.0)
+    ry = vals.get("yaxisrotation", 0.0)
+    rz = vals.get("zaxisrotation", 0.0)
+    s_ppm = (vals.get("scaledifference", 1.0) - 1.0) * 1e6
+    meth = abr.find("METHOD", "PROJECTION")
+    name = _wkt_norm_name(meth.args[0]) if meth is not None and meth.args \
+        else ""
+    if "coordinateframe" in name:
+        # Coordinate Frame rotation (EPSG 9607/1032): opposite rotation
+        # sign convention from Position Vector (EPSG 9606/1033).
+        rx, ry, rz = -rx, -ry, -rz
+    elif ("positionvector" in name or "geocentrictranslation" in name
+          or name == ""):
+        pass
+    elif (rx, ry, rz) == (0.0, 0.0, 0.0) and s_ppm == 0.0:
+        pass                    # translation-only: method name immaterial
+    else:
+        raise NotImplementedError(
+            f"ABRIDGEDTRANSFORMATION method '{meth.args[0]}' is not "
+            "supported (Position Vector, Coordinate Frame and "
+            "Geocentric Translations are)")
+    return ("inv", (tx, ty, tz, s_ppm, rx, ry, rz))
+
+
 def _parse_wkt_crs(text: str):
     """WKT1 (PROJCS/GEOGCS) or WKT2 (PROJCRS/GEOGCRS) → descriptor."""
     root = _wkt_tokenize(text)
@@ -1357,10 +1422,29 @@ def _parse_wkt_crs(text: str):
         return ("geog", {"a": a_, "f": f_, "to_meter": 1.0}, ellps, helm)
     if kw == "BOUNDCRS":
         src = root.find("SOURCECRS")
-        if src is not None and src.args and \
-                isinstance(src.args[0], _WktNode):
-            return _parse_wkt_crs_node(src.args[0])
-        raise ValueError("BOUNDCRS without SOURCECRS")
+        if src is None or not src.args or \
+                not isinstance(src.args[0], _WktNode):
+            raise ValueError("BOUNDCRS without SOURCECRS")
+        node = src.args[0]
+        skw = node.name.upper()
+        if skw in ("GEOGCS", "GEOGCRS", "BASEGEOGCRS", "GEODCRS"):
+            ellps, helm, _f, pm_off = _wkt_geog_parts(node)
+            if abs(pm_off) > 1e-12:
+                raise NotImplementedError(
+                    "non-Greenwich geographic CRS not supported")
+            a_, f_ = _ellps_af(ellps)
+            kind, p = "geog", {"a": a_, "f": f_, "to_meter": 1.0}
+        else:
+            kind, p, ellps, helm = _parse_wkt_crs_node(node)
+        # The ABRIDGEDTRANSFORMATION is the point of a bound CRS: it
+        # carries the source-datum -> WGS84-hub Helmert.  Dropping it
+        # silently would lose datum shifts of hundreds of metres.
+        abr = root.find("ABRIDGEDTRANSFORMATION")
+        if abr is not None:
+            helm2 = _helm_from_abridged(abr)
+            if helm2 is not None:
+                helm = helm2
+        return (kind, p, ellps, helm)
     if kw not in ("PROJCS", "PROJCRS"):
         raise NotImplementedError(f"unsupported WKT root '{root.name}'")
     return _parse_wkt_crs_node(root)
@@ -1591,7 +1675,9 @@ _EPSG_EXTRA = {
 
 # ESRI-authority codes (web maps / geodata exports)
 _ESRI_EXTRA = {
-    54008: "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +a=6371000 +b=6371000",
+    # ESRI World_Sinusoidal is defined on GCS_WGS_1984 (ellipsoidal
+    # sinusoidal, '+proj=sinu +datum=WGS84'), not a sphere.
+    54008: "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
     54009: "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +a=6378137 +b=6378137",
     54034: "+proj=cea +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
     102100: "+proj=webmerc +ellps=WGS84",
@@ -1641,6 +1727,13 @@ def _proj_def_uncached(crs: str):
         code = int(c[5:])
     except ValueError:
         return None
+    if code == 4326:
+        return ("geog", {"a": _A, "f": _F, "to_meter": 1.0},
+                "WGS84", None)
+    if code == 3857:                # spherical web mercator
+        return ("webmerc", {"a": _R, "f": 0.0, "lon0": 0.0,
+                            "fe": 0.0, "fn": 0.0, "to_meter": 1.0},
+                "WGS84", None)
     if 25828 <= code <= 25838:      # ETRS89 / UTM (GRS80, no shift)
         return ("tm", _utm_params(code - 25800, True, "GRS80"),
                 "GRS80", None)

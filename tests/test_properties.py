@@ -1337,3 +1337,224 @@ def test_binary_rect_setops_closed_form(seed, eps, base, mode):
     for op, e in exp.items():
         got = float(algos.area(getattr(algos, op)(A, B))[0])
         assert abs(got - e) <= tol, (op, got, e, tol)
+
+
+# ---------------------------------------------------------------------------
+# CRS registry: full-registry round-trip fuzz + parametric anchors.
+#
+# The reference delegates reprojection to pyproj (geopandas/array.py:
+# 1098-1187); our closed-form registry must stand on its own, so every
+# code `supported_epsg_codes()` resolves is exercised here:
+#   1. round-trip 4326 -> code -> 4326 closes to <1e-7 deg (the
+#      fixed-point datum correction makes Helmert datums close too);
+#   2. the projection's natural/false origin maps to (fe, fn) in the
+#      CRS's own axis unit — catches transposed lat/lon/fe/fn params
+#      that a round trip alone (forward and inverse share the table
+#      entry) can never see;
+#   3. moving east of lon0 increases easting at mid-latitudes.
+# ---------------------------------------------------------------------------
+
+from geopandas_spark.geom import crs as _crs
+
+
+def _sample_lonlat(kind, p, rng):
+    """In-domain sample points for one projection definition."""
+    lon0 = p.get("lon0", 0.0)
+    lat0 = p.get("lat0")
+    if kind == "ps":
+        sign = 1.0 if p.get("north") else -1.0
+        lats = sign * (90.0 - rng.uniform(2.0, 25.0, 8))
+    elif kind == "laea" and lat0 is not None and abs(lat0) > 80.0:
+        sign = 1.0 if lat0 > 0 else -1.0
+        lats = sign * (90.0 - rng.uniform(2.0, 35.0, 8))
+    elif kind in ("lcc", "aea"):
+        mid = 0.5 * (p.get("sp1", lat0 or 0.0) + p.get("sp2", lat0 or 0.0))
+        lats = np.clip(mid + rng.uniform(-4.0, 4.0, 8), -84.0, 84.0)
+    elif lat0 is not None and abs(lat0) > 1e-9 and abs(lat0) < 89.0:
+        lats = np.clip(lat0 + rng.uniform(-4.0, 4.0, 8), -84.0, 84.0)
+    else:
+        lats = rng.uniform(-60.0, 60.0, 8)
+    lons = lon0 + rng.uniform(-5.0, 5.0, 8)
+    lons = (lons + 180.0) % 360.0 - 180.0
+    return np.column_stack([lons, lats])
+
+
+def test_crs_full_registry_roundtrip_fuzz():
+    rng = np.random.default_rng(1234)
+    codes = sorted(_crs.supported_epsg_codes())
+    assert len(codes) > 400
+    bad = []
+    for code in codes:
+        key = f"EPSG:{code}"
+        d = _crs._proj_def(key)
+        assert d is not None, key
+        kind, p, _ellps, _helm = d
+        pts = _sample_lonlat(kind, p, rng)
+        rt = _crs.transform_coords(
+            _crs.transform_coords(pts, "EPSG:4326", key),
+            key, "EPSG:4326")
+        dlon = np.abs((rt[:, 0] - pts[:, 0] + 180.0) % 360.0 - 180.0)
+        dlat = np.abs(rt[:, 1] - pts[:, 1])
+        err = float(max(dlon.max(), dlat.max()))
+        if not err < 1e-7:
+            bad.append((code, err))
+    assert not bad, bad
+
+
+def test_crs_full_registry_origin_anchor():
+    """(lat0, lon0) [or the pole for polar stereo] must land on
+    (fe, fn) in the axis unit — validates each table row's origin and
+    false-easting/northing independently of the round trip."""
+    rng = np.random.default_rng(7)
+    skipped = 0
+    for code in sorted(_crs.supported_epsg_codes()):
+        key = f"EPSG:{code}"
+        kind, p, ellps, helm = _crs._proj_def(key)
+        if kind in ("geog", "moll", "sinu", "cea", "eqc", "webmerc",
+                    "merc"):
+            # cylindrical/world families: origin is (0-ish, lon0); the
+            # monotonicity test below covers them
+            skipped += 1
+            continue
+        if kind == "ps":
+            o_lat = 90.0 if p.get("north") else -90.0
+        else:
+            o_lat = p.get("lat0", 0.0)
+        o_lon = p.get("lon0", 0.0)
+        # anchor the projection kernel directly (in its own datum) so
+        # polar false origins (Belgian Lambert lat0=90) stay
+        # well-defined; the round-trip fuzz covers the datum step
+        E, N = _crs._FWD[kind](np.array([o_lon]), np.array([o_lat]), p)
+        exp = np.array([p.get("fe", 0.0), p.get("fn", 0.0)])
+        got = np.array([E[0], N[0]])
+        assert np.abs(got - exp).max() < 2e-4, (code, got, exp)
+    assert skipped < 60
+
+
+def test_crs_full_registry_easting_monotone():
+    rng = np.random.default_rng(99)
+    for code in sorted(_crs.supported_epsg_codes()):
+        key = f"EPSG:{code}"
+        kind, p, _e, _h = _crs._proj_def(key)
+        if kind == "geog":
+            continue
+        lon0 = p.get("lon0", 0.0)
+        if kind == "ps":
+            lat = 75.0 if p.get("north") else -75.0
+        elif kind in ("lcc", "aea"):
+            lat = 0.5 * (p.get("sp1", 0.0) + p.get("sp2", 0.0)) or 30.0
+        else:
+            lat = np.clip(p.get("lat0") or 30.0, -80.0, 80.0)
+        pts = np.array([[lon0 + 0.5, lat], [lon0 + 1.5, lat]])
+        out = _crs.transform_coords(pts, "EPSG:4326", key)
+        assert out[1, 0] > out[0, 0], (code, out)
+
+
+def test_crs_sphere_datum_passthrough_anchors():
+    """Sphere CRSs take PROJ's ballpark (pass-through) datum step: the
+    published anchors only hold when geodetic lat is fed straight into
+    the spherical kernels (a geocentric XYZ step would shift 45N by
+    ~0.19 deg = 21 km)."""
+    # EPSG:2163 / 9311: US National Atlas LAEA, origin (-100, 45) -> (0,0)
+    for code in ("EPSG:2163", "EPSG:9311"):
+        out = _crs.transform_coords(
+            np.array([[-100.0, 45.0]]), "EPSG:4326", code)
+        assert np.abs(out).max() == 0.0, (code, out)
+    # ESRI:54009 World Mollweide (sphere R=6378137): pole y = sqrt(2) R,
+    # antimeridian x = 2 sqrt(2) R (closed-form constants)
+    R = 6378137.0
+    pole = _crs.transform_coords(
+        np.array([[0.0, 90.0]]), "EPSG:4326", "ESRI:54009")
+    assert abs(pole[0, 1] - np.sqrt(2.0) * R) < 1e-6
+    edge = _crs.transform_coords(
+        np.array([[180.0, 0.0]]), "EPSG:4326", "ESRI:54009")
+    assert abs(edge[0, 0] - 2.0 * np.sqrt(2.0) * R) < 1e-6
+    # ESRI:54008 World Sinusoidal is ELLIPSOIDAL on WGS84: y(90N) is the
+    # WGS84 quarter meridian, not the sphere's pi/2 * R
+    q = _crs.transform_coords(
+        np.array([[0.0, 90.0]]), "EPSG:4326", "ESRI:54008")
+    assert abs(q[0, 1] - 10001965.7293) < 0.1
+    # MODIS-style sphere sinusoidal via PROJ string: pass-through datum
+    mod = "+proj=sinu +lon_0=0 +a=6371007.181 +b=6371007.181"
+    out = _crs.transform_coords(np.array([[0.0, 45.0]]), "EPSG:4326", mod)
+    assert abs(out[0, 1] - np.pi / 4 * 6371007.181) < 1e-6
+
+
+def test_crs_explicit_null_towgs84_still_changes_ellipsoid():
+    """+towgs84=0,0,0 declares the datum WGS84-coincident — the
+    geocentric ellipsoid change must still run (unlike the ballpark
+    no-towgs84 case, which passes lon/lat through)."""
+    bessel_null = "+proj=longlat +ellps=bessel +towgs84=0,0,0"
+    bessel_bare = "+proj=longlat +ellps=bessel"
+    pts = np.array([[10.0, 47.0]])
+    out_null = _crs.transform_coords(pts, bessel_null, "EPSG:4326")
+    out_bare = _crs.transform_coords(pts, bessel_bare, "EPSG:4326")
+    assert np.abs(out_bare - pts).max() == 0.0          # ballpark no-op
+    dlat = abs(out_null[0, 1] - 47.0)
+    assert 1e-4 < dlat < 2e-3, dlat      # real bessel->WGS84 lat change
+    # and it round-trips
+    rt = _crs.transform_coords(out_null, "EPSG:4326", bessel_null)
+    assert np.abs(rt - pts).max() < 1e-9
+
+
+def test_crs_datum_composition_exact_anchor():
+    """EPSG:4277 (OSGB36 geographic) -> EPSG:27700 composes through the
+    WGS84 hub with the SAME Helmert on both legs, so the BNG natural
+    origin (-2E, 49N in OSGB36) must land on (400000, -100000) to
+    sub-mm despite the ~500 m datum shift."""
+    out = _crs.transform_coords(
+        np.array([[-2.0, 49.0]]), "EPSG:4277", "EPSG:27700")
+    assert abs(out[0, 0] - 400000.0) < 1e-3, out
+    assert abs(out[0, 1] + 100000.0) < 1e-3, out
+    # Amersfoort twin: RD New origin (5.38763888888889, 52.15616055555555)
+    out2 = _crs.transform_coords(
+        np.array([[5.38763888888889, 52.15616055555555]]),
+        "EPSG:4289", "EPSG:28992")
+    assert abs(out2[0, 0] - 155000.0) < 1e-3, out2
+    assert abs(out2[0, 1] - 463000.0) < 1e-3, out2
+
+
+def test_crs_boundcrs_abridged_transformation():
+    """A WKT2 BOUNDCRS's ABRIDGEDTRANSFORMATION (the datum shift it
+    exists to carry) must be applied, matching the equivalent towgs84
+    definition; scale difference arrives as the (1 + s*1e-6) ratio."""
+    wkt2 = """BOUNDCRS[
+      SOURCECRS[GEOGCRS["OSGB36",
+        DATUM["Ordnance Survey of Great Britain 1936",
+          ELLIPSOID["Airy 1830",6377563.396,299.3249646]],
+        CS[ellipsoidal,2],
+        AXIS["latitude",north],AXIS["longitude",east],
+        ANGLEUNIT["degree",0.0174532925199433]]],
+      TARGETCRS[GEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+          ELLIPSOID["WGS 84",6378137,298.257223563]],
+        CS[ellipsoidal,2],AXIS["latitude",north],
+        AXIS["longitude",east],
+        ANGLEUNIT["degree",0.0174532925199433]]],
+      ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84",
+        METHOD["Position Vector transformation (geog2D domain)",
+               ID["EPSG",9606]],
+        PARAMETER["X-axis translation",446.448],
+        PARAMETER["Y-axis translation",-125.157],
+        PARAMETER["Z-axis translation",542.06],
+        PARAMETER["X-axis rotation",0.15],
+        PARAMETER["Y-axis rotation",0.247],
+        PARAMETER["Z-axis rotation",0.842],
+        PARAMETER["Scale difference",0.999979511]]]"""
+    pts = np.array([[-3.5, 51.5], [0.1, 52.2]])
+    via_wkt = _crs.transform_coords(pts, wkt2, "EPSG:4326")
+    via_code = _crs.transform_coords(pts, "EPSG:4277", "EPSG:4326")
+    assert np.abs(via_wkt - via_code).max() < 1e-9
+    # the shift is real (hundreds of metres), not silently dropped
+    assert np.abs(via_wkt - pts).max() > 1e-3
+
+
+def test_crs_urn_ogc_crs84():
+    pts = np.array([[10.0, 50.0]])
+    a = _crs.transform_coords(pts, "urn:ogc:def:crs:OGC:1.3:CRS84",
+                              "EPSG:3857")
+    b = _crs.transform_coords(pts, "EPSG:4326", "EPSG:3857")
+    assert np.abs(a - b).max() == 0.0
+    c = _crs.transform_coords(pts, "urn:ogc:def:crs:EPSG::4326",
+                              "EPSG:3857")
+    assert np.abs(c - b).max() == 0.0

@@ -299,6 +299,7 @@ def test_lsh_dedup_stream_batch_order_invariant(spark, tmp_path):
     results = [groups_for(b, i) for i, b in enumerate(batchings)]
     assert results[0] == results[1] == results[2], results
     # sanity: the two clusters were actually found, singletons untouched
-    flagged = set().union(*results[0]) if results[0] else set()
-    assert {"1", "2", "3", "8"} <= flagged or not results[0]
+    assert results[0], "dedup found no duplicate groups at all"
+    flagged = set().union(*results[0])
+    assert {"1", "2", "3", "8"} <= flagged
     assert "6" not in flagged and "7" not in flagged
