@@ -1582,17 +1582,22 @@ FROM (
 
 
 def q_pricing_summary(spark, sf_dir):
-    # determinism: cast the 2-dp doubles straight to DECIMAL (both engines
-    # land on the identical decimal — no per-row ROUND, whose double
-    # semantics differ subtly between engines), then aggregate exactly
+    # determinism: the 2-dp inputs are summed as BIGINT cents (r8, VERDICT
+    # r7 #3) — bit-identical to the previous decimal(18,2) aggregation
+    # (one correctly-rounded double division at the end equals the
+    # decimal->double cast of the same exact rational) but the LongType
+    # sums stay on Spark's whole-stage-codegen hash-agg fast path, which
+    # decimal aggregates fall off.  Revenue accumulates in 1e-4 units
+    # (cents * discount-complement cents): |sum| < 5e8 per row, so the
+    # 64-bit accumulator holds past sf1000.
     li = _t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    rev = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    rev4 = price_c * (F.lit(100).cast("long") - disc_c)
     return (li.groupBy("l_returnflag", "l_linestatus")
-              .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                   .cast("double").alias("sum_qty"),
-                   F.sum(rev).cast("double").alias("sum_revenue"),
+              .agg((F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"),
+                   (F.sum(rev4) / F.lit(10000.0)).alias("sum_revenue"),
                    F.count("*").alias("count_order"))
               .select("l_returnflag", "l_linestatus", "sum_qty",
                       "sum_revenue", "count_order"))
@@ -1600,9 +1605,10 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_revenue,
+       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+         AS sum_revenue,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -1616,15 +1622,15 @@ def q_revenue_by_nation(spark, sf_dir):
     j = (o.join(c, o.o_custkey == c.c_custkey)
           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (j.groupBy("n_name")
-             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                  .cast("double").alias("revenue"),
+             .agg((F.sum(F.round(F.col("o_totalprice") * 100)
+                         .cast("long")) / F.lit(100.0)).alias("revenue"),
                   F.count("*").alias("n_orders"))
              .select("n_name", "revenue", "n_orders"))
 
 
 SQL_REVENUE_BY_NATION = """
 SELECT n_name,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
        COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
