@@ -64,6 +64,20 @@ def _decode(s: pd.Series):
     return wkb.decode(s.tolist())
 
 
+def _decode_dedup(s: pd.Series):
+    """Decode with per-batch duplicate elimination.  Join refines feed
+    the same geometry bytes many times per batch (one polygon × many
+    points sharing a grid cell): factorize the raw WKB first so each
+    DISTINCT buffer decodes once, then gather.  Falls back to the plain
+    decode when the batch is mostly distinct (factorize cost ≈ 2 ms per
+    20k rows vs ≈ 40 ms decode, so the check is nearly free)."""
+    vals = s.to_numpy(dtype=object)
+    codes, uniq = pd.factorize(vals, use_na_sentinel=False)
+    if 2 * len(uniq) > len(vals):
+        return wkb.decode(vals.tolist())
+    return wkb.decode(list(uniq)).take(codes)
+
+
 def _enc(ga) -> pd.Series:
     return pd.Series(wkb.encode(ga), dtype=object)
 
@@ -249,7 +263,8 @@ def _binary_bool(name, kernel):
     @_reg(name)
     @pandas_udf(BooleanType())
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
-        return _mask_null_bool(None, kernel(_decode(a), _decode(b)))
+        return _mask_null_bool(None, kernel(_decode_dedup(a),
+                                            _decode_dedup(b)))
     return f
 
 
@@ -269,14 +284,15 @@ _binary_bool("st_containsproperly", algos.contains_properly)
 @_reg("st_distance")
 @pandas_udf(DoubleType())
 def _distance(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(algos.distance(_decode(a), _decode(b)))
+    return pd.Series(algos.distance(_decode_dedup(a), _decode_dedup(b)))
 
 
 @_reg("st_dwithin")
 @pandas_udf(BooleanType())
 def _dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
     return _mask_null_bool(
-        None, algos.distance(_decode(a), _decode(b)) <= d.to_numpy(np.float64))
+        None, algos.distance(_decode_dedup(a), _decode_dedup(b))
+        <= d.to_numpy(np.float64))
 
 
 # ---------------------------------------------------------------------------

@@ -570,6 +570,53 @@ def _pick_cell_size_sampled(sl, sr, scale_l, scale_r, base_x, base_y,
     return best[1], best[2]
 
 
+# Hot-cell salting switch (benchmark A/B hook; always on in production).
+SALT_HOT_CELLS = True
+
+
+def _sampled_cell_pairs(sl, sr, scale_l, scale_r, ox, oy, w, hgt, pad):
+    """{(cx, cy): estimated candidate pairs} from the sampled bounds,
+    using the SAME cell ids as the join's explode.  Drives both the
+    partition-count pin and the hot-cell salt table."""
+    def counts(s, p):
+        cx0 = np.floor((s[:, 0] - ox - p) / w).astype(np.int64)
+        cx1 = np.floor((s[:, 2] - ox + p) / w).astype(np.int64)
+        cy0 = np.floor((s[:, 1] - oy - p) / hgt).astype(np.int64)
+        cy1 = np.floor((s[:, 3] - oy + p) / hgt).astype(np.int64)
+        out = {}
+        for a, b, c, d in zip(cx0, cx1, cy0, cy1):
+            if (b - a + 1) * (d - c + 1) > 256:   # monster bbox: covers
+                continue                           # the plane, not a cell
+            for x in range(a, b + 1):
+                for y in range(c, d + 1):
+                    out[(x, y)] = out.get((x, y), 0) + 1
+        return out
+    cl = counts(sl, pad)
+    cr = counts(sr, 0.0)
+    return {k: cl[k] * scale_l * cr[k] * scale_r
+            for k in cl.keys() & cr.keys()}
+
+
+def _hot_cell_salts(pairs, factor=4.0, max_k=64, floor_pairs=200_000):
+    """Per-cell pair estimates → salt factors for hot cells.  A grid
+    equi-join serializes each cell's whole candidate list into ONE task;
+    with skewed data (cities) a single cell can hold a large multiple of
+    the mean pair count and becomes the stage's straggler — AQE splits
+    oversized shuffle partitions but cannot split one join key.  Cells
+    whose estimate exceeds ``factor``× the mean (and an absolute floor,
+    so small joins never salt) are split k ways: left rows hash into a
+    salt bucket, right rows replicate to all k.
+
+    Returns [(cx, cy, k), ...] with k ≥ 2; [] when nothing is hot."""
+    if not pairs:
+        return []
+    mean = sum(pairs.values()) / len(pairs)
+    thresh = max(factor * mean, float(floor_pairs))
+    return [(int(c[0]), int(c[1]),
+             int(min(max_k, int(np.ceil(est / (factor * mean))))))
+            for c, est in pairs.items() if est > thresh]
+
+
 def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
                 on_attribute, lsuffix, rsuffix, grid_cells,
                 emit_distance=None):
@@ -627,6 +674,8 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     pad = float(distance or 0.0)
     X, Y = x1 - x0, y1 - y0
     w = hgt = None
+    sl = sr = None
+    scale_l = scale_r = 1.0
     if nl and nr:
         # second tiny job: sampled bounds of both sides (≤20k rows/side,
         # one collect) drive an empirical cell-size choice that sees skew;
@@ -644,8 +693,9 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
         if len(sl) and len(sr):
             bx = max(wlx + pad, wrx, (X if X > 0 else 1.0) / 4096)
             by = max(wly + pad, wry, (Y if Y > 0 else 1.0) / 4096)
+            scale_l, scale_r = nl / len(sl), nr / len(sr)
             w, hgt = _pick_cell_size_sampled(
-                sl, sr, nl / len(sl), nr / len(sr), bx, by,
+                sl, sr, scale_l, scale_r, bx, by,
                 (X if X > 0 else 1.0) / 4096, (Y if Y > 0 else 1.0) / 4096,
                 pad)
     if w is None:
@@ -666,6 +716,36 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     lc = cells(lb, F.lit(pad))
     rc = cells(rb, F.lit(0.0))
 
+    # hot-cell salting (skewed data): cells whose sampled candidate-pair
+    # estimate exceeds 4x the mean are split k ways — left rows hash
+    # into a salt bucket, right rows replicate to all k — so one dense
+    # city cell fans across k tasks instead of serializing in one.
+    # The salt table is a handful of rows, broadcast; cold cells pay one
+    # null-producing broadcast-join lookup and keep salt 0.
+    salt_rows = []
+    est_pairs = None
+    if sl is not None and len(sl) and len(sr):
+        cell_pairs = _sampled_cell_pairs(sl, sr, scale_l, scale_r,
+                                         x0, y0, w, hgt, pad)
+        if cell_pairs:
+            est_pairs = float(sum(cell_pairs.values()))
+            if SALT_HOT_CELLS:
+                salt_rows = _hot_cell_salts(cell_pairs)
+    if salt_rows:
+        spark = left.sparkSession
+        sdf = F.broadcast(spark.createDataFrame(
+            salt_rows, "__cx__ bigint, __cy__ bigint, __k__ int"))
+        lc = (lc.join(sdf, on=["__cx__", "__cy__"], how="left")
+                .withColumn("__salt__",
+                            F.coalesce(F.pmod(F.xxhash64(F.col(lidx)),
+                                              F.col("__k__")).cast("int"),
+                                       F.lit(0)))
+                .drop("__k__"))
+        rc = (rc.join(sdf, on=["__cx__", "__cy__"], how="left")
+                .withColumn("__salt__", F.explode(F.sequence(
+                    F.lit(0), F.coalesce(F.col("__k__") - 1, F.lit(0)))))
+                .drop("__k__"))
+
     # carry full rows through the candidate join: one shuffle, no join-back
     # (the id-rejoin alternative rescans both sides and re-evaluates any
     # geometry-producing UDFs feeding them)
@@ -675,6 +755,22 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
               .withColumnRenamed("__b__", "__rbb__"))
 
     cond = ["__cx__", "__cy__", *on_attribute]
+    if salt_rows:
+        cond = ["__cx__", "__cy__", "__salt__", *on_attribute]
+    if est_pairs is not None:
+        # Pin the candidate-join partition count to the JOIN OUTPUT
+        # (pair estimate), not the shuffle input bytes: the exploded
+        # cell rows are narrow, so AQE's size-based coalescing merges
+        # them down — at the 100x tier to ONE partition — and the whole
+        # 25M-pair refine then serializes in a single task (the r7
+        # 4.5x min/max spread).  Explicit repartition on the join keys
+        # is a hard requirement AQE respects; both sides co-partition,
+        # so the join itself adds no further exchange.
+        sc = left.sparkSession.sparkContext
+        npart = int(np.clip(est_pairs / 250_000.0,
+                            sc.defaultParallelism, 4096))
+        lsel = lsel.repartition(npart, *cond)
+        rsel = rsel.repartition(npart, *cond)
     cand = lsel.join(rsel, on=cond, how="inner")
 
     # reference-point de-dup: keep the pair only in the cell that contains
@@ -723,14 +819,15 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     if dedup_right:
         # fan unique-geometry matches back out to every duplicate right
         # row: native hash join on the WKB bytes (+ join attrs)
-        fan = cand.drop("__cx__", "__cy__", "__lg__", "__lbb__", "__rbb__",
+        fan = cand.drop("__cx__", "__cy__", "__salt__", "__lg__",
+                        "__lbb__", "__rbb__",
                         gr)  # __rg__ stays as the fan-out key
         joined = (fan.join(rights.withColumnRenamed(gr, "__rg__"),
                            on=["__rg__", *on_attribute], how="inner")
                   .withColumnRenamed("__rg__", gr))
     else:
-        joined = cand.drop("__cx__", "__cy__", "__lg__", "__rg__",
-                           "__lbb__", "__rbb__")
+        joined = cand.drop("__cx__", "__cy__", "__salt__", "__lg__",
+                           "__rg__", "__lbb__", "__rbb__")
     if how == "left":
         missing = lefts.join(cand.select(lidx), on=lidx, how="left_anti")
         joined = joined.unionByName(missing, allowMissingColumns=True)
