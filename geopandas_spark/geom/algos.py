@@ -4814,7 +4814,16 @@ def polygonize(ga: GeometryArray, _full: bool = False):
             return (GeometryBuilder().finish(), GeometryBuilder().finish(),
                     GeometryBuilder().finish())
         return GeometryBuilder().finish()
-    noded = _node_segments(np.concatenate(segs, axis=0))
+    raw = np.concatenate(segs, axis=0)
+    # snap INPUT coordinates to the 1e-9 canonical grid before noding:
+    # a near-duplicate segment offset by less than the snap tolerance is
+    # PARALLEL, not collinear, so the noder would never split it against
+    # its twin — the post-noding vertex snap alone then leaves
+    # overlapping distinct edges (phantom cut-edge cycles, r8 jitter
+    # fuzz find).  Rounding first makes such twins exactly collinear /
+    # identical, which the noder dedupes properly.
+    raw = np.round(raw, 9)
+    noded = _node_segments(raw)
     # dedupe undirected edges; canonicalize vertices first — the same
     # crossing computed from the two partner segments can differ in the
     # last ulp (irrational intersections), which would disconnect the
@@ -4833,10 +4842,14 @@ def polygonize(ga: GeometryArray, _full: bool = False):
         key = (p, q) if p < q else (q, p)
         seen[key] = (p, q)
     dangle_edges = []
-    if _full:
-        # dangles: iterative degree-1 pruning (an edge with a free
-        # endpoint can never bound a face; removing it can free its
-        # neighbor, hence the loop — GEOS polygonize_full semantics)
+    cut_edges = []
+    # dangles: iterative degree-1 pruning (an edge with a free endpoint
+    # can never bound a face; removing it can free its neighbor, hence
+    # the loop -- GEOS polygonize_full semantics).  Runs for plain
+    # polygonize too, so face walks carry no dangle spikes (GEOS's
+    # non-full polygons equal full's polygons component).
+
+    def _prune_dangles():
         deg = {}
         for p, q in seen.values():
             deg[p] = deg.get(p, 0) + 1
@@ -4851,63 +4864,122 @@ def polygonize(ga: GeometryArray, _full: bool = False):
                     deg[p] -= 1
                     deg[q] -= 1
                     changed = True
-    directed = []
-    for p, q in seen.values():
-        directed.append((p, q))
-        directed.append((q, p))
-    out_map = {}
-    for eid, (p, _q) in enumerate(directed):
-        out_map.setdefault(p, []).append(eid)
 
-    used = [False] * len(directed)
-    used_in_poly = set()
+    # Trace faces; any undirected edge traversed in BOTH directions
+    # within ONE closed walk is a bridge between rings -- GEOS reports
+    # it as a CUT edge, deletes it, and re-forms the rings (JTS
+    # Polygonizer deleteCutEdges).  Each pass removes >= 1 edge, so the
+    # loop is bounded; real linework needs at most one extra pass.
+    while True:
+        _prune_dangles()
+        directed = []
+        for p, q in seen.values():
+            directed.append((p, q))
+            directed.append((q, p))
+        out_map = {}
+        for eid, (p, _q) in enumerate(directed):
+            out_map.setdefault(p, []).append(eid)
+
+        used = [False] * len(directed)
+        used_in_poly = set()
+        shells, cw_rings = [], []
+        in_walk_cuts = set()
+        for start in range(len(directed)):
+            if used[start]:
+                continue
+            ring = [directed[start][0]]
+            eid = start
+            closed = False
+            guard = 0
+            while guard <= len(directed):
+                guard += 1
+                used[eid] = True
+                p, q = directed[eid]
+                ring.append(q)
+                inc = np.arctan2(q[1] - p[1], q[0] - p[0])
+                best, best_rel = None, -1.0
+                for cand in out_map.get(q, ()):
+                    cp, cq = directed[cand]
+                    if cq == p and len(out_map.get(q, ())) > 1:
+                        continue  # no immediate U-turn unless dead end
+                    if used[cand] and cand != start:
+                        continue
+                    rel = (np.arctan2(cq[1] - cp[1], cq[0] - cp[0])
+                           - inc - np.pi) % (2 * np.pi)
+                    if rel > best_rel:
+                        best, best_rel = cand, rel
+                if best is None:
+                    break
+                if best == start:
+                    closed = True
+                    break
+                eid = best
+            if not closed or len(ring) < 3:
+                continue
+            walk_keys = {}
+            for k in range(len(ring) - 1):
+                pp, qq = ring[k], ring[k + 1]
+                kk = (pp, qq) if pp < qq else (qq, pp)
+                walk_keys[kk] = walk_keys.get(kk, 0) + 1
+            doubled = {k for k, c in walk_keys.items() if c > 1}
+            if doubled:
+                in_walk_cuts |= doubled
+                continue          # walk invalidated; re-trace next pass
+            r = np.asarray(ring, dtype=np.float64)
+            if _ring_signed_area_arr(r) > 0:  # bounded faces
+                shells.append((r, ring[0]))
+                used_in_poly.update(walk_keys)
+            else:
+                # CW closed walk = a connected component's
+                # unbounded-face boundary: a hole candidate for a shell
+                # of ANOTHER component (GEOS assignHolesToShells --
+                # nested disjoint rings punch holes, r8 fuzz find)
+                cw_rings.append((r, ring[0]))
+        if not in_walk_cuts:
+            break
+        for kk in in_walk_cuts:
+            if kk in seen:
+                cut_edges.append(seen.pop(kk))
     b = GeometryBuilder()
-    for start in range(len(directed)):
-        if used[start]:
-            continue
-        ring = [directed[start][0]]
-        eid = start
-        closed = False
-        guard = 0
-        while guard <= len(directed):
-            guard += 1
-            used[eid] = True
-            p, q = directed[eid]
-            ring.append(q)
-            inc = np.arctan2(q[1] - p[1], q[0] - p[0])
-            best, best_rel = None, -1.0
-            for cand in out_map.get(q, ()):
-                cp, cq = directed[cand]
-                if cq == p and len(out_map.get(q, ())) > 1:
-                    continue  # no immediate U-turn unless dead end
-                if used[cand] and cand != start:
-                    continue
-                rel = (np.arctan2(cq[1] - cp[1], cq[0] - cp[0])
-                       - inc - np.pi) % (2 * np.pi)
-                if rel > best_rel:
-                    best, best_rel = cand, rel
-            if best is None:
-                break
-            if best == start:
-                closed = True
-                break
-            eid = best
-        if not closed or len(ring) < 3:
-            continue
-        if ring[0] != ring[-1]:
-            ring.append(ring[0])
-        r = np.asarray(ring, dtype=np.float64)
-        if _ring_signed_area_arr(r) > 0:  # bounded faces only
-            b.append(GT_POLYGON, [[r]])
-            if _full:
-                for k in range(len(ring) - 1):
-                    pp, qq = ring[k], ring[k + 1]
-                    used_in_poly.add((pp, qq) if pp < qq else (qq, pp))
+    holes_of = {i: [] for i in range(len(shells))}
+    if shells and cw_rings:
+        # component labels: union-find over the noded vertex set
+        parent = {}
+
+        def _find(v):
+            root = v
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(v, v) != v:
+                parent[v], v = root, parent[v]
+            return root
+
+        for p, q in seen.values():
+            rp, rq = _find(p), _find(q)
+            if rp != rq:
+                parent[rp] = rq
+        order = sorted(range(len(shells)),
+                       key=lambda i: _ring_signed_area_arr(shells[i][0]))
+        for hr, hv in cw_rings:
+            hroot = _find(hv)
+            for i in order:               # smallest containing shell wins
+                sr, sv = shells[i]
+                if _find(sv) == hroot:
+                    continue              # own component's outer walk
+                if _mr._point_in_ring(hr[0, 0], hr[0, 1], sr):
+                    holes_of[i].append(hr)
+                    break
+    for i, (sr, _sv) in enumerate(shells):
+        b.append(GT_POLYGON, [[sr] + holes_of[i]])
     if not _full:
         return b.finish()
     # cut edges: connected on both ends (survived dangle pruning) but
-    # bounding no polygon
+    # bounding no polygon — the in-walk bridges removed by the trace
+    # loop plus any leftover edge outside every face boundary
     bc, bd = GeometryBuilder(), GeometryBuilder()
+    for p, q in cut_edges:
+        bc.append(GT_LINESTRING,
+                  [[np.asarray([p, q], dtype=np.float64)]])
     for key, (p, q) in seen.items():
         if key not in used_in_poly:
             bc.append(GT_LINESTRING,

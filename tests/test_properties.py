@@ -1558,3 +1558,254 @@ def test_crs_urn_ogc_crs84():
     c = _crs.transform_coords(pts, "urn:ogc:def:crs:EPSG::4326",
                               "EPSG:3857")
     assert np.abs(c - b).max() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# polygonize / polygonize_full: independent planar-graph oracle fuzz
+# (VERDICT r7 #5).  Random axis-aligned integer linework makes every
+# quantity exactly computable by a SECOND algorithm that shares no code
+# with the kernel's half-edge tracer:
+#   - unit-edge decomposition replaces noding (integer crossings only);
+#   - dangles  == iterative degree-1 pruning of the unit graph;
+#   - cuts     == bridges (Tarjan) of the pruned unit graph;
+#   - #faces   == E - V + C of the pruned graph (Euler);
+#   - face edges + cuts + dangles partition the noded edge set;
+#   - sum of face areas == cells unreachable from outside (flood fill);
+#   - full=False output == the polygons+invalid components of full=True.
+# ---------------------------------------------------------------------------
+
+from geopandas_spark.geom import wkt as _wktm
+
+
+def _axis_segments(rng, n, G):
+    segs = []
+    for _ in range(n):
+        x, y = int(rng.integers(0, G)), int(rng.integers(0, G))
+        ln = int(rng.integers(1, min(6, G)))
+        if rng.random() < 0.5:
+            x2, y2 = min(x + ln, G), y
+        else:
+            x2, y2 = x, min(y + ln, G)
+        if (x, y) != (x2, y2):
+            segs.append(((x, y), (x2, y2)))
+    return segs
+
+
+def _unit_edges(p, q):
+    (x, y), (x2, y2) = p, q
+    out = set()
+    if y == y2:
+        for x0 in range(min(x, x2), max(x, x2)):
+            out.add(((x0, y), (x0 + 1, y)))
+    else:
+        for y0 in range(min(y, y2), max(y, y2)):
+            out.add(((x, y0), (x, y0 + 1)))
+    return out
+
+
+def _ga_unit_edges(ga, rings=False):
+    """Decompose engine output (axis-aligned integer coords) to the
+    canonical unit-edge set."""
+    out = set()
+    co = np.rint(ga.coords).astype(np.int64)
+    assert np.abs(ga.coords - co).max(initial=0.0) < 1e-9
+    ro = ga.ring_offsets
+    for r in range(len(ro) - 1):
+        pts = co[ro[r]:ro[r + 1]]
+        for k in range(len(pts) - 1):
+            p, q = tuple(pts[k]), tuple(pts[k + 1])
+            if p != q:
+                out |= _unit_edges(p, q)
+    return out
+
+
+def _prune_units(units):
+    """(kept, pruned) after iterative degree-1 removal."""
+    units = set(units)
+    while True:
+        deg = {}
+        for p, q in units:
+            deg[p] = deg.get(p, 0) + 1
+            deg[q] = deg.get(q, 0) + 1
+        drop = {e for e in units if deg[e[0]] == 1 or deg[e[1]] == 1}
+        if not drop:
+            return units
+        units -= drop
+
+
+def _bridges(units):
+    """Bridge edges of an undirected graph — iterative Tarjan."""
+    adj = {}
+    for i, (p, q) in enumerate(units):
+        adj.setdefault(p, []).append((q, i))
+        adj.setdefault(q, []).append((p, i))
+    disc, low = {}, {}
+    bridges, t = set(), [0]
+    units = list(units)
+    for root in adj:
+        if root in disc:
+            continue
+        stack = [(root, -1, iter(adj[root]))]
+        disc[root] = low[root] = t[0]
+        t[0] += 1
+        while stack:
+            v, pe, it = stack[-1]
+            adv = False
+            for w, ei in it:
+                if ei == pe:
+                    continue
+                if w not in disc:
+                    disc[w] = low[w] = t[0]
+                    t[0] += 1
+                    stack.append((w, ei, iter(adj[w])))
+                    adv = True
+                    break
+                low[v] = min(low[v], disc[w])
+            if adv:
+                continue
+            stack.pop()
+            if stack:
+                u = stack[-1][0]
+                low[u] = min(low[u], low[v])
+                if low[v] > disc[u]:
+                    bridges.add(units[pe])
+    return bridges
+
+
+def _components(units):
+    parent = {}
+
+    def find(v):
+        r = v
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(v, v) != v:
+            parent[v], v = r, parent[v]
+        return r
+
+    for p, q in units:
+        rp, rq = find(p), find(q)
+        if rp != rq:
+            parent[rp] = rq
+    return find
+
+
+def _enclosed_cells(units, G):
+    """Cells of the [0,G)x[0,G) grid not reachable from outside when
+    `units` are walls — BFS on the cell dual (padded one ring)."""
+    walls = set(units)
+
+    def blocked(c1, c2):
+        (x1, y1), (x2, y2) = c1, c2
+        if x2 == x1 + 1:
+            w = (((x2, y1), (x2, y1 + 1)))
+        elif x1 == x2 + 1:
+            w = (((x1, y1), (x1, y1 + 1)))
+        elif y2 == y1 + 1:
+            w = (((x1, y2), (x1 + 1, y2)))
+        else:
+            w = (((x1, y1), (x1 + 1, y1)))
+        return w in walls
+
+    seen = set()
+    from collections import deque
+    dq = deque()
+    for x in range(-1, G + 1):
+        for y in (-1, G):
+            dq.append((x, y)); seen.add((x, y))
+        for y in range(-1, G + 1):
+            for x0 in (-1, G):
+                if (x0, y) not in seen:
+                    dq.append((x0, y)); seen.add((x0, y))
+    while dq:
+        c = dq.popleft()
+        x, y = c
+        for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+            if not (-1 <= nb[0] <= G and -1 <= nb[1] <= G):
+                continue
+            if nb in seen or blocked(c, nb):
+                continue
+            seen.add(nb)
+            dq.append(nb)
+    return sum(1 for x in range(G) for y in range(G)
+               if (x, y) not in seen)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_polygonize_full_planar_graph_oracle(seed):
+    from geopandas_spark.geom import algos as _alg
+    G = 9
+    rng = np.random.default_rng(seed)
+    segs = _axis_segments(rng, int(rng.integers(3, 19)), G)
+    if not segs:
+        return
+    ws = np.array([f"LINESTRING ({p[0]} {p[1]}, {q[0]} {q[1]})"
+                   for p, q in segs], dtype=object)
+    ga = _wktm.parse_array(ws)
+    polys, cuts, dangles, invalid = _alg.polygonize_full(ga)
+
+    # independent unit-graph oracle
+    all_units = set()
+    for p, q in segs:
+        all_units |= _unit_edges(p, q)
+    kept = _prune_units(all_units)
+    exp_dangles = all_units - kept
+    exp_cuts = _bridges(kept)
+    face_units = kept - exp_cuts
+    # Euler: bounded faces = E - V + C over the pruned graph
+    V = {v for e in kept for v in e}
+    find = _components(kept)
+    C = len({find(v) for v in V})
+    exp_faces = len(kept) - len(V) + C if kept else 0
+
+    got_dangles = _ga_unit_edges(dangles)
+    got_cuts = _ga_unit_edges(cuts)
+    got_faces = _ga_unit_edges(polys) | _ga_unit_edges(invalid)
+    assert got_dangles == exp_dangles
+    assert got_cuts == exp_cuts
+    assert got_faces == face_units
+    assert len(polys) + len(invalid) == exp_faces, (seed, len(polys),
+                                                    len(invalid), exp_faces)
+    # partition: the three classes are disjoint and cover the edge set
+    assert not (got_dangles & got_cuts)
+    assert not (got_dangles & got_faces)
+    assert not (got_cuts & got_faces)
+    assert (got_dangles | got_cuts | got_faces) == all_units
+    # area identity vs flood fill
+    total = float(np.nansum(_alg.area(polys))) + \
+        float(np.nansum(_alg.area(invalid)))
+    assert abs(total - _enclosed_cells(all_units, G)) < 1e-9, seed
+    # full=False == the faces component of full=True
+    plain = _alg.polygonize(ga)
+    assert len(plain) == exp_faces
+    assert abs(float(np.nansum(_alg.area(plain))) - total) < 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_polygonize_jittered_duplicates_invariant(seed):
+    """Near-coincident duplicate linework (±2e-12 jitter, inside the
+    1e-9 canonicalization snap) must not change the polygonize_full
+    split."""
+    from geopandas_spark.geom import algos as _alg
+    G = 7
+    rng = np.random.default_rng(seed)
+    segs = _axis_segments(rng, int(rng.integers(3, 13)), G)
+    if not segs:
+        return
+    ws = [f"LINESTRING ({p[0]} {p[1]}, {q[0]} {q[1]})" for p, q in segs]
+    base = _alg.polygonize_full(_wktm.parse_array(np.array(ws, dtype=object)))
+    jit = []
+    for p, q in segs:
+        jit.append(f"LINESTRING ({p[0]} {p[1]}, {q[0]} {q[1]})")
+        dx, dy = rng.uniform(-2e-12, 2e-12, 2)
+        jit.append(f"LINESTRING ({p[0] + dx:.17g} {p[1] + dy:.17g}, "
+                   f"{q[0] + dx:.17g} {q[1] + dy:.17g})")
+    out = _alg.polygonize_full(_wktm.parse_array(np.array(jit, dtype=object)))
+    for a, b in zip(base, out):
+        assert len(a) == len(b)
+        assert sorted(np.round(_alg.area(a), 6).tolist()) == \
+            sorted(np.round(_alg.area(b), 6).tolist())
+        assert sorted(np.round(_alg.length(a), 6).tolist()) == \
+            sorted(np.round(_alg.length(b), 6).tolist())

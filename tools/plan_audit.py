@@ -60,7 +60,11 @@ local[32]) — the r4 VERDICT's two scale findings and item #8:
   range-query nesting): 600k-box stress dissolve 15.6 -> 7.6 s warm
   (r6: comparator inlining + batched union-find candidates +
   near-dup row dedupe + rectangle pair fast path -> ~5.6 s warm;
-  100x-tier dissolve 1.87 -> ~1.0-1.4 s).
+  100x-tier dissolve 1.87 -> ~1.0-1.4 s). Budget (r8, VERDICT r7 #9):
+  the 600k-box cold stress run is gated at <= 7 s in
+  tools/stress_scale.py (prints PASS/FAIL) so the next sweep-kernel
+  change has a regression gate; r7 driver 100x-tier dissolve min
+  0.751 s <= the 1.0 s target.
 """
 
 

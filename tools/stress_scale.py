@@ -101,8 +101,13 @@ def main():
     t0 = time.time()
     d = dissolve(boxes.withColumn("g", F.col("lid") % 25), "g")
     rows = d.select("g", st.area("geom").alias("a")).collect()
-    print(f"dissolve-600k-into-25: {len(rows)} groups, "
-          f"{time.time() - t0:.2f}s")
+    ddt = time.time() - t0
+    # regression gate (VERDICT r7 #9): first execution of the dissolve
+    # plan in this session must stay within the recorded cold budget
+    DISSOLVE_COLD_BUDGET_S = 7.0
+    verdict = "PASS" if ddt <= DISSOLVE_COLD_BUDGET_S else "FAIL"
+    print(f"dissolve-600k-into-25: {len(rows)} groups, {ddt:.2f}s "
+          f"[budget {DISSOLVE_COLD_BUDGET_S:.0f}s cold: {verdict}]")
 
     # unbounded nearest (no max_distance): exact expanding-radius rounds
     t0 = time.time()
