@@ -1915,7 +1915,7 @@ def _erode_polygon(parts, d: float, nseg: int) -> list:
     # spiky hole straddled the boundary and the erosion poked outside A)
     for r in rings:
         lw.append(GT_LINESTRING, [[r]])
-    faces = polygonize(lw.finish())
+    faces = polygonize(lw.finish(), _faces_only=True)
     if len(faces) == 0:
         return []
     tol = abs(d) * 1e-2 + 1e-9
@@ -2438,12 +2438,21 @@ def _clip_convex(ga: GeometryArray, clip_ring: np.ndarray) -> GeometryArray:
 
 
 def _merge_chains(segs: list) -> list:
-    """Greedy merge of clipped segments back into polylines."""
+    """Greedy merge of clipped segments back into polylines.
+
+    Join tolerance is absolute + a few coordinate ULPs — NOT
+    np.allclose, whose default rtol=1e-5 is ~200 units at web-mercator
+    magnitude and merged pieces across a genuine gap (r8 magnitude
+    fuzz find: line−polygon difference returned the unclipped line at
+    |x| ≈ 2e7)."""
     chains = []
     for s in segs:
         placed = False
         for c in chains:
-            if np.allclose(c[-1], s[0], atol=1e-9):
+            m = max(abs(c[-1][0]), abs(c[-1][1]), 1.0)
+            tol = 1e-9 + 8.0 * np.spacing(m)
+            if abs(c[-1][0] - s[0][0]) <= tol and \
+                    abs(c[-1][1] - s[0][1]) <= tol:
                 c.append(s[1])
                 placed = True
                 break
@@ -4684,9 +4693,15 @@ def representative_point(ga: GeometryArray) -> GeometryArray:
         # scanline through the centroid y (nudged off vertex rows)
         ys = pts[:, 1]
         y = cy
-        if np.any(np.isclose(ys, y)):
-            lo, hi = ys.min(), ys.max()
+        # exact-coincidence check (np.isclose's rtol would fire for
+        # every vertex at web-mercator magnitudes); loop in case the
+        # 1-ulp nudge lands on another vertex row
+        yset = set(ys.tolist())
+        lo, hi = ys.min(), ys.max()
+        guard = 0
+        while y in yset and guard < 64:
             y = np.nextafter(y, hi if y < (lo + hi) / 2 else lo)
+            guard += 1
         xs = []
         for rings in ga.geom_slices(i):
             for r in rings:
@@ -4795,14 +4810,22 @@ def polygonize_full(ga: GeometryArray):
     return b_good.finish(), cuts, dangles, b_bad.finish()
 
 
-def polygonize(ga: GeometryArray, _full: bool = False):
+def polygonize(ga: GeometryArray, _full: bool = False,
+               _faces_only: bool = False):
     """Whole-series: polygons formed by the input linework (base.py:6545).
 
     Node all segments, build both directed half-edges per undirected edge,
     trace faces with the leftmost-turn rule (same planar-graph machinery as
     the overlay ring chaining); bounded faces come out CCW — the unbounded
     outer face (CW) is dropped. Returns one polygon per face (or, with
-    ``_full``, the (polys, cuts, dangles) triple for polygonize_full)."""
+    ``_full``, the (polys, cuts, dangles) triple for polygonize_full).
+
+    ``_faces_only`` is the internal raw-arrangement mode (buffer offset
+    face tracing, build_area, make_valid): no dangle pruning, no
+    cut-edge deletion, no cross-component hole assignment — exactly the
+    minimal-face trace those consumers' own nesting logic expects.  The
+    public operator path always runs the full GEOS Polygonizer
+    semantics."""
     segs = []
     for i in range(len(ga)):
         if int(ga.types[i]) in LINE_TYPES:
@@ -4815,14 +4838,18 @@ def polygonize(ga: GeometryArray, _full: bool = False):
                     GeometryBuilder().finish())
         return GeometryBuilder().finish()
     raw = np.concatenate(segs, axis=0)
-    # snap INPUT coordinates to the 1e-9 canonical grid before noding:
-    # a near-duplicate segment offset by less than the snap tolerance is
-    # PARALLEL, not collinear, so the noder would never split it against
-    # its twin — the post-noding vertex snap alone then leaves
-    # overlapping distinct edges (phantom cut-edge cycles, r8 jitter
-    # fuzz find).  Rounding first makes such twins exactly collinear /
-    # identical, which the noder dedupes properly.
-    raw = np.round(raw, 9)
+    if not _faces_only:
+        # snap INPUT coordinates to the 1e-9 canonical grid before
+        # noding: a near-duplicate segment offset by less than the snap
+        # tolerance is PARALLEL, not collinear, so the noder would never
+        # split it against its twin — the post-noding vertex snap alone
+        # then leaves overlapping distinct edges (phantom cut-edge
+        # cycles, r8 jitter fuzz find).  Rounding first makes such twins
+        # exactly collinear / identical, which the noder dedupes
+        # properly.  The internal raw-arrangement mode skips the snap:
+        # offset-curve arrangements carry meaningful sub-1e-9 geometry
+        # (arc/segment meeting points) that grid-rounding would tear.
+        raw = np.round(raw, 9)
     noded = _node_segments(raw)
     # dedupe undirected edges; canonicalize vertices first — the same
     # crossing computed from the two partner segments can differ in the
@@ -4871,7 +4898,8 @@ def polygonize(ga: GeometryArray, _full: bool = False):
     # Polygonizer deleteCutEdges).  Each pass removes >= 1 edge, so the
     # loop is bounded; real linework needs at most one extra pass.
     while True:
-        _prune_dangles()
+        if not _faces_only:
+            _prune_dangles()
         directed = []
         for p, q in seen.values():
             directed.append((p, q))
@@ -4921,7 +4949,8 @@ def polygonize(ga: GeometryArray, _full: bool = False):
                 pp, qq = ring[k], ring[k + 1]
                 kk = (pp, qq) if pp < qq else (qq, pp)
                 walk_keys[kk] = walk_keys.get(kk, 0) + 1
-            doubled = {k for k, c in walk_keys.items() if c > 1}
+            doubled = set() if _faces_only else \
+                {k for k, c in walk_keys.items() if c > 1}
             if doubled:
                 in_walk_cuts |= doubled
                 continue          # walk invalidated; re-trace next pass
@@ -4942,7 +4971,7 @@ def polygonize(ga: GeometryArray, _full: bool = False):
                 cut_edges.append(seen.pop(kk))
     b = GeometryBuilder()
     holes_of = {i: [] for i in range(len(shells))}
-    if shells and cw_rings:
+    if shells and cw_rings and not _faces_only:
         # component labels: union-find over the noded vertex set
         parent = {}
 
@@ -4993,7 +5022,7 @@ def build_area(ga: GeometryArray) -> GeometryArray:
     """Areal geometry from linework (base.py:6484): polygonize, then treat
     enclosed faces as a coverage — faces nested inside an odd number of
     other faces become holes. Returns a single (multi)polygon row."""
-    faces = polygonize(ga)
+    faces = polygonize(ga, _faces_only=True)
     b = GeometryBuilder()
     if len(faces) == 0:
         b.append_empty(GT_POLYGON)
@@ -5170,7 +5199,7 @@ def _repair_ring_faces(ring: np.ndarray) -> list:
         return [_mr._close(ring)]
     lw = GeometryBuilder()
     lw.append(GT_LINESTRING, [[_mr._close(ring)]])
-    faces = polygonize(lw.finish())
+    faces = polygonize(lw.finish(), _faces_only=True)
     return [faces.geom_slices(k)[0][0] for k in range(len(faces))]
 
 
@@ -5212,7 +5241,7 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             lw = GeometryBuilder()
             for r in orig:
                 lw.append(GT_LINESTRING, [[r]])
-            faces = polygonize(lw.finish())
+            faces = polygonize(lw.finish(), _faces_only=True)
             if len(faces) == 0:
                 b.append_empty(GT_POLYGON)
                 continue

@@ -1809,3 +1809,103 @@ def test_polygonize_jittered_duplicates_invariant(seed):
             sorted(np.round(_alg.area(b), 6).tolist())
         assert sorted(np.round(_alg.length(a), 6).tolist()) == \
             sorted(np.round(_alg.length(b), 6).tolist())
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(1, 6),
+       st_.sampled_from([-20037508.0, 20037508.0, 2**26 * 1.0]))
+@settings(max_examples=60, deadline=None)
+def test_gc_setops_web_mercator_magnitude_invariance(seed, nboxes, off):
+    """r8 fuzz target (VERDICT r7 #7): GC set ops with nested empty
+    collections at web-mercator magnitudes.  Axis-aligned integer
+    children shifted by ±2e7 stay EXACTLY representable (2e7 + k is an
+    exact double), so every set op must match the origin-frame result
+    EXACTLY after translation — a zero-tolerance oracle for
+    magnitude-dependent epsilons in the boolean kernel."""
+    rng = np.random.default_rng(seed)
+    children = []
+    for _ in range(nboxes):
+        x0, y0 = rng.integers(0, 30, 2)
+        w, h = rng.integers(1, 12, 2)
+        children.append((int(x0), int(y0), int(w), int(h)))
+    lx, ly = (int(v) for v in rng.integers(0, 30, 2))
+
+    def gc(dx):
+        parts = [f"POLYGON (({x0+dx} {y0}, {x0+w+dx} {y0}, "
+                 f"{x0+w+dx} {y0+h}, {x0+dx} {y0+h}, {x0+dx} {y0}))"
+                 for x0, y0, w, h in children]
+        parts.append(f"LINESTRING ({lx+dx} {ly}, {lx+9+dx} {ly})")
+        inner = ("GEOMETRYCOLLECTION (" + ", ".join(
+            parts[:max(1, len(parts) // 2)] +
+            ["POLYGON EMPTY", "GEOMETRYCOLLECTION EMPTY"]) + ")")
+        return "GEOMETRYCOLLECTION (" + ", ".join(
+            [inner] + parts[max(1, len(parts) // 2):] +
+            ["POINT EMPTY", "LINESTRING EMPTY"]) + ")"
+
+    bx, by = (int(v) for v in rng.integers(0, 25, 2))
+
+    def bpoly(dx):
+        return (f"POLYGON (({bx+dx} {by}, {bx+14+dx} {by}, "
+                f"{bx+14+dx} {by+10}, {bx+dx} {by+10}, {bx+dx} {by}))")
+
+    A0, B0 = wkt.parse_array([gc(0)]), wkt.parse_array([bpoly(0)])
+    A1, B1 = wkt.parse_array([gc(int(off))]), \
+        wkt.parse_array([bpoly(int(off))])
+    for op in ("intersection", "difference", "union",
+               "symmetric_difference"):
+        r0 = getattr(algos, op)(A0, B0)
+        r1 = getattr(algos, op)(A1, B1)
+        a0, a1 = float(algos.area(r0)[0]), float(algos.area(r1)[0])
+        l0, l1 = float(algos.length(r0)[0]), float(algos.length(r1)[0])
+        assert a0 == a1, (op, off, a0, a1)       # exact: integer grid
+        assert l0 == l1, (op, off, l0, l1)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(2, 8))
+@settings(max_examples=40, deadline=None)
+def test_mixed_endian_wkb_through_setops(seed, n):
+    """r8 fuzz target (VERDICT r7 #7): big-endian (XDR) WKB operands
+    through every boolean set-op path — byte-swapped rows must produce
+    byte-identical results to their little-endian twins (the decode is
+    the only thing that may differ, so any divergence is a decoder
+    defect surfacing in the hot kernel)."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+
+    def make(k):
+        x0, y0 = rng.integers(0, 40, 2)
+        w, h = rng.integers(1, 15, 2)
+        return boxes_from_bounds([float(x0)], [float(y0)],
+                                 [float(x0 + w)], [float(y0 + h)])
+
+    A = wkb.decode([wkb.encode(make(i))[0] for i in range(n)])
+    B = wkb.decode([wkb.encode(make(i))[0] for i in range(n)])
+
+    def poly_to_be(b):
+        (nr,) = struct.unpack_from("<I", b, 5)
+        out = [b"\x00", struct.pack(">I", 3), struct.pack(">I", nr)]
+        pos = 9
+        for _ in range(nr):
+            (m,) = struct.unpack_from("<I", b, pos)
+            cs = struct.unpack_from(f"<{2*m}d", b, pos + 4)
+            out.append(struct.pack(">I", m))
+            out.append(struct.pack(f">{2*m}d", *cs))
+            pos += 4 + 16 * m
+        return b"".join(out)
+
+    a_le = wkb.encode(A)
+    b_le = wkb.encode(B)
+    flip = rng.random(n) < 0.5
+    a_mix = [poly_to_be(v) if flip[i] else v for i, v in enumerate(a_le)]
+    b_mix = [poly_to_be(v) if not flip[i] else v
+             for i, v in enumerate(b_le)]
+    Am, Bm = wkb.decode(a_mix), wkb.decode(b_mix)
+    for op in ("intersection", "union", "difference",
+               "symmetric_difference"):
+        r_le = wkb.encode(getattr(algos, op)(A, B))
+        r_mx = wkb.encode(getattr(algos, op)(Am, Bm))
+        assert r_le == r_mx, (op, seed)
+    # predicates through the same mixed decode
+    for pred in ("intersects", "touches", "contains", "overlaps"):
+        assert (getattr(algos, pred)(A, B) ==
+                getattr(algos, pred)(Am, Bm)).all(), pred
