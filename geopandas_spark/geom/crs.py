@@ -2138,11 +2138,34 @@ def _unproject_to_wgs84(coords: np.ndarray, s: str):
     return np.column_stack([lon, lat])
 
 
+def _crs_text(crs):
+    """Accept CRS-like OBJECTS the way the reference does (any pyproj
+    CRS, geopandas/array.py:1098): duck-type via to_authority()/to_wkt()
+    — an authority code resolves through the registry fast path, any
+    other object falls back to its WKT2 text through the parser."""
+    if isinstance(crs, str):
+        return crs
+    auth = getattr(crs, "to_authority", None)
+    if callable(auth):
+        try:
+            pair = auth()
+            if pair:
+                return f"{pair[0]}:{pair[1]}"
+        except Exception:
+            pass
+    wkt_fn = getattr(crs, "to_wkt", None)
+    if callable(wkt_fn):
+        return wkt_fn()
+    return str(crs)
+
+
 def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
     """(N,2) coordinate transform. Closed form for everything _proj_def
-    resolves — EPSG codes, PROJ strings, WKT1/WKT2 text — composed
+    resolves — EPSG codes, PROJ strings, WKT1/WKT2 text, or CRS-like
+    objects exposing to_authority()/to_wkt() (pyproj.CRS) — composed
     through WGS84 geographic; pyproj only for CRSs outside that set
     (datum-grid transforms), when importable."""
+    src, dst = _crs_text(src), _crs_text(dst)
     s, d = _norm(src), _norm(dst)
     if s == d or len(coords) == 0:
         return coords.copy()

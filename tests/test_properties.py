@@ -1909,3 +1909,40 @@ def test_mixed_endian_wkb_through_setops(seed, n):
     for pred in ("intersects", "touches", "contains", "overlaps"):
         assert (getattr(algos, pred)(A, B) ==
                 getattr(algos, pred)(Am, Bm)).all(), pred
+
+
+def test_crs_object_inputs_duck_typed():
+    """CRS-like OBJECTS (pyproj.CRS duck: to_authority()/to_wkt()) are
+    accepted everywhere a CRS string is (reference array.py:1098 takes
+    any pyproj CRS)."""
+    class _AuthCRS:
+        def to_authority(self):
+            return ("EPSG", "32632")
+
+        def to_wkt(self):          # pragma: no cover - authority wins
+            raise AssertionError("authority path should win")
+
+    class _WktCRS:
+        def to_authority(self):
+            return None
+
+        def to_wkt(self):
+            return (
+                'PROJCRS["x",BASEGEOGCRS["ETRS89",DATUM["European '
+                'Terrestrial Reference System 1989",ELLIPSOID['
+                '"GRS 1980",6378137,298.257222101]],ANGLEUNIT["degree",'
+                '0.0174532925199433]],CONVERSION["c",METHOD["Transverse '
+                'Mercator",ID["EPSG",9807]],PARAMETER["Latitude of '
+                'natural origin",0],PARAMETER["Longitude of natural '
+                'origin",9],PARAMETER["Scale factor at natural origin",'
+                '0.9996],PARAMETER["False easting",500000],PARAMETER['
+                '"False northing",0]],CS[Cartesian,2],AXIS["(E)",east],'
+                'AXIS["(N)",north],LENGTHUNIT["metre",1]]')
+
+    pts = np.array([[9.0, 0.0], [10.0, 47.0]])
+    a = _crs.transform_coords(pts, "EPSG:4326", _AuthCRS())
+    b = _crs.transform_coords(pts, "EPSG:4326", "EPSG:32632")
+    c = _crs.transform_coords(pts, "EPSG:4326", _WktCRS())
+    assert np.abs(a - b).max() == 0.0
+    # ETRS89/GRS80 vs WGS84 UTM: sub-mm ellipsoid difference only
+    assert np.abs(c - b).max() < 1e-3
