@@ -2202,7 +2202,7 @@ def transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
             "longlat/utm/tmerc/lcc/polar stere/sterea/merc/webmerc/aea/"
             "laea/somerc/cea/eqc/sinu/moll with +ellps/+a+b/+towgs84/"
             "+units/+pm), WKT1/WKT2 CRS text for the same methods, and "
-            "~340 EPSG codes (supported_epsg_codes() lists them: UTM/"
+            "470 EPSG codes (supported_epsg_codes() lists them: UTM/"
             "ETRS89/NAD83/ED50/SIRGAS families, national TM+GK zone "
             "ranges, US State Plane metre+ftUS zones, Japan PRCS, Swiss "
             "LV03/LV95, RD New, Irish Grid, NTF Lambert, EASE-Grid 2.0, "
