@@ -633,3 +633,66 @@ def test_dissolve_duplicate_heavy_dedupe_plan_matches(spark):
         assert abs(ra[g]["v_mean"] - sums[g] / cnts[g]) < 1e-12
         assert ra[g]["w_min"] == 0
         assert ra[g]["np_"] == 12   # union deduped to the distinct points
+
+
+def test_sjoin_grid_forced_salting_matches_brute_force(spark):
+    """r8: hot-cell salting and the pinned candidate-join parallelism
+    are probabilistic scale paths that the small oracle datasets never
+    trigger — force the salt table on (factor=1, floor=0) over skewed
+    data and require the EXACT brute-force pair set."""
+    import functools
+    import sys
+
+    import numpy as np
+
+    import geopandas_spark.operators.sjoin  # noqa: F401 (register module)
+    sjmod = sys.modules["geopandas_spark.operators.sjoin"]
+
+    rng = np.random.default_rng(42)
+    n_pts, n_box = 500, 300
+    hot_p = rng.random(n_pts) < 0.7
+    px = np.where(hot_p, rng.uniform(0, 8, n_pts),
+                  rng.uniform(0, 100, n_pts))
+    py = np.where(hot_p, rng.uniform(0, 8, n_pts),
+                  rng.uniform(0, 100, n_pts))
+    hot_b = rng.random(n_box) < 0.7
+    bx = np.where(hot_b, rng.uniform(0, 8, n_box),
+                  rng.uniform(0, 100, n_box))
+    by = np.where(hot_b, rng.uniform(0, 8, n_box),
+                  rng.uniform(0, 100, n_box))
+    bw = rng.uniform(0.5, 4.0, n_box)
+    bh = rng.uniform(0.5, 4.0, n_box)
+
+    pts = (spark.createDataFrame(
+        [(i, float(px[i]), float(py[i])) for i in range(n_pts)],
+        ["pid", "x", "y"])
+        .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+    boxes = (spark.createDataFrame(
+        [(k, float(bx[k]), float(by[k]), float(bx[k] + bw[k]),
+          float(by[k] + bh[k])) for k in range(n_box)],
+        ["bid", "x0", "y0", "x1", "y1"])
+        .withColumn("geom", st.makebox("x0", "y0", "x1", "y1"))
+        .drop("x0", "y0", "x1", "y1"))
+
+    calls = {"salted": 0}
+    orig = sjmod._hot_cell_salts
+
+    def forced(pairs, **kw):
+        out = orig(pairs, factor=1.0, max_k=8, floor_pairs=0)
+        calls["salted"] += len(out)
+        return out
+
+    sjmod._hot_cell_salts = forced
+    try:
+        j = sjmod.sjoin(pts, boxes, predicate="intersects",
+                        strategy="grid")
+        got = {(r["pid"], r["bid"])
+               for r in j.select("pid", "bid").collect()}
+    finally:
+        sjmod._hot_cell_salts = orig
+    assert calls["salted"] > 0, "salting path was not exercised"
+
+    inx = (px[:, None] >= bx[None, :]) & (px[:, None] <= (bx + bw)[None, :])
+    iny = (py[:, None] >= by[None, :]) & (py[:, None] <= (by + bh)[None, :])
+    exp = {(int(i), int(k)) for i, k in zip(*np.nonzero(inx & iny))}
+    assert got == exp
