@@ -1681,6 +1681,44 @@ def buffer(ga: GeometryArray, dist, quad_segs: int = 16,
            cap_style: str = "round", join_style: str = "round",
            mitre_limit: float = 5.0,
            single_sided: bool = False) -> GeometryArray:
+    """Magnitude-normalizing wrapper: rows whose bbox center exceeds
+    2^20 are buffered in a LOCAL frame (integer-shifted to the origin)
+    and translated back.  The Minkowski/offset constructions intersect
+    irrational arc chords with polygon edges; at web-mercator
+    magnitudes those crossings land within an ULP (~1e-8) of each
+    other and the merge tree mis-assembles (r8 translate-invariance
+    fuzz find: buffer(+1) at |x| ≈ 6.7e7 returned HALF the area).
+    Integer shifts keep small-coordinate rows bit-identical (they skip
+    the wrapper entirely) and cost one add per coordinate otherwise."""
+    bb = bounds(ga)
+    with np.errstate(invalid="ignore"):
+        cx = np.floor((bb[:, 0] + bb[:, 2]) * 0.5)
+        cy = np.floor((bb[:, 1] + bb[:, 3]) * 0.5)
+    cx = np.where(np.isfinite(cx), cx, 0.0)
+    cy = np.where(np.isfinite(cy), cy, 0.0)
+    big = (np.abs(cx) > 2.0 ** 20) | (np.abs(cy) > 2.0 ** 20)
+    if not big.any():
+        return _buffer_impl(ga, dist, quad_segs, cap_style, join_style,
+                            mitre_limit, single_sided)
+    cx = np.where(big, cx, 0.0)
+    cy = np.where(big, cy, 0.0)
+    row_of = ga.coord_geom_index()
+    nc = ga.coords.copy()
+    nc[:, 0] -= cx[row_of]
+    nc[:, 1] -= cy[row_of]
+    out = _buffer_impl(_with_coords(ga, nc), dist, quad_segs, cap_style,
+                       join_style, mitre_limit, single_sided)
+    orow = out.coord_geom_index()
+    oc = out.coords.copy()
+    oc[:, 0] += cx[orow]
+    oc[:, 1] += cy[orow]
+    return _with_coords(out, oc)
+
+
+def _buffer_impl(ga: GeometryArray, dist, quad_segs: int = 16,
+                 cap_style: str = "round", join_style: str = "round",
+                 mitre_limit: float = 5.0,
+                 single_sided: bool = False) -> GeometryArray:
     """Buffer with round joins. quad_segs default 16 matches the reference
     (geopandas/array.py:916-943, not shapely's 8).
 

@@ -1946,3 +1946,53 @@ def test_crs_object_inputs_duck_typed():
     assert np.abs(a - b).max() == 0.0
     # ETRS89/GRS80 vs WGS84 UTM: sub-mm ellipsoid difference only
     assert np.abs(c - b).max() < 1e-3
+
+
+@given(st_.integers(0, 2**31 - 1), st_.sampled_from([1.0, 0.35]),
+       st_.sampled_from([2**26 * 1.0, -20037508.0]))
+@settings(max_examples=30, deadline=None)
+def test_buffer_translate_invariance_magnitude(seed, d, off):
+    """r8 fuzz target: positive AND negative buffer at web-mercator
+    magnitudes.  Integer-grid polygons shifted by ±2e7 stay exactly
+    representable, and the offset construction is translation-covariant
+    in exact arithmetic, so areas must agree to a few ULPs of the
+    shifted frame — catches absolute epsilons (1e-12-class probe
+    slacks) that are sub-ULP at |x| ≈ 2e7."""
+    from geopandas_spark.geom.array import GT_POLYGON, GeometryBuilder
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 10))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.integers(3, 12, n).astype(np.float64)
+    ring = np.column_stack([np.round(20 + rad * np.cos(ang)),
+                            np.round(20 + rad * np.sin(ang))])
+    ring = np.vstack([ring, ring[:1]])
+    sa = 0.5 * np.sum(ring[:-1, 0] * ring[1:, 1]
+                      - ring[1:, 0] * ring[:-1, 1])
+    if abs(sa) < 4.0:
+        return
+    if sa < 0:
+        ring = ring[::-1]
+
+    def mk(dx):
+        r = ring.copy()
+        r[:, 0] += dx
+        b = GeometryBuilder()
+        b.append(GT_POLYGON, [[r]])
+        return b.finish()
+
+    A0, A1 = mk(0.0), mk(off)
+    for dd in (d, -d):
+        r0 = algos.buffer(A0, np.array([dd]))
+        r1 = algos.buffer(A1, np.array([dd]))
+        # translate the shifted result BACK before measuring: the
+        # shoelace at |x| ≈ 2e7 has inherent 4e14-scale cancellation
+        # that would force a loose tolerance; after translation the
+        # only error left is the buffer construction's own (~ULP of
+        # the shifted coordinates × perimeter)
+        r1t = algos.translate(r1, -off, 0.0)
+        a0 = float(algos.area(r0)[0])
+        a1 = float(algos.area(r1t)[0])
+        peri = float(algos.length(r0)[0])
+        tol = 64.0 * np.spacing(abs(off)) * max(peri, 1.0) + 1e-9
+        assert abs(a0 - a1) <= tol, (dd, a0, a1, tol)
