@@ -4651,7 +4651,15 @@ def minimum_bounding_circle(ga: GeometryArray, quad_segs: int = 16) -> GeometryA
         if len(pts) == 0:
             b.append_empty(GT_POLYGON)
             continue
-        c, r = _welzl_circle(np.unique(pts, axis=0))
+        # local frame: the circumcenter solve squares coordinates, so
+        # at web-mercator magnitudes the cancellation costs ~4 digits
+        # of the radius (r8 magnitude probe); an integer shift to the
+        # origin restores full precision and is exact to undo
+        shift = np.floor(pts.mean(axis=0))
+        if not np.isfinite(shift).all():
+            shift = np.zeros(2)
+        c, r = _welzl_circle(np.unique(pts - shift, axis=0))
+        c = c + shift
         if r == 0.0:
             b.append_point(c[0], c[1])
             continue
