@@ -1038,6 +1038,36 @@ def dwithin(ga, gb, dist):
     return distance(ga, gb) <= dist
 
 
+def _line_poly_interior_exterior(line_ga, i, poly_ga, j):
+    """(has_interior, has_exterior): whether the LINE's interior has a
+    positive-length piece strictly inside / strictly outside the
+    polygon.  EXACT — split every line segment at every ring-edge
+    crossing, classify piece midpoints (each piece is uniformly in /
+    out / on-boundary).  Replaces the sampled vertex/mid/quarter-point
+    probes, which missed short corner chords (r8 DE-9IM consistency
+    fuzz find: a line entering through a corner region for 3%% of its
+    length had no sample point inside)."""
+    segs = _geom_segments(line_ga, i)
+    rings = _geom_rings_closed(poly_ga, j)
+    if len(segs) == 0 or not rings:
+        return False, bool(len(segs))
+    E0, E1 = _flatten_edges(rings)
+    esegs = np.stack([E0, E1], axis=1)
+    has_int = has_ext = False
+    for s in segs:
+        for p in _split_segment_by_edges(s[0], s[1], E0, E1):
+            mid = (p[0] + p[1]) * 0.5
+            if _point_seg_dist(mid.reshape(1, 2), esegs)[0] <= _EPS:
+                continue                      # boundary-collinear piece
+            if points_in_rings(mid[:1], mid[1:], rings)[0] > 0:
+                has_int = True
+            else:
+                has_ext = True
+            if has_int and has_ext:
+                return True, True
+    return has_int, has_ext
+
+
 def touches(ga, gb):
     def f(a, i, b, j):
         if not _pair_intersects(a, i, b, j):
@@ -1049,13 +1079,25 @@ def touches(ga, gb):
         ta, tb = int(a.types[i]), int(b.types[j])
         pa, pb = _geom_points(a, i), _geom_points(b, j)
         if ta in POLYGON_TYPES:
-            test = pb if not len(sb) else np.concatenate([pb, sb.mean(axis=1)])
-            if (points_in_geom(test[:, 0], test[:, 1], a, i) == 2).any():
-                return False
+            if tb in LINE_TYPES:
+                if _line_poly_interior_exterior(b, j, a, i)[0]:
+                    return False
+            else:
+                test = pb if not len(sb) else \
+                    np.concatenate([pb, sb.mean(axis=1)])
+                if (points_in_geom(test[:, 0], test[:, 1], a, i)
+                        == 2).any():
+                    return False
         if tb in POLYGON_TYPES:
-            test = pa if not len(sa) else np.concatenate([pa, sa.mean(axis=1)])
-            if (points_in_geom(test[:, 0], test[:, 1], b, j) == 2).any():
-                return False
+            if ta in LINE_TYPES:
+                if _line_poly_interior_exterior(a, i, b, j)[0]:
+                    return False
+            else:
+                test = pa if not len(sa) else \
+                    np.concatenate([pa, sa.mean(axis=1)])
+                if (points_in_geom(test[:, 0], test[:, 1], b, j)
+                        == 2).any():
+                    return False
         if ta in LINE_TYPES and tb in POINT_TYPES:
             ends = _line_endpoints(a, i)
             return bool(len(ends) and
@@ -1100,16 +1142,12 @@ def crosses(ga, gb):
 
 
 def _line_crosses_poly(line_ga, i, poly_ga, j) -> bool:
-    pts = _geom_points(line_ga, i)
-    segs = _geom_segments(line_ga, i)
-    samples = [pts] + ([segs.mean(axis=1)] if len(segs) else [])
-    # refine: also quarter points for robustness
-    if len(segs):
-        samples.append(segs[:, 0] * 0.75 + segs[:, 1] * 0.25)
-        samples.append(segs[:, 0] * 0.25 + segs[:, 1] * 0.75)
-    s = np.concatenate(samples)
-    cls = points_in_geom(s[:, 0], s[:, 1], poly_ga, j)
-    return bool((cls == 2).any() and (cls == 0).any())
+    # DE-9IM T*T****** for dim(a) < dim(b): the line's interior must
+    # meet BOTH the polygon's interior and its exterior — exact
+    # split-based classification (see _line_poly_interior_exterior)
+    has_int, has_ext = _line_poly_interior_exterior(line_ga, i,
+                                                    poly_ga, j)
+    return has_int and has_ext
 
 
 def _multipoint_crosses(pt_ga, i, other, j) -> bool:

@@ -1996,3 +1996,70 @@ def test_buffer_translate_invariance_magnitude(seed, d, off):
         peri = float(algos.length(r0)[0])
         tol = 64.0 * np.spacing(abs(off)) * max(peri, 1.0) + 1e-9
         assert abs(a0 - a1) <= tol, (dd, a0, a1, tol)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.integers(0, 3),
+       st_.sampled_from([0.0, 67108864.0]))
+@settings(max_examples=80, deadline=None)
+def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
+    """r8 cross-check: the DE-9IM matrix and the boolean predicates are
+    computed by different kernel paths — they must tell the same story
+    for every pair (intersects = not disjoint-pattern, contains/within/
+    touches/crosses/overlaps/equals each match their defining pattern),
+    at origin AND web-mercator magnitudes."""
+    from geopandas_spark.geom import wkt as _w
+
+    rng = np.random.default_rng(seed)
+
+    def geom(kind):
+        x0, y0 = (int(v) for v in rng.integers(0, 12, 2))
+        w, h = (int(v) for v in rng.integers(1, 8, 2))
+        if kind == 0:
+            return (f"POLYGON (({x0+off} {y0}, {x0+w+off} {y0}, "
+                    f"{x0+w+off} {y0+h}, {x0+off} {y0+h}, "
+                    f"{x0+off} {y0}))")
+        if kind == 1:
+            return f"LINESTRING ({x0+off} {y0}, {x0+w+off} {y0+h})"
+        return f"POINT ({x0+off} {y0})"
+
+    A = _w.parse_array([geom(kinds % 3)])
+    B = _w.parse_array([geom((kinds + seed) % 3)])
+    m = algos.relate(A, B)[0]
+    assert len(m) == 9
+
+    def p(ix):
+        return m[ix] != "F"
+
+    inter = bool(algos.intersects(A, B)[0])
+    # intersects <=> any of II, IB, BI, BB non-F
+    assert inter == (p(0) or p(1) or p(3) or p(4)), (m, inter)
+    assert bool(algos.disjoint(A, B)[0]) == (not inter), m
+    # within: II and not IE, BE  (T*F**F***)
+    assert bool(algos.within(A, B)[0]) == \
+        (p(0) and not p(2) and not p(5)), (m,)
+    assert bool(algos.contains(A, B)[0]) == \
+        (p(0) and not p(6) and not p(7)), (m,)
+    # touches: no II, but some boundary contact (FT*******, F**T*****,
+    # F***T****)
+    assert bool(algos.touches(A, B)[0]) == \
+        (not p(0) and (p(1) or p(3) or p(4))), (m,)
+    # equals: T*F**FFF* (within and contains)
+    assert bool(algos.geom_equals(A, B)[0]) == \
+        (p(0) and not p(2) and not p(5) and not p(6) and not p(7)), (m,)
+    # crosses / overlaps per dimension pair
+    da = 2 if int(A.types[0]) in (3, 6) else \
+        (1 if int(A.types[0]) in (2, 5) else 0)
+    db = 2 if int(B.types[0]) in (3, 6) else \
+        (1 if int(B.types[0]) in (2, 5) else 0)
+    cr = bool(algos.crosses(A, B)[0])
+    ov = bool(algos.overlaps(A, B)[0])
+    if da == db:
+        if da == 1:
+            assert cr == (p(0) and m[0] == "0"), (m,)
+        else:
+            assert not cr, (m,)
+        assert ov == (p(0) and p(2) and p(6)
+                      and (da != 1 or m[0] == "1")), (m, da)
+    else:
+        assert cr == (p(0) and (p(2) if da < db else p(6))), (m, da, db)
+        assert not ov, (m,)
