@@ -1998,9 +1998,9 @@ def test_buffer_translate_invariance_magnitude(seed, d, off):
         assert abs(a0 - a1) <= tol, (dd, a0, a1, tol)
 
 
-@given(st_.integers(0, 2**31 - 1), st_.integers(0, 3),
+@given(st_.integers(0, 2**31 - 1), st_.integers(0, 24),
        st_.sampled_from([0.0, 67108864.0]))
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=120, deadline=None)
 def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
     """r8 cross-check: the DE-9IM matrix and the boolean predicates are
     computed by different kernel paths — they must tell the same story
@@ -2020,10 +2020,23 @@ def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
                     f"{x0+off} {y0}))")
         if kind == 1:
             return f"LINESTRING ({x0+off} {y0}, {x0+w+off} {y0+h})"
-        return f"POINT ({x0+off} {y0})"
+        if kind == 2:
+            return f"POINT ({x0+off} {y0})"
+        if kind == 3:      # polygon with a hole (when it fits)
+            w, h = max(w, 3), max(h, 3)
+            hx, hy = x0 + 1, y0 + 1
+            return (f"POLYGON (({x0+off} {y0}, {x0+w+off} {y0}, "
+                    f"{x0+w+off} {y0+h}, {x0+off} {y0+h}, "
+                    f"{x0+off} {y0}), ({hx+off} {hy}, {hx+off} {hy+1}, "
+                    f"{hx+1+off} {hy+1}, {hx+1+off} {hy}, "
+                    f"{hx+off} {hy}))")
+        # kind 4: 2-segment polyline with an axis-aligned leg
+        x1, y1 = (int(v) for v in rng.integers(0, 12, 2))
+        return (f"LINESTRING ({x0+off} {y0}, {x0+w+off} {y0+h}, "
+                f"{x1+off} {y0+h})")
 
-    A = _w.parse_array([geom(kinds % 3)])
-    B = _w.parse_array([geom((kinds + seed) % 3)])
+    A = _w.parse_array([geom(kinds % 5)])
+    B = _w.parse_array([geom((kinds // 5 + seed) % 5)])
     m = algos.relate(A, B)[0]
     assert len(m) == 9
 
