@@ -569,6 +569,29 @@ def _segs_intersect_flags(sa, sb):
     """(any_hit, any_proper) between segment sets sa (S,2,2), sb (T,2,2)."""
     if len(sa) == 0 or len(sb) == 0:
         return False, False
+    da_ = sa[:, 1] - sa[:, 0]
+    db_ = sb[:, 1] - sb[:, 0]
+    la = (da_ * da_).sum(-1) > 0
+    lb = (db_ * db_).sum(-1) > 0
+    extra_hit = False
+    if not (la.all() and lb.all()):
+        # zero-length segments (repeated vertices) are POINTS: the
+        # cross-product collinearity test below degenerates to 0 = 0
+        # for them and fabricates hits anywhere their projection lands
+        # (r8 DE-9IM fuzz find) — test them as point-vs-segment
+        # distances instead, never as 'proper' crossings
+        pa_d = sa[~la, 0]
+        pb_d = sb[~lb, 0]
+        sa, sb = sa[la], sb[lb]
+        if len(pa_d) and len(sb):
+            extra_hit |= bool((_point_seg_dist(pa_d, sb) <= _EPS).any())
+        if len(pb_d) and len(sa):
+            extra_hit |= bool((_point_seg_dist(pb_d, sa) <= _EPS).any())
+        if len(pa_d) and len(pb_d):
+            extra_hit |= bool((np.abs(pa_d[:, None] - pb_d[None])
+                               .max(-1) <= _EPS).any())
+        if len(sa) == 0 or len(sb) == 0:
+            return extra_hit, False
     p = sa[:, 0][:, None, :]
     r = (sa[:, 1] - sa[:, 0])[:, None, :]
     q = sb[:, 0][None, :, :]
@@ -597,7 +620,7 @@ def _segs_intersect_flags(sa, sb):
             hi = np.maximum(t0, t1)
             ov = par & (hi >= -_EPS) & (lo <= 1 + _EPS)
             any_hit = bool(ov.any())
-    return any_hit, any_proper
+    return any_hit or extra_hit, any_proper
 
 
 def _point_seg_dist(pts, segs):
@@ -746,6 +769,18 @@ def _pair_covers(ga, i, gb, j, require_interior=False) -> bool:
         ok = (np.abs(pb[:, None, :] - pa[None, :, :]).max(-1) <= _EPS).any(axis=1)
         return bool(ok.all())
     if ta in POLYGON_TYPES:
+        if tb in LINE_TYPES:
+            # exact: split B at A's ring edges; any strictly-exterior
+            # piece (including pieces inside A's HOLES, which sampled
+            # vertex/midpoint probes can miss) defeats covers
+            has_int, has_ext = _line_poly_interior_exterior(gb, j, ga, i)
+            if has_ext:
+                return False
+            # isolated point parts of the line row (degenerate)
+            cls0 = points_in_geom(pb[:, 0], pb[:, 1], ga, i)
+            if (cls0 == 0).any():
+                return False
+            return has_int if require_interior else True
         # sample points of B: vertices + segment midpoints
         test = pb
         if len(sb):
@@ -757,6 +792,20 @@ def _pair_covers(ga, i, gb, j, require_interior=False) -> bool:
         _, proper = _segs_intersect_flags(sa, sb)
         if proper:
             return False
+        if tb in POLYGON_TYPES:
+            # the samples cannot witness B's interior poking into a
+            # HOLE of A whose boundary avoids them (r8 DE-9IM fuzz
+            # find: holed A vs its own solid shell passed) — confirm
+            # the near-cover with the exact boolean difference B − A
+            diff = _mr.boolean_op(_geom_rings_closed(gb, j),
+                                  _geom_rings_closed(ga, i),
+                                  _mr.DIFFERENCE)
+            for poly in diff:
+                a_ = abs(_mr._ring_signed_area(_mr._close(poly[0])))
+                for hole in poly[1:]:
+                    a_ -= abs(_mr._ring_signed_area(_mr._close(hole)))
+                if a_ > 1e-12:
+                    return False
         if require_interior:
             if tb in POLYGON_TYPES:
                 # B has area; if fully covered its interior meets A's interior
@@ -1068,6 +1117,40 @@ def _line_poly_interior_exterior(line_ga, i, poly_ga, j):
     return has_int, has_ext
 
 
+def _lines_interior_contacts(a, i, b, j):
+    """(point_contact, length_contact): does interior(A) ∩ interior(B)
+    contain an isolated point / a positive-length collinear piece?
+    Exact — proper crossings, collinear overlaps, and non-endpoint
+    vertex-on-interior contacts (a line's boundary is its mod-2
+    endpoint set; everything else is interior).  r8 DE-9IM fuzz find:
+    touches() treated a 1-dimensional collinear overlap as boundary
+    contact, and crosses() missed interior vertex contacts."""
+    sa, sb = _geom_segments(a, i), _geom_segments(b, j)
+    if len(sa) == 0 or len(sb) == 0:
+        return False, False
+    _, proper = _segs_intersect_flags(sa, sb)
+    ov_segs, ov_pts = _collinear_overlaps(sa[:, 0], sa[:, 1],
+                                          sb[:, 0], sb[:, 1])
+    has_len = bool(ov_segs)
+    if proper and has_len:
+        return True, True
+    ea, eb = _line_endpoints(a, i), _line_endpoints(b, j)
+
+    def interior_of(p, ends):
+        return not len(ends) or \
+            bool((np.abs(np.asarray(p)[None] - ends).max(-1) > _EPS).all())
+
+    has_pt = bool(proper)
+    if not has_pt:
+        for p in (list(ov_pts) +
+                  _edge_cross_points(sa[:, 0], sa[:, 1],
+                                     sb[:, 0], sb[:, 1])):
+            if interior_of(p, ea) and interior_of(p, eb):
+                has_pt = True
+                break
+    return has_pt, has_len
+
+
 def touches(ga, gb):
     def f(a, i, b, j):
         if not _pair_intersects(a, i, b, j):
@@ -1076,7 +1159,15 @@ def touches(ga, gb):
         _, proper = _segs_intersect_flags(sa, sb)
         if proper:
             return False
+        ta0, tb0 = int(a.types[i]), int(b.types[j])
+        if ta0 in LINE_TYPES and tb0 in LINE_TYPES:
+            has_pt, has_len = _lines_interior_contacts(a, i, b, j)
+            return not (has_pt or has_len)
         ta, tb = int(a.types[i]), int(b.types[j])
+        if ta in POINT_TYPES and tb in POINT_TYPES:
+            # a point's boundary is empty: any point/point intersection
+            # is interior-interior, so pure-point pairs never touch
+            return False
         pa, pb = _geom_points(a, i), _geom_points(b, j)
         if ta in POLYGON_TYPES:
             if tb in LINE_TYPES:
@@ -1107,16 +1198,20 @@ def touches(ga, gb):
             return bool(len(ends) and
                         (np.abs(pa[:, None] - ends[None]).max(-1) <= _EPS).any())
         if ta in POLYGON_TYPES and tb in POLYGON_TYPES:
-            # coincident-boundary pairs (e.g. identical polygons) defeat
-            # the boundary probes above: every vertex/midpoint of each
-            # lies ON the other's boundary while the interiors fully
-            # overlap. A strict interior point of `a` settles it (caught
-            # by the predicate-consistency property fuzz).
-            rp = representative_point(a.take([i]))
-            if rp.n_coords:
-                px, py = rp.coords[0]
-                if points_in_geom(np.array([px]), np.array([py]),
-                                  b, j)[0] == 2:
+            # coincident/crossing-boundary pairs defeat the sampled
+            # probes above: every vertex/midpoint can land ON the other
+            # polygon's shell or HOLE boundary while the interiors
+            # still overlap (r8 fuzz: two holed squares overlapping by
+            # a hole-width stripe).  Exact: interiors intersect iff
+            # area(A ∩ B) > 0 via the boolean kernel.
+            inter_p = _mr.boolean_op(_geom_rings_closed(a, i),
+                                     _geom_rings_closed(b, j),
+                                     _mr.INTERSECTION)
+            for poly in inter_p:
+                a_ = abs(_mr._ring_signed_area(_mr._close(poly[0])))
+                for hole in poly[1:]:
+                    a_ -= abs(_mr._ring_signed_area(_mr._close(hole)))
+                if a_ > 1e-12:
                     return False
         return True
     return _pairwise(ga, gb, f, bool, False)
@@ -1126,9 +1221,11 @@ def crosses(ga, gb):
     def f(a, i, b, j):
         ta, tb = int(a.types[i]), int(b.types[j])
         if ta in LINE_TYPES and tb in LINE_TYPES:
-            sa, sb = _geom_segments(a, i), _geom_segments(b, j)
-            _, proper = _segs_intersect_flags(sa, sb)
-            return proper
+            # DE-9IM 0********: interior contact exists and is purely
+            # 0-dimensional (a collinear overlap makes dim(II)=1 →
+            # overlaps, not crosses)
+            has_pt, has_len = _lines_interior_contacts(a, i, b, j)
+            return has_pt and not has_len
         if ta in LINE_TYPES and tb in POLYGON_TYPES:
             return _line_crosses_poly(a, i, b, j)
         if ta in POLYGON_TYPES and tb in LINE_TYPES:
