@@ -2059,6 +2059,12 @@ def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
     # equals: T*F**FFF* (within and contains)
     assert bool(algos.geom_equals(A, B)[0]) == \
         (p(0) and not p(2) and not p(5) and not p(6) and not p(7)), (m,)
+    # covers: some intersection, nothing of B outside A's closure
+    assert bool(algos.covers(A, B)[0]) == \
+        ((p(0) or p(1) or p(3) or p(4)) and not p(6) and not p(7)), (m,)
+    # covered_by: transpose
+    assert bool(algos.covered_by(A, B)[0]) == \
+        ((p(0) or p(1) or p(3) or p(4)) and not p(2) and not p(5)), (m,)
     # crosses / overlaps per dimension pair
     da = 2 if int(A.types[0]) in (3, 6) else \
         (1 if int(A.types[0]) in (2, 5) else 0)
