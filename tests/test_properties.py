@@ -2082,3 +2082,61 @@ def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
     else:
         assert cr == (p(0) and (p(2) if da < db else p(6))), (m, da, db)
         assert not ov, (m,)
+
+
+@given(st_.integers(0, 2**31 - 1), st_.booleans(),
+       st_.sampled_from([0.0, 67108864.0]))
+@settings(max_examples=80, deadline=None)
+def test_distance_matches_naive_segment_oracle(seed, degen, off):
+    """r8 fuzz: distance(line/polygon boundary pairs) against a naive
+    per-segment/per-vertex oracle, with optional REPEATED-VERTEX
+    degenerate segments (the zero-length-segment class that broke
+    intersects) and web-mercator offsets."""
+    rng = np.random.default_rng(seed)
+
+    def polyline(n):
+        pts = np.cumsum(rng.integers(-5, 6, (n, 2)), axis=0) + 20.0
+        if degen and n > 2:
+            k = int(rng.integers(1, n - 1))
+            pts[k] = pts[k - 1]          # repeated vertex
+        pts[:, 0] += off
+        return pts
+
+    a = polyline(int(rng.integers(2, 7)))
+    b = polyline(int(rng.integers(2, 7))) + rng.integers(0, 30, 2)
+
+    from geopandas_spark.geom.array import GT_LINESTRING, GeometryBuilder
+    bb_ = GeometryBuilder()
+    bb_.append(GT_LINESTRING, [[a]])
+    A = bb_.finish()
+    bb_ = GeometryBuilder()
+    bb_.append(GT_LINESTRING, [[b]])
+    B = bb_.finish()
+    got = float(algos.distance(A, B)[0])
+
+    def seg_pt_d(p, q0, q1):
+        d = q1 - q0
+        dd = float(d @ d)
+        if dd == 0.0:
+            return float(np.hypot(*(p - q0)))
+        t = np.clip(float((p - q0) @ d) / dd, 0.0, 1.0)
+        return float(np.hypot(*(p - (q0 + t * d))))
+
+    best = np.inf
+    segs_a = [(a[k], a[k + 1]) for k in range(len(a) - 1)]
+    segs_b = [(b[k], b[k + 1]) for k in range(len(b) - 1)]
+    for p in a:
+        for q0, q1 in segs_b:
+            best = min(best, seg_pt_d(p, q0, q1))
+    for p in b:
+        for q0, q1 in segs_a:
+            best = min(best, seg_pt_d(p, q0, q1))
+    # segment/segment crossing => 0
+    from geopandas_spark.geom.algos import _segs_intersect_flags
+    sa = np.stack([a[:-1], a[1:]], axis=1)
+    sb = np.stack([b[:-1], b[1:]], axis=1)
+    hit, _ = _segs_intersect_flags(sa, sb)
+    if hit:
+        best = 0.0
+    tol = 1e-9 + 16 * np.spacing(max(abs(off), 1.0))
+    assert abs(got - best) <= tol, (got, best)
