@@ -979,7 +979,8 @@ def disjoint(ga, gb):
 def contains(ga, gb):
     fast, fres = _pip_predicate(gb, ga, True)  # point b inside polygon a
     out = _pairwise(ga, gb,
-                    lambda a, i, b, j: _pair_covers(a, i, b, j, True),
+                    lambda a, i, b, j: _pair_covers_dispatch(a, i, b, j,
+                                                             True),
                     bool, False, skip=fast)
     out[fast] = fres[fast]
     return out
@@ -989,10 +990,36 @@ def within(ga, gb):
     return contains(gb, ga)
 
 
+def _covers_pointwise(a, i, b, j) -> bool:
+    """covers with GEOMETRYCOLLECTION operand(s): RelateNG's pointwise
+    semantics — closure(A) ⊇ B ⟺ B − A = ∅.  The GC-aware difference
+    handles joint coverage by multiple children (a line covered half by
+    one polygon child and half by another), which per-child pair tests
+    cannot see.  Empty B is covered by nothing (GEOS convention)."""
+    if bool(b.is_empty()[j]):
+        return False
+    return bool(difference(b.take([j]), a.take([i])).is_empty()[0])
+
+
+def _pair_covers_dispatch(a, i, b, j, require_interior):
+    if (int(a.types[i]) == GT_GEOMETRYCOLLECTION
+            or int(b.types[j]) == GT_GEOMETRYCOLLECTION):
+        if not _covers_pointwise(a, i, b, j):
+            return False
+        if not require_interior:
+            return True
+        # contains additionally needs interior-interior contact: some
+        # part of B must lie OFF A's boundary
+        bd = boundary(a.take([i]))
+        return not bool(difference(b.take([j]), bd).is_empty()[0])
+    return _pair_covers(a, i, b, j, require_interior)
+
+
 def covers(ga, gb):
     fast, fres = _pip_predicate(gb, ga, False)
     out = _pairwise(ga, gb,
-                    lambda a, i, b, j: _pair_covers(a, i, b, j, False),
+                    lambda a, i, b, j: _pair_covers_dispatch(a, i, b, j,
+                                                             False),
                     bool, False, skip=fast)
     out[fast] = fres[fast]
     return out
@@ -1266,31 +1293,38 @@ def overlaps(ga, gb):
         dim = {**{t: 0 for t in POINT_TYPES}, **{t: 1 for t in LINE_TYPES},
                **{t: 2 for t in POLYGON_TYPES}}
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
-            # GEOS: a GC's dimension is its max child dimension; overlaps
-            # requires equal dims, so compare against the dominant class.
-            # KNOWN DEVIATION (ADVICE r5, low): lower-dimension children
-            # are dropped before the covers tests below, so
-            # GC(polygon, protruding line) vs a polygon that covers only
-            # the polygon part returns False here, where GEOS RelateNG's
-            # pointwise mixed-GC semantics would see the protruding line
-            # as uncovered interior and return True. Full parity needs
-            # RelateNG's per-point dimension-dominance model in relate();
-            # documented rather than approximated.
+            # GEOS RelateNG pointwise mixed-GC semantics (closes the
+            # r5-documented deviation): overlaps requires equal GC
+            # dimensions (max child dim), an interior-interior
+            # intersection OF that dimension (dominant-dim children),
+            # and NEITHER side pointwise-covering the other — so a
+            # protruding lower-dim child (uncovered interior) now makes
+            # a covered dominant part overlap rather than not.
             def _gcdim(g, k):
                 t = int(g.types[k])
                 if t != GT_GEOMETRYCOLLECTION:
                     return dim[t]
                 return max((dim[ct] for ct, _ in g.children_of(k)
                             if ct in dim), default=0)
-            if _gcdim(a, i) != _gcdim(b, j):
+            dd = _gcdim(a, i)
+            if dd != _gcdim(b, j):
                 return False
-            # resolve to the dominant-dimension parts and recurse
-            keep = {0: "point", 1: "line", 2: "polygon"}[_gcdim(a, i)]
+            keep = {0: "point", 1: "line", 2: "polygon"}[dd]
             ra = resolve_collections(a.take([i]), keep) \
                 if ta == GT_GEOMETRYCOLLECTION else a.take([i])
             rb = resolve_collections(b.take([j]), keep) \
                 if tb == GT_GEOMETRYCOLLECTION else b.take([j])
-            return bool(overlaps(ra, rb)[0])
+            inter = intersection(ra, rb)
+            if dd == 2:
+                dim_ok = bool(np.nansum(area(inter)) > _EPS)
+            elif dd == 1:
+                dim_ok = bool(np.nansum(length(inter)) > _EPS)
+            else:
+                dim_ok = not bool(inter.is_empty()[0])
+            if not dim_ok:
+                return False
+            return (not _covers_pointwise(a, i, b, j)
+                    and not _covers_pointwise(b, j, a, i))
         if dim[ta] != dim[tb]:
             return False
         if not _pair_intersects(a, i, b, j):
