@@ -6268,11 +6268,70 @@ def _dim_str(d):
     return {-1: "F", 0: "0", 1: "1", 2: "2"}[d]
 
 
+def _dim_code(row) -> str:
+    """DE-9IM dimension character of a single-row GeometryArray."""
+    if len(row) == 0 or bool(row.is_empty()[0]):
+        return "F"
+    if float(np.nansum(area(row))) > 1e-12:
+        return "2"
+    if float(np.nansum(length(row))) > 1e-12:
+        return "1"
+    return "0"
+
+
+def _relate_gc_pointwise(ga, i, gb, j) -> str:
+    """DE-9IM for GEOMETRYCOLLECTION operand(s): RelateNG-style
+    pointwise matrix assembled from the GC-aware set ops —
+    interior(X) ≈ X − ∂X, exterior(X) ≈ complement of closure — each
+    of the eight finite cells is the dimension of the corresponding
+    set-algebra residue.  Deviation from exact RelateNG: boundary
+    points of one child overlapped by another child's interior keep
+    their boundary role (no dimension-dominance re-classification);
+    this only moves measure-zero sets between adjacent cells."""
+    A, B = ga.take([i]), gb.take([j])
+
+    def gc_bd(row):
+        # union of child boundaries per dimension class: GEOS leaves
+        # boundary(GC) undefined (our boundary() returns EMPTY for it),
+        # but the pointwise matrix needs the real boundary set
+        parts = []
+        for keep in ("polygon", "line"):
+            sub = resolve_collections(row, keep)
+            if len(sub) and not bool(sub.is_empty()[0]):
+                bd = boundary(sub)
+                if len(bd) and not bool(bd.is_empty()[0]):
+                    parts.append(bd)
+        if not parts:
+            bb_ = GeometryBuilder()
+            bb_.append_empty(GT_GEOMETRYCOLLECTION)
+            return bb_.finish()
+        if len(parts) == 1:
+            return parts[0]
+        return union(parts[0], parts[1])
+
+    bd_a, bd_b = gc_bd(A), gc_bd(B)
+    inter = intersection(A, B)
+    cells = [
+        _dim_code(difference(difference(inter, bd_a), bd_b)),   # II
+        _dim_code(difference(intersection(A, bd_b), bd_a)),     # IB
+        _dim_code(difference(difference(A, B), bd_a)),          # IE
+        _dim_code(difference(intersection(bd_a, B), bd_b)),     # BI
+        _dim_code(intersection(bd_a, bd_b)),                    # BB
+        _dim_code(difference(bd_a, B)),                         # BE
+        _dim_code(difference(difference(B, A), bd_b)),          # EI
+        _dim_code(difference(bd_b, A)),                         # EB
+    ]
+    return "".join(cells) + "2"
+
+
 def _relate_pair(ga, i, gb, j) -> str:
     """DE-9IM matrix for one pair, computed from the kernel's own
     primitives. Supported geometry classes: point, line, polygon (incl.
-    multi of each)."""
+    multi of each); GEOMETRYCOLLECTION operands route through the
+    pointwise set-op assembly (_relate_gc_pointwise)."""
     ta, tb = int(ga.types[i]), int(gb.types[j])
+    if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
+        return _relate_gc_pointwise(ga, i, gb, j)
     ca = ("pt" if ta in POINT_TYPES else
           "ln" if ta in LINE_TYPES else "pg")
     cb = ("pt" if tb in POINT_TYPES else
