@@ -2140,3 +2140,39 @@ def test_distance_matches_naive_segment_oracle(seed, degen, off):
         best = 0.0
     tol = 1e-9 + 16 * np.spacing(max(abs(off), 1.0))
     assert abs(got - best) <= tol, (got, best)
+
+
+def test_gc_pointwise_predicates_and_relate():
+    """RelateNG pointwise GC semantics (r8): covers through joint child
+    coverage, protruding lower-dim children defeat coverage, overlaps
+    sees them as uncovered interior, and relate() assembles a matrix
+    consistent with all of it."""
+    from geopandas_spark.geom import wkt as _w
+
+    GC = _w.parse_array([
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "LINESTRING (2 2, 10 2))"])
+    P = _w.parse_array(["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"])
+    PB = _w.parse_array(["POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))"])
+    GC2 = _w.parse_array([
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 5 0, 5 4, 0 4, 0 0)), "
+        "POLYGON ((5 0, 10 0, 10 4, 5 4, 5 0)))"])
+    L = _w.parse_array(["LINESTRING (1 2, 9 2)"])
+    E = _w.parse_array(["GEOMETRYCOLLECTION EMPTY"])
+
+    assert bool(algos.covers(GC, P)[0])          # child covers P
+    assert not bool(algos.covers(P, GC)[0])      # line protrudes
+    assert bool(algos.covered_by(P, GC)[0])
+    assert bool(algos.contains(GC, P)[0])
+    assert not bool(algos.overlaps(GC, P)[0])    # GC covers P -> EI=F
+    assert bool(algos.overlaps(GC, PB)[0])       # protrusion + bigger P
+    assert bool(algos.covers(GC2, L)[0])         # joint coverage
+    assert not bool(algos.covers(P, E)[0])       # empty covered by none
+
+    # relate consistency with the predicates on the same pairs
+    for A, B in ((GC, P), (GC, PB), (P, GC)):
+        m = algos.relate(A, B)[0]
+        inter_m = any(m[k] != "F" for k in (0, 1, 3, 4))
+        assert inter_m == bool(algos.intersects(A, B)[0]), m
+        cov_m = inter_m and m[6] == "F" and m[7] == "F"
+        assert cov_m == bool(algos.covers(A, B)[0]), m
