@@ -1182,6 +1182,12 @@ def touches(ga, gb):
     def f(a, i, b, j):
         if not _pair_intersects(a, i, b, j):
             return False
+        if (int(a.types[i]) == GT_GEOMETRYCOLLECTION
+                or int(b.types[j]) == GT_GEOMETRYCOLLECTION):
+            # pointwise matrix: boundary contact without interior contact
+            m = _relate_gc_pointwise(a, i, b, j)
+            return m[0] == "F" and (m[1] != "F" or m[3] != "F"
+                                    or m[4] != "F")
         sa, sb = _geom_segments(a, i), _geom_segments(b, j)
         _, proper = _segs_intersect_flags(sa, sb)
         if proper:
@@ -1247,6 +1253,29 @@ def touches(ga, gb):
 def crosses(ga, gb):
     def f(a, i, b, j):
         ta, tb = int(a.types[i]), int(b.types[j])
+        if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
+            # pointwise matrix + GC max-child dimension rule
+            def _d(g, k):
+                t = int(g.types[k])
+                if t in POINT_TYPES:
+                    return 0
+                if t in LINE_TYPES:
+                    return 1
+                if t in POLYGON_TYPES:
+                    return 2
+                dims = [0] + [2 if ct in POLYGON_TYPES else
+                              1 if ct in LINE_TYPES else 0
+                              for ct, _p in g.children_of(k)]
+                return max(dims)
+            da_, db_ = _d(a, i), _d(b, j)
+            m = _relate_gc_pointwise(a, i, b, j)
+            if da_ == db_ == 1:
+                return m[0] == "0"
+            if da_ < db_:
+                return m[0] != "F" and m[2] != "F"
+            if da_ > db_:
+                return m[0] != "F" and m[6] != "F"
+            return False
         if ta in LINE_TYPES and tb in LINE_TYPES:
             # DE-9IM 0********: interior contact exists and is purely
             # 0-dimensional (a collinear overlap makes dim(II)=1 →
@@ -1382,8 +1411,8 @@ def overlaps(ga, gb):
 
 def geom_equals(ga, gb):
     def f(a, i, b, j):
-        return (_pair_covers(a, i, b, j, False) and
-                _pair_covers(b, j, a, i, False))
+        return (_pair_covers_dispatch(a, i, b, j, False) and
+                _pair_covers_dispatch(b, j, a, i, False))
     return _pairwise(ga, gb, f, bool, False)
 
 
