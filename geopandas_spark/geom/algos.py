@@ -748,12 +748,28 @@ def _pair_intersects(ga, i, gb, j) -> bool:
     if tb in POLYGON_TYPES and len(pa):
         if (points_in_geom(pa[:, 0], pa[:, 1], gb, j) > 0).any():
             return True
+    # a GEOMETRYCOLLECTION's polygon children can contain the other
+    # geometry with no segment crossing (r8 fuzz find: point inside a
+    # GC's polygon child reported disjoint)
+    for t_, g_, k_, opts in ((ta, ga, i, pb), (tb, gb, j, pa)):
+        if t_ == GT_GEOMETRYCOLLECTION and len(opts) and \
+                _points_in_gc_polys(opts, g_, k_):
+            return True
     return False
+
+
+def _points_in_gc_polys(pts, g, j) -> bool:
+    polys = resolve_collections(g.take([j]), "polygon")
+    if len(polys) == 0 or bool(polys.is_empty()[0]):
+        return False
+    return bool((points_in_geom(pts[:, 0], pts[:, 1], polys, 0) > 0).any())
 
 
 def _points_hit_geom(pts, g, j, tg, sg) -> bool:
     if tg in POLYGON_TYPES:
         return bool((points_in_geom(pts[:, 0], pts[:, 1], g, j) > 0).any())
+    if tg == GT_GEOMETRYCOLLECTION and _points_in_gc_polys(pts, g, j):
+        return True
     return bool((_point_seg_dist(pts, sg) <= _EPS).any())
 
 
@@ -990,6 +1006,26 @@ def within(ga, gb):
     return contains(gb, ga)
 
 
+def _pointwise_boundary(row):
+    """Union of child boundaries per dimension class — the pointwise
+    boundary set of any row, incl. GEOMETRYCOLLECTION (where GEOS
+    leaves boundary() undefined and ours returns EMPTY)."""
+    parts = []
+    for keep in ("polygon", "line"):
+        sub = resolve_collections(row, keep)
+        if len(sub) and not bool(sub.is_empty()[0]):
+            bd = boundary(sub)
+            if len(bd) and not bool(bd.is_empty()[0]):
+                parts.append(bd)
+    if not parts:
+        bb_ = GeometryBuilder()
+        bb_.append_empty(GT_GEOMETRYCOLLECTION)
+        return bb_.finish()
+    if len(parts) == 1:
+        return parts[0]
+    return union(parts[0], parts[1])
+
+
 def _covers_pointwise(a, i, b, j) -> bool:
     """covers with GEOMETRYCOLLECTION operand(s): RelateNG's pointwise
     semantics — closure(A) ⊇ B ⟺ B − A = ∅.  The GC-aware difference
@@ -1009,8 +1045,9 @@ def _pair_covers_dispatch(a, i, b, j, require_interior):
         if not require_interior:
             return True
         # contains additionally needs interior-interior contact: some
-        # part of B must lie OFF A's boundary
-        bd = boundary(a.take([i]))
+        # part of B must lie OFF A's boundary (pointwise boundary —
+        # plain boundary() of a GC row is EMPTY)
+        bd = _pointwise_boundary(a.take([i]))
         return not bool(difference(b.take([j]), bd).is_empty()[0])
     return _pair_covers(a, i, b, j, require_interior)
 
@@ -6319,26 +6356,7 @@ def _relate_gc_pointwise(ga, i, gb, j) -> str:
     this only moves measure-zero sets between adjacent cells."""
     A, B = ga.take([i]), gb.take([j])
 
-    def gc_bd(row):
-        # union of child boundaries per dimension class: GEOS leaves
-        # boundary(GC) undefined (our boundary() returns EMPTY for it),
-        # but the pointwise matrix needs the real boundary set
-        parts = []
-        for keep in ("polygon", "line"):
-            sub = resolve_collections(row, keep)
-            if len(sub) and not bool(sub.is_empty()[0]):
-                bd = boundary(sub)
-                if len(bd) and not bool(bd.is_empty()[0]):
-                    parts.append(bd)
-        if not parts:
-            bb_ = GeometryBuilder()
-            bb_.append_empty(GT_GEOMETRYCOLLECTION)
-            return bb_.finish()
-        if len(parts) == 1:
-            return parts[0]
-        return union(parts[0], parts[1])
-
-    bd_a, bd_b = gc_bd(A), gc_bd(B)
+    bd_a, bd_b = _pointwise_boundary(A), _pointwise_boundary(B)
     inter = intersection(A, B)
     cells = [
         _dim_code(difference(difference(inter, bd_a), bd_b)),   # II

@@ -2030,13 +2030,20 @@ def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
                     f"{x0+off} {y0}), ({hx+off} {hy}, {hx+off} {hy+1}, "
                     f"{hx+1+off} {hy+1}, {hx+1+off} {hy}, "
                     f"{hx+off} {hy}))")
-        # kind 4: 2-segment polyline with an axis-aligned leg
+        if kind == 4:      # 2-segment polyline with an axis-aligned leg
+            x1, y1 = (int(v) for v in rng.integers(0, 12, 2))
+            return (f"LINESTRING ({x0+off} {y0}, {x0+w+off} {y0+h}, "
+                    f"{x1+off} {y0+h})")
+        # kind 5: GC(polygon + line) — pointwise RelateNG semantics
         x1, y1 = (int(v) for v in rng.integers(0, 12, 2))
-        return (f"LINESTRING ({x0+off} {y0}, {x0+w+off} {y0+h}, "
-                f"{x1+off} {y0+h})")
+        l1 = int(rng.integers(1, 8))
+        return (f"GEOMETRYCOLLECTION (POLYGON (({x0+off} {y0}, "
+                f"{x0+w+off} {y0}, {x0+w+off} {y0+h}, {x0+off} {y0+h}, "
+                f"{x0+off} {y0})), "
+                f"LINESTRING ({x1+off} {y1}, {x1+l1+off} {y1}))")
 
-    A = _w.parse_array([geom(kinds % 5)])
-    B = _w.parse_array([geom((kinds // 5 + seed) % 5)])
+    A = _w.parse_array([geom(kinds % 6)])
+    B = _w.parse_array([geom((kinds // 5 + seed) % 6)])
     m = algos.relate(A, B)[0]
     assert len(m) == 9
 
@@ -2065,11 +2072,18 @@ def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
     # covered_by: transpose
     assert bool(algos.covered_by(A, B)[0]) == \
         ((p(0) or p(1) or p(3) or p(4)) and not p(2) and not p(5)), (m,)
-    # crosses / overlaps per dimension pair
-    da = 2 if int(A.types[0]) in (3, 6) else \
-        (1 if int(A.types[0]) in (2, 5) else 0)
-    db = 2 if int(B.types[0]) in (3, 6) else \
-        (1 if int(B.types[0]) in (2, 5) else 0)
+    # crosses / overlaps per dimension pair (GC: max child dimension)
+    def _dim(G):
+        t = int(G.types[0])
+        if t in (3, 6):
+            return 2
+        if t in (2, 5):
+            return 1
+        if t in (1, 4):
+            return 0
+        return max([2 if ct in (3, 6) else 1 if ct in (2, 5) else 0
+                    for ct, _p in G.children_of(0)] + [0])
+    da, db = _dim(A), _dim(B)
     cr = bool(algos.crosses(A, B)[0])
     ov = bool(algos.overlaps(A, B)[0])
     if da == db:
@@ -2077,8 +2091,10 @@ def test_relate_matrix_consistent_with_predicates(seed, kinds, off):
             assert cr == (p(0) and m[0] == "0"), (m,)
         else:
             assert not cr, (m,)
-        assert ov == (p(0) and p(2) and p(6)
-                      and (da != 1 or m[0] == "1")), (m, da)
+        # overlaps: dim(II) must EQUAL the operands' dimension (a GC
+        # whose line child pierces a polygon gives II=1 for a 2/2 pair
+        # -> not an overlap), plus both exclusive parts
+        assert ov == (m[0] == str(da) and p(2) and p(6)), (m, da)
     else:
         assert cr == (p(0) and (p(2) if da < db else p(6))), (m, da, db)
         assert not ov, (m,)
