@@ -556,6 +556,55 @@ def _difference(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Series:
                              grid_size=g if g > 0 else None))
 
 
+def _geom_class_np(names) -> np.ndarray:
+    """Geometry-class labels (area/line/point) matching overlay's
+    _geom_class SQL expression — vectorized for the fused kernels."""
+    names = np.asarray(list(names), dtype=object)
+    cls = np.full(len(names), "point", dtype=object)
+    cls[np.isin(names, ("Polygon", "MultiPolygon"))] = "area"
+    cls[np.isin(names, ("LineString", "MultiLineString"))] = "line"
+    return cls
+
+
+@_reg("st_intersection_overlay")
+@pandas_udf(BinaryType())
+def _intersection_overlay(a: pd.Series, b: pd.Series, mixed: pd.Series,
+                          keep: pd.Series) -> pd.Series:
+    """Fused overlay-intersection kernel: a ∩ b, returned as NULL when
+    empty or (keep_geom_type) when the piece's geometry class differs
+    from a's — ONE Arrow round trip where the unfused plan paid four
+    (class probe, intersection, emptiness filter, class filter). The
+    caller filters isNotNull natively (overlay.py)."""
+    ga, gb = _decode_dedup(a), _decode_dedup(b)
+    out = algos.intersection(ga, gb, mixed=bool(mixed.iloc[0]))
+    dead = out.is_empty() | out.is_missing()
+    if bool(keep.iloc[0]):
+        dead |= (_geom_class_np(algos.geom_type_name(ga)) !=
+                 _geom_class_np(algos.geom_type_name(out)))
+    vals = np.array(wkb.encode(out), dtype=object)
+    vals[dead] = None
+    return pd.Series(vals, dtype=object)
+
+
+@_reg("st_difference_residue")
+@pandas_udf(BinaryType())
+def _difference_residue(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Fused overlay-residue kernel: a − b with NULL b meaning "nothing
+    to subtract" (a passes through) and empty results returned as NULL —
+    the caller's native isNotNull filter replaces a per-row when() plus
+    a second is_empty Arrow round trip (overlay.py residue branches)."""
+    ga, gb = _decode_dedup(a), _decode_dedup(b)
+    miss_b = gb.is_missing()
+    d = algos.difference(ga, gb)
+    enc_a = np.array(wkb.encode(ga), dtype=object)
+    enc_d = np.array(wkb.encode(d), dtype=object)
+    dead_a = ga.is_empty() | ga.is_missing()
+    dead_d = d.is_empty() | d.is_missing()
+    vals = np.where(miss_b, enc_a, enc_d)
+    vals[np.where(miss_b, dead_a, dead_d)] = None
+    return pd.Series(vals, dtype=object)
+
+
 @_reg("st_union")
 @pandas_udf(BinaryType())
 def _union(a: pd.Series, b: pd.Series, grid_size: pd.Series) -> pd.Series:
@@ -1238,6 +1287,19 @@ def intersection(a, b, grid_size=None, mixed: bool = False) -> Column:
 def difference(a, b, grid_size=None) -> Column:
     return _REGISTRY["st_difference"](_col(a), _col(b),
                                       F.lit(float(grid_size or 0.0)))
+
+
+def intersection_overlay(a, b, *, mixed: bool, keep: bool) -> Column:
+    """Fused overlay-intersection (see _intersection_overlay kernel):
+    NULL for empty / class-changed pieces — filter isNotNull natively."""
+    return _REGISTRY["st_intersection_overlay"](
+        _col(a), _col(b), F.lit(bool(mixed)), F.lit(bool(keep)))
+
+
+def difference_residue(a, b) -> Column:
+    """Fused overlay residue (see _difference_residue kernel): a − b,
+    NULL b passes a through, empty results come back NULL."""
+    return _REGISTRY["st_difference_residue"](_col(a), _col(b))
 
 
 def union(a, b, grid_size=None) -> Column:

@@ -8,20 +8,29 @@ Reference parity: geopandas/tools/overlay.py:181-392 — hows
 
 Plan shape (all composed from the engine's own primitives):
 
-- the *intersection part* is an sjoin-intersects candidate plan (broadcast
-  or grid — both shuffle-light, §2.4) followed by one ``st_intersection``
-  refine UDF;
-- the *difference part* groups the matched pairs per left row, unions the
-  right geometries per group (``st_union_agg``, two-phase-able), and
-  subtracts once — equivalent to the reference's pairwise
-  ``reduce(difference)`` (overlay.py:99-104) but with one UDF call per row
-  instead of one per pair;
-- ``union`` / ``identity`` / ``symmetric_difference`` are unionByName
-  compositions of those two parts, mirroring overlay.py:114-178.
+- single-family hows (``intersection``, ``difference``) run one
+  sjoin-intersects candidate plan (broadcast or grid — both
+  shuffle-light, §2.4) followed by one refine UDF;
+- multi-family hows (``union``, ``identity``, ``symmetric_difference``)
+  are three functions of the SAME intersects pair set, so the candidate
+  join runs ONCE with ``how="full"`` and is localCheckpoint-ed; the
+  branches then re-read the materialized pairs (r8 plan audit: the old
+  3-sjoin union was 7 exchanges / 15 Python evals — the shared-pairs
+  plan is 2 exchanges, one groupBy per residue family):
+    * intersection pieces: map-only filter + ``st_intersection`` over
+      matched pairs — NO shuffle;
+    * each side's residues: ONE groupBy on that side's row key with
+      ``st_union_agg`` of the other side's geometries — unmatched rows
+      ride the same groupBy (their union input aggregates to NULL, so
+      the original geometry passes through), equivalent to the
+      reference's pairwise ``reduce(difference)`` (overlay.py:99-104)
+      with one UDF call per row and no join-back or anti-join.
 
-At scale every step before the refine UDFs is native (codegen'd,
-AQE-planned); the per-row keys are ``monotonically_increasing_id`` over the
-(deterministic) source scans, used only inside the plan and dropped.
+The checkpoint also pins the per-row ``monotonically_increasing_id``
+keys (they can never be silently recomputed with different values), and
+at cluster scale it materializes the pair list once instead of running
+the candidate join three times. All steps around the refine UDFs are
+native (codegen'd, AQE-planned).
 """
 
 from __future__ import annotations
@@ -46,29 +55,25 @@ def _geom_class(col) -> F.Column:
              .otherwise("point"))
 
 
-def _suffix(df: DataFrame, overlap, suffix: str) -> DataFrame:
-    for c in overlap:
-        df = df.withColumnRenamed(c, f"{c}_{suffix}")
-    return df
-
-
 def _intersection_part(d1, d2, geom, keep_geom_type, strategy) -> DataFrame:
     pairs = sjoin(d1, d2, predicate="intersects", geom_left=geom,
                   geom_right=geom, lsuffix="1", rsuffix="2",
                   strategy=strategy)
+    return _intersection_branch(pairs, geom, keep_geom_type)
+
+
+def _intersection_branch(pairs, geom, keep_geom_type) -> DataFrame:
+    # ONE fused Arrow round trip: intersection + emptiness + (for
+    # keep_geom_type) the geometry-class filter, with dropped pieces
+    # returned as NULL. keep_geom_type=False surfaces GEOS's full
+    # point-set output (shared edges → LineStrings, touch points; mixed
+    # rows → GEOMETRYCOLLECTION), matching the reference's
+    # _collection_extract pass-through (tools/overlay.py:395-454).
     g1, g2 = f"{geom}_1", f"{geom}_2"
-    res = pairs.withColumn("__ov_cls__", _geom_class(F.col(g1)))
-    # keep_geom_type=False surfaces GEOS's full point-set output (shared
-    # edges → LineStrings, touch points; mixed rows → GEOMETRYCOLLECTION),
-    # matching the reference's _collection_extract pass-through
-    # (tools/overlay.py:395-454). The polygonal-only kernel suffices when
-    # the dimension filter would drop the residue anyway.
-    res = res.withColumn(geom, st.intersection(F.col(g1), F.col(g2),
-                                               mixed=not keep_geom_type))
-    res = res.filter(~st.is_empty(geom))
-    if keep_geom_type:
-        res = res.filter(_geom_class(F.col(geom)) == F.col("__ov_cls__"))
-    return res.drop(g1, g2, "__ov_cls__")
+    res = pairs.withColumn(geom, st.intersection_overlay(
+        F.col(g1), F.col(g2), mixed=not keep_geom_type,
+        keep=keep_geom_type))
+    return res.filter(F.col(geom).isNotNull()).drop(g1, g2)
 
 
 def _difference_part(d1, d2, geom, key, strategy) -> DataFrame:
@@ -78,11 +83,29 @@ def _difference_part(d1, d2, geom, key, strategy) -> DataFrame:
                   geom_left=geom, geom_right="__ov_g2__", strategy=strategy)
     subs = pairs.groupBy(key).agg(st.union_agg("__ov_g2__").alias(_SUB))
     out = (d1.join(subs, on=key, how="left")
-             .withColumn(geom, F.when(F.col(_SUB).isNull(), F.col(geom))
-                         .otherwise(st.difference(F.col(geom), F.col(_SUB))))
+             .withColumn(geom, st.difference_residue(F.col(geom),
+                                                     F.col(_SUB)))
              .drop(_SUB)
-             .filter(~st.is_empty(geom)))
+             .filter(F.col(geom).isNotNull()))
     return out
+
+
+def _residue_branch(pairs, key, gown, gother, own_cols, geom) -> DataFrame:
+    """One side's residues from the shared pair set: per own-row key,
+    own geometry − union(other side's intersecting geometries). A row
+    with no matches aggregates the other side's (all-NULL) geometries to
+    a NULL union and keeps its original geometry — so matched residues
+    and pass-through rows come out of the SAME single groupBy."""
+    side = pairs.filter(F.col(key).isNotNull())
+    # own-side attributes ride as grouping keys (they are functionally
+    # dependent on the row key, and Spark cannot mix a GROUPED_AGG
+    # pandas UDF with JVM aggregates like first() in one aggregation)
+    grp = (side.groupBy(key, gown, *own_cols)
+               .agg(st.union_agg(gother).alias(_SUB)))
+    return (grp.withColumn(geom, st.difference_residue(F.col(gown),
+                                                       F.col(_SUB)))
+               .drop(_SUB, key, gown)
+               .filter(F.col(geom).isNotNull()))
 
 
 def overlay(df1: DataFrame, df2: DataFrame, how: str = "intersection", *,
@@ -104,20 +127,36 @@ def overlay(df1: DataFrame, df2: DataFrame, how: str = "intersection", *,
 
     if how == "difference":
         return _difference_part(d1, d2, geom, _K1, strategy).drop(_K1)
+    if how == "intersection":
+        return _intersection_part(d1, d2, geom, keep_geom_type,
+                                  strategy).drop(_K1, _K2)
+
+    # union / identity / symmetric_difference: ONE full spatial join,
+    # checkpointed, feeds every branch (see module docstring)
+    join_how = "left" if how == "identity" else "full"
+    pairs = sjoin(d1, d2, predicate="intersects", how=join_how,
+                  geom_left=geom, geom_right=geom, lsuffix="1",
+                  rsuffix="2", strategy=strategy)
+    pairs = pairs.localCheckpoint(eager=False)
+    g1, g2 = f"{geom}_1", f"{geom}_2"
+
+    def suffixed(cols):
+        return [f"{c}_1" if c in overlap else c
+                for c in cols if c != geom]
+
+    d1_cols = suffixed(df1.columns)
+    d2_cols = [f"{c}_2" if c in overlap else c
+               for c in df2.columns if c != geom]
 
     parts = []
-    if how in ("intersection", "union", "identity"):
-        parts.append(
-            _intersection_part(d1, d2, geom, keep_geom_type, strategy)
-            .drop(_K1, _K2))
-    if how in ("union", "identity", "symmetric_difference"):
-        parts.append(
-            _suffix(_difference_part(d1, d2, geom, _K1, strategy).drop(_K1),
-                    overlap, "1"))
+    if how in ("union", "identity"):
+        matched = pairs.filter(F.col(_K1).isNotNull() &
+                               F.col(_K2).isNotNull())
+        parts.append(_intersection_branch(matched, geom, keep_geom_type)
+                     .drop(_K1, _K2))
+    parts.append(_residue_branch(pairs, _K1, g1, g2, d1_cols, geom))
     if how in ("union", "symmetric_difference"):
-        parts.append(
-            _suffix(_difference_part(d2, d1, geom, _K2, strategy).drop(_K2),
-                    overlap, "2"))
+        parts.append(_residue_branch(pairs, _K2, g2, g1, d2_cols, geom))
 
     res = parts[0]
     for p in parts[1:]:

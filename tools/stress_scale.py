@@ -26,7 +26,7 @@ def main():
              .config("spark.sql.shuffle.partitions", CPUS)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "48g")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
              .config("spark.sql.legacy.parquet.nanosAsLong", "true")
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
@@ -90,14 +90,41 @@ def main():
     spts = ev.select(F.col("event_id").alias("eid"),
                      st.point(sex, sey).alias("geom"))
     times = []
-    for _ in range(2):     # cold run pays codegen+worker spin-up; the
+    for _ in range(3):     # cold run pays codegen+worker spin-up; the
         t0 = time.time()   # min is the steady-state number (VM noise
         n = sjoin(spts, sboxes, predicate="intersects",   # swings 2-4x)
                   strategy="grid").count()
         times.append(time.time() - t0)
     dt = min(times)
+    # throughput gate (VERDICT r8 #2), same min-of-N form as the
+    # dissolve budget: genuine dense-zone pairs per second
+    SKEW_JOIN_MPS = 1.5
+    mps = n / dt / 1e6
+    verdict = "PASS" if mps >= SKEW_JOIN_MPS else "FAIL"
     print(f"skewed-intersects: {n} pairs, cold {times[0]:.2f}s / "
-          f"best {dt:.2f}s ({n / dt / 1e6:.1f}M pairs/s)")
+          f"best {dt:.2f}s ({mps:.2f}M pairs/s) "
+          f"[gate {SKEW_JOIN_MPS}M pairs/s best-of-3: {verdict}]")
+
+    # skewed NEAREST (VERDICT r8 #1): the bounded nearest-grid candidate
+    # join shuffles on the same grid-cell keys as sjoin_grid — it reaches
+    # the salt table + pair-estimate partition pin through _sjoin_grid's
+    # dwithin path, so a dense city cell must NOT serialize in one task.
+    # Right side: the box corners as a skewed point set (600k). Gate =
+    # warm-run spread ≤ 2x (one straggling hot cell shows as 4x+).
+    srpts = li.select(F.col("l_orderkey").alias("rid"),
+                      st.point(sx0, sy0).alias("geom"))
+    ntimes = []
+    for _ in range(3):
+        t0 = time.time()
+        nn = sjoin_nearest(spts, srpts, max_distance=1.0, distance_col="d",
+                           strategy="grid").count()
+        ntimes.append(time.time() - t0)
+    warm = ntimes[1:]
+    spread = max(warm) / min(warm)
+    verdict = "PASS" if spread <= 2.0 else "FAIL"
+    print(f"skewed-nearest: {nn} pairs, cold {ntimes[0]:.2f}s / warm "
+          f"{min(warm):.2f}-{max(warm):.2f}s (spread {spread:.2f}x) "
+          f"[gate ≤2x warm spread: {verdict}]")
 
     # wide dissolve: two-phase union of all 600k boxes into 25 groups
     from geopandas_spark.operators import dissolve
