@@ -6685,7 +6685,12 @@ def offset_curve(ga: GeometryArray, dist, quad_segs: int = 16) -> GeometryArray:
                     else:  # left turn → counterclockwise sweep
                         while a1 < a0:
                             a1 += 2 * np.pi
-                    steps = max(1, int(abs(a1 - a0) / (np.pi / 2 / quad_segs)))
+                    # ceil, not truncate: int() let the angular step grow
+                    # to 2x the nominal (pi/2)/quad_segs increment, so arc
+                    # chords sagged below the d*cos(step/2) band the
+                    # buffer kernel honors (r9 offset-curve fuzz find)
+                    steps = max(1, int(np.ceil(
+                        abs(a1 - a0) / (np.pi / 2 / quad_segs))))
                     for s_ in range(steps + 1):
                         aa = a0 + (a1 - a0) * s_ / steps
                         pts.append(v + abs(off) * np.array(

@@ -2192,3 +2192,366 @@ def test_gc_pointwise_predicates_and_relate():
         assert inter_m == bool(algos.intersects(A, B)[0]), m
         cov_m = inter_m and m[6] == "F" and m[7] == "F"
         assert cov_m == bool(algos.covers(A, B)[0]), m
+
+
+# ---------------------------------------------------------------------------
+# voronoi / delaunay degenerate-site fuzz (VERDICT r8 #5): random INTEGER
+# sites on a small grid maximize cocircular sets (grid squares) and
+# collinear runs — the configurations where circumcenter arithmetic
+# degenerates. Every oracle below is exact:
+#   - convex hull + boundary-point count via an independent monotone
+#     chain (int64);
+#   - triangle count == 2n − h − 2 (any triangulation of n sites with h
+#     on the hull boundary);
+#   - covered area == hull area (shoelace, exact in int64);
+#   - empty-circumcircle via the exact int64 incircle determinant;
+#   - voronoi nearest-site via exact squared distances + an independent
+#     ray-cast point-in-polygon.
+# ---------------------------------------------------------------------------
+
+
+def _mono_hull(pts):
+    """Andrew's monotone chain on int points: (hull_vertices_ccw,
+    n_boundary) where n_boundary counts input points lying ON the hull
+    boundary (collinear edge points included). Independent of the
+    kernel's hull/triangulation code."""
+    P = sorted({(int(x), int(y)) for x, y in pts})
+    if len(P) <= 2:
+        return P, len(P)
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1]) -
+                (a[1] - o[1]) * (b[0] - o[0]))
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lo = half(P)
+    hi = half(P[::-1])
+    hull = lo[:-1] + hi[:-1]
+
+    def on_seg(p, a, b):
+        return (cross(a, b, p) == 0 and
+                min(a[0], b[0]) <= p[0] <= max(a[0], b[0]) and
+                min(a[1], b[1]) <= p[1] <= max(a[1], b[1]))
+
+    nb = 0
+    for p in P:
+        if any(on_seg(p, hull[k], hull[(k + 1) % len(hull)])
+               for k in range(len(hull))):
+            nb += 1
+    return hull, nb
+
+
+def _shoelace2(ring):
+    s = 0
+    for k in range(len(ring)):
+        x0, y0 = ring[k]
+        x1, y1 = ring[(k + 1) % len(ring)]
+        s += x0 * y1 - x1 * y0
+    return abs(s)
+
+
+def _incircle(a, b, c, d):
+    """Exact int64 incircle: >0 iff d strictly inside the circumcircle
+    of CCW triangle abc (coords small ints — no overflow)."""
+    m = np.array([
+        [a[0] - d[0], a[1] - d[1], (a[0] - d[0])**2 + (a[1] - d[1])**2],
+        [b[0] - d[0], b[1] - d[1], (b[0] - d[0])**2 + (b[1] - d[1])**2],
+        [c[0] - d[0], c[1] - d[1], (c[0] - d[0])**2 + (c[1] - d[1])**2],
+    ], dtype=object)           # python ints: exact
+    det = (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+           - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+           + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+    return det
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_delaunay_degenerate_sites_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n_raw = int(rng.integers(3, 16))
+    G = int(rng.integers(3, 7))     # small grid => many cocircular sets
+    pts = np.unique(rng.integers(0, G, size=(n_raw, 2)), axis=0)
+    sites = [(int(x), int(y)) for x, y in pts]
+    hull, nb = _mono_hull(sites)
+    ws = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in sites) + ")"
+    ga = wkt.parse_array(np.array([ws], dtype=object))
+    dt = algos.delaunay_triangles(ga)
+
+    if len(hull) <= 2:              # all collinear: no triangles
+        assert algos.count_geometries(dt)[0] == 0
+        return
+    n = len(sites)
+    exp_tris = 2 * n - nb - 2
+    assert algos.count_geometries(dt)[0] == exp_tris, (seed, sites)
+    # covered area == hull area, exactly (half-integer doubles)
+    assert algos.area(dt)[0] * 2 == _shoelace2(hull), (seed, sites)
+    # exact empty-circumcircle on every (triangle, site)
+    co = np.rint(dt.coords).astype(np.int64)
+    assert np.abs(dt.coords - co).max(initial=0.0) < 1e-9
+    ro = dt.ring_offsets
+    for r in range(len(ro) - 1):
+        tri = [tuple(map(int, co[k])) for k in range(ro[r], ro[r + 1] - 1)]
+        assert len(tri) == 3, (seed, tri)
+        a, b, c = tri
+        if ((b[0] - a[0]) * (c[1] - a[1]) -
+                (b[1] - a[1]) * (c[0] - a[0])) < 0:
+            a, c = c, a             # normalize CCW for the incircle sign
+        for s in sites:
+            if s in (a, b, c):
+                continue
+            assert _incircle(a, b, c, s) <= 0, (seed, (a, b, c), s)
+
+
+def _pip(pt, ring):
+    """Independent ray-cast point-in-polygon; returns None on boundary
+    (within eps) so callers can skip ambiguous probes."""
+    x, y = pt
+    eps = 1e-9
+    inside = False
+    for k in range(len(ring) - 1):
+        (x0, y0), (x1, y1) = ring[k], ring[k + 1]
+        # boundary proximity check
+        dx, dy = x1 - x0, y1 - y0
+        L2 = dx * dx + dy * dy
+        if L2 > 0:
+            t = max(0.0, min(1.0, ((x - x0) * dx + (y - y0) * dy) / L2))
+            if (x - (x0 + t * dx))**2 + (y - (y0 + t * dy))**2 < eps:
+                return None
+        if (y0 > y) != (y1 > y):
+            xi = x0 + (y - y0) * dx / dy
+            if abs(xi - x) < eps:
+                return None
+            if xi > x:
+                inside = not inside
+    return inside
+
+
+@settings(max_examples=30, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_voronoi_degenerate_sites_nearest_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n_raw = int(rng.integers(2, 12))
+    G = int(rng.integers(3, 7))
+    pts = np.unique(rng.integers(0, G, size=(n_raw, 2)), axis=0)
+    sites = [(int(x), int(y)) for x, y in pts]
+    ws = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in sites) + ")"
+    ga = wkt.parse_array(np.array([ws], dtype=object))
+    vp = algos.voronoi_polygons(ga)
+    assert algos.count_geometries(vp)[0] == len(sites), (seed, sites)
+    parts, _parent, _order = algos.get_parts(vp)
+
+    # cells partition the diagram envelope: Σ area == envelope area
+    env = algos.bounds(vp)[0]
+    env_area = (env[2] - env[0]) * (env[3] - env[1])
+    assert abs(float(np.sum(algos.area(parts))) - env_area) < 1e-6 * max(
+        env_area, 1.0), (seed, sites)
+
+    # map each cell to its generating site (the unique site it contains)
+    rings = []
+    ro = parts.ring_offsets
+    gi = parts.coord_geom_index()[parts.ring_offsets[:-1]] \
+        if len(parts.coords) else []
+    # cell k ring coords
+    cell_rings = []
+    for k in range(len(parts)):
+        sl = parts.geom_slices(k)
+        ring = [tuple(map(float, v)) for v in sl[0][0]]
+        cell_rings.append(ring)
+    owner = []
+    for ring in cell_rings:
+        inside = [s for s in sites if _pip(s, ring) in (True, None)]
+        assert inside, (seed, ring)
+        owner.append(inside)
+
+    # nearest-site oracle on random float probes
+    for _ in range(20):
+        p = (float(rng.uniform(env[0], env[2])),
+             float(rng.uniform(env[1], env[3])))
+        d2 = [(p[0] - s[0])**2 + (p[1] - s[1])**2 for s in sites]
+        best = min(d2)
+        for k, ring in enumerate(cell_rings):
+            r = _pip(p, ring)
+            if r is True:
+                # every site this cell can stand for must be an argmin
+                ds = min((p[0] - s[0])**2 + (p[1] - s[1])**2
+                         for s in owner[k])
+                assert ds <= best * (1 + 1e-9) + 1e-12, (seed, p, k)
+
+
+# ---------------------------------------------------------------------------
+# offset_curve vs an independent distance oracle (VERDICT r8 #5): for an
+# x-monotone (hence simple) integer polyline and small |d|, every point
+# of the offset curve must lie within [d·cos(θ/2), d] of the input line,
+# where θ = (π/2)/quad_segs is the arc step (chords of round joins sag
+# inward by the sagitta, never outward). Distances are measured with a
+# naive per-segment point-segment kernel that shares no code with the
+# engine's distance/buffer machinery.
+# ---------------------------------------------------------------------------
+
+
+def _seg_dist(p, a, b):
+    px, py = p
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - ax) * dx +
+                                               (py - ay) * dy) / L2))
+    qx, qy = ax + t * dx, ay + t * dy
+    return ((px - qx) ** 2 + (py - qy) ** 2) ** 0.5
+
+
+def _line_dist(p, pts):
+    return min(_seg_dist(p, pts[k], pts[k + 1]) for k in range(len(pts) - 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_offset_curve_distance_band_oracle(seed):
+    import math
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 8))
+    xs = np.cumsum(rng.integers(2, 4, size=n))          # strictly monotone
+    ys = rng.integers(-2, 3, size=n)
+    pts = [(float(x), float(y)) for x, y in zip(xs, ys)]
+    d = float(rng.choice([0.25, 0.5, -0.25, -0.5]))
+    qs = int(rng.choice([4, 8, 16]))
+    ws = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    ga = wkt.parse_array(np.array([ws], dtype=object))
+    oc = algos.offset_curve(ga, d, quad_segs=qs)
+    if oc.is_empty()[0]:
+        return                      # degenerate trims may empty the curve
+    co = oc.coords
+    assert len(co) >= 2, seed
+    lo = abs(d) * math.cos((math.pi / 2) / qs / 2) * (1 - 1e-9)
+    hi = abs(d) * (1 + 1e-9)
+    # sample vertices AND segment midpoints of the offset output
+    samples = [tuple(map(float, v)) for v in co]
+    samples += [((co[k][0] + co[k + 1][0]) / 2.0,
+                 (co[k][1] + co[k + 1][1]) / 2.0)
+                for k in range(len(co) - 1)]
+    for p in samples:
+        dist = _line_dist(p, pts)
+        assert lo <= dist <= hi, (seed, p, dist, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# simplify_coverage vs exact expectations (VERDICT r8 #5): a grid-cell
+# coverage whose edges carry redundant collinear vertices must simplify
+# (tolerance < cell size) to EXACTLY the clean cells — junction corners
+# are preserved, interior collinear points are removed, and both
+# neighbors of every shared arc reuse the same simplified arc, so the
+# coverage identity Σ area_i == area(union) must keep holding exactly.
+# ---------------------------------------------------------------------------
+
+
+def _cell_wkt(x, y, sub):
+    """Unit cell (x,y)..(x+1,y+1) with each edge split into `sub` pieces
+    (redundant collinear vertices the simplifier must remove)."""
+    f = 1.0 / sub
+    ring = []
+    for k in range(sub):
+        ring.append((x + k * f, y))
+    for k in range(sub):
+        ring.append((x + 1, y + k * f))
+    for k in range(sub):
+        ring.append((x + 1 - k * f, y + 1))
+    for k in range(sub):
+        ring.append((x, y + 1 - k * f))
+    ring.append((x, y))
+    return ("POLYGON ((" + ", ".join(f"{a:.6f} {b:.6f}" for a, b in ring)
+            + "))")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_simplify_coverage_grid_exact(seed):
+    rng = np.random.default_rng(seed)
+    K = int(rng.integers(2, 5))
+    sub = int(rng.choice([2, 4, 5]))
+    # random subset of the K×K grid, at least 2 cells, keep it connected
+    # enough by taking a random walk
+    cells = {(0, 0)}
+    cur = (0, 0)
+    for _ in range(int(rng.integers(2, K * K + 4))):
+        dx, dy = rng.choice([(1, 0), (-1, 0), (0, 1), (0, -1)])
+        cur = (min(max(cur[0] + dx, 0), K - 1),
+               min(max(cur[1] + dy, 0), K - 1))
+        cells.add(cur)
+    cells = sorted(cells)
+    dirty = wkt.parse_array(np.array(
+        [_cell_wkt(x, y, sub) for x, y in cells], dtype=object))
+    clean = wkt.parse_array(np.array(
+        [f"POLYGON (({x} {y}, {x+1} {y}, {x+1} {y+1}, {x} {y+1}, {x} {y}))"
+         for x, y in cells], dtype=object))
+    simp = algos.simplify_coverage(dirty, 0.6)
+    eq = algos.geom_equals(simp, clean)
+    assert bool(np.all(eq)), (seed, cells, sub,
+                              [k for k in range(len(eq)) if not eq[k]])
+    # coverage identity preserved exactly on unit squares
+    assert float(np.sum(algos.area(simp))) == float(len(cells))
+    assert float(algos.area(algos.union_all(simp))[0]) == float(len(cells))
+
+
+# ---------------------------------------------------------------------------
+# segmentize + set_precision at web-mercator magnitudes (VERDICT r8 #5):
+# coordinates near 2e7 are where absolute-epsilon kernels break. Exact
+# oracles: inserted vertices must lie ON their source segment (naive
+# point-segment distance, relative tolerance), length is conserved,
+# every sub-segment obeys the max length, endpoints are bit-exact;
+# set_precision with a binary-representable grid lands every coordinate
+# EXACTLY on the grid and is bit-exact idempotent — including composed
+# after segmentize.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_segmentize_set_precision_web_mercator(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 7))
+    OX, OY = 2.0e7, -8.0e6            # web-mercator-scale offsets
+    pts = [(OX + float(rng.integers(0, 50)) + float(rng.random()),
+            OY + float(rng.integers(0, 50)) + float(rng.random()))
+           for _ in range(n)]
+    # drop consecutive duplicates
+    pts = [p for k, p in enumerate(pts) if k == 0 or p != pts[k - 1]]
+    if len(pts) < 2:
+        return
+    ws = "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in pts) + ")"
+    ga = wkt.parse_array(np.array([ws], dtype=object))
+    m = float(rng.choice([0.7, 1.3, 5.0]))
+    seg = algos.segmentize(ga, m)
+    co = [tuple(map(float, v)) for v in seg.coords]
+    # endpoints bit-exact
+    assert co[0] == pts[0] and co[-1] == pts[-1], seed
+    # vertices on the original segments (relative tolerance ~ulp·|coord|)
+    tol = 3e-8                        # 2e7 · ~1e-15 ≈ 2e-8
+    for p in co:
+        assert _line_dist(p, pts) <= tol, (seed, p)
+    # length conserved, sub-segments bounded
+    def L(ps):
+        return sum(((ps[k+1][0]-ps[k][0])**2 +
+                    (ps[k+1][1]-ps[k][1])**2) ** 0.5
+                   for k in range(len(ps)-1))
+    assert abs(L(co) - L(pts)) <= tol * len(co), seed
+    for k in range(len(co) - 1):
+        sl = ((co[k+1][0]-co[k][0])**2 + (co[k+1][1]-co[k][1])**2) ** 0.5
+        assert sl <= m * (1 + 1e-12) + tol, (seed, sl, m)
+
+    # set_precision on a binary grid: exact snap + bit-exact idempotence
+    grid = float(rng.choice([0.25, 0.5, 2.0]))
+    for src in (ga, seg):
+        snapped = algos.set_precision(src, grid)
+        cs = snapped.coords
+        assert np.all(cs == np.round(cs / grid) * grid), (seed, grid)
+        again = algos.set_precision(snapped, grid)
+        assert np.array_equal(again.coords, cs), seed
+        assert wkb.encode(again)[0] == wkb.encode(snapped)[0], seed
