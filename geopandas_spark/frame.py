@@ -19,12 +19,13 @@ coordinate transform UDF and updates the metadata.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 from geopandas_spark.functions import st
-from geopandas_spark.geom.crs import _norm
+from geopandas_spark.geom.crs import _norm, is_geographic
 
 
 class _CxIndexer:
@@ -169,11 +170,27 @@ class GeoFrame:
     def with_column(self, name: str, col: Column) -> "GeoFrame":
         return self._wrap(self.df.withColumn(name, col))
 
+    def _check_geographic_crs(self, op: str) -> None:
+        """Reference guardrail (geopandas/array.py:435-446,
+        check_geographic_crs): warn when a planar operation runs on a
+        geographic (degree-unit) CRS. Reference call sites: area,
+        length, centroid, dwithin, distance, hausdorff/frechet, buffer,
+        interpolate (array.py:608-946) and sjoin_nearest both sides
+        (tools/sjoin.py:714-715)."""
+        if is_geographic(self._crs.get(self._geometry)):
+            warnings.warn(
+                f"Geometry is in a geographic CRS. Results from '{op}' "
+                "are likely incorrect. Use 'to_crs()' to re-project "
+                "geometries to a projected CRS before this operation.",
+                UserWarning, stacklevel=3)
+
     def buffer(self, distance, **kw) -> "GeoFrame":
+        self._check_geographic_crs("buffer")
         return self.with_column(self._geometry,
                                 st.buffer(self.geometry, distance, **kw))
 
     def centroid(self) -> "GeoFrame":
+        self._check_geographic_crs("centroid")
         return self.with_column(self._geometry, st.centroid(self.geometry))
 
     def simplify(self, tolerance) -> "GeoFrame":
@@ -194,9 +211,11 @@ class GeoFrame:
         return self._wrap(out)
 
     def area(self, name: str = "area") -> "GeoFrame":
+        self._check_geographic_crs("area")
         return self.with_column(name, st.area(self.geometry))
 
     def length(self, name: str = "length") -> "GeoFrame":
+        self._check_geographic_crs("length")
         return self.with_column(name, st.length(self.geometry))
 
     def bounds(self, name: str = "bounds") -> "GeoFrame":
@@ -254,6 +273,10 @@ class GeoFrame:
 
     def sjoin(self, other: "GeoFrame | DataFrame", **kw) -> "GeoFrame":
         from geopandas_spark.operators import sjoin as _sjoin
+        if kw.get("predicate") == "dwithin":
+            # metric predicate — same guardrail as the reference's
+            # array-level dwithin (array.py:842)
+            self._check_geographic_crs("sjoin")
         odf = other.df if isinstance(other, GeoFrame) else other
         ogeom = (other.active_geometry_name
                  if isinstance(other, GeoFrame) else kw.pop("geom_right", "geom"))
@@ -429,6 +452,9 @@ class GeoFrame:
         """Method form of sjoin_nearest (reference GeoDataFrame
         .sjoin_nearest, geopandas/geodataframe.py:2641)."""
         from geopandas_spark.operators.sjoin import sjoin_nearest as _snj
+        self._check_geographic_crs("sjoin_nearest")
+        if isinstance(other, GeoFrame):
+            other._check_geographic_crs("sjoin_nearest")
         odf = other.df if isinstance(other, GeoFrame) else other
         ogeom = (other.active_geometry_name
                  if isinstance(other, GeoFrame)

@@ -2223,6 +2223,20 @@ def transform(ga, src: str, dst: str):
     return _with_coords(ga, np.asarray(nc, dtype=np.float64))
 
 
+def is_geographic(crs) -> bool:
+    """True when the CRS is a geographic (lon/lat degree) system —
+    the reference's pyproj ``CRS.is_geographic`` (array.py:437), used by
+    the planar-operation guardrail warnings. Unknown/None → False (no
+    warning rather than a false one)."""
+    if crs is None:
+        return False
+    try:
+        d = _proj_def(str(crs))
+    except Exception:
+        return False
+    return bool(d) and d[0] == "geog"
+
+
 def estimate_utm_crs(lon: float, lat: float) -> str:
     """UTM CRS for a lon/lat centroid (reference: estimate_utm_crs,
     geopandas/array.py:1190-1270 — same zone arithmetic, minus the pyproj

@@ -279,3 +279,59 @@ def test_reference_name_aliases_and_frame_aggregates(spark):
     assert gf.unique().count() == 2
     vc = [(r["count"]) for r in gf.value_counts().collect()]
     assert vc == [2, 1]
+
+
+@pytest.mark.parametrize("op", ["area", "length", "centroid", "buffer",
+                                "sjoin_dwithin", "sjoin_nearest"])
+def test_geographic_crs_guardrail_warns(spark, op):
+    """Reference parity (VERDICT r8 #9; geopandas/array.py:435-446 +
+    tools/sjoin.py:714-715): planar/metric operations on a geographic
+    (degree) CRS warn; the same operations on a projected CRS do not."""
+    import warnings as _w
+    rows = [(i, float(i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"]) \
+              .withColumn("geom", st.point("x", "y"))
+    geo = GeoFrame(df).set_crs("EPSG:4326")
+    proj = GeoFrame(df).set_crs("EPSG:32632")
+
+    def run(g):
+        if op == "area":
+            g.area()
+        elif op == "length":
+            g.length()
+        elif op == "centroid":
+            g.centroid()
+        elif op == "buffer":
+            g.buffer(1.0)
+        elif op == "sjoin_dwithin":
+            g.sjoin(g.rename_geometry("g2"), predicate="dwithin",
+                    distance=1.0)
+        elif op == "sjoin_nearest":
+            g.sjoin_nearest(g.rename_geometry("g2"), max_distance=2.0)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        run(geo)
+    msgs = [str(r.message) for r in rec
+            if "geographic CRS" in str(r.message)]
+    assert msgs, f"{op}: no geographic-CRS warning"
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        run(proj)
+    assert not [r for r in rec if "geographic CRS" in str(r.message)], op
+
+
+def test_geographic_crs_guardrail_silent_ops(spark):
+    """Operations the reference does NOT warn on (bounds, simplify,
+    predicates-by-cell sjoin) stay silent even on a geographic CRS."""
+    import warnings as _w
+    rows = [(i, float(i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"]) \
+              .withColumn("geom", st.point("x", "y"))
+    geo = GeoFrame(df).set_crs("EPSG:4326")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        geo.bounds()
+        geo.simplify(0.1)
+        geo.sjoin(geo.rename_geometry("g2"), predicate="intersects")
+    assert not [r for r in rec if "geographic CRS" in str(r.message)]

@@ -303,3 +303,70 @@ def test_lsh_dedup_stream_batch_order_invariant(spark, tmp_path):
     flagged = set().union(*results[0])
     assert {"1", "2", "3", "8"} <= flagged
     assert "6" not in flagged and "7" not in flagged
+
+
+def test_sjoin_stream_stream_late_arrival_invariant(spark, tmp_path):
+    """Property (VERDICT r8 #8): the stream-stream spatial join output is
+    invariant to micro-batch assignment and to late arrivals INSIDE the
+    watermark. The same two event sets are replayed under three file/
+    batch orders — including one where old-timestamp rows land in the
+    final batch after much newer rows advanced the event clock — and
+    every replay must produce the identical pair set, equal to the batch
+    crossing truth."""
+    import itertools
+
+    from geopandas_spark.streaming import sjoin_stream_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    lrows = [(i, t0 + dt.timedelta(minutes=i), float(i * 2), 0.0)
+             for i in range(8)]
+    rrows = [(100 + i, t0 + dt.timedelta(minutes=i, seconds=20),
+              float(i * 2) + 0.4, 0.0) for i in range(8)]
+    want = set()
+    for (li, lt, lx, ly), (ri, rt, rx, ry) in itertools.product(
+            lrows, rrows):
+        if abs((lt - rt).total_seconds()) <= 120 and \
+                ((lx - rx) ** 2 + (ly - ry) ** 2) ** 0.5 <= 1.0:
+            want.add((li, ri))
+    assert len(want) >= 8
+
+    # three replays: aligned order; reversed right; late stragglers —
+    # the OLDEST left and right rows arrive in the LAST file, after
+    # minute-7 rows have advanced the event-time clock (lateness of
+    # ~7 min < the 10-minute watermark, so nothing may be dropped)
+    l_orders = [
+        [[0, 1, 2, 3], [4, 5, 6, 7]],
+        [[7, 6, 5, 4], [3, 2, 1, 0]],
+        [[3, 4, 5, 6, 7], [2, 1], [0]],
+    ]
+    r_orders = [
+        [[0, 1, 2, 3], [4, 5, 6, 7]],
+        [[0, 1, 2, 3, 4, 5, 6, 7]],
+        [[5, 6, 7], [4, 3], [2, 1, 0]],
+    ]
+    results = []
+    for run, (lo, ro) in enumerate(zip(l_orders, r_orders)):
+        lsrc = str(tmp_path / f"ssl_late_{run}")
+        rsrc = str(tmp_path / f"ssr_late_{run}")
+        for batch in lo:
+            spark.createDataFrame([lrows[k] for k in batch], SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(lsrc)
+        for batch in ro:
+            spark.createDataFrame([rrows[k] for k in batch], SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(rsrc)
+        ls = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(lsrc)
+              .withColumn("geom", st.point("x", "y")))
+        rs = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(rsrc)
+              .withColumn("geom", st.point("x", "y")))
+        out = sjoin_stream_stream(
+            ls, rs, cell_size=1.0, predicate="dwithin", distance=1.0,
+            max_delay="2 minutes", watermark="10 minutes")
+        name = f"ss_late_{run}"
+        _run(out, name)
+        got = {(r.id_left, r.id_right)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        results.append(got)
+    assert results[0] == results[1] == results[2] == want, (
+        [sorted(r) for r in results], sorted(want))
