@@ -60,26 +60,65 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
-                      bands: int = 4, k: int = 5) -> DataFrame:
+                      bands: int = 4, k: int = 5,
+                      bucket_window: int = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     rows-per-band = num_hashes // bands; two docs become a candidate pair
     iff some band of their signatures agrees exactly. Returns distinct
-    (id_a, id_b) with id_a < id_b."""
+    (id_a, id_b) with id_a < id_b.
+
+    ``bucket_window=None`` (default) emits ALL pairs per bucket — the
+    oracle twin's exact semantics, but O(n²) inside a bucket: one hot
+    bucket (a template duplicated 100k×) emits 10^10 pairs and kills the
+    job (measured: a 150k-row bucket at the 2M-row stress tier never
+    finishes). ``bucket_window=w`` is the scale path: each doc pairs
+    with its w id-order successors IN THE SAME BUCKET plus the bucket's
+    minimum id (star edge), generated natively with window lead()/
+    first() — NO self-join, O(n·(w+1)) pairs per bucket. Bucket
+    connectivity is preserved (chain + star), and the star edge keeps
+    every bucket's component diameter ≤ 2 so downstream min-label
+    propagation converges in a few rounds; only when a verifier prunes
+    star+chain edges that all-pairs would have kept can the final
+    components differ."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, k)
     sigs = sigs.select(id_col, *[f"mh{i}" for i in range(num_hashes)])
+    keys = [F.concat_ws("#", *[F.col(f"mh{b * rows + r}")
+                               for r in range(rows)])
+            for b in range(bands)]
+    if bucket_window is not None:
+        # ONE plan: signatures evaluated once per row (the per-band
+        # union recomputed the shingle+md5 pipeline once per band),
+        # posexplode to (band, bucket) rows, one window shuffle
+        from pyspark.sql import Window
+        banded = sigs.select(F.col(id_col).alias("id"),
+                             F.posexplode(F.array(*keys))
+                              .alias("band", "bk"))
+        w_ = Window.partitionBy("band", "bk").orderBy("id")
+        nbrs = F.array(
+            F.first("id").over(w_),
+            *[F.lead("id", j).over(w_)
+              for j in range(1, int(bucket_window) + 1)])
+        p = (banded
+             .withColumn("__nb__", nbrs)
+             .select(F.col("id").alias("u"),
+                     F.explode("__nb__").alias("v"))
+             .filter(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+             .select(F.least("u", "v").alias("id_a"),
+                     F.greatest("u", "v").alias("id_b")))
+        return p.distinct()
     pairs = None
     for b in range(bands):
-        key = F.concat_ws("#", *[F.col(f"mh{b * rows + r}")
-                                 for r in range(rows)])
-        banded = sigs.select(F.col(id_col).alias("id"), key.alias("bk")) \
+        banded = sigs.select(F.col(id_col).alias("id"),
+                             keys[b].alias("bk")) \
                      .withColumn("band", F.lit(b))
         a = banded.alias("a")
         bb = banded.alias("b")
         p = (a.join(bb, on=["band", "bk"])
               .filter(F.col("a.id") < F.col("b.id"))
-              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b")))
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
 
@@ -222,7 +261,8 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", *, num_hashes: int = 8,
                 bands: int = 4, k: int = 5,
-                jaccard_threshold: float = 0.8) -> DataFrame:
+                jaccard_threshold: float = 0.8,
+                bucket_window: int = 4) -> DataFrame:
     """The canonical large-corpus fuzzy-dedup recipe as one call:
 
         MinHash signatures → LSH band candidates → exact n-gram Jaccard
@@ -231,13 +271,19 @@ def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
     Every stage is the already-oracle-checked building block (minhash /
     lsh_pairs / jaccard / dedup_components queries); this composition is
     the pipeline a 100 TB pretraining corpus actually runs. Scale shape:
-    candidate generation is banded equi-joins (never all-pairs), exact
-    Jaccard scores only LSH candidates, and cluster resolution is the
-    iterative min-label propagation bounded by the candidate graph.
+    candidate generation is banded window pair generation with
+    ``bucket_window`` (chain + star edges, O(n·w) per bucket — a
+    template duplicated 100k× would otherwise emit 10^10 all-pairs from
+    ONE bucket; see minhash_lsh_pairs), exact Jaccard scores only LSH
+    candidates, and cluster resolution is the iterative min-label
+    propagation bounded by the candidate graph (star edges keep bucket
+    components diameter ≤ 2). Pass ``bucket_window=None`` for the exact
+    all-pairs candidate set on small corpora.
 
     Returns the deduplicated DataFrame (original columns)."""
     cands = minhash_lsh_pairs(df, id_col, text_col,
-                              num_hashes=num_hashes, bands=bands, k=k)
+                              num_hashes=num_hashes, bands=bands, k=k,
+                              bucket_window=bucket_window)
     verified = ngram_jaccard_pairs(df, id_col, text_col, k=k,
                                    threshold=jaccard_threshold,
                                    candidates=cands)

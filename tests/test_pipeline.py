@@ -469,3 +469,38 @@ def test_chunk_documents(spark):
     # plan: native, map-only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_fuzzy_dedup_bucket_window_equivalence(spark):
+    """The bounded bucket_window candidate generator (chain + star
+    edges; the 100-TB path — all-pairs inside one hot LSH bucket is
+    O(n²)) must produce the same SURVIVOR SET as the exact all-pairs
+    candidates when clusters are genuinely near-duplicate: the star
+    edge keeps every bucket connected through its minimum id."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.pipeline.dedup import fuzzy_dedup
+
+    # 40 clusters × ~25 near-identical docs (cluster size >> window=4)
+    # plus 200 distinct singletons
+    body = F.md5((F.col("id") % 40).cast("string"))
+    clustered = (spark.range(1000)
+                 .withColumn("text", F.concat(
+                     F.lit("doc "), body, F.lit(" "),
+                     F.md5(F.concat(body, F.lit("y"))),
+                     F.lit(" variant "), (F.col("id") % 3).cast("string"))))
+    singles = (spark.range(1000, 1200)
+               .withColumn("text", F.concat(
+                   F.lit("unique "), F.md5(F.col("id").cast("string")),
+                   F.lit(" "), F.md5((F.col("id") * 31).cast("string")))))
+    df = (clustered.unionByName(singles)
+          .select(F.col("id").alias("doc_id"), "text"))
+
+    exact = {r.doc_id for r in fuzzy_dedup(
+        df, id_col="doc_id", text_col="text",
+        bucket_window=None).select("doc_id").collect()}
+    bounded = {r.doc_id for r in fuzzy_dedup(
+        df, id_col="doc_id", text_col="text",
+        bucket_window=4).select("doc_id").collect()}
+    assert bounded == exact
+    assert 200 <= len(exact) < 1200          # singletons survive, clusters collapse

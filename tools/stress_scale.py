@@ -151,6 +151,60 @@ def main():
     print(f"nearest-unbounded: {n} pairs, {dt:.2f}s "
           "(expanding-radius, no collected side)")
 
+    # LLM-pipeline dedup stack at scale (VERDICT r8 #7): 2M synthetic
+    # docs, zipf-skewed cluster sizes (head cluster ~100k near-dups →
+    # hot LSH buckets). The bounded bucket_window pair generator is the
+    # structural fix measured here: all-pairs buckets at this tier emit
+    # 10^10 candidates from the head bucket alone and never finish.
+    u = F.rand(seed=5)
+    cl = F.when(u < 0.7, -F.col("id")) \
+          .otherwise(F.floor(F.pow(F.lit(10.0), F.rand(seed=7) * 4.0)))
+    body = F.md5(cl.cast("string"))
+    docs = (spark.range(2_000_000)
+            .withColumn("text", F.concat(
+                F.lit("doc "), body, F.lit(" "),
+                F.md5(F.concat(body, F.lit("x"))),
+                F.lit(" tail variant "), (F.col("id") % 5).cast("string")))
+            .select(F.col("id").alias("doc_id"), "text")).persist()
+    nd = docs.count()
+    from geopandas_spark.pipeline.dedup import fuzzy_dedup
+    t0 = time.time()
+    kept = fuzzy_dedup(docs, id_col="doc_id", text_col="text").count()
+    fdt = time.time() - t0
+    FUZZY_BUDGET_S = 300.0
+    verdict = "PASS" if fdt <= FUZZY_BUDGET_S else "FAIL"
+    print(f"fuzzy-dedup-2M-zipf: kept {kept}/{nd}, {fdt:.1f}s "
+          f"[budget {FUZZY_BUDGET_S:.0f}s: {verdict}]")
+    docs.unpersist()
+
+    # IVF ANN at scale: 2M×16d vectors, 500 queries, 256 lists / 4
+    # probes — candidate generation must stay an equi-join on list id
+    # (~2M·4/256 ≈ 31k candidates/query), never brute force.
+    from geopandas_spark.pipeline.similarity import ivf_topk
+    DIM = 16
+    vec = F.array(*[F.sin((F.col("id") + 1) * F.lit(0.01 * (j + 1)))
+                    for j in range(DIM)])
+    emb = (spark.range(2_000_000)
+           .select(F.col("id").alias("vec_id"),
+                   vec.cast("array<float>").alias("embedding"))).persist()
+    emb.count()
+    qs = emb.filter(F.col("vec_id") % 4000 == 7).persist()
+    nq = qs.count()
+    # deterministic spread centroids from a driver-side sample (training
+    # runs offline at cluster scale; the stress measures the probe path)
+    cents = [(i, r["embedding"]) for i, r in enumerate(
+        emb.filter(F.col("vec_id") % 7919 == 3).limit(256).collect())]
+    t0 = time.time()
+    nres = ivf_topk(emb, qs, k=5, nlist=256, nprobe=4,
+                    centroids=cents).count()
+    idt = time.time() - t0
+    IVF_BUDGET_S = 150.0
+    verdict = "PASS" if idt <= IVF_BUDGET_S else "FAIL"
+    print(f"ivf-topk-2M: {nres} rows for {nq} queries, {idt:.1f}s "
+          f"[budget {IVF_BUDGET_S:.0f}s: {verdict}]")
+    emb.unpersist()
+    qs.unpersist()
+
     # FlatGeobuf single-file sink/source: Hilbert-ordered indexed write,
     # full distributed read, index-pruned bbox read
     import tempfile
