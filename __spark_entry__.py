@@ -4768,28 +4768,74 @@ FROM documents WHERE doc_id < 500
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver stamps only the FIRST 50 entries into
-    # CORRECTNESS_r{N}.json. Therefore every query that has never carried a
-    # green driver stamp — in particular, any query added this round — MUST
-    # be placed at the HEAD of this dict, before previously-stamped entries.
-    # (Round 5 violated this: its 5 new queries sat at positions ~85-110 and
-    # got no driver stamp; round 6 leads with them.) All queries run under
-    # tools/check_oracles.py regardless of position, but the driver stamp is
-    # the hard external signal.
     return {
-        # (a) new round-8 query: the r7 CRS parser surface (EPSG extras,
-        # ESRI codes, PROJ strings, WKT2 text, urn:ogc) — VERDICT r7 #1
-        "to_crs_parser": q_to_crs_parser,
-        # (b) re-stamp rotation (VERDICT r7 #8): the 50 queries whose
-        # latest stamp dates to r2 — r8-touched perf queries first
-        # (pricing_summary bigint-cents, sjoin_grid salting,
-        # sjoin_nearest radius seeding); the last entry falls just
-        # outside the 50-query window and rotates next round.
-        "pricing_summary": q_pricing_summary,
+        # ORDERING (r9 rotation; stamp-follows-change, VERDICT r8 #3):
+        # the driver stamps only the FIRST 50 entries into
+        # CORRECTNESS_r{N}.json, so the window leads with (a) every
+        # query whose backing code changed THIS round — the sjoin grid
+        # planner rework + how="full" (sjoin family), the shared-pairs
+        # overlay + fused kernels (overlay family), the offset_curve
+        # arc-step fix (offset_eq), and the minhash_lsh_pairs
+        # restructure (lsh_pairs); then (b) the eight queries whose r8
+        # kernels (GC pointwise matrix, polygonize rework, Welzl MBC,
+        # chain-merge, radius seed) never got a same-window r8 stamp;
+        # then (c) the oldest-stamped cohort (r2/r3) plus one r5 slot.
+        # Four r3 queries (exterior_interiors cohort peers) plus the
+        # remaining r5 cohort rotate in next round. All queries run
+        # under tools/check_oracles.py regardless of position.
+        "sjoin": q_sjoin,
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "sjoin": q_sjoin,
+        "sjoin_nearest_xr": q_sjoin_nearest_xr,
+        "overlay_union": q_overlay_union,
+        "overlay_identity": q_overlay_identity,
+        "overlay_symdiff": q_overlay_symdiff,
+        "overlay_mixed": q_overlay_mixed,
+        "overlay_intersection": q_overlay_intersection,
+        "overlay_difference": q_overlay_difference,
+        "offset_eq": q_offset_eq,
+        "lsh_pairs": q_lsh_pairs,
+        "relate": q_relate,
+        "gc_setops": q_gc_setops,
+        "geomcollection": q_geomcollection,
+        "polygonize_full": q_polygonize_full,
+        "polygonize_buildarea": q_polygonize_buildarea,
+        "mbc_mrr": q_mbc_mrr,
+        "union_lines": q_union_lines,
+        "union_mixed": q_union_mixed,
+        "boundary": q_boundary,
+        "affine3d": q_affine3d,
+        "buffer_styles": q_buffer_styles,
+        "char_entropy": q_char_entropy,
+        "decontaminate": q_decontaminate,
+        "dedup_components": q_dedup_components,
+        "dissolve_aggfuncs": q_dissolve_aggfuncs,
+        "dissolve_mean": q_dissolve_mean,
+        "grid_size": q_grid_size,
+        "list_layers": q_list_layers,
+        "pack_sequences": q_pack_sequences,
+        "read_pushdown": q_read_pushdown,
+        "repetition": q_repetition,
+        "rt_feather": q_rt_feather,
+        "rt_fgb": q_rt_fgb,
+        "rt_geojsonseq": q_rt_geojsonseq,
+        "rt_geoparquet": q_rt_geoparquet,
+        "rt_gml": q_rt_gml,
+        "rt_gpkg": q_rt_gpkg,
+        "rt_kml": q_rt_kml,
+        "rt_shapefile": q_rt_shapefile,
+        "to_crs_albers": q_to_crs_albers,
+        "to_crs_bng": q_to_crs_bng,
+        "to_crs_laea_merc": q_to_crs_laea_merc,
+        "to_crs_lambert93": q_to_crs_lambert93,
+        "to_crs_polar": q_to_crs_polar,
+        "to_crs_utm": q_to_crs_utm,
+        "url_ops": q_url_ops,
+        "concave": q_concave,
+        # --- below the 50-query driver-stamp window ---
+        "to_crs_parser": q_to_crs_parser,
+        "pricing_summary": q_pricing_summary,
         "to_crs": q_to_crs,
         "dissolve": q_dissolve,
         "union_boxes": q_union_boxes,
@@ -4803,8 +4849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer": q_buffer,
         "convex_hull": q_convex_hull,
         "affine": q_affine,
-        "overlay_intersection": q_overlay_intersection,
-        "overlay_difference": q_overlay_difference,
         "line_metrics": q_line_metrics,
         "box_distance": q_box_distance,
         "explode": q_explode,
@@ -4822,7 +4866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "minhash": q_minhash,
-        "lsh_pairs": q_lsh_pairs,
         "cosine_topk": q_cosine_topk,
         "simhash": q_simhash,
         "language_id": q_language_id,
@@ -4834,21 +4877,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dedup": q_embed_dedup,
         "geom_value_counts": q_geom_value_counts,
         "frame_sample": q_frame_sample,
-        "boundary": q_boundary,
-        # (b) round-5 queries never driver-stamped (VERDICT r5 item #1)
-        "union_lines": q_union_lines,
-        "union_mixed": q_union_mixed,
-        "gc_setops": q_gc_setops,
         "to_crs_epsg_table": q_to_crs_epsg_table,
         "fgb_bbox_paths": q_fgb_bbox_paths,
-        # (b) new round-6 queries (inserted as built, at the head)
         "m_coords": q_m_coords,
         "to_crs_jp_spcs": q_to_crs_jp_spcs,
         "to_crs_natl": q_to_crs_natl,
         "chunk_docs": q_chunk_docs,
         "stream_lsh_dedup": q_stream_lsh_dedup,
-        "polygonize_full": q_polygonize_full,
-        # (c) previously-stamped green queries
         "concat_cx": q_concat_cx,
         "densify_distances": q_densify_distances,
         "jaccard": q_jaccard,
@@ -4864,17 +4899,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_rep": q_unique_rep,
         "collect_bounds": q_collect_bounds,
         "coords_dump": q_coords_dump,
-        "offset_eq": q_offset_eq,
         "clip_rect": q_clip_rect,
         "geometry_n": q_geometry_n,
         "sample_pts": q_sample_pts,
         "estimate_utm": q_estimate_utm,
         "valid_reason_orient": q_valid_reason_orient,
-        "sjoin_nearest_xr": q_sjoin_nearest_xr,
-        # (b) r3 signed-zero hash-reds, fixed this round
         "rotate_skew": q_rotate_skew,
         "transform_apply": q_transform_apply,
-        # (c) new round-4 queries go here (inserted as built)
         "dissolve_coverage": q_dissolve_coverage,
         "to_crs_gk": q_to_crs_gk,
         "to_crs_spcs": q_to_crs_spcs,
@@ -4885,55 +4916,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subdivide": q_subdivide,
         "trajectory": q_trajectory,
         "embed_quantize": q_embed_quantize,
-        # --- previously-stamped green queries (r3 window order) ---
         "simplify": q_simplify,
         "snap": q_snap,
         "make_valid": q_make_valid,
         "line_merge": q_line_merge,
         "delaunay": q_delaunay,
-        "concave": q_concave,
-        "mbc_mrr": q_mbc_mrr,
         "normalize_reverse": q_normalize_reverse,
         "segmentize_rrp": q_segmentize_rrp,
-        "relate": q_relate,
-        "polygonize_buildarea": q_polygonize_buildarea,
         "tco": q_tco,
         "exterior_interiors": q_exterior_interiors,
         "set_precision": q_set_precision,
         "voronoi": q_voronoi,
         "z_coords": q_z_coords,
-        "geomcollection": q_geomcollection,
-        "to_crs_utm": q_to_crs_utm,
-        "to_crs_bng": q_to_crs_bng,
-        "to_crs_lambert93": q_to_crs_lambert93,
-        "to_crs_polar": q_to_crs_polar,
-        "to_crs_albers": q_to_crs_albers,
-        "to_crs_laea_merc": q_to_crs_laea_merc,
-        "buffer_styles": q_buffer_styles,
-        "grid_size": q_grid_size,
-        "rt_geoparquet": q_rt_geoparquet,
-        "rt_shapefile": q_rt_shapefile,
-        "rt_gpkg": q_rt_gpkg,
-        "rt_geojsonseq": q_rt_geojsonseq,
-        "rt_feather": q_rt_feather,
-        "rt_kml": q_rt_kml,
-        "rt_gml": q_rt_gml,
-        "rt_fgb": q_rt_fgb,
-        "read_pushdown": q_read_pushdown,
-        "list_layers": q_list_layers,
-        "overlay_union": q_overlay_union,
-        "overlay_mixed": q_overlay_mixed,
-        "affine3d": q_affine3d,
-        "dedup_components": q_dedup_components,
-        "pack_sequences": q_pack_sequences,
-        "repetition": q_repetition,
-        "decontaminate": q_decontaminate,
-        "char_entropy": q_char_entropy,
-        "url_ops": q_url_ops,
-        "overlay_identity": q_overlay_identity,
-        "overlay_symdiff": q_overlay_symdiff,
-        "dissolve_mean": q_dissolve_mean,
-        "dissolve_aggfuncs": q_dissolve_aggfuncs,
     }
 
 
