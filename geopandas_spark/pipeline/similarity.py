@@ -211,13 +211,20 @@ def centroid_scores(df: DataFrame, cents, *, vec_col: str, dim: int,
 def _nearest_entries(cents, scores_col: str = "__cs__") -> Column:
     """Per-centroid (round(score, 6), -label) structs over the
     ``centroid_scores`` output; ``array_max`` of it = (score desc, label
-    asc) argmax with the exact rounding/tie-break the oracle twin uses —
-    a small native expression (nlist struct wrappers, no dot products)."""
-    return F.array(*[
-        F.struct(F.round(F.element_at(F.col(scores_col), i + 1), 6)
-                  .alias("s"),
-                 F.lit(-int(cid)).alias("nid"))
-        for i, (cid, _) in enumerate(cents)])
+    asc) argmax with the exact rounding/tie-break the oracle twin uses.
+
+    Built with zip_with over a label-array literal, NOT an unrolled
+    F.array of nlist struct expressions: at nlist=256 the unrolled form
+    made whole-stage codegen emit a >64 KB method (janino
+    InternalCompilerException in the r9 IVF stress log) and silently
+    degraded the ENTIRE stage to interpreted mode. zip_with is a single
+    compact CodegenFallback expression — the rest of the stage keeps
+    codegen, and rounding stays Spark-native (BigDecimal HALF_UP,
+    bit-identical to the previous form and the DuckDB twin)."""
+    labels = F.lit([-int(cid) for cid, _ in cents])
+    return F.zip_with(F.col(scores_col), labels,
+                      lambda s, l: F.struct(F.round(s, 6).alias("s"),
+                                            l.alias("nid")))
 
 
 def kmeans_centroids(df: DataFrame, *, vec_col: str = "embedding",
