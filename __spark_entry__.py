@@ -4832,8 +4832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_polar": q_to_crs_polar,
         "to_crs_utm": q_to_crs_utm,
         "url_ops": q_url_ops,
-        "concave": q_concave,
+        "ivf_topk": q_ivf_topk,
         # --- below the 50-query driver-stamp window ---
+        "concave": q_concave,
         "to_crs_parser": q_to_crs_parser,
         "pricing_summary": q_pricing_summary,
         "to_crs": q_to_crs,
@@ -4873,7 +4874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "multimodal_meta": q_multimodal_meta,
-        "ivf_topk": q_ivf_topk,
         "embed_dedup": q_embed_dedup,
         "geom_value_counts": q_geom_value_counts,
         "frame_sample": q_frame_sample,
