@@ -28,6 +28,25 @@ SKIP = {"rt_geoparquet", "rt_shapefile", "rt_gpkg", "rt_geojsonseq",
 # measured facts from the dedicated scale-tier runs (kept here so
 # regeneration preserves the narrative alongside the table)
 SCALE_NOTES = """
+## Round-9 plan-shape changes
+
+- **overlay_union 7 exchanges / 15 evals → 2 / 6** (identity 4→1 / 4,
+  symdiff 5→2 / 4): union/identity/symmetric_difference derive all
+  output families from ONE localCheckpoint-ed full spatial join —
+  intersection pieces map-only, one groupBy per residue side, fused
+  intersection/residue kernels (class+emptiness folded into the same
+  Arrow round trip).
+- **sjoin grid plan-build no longer full-scans**: geometry-pruned
+  counts + one sampled bounds pass replace the two full stats/sample
+  scans (the probes only steer sizing — cell keys are origin-invariant);
+  candidates get a native bbox-overlap prefilter for every predicate
+  and no longer carry duplicate geometry byte copies. Skewed 25M-pair
+  stress: 1.6M pairs/s (gate ≥1.5M, PASS in stress_scale).
+- **LSH bucket pairs bounded** (chain+star window generator, one plan);
+  **IVF argmax entries via zip_with** — the unrolled nlist-struct array
+  blew janino's 64 KB method limit at nlist=256 and degraded whole
+  stages to interpreted mode.
+
 ## Scale-tier audit (round 5)
 
 Measured on the 100x tier (1.5M customers, 100x-duplicated dims,
