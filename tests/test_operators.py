@@ -696,3 +696,39 @@ def test_sjoin_grid_forced_salting_matches_brute_force(spark):
     iny = (py[:, None] >= by[None, :]) & (py[:, None] <= (by + bh)[None, :])
     exp = {(int(i), int(k)) for i, k in zip(*np.nonzero(inx & iny))}
     assert got == exp
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "grid"])
+def test_sjoin_full_outer(points, boxes, spark, strategy):
+    """how="full" (engine extension feeding overlay's shared-pairs plan):
+    matched pairs plus BOTH sides' unmatched rows with NULLs. Truth =
+    inner pairs ∪ left-unmatched ∪ right-unmatched computed from the
+    inner join."""
+    far = spark.createDataFrame([(99, 1000.0, 1000.0)], ["pid", "x", "y"]) \
+        .withColumn("geom", st.point("x", "y")).drop("x", "y")
+    pts = points.unionByName(far)
+    lonely = spark.createDataFrame([(7, "box_far", 5000.0)],
+                                   ["bid", "name", "x0"]) \
+        .withColumn("geom", st.makebox("x0", F.lit(0.0),
+                                       F.col("x0") + 10.0, F.lit(40.0))) \
+        .drop("x0")
+    bxs = boxes.unionByName(lonely)
+
+    inner = sjoin(pts, bxs, predicate="within", strategy=strategy,
+                  grid_cells=8)
+    in_pairs = {(r.pid, r.bid) for r in inner.collect()}
+    matched_p = {p for p, _ in in_pairs}
+    matched_b = {b for _, b in in_pairs}
+    want = (in_pairs
+            | {(r.pid, None) for r in pts.collect()
+               if r.pid not in matched_p}
+            | {(None, r.bid) for r in bxs.collect()
+               if r.bid not in matched_b})
+
+    full = sjoin(pts, bxs, predicate="within", how="full",
+                 strategy=strategy, grid_cells=8)
+    got = {(r.pid, r.bid) for r in full.collect()}
+    assert got == want, (strategy, sorted(got - want), sorted(want - got))
+    # unmatched rows carry NULL geometry on the absent side
+    row = full.filter(F.col("pid").isNull()).collect()
+    assert row and all(r["geom_left"] is None for r in row)
