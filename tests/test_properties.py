@@ -2555,3 +2555,77 @@ def test_segmentize_set_precision_web_mercator(seed):
         again = algos.set_precision(snapped, grid)
         assert np.array_equal(again.coords, cs), seed
         assert wkb.encode(again)[0] == wkb.encode(snapped)[0], seed
+
+
+# ---------------------------------------------------------------------------
+# hausdorff / frechet vs independent exact oracles (r9 fuzz program):
+# the kernels are vertex-discrete by contract (GEOS parity), so both are
+# EXACTLY recomputable in-test — Hausdorff as the symmetric max of
+# vertex-to-polyline distances (the naive _seg_dist kernel above),
+# Fréchet as the textbook coupling DP on the vertex sequences. Runs at
+# the origin and at web-mercator offsets (magnitude robustness).
+# ---------------------------------------------------------------------------
+
+
+def _hausdorff_oracle(P, Q):
+    one = max(_line_dist(p, Q) for p in P)
+    two = max(_line_dist(q, P) for q in Q)
+    return max(one, two)
+
+
+def _frechet_oracle(P, Q):
+    import math
+    n, m = len(P), len(Q)
+    d = [[math.sqrt((p[0] - q[0])**2 + (p[1] - q[1])**2) for q in Q]
+         for p in P]
+    dp = [[0.0] * m for _ in range(n)]
+    dp[0][0] = d[0][0]
+    for i in range(1, n):
+        dp[i][0] = max(dp[i - 1][0], d[i][0])
+    for j in range(1, m):
+        dp[0][j] = max(dp[0][j - 1], d[0][j])
+    for i in range(1, n):
+        for j in range(1, m):
+            dp[i][j] = max(min(dp[i - 1][j], dp[i][j - 1],
+                               dp[i - 1][j - 1]), d[i][j])
+    return dp[n - 1][m - 1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_hausdorff_frechet_exact_oracles(seed):
+    rng = np.random.default_rng(seed)
+    ox, oy = (0.0, 0.0) if seed % 2 == 0 else (2.0e7, -8.0e6)
+    scale = 1.0 if seed % 2 == 0 else 3.0
+
+    def chain(n):
+        pts, cur = [], (float(rng.integers(0, 20)),
+                        float(rng.integers(0, 20)))
+        pts.append(cur)
+        for _ in range(n - 1):
+            cur = (cur[0] + float(rng.integers(-4, 5)),
+                   cur[1] + float(rng.integers(-4, 5)))
+            if cur != pts[-1]:
+                pts.append(cur)
+        return [(ox + x * scale, oy + y * scale) for x, y in pts]
+
+    A = chain(int(rng.integers(2, 8)))
+    B = chain(int(rng.integers(2, 8)))
+    if len(A) < 2 or len(B) < 2:
+        return
+    wa = "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in A) + ")"
+    wb = "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in B) + ")"
+    ga = wkt.parse_array(np.array([wa], dtype=object))
+    gb = wkt.parse_array(np.array([wb], dtype=object))
+
+    tol = 1e-9 * max(1.0, abs(ox), abs(oy))
+    hd = float(algos.hausdorff_distance(ga, gb)[0])
+    assert abs(hd - _hausdorff_oracle(A, B)) <= tol, (seed, hd)
+    fd = float(algos.frechet_distance(ga, gb)[0])
+    assert abs(fd - _frechet_oracle(A, B)) <= tol, (seed, fd)
+    # densify can only tighten (grow) the discrete Hausdorff bound, and
+    # Fréchet with finer chains stays >= the Hausdorff distance
+    hdd = float(algos.hausdorff_distance(ga, gb, densify=0.25)[0])
+    assert hdd >= hd - tol, seed
+    fdd = float(algos.frechet_distance(ga, gb, densify=0.25)[0])
+    assert fdd >= hdd - tol, seed
