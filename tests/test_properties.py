@@ -2629,3 +2629,42 @@ def test_hausdorff_frechet_exact_oracles(seed):
     assert hdd >= hd - tol, seed
     fdd = float(algos.frechet_distance(ga, gb, densify=0.25)[0])
     assert fdd >= hdd - tol, seed
+
+
+# ---------------------------------------------------------------------------
+# concave_hull structural fuzz (r9): on random integer point sets the
+# chi-shape peel must (a) equal the convex hull exactly at ratio=1
+# (shoelace vs the independent monotone chain), (b) cover every input
+# point at every ratio, (c) shrink monotonically in area as the ratio
+# drops, never below a simple-polygon floor, and (d) stay valid.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_concave_hull_structural(seed):
+    rng = np.random.default_rng(seed)
+    pts = np.unique(rng.integers(0, 12, size=(int(rng.integers(4, 20)), 2)),
+                    axis=0)
+    sites = [(int(x), int(y)) for x, y in pts]
+    hull, _nb = _mono_hull(sites)
+    if len(hull) <= 2:
+        return                          # collinear: hull degenerate
+    ws = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in sites) + ")"
+    ga = wkt.parse_array(np.array([ws], dtype=object))
+
+    ch1 = algos.concave_hull(ga, ratio=1.0)
+    assert algos.area(ch1)[0] * 2 == _shoelace2(hull), (seed, sites)
+
+    prev = None
+    for ratio in (1.0, 0.6, 0.3, 0.0):
+        ch = algos.concave_hull(ga, ratio=ratio)
+        assert bool(algos.is_valid(ch)[0]), (seed, ratio)
+        # covers every input point
+        cov = algos.covers(np.repeat(ch, len(sites)) if False else ch,
+                           ga)  # multipoint operand: all points covered
+        assert bool(cov[0]), (seed, ratio)
+        a = float(algos.area(ch)[0])
+        if prev is not None:
+            assert a <= prev + 1e-9, (seed, ratio, a, prev)
+        prev = a
