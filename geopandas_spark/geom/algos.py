@@ -5668,67 +5668,140 @@ def line_merge(ga: GeometryArray, directed: bool = False) -> GeometryArray:
 # voronoi_polygons :1301)
 # ---------------------------------------------------------------------------
 
+def _orient_sign(a, b, c):
+    """Exact sign of the 2-D orientation determinant: float filter with a
+    conservative relative bound, exact Fraction fallback near zero (every
+    double converts to Fraction exactly)."""
+    det = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    perm = (abs(b[0] - a[0]) * abs(c[1] - a[1]) +
+            abs(b[1] - a[1]) * abs(c[0] - a[0]))
+    if abs(det) > 1e-12 * perm:
+        return 1 if det > 0 else -1
+    if perm == 0:
+        return 0
+    from fractions import Fraction as Fr
+    det = ((Fr(float(b[0])) - Fr(float(a[0]))) *
+           (Fr(float(c[1])) - Fr(float(a[1]))) -
+           (Fr(float(b[1])) - Fr(float(a[1]))) *
+           (Fr(float(c[0])) - Fr(float(a[0]))))
+    return (det > 0) - (det < 0)
+
+
+def _incircle_sign(a, b, c, d):
+    """Sign of the incircle determinant for a CCW triangle (a, b, c):
+    > 0 iff d lies STRICTLY inside the open circumdisk. Float filter with
+    exact Fraction fallback — cocircular grids are exactly the inputs
+    where a float-only test mis-classifies (the r9 concave-hull fuzz
+    found a dropped triangle at 12x12 integer sites)."""
+    adx, ady = a[0] - d[0], a[1] - d[1]
+    bdx, bdy = b[0] - d[0], b[1] - d[1]
+    cdx, cdy = c[0] - d[0], c[1] - d[1]
+    ad2 = adx * adx + ady * ady
+    bd2 = bdx * bdx + bdy * bdy
+    cd2 = cdx * cdx + cdy * cdy
+    det = (adx * (bdy * cd2 - bd2 * cdy) -
+           ady * (bdx * cd2 - bd2 * cdx) +
+           ad2 * (bdx * cdy - bdy * cdx))
+    perm = (abs(adx) * (abs(bdy) * cd2 + bd2 * abs(cdy)) +
+            abs(ady) * (abs(bdx) * cd2 + bd2 * abs(cdx)) +
+            ad2 * (abs(bdx) * abs(cdy) + abs(bdy) * abs(cdx)))
+    if abs(det) > 1e-10 * perm:
+        return 1 if det > 0 else -1
+    if perm == 0:
+        return 0
+    from fractions import Fraction as Fr
+    adx, ady = Fr(float(a[0])) - Fr(float(d[0])), \
+        Fr(float(a[1])) - Fr(float(d[1]))
+    bdx, bdy = Fr(float(b[0])) - Fr(float(d[0])), \
+        Fr(float(b[1])) - Fr(float(d[1]))
+    cdx, cdy = Fr(float(c[0])) - Fr(float(d[0])), \
+        Fr(float(c[1])) - Fr(float(d[1]))
+    ad2 = adx * adx + ady * ady
+    bd2 = bdx * bdx + bdy * bdy
+    cd2 = cdx * cdx + cdy * cdy
+    det = (adx * (bdy * cd2 - bd2 * cdy) -
+           ady * (bdx * cd2 - bd2 * cdx) +
+           ad2 * (bdx * cdy - bdy * cdx))
+    return (det > 0) - (det < 0)
+
+
 def _delaunay(pts: np.ndarray) -> list:
-    """Bowyer–Watson over unique points → list of index triangles."""
+    """Bowyer-Watson over unique points -> list of CCW index triangles.
+
+    Ghost-edge formulation (no super-triangle): the hull is a set of
+    DIRECTED ghost edges (interior on the left); a point invalidates a
+    ghost iff it lies strictly right of the edge, or exactly on the open
+    segment. This removes the classic super-triangle failure mode — a
+    near-degenerate real triangle's circumcircle can exceed ANY finite
+    super-triangle, silently dropping hull-adjacent triangles (found by
+    the r9 concave-hull fuzz: 9 integer sites produced 10 triangles
+    where Euler demands 2n-h-2 = 11). All orientation/incircle decisions
+    go through the filtered-exact predicates above, so cocircular and
+    collinear degeneracies are decided exactly."""
     n = len(pts)
     if n < 3:
         return []
-    mn = pts.min(axis=0)
-    mx = pts.max(axis=0)
-    span = max(mx[0] - mn[0], mx[1] - mn[1], 1.0)
-    cx, cy = (mn[0] + mx[0]) / 2, (mn[1] + mx[1]) / 2
-    # super-triangle
-    sup = np.array([[cx - 20 * span, cy - 10 * span],
-                    [cx + 20 * span, cy - 10 * span],
-                    [cx, cy + 20 * span]])
-    P = np.concatenate([pts, sup], axis=0)
-    tris = [(n, n + 1, n + 2)]
+    P = pts
+    k = next((j for j in range(2, n)
+              if _orient_sign(P[0], P[1], P[j]) != 0), None)
+    if k is None:
+        return []                       # all collinear
+    i0, i1, i2 = 0, 1, k
+    if _orient_sign(P[i0], P[i1], P[i2]) < 0:
+        i1, i2 = i2, i1
+    real = {(i0, i1, i2)}
+    ghosts = {(i0, i1), (i1, i2), (i2, i0)}   # CCW hull edges
+    order = [j for j in range(2, n) if j != k]
 
-    def circum(t):
-        a, bq, c = P[t[0]], P[t[1]], P[t[2]]
-        d = 2 * (a[0] * (bq[1] - c[1]) + bq[0] * (c[1] - a[1]) +
-                 c[0] * (a[1] - bq[1]))
-        if d == 0:
-            return None, np.inf
-        ux = ((a @ a) * (bq[1] - c[1]) + (bq @ bq) * (c[1] - a[1]) +
-              (c @ c) * (a[1] - bq[1])) / d
-        uy = ((a @ a) * (c[0] - bq[0]) + (bq @ bq) * (a[0] - c[0]) +
-              (c @ c) * (bq[0] - a[0])) / d
-        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
-        return (ux, uy), r2
-
-    cc = {tris[0]: circum(tris[0])}
-    for pi in range(n):
-        px, py = P[pi]
-        bad = []
-        for t in tris:
-            c, r2 = cc[t]
-            if c is not None and (px - c[0]) ** 2 + (py - c[1]) ** 2 <= \
-                    r2 * (1 + 1e-12):
-                bad.append(t)
-        # polygonal hole boundary = edges appearing once among bad triangles
+    for pi in order:
+        p = P[pi]
+        bad_real = [t for t in real
+                    if _incircle_sign(P[t[0]], P[t[1]], P[t[2]], p) > 0]
+        bad_ghost = []
+        for (u, v) in ghosts:
+            s = _orient_sign(P[u], P[v], p)
+            if s < 0:
+                bad_ghost.append((u, v))
+            elif s == 0:
+                ux, uy = P[u]
+                vx, vy = P[v]
+                if (min(ux, vx) <= p[0] <= max(ux, vx) and
+                        min(uy, vy) <= p[1] <= max(uy, vy)):
+                    bad_ghost.append((u, v))
         edge_count = {}
-        for t in bad:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                k = (min(e), max(e))
-                edge_count[k] = edge_count.get(k, 0) + 1
-        for t in bad:
-            tris.remove(t)
-            del cc[t]
+
+        def _add(u, v):
+            kk = (u, v) if u < v else (v, u)
+            edge_count[kk] = edge_count.get(kk, 0) + 1
+
+        for t in bad_real:
+            _add(t[0], t[1])
+            _add(t[1], t[2])
+            _add(t[2], t[0])
+        for (u, v) in bad_ghost:
+            _add(u, v)
+        for t in bad_real:
+            real.remove(t)
+        for g in bad_ghost:
+            ghosts.remove(g)
         for (u, v), cnt in edge_count.items():
-            if cnt == 1:
-                nt = (u, v, pi)
-                tris.append(nt)
-                cc[nt] = circum(nt)
-    out = []
-    for t in tris:
-        if t[0] < n and t[1] < n and t[2] < n:
-            # orient CCW
-            a, bq, c = P[t[0]], P[t[1]], P[t[2]]
-            if (bq[0] - a[0]) * (c[1] - a[1]) - (bq[1] - a[1]) * (c[0] - a[0]) < 0:
-                t = (t[0], t[2], t[1])
-            out.append(t)
-    return out
+            if cnt != 1:
+                continue
+            s = _orient_sign(P[u], P[v], p)
+            if s > 0:
+                real.add((u, v, pi))
+            elif s < 0:
+                real.add((v, u, pi))
+            # s == 0: hull passes through p along this line - no real
+            # triangle; the ghost chain below re-threads the boundary
+        if bad_ghost:
+            us = {u for u, _ in bad_ghost}
+            vs = {v for _, v in bad_ghost}
+            a = (us - vs).pop()
+            bq = (vs - us).pop()
+            ghosts.add((a, pi))
+            ghosts.add((pi, bq))
+    return sorted(real)
 
 
 def _snap_cluster(pts: np.ndarray, tolerance: float) -> np.ndarray:
@@ -6072,7 +6145,12 @@ def concave_hull(ga: GeometryArray, ratio: float = 0.0,
         elens = [elen(u, v) for t in tris
                  for u, v in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))]
         lo, hi = min(elens), max(elens)
-        thresh = lo + max(0.0, min(1.0, ratio)) * (hi - lo)
+        r_ = max(0.0, min(1.0, ratio))
+        # endpoint-exact interpolation: lo + r*(hi-lo) lands one ulp
+        # BELOW hi at r=1 for some edge lengths, peeling the longest
+        # edge's triangle out of what must be the convex hull (r9
+        # concave-hull fuzz find)
+        thresh = lo * (1.0 - r_) + hi * r_
         alive = set(tris)
         # edge → triangles sharing it
         def edges(t):
