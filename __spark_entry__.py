@@ -4807,7 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary": q_boundary,
         "affine3d": q_affine3d,
         "buffer_styles": q_buffer_styles,
-        "char_entropy": q_char_entropy,
+        "concave": q_concave,
         "decontaminate": q_decontaminate,
         "dedup_components": q_dedup_components,
         "dissolve_aggfuncs": q_dissolve_aggfuncs,
@@ -4831,10 +4831,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_lambert93": q_to_crs_lambert93,
         "to_crs_polar": q_to_crs_polar,
         "to_crs_utm": q_to_crs_utm,
-        "url_ops": q_url_ops,
+        "delaunay": q_delaunay,
         "ivf_topk": q_ivf_topk,
         # --- below the 50-query driver-stamp window ---
-        "concave": q_concave,
+        "char_entropy": q_char_entropy,
+        "url_ops": q_url_ops,
+
         "to_crs_parser": q_to_crs_parser,
         "pricing_summary": q_pricing_summary,
         "to_crs": q_to_crs,
@@ -4920,7 +4922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap": q_snap,
         "make_valid": q_make_valid,
         "line_merge": q_line_merge,
-        "delaunay": q_delaunay,
         "normalize_reverse": q_normalize_reverse,
         "segmentize_rrp": q_segmentize_rrp,
         "tco": q_tco,
