@@ -361,11 +361,14 @@ def is_ccw(ga: GeometryArray) -> np.ndarray:
 
 def is_valid(ga: GeometryArray) -> np.ndarray:
     """Structural validity check (closed rings with >= 4 points, finite
-    coords, no self-intersecting rings, holes properly inside their
-    shell with no ring-cross, no hole nested inside another hole). A
-    subset of GEOS IsValid — remaining undetected exotica:
-    nested/overlapping sibling shells in a MultiPolygon, rings touching
-    at more than one point. Reference: base.py:301."""
+    coords, no self-intersecting rings — proper crossings, collinear
+    edge overlaps, AND revisited vertices (a ring passing through the
+    same point twice is GEOS's "Ring Self-intersection": its shoelace
+    area diverges from its point set, r9 subdivide-fuzz find) — holes
+    properly inside their shell with no ring-cross, no hole nested
+    inside another hole). A subset of GEOS IsValid — remaining
+    undetected exotica: nested/overlapping sibling shells in a
+    MultiPolygon. Reference: base.py:301."""
     out = np.ones(len(ga), dtype=bool)
     out[ga.is_missing()] = False
     for i in range(len(ga)):
@@ -382,6 +385,15 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                 bad = False
                 for r in p:
                     if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                        bad = True
+                        break
+                    # revisited vertex = ring self-touch (pinch): the
+                    # open ring's vertices must be pairwise distinct
+                    body = r[:-1]
+                    if len(np.unique(body, axis=0)) != len(body):
+                        bad = True
+                        break
+                    if _ring_vertex_on_edge(r):
                         bad = True
                         break
                     if _ring_self_intersects(r):
@@ -442,8 +454,57 @@ def is_simple(ga: GeometryArray) -> np.ndarray:
     return out
 
 
+def _collinear_overlap_any(p, r, q0, q1) -> bool:
+    """Positive-length collinear overlap between segment (p, p+r) and any
+    of segments (q0[i], q1[i]) — the self-intersection class the
+    proper-crossing test cannot see (a boundary edge traced twice, e.g.
+    the Sutherland–Hodgman zero-width bridge; r9 subdivide fuzz find:
+    such rings passed is_valid with inflated shoelace areas)."""
+    rr = float(r @ r)
+    if rr == 0:
+        return False
+    s = q1 - q0
+    denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+    qp = q0 - p
+    u_num = qp[:, 0] * r[1] - qp[:, 1] * r[0]
+    par = (denom == 0) & (u_num == 0)
+    if not par.any():
+        return False
+    t0 = (q0[par] - p) @ r / rr
+    t1 = (q1[par] - p) @ r / rr
+    lo = np.minimum(t0, t1)
+    hi = np.maximum(t0, t1)
+    ov = np.minimum(hi, 1.0) - np.maximum(lo, 0.0)
+    return bool((ov > _EPS).any())
+
+
+def _ring_vertex_on_edge(ring: np.ndarray) -> bool:
+    """A ring vertex lying in the INTERIOR of a non-incident edge — the
+    T-touch form of GEOS's "Ring Self-intersection" (r9 subdivide-fuzz
+    find: the shoelace area of such a ring diverges from its point set
+    without any proper crossing or repeated vertex). Exact comparisons;
+    near-touches follow the kernel's float conventions elsewhere."""
+    body = ring[:-1]
+    m = len(body)
+    for i in range(m):
+        a = body[i]
+        b = body[(i + 1) % m]
+        d = b - a
+        L2 = float(d @ d)
+        if L2 == 0:
+            continue
+        w = body - a
+        cross = w[:, 0] * d[1] - w[:, 1] * d[0]
+        t = (w @ d) / L2
+        if bool(((cross == 0) & (t > 0) & (t < 1)).any()):
+            return True
+    return False
+
+
 def _ring_self_intersects(ring: np.ndarray, closed: bool = True) -> bool:
-    """O(S^2) proper self-intersection test on one ring/chain."""
+    """O(S^2) self-intersection test on one ring/chain: proper crossings
+    plus positive-length collinear overlaps (edges retraced along the
+    same line are invalid even without a proper crossing)."""
     n = len(ring) - 1
     if n < 2:
         return False
@@ -459,6 +520,14 @@ def _ring_self_intersects(ring: np.ndarray, closed: bool = True) -> bool:
         q0 = a0[j0:jn]
         q1 = a1[j0:jn]
         if _any_segment_hit(p, r, q0, q1, proper_only=True):
+            return True
+        if _collinear_overlap_any(p, r, q0, q1):
+            return True
+    # adjacent segments folding back along the same line (spikes) are a
+    # positive-length overlap too
+    for i in range(n - 1):
+        p, r = a0[i], a1[i] - a0[i]
+        if _collinear_overlap_any(p, r, a0[i + 1:i + 2], a1[i + 1:i + 2]):
             return True
     return False
 
@@ -2628,8 +2697,21 @@ def subdivide(ga: GeometryArray, max_vertices: int = 256):
                 ym = (y0 + y1) * 0.5
                 halves = ((x0, y0, x1, ym), (x0, ym, x1, y1))
             pieces = []
+            polygonal = int(g1.types[0]) in POLYGON_TYPES
             for hx0, hy0, hx1, hy1 in halves:
-                piece = clip_by_rect(g1, hx0, hy0, hx1, hy1)
+                if polygonal:
+                    # boolean-kernel clip, NOT the fast/dirty
+                    # Sutherland-Hodgman: S-H connects the lobes of a
+                    # concave polygon with zero-width bridges along the
+                    # cut line — invalid pinched rings whose shoelace
+                    # area is inflated and whose re-union double-counts
+                    # lobes (r9 subdivide fuzz find). The coverage
+                    # contract (pieces re-union exactly to the input)
+                    # needs clean pieces.
+                    box = boxes_from_bounds([hx0], [hy0], [hx1], [hy1])
+                    piece = intersection(g1, box)
+                else:
+                    piece = clip_by_rect(g1, hx0, hy0, hx1, hy1)
                 if not piece.is_empty()[0]:
                     pieces.append(piece)
             if any(int(p.coords_per_geom()[0]) < n for p in pieces):

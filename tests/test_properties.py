@@ -2668,3 +2668,90 @@ def test_concave_hull_structural(seed):
         if prev is not None:
             assert a <= prev + 1e-9, (seed, ratio, a, prev)
         prev = a
+
+
+# ---------------------------------------------------------------------------
+# cross-kernel consistency fuzz (r9, second batch): two pairs of
+# independent implementations must agree exactly on integer-grid inputs —
+#   clip_by_rect (Sutherland–Hodgman) vs intersection-with-box
+#   (Martinez–Rueda boolean kernel): same area, covered both ways;
+#   subdivide: the pieces form an edge-matched coverage whose union and
+#   total area equal the input exactly.
+# ---------------------------------------------------------------------------
+
+
+def _rand_star(rng, cx, cy, n, rmax):
+    """Random star-shaped simple polygon around (cx, cy) with integer
+    vertices (angles sorted — no self-intersection)."""
+    angs = np.sort(rng.uniform(0, 2 * np.pi, n))
+    pts = []
+    for a in angs:
+        r = rng.integers(1, rmax + 1)
+        p = (int(round(cx + r * np.cos(a))), int(round(cy + r * np.sin(a))))
+        if not pts or p != pts[-1]:
+            pts.append(p)
+    # integer rounding can land two angle samples on the SAME point —
+    # a ring revisiting a vertex is a figure-eight (invalid; its
+    # shoelace diverges from its point set), not a test subject
+    if len(pts) < 3 or len(set(pts)) != len(pts):
+        return None
+    pts.append(pts[0])
+    return pts
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_clip_by_rect_vs_boolean_intersection(seed):
+    rng = np.random.default_rng(seed)
+    ring = _rand_star(rng, 10, 10, int(rng.integers(4, 12)), 9)
+    if ring is None:
+        return
+    w = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    ga = wkt.parse_array(np.array([w], dtype=object))
+    if not bool(algos.is_valid(ga)[0]):
+        return                          # rounding can collapse a spike
+    x0, y0 = int(rng.integers(0, 14)), int(rng.integers(0, 14))
+    x1, y1 = x0 + int(rng.integers(2, 10)), y0 + int(rng.integers(2, 10))
+    clipped = algos.clip_by_rect(ga, x0, y0, x1, y1)
+    box = boxes_from_bounds([x0], [y0], [x1], [y1])
+    inter = algos.intersection(ga, box)
+    a_clip = float(algos.area(clipped)[0])
+    a_int = float(algos.area(inter)[0])
+    # crossings at rational coordinates round differently between the
+    # two kernels (different expression order) — identity holds to ulps
+    assert abs(a_clip - a_int) <= 1e-11 * max(a_int, 1.0), (seed, a_clip,
+                                                            a_int)
+    if a_int > 0:
+        sd = float(algos.area(algos.symmetric_difference(clipped,
+                                                         inter))[0])
+        assert sd <= 1e-9, (seed, sd)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_subdivide_union_identity(seed):
+    rng = np.random.default_rng(seed)
+    ring = _rand_star(rng, 20, 20, int(rng.integers(8, 24)), 18)
+    if ring is None:
+        return
+    w = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    ga = wkt.parse_array(np.array([w], dtype=object))
+    if not bool(algos.is_valid(ga)[0]):
+        return
+    parts, parent = algos.subdivide(ga, max_vertices=10)
+    assert set(parent) <= {0}
+    # pieces partition the input: exact area sum and exact re-union
+    a0 = float(algos.area(ga)[0])
+    assert abs(float(np.sum(algos.area(parts))) - a0) < 1e-9 * max(a0, 1.0)
+    reun = algos.union_all(parts)
+    assert abs(float(algos.area(reun)[0]) - a0) < 1e-9 * max(a0, 1.0)
+    # the reunion's cut vertices are float-rounded, so covers() is
+    # (correctly) strict about ulp offsets; the geometric identity is
+    # zero symmetric difference
+    sd = float(algos.area(algos.symmetric_difference(reun, ga))[0])
+    assert sd <= 1e-9 * max(a0, 1.0), (seed, sd)
+    # every piece within the vertex budget
+    for k in range(len(parts)):
+        co = parts.geom_slices(k)
+        nv = sum(len(r) for p in co for r in p)
+        assert nv <= 10 + 5, (seed, k, nv)   # +ring-closure slack per part
