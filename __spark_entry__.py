@@ -4808,7 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affine3d": q_affine3d,
         "buffer_styles": q_buffer_styles,
         "concave": q_concave,
-        "decontaminate": q_decontaminate,
+        "validity": q_validity,
         "dedup_components": q_dedup_components,
         "dissolve_aggfuncs": q_dissolve_aggfuncs,
         "dissolve_mean": q_dissolve_mean,
@@ -4816,7 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_layers": q_list_layers,
         "pack_sequences": q_pack_sequences,
         "read_pushdown": q_read_pushdown,
-        "repetition": q_repetition,
+        "subdivide": q_subdivide,
         "rt_feather": q_rt_feather,
         "rt_fgb": q_rt_fgb,
         "rt_geojsonseq": q_rt_geojsonseq,
@@ -4834,6 +4834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delaunay": q_delaunay,
         "ivf_topk": q_ivf_topk,
         # --- below the 50-query driver-stamp window ---
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
+
         "char_entropy": q_char_entropy,
         "url_ops": q_url_ops,
 
@@ -4856,7 +4859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_distance": q_box_distance,
         "explode": q_explode,
         "envelope": q_envelope,
-        "validity": q_validity,
         "interpolate": q_interpolate,
         "project": q_project,
         "hilbert": q_hilbert,
@@ -4915,7 +4917,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_valid_linework": q_make_valid_linework,
         "sample_poisson": q_sample_poisson,
         "to_crs_tm_more": q_to_crs_tm_more,
-        "subdivide": q_subdivide,
         "trajectory": q_trajectory,
         "embed_quantize": q_embed_quantize,
         "simplify": q_simplify,
