@@ -2755,3 +2755,84 @@ def test_subdivide_union_identity(seed):
         co = parts.geom_slices(k)
         nv = sum(len(r) for p in co for r in p)
         assert nv <= 10 + 5, (seed, k, nv)   # +ring-closure slack per part
+
+
+# ---------------------------------------------------------------------------
+# boundary Mod-2 rule + linear-referencing inverse fuzz (r9, third batch)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_multiline_boundary_mod2_oracle(seed):
+    """OGC Mod-2 rule, recomputed independently: a MultiLineString's
+    boundary is the set of endpoints occurring an ODD number of times
+    across parts (interior vertices never count)."""
+    rng = np.random.default_rng(seed)
+    nodes = [(int(x), int(y)) for x, y in rng.integers(0, 6, size=(8, 2))]
+    lines = []
+    for _ in range(int(rng.integers(2, 7))):
+        a, bq = rng.integers(0, len(nodes), size=2)
+        if nodes[a] != nodes[bq]:
+            lines.append((nodes[a], nodes[bq]))
+    if not lines:
+        return
+    w = "MULTILINESTRING (" + ", ".join(
+        f"({a[0]} {a[1]}, {b[0]} {b[1]})" for a, b in lines) + ")"
+    ga = wkt.parse_array(np.array([w], dtype=object))
+    bd = algos.boundary(ga)
+    # independent endpoint-degree count
+    deg = {}
+    for a, bq in lines:
+        deg[a] = deg.get(a, 0) + 1
+        deg[bq] = deg.get(bq, 0) + 1
+    want = {p for p, d in deg.items() if d % 2 == 1}
+    got = set()
+    if not bd.is_empty()[0]:
+        got = {(int(round(v[0])), int(round(v[1]))) for v in bd.coords}
+    assert got == want, (seed, sorted(got), sorted(want))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_project_interpolate_inverse(seed):
+    """Linear referencing round trip at web-mercator magnitudes:
+    interpolate(project(p)) is the closest point on the line to p, so
+    re-projecting it must return the same measure (exact fixpoint), and
+    for points ON the line the round trip reproduces the point itself
+    within magnitude-relative ulps."""
+    rng = np.random.default_rng(seed)
+    ox, oy = (0.0, 0.0) if seed % 2 == 0 else (2.0e7, -8.0e6)
+    pts = []
+    cur = (0.0, 0.0)
+    for _ in range(int(rng.integers(2, 7))):
+        cur = (cur[0] + float(rng.integers(1, 5)),
+               cur[1] + float(rng.integers(-3, 4)))
+        pts.append((ox + cur[0], oy + cur[1]))
+    if len(pts) < 2:
+        return
+    w = "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in pts) + ")"
+    line = wkt.parse_array(np.array([w], dtype=object))
+    tol = 1e-8 * max(1.0, abs(ox), abs(oy))
+    L = float(algos.length(line)[0])
+    # probes: points on the line (interpolated) and off-line points
+    for frac in (0.0, 0.17, 0.5, 0.83, 1.0):
+        d = frac * L
+        q = algos.interpolate(line, d)
+        m = float(algos.project(line.take([0]), q)[0])
+        assert abs(m - d) <= tol + 1e-12 * L, (seed, frac, m, d)
+    for _ in range(5):
+        p = wkt.parse_array(np.array([
+            f"POINT ({ox + float(rng.uniform(0, 20))!r} "
+            f"{oy + float(rng.uniform(-6, 6))!r})"], dtype=object))
+        m = float(algos.project(line, p)[0])
+        assert -tol <= m <= L + tol, (seed, m, L)
+        foot = algos.interpolate(line, m)
+        m2 = float(algos.project(line, foot)[0])
+        assert abs(m2 - m) <= tol + 1e-12 * L, (seed, m, m2)
+        # the foot is genuinely the nearest line point (naive oracle)
+        fx, fy = float(foot.coords[0][0]), float(foot.coords[0][1])
+        px, py = float(p.coords[0][0]), float(p.coords[0][1])
+        dmin = _line_dist((px, py), pts)
+        dfoot = ((px - fx) ** 2 + (py - fy) ** 2) ** 0.5
+        assert dfoot <= dmin + tol, (seed, dfoot, dmin)
