@@ -2836,3 +2836,111 @@ def test_project_interpolate_inverse(seed):
         dmin = _line_dist((px, py), pts)
         dfoot = ((px - fx) ** 2 + (py - fy) ** 2) ** 0.5
         assert dfoot <= dmin + tol, (seed, dfoot, dmin)
+
+
+# ---------------------------------------------------------------------------
+# centroid exact-rational oracle + minimum_rotated_rectangle structure
+# (r9, fourth batch). Polygon centroid on integer rings is an exact
+# rational: C = (1/6A)·Σ (p_i + p_{i+1})·cross(p_i, p_{i+1}); line
+# centroid is the length-weighted midpoint average; point centroid the
+# mean. The MRR must cover the convex hull, touch it (equal area only
+# for box-aligned inputs), and have area between the hull's and its
+# axis-aligned bbox's.
+# ---------------------------------------------------------------------------
+
+
+def _poly_centroid_exact(ring):
+    from fractions import Fraction as Fr
+    A2 = Fr(0)
+    sx = Fr(0)
+    sy = Fr(0)
+    for k in range(len(ring) - 1):
+        x0, y0 = ring[k]
+        x1, y1 = ring[k + 1]
+        c = Fr(x0) * Fr(y1) - Fr(x1) * Fr(y0)
+        A2 += c
+        sx += (Fr(x0) + Fr(x1)) * c
+        sy += (Fr(y0) + Fr(y1)) * c
+    return float(sx / (3 * A2)), float(sy / (3 * A2))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_centroid_exact_oracles(seed):
+    import math
+    rng = np.random.default_rng(seed)
+    # polygon
+    ring = _rand_star(rng, 30, 30, int(rng.integers(4, 14)), 20)
+    if ring is not None:
+        w = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+        ga = wkt.parse_array(np.array([w], dtype=object))
+        if bool(algos.is_valid(ga)[0]):
+            cx, cy = _poly_centroid_exact(ring)
+            c = algos.centroid(ga)
+            assert abs(float(c.coords[0][0]) - cx) < 1e-9, (seed, cx)
+            assert abs(float(c.coords[0][1]) - cy) < 1e-9, (seed, cy)
+    # polyline: length-weighted midpoint average
+    pts = [(int(x), int(y)) for x, y in rng.integers(0, 20, size=(5, 2))]
+    pts = [p for k, p in enumerate(pts) if k == 0 or p != pts[k - 1]]
+    if len(pts) >= 2:
+        w = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+        gl = wkt.parse_array(np.array([w], dtype=object))
+        tot = wx = wy = 0.0
+        for k in range(len(pts) - 1):
+            L = math.dist(pts[k], pts[k + 1])
+            tot += L
+            wx += L * (pts[k][0] + pts[k + 1][0]) / 2.0
+            wy += L * (pts[k][1] + pts[k + 1][1]) / 2.0
+        if tot > 0:
+            c = algos.centroid(gl)
+            assert abs(float(c.coords[0][0]) - wx / tot) < 1e-9, seed
+            assert abs(float(c.coords[0][1]) - wy / tot) < 1e-9, seed
+    # multipoint: mean of distinct points? (GEOS: mean of ALL points)
+    mp = [(int(x), int(y)) for x, y in rng.integers(0, 9, size=(6, 2))]
+    w = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in mp) + ")"
+    gp = wkt.parse_array(np.array([w], dtype=object))
+    c = algos.centroid(gp)
+    assert abs(float(c.coords[0][0]) - np.mean([p[0] for p in mp])) < 1e-9
+    assert abs(float(c.coords[0][1]) - np.mean([p[1] for p in mp])) < 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_minimum_rotated_rectangle_structure(seed):
+    rng = np.random.default_rng(seed)
+    pts = np.unique(rng.integers(0, 15, size=(int(rng.integers(4, 14)), 2)),
+                    axis=0)
+    sites = [(int(x), int(y)) for x, y in pts]
+    hull, _nb = _mono_hull(sites)
+    if len(hull) <= 2:
+        return
+    ws = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in sites) + ")"
+    ga = wkt.parse_array(np.array([ws], dtype=object))
+    mrr = algos.minimum_rotated_rectangle(ga)
+    hull_area2 = _shoelace2(hull)
+    a = float(algos.area(mrr)[0])
+    bb = algos.bounds(ga)[0]
+    bbox_area = (bb[2] - bb[0]) * (bb[3] - bb[1])
+    # hull ≤ MRR ≤ axis-aligned bbox (the bbox is one admissible rect)
+    assert hull_area2 / 2 <= a * (1 + 1e-9), (seed, a, hull_area2 / 2)
+    assert a <= bbox_area * (1 + 1e-9), (seed, a, bbox_area)
+    # rectangle covers every site
+    assert bool(algos.covers(mrr, ga)[0]), seed
+    # rotating-calipers optimality: the MRR is no larger than any
+    # hull-edge-aligned rectangle (computed independently)
+    import math
+    best = np.inf
+    H = np.array(hull, dtype=np.float64)
+    for k in range(len(hull)):
+        e = H[(k + 1) % len(hull)] - H[k]
+        L = math.hypot(*e)
+        if L == 0:
+            continue
+        u = e / L
+        v = np.array([-u[1], u[0]])
+        pu = H @ u
+        pv = H @ v
+        best = min(best, (pu.max() - pu.min()) * (pv.max() - pv.min()))
+    assert a <= best * (1 + 1e-9), (seed, a, best)
+    # classic result: some hull-edge-aligned rect IS optimal
+    assert a >= best * (1 - 1e-9), (seed, a, best)
