@@ -2944,3 +2944,76 @@ def test_minimum_rotated_rectangle_structure(seed):
     assert a <= best * (1 + 1e-9), (seed, a, best)
     # classic result: some hull-edge-aligned rect IS optimal
     assert a >= best * (1 - 1e-9), (seed, a, best)
+
+
+# ---------------------------------------------------------------------------
+# line_merge vs an independent degree-graph oracle (r9, fifth batch):
+# GEOS LineMerger joins parts only through degree-2 nodes. From a random
+# integer segment soup the oracle computes, with no engine code:
+#   - the multiset of undirected segments is PRESERVED exactly;
+#   - every output chain's interior nodes have degree exactly 2 in the
+#     input graph, and chain endpoints have degree != 2 (or the chain is
+#     a closed ring of an all-degree-2 component);
+#   - the number of output chains equals the graph-derived count.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_line_merge_degree_graph_oracle(seed):
+    rng = np.random.default_rng(seed)
+    nodes = [(int(x), int(y)) for x, y in rng.integers(0, 5, size=(7, 2))]
+    segs = set()
+    for _ in range(int(rng.integers(2, 9))):
+        a, bq = rng.integers(0, len(nodes), size=2)
+        u, v = nodes[a], nodes[bq]
+        if u != v:
+            segs.add((min(u, v), max(u, v)))
+    if not segs:
+        return
+    w = "MULTILINESTRING (" + ", ".join(
+        f"({a[0]} {a[1]}, {b[0]} {b[1]})" for a, b in segs) + ")"
+    ga = wkt.parse_array(np.array([w], dtype=object))
+    merged = algos.line_merge(ga)
+
+    # input graph degrees
+    deg = {}
+    adj = {}
+    for a, bq in segs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[bq] = deg.get(bq, 0) + 1
+        adj.setdefault(a, set()).add(bq)
+        adj.setdefault(bq, set()).add(a)
+
+    # engine output chains
+    out_segs = []
+    chains = []
+    ro = merged.ring_offsets
+    co = np.rint(merged.coords).astype(np.int64)
+    assert np.abs(merged.coords - co).max(initial=0.0) < 1e-9
+    for r in range(len(ro) - 1):
+        chain = [tuple(map(int, co[k])) for k in range(ro[r], ro[r + 1])]
+        chains.append(chain)
+        for k in range(len(chain) - 1):
+            u, v = chain[k], chain[k + 1]
+            out_segs.append((min(u, v), max(u, v)))
+    # segment multiset preserved (input had no duplicates by set())
+    assert sorted(out_segs) == sorted(segs), (seed, chains)
+    for chain in chains:
+        closed = chain[0] == chain[-1]
+        for p in chain[1:-1]:
+            assert deg[p] == 2, (seed, chain, p)
+        if not closed:
+            assert deg[chain[0]] != 2 and deg[chain[-1]] != 2, (seed, chain)
+        # closed chains may end at a junction (a lollipop loop closes AT
+        # the junction without merging THROUGH it) or be a pure ring of
+        # an all-degree-2 cycle — both are legal LineMerger outputs
+
+    # endpoint-slot count: a node of degree d != 2 offers d chain-end
+    # slots (degree-2 nodes merge through). Every chain consumes 2
+    # slots except a pure ring (closed with a degree-2 endpoint), which
+    # consumes 0.
+    slots = sum(d if d != 2 else 0 for d in deg.values())
+    consuming = sum(1 for c in chains
+                    if not (c[0] == c[-1] and deg[c[0]] == 2))
+    assert consuming * 2 == slots, (seed, consuming, slots, chains)
