@@ -3017,3 +3017,63 @@ def test_line_merge_degree_graph_oracle(seed):
     consuming = sum(1 for c in chains
                     if not (c[0] == c[-1] and deg[c[0]] == 2))
     assert consuming * 2 == slots, (seed, consuming, slots, chains)
+
+
+# ---------------------------------------------------------------------------
+# sample_points containment (independent ray-cast PIP) and snap
+# idempotence/identity (r9, sixth batch)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_sample_points_containment_independent_pip(seed):
+    rng = np.random.default_rng(seed)
+    ring = _rand_star(rng, 15, 15, int(rng.integers(4, 12)), 10)
+    if ring is None:
+        return
+    w = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    ga = wkt.parse_array(np.array([w], dtype=object))
+    if not bool(algos.is_valid(ga)[0]):
+        return
+    n = int(rng.integers(3, 30))
+    pts = algos.sample_points(ga, n, seed=seed)
+    assert len(pts.coords) == n, (seed, len(pts.coords))
+    rl = [tuple(map(float, v)) for v in ring]
+    for v in pts.coords:
+        r = _pip((float(v[0]), float(v[1])), rl)
+        assert r is not False, (seed, tuple(v))   # inside or boundary-eps
+    # determinism across calls
+    again = algos.sample_points(ga, n, seed=seed)
+    assert np.array_equal(pts.coords, again.coords), seed
+
+
+@settings(max_examples=30, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_snap_identity_and_idempotence(seed):
+    rng = np.random.default_rng(seed)
+    pts = [(int(x), int(y)) for x, y in rng.integers(0, 12, size=(5, 2))]
+    pts = [p for k, p in enumerate(pts) if k == 0 or p != pts[k - 1]]
+    if len(pts) < 2:
+        return
+    wa = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    ga = wkt.parse_array(np.array([wa], dtype=object))
+    tgt = [(int(x) + 0.25, int(y) - 0.25)
+           for x, y in rng.integers(0, 12, size=(4, 2))]
+    wb = "MULTIPOINT (" + ", ".join(f"{x!r} {y!r}" for x, y in tgt) + ")"
+    gb = wkt.parse_array(np.array([wb], dtype=object))
+    # tol=0: identity, bit-exact
+    s0 = algos.snap(ga, gb, 0.0)
+    assert wkb.encode(s0)[0] == wkb.encode(ga)[0], seed
+    # snapping twice with the same target/tol changes nothing
+    tol = float(rng.choice([0.3, 0.6, 1.0]))
+    s1 = algos.snap(ga, gb, tol)
+    s2 = algos.snap(s1, gb, tol)
+    assert wkb.encode(s2)[0] == wkb.encode(s1)[0], (seed, tol)
+    # every output vertex is an input vertex or a target point
+    allowed = {tuple(map(float, p)) for p in pts} | set(tgt)
+    for v in s1.coords:
+        p = (float(v[0]), float(v[1]))
+        assert p in allowed or min(
+            (p[0]-q[0])**2 + (p[1]-q[1])**2 for q in allowed) < 1e-18, \
+            (seed, p)
