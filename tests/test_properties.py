@@ -3077,3 +3077,83 @@ def test_snap_identity_and_idempotence(seed):
         assert p in allowed or min(
             (p[0]-q[0])**2 + (p[1]-q[1])**2 for q in allowed) < 1e-18, \
             (seed, p)
+
+
+# ---------------------------------------------------------------------------
+# shared_paths vs a unit-edge direction oracle (r9, final batch): on
+# axis-aligned integer polylines every shared portion decomposes into
+# DIRECTED unit edges, so both direction classes are exactly
+# recomputable — same_direction = directed unit edges of A also
+# traversed by B in the same direction, opposite_direction likewise
+# reversed.
+# ---------------------------------------------------------------------------
+
+
+def _axis_chain(rng, n, G):
+    cur = (int(rng.integers(0, G)), int(rng.integers(0, G)))
+    pts = [cur]
+    for _ in range(n):
+        dx, dy = rng.choice([(1, 0), (-1, 0), (0, 1), (0, -1)])
+        ln = int(rng.integers(1, 4))
+        cur = (min(max(cur[0] + dx * ln, 0), G),
+               min(max(cur[1] + dy * ln, 0), G))
+        if cur != pts[-1]:
+            pts.append(cur)
+    return pts if len(pts) >= 2 else None
+
+
+def _directed_units(pts):
+    out = []
+    for k in range(len(pts) - 1):
+        (x, y), (x2, y2) = pts[k], pts[k + 1]
+        sx = 0 if x == x2 else (1 if x2 > x else -1)
+        sy = 0 if y == y2 else (1 if y2 > y else -1)
+        cx, cy = x, y
+        while (cx, cy) != (x2, y2):
+            out.append(((cx, cy), (cx + sx, cy + sy)))
+            cx, cy = cx + sx, cy + sy
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_shared_paths_unit_edge_oracle(seed):
+    rng = np.random.default_rng(seed)
+    A = _axis_chain(rng, int(rng.integers(3, 10)), 6)
+    B = _axis_chain(rng, int(rng.integers(3, 10)), 6)
+    if A is None or B is None:
+        return
+    wa = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in A) + ")"
+    wb = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in B) + ")"
+    ga = wkt.parse_array(np.array([wa], dtype=object))
+    gb = wkt.parse_array(np.array([wb], dtype=object))
+    same, opp = algos.shared_paths(ga, gb)
+
+    ua = _directed_units(A)
+    ub = set(_directed_units(B))
+    # classify each undirected shared edge; edges either input traverses
+    # in BOTH directions are direction-ambiguous (either class is a
+    # defensible GEOS answer) — bound the engine's classes instead
+    same_only, opp_only, both = set(), set(), set()
+    for e in ua:
+        fwd = e in ub
+        rev = (e[1], e[0]) in ub
+        k = (min(e), max(e))
+        if fwd and rev:
+            both.add(k)
+        elif fwd:
+            same_only.add(k)
+        elif rev:
+            opp_only.add(k)
+    amb = same_only & opp_only
+    both |= amb
+    same_only -= amb
+    opp_only -= amb
+    got_same = _ga_unit_edges(same) if not same.is_empty()[0] else set()
+    got_opp = _ga_unit_edges(opp) if not opp.is_empty()[0] else set()
+    assert same_only <= got_same <= same_only | both, (
+        seed, sorted(got_same), sorted(same_only), sorted(both))
+    assert opp_only <= got_opp <= opp_only | both, (
+        seed, sorted(got_opp), sorted(opp_only), sorted(both))
+    assert got_same | got_opp == same_only | opp_only | both, (
+        seed, sorted(got_same | got_opp))
