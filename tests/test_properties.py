@@ -3157,3 +3157,25 @@ def test_shared_paths_unit_edge_oracle(seed):
         seed, sorted(got_opp), sorted(opp_only), sorted(both))
     assert got_same | got_opp == same_only | opp_only | both, (
         seed, sorted(got_same | got_opp))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_representative_point_containment(seed):
+    """representative_point must lie INSIDE the polygon (reference
+    base.py guarantees interior, unlike centroid) — checked with the
+    independent ray-cast PIP, plus determinism."""
+    rng = np.random.default_rng(seed)
+    ring = _rand_star(rng, 15, 15, int(rng.integers(4, 14)), 10)
+    if ring is None:
+        return
+    w = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    ga = wkt.parse_array(np.array([w], dtype=object))
+    if not bool(algos.is_valid(ga)[0]):
+        return
+    rp = algos.representative_point(ga)
+    p = (float(rp.coords[0][0]), float(rp.coords[0][1]))
+    rl = [tuple(map(float, v)) for v in ring]
+    assert _pip(p, rl) is not False, (seed, p)
+    again = algos.representative_point(ga)
+    assert np.array_equal(rp.coords, again.coords), seed
