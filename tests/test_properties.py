@@ -3179,3 +3179,77 @@ def test_representative_point_containment(seed):
     assert _pip(p, rl) is not False, (seed, p)
     again = algos.representative_point(ga)
     assert np.array_equal(rp.coords, again.coords), seed
+
+
+# ---------------------------------------------------------------------------
+# negative buffer (erosion) of CONVEX polygons vs an independent
+# half-plane-intersection oracle (r9, last batch): eroding a convex
+# polygon by d is exactly the intersection of its edges' inward-offset
+# half-planes — no arcs involved — computable with a tiny standalone
+# convex clipper.
+# ---------------------------------------------------------------------------
+
+
+def _clip_halfplane(poly, a, b, c):
+    """Clip convex polygon (list of (x, y), open) to a*x + b*y <= c."""
+    out = []
+    n = len(poly)
+    for i in range(n):
+        p, q = poly[i], poly[(i + 1) % n]
+        fp = a * p[0] + b * p[1] - c
+        fq = a * q[0] + b * q[1] - c
+        if fp <= 0:
+            out.append(p)
+        if (fp < 0 < fq) or (fq < 0 < fp):
+            t = fp / (fp - fq)
+            out.append((p[0] + t * (q[0] - p[0]),
+                        p[1] + t * (q[1] - p[1])))
+    return out
+
+
+def _area_open(poly):
+    s = 0.0
+    n = len(poly)
+    for i in range(n):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % n]
+        s += x0 * y1 - x1 * y0
+    return abs(s) / 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_negative_buffer_convex_erosion_oracle(seed):
+    rng = np.random.default_rng(seed)
+    pts = np.unique(rng.integers(0, 20, size=(int(rng.integers(4, 12)), 2)),
+                    axis=0)
+    hull, _nb = _mono_hull([(int(x), int(y)) for x, y in pts])
+    if len(hull) < 3:
+        return
+    ring = [tuple(map(float, p)) for p in hull]
+    w = "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in ring)
+    w += f", {ring[0][0]!r} {ring[0][1]!r}))"
+    ga = wkt.parse_array(np.array([w], dtype=object))
+    d = float(rng.choice([0.25, 0.5, 1.0]))
+
+    # oracle: intersect inward-offset half-planes (hull is CCW)
+    poly = ring
+    import math
+    for i in range(len(ring)):
+        p, q = ring[i], ring[(i + 1) % len(ring)]
+        ex, ey = q[0] - p[0], q[1] - p[1]
+        L = math.hypot(ex, ey)
+        # outward normal of a CCW edge is (ey, -ex)/L; inward shift by d:
+        # constraint (ey, -ex)·x <= (ey, -ex)·p - d*L
+        a, bq = ey / L, -ex / L
+        c = a * p[0] + bq * p[1] - d
+        poly = _clip_halfplane(poly, a, bq, c)
+        if len(poly) < 3:
+            poly = []
+            break
+    want = _area_open(poly) if poly else 0.0
+
+    er = algos.buffer(ga, -d)
+    got = float(algos.area(er)[0]) if not er.is_empty()[0] else 0.0
+    assert abs(got - want) <= 1e-6 * max(want, 1.0) + 1e-9, (seed, got,
+                                                             want, d)
