@@ -3796,16 +3796,23 @@ def _lineal_union(ga: GeometryArray, idx) -> GeometryArray:
     # coords only arise from transversal crossing points). When crossings
     # at sub-quantum angles mint off-grid split points, snapping them can
     # create collinear overlaps the pass couldn't see — re-node until the
-    # output sits on the grid (real data: 1 pass; quantum-scale
-    # adversarial input: 2-3; hard cap keeps worst cases bounded).
+    # output sits fully on the grid (real data: 1 pass). The r9
+    # idempotence fuzz showed the old 3-pass cap gave up BEFORE the
+    # cascade of snap-created collinear overlaps was fully deduped on
+    # quantum-tilted-twin input (a second union over the output then
+    # collapsed 0.5 of length); the same input converges to the on-grid
+    # hard fixpoint within ~17 passes (each pass resolves one layer of
+    # the snap-cascade: a rounded split point can re-cross its partner
+    # a quantum away), so the cap is 24 — extra passes only run for
+    # components that actually minted off-grid crossing points, which
+    # real linework does not (1 pass).
     pieces = _pass(seglists)
-    for _ in range(3):
+    for _ in range(24):
         if not pieces:
             break
         flat = np.concatenate([p.ravel() for p in pieces])
-        snapped = np.round(flat, 9)
-        if np.array_equal(flat, snapped):
-            break
+        if np.array_equal(flat, np.round(flat, 9)):
+            break                   # on-grid output is a hard fixpoint
         pieces = _pass([np.stack([q[:-1], q[1:]], axis=1)
                         for q in (np.round(p, 9) for p in pieces)])
     if not pieces:
@@ -5566,6 +5573,30 @@ def _repair_ring_faces(ring: np.ndarray) -> list:
     return [faces.geom_slices(k)[0][0] for k in range(len(faces))]
 
 
+def _strip_ring_spikes(r: np.ndarray) -> np.ndarray:
+    """Remove zero-width out-and-back retraces (… A, B, A …) from a face
+    ring. The raw arrangement walk traces dangling edges on both sides,
+    so a face adjacent to a dangle comes back as a pinched ring — valid
+    area, invalid boundary (r9 make_valid fuzz find). Degenerate results
+    (< 3 distinct points: the face WAS a pure spike) return the input —
+    the caller's interior-point test already excludes zero-area faces."""
+    pts = [tuple(map(float, v)) for v in r[:-1]]
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        n = len(pts)
+        for k in range(n):
+            if pts[(k - 1) % n] == pts[(k + 1) % n]:
+                for di in sorted((k, (k + 1) % n), reverse=True):
+                    del pts[di]
+                changed = True
+                break
+    if len(pts) < 3:
+        return r
+    pts.append(pts[0])
+    return np.array(pts, dtype=np.float64)
+
+
 def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
     """Repair invalid polygons (reference base.py:2114; GEOS MakeValid).
 
@@ -5601,14 +5632,30 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             # overlap (depth 2) becomes a hole; the part of a hole jutting
             # outside its shell (depth 1) becomes area.
             orig = [_mr._close(r) for p in ga.geom_slices(i) for r in p]
-            lw = GeometryBuilder()
+            # dedupe coincident segments BEFORE polygonizing: a ring
+            # spike (… A, B, A …) otherwise feeds the same segment twice
+            # and the face walk treats B as a degree-2 pass-through,
+            # emitting a pinched ring that retraces the zero-width spike
+            # (r9 make_valid fuzz find). One copy makes B degree-1 — a
+            # dangle the polygonizer prunes. Classification below still
+            # uses the ORIGINAL rings.
+            segs = set()
             for r in orig:
-                lw.append(GT_LINESTRING, [[r]])
+                for k in range(len(r) - 1):
+                    a_v = (float(r[k][0]), float(r[k][1]))
+                    c_v = (float(r[k + 1][0]), float(r[k + 1][1]))
+                    if a_v != c_v:
+                        segs.add((a_v, c_v) if a_v <= c_v else (c_v, a_v))
+            lw = GeometryBuilder()
+            for a_v, c_v in sorted(segs):
+                lw.append(GT_LINESTRING,
+                          [[np.array([a_v, c_v], dtype=np.float64)]])
             faces = polygonize(lw.finish(), _faces_only=True)
             if len(faces) == 0:
                 b.append_empty(GT_POLYGON)
                 continue
-            rings = [faces.geom_slices(k)[0][0] for k in range(len(faces))]
+            rings = [_strip_ring_spikes(faces.geom_slices(k)[0][0])
+                     for k in range(len(faces))]
             ips = [_ring_interior_point(fr, rings) for fr in rings]
             live = [k for k in range(len(rings)) if ips[k] is not None]
             if not live:
