@@ -5597,6 +5597,68 @@ def _strip_ring_spikes(r: np.ndarray) -> np.ndarray:
     return np.array(pts, dtype=np.float64)
 
 
+def _split_ring_pinches(r: np.ndarray) -> list:
+    """Split a face ring that revisits a vertex (the walk traced two
+    lobes joined at a pinch node — a degree-4 crossing where the
+    leftmost-turn rotation links both boundary cycles into one) into
+    separate simple rings; GEOS MakeValid emits the lobes as separate
+    polygons (r9 make_valid fuzz find). Degenerate (<3-point) lobes are
+    dropped; returns [r] unchanged when no vertex repeats."""
+    out = []
+    stack = [[tuple(map(float, v)) for v in r[:-1]]]
+    guard = 0
+    while stack:
+        guard += 1
+        if guard > 1000:
+            return [r]
+        cur = stack.pop()
+        seen = {}
+        split = None
+        for idx, p in enumerate(cur):
+            if p in seen:
+                split = (seen[p], idx)
+                break
+            seen[p] = idx
+        if split is None:
+            if len(cur) >= 3:
+                out.append(np.array(cur + [cur[0]], dtype=np.float64))
+            continue
+        i, j = split
+        loop = cur[i:j]
+        rest = cur[:i] + cur[j:]
+        if len(loop) >= 3:
+            stack.append(loop)
+        if len(rest) >= 3:
+            stack.append(rest)
+    return out if out else [r]
+
+
+def _fix_pinched_polys(polys: list) -> list:
+    """Final make_valid hygiene: per [shell, *holes] polygon, strip
+    zero-width spikes from the shell, split shells that revisit a vertex
+    into separate lobes, and re-home each hole into the lobe containing
+    it. No-op for already-simple shells."""
+    out = []
+    for p in polys:
+        shell = _strip_ring_spikes(np.asarray(p[0], dtype=np.float64))
+        lobes = _split_ring_pinches(shell)
+        holes = list(p[1:])
+        if len(lobes) == 1:
+            out.append([lobes[0]] + holes)
+            continue
+        assigned = [[] for _ in lobes]
+        for h in holes:
+            hx = np.array([float(h[0][0])])
+            hy = np.array([float(h[0][1])])
+            for k, lb in enumerate(lobes):
+                if points_in_rings(hx, hy, [lb])[0] != 0:
+                    assigned[k].append(h)
+                    break
+        for k, lb in enumerate(lobes):
+            out.append([lb] + assigned[k])
+    return out
+
+
 def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
     """Repair invalid polygons (reference base.py:2114; GEOS MakeValid).
 
@@ -5654,8 +5716,10 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             if len(faces) == 0:
                 b.append_empty(GT_POLYGON)
                 continue
-            rings = [_strip_ring_spikes(faces.geom_slices(k)[0][0])
-                     for k in range(len(faces))]
+            rings = []
+            for k in range(len(faces)):
+                fr = _strip_ring_spikes(faces.geom_slices(k)[0][0])
+                rings.extend(_split_ring_pinches(fr))
             ips = [_ring_interior_point(fr, rings) for fr in rings]
             live = [k for k in range(len(rings)) if ips[k] is not None]
             if not live:
@@ -5698,8 +5762,14 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
                     tmp.append(GT_POLYGON, [p])
                 merged = _coverage_union(tmp.finish())
                 if merged is not None:
-                    b.append_from(merged, 0)
-                    continue
+                    # the merge tracer can re-link lobes THROUGH a shared
+                    # pinch vertex — decompose and run the pinch fixup
+                    # below instead of emitting its rings verbatim
+                    polys = [list(part) for part in merged.geom_slices(0)]
+            # final hygiene: output shells must be simple rings — strip
+            # zero-width spikes and split pinched shells into lobes,
+            # re-homing holes by containment (r9 make_valid fuzz finds)
+            polys = _fix_pinched_polys(polys)
             _append_polys(b, polys)
             continue
         # structure: union of repaired shells minus union of repaired holes

@@ -3264,3 +3264,33 @@ def test_negative_buffer_convex_erosion_oracle(seed):
     sag = d * (1.0 - math.cos((math.pi / 2) / 16 / 2))
     assert got >= want - 1e-9, (seed, got, want, d)
     assert got - want <= P * sag + 1e-9, (seed, got, want, d, P * sag)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st_.integers(min_value=0, max_value=100000))
+def test_make_valid_output_is_valid(seed):
+    """make_valid(linework) output must itself pass the (r9-hardened)
+    validity check — spikes stripped, pinched shells split into lobes,
+    holes re-homed (GEOS MakeValid emits simple rings)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 10))
+    pts = [(int(x), int(y)) for x, y in rng.integers(0, 10, size=(n, 2))]
+    pts = [p for k, p in enumerate(pts) if k == 0 or p != pts[k - 1]]
+    if len(pts) < 3:
+        return
+    w = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in pts) + \
+        f", {pts[0][0]} {pts[0][1]}))"
+    try:
+        ga = wkt.parse_array(np.array([w], dtype=object))
+    except Exception:
+        return
+    if bool(algos.is_valid(ga)[0]):
+        mv = algos.make_valid(ga)
+        assert wkb.encode(mv)[0] == wkb.encode(ga)[0], seed  # pass-through
+        return
+    mv = algos.make_valid(ga)
+    assert bool(algos.is_valid(mv)[0]), (
+        seed, algos.is_valid_reason(mv)[0])
+    # idempotence: a valid result passes through unchanged
+    mv2 = algos.make_valid(mv)
+    assert wkb.encode(mv2)[0] == wkb.encode(mv)[0], seed
