@@ -4810,8 +4810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concave": q_concave,
         "validity": q_validity,
         "dedup_components": q_dedup_components,
-        "dissolve_aggfuncs": q_dissolve_aggfuncs,
-        "dissolve_mean": q_dissolve_mean,
+        "make_valid_linework": q_make_valid_linework,
+        "make_valid": q_make_valid,
         "grid_size": q_grid_size,
         "list_layers": q_list_layers,
         "pack_sequences": q_pack_sequences,
@@ -4834,6 +4834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delaunay": q_delaunay,
         "ivf_topk": q_ivf_topk,
         # --- below the 50-query driver-stamp window ---
+        "dissolve_aggfuncs": q_dissolve_aggfuncs,
+        "dissolve_mean": q_dissolve_mean,
+
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
 
@@ -4914,14 +4917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_crs_gk": q_to_crs_gk,
         "to_crs_spcs": q_to_crs_spcs,
         "to_crs_somerc": q_to_crs_somerc,
-        "make_valid_linework": q_make_valid_linework,
         "sample_poisson": q_sample_poisson,
         "to_crs_tm_more": q_to_crs_tm_more,
         "trajectory": q_trajectory,
         "embed_quantize": q_embed_quantize,
         "simplify": q_simplify,
         "snap": q_snap,
-        "make_valid": q_make_valid,
         "line_merge": q_line_merge,
         "normalize_reverse": q_normalize_reverse,
         "segmentize_rrp": q_segmentize_rrp,
