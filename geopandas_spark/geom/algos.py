@@ -359,6 +359,25 @@ def is_ccw(ga: GeometryArray) -> np.ndarray:
     return out & is_closed(ga)
 
 
+def _dedup_ring(r: np.ndarray) -> np.ndarray:
+    """Collapse CONSECUTIVE duplicate vertices of a closed ring
+    (including the closing wrap) and return it re-closed. GEOS treats
+    repeated consecutive points as valid — only NON-consecutive
+    revisits are ring self-touches — so validity checks must run on
+    the collapsed linework (r10 ADVICE: the r9 revisited-vertex test
+    flagged POLYGON((0 0,1 0,1 0,1 1,0 1,0 0)) invalid)."""
+    body = r[:-1]
+    if len(body) == 0:
+        return r
+    keep = np.ones(len(body), dtype=bool)
+    keep[1:] = (body[1:] != body[:-1]).any(axis=1)
+    body = body[keep]
+    # wrap: the open body's first and last may now coincide
+    while len(body) > 1 and np.array_equal(body[0], body[-1]):
+        body = body[:-1]
+    return np.vstack([body, body[:1]])
+
+
 def is_valid(ga: GeometryArray) -> np.ndarray:
     """Structural validity check (closed rings with >= 4 points, finite
     coords, no self-intersecting rings — proper crossings, collinear
@@ -383,12 +402,19 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
         if t in (GT_POLYGON, GT_MULTIPOLYGON):
             for p in parts:
                 bad = False
+                pc = []
                 for r in p:
                     if len(r) < 4 or not np.array_equal(r[0], r[-1]):
                         bad = True
                         break
+                    # consecutive duplicate vertices are valid (GEOS
+                    # parity, r10 ADVICE) — collapse before testing
+                    r = _dedup_ring(r)
+                    if len(r) < 4:      # collapsed to a point/segment
+                        bad = True
+                        break
                     # revisited vertex = ring self-touch (pinch): the
-                    # open ring's vertices must be pairwise distinct
+                    # open COLLAPSED ring's vertices must be distinct
                     body = r[:-1]
                     if len(np.unique(body, axis=0)) != len(body):
                         bad = True
@@ -399,6 +425,8 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                     if _ring_self_intersects(r):
                         bad = True
                         break
+                    pc.append(r)
+                p = pc if not bad else p
                 if not bad and len(p) > 1:
                     # holes: no proper cross with the shell, and at least
                     # one hole vertex strictly inside/on the shell

@@ -61,17 +61,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
                       bands: int = 4, k: int = 5,
-                      bucket_window: int = None) -> DataFrame:
+                      bucket_window="auto",
+                      hot_bucket_threshold: int = 8192,
+                      auto_window: int = 4) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     rows-per-band = num_hashes // bands; two docs become a candidate pair
     iff some band of their signatures agrees exactly. Returns distinct
     (id_a, id_b) with id_a < id_b.
 
-    ``bucket_window=None`` (default) emits ALL pairs per bucket — the
-    oracle twin's exact semantics, but O(n²) inside a bucket: one hot
-    bucket (a template duplicated 100k×) emits 10^10 pairs and kills the
-    job (measured: a 150k-row bucket at the 2M-row stress tier never
+    ``bucket_window=None`` emits ALL pairs per bucket — the oracle
+    twin's exact semantics (full recall), but O(n²) inside a bucket: one
+    hot bucket (a template duplicated 100k×) emits 10^10 pairs and kills
+    the job (measured: a 150k-row bucket at the 2M-row stress tier never
     finishes). ``bucket_window=w`` is the scale path: each doc pairs
     with its w id-order successors IN THE SAME BUCKET plus the bucket's
     minimum id (star edge), generated natively with window lead()/
@@ -80,13 +82,32 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     every bucket's component diameter ≤ 2 so downstream min-label
     propagation converges in a few rounds; only when a verifier prunes
     star+chain edges that all-pairs would have kept can the final
-    components differ."""
+    components differ.
+
+    ``bucket_window="auto"`` (default, r10 ADVICE: the bounded path must
+    not silently cost recall on ordinary corpora) probes bucket sizes on
+    a deterministic 1/64 id-hash sample (one cheap extra action over the
+    sampled rows only) and uses the exact all-pairs path unless some
+    bucket's ESTIMATED size exceeds ``hot_bucket_threshold`` (default
+    8192 ≈ 33M pairs from one bucket), in which case the bounded path
+    with ``auto_window`` successors kicks in. A hot bucket big enough to
+    matter (≥ threshold) is essentially guaranteed to surface in a 1/64
+    sample (binomial: ≥8192 members → ~128 sampled ± 11)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, k)
     sigs = sigs.select(id_col, *[f"mh{i}" for i in range(num_hashes)])
     keys = [F.concat_ws("#", *[F.col(f"mh{b * rows + r}")
                                for r in range(rows)])
             for b in range(bands)]
+    if isinstance(bucket_window, str) and bucket_window == "auto":
+        probe_max = (
+            sigs.filter(F.crc32(F.col(id_col).cast("string")) % 64 == 0)
+                .select(F.posexplode(F.array(*keys)).alias("band", "bk"))
+                .groupBy("band", "bk").count()
+                .agg(F.max("count").alias("m")).collect()[0]["m"]) or 0
+        bucket_window = (auto_window
+                         if probe_max * 64 >= hot_bucket_threshold
+                         else None)
     if bucket_window is not None:
         # ONE plan: signatures evaluated once per row (the per-band
         # union recomputed the shingle+md5 pipeline once per band),
@@ -262,7 +283,8 @@ def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", *, num_hashes: int = 8,
                 bands: int = 4, k: int = 5,
                 jaccard_threshold: float = 0.8,
-                bucket_window: int = 4) -> DataFrame:
+                bucket_window="auto",
+                hot_bucket_threshold: int = 8192) -> DataFrame:
     """The canonical large-corpus fuzzy-dedup recipe as one call:
 
         MinHash signatures → LSH band candidates → exact n-gram Jaccard
@@ -271,19 +293,21 @@ def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
     Every stage is the already-oracle-checked building block (minhash /
     lsh_pairs / jaccard / dedup_components queries); this composition is
     the pipeline a 100 TB pretraining corpus actually runs. Scale shape:
-    candidate generation is banded window pair generation with
-    ``bucket_window`` (chain + star edges, O(n·w) per bucket — a
-    template duplicated 100k× would otherwise emit 10^10 all-pairs from
-    ONE bucket; see minhash_lsh_pairs), exact Jaccard scores only LSH
-    candidates, and cluster resolution is the iterative min-label
+    candidate generation defaults to ``bucket_window="auto"`` — exact
+    all-pairs (full recall) unless a sampled probe detects a hot bucket
+    (a template duplicated 100k× would emit 10^10 all-pairs from ONE
+    bucket), in which case the bounded chain+star generator (O(n·w) per
+    bucket, see minhash_lsh_pairs) kicks in; exact Jaccard scores only
+    LSH candidates, and cluster resolution is the iterative min-label
     propagation bounded by the candidate graph (star edges keep bucket
-    components diameter ≤ 2). Pass ``bucket_window=None`` for the exact
-    all-pairs candidate set on small corpora.
+    components diameter ≤ 2). Pass ``bucket_window=None`` to force
+    exact all-pairs, or an int to force the bounded path.
 
     Returns the deduplicated DataFrame (original columns)."""
     cands = minhash_lsh_pairs(df, id_col, text_col,
                               num_hashes=num_hashes, bands=bands, k=k,
-                              bucket_window=bucket_window)
+                              bucket_window=bucket_window,
+                              hot_bucket_threshold=hot_bucket_threshold)
     verified = ngram_jaccard_pairs(df, id_col, text_col, k=k,
                                    threshold=jaccard_threshold,
                                    candidates=cands)

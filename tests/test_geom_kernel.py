@@ -576,6 +576,21 @@ class TestValidity:
         )
         np.testing.assert_array_equal(algos.is_valid(ga), [True, False, False])
 
+    def test_is_valid_consecutive_duplicate_vertices(self):
+        # GEOS parity (r10 ADVICE): repeated CONSECUTIVE points are
+        # valid; only non-consecutive revisits (pinches) are not.
+        ga = ga_from_wkt(
+            "POLYGON ((0 0, 1 0, 1 0, 1 1, 0 1, 0 0))",   # interior dup
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0, 0 0))",   # dup at wrap
+            "POLYGON ((0 0, 1 0, 1 0, 0 0))",             # collapses: seg
+            "POLYGON ((0 0, 2 0, 2 2, 1 1, 2 2, 0 2, 0 0))",  # true pinch
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0),"
+            " (1 1, 2 1, 2 1, 2 2, 1 2, 1 1))",           # dup in hole
+        )
+        np.testing.assert_array_equal(
+            algos.is_valid(ga), [True, True, False, False, True])
+        assert algos.is_valid_reason(ga)[0] == "Valid Geometry"
+
     def test_is_ring_closed(self):
         ga = ga_from_wkt("LINESTRING (0 0, 1 0, 1 1, 0 0)",
                          "LINESTRING (0 0, 1 1)")

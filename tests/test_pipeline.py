@@ -504,3 +504,31 @@ def test_fuzzy_dedup_bucket_window_equivalence(spark):
         bucket_window=4).select("doc_id").collect()}
     assert bounded == exact
     assert 200 <= len(exact) < 1200          # singletons survive, clusters collapse
+
+
+def test_lsh_pairs_auto_probe(spark):
+    """bucket_window="auto" (the default, r10 ADVICE: no silent recall
+    loss) must resolve to the EXACT all-pairs candidate set on an
+    ordinary corpus, and to the bounded generator when the sampled
+    probe sees a hot bucket (forced here with threshold=1)."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.pipeline.dedup import minhash_lsh_pairs
+
+    body = F.md5((F.col("id") % 8).cast("string"))
+    df = (spark.range(240)
+          .withColumn("text", F.concat(F.lit("doc "), body, F.lit(" tail "),
+                                       (F.col("id") % 2).cast("string")))
+          .select(F.col("id").alias("doc_id"), "text"))
+
+    exact = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, num_hashes=4, bands=2, k=4, bucket_window=None).collect()}
+    auto = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, num_hashes=4, bands=2, k=4).collect()}     # default "auto"
+    assert auto == exact                # no hot bucket -> exact path
+
+    bounded_auto = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, num_hashes=4, bands=2, k=4, bucket_window="auto",
+        hot_bucket_threshold=1, auto_window=4).collect()}
+    # the forced-hot path emits the chain+star SUBSET, never a superset
+    assert bounded_auto <= exact and len(bounded_auto) < len(exact)
