@@ -580,6 +580,28 @@ def _pick_cell_size_sampled(sl, sr, scale_l, scale_r, base_x, base_y,
 # Hot-cell salting switch (benchmark A/B hook; always on in production).
 SALT_HOT_CELLS = True
 
+# Monster-bbox routing (r10, VERDICT r9 #4): a bbox spanning more than
+# MONSTER_CELL_CAP grid cells is invisible to the per-cell pair estimate
+# (it covers the plane, not a cell) and would explode F.sequence into an
+# unbounded per-row blowup. When the 20k-row sample sees at least one
+# such row, monster rows emit ONE sentinel cell instead of the grid and
+# partner rows emit one extra sentinel row, so monster pairs flow through
+# the SAME equi-join (no extra scan of either side):
+#   SENT_A: monster-left rows x ALL right rows
+#   SENT_B: normal-left rows x monster-right rows
+# Each pair lands in exactly one sentinel bucket (monster-left never
+# emits SENT_B; monster-right has no grid cells), and sentinel keys salt
+# in the REVERSE direction of the hot-cell table — the (few) monster
+# rows replicate across K_SENT buckets while the large partner side
+# hashes — so one plane-covering geometry fans across K_SENT tasks.
+# When inactive (no sampled monster — the common path pays zero cost), a
+# hard per-row guard fails with guidance instead of silently exploding.
+MONSTER_CELL_CAP = 256
+MONSTER_HARD_CAP = 32768
+SENT_A = 1 << 62
+SENT_B = (1 << 62) + 1
+K_SENT = 64
+
 
 def _invert_sample_distinct(s: int, d: int, population: int) -> int:
     """Estimate the population's distinct-key count from a uniform sample:
@@ -754,23 +776,102 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
             scale_l, scale_r = nl / len(sl), nr / len(sr)
             w, hgt = _pick_cell_size_sampled(
                 sl, sr, scale_l, scale_r, bx, by, X / 4096, Y / 4096, pad)
+    if nl and nr and (sl is None or len(sl) == 0 or len(sr) == 0):
+        # degenerate sample (e.g. geometry mostly NULL with a few
+        # huge-extent rows): derive the TRUE extent with one min/max
+        # aggregate — paid only in this corner — instead of the former
+        # hardcoded unit square, whose 1/64..1/4096-of-a-UNIT cells made
+        # real bboxes explode F.sequence into millions of cells per row
+        # (r10 ADVICE).
+        ext = (lb.select("__b__").unionByName(rb.select("__b__"))
+               .agg(F.min("__b__.xmin").alias("a"),
+                    F.min("__b__.ymin").alias("b"),
+                    F.max("__b__.xmax").alias("c"),
+                    F.max("__b__.ymax").alias("d")).collect()[0])
+        if ext["a"] is not None:
+            x0, y0 = float(ext["a"]), float(ext["b"])
+            X = max(float(ext["c"]) - x0, 0.0) or 1.0
+            Y = max(float(ext["d"]) - y0, 0.0) or 1.0
     if w is None:
         w, hgt = _pick_cell_size(X, Y, nl, nr,
                                  wlx + pad, wly + pad, wrx, wry)
     w = max(w, pad, 1e-9)
     hgt = max(hgt, pad, 1e-9)
 
-    def cells(df, pre_pad):
+    # monster detection: sampled rows whose bbox spans > MONSTER_CELL_CAP
+    # cells at the chosen sizing activate the sentinel routing; the
+    # routing itself is per-row and native, so monsters the sample
+    # MISSED are still handled once any monster was seen at all.
+    mon_l = mon_r = 0
+    if sl is not None and len(sl) and len(sr):
+        def _mon_count(s, p):
+            nx = (np.floor((s[:, 2] + p - x0) / w)
+                  - np.floor((s[:, 0] - p - x0) / w) + 1)
+            ny = (np.floor((s[:, 3] + p - y0) / hgt)
+                  - np.floor((s[:, 1] - p - y0) / hgt) + 1)
+            return int(((nx * ny) > MONSTER_CELL_CAP).sum())
+        mon_l = _mon_count(sl, pad)
+        mon_r = _mon_count(sr, 0.0)
+    # each sentinel direction activates independently, so one-sided
+    # monsters (big polygons vs. points — the common shape) don't make
+    # the clean side pay the extra per-row sentinel emission
+    a_act, b_act = mon_l > 0, mon_r > 0
+    monster_active = a_act or b_act
+
+    def cells(df, pre_pad, own_sents, partner_sents):
         cx0 = F.floor((F.col("__b__.xmin") - F.lit(x0) - pre_pad) / F.lit(w))
         cx1 = F.floor((F.col("__b__.xmax") - F.lit(x0) + pre_pad) / F.lit(w))
         cy0 = F.floor((F.col("__b__.ymin") - F.lit(y0) - pre_pad) / F.lit(hgt))
         cy1 = F.floor((F.col("__b__.ymax") - F.lit(y0) + pre_pad) / F.lit(hgt))
-        return (df.withColumn("__cx__", F.explode(F.sequence(cx0, cx1)))
-                  .withColumn("__cy__", F.explode(F.sequence(cy0, cy1))))
+        span = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        if not own_sents:
+            # no sentinel routing on this side: a monster the sample
+            # missed fails with guidance instead of an unbounded blowup
+            guard = F.assert_true(
+                F.coalesce(span <= F.lit(MONSTER_HARD_CAP), F.lit(True)),
+                F.lit(f"sjoin grid: a geometry bbox covers more than "
+                      f"{MONSTER_HARD_CAP} grid cells but no such row "
+                      f"appeared in the sizing sample; subdivide() the "
+                      f"oversized geometries or re-run (the sampled "
+                      f"probe auto-routes monster bboxes when it sees "
+                      f"at least one)"))
+            cx0 = F.when(guard.isNotNull(),
+                         F.lit(0).cast("bigint")).otherwise(cx0)
+            if not partner_sents:
+                # the common path: two nested explodes, unchanged
+                return (df.withColumn("__cx__",
+                                      F.explode(F.sequence(cx0, cx1)))
+                          .withColumn("__cy__",
+                                      F.explode(F.sequence(cy0, cy1))))
+
+        def _s(v):
+            return F.struct(F.lit(v).cast("bigint").alias("cx"),
+                            F.lit(v).cast("bigint").alias("cy"))
+        grid = F.flatten(F.transform(
+            F.sequence(cx0, cx1), lambda xx: F.transform(
+                F.sequence(cy0, cy1), lambda yy: F.struct(
+                    xx.alias("cx"), yy.alias("cy")))))
+        arr = (F.concat(grid, F.array(*[_s(v) for v in partner_sents]))
+               if partner_sents else grid)
+        if own_sents:
+            arr = F.when(span > F.lit(MONSTER_CELL_CAP),
+                         F.array(*[_s(v) for v in own_sents])).otherwise(arr)
+        return (df.withColumn("__c__", F.explode(arr))
+                  .withColumn("__cx__", F.col("__c__.cx"))
+                  .withColumn("__cy__", F.col("__c__.cy"))
+                  .drop("__c__"))
 
     # pad only one side for dwithin (expanding both would double-count range)
-    lc = cells(lb, F.lit(pad))
-    rc = cells(rb, F.lit(0.0))
+    lc = cells(lb, F.lit(pad),
+               [SENT_A] if a_act else [],
+               [SENT_B] if b_act else [])
+    # right own-routing gates on b_act alone: with b_act False an
+    # (unsampled) right monster must keep its grid cells — normal-left
+    # rows emit no SENT_B to meet it — so it explodes under the guard
+    rc = cells(rb, F.lit(0.0),
+               (([SENT_B] + ([SENT_A] if a_act else []))
+                if b_act else []),
+               [SENT_A] if a_act else [])
 
     # hot-cell salting (skewed data): cells whose sampled candidate-pair
     # estimate exceeds 4x the mean are split k ways — left rows hash
@@ -783,24 +884,54 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     if sl is not None and len(sl) and len(sr):
         cell_pairs = _sampled_cell_pairs(sl, sr, scale_l, scale_r,
                                          x0, y0, w, hgt, pad)
-        if cell_pairs:
-            est_pairs = float(sum(cell_pairs.values()))
-            if SALT_HOT_CELLS:
+        # monster rows are skipped from the per-cell dict (they cover
+        # the plane, not a cell) but must still reach the partition-
+        # count pin: each sampled monster pairs with the WHOLE partner
+        # side through its sentinel bucket (r10, VERDICT r9 #4).
+        mon_pairs = mon_l * scale_l * nr + mon_r * scale_r * nl
+        if cell_pairs or mon_pairs:
+            est_pairs = float(sum(cell_pairs.values()) + mon_pairs)
+            if SALT_HOT_CELLS and cell_pairs:
                 salt_rows = _hot_cell_salts(cell_pairs)
-    if salt_rows:
-        spark = left.sparkSession
-        sdf = F.broadcast(spark.createDataFrame(
-            salt_rows, "__cx__ bigint, __cy__ bigint, __k__ int"))
-        lc = (lc.join(sdf, on=["__cx__", "__cy__"], how="left")
-                .withColumn("__salt__",
-                            F.coalesce(F.pmod(F.xxhash64(F.col(lidx)),
-                                              F.col("__k__")).cast("int"),
-                                       F.lit(0)))
-                .drop("__k__"))
-        rc = (rc.join(sdf, on=["__cx__", "__cy__"], how="left")
-                .withColumn("__salt__", F.explode(F.sequence(
-                    F.lit(0), F.coalesce(F.col("__k__") - 1, F.lit(0)))))
-                .drop("__k__"))
+    if salt_rows or monster_active:
+        if salt_rows:
+            spark = left.sparkSession
+            sdf = F.broadcast(spark.createDataFrame(
+                salt_rows, "__cx__ bigint, __cy__ bigint, __k__ int"))
+            lc = lc.join(sdf, on=["__cx__", "__cy__"], how="left")
+            rc = rc.join(sdf, on=["__cx__", "__cy__"], how="left")
+        else:
+            lc = lc.withColumn("__k__", F.lit(None).cast("int"))
+            rc = rc.withColumn("__k__", F.lit(None).cast("int"))
+        base_l = F.coalesce(F.pmod(F.xxhash64(F.col(lidx)),
+                                   F.col("__k__")).cast("int"), F.lit(0))
+        base_r = F.sequence(F.lit(0), F.coalesce(F.col("__k__") - 1,
+                                                 F.lit(0)))
+        if monster_active:
+            # sentinel buckets salt in the REVERSE direction of the
+            # hot-cell table: the monster side (few rows) replicates
+            # across K_SENT buckets, the large partner side hashes —
+            # one plane-covering geometry fans across K_SENT tasks
+            # instead of pulling the whole partner side into one.
+            # (xxhash64 over the geometry bytes on the right: the
+            # dedup_right frame has no row-id column.)
+            arr_l = (F.when(F.col("__cx__") == SENT_A,
+                            F.sequence(F.lit(0), F.lit(K_SENT - 1)))
+                      .when(F.col("__cx__") == SENT_B,
+                            F.array(F.pmod(F.xxhash64(F.col(lidx)),
+                                           F.lit(K_SENT)).cast("int")))
+                      .otherwise(F.array(base_l)))
+            arr_r = (F.when(F.col("__cx__") == SENT_B,
+                            F.sequence(F.lit(0), F.lit(K_SENT - 1)))
+                      .when(F.col("__cx__") == SENT_A,
+                            F.array(F.pmod(F.xxhash64(F.col(gr)),
+                                           F.lit(K_SENT)).cast("int")))
+                      .otherwise(base_r))
+            lc = lc.withColumn("__salt__", F.explode(arr_l)).drop("__k__")
+            rc = rc.withColumn("__salt__", F.explode(arr_r)).drop("__k__")
+        else:
+            lc = lc.withColumn("__salt__", base_l).drop("__k__")
+            rc = rc.withColumn("__salt__", F.explode(base_r)).drop("__k__")
 
     # carry full rows through the candidate join: one shuffle, no join-back
     # (the id-rejoin alternative rescans both sides and re-evaluates any
@@ -814,7 +945,7 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     rsel = rc.withColumnRenamed("__b__", "__rbb__")
 
     cond = ["__cx__", "__cy__", *on_attribute]
-    if salt_rows:
+    if salt_rows or monster_active:
         cond = ["__cx__", "__cy__", "__salt__", *on_attribute]
     if est_pairs is not None:
         # Pin the candidate-join partition count to the JOIN OUTPUT
@@ -833,12 +964,16 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     cand = lsel.join(rsel, on=cond, how="inner")
 
     # reference-point de-dup: keep the pair only in the cell that contains
-    # the lower-left corner of the bbox intersection (no distinct needed)
+    # the lower-left corner of the bbox intersection (no distinct needed).
+    # Sentinel pairs are exempt — each lands in exactly one sentinel
+    # bucket by construction (monster-left never emits SENT_B;
+    # monster-right has no grid cells).
     refx = F.greatest(F.col("__lbb__.xmin") - F.lit(pad), F.col("__rbb__.xmin"))
     refy = F.greatest(F.col("__lbb__.ymin") - F.lit(pad), F.col("__rbb__.ymin"))
     cand = cand.filter(
-        (F.col("__cx__") == F.floor((refx - F.lit(x0)) / F.lit(w))) &
-        (F.col("__cy__") == F.floor((refy - F.lit(y0)) / F.lit(hgt))))
+        (F.col("__cx__") >= F.lit(SENT_A)) | (
+            (F.col("__cx__") == F.floor((refx - F.lit(x0)) / F.lit(w))) &
+            (F.col("__cy__") == F.floor((refy - F.lit(y0)) / F.lit(hgt)))))
 
     # native bbox-distance prefilter for dwithin (whole-stage codegen):
     # the pad explodes the candidate set well beyond the distance ball, so

@@ -430,6 +430,81 @@ def test_sjoin_grid_matches_broadcast_all_predicates(spark):
                         sorted(a - b)[:3], sorted(b - a)[:3])
 
 
+def test_sjoin_grid_monster_bboxes_match_broadcast(spark):
+    """Monster-bbox sentinel routing (r10, VERDICT r9 #4): geometries
+    whose bbox spans >256 grid cells are routed through sentinel join
+    keys instead of exploding the grid. Differential vs broadcast with
+    monsters on the left, on the right, and on both sides, for both a
+    plain predicate and dwithin."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+
+    def boxes(n, name, monsters):
+        df = spark.range(n).select(
+            F.col("id").alias(name),
+            st.makebox((F.col("id") * 37 % 500).cast("double"),
+                       (F.col("id") * 61 % 500).cast("double"),
+                       (F.col("id") * 37 % 500 + 1).cast("double"),
+                       (F.col("id") * 61 % 500 + 1).cast("double"))
+            .alias("geom"))
+        if monsters:
+            # plane-covering rows (bbox spans the whole 500x500 extent)
+            df = df.withColumn("geom", F.when(
+                F.col(name) % (n // monsters) == 0,
+                st.makebox(F.lit(-10.0), F.lit(-10.0),
+                           F.lit(510.0), F.lit(510.0))
+            ).otherwise(F.col("geom")))
+        return df
+
+    for mon_l, mon_r in [(3, 0), (0, 3), (3, 3)]:
+        left = boxes(400, "lid", mon_l)
+        right = boxes(90, "rid", mon_r)
+        for pred, kw in [("intersects", {}), ("dwithin", {"distance": 2.0})]:
+            a = {(r.lid, r.rid) for r in sjoin(
+                left, right, predicate=pred, strategy="broadcast",
+                **kw).select("lid", "rid").collect()}
+            b = {(r.lid, r.rid) for r in sjoin(
+                left, right, predicate=pred, strategy="grid",
+                **kw).select("lid", "rid").collect()}
+            assert a == b, (mon_l, mon_r, pred, len(a), len(b),
+                            sorted(a - b)[:3], sorted(b - a)[:3])
+            assert len(a) > 0
+
+
+def test_sjoin_grid_mostly_null_geometry_extent(spark):
+    """Degenerate-sample fallback (r10 ADVICE): a geometry column that
+    is mostly NULL with a few huge-coordinate rows must derive the grid
+    extent from a real min/max aggregate, not a hardcoded unit square
+    (which sized cells at ~1/4096 of a unit and exploded real bboxes
+    into millions of cells)."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+
+    # left sample yields NO usable bounds (all NULL); right carries
+    # real 2e5-wide bboxes at web-mercator-ish magnitudes — under the
+    # old unit-square fallback each right bbox covered ~10^8 unit-grid
+    # cells (job blowup); the aggregate-extent fallback sizes sanely
+    left = spark.range(2000).select(
+        F.col("id").alias("lid"),
+        F.lit(None).cast("binary").alias("geom"))
+    right = spark.range(2000).select(
+        F.col("id").alias("rid"),
+        st.makebox((F.col("id") * 1e3).cast("double"),
+                   (F.col("id") * 1e3).cast("double"),
+                   (F.col("id") * 1e3 + 2e5).cast("double"),
+                   (F.col("id") * 1e3 + 2e5).cast("double")).alias("geom"))
+    inner = sjoin(left, right, predicate="intersects",
+                  strategy="grid").count()
+    assert inner == 0
+    outer = sjoin(left, right, predicate="intersects", how="left",
+                  strategy="grid").count()
+    assert outer == 2000
+
+
 def test_sjoin_strategies_agree_with_duplicate_geoms(spark):
     """r5 insurance for the duplicate-geometry dedup in both join
     strategies: random points x boxes with heavy right-side geometry
