@@ -5676,12 +5676,24 @@ def _fix_pinched_polys(polys: list) -> list:
             continue
         assigned = [[] for _ in lobes]
         for h in holes:
-            hx = np.array([float(h[0][0])])
-            hy = np.array([float(h[0][1])])
+            # probe points: every hole vertex, then edge midpoints — the
+            # FIRST vertex alone can sit exactly on the pinch point /
+            # lobe boundary and match no lobe, silently dropping the
+            # hole (r10 ADVICE). A strictly-interior hit wins; a
+            # boundary hit is kept as fallback.
+            ha = np.asarray(h, dtype=np.float64)
+            probes = np.vstack([ha[:-1], (ha[:-1] + ha[1:]) * 0.5])
+            home = border = None
             for k, lb in enumerate(lobes):
-                if points_in_rings(hx, hy, [lb])[0] != 0:
-                    assigned[k].append(h)
+                cls = points_in_rings(probes[:, 0], probes[:, 1], [lb])
+                if (cls == 2).any():
+                    home = k
                     break
+                if border is None and (cls == 1).any():
+                    border = k
+            k = home if home is not None else border
+            if k is not None:
+                assigned[k].append(h)
         for k, lb in enumerate(lobes):
             out.append([lb] + assigned[k])
     return out

@@ -57,6 +57,63 @@ def _probe_duplication(df: DataFrame, by, geom: str) -> bool:
         return False
 
 
+_PHASE_PROBE_CACHE: dict = {}
+
+
+def _probe_phase1_gain(df: DataFrame, by, geom: str, nparts: int) -> bool:
+    """Sampled bbox-overlap density → should the two-phase combine run?
+
+    Phase-1's per-(partition, key) union only pays for itself when it
+    actually MERGES geometry; on sparse inputs the partials are as big
+    as the input and phase 2 redoes the entire union — the combine is a
+    pure second sweep (measured 5.5 s vs 4.0 s single-phase on the
+    600k-box stress). Single-phase is memory-safe exactly in that
+    regime: no reduction means the phase-2 task holds the same bytes
+    either way. Estimate: bbox-overlap pairs in a ≤10k-row sample give
+    the global per-row partner count; scaled to one phase-1 group
+    (n / (partitions × keys) rows drawn ~randomly) it must reach ~0.5
+    partners per row for the combine to shrink anything. Estimation
+    error only ever costs speed, never correctness or memory."""
+    import numpy as np
+
+    try:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.struct(*by)).alias("k")).collect()[0]
+        n, k = int(stats.n), max(int(stats.k), 1)
+        if n == 0:
+            return False
+        s_target = 10_000
+        samp = (df.sample(fraction=min(1.0, 3.0 * s_target / n), seed=7)
+                .limit(s_target).select(st.bounds(geom).alias("b"))
+                .collect())
+        bbs = np.array([[r["b"][j] for j in range(4)] for r in samp
+                        if r["b"] is not None and r["b"][0] is not None])
+        s = len(bbs)
+        if s < 100:
+            return True          # too little signal: keep the safe default
+        g = n / float(nparts * k)
+        # partners/row within a group = 2·pairs_sample/s² · g  (the N's
+        # cancel); decide as soon as the running pair count crosses the
+        # threshold instead of sweeping the whole sample
+        need = 0.5 * s * s / (2.0 * max(g, 1.0))
+        order = np.argsort(bbs[:, 0])
+        sb = bbs[order]
+        hi = np.searchsorted(sb[:, 0], sb[:, 2])
+        pairs = 0
+        for i in range(s):
+            if hi[i] <= i + 1:
+                continue
+            w_ = sb[i + 1:hi[i]]
+            pairs += int(((w_[:, 1] <= sb[i, 3]) &
+                          (w_[:, 3] >= sb[i, 1])).sum())
+            if pairs >= need:
+                return True
+        return False
+    except Exception:
+        return True
+
+
 def _fn_label(fn) -> str:
     if callable(fn):
         n = getattr(fn, "__name__", "agg")
@@ -148,9 +205,24 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
     holistic = any(callable(fn) or fn in _HOLISTIC for _, fn, _ in aggs)
     if two_phase is None:
         try:
-            two_phase = df.rdd.getNumPartitions() > 1
+            nparts = df.rdd.getNumPartitions()
         except Exception:
-            two_phase = True
+            nparts = 2
+        two_phase = nparts > 1
+        if two_phase:
+            # overlap probe (memoized like the dup probe — perf-only)
+            try:
+                ck = (df.semanticHash(), tuple(by), geom, "p1")
+            except Exception:
+                ck = None
+            if ck is not None and ck in _PHASE_PROBE_CACHE:
+                two_phase = _PHASE_PROBE_CACHE[ck]
+            else:
+                two_phase = _probe_phase1_gain(df, by, geom, nparts)
+                if ck is not None:
+                    if len(_PHASE_PROBE_CACHE) > 256:
+                        _PHASE_PROBE_CACHE.clear()
+                    _PHASE_PROBE_CACHE[ck] = two_phase
     if holistic:
         two_phase = False
 
@@ -170,6 +242,15 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
         return pd.DataFrame(row)
 
     if not two_phase:
+        # same wide key-hash pre-partitioning as phase 2: with ~#cores
+        # keys, default-shuffle hash collisions serialize 2-3 heavy
+        # per-key unions on one task; repartition on the keys satisfies
+        # applyInPandas' required distribution, so no second exchange
+        try:
+            cores = df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartition(max(4 * cores, 64), *by)
+        except Exception:
+            pass
         return df.groupBy(*by).applyInPandas(merge, schema=out_schema)
 
     # per-key merge of partial rows (phase 2 of the two-phase plan, and
@@ -233,7 +314,8 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
                     nat.append(F.max(c).alias(name))
                 else:  # first
                     nat.append(F.first(c).alias(name))
-            deduped = df.groupBy(*by, geom).agg(*nat)
+            deduped = (df.groupBy(*by, geom).agg(*nat) if nat
+                       else df.select(*by, geom).distinct())
             try:
                 cores = df.sparkSession.sparkContext.defaultParallelism
                 deduped = deduped.repartition(max(4 * cores, 64), *by)

@@ -90,6 +90,19 @@ def _difference_part(d1, d2, geom, key, strategy) -> DataFrame:
     return out
 
 
+def _ungroupable(dt) -> bool:
+    """True for column types Spark cannot use as grouping keys (MapType,
+    incl. nested inside arrays/structs)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _ungroupable(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_ungroupable(f.dataType) for f in dt.fields)
+    return False
+
+
 def _residue_branch(pairs, key, gown, gother, own_cols, geom) -> DataFrame:
     """One side's residues from the shared pair set: per own-row key,
     own geometry − union(other side's intersecting geometries). A row
@@ -99,9 +112,18 @@ def _residue_branch(pairs, key, gown, gother, own_cols, geom) -> DataFrame:
     side = pairs.filter(F.col(key).isNotNull())
     # own-side attributes ride as grouping keys (they are functionally
     # dependent on the row key, and Spark cannot mix a GROUPED_AGG
-    # pandas UDF with JVM aggregates like first() in one aggregation)
-    grp = (side.groupBy(key, gown, *own_cols)
-               .agg(st.union_agg(gother).alias(_SUB)))
+    # pandas UDF with JVM aggregates like first() in one aggregation).
+    # Frames carrying ungroupable attribute types (MapType anywhere in
+    # the column type) fall back to a key-only groupBy + dedup join-back
+    # (r10 ADVICE — the pre-r9 design, kept for exactly this case).
+    fields = {f.name: f.dataType for f in pairs.schema.fields}
+    if any(_ungroupable(fields[c]) for c in own_cols):
+        grp = side.groupBy(key, gown).agg(st.union_agg(gother).alias(_SUB))
+        attrs = side.select(key, *own_cols).dropDuplicates([key])
+        grp = grp.join(attrs, on=key, how="left")
+    else:
+        grp = (side.groupBy(key, gown, *own_cols)
+                   .agg(st.union_agg(gother).alias(_SUB)))
     return (grp.withColumn(geom, st.difference_residue(F.col(gown),
                                                        F.col(_SUB)))
                .drop(_SUB, key, gown)

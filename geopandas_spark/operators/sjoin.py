@@ -581,26 +581,37 @@ def _pick_cell_size_sampled(sl, sr, scale_l, scale_r, base_x, base_y,
 SALT_HOT_CELLS = True
 
 # Monster-bbox routing (r10, VERDICT r9 #4): a bbox spanning more than
-# MONSTER_CELL_CAP grid cells is invisible to the per-cell pair estimate
-# (it covers the plane, not a cell) and would explode F.sequence into an
-# unbounded per-row blowup. When the 20k-row sample sees at least one
-# such row, monster rows emit ONE sentinel cell instead of the grid and
-# partner rows emit one extra sentinel row, so monster pairs flow through
-# the SAME equi-join (no extra scan of either side):
-#   SENT_A: monster-left rows x ALL right rows
-#   SENT_B: normal-left rows x monster-right rows
-# Each pair lands in exactly one sentinel bucket (monster-left never
-# emits SENT_B; monster-right has no grid cells), and sentinel keys salt
-# in the REVERSE direction of the hot-cell table — the (few) monster
-# rows replicate across K_SENT buckets while the large partner side
-# hashes — so one plane-covering geometry fans across K_SENT tasks.
-# When inactive (no sampled monster — the common path pays zero cost), a
-# hard per-row guard fails with guidance instead of silently exploding.
-MONSTER_CELL_CAP = 256
+# MONSTER_AXIS_CAP fine cells on some axis is invisible to the per-cell
+# pair estimate (it covers the plane, not a cell) and would explode
+# F.sequence into an unbounded per-row blowup. When the 20k-row sizing
+# sample sees such rows, they are routed onto TYPED COARSE BANDS —
+# mixed-resolution grids that coarsen ONLY the oversized axes (a thin
+# full-width strip keeps fine resolution on its narrow axis, so it only
+# meets partners in its own fine rows — the spatial pruning a single
+# sentinel key cannot give). Bands (tagged in a __band__ join-key
+# column; coarse axes use a COARSE_N-cell grid over the sampled extent,
+# ids clamped so any bbox emits a bounded cell count):
+#   1 A_XCYC / 2 A_XCYF / 3 A_XFYC: monster-LEFT rows of that axis type
+#       (fallback A_XCYC) x ALL NORMAL right rows, which emit their own
+#       footprint into every active A band (bounded: normal spans are
+#       <= MONSTER_AXIS_CAP per axis).
+#   4 B_XCYC / 5 B_XCYF / 6 B_XFYC: the mirror direction.
+#   7 MM: monster x monster, both axes coarse on both sides.
+# Each pair class meets in EXACTLY one band (normals never meet in a
+# coarse band; a monster emits one typed band + MM), so cross-band
+# dedup is free; within a band the standard reference-point rule runs
+# at that band's resolutions. A/B bands salt in the direction that
+# replicates the (few) monster rows and hashes the large partner side.
+# When routing is inactive (no sampled monster — the common path pays
+# zero cost), a hard per-row guard fails with guidance instead of
+# silently exploding.
+MONSTER_AXIS_CAP = 16
 MONSTER_HARD_CAP = 32768
-SENT_A = 1 << 62
-SENT_B = (1 << 62) + 1
-K_SENT = 64
+COARSE_N = 16
+BAND_FINE = 0
+BAND_A_XCYC, BAND_A_XCYF, BAND_A_XFYC = 1, 2, 3
+BAND_B_XCYC, BAND_B_XCYF, BAND_B_XFYC = 4, 5, 6
+BAND_MM = 7
 
 
 def _invert_sample_distinct(s: int, d: int, population: int) -> int:
@@ -634,8 +645,9 @@ def _sampled_cell_pairs(sl, sr, scale_l, scale_r, ox, oy, w, hgt, pad):
         cy1 = np.floor((s[:, 3] - oy + p) / hgt).astype(np.int64)
         out = {}
         for a, b, c, d in zip(cx0, cx1, cy0, cy1):
-            if (b - a + 1) * (d - c + 1) > 256:   # monster bbox: covers
-                continue                           # the plane, not a cell
+            if (b - a + 1) > MONSTER_AXIS_CAP or \
+                    (d - c + 1) > MONSTER_AXIS_CAP:
+                continue            # monster bbox: routed to coarse bands
             for x in range(a, b + 1):
                 for y in range(c, d + 1):
                     out[(x, y)] = out.get((x, y), 0) + 1
@@ -644,6 +656,43 @@ def _sampled_cell_pairs(sl, sr, scale_l, scale_r, ox, oy, w, hgt, pad):
     cr = counts(sr, 0.0)
     return {k: cl[k] * scale_l * cr[k] * scale_r
             for k in cl.keys() & cr.keys()}
+
+
+def _band_cell_counts(s, p, ox, oy, w, hgt, cw, ch, coarse_x, coarse_y):
+    """{(cx, cy): sampled-row count} in a band's mixed-resolution key
+    space — coarse axes use the COARSE_N grid with clamped ids, exactly
+    like the join's emission."""
+    if coarse_x:
+        a = np.clip(np.floor((s[:, 0] - p - ox) / cw), 0, COARSE_N)
+        b = np.clip(np.floor((s[:, 2] + p - ox) / cw), 0, COARSE_N)
+    else:
+        a = np.floor((s[:, 0] - p - ox) / w)
+        b = np.floor((s[:, 2] + p - ox) / w)
+    if coarse_y:
+        c = np.clip(np.floor((s[:, 1] - p - oy) / ch), 0, COARSE_N)
+        d = np.clip(np.floor((s[:, 3] + p - oy) / ch), 0, COARSE_N)
+    else:
+        c = np.floor((s[:, 1] - p - oy) / hgt)
+        d = np.floor((s[:, 3] + p - oy) / hgt)
+    out = {}
+    for a_, b_, c_, d_ in zip(a.astype(np.int64), b.astype(np.int64),
+                              c.astype(np.int64), d.astype(np.int64)):
+        for x in range(a_, b_ + 1):
+            for y in range(c_, d_ + 1):
+                out[(x, y)] = out.get((x, y), 0) + 1
+    return out
+
+
+def _band_salts(pairs, max_k=64, per_task=500_000):
+    """Coarse-band salts: any band cell whose pair estimate exceeds one
+    task's worth splits k ways (absolute threshold — a band often has
+    ONE hot cell, so the fine grid's 4x-the-mean rule would never fire)."""
+    out = []
+    for (band, cx, cy), est in pairs.items():
+        k = int(min(max_k, np.ceil(est / per_task)))
+        if k >= 2:
+            out.append((int(band), int(cx), int(cy), k))
+    return out
 
 
 def _hot_cell_salts(pairs, factor=4.0, max_k=64, floor_pairs=200_000):
@@ -798,80 +847,131 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     w = max(w, pad, 1e-9)
     hgt = max(hgt, pad, 1e-9)
 
-    # monster detection: sampled rows whose bbox spans > MONSTER_CELL_CAP
-    # cells at the chosen sizing activate the sentinel routing; the
-    # routing itself is per-row and native, so monsters the sample
-    # MISSED are still handled once any monster was seen at all.
-    mon_l = mon_r = 0
+    # monster typing from the sample: per-axis fine spans at the chosen
+    # sizing classify each sampled row (0 normal, 1 both axes oversized,
+    # 2 x oversized, 3 y oversized); a sampled monster type activates
+    # its band. Routing below is per-row and NATIVE, so monsters the
+    # sample missed still route once their type's band is active (an
+    # unseen type falls back to the always-active xcyc band).
+    cw = (X / COARSE_N) or 1e-9
+    ch = (Y / COARSE_N) or 1e-9
+    tl = tr = None
+    act_a = {}      # active A bands: {band_id: axis type 1|2|3}
+    act_b = {}
+    mm_act = False
     if sl is not None and len(sl) and len(sr):
-        def _mon_count(s, p):
+        def _mon_types(s, p):
             nx = (np.floor((s[:, 2] + p - x0) / w)
                   - np.floor((s[:, 0] - p - x0) / w) + 1)
             ny = (np.floor((s[:, 3] + p - y0) / hgt)
                   - np.floor((s[:, 1] - p - y0) / hgt) + 1)
-            return int(((nx * ny) > MONSTER_CELL_CAP).sum())
-        mon_l = _mon_count(sl, pad)
-        mon_r = _mon_count(sr, 0.0)
-    # each sentinel direction activates independently, so one-sided
-    # monsters (big polygons vs. points — the common shape) don't make
-    # the clean side pay the extra per-row sentinel emission
-    a_act, b_act = mon_l > 0, mon_r > 0
-    monster_active = a_act or b_act
+            mx, my = nx > MONSTER_AXIS_CAP, ny > MONSTER_AXIS_CAP
+            t = np.zeros(len(s), dtype=np.int64)
+            t[mx & my] = 1
+            t[mx & ~my] = 2
+            t[~mx & my] = 3
+            return t
+        tl = _mon_types(sl, pad)
+        tr = _mon_types(sr, 0.0)
+        if (tl > 0).any():
+            act_a[BAND_A_XCYC] = 1
+            if (tl == 2).any():
+                act_a[BAND_A_XCYF] = 2
+            if (tl == 3).any():
+                act_a[BAND_A_XFYC] = 3
+        if (tr > 0).any():
+            act_b[BAND_B_XCYC] = 1
+            if (tr == 2).any():
+                act_b[BAND_B_XCYF] = 2
+            if (tr == 3).any():
+                act_b[BAND_B_XFYC] = 3
+        mm_act = bool(act_a) and bool(act_b)
+    monster_active = bool(act_a or act_b)
 
-    def cells(df, pre_pad, own_sents, partner_sents):
-        cx0 = F.floor((F.col("__b__.xmin") - F.lit(x0) - pre_pad) / F.lit(w))
-        cx1 = F.floor((F.col("__b__.xmax") - F.lit(x0) + pre_pad) / F.lit(w))
-        cy0 = F.floor((F.col("__b__.ymin") - F.lit(y0) - pre_pad) / F.lit(hgt))
-        cy1 = F.floor((F.col("__b__.ymax") - F.lit(y0) + pre_pad) / F.lit(hgt))
-        span = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
-        if not own_sents:
-            # no sentinel routing on this side: a monster the sample
+    def cells(df, pre_pad, own_act, partner_act, own_base):
+        fx0 = F.floor((F.col("__b__.xmin") - F.lit(x0) - pre_pad) / F.lit(w))
+        fx1 = F.floor((F.col("__b__.xmax") - F.lit(x0) + pre_pad) / F.lit(w))
+        fy0 = F.floor((F.col("__b__.ymin") - F.lit(y0) - pre_pad) / F.lit(hgt))
+        fy1 = F.floor((F.col("__b__.ymax") - F.lit(y0) + pre_pad) / F.lit(hgt))
+        sx = fx1 - fx0 + 1
+        sy = fy1 - fy0 + 1
+        if not own_act:
+            # no monster routing on this side: a monster the sample
             # missed fails with guidance instead of an unbounded blowup
             guard = F.assert_true(
-                F.coalesce(span <= F.lit(MONSTER_HARD_CAP), F.lit(True)),
+                F.coalesce(sx * sy <= F.lit(MONSTER_HARD_CAP), F.lit(True)),
                 F.lit(f"sjoin grid: a geometry bbox covers more than "
                       f"{MONSTER_HARD_CAP} grid cells but no such row "
                       f"appeared in the sizing sample; subdivide() the "
                       f"oversized geometries or re-run (the sampled "
                       f"probe auto-routes monster bboxes when it sees "
                       f"at least one)"))
-            cx0 = F.when(guard.isNotNull(),
-                         F.lit(0).cast("bigint")).otherwise(cx0)
-            if not partner_sents:
+            fx0 = F.when(guard.isNotNull(),
+                         F.lit(0).cast("bigint")).otherwise(fx0)
+            if not monster_active:
                 # the common path: two nested explodes, unchanged
                 return (df.withColumn("__cx__",
-                                      F.explode(F.sequence(cx0, cx1)))
+                                      F.explode(F.sequence(fx0, fx1)))
                           .withColumn("__cy__",
-                                      F.explode(F.sequence(cy0, cy1))))
+                                      F.explode(F.sequence(fy0, fy1))))
 
-        def _s(v):
-            return F.struct(F.lit(v).cast("bigint").alias("cx"),
-                            F.lit(v).cast("bigint").alias("cy"))
-        grid = F.flatten(F.transform(
-            F.sequence(cx0, cx1), lambda xx: F.transform(
-                F.sequence(cy0, cy1), lambda yy: F.struct(
-                    xx.alias("cx"), yy.alias("cy")))))
-        arr = (F.concat(grid, F.array(*[_s(v) for v in partner_sents]))
-               if partner_sents else grid)
-        if own_sents:
-            arr = F.when(span > F.lit(MONSTER_CELL_CAP),
-                         F.array(*[_s(v) for v in own_sents])).otherwise(arr)
+        def _clampc(vmin, vmax, pp, orig, cell):
+            lo = F.greatest(F.lit(0), F.least(
+                F.lit(COARSE_N),
+                F.floor((vmin - F.lit(orig) - pp) / F.lit(cell))))
+            hi = F.greatest(F.lit(0), F.least(
+                F.lit(COARSE_N),
+                F.floor((vmax - F.lit(orig) + pp) / F.lit(cell))))
+            return lo, hi
+
+        cxc0, cxc1 = _clampc(F.col("__b__.xmin"), F.col("__b__.xmax"),
+                             pre_pad, x0, cw)
+        cyc0, cyc1 = _clampc(F.col("__b__.ymin"), F.col("__b__.ymax"),
+                             pre_pad, y0, ch)
+
+        def rect(band, ax0, ax1, ay0, ay1):
+            return F.flatten(F.transform(
+                F.sequence(ax0, ax1), lambda xx: F.transform(
+                    F.sequence(ay0, ay1), lambda yy: F.struct(
+                        F.lit(band).alias("band"),
+                        xx.alias("cx"), yy.alias("cy")))))
+
+        parts = [rect(BAND_FINE, fx0, fx1, fy0, fy1)]
+        for b_id, t in sorted(partner_act.items()):
+            if t == 1:
+                parts.append(rect(b_id, cxc0, cxc1, cyc0, cyc1))
+            elif t == 2:
+                parts.append(rect(b_id, cxc0, cxc1, fy0, fy1))
+            else:
+                parts.append(rect(b_id, fx0, fx1, cyc0, cyc1))
+        norm_arr = F.concat(*parts) if len(parts) > 1 else parts[0]
+        if not own_act:
+            arr = norm_arr
+        else:
+            mon_x = sx > F.lit(MONSTER_AXIS_CAP)
+            mon_y = sy > F.lit(MONSTER_AXIS_CAP)
+            own_arr = rect(own_base, cxc0, cxc1, cyc0, cyc1)
+            if own_base + 1 in own_act:     # xcyf: x coarse, y fine
+                own_arr = F.when(mon_x & ~mon_y,
+                                 rect(own_base + 1, cxc0, cxc1, fy0, fy1)
+                                 ).otherwise(own_arr)
+            if own_base + 2 in own_act:     # xfyc: x fine, y coarse
+                own_arr = F.when(mon_y & ~mon_x,
+                                 rect(own_base + 2, fx0, fx1, cyc0, cyc1)
+                                 ).otherwise(own_arr)
+            if mm_act:
+                own_arr = F.concat(own_arr,
+                                   rect(BAND_MM, cxc0, cxc1, cyc0, cyc1))
+            arr = F.when(mon_x | mon_y, own_arr).otherwise(norm_arr)
         return (df.withColumn("__c__", F.explode(arr))
+                  .withColumn("__band__", F.col("__c__.band"))
                   .withColumn("__cx__", F.col("__c__.cx"))
                   .withColumn("__cy__", F.col("__c__.cy"))
                   .drop("__c__"))
 
     # pad only one side for dwithin (expanding both would double-count range)
-    lc = cells(lb, F.lit(pad),
-               [SENT_A] if a_act else [],
-               [SENT_B] if b_act else [])
-    # right own-routing gates on b_act alone: with b_act False an
-    # (unsampled) right monster must keep its grid cells — normal-left
-    # rows emit no SENT_B to meet it — so it explodes under the guard
-    rc = cells(rb, F.lit(0.0),
-               (([SENT_B] + ([SENT_A] if a_act else []))
-                if b_act else []),
-               [SENT_A] if a_act else [])
+    lc = cells(lb, F.lit(pad), act_a, act_b, BAND_A_XCYC)
+    rc = cells(rb, F.lit(0.0), act_b, act_a, BAND_B_XCYC)
 
     # hot-cell salting (skewed data): cells whose sampled candidate-pair
     # estimate exceeds 4x the mean are split k ways — left rows hash
@@ -884,54 +984,78 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     if sl is not None and len(sl) and len(sr):
         cell_pairs = _sampled_cell_pairs(sl, sr, scale_l, scale_r,
                                          x0, y0, w, hgt, pad)
-        # monster rows are skipped from the per-cell dict (they cover
-        # the plane, not a cell) but must still reach the partition-
-        # count pin: each sampled monster pairs with the WHOLE partner
-        # side through its sentinel bucket (r10, VERDICT r9 #4).
-        mon_pairs = mon_l * scale_l * nr + mon_r * scale_r * nl
-        if cell_pairs or mon_pairs:
-            est_pairs = float(sum(cell_pairs.values()) + mon_pairs)
-            if SALT_HOT_CELLS and cell_pairs:
-                salt_rows = _hot_cell_salts(cell_pairs)
+        # coarse-band estimates (monster rows are skipped from the fine
+        # dict): each active band pairs its monster rows' footprint with
+        # the partner side's footprint IN THAT BAND'S key space, feeding
+        # both the partition-count pin and the band salt table (r10,
+        # VERDICT r9 #4).
+        band_pairs = {}
+
+        def _bp(band, sa, pa, sb, pb, coarse_x, coarse_y):
+            if not len(sa) or not len(sb):
+                return
+            da = _band_cell_counts(sa, pa, x0, y0, w, hgt, cw, ch,
+                                   coarse_x, coarse_y)
+            db = _band_cell_counts(sb, pb, x0, y0, w, hgt, cw, ch,
+                                   coarse_x, coarse_y)
+            for k2 in da.keys() & db.keys():
+                band_pairs[(band, *k2)] = \
+                    da[k2] * scale_l * db[k2] * scale_r
+        for b_id, t in act_a.items():
+            _bp(b_id, sl[tl == t], pad, sr[tr == 0], 0.0,
+                t in (1, 2), t in (1, 3))
+        for b_id, t in act_b.items():
+            _bp(b_id, sl[tl == 0], pad, sr[tr == t], 0.0,
+                t in (1, 2), t in (1, 3))
+        if mm_act:
+            _bp(BAND_MM, sl[tl > 0], pad, sr[tr > 0], 0.0, True, True)
+        if cell_pairs or band_pairs:
+            est_pairs = float(sum(cell_pairs.values()) +
+                              sum(band_pairs.values()))
+            if SALT_HOT_CELLS:
+                salt_rows = [(BAND_FINE, cx, cy, k) for cx, cy, k in
+                             _hot_cell_salts(cell_pairs)] \
+                    + _band_salts(band_pairs)
     if salt_rows or monster_active:
+        key_cols = (["__band__", "__cx__", "__cy__"] if monster_active
+                    else ["__cx__", "__cy__"])
         if salt_rows:
             spark = left.sparkSession
+            rows = (salt_rows if monster_active
+                    else [r[1:] for r in salt_rows])
             sdf = F.broadcast(spark.createDataFrame(
-                salt_rows, "__cx__ bigint, __cy__ bigint, __k__ int"))
-            lc = lc.join(sdf, on=["__cx__", "__cy__"], how="left")
-            rc = rc.join(sdf, on=["__cx__", "__cy__"], how="left")
+                rows, ("__band__ int, " if monster_active else "")
+                + "__cx__ bigint, __cy__ bigint, __k__ int"))
+            lc = lc.join(sdf, on=key_cols, how="left")
+            rc = rc.join(sdf, on=key_cols, how="left")
         else:
             lc = lc.withColumn("__k__", F.lit(None).cast("int"))
             rc = rc.withColumn("__k__", F.lit(None).cast("int"))
         base_l = F.coalesce(F.pmod(F.xxhash64(F.col(lidx)),
                                    F.col("__k__")).cast("int"), F.lit(0))
-        base_r = F.sequence(F.lit(0), F.coalesce(F.col("__k__") - 1,
-                                                 F.lit(0)))
+        repl = F.sequence(F.lit(0), F.coalesce(F.col("__k__") - 1,
+                                               F.lit(0)))
         if monster_active:
-            # sentinel buckets salt in the REVERSE direction of the
-            # hot-cell table: the monster side (few rows) replicates
-            # across K_SENT buckets, the large partner side hashes —
-            # one plane-covering geometry fans across K_SENT tasks
-            # instead of pulling the whole partner side into one.
+            # A bands salt in the REVERSE direction of the hot-cell
+            # table: the monster-left side (few rows) replicates across
+            # the k buckets and the large right side hashes, so one
+            # plane-covering geometry fans across k tasks instead of
+            # pulling the whole partner side into one. B/MM/fine bands
+            # keep the standard left-hash/right-replicate direction.
             # (xxhash64 over the geometry bytes on the right: the
             # dedup_right frame has no row-id column.)
-            arr_l = (F.when(F.col("__cx__") == SENT_A,
-                            F.sequence(F.lit(0), F.lit(K_SENT - 1)))
-                      .when(F.col("__cx__") == SENT_B,
-                            F.array(F.pmod(F.xxhash64(F.col(lidx)),
-                                           F.lit(K_SENT)).cast("int")))
-                      .otherwise(F.array(base_l)))
-            arr_r = (F.when(F.col("__cx__") == SENT_B,
-                            F.sequence(F.lit(0), F.lit(K_SENT - 1)))
-                      .when(F.col("__cx__") == SENT_A,
-                            F.array(F.pmod(F.xxhash64(F.col(gr)),
-                                           F.lit(K_SENT)).cast("int")))
-                      .otherwise(base_r))
+            is_a = F.col("__band__").isin(BAND_A_XCYC, BAND_A_XCYF,
+                                          BAND_A_XFYC)
+            hash_r = F.coalesce(F.pmod(F.xxhash64(F.col(gr)),
+                                       F.col("__k__")).cast("int"),
+                                F.lit(0))
+            arr_l = F.when(is_a, repl).otherwise(F.array(base_l))
+            arr_r = F.when(is_a, F.array(hash_r)).otherwise(repl)
             lc = lc.withColumn("__salt__", F.explode(arr_l)).drop("__k__")
             rc = rc.withColumn("__salt__", F.explode(arr_r)).drop("__k__")
         else:
             lc = lc.withColumn("__salt__", base_l).drop("__k__")
-            rc = rc.withColumn("__salt__", F.explode(base_r)).drop("__k__")
+            rc = rc.withColumn("__salt__", F.explode(repl)).drop("__k__")
 
     # carry full rows through the candidate join: one shuffle, no join-back
     # (the id-rejoin alternative rescans both sides and re-evaluates any
@@ -945,8 +1069,10 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     rsel = rc.withColumnRenamed("__b__", "__rbb__")
 
     cond = ["__cx__", "__cy__", *on_attribute]
+    if monster_active:
+        cond = ["__band__", *cond]
     if salt_rows or monster_active:
-        cond = ["__cx__", "__cy__", "__salt__", *on_attribute]
+        cond = [*cond, "__salt__"]
     if est_pairs is not None:
         # Pin the candidate-join partition count to the JOIN OUTPUT
         # (pair estimate), not the shuffle input bytes: the exploded
@@ -965,15 +1091,32 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
 
     # reference-point de-dup: keep the pair only in the cell that contains
     # the lower-left corner of the bbox intersection (no distinct needed).
-    # Sentinel pairs are exempt — each lands in exactly one sentinel
-    # bucket by construction (monster-left never emits SENT_B;
-    # monster-right has no grid cells).
+    # Each pair class meets in exactly ONE band (normals never share a
+    # coarse band; a monster emits one typed band + MM whose partner
+    # sides are disjoint), so the rule runs within-band at that band's
+    # per-axis resolutions — coarse axes clamp exactly like the emission.
     refx = F.greatest(F.col("__lbb__.xmin") - F.lit(pad), F.col("__rbb__.xmin"))
     refy = F.greatest(F.col("__lbb__.ymin") - F.lit(pad), F.col("__rbb__.ymin"))
-    cand = cand.filter(
-        (F.col("__cx__") >= F.lit(SENT_A)) | (
-            (F.col("__cx__") == F.floor((refx - F.lit(x0)) / F.lit(w))) &
-            (F.col("__cy__") == F.floor((refy - F.lit(y0)) / F.lit(hgt)))))
+    fine_rx = F.floor((refx - F.lit(x0)) / F.lit(w))
+    fine_ry = F.floor((refy - F.lit(y0)) / F.lit(hgt))
+    if monster_active:
+        coarse_rx = F.greatest(F.lit(0), F.least(
+            F.lit(COARSE_N), F.floor((refx - F.lit(x0)) / F.lit(cw))))
+        coarse_ry = F.greatest(F.lit(0), F.least(
+            F.lit(COARSE_N), F.floor((refy - F.lit(y0)) / F.lit(ch))))
+        xc_bands = (BAND_A_XCYC, BAND_A_XCYF, BAND_B_XCYC, BAND_B_XCYF,
+                    BAND_MM)
+        yc_bands = (BAND_A_XCYC, BAND_A_XFYC, BAND_B_XCYC, BAND_B_XFYC,
+                    BAND_MM)
+        exp_cx = F.when(F.col("__band__").isin(*xc_bands),
+                        coarse_rx).otherwise(fine_rx)
+        exp_cy = F.when(F.col("__band__").isin(*yc_bands),
+                        coarse_ry).otherwise(fine_ry)
+        cand = cand.filter((F.col("__cx__") == exp_cx) &
+                           (F.col("__cy__") == exp_cy))
+    else:
+        cand = cand.filter((F.col("__cx__") == fine_rx) &
+                           (F.col("__cy__") == fine_ry))
 
     # native bbox-distance prefilter for dwithin (whole-stage codegen):
     # the pad explodes the candidate set well beyond the distance ball, so
@@ -1024,11 +1167,11 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
         # row: native hash join on the WKB bytes (+ join attrs); gr is
         # the fan-out key (cand's right side is the deduped frame, so
         # its only right-side columns are gr + the join attrs)
-        fan = cand.drop("__cx__", "__cy__", "__salt__",
+        fan = cand.drop("__band__", "__cx__", "__cy__", "__salt__",
                         "__lbb__", "__rbb__")
         joined = fan.join(rights, on=[gr, *on_attribute], how="inner")
     else:
-        joined = cand.drop("__cx__", "__cy__", "__salt__",
+        joined = cand.drop("__band__", "__cx__", "__cy__", "__salt__",
                            "__lbb__", "__rbb__")
     if how in ("left", "full"):
         missing = lefts.join(cand.select(lidx), on=lidx, how="left_anti")

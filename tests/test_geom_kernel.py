@@ -885,6 +885,19 @@ class TestRepairAndLinework:
         assert algos.area(mv)[0] == 2.0
         assert wkt.format_array(mv)[0].startswith("MULTIPOLYGON")
 
+    def test_make_valid_pinch_hole_on_pinch_point(self):
+        # r10 ADVICE: a hole whose FIRST vertex is exactly the pinch
+        # point matched no lobe and was silently dropped, inflating the
+        # repaired area — the re-homing now probes all vertices + edge
+        # midpoints
+        g = ga_from_wkt(
+            "POLYGON ((0 0, 4 0, 2 2, 4 4, 0 4, 2 2, 0 0),"
+            " (2 2, 1 2, 1.5 1.2, 2 2))")
+        no_hole = ga_from_wkt("POLYGON ((0 0, 4 0, 2 2, 4 4, 0 4, 2 2, 0 0))")
+        a_with = algos.area(algos.make_valid(g, method="structure"))[0]
+        a_wo = algos.area(algos.make_valid(no_hole, method="structure"))[0]
+        assert a_with < a_wo          # the hole subtracts area
+
     def test_make_valid_passthrough(self):
         ok = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", None)
         out = algos.make_valid(ok)

@@ -237,6 +237,23 @@ def test_overlay_union_total_area(polys1, polys2):
     assert out.count() == 3 + 2 + 2
 
 
+def test_overlay_union_with_map_column(spark, polys1, polys2):
+    """r10 ADVICE: frames with ungroupable column types (MapType) must
+    take the key-only groupBy + join-back residue path instead of
+    raising AnalysisException."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.operators import overlay
+    p1 = polys1.withColumn("meta", F.create_map(F.lit("k"),
+                                                F.col("col1")))
+    out = overlay(p1, polys2, "union", strategy="broadcast")
+    assert round(sum(_areas(out)), 6) == 13.0
+    assert out.count() == 3 + 2 + 2
+    metas = [r.meta for r in out.filter(F.col("meta").isNotNull())
+             .select("meta").collect()]
+    assert all(isinstance(m, dict) and "k" in m for m in metas)
+
+
 def test_overlay_identity(polys1, polys2):
     from geopandas_spark.operators import overlay
     out = overlay(polys1, polys2, "identity", strategy="broadcast")

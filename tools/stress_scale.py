@@ -105,6 +105,37 @@ def main():
           f"best {dt:.2f}s ({mps:.2f}M pairs/s) "
           f"[gate {SKEW_JOIN_MPS}M pairs/s best-of-3: {verdict}]")
 
+    # monster-mix variant (VERDICT r9 #4): 0.5% of the skewed boxes
+    # become full-width thin strips (roads/rivers: bbox covers the
+    # plane's width, true hits bounded). Their bboxes span >16 fine
+    # cells on x, so the typed coarse-band routing must keep them off
+    # the fine grid — the strip keeps FINE resolution on its narrow
+    # axis, so it only meets points in its own fine rows. Gate derived
+    # from the same-session baseline: candidate volume genuinely grows
+    # ~15% (strips x hot-zone fine rows), so the bar is the skew gate
+    # minus that inherent overhead, with ~10% headroom on the measured
+    # 1.47M pairs/s.
+    strip = (F.col("l_orderkey") % 200 == 0)
+    mboxes = li.select(F.col("l_orderkey").alias("lid"),
+                       F.when(strip, st.makebox(F.lit(0.0), sy0,
+                                                F.lit(10000.0),
+                                                sy0 + 0.5))
+                        .otherwise(st.makebox(sx0, sy0, sx0 + 12.0,
+                                              sy0 + 12.0)).alias("geom"))
+    mtimes = []
+    for _ in range(3):
+        t0 = time.time()
+        nm = sjoin(spts, mboxes, predicate="intersects",
+                   strategy="grid").count()
+        mtimes.append(time.time() - t0)
+    mdt = min(mtimes)
+    MONSTER_MPS = 1.3
+    mps = nm / mdt / 1e6
+    verdict = "PASS" if mps >= MONSTER_MPS else "FAIL"
+    print(f"skewed-monster-mix: {nm} pairs, cold {mtimes[0]:.2f}s / "
+          f"best {mdt:.2f}s ({mps:.2f}M pairs/s) "
+          f"[gate {MONSTER_MPS}M pairs/s best-of-3: {verdict}]")
+
     # skewed NEAREST (VERDICT r8 #1): the bounded nearest-grid candidate
     # join shuffles on the same grid-cell keys as sjoin_grid — it reaches
     # the salt table + pair-estimate partition pin through _sjoin_grid's
