@@ -46,6 +46,7 @@ HEADLINE_TO_ORACLE = {
     "sjoin_nearest": "sjoin_nearest", "distance_pairs": "distance",
     "dissolve": "dissolve", "clip": "clip", "predicates": "predicates",
     "minhash": "minhash", "cosine_topk": "cosine_topk",
+    "lsh_topk": "lsh_topk", "ivf_topk": "ivf_topk",
     "pricing_summary": "pricing_summary",
     "revenue_by_nation": "revenue_by_nation",
     "buffer_centroid_sweep": "buffer",
@@ -230,6 +231,12 @@ def main():
         "predicates": qs["predicates"],
         "minhash": qs["minhash"],
         "cosine_topk": qs["cosine_topk"],
+        # the gated SCALE similarity paths are headline numbers too
+        # (r10, VERDICT r9 #1): at 100 TB nobody runs exact cosine over
+        # the corpus — lsh/ivf are what ships; exact cosine stays as the
+        # correctness twin and the small-k interactive path
+        "lsh_topk": qs["lsh_topk"],
+        "ivf_topk": qs["ivf_topk"],
         "pricing_summary": qs["pricing_summary"],
         "revenue_by_nation": qs["revenue_by_nation"],
     }
@@ -290,11 +297,36 @@ def main():
             bt_times, bt_base, bt_spread = run_tier(
                 spark, entry, headlines, big_dir, cache_baseline=True,
                 runs=2, baseline_timeout=BIG_TWIN_TIMEOUT)
+            # ratio gate (VERDICT r9 #7): at this tier plan shape
+            # dominates session constants, so a query regressing past
+            # 2x its (non-timeout) DuckDB twin should FAIL loudly, not
+            # just print a number. Absolute floor 2.0 s: sub-2s losses
+            # are Spark's fixed scheduling/shuffle floor on plans
+            # adjudicated `done` in r7-r9 (judged "all <=1.5s absolute"
+            # — measured 1.4-1.7 s under VM noise, so 1.5 would flap;
+            # the gate exists to catch step-function plan regressions,
+            # not scheduler weather).
+            ratio_gate = {}
+            for qn, tv in bt_times.items():
+                bv = (bt_base or {}).get(qn)
+                if tv is None or bv is None or bv <= 0:
+                    continue
+                ratio = tv / bv
+                ratio_gate[qn] = {
+                    "ratio": round(ratio, 2),
+                    "pass": bool(ratio <= 2.0 or tv <= 2.0),
+                }
+            fails = [qn for qn, g in ratio_gate.items() if not g["pass"]]
+            print(f"# big-tier ratio gate: "
+                  f"{'FAIL ' + ','.join(fails) if fails else 'PASS'} "
+                  f"({len(ratio_gate)} gated)", file=sys.stderr)
             tiers[f"scale{BIG_FACTOR}x"] = {
                 "queries": bt_times,
                 "spread": bt_spread,
                 "baseline": bt_base,
                 "baseline_timeout_sec": BIG_TWIN_TIMEOUT,
+                "ratio_gate": ratio_gate,
+                "ratio_gate_pass": not fails,
                 "total": round(sum(t for t in bt_times.values()
                                    if t is not None), 3),
                 "baseline_total": round(sum(t for t in bt_base.values()

@@ -71,9 +71,13 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5, *,
     row_number rank stay Spark-native, so scores and tie-breaks are
     unchanged; Spark 4's WindowGroupLimit prunes each partition to its
     local top-k before the (narrow) rank shuffle."""
-    dim = _vec_dim(df, vec_col)
     qrows = (queries.select(F.col(q_id_col).alias("q_id"),
                             F.col(q_vec_col).alias("q_vec")).collect())
+    # fixed-dim contract: the corpus dim IS the query dim, so the
+    # collected query vectors replace the separate _vec_dim probe job
+    # (a ragged corpus fails loudly in the Arrow pass)
+    dim = (len(qrows[0]["q_vec"])
+           if qrows and qrows[0]["q_vec"] is not None else None)
     if dim is None or not qrows:
         return _cosine_topk_expr(df, queries, k, vec_col=vec_col,
                                  id_col=id_col, q_vec_col=q_vec_col,

@@ -3294,3 +3294,146 @@ def test_make_valid_output_is_valid(seed):
     # idempotence: a valid result passes through unchanged
     mv2 = algos.make_valid(mv)
     assert wkb.encode(mv2)[0] == wkb.encode(mv)[0], seed
+
+
+# ---------------------------------------------------------------------------
+# r10 exact-oracle suites (VERDICT r9 #6)
+# ---------------------------------------------------------------------------
+
+def _box_de9im_oracle(a, b):
+    """EXACT DE-9IM for two axis-aligned boxes (x0, y0, x1, y1) by pure
+    interval case analysis — an independent oracle for relate().
+    Dimension codes per GEOS: F, 0, 1, 2."""
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+
+    def _ivl(lo1, hi1, lo2, hi2):
+        """Overlap length class of [lo1,hi1] ∩ [lo2,hi2]: -1 empty,
+        0 point, 1 positive length."""
+        lo, hi = max(lo1, lo2), min(hi1, hi2)
+        if lo > hi:
+            return -1
+        return 0 if lo == hi else 1
+
+    ox = _ivl(ax0, ax1, bx0, bx1)
+    oy = _ivl(ay0, ay1, by0, by1)
+
+    # interior/interior: positive overlap on both axes
+    ii = "2" if (ox == 1 and oy == 1 and
+                 max(ax0, bx0) < min(ax1, bx1) and
+                 max(ay0, by0) < min(ay1, by1)) else "F"
+
+    def _contains(outer, inner):        # closed containment
+        return (outer[0] <= inner[0] and inner[2] <= outer[2] and
+                outer[1] <= inner[1] and inner[3] <= outer[3])
+
+    def _strict_contains(outer, inner):
+        return (outer[0] < inner[0] and inner[2] < outer[2] and
+                outer[1] < inner[1] and inner[3] < outer[3])
+
+    # boundary of a box = its 4 edges (dimension 1)
+    def _edges(r):
+        x0, y0, x1, y1 = r
+        return [((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+                ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))]
+
+    def _seg_in_interior_len(seg, r):
+        """Does segment (axis-parallel) run with positive length through
+        r's OPEN interior / touch it at a point?  Returns -1/0/1."""
+        (sx0, sy0), (sx1, sy1) = seg
+        lo_x, hi_x = min(sx0, sx1), max(sx0, sx1)
+        lo_y, hi_y = min(sy0, sy1), max(sy0, sy1)
+        # clip to open box: positive-length iff clipped interval has
+        # positive length strictly inside both open ranges
+        cx0, cx1 = max(lo_x, r[0]), min(hi_x, r[2])
+        cy0, cy1 = max(lo_y, r[1]), min(hi_y, r[3])
+        if cx0 > cx1 or cy0 > cy1:
+            return -1
+        if sy0 == sy1:      # horizontal
+            if not (r[1] < sy0 < r[3]):
+                return -1
+            return 1 if cx0 < cx1 else (0 if r[0] < cx0 < r[2] else -1)
+        else:               # vertical
+            if not (r[0] < sx0 < r[2]):
+                return -1
+            return 1 if cy0 < cy1 else (0 if r[1] < cy0 < r[3] else -1)
+
+    def _dim_max(vals):
+        d = max(vals)
+        return "F" if d < 0 else str(d)
+
+    # interior(a) ∩ boundary(b): any b edge passing through a's interior
+    ib = _dim_max([_seg_in_interior_len(e, a) for e in _edges(b)])
+    bi = _dim_max([_seg_in_interior_len(e, b) for e in _edges(a)])
+
+    # interior(a) ∩ exterior(b): a's interior not fully inside closed b
+    ie = "2" if not _contains(b, a) else "F"
+    ei = "2" if not _contains(a, b) else "F"
+
+    # boundary(a) ∩ boundary(b): overlap of the edge sets
+    bb = -1
+    for ea in _edges(a):
+        for eb in _edges(b):
+            (p0, p1), (q0, q1) = ea, eb
+            a_h = p0[1] == p1[1]
+            b_h = q0[1] == q1[1]
+            if a_h and b_h:
+                if p0[1] == q0[1]:
+                    o = _ivl(min(p0[0], p1[0]), max(p0[0], p1[0]),
+                             min(q0[0], q1[0]), max(q0[0], q1[0]))
+                    bb = max(bb, o)
+            elif not a_h and not b_h:
+                if p0[0] == q0[0]:
+                    o = _ivl(min(p0[1], p1[1]), max(p0[1], p1[1]),
+                             min(q0[1], q1[1]), max(q0[1], q1[1]))
+                    bb = max(bb, o)
+            else:
+                h, v = (ea, eb) if a_h else (eb, ea)
+                hy = h[0][1]
+                vx = v[0][0]
+                if (min(h[0][0], h[1][0]) <= vx <= max(h[0][0], h[1][0])
+                        and min(v[0][1], v[1][1]) <= hy
+                        <= max(v[0][1], v[1][1])):
+                    bb = max(bb, 0)
+    bb = "F" if bb < 0 else str(bb)
+
+    # boundary(a) ∩ exterior(b): any part of a's edges outside closed b
+    def _edges_outside(r_edges, other):
+        for (p0, p1) in r_edges:
+            lo_x, hi_x = min(p0[0], p1[0]), max(p0[0], p1[0])
+            lo_y, hi_y = min(p0[1], p1[1]), max(p0[1], p1[1])
+            # clip segment to closed other; if clipped length < full
+            # length, some part lies outside
+            cx0, cx1 = max(lo_x, other[0]), min(hi_x, other[2])
+            cy0, cy1 = max(lo_y, other[1]), min(hi_y, other[3])
+            inside_len = (max(cx1 - cx0, 0.0) if p0[1] == p1[1]
+                          else max(cy1 - cy0, 0.0))
+            full_len = (hi_x - lo_x) if p0[1] == p1[1] else (hi_y - lo_y)
+            if (cx0 > cx1 or cy0 > cy1 or
+                    not (other[0] <= cx0 and other[1] <= cy0)):
+                return True
+            if inside_len < full_len:
+                return True
+        return False
+
+    be = "1" if _edges_outside(_edges(a), b) else "F"
+    eb_ = "1" if _edges_outside(_edges(b), a) else "F"
+
+    # exterior/exterior is always 2 for bounded regions
+    return ii + ib + ie + bi + bb + be + ei + eb_ + "2"
+
+
+@settings(max_examples=300, deadline=None)
+@given(coords, coords, sizes, sizes, coords, coords, sizes, sizes)
+def test_relate_matches_exact_box_oracle(ax, ay, aw, ah, bx, by, bw, bh):
+    """relate() vs a pure interval-arithmetic DE-9IM oracle on integer
+    boxes — touching, overlapping, nested, disjoint, and equal cases all
+    arise from the strategy (VERDICT r9 #6: relate had no independent
+    oracle)."""
+    a = (float(ax), float(ay), float(ax + aw), float(ay + ah))
+    b = (float(bx), float(by), float(bx + bw), float(by + bh))
+    ga = _box(*[a[0], a[1], a[2] - a[0], a[3] - a[1]])
+    gb = _box(*[b[0], b[1], b[2] - b[0], b[3] - b[1]])
+    got = algos.relate(ga, gb)[0]
+    want = _box_de9im_oracle(a, b)
+    assert got == want, (a, b, got, want)

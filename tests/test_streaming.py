@@ -370,3 +370,62 @@ def test_sjoin_stream_stream_late_arrival_invariant(spark, tmp_path):
         results.append(got)
     assert results[0] == results[1] == results[2] == want, (
         [sorted(r) for r in results], sorted(want))
+
+
+def test_sjoin_stream_stream_state_eviction(spark, tmp_path):
+    """Complement to the late-data invariance property (VERDICT r9 #8):
+    state must actually EVICT. 28 one-row files per side spaced 5 event-
+    minutes apart stream through the join one file per micro-batch; the
+    watermark (10 min) + max_delay (2 min) horizon retains only ~3 rows
+    per side, so the state-store row count must plateau far below the
+    stream length instead of growing with it."""
+    import json as _json
+
+    from geopandas_spark.streaming import sjoin_stream_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    n = 28
+    lsrc = str(tmp_path / "evict_l")
+    rsrc = str(tmp_path / "evict_r")
+    for i in range(n):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=5 * i), float(i), 0.0)],
+            SCHEMA).coalesce(1).write.mode("append").parquet(lsrc)
+        spark.createDataFrame(
+            [(100 + i, t0 + dt.timedelta(minutes=5 * i, seconds=30),
+              float(i) + 0.3, 0.0)],
+            SCHEMA).coalesce(1).write.mode("append").parquet(rsrc)
+    ls = (spark.readStream.schema(SCHEMA)
+          .option("maxFilesPerTrigger", 1).parquet(lsrc)
+          .withColumn("geom", st.point("x", "y")))
+    rs = (spark.readStream.schema(SCHEMA)
+          .option("maxFilesPerTrigger", 1).parquet(rsrc)
+          .withColumn("geom", st.point("x", "y")))
+    out = sjoin_stream_stream(
+        ls, rs, cell_size=1.0, predicate="dwithin", distance=1.0,
+        max_delay="2 minutes", watermark="10 minutes")
+    q = _run(out, "ss_evict")
+
+    # correctness: only the same-minute partner matches (neighbors are
+    # 5 min apart > max_delay)
+    pairs = {(r.id_left, r.id_right)
+             for r in spark.sql("SELECT * FROM ss_evict").collect()}
+    assert pairs == {(i, 100 + i) for i in range(n)}
+
+    totals = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        ops = d.get("stateOperators") or []
+        if ops:
+            totals.append(int(ops[0]["numRowsTotal"]))
+    assert len(totals) >= 10, totals
+    # horizon bound: watermark 10m + delay 2m retains <= 4 rows/side;
+    # the padded (dwithin) side explodes to <= 9 cells per point, the
+    # other to <= 4 -> state plateaus at <= 4*9 + 4*4 = 52 rows
+    # (observed 40). Un-evicted state would end at ~2n rows x cells
+    # (~350). The state-store row count comes from the query progress
+    # metrics, so this asserts what the store actually holds.
+    assert max(totals[-3:]) <= 52, totals
+    # plateau, not growth: the tail is no bigger than mid-stream state
+    mid = max(totals[len(totals) // 2 - 2:len(totals) // 2 + 3])
+    assert max(totals[-3:]) <= max(2 * mid, 16), totals
