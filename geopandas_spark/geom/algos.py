@@ -5236,6 +5236,20 @@ def polygonize(ga: GeometryArray, _full: bool = False,
                     GeometryBuilder().finish())
         return GeometryBuilder().finish()
     raw = np.concatenate(segs, axis=0)
+    # local-frame shift (same magnitude-normalizing pattern as buffer):
+    # at web-mercator coordinates one double ulp (~4e-9 at 2e7) exceeds
+    # the 1e-9 canonical snap grid, so ulp-different crossing points
+    # computed from partner segments land in DIFFERENT canon cells and
+    # the half-edge graph disconnects (r10 fuzz find: a 0.1-unit grid
+    # at offset -1.7e7 polygonized to 2 of 4 faces). The integer shift
+    # is exact on the inputs (difference of same-ulp-grid doubles), and
+    # the outputs shift back at emission.
+    flat = raw.reshape(-1, 2)
+    ctr = (flat.min(axis=0) + flat.max(axis=0)) / 2.0
+    shift = (np.floor(ctr) if np.abs(ctr).max() > float(1 << 20)
+             else np.zeros(2))
+    if shift.any():
+        raw = raw - shift
     if not _faces_only:
         # snap INPUT coordinates to the 1e-9 canonical grid before
         # noding: a near-duplicate segment offset by less than the snap
@@ -5397,7 +5411,8 @@ def polygonize(ga: GeometryArray, _full: bool = False,
                     holes_of[i].append(hr)
                     break
     for i, (sr, _sv) in enumerate(shells):
-        b.append(GT_POLYGON, [[sr] + holes_of[i]])
+        b.append(GT_POLYGON, [[sr + shift] +
+                              [h + shift for h in holes_of[i]]])
     if not _full:
         return b.finish()
     # cut edges: connected on both ends (survived dangle pruning) but
@@ -5406,13 +5421,14 @@ def polygonize(ga: GeometryArray, _full: bool = False,
     bc, bd = GeometryBuilder(), GeometryBuilder()
     for p, q in cut_edges:
         bc.append(GT_LINESTRING,
-                  [[np.asarray([p, q], dtype=np.float64)]])
+                  [[np.asarray([p, q], dtype=np.float64) + shift]])
     for key, (p, q) in seen.items():
         if key not in used_in_poly:
             bc.append(GT_LINESTRING,
-                      [[np.asarray([p, q], dtype=np.float64)]])
+                      [[np.asarray([p, q], dtype=np.float64) + shift]])
     for p, q in dangle_edges:
-        bd.append(GT_LINESTRING, [[np.asarray([p, q], dtype=np.float64)]])
+        bd.append(GT_LINESTRING,
+                  [[np.asarray([p, q], dtype=np.float64) + shift]])
     return b.finish(), bc.finish(), bd.finish()
 
 
@@ -5426,7 +5442,17 @@ def build_area(ga: GeometryArray) -> GeometryArray:
         b.append_empty(GT_POLYGON)
         return b.finish()
     rings = [faces.geom_slices(i)[0][0] for i in range(len(faces))]
-    polys = _mr.assemble_rings(rings)
+    # nest in a LOCAL frame (r10 fuzz find, same pattern as polygonize's
+    # noding shift): at web-mercator magnitudes the even-odd point-in-
+    # ring tests misclassify vertices on shared face boundaries and a
+    # face flips into a sibling's hole
+    allc = np.concatenate(rings)
+    ctr = (allc.min(axis=0) + allc.max(axis=0)) / 2.0
+    shift = (np.floor(ctr) if np.abs(ctr).max() > float(1 << 20)
+             else np.zeros(2))
+    polys = _mr.assemble_rings([r - shift for r in rings])
+    if shift.any():
+        polys = [[r + shift for r in p] for p in polys]
     _append_polys(b, polys)
     return b.finish()
 
@@ -6311,6 +6337,16 @@ def voronoi_polygons(ga: GeometryArray, extend_to=None,
         mx = pts.max(axis=0)
         pad = max(mx[0] - mn[0], mx[1] - mn[1], 1.0)
         x0, y0, x1, y1 = mn[0] - pad, mn[1] - pad, mx[0] + pad, mx[1] + pad
+        if extend_to is not None:
+            # reference parity (base.py:1301 / GEOS extend_to): the clip
+            # envelope grows to cover extend_to's extent (r10 fuzz find:
+            # the parameter was accepted but silently ignored)
+            j = i if len(extend_to) > 1 else 0
+            if extend_to.types[j] != GT_MISSING:
+                ebb = bounds(extend_to)[j]
+                if np.isfinite(ebb).all():
+                    x0, y0 = min(x0, ebb[0]), min(y0, ebb[1])
+                    x1, y1 = max(x1, ebb[2]), max(y1, ebb[3])
         parts = []
         for k in range(len(pts)):
             cell = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
