@@ -6347,6 +6347,19 @@ def voronoi_polygons(ga: GeometryArray, extend_to=None,
                 if np.isfinite(ebb).all():
                     x0, y0 = min(x0, ebb[0]), min(y0, ebb[1])
                     x1, y1 = max(x1, ebb[2]), max(y1, ebb[3])
+        # local frame (r10): each cell is clipped independently, so an
+        # oblique shared edge's endpoints wobble by ~1e-13·scale between
+        # the two cells — at web-mercator magnitudes that exceeds the
+        # 1e-9 canon grid and the diagram stops being a clean coverage.
+        # Work near the origin, canonicalize vertices ACROSS cells on
+        # the 1e-9 grid afterwards, shift back at emission.
+        vshift = np.floor((mn + mx) / 2.0) \
+            if np.abs((mn + mx) / 2.0).max() > float(1 << 20) \
+            else np.zeros(2)
+        if vshift.any():
+            pts = pts - vshift
+            x0, y0, x1, y1 = (x0 - vshift[0], y0 - vshift[1],
+                              x1 - vshift[0], y1 - vshift[1])
         parts = []
         for k in range(len(pts)):
             cell = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
@@ -6375,6 +6388,31 @@ def voronoi_polygons(ga: GeometryArray, extend_to=None,
                         if len(keep) >= 3 else np.empty((0, 2)))
             if len(cell) >= 4:
                 parts.append([cell])
+        # canonicalize vertices ACROSS cells: the same diagram vertex
+        # computed from two different cells' clip sequences lands in one
+        # 1e-9 canon slot, so shared edges match exactly and the cell
+        # set is a clean coverage
+        canon = {}
+
+        def _cv(p):
+            key = (round(float(p[0]), 9), round(float(p[1]), 9))
+            return canon.setdefault(key, (float(p[0]), float(p[1])))
+
+        cparts = []
+        for rings in parts:
+            ring = rings[0]
+            out, last = [], None
+            for p in ring[:-1]:
+                v = _cv(p)
+                if v != last:
+                    out.append(v)
+                    last = v
+            while len(out) > 1 and out[0] == out[-1]:
+                out.pop()
+            if len(out) >= 3:
+                r = np.asarray(out + [out[0]], dtype=np.float64)
+                cparts.append([r + vshift])
+        parts = cparts
         if only_edges:
             edges = {}
             for rings in parts:

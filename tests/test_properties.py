@@ -3552,6 +3552,10 @@ def test_voronoi_delaunay_duality_referee(pts):
            for (i, j), a_ in zip(idx_pairs, ar)
            if a_ / delta > 1e-3 * scale}
 
+    # structural: the canonicalized cells form a VALID COVERAGE (shared
+    # edges vertex-exact, no overlaps/gaps at the kernel's resolution)
+    assert algos.is_valid_coverage(cells)
+
     de = algos.delaunay_triangles(ga, only_edges=True)
     edges = set()
     for seg in de.geom_slices(0):
