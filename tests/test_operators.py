@@ -490,6 +490,85 @@ def test_sjoin_grid_monster_bboxes_match_broadcast(spark):
             assert len(a) > 0
 
 
+def test_sjoin_grid_monster_left_outer_and_dups(spark):
+    """Monster bands × the other grid-join features: how='left' keeps
+    unmatched rows exactly once; duplicate right geometries (the
+    dedup_right path) fan back out correctly; on_attribute joins keep
+    the band keys compatible."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+
+    left = spark.range(300).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 2).alias("part"),
+        F.when(F.col("id") % 60 == 0,
+               st.makebox(F.lit(-5.0), (F.col("id") * 61 % 300)
+                          .cast("double"),
+                          F.lit(305.0), (F.col("id") * 61 % 300 + 0.5)
+                          .cast("double")))
+         .otherwise(st.makebox((F.col("id") * 37 % 300).cast("double"),
+                               (F.col("id") * 61 % 300).cast("double"),
+                               (F.col("id") * 37 % 300 + 2).cast("double"),
+                               (F.col("id") * 61 % 300 + 2).cast("double")))
+        .alias("geom"))
+    # right: 15 unique boxes each duplicated 6x (dedup_right fires)
+    right = spark.range(90).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 2).alias("part"),
+        st.makebox((F.col("id") % 15 * 19 % 290).cast("double"),
+                   (F.col("id") % 15 * 23 % 290).cast("double"),
+                   (F.col("id") % 15 * 19 % 290 + 8).cast("double"),
+                   (F.col("id") % 15 * 23 % 290 + 8).cast("double"))
+        .alias("geom"))
+
+    for kw in [{"how": "left"}, {"on_attribute": ["part"]},
+               {"how": "left", "on_attribute": ["part"]}]:
+        a = sorted((r.lid, r.rid) for r in sjoin(
+            left, right, predicate="intersects", strategy="broadcast",
+            **kw).select("lid", "rid").collect())
+        b = sorted((r.lid, r.rid) for r in sjoin(
+            left, right, predicate="intersects", strategy="grid",
+            **kw).select("lid", "rid").collect())
+        assert a == b, (kw, len(a), len(b))
+        assert len(a) > 0
+
+
+def test_sjoin_nearest_grid_with_monster_right(spark):
+    """The nearest-grid path inherits the band routing through the
+    shared dwithin candidate join — monster strips on the build side
+    must not change results vs broadcast."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators.sjoin import sjoin_nearest
+
+    pts = spark.range(250).select(
+        F.col("id").alias("pid"),
+        st.point((F.col("id") * 13 % 200).cast("double"),
+                 (F.col("id") * 31 % 200).cast("double")).alias("geom"))
+    boxes = spark.range(80).select(
+        F.col("id").alias("bid"),
+        F.when(F.col("id") % 20 == 0,
+               st.makebox(F.lit(-5.0), (F.col("id") * 7 % 200)
+                          .cast("double"),
+                          F.lit(205.0), (F.col("id") * 7 % 200 + 0.4)
+                          .cast("double")))
+         .otherwise(st.makebox((F.col("id") * 11 % 195).cast("double"),
+                               (F.col("id") * 17 % 195).cast("double"),
+                               (F.col("id") * 11 % 195 + 4).cast("double"),
+                               (F.col("id") * 17 % 195 + 4).cast("double")))
+        .alias("geom"))
+    a = sorted((r.pid, r.bid, round(r.d, 9)) for r in sjoin_nearest(
+        pts, boxes, max_distance=15.0, distance_col="d",
+        strategy="broadcast").select("pid", "bid", "d").collect())
+    b = sorted((r.pid, r.bid, round(r.d, 9)) for r in sjoin_nearest(
+        pts, boxes, max_distance=15.0, distance_col="d",
+        strategy="grid").select("pid", "bid", "d").collect())
+    assert a == b and len(a) > 0
+
+
 def test_sjoin_grid_mostly_null_geometry_extent(spark):
     """Degenerate-sample fallback (r10 ADVICE): a geometry column that
     is mostly NULL with a few huge-coordinate rows must derive the grid
