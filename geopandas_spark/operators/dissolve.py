@@ -210,19 +210,40 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
             nparts = 2
         two_phase = nparts > 1
         if two_phase:
-            # overlap probe (memoized like the dup probe — perf-only)
-            try:
-                ck = (df.semanticHash(), tuple(by), geom, "p1")
-            except Exception:
-                ck = None
-            if ck is not None and ck in _PHASE_PROBE_CACHE:
-                two_phase = _PHASE_PROBE_CACHE[ck]
-            else:
-                two_phase = _probe_phase1_gain(df, by, geom, nparts)
-                if ck is not None:
-                    if len(_PHASE_PROBE_CACHE) > 256:
-                        _PHASE_PROBE_CACHE.clear()
-                    _PHASE_PROBE_CACHE[ck] = two_phase
+            # dup probe FIRST: a sparse-but-duplicate-heavy input (the
+            # 100x duplicated-dim shape) has few overlap partners per
+            # phase-1 group, but its winning plan — the native
+            # (key, geom) pre-dedup — lives on the two-phase path and
+            # must not be probed away
+            dup_first = False
+            if not holistic:
+                try:
+                    dck = (df.semanticHash(), tuple(by), geom)
+                except Exception:
+                    dck = None
+                if dck is not None and dck in _DUP_PROBE_CACHE:
+                    dup_first = _DUP_PROBE_CACHE[dck]
+                else:
+                    dup_first = _probe_duplication(df, by, geom)
+                    if dck is not None:
+                        if len(_DUP_PROBE_CACHE) > 256:
+                            _DUP_PROBE_CACHE.clear()
+                        _DUP_PROBE_CACHE[dck] = dup_first
+            if not dup_first:
+                # overlap probe (memoized — perf-only): single-phase
+                # when the phase-1 combine cannot reduce
+                try:
+                    ck = (df.semanticHash(), tuple(by), geom, "p1")
+                except Exception:
+                    ck = None
+                if ck is not None and ck in _PHASE_PROBE_CACHE:
+                    two_phase = _PHASE_PROBE_CACHE[ck]
+                else:
+                    two_phase = _probe_phase1_gain(df, by, geom, nparts)
+                    if ck is not None:
+                        if len(_PHASE_PROBE_CACHE) > 256:
+                            _PHASE_PROBE_CACHE.clear()
+                        _PHASE_PROBE_CACHE[ck] = two_phase
     if holistic:
         two_phase = False
 
