@@ -3715,3 +3715,133 @@ def test_polygonize_build_area_web_mercator_invariance(nx, ny, ox, oy,
     bf = algos.build_area(far)
     assert abs(float(algos.area(bb)[0]) - want) <= 1e-9 * want
     assert abs(float(algos.area(bf)[0]) - want) <= 1e-6 * want + 1e-3
+
+
+def _seg_box_de9im_oracle(p0, p1, box):
+    """EXACT DE-9IM for an integer-coordinate segment (as A) vs a
+    positive-area integer box (as B) — Fractions for edge-intersection
+    parameters, so every classification is exact."""
+    from fractions import Fraction as Fr
+
+    bx0, by0, bx1, by1 = box
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+
+    def on_boundary(x, y):
+        return ((x in (bx0, bx1) and by0 <= y <= by1) or
+                (y in (by0, by1) and bx0 <= x <= bx1))
+
+    def strictly_inside(x, y):
+        return bx0 < x < bx1 and by0 < y < by1
+
+    def strictly_outside(x, y):
+        return x < bx0 or x > bx1 or y < by0 or y > by1
+
+    # closed-box clip via Liang-Barsky with exact Fractions
+    t0, t1 = Fr(0), Fr(1)
+    ok = True
+    for d, lo, hi, o in ((dx, bx0, bx1, p0[0]), (dy, by0, by1, p0[1])):
+        if d == 0:
+            if o < lo or o > hi:
+                ok = False
+                break
+        else:
+            ta, tb = Fr(lo - o, d), Fr(hi - o, d)
+            if ta > tb:
+                ta, tb = tb, ta
+            t0, t1 = max(t0, ta), min(t1, tb)
+            if t0 > t1:
+                ok = False
+                break
+
+    def pt(t):
+        return (Fr(p0[0]) + t * dx, Fr(p0[1]) + t * dy)
+
+    ii = "F"
+    if ok and t1 > t0:
+        mx, my = pt((t0 + t1) / 2)
+        if bx0 < mx < bx1 and by0 < my < by1:
+            ii = "1"
+
+    # segment ∩ each boundary edge, exactly (interval or point in t)
+    ib_dim = -1
+    edges = [((bx0, by0), (bx1, by0)), ((bx1, by0), (bx1, by1)),
+             ((bx1, by1), (bx0, by1)), ((bx0, by1), (bx0, by0))]
+    for (q0, q1) in edges:
+        ex, ey = q1[0] - q0[0], q1[1] - q0[1]
+        cross = dx * ey - dy * ex
+        qp = (q0[0] - p0[0], q0[1] - p0[1])
+        if cross == 0:
+            # parallel: collinear iff qp x e == 0
+            if qp[0] * ey - qp[1] * ex == 0:
+                # project edge endpoints onto segment parameter t
+                den = dx * dx + dy * dy
+                ta = Fr((q0[0] - p0[0]) * dx + (q0[1] - p0[1]) * dy, den)
+                tb = Fr((q1[0] - p0[0]) * dx + (q1[1] - p0[1]) * dy, den)
+                lo, hi = min(ta, tb), max(ta, tb)
+                lo, hi = max(lo, Fr(0)), min(hi, Fr(1))
+                if hi > lo and hi > 0 and lo < 1:
+                    # positive-length run; does it intersect t∈(0,1)?
+                    if min(hi, Fr(1)) > max(lo, Fr(0)) and \
+                            not (hi <= 0 or lo >= 1):
+                        ib_dim = max(ib_dim, 1 if hi > lo else 0)
+                        if hi > lo and (min(hi, 1) > max(lo, 0)):
+                            ib_dim = 1
+                elif lo == hi and 0 < lo < 1:
+                    ib_dim = max(ib_dim, 0)
+            continue
+        # proper or endpoint crossing: t on segment, u on edge
+        t = Fr(qp[0] * ey - qp[1] * ex, cross)
+        u = Fr(qp[0] * dy - qp[1] * dx, cross)
+        if 0 <= u <= 1 and 0 < t < 1:
+            ib_dim = max(ib_dim, 0)
+    ib = "F" if ib_dim < 0 else str(ib_dim)
+
+    ie = "1" if (not ok or t0 > 0 or t1 < 1) else "F"
+    bi = "0" if (strictly_inside(*p0) or strictly_inside(*p1)) else "F"
+    bb = "0" if (on_boundary(*p0) or on_boundary(*p1)) else "F"
+    be = "0" if (strictly_outside(*p0) or strictly_outside(*p1)) else "F"
+    return ii + ib + ie + bi + bb + be + "212"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st_.integers(0, 12), st_.integers(0, 12),
+       st_.integers(0, 12), st_.integers(0, 12),
+       st_.integers(0, 10), st_.integers(0, 10),
+       st_.integers(1, 6), st_.integers(1, 6))
+def test_relate_segment_box_matches_exact_oracle(ax, ay, bx, by,
+                                                 qx, qy, qw, qh):
+    """relate()'s mixed-dimension path (line A × polygon B) vs an exact
+    Fraction-arithmetic oracle — crossing, grazing, collinear-edge runs,
+    containment, corner touches all arise on the small integer grid."""
+    from hypothesis import assume
+    assume((ax, ay) != (bx, by))
+    ga = ga_from = wkt.parse_array([f"LINESTRING ({ax} {ay}, {bx} {by})"])
+    gb = wkt.parse_array([
+        f"POLYGON (({qx} {qy}, {qx + qw} {qy}, {qx + qw} {qy + qh}, "
+        f"{qx} {qy + qh}, {qx} {qy}))"])
+    got = algos.relate(ga, gb)[0]
+    want = _seg_box_de9im_oracle((ax, ay), (bx, by),
+                                 (qx, qy, qx + qw, qy + qh))
+    assert got == want, ((ax, ay, bx, by), (qx, qy, qw, qh), got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st_.integers(0, 8), st_.integers(0, 8),
+       st_.integers(0, 6), st_.integers(0, 6),
+       st_.integers(1, 5), st_.integers(1, 5))
+def test_relate_point_box_matches_exact_oracle(px, py, qx, qy, qw, qh):
+    """relate() point × polygon vs the trivially-exact classification."""
+    ga = wkt.parse_array([f"POINT ({px} {py})"])
+    gb = wkt.parse_array([
+        f"POLYGON (({qx} {qy}, {qx + qw} {qy}, {qx + qw} {qy + qh}, "
+        f"{qx} {qy + qh}, {qx} {qy}))"])
+    got = algos.relate(ga, gb)[0]
+    x0, y0, x1, y1 = qx, qy, qx + qw, qy + qh
+    if x0 < px < x1 and y0 < py < y1:
+        want = "0FFFFF212"
+    elif ((px in (x0, x1) and y0 <= py <= y1) or
+          (py in (y0, y1) and x0 <= px <= x1)):
+        want = "F0FFFF212"
+    else:
+        want = "FF0FFF212"
+    assert got == want, ((px, py), (qx, qy, qw, qh), got, want)
