@@ -385,9 +385,10 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
     same point twice is GEOS's "Ring Self-intersection": its shoelace
     area diverges from its point set, r9 subdivide-fuzz find) — holes
     properly inside their shell with no ring-cross, no hole nested
-    inside another hole). A subset of GEOS IsValid — remaining
-    undetected exotica: nested/overlapping sibling shells in a
-    MultiPolygon. Reference: base.py:301."""
+    inside another hole, and sibling MultiPolygon shells pairwise
+    interior-disjoint with finite boundary contact — r10 closed the
+    last documented gap, nested/overlapping sibling shells).
+    Reference: base.py:301."""
     out = np.ones(len(ga), dtype=bool)
     out[ga.is_missing()] = False
     for i in range(len(ga)):
@@ -400,6 +401,7 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
             out[i] = False
             continue
         if t in (GT_POLYGON, GT_MULTIPOLYGON):
+            clean_parts = []
             for p in parts:
                 bad = False
                 pc = []
@@ -467,6 +469,44 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                 if bad:
                     out[i] = False
                     break
+                clean_parts.append(p)
+            if out[i] and len(clean_parts) > 1:
+                # sibling shells (GEOS 'Nested shells' / shell overlap,
+                # the last documented is_valid gap, closed r10): two
+                # parts' interiors must be disjoint and their boundaries
+                # may meet only in finitely many points. Detect: proper
+                # shell-edge crossings, positive-length collinear shell
+                # edge overlaps, or a shell vertex/edge-midpoint of one
+                # part strictly interior to ANOTHER part (interior =
+                # even-odd over that part's full ring set, so a part
+                # sitting legally inside a sibling's HOLE stays valid).
+                for a_ in range(len(clean_parts)):
+                    sa = clean_parts[a_][0]
+                    ea0, ea1 = sa[:-1], sa[1:]
+                    ea = np.column_stack([ea0, ea1]).reshape(-1, 2, 2)
+                    for b_ in range(len(clean_parts)):
+                        if a_ == b_ or not out[i]:
+                            continue
+                        sb = clean_parts[b_][0]
+                        if a_ < b_:
+                            eb = np.column_stack([sb[:-1], sb[1:]]) \
+                                .reshape(-1, 2, 2)
+                            if _segs_proper_cross(ea, eb):
+                                out[i] = False
+                                break
+                            if any(_collinear_overlap_any(
+                                    ea0[k], ea1[k] - ea0[k],
+                                    sb[:-1], sb[1:])
+                                    for k in range(len(ea0))):
+                                out[i] = False
+                                break
+                        probes = np.vstack([sa[:-1],
+                                            (sa[:-1] + sa[1:]) * 0.5])
+                        cls = points_in_rings(probes[:, 0], probes[:, 1],
+                                              clean_parts[b_])
+                        if (cls == 2).any():
+                            out[i] = False
+                            break
     return out
 
 
@@ -660,6 +700,32 @@ def _geom_segments(ga: GeometryArray, i: int):
 def _geom_points(ga: GeometryArray, i: int):
     o = ga.coord_offsets_per_geom()
     return ga.coords[o[i]:o[i + 1]]
+
+
+def _segs_proper_cross(sa, sb) -> bool:
+    """Robust ANY-proper-crossing between segment sets (S,2,2)/(T,2,2):
+    strict opposite-side sign tests with a scale-relative margin
+    (1e-9·|r|·|s|), instead of the parametric t/u form — near-collinear
+    edges meeting at a shared vertex give denom≈0 and t=tiny/tiny lands
+    anywhere, fabricating 'proper' hits (r10 sibling-shell fuzz find on
+    make_valid's own output)."""
+    if len(sa) == 0 or len(sb) == 0:
+        return False
+    r = sa[:, 1] - sa[:, 0]
+    s = sb[:, 1] - sb[:, 0]
+    tol = 1e-9 * np.sqrt((r * r).sum(-1))[:, None] \
+        * np.sqrt((s * s).sum(-1))[None, :]
+    q0p = sb[None, :, 0] - sa[:, None, 0]
+    q1p = sb[None, :, 1] - sa[:, None, 0]
+    d1 = r[:, None, 0] * q0p[..., 1] - r[:, None, 1] * q0p[..., 0]
+    d2 = r[:, None, 0] * q1p[..., 1] - r[:, None, 1] * q1p[..., 0]
+    p0q = -q0p
+    p1q = sa[:, None, 1] - sb[None, :, 0]
+    d3 = s[None, :, 0] * p0q[..., 1] - s[None, :, 1] * p0q[..., 0]
+    d4 = s[None, :, 0] * p1q[..., 1] - s[None, :, 1] * p1q[..., 0]
+    opp_q = ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+    opp_p = ((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol))
+    return bool((opp_q & opp_p).any())
 
 
 def _segs_intersect_flags(sa, sb):
@@ -5605,8 +5671,27 @@ def is_valid_reason(ga: GeometryArray) -> list:
                                         np.array([mj[1]]),
                                         [p[k2]])[0] == 2:
                                     nested = True
+                    # nested sibling shells (r10): a part strictly
+                    # interior to another part and not in its hole
+                    shells_nested = False
+                    parts_i = ga.geom_slices(i)
+                    if t == GT_MULTIPOLYGON and len(parts_i) > 1:
+                        for a_ in range(len(parts_i)):
+                            sa = parts_i[a_][0]
+                            if len(sa) < 4:
+                                continue
+                            pr = np.vstack([sa[:-1],
+                                            (sa[:-1] + sa[1:]) * 0.5])
+                            for b_ in range(len(parts_i)):
+                                if a_ == b_:
+                                    continue
+                                cls = points_in_rings(pr[:, 0], pr[:, 1],
+                                                      parts_i[b_])
+                                if (cls == 2).all():
+                                    shells_nested = True
                     out.append("Hole lies outside shell" if escaped
                                else "Holes are nested" if nested
+                               else "Nested shells" if shells_nested
                                else "Self-intersection")
             else:
                 out.append("Invalid Geometry")

@@ -591,6 +591,28 @@ class TestValidity:
             algos.is_valid(ga), [True, True, False, False, True])
         assert algos.is_valid_reason(ga)[0] == "Valid Geometry"
 
+    def test_is_valid_sibling_shells(self):
+        # r10: nested/overlapping sibling shells — the last documented
+        # is_valid gap. Island-in-a-hole and point-touch stay valid.
+        ga = ga_from_wkt(
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)),"
+            " ((2 2, 4 2, 4 4, 2 4, 2 2)))",                  # nested
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (1 1, 9 1, 9 9, 1 9, 1 1)),"
+            " ((3 3, 5 3, 5 5, 3 5, 3 3)))",                  # in hole
+            "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)),"
+            " ((2 2, 6 2, 6 6, 2 6, 2 2)))",                  # overlap
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+            " ((2 2, 4 2, 4 4, 2 4, 2 2)))",                  # pt touch
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+            " ((2 0, 4 0, 4 2, 2 2, 2 0)))",                  # edge share
+        )
+        np.testing.assert_array_equal(
+            algos.is_valid(ga), [False, True, False, True, False])
+        reasons = algos.is_valid_reason(ga)
+        assert reasons[0] == "Nested shells"
+        assert reasons[1] == "Valid Geometry"
+
     def test_is_ring_closed(self):
         ga = ga_from_wkt("LINESTRING (0 0, 1 0, 1 1, 0 0)",
                          "LINESTRING (0 0, 1 1)")
@@ -976,9 +998,14 @@ class TestTriangulation:
         dt = algos.delaunay_triangles(mp)
         assert algos.count_geometries(dt)[0] == 4
         assert algos.area(dt)[0] == 16.0
-        # empty-circumcircle property: no input point strictly inside any
-        # triangle's circumcircle — spot-check by validity + coverage
-        assert algos.is_valid(dt)[0]
+        # edge-adjacent triangles in ONE MultiPolygon are OGC-invalid
+        # (r10: is_valid now detects sibling edge sharing, GEOS parity —
+        # shapely returns a GeometryCollection for exactly this reason);
+        # the meaningful triangulation properties are per-part validity
+        # and clean coverage
+        tris, _p, _t = algos.get_parts(dt)
+        assert algos.is_valid(tris).all()
+        assert algos.is_valid_coverage(tris)
 
     def test_delaunay_collinear(self):
         mp = ga_from_wkt("MULTIPOINT ((0 0), (1 1), (2 2))")
