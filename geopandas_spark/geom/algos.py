@@ -5782,6 +5782,20 @@ def _fix_pinched_polys(polys: list) -> list:
         shell = _strip_ring_spikes(np.asarray(p[0], dtype=np.float64))
         lobes = _split_ring_pinches(shell)
         holes = list(p[1:])
+        if len(lobes) > 1:
+            # orientation-aware split (r10 deep-sweep find, seed 192): a
+            # pinch loop wound OPPOSITE the shell's dominant direction is
+            # a boundary NOTCH — an excluded region the coverage-merge
+            # tracer folded into one ring — and must re-home as a HOLE
+            # of whichever lobe contains it, not ship as a sibling lobe
+            # overlapping the region it was carved from.
+            signs = [_ring_signed_area_arr(lb) for lb in lobes]
+            dom = 1.0 if sum(signs) >= 0 else -1.0
+            keep = [lb for lb, s in zip(lobes, signs) if s * dom >= 0]
+            notches = [lb for lb, s in zip(lobes, signs) if s * dom < 0]
+            if keep:
+                lobes = keep
+                holes = holes + notches
         if len(lobes) == 1:
             out.append([lobes[0]] + holes)
             continue

@@ -920,6 +920,26 @@ class TestRepairAndLinework:
         a_wo = algos.area(algos.make_valid(no_hole, method="structure"))[0]
         assert a_with < a_wo          # the hole subtracts area
 
+    def test_make_valid_boundary_notch_becomes_hole(self):
+        # r10 deep-sweep find (seed 192): the coverage-merge tracer
+        # folds an excluded boundary notch into one pinched ring; the
+        # pinch split must respect orientation — the reversed loop is a
+        # HOLE of the containing lobe, not a sibling lobe overlapping
+        # the region it was carved from.
+        g = ga_from_wkt(
+            "POLYGON ((6 0, 6 4, 0 5, 9 7, 6 0, 2 7, 6 2, 6 0))")
+        mv = algos.make_valid(g)
+        assert algos.is_valid(mv)[0], algos.is_valid_reason(mv)[0]
+        parts, _p, _t = algos.get_parts(mv)
+        # the excluded triangle (6 4, 4.15.., 6 2) must NOT double-count
+        import numpy as np
+        enc = wkb.encode(parts)
+        for a in range(len(parts)):
+            for b in range(a + 1, len(parts)):
+                inter = algos.intersection(wkb.decode([enc[a]]),
+                                           wkb.decode([enc[b]]))
+                assert float(algos.area(inter)[0]) <= 1e-9
+
     def test_make_valid_passthrough(self):
         ok = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", None)
         out = algos.make_valid(ok)
