@@ -1,0 +1,417 @@
+"""Exact rational slab-decomposition oracle for polygon pairs.
+
+The strongest relate/setops oracles so far cover box x box, segment x
+box and point x box operands (tests/test_properties.py).  This module
+generalizes them: a vertical slab decomposition of the combined edge
+arrangement, computed entirely in Fraction arithmetic, yields EXACT
+
+  * areas of intersection / union / difference / symmetric_difference
+  * the full DE-9IM matrix
+
+for ARBITRARY even-odd polygons (non-convex, with holes), refereeing
+the float sweep kernels in geopandas_spark.geom.algos on inputs no
+other suite can certify.  Reference semantics: geopandas base.py
+relate/intersection/union (GEOS); the oracle is independent of both the
+engine and GEOS.
+"""
+import math
+from fractions import Fraction as Fr
+
+import numpy as np
+from hypothesis import assume, given, settings, strategies as st_
+
+from geopandas_spark.geom import algos, wkt
+
+
+# ---------------------------------------------------------------- oracle
+
+def _ring_segments(rings):
+    segs = []
+    for r in rings:
+        for i in range(len(r) - 1):
+            p = (Fr(r[i][0]), Fr(r[i][1]))
+            q = (Fr(r[i + 1][0]), Fr(r[i + 1][1]))
+            if p != q:
+                segs.append((p, q))
+    return segs
+
+
+def _cross(o, a, b):
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _seg_params(s1, s2):
+    """(t, u) of the intersection of the supporting lines, or None if
+    parallel."""
+    (p1, p2), (q1, q2) = s1, s2
+    d1 = (p2[0] - p1[0], p2[1] - p1[1])
+    d2 = (q2[0] - q1[0], q2[1] - q1[1])
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if den == 0:
+        return None
+    w = (q1[0] - p1[0], q1[1] - p1[1])
+    t = (w[0] * d2[1] - w[1] * d2[0]) / den
+    u = (w[0] * d1[1] - w[1] * d1[0]) / den
+    return t, u
+
+
+def _collinear_overlap(s1, s2):
+    """(lo, hi) parameters on s1 of a positive-length collinear overlap
+    with s2, else None."""
+    (p1, p2), (q1, q2) = s1, s2
+    d1 = (p2[0] - p1[0], p2[1] - p1[1])
+    d2 = (q2[0] - q1[0], q2[1] - q1[1])
+    if d1[0] * d2[1] - d1[1] * d2[0] != 0:
+        return None
+    if _cross(p1, p2, q1) != 0:
+        return None
+    den = d1[0] * d1[0] + d1[1] * d1[1]
+    ta = ((q1[0] - p1[0]) * d1[0] + (q1[1] - p1[1]) * d1[1]) / den
+    tb = ((q2[0] - p1[0]) * d1[0] + (q2[1] - p1[1]) * d1[1]) / den
+    lo, hi = min(ta, tb), max(ta, tb)
+    lo, hi = max(lo, Fr(0)), min(hi, Fr(1))
+    if lo < hi:
+        return lo, hi
+    return None
+
+
+def _y_at(seg, x):
+    (p, q) = seg
+    return p[1] + (x - p[0]) * (q[1] - p[1]) / (q[0] - p[0])
+
+
+def _point_on_segment(m, seg):
+    p, q = seg
+    if _cross(p, q, m) != 0:
+        return False
+    return (min(p[0], q[0]) <= m[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= m[1] <= max(p[1], q[1]))
+
+
+def _even_odd_inside(m, segs):
+    """Exact even-odd membership of point m w.r.t. the edge set, using
+    the half-open vertical-ray rule (counts edges whose x-span contains
+    m.x half-open and whose y at m.x is above m).  m must NOT lie on
+    any segment."""
+    cnt = 0
+    for (p, q) in segs:
+        if p[0] == q[0]:
+            continue
+        (lo, hi) = (p, q) if p[0] < q[0] else (q, p)
+        if lo[0] <= m[0] < hi[0]:
+            if _y_at((p, q), m[0]) > m[1]:
+                cnt += 1
+    return cnt % 2 == 1
+
+
+def _slab_areas(segs_a, segs_b):
+    """Exact areas (A, B, A^B) of the two even-odd regions and their
+    intersection via vertical slab decomposition."""
+    xs = set()
+    for (p, q) in segs_a + segs_b:
+        xs.add(p[0])
+        xs.add(q[0])
+    allsegs = segs_a + segs_b
+    for i in range(len(allsegs)):
+        for j in range(i + 1, len(allsegs)):
+            tu = _seg_params(allsegs[i], allsegs[j])
+            if tu is None:
+                continue
+            t, u = tu
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                (p, q) = allsegs[i]
+                xs.add(p[0] + t * (q[0] - p[0]))
+    xs = sorted(xs)
+    area_a = area_b = area_i = Fr(0)
+    for k in range(len(xs) - 1):
+        x0, x1 = xs[k], xs[k + 1]
+        if x0 == x1:
+            continue
+        xm = (x0 + x1) / 2
+        crossing = []          # (y_mid, y_left, y_right, is_a)
+        for tag, segs in ((True, segs_a), (False, segs_b)):
+            for seg in segs:
+                (p, q) = seg
+                lo, hi = min(p[0], q[0]), max(p[0], q[0])
+                if lo < xm < hi:
+                    crossing.append((_y_at(seg, xm), _y_at(seg, x0),
+                                     _y_at(seg, x1), tag))
+        crossing.sort(key=lambda c: c[0])
+        in_a = in_b = False
+        w = x1 - x0
+        for idx in range(len(crossing) - 1):
+            ym, yl, yr, tag = crossing[idx]
+            if tag:
+                in_a = not in_a
+            else:
+                in_b = not in_b
+            nxt = crossing[idx + 1]
+            gap = w * ((nxt[1] - yl) + (nxt[2] - yr)) / 2
+            if in_a:
+                area_a += gap
+            if in_b:
+                area_b += gap
+            if in_a and in_b:
+                area_i += gap
+    return area_a, area_b, area_i
+
+
+def _split_points(seg, others):
+    """Sorted parameters (incl. 0, 1) where seg meets any segment in
+    others."""
+    ts = {Fr(0), Fr(1)}
+    for o in others:
+        tu = _seg_params(seg, o)
+        if tu is not None:
+            t, u = tu
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                ts.add(t)
+        else:
+            ov = _collinear_overlap(seg, o)
+            if ov is not None:
+                ts.add(ov[0])
+                ts.add(ov[1])
+    return sorted(ts)
+
+
+def _boundary_pieces_vs(segs_self, segs_other):
+    """('1' flags) whether self's boundary has positive-length pieces in
+    other's interior / on other's boundary / in other's exterior."""
+    in_int = on_bnd = in_ext = False
+    for seg in segs_self:
+        ts = _split_points(seg, segs_other)
+        (p, q) = seg
+        for a, b in zip(ts[:-1], ts[1:]):
+            if a == b:
+                continue
+            tm = (a + b) / 2
+            m = (p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1]))
+            if any(_point_on_segment(m, o) for o in segs_other):
+                on_bnd = True
+            elif _even_odd_inside(m, segs_other):
+                in_int = True
+            else:
+                in_ext = True
+    return in_int, on_bnd, in_ext
+
+
+def exact_de9im(rings_a, rings_b):
+    """Full DE-9IM of two even-odd polygons with integer/rational
+    vertices, exactly."""
+    sa, sb = _ring_segments(rings_a), _ring_segments(rings_b)
+    area_a, area_b, area_i = _slab_areas(sa, sb)
+
+    ii = "2" if area_i > 0 else "F"
+    ie = "2" if area_a > area_i else "F"
+    ei = "2" if area_b > area_i else "F"
+
+    # boundary x boundary: 1 if any positive-length collinear overlap,
+    # else 0 if the edge sets touch at all, else F
+    bb_dim = -1
+    for s1 in sa:
+        for s2 in sb:
+            if _collinear_overlap(s1, s2) is not None:
+                bb_dim = 1
+                break
+            tu = _seg_params(s1, s2)
+            if tu is not None:
+                t, u = tu
+                if 0 <= t <= 1 and 0 <= u <= 1:
+                    bb_dim = max(bb_dim, 0)
+            else:
+                # parallel non-overlapping or touching at one point
+                p, q = s2
+                if _point_on_segment(p, s1) or _point_on_segment(q, s1):
+                    bb_dim = max(bb_dim, 0)
+        if bb_dim == 1:
+            break
+    bb = "F" if bb_dim < 0 else str(bb_dim)
+
+    a_in_b, _, a_out_b = _boundary_pieces_vs(sa, sb)
+    b_in_a, _, b_out_a = _boundary_pieces_vs(sb, sa)
+    ib = "1" if b_in_a else "F"     # interior(A) x boundary(B)
+    bi = "1" if a_in_b else "F"     # boundary(A) x interior(B)
+    be = "1" if a_out_b else "F"
+    eb = "1" if b_out_a else "F"
+
+    mat = ii + ib + ie + bi + bb + be + ei + eb + "2"
+    return mat, (area_a, area_b, area_i)
+
+
+# ------------------------------------------------------------ generators
+
+def _star_ring(draw, lo=0, hi=24, nmin=4, nmax=9):
+    """Simple star-shaped polygon ring with integer vertices: random
+    integer points sorted by exact angle around their centroid, one
+    point (max radius) per direction."""
+    n = draw(st_.integers(nmin, nmax))
+    pts = set()
+    for _ in range(n):
+        pts.add((draw(st_.integers(lo, hi)), draw(st_.integers(lo, hi))))
+    pts = sorted(pts)
+    assume(len(pts) >= 3)
+    cx = Fr(sum(p[0] for p in pts), len(pts))
+    cy = Fr(sum(p[1] for p in pts), len(pts))
+    dirs = {}
+    for (x, y) in pts:
+        dx, dy = Fr(x) - cx, Fr(y) - cy
+        if dx == 0 and dy == 0:
+            continue
+        g = math.gcd(dx.numerator * dy.denominator,
+                     dy.numerator * dx.denominator)
+        key_n = (dx.numerator * dy.denominator // g if g else 0,
+                 dy.numerator * dx.denominator // g if g else 0)
+        r2 = dx * dx + dy * dy
+        if key_n not in dirs or r2 > dirs[key_n][0]:
+            dirs[key_n] = (r2, (x, y))
+    assume(len(dirs) >= 3)
+
+    # sort directions CCW: split into the upper half-plane (ny>0, or
+    # ny==0 with nx>0, i.e. angle in [0, pi)) and the lower; within a
+    # half, -cot(theta) = -nx/ny increases monotonically with theta
+    items = list(dirs.items())
+
+    def cmp_key(k):
+        nx, ny = k
+        half = 0 if (ny > 0 or (ny == 0 and nx > 0)) else 1
+        return (half, Fr(-nx, ny) if ny != 0 else Fr(-10**18))
+
+    items.sort(key=lambda kv: cmp_key(kv[0]))
+    ring = [kv[1][1] for kv in items]
+    ring.append(ring[0])
+    # reject zero-area degenerations (all directions collinear)
+    tw = Fr(0)
+    for i in range(len(ring) - 1):
+        tw += (Fr(ring[i][0]) * Fr(ring[i + 1][1])
+               - Fr(ring[i + 1][0]) * Fr(ring[i][1]))
+    assume(tw != 0)
+    if tw < 0:
+        ring = ring[::-1]
+    return ring
+
+
+star_ring = st_.composite(_star_ring)
+
+
+def _ring_wkt(ring):
+    return ", ".join(f"{x} {y}" for (x, y) in ring)
+
+
+def _poly_wkt(rings):
+    return ("POLYGON (" +
+            ", ".join("(" + _ring_wkt(r) + ")" for r in rings) + ")")
+
+
+# ----------------------------------------------------------------- tests
+
+@settings(max_examples=120, deadline=None)
+@given(star_ring(), star_ring())
+def test_setops_areas_match_exact_slab_oracle(ra, rb):
+    """intersection/union/difference/symmetric_difference areas of two
+    random non-convex star polygons vs the exact Fraction slab
+    decomposition."""
+    ga = wkt.parse_array([_poly_wkt([ra])])
+    gb = wkt.parse_array([_poly_wkt([rb])])
+    _, (A, B, I) = exact_de9im([ra], [rb])
+    got_i = algos.area(algos.intersection(ga, gb))[0]
+    got_u = algos.area(algos.union(ga, gb))[0]
+    got_d = algos.area(algos.difference(ga, gb))[0]
+    got_x = algos.area(algos.symmetric_difference(ga, gb))[0]
+    tol = 1e-6
+    assert abs(got_i - float(I)) < tol, (ra, rb, got_i, float(I))
+    assert abs(got_u - float(A + B - I)) < tol, (ra, rb, got_u,
+                                                 float(A + B - I))
+    assert abs(got_d - float(A - I)) < tol, (ra, rb, got_d, float(A - I))
+    assert abs(got_x - float(A + B - 2 * I)) < tol, (ra, rb, got_x,
+                                                     float(A + B - 2 * I))
+
+
+@settings(max_examples=120, deadline=None)
+@given(star_ring(), star_ring())
+def test_relate_star_polygons_match_exact_oracle(ra, rb):
+    """Full DE-9IM of two random star polygons vs the exact oracle —
+    the first relate referee beyond box/segment/point operands."""
+    ga = wkt.parse_array([_poly_wkt([ra])])
+    gb = wkt.parse_array([_poly_wkt([rb])])
+    want, _ = exact_de9im([ra], [rb])
+    got = algos.relate(ga, gb)[0]
+    assert got == want, (_poly_wkt([ra]), _poly_wkt([rb]), got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(star_ring(lo=0, hi=30, nmin=5, nmax=9),
+       st_.integers(8, 14), st_.integers(8, 14))
+def test_relate_holed_box_vs_star_matches_exact_oracle(rb, hx, hy):
+    """Box-with-hole vs star polygon: the even-odd oracle handles holes
+    natively; checks hole-aware interior classification in relate and
+    the boolean area kernels."""
+    shell = [(0, 0), (30, 0), (30, 30), (0, 30), (0, 0)]
+    hole = [(hx, hy), (hx + 6, hy), (hx + 6, hy + 6), (hx, hy + 6),
+            (hx, hy)][::-1]
+    rings_a = [shell, hole]
+    ga = wkt.parse_array([_poly_wkt(rings_a)])
+    gb = wkt.parse_array([_poly_wkt([rb])])
+    want, (A, B, I) = exact_de9im(rings_a, [rb])
+    got = algos.relate(ga, gb)[0]
+    assert got == want, (_poly_wkt(rings_a), _poly_wkt([rb]), got, want)
+    got_i = algos.area(algos.intersection(ga, gb))[0]
+    assert abs(got_i - float(I)) < 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(star_ring(lo=0, hi=6, nmin=4, nmax=8),
+       star_ring(lo=0, hi=6, nmin=4, nmax=8))
+def test_relate_tight_grid_star_polygons_exact(ra, rb):
+    """Stars drawn from a 7x7 integer grid: shared vertices, collinear
+    edge overlaps, corner touches and exact containment all become
+    likely — the degenerate-contact band the float kernels snap-round
+    through."""
+    ga = wkt.parse_array([_poly_wkt([ra])])
+    gb = wkt.parse_array([_poly_wkt([rb])])
+    want, (A, B, I) = exact_de9im([ra], [rb])
+    got = algos.relate(ga, gb)[0]
+    assert got == want, (_poly_wkt([ra]), _poly_wkt([rb]), got, want)
+    got_i = algos.area(algos.intersection(ga, gb))[0]
+    got_x = algos.area(algos.symmetric_difference(ga, gb))[0]
+    assert abs(got_i - float(I)) < 1e-6
+    assert abs(got_x - float(A + B - 2 * I)) < 1e-6
+
+
+@settings(max_examples=60, deadline=None)
+@given(star_ring(), star_ring(),
+       st_.sampled_from([-20_000_000, -3_000_000, 17_000_000]))
+def test_setops_web_mercator_offset_matches_exact(ra, rb, off):
+    """Same star pairs translated to web-mercator magnitudes: the
+    engine's snap grid is ~1e-9 relative, one double ulp at 2e7 is
+    ~4e-9 absolute, so areas must still track the exact oracle (which
+    shifts exactly) to a magnitude-scaled tolerance."""
+    ra2 = [(x + off, y + off) for (x, y) in ra]
+    rb2 = [(x + off, y + off) for (x, y) in rb]
+    ga = wkt.parse_array([_poly_wkt([ra2])])
+    gb = wkt.parse_array([_poly_wkt([rb2])])
+    _, (A, B, I) = exact_de9im([ra], [rb])   # translation-invariant
+    got_i = algos.area(algos.intersection(ga, gb))[0]
+    got_u = algos.area(algos.union(ga, gb))[0]
+    tol = 1e-4     # ulp(2e7)^1 * perimeter-scale slack
+    assert abs(got_i - float(I)) < tol, (ra2, rb2, got_i, float(I))
+    assert abs(got_u - float(A + B - I)) < tol
+
+
+def test_exact_oracle_self_check_unit_boxes():
+    """Sanity anchors for the oracle itself (disjoint / touch / overlap
+    / nested / equal boxes with known matrices and areas)."""
+    box = lambda x, y, w, h: [(x, y), (x + w, y), (x + w, y + h),
+                              (x, y + h), (x, y)]
+    m, (A, B, I) = exact_de9im([box(0, 0, 2, 2)], [box(5, 5, 2, 2)])
+    assert m == "FF2FF1212" and I == 0 and A == 4 and B == 4
+    m, (_, _, I) = exact_de9im([box(0, 0, 2, 2)], [box(2, 0, 2, 2)])
+    assert m == "FF2F11212" and I == 0
+    m, (_, _, I) = exact_de9im([box(0, 0, 2, 2)], [box(1, 1, 2, 2)])
+    assert m == "212101212" and I == 1
+    m, (_, _, I) = exact_de9im([box(0, 0, 4, 4)], [box(1, 1, 2, 2)])
+    assert m == "212FF1FF2" and I == 4
+    m, (_, _, I) = exact_de9im([box(0, 0, 2, 2)], [box(0, 0, 2, 2)])
+    assert m == "2FFF1FFF2" and I == 4
+    # corner touch
+    m, (_, _, I) = exact_de9im([box(0, 0, 2, 2)], [box(2, 2, 2, 2)])
+    assert m == "FF2F01212" and I == 0
