@@ -4119,7 +4119,15 @@ def q_valid_reason_orient(spark, sf_dir):
                        F.lit(" "), h, F.lit(", 0 "), h, F.lit(", 0 0))"))
     bow = F.concat(F.lit("POLYGON ((0 0, "), w, F.lit(" "), h, F.lit(", "),
                    w, F.lit(" 0, 0 "), h, F.lit(", 0 0))"))
-    geom = st.geom_from_text(F.when(k % 2 == 0, ok_ring).otherwise(bow))
+    # figure-8 through the midpoint: revisited vertex, NO proper
+    # crossing -> GEOS phrases this "Ring Self-intersection" (r10)
+    mx, my = (w / 2).cast("long"), (h / 2).cast("long")
+    pinch = F.concat(F.lit("POLYGON ((0 0, "), w, F.lit(" 0, "),
+                     mx, F.lit(" "), my, F.lit(", "), w, F.lit(" "), h,
+                     F.lit(", 0 "), h, F.lit(", "), mx, F.lit(" "), my,
+                     F.lit(", 0 0))"))
+    geom = st.geom_from_text(F.when(k % 3 == 0, ok_ring)
+                             .when(k % 3 == 1, bow).otherwise(pinch))
     cw = st.geom_from_text(F.concat(
         F.lit("POLYGON ((0 0, 0 "), h, F.lit(", "), w, F.lit(" "), h,
         F.lit(", "), w, F.lit(" 0, 0 0))")))
@@ -4178,8 +4186,9 @@ FROM customer
 
 SQL_VALID_REASON_ORIENT = """
 SELECT c_custkey AS id,
-       CASE WHEN c_custkey % 2 = 0 THEN 'Valid Geometry'
-            ELSE 'Self-intersection' END AS reason,
+       CASE WHEN c_custkey % 3 = 0 THEN 'Valid Geometry'
+            WHEN c_custkey % 3 = 1 THEN 'Self-intersection'
+            ELSE 'Ring Self-intersection' END AS reason,
        TRUE AS or_ccw,
        ROUND(CAST((c_custkey % 5 + 1) * 8 * ((c_custkey % 3 + 1) * 6)
              AS DOUBLE), 6) AS or_area,

@@ -5689,9 +5689,33 @@ def is_valid_reason(ga: GeometryArray) -> list:
                                                       parts_i[b_])
                                 if (cls == 2).all():
                                     shells_nested = True
+                    # GEOS phrasing split (r10): a ring that only
+                    # TOUCHES itself at a point (revisited vertex or a
+                    # vertex in an edge interior) is "Ring
+                    # Self-intersection"; a proper crossing or a
+                    # collinear retrace is "Self-intersection"
+                    # (shapely explain_validity parity on both forms).
+                    ring_touch = ring_cross = False
+                    for p in ga.geom_slices(i):
+                        for r in p:
+                            if len(r) < 4:
+                                continue
+                            rd = _dedup_ring(r)
+                            if len(rd) < 4:
+                                continue
+                            if _ring_self_intersects(rd):
+                                ring_cross = True
+                            else:
+                                body = rd[:-1]
+                                if (len(np.unique(body, axis=0))
+                                        != len(body)
+                                        or _ring_vertex_on_edge(rd)):
+                                    ring_touch = True
                     out.append("Hole lies outside shell" if escaped
                                else "Holes are nested" if nested
                                else "Nested shells" if shells_nested
+                               else "Ring Self-intersection"
+                               if (ring_touch and not ring_cross)
                                else "Self-intersection")
             else:
                 out.append("Invalid Geometry")

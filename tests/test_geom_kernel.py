@@ -1001,6 +1001,23 @@ class TestRepairAndLinework:
         assert r[1] == "Valid Geometry"
         assert r[2] is None
 
+    def test_is_valid_reason_ring_self_touch(self):
+        """GEOS phrasing split (r10): point-contact-only self-touches
+        (revisited vertex / T-touch) say "Ring Self-intersection";
+        proper crossings stay "Self-intersection" (shapely
+        explain_validity parity)."""
+        ga = ga_from_wkt(
+            # figure-8 revisiting (1 1): touch, no crossing
+            "POLYGON ((0 0, 2 0, 1 1, 2 2, 0 2, 1 1, 0 0))",
+            # T-touch: vertex (2 0) in the interior of edge (0 0)-(4 0)
+            "POLYGON ((0 0, 4 0, 4 4, 2 0, 0 4, 0 0))",
+            # bowtie: proper crossing at (1 1)
+            "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+        r = algos.is_valid_reason(ga)
+        assert r[0] == "Ring Self-intersection"
+        assert r[1] == "Ring Self-intersection"
+        assert r[2] == "Self-intersection"
+
     def test_line_merge(self):
         ga = ga_from_wkt(
             "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2), (5 5, 6 6))",
