@@ -397,6 +397,38 @@ def test_setops_web_mercator_offset_matches_exact(ra, rb, off):
     assert abs(got_u - float(A + B - I)) < tol
 
 
+@settings(max_examples=120, deadline=None)
+@given(star_ring(lo=0, hi=8, nmin=4, nmax=8),
+       star_ring(lo=0, hi=8, nmin=4, nmax=8))
+def test_binary_predicates_consistent_with_exact_de9im(ra, rb):
+    """The 10 binary predicates have fast paths independent of
+    relate(); each must agree with what the exact DE-9IM oracle
+    implies for area/area operands (reference base.py predicate
+    definitions via the standard matrix patterns)."""
+    ga = wkt.parse_array([_poly_wkt([ra])])
+    gb = wkt.parse_array([_poly_wkt([rb])])
+    m, _ = exact_de9im([ra], [rb])
+    ii, ib, ie, bi, bb, be, ei, eb, _ee = m
+    disjoint = ii == "F" and ib == "F" and bi == "F" and bb == "F"
+    want = {
+        "intersects": not disjoint,
+        "disjoint": disjoint,
+        "touches": (not disjoint) and ii == "F",
+        "overlaps": ii == "2" and ie == "2" and ei == "2",
+        "crosses": False,                      # undefined for area/area
+        "contains": ii != "F" and ei == "F" and eb == "F",
+        "within": ii != "F" and ie == "F" and be == "F",
+        "covers": ei == "F" and eb == "F" and not disjoint,
+        "covered_by": ie == "F" and be == "F" and not disjoint,
+        "geom_equals": (ie == "F" and be == "F"
+                        and ei == "F" and eb == "F"),
+    }
+    for name, expect in want.items():
+        got = bool(getattr(algos, name)(ga, gb)[0])
+        assert got == expect, (name, _poly_wkt([ra]), _poly_wkt([rb]),
+                               m, got, expect)
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
