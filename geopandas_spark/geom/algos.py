@@ -442,10 +442,28 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                         if _prop:
                             bad = True
                             break
-                        mid = (h[0] + h[1]) * 0.5
-                        cls = points_in_rings(np.array([mid[0]]),
-                                              np.array([mid[1]]), [shell])
-                        if cls[0] == 0:     # hole edge midpoint outside
+                        # every hole vertex AND edge midpoint must be
+                        # inside-or-on the shell: a hole can exit
+                        # without a proper crossing by sliding out
+                        # along a collinear shell edge (r10 even-odd
+                        # oracle find: hole (2 2, 3 2, 3 4) escaped
+                        # shell (0 0, 3 0, 3 3) via the shared x=3
+                        # boundary; the old first-edge-midpoint probe
+                        # missed it)
+                        probes = np.vstack([h[:-1], (h[:-1] + h[1:]) / 2])
+                        cls = points_in_rings(probes[:, 0],
+                                              probes[:, 1], [shell])
+                        if (cls == 0).any():
+                            bad = True
+                            break
+                        # shell∩hole boundary must be finitely many
+                        # POINTS: a positive-length collinear overlap
+                        # with the shell is GEOS-invalid even when the
+                        # hole stays inside
+                        if any(_collinear_overlap_any(
+                                h[k], h[k + 1] - h[k],
+                                shell[:-1], shell[1:])
+                                for k in range(len(h) - 1)):
                             bad = True
                             break
                 if not bad and len(p) > 2:
@@ -2239,32 +2257,56 @@ def _ring_crossings(r: np.ndarray, ym: float) -> np.ndarray:
     return np.sort(x0[crossing] + tpar * (x1[crossing] - x0[crossing]))
 
 
-def _ring_interior_point(r: np.ndarray, others=()):
+def _ring_interior_point(r: np.ndarray, others=(), avoid_on=()):
     """A point strictly inside ring ``r`` and outside any NESTED ring
     from ``others`` — scanline crossings, midpoint between r's first
     crossing and the next crossing of ANY ring (the sliver immediately
     inside r's boundary belongs to r's arrangement face, not to a
-    nested ring). No tiny-offset probes; robust for sliver faces."""
-    ym = _ring_scan_y(r)
-    if ym is None:
+    nested ring). No tiny-offset probes; robust for sliver faces.
+
+    ``avoid_on``: rings whose BOUNDARY the returned point must not lie
+    on (make_valid probes the point against the ORIGINAL self-
+    intersecting rings — a probe landing on an original vertex or edge
+    classifies as boundary and silently drops the face, r10 even-odd
+    oracle find). Alternate scanlines are tried until one clears."""
+    ys = np.unique(r[:, 1])
+    if len(ys) < 2:
         return None
-    own = _ring_crossings(r, ym)
-    if len(own) < 2:
-        return None
-    x0 = own[0]
-    x_next = own[1]
-    for o in others:
-        if o is r:
+    ylo, yhi = float(ys[0]), float(ys[-1])
+    cand = None
+    for frac in (None, 0.381966, 0.618034, 0.236068, 0.763932,
+                 0.145898, 0.854102):
+        ym = (_ring_scan_y(r) if frac is None
+              else ylo + frac * (yhi - ylo))
+        if ym is None or not (ylo < ym < yhi):
             continue
-        if o[:, 1].min() > ym or o[:, 1].max() < ym:
+        own = _ring_crossings(r, ym)
+        if len(own) < 2:
             continue
-        oc = _ring_crossings(o, ym)
-        oc = oc[oc > x0 + 1e-12]
-        if len(oc) and oc[0] < x_next:
-            x_next = oc[0]
-    if x_next <= x0 + 1e-12:
-        return None
-    return (0.5 * (x0 + x_next), ym)
+        x0 = own[0]
+        x_next = own[1]
+        for o in others:
+            if o is r:
+                continue
+            if o[:, 1].min() > ym or o[:, 1].max() < ym:
+                continue
+            oc = _ring_crossings(o, ym)
+            oc = oc[oc > x0 + 1e-12]
+            if len(oc) and oc[0] < x_next:
+                x_next = oc[0]
+        if x_next <= x0 + 1e-12:
+            continue
+        pt = (0.5 * (x0 + x_next), ym)
+        if cand is None:
+            cand = pt
+        if avoid_on:
+            px = np.array([pt[0]])
+            py = np.array([pt[1]])
+            if any(points_in_rings(px, py, [a])[0] == 1
+                   for a in avoid_on):
+                continue
+        return pt
+    return cand
 
 
 def _point_boundary_distance(px: float, py: float, segs: np.ndarray) -> float:
@@ -5722,6 +5764,65 @@ def is_valid_reason(ga: GeometryArray) -> list:
     return out
 
 
+def _node_collinear_overlaps(raw: list) -> list:
+    """Split each segment of `raw` (canonically-ordered endpoint pairs)
+    at every OTHER segment endpoint lying in its interior — both the
+    collinear-overlap form (a retrace like (0 0)-(3 3) over
+    (1 1)-(3 3)) and the vertex-on-edge T-touch form (a ring vertex
+    sitting on another edge's interior, through which that edge would
+    otherwise pass un-noded, breaking the planar face walk). Shared
+    collinear sub-segments become exact duplicates (collapsible by a
+    set). O(S²) pairwise — runs only on the rings of one invalid
+    geometry inside make_valid."""
+    if len(raw) < 2:
+        return raw
+    a0 = np.array([s[0] for s in raw])
+    a1 = np.array([s[1] for s in raw])
+    d = a1 - a0
+    verts = np.unique(np.vstack([a0, a1]), axis=0)
+    out = []
+    for i in range(len(raw)):
+        di = d[i]
+        L2 = float(di @ di)
+        # ANY endpoint (of any other segment) on seg i's interior.
+        # Split points reuse the EXACT endpoint coordinates — a point
+        # recomputed as a0+t*d differs in the last ulp between the two
+        # overlapping copies, so the duplicates would not collapse.
+        w = verts - a0[i]
+        cr = w[:, 0] * di[1] - w[:, 1] * di[0]
+        on = np.abs(cr) <= _EPS * L2
+        interior = []
+        if on.any():
+            t = (w[on] @ di) / L2
+            sel = (t > 1e-12) & (t < 1 - 1e-12)
+            order = np.argsort(t[sel])
+            interior = [tuple(p_) for p_ in verts[on][sel][order]]
+        if not interior:
+            out.append(raw[i])
+            continue
+        chain = [raw[i][0]] + interior + [raw[i][1]]
+        for p_, q_ in zip(chain[:-1], chain[1:]):
+            if p_ != q_:
+                out.append((p_, q_) if p_ <= q_ else (q_, p_))
+    return out
+
+
+def _polys_share_edges(polys: list) -> bool:
+    """Do any two DIFFERENT polygons in the list share an undirected
+    boundary edge? (Arrangement faces carry bit-identical vertices, so
+    exact tuple equality is the right test.)"""
+    seen = {}
+    for pi, p in enumerate(polys):
+        for r in p:
+            for a_, c_ in zip(r[:-1], r[1:]):
+                ta, tc = tuple(a_), tuple(c_)
+                key = (ta, tc) if ta <= tc else (tc, ta)
+                owner = seen.setdefault(key, pi)
+                if owner != pi:
+                    return True
+    return False
+
+
 def _repair_ring_faces(ring: np.ndarray) -> list:
     """One (possibly self-intersecting) closed ring → the simple rings of
     its enclosed faces (node + polygonize). A bowtie yields its two
@@ -5890,13 +5991,23 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             # (r9 make_valid fuzz find). One copy makes B degree-1 — a
             # dangle the polygonizer prunes. Classification below still
             # uses the ORIGINAL rings.
-            segs = set()
+            raw = []
             for r in orig:
                 for k in range(len(r) - 1):
                     a_v = (float(r[k][0]), float(r[k][1]))
                     c_v = (float(r[k + 1][0]), float(r[k + 1][1]))
                     if a_v != c_v:
-                        segs.add((a_v, c_v) if a_v <= c_v else (c_v, a_v))
+                        raw.append((a_v, c_v) if a_v <= c_v else
+                                   (c_v, a_v))
+            # node collinear PARTIAL overlaps before the set dedupe: a
+            # retrace like (0 0)-(3 3) over (1 1)-(3 3) otherwise keeps
+            # both copies, and the face walk hugs either copy — emitting
+            # BOTH a region's sub-faces and its unsplit whole, whose
+            # double cover defeats the hole-attach classification (r10
+            # even-odd oracle find). Splitting each segment at every
+            # other collinear segment's interior endpoint makes shared
+            # sub-segments exact duplicates, which the set collapses.
+            segs = set(_node_collinear_overlaps(raw))
             lw = GeometryBuilder()
             for a_v, c_v in sorted(segs):
                 lw.append(GT_LINESTRING,
@@ -5908,8 +6019,44 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             rings = []
             for k in range(len(faces)):
                 fr = _strip_ring_spikes(faces.geom_slices(k)[0][0])
-                rings.extend(_split_ring_pinches(fr))
-            ips = [_ring_interior_point(fr, rings) for fr in rings]
+                pieces = _split_ring_pinches(fr)
+                if len(pieces) > 1:
+                    # a face whose boundary reaches an interior island
+                    # over a bridge edge (stripped as a spike) carries
+                    # the island's OUTER walk in the OPPOSITE
+                    # orientation — that lobe is a hole boundary, not a
+                    # face; dropping it lets the containment pass
+                    # attach the island's true faces as holes (r10
+                    # even-odd oracle find: a chord-split triangle
+                    # island inside a pentagon re-emitted whole,
+                    # double-covering the region so no hole attached)
+                    sgn = [_mr._ring_signed_area(_mr._close(p))
+                           for p in pieces]
+                    dom = 1.0 if sum(sgn) >= 0 else -1.0
+                    pieces = [p for p, s in zip(pieces, sgn)
+                              if s * dom >= 0]
+                rings.extend(pieces)
+            # a face whose hole touches it at a pinch vertex comes back
+            # as ONE pinched ring; splitting it re-emits the hole lobe,
+            # duplicating the face that bounds the hole region itself.
+            # The duplicate inflates depth_among and the hole is never
+            # attached (r10 even-odd oracle find: figure-8-through-a-
+            # crossing kept a parity-even face). Dedupe by undirected
+            # edge set — identical faces from the same arrangement have
+            # bit-identical vertices.
+            seen_rings = set()
+            uniq = []
+            for fr in rings:
+                key = frozenset(
+                    (tuple(p), tuple(q)) if tuple(p) <= tuple(q)
+                    else (tuple(q), tuple(p))
+                    for p, q in zip(fr[:-1], fr[1:]))
+                if key not in seen_rings:
+                    seen_rings.add(key)
+                    uniq.append(fr)
+            rings = uniq
+            ips = [_ring_interior_point(fr, rings, avoid_on=orig)
+                   for fr in rings]
             live = [k for k in range(len(rings)) if ips[k] is not None]
             if not live:
                 b.append_empty(GT_POLYGON)
@@ -5942,10 +6089,16 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             if not polys:
                 b.append_empty(GT_POLYGON)
                 continue
-            if len(polys) > 1:
+            if len(polys) > 1 and _polys_share_edges(polys):
                 # adjacent same-parity faces can only arise from collinear
                 # overlapping ring edges (depth jumps by 2 across the
-                # shared edge) — cancel such shared edges opportunistically
+                # shared edge) — cancel such shared edges opportunistically.
+                # ONLY when shared edges actually exist: the merge
+                # re-polygonizes every boundary and re-derives nesting
+                # from scratch, which turns a hole touching its shell at
+                # a pinch vertex back into a sibling SHELL (r10 even-odd
+                # oracle find: triangle + bowtie sharing only pinch
+                # points double-counted the hole lobe).
                 tmp = GeometryBuilder()
                 for p in polys:
                     tmp.append(GT_POLYGON, [p])

@@ -429,6 +429,56 @@ def test_binary_predicates_consistent_with_exact_de9im(ra, rb):
                                m, got, expect)
 
 
+def _chaos_ring(draw, lo=0, hi=12, nmin=4, nmax=8):
+    """Closed ring over random integer points in DRAW order — almost
+    always self-intersecting."""
+    n = draw(st_.integers(nmin, nmax))
+    pts = []
+    seen = set()
+    for _ in range(n):
+        p = (draw(st_.integers(lo, hi)), draw(st_.integers(lo, hi)))
+        if p not in seen:
+            seen.add(p)
+            pts.append(p)
+    assume(len(pts) >= 3)
+    pts.append(pts[0])
+    return pts
+
+
+chaos_ring = st_.composite(_chaos_ring)
+
+
+@settings(max_examples=150, deadline=None)
+@given(chaos_ring())
+def test_make_valid_linework_area_matches_even_odd_oracle(ring):
+    """make_valid(method='linework') re-nests faces by even-odd parity
+    (GEOS MakeValid linework semantics), so the repaired area of ANY
+    closed ring — bowties, multi-loops, spike retraces — must equal
+    the exact even-odd area of its noded linework."""
+    ga = wkt.parse_array([_poly_wkt([ring])])
+    fixed = algos.make_valid(ga, method="linework")
+    got = algos.area(fixed)[0]
+    _, (A, _B, _I) = exact_de9im([ring], [[(100, 100), (101, 100),
+                                           (101, 101), (100, 100)]])
+    assert abs(got - float(A)) < 1e-6, (_poly_wkt([ring]), got, float(A))
+
+
+@settings(max_examples=80, deadline=None)
+@given(chaos_ring(), chaos_ring(lo=2, hi=10, nmin=3, nmax=6))
+def test_make_valid_linework_two_rings_even_odd_oracle(r1, r2):
+    """Polygon with two chaotic rings (roles discarded by linework):
+    repaired area = exact even-odd area of the COMBINED linework. The
+    oracle computes it as area(R1) + area(R2) - 2*area(R1^R2) since
+    even-odd of a union of edge sets is the symmetric difference of
+    the two even-odd regions."""
+    ga = wkt.parse_array([_poly_wkt([r1, r2])])
+    fixed = algos.make_valid(ga, method="linework")
+    got = algos.area(fixed)[0]
+    _, (A, B, I) = exact_de9im([r1], [r2])
+    want = float(A + B - 2 * I)
+    assert abs(got - want) < 1e-6, (_poly_wkt([r1, r2]), got, want)
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
