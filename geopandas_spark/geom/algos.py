@@ -438,8 +438,14 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                             .reshape(-1, 2, 2)
                         ha = np.column_stack([h[:-1], h[1:]]) \
                             .reshape(-1, 2, 2)
-                        hit, _prop = _segs_intersect_flags(ha, sa)
-                        if _prop:
+                        # robust sign-test form: near-collinear edges
+                        # meeting at a shared pinch vertex make the
+                        # parametric t/u proper test ill-conditioned
+                        # (denom ~1e-6 amplifies rounding into t
+                        # strictly inside (eps, 1-eps) — r10 extended
+                        # even-odd fuzz: make_valid's own output
+                        # flunked is_valid)
+                        if _segs_proper_cross(ha, sa):
                             bad = True
                             break
                         # every hole vertex AND edge midpoint must be
@@ -5807,6 +5813,39 @@ def _node_collinear_overlaps(raw: list) -> list:
     return out
 
 
+def _snap_shared_vertices(polys: list, rel: float = 1e-12) -> list:
+    """Snap vertices that agree to within ``rel``·scale across ALL the
+    rings of one repaired geometry onto a single representative, so a
+    vertex shared between a shell and a hole is bit-identical in both.
+    Clusters far apart are untouched."""
+    allv = [r for p in polys for r in p if len(r)]
+    if not allv:
+        return polys
+    pts = np.vstack(allv)
+    scale = max(1.0, float(np.abs(pts).max()))
+    tol = rel * scale
+    reps = {}
+
+    def snap(v):
+        kx, ky = round(v[0] / tol), round(v[1] / tol)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                rep = reps.get((kx + dx, ky + dy))
+                if rep is not None and (abs(rep[0] - v[0]) <= tol
+                                        and abs(rep[1] - v[1]) <= tol):
+                    return rep
+        reps[(kx, ky)] = (float(v[0]), float(v[1]))
+        return reps[(kx, ky)]
+
+    out = []
+    for p in polys:
+        np_p = []
+        for r in p:
+            np_p.append(np.array([snap(v) for v in r]))
+        out.append(np_p)
+    return out
+
+
 def _polys_share_edges(polys: list) -> bool:
     """Do any two DIFFERENT polygons in the list share an undirected
     boundary edge? (Arrangement faces carry bit-identical vertices, so
@@ -6111,6 +6150,13 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             # final hygiene: output shells must be simple rings — strip
             # zero-width spikes and split pinched shells into lobes,
             # re-homing holes by containment (r9 make_valid fuzz finds)
+            # canonicalize near-identical vertices ACROSS rings first: a
+            # pinch vertex reaches the shell and the hole through
+            # different arithmetic paths (face walk vs merge/split), and
+            # a one-ulp difference on collinear incident edges reads as
+            # a proper hole/shell crossing downstream (r10 extended
+            # even-odd fuzz: repaired output failed its own is_valid)
+            polys = _snap_shared_vertices(polys)
             polys = _fix_pinched_polys(polys)
             _append_polys(b, polys)
             continue

@@ -461,6 +461,9 @@ def test_make_valid_linework_area_matches_even_odd_oracle(ring):
     _, (A, _B, _I) = exact_de9im([ring], [[(100, 100), (101, 100),
                                            (101, 101), (100, 100)]])
     assert abs(got - float(A)) < 1e-6, (_poly_wkt([ring]), got, float(A))
+    assert got == 0.0 or bool(algos.is_valid(fixed)[0]), \
+        (_poly_wkt([ring]), wkt.format_array(fixed)[0],
+         algos.is_valid_reason(fixed)[0])
 
 
 @settings(max_examples=80, deadline=None)
@@ -477,6 +480,9 @@ def test_make_valid_linework_two_rings_even_odd_oracle(r1, r2):
     _, (A, B, I) = exact_de9im([r1], [r2])
     want = float(A + B - 2 * I)
     assert abs(got - want) < 1e-6, (_poly_wkt([r1, r2]), got, want)
+    assert got == 0.0 or bool(algos.is_valid(fixed)[0]), \
+        (_poly_wkt([r1, r2]), wkt.format_array(fixed)[0],
+         algos.is_valid_reason(fixed)[0])
 
 
 def test_exact_oracle_self_check_unit_boxes():
