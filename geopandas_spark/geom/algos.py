@@ -636,8 +636,25 @@ def _any_segment_hit(p, r, q0, q1, proper_only=False) -> bool:
         u = u_num / denom
     nonpar = denom != 0
     if proper_only:
-        hit = nonpar & (t > _EPS) & (t < 1 - _EPS) & (u > _EPS) & (u < 1 - _EPS)
-        return bool(hit.any())
+        # strict opposite-side sign tests with a scale-relative margin
+        # instead of the parametric t/u: near-parallel far-apart
+        # segments give denom≈1e-14 of pure rounding noise and
+        # t=tiny/tiny lands anywhere in (0,1), fabricating a proper
+        # crossing (r10 structure fuzz: two parallel boundary edges of
+        # a repaired polygon with DISJOINT x-ranges read as crossing)
+        d1 = qp[:, 0] * r[1] - qp[:, 1] * r[0]            # q0 vs line p+r
+        q1p = q1 - p
+        d2 = q1p[:, 0] * r[1] - q1p[:, 1] * r[0]          # q1 vs line p+r
+        d3 = -t_num                                       # p vs line q+s
+        pr = p + r
+        prq = pr - q0
+        d4 = prq[:, 0] * s[:, 1] - prq[:, 1] * s[:, 0]    # p+r vs line q+s
+        rlen = float(np.hypot(r[0], r[1]))
+        slen = np.hypot(s[:, 0], s[:, 1])
+        tol = 1e-9 * rlen * slen
+        opp_q = ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+        opp_p = ((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol))
+        return bool((opp_q & opp_p).any())
     hit = nonpar & (t >= -_EPS) & (t <= 1 + _EPS) & (u >= -_EPS) & (u <= 1 + _EPS)
     if hit.any():
         return True
@@ -5862,18 +5879,64 @@ def _polys_share_edges(polys: list) -> bool:
     return False
 
 
+def _clean_face_walks(faces) -> list:
+    """Face-walk post-processing shared by make_valid's linework and
+    structure paths: strip zero-width spike retraces (dangles traced on
+    both sides), split pinched rings into lobes, drop lobes oriented
+    AGAINST the walk's dominant orientation (a face reaching an
+    interior island over a bridge carries the island's outer walk
+    opposite-oriented — that lobe is a hole boundary, not a face; the
+    containment pass re-attaches the island's true faces as holes),
+    and dedupe identical rings by undirected edge set (a face whose
+    hole touches it at a pinch vertex re-emits the hole lobe when
+    split, and the duplicate defeats hole attachment). All r9/r10
+    even-odd-oracle finds."""
+    rings = []
+    for k in range(len(faces)):
+        fr = _strip_ring_spikes(faces.geom_slices(k)[0][0])
+        pieces = _split_ring_pinches(fr)
+        if len(pieces) > 1:
+            sgn = [_mr._ring_signed_area(_mr._close(p))
+                   for p in pieces]
+            dom = 1.0 if sum(sgn) >= 0 else -1.0
+            pieces = [p for p, s in zip(pieces, sgn) if s * dom >= 0]
+        rings.extend(pieces)
+    seen_rings = set()
+    uniq = []
+    for fr in rings:
+        key = frozenset(
+            (tuple(p), tuple(q)) if tuple(p) <= tuple(q)
+            else (tuple(q), tuple(p))
+            for p, q in zip(fr[:-1], fr[1:]))
+        if key not in seen_rings:
+            seen_rings.add(key)
+            uniq.append(fr)
+    return uniq
+
+
 def _repair_ring_faces(ring: np.ndarray) -> list:
     """One (possibly self-intersecting) closed ring → the simple rings of
     its enclosed faces (node + polygonize). A bowtie yields its two
-    lobes; a simple ring yields itself."""
+    lobes; a simple ring yields itself. Collinear retraces and
+    vertex-on-edge T-touches are pre-noded like the linework path — a
+    ring such as (2 0, 0 0, 0 1, 1 0) retraces y=0 and otherwise comes
+    back as an UNSPLIT pinched face (r10 structure-oracle find)."""
     if len(ring) < 4:
         return []
-    if not _ring_self_intersects(ring):
+    if not _ring_self_intersects(ring) and not _ring_vertex_on_edge(ring):
         return [_mr._close(ring)]
+    closed = _mr._close(ring)
+    raw = []
+    for k in range(len(closed) - 1):
+        a_v = (float(closed[k][0]), float(closed[k][1]))
+        c_v = (float(closed[k + 1][0]), float(closed[k + 1][1]))
+        if a_v != c_v:
+            raw.append((a_v, c_v) if a_v <= c_v else (c_v, a_v))
     lw = GeometryBuilder()
-    lw.append(GT_LINESTRING, [[_mr._close(ring)]])
+    for a_v, c_v in sorted(set(_node_collinear_overlaps(raw))):
+        lw.append(GT_LINESTRING, [[np.array([a_v, c_v], dtype=np.float64)]])
     faces = polygonize(lw.finish(), _faces_only=True)
-    return [faces.geom_slices(k)[0][0] for k in range(len(faces))]
+    return [fr for fr in _clean_face_walks(faces) if len(fr) >= 4]
 
 
 def _strip_ring_spikes(r: np.ndarray) -> np.ndarray:
@@ -5945,7 +6008,14 @@ def _fix_pinched_polys(polys: list) -> list:
     for p in polys:
         shell = _strip_ring_spikes(np.asarray(p[0], dtype=np.float64))
         lobes = _split_ring_pinches(shell)
-        holes = list(p[1:])
+        # holes can be pinched too: the difference tracer emits a
+        # figure-8 hole when two hole lobes touch at a point (r10
+        # structure fuzz) — split each into simple lobes before
+        # re-homing
+        holes = []
+        for h in p[1:]:
+            hs = _strip_ring_spikes(np.asarray(h, dtype=np.float64))
+            holes.extend(_split_ring_pinches(hs))
         if len(lobes) > 1:
             # orientation-aware split (r10 deep-sweep find, seed 192): a
             # pinch loop wound OPPOSITE the shell's dominant direction is
@@ -6055,45 +6125,7 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             if len(faces) == 0:
                 b.append_empty(GT_POLYGON)
                 continue
-            rings = []
-            for k in range(len(faces)):
-                fr = _strip_ring_spikes(faces.geom_slices(k)[0][0])
-                pieces = _split_ring_pinches(fr)
-                if len(pieces) > 1:
-                    # a face whose boundary reaches an interior island
-                    # over a bridge edge (stripped as a spike) carries
-                    # the island's OUTER walk in the OPPOSITE
-                    # orientation — that lobe is a hole boundary, not a
-                    # face; dropping it lets the containment pass
-                    # attach the island's true faces as holes (r10
-                    # even-odd oracle find: a chord-split triangle
-                    # island inside a pentagon re-emitted whole,
-                    # double-covering the region so no hole attached)
-                    sgn = [_mr._ring_signed_area(_mr._close(p))
-                           for p in pieces]
-                    dom = 1.0 if sum(sgn) >= 0 else -1.0
-                    pieces = [p for p, s in zip(pieces, sgn)
-                              if s * dom >= 0]
-                rings.extend(pieces)
-            # a face whose hole touches it at a pinch vertex comes back
-            # as ONE pinched ring; splitting it re-emits the hole lobe,
-            # duplicating the face that bounds the hole region itself.
-            # The duplicate inflates depth_among and the hole is never
-            # attached (r10 even-odd oracle find: figure-8-through-a-
-            # crossing kept a parity-even face). Dedupe by undirected
-            # edge set — identical faces from the same arrangement have
-            # bit-identical vertices.
-            seen_rings = set()
-            uniq = []
-            for fr in rings:
-                key = frozenset(
-                    (tuple(p), tuple(q)) if tuple(p) <= tuple(q)
-                    else (tuple(q), tuple(p))
-                    for p, q in zip(fr[:-1], fr[1:]))
-                if key not in seen_rings:
-                    seen_rings.add(key)
-                    uniq.append(fr)
-            rings = uniq
+            rings = _clean_face_walks(faces)
             ips = [_ring_interior_point(fr, rings, avoid_on=orig)
                    for fr in rings]
             live = [k for k in range(len(rings)) if ips[k] is not None]
@@ -6161,13 +6193,34 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             _append_polys(b, polys)
             continue
         # structure: union of repaired shells minus union of repaired holes
+
+        def _dissolve_face_tiling(faces):
+            # one ring's repaired faces jointly cover its enclosed
+            # region, mostly as edge-adjacent tiles but sometimes
+            # OVERLAPPING (a pinch-touching island lobe walks as its
+            # own face AND sits inside the big face's ring — r10
+            # enclosed-region oracle find), so a true boolean union is
+            # required; handing the raw faces to the nesting assembler
+            # misread an edge-adjacent tile as a hole, and a coverage
+            # dissolve double-counted the overlapping lobe. The
+            # enclosed region is hole-free by construction (every
+            # bounded face is enclosed), so the result flattens back
+            # to plain shell rings.
+            if len(faces) <= 1:
+                return faces
+            acc = [_mr._close(faces[0])]
+            for f in faces[1:]:
+                acc = [r for poly in _mr.boolean_op(
+                    acc, [_mr._close(f)], _mr.UNION) for r in poly]
+            return acc
+
         shell_sets, hole_sets = [], []
         for p in ga.geom_slices(i):
-            sh = _repair_ring_faces(p[0])
+            sh = _dissolve_face_tiling(_repair_ring_faces(p[0]))
             if sh:
                 shell_sets.append(sh)
             for h in p[1:]:
-                hf = _repair_ring_faces(h)
+                hf = _dissolve_face_tiling(_repair_ring_faces(h))
                 if hf:
                     hole_sets.append(hf)
 
@@ -6189,6 +6242,11 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             polys = _mr.boolean_op(shells, holes, _mr.DIFFERENCE)
         else:
             polys = _mr.assemble_rings(shells)
+        # same output hygiene as the linework path: the union/difference
+        # tracer can re-link lobes THROUGH a shared pinch vertex,
+        # emitting a revisited-vertex shell (r10 structure fuzz)
+        polys = _snap_shared_vertices(polys)
+        polys = _fix_pinched_polys(polys)
         _append_polys(b, polys)
     return b.finish()
 

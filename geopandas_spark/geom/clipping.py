@@ -183,6 +183,19 @@ def _segment_intersection(a1, a2, b1, b2):
             py = a1[1]
         elif vby == 0.0:
             py = b1[1]
+        # endpoint snap: when one segment passes (exactly, in the
+        # underlying rationals) through the other's VERTEX, the
+        # parametric point lands an ulp off that vertex; splitting
+        # there seeds ulp-twin events whose ordering breaks sweep-
+        # status transitivity, after which later crossings are missed
+        # entirely (r10 enclosed-oracle find: DIFFERENCE dropped a
+        # whole region; the kernel returned empty for a sliver minus a
+        # triangle whose edge ran through the sliver's vertex)
+        mag = max(abs(px), abs(py), 1.0)
+        eps = 1e-13 * mag
+        for e_ in (a1, a2, b1, b2):
+            if abs(px - e_[0]) <= eps and abs(py - e_[1]) <= eps:
+                return [e_]
         return [(px, py)]
     # parallel
     if ex * vay - ey * vax != 0.0:

@@ -485,6 +485,277 @@ def test_make_valid_linework_two_rings_even_odd_oracle(r1, r2):
          algos.is_valid_reason(fixed)[0])
 
 
+def _slab_multi_areas(ring_sets):
+    """Exact (per-set areas, union area, intersect-all area) of N
+    even-odd regions via one vertical slab decomposition."""
+    seg_sets = [_ring_segments(rs) for rs in ring_sets]
+    allsegs = [s for ss in seg_sets for s in ss]
+    xs = set()
+    for (p, q) in allsegs:
+        xs.add(p[0])
+        xs.add(q[0])
+    for i in range(len(allsegs)):
+        for j in range(i + 1, len(allsegs)):
+            tu = _seg_params(allsegs[i], allsegs[j])
+            if tu is None:
+                continue
+            t, u = tu
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                (p, q) = allsegs[i]
+                xs.add(p[0] + t * (q[0] - p[0]))
+    xs = sorted(xs)
+    n = len(seg_sets)
+    areas = [Fr(0)] * n
+    a_union = Fr(0)
+    a_inter = Fr(0)
+    for k in range(len(xs) - 1):
+        x0, x1 = xs[k], xs[k + 1]
+        if x0 == x1:
+            continue
+        xm = (x0 + x1) / 2
+        crossing = []
+        for si, ss in enumerate(seg_sets):
+            for seg in ss:
+                (p, q) = seg
+                lo, hi = min(p[0], q[0]), max(p[0], q[0])
+                if lo < xm < hi:
+                    crossing.append((_y_at(seg, xm), _y_at(seg, x0),
+                                     _y_at(seg, x1), si))
+        crossing.sort(key=lambda c: c[0])
+        inside = [False] * n
+        w = x1 - x0
+        for idx in range(len(crossing) - 1):
+            _ym, yl, yr, si = crossing[idx]
+            inside[si] = not inside[si]
+            nxt = crossing[idx + 1]
+            gap = w * ((nxt[1] - yl) + (nxt[2] - yr)) / 2
+            for sj in range(n):
+                if inside[sj]:
+                    areas[sj] += gap
+            if any(inside):
+                a_union += gap
+            if all(inside):
+                a_inter += gap
+    return areas, a_union, a_inter
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_.lists(star_ring(lo=0, hi=14, nmin=4, nmax=7),
+                 min_size=2, max_size=5))
+def test_union_all_intersection_all_match_multi_slab_oracle(rs):
+    """union_all / intersection_all over N star polygons vs the N-way
+    exact slab oracle — referees the sweep union kernel that dissolve
+    and overlay build on."""
+    from geopandas_spark.geom.array import GeometryArray  # noqa: F401
+    ga = wkt.parse_array([_poly_wkt([r]) for r in rs])
+    _areas, a_union, a_inter = _slab_multi_areas([[r] for r in rs])
+    got_u = algos.area(algos.union_all(ga))[0]
+    assert abs(got_u - float(a_union)) < 1e-6, \
+        ([_poly_wkt([r]) for r in rs], got_u, float(a_union))
+    got_i = algos.area(algos.intersection_all(ga))[0]
+    assert abs(got_i - float(a_inter)) < 1e-6, \
+        ([_poly_wkt([r]) for r in rs], got_i, float(a_inter))
+
+
+def _slab_enclosed_masks(ring_sets):
+    """Exact ENCLOSED-region masks (union of bounded faces of each
+    set's own segments) over the combined arrangement's slab-gap
+    decomposition. Returns (gap_areas, masks) where masks[i][gap] is
+    True iff the gap lies in a bounded face of set i. Connectivity per
+    set: gaps merge across separators belonging to OTHER sets and
+    across slab boundaries on positive uncovered overlap; anything
+    reaching the unbounded frame is outside."""
+    seg_sets = [_ring_segments(rs) for rs in ring_sets]
+    allsegs = [s for ss in seg_sets for s in ss]
+    xs = set()
+    ybound = Fr(0)
+    for (p, q) in allsegs:
+        xs.add(p[0])
+        xs.add(q[0])
+        ybound = max(ybound, abs(p[1]), abs(q[1]))
+    for i in range(len(allsegs)):
+        for j in range(i + 1, len(allsegs)):
+            tu = _seg_params(allsegs[i], allsegs[j])
+            if tu is not None:
+                t, u = tu
+                if 0 <= t <= 1 and 0 <= u <= 1:
+                    (p, q) = allsegs[i]
+                    xs.add(p[0] + t * (q[0] - p[0]))
+    xs = sorted(xs)
+    BIG = ybound + 1
+    n = len(seg_sets)
+
+    # per-slab crossing tables: (y_mid, y_left, y_right, set_id)
+    slabs = []
+    for k in range(len(xs) - 1):
+        x0, x1 = xs[k], xs[k + 1]
+        if x0 == x1:
+            continue
+        xm = (x0 + x1) / 2
+        crossing = []
+        for si, ss in enumerate(seg_sets):
+            for seg in ss:
+                (p, q) = seg
+                lo, hi = min(p[0], q[0]), max(p[0], q[0])
+                if lo < xm < hi:
+                    crossing.append((_y_at(seg, xm), _y_at(seg, x0),
+                                     _y_at(seg, x1), si))
+        crossing.sort(key=lambda c: c[0])
+        slabs.append((x0, x1, crossing))
+
+    # gap ids: (slab, g) for g in 0..len(crossing) — g=0 below all,
+    # g=len(crossing) above all (sentinels, unbounded)
+    parent = [{} for _ in range(n)]
+
+    def find(i, a):
+        pr = parent[i]
+        while pr.get(a, a) != a:
+            pr[a] = pr.get(pr[a], pr[a])
+            a = pr[a]
+        return a
+
+    def union(i, a, b):
+        ra, rb = find(i, a), find(i, b)
+        if ra != rb:
+            parent[i][ra] = rb
+
+    UNB = ("U",)
+    for si in range(n):
+        for k, (_x0, _x1, crossing) in enumerate(slabs):
+            ng = len(crossing) + 1
+            union(si, (k, 0), UNB)
+            union(si, (k, ng - 1), UNB)
+            # vertical merge across other-set separators
+            for g in range(ng - 1):
+                if crossing[g][3] != si:
+                    union(si, (k, g), (k, g + 1))
+        # frame connections: a slab-0 gap open on the left boundary
+        # (positive interval not fully covered by a set-si vertical
+        # segment there) escapes to the outside; same on the right
+        if slabs:
+            for side, k, xb, idx in (("L", 0, slabs[0][0], 1),
+                                     ("R", len(slabs) - 1,
+                                      slabs[-1][1], 2)):
+                crossing = slabs[k][2]
+                cuts = [-BIG] + [c[idx] for c in crossing] + [BIG]
+                blocks = []
+                for (p, q) in seg_sets[si]:
+                    if p[0] == q[0] == xb:
+                        blocks.append((min(p[1], q[1]),
+                                       max(p[1], q[1])))
+                for g in range(len(cuts) - 1):
+                    lo, hi = cuts[g], cuts[g + 1]
+                    if hi <= lo:
+                        continue
+                    pieces = [(lo, hi)]
+                    for (b0, b1) in blocks:
+                        nxt = []
+                        for (p0, p1) in pieces:
+                            if b1 <= p0 or b0 >= p1:
+                                nxt.append((p0, p1))
+                            else:
+                                if p0 < b0:
+                                    nxt.append((p0, b0))
+                                if b1 < p1:
+                                    nxt.append((b1, p1))
+                        pieces = nxt
+                    if any(p1 > p0 for (p0, p1) in pieces):
+                        union(si, (k, g), UNB)
+        # horizontal connections at each interior boundary
+        for k in range(len(slabs) - 1):
+            xb = slabs[k][1]
+            if slabs[k + 1][0] != xb:
+                # slabs not adjacent (zero-width slab skipped) — the
+                # region between is empty, still adjacent
+                pass
+            crL = slabs[k][2]
+            crR = slabs[k + 1][2]
+            # boundary y-intervals: left slab uses y_right, right slab
+            # uses y_left; sentinels use +-BIG
+            cutsL = [-BIG] + [c[2] for c in crL] + [BIG]
+            cutsR = [-BIG] + [c[1] for c in crR] + [BIG]
+            # set-si vertical segments exactly at xb block overlap
+            blocks = []
+            for (p, q) in seg_sets[si]:
+                if p[0] == q[0] == xb:
+                    blocks.append((min(p[1], q[1]), max(p[1], q[1])))
+            for ga in range(len(cutsL) - 1):
+                la, lb = cutsL[ga], cutsL[ga + 1]
+                if lb <= la:
+                    continue
+                for gb in range(len(cutsR) - 1):
+                    ra_, rb_ = cutsR[gb], cutsR[gb + 1]
+                    lo, hi = max(la, ra_), min(lb, rb_)
+                    if hi <= lo:
+                        continue
+                    # subtract blocking intervals
+                    pieces = [(lo, hi)]
+                    for (b0, b1) in blocks:
+                        nxt = []
+                        for (p0, p1) in pieces:
+                            if b1 <= p0 or b0 >= p1:
+                                nxt.append((p0, p1))
+                            else:
+                                if p0 < b0:
+                                    nxt.append((p0, b0))
+                                if b1 < p1:
+                                    nxt.append((b1, p1))
+                        pieces = nxt
+                    if any(p1 > p0 for (p0, p1) in pieces):
+                        union(si, (k, ga), (k + 1, gb))
+
+    gap_areas = {}
+    masks = [dict() for _ in range(n)]
+    for k, (x0, x1, crossing) in enumerate(slabs):
+        w = x1 - x0
+        for g in range(len(crossing) + 1):
+            if g == 0 or g == len(crossing):
+                continue       # sentinels: unbounded, no finite area
+            yl0, yr0 = crossing[g - 1][1], crossing[g - 1][2]
+            yl1, yr1 = crossing[g][1], crossing[g][2]
+            gap_areas[(k, g)] = w * ((yl1 - yl0) + (yr1 - yr0)) / 2
+            for si in range(n):
+                masks[si][(k, g)] = find(si, (k, g)) != find(si, UNB)
+    return gap_areas, masks
+
+
+@settings(max_examples=80, deadline=None)
+@given(chaos_ring(lo=0, hi=14, nmin=4, nmax=8),
+       chaos_ring(lo=2, hi=12, nmin=3, nmax=6))
+def test_make_valid_structure_two_rings_oracle(r1, r2):
+    """make_valid(method='structure') repairs each ring to ALL its
+    enclosed faces (a pentagram keeps its center — unlike linework's
+    even-odd), unions the shell faces and subtracts the hole faces:
+    repaired area = area(enclosed(r1) \\ enclosed(r2)), exactly, from
+    the bounded-face flood fill over the slab-gap graph."""
+    ga = wkt.parse_array([_poly_wkt([r1, r2])])
+    fixed = algos.make_valid(ga, method="structure")
+    got = algos.area(fixed)[0]
+    gap_areas, masks = _slab_enclosed_masks([[r1], [r2]])
+    want = float(sum(a for gid, a in gap_areas.items()
+                     if masks[0][gid] and not masks[1][gid]))
+    assert abs(got - want) < 1e-6, (_poly_wkt([r1, r2]), got, want)
+    assert got == 0.0 or bool(algos.is_valid(fixed)[0]), \
+        (_poly_wkt([r1, r2]), wkt.format_array(fixed)[0],
+         algos.is_valid_reason(fixed)[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(chaos_ring(lo=0, hi=14, nmin=4, nmax=9))
+def test_make_valid_structure_single_ring_enclosed_oracle(ring):
+    """Single chaotic ring: structure keeps the UNION of all bounded
+    faces (enclosed region), not the even-odd region."""
+    ga = wkt.parse_array([_poly_wkt([ring])])
+    fixed = algos.make_valid(ga, method="structure")
+    got = algos.area(fixed)[0]
+    gap_areas, masks = _slab_enclosed_masks([[ring]])
+    want = float(sum(a for gid, a in gap_areas.items() if masks[0][gid]))
+    assert abs(got - want) < 1e-6, (_poly_wkt([ring]), got, want)
+    assert got == 0.0 or bool(algos.is_valid(fixed)[0]), \
+        (_poly_wkt([ring]), wkt.format_array(fixed)[0],
+         algos.is_valid_reason(fixed)[0])
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
