@@ -756,6 +756,197 @@ def test_make_valid_structure_single_ring_enclosed_oracle(ring):
          algos.is_valid_reason(fixed)[0])
 
 
+def _monotone_line(draw, lo=0, hi=20, nmin=3, nmax=6):
+    """Simple (x-monotone, distinct integer x) polyline."""
+    n = draw(st_.integers(nmin, nmax))
+    xs = sorted({draw(st_.integers(lo, hi)) for _ in range(n)})
+    assume(len(xs) >= 2)
+    return [(x, draw(st_.integers(lo, hi))) for x in xs]
+
+
+monotone_line = st_.composite(_monotone_line)
+
+
+def _line_wkt(pts):
+    return "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+
+
+def _line_clip_lengths(line, ring):
+    """Exact (inside_closed, outside) lengths of a polyline vs an
+    even-odd polygon: split each line segment at every polygon-edge
+    intersection, classify piece midpoints (boundary-collinear counts
+    as inside — intersection with a CLOSED region)."""
+    segs_p = _ring_segments([ring])
+    l_in = l_out = 0.0
+    for i in range(len(line) - 1):
+        p = (Fr(line[i][0]), Fr(line[i][1]))
+        q = (Fr(line[i + 1][0]), Fr(line[i + 1][1]))
+        if p == q:
+            continue
+        seg = (p, q)
+        ts = _split_points(seg, segs_p)
+        seg_len = math.hypot(float(q[0] - p[0]), float(q[1] - p[1]))
+        for a, b in zip(ts[:-1], ts[1:]):
+            if a == b:
+                continue
+            tm = (a + b) / 2
+            m = (p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1]))
+            piece = float(b - a) * seg_len
+            if (any(_point_on_segment(m, o) for o in segs_p)
+                    or _even_odd_inside(m, segs_p)):
+                l_in += piece
+            else:
+                l_out += piece
+    return l_in, l_out
+
+
+@settings(max_examples=120, deadline=None)
+@given(monotone_line(), star_ring(lo=2, hi=18, nmin=4, nmax=8))
+def test_line_polygon_clip_lengths_exact(line, ring):
+    """intersection/difference of a polyline with a polygon: total
+    lengths must match the exact split-and-classify oracle (boundary-
+    collinear runs belong to the intersection — closed region)."""
+    gl = wkt.parse_array([_line_wkt(line)])
+    gp = wkt.parse_array([_poly_wkt([ring])])
+    want_in, want_out = _line_clip_lengths(line, ring)
+    got_in = algos.length(algos.intersection(gl, gp))[0]
+    got_out = algos.length(algos.difference(gl, gp))[0]
+    assert abs(got_in - want_in) < 1e-9 * max(1.0, want_in), \
+        (_line_wkt(line), _poly_wkt([ring]), got_in, want_in)
+    assert abs(got_out - want_out) < 1e-9 * max(1.0, want_out), \
+        (_line_wkt(line), _poly_wkt([ring]), got_out, want_out)
+
+
+def _slab_parity_masks(ring_sets):
+    """(gap_areas, masks): per-gap even-odd membership flags for each
+    ring set over the combined arrangement — the per-gap version of
+    _slab_multi_areas."""
+    seg_sets = [_ring_segments(rs) for rs in ring_sets]
+    allsegs = [s for ss in seg_sets for s in ss]
+    xs = set()
+    for (p, q) in allsegs:
+        xs.add(p[0])
+        xs.add(q[0])
+    for i in range(len(allsegs)):
+        for j in range(i + 1, len(allsegs)):
+            tu = _seg_params(allsegs[i], allsegs[j])
+            if tu is not None:
+                t, u = tu
+                if 0 <= t <= 1 and 0 <= u <= 1:
+                    (p, q) = allsegs[i]
+                    xs.add(p[0] + t * (q[0] - p[0]))
+    xs = sorted(xs)
+    n = len(seg_sets)
+    gap_areas = {}
+    masks = [dict() for _ in range(n)]
+    gid = 0
+    for k in range(len(xs) - 1):
+        x0, x1 = xs[k], xs[k + 1]
+        if x0 == x1:
+            continue
+        xm = (x0 + x1) / 2
+        crossing = []
+        for si, ss in enumerate(seg_sets):
+            for seg in ss:
+                (p, q) = seg
+                lo, hi = min(p[0], q[0]), max(p[0], q[0])
+                if lo < xm < hi:
+                    crossing.append((_y_at(seg, xm), _y_at(seg, x0),
+                                     _y_at(seg, x1), si))
+        crossing.sort(key=lambda c: c[0])
+        inside = [False] * n
+        w = x1 - x0
+        for idx in range(len(crossing) - 1):
+            _ym, yl, yr, si = crossing[idx]
+            inside[si] = not inside[si]
+            nxt = crossing[idx + 1]
+            gap = w * ((nxt[1] - yl) + (nxt[2] - yr)) / 2
+            gap_areas[gid] = gap
+            for sj in range(n):
+                masks[sj][gid] = inside[sj]
+            gid += 1
+    return gap_areas, masks
+
+
+def _rng_star(rnd, lo, hi, nmin, nmax):
+    """Deterministic star polygon for non-hypothesis tests."""
+    import math as _m
+    while True:
+        pts = {(rnd.randint(lo, hi), rnd.randint(lo, hi))
+               for _ in range(rnd.randint(nmin, nmax))}
+        if len(pts) < 3:
+            continue
+        cx = sum(p[0] for p in pts) / len(pts)
+        cy = sum(p[1] for p in pts) / len(pts)
+        best = {}
+        for (x, y) in pts:
+            a = _m.atan2(y - cy, x - cx)
+            r2 = (x - cx) ** 2 + (y - cy) ** 2
+            k = round(a, 12)
+            if k not in best or r2 > best[k][0]:
+                best[k] = (r2, (x, y))
+        if len(best) < 3:
+            continue
+        ring = [v[1] for _, v in sorted(best.items())]
+        ring.append(ring[0])
+        tw = sum(ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                 for i in range(len(ring) - 1))
+        if tw == 0:
+            continue
+        return ring if tw > 0 else ring[::-1]
+
+
+def test_overlay_operator_star_polygons_match_slab_oracle(spark):
+    """DataFrame-level overlay (intersection + union fragments) over
+    two layers of random star polygons, refereed fragment-by-fragment
+    by the exact parity-mask oracle: I_ij per intersecting pair, and
+    residues A_i \\ union(B) / B_j \\ union(A) for the union how."""
+    import random
+    from pyspark.sql import functions as F
+    from geopandas_spark import st
+    from geopandas_spark.operators import overlay
+
+    rnd = random.Random(20260816)
+    A = [_rng_star(rnd, 0, 20, 4, 8) for _ in range(6)]
+    B = [_rng_star(rnd, 4, 24, 4, 8) for _ in range(6)]
+    ga_areas, masks = _slab_parity_masks([[r] for r in A + B])
+    nA = len(A)
+
+    def _mass(pred):
+        return float(sum(a for g, a in ga_areas.items() if pred(g)))
+
+    dfa = spark.createDataFrame(
+        [(i, _poly_wkt([r])) for i, r in enumerate(A)], ["ida", "wkt"]) \
+        .select("ida", st.geom_from_text("wkt").alias("geom"))
+    dfb = spark.createDataFrame(
+        [(j, _poly_wkt([r])) for j, r in enumerate(B)], ["idb", "wkt"]) \
+        .select("idb", st.geom_from_text("wkt").alias("geom"))
+
+    inter = overlay(dfa, dfb, "intersection", strategy="broadcast") \
+        .select("ida", "idb", st.area("geom").alias("a")).collect()
+    got = {(r.ida, r.idb): r.a for r in inter}
+    for i in range(nA):
+        for j in range(len(B)):
+            want = _mass(lambda g: masks[i][g] and masks[nA + j][g])
+            have = got.get((i, j), 0.0)
+            assert abs(have - want) < 1e-6, (i, j, have, want)
+
+    uni = overlay(dfa, dfb, "union", strategy="broadcast") \
+        .select("ida", "idb", st.area("geom").alias("a")).collect()
+    for r in uni:
+        if r.ida is not None and r.idb is None:
+            i = r.ida
+            want = _mass(lambda g: masks[i][g]
+                         and not any(masks[nA + j][g]
+                                     for j in range(len(B))))
+            assert abs(r.a - want) < 1e-6, ("residue A", i, r.a, want)
+        elif r.ida is None and r.idb is not None:
+            j = r.idb
+            want = _mass(lambda g: masks[nA + j][g]
+                         and not any(masks[i][g] for i in range(nA)))
+            assert abs(r.a - want) < 1e-6, ("residue B", j, r.a, want)
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
