@@ -947,6 +947,34 @@ def test_overlay_operator_star_polygons_match_slab_oracle(spark):
             assert abs(r.a - want) < 1e-6, ("residue B", j, r.a, want)
 
 
+def test_dissolve_operator_star_polygons_match_union_oracle(spark):
+    """Operator-level dissolve over groups of random star polygons:
+    each group's dissolved area must equal the exact N-way slab union
+    (exercises the two-phase dissolve plan with overlapping and
+    degenerate-contact members, not just disjoint boxes)."""
+    import random
+    from geopandas_spark import st
+    from geopandas_spark.operators import dissolve
+
+    rnd = random.Random(99)
+    rows = []
+    groups = {}
+    for g in range(4):
+        members = [_rng_star(rnd, g * 3, g * 3 + 16, 4, 8)
+                   for _ in range(5)]
+        groups[g] = members
+        rows += [(g, _poly_wkt([r])) for r in members]
+    df = spark.createDataFrame(rows, ["grp", "wkt"]) \
+        .select("grp", st.geom_from_text("wkt").alias("geom"))
+    out = dissolve(df, by="grp") \
+        .select("grp", st.area("geom").alias("a")).collect()
+    got = {r.grp: r.a for r in out}
+    for g, members in groups.items():
+        _areas, a_union, _ai = _slab_multi_areas([[m] for m in members])
+        assert abs(got[g] - float(a_union)) < 1e-6, \
+            (g, got[g], float(a_union))
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
