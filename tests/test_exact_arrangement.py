@@ -18,6 +18,7 @@ import math
 from fractions import Fraction as Fr
 
 import numpy as np
+import pytest
 from hypothesis import assume, given, settings, strategies as st_
 
 from geopandas_spark.geom import algos, wkt
@@ -973,6 +974,132 @@ def test_dissolve_operator_star_polygons_match_union_oracle(spark):
         _areas, a_union, _ai = _slab_multi_areas([[m] for m in members])
         assert abs(got[g] - float(a_union)) < 1e-6, \
             (g, got[g], float(a_union))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st_.lists(st_.tuples(st_.integers(0, 40), st_.integers(0, 40)),
+                 min_size=3, max_size=10, unique=True))
+def test_minimum_bounding_circle_exact_optimality(pts):
+    """Exact optimality oracle: the minimum enclosing circle is
+    determined by 2 points (diameter) or 3 points (circumcircle), and
+    every candidate's squared radius is RATIONAL for integer sites —
+    enumerate all O(n^3) candidates in Fractions, keep the smallest
+    that contains all points, and the engine's circle must match its
+    radius."""
+    import itertools
+    P = [(Fr(x), Fr(y)) for (x, y) in pts]
+
+    def contains_all(cx, cy, r2):
+        return all((x - cx) ** 2 + (y - cy) ** 2 <= r2 for (x, y) in P)
+
+    best = None
+    for a, b in itertools.combinations(P, 2):
+        cx, cy = (a[0] + b[0]) / 2, (a[1] + b[1]) / 2
+        r2 = (a[0] - cx) ** 2 + (a[1] - cy) ** 2
+        if contains_all(cx, cy, r2) and (best is None or r2 < best):
+            best = r2
+    for a, b, c in itertools.combinations(P, 3):
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                 + c[0] * (a[1] - b[1]))
+        if d == 0:
+            continue
+        ux = ((a[0] ** 2 + a[1] ** 2) * (b[1] - c[1])
+              + (b[0] ** 2 + b[1] ** 2) * (c[1] - a[1])
+              + (c[0] ** 2 + c[1] ** 2) * (a[1] - b[1])) / d
+        uy = ((a[0] ** 2 + a[1] ** 2) * (c[0] - b[0])
+              + (b[0] ** 2 + b[1] ** 2) * (a[0] - c[0])
+              + (c[0] ** 2 + c[1] ** 2) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        if contains_all(ux, uy, r2) and (best is None or r2 < best):
+            best = r2
+    assume(best is not None and best > 0)
+    mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    ga = wkt.parse_array([mp])
+    circ = algos.minimum_bounding_circle(ga)
+    got_r = algos.minimum_bounding_radius(ga)[0]
+    want_r = math.sqrt(float(best))
+    assert abs(got_r - want_r) < 1e-9 * max(1.0, want_r), \
+        (mp, got_r, want_r)
+    # the circle polygon's area is consistent with the radius
+    got_area = algos.area(circ)[0]
+    assert got_area <= math.pi * want_r ** 2 * (1 + 1e-9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st_.lists(st_.tuples(st_.integers(0, 40), st_.integers(0, 40)),
+                 min_size=3, max_size=10, unique=True))
+def test_minimum_rotated_rectangle_exact_optimality(pts):
+    """Exact optimality oracle: the minimum-area enclosing rectangle
+    has a side collinear with a convex-hull edge, and for each edge
+    direction (dx, dy) the rectangle area is ((max-min proj) *
+    (max-min perp)) / (dx^2+dy^2) — rational for integer sites.
+    Enumerate all point-pair directions exactly; the engine's MRR area
+    must equal the minimum."""
+    import itertools
+    P = [(Fr(x), Fr(y)) for (x, y) in pts]
+    best = None
+    for a, b in itertools.combinations(P, 2):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        if dx == 0 and dy == 0:
+            continue
+        proj = [x * dx + y * dy for (x, y) in P]
+        perp = [-x * dy + y * dx for (x, y) in P]
+        area = ((max(proj) - min(proj)) * (max(perp) - min(perp))
+                / (dx * dx + dy * dy))
+        if best is None or area < best:
+            best = area
+    assume(best is not None and best > 0)
+    mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    ga = wkt.parse_array([mp])
+    mrr = algos.minimum_rotated_rectangle(ga)
+    got = algos.area(mrr)[0]
+    assert abs(got - float(best)) < 1e-6 * max(1.0, float(best)), \
+        (mp, got, float(best))
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "within",
+                                       "overlaps", "touches"])
+def test_sjoin_operator_star_polygons_match_exact_oracle(spark, predicate):
+    """Operator-level sjoin (grid AND broadcast strategies) over two
+    layers of star polygons: the returned pair set must equal the
+    brute-force pair set derived from the exact DE-9IM oracle —
+    including degenerate contact (touches/overlaps) the float grid
+    candidate path has to refine correctly."""
+    import random
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+
+    rnd = random.Random(777 + len(predicate))
+    A = [_rng_star(rnd, 0, 18, 4, 7) for _ in range(10)]
+    B = [_rng_star(rnd, 3, 21, 4, 7) for _ in range(10)]
+
+    want = set()
+    for i, ra in enumerate(A):
+        for j, rb in enumerate(B):
+            m, _ = exact_de9im([ra], [rb])
+            ii, ib, ie, bi, bb, be, ei, eb, _ee = m
+            disjoint = (ii == "F" and ib == "F" and bi == "F"
+                        and bb == "F")
+            ok = {
+                "intersects": not disjoint,
+                "within": ii != "F" and ie == "F" and be == "F",
+                "overlaps": ii == "2" and ie == "2" and ei == "2",
+                "touches": (not disjoint) and ii == "F",
+            }[predicate]
+            if ok:
+                want.add((i, j))
+
+    dfa = spark.createDataFrame(
+        [(i, _poly_wkt([r])) for i, r in enumerate(A)], ["ida", "wkt"]) \
+        .select("ida", st.geom_from_text("wkt").alias("geom"))
+    dfb = spark.createDataFrame(
+        [(j, _poly_wkt([r])) for j, r in enumerate(B)], ["idb", "wkt"]) \
+        .select("idb", st.geom_from_text("wkt").alias("geom"))
+    for strategy in ("broadcast", "grid"):
+        out = sjoin(dfa, dfb, predicate=predicate, strategy=strategy)
+        got = {(r.ida, r.idb) for r in out.select("ida", "idb").collect()}
+        assert got == want, (predicate, strategy,
+                             sorted(got - want), sorted(want - got))
 
 
 def test_exact_oracle_self_check_unit_boxes():
