@@ -1102,6 +1102,118 @@ def test_sjoin_operator_star_polygons_match_exact_oracle(spark, predicate):
                              sorted(got - want), sorted(want - got))
 
 
+@settings(max_examples=120, deadline=None)
+@given(st_.lists(st_.tuples(st_.integers(0, 50), st_.integers(0, 50)),
+                 min_size=3, max_size=14, unique=True))
+def test_convex_hull_exact_vertex_set(pts):
+    """Engine convex hull vs an exact Andrew monotone chain in integer
+    arithmetic: identical vertex SETS (collinear boundary points are
+    not hull vertices in GEOS's strict hull)."""
+    P = sorted(pts)
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(P)
+    upper = half(P[::-1])
+    hull = lower[:-1] + upper[:-1]
+    assume(len(hull) >= 3)
+    mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    ga = wkt.parse_array([mp])
+    got = algos.convex_hull(ga)
+    ring = got.geom_slices(0)[0][0]
+    got_set = {(float(x), float(y)) for x, y in ring[:-1]}
+    want_set = {(float(x), float(y)) for x, y in hull}
+    assert got_set == want_set, (mp, sorted(got_set), sorted(want_set))
+
+
+def _seg_seg_dist2(p, q, r, s):
+    """Exact-rational squared distance between two segments (both as
+    Fraction pairs): min over the 4 point-segment distances and 0 if
+    they intersect."""
+    def pt_seg(a, p0, p1):
+        d = (p1[0] - p0[0], p1[1] - p0[1])
+        L2 = d[0] * d[0] + d[1] * d[1]
+        if L2 == 0:
+            dx, dy = a[0] - p0[0], a[1] - p0[1]
+            return dx * dx + dy * dy
+        t = ((a[0] - p0[0]) * d[0] + (a[1] - p0[1]) * d[1]) / L2
+        t = max(Fr(0), min(Fr(1), t))
+        cx, cy = p0[0] + t * d[0], p0[1] + t * d[1]
+        dx, dy = a[0] - cx, a[1] - cy
+        return dx * dx + dy * dy
+
+    tu = _seg_params((p, q), (r, s))
+    if tu is not None:
+        t, u = tu
+        if 0 <= t <= 1 and 0 <= u <= 1:
+            return Fr(0)
+    elif _collinear_overlap((p, q), (r, s)) is not None:
+        return Fr(0)
+    return min(pt_seg(p, r, s), pt_seg(q, r, s),
+               pt_seg(r, p, q), pt_seg(s, p, q))
+
+
+def _poly_poly_dist2(ra, rb):
+    """Exact squared distance between two polygons' CLOSED regions:
+    0 if they intersect (exact DE-9IM), else min segment-pair d2."""
+    m, _ = exact_de9im([ra], [rb])
+    if not (m[0] == "F" and m[1] == "F" and m[3] == "F" and m[4] == "F"):
+        return Fr(0)
+    sa, sb = _ring_segments([ra]), _ring_segments([rb])
+    return min(_seg_seg_dist2(p, q, r, s)
+               for (p, q) in sa for (r, s) in sb)
+
+
+def test_sjoin_nearest_operator_star_polygons_exact(spark):
+    """sjoin_nearest (broadcast + grid) over star-polygon layers: each
+    left row's matched partner set must be exactly the argmin of the
+    exact rational squared distances (ties keep ALL co-nearest rows,
+    reference sjoin_nearest semantics), and the reported distance must
+    match sqrt(exact d2)."""
+    import random
+    from geopandas_spark import st
+    from geopandas_spark.operators.sjoin import sjoin_nearest
+
+    rnd = random.Random(5150)
+    A = [_rng_star(rnd, 0, 12, 4, 7) for _ in range(8)]
+    B = [_rng_star(rnd, 14, 30, 4, 7) for _ in range(8)]
+
+    want = {}
+    for i, ra in enumerate(A):
+        d2s = [_poly_poly_dist2(ra, rb) for rb in B]
+        mn = min(d2s)
+        want[i] = ({j for j, d in enumerate(d2s) if d == mn},
+                   math.sqrt(float(mn)))
+
+    dfa = spark.createDataFrame(
+        [(i, _poly_wkt([r])) for i, r in enumerate(A)], ["ida", "wkt"]) \
+        .select("ida", st.geom_from_text("wkt").alias("geom"))
+    dfb = spark.createDataFrame(
+        [(j, _poly_wkt([r])) for j, r in enumerate(B)], ["idb", "wkt"]) \
+        .select("idb", st.geom_from_text("wkt").alias("geom"))
+    for strategy in ("broadcast", "grid"):
+        out = sjoin_nearest(dfa, dfb, distance_col="d",
+                            strategy=strategy) \
+            .select("ida", "idb", "d").collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.ida, set()).add(r.idb)
+            assert abs(r.d - want[r.ida][1]) < 1e-9 * max(1.0,
+                                                          want[r.ida][1]), \
+                (strategy, r.ida, r.idb, r.d, want[r.ida][1])
+        for i in want:
+            assert got.get(i) == want[i][0], (strategy, i, got.get(i),
+                                              want[i][0])
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
