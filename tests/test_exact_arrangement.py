@@ -1214,6 +1214,27 @@ def test_sjoin_nearest_operator_star_polygons_exact(spark):
                                               want[i][0])
 
 
+@pytest.mark.parametrize("level", [1, 2, 3, 5, 6])
+def test_hilbert_curve_bijection_and_unit_steps(level):
+    """Defining properties of the Hilbert curve, exactly: on the
+    2^level grid, xy->d is a bijection onto 0..4^level-1 and
+    consecutive d values are Manhattan-adjacent cells (the locality
+    guarantee the spatial partitioner and the geoparquet clustered
+    write rely on)."""
+    from geopandas_spark.geom.algos import hilbert_xy_to_d
+    side = 2 ** level
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    d = hilbert_xy_to_d(xs.ravel().astype(np.int64),
+                        ys.ravel().astype(np.int64), level)
+    n = side * side
+    assert sorted(d.tolist()) == list(range(n))
+    order = np.argsort(d)
+    ox, oy = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(ox)) + np.abs(np.diff(oy))
+    assert (steps == 1).all(), \
+        (level, int((steps != 1).sum()), "non-unit steps")
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
