@@ -1235,6 +1235,27 @@ def test_hilbert_curve_bijection_and_unit_steps(level):
         (level, int((steps != 1).sum()), "non-unit steps")
 
 
+@settings(max_examples=60, deadline=None)
+@given(chaos_ring(lo=0, hi=14, nmin=4, nmax=7),
+       chaos_ring(lo=2, hi=12, nmin=3, nmax=6),
+       chaos_ring(lo=1, hi=13, nmin=3, nmax=6))
+def test_make_valid_linework_three_rings_even_odd_oracle(r1, r2, r3):
+    """Three chaotic rings: linework area = exact XOR-of-parities mass
+    over the combined arrangement (deeper nesting forests than any
+    two-ring case can produce)."""
+    ga = wkt.parse_array([_poly_wkt([r1, r2, r3])])
+    fixed = algos.make_valid(ga, method="linework")
+    got = algos.area(fixed)[0]
+    gaps, masks = _slab_parity_masks([[r1], [r2], [r3]])
+    want = float(sum(a for g, a in gaps.items()
+                     if (masks[0][g] + masks[1][g] + masks[2][g]) % 2))
+    assert abs(got - want) < 1e-6 * max(1.0, want), \
+        (_poly_wkt([r1, r2, r3]), got, want)
+    assert got == 0.0 or bool(algos.is_valid(fixed)[0]), \
+        (_poly_wkt([r1, r2, r3]), wkt.format_array(fixed)[0],
+         algos.is_valid_reason(fixed)[0])
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
