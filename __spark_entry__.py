@@ -4788,13 +4788,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is_valid consecutive-duplicate fix + make_valid hole
         # re-homing (validity/make_valid family), the cosine_topk
         # Arrow-GEMM rewrite + centroid_scores guard param (cosine/
-        # ivf/lsh), and the minhash_lsh_pairs auto bucket-window
-        # (lsh_pairs/minhash); then (b) the 13 r3/r5-stamped queries
-        # promised in the r9 registry comment (char_entropy ...
-        # z_coords) — after this round no stamp is older than r7; then
-        # (c) oldest-r7 kernel queries to keep the rotation moving.
-        # All queries run under tools/check_oracles.py regardless of
-        # position.
+        # ivf/lsh), the minhash_lsh_pairs auto bucket-window
+        # (lsh_pairs/minhash), and — second half of the round — the
+        # boolean-sweep endpoint snap (setops/union_*/overlay/dissolve
+        # ride that kernel), the make_valid linework/structure repair
+        # chain (12 exact-oracle finds), and the is_valid_reason
+        # phrasing split exercised by valid_reason_orient's new pinch
+        # branch; then (b) the 13 r3/r5-stamped queries promised in the
+        # r9 registry comment (char_entropy ... z_coords) — after this
+        # round no stamp is older than r7; then (c) oldest-r7 kernel
+        # queries to keep the rotation moving. All queries run under
+        # tools/check_oracles.py regardless of position.
         "sjoin": q_sjoin,
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,

@@ -84,6 +84,88 @@ local[32]) — the r4 VERDICT's two scale findings and item #8:
   tools/stress_scale.py (prints PASS/FAIL) so the next sweep-kernel
   change has a regression gate; r7 driver 100x-tier dissolve min
   0.751 s <= the 1.0 s target.
+
+## Round-10 audit
+
+- **Monster-bbox routing (VERDICT r9 #4 closed).** Bboxes spanning >16
+  fine cells on an axis were invisible to the pair estimate/salts and
+  exploded F.sequence unboundedly. Now: typed mixed-resolution coarse
+  bands keyed by a `__band__` join column — a full-width thin strip
+  coarsens ONLY its long axis (COARSE_N=16 clamped grid over the
+  sampled extent) and keeps fine resolution on the narrow one, so it
+  meets partners only in its own fine rows. Per-band reference-point
+  dedup, per-band hot-cell salts (A bands replicate the monster side
+  and hash the partner — reverse of the fine-grid table), band pair
+  estimates feed the partition pin, and a per-row guard fails with
+  guidance when routing is inactive (the zero-overhead common path).
+  Measured (stress, sf0.1, local[32], same session): skewed 25M-pair
+  join + 0.5% full-width strips = 17.2 s best-of-3 (1.47M pairs/s) vs
+  24.7 s under a single-sentinel design and 14.9 s strip-free baseline;
+  gate `skewed-monster-mix >= 1.3M pairs/s` added to stress_scale.py
+  (derivation in-line). Degenerate sizing samples (mostly-NULL
+  geometry) now derive the extent from one min/max aggregate instead of
+  a hardcoded unit square (r10 ADVICE).
+- **Dissolve plan choice is now probed, not assumed (VERDICT r9 #2
+  closed).** Phase-1's per-(partition, key) combine only pays when it
+  MERGES geometry; on sparse inputs the partials are input-sized and
+  phase 2 redoes the whole union. A ≤10k-row sampled bbox-overlap probe
+  (memoized by plan hash) estimates overlapping partners per row within
+  one phase-1 group and picks single-phase below ~0.5 — memory-safe
+  exactly there, because no reduction means identical phase-2 task
+  bytes either way. Measured 600k-box stress: two-phase 5.49 s →
+  auto/single-phase 3.56 s best (judge's ≤5.5 s target met with ~49%
+  headroom against the 7 s gate).
+- **cosine_topk exact scoring via the Arrow batch scorer (VERDICT r9 #1
+  closed).** The per-element element_at codegen dot paid 3–10× DuckDB's
+  vectorized list kernels; exact top-k now streams the corpus through
+  centroid_scores (one map-only Arrow pass, bit-identical left-assoc
+  accumulation) with native rounding + WindowGroupLimit-pruned rank,
+  and the dim probe rides the query collect. 100×-tier: 3.06 s (r9
+  judge) → 0.62 s min-of-2 = 1.76× its DuckDB twin (≤2× criterion
+  met). lsh_topk/ivf_topk joined the headline bench (ivf at 0.26× its
+  twin); bench.py gained the 100×-tier ratio gate (FAIL when spark >
+  2× a non-timeout twin and > 2 s absolute — VERDICT r9 #7).
+- **Overlay residue shuffle width measured (VERDICT r9 #5).** 60k×60k
+  box overlay union (443k rows, 3 narrow attrs, same session):
+  attrs-as-grouping-keys 63.4 s vs key-only groupBy + dedup join-back
+  55.4 s (~13% — inside the session noise band); at 200k×200k the
+  join-back arm crashed Python workers (repeatable OOM shape) while
+  attrs-as-keys completed. Kept attrs-as-keys as the default for
+  robustness; the join-back path ships as the automatic fallback for
+  ungroupable (MapType) attribute columns (r10 ADVICE), so both plans
+  stay exercised.
+- **polygonize/build_area local-frame shift (r10 fuzz find).** At
+  web-mercator magnitudes one double ulp (~4e-9 at 2e7) exceeds the
+  1e-9 canonical snap grid, so ulp-different crossing points
+  disconnected the half-edge graph (0.1-unit grid at offset −1.7e7
+  polygonized to 2 of 4 faces). polygonize now integer-shifts the
+  arrangement to a local frame (exact on inputs, same pattern as
+  buffer) and shifts emissions back; property suite pins translation
+  invariance of face count and area at ±2e7 offsets.
+- **Round-10 second half: exact-arrangement oracle campaign (no plan
+  changes — all fixes are inside the Arrow kernels, so every audited
+  plan shape above is unchanged; re-spot-checked sjoin_grid this
+  session: 4 exchanges / 1 broadcast / 5 evals / 0 cartesian).**
+  A Fraction slab-decomposition oracle (exact set-op areas, full
+  DE-9IM, N-way union, enclosed-region flood fill, line-clip lengths)
+  refereed relate, the predicates, set ops, union_all/intersection_all,
+  both make_valid methods, and the DataFrame-level overlay / dissolve /
+  sjoin / sjoin_nearest operators on non-convex star and chaos inputs.
+  12 kernel fixes fell out; the deepest: the boolean sweep's parametric
+  intersection landed one ulp off a subject vertex when a clip edge
+  passes exactly through it, seeding ulp-twin events that broke
+  sweep-status ordering — DIFFERENCE silently returned EMPTY for a
+  sliver minus a triangle through its vertex. Intersection points now
+  snap to segment endpoints within 1e-13·mag. 12k+ randomized trials
+  across both make_valid methods now run clean.
+- **Session-calibrated gates.** The same executed plans measured 1.53M
+  and 1.18M pairs/s thirty minutes apart on this VM (a fixed-work JVM
+  shuffle job tracked 0.34 s → 0.55 s in lockstep), so bench.py's
+  100×-tier ratio-gate floor and stress_scale's throughput/budget gates
+  now scale by the measured session constant (never tightening past
+  nominal). Full gate set green in-session: skew 1.53M, monster 1.38M,
+  plane-cover 1.56M pairs/s, nearest spread 1.12×, dissolve 4.13 s,
+  fuzzy-dedup 149 s, IVF 49 s.
 """
 
 
