@@ -1256,6 +1256,41 @@ def test_make_valid_linework_three_rings_even_odd_oracle(r1, r2, r3):
          algos.is_valid_reason(fixed)[0])
 
 
+@settings(max_examples=120, deadline=None)
+@given(star_ring(lo=0, hi=16, nmin=4, nmax=8), st_.data())
+def test_setops_clip_edge_through_subject_vertex_exact(ra, data):
+    """Targeted degeneracy: the clip triangle has an edge whose LINE
+    passes exactly through a subject vertex — the configuration whose
+    ulp-off parametric split broke sweep-status ordering and silently
+    dropped whole DIFFERENCE/UNION regions (r10 find, now endpoint-
+    snapped). All four set-op areas vs the exact oracle."""
+    v = ra[data.draw(st_.integers(0, len(ra) - 2))]
+    dx = data.draw(st_.integers(-4, 4))
+    dy = data.draw(st_.integers(-4, 4))
+    assume(dx != 0 or dy != 0)
+    k1 = data.draw(st_.integers(1, 3))
+    k2 = data.draw(st_.integers(1, 3))
+    p1 = (v[0] - k1 * dx, v[1] - k1 * dy)
+    p2 = (v[0] + k2 * dx, v[1] + k2 * dy)
+    p3 = (p1[0] + data.draw(st_.integers(-8, 8)),
+          p1[1] + data.draw(st_.integers(-8, 8)))
+    tw = ((p2[0] - p1[0]) * (p3[1] - p1[1])
+          - (p2[1] - p1[1]) * (p3[0] - p1[0]))
+    assume(tw != 0)
+    rb = [p1, p2, p3, p1]
+    _, (A, B, I) = exact_de9im([ra], [rb])
+    ga = wkt.parse_array([_poly_wkt([ra])])
+    gb = wkt.parse_array([_poly_wkt([rb])])
+    for name, got, want in (
+            ("I", algos.area(algos.intersection(ga, gb))[0], float(I)),
+            ("U", algos.area(algos.union(ga, gb))[0], float(A + B - I)),
+            ("D", algos.area(algos.difference(ga, gb))[0], float(A - I)),
+            ("X", algos.area(algos.symmetric_difference(ga, gb))[0],
+             float(A + B - 2 * I))):
+        assert abs(got - want) < 1e-6, \
+            (name, _poly_wkt([ra]), _poly_wkt([rb]), got, want)
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
