@@ -378,6 +378,43 @@ def _dedup_ring(r: np.ndarray) -> np.ndarray:
     return np.vstack([body, body[:1]])
 
 
+def _interior_disconnected(p: list) -> bool:
+    """True iff the polygon part's rings (already individually simple,
+    pairwise touching only at isolated points) disconnect the interior:
+    cycle test on the bipartite ring↔touch-point graph. Touch points
+    can only be a VERTEX of at least one ring (edge-interior×edge-
+    interior contact is either a proper crossing or a collinear
+    overlap, both rejected earlier)."""
+    n = len(p)
+    edge_sets = [np.column_stack([r[:-1], r[1:]]).reshape(-1, 2, 2)
+                 for r in p]
+    verts = np.unique(np.vstack([r[:-1] for r in p]), axis=0)
+    # which rings touch each candidate point
+    incident = []
+    for v in verts:
+        on = [k for k in range(n)
+              if float(_point_seg_dist(v[None], edge_sets[k]).min())
+              <= _EPS]
+        if len(on) >= 2:
+            incident.append(on)
+    parent = list(range(n + len(incident)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for pi, on in enumerate(incident):
+        pnode = n + pi
+        for rk in on:
+            ra, rb = find(rk), find(pnode)
+            if ra == rb:
+                return True
+            parent[ra] = rb
+    return False
+
+
 def is_valid(ga: GeometryArray) -> np.ndarray:
     """Structural validity check (closed rings with >= 4 points, finite
     coords, no self-intersecting rings — proper crossings, collinear
@@ -385,9 +422,12 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
     same point twice is GEOS's "Ring Self-intersection": its shoelace
     area diverges from its point set, r9 subdivide-fuzz find) — holes
     properly inside their shell with no ring-cross, no hole nested
-    inside another hole, and sibling MultiPolygon shells pairwise
-    interior-disjoint with finite boundary contact — r10 closed the
-    last documented gap, nested/overlapping sibling shells).
+    inside another hole, sibling MultiPolygon shells pairwise
+    interior-disjoint with finite boundary contact, and a CONNECTED
+    interior — a hole chain whose isolated touch points cut the region
+    is GEOS's 'Interior is disconnected'; both were r10 gap closures
+    (nested/overlapping sibling shells, then interior connectedness
+    via the bipartite ring↔touch-point cycle test).
     Reference: base.py:301."""
     out = np.ones(len(ga), dtype=bool)
     out[ga.is_missing()] = False
@@ -490,6 +530,18 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                         if (cls == 2).any():
                             bad = True
                             break
+                if not bad and len(p) > 1:
+                    # interior connectedness (GEOS 'Interior is
+                    # disconnected', the last structural rule — r10):
+                    # with only isolated point contacts left, the
+                    # interior is disconnected iff the bipartite
+                    # ring↔touch-point incidence graph has a cycle — a
+                    # hole touching the shell at TWO points cuts the
+                    # interior in two; a tree of single touches (incl.
+                    # several rings through ONE common point) stays
+                    # connected.
+                    if _interior_disconnected(p):
+                        bad = True
                 if bad:
                     out[i] = False
                     break
@@ -5776,11 +5828,22 @@ def is_valid_reason(ga: GeometryArray) -> list:
                                         != len(body)
                                         or _ring_vertex_on_edge(rd)):
                                     ring_touch = True
+                    disconnected = any(
+                        len(p) > 1
+                        and all(len(r) >= 4
+                                and np.array_equal(r[0], r[-1])
+                                and not _ring_self_intersects(
+                                    _dedup_ring(r))
+                                for r in p)
+                        and _interior_disconnected(p)
+                        for p in ga.geom_slices(i))
                     out.append("Hole lies outside shell" if escaped
                                else "Holes are nested" if nested
                                else "Nested shells" if shells_nested
                                else "Ring Self-intersection"
                                if (ring_touch and not ring_cross)
+                               else "Interior is disconnected"
+                               if disconnected
                                else "Self-intersection")
             else:
                 out.append("Invalid Geometry")

@@ -1001,6 +1001,38 @@ class TestRepairAndLinework:
         assert r[1] == "Valid Geometry"
         assert r[2] is None
 
+    def test_is_valid_interior_disconnected(self):
+        """GEOS 'Interior is disconnected' (r10): a hole chain whose
+        touch points cut the interior in two is invalid; trees of
+        single touches — including several rings through ONE common
+        point — stay valid."""
+        shell = "(0 0, 10 0, 10 10, 0 10, 0 0)"
+        cases = [
+            # hole touches shell at two points -> cut
+            (f"POLYGON ({shell}, (0 5, 5 2, 10 5, 5 8, 0 5))", False),
+            # two holes chain shell->h1->h2->shell -> cut
+            (f"POLYGON ({shell}, (0 5, 3 3, 5 5, 3 7, 0 5), "
+             "(5 5, 8 3, 10 5, 8 7, 5 5))", False),
+            # single touch point -> connected
+            (f"POLYGON ({shell}, (0 5, 5 2, 5 8, 0 5))", True),
+            # two holes + shell through ONE common point -> connected
+            (f"POLYGON ({shell}, (5 0, 4 2, 3 1, 5 0), "
+             "(5 0, 7 1, 6 2, 5 0))", True),
+            # two holes touching each other once, off the shell
+            (f"POLYGON ({shell}, (2 2, 5 5, 2 5, 2 2), "
+             "(5 5, 8 5, 8 8, 5 5))", True),
+        ]
+        for w, want in cases:
+            g = ga_from_wkt(w)
+            assert bool(algos.is_valid(g)[0]) == want, \
+                (w, algos.is_valid_reason(g)[0])
+        g = ga_from_wkt(cases[0][0])
+        assert algos.is_valid_reason(g)[0] == "Interior is disconnected"
+        # make_valid repairs the cut into a two-part multipolygon
+        mv = algos.make_valid(g, method="linework")
+        assert algos.is_valid(mv)[0]
+        assert abs(algos.area(mv)[0] - (100 - 30)) < 1e-9
+
     def test_is_valid_reason_ring_self_touch(self):
         """GEOS phrasing split (r10): point-contact-only self-touches
         (revisited vertex / T-touch) say "Ring Self-intersection";
