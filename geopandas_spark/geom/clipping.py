@@ -1243,6 +1243,14 @@ def _assemble_polygons(rings):
 def boolean_op(subject_rings, clipping_rings, op):
     """Boolean operation over two even-odd-filled ring sets.
 
+    Each ring must be individually SIMPLE (no self-crossings) — the
+    even-odd semantics apply to the nesting of simple rings, matching
+    every in-repo caller (user-valid geometry, make_valid-noded faces,
+    arrangement faces). A self-intersecting ring is undefined here,
+    as it is for the reference's GEOS ops on invalid input (r10
+    chaos-ring probe: UNION misclassifies the self-crossing region;
+    callers pre-node via make_valid like GEOS users do).
+
     Returns list of polygons (each [shell, *holes]); [] for empty result.
     """
     subject_rings = [np.asarray(r, dtype=np.float64) for r in subject_rings

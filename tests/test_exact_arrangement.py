@@ -1291,6 +1291,33 @@ def test_setops_clip_edge_through_subject_vertex_exact(ra, data):
             (name, _poly_wkt([ra]), _poly_wkt([rb]), got, want)
 
 
+@settings(max_examples=80, deadline=None)
+@given(chaos_ring(lo=0, hi=12, nmin=3, nmax=8),
+       chaos_ring(lo=1, hi=12, nmin=3, nmax=8))
+def test_repair_then_setops_pipeline_exact(ra, rb):
+    """End-to-end repair → boolean pipeline: make_valid(linework) each
+    chaotic ring, then all four set ops between the repaired
+    geometries must match the exact even-odd oracle of the ORIGINAL
+    rings (linework preserves the even-odd region, so the pipeline
+    composes). This is the documented caller contract for
+    clipping.boolean_op: rings individually simple — raw
+    self-intersecting operands are undefined there, as for GEOS."""
+    ga = algos.make_valid(wkt.parse_array([_poly_wkt([ra])]),
+                          method="linework")
+    gb = algos.make_valid(wkt.parse_array([_poly_wkt([rb])]),
+                          method="linework")
+    _, (A, B, I) = exact_de9im([ra], [rb])
+    assume(A > 0 and B > 0)
+    for name, got, want in (
+            ("I", algos.area(algos.intersection(ga, gb))[0], float(I)),
+            ("U", algos.area(algos.union(ga, gb))[0], float(A + B - I)),
+            ("D", algos.area(algos.difference(ga, gb))[0], float(A - I)),
+            ("X", algos.area(algos.symmetric_difference(ga, gb))[0],
+             float(A + B - 2 * I))):
+        assert abs(got - want) < 1e-6 * max(1.0, want), \
+            (name, _poly_wkt([ra]), _poly_wkt([rb]), got, want)
+
+
 def test_exact_oracle_self_check_unit_boxes():
     """Sanity anchors for the oracle itself (disjoint / touch / overlap
     / nested / equal boxes with known matrices and areas)."""
