@@ -27,6 +27,18 @@ from geopandas_spark.geom import clipping as _mr
 _POLY_MASK = (GT_POLYGON, GT_MULTIPOLYGON)
 _LINE_MASK = (GT_LINESTRING, GT_MULTILINESTRING)
 _EPS = 1e-12
+# Deliberate second tolerance (r10, documented per r11 ADVICE):
+# _segs_proper_cross uses an opposite-side sign-test margin of
+# 1e-9·|r|·|s| — RELATIVE to the two edge lengths — rather than the
+# absolute _EPS. The parametric t/u form is ill-conditioned when
+# near-collinear edges meet at a shared vertex (denom≈0 fabricates
+# 'proper' hits), so the sign test trades that false-positive class
+# for a documented false-negative one: a genuine crossing whose
+# penetration depth is below ~1e-9 of the edge lengths is treated as
+# a touch, not a crossing (is_valid may accept a hole that GEOS
+# rejects at that depth). Pinned by
+# tests/test_geom_kernel.py::test_proper_cross_tolerance_boundary.
+_CROSS_RTOL = 1e-9
 
 
 # ---------------------------------------------------------------------------
@@ -378,25 +390,53 @@ def _dedup_ring(r: np.ndarray) -> np.ndarray:
     return np.vstack([body, body[:1]])
 
 
+def _hole_pairs_cross(p: list) -> bool:
+    """True iff any two holes of polygon part `p` properly cross or share
+    a positive-length collinear overlap — GEOS 'Self-intersection'
+    (r11 ADVICE: two properly crossing holes previously passed is_valid
+    because the ring loop tested hole-vs-shell only and the nesting
+    probe used first-edge midpoints). Doubles as the enforcement of
+    _interior_disconnected's precondition over hole pairs — the
+    hole-vs-shell twin lives inline in is_valid's ring loop."""
+    holes = p[1:]
+    if len(holes) < 2:
+        return False
+    hedges = [np.column_stack([h[:-1], h[1:]]).reshape(-1, 2, 2)
+              for h in holes]
+    for j in range(len(holes)):
+        hj = holes[j]
+        for k in range(j + 1, len(holes)):
+            if _segs_proper_cross(hedges[j], hedges[k]):
+                return True
+            if any(_collinear_overlap_any(
+                    hj[m], hj[m + 1] - hj[m],
+                    holes[k][:-1], holes[k][1:])
+                    for m in range(len(hj) - 1)):
+                return True
+    return False
+
+
 def _interior_disconnected(p: list) -> bool:
     """True iff the polygon part's rings (already individually simple,
-    pairwise touching only at isolated points) disconnect the interior:
-    cycle test on the bipartite ring↔touch-point graph. Touch points
-    can only be a VERTEX of at least one ring (edge-interior×edge-
-    interior contact is either a proper crossing or a collinear
+    pairwise touching only at isolated points — hole-vs-shell crossings
+    and collinear overlaps are rejected by is_valid's ring loop,
+    hole-vs-hole by _hole_pairs_cross, BEFORE this runs) disconnect the
+    interior: cycle test on the bipartite ring↔touch-point graph. Touch
+    points can only be a VERTEX of at least one ring (edge-interior×
+    edge-interior contact is either a proper crossing or a collinear
     overlap, both rejected earlier)."""
     n = len(p)
     edge_sets = [np.column_stack([r[:-1], r[1:]]).reshape(-1, 2, 2)
                  for r in p]
     verts = np.unique(np.vstack([r[:-1] for r in p]), axis=0)
-    # which rings touch each candidate point
-    incident = []
-    for v in verts:
-        on = [k for k in range(n)
-              if float(_point_seg_dist(v[None], edge_sets[k]).min())
-              <= _EPS]
-        if len(on) >= 2:
-            incident.append(on)
+    # which rings touch each candidate point: ONE vectorized
+    # point-to-segment-set distance call per RING (r11 ADVICE — the
+    # former per-(vertex, ring) Python loop paid ~V·R iterations on
+    # every hole-bearing polygon)
+    on_mat = np.column_stack(
+        [_point_seg_dist(verts, edge_sets[k]) <= _EPS for k in range(n)])
+    multi = np.nonzero(on_mat.sum(axis=1) >= 2)[0]
+    incident = [np.nonzero(on_mat[v])[0] for v in multi]
     parent = list(range(n + len(incident)))
 
     def find(a):
@@ -421,8 +461,10 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
     edge overlaps, AND revisited vertices (a ring passing through the
     same point twice is GEOS's "Ring Self-intersection": its shoelace
     area diverges from its point set, r9 subdivide-fuzz find) — holes
-    properly inside their shell with no ring-cross, no hole nested
-    inside another hole, sibling MultiPolygon shells pairwise
+    properly inside their shell with no ring-cross, holes pairwise
+    non-crossing/non-overlapping (proper crossings, collinear
+    retraces, nesting, and vertex-penetration — r11), sibling
+    MultiPolygon shells pairwise
     interior-disjoint with finite boundary contact, and a CONNECTED
     interior — a hole chain whose isolated touch points cut the region
     is GEOS's 'Interior is disconnected'; both were r10 gap closures
@@ -513,26 +555,46 @@ def is_valid(ga: GeometryArray) -> np.ndarray:
                             bad = True
                             break
                 if not bad and len(p) > 2:
-                    # a hole nested inside another hole (GEOS phrasing
-                    # 'Holes are nested'): one hole's edge midpoint
-                    # strictly interior to a sibling hole. Batched per
-                    # ADVICE r5: ONE vectorized points_in_rings call per
-                    # sibling classifies ALL hole midpoints at once
-                    # (self-pair masked), so the former O(holes²) call
-                    # loop with per-pair ring marshalling is O(holes)
-                    # calls over the same total point×segment work.
-                    mids = np.array([(p[j][0] + p[j][1]) * 0.5
-                                     for j in range(1, len(p))])
+                    # hole-vs-hole edge contact (r11 ADVICE): two holes
+                    # that properly cross or retrace a positive-length
+                    # collinear stretch are GEOS 'Self-intersection' —
+                    # previously only hole-vs-shell was edge-tested, so
+                    # crossing holes slipped through to the (first-
+                    # midpoint) nesting probe and _interior_disconnected
+                    # ran outside its documented precondition.
+                    if _hole_pairs_cross(p):
+                        bad = True
+                if not bad and len(p) > 2:
+                    # a hole inside another hole (GEOS 'Holes are
+                    # nested') OR penetrating it through a vertex-on-
+                    # edge contact (no proper crossing): ANY boundary
+                    # probe of one hole strictly interior to a sibling
+                    # is invalid either way. Probes = all vertices + all
+                    # edge midpoints per hole (r11: the first-edge-
+                    # midpoint-only probe missed vertex-penetration
+                    # overlaps); batched per ADVICE r5 — ONE vectorized
+                    # points_in_rings call per sibling classifies every
+                    # probe at once, self-pairs masked by source index.
+                    probe_pts = []
+                    probe_src = []
+                    for j in range(1, len(p)):
+                        h = p[j]
+                        pts = np.vstack([h[:-1], (h[:-1] + h[1:]) * 0.5])
+                        probe_pts.append(pts)
+                        probe_src.append(np.full(len(pts), j))
+                    probe_pts = np.vstack(probe_pts)
+                    probe_src = np.concatenate(probe_src)
                     for k2 in range(1, len(p)):
-                        cls = points_in_rings(mids[:, 0], mids[:, 1],
-                                              [p[k2]])
-                        cls[k2 - 1] = 0     # a hole is not its own nest
+                        cls = points_in_rings(probe_pts[:, 0],
+                                              probe_pts[:, 1], [p[k2]])
+                        cls[probe_src == k2] = 0   # not its own nest
                         if (cls == 2).any():
                             bad = True
                             break
                 if not bad and len(p) > 1:
                     # interior connectedness (GEOS 'Interior is
-                    # disconnected', the last structural rule — r10):
+                    # disconnected' — r10; hole-hole edge contact is
+                    # rejected above (r11), enforcing its precondition:
                     # with only isolated point contacts left, the
                     # interior is disconnected iff the bipartite
                     # ring↔touch-point incidence graph has a cycle — a
@@ -703,7 +765,7 @@ def _any_segment_hit(p, r, q0, q1, proper_only=False) -> bool:
         d4 = prq[:, 0] * s[:, 1] - prq[:, 1] * s[:, 0]    # p+r vs line q+s
         rlen = float(np.hypot(r[0], r[1]))
         slen = np.hypot(s[:, 0], s[:, 1])
-        tol = 1e-9 * rlen * slen
+        tol = _CROSS_RTOL * rlen * slen
         opp_q = ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
         opp_p = ((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol))
         return bool((opp_q & opp_p).any())
@@ -806,7 +868,7 @@ def _segs_proper_cross(sa, sb) -> bool:
         return False
     r = sa[:, 1] - sa[:, 0]
     s = sb[:, 1] - sb[:, 0]
-    tol = 1e-9 * np.sqrt((r * r).sum(-1))[:, None] \
+    tol = _CROSS_RTOL * np.sqrt((r * r).sum(-1))[:, None] \
         * np.sqrt((s * s).sum(-1))[None, :]
     q0p = sb[None, :, 0] - sa[:, None, 0]
     q1p = sb[None, :, 1] - sa[:, None, 0]
@@ -5780,6 +5842,13 @@ def is_valid_reason(ga: GeometryArray) -> list:
                                                   [shell])
                             if cls[0] == 0:
                                 escaped = True
+                        # crossing/retracing holes are GEOS
+                        # 'Self-intersection', not 'Holes are nested' —
+                        # skip the nesting probe so the fall-through
+                        # phrasing wins (r11, with the is_valid
+                        # hole-pair check)
+                        if _hole_pairs_cross(p):
+                            continue
                         for j in range(1, len(p)):
                             mj = (p[j][0] + p[j][1]) * 0.5
                             for k2 in range(1, len(p)):
@@ -5835,6 +5904,7 @@ def is_valid_reason(ga: GeometryArray) -> list:
                                 and not _ring_self_intersects(
                                     _dedup_ring(r))
                                 for r in p)
+                        and not _hole_pairs_cross(p)
                         and _interior_disconnected(p)
                         for p in ga.geom_slices(i))
                     out.append("Hole lies outside shell" if escaped

@@ -1050,6 +1050,62 @@ class TestRepairAndLinework:
         assert r[1] == "Ring Self-intersection"
         assert r[2] == "Self-intersection"
 
+    def test_is_valid_crossing_holes(self):
+        """r11 ADVICE: two holes that properly cross (GEOS
+        'Self-intersection') were previously accepted — only
+        hole-vs-shell edges were tested and the nesting probe used
+        first-edge midpoints."""
+        shell = "(0 0, 10 0, 10 10, 0 10, 0 0)"
+        # the ADVICE reproducer: plus-sign crossing holes
+        g = ga_from_wkt(
+            f"POLYGON ({shell}, (2 4, 6 4, 6 6, 2 6, 2 4), "
+            "(4 2, 5 2, 5 8, 4 8, 4 2))")
+        assert not algos.is_valid(g)[0]
+        assert algos.is_valid_reason(g)[0] == "Self-intersection"
+        # collinear positive-length retrace between two holes
+        g2 = ga_from_wkt(
+            f"POLYGON ({shell}, (2 2, 5 2, 5 5, 2 5, 2 2), "
+            "(5 3, 8 3, 8 6, 5 6, 5 3))")
+        # shared stretch of x=5 between y=3..5 is a positive-length
+        # boundary overlap -> GEOS Self-intersection
+        assert not algos.is_valid(g2)[0]
+        assert algos.is_valid_reason(g2)[0] == "Self-intersection"
+        # control: holes touching at ONE isolated point stay valid
+        g3 = ga_from_wkt(
+            f"POLYGON ({shell}, (2 2, 5 5, 2 5, 2 2), "
+            "(5 5, 8 5, 8 8, 5 5))")
+        assert algos.is_valid(g3)[0]
+
+    def test_is_valid_hole_vertex_penetration(self):
+        """A hole overlapping a sibling hole only through shared
+        VERTICES (no proper edge crossing, no collinear overlap) is
+        still invalid: the all-vertex+midpoint nesting probes see a
+        boundary point of one hole strictly interior to the other
+        (the old first-edge-midpoint probe missed this shape)."""
+        g = ga_from_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(2 2, 6 2, 6 6, 2 6, 2 2), "        # hole A
+            "(2 6, 1 4, 2 2, 4 4, 2 6))")        # hole B through A's
+        #                                          corners (2 2),(2 6)
+        assert not algos.is_valid(g)[0]
+
+    def test_proper_cross_tolerance_boundary(self):
+        """Pin the deliberate _CROSS_RTOL=1e-9 relative margin in
+        _segs_proper_cross (documented next to _EPS): a crossing whose
+        penetration is below ~1e-9 of the edge lengths reads as a
+        touch (accepted false-negative, trading away the fabricated-
+        proper-hit class of the parametric form); one above it is a
+        proper crossing."""
+        a = np.array([[[0.0, 0.0], [1.0, 0.0]]])
+        shallow = np.array([[[0.5, -1e-10], [0.5, 1.0]]])
+        deep = np.array([[[0.5, -1e-8], [0.5, 1.0]]])
+        assert not algos._segs_proper_cross(a, shallow)
+        assert algos._segs_proper_cross(a, deep)
+        # the margin is relative to BOTH lengths: a SHORT segment
+        # crossing symmetrically is always proper, however tiny
+        tiny = np.array([[[0.5, -1e-12], [0.5, 1e-12]]])
+        assert algos._segs_proper_cross(a, tiny)
+
     def test_line_merge(self):
         ga = ga_from_wkt(
             "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2), (5 5, 6 6))",
