@@ -1999,3 +1999,61 @@ def test_web_mercator_magnitude_accuracy():
     org = float(algos.area(algos.union_all(
         boxes_from_bounds(x0 - B, y0 - B, x0 + w - B, y0 + h - B)))[0])
     assert abs(big - org) < 1e-11 * org, (big, org)
+
+
+def test_vectorized_intersects_parity():
+    """The r11 vectorized lineal/polygonal intersects fast path
+    (_poly_line_intersects_fast + the rect×rect short-circuit) must
+    agree with the per-pair reference path on every eligible row —
+    mixed polygons/lines/degenerates/boxes, seeded for reproducibility."""
+    rng = np.random.default_rng(1234)
+
+    def rand_poly():
+        cx, cy = rng.uniform(0, 20, 2)
+        n = int(rng.integers(3, 8))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 3, n)
+        xs = cx + r * np.cos(ang)
+        ys = cy + r * np.sin(ang)
+        pts = ", ".join(f"{x:.3f} {y:.3f}" for x, y in zip(xs, ys))
+        return f"POLYGON (({pts}, {xs[0]:.3f} {ys[0]:.3f}))"
+
+    def rand_geom():
+        u = rng.random()
+        if u < 0.30:
+            return rand_poly()
+        if u < 0.45:        # holed polygon
+            x, y = rng.integers(0, 14, 2)
+            return (f"POLYGON (({x} {y}, {x+6} {y}, {x+6} {y+6}, "
+                    f"{x} {y+6}, {x} {y}), ({x+2} {y+2}, {x+4} {y+2}, "
+                    f"{x+4} {y+4}, {x+2} {y+4}, {x+2} {y+2}))")
+        if u < 0.65:        # line
+            n = int(rng.integers(2, 6))
+            xs = rng.uniform(0, 20, n)
+            ys = rng.uniform(0, 20, n)
+            return "LINESTRING (" + ", ".join(
+                f"{x:.3f} {y:.3f}" for x, y in zip(xs, ys)) + ")"
+        if u < 0.72:        # degenerate zero-length line
+            x, y = rng.uniform(0, 20, 2)
+            return f"LINESTRING ({x:.3f} {y:.3f}, {x:.3f} {y:.3f})"
+        if u < 0.82:        # multipolygon
+            x, y = rng.integers(0, 16, 2)
+            return (f"MULTIPOLYGON ((({x} {y}, {x+2} {y}, {x+2} {y+2}, "
+                    f"{x} {y+2}, {x} {y})), (({x+3} {y+3}, {x+4} {y+3}, "
+                    f"{x+4} {y+4}, {x+3} {y+4}, {x+3} {y+3})))")
+        # axis-aligned box (rect short-circuit population)
+        x, y = rng.integers(0, 18, 2)
+        s = int(rng.integers(1, 4))
+        return (f"POLYGON (({x} {y}, {x+s} {y}, {x+s} {y+s}, "
+                f"{x} {y+s}, {x} {y}))")
+
+    N = 1500
+    ga = ga_from_wkt(*[rand_geom() for _ in range(N)])
+    gb = ga_from_wkt(*[rand_geom() for _ in range(N)])
+    fast_mask, fast_res = algos._poly_line_intersects_fast(ga, gb)
+    slow = algos._pairwise(ga, gb, algos._pair_intersects, bool, False)
+    assert fast_mask.sum() > N * 0.9          # path actually engaged
+    bad = np.nonzero(fast_mask & (fast_res != slow))[0]
+    assert len(bad) == 0, [(int(i), str(ga_from_wkt)) for i in bad[:3]]
+    # the public function agrees with the slow path everywhere
+    assert (algos.intersects(ga, gb) == slow).all()
