@@ -531,16 +531,29 @@ def _pick_cell_size(X, Y, nl, nr, wlx, wly, wrx, wry):
     return best[1], best[2]
 
 
-def _cells_covered(b, cx, cy, pad):
+def _cells_covered(b, cx, cy, pad, cap=None):
     """Per bbox (n,4): covered-cell key array (replicated per cell) and the
-    parallel source-row index, for one candidate cell size."""
+    parallel source-row index, for one candidate cell size. With ``cap``,
+    rows spanning more than cap cells on either axis are EXCLUDED — the
+    sizing cost model must match the join's routing, which sends such
+    monster rows to the coarse bands, never the fine grid (r11: both-
+    sides-monster stress ran 100x over budget because sampled planes/
+    strips dominated the fine-grid dup cost and forced huge cells on
+    the 99.5% normal rows)."""
     x0 = np.floor((b[:, 0] - pad) / cx).astype(np.int64)
     x1 = np.floor((b[:, 2] + pad) / cx).astype(np.int64)
     y0 = np.floor((b[:, 1] - pad) / cy).astype(np.int64)
     y1 = np.floor((b[:, 3] + pad) / cy).astype(np.int64)
     sx, sy = x1 - x0 + 1, y1 - y0 + 1
+    rowids = np.arange(len(b))
+    if cap is not None:
+        keep = (sx <= cap) & (sy <= cap)
+        if not keep.all():
+            x0, x1, y0, y1 = x0[keep], x1[keep], y0[keep], y1[keep]
+            sx, sy = sx[keep], sy[keep]
+            rowids = rowids[keep]
     reps = sx * sy
-    row = np.repeat(np.arange(len(b)), reps)
+    row = np.repeat(rowids, reps)
     # per-row local cell enumeration
     local = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
     lx = local % np.repeat(sx, reps)
@@ -562,8 +575,16 @@ def _pick_cell_size_sampled(sl, sr, scale_l, scale_r, base_x, base_y,
     for t in np.geomspace(0.25, 64.0, 13):
         cx = max(t * base_x, floor_x)
         cy = max(t * base_y, floor_y)
-        kl, _rl = _cells_covered(sl, cx, cy, pad)
-        kr, _rr = _cells_covered(sr, cx, cy, 0.0)
+        # cap = MONSTER_AXIS_CAP: rows that would be monsters AT THIS
+        # SIZE ride the coarse bands, not the fine grid — charging
+        # their dup/candidate cost to the fine grid forces cells big
+        # enough to hold a plane-cover and explodes the 99.5% normal
+        # rows' candidates (r11 monster×monster find)
+        kl, _rl = _cells_covered(sl, cx, cy, pad, cap=MONSTER_AXIS_CAP)
+        kr, _rr = _cells_covered(sr, cx, cy, 0.0, cap=MONSTER_AXIS_CAP)
+        if len(kl) == 0 or len(kr) == 0:
+            continue    # every sampled row a monster at this size —
+            #             nothing would live on the fine grid; unsizable
         dup = len(kl) * scale_l + len(kr) * scale_r
         ul, cl = np.unique(kl, return_counts=True)
         ur, cr = np.unique(kr, return_counts=True)
@@ -574,6 +595,8 @@ def _pick_cell_size_sampled(sl, sr, scale_l, scale_r, base_x, base_y,
         cost = dup + REFINE_WEIGHT * cand
         if best is None or cost < best[0]:
             best = (cost, cx, cy)
+    if best is None:
+        return max(base_x, floor_x), max(base_y, floor_y)
     return best[1], best[2]
 
 
@@ -816,10 +839,15 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
                 or 1.0
             Y = max(float(max(sl[:, 3].max(), sr[:, 3].max())) - y0, 0.0) \
                 or 1.0
-            wlx = float(np.mean(sl[:, 2] - sl[:, 0]))
-            wly = float(np.mean(sl[:, 3] - sl[:, 1]))
-            wrx = float(np.mean(sr[:, 2] - sr[:, 0]))
-            wry = float(np.mean(sr[:, 3] - sr[:, 1]))
+            # MEDIAN dims, not mean: a 0.5% monster population (plane-
+            # covers, full-extent strips) drags the mean width to ~25x
+            # the typical row and re-centers the sizing search where the
+            # optimum is out of reach; the median is what the fine grid
+            # actually holds once monsters route to coarse bands (r11)
+            wlx = float(np.median(sl[:, 2] - sl[:, 0]))
+            wly = float(np.median(sl[:, 3] - sl[:, 1]))
+            wrx = float(np.median(sr[:, 2] - sr[:, 0]))
+            wry = float(np.median(sr[:, 3] - sr[:, 1]))
             bx = max(wlx + pad, wrx, X / 4096)
             by = max(wly + pad, wry, Y / 4096)
             scale_l, scale_r = nl / len(sl), nr / len(sr)
