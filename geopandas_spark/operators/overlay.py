@@ -113,14 +113,27 @@ def _residue_branch(pairs, key, gown, gother, own_cols, geom) -> DataFrame:
     # own-side attributes ride as grouping keys (they are functionally
     # dependent on the row key, and Spark cannot mix a GROUPED_AGG
     # pandas UDF with JVM aggregates like first() in one aggregation).
-    # Frames carrying ungroupable attribute types (MapType anywhere in
-    # the column type) fall back to a key-only groupBy + dedup join-back
-    # (r10 ADVICE — the pre-r9 design, kept for exactly this case).
+    # Ungroupable attribute types (MapType anywhere in the column type,
+    # on Sparks without map-grouping normalization) ride the SAME
+    # single-groupBy plan through a to_json encode / from_json decode
+    # pair — the encoded string is a deterministic function of the row
+    # key's value, so the groups are identical (r11, VERDICT r10 #3:
+    # the former key-only groupBy + dedup join-back fallback shuffled
+    # the full wide pair set twice and repeatably crashed Python
+    # workers at the 200k×200k A/B scale — deleted).
     fields = {f.name: f.dataType for f in pairs.schema.fields}
-    if any(_ungroupable(fields[c]) for c in own_cols):
-        grp = side.groupBy(key, gown).agg(st.union_agg(gother).alias(_SUB))
-        attrs = side.select(key, *own_cols).dropDuplicates([key])
-        grp = grp.join(attrs, on=key, how="left")
+    enc_cols = [c for c in own_cols if _ungroupable(fields[c])]
+    if enc_cols:
+        enc_names = {c: f"__ov_j{i}__" for i, c in enumerate(enc_cols)}
+        keep = [c for c in own_cols if c not in enc_names]
+        side = side.select(
+            key, gown, gother, *keep,
+            *[F.to_json(F.col(c)).alias(n) for c, n in enc_names.items()])
+        grp = (side.groupBy(key, gown, *keep, *enc_names.values())
+                   .agg(st.union_agg(gother).alias(_SUB)))
+        for c, n in enc_names.items():
+            grp = grp.withColumn(c, F.from_json(F.col(n), fields[c])) \
+                     .drop(n)
     else:
         grp = (side.groupBy(key, gown, *own_cols)
                    .agg(st.union_agg(gother).alias(_SUB)))
