@@ -346,15 +346,21 @@ def main():
                 if tv is None or bv is None or bv <= 0:
                     continue
                 if tv / bv > 2.0 and tv > floor:
-                    # retry once before failing
+                    # retry once before failing; a query that CRASHES
+                    # here must fail the gate loudly, not silently keep
+                    # its old timing (r11 ADVICE)
                     try:
                         df = headlines[qn](spark, big_dir)
                         t0 = time.time()
                         df.count()
                         tv = min(tv, round(time.time() - t0, 3))
                         bt_times[qn] = tv
-                    except Exception:
-                        pass
+                    except Exception as e:
+                        print(f"# ratio-gate retry {qn} crashed: {e}",
+                              file=sys.stderr)
+                        ratio_gate[qn] = {"ratio": None, "pass": False,
+                                          "error": str(e)[:200]}
+                        continue
                 ratio = tv / bv
                 ratio_gate[qn] = {
                     "ratio": round(ratio, 2),
