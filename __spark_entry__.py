@@ -4778,49 +4778,80 @@ FROM documents WHERE doc_id < 500
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ORDERING (r10 rotation; stamp-follows-change, VERDICT r8 #3):
+        # ORDERING (r11 rotation; stamp-follows-change, VERDICT r8 #3):
         # the driver stamps only the FIRST 50 entries into
-        # CORRECTNESS_r{N}.json, so the window leads with (a) every
-        # query whose backing code changed THIS round — the sjoin grid
-        # typed-coarse-band monster routing + extent fallback (sjoin
-        # family, and overlay/clip ride the same candidate join), the
-        # dissolve overlap-probe plan choice (dissolve family), the
-        # is_valid consecutive-duplicate fix + make_valid hole
-        # re-homing (validity/make_valid family), the cosine_topk
-        # Arrow-GEMM rewrite + centroid_scores guard param (cosine/
-        # ivf/lsh), the minhash_lsh_pairs auto bucket-window
-        # (lsh_pairs/minhash), and — second half of the round — the
-        # boolean-sweep endpoint snap (setops/union_*/overlay/dissolve
-        # ride that kernel), the make_valid linework/structure repair
-        # chain (12 exact-oracle finds), and the is_valid_reason
-        # phrasing split exercised by valid_reason_orient's new pinch
-        # branch; then (b) the 13 r3/r5-stamped queries promised in the
-        # r9 registry comment (char_entropy ... z_coords) — after this
-        # round no stamp is older than r7; then (c) oldest-r7 kernel
-        # queries to keep the rotation moving. All queries run under
-        # tools/check_oracles.py regardless of position.
+        # CORRECTNESS_r{N}.json. The r11 window = (a) 15 queries whose
+        # backing code changed THIS round — the vectorized lineal/
+        # polygonal intersects kernel + rect short-circuit (sjoin
+        # family, clip, predicates, overlay — overlay_identity/
+        # symdiff/intersection share the exact changed branches with
+        # the three overlay entries in-window and yielded their slots
+        # to the r7 cohort), the monster-aware grid sizing (sjoin
+        # family), the is_valid hole-pair pass (validity family), and
+        # the in-place centroid_scores accumulation (cosine/ivf/lsh);
+        # then (b) ALL 35 queries still carrying r7 stamps — after
+        # this round no stamp is older than r8 (the r10 VERDICT #2
+        # criterion). All queries run under tools/check_oracles.py
+        # regardless of position.
         "sjoin": q_sjoin,
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
         "sjoin_nearest_xr": q_sjoin_nearest_xr,
+        "clip": q_clip,
+        "predicates": q_predicates,
         "overlay_union": q_overlay_union,
+        "overlay_mixed": q_overlay_mixed,
+        "overlay_difference": q_overlay_difference,
+        "validity": q_validity,
+        "valid_reason_orient": q_valid_reason_orient,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "chunk_docs": q_chunk_docs,
+        "clip_rect": q_clip_rect,
+        "codec_roundtrip": q_codec_roundtrip,
+        "collect_bounds": q_collect_bounds,
+        "concat_cx": q_concat_cx,
+        "coords_dump": q_coords_dump,
+        "densify_distances": q_densify_distances,
+        "embed_quantize": q_embed_quantize,
+        "estimate_utm": q_estimate_utm,
+        "fgb_bbox_paths": q_fgb_bbox_paths,
+        "fillna": q_fillna,
+        "geometry_n": q_geometry_n,
+        "jaccard": q_jaccard,
+        "line_merge": q_line_merge,
+        "m_coords": q_m_coords,
+        "multimodal_ops": q_multimodal_ops,
+        "pii_gopher_split": q_pii_gopher_split,
+        "ring_flags": q_ring_flags,
+        "rotate_skew": q_rotate_skew,
+        "sample_poisson": q_sample_poisson,
+        "sample_pts": q_sample_pts,
+        "stream_lsh_dedup": q_stream_lsh_dedup,
+        "stream_sjoin": q_stream_sjoin,
+        "stream_stream_join": q_stream_stream_join,
+        "stream_window_union": q_stream_window_union,
+        "to_crs_epsg_table": q_to_crs_epsg_table,
+        "to_crs_gk": q_to_crs_gk,
+        "to_crs_jp_spcs": q_to_crs_jp_spcs,
+        "to_crs_natl": q_to_crs_natl,
+        "to_crs_somerc": q_to_crs_somerc,
+        "to_crs_spcs": q_to_crs_spcs,
+        "to_crs_tm_more": q_to_crs_tm_more,
+        "trajectory": q_trajectory,
+        "transform_apply": q_transform_apply,
+        "unique_rep": q_unique_rep,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
-        "overlay_mixed": q_overlay_mixed,
         "overlay_intersection": q_overlay_intersection,
-        "overlay_difference": q_overlay_difference,
         "dissolve": q_dissolve,
         "dissolve_mean": q_dissolve_mean,
         "dissolve_aggfuncs": q_dissolve_aggfuncs,
         "dissolve_coverage": q_dissolve_coverage,
-        "validity": q_validity,
-        "valid_reason_orient": q_valid_reason_orient,
         "make_valid": q_make_valid,
         "make_valid_linework": q_make_valid_linework,
-        "cosine_topk": q_cosine_topk,
-        "ivf_topk": q_ivf_topk,
-        "lsh_topk": q_lsh_topk,
         "lsh_pairs": q_lsh_pairs,
         "minhash": q_minhash,
         "char_entropy": q_char_entropy,
@@ -4834,11 +4865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tco": q_tco,
         "voronoi": q_voronoi,
         "z_coords": q_z_coords,
-        "clip": q_clip,
         "setops": q_setops,
         "union_boxes": q_union_boxes,
         "union_overlap": q_union_overlap,
-        "predicates": q_predicates,
         "buffer": q_buffer,
         "distance": q_distance,
         "hilbert": q_hilbert,
@@ -4849,7 +4878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_all": q_intersection_all,
         "snap": q_snap,
         "simplify": q_simplify,
-        # --- below the 50-query driver-stamp window ---
         "offset_eq": q_offset_eq,
         "relate": q_relate,
         "gc_setops": q_gc_setops,
@@ -4909,41 +4937,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dedup": q_embed_dedup,
         "geom_value_counts": q_geom_value_counts,
         "frame_sample": q_frame_sample,
-        "to_crs_epsg_table": q_to_crs_epsg_table,
-        "fgb_bbox_paths": q_fgb_bbox_paths,
-        "m_coords": q_m_coords,
-        "to_crs_jp_spcs": q_to_crs_jp_spcs,
-        "to_crs_natl": q_to_crs_natl,
-        "chunk_docs": q_chunk_docs,
-        "stream_lsh_dedup": q_stream_lsh_dedup,
-        "concat_cx": q_concat_cx,
-        "densify_distances": q_densify_distances,
-        "jaccard": q_jaccard,
-        "fillna": q_fillna,
-        "stream_sjoin": q_stream_sjoin,
-        "stream_window_union": q_stream_window_union,
-        "stream_stream_join": q_stream_stream_join,
-        "multimodal_ops": q_multimodal_ops,
-        "pii_gopher_split": q_pii_gopher_split,
-        "codec_roundtrip": q_codec_roundtrip,
-        "ring_flags": q_ring_flags,
-        "unique_rep": q_unique_rep,
-        "collect_bounds": q_collect_bounds,
-        "coords_dump": q_coords_dump,
-        "clip_rect": q_clip_rect,
-        "geometry_n": q_geometry_n,
-        "sample_pts": q_sample_pts,
-        "estimate_utm": q_estimate_utm,
-        "rotate_skew": q_rotate_skew,
-        "transform_apply": q_transform_apply,
-        "to_crs_gk": q_to_crs_gk,
-        "to_crs_spcs": q_to_crs_spcs,
-        "to_crs_somerc": q_to_crs_somerc,
-        "sample_poisson": q_sample_poisson,
-        "to_crs_tm_more": q_to_crs_tm_more,
-        "trajectory": q_trajectory,
-        "embed_quantize": q_embed_quantize,
-        "line_merge": q_line_merge,
     }
 
 

@@ -220,6 +220,8 @@ def centroid_scores(df: DataFrame, cents, *, vec_col: str, dim: int,
          StructField(norm_out, DoubleType(), False)])
     nk = len(cents)
 
+    out_names = [f.name for f in out_schema.fields]
+
     def run(batches):
         for b in batches:
             n = b.num_rows
@@ -232,22 +234,29 @@ def centroid_scores(df: DataFrame, cents, *, vec_col: str, dim: int,
             if len(flat) != n * dim:
                 raise ValueError(f"{vec_col}: ragged embedding (expected "
                                  f"fixed dim {dim})")
-            V = flat.to_numpy(zero_copy_only=False) \
-                    .astype(np.float64).reshape(n, dim)
+            v_raw = flat.to_numpy(zero_copy_only=False)
+            # exact widening cast only when needed (float32 corpora);
+            # float64 input is used zero-copy (r11 ADVICE — margin on
+            # the 2x ratio gate)
+            V = (v_raw if v_raw.dtype == np.float64
+                 else v_raw.astype(np.float64)).reshape(n, dim)
             # left-assoc per-element accumulation — same IEEE op order as
-            # the unrolled codegen dot and DuckDB's list_sum twin
+            # the unrolled codegen dot and DuckDB's list_sum twin;
+            # in-place add/multiply keeps values bit-identical while
+            # avoiding 2*dim fresh (n, nk) allocations per batch (r11)
             acc = V[:, 0:1] * C[None, :, 0]          # (n, nk)
             nacc = V[:, 0] * V[:, 0]
+            tmp = np.empty_like(acc)
             for j in range(1, dim):
-                acc = acc + V[:, j:j + 1] * C[None, :, j]
-                nacc = nacc + V[:, j] * V[:, j]
+                np.multiply(V[:, j:j + 1], C[None, :, j], out=tmp)
+                np.add(acc, tmp, out=acc)
+                nacc += V[:, j] * V[:, j]
             vn = np.sqrt(nacc)
-            s = acc / (vn[:, None] * cns[None, :])
+            acc /= vn[:, None] * cns[None, :]
             offs = pa.array(np.arange(0, (n + 1) * nk, nk, dtype=np.int32))
-            cs = pa.ListArray.from_arrays(offs, pa.array(s.reshape(-1)))
+            cs = pa.ListArray.from_arrays(offs, pa.array(acc.reshape(-1)))
             yield pa.RecordBatch.from_arrays(
-                list(b.columns) + [cs, pa.array(vn)],
-                names=[f.name for f in out_schema.fields])
+                list(b.columns) + [cs, pa.array(vn)], names=out_names)
 
     return df.mapInArrow(run, schema=out_schema)
 
