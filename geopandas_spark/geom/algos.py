@@ -3721,6 +3721,110 @@ def _gc_setop(b: GeometryBuilder, op: str, ga: GeometryArray,
     _append_combined_setop(b, rows)
 
 
+def _row_segs_with_z(g: GeometryArray, i: int):
+    """Segments of row i with endpoint Z: (s0 (S,2), s1 (S,2), z0, z1)
+    or None when the row has no 2+-coord ring."""
+    co = g.coord_offsets_per_geom()
+    lo, hi = co[i], co[i + 1]
+    ro = g.ring_offsets
+    sel = (ro[:-1] >= lo) & (ro[1:] <= hi) & (ro[1:] - ro[:-1] >= 2)
+    starts, ends = ro[:-1][sel], ro[1:][sel]
+    if len(starts) == 0:
+        return None
+    idx = np.concatenate([np.arange(s, e - 1) for s, e in
+                          zip(starts, ends)])
+    return (g.coords[idx], g.coords[idx + 1], g.z[idx], g.z[idx + 1])
+
+
+def _carry_z(out: GeometryArray, ga: GeometryArray,
+             gb: GeometryArray = None) -> GeometryArray:
+    """Propagate Z through a 2-D kernel result (GEOS OverlayNG parity,
+    r11 fuzz frontier (a)): per affected row, each output coordinate
+    takes the Z of an exactly-matching input vertex (operand A
+    preferred), else linear interpolation along the nearest input edge
+    whose endpoints both carry Z, else the nearest input vertex's Z.
+    Rows whose input operands are all 2-D stay 2-D; M is dropped
+    through overlays (documented — GEOS pre-3.12 behavior)."""
+    if out.n_coords == 0:
+        return out
+    has_a = ga.row_has_z() if ga.z is not None else \
+        np.zeros(len(ga), dtype=bool)
+    has_b = (gb.row_has_z() if gb is not None and gb.z is not None
+             else np.zeros(len(ga), dtype=bool))
+    rows = np.nonzero(has_a | has_b)[0]
+    rows = rows[rows < len(out)]
+    if len(rows) == 0:
+        return out
+    z = np.full(out.n_coords, np.nan)
+    out_off = out.coord_offsets_per_geom()
+    for i in rows:
+        lo, hi = out_off[i], out_off[i + 1]
+        if hi <= lo:
+            continue
+        P = out.coords[lo:hi]
+        srcs = [(g, True) for g, h in ((ga, has_a[i]),) if h]
+        if gb is not None and has_b[i]:
+            srcs.append((gb, False))
+        cs, zs, segs = [], [], []
+        for g, _ in srcs:
+            gco = g.coord_offsets_per_geom()
+            a0, a1 = gco[i], gco[i + 1]
+            cs.append(g.coords[a0:a1])
+            zs.append(g.z[a0:a1])
+            sw = _row_segs_with_z(g, i)
+            if sw is not None:
+                segs.append(sw)
+        C = np.vstack(cs)
+        Z = np.concatenate(zs)
+        ok = ~np.isnan(Z)
+        C, Z = C[ok], Z[ok]
+        if len(C) == 0:
+            continue
+        zi = np.full(len(P), np.nan)
+        # exact match on the kernel's 1e-9 canon grid; first (A-side)
+        # occurrence wins
+        lut = {}
+        ck = np.round(C * 1e9).astype(np.int64)
+        for k in range(len(C)):
+            key = (ck[k, 0], ck[k, 1])
+            if key not in lut:
+                lut[key] = Z[k]
+        pk = np.round(P * 1e9).astype(np.int64)
+        for k in range(len(P)):
+            v = lut.get((pk[k, 0], pk[k, 1]))
+            if v is not None:
+                zi[k] = v
+        miss = np.nonzero(np.isnan(zi))[0]
+        if len(miss) and segs:
+            s0 = np.vstack([s[0] for s in segs])
+            s1 = np.vstack([s[1] for s in segs])
+            z0 = np.concatenate([s[2] for s in segs])
+            z1 = np.concatenate([s[3] for s in segs])
+            good = ~(np.isnan(z0) | np.isnan(z1))
+            if good.any():
+                s0, s1, z0, z1 = s0[good], s1[good], z0[good], z1[good]
+                d = s1 - s0                               # (S, 2)
+                den = (d * d).sum(-1)
+                ap = P[miss][:, None, :] - s0[None]       # (Pm, S, 2)
+                t = np.clip((ap * d[None]).sum(-1)
+                            / np.where(den == 0, 1.0, den), 0, 1)
+                proj = s0[None] + t[..., None] * d[None]
+                dist = np.hypot(*(P[miss][:, None, :] - proj)
+                                .transpose(2, 0, 1))
+                pick = dist.argmin(axis=1)
+                tt = t[np.arange(len(miss)), pick]
+                zi[miss] = z0[pick] + tt * (z1[pick] - z0[pick])
+        still = np.isnan(zi)
+        if still.any():
+            # nearest input vertex
+            dd = np.abs(P[still][:, None, :] - C[None]).max(-1)
+            zi[still] = Z[dd.argmin(axis=1)]
+        z[lo:hi] = zi
+    return GeometryArray(out.types, out.geom_offsets, out.part_offsets,
+                         out.ring_offsets, out.coords, z=z, m=None,
+                         gc_meta=out.gc_meta)
+
+
 def intersection(ga: GeometryArray, gb: GeometryArray,
                  mixed: bool = False) -> GeometryArray:
     """Pairwise intersection (reference: geopandas/base.py:4762).
@@ -3826,7 +3930,7 @@ def intersection(ga: GeometryArray, gb: GeometryArray,
         else:
             _append_points(b, np.array(uniq, dtype=np.float64).reshape(-1, 2),
                            GT_POINT)
-    return b.finish()
+    return _carry_z(b.finish(), ga, gb)
 
 
 def _points_member_mask(pts, g, i):
@@ -3905,7 +4009,7 @@ def difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
                 if _point_seg_dist(mid, sb)[0] > _EPS:
                     out.append(p)
         _append_chains(b, _merge_chains(out))
-    return b.finish()
+    return _carry_z(b.finish(), ga, gb)
 
 
 _DIM = {GT_POINT: 0, GT_MULTIPOINT: 0, GT_LINESTRING: 1,
@@ -3992,7 +4096,7 @@ def union(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
         ghi, glo = (ga, gb) if _DIM[ta] > _DIM[tb] else (gb, ga)
         chains, pts = _lower_residual(glo, ghi, i)
         _append_hi_plus_residual(b, ghi, i, chains, pts)
-    return b.finish()
+    return _carry_z(b.finish(), ga, gb)
 
 
 def symmetric_difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
@@ -4044,7 +4148,7 @@ def symmetric_difference(ga: GeometryArray, gb: GeometryArray) -> GeometryArray:
         ghi, glo = (ga, gb) if _DIM[ta] > _DIM[tb] else (gb, ga)
         chains, pts = _lower_residual(glo, ghi, i)
         _append_hi_plus_residual(b, ghi, i, chains, pts)
-    return b.finish()
+    return _carry_z(b.finish(), ga, gb)
 
 
 # ---------------------------------------------------------------------------
@@ -6668,7 +6772,7 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
         polys = _snap_shared_vertices(polys)
         polys = _fix_pinched_polys(polys)
         _append_polys(b, polys)
-    return b.finish()
+    return _carry_z(b.finish(), ga)
 
 
 def line_merge(ga: GeometryArray, directed: bool = False) -> GeometryArray:

@@ -2057,3 +2057,75 @@ def test_vectorized_intersects_parity():
     assert len(bad) == 0, [(int(i), str(ga_from_wkt)) for i in bad[:3]]
     # the public function agrees with the slow path everywhere
     assert (algos.intersects(ga, gb) == slow).all()
+
+
+class TestZThroughSetOps:
+    """r11 fuzz frontier (a): Z propagates through set ops and
+    make_valid (GEOS OverlayNG parity) — original vertices keep their
+    input Z (operand A preferred on shared coords), new intersection
+    points interpolate along the input edge, rows with 2-D inputs stay
+    2-D, M drops through overlays (documented)."""
+
+    def test_exact_and_interpolated_z(self):
+        a = ga_from_wkt("POLYGON Z ((0 0 1, 4 0 2, 4 4 3, 0 4 4, 0 0 1))")
+        b = ga_from_wkt("POLYGON Z ((2 2 5, 6 2 6, 6 6 7, 2 6 8, 2 2 5))")
+        out = wkt.format_array(algos.intersection(a, b))[0]
+        # (2 2) is B's vertex -> z 5; (4 2) cuts A's edge
+        # (4 0 2)-(4 4 3) at t=0.5 -> z 2.5
+        assert out == "POLYGON Z ((2 2 5, 4 2 2.5, 4 4 3, 2 4 3.5, 2 2 5))"
+        u = wkt.format_array(algos.union(a, b))[0]
+        assert u.startswith("POLYGON Z ((0 4 4, 0 0 1, 4 0 2, 4 2 2.5, ")
+
+    def test_make_valid_bowtie_z(self):
+        g = ga_from_wkt("POLYGON Z ((0 0 1, 2 2 2, 2 0 3, 0 2 4, 0 0 1))")
+        out = wkt.format_array(algos.make_valid(g))[0]
+        # pinch point (1 1) interpolates to 1.5 along (0 0 1)-(2 2 2)
+        assert "1 1 1.5" in out and out.startswith("MULTIPOLYGON Z")
+
+    def test_2d_inputs_stay_2d(self):
+        a = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        b = ga_from_wkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        for fn in (algos.intersection, algos.union, algos.difference,
+                   algos.symmetric_difference):
+            assert " Z " not in wkt.format_array(fn(a, b))[0]
+
+    def test_mixed_z_2d(self):
+        a = ga_from_wkt("POLYGON Z ((0 0 1, 4 0 2, 4 4 3, 0 4 4, 0 0 1))")
+        b = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        out = wkt.format_array(algos.intersection(a, b))[0]
+        assert out == "POLYGON Z ((0 0 1, 4 0 2, 4 4 3, 0 4 4, 0 0 1))"
+
+    def test_line_polygon_z_interpolation(self):
+        ln = ga_from_wkt("LINESTRING Z (-2 2 0, 6 2 8)")
+        pg = ga_from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        out = wkt.format_array(algos.intersection(ln, pg))[0]
+        # clipped at x=0 (t=0.25 -> z 2) and x=4 (t=0.75 -> z 6)
+        assert out == "LINESTRING Z (0 2 2, 4 2 6)"
+
+    def test_z_bounded_by_inputs_randomized(self):
+        rng = np.random.default_rng(77)
+        for _ in range(40):
+            ax, ay = rng.integers(0, 6, 2)
+            bx, by = rng.integers(0, 6, 2)
+            za = rng.integers(-50, 50, 4)
+            zb = rng.integers(-50, 50, 4)
+            wa = (f"POLYGON Z (({ax} {ay} {za[0]}, {ax+4} {ay} {za[1]}, "
+                  f"{ax+4} {ay+4} {za[2]}, {ax} {ay+4} {za[3]}, "
+                  f"{ax} {ay} {za[0]}))")
+            wb = (f"POLYGON Z (({bx} {by} {zb[0]}, {bx+3} {by} {zb[1]}, "
+                  f"{bx+3} {by+3} {zb[2]}, {bx} {by+3} {zb[3]}, "
+                  f"{bx} {by} {zb[0]}))")
+            a, b = ga_from_wkt(wa), ga_from_wkt(wb)
+            lo = min(za.min(), zb.min())
+            hi = max(za.max(), zb.max())
+            for fn in (algos.intersection, algos.union,
+                       algos.difference, algos.symmetric_difference):
+                out = fn(a, b)
+                if out.z is None or bool(out.is_empty()[0]):
+                    continue
+                zs = out.z[~np.isnan(out.z)]
+                # every output Z is an input vertex Z or a convex
+                # combination along one input edge
+                assert len(zs) == 0 or (zs.min() >= lo - 1e-9
+                                        and zs.max() <= hi + 1e-9), \
+                    (wa, wb, fn.__name__, zs)
