@@ -2129,3 +2129,98 @@ class TestZThroughSetOps:
                 assert len(zs) == 0 or (zs.min() >= lo - 1e-9
                                         and zs.max() <= hi + 1e-9), \
                     (wa, wb, fn.__name__, zs)
+
+
+class TestBufferPositiveOracle:
+    """r11 fuzz frontier (b): independent referee for POSITIVE round
+    buffer (the erosion oracle covers negative only). The engine's
+    vertex disks are deliberately CIRCUMSCRIBED (radius d/cos(pi/n),
+    n = 4*quad_segs — see _dilation_rings: clean transversal sweep
+    crossings instead of degenerate tangencies), so the result
+    CONTAINS the true Minkowski sum. Facts: (1) every surviving
+    boundary vertex lies at distance within [d, d/cos(pi/n)] of the
+    input; (2) points with distance <= d are INSIDE, points beyond
+    d/cos(pi/n) are OUTSIDE; (3) for CONVEX input the area is
+    A + L*d + c*d^2 with c in [pi, n*tan(pi/n)]."""
+
+    @staticmethod
+    def _star(rng, n=7, cx=0.0, cy=0.0):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(1.0, 4.0, n)
+        xs = cx + r * np.cos(ang)
+        ys = cy + r * np.sin(ang)
+        pts = ", ".join(f"{x:.6f} {y:.6f}" for x, y in zip(xs, ys))
+        return f"POLYGON (({pts}, {xs[0]:.6f} {ys[0]:.6f}))"
+
+    def test_boundary_vertices_at_distance_d(self):
+        rng = np.random.default_rng(321)
+        QS = 16
+        theta = np.pi / (2 * QS)
+        for trial in range(25):
+            w = self._star(rng, n=int(rng.integers(4, 10)))
+            g = ga_from_wkt(w)
+            if not algos.is_valid(g)[0]:
+                continue
+            d = float(rng.uniform(0.3, 2.5))
+            buf = algos.buffer(g, d, quad_segs=QS)
+            assert algos.is_valid(buf)[0], (w, d)
+            # all input coords must be strictly inside the buffer
+            pc = algos._geom_points(g, 0)
+            assert (algos.points_in_geom(pc[:, 0], pc[:, 1], buf, 0)
+                    == 2).all(), (w, d)
+            # every buffer boundary vertex sits in the circumscribed band
+            bv = algos._geom_points(buf, 0)
+            segs = algos._geom_segments(g, 0)
+            dist = algos._point_seg_dist(bv, segs)
+            lo = d * (1 - 1e-9)
+            hi = d / np.cos(np.pi / (4 * QS)) * (1 + 1e-9)
+            assert dist.min() >= lo and dist.max() <= hi, \
+                (w, d, float(dist.min()), float(dist.max()))
+
+    def test_membership_vs_exact_distance(self):
+        rng = np.random.default_rng(99)
+        QS = 16
+        theta = np.pi / (2 * QS)
+        for trial in range(12):
+            w = self._star(rng, n=int(rng.integers(4, 9)))
+            g = ga_from_wkt(w)
+            if not algos.is_valid(g)[0]:
+                continue
+            d = float(rng.uniform(0.4, 2.0))
+            buf = algos.buffer(g, d, quad_segs=QS)
+            qx = rng.uniform(-7, 7, 400)
+            qy = rng.uniform(-7, 7, 400)
+            segs = algos._geom_segments(g, 0)
+            dist = algos._point_seg_dist(
+                np.column_stack([qx, qy]), segs)
+            inside_p = algos.points_in_geom(qx, qy, g, 0) > 0
+            dist[inside_p] = 0.0
+            cls = algos.points_in_geom(qx, qy, buf, 0)
+            near = dist < d - 1e-9
+            far = dist > d / np.cos(np.pi / (4 * QS)) + 1e-9
+            assert (cls[near] > 0).all(), (w, d)
+            assert (cls[far] == 0).all(), (w, d)
+
+    def test_convex_area_identity(self):
+        rng = np.random.default_rng(5)
+        QS = 16
+        n_arc = 4 * QS
+        for trial in range(15):
+            # random convex polygon: convex hull of random points
+            pts = rng.uniform(-3, 3, (12, 2))
+            hull = algos.convex_hull(
+                ga_from_wkt("MULTIPOINT (" + ", ".join(
+                    f"({x:.6f} {y:.6f})" for x, y in pts) + ")"))
+            d = float(rng.uniform(0.5, 3.0))
+            A = float(algos.area(hull)[0])
+            L = float(algos.length(hull)[0])
+            got = float(algos.area(algos.buffer(hull, d,
+                                                quad_segs=QS))[0])
+            # seams where circumscribed arc chords meet the exact-d
+            # offset rectangles clip small triangles off the sectors,
+            # so the arc constant lands between the inscribed and
+            # circumscribed n-gon areas (a 0.3% band at quad_segs=16)
+            lo = A + L * d + (n_arc / 2) * np.sin(2 * np.pi / n_arc) \
+                * d * d - 1e-7
+            hi = A + L * d + n_arc * np.tan(np.pi / n_arc) * d * d + 1e-7
+            assert lo <= got <= hi, (trial, d, lo, got, hi)
