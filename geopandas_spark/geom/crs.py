@@ -538,7 +538,28 @@ def _q_to_phi(q, e_):
                 + np.log((1 - es) / (1 + es)) / (2 * e_))
         # poles: cos(phi) -> 0 blows the step up; phi is already exact
         phi = phi + np.where(np.isfinite(step), step, 0.0)
-    return phi
+    # near the pole dq/dphi -> 0 turns Newton LINEAR (r11 edge-of-domain
+    # fuzz: the exact pole came back 0.0142 deg short — 1.6 km — through
+    # LAEA and Albers inverses); q is strictly monotone in phi, so a
+    # bisection polish on just the affected rows recovers full precision
+    # while mid-domain rows stay bit-identical
+    phi = np.asarray(phi)
+    scalar = phi.ndim == 0
+    phi = np.atleast_1d(phi).astype(np.float64, copy=True)
+    qa = np.atleast_1d(np.asarray(q, dtype=np.float64))
+    near = np.abs(phi) > np.radians(89.0)
+    if near.any():
+        qt = np.abs(qa[near] if qa.shape == phi.shape
+                    else np.broadcast_to(qa, phi.shape)[near])
+        lo = np.full(qt.shape, np.radians(89.0))
+        hi = np.full(qt.shape, np.pi / 2)
+        for _ in range(55):
+            mid = 0.5 * (lo + hi)
+            under = _aea_q(mid, e_) < qt
+            lo = np.where(under, mid, lo)
+            hi = np.where(under, hi, mid)
+        phi[near] = np.sign(phi[near]) * 0.5 * (lo + hi)
+    return phi[0] if scalar else phi
 
 
 def _aea_consts(p: dict):

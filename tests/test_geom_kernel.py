@@ -2224,3 +2224,56 @@ class TestBufferPositiveOracle:
                 * d * d - 1e-7
             hi = A + L * d + n_arc * np.tan(np.pi / n_arc) * d * d + 1e-7
             assert lo <= got <= hi, (trial, d, lo, got, hi)
+
+
+def test_crs_edge_of_domain_roundtrips():
+    """r11 fuzz frontier (c): forward->inverse round-trips at
+    edge-of-domain points for every closed-form projection family —
+    zone edges and far-out-of-zone for TM/UTM, |lat| 89.99 for
+    Mercator, the pole itself for polar stereographic / LAEA / Albers
+    (the authalic q->phi Newton was LINEAR near the pole and returned
+    the exact pole 0.0142 deg short; a monotone-bisection polish now
+    recovers it to ~6e-7 deg, the precision limit of inverting through
+    q), and wide-aspect LAEA up to 150 deg from center."""
+    from geopandas_spark.geom import crs as C
+
+    def rt(fwd, inv, p, lons, lats, tol):
+        LO, LA = np.meshgrid(np.asarray(lons, float),
+                             np.asarray(lats, float))
+        lo, la = LO.ravel(), LA.ravel()
+        E, N = fwd(lo, la, p)
+        assert np.isfinite(E).all() and np.isfinite(N).all()
+        lo2, la2 = inv(E, N, p)
+        dlon = (np.abs((np.asarray(lo2) - lo + 180) % 360 - 180)
+                * np.cos(np.radians(la)))
+        dlat = np.abs(np.asarray(la2) - la)
+        assert dlon.max() <= tol and dlat.max() <= tol, \
+            (fwd.__name__, float(dlon.max()), float(dlat.max()))
+
+    p = C._utm_params(31, True)
+    rt(C.tm_forward, C.tm_inverse, p,
+       [3 - 30, 3 - 10, 3 - 3, 3 - 1e-9, 3, 3 + 3, 3 + 25],
+       [-84, -80, 0, 1e-12, 45, 83.99999, 84, 89.9], 1e-9)
+    pm = {"a": C._A, "f": C._F, "lon0": 0.0, "k0": 1.0,
+          "fe": 0.0, "fn": 0.0}
+    rt(C.merc_forward, C.merc_inverse, pm,
+       [-179.999999, -120, 0, 77, 179.999999],
+       [-89.99, -85, 0, 30, 85, 89.99], 1e-9)
+    pp = {"a": C._A, "f": C._F, "lon0": -45.0, "lat_ts": 70.0,
+          "north": True, "fe": 0.0, "fn": 0.0}
+    rt(C.ps_forward, C.ps_inverse, pp,
+       [-180, -135.000001, -45, 0, 135, 179.999999],
+       [60, 70, 89.9, 89.999999, 90.0], 1e-9)
+    pl = {"a": C._A, "f": C._F, "lon0": 3.0, "lat0": 46.5,
+          "sp1": 49.0, "sp2": 44.0, "fe": 700000.0, "fn": 6600000.0}
+    rt(C.lcc_forward, C.lcc_inverse, pl, [-60, -10, 3, 20, 60],
+       [-30, 0, 44, 46.5, 49, 80, 89.9], 1e-9)
+    pla = {"a": C._A, "f": C._F, "lon0": 10.0, "lat0": 52.0,
+           "fe": 4321000.0, "fn": 3210000.0}
+    rt(C.laea_forward, C.laea_inverse, pla,
+       [10 - 150, 10 - 90, 10, 10 + 90, 10 + 150],
+       [-60, -30, 0, 52, 89.9, 90.0], 1e-6)
+    pa = {"a": C._A, "f": C._F, "lon0": -96.0, "lat0": 23.0,
+          "sp1": 29.5, "sp2": 45.5, "fe": 0.0, "fn": 0.0}
+    rt(C.aea_forward, C.aea_inverse, pa, [-96 - 80, -96, -96 + 80],
+       [-60, 0, 29.5, 45.5, 80, 89.9, 90.0], 1e-6)
