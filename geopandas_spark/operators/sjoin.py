@@ -570,17 +570,19 @@ def _pick_cell_size_sampled(sl, sr, scale_l, scale_r, base_x, base_y,
     need — the uniform-density closed form under-sizes candidates by
     orders of magnitude there (measured 112M candidate pairs at its pick
     vs 49M at the sampled optimum on an 80/20 hot-zone workload)."""
-    # Relative prices, measured r11 on the 600k×100k skew workloads: an
-    # exploded DUP row costs ~1.3µs (it carries the full row incl. WKB
-    # bytes through exchange + sort + join probe), a CANDIDATE join
-    # output row ~0.3µs (it streams through the codegen'd
-    # reference-point + bbox filters; only true pairs reach Python, and
-    # their count is invariant to cell size). The pre-r11 weighting
-    # (cand 4× dup) had it inverted — it chose 3×3 cells for the
-    # monster-mix stress (15M dup / 33M cand, 31s) over the 16×3 pick
-    # (5M dup / 63M cand, 18s) that r10 reached only because
-    # monster-polluted mean dims happened to hide the small sizes.
-    DUP_WEIGHT = 4.0
+    # Relative prices, measured r11 by forced-cell sweeps on the
+    # 600k×100k skew workloads: an exploded DUP row carries the full
+    # row incl. WKB bytes through exchange + sort + join probe
+    # (~1µs); a CANDIDATE join output row streams through the
+    # codegen'd reference-point + bbox filters (~0.06µs) and only true
+    # pairs — invariant to cell size — reach Python. The sweeps put
+    # every workload's optimum at cells ≈ the larger side's box size
+    # (skew 1.82→2.50M pairs/s, box×box 2.37→2.84M, monster-mix
+    # 1.11→1.39M moving from the old picks to that point); weight 25
+    # is the smallest grid value that selects it. The pre-r11
+    # weighting (cand 4× dup) had the prices INVERTED and chose
+    # dup-heavy cells ~2-4× too small.
+    DUP_WEIGHT = 25.0
     best = None
     for t in np.geomspace(0.25, 64.0, 13):
         cx = max(t * base_x, floor_x)

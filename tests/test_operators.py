@@ -911,3 +911,74 @@ def test_sjoin_full_outer(points, boxes, spark, strategy):
     # unmatched rows carry NULL geometry on the absent side
     row = full.filter(F.col("pid").isNull()).collect()
     assert row and all(r["geom_left"] is None for r in row)
+
+
+def test_sjoin_nearest_grid_tie_completeness(spark):
+    """r11 fuzz frontier (d): EQUIDISTANT nearest candidates straddling
+    grid cell boundaries must ALL be returned (the reference keeps
+    ties) — by the bounded grid path, the unbounded expanding-radius
+    path, and the broadcast path, identically. Integer lattices make
+    exact ties; targets sit in different cells than their query."""
+    from geopandas_spark.operators.sjoin import sjoin_nearest
+
+    # queries on a coarse lattice; targets = 4-neighbor crosses at
+    # distance exactly 5 around each query, all in DIFFERENT cells for
+    # any cell size <= 5
+    qrows = [(i, float(20 * (i % 7)), float(20 * (i // 7)))
+             for i in range(35)]
+    trows = []
+    k = 0
+    for i, x, y in qrows:
+        for dx, dy in ((5, 0), (-5, 0), (0, 5), (0, -5)):
+            trows.append((k, x + dx, y + dy))
+            k += 1
+    q = (spark.createDataFrame(qrows, ["qid", "x", "y"])
+         .withColumn("geom", st.point("x", "y")).select("qid", "geom"))
+    t = (spark.createDataFrame(trows, ["tid", "x", "y"])
+         .withColumn("geom", st.point("x", "y")).select("tid", "geom"))
+
+    truth = set()
+    tmap = {(x, y): tid for tid, x, y in trows}
+    for i, x, y in qrows:
+        for dx, dy in ((5, 0), (-5, 0), (0, 5), (0, -5)):
+            truth.add((i, tmap[(x + dx, y + dy)]))
+
+    for kw in ({"strategy": "broadcast"},
+               {"strategy": "grid", "max_distance": 6.0},
+               {"strategy": "grid"}):           # unbounded expanding
+        got = {(r.qid, r.tid) for r in
+               sjoin_nearest(q, t, distance_col="d", **kw).collect()}
+        assert got == truth, (kw, len(got), len(truth))
+
+
+def test_sjoin_nearest_grid_ties_randomized(spark):
+    """Randomized tie differential: random integer queries against an
+    integer lattice produce frequent exact multi-way ties; the grid
+    strategies must return exactly the broadcast set (pair-for-pair,
+    same distances)."""
+    import numpy as np
+
+    from geopandas_spark.operators.sjoin import sjoin_nearest
+
+    rng = np.random.default_rng(424)
+    qrows = [(int(i), float(rng.integers(0, 40)),
+              float(rng.integers(0, 40))) for i in range(120)]
+    trows = [(int(1000 + 40 * gx + gy), float(gx * 4), float(gy * 4))
+             for gx in range(11) for gy in range(11)]
+    q = (spark.createDataFrame(qrows, ["qid", "x", "y"])
+         .withColumn("geom", st.point("x", "y")).select("qid", "geom"))
+    t = (spark.createDataFrame(trows, ["tid", "x", "y"])
+         .withColumn("geom", st.point("x", "y")).select("tid", "geom"))
+    base = {(r.qid, r.tid, round(r.d, 9)) for r in
+            sjoin_nearest(q, t, distance_col="d",
+                          strategy="broadcast").collect()}
+    for kw in ({"strategy": "grid", "max_distance": 7.0},
+               {"strategy": "grid"}):
+        got = {(r.qid, r.tid, round(r.d, 9)) for r in
+               sjoin_nearest(q, t, distance_col="d", **kw).collect()}
+        if "max_distance" in kw:
+            want = {x for x in base if x[2] <= 7.0}
+        else:
+            want = base
+        assert got == want, (kw, len(got), len(want),
+                             sorted(want - got)[:5], sorted(got - want)[:5])
