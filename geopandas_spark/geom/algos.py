@@ -1436,6 +1436,62 @@ def _vectorized_vertex_in_poly(vx, vy, v_tgt, s0, s1, s_tgt, cnt_v_full,
     return out
 
 
+def _vec_classify_points(vx, vy, v_tgt, s0, s1, s_tgt, cnt_v_full,
+                         cnt_s_full, sel, nrows):
+    """Per-POINT classification of each selected row's probe points
+    against the row's polygon (0 exterior / 1 boundary / 2 interior —
+    global even-odd parity + on-segment boundary, identical formulas to
+    _pairwise_point_in_poly). Returns int8[len(vx)]; points of
+    unselected rows keep 0."""
+    cls = np.zeros(len(vx), dtype=np.int8)
+    off_s = np.concatenate([[0], np.cumsum(cnt_s_full)])[:-1]
+    off_v = np.concatenate([[0], np.cumsum(cnt_v_full)])[:-1]
+    cnt_s = np.where(sel, cnt_s_full, 0)
+    cnt_v = np.where(sel, cnt_v_full, 0)
+    for lo, hi in _cross_chunks(cnt_s, cnt_v):
+        isg, iv, row = _expand_pairs(cnt_s, cnt_v, lo, hi, off_s, off_v)
+        if len(row) == 0:
+            continue
+        x0, y0 = s0[isg, 0], s0[isg, 1]
+        x1, y1 = s1[isg, 0], s1[isg, 1]
+        X, Y = vx[iv], vy[iv]
+        dx, dy = x1 - x0, y1 - y0
+        cross = (X - x0) * dy - (Y - y0) * dx
+        dot = (X - x0) * dx + (Y - y0) * dy
+        sq = dx * dx + dy * dy
+        on = (np.abs(cross) <= _EPS * np.maximum(1.0, np.abs(sq))) & \
+             (dot >= -_EPS) & (dot <= sq + _EPS)
+        cond = (y0 > Y) != (y1 > Y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (Y - y0) * dx / np.where(dy == 0, 1.0, dy)
+        crossing = cond & (X < xint)
+        ncross = np.bincount(iv, weights=crossing, minlength=len(vx))
+        inside_v = ncross.astype(np.int64) % 2 == 1
+        on_v = np.bincount(iv[on], minlength=len(vx)) > 0
+        cls[inside_v] = 2
+        cls[on_v] = 1
+    return cls
+
+
+def _seg_pairs_proper(p0, p1, q0, q1):
+    """Per expanded pair: PROPER crossing under the same parametric
+    strict bounds as _segs_intersect_flags (t, u strictly inside
+    (_EPS, 1-_EPS); degenerate segments never proper)."""
+    r = p1 - p0
+    s = q1 - q0
+    rr = (r * r).sum(-1)
+    ss = (s * s).sum(-1)
+    qp = q0 - p0
+    denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    t_num = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    u_num = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    return ((denom != 0) & (rr > 0) & (ss > 0) &
+            (t > _EPS) & (t < 1 - _EPS) & (u > _EPS) & (u < 1 - _EPS))
+
+
 # max per-row segment cross product the vectorized path will expand;
 # denser rows keep the per-pair path (same asymptotic work, bounded
 # peak memory)
@@ -1559,6 +1615,76 @@ def _poly_line_intersects_fast(ga, gb):
     return fast, res
 
 
+def _vec_vertex_seg_min(vx, vy, v_tgt, s0, s1, s_tgt, cnt_v_full,
+                        cnt_s_full, sel, nrows):
+    """Per selected row: MIN distance from the row's vertex set to the
+    row's partner segment set (chunked ragged expansion, same machinery
+    as the containment pass). Returns float64[nrows], inf where
+    unselected/empty."""
+    out = np.full(nrows, np.inf)
+    off_s = np.concatenate([[0], np.cumsum(cnt_s_full)])[:-1]
+    off_v = np.concatenate([[0], np.cumsum(cnt_v_full)])[:-1]
+    cnt_s = np.where(sel, cnt_s_full, 0)
+    cnt_v = np.where(sel, cnt_v_full, 0)
+    for lo, hi in _cross_chunks(cnt_s, cnt_v):
+        isg, iv, row = _expand_pairs(cnt_s, cnt_v, lo, hi, off_s, off_v)
+        if len(row) == 0:
+            continue
+        a = s0[isg]
+        ab = s1[isg] - a
+        den = (ab * ab).sum(-1)
+        px = vx[iv] - a[:, 0]
+        py = vy[iv] - a[:, 1]
+        t = np.clip((px * ab[:, 0] + py * ab[:, 1])
+                    / np.where(den == 0, 1.0, den), 0, 1)
+        dx = px - t * ab[:, 0]
+        dy = py - t * ab[:, 1]
+        d = np.hypot(dx, dy)
+        np.minimum.at(out, row, d)
+    return out
+
+
+def _poly_line_distance_fast(ga, gb):
+    """(fast_mask, results) for lineal/polygonal pairwise distance —
+    the sjoin_nearest / dwithin refine hot path, vectorized across the
+    batch (r11: the per-pair loop ran box-pair distance at 0.007M
+    pairs/s). Semantics match _pair_distance: 0 when the pair
+    intersects, else the min vertex-to-partner-segment distance both
+    ways (non-crossing segment pairs attain their minimum at an
+    endpoint, and clamped point-segment distance subsumes
+    vertex-vertex)."""
+    n = len(ga)
+    res = np.full(n, np.nan)
+    elig = _pairwise_edge_predicate_rows(ga, gb) & \
+        ~(ga.is_missing() | ga.is_empty() | gb.is_missing() | gb.is_empty())
+    if not elig.any():
+        return np.zeros(n, dtype=bool), res
+    f_int, r_int = _poly_line_intersects_fast(ga, gb)
+    fast = elig & f_int          # big rows already excluded by f_int
+    rows = np.nonzero(fast)[0]
+    if len(rows) == 0:
+        return fast, res
+    res[rows[r_int[rows]]] = 0.0
+    need = rows[~r_int[rows]]
+    if len(need):
+        a0, a1, ta_ = _row_segments(ga, need)
+        b0, b1, tb_ = _row_segments(gb, need)
+        va, tva = _row_vertices(ga, need)
+        vb, tvb = _row_vertices(gb, need)
+        nn = len(need)
+        cnt_sa = np.bincount(ta_, minlength=nn)
+        cnt_sb = np.bincount(tb_, minlength=nn)
+        cva = np.bincount(tva, minlength=nn)
+        cvb = np.bincount(tvb, minlength=nn)
+        all_sel = np.ones(nn, dtype=bool)
+        d1 = _vec_vertex_seg_min(va[:, 0], va[:, 1], tva, b0, b1, tb_,
+                                 cva, cnt_sb, all_sel, nn)
+        d2 = _vec_vertex_seg_min(vb[:, 0], vb[:, 1], tvb, a0, a1, ta_,
+                                 cvb, cnt_sa, all_sel, nn)
+        res[need] = np.minimum(d1, d2)
+    return fast, res
+
+
 def _pip_predicate(ga, gb, interior_only):
     """(fast_mask, results) for the point-in-polygon rows of a predicate;
     rows outside the mask need the generic per-pair path."""
@@ -1597,8 +1723,113 @@ def disjoint(ga, gb):
     return out
 
 
+def _covers_screen(ga, gb, require_interior):
+    """Vectorized (decided_mask, results) screen for polygonal-A
+    covers/contains over lineal/polygonal B (r11 — the per-pair path
+    ran box pairs at 0.002M pairs/s and an sjoin refine feeds it
+    mostly-False candidates):
+    - bbox(B) escaping bbox(A) → False (covers implies containment);
+    - any B probe point (vertices + edge midpoints) strictly exterior
+      to A (global even-odd) → False;
+    - any proper ring-edge crossing → False;
+    - A an exact axis-aligned rectangle → decided EXACTLY (convexity
+      makes the vertex probes sufficient; contains additionally needs
+      one probe strictly inside — a B edge spanning two different
+      rectangle edges always yields one);
+    - anything else that survives stays UNDECIDED and takes the exact
+      per-pair path (hole pokes need the boolean difference)."""
+    n = len(ga)
+    decided = np.zeros(n, dtype=bool)
+    res = np.zeros(n, dtype=bool)
+    lp = (GT_LINESTRING, GT_MULTILINESTRING, GT_POLYGON, GT_MULTIPOLYGON)
+    elig = (np.isin(ga.types, (GT_POLYGON, GT_MULTIPOLYGON))
+            & (ga.coords_per_geom() > 0)
+            & np.isin(gb.types, lp) & (gb.coords_per_geom() > 0)
+            & ~(ga.is_missing() | ga.is_empty()
+                | gb.is_missing() | gb.is_empty()))
+    if not elig.any():
+        return decided, res
+    rows = np.nonzero(elig)[0]
+    ba, bbx = bounds(ga), bounds(gb)
+    inside_bb = ((bbx[rows, 0] >= ba[rows, 0] - _EPS) &
+                 (bbx[rows, 1] >= ba[rows, 1] - _EPS) &
+                 (bbx[rows, 2] <= ba[rows, 2] + _EPS) &
+                 (bbx[rows, 3] <= ba[rows, 3] + _EPS))
+    decided[rows[~inside_bb]] = True          # bbox escape → False
+    rows = rows[inside_bb]
+    if len(rows) == 0:
+        return decided, res
+    nn = len(rows)
+    a0, a1, ta_ = _row_segments(ga, rows)
+    b0, b1, tb_ = _row_segments(gb, rows)
+    vb, tvb = _row_vertices(gb, rows)
+    cnt_sa = np.bincount(ta_, minlength=nn)
+    cnt_sb = np.bincount(tb_, minlength=nn)
+    big = (cnt_sa.astype(np.int64) * cnt_sb) > _FAST_PAIR_CAP
+    live = ~big
+    # probes: B vertices + B edge midpoints (same set _pair_covers
+    # samples), classified against A
+    mid = (b0 + b1) * 0.5
+    px = np.concatenate([vb[:, 0], mid[:, 0]])
+    py = np.concatenate([vb[:, 1], mid[:, 1]])
+    ptgt = np.concatenate([tvb, tb_])
+    order = np.argsort(ptgt, kind="stable")
+    px, py, ptgt = px[order], py[order], ptgt[order]
+    cnt_p = np.bincount(ptgt, minlength=nn)
+    cls = _vec_classify_points(px, py, ptgt, a0, a1, ta_,
+                               cnt_p, cnt_sa, live, nn)
+    out_rows = np.zeros(nn, dtype=bool)
+    oz = ptgt[cls == 0]
+    if len(oz):
+        out_rows = np.bincount(oz, minlength=nn) > 0
+    out_rows &= live
+    decided[rows[out_rows]] = True            # probe escaped → False
+    live &= ~out_rows
+    # proper crossings among still-live rows
+    if live.any():
+        proper = np.zeros(nn, dtype=bool)
+        ca = np.where(live, cnt_sa, 0)
+        cb = np.where(live, cnt_sb, 0)
+        off_a = np.concatenate([[0], np.cumsum(cnt_sa)])[:-1]
+        off_b = np.concatenate([[0], np.cumsum(cnt_sb)])[:-1]
+        for lo, hi in _cross_chunks(ca, cb):
+            ia, ib, row = _expand_pairs(ca, cb, lo, hi, off_a, off_b)
+            if len(row) == 0:
+                continue
+            h = _seg_pairs_proper(a0[ia], a1[ia], b0[ib], b1[ib])
+            if h.any():
+                proper |= np.bincount(row[h], minlength=nn) > 0
+        decided[rows[proper & live]] = True   # proper cross → False
+        live &= ~proper
+    # rectangle-A rows decide exactly
+    if live.any():
+        rect = _rect_rows(ga, ba)[rows] & live
+        if rect.any():
+            if require_interior:
+                si = ptgt[cls == 2]
+                strict = (np.bincount(si, minlength=nn) > 0) \
+                    if len(si) else np.zeros(nn, dtype=bool)
+                # a polygonal B with positive area inside closure(A)
+                # always meets interior(A) — the boundary has empty
+                # interior — so contains(A, A) itself decides True even
+                # though every probe sits ON the boundary
+                areab = area(gb)
+                polyb = np.isin(gb.types, (GT_POLYGON, GT_MULTIPOLYGON))
+                ok = strict | (polyb[rows] & (areab[rows] > 0))
+                res[rows[rect]] = ok[rect]
+            else:
+                res[rows[rect]] = True
+            decided[rows[rect]] = True
+    return decided, res
+
+
 def contains(ga, gb):
     fast, fres = _pip_predicate(gb, ga, True)  # point b inside polygon a
+    if not fast.all():
+        f2, r2 = _covers_screen(ga, gb, True)
+        take = f2 & ~fast
+        fres[take] = r2[take]
+        fast |= take
     out = _pairwise(ga, gb,
                     lambda a, i, b, j: _pair_covers_dispatch(a, i, b, j,
                                                              True),
@@ -1659,6 +1890,11 @@ def _pair_covers_dispatch(a, i, b, j, require_interior):
 
 def covers(ga, gb):
     fast, fres = _pip_predicate(gb, ga, False)
+    if not fast.all():
+        f2, r2 = _covers_screen(ga, gb, False)
+        take = f2 & ~fast
+        fres[take] = r2[take]
+        fast |= take
     out = _pairwise(ga, gb,
                     lambda a, i, b, j: _pair_covers_dispatch(a, i, b, j,
                                                              False),
@@ -1745,6 +1981,14 @@ def distance(ga, gb):
     if len(rows_ba):
         out[rows_ba] = _pairwise_point_dist(gb, ga, rows_ba)
         fast[rows_ba] = True
+    if fast.all():
+        return out
+    # lineal/polygonal pairs: vectorized intersects + vertex-to-segment
+    # min (r11 — per-pair box distance ran at 0.007M pairs/s)
+    f3, r3 = _poly_line_distance_fast(ga, gb)
+    take = f3 & ~fast
+    out[take] = r3[take]
+    fast |= take
     if fast.all():
         return out
     rest = _pairwise(ga, gb, _pair_distance, np.float64, np.nan, skip=fast)

@@ -2277,3 +2277,74 @@ def test_crs_edge_of_domain_roundtrips():
           "sp1": 29.5, "sp2": 45.5, "fe": 0.0, "fn": 0.0}
     rt(C.aea_forward, C.aea_inverse, pa, [-96 - 80, -96, -96 + 80],
        [-60, 0, 29.5, 45.5, 80, 89.9, 90.0], 1e-6)
+
+
+def test_vectorized_distance_covers_parity():
+    """r11: the vectorized pairwise distance and covers/contains screen
+    agree with the per-pair reference paths on every decided row
+    (mixed polygons/holes/lines/degenerates/boxes incl. identity pairs
+    and hole-nested operands)."""
+    rng = np.random.default_rng(4242)
+
+    def rand_geom():
+        u = rng.random()
+        if u < 0.3:
+            cx, cy = rng.uniform(0, 20, 2)
+            n = int(rng.integers(3, 8))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            r = rng.uniform(0.5, 3, n)
+            xs = cx + r * np.cos(ang)
+            ys = cy + r * np.sin(ang)
+            pts = ", ".join(f"{x:.3f} {y:.3f}" for x, y in zip(xs, ys))
+            return f"POLYGON (({pts}, {xs[0]:.3f} {ys[0]:.3f}))"
+        if u < 0.55:
+            n = int(rng.integers(2, 6))
+            xs = rng.uniform(0, 20, n)
+            ys = rng.uniform(0, 20, n)
+            return "LINESTRING (" + ", ".join(
+                f"{x:.3f} {y:.3f}" for x, y in zip(xs, ys)) + ")"
+        if u < 0.68:
+            x, y = rng.integers(0, 12, 2)
+            return (f"POLYGON (({x} {y}, {x+8} {y}, {x+8} {y+8}, "
+                    f"{x} {y+8}, {x} {y}), ({x+2} {y+2}, {x+5} {y+2}, "
+                    f"{x+5} {y+5}, {x+2} {y+5}, {x+2} {y+2}))")
+        x, y = rng.integers(0, 16, 2)
+        s = int(rng.integers(1, 6))
+        return (f"POLYGON (({x} {y}, {x+s} {y}, {x+s} {y+s}, "
+                f"{x} {y+s}, {x} {y}))")
+
+    N = 1200
+    wa = [rand_geom() for _ in range(N)]
+    wb = [rand_geom() for _ in range(N)]
+    wa += ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"] * 4 + [
+        "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), "
+        "(2 2, 6 2, 6 6, 2 6, 2 2))"] * 2
+    wb += ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",      # identity
+           "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",       # nested
+           "LINESTRING (0 0, 4 0)",                     # edge-riding
+           "LINESTRING (0 0, 4 4)",                     # diagonal
+           "POLYGON ((3 3, 4 3, 4 4, 3 4, 3 3))",       # in the hole
+           "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"]
+    ga, gb = ga_from_wkt(*wa), ga_from_wkt(*wb)
+    # distance
+    f, r = algos._poly_line_distance_fast(ga, gb)
+    slow = algos._pairwise(ga, gb, algos._pair_distance,
+                           np.float64, np.nan)
+    bad = f & (np.abs(r - slow) > 1e-12)
+    assert f.sum() > len(wa) * 0.9 and not bad.any(), \
+        [(wa[i], wb[i], r[i], slow[i]) for i in np.nonzero(bad)[0][:3]]
+    assert np.allclose(algos.distance(ga, gb), slow, equal_nan=True)
+    # covers / contains screens
+    for req in (False, True):
+        f, r = algos._covers_screen(ga, gb, req)
+        slow = algos._pairwise(
+            ga, gb,
+            lambda a, i, b, j: algos._pair_covers_dispatch(a, i, b, j,
+                                                           req),
+            bool, False)
+        bad = f & (r != slow)
+        assert not bad.any(), \
+            [(wa[i], wb[i], bool(r[i]), bool(slow[i]))
+             for i in np.nonzero(bad)[0][:3]]
+        pub = algos.contains(ga, gb) if req else algos.covers(ga, gb)
+        assert (pub == slow).all()
