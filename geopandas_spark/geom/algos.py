@@ -2064,7 +2064,39 @@ def _lines_interior_contacts(a, i, b, j):
     return has_pt, has_len
 
 
+def _rect_touch_overlap(ga, gb):
+    """(mask, touches, overlaps) decided EXACTLY for rect×rect rows:
+    rectangles are interval products, so interiors overlap iff both
+    axis overlaps are positive, touch iff they intersect with a
+    degenerate axis, and A\\B nonempty iff closed bbox containment
+    fails (r11 — the per-pair touches/overlaps loop ran box pairs at
+    0.005/0.002M pairs/s)."""
+    ba, bb = bounds(ga), bounds(gb)
+    m = _rect_rows(ga, ba) & _rect_rows(gb, bb)
+    if not m.any():
+        z = np.zeros(len(ga), dtype=bool)
+        return m, z, z
+    ow = np.minimum(ba[:, 2], bb[:, 2]) - np.maximum(ba[:, 0], bb[:, 0])
+    oh = np.minimum(ba[:, 3], bb[:, 3]) - np.maximum(ba[:, 1], bb[:, 1])
+    inter = (ow >= 0) & (oh >= 0)
+    touch = inter & ((ow == 0) | (oh == 0))
+    a_in_b = (ba[:, 0] >= bb[:, 0]) & (ba[:, 1] >= bb[:, 1]) & \
+        (ba[:, 2] <= bb[:, 2]) & (ba[:, 3] <= bb[:, 3])
+    b_in_a = (bb[:, 0] >= ba[:, 0]) & (bb[:, 1] >= ba[:, 1]) & \
+        (bb[:, 2] <= ba[:, 2]) & (bb[:, 3] <= ba[:, 3])
+    over = (ow > 0) & (oh > 0) & ~a_in_b & ~b_in_a
+    return m, touch & m, over & m
+
+
+
 def touches(ga, gb):
+    # vectorized reject (r11): touches implies intersects, and
+    # the lineal/polygonal intersects fast path decides most
+    # sjoin candidates without the per-pair loop
+    _f, _r = _poly_line_intersects_fast(ga, gb)
+    _skip = _f & ~_r
+    _rm, _rt, _ro = _rect_touch_overlap(ga, gb)
+    _skip |= _rm
     def f(a, i, b, j):
         if not _pair_intersects(a, i, b, j):
             return False
@@ -2133,10 +2165,17 @@ def touches(ga, gb):
                 if a_ > 1e-12:
                     return False
         return True
-    return _pairwise(ga, gb, f, bool, False)
+    out = _pairwise(ga, gb, f, bool, False, skip=_skip)
+    out[_rm] = _rt[_rm]
+    return out
 
 
 def crosses(ga, gb):
+    # vectorized reject (r11): crosses implies intersects, and
+    # the lineal/polygonal intersects fast path decides most
+    # sjoin candidates without the per-pair loop
+    _f, _r = _poly_line_intersects_fast(ga, gb)
+    _skip = _f & ~_r
     def f(a, i, b, j):
         ta, tb = int(a.types[i]), int(b.types[j])
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
@@ -2177,7 +2216,7 @@ def crosses(ga, gb):
         if tb in POINT_TYPES and ta not in POINT_TYPES:
             return _multipoint_crosses(b, j, a, i)
         return False
-    return _pairwise(ga, gb, f, bool, False)
+    return _pairwise(ga, gb, f, bool, False, skip=_skip)
 
 
 def _line_crosses_poly(line_ga, i, poly_ga, j) -> bool:
@@ -2203,6 +2242,13 @@ def _multipoint_crosses(pt_ga, i, other, j) -> bool:
 
 
 def overlaps(ga, gb):
+    # vectorized reject (r11): overlaps implies intersects, and
+    # the lineal/polygonal intersects fast path decides most
+    # sjoin candidates without the per-pair loop
+    _f, _r = _poly_line_intersects_fast(ga, gb)
+    _skip = _f & ~_r
+    _rm, _rt, _ro = _rect_touch_overlap(ga, gb)
+    _skip |= _rm
     def f(a, i, b, j):
         ta, tb = int(a.types[i]), int(b.types[j])
         dim = {**{t: 0 for t in POINT_TYPES}, **{t: 1 for t in LINE_TYPES},
@@ -2292,7 +2338,9 @@ def overlaps(ga, gb):
         hi = np.maximum(t0, t1)
         ov = np.minimum(hi, len1[:, None]) - np.maximum(lo, 0.0)
         return bool((collinear & (ov > _EPS)).any())
-    return _pairwise(ga, gb, f, bool, False)
+    out = _pairwise(ga, gb, f, bool, False, skip=_skip)
+    out[_rm] = _ro[_rm]
+    return out
 
 
 def geom_equals(ga, gb):
