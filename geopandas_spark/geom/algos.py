@@ -4133,6 +4133,48 @@ def intersection(ga: GeometryArray, gb: GeometryArray,
     overlay(keep_geom_type=False)); the default keeps the historical
     polygonal-only output that most callers (clip, polygonal overlay)
     filter to anyway."""
+    # rect×rect batch fast path (r11): the intersection of two interval
+    # products with POSITIVE overlap area is the overlap box — decided
+    # for the whole batch with no per-pair sweep (overlay/clip on
+    # gridded corpora is dominated by exactly these rows). Degenerate
+    # contact (shared edge/corner) keeps the general path: its result
+    # is lower-dimensional (mixed) or empty (polygonal-only).
+    rfast = None
+    dfast = None
+    if len(ga):
+        ba_, bb_ = bounds(ga), bounds(gb)
+        # strictly disjoint bboxes on a polygonal pair → empty POLYGON,
+        # no sweep (r11: disjoint pairs paid the full Martinez–Rueda
+        # run just to emit EMPTY; bbox contact keeps the general path —
+        # mixed mode's shared-edge residue needs it)
+        pp = (np.isin(ga.types, (GT_POLYGON, GT_MULTIPOLYGON)) &
+              np.isin(gb.types, (GT_POLYGON, GT_MULTIPOLYGON)))
+        with np.errstate(invalid="ignore"):
+            dj = pp & ((np.minimum(ba_[:, 2], bb_[:, 2])
+                        < np.maximum(ba_[:, 0], bb_[:, 0])) |
+                       (np.minimum(ba_[:, 3], bb_[:, 3])
+                        < np.maximum(ba_[:, 1], bb_[:, 1])))
+        dfast = dj if dj.any() else None
+        rm = _rect_rows(ga, ba_) & _rect_rows(gb, bb_)
+        if rm.any():
+            ox0 = np.maximum(ba_[:, 0], bb_[:, 0])
+            oy0 = np.maximum(ba_[:, 1], bb_[:, 1])
+            ox1 = np.minimum(ba_[:, 2], bb_[:, 2])
+            oy1 = np.minimum(ba_[:, 3], bb_[:, 3])
+            rm &= (ox1 > ox0) & (oy1 > oy0)
+            if rm.any():
+                from geopandas_spark.geom.array import boxes_from_bounds
+                sel = np.nonzero(rm)[0]
+                # shapely.box CCW rotation (SW corner first) — the same
+                # ring order the convex Sutherland–Hodgman branch emits
+                # for these pairs; the sweep branch's NW rotation is an
+                # equally valid rotation of the same ring (the general
+                # path was already branch-dependent here)
+                boxes_out = boxes_from_bounds(ox0[sel], oy0[sel],
+                                              ox1[sel], oy1[sel])
+                pos = np.full(len(ga), -1, dtype=np.int64)
+                pos[sel] = np.arange(len(sel))
+                rfast = (rm, pos, boxes_out)
     b = GeometryBuilder()
     empty_a, empty_b = ga.is_empty(), gb.is_empty()
     for i in range(len(ga)):
@@ -4142,6 +4184,12 @@ def intersection(ga: GeometryArray, gb: GeometryArray,
             continue
         if empty_a[i] or empty_b[i]:
             b.append_empty(GT_POLYGON)
+            continue
+        if dfast is not None and dfast[i]:
+            b.append_empty(GT_POLYGON)
+            continue
+        if rfast is not None and rfast[0][i]:
+            b.append_from(rfast[2], int(rfast[1][i]))
             continue
         if ta == GT_GEOMETRYCOLLECTION or tb == GT_GEOMETRYCOLLECTION:
             _gc_setop(b, "intersection", ga, gb, i)

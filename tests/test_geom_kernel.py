@@ -2348,3 +2348,35 @@ def test_vectorized_distance_covers_parity():
              for i in np.nonzero(bad)[0][:3]]
         pub = algos.contains(ga, gb) if req else algos.covers(ga, gb)
         assert (pub == slow).all()
+
+
+def test_intersection_rect_fast_path_parity():
+    """r11: rect×rect pairs with positive overlap decide by interval
+    arithmetic (the overlap box) and strictly-disjoint polygonal bboxes
+    emit EMPTY without the sweep; both must equal the general path as
+    POINT SETS (ring rotation was already branch-dependent between the
+    convex clip and the sweep)."""
+    import geopandas_spark.geom.algos as A
+    from geopandas_spark.geom.array import boxes_from_bounds
+
+    rng = np.random.default_rng(3)
+    N = 500
+    x1 = rng.integers(0, 8, N).astype(float)
+    y1 = rng.integers(0, 8, N).astype(float)
+    s1 = rng.integers(1, 5, N).astype(float)
+    x2 = rng.integers(0, 8, N).astype(float)
+    y2 = rng.integers(0, 8, N).astype(float)
+    s2 = rng.integers(1, 5, N).astype(float)
+    ga = boxes_from_bounds(x1, y1, x1 + s1, y1 + s1)
+    gb = boxes_from_bounds(x2, y2, x2 + s2, y2 + s2)
+    for mixed in (False, True):
+        fast = algos.intersection(ga, gb, mixed=mixed)
+        orig = A._rect_rows
+        A._rect_rows = lambda g, b: np.zeros(len(g), dtype=bool)
+        try:
+            slow = algos.intersection(ga, gb, mixed=mixed)
+        finally:
+            A._rect_rows = orig
+        eq = algos.geom_equals(fast, slow)
+        both_empty = fast.is_empty() & slow.is_empty()
+        assert (eq | both_empty).all(), int((~(eq | both_empty)).sum())
