@@ -397,21 +397,86 @@ def _hole_pairs_cross(p: list) -> bool:
     because the ring loop tested hole-vs-shell only and the nesting
     probe used first-edge midpoints). Doubles as the enforcement of
     _interior_disconnected's precondition over hole pairs — the
-    hole-vs-shell twin lives inline in is_valid's ring loop."""
+    hole-vs-shell twin lives inline in is_valid's ring loop.
+
+    r12 (ADVICE + VERDICT #4): ONE batched pass per polygon — all hole
+    edges stacked with a hole-id array, pair eligibility gated by a
+    hole-bbox-overlap prefilter — replacing the O(H²) Python pair loop
+    whose collinear test iterated per EDGE (a 50-hole parcel paid
+    ~1,225 pairs × edge loops per validity check)."""
     holes = p[1:]
-    if len(holes) < 2:
+    H = len(holes)
+    if H < 2:
         return False
-    hedges = [np.column_stack([h[:-1], h[1:]]).reshape(-1, 2, 2)
-              for h in holes]
-    for j in range(len(holes)):
-        hj = holes[j]
-        for k in range(j + 1, len(holes)):
-            if _segs_proper_cross(hedges[j], hedges[k]):
-                return True
-            if any(_collinear_overlap_any(
-                    hj[m], hj[m + 1] - hj[m],
-                    holes[k][:-1], holes[k][1:])
-                    for m in range(len(hj) - 1)):
+    # hole-bbox-overlap prefilter: a proper crossing / positive-length
+    # collinear overlap needs the hole bboxes to intersect (closed
+    # comparison keeps bbox-touching pairs, which can still overlap
+    # collinearly along the shared edge line)
+    mins = np.array([h.min(axis=0) for h in holes])
+    maxs = np.array([h.max(axis=0) for h in holes])
+    allowed = ((mins[:, None, :] <= maxs[None, :, :]) &
+               (mins[None, :, :] <= maxs[:, None, :])).all(-1)
+    np.fill_diagonal(allowed, False)
+    if not allowed.any():
+        return False
+    active = np.nonzero(allowed.any(axis=1))[0]
+    segs = np.concatenate(
+        [np.stack([holes[h][:-1], holes[h][1:]], axis=1) for h in active])
+    hid = np.concatenate(
+        [np.full(len(holes[h]) - 1, h, dtype=np.int64) for h in active])
+    return _masked_segsets_conflict(segs, hid, allowed)
+
+
+def _masked_segsets_conflict(segs, hid, allowed, budget=1 << 21) -> bool:
+    """ANY proper crossing or positive-length collinear overlap between
+    segments of DIFFERENT groups (pair gated by allowed[gi, gj]) —
+    row-chunked so the (chunk, E) temporaries stay bounded. Same sign
+    tests as _segs_proper_cross (scale-relative _CROSS_RTOL margin) and
+    the exact-comparison parallel test of _collinear_overlap_any."""
+    E = len(segs)
+    if E == 0:
+        return False
+    a0 = segs[:, 0]
+    a1 = segs[:, 1]
+    r = a1 - a0
+    rr = (r * r).sum(-1)
+    rlen = np.sqrt(rr)
+    s = r                       # column view: every segment is both roles
+    rows_per = max(1, budget // E)
+    for i0 in range(0, E, rows_per):
+        i1 = min(E, i0 + rows_per)
+        mask = allowed[hid[i0:i1][:, None], hid[None, :]]
+        if not mask.any():
+            continue
+        p = a0[i0:i1, None]                      # (C,1,2)
+        ri = r[i0:i1, None]                      # (C,1,2)
+        q0p = a0[None, :] - p
+        q1p = a1[None, :] - p
+        d1 = ri[..., 0] * q0p[..., 1] - ri[..., 1] * q0p[..., 0]
+        d2 = ri[..., 0] * q1p[..., 1] - ri[..., 1] * q1p[..., 0]
+        p0q = -q0p
+        p1q = a1[i0:i1, None] - a0[None, :]
+        d3 = s[None, :, 0] * p0q[..., 1] - s[None, :, 1] * p0q[..., 0]
+        d4 = s[None, :, 0] * p1q[..., 1] - s[None, :, 1] * p1q[..., 0]
+        tol = _CROSS_RTOL * rlen[i0:i1, None] * rlen[None, :]
+        opp_q = ((d1 > tol) & (d2 < -tol)) | ((d1 < -tol) & (d2 > tol))
+        opp_p = ((d3 > tol) & (d4 < -tol)) | ((d3 < -tol) & (d4 > tol))
+        if bool((opp_q & opp_p & mask).any()):
+            return True
+        # positive-length collinear overlap (exact == 0 parallel test,
+        # mirroring _collinear_overlap_any; zero-length rows excluded)
+        denom = ri[..., 0] * s[None, :, 1] - ri[..., 1] * s[None, :, 0]
+        u_num = q0p[..., 0] * ri[..., 1] - q0p[..., 1] * ri[..., 0]
+        par = (denom == 0) & (u_num == 0) & mask & \
+            (rr[i0:i1, None] > 0)
+        if par.any():
+            rri = np.where(rr[i0:i1] == 0, 1.0, rr[i0:i1])[:, None]
+            t0 = (q0p * ri).sum(-1) / rri
+            t1 = (q1p * ri).sum(-1) / rri
+            lo = np.minimum(t0, t1)
+            hi = np.maximum(t0, t1)
+            ov = np.minimum(hi, 1.0) - np.maximum(lo, 0.0)
+            if bool(((ov > _EPS) & par).any()):
                 return True
     return False
 
@@ -1514,8 +1579,11 @@ def _rect_rows(g, b) -> np.ndarray:
         return out
     o = g.coord_offsets_per_geom()[rows]
     idx = o[:, None] + np.arange(5)[None, :]
-    xs = g.coords[idx, 0]
-    ys = g.coords[idx, 1]
+    # row-gather the contiguous (N,2) coords once, then split: fancy
+    # indexing the strided column views costs ~5x (r12 profile)
+    xy = g.coords[idx.ravel()]
+    xs = xy[:, 0].reshape(-1, 5)
+    ys = xy[:, 1].reshape(-1, 5)
     onx = (xs == b[rows, 0][:, None]) | (xs == b[rows, 2][:, None])
     ony = (ys == b[rows, 1][:, None]) | (ys == b[rows, 3][:, None])
     good = onx.all(1) & ony.all(1)
@@ -1644,6 +1712,26 @@ def _vec_vertex_seg_min(vx, vy, v_tgt, s0, s1, s_tgt, cnt_v_full,
     return out
 
 
+def _pt_box_gap(px, py, bx, t):
+    """Per-element lower bound: distance from point (px,py) to its
+    row's partner bbox bx[t] (0 inside)."""
+    gx = np.maximum(np.maximum(bx[t, 0] - px, px - bx[t, 2]), 0.0)
+    gy = np.maximum(np.maximum(bx[t, 1] - py, py - bx[t, 3]), 0.0)
+    return np.hypot(gx, gy)
+
+
+def _seg_box_gap(s0, s1, bx, t):
+    """Per-element lower bound: distance from segment (s0,s1) bbox to
+    its row's partner bbox bx[t]."""
+    sx0 = np.minimum(s0[:, 0], s1[:, 0])
+    sx1 = np.maximum(s0[:, 0], s1[:, 0])
+    sy0 = np.minimum(s0[:, 1], s1[:, 1])
+    sy1 = np.maximum(s0[:, 1], s1[:, 1])
+    gx = np.maximum(np.maximum(bx[t, 0] - sx1, sx0 - bx[t, 2]), 0.0)
+    gy = np.maximum(np.maximum(bx[t, 1] - sy1, sy0 - bx[t, 3]), 0.0)
+    return np.hypot(gx, gy)
+
+
 def _poly_line_distance_fast(ga, gb):
     """(fast_mask, results) for lineal/polygonal pairwise distance —
     the sjoin_nearest / dwithin refine hot path, vectorized across the
@@ -1652,18 +1740,47 @@ def _poly_line_distance_fast(ga, gb):
     intersects, else the min vertex-to-partner-segment distance both
     ways (non-crossing segment pairs attain their minimum at an
     endpoint, and clamped point-segment distance subsumes
-    vertex-vertex)."""
+    vertex-vertex).
+
+    r12 (VERDICT #2) — two prunes ahead of the vertex×segment cross
+    product, which previously ran unpruned both ways (box pairs:
+    0.05M pairs/s):
+    - rect×rect closed form: axis-aligned rectangles are interval
+      products, so distance == hypot of the per-axis bbox gaps (0 when
+      overlapping) — exact, no expansion at all;
+    - representative upper bound + bbox lower-bound pruning: an
+      attained first-vertex→partner-segments distance bounds the true
+      distance from above, so any vertex/segment whose bbox gap to the
+      partner exceeds it cannot host the minimum and is dropped before
+      expansion. The bound carries a 1e-9 relative slack so ulp-level
+      rounding in the hypot lower bounds can never drop the attaining
+      element — the surviving set always contains it, keeping the min
+      bit-identical to the unpruned pass."""
     n = len(ga)
     res = np.full(n, np.nan)
     elig = _pairwise_edge_predicate_rows(ga, gb) & \
         ~(ga.is_missing() | ga.is_empty() | gb.is_missing() | gb.is_empty())
     if not elig.any():
         return np.zeros(n, dtype=bool), res
+    ba, bb = bounds(ga), bounds(gb)
+    rect = elig & _rect_rows(ga, ba) & _rect_rows(gb, bb)
+    fastm = rect.copy()
+    if rect.any():
+        rr_ = np.nonzero(rect)[0]
+        gx = np.maximum(np.maximum(bb[rr_, 0] - ba[rr_, 2],
+                                   ba[rr_, 0] - bb[rr_, 2]), 0.0)
+        gy = np.maximum(np.maximum(bb[rr_, 1] - ba[rr_, 3],
+                                   ba[rr_, 1] - bb[rr_, 3]), 0.0)
+        res[rr_] = np.hypot(gx, gy)
+    todo = elig & ~rect
+    if not todo.any():
+        return fastm, res
     f_int, r_int = _poly_line_intersects_fast(ga, gb)
-    fast = elig & f_int          # big rows already excluded by f_int
-    rows = np.nonzero(fast)[0]
+    sub = todo & f_int           # big rows already excluded by f_int
+    fastm |= sub
+    rows = np.nonzero(sub)[0]
     if len(rows) == 0:
-        return fast, res
+        return fastm, res
     res[rows[r_int[rows]]] = 0.0
     need = rows[~r_int[rows]]
     if len(need):
@@ -1672,17 +1789,104 @@ def _poly_line_distance_fast(ga, gb):
         va, tva = _row_vertices(ga, need)
         vb, tvb = _row_vertices(gb, need)
         nn = len(need)
+        bna, bnb = ba[need], bb[need]
         cnt_sa = np.bincount(ta_, minlength=nn)
         cnt_sb = np.bincount(tb_, minlength=nn)
         cva = np.bincount(tva, minlength=nn)
         cvb = np.bincount(tvb, minlength=nn)
         all_sel = np.ones(nn, dtype=bool)
+        # prune rows with separated bboxes (touching/overlapping bboxes
+        # — the sjoin-refine population — can't discriminate elements:
+        # every lower bound is 0, so the bound passes would be pure
+        # overhead there)
+        gpx = np.maximum(np.maximum(bnb[:, 0] - bna[:, 2],
+                                    bna[:, 0] - bnb[:, 2]), 0.0)
+        gpy = np.maximum(np.maximum(bnb[:, 1] - bna[:, 3],
+                                    bna[:, 1] - bnb[:, 3]), 0.0)
+        # separating direction û between bbox centers: d(p,q) >= (q-p)·û
+        # for ANY unit û, so per-element projections give lower bounds
+        # that DO discriminate facing from far boundary elements —
+        # axis-aligned bbox gaps alone cannot (every element of a
+        # small-extent far pair has gap ≈ the pair distance)
+        ux = (bnb[:, 0] + bnb[:, 2]) - (bna[:, 0] + bna[:, 2])
+        uy = (bnb[:, 1] + bnb[:, 3]) - (bna[:, 1] + bna[:, 3])
+        ulen = np.hypot(ux, uy)
+        prow = ((gpx > 0) | (gpy > 0)) & (ulen > 0)
+        ub = np.full(nn, np.inf)
+        if prow.any():
+            un = np.where(ulen == 0, 1.0, ulen)
+            ux, uy = ux / un, uy / un
+            pva = va[:, 0] * ux[tva] + va[:, 1] * uy[tva]
+            pvb = vb[:, 0] * ux[tvb] + vb[:, 1] * uy[tvb]
+            pa_max = _group_reduce(pva, cva, np.maximum, -np.inf)
+            pb_min = _group_reduce(pvb, cvb, np.minimum, np.inf)
+            # representative = each side's FACING vertex (extreme
+            # projection along û): its exact distance to all partner
+            # segments is an attained upper bound within a boundary-
+            # wiggle of the true distance
+            ra_ = _group_argext(pva, tva, cva, nn, largest=True)
+            rb_ = _group_argext(pvb, tvb, cvb, nn, largest=False)
+            one = np.ones(nn, dtype=np.int64)
+            u1 = _vec_vertex_seg_min(
+                va[ra_, 0], va[ra_, 1], np.arange(nn),
+                b0, b1, tb_, one, cnt_sb, prow, nn)
+            u2 = _vec_vertex_seg_min(
+                vb[rb_, 0], vb[rb_, 1], np.arange(nn),
+                a0, a1, ta_, one, cnt_sa, prow, nn)
+            ub = np.minimum(u1, u2)
+            ubs = ub * (1 + 1e-9)        # inf for unpruned rows: keep all
+            # keep an element iff BOTH its bbox-gap and its projection
+            # lower bound admit the upper bound
+            kva = (_pt_box_gap(va[:, 0], va[:, 1], bnb, tva) <= ubs[tva]) \
+                & (pb_min[tva] - pva <= ubs[tva])
+            kvb = (_pt_box_gap(vb[:, 0], vb[:, 1], bna, tvb) <= ubs[tvb]) \
+                & (pvb - pa_max[tvb] <= ubs[tvb])
+            psa = np.maximum(a0[:, 0] * ux[ta_] + a0[:, 1] * uy[ta_],
+                             a1[:, 0] * ux[ta_] + a1[:, 1] * uy[ta_])
+            psb = np.minimum(b0[:, 0] * ux[tb_] + b0[:, 1] * uy[tb_],
+                             b1[:, 0] * ux[tb_] + b1[:, 1] * uy[tb_])
+            ksa = (_seg_box_gap(a0, a1, bnb, ta_) <= ubs[ta_]) \
+                & (pb_min[ta_] - psa <= ubs[ta_])
+            ksb = (_seg_box_gap(b0, b1, bna, tb_) <= ubs[tb_]) \
+                & (psb - pa_max[tb_] <= ubs[tb_])
+            va, tva = va[kva], tva[kva]
+            vb, tvb = vb[kvb], tvb[kvb]
+            a0, a1, ta_ = a0[ksa], a1[ksa], ta_[ksa]
+            b0, b1, tb_ = b0[ksb], b1[ksb], tb_[ksb]
+            cnt_sa = np.bincount(ta_, minlength=nn)
+            cnt_sb = np.bincount(tb_, minlength=nn)
+            cva = np.bincount(tva, minlength=nn)
+            cvb = np.bincount(tvb, minlength=nn)
         d1 = _vec_vertex_seg_min(va[:, 0], va[:, 1], tva, b0, b1, tb_,
                                  cva, cnt_sb, all_sel, nn)
         d2 = _vec_vertex_seg_min(vb[:, 0], vb[:, 1], tvb, a0, a1, ta_,
                                  cvb, cnt_sa, all_sel, nn)
-        res[need] = np.minimum(d1, d2)
-    return fast, res
+        res[need] = np.minimum(np.minimum(d1, d2), ub)
+    return fastm, res
+
+
+def _group_reduce(vals, cnt, op, init):
+    """Per-group ufunc reduce over consecutive groups of sizes `cnt`
+    (vals ordered by group). Empty groups get `init` — reduceat is fed
+    only the non-empty groups' starts, whose spans are then exact."""
+    out = np.full(len(cnt), init)
+    nz = cnt > 0
+    if nz.any():
+        starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        out[nz] = op.reduceat(vals, starts[nz])
+    return out
+
+
+def _group_argext(vals, tgt, cnt, n, largest):
+    """Index (into vals) of each group's max (largest=True) or min
+    element; groups ordered/sized by tgt/cnt. Empty groups return 0 —
+    callers gate on a selection that implies non-empty groups."""
+    order = np.lexsort((vals if largest else -vals, tgt))
+    ends = np.cumsum(cnt)
+    out = np.zeros(n, dtype=np.int64)
+    nz = cnt > 0
+    out[nz] = order[ends[nz] - 1]
+    return out
 
 
 def _pip_predicate(ga, gb, interior_only):

@@ -993,6 +993,58 @@ class TestRepairAndLinework:
         assert not algos.is_valid(g)[0]
         assert algos.is_valid_reason(g) == ["Holes are nested"]
 
+    def test_hole_pair_batched_kernel(self):
+        """r12: _hole_pairs_cross is one batched pass per polygon (no
+        per-edge Python loop). Semantics pinned: proper hole-hole
+        crossing and positive-length collinear hole-hole overlap are
+        invalid; disjoint / single-point-touch / bbox-touching-but-
+        separate holes are valid."""
+        shell = "(0 0, 20 0, 20 20, 0 20, 0 0)"
+        cases = [
+            # two properly crossing holes (the r11 ADVICE counterexample)
+            (f"POLYGON ({shell}, (2 4, 8 4, 8 6, 2 6, 2 4), "
+             "(4 2, 6 2, 6 8, 4 8, 4 2))", False, "Self-intersection"),
+            # collinear overlap along y=3, x in [3,5]
+            (f"POLYGON ({shell}, (1 1, 5 1, 5 3, 1 3, 1 1), "
+             "(3 3, 7 3, 7 5, 3 5, 3 3))", False, "Self-intersection"),
+            # disjoint holes
+            (f"POLYGON ({shell}, (1 1, 2 1, 2 2, 1 2, 1 1), "
+             "(3 3, 4 3, 4 4, 3 4, 3 3))", True, "Valid Geometry"),
+            # single corner touch
+            (f"POLYGON ({shell}, (1 1, 3 1, 3 3, 1 3, 1 1), "
+             "(3 3, 5 3, 5 5, 3 5, 3 3))", True, "Valid Geometry"),
+            # bbox overlap but geometrically separate (L-nested)
+            (f"POLYGON ({shell}, (1 1, 9 1, 9 2, 1 2, 1 1), "
+             "(1 3, 2 3, 2 9, 1 9, 1 3))", True, "Valid Geometry"),
+        ]
+        for w, want, reason in cases:
+            g = ga_from_wkt(w)
+            assert bool(algos.is_valid(g)[0]) == want, w
+            assert algos.is_valid_reason(g)[0] == reason, w
+
+    def test_hole_rich_polygon_validity_microbench(self):
+        """r12 (VERDICT #4): a 50-hole, ~2k-vertex polygon validity
+        check must not degrade O(H²·E) in interpreter iterations —
+        the batched hole-pair pass keeps it well under a second."""
+        import time as _t
+        shell = "(0 0, 200 0, 200 200, 0 200, 0 0)"
+        holes = []
+        for i in range(50):
+            x = 3 + (i % 10) * 19
+            y = 3 + (i // 10) * 19
+            ang = np.linspace(0, 2 * np.pi, 41)[:-1]
+            r = 5 + 2 * np.sin(5 * ang + i)
+            xs = x + 6 + r * np.cos(ang)
+            ys = y + 6 + r * np.sin(ang)
+            pts = ", ".join(f"{a:.4f} {b:.4f}" for a, b in zip(xs, ys))
+            holes.append(f"({pts}, {xs[0]:.4f} {ys[0]:.4f})")
+        g = ga_from_wkt(f"POLYGON ({shell}, " + ", ".join(holes) + ")")
+        t0 = _t.perf_counter()
+        ok = algos.is_valid(g)
+        dt = _t.perf_counter() - t0
+        assert bool(ok[0])
+        assert dt < 5.0, f"50-hole validity took {dt:.2f}s"
+
     def test_is_valid_reason(self):
         ga = ga_from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",
                          "POINT (1 1)", None)
