@@ -92,10 +92,25 @@ def _nat(spark, sf_dir) -> DataFrame:
 
 def _cust_supp_lines(spark, sf_dir) -> DataFrame:
     """customer × supplier of the same nation, with a LINESTRING between
-    them (WKT-built → exercises the parser)."""
+    them (WKT-built → exercises the parser).
+
+    Scale band (r12): the plain nation join is QUADRATIC in sf (sf10:
+    1.5M × 100k / 25 ≈ 6e9 pairs) — no real per-pair workload grows
+    like that, and once the bench started materializing every output
+    column (bench._consume) a 6e9-row Python-parse tier stopped being
+    a benchmark and became a stress test of patience. Pairs are gated
+    on ``(c_custkey + s_suppkey) % mod == 0`` with
+    ``mod = max(1, n_supp // 1000)``: a deterministic co-band that
+    keeps output ≈ 40 rows per customer (linear in sf) and leaves the
+    query bit-identical at sf ≤ 0.1 (mod == 1), so correctness stamps
+    and the base tier are unchanged. The oracle SQL computes the same
+    mod from COUNT(supplier)."""
     c = _cust(spark, sf_dir).select("c_custkey", "c_nationkey", "px", "py")
     s = _supp(spark, sf_dir).select("s_suppkey", "s_nationkey", "sx", "sy")
-    j = c.join(s, c.c_nationkey == s.s_nationkey)
+    n_supp = s.count()
+    mod = max(1, n_supp // 1000)
+    j = c.join(s, (c.c_nationkey == s.s_nationkey) &
+               ((c.c_custkey + s.s_suppkey) % F.lit(mod) == 0))
     wktcol = F.concat(F.lit("LINESTRING ("), F.col("px"), F.lit(" "),
                       F.col("py"), F.lit(", "), F.col("sx"), F.lit(" "),
                       F.col("sy"), F.lit(")"))
@@ -191,6 +206,8 @@ SELECT c_custkey AS cid, s_suppkey AS sid,
        SQRT(CAST(({PX} - {SX}) * ({PX} - {SX}) +
                  ({PY} - {SY}) * ({PY} - {SY}) AS DOUBLE)) AS line_len
 FROM customer JOIN supplier ON c_nationkey = s_nationkey
+AND (c_custkey + s_suppkey)
+    % GREATEST(1, (SELECT COUNT(*) FROM supplier) // 1000) = 0
 """
 
 

@@ -35,6 +35,91 @@ class TestCodecs:
         out = wkt.format_array(ga)
         assert out == samples
 
+    def test_wkt_fast_path_differential(self):
+        """r12: the vectorized batch WKT parser must agree with the
+        cursor parser on everything it accepts, and bail (None) on
+        everything it can't represent so semantics/errors never
+        change."""
+        cases = [
+            "POINT (1 2)", "POINT (-3.5 +4e2)",
+            "LINESTRING (0 0, 1 1, 2 0)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(2 2, 4 2, 4 4, 2 4, 2 2))",
+            "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+            "((5 5, 6 5, 6 6, 5 5), "
+            "(5.2 5.2, 5.4 5.2, 5.3 5.4, 5.2 5.2)))",
+            None, "  point  ( 7   8 ) ",
+        ]
+        batch = (cases * 8)[:64]
+        fast = wkt._parse_array_fast(batch)
+        assert fast is not None
+        b = wkt.GeometryBuilder()
+        for v in batch:
+            if v is None:
+                b.append_null()
+            else:
+                wkt.parse_one(str(v), b)
+        assert wkt.format_array(fast) == wkt.format_array(b.finish())
+        # random fuzz: parse_array (fast-or-fallback) == cursor parser
+        rng = np.random.default_rng(7)
+
+        def pts(k):
+            return ", ".join(
+                f"{rng.uniform(-100, 100):.6g} {rng.uniform(-100, 100):.6g}"
+                for _ in range(k))
+
+        def rand_wkt():
+            u = rng.random()
+            if u < 0.2:
+                return f"POINT ({pts(1)})"
+            if u < 0.4:
+                return f"LINESTRING ({pts(int(rng.integers(2, 6)))})"
+            if u < 0.6:
+                hole = f", ({pts(4)})" if rng.random() < 0.4 else ""
+                return f"POLYGON ((0 0, 4 0, 4 4, 0 0){hole})"
+            if u < 0.8:
+                return f"MULTILINESTRING (({pts(3)}), ({pts(2)}))"
+            return f"MULTIPOLYGON ((({pts(4)})), ((0 0, 1 0, 1 1, 0 0)))"
+
+        for _ in range(8):
+            batch = [rand_wkt() if rng.random() > 0.1 else None
+                     for _ in range(200)]
+            a = wkt.parse_array(batch)
+            b = wkt.GeometryBuilder()
+            for v in batch:
+                if v is None:
+                    b.append_null()
+                else:
+                    wkt.parse_one(str(v), b)
+            assert wkt.format_array(a) == wkt.format_array(b.finish())
+
+    def test_wkt_fast_path_bails(self):
+        """Inputs the fast path can't represent (or that are malformed)
+        must return None so the cursor parser keeps owning semantics
+        and error messages."""
+        bails = [
+            ["POINT Z (1 2 3)"] * 40,
+            ["MULTIPOINT ((1 1), (2 2))"] * 40,
+            ["GEOMETRYCOLLECTION (POINT (1 1))"] * 40,
+            ["POLYGON EMPTY"] * 40,
+            ["POINT (1 2)"] * 39 + ["LINESTRING (0 0, 1 1"],
+            ["POINT (1 2)"] * 39 +
+            ["POLYGON ((1 2 3, 4 5 6, 7 8 9, 1 2 3))"],   # bare-Z width
+            ["POINT (1 2)"] * 39 + ["FOO (1 2)"],
+            ["POINT (1 2)"] * 39 + ["POINT (1 2) junk"],
+            ["POINT (1 2)"] * 39 + ["POINT M (1 2 3)"],
+            ["POINT (1 2)"] * 39 + ["POINT ((1 2))"],
+            ["POINT (1 2)"] * 39 + ["POLYGON (0 0, 1 0, 1 1, 0 0)"],
+            ["POINT (1 2)"] * 39 + ["POINT (1 x 2)"],
+        ]
+        for i, bb in enumerate(bails):
+            assert wkt._parse_array_fast(bb) is None, f"case {i}"
+        # and parse_array still raises through the cursor parser
+        with pytest.raises(ValueError):
+            wkt.parse_array(["POINT (1 2)"] * 39 + ["FOO (1 2)"])
+
     def test_wkb_roundtrip(self):
         samples = [
             "POINT (3 7)",
