@@ -38,6 +38,13 @@ _ISO_M = 2000
 def _parse_header(buf, pos):
     """Return (gtype, has_z, has_m, new_pos, endian_char)."""
     byteorder = buf[pos]
+    if byteorder not in (0, 1):
+        # r12 malformed-input fuzz: a corrupted flag previously fell
+        # through to ">" and surfaced as a bogus "unsupported type
+        # code" — name the actual defect so 100-TB ingest fails
+        # actionably
+        raise ValueError(f"unsupported WKB byte-order flag "
+                         f"0x{byteorder:02x} (must be 00 or 01)")
     e = "<" if byteorder == 1 else ">"
     (raw,) = struct.unpack_from(e + "I", buf, pos + 1)
     pos += 5

@@ -235,6 +235,23 @@ def _parse_geom(c: _Cursor, builder: GeometryBuilder):
             zm = ""
         builder.append(t, parts, zm=zm)
 
+    def _check_rings(rings):
+        """GEOS WKT-reader parity (r12 malformed-input fuzz): polygon
+        rings must close and carry >= 4 points — the kernel's ring
+        kernels assume closure (ring[:-1] bodies), so silently
+        accepting an open ring corrupts areas instead of failing the
+        ingest actionably."""
+        for ring in rings:
+            if len(ring) < 4:
+                raise ValueError(
+                    f"WKT polygon ring must have >= 4 points, got "
+                    f"{len(ring)} in {s[:80]!r}")
+            if ring[0][0] != ring[-1][0] or ring[0][1] != ring[-1][1]:
+                raise ValueError(
+                    f"WKT polygon ring is not closed (starts "
+                    f"{ring[0][:2].tolist()}, ends "
+                    f"{ring[-1][:2].tolist()}) in {s[:80]!r}")
+
     if t == GT_POINT:
         pts = _parse_coord_seq(c, dim)
         w = pts.shape[1]
@@ -247,7 +264,9 @@ def _parse_geom(c: _Cursor, builder: GeometryBuilder):
     elif t == GT_LINESTRING:
         _append_parts([[_parse_coord_seq(c, dim)]])
     elif t == GT_POLYGON:
-        _append_parts([_parse_rings(c, dim)])
+        rings = _parse_rings(c, dim)
+        _check_rings(rings)
+        _append_parts([rings])
     elif t == GT_MULTIPOINT:
         c.expect("(")
         parts = []
@@ -280,7 +299,9 @@ def _parse_geom(c: _Cursor, builder: GeometryBuilder):
         c.expect("(")
         parts = []
         while True:
-            parts.append(_parse_rings(c, dim))
+            rings = _parse_rings(c, dim)
+            _check_rings(rings)
+            parts.append(rings)
             if c.peek() == ",":
                 c.expect(",")
                 continue
@@ -533,8 +554,20 @@ def _parse_array_fast(values):
     np.cumsum(rings_per_part, out=part_offsets[1:])
     ring_offsets = np.zeros(nrings + 1, dtype=np.int64)
     np.cumsum(rc // 2, out=ring_offsets[1:])
+    coords = vals.reshape(-1, 2)
+    # polygon rings must close with >= 4 points (same rule the cursor
+    # parser enforces) — violations bail so the fallback raises the
+    # actionable error
+    pring = np.isin(tpr, (GT_POLYGON, GT_MULTIPOLYGON))
+    if pring.any():
+        if (rc[pring] // 2 < 4).any():
+            return None
+        f = coords[ring_offsets[:-1][pring]]
+        last = coords[ring_offsets[1:][pring] - 1]
+        if (f != last).any():
+            return None
     return GeometryArray(types, geom_offsets, part_offsets, ring_offsets,
-                         vals.reshape(-1, 2))
+                         coords)
 
 
 def parse_array(values) -> GeometryArray:

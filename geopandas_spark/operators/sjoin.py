@@ -444,11 +444,20 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
 
     cell_index = _bcast_cell_index(rbounds, pad)
 
+    out_names = [f.name for f in out_schema.fields]
+
     def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        # mapInArrow, not mapInPandas (r12): attribute columns ride
+        # through UNTOUCHED Arrow buffers. The pandas round trip
+        # converted every NaN double — top-level, array, struct, or map
+        # value — to NULL on re-encode (pandas conflates NaN with
+        # missing), silently corrupting pass-through attributes; pure
+        # Arrow take() is bit-exact and skips the conversion cost.
+        import pyarrow as pa
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            lga = wkb.decode(pdf[geom_left].tolist())
+            lga = wkb.decode(b.column(geom_left).to_pylist())
             lb = algos.bounds(lga)
             if cell_index is None:
                 li = np.empty(0, dtype=np.int64)
@@ -456,8 +465,8 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
             else:
                 li, rj = _bcast_candidates(lb, rbounds, cell_index, pad)
             if on_attribute and len(li):
-                lattrs = list(pdf[on_attribute].itertuples(index=False,
-                                                           name=None))
+                lattrs = list(zip(*[b.column(c).to_pylist()
+                                    for c in on_attribute]))
                 keep = np.fromiter(
                     (lattrs[i] == rattrs[j] for i, j in zip(li, rj)),
                     dtype=bool, count=len(li))
@@ -465,18 +474,19 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
             if len(li):
                 ok = _refine_pairs(lga, rga, li, rj, predicate, distance)
                 li, rj = li[ok], rj[ok]
-            seen = np.zeros(len(pdf), dtype=bool)
+            seen = np.zeros(b.num_rows, dtype=bool)
             seen[li] = True
             if emit_unmatched:
                 un = np.nonzero(~seen)[0]
                 li = np.concatenate([li, un])
                 rj = np.concatenate([rj, np.full(len(un), -1,
                                                  dtype=np.int64)])
-            out = pdf.iloc[li].copy()
-            out[ridx_col] = rj
-            yield out
+            ti = pa.array(li, type=pa.int64())
+            cols = [b.column(i).take(ti) for i in range(b.num_columns)]
+            cols.append(pa.array(rj, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
-    pairs = left.mapInPandas(run, schema=out_schema)
+    pairs = left.mapInArrow(run, schema=out_schema)
 
     right_i = spark.createDataFrame(
         [tuple(r) + (int(loc_of_row[k]),) for k, r in enumerate(full_rows)],
@@ -1285,11 +1295,17 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                             [StructField(ridx_col, LongType(), True),
                              StructField(dcol, DoubleType(), True)])
 
+    out_names = [f.name for f in out_schema.fields]
+
     def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        # mapInArrow (r12): see the broadcast sjoin's run() — the pandas
+        # round trip nulled NaN attribute values; Arrow take() is
+        # bit-exact and skips converting pass-through columns
+        import pyarrow as pa
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            lga = wkb.decode(pdf[geom_left].tolist())
+            lga = wkb.decode(b.column(geom_left).to_pylist())
             li_out, ri_out, d_out = [], [], []
             lpt = (lga.types == 1).all() and lga.n_coords == len(lga)
             if rpt and lpt:
@@ -1424,12 +1440,20 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                         li_out.append(int(i))
                         ri_out.append(-1)
                         d_out.append(np.nan)
-            out = pdf.iloc[li_out].copy()
-            out[ridx_col] = np.array(ri_out, dtype=np.int64)
-            out[dcol] = np.array(d_out, dtype=np.float64)
-            yield out
+            ti = pa.array(np.asarray(li_out, dtype=np.int64),
+                          type=pa.int64())
+            cols = [b.column(i).take(ti) for i in range(b.num_columns)]
+            cols.append(pa.array(np.asarray(ri_out, dtype=np.int64),
+                                 type=pa.int64()))
+            # unmatched rows carry dist NULL (left-join semantics, and
+            # what the SQL oracle's LEFT JOIN produces) — matched
+            # distances are always finite
+            darr = np.asarray(d_out, dtype=np.float64)
+            cols.append(pa.array(darr, type=pa.float64(),
+                                 mask=np.isnan(darr)))
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
-    pairs = left.mapInPandas(run, schema=out_schema)
+    pairs = left.mapInArrow(run, schema=out_schema)
     right_i = left.sparkSession.createDataFrame(
         [tuple(r) + ((int(loc_of_row[k]) if rpt else k),)
          for k, r in enumerate(full_right_rows)],

@@ -3,7 +3,7 @@
 - ``enrich_stream``: stream-static spatial join — tags each streaming
   geometry with the attributes of the static polygons it intersects. The
   static side is collected once and probed per micro-batch inside the same
-  vectorized mapInPandas harness the batch broadcast sjoin uses; the final
+  vectorized mapInArrow harness the batch broadcast sjoin uses; the final
   attach is a stream-static broadcast equi-join (natively supported by
   Structured Streaming).
 - ``windowed_union``: watermarked tumbling/sliding-window geometric union.

@@ -82,6 +82,30 @@ def test_sjoin_nearest(spark, points):
     assert len(rows) == 30
 
 
+def test_sjoin_preserves_nan_attributes(spark, boxes):
+    """r12 regression: the sjoin pair generators run mapInArrow, not
+    mapInPandas — the pandas round trip silently converted every NaN
+    double (top-level, array element, struct field, map value) in
+    pass-through attribute columns to NULL. NaN must come out as NaN
+    and NULL as NULL, in both sjoin and sjoin_nearest."""
+    import math
+
+    rows = [(0, 5.0, float("nan")), (1, 15.0, 2.5), (2, 25.0, None)]
+    pts = (spark.createDataFrame(rows, ["pid", "x", "score"])
+           .withColumn("geom", st.point("x", F.lit(1.0)))
+           .withColumn("arr", F.array(F.col("score"), F.lit(1.0)))
+           .withColumn("m", F.create_map(F.lit("s"), F.col("score")))
+           .drop("x"))
+    for out in (sjoin(pts, boxes, predicate="intersects",
+                      strategy="broadcast"),
+                sjoin_nearest(pts, boxes, distance_col="d")):
+        got = {r.pid: r for r in out.collect()}
+        assert math.isnan(got[0].score) and got[2].score is None
+        assert math.isnan(got[0].arr[0]) and got[2].arr[0] is None
+        assert math.isnan(got[0].m["s"]) and got[2].m["s"] is None
+        assert got[1].score == 2.5
+
+
 def test_dissolve_counts(points, boxes):
     tagged = sjoin(points, boxes, predicate="intersects",
                    strategy="broadcast")
@@ -260,6 +284,36 @@ def test_overlay_union_with_map_column(spark, polys1, polys2):
                .select("meta", "nested").collect())
     assert all(isinstance(r.meta, dict) and "k" in r.meta for r in rows)
     assert all(r.nested[0]["n"] in (2, 4) for r in rows)
+
+
+def test_overlay_map_column_edge_values(spark, polys1, polys2):
+    """r12 (ADVICE): the to_json/from_json ride-along must preserve the
+    values JSON itself can't represent — NaN/Infinity doubles and
+    binary nested in map values. Spark encodes them as "NaN"/
+    "Infinity" strings and base64 and decodes them back byte-exact
+    (verified here so a Spark behavior change fails loudly instead of
+    silently nulling attributes)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geopandas_spark.operators import overlay
+    p1 = (polys1
+          .withColumn("meta", F.create_map(
+              F.lit("nan"), F.lit(float("nan")).cast("double"),
+              F.lit("inf"), F.lit(float("inf")).cast("double"),
+              F.lit("v"), F.col("df1_id").cast("double")))
+          .withColumn("blob", F.create_map(
+              F.lit("b"), F.unhex(F.lit("00FF62696E")))))
+    out = overlay(p1, polys2, "union", strategy="broadcast")
+    rows = (out.filter(F.col("meta").isNotNull())
+               .select("meta", "blob").collect())
+    assert rows
+    for r in rows:
+        assert math.isnan(r.meta["nan"])
+        assert math.isinf(r.meta["inf"])
+        assert r.meta["v"] in (1.0, 2.0)
+        assert bytes(r.blob["b"]) == b"\x00\xffbin"
 
 
 def test_overlay_identity(polys1, polys2):
