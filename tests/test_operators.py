@@ -82,6 +82,44 @@ def test_sjoin_nearest(spark, points):
     assert len(rows) == 30
 
 
+def test_sjoin_nearest_xr_radius_boundary_ties(spark):
+    """r12 (fuzz frontier 6d): the unbounded expanding-radius grid path
+    must return the EXACT tie set even when the true-nearest distance
+    falls exactly on a radius-ring boundary. Lattice rights + lattice
+    lefts make ring-radius coincidences common; 4-way exact ties pin
+    completeness. Referee: the broadcast path (tie-complete, refereed
+    elsewhere)."""
+    import itertools
+
+    rights = [(i * 100 + j, float(i), float(j))
+              for i, j in itertools.product(range(0, 33, 4), repeat=2)]
+    rdf = (spark.createDataFrame(rights, ["sid", "x", "y"])
+           .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+    # lefts: lattice cell centers (4-way exact ties), lattice-coincident
+    # points (0-distance), and irrational offsets (no ties)
+    lefts = ([(k, 2.0 + 4 * (k % 8), 2.0 + 4 * (k // 8))
+              for k in range(64)] +
+             [(100 + k, float(4 * k), float(4 * k)) for k in range(8)] +
+             [(200 + k, 4 * k + 0.7071, 4 * k + 1.4142)
+              for k in range(8)])
+    ldf = (spark.createDataFrame(lefts, ["pid", "x", "y"])
+           .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+
+    def collect(strategy):
+        out = sjoin_nearest(ldf, rdf, distance_col="d",
+                            strategy=strategy)
+        m = {}
+        for r in out.collect():
+            m.setdefault(r.pid, set()).add((r.sid, round(r.d, 9)))
+        return m
+
+    grid = collect("grid")
+    bcast = collect("broadcast")
+    assert grid == bcast
+    # the cell-center lefts tie 4 ways exactly
+    assert all(len(grid[k]) == 4 for k in range(64))
+
+
 def test_sjoin_preserves_nan_attributes(spark, boxes):
     """r12 regression: the sjoin pair generators run mapInArrow, not
     mapInPandas — the pandas round trip silently converted every NaN
