@@ -243,6 +243,14 @@ def main():
              .config("spark.sql.shuffle.partitions", CPUS)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "48g")
+             # local-mode split sizing: the scale dirs are 100 ~11 MB
+             # files; the 128 MB default bins them into ~34 splits for
+             # 32 cores (a 2-task serial tail) and serializes cold-read
+             # IO — 16 MB gives ~4 splits/core (pricing_summary cold
+             # 5.3 s → 2.0 s, measured r12). At cluster scale with
+             # 128 MB+ row groups the default is right; this is a
+             # bench-VM setting, not an engine default.
+             .config("spark.sql.files.maxPartitionBytes", "16m")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
@@ -363,6 +371,26 @@ def main():
             # verdict — min-of-N converges to warm steady state.
             calib = _session_calib(spark)
             floor = 2.5 * max(1.0, calib / 0.35)
+            # Permanently floor-gated queries (VERDICT r11 #5 — the
+            # standing adjudication, so this stops consuming a punch-
+            # list slot): their residual gap to the twin is Spark
+            # job-scheduling constant, not plan or kernel, so the 2.0x
+            # ratio measures the scheduler. The absolute floor still
+            # gates them — a real plan/kernel regression fails loudly.
+            # - cosine_topk: plan = collect(<=k query vectors) + ONE
+            #   mapInArrow scoring scan + WindowGroupLimit rank = 2
+            #   jobs; r10-vs-r11 kernel A/B bit-identical and faster;
+            #   measured band 0.62-1.01 s across sessions = 2 jobs x
+            #   the 0.3-0.5 s session constant, vs a 0.35 s single-
+            #   process twin scan (PLAN_AUDIT r11/r12).
+            # - buffer_centroid_sweep: the twin is closed-form
+            #   arithmetic (DuckDB has no spatial buffer), so the ratio
+            #   compares real 64-segment ring construction + WKB
+            #   round-trips against a multiply-add — incomparable by
+            #   construction; the floor catches regressions (honest
+            #   r12 cost: 1.7 s warm at the 100x tier after the bulk
+            #   point-buffer and vectorized-centroid kernels).
+            FLOOR_GATED = {"cosine_topk", "buffer_centroid_sweep"}
             ratio_gate = {}
             for qn, tv in bt_times.items():
                 bv = (bt_base or {}).get(qn)
@@ -385,10 +413,14 @@ def main():
                                           "error": str(e)[:200]}
                         continue
                 ratio = tv / bv
-                ratio_gate[qn] = {
+                entry_ = {
                     "ratio": round(ratio, 2),
                     "pass": bool(ratio <= 2.0 or tv <= floor),
                 }
+                if qn in FLOOR_GATED:
+                    entry_["floor_gated"] = True
+                    entry_["pass"] = bool(tv <= floor)
+                ratio_gate[qn] = entry_
             ratio_gate["_calibration"] = {
                 "calib_sec": round(calib, 3),
                 "floor_sec": round(floor, 3),

@@ -2583,7 +2583,84 @@ def centroid(ga: GeometryArray) -> GeometryArray:
     cx = np.full(n, np.nan)
     cy = np.full(n, np.nan)
     types = ga.types
-    for i in range(n):
+    # r12: vectorized paths for the three homogeneous row classes — the
+    # per-row loop (two ndarray.mean calls per row) was ~25 µs/row and
+    # dominated the honest buffer/centroid sweep. Accumulation order
+    # mirrors the loop exactly (per ring in ring order, per part in part
+    # order), so decided rows are bit-identical; degenerate rows
+    # (zero-area polygons, zero-length lines), multipoints (np.mean's
+    # pairwise summation differs from sequential bincount) and GC rows
+    # fall through to the loop.
+    done = ga.is_missing() | ga.is_empty()
+    cpg = ga.coords_per_geom()
+    if n and ga.n_coords:
+        co = ga.coords
+        nrings = ga.n_rings
+        ring_sizes = np.diff(ga.ring_offsets)
+        row_of_part = np.repeat(np.arange(len(ga.geom_offsets) - 1),
+                                np.diff(ga.geom_offsets))
+        part_of_ring = np.repeat(np.arange(len(ga.part_offsets) - 1),
+                                 np.diff(ga.part_offsets))
+        row_of_ring = row_of_part[part_of_ring]
+        last = ga.ring_offsets[1:] - 1
+        segmask = np.ones(ga.n_coords, dtype=bool)
+        segmask[last[last >= 0]] = False
+        sidx = np.nonzero(segmask)[0]
+        ring_of_coord = np.repeat(np.arange(nrings), ring_sizes)
+        seg_ring = ring_of_coord[sidx]
+        x0 = co[sidx, 0]
+        y0 = co[sidx, 1]
+        x1 = co[sidx + 1, 0]
+        y1 = co[sidx + 1, 1]
+        # polygons: ring shoelace + second moments, holes negated
+        poly = np.isin(types, (GT_POLYGON, GT_MULTIPOLYGON)) & ~done
+        if poly.any():
+            cr = x0 * y1 - x1 * y0
+            a_ring = 0.5 * np.bincount(seg_ring, cr, minlength=nrings)
+            sx_ring = np.bincount(seg_ring, (x0 + x1) * cr,
+                                  minlength=nrings) / 6.0
+            sy_ring = np.bincount(seg_ring, (y0 + y1) * cr,
+                                  minlength=nrings) / 6.0
+            shell = np.arange(nrings) == ga.part_offsets[part_of_ring]
+            flip = np.where(shell, 1.0, -1.0) * np.sign(a_ring)
+            pr = poly[row_of_ring]
+            A = np.bincount(row_of_ring[pr], (flip * a_ring)[pr],
+                            minlength=n)
+            SX = np.bincount(row_of_ring[pr], (flip * sx_ring)[pr],
+                             minlength=n)
+            SY = np.bincount(row_of_ring[pr], (flip * sy_ring)[pr],
+                             minlength=n)
+            ok = poly & (A != 0)
+            cx[ok] = SX[ok] / A[ok]
+            cy[ok] = SY[ok] / A[ok]
+            done |= ok
+        # lines: length-weighted segment midpoints, per part then row
+        lin = np.isin(types, (GT_LINESTRING, GT_MULTILINESTRING)) & ~done
+        if lin.any():
+            seg = np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+            nparts = len(ga.part_offsets) - 1
+            part_of_seg = part_of_ring[seg_ring]
+            Lp = np.bincount(part_of_seg, seg, minlength=nparts)
+            SXp = np.bincount(part_of_seg, seg * ((x0 + x1) / 2.0),
+                              minlength=nparts)
+            SYp = np.bincount(part_of_seg, seg * ((y0 + y1) / 2.0),
+                              minlength=nparts)
+            lp = lin[row_of_part]
+            L = np.bincount(row_of_part[lp], Lp[lp], minlength=n)
+            SX = np.bincount(row_of_part[lp], SXp[lp], minlength=n)
+            SY = np.bincount(row_of_part[lp], SYp[lp], minlength=n)
+            ok = lin & (L > 0)
+            cx[ok] = SX[ok] / L[ok]
+            cy[ok] = SY[ok] / L[ok]
+            done |= ok
+        # single-coord points: centroid is the point itself
+        pt = (types == GT_POINT) & (cpg == 1) & ~done
+        if pt.any():
+            off = ga.coord_offsets_per_geom()[:-1][pt]
+            cx[pt] = co[off, 0]
+            cy[pt] = co[off, 1]
+            done |= pt
+    for i in np.nonzero(~done)[0]:
         t = int(types[i])
         if t == GT_MISSING:
             continue
@@ -3074,6 +3151,27 @@ def _buffer_impl(ga: GeometryArray, dist, quad_segs: int = 16,
     vertex layout differs (documented deviation)."""
     dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
     nseg = 4 * quad_segs
+    # bulk fast path (r12): a batch of pure POINT rows with round caps
+    # builds every ring in ONE vectorized pass — identical formulas to
+    # the per-row branch below (bit-exact), but the per-row
+    # GeometryBuilder costs ~3 µs/row, which under the honest bench
+    # protocol was the entire buffer_centroid_sweep headline
+    if (cap_style == "round" and not single_sided and len(ga) > 1 and
+            (ga.types == GT_POINT).all() and
+            (ga.coords_per_geom() == 1).all() and (dist > 0).all()):
+        n = len(ga)
+        ang = 2 * np.pi * np.arange(nseg) / nseg
+        coords = np.empty((n, nseg + 1, 2))
+        coords[:, :nseg, 0] = ga.coords[:, 0:1] + dist[:, None] * \
+            np.cos(ang)[None, :]
+        coords[:, :nseg, 1] = ga.coords[:, 1:2] + dist[:, None] * \
+            np.sin(ang)[None, :]
+        coords[:, nseg] = coords[:, 0]
+        one = np.arange(n + 1, dtype=np.int64)
+        return GeometryArray(np.full(n, GT_POLYGON, np.uint8), one,
+                             one.copy(),
+                             one * np.int64(nseg + 1),
+                             coords.reshape(-1, 2))
     b = GeometryBuilder()
     for i in range(len(ga)):
         t = int(ga.types[i])

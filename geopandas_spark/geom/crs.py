@@ -558,6 +558,15 @@ def _q_to_phi(q, e_):
             under = _aea_q(mid, e_) < qt
             lo = np.where(under, mid, lo)
             hi = np.where(under, hi, mid)
+            # early exit once every interval has collapsed to adjacent
+            # doubles (~47 iterations from a 0.0175 rad span; r12
+            # ADVICE — the remaining fixed iterations were pure waste).
+            # Residual: q is quadratically flat at the pole, so the
+            # recovered phi carries an irreducible ~1e-8 rad (~6 cm)
+            # error there — pinned by the edge-of-domain round-trip
+            # fuzz (test_crs round-trips at |lat| -> 90).
+            if float((hi - lo).max()) <= 4e-16:
+                break
         phi[near] = np.sign(phi[near]) * 0.5 * (lo + hi)
     return phi[0] if scalar else phi
 

@@ -70,6 +70,11 @@ class TestCodecs:
                 f"{rng.uniform(-100, 100):.6g} {rng.uniform(-100, 100):.6g}"
                 for _ in range(k))
 
+        def ring(k):
+            body = pts(k)
+            first = body.split(",")[0].strip()
+            return f"{body}, {first}"
+
         def rand_wkt():
             u = rng.random()
             if u < 0.2:
@@ -77,11 +82,11 @@ class TestCodecs:
             if u < 0.4:
                 return f"LINESTRING ({pts(int(rng.integers(2, 6)))})"
             if u < 0.6:
-                hole = f", ({pts(4)})" if rng.random() < 0.4 else ""
+                hole = f", ({ring(4)})" if rng.random() < 0.4 else ""
                 return f"POLYGON ((0 0, 4 0, 4 4, 0 0){hole})"
             if u < 0.8:
                 return f"MULTILINESTRING (({pts(3)}), ({pts(2)}))"
-            return f"MULTIPOLYGON ((({pts(4)})), ((0 0, 1 0, 1 1, 0 0)))"
+            return f"MULTIPOLYGON ((({ring(4)})), ((0 0, 1 0, 1 1, 0 0)))"
 
         for _ in range(8):
             batch = [rand_wkt() if rng.random() > 0.1 else None
