@@ -4795,40 +4795,81 @@ FROM documents WHERE doc_id < 500
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ORDERING (r11 rotation; stamp-follows-change, VERDICT r8 #3):
+        # ORDERING (r12 rotation; stamp-follows-change, VERDICT r8 #3):
         # the driver stamps only the FIRST 50 entries into
-        # CORRECTNESS_r{N}.json. The r11 window = (a) 15 queries whose
-        # backing code changed THIS round — the vectorized lineal/
-        # polygonal intersects kernel + rect short-circuit (sjoin
-        # family, clip, predicates, overlay — overlay_identity/
-        # symdiff/intersection share the exact changed branches with
-        # the three overlay entries in-window and yielded their slots
-        # to the r7 cohort), the monster-aware grid sizing (sjoin
-        # family), the is_valid hole-pair pass (validity family), and
-        # the in-place centroid_scores accumulation (cosine/ivf/lsh);
-        # then (b) ALL 35 queries still carrying r7 stamps — after
-        # this round no stamp is older than r8 (the r10 VERDICT #2
-        # criterion). All queries run under tools/check_oracles.py
-        # regardless of position.
+        # CORRECTNESS_r{N}.json. The r12 window = (a) 15 queries whose
+        # backing code changed THIS round — the banded distance
+        # headline + pruned pairwise-distance kernel, the mapInArrow
+        # NaN-preserving sjoin pair generation (sjoin family), the
+        # batched hole-pair validity pass (validity family), the bulk
+        # point-buffer and vectorized-centroid kernels (buffer/
+        # centroid users), the WKT/WKB codec hardening + vectorized
+        # batch parser (codec_roundtrip), and the crs bisection early
+        # exit (albers/polar inverses); then (b) ALL 25 queries still
+        # carrying r8 stamps; then (c) 10 of the r9 cohort — after
+        # this round no stamp is older than r9 (rotation criterion).
+        # All 144 queries run under tools/check_oracles.py regardless
+        # of position.
+        "distance": q_distance,
         "sjoin": q_sjoin,
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
         "sjoin_nearest_xr": q_sjoin_nearest_xr,
+        "validity": q_validity,
+        "valid_reason_orient": q_valid_reason_orient,
+        "buffer": q_buffer,
+        "buffer_styles": q_buffer_styles,
+        "codec_roundtrip": q_codec_roundtrip,
+        "collect_bounds": q_collect_bounds,
+        "mbc_mrr": q_mbc_mrr,
+        "to_crs_albers": q_to_crs_albers,
+        "to_crs_polar": q_to_crs_polar,
+        "affine": q_affine,
+        "box_distance": q_box_distance,
+        "box_measures": q_box_measures,
+        "convex_hull": q_convex_hull,
+        "dedup_exact": q_dedup_exact,
+        "embed_dedup": q_embed_dedup,
+        "envelope": q_envelope,
+        "fingerprint": q_fingerprint,
+        "frame_sample": q_frame_sample,
+        "geom_value_counts": q_geom_value_counts,
+        "inscribed_clearance": q_inscribed_clearance,
+        "interpolate": q_interpolate,
+        "language_id": q_language_id,
+        "line_metrics": q_line_metrics,
+        "multimodal_meta": q_multimodal_meta,
+        "point_accessors": q_point_accessors,
+        "pricing_summary": q_pricing_summary,
+        "project": q_project,
+        "quality": q_quality,
+        "revenue_by_nation": q_revenue_by_nation,
+        "simhash": q_simhash,
+        "to_crs": q_to_crs,
+        "to_crs_parser": q_to_crs_parser,
+        "token_stats": q_token_stats,
+        "window_top_orders": q_window_top_orders,
+        "affine3d": q_affine3d,
+        "boundary": q_boundary,
+        "concave": q_concave,
+        "dedup_components": q_dedup_components,
+        "delaunay": q_delaunay,
+        "gc_setops": q_gc_setops,
+        "geomcollection": q_geomcollection,
+        "grid_size": q_grid_size,
+        "list_layers": q_list_layers,
+        "offset_eq": q_offset_eq,
         "clip": q_clip,
         "predicates": q_predicates,
         "overlay_union": q_overlay_union,
         "overlay_mixed": q_overlay_mixed,
         "overlay_difference": q_overlay_difference,
-        "validity": q_validity,
-        "valid_reason_orient": q_valid_reason_orient,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "lsh_topk": q_lsh_topk,
         "chunk_docs": q_chunk_docs,
         "clip_rect": q_clip_rect,
-        "codec_roundtrip": q_codec_roundtrip,
-        "collect_bounds": q_collect_bounds,
         "concat_cx": q_concat_cx,
         "coords_dump": q_coords_dump,
         "densify_distances": q_densify_distances,
@@ -4885,8 +4926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops": q_setops,
         "union_boxes": q_union_boxes,
         "union_overlap": q_union_overlap,
-        "buffer": q_buffer,
-        "distance": q_distance,
         "hilbert": q_hilbert,
         "explode": q_explode,
         "coverage": q_coverage,
@@ -4895,22 +4934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_all": q_intersection_all,
         "snap": q_snap,
         "simplify": q_simplify,
-        "offset_eq": q_offset_eq,
         "relate": q_relate,
-        "gc_setops": q_gc_setops,
-        "geomcollection": q_geomcollection,
         "polygonize_full": q_polygonize_full,
         "polygonize_buildarea": q_polygonize_buildarea,
-        "mbc_mrr": q_mbc_mrr,
         "union_lines": q_union_lines,
         "union_mixed": q_union_mixed,
-        "boundary": q_boundary,
-        "affine3d": q_affine3d,
-        "buffer_styles": q_buffer_styles,
-        "concave": q_concave,
-        "dedup_components": q_dedup_components,
-        "grid_size": q_grid_size,
-        "list_layers": q_list_layers,
         "pack_sequences": q_pack_sequences,
         "read_pushdown": q_read_pushdown,
         "subdivide": q_subdivide,
@@ -4922,38 +4950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_gpkg": q_rt_gpkg,
         "rt_kml": q_rt_kml,
         "rt_shapefile": q_rt_shapefile,
-        "to_crs_albers": q_to_crs_albers,
         "to_crs_bng": q_to_crs_bng,
         "to_crs_laea_merc": q_to_crs_laea_merc,
         "to_crs_lambert93": q_to_crs_lambert93,
-        "to_crs_polar": q_to_crs_polar,
         "to_crs_utm": q_to_crs_utm,
-        "delaunay": q_delaunay,
-        "to_crs_parser": q_to_crs_parser,
-        "pricing_summary": q_pricing_summary,
-        "to_crs": q_to_crs,
-        "point_accessors": q_point_accessors,
-        "box_measures": q_box_measures,
-        "convex_hull": q_convex_hull,
-        "affine": q_affine,
-        "line_metrics": q_line_metrics,
-        "box_distance": q_box_distance,
-        "envelope": q_envelope,
-        "interpolate": q_interpolate,
-        "project": q_project,
-        "inscribed_clearance": q_inscribed_clearance,
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "fingerprint": q_fingerprint,
-        "simhash": q_simhash,
-        "language_id": q_language_id,
-        "quality": q_quality,
-        "window_top_orders": q_window_top_orders,
-        "revenue_by_nation": q_revenue_by_nation,
-        "multimodal_meta": q_multimodal_meta,
-        "embed_dedup": q_embed_dedup,
-        "geom_value_counts": q_geom_value_counts,
-        "frame_sample": q_frame_sample,
     }
 
 
