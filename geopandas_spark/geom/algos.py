@@ -1605,6 +1605,93 @@ def _pairwise_edge_predicate_rows(ga, gb):
     return ea & eb
 
 
+def _sat_rows(g, rows):
+    """(eligible bool[nrows], ccw_sign float[nrows]) — single-ring
+    convex polygon rows, the convex-SAT precondition. Vectorized
+    mirror of _is_convex (wrap-around edge pair included); degenerate
+    zero-area rings are ineligible."""
+    n = len(rows)
+    ok = np.zeros(n, dtype=bool)
+    sign = np.zeros(n)
+    cand = np.nonzero((g.types[rows] == GT_POLYGON) &
+                      (g.rings_per_geom()[rows] == 1) &
+                      (g.coords_per_geom()[rows] >= 4))[0]
+    if len(cand) == 0:
+        return ok, sign
+    co = g.coord_offsets_per_geom()
+    nseg = g.coords_per_geom()[rows[cand]] - 1
+    ends = np.cumsum(nseg)
+    total = int(ends[-1])
+    local = np.arange(total) - np.repeat(ends - nseg, nseg)
+    idx0 = np.repeat(co[rows[cand]], nseg) + local
+    v = g.coords[idx0 + 1] - g.coords[idx0]
+    nxt = np.arange(total) + 1
+    nxt[ends - 1] = ends - nseg                  # wrap to ring start
+    cr = v[:, 0] * v[nxt, 1] - v[:, 1] * v[nxt, 0]
+    off = ends - nseg
+    mn = np.minimum.reduceat(cr, off)
+    mx = np.maximum.reduceat(cr, off)
+    conv = (mn >= -_EPS) | (mx <= _EPS)
+    area2 = np.add.reduceat(
+        g.coords[idx0, 0] * g.coords[idx0 + 1, 1] -
+        g.coords[idx0 + 1, 0] * g.coords[idx0, 1], off)
+    good = conv & (area2 != 0)
+    ok[cand[good]] = True
+    sign[cand[good]] = np.sign(area2[good])
+    return ok, sign
+
+
+def _sat_best(s0, s1, s_tgt, cnt_s_full, vx, vy, cnt_v_full,
+              sel, sign, nrows):
+    """Per selected row: min over the row's OWN edges of (max over the
+    partner's verts of the inside-signed cross) — one half of the
+    convex SAT. For a CCW convex polygon, its extreme projection on an
+    edge's outward normal IS that edge, so 'all partner verts strictly
+    outside some edge' == 'a separating axis exists among this side's
+    normals'. +inf where unselected; zero-length edges contribute +inf
+    (their axis is meaningless).
+
+    The cross is linearized per SEGMENT once — s = Dx·vy − Dy·vx − C
+    with the row's orientation sign folded into (Dx, Dy, C) — so each
+    expanded combo costs 5 scalar gathers + 4 flops instead of (N,2)
+    row gathers + 8 flops."""
+    best = np.full(nrows, np.inf)
+    sgnseg = sign[s_tgt]
+    Dx = (s1[:, 0] - s0[:, 0]) * sgnseg
+    Dy = (s1[:, 1] - s0[:, 1]) * sgnseg
+    C = Dx * s0[:, 1] - Dy * s0[:, 0]
+    zseg = (s1[:, 0] == s0[:, 0]) & (s1[:, 1] == s0[:, 1])
+    off_s = np.concatenate([[0], np.cumsum(cnt_s_full)])[:-1]
+    off_v = np.concatenate([[0], np.cumsum(cnt_v_full)])[:-1]
+    cnt_s = np.where(sel, cnt_s_full, 0)
+    cnt_v = np.where(sel, cnt_v_full, 0)
+    for lo, hi in _cross_chunks(cnt_s, cnt_v):
+        isg, iv, row = _expand_pairs(cnt_s, cnt_v, lo, hi, off_s, off_v)
+        if len(row) == 0:
+            continue
+        s = Dx[isg] * vy[iv]
+        s -= Dy[isg] * vx[iv]
+        s -= C[isg]
+        # combos are a-major per row: per-(row,edge) groups contiguous
+        ng = np.empty(len(isg), dtype=bool)
+        ng[0] = True
+        ng[1:] = isg[1:] != isg[:-1]
+        gs = np.nonzero(ng)[0]
+        smax = np.maximum.reduceat(s, gs)
+        segid = isg[gs]
+        smax[zseg[segid]] = np.inf
+        # per-row min: segid (hence its row) is sorted within the chunk
+        rt = s_tgt[segid]
+        rg_ = np.empty(len(rt), dtype=bool)
+        rg_[0] = True
+        rg_[1:] = rt[1:] != rt[:-1]
+        rs = np.nonzero(rg_)[0]
+        rmin = np.minimum.reduceat(smax, rs)
+        ur = rt[rs]
+        np.minimum.at(best, ur, rmin)      # ≤1 entry per row per chunk
+    return best
+
+
 def _poly_line_intersects_fast(ga, gb):
     """(fast_mask, results) for lineal/polygonal pairs — the sjoin,
     overlay and clip refine hot path, vectorized across the batch
@@ -1647,6 +1734,64 @@ def _poly_line_intersects_fast(ga, gb):
     big = (cnt_a.astype(np.int64) * cnt_b) > _FAST_PAIR_CAP
     if big.any():
         fast[rows[big]] = False
+    # convex×convex SAT (r12, VERDICT #3): single-ring convex pairs
+    # decide with (A-edges × B-verts) + (B-edges × A-verts) sign work —
+    # ~4 flops per combo vs ~20 for the generic segment-hit expansion,
+    # and no follow-up containment passes. A pair whose deciding margin
+    # falls inside the floating-point envelope stays on the generic
+    # exact path, so boundary semantics are unchanged (buffered points,
+    # convex hulls, envelopes and MBCs are the dominant real polygon
+    # classes this catches — 64-gon candidate refine ran at 0.05M
+    # pairs/s through the segment expansion).
+    sat_true = np.zeros(nrows, dtype=bool)
+    oka, sgna = _sat_rows(ga, rows)
+    okb, sgnb = _sat_rows(gb, rows)
+    sat_elig = live & ~big & oka & okb
+    if sat_elig.any():
+        bm = np.maximum(np.abs(ba[rows]).max(axis=1),
+                        np.abs(bb[rows]).max(axis=1))
+        ext = np.maximum(ba[rows, 2] - ba[rows, 0],
+                         bb[rows, 2] - bb[rows, 0])
+        ext = np.maximum(ext, np.maximum(ba[rows, 3] - ba[rows, 1],
+                                         bb[rows, 3] - bb[rows, 1]))
+        tol = 1e-14 * (1.0 + ext) * (1.0 + bm) + _EPS
+        # stage 1 — deep-overlap probe: the partner's bbox CENTER
+        # strictly inside decides True at (edges × 1) cost. Worth the
+        # extra passes only when the full cross product is big (the
+        # staging overhead exceeds the saving on ~8-vertex rings)
+        deep = np.zeros(nrows, dtype=bool)
+        szs = cnt_a_full[sat_elig] + cnt_b_full[sat_elig]
+        if len(szs) and float(np.median(szs)) > 24:
+            one_ = np.ones(nrows, dtype=np.int64)
+            cbx = (bb[rows, 0] + bb[rows, 2]) * 0.5
+            cby = (bb[rows, 1] + bb[rows, 3]) * 0.5
+            cax = (ba[rows, 0] + ba[rows, 2]) * 0.5
+            cay = (ba[rows, 1] + ba[rows, 3]) * 0.5
+            inA = _sat_best(a0, a1, ta_, cnt_a_full, cbx, cby, one_,
+                            sat_elig, sgna, nrows) > tol
+            inB = _sat_best(b0, b1, tb_, cnt_b_full, cax, cay, one_,
+                            sat_elig & ~inA, sgnb, nrows) > tol
+            deep = sat_elig & (inA | inB)
+        # stage 2 — full SAT, direction A; robust separation decides
+        # False without running direction B
+        rem = sat_elig & ~deep
+        va_, tva_ = _row_vertices(ga, rows)
+        vb_, tvb_ = _row_vertices(gb, rows)
+        cva_ = np.bincount(tva_, minlength=nrows)
+        cvb_ = np.bincount(tvb_, minlength=nrows)
+        bestA = _sat_best(a0, a1, ta_, cnt_a_full, vb_[:, 0], vb_[:, 1],
+                          cvb_, rem, sgna, nrows)
+        sepA = rem & (bestA < -tol)
+        rem2 = rem & ~sepA
+        bestB = _sat_best(b0, b1, tb_, cnt_b_full, va_[:, 0], va_[:, 1],
+                          cva_, rem2, sgnb, nrows)
+        best = np.minimum(bestA, bestB)
+        dec2 = rem2 & np.isfinite(best) & (np.abs(best) > tol)
+        dec = deep | sepA | dec2
+        sat_true = deep | (dec2 & (best > 0))
+        live = live & ~dec
+        cnt_a = np.where(live, cnt_a_full, 0)
+        cnt_b = np.where(live, cnt_b_full, 0)
     hit = np.zeros(nrows, dtype=bool)
     # offsets index the concatenated segment arrays → FULL counts
     off_a = np.concatenate([[0], np.cumsum(cnt_a_full)])[:-1]
@@ -1679,7 +1824,7 @@ def _poly_line_intersects_fast(ga, gb):
             hit |= _vectorized_vertex_in_poly(
                 va[:, 0], va[:, 1], tva, b0, b1, tb_,
                 cva, cnt_b_full, sel, nrows)
-    res[rows[~big]] = hit[~big] | rect_pair[~big]
+    res[rows[~big]] = hit[~big] | rect_pair[~big] | sat_true[~big]
     return fast, res
 
 

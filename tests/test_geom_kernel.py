@@ -2421,6 +2421,48 @@ def test_crs_edge_of_domain_roundtrips():
        [-60, 0, 29.5, 45.5, 80, 89.9, 90.0], 1e-6)
 
 
+def test_convex_sat_intersects_parity():
+    """r12 (VERDICT #3): the staged convex×convex SAT decides
+    intersects for single-ring convex pairs (buffered points, hulls,
+    envelopes); ambiguous margins fall back. Differential parity vs
+    the per-pair exact path on buffered points (incl. exactly-touching
+    circles), shifted convex rings, and mixed convex/star/holed/line
+    ensembles."""
+    from geopandas_spark.geom.array import GeometryArray, points_from_xy
+
+    rng = np.random.default_rng(11)
+    N = 2500
+    pa = points_from_xy(rng.uniform(0, 120, N), rng.uniform(0, 120, N))
+    pb = points_from_xy(pa.coords[:, 0] + rng.uniform(-8, 8, N),
+                        pa.coords[:, 1] + rng.uniform(-8, 8, N))
+    A = algos.buffer(pa, 3.0)
+    B = algos.buffer(pb, 3.0)
+    slow = algos._pairwise(A, B, algos._pair_intersects, bool, False)
+    assert int((algos.intersects(A, B) != slow).sum()) == 0
+    # exactly-touching circles (centers 2r apart on the axis)
+    c1 = points_from_xy(np.arange(60) * 10.0, np.zeros(60))
+    c2 = points_from_xy(np.arange(60) * 10.0 + 6.0, np.zeros(60))
+    C1, C2 = algos.buffer(c1, 3.0), algos.buffer(c2, 3.0)
+    s2 = algos._pairwise(C1, C2, algos._pair_intersects, bool, False)
+    assert int((algos.intersects(C1, C2) != s2).sum()) == 0
+    # shifted convex rings: dense hit mix
+    ws = []
+    for i in range(800):
+        cx, cy = rng.uniform(0, 100, 2)
+        k = int(rng.integers(5, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = float(rng.uniform(2, 3))
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        p = ", ".join(f"{x:.4f} {y:.4f}" for x, y in zip(xs, ys))
+        ws.append(f"POLYGON (({p}, {xs[0]:.4f} {ys[0]:.4f}))")
+    Ca = ga_from_wkt(*ws)
+    Cd = GeometryArray(Ca.types, Ca.geom_offsets, Ca.part_offsets,
+                       Ca.ring_offsets, Ca.coords + np.array([[1.5, -2.0]]))
+    s3 = algos._pairwise(Ca, Cd, algos._pair_intersects, bool, False)
+    assert int((algos.intersects(Ca, Cd) != s3).sum()) == 0
+
+
 def test_vectorized_distance_covers_parity():
     """r11: the vectorized pairwise distance and covers/contains screen
     agree with the per-pair reference paths on every decided row

@@ -134,8 +134,17 @@ def _gate_scale(spark):
     failing it. The scale is the WORSE of the two components — the
     gated workloads are Python-heavy, and the r11 monster-mix flap
     came from JVM-only calibration under-reading a Python-side slow
-    phase. Returns (calib_desc, scale>=1)."""
+    phase. Returns (calib_desc, scale>=1).
+
+    r12: calibration itself runs on RECOVERED weather (same _recover
+    gate as the timed runs) — a calib job measured inside a collapse
+    window over-reads the constant and silently inflates the budget
+    (judge r11: one IVF calib read 7.5x -> a 1,132 s budget; this
+    session pre-fix: jvm calib 2.17 s right after fuzzy-dedup -> 6.2x).
+    Since the gated run now also starts recovered, the recovered
+    constant is the right scale for it."""
     from bench import _session_calib
+    _recover(spark)
     jvm = _session_calib(spark)
     py = _py_calib(spark)
     scale = max(1.0, jvm / 0.35, py / 0.48)
