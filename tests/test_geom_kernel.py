@@ -2421,6 +2421,32 @@ def test_crs_edge_of_domain_roundtrips():
        [-60, 0, 29.5, 45.5, 80, 89.9, 90.0], 1e-6)
 
 
+def test_carry_z_disjoint_mixed_dimension_union():
+    """r12 (ADVICE): pins _carry_z's nearest-input-vertex fallback on
+    DISJOINT mixed-dimension unions — output coordinates originating
+    purely from a 2-D operand are stamped with the nearest Z-bearing
+    input vertex's Z (here: the other operand's). DOCUMENTED DEVIATION
+    from GEOS OverlayNG, which may leave such components Z-less; the
+    engine keeps rows uniformly dimensioned (a row is 3-D iff its
+    first coord carries Z), so a mixed-Z multilinestring cannot
+    represent per-part missing Z. If this contract changes, this test
+    must change with it."""
+    ga = ga_from_wkt("LINESTRING Z (0 0 5, 1 1 7)")
+    gb = ga_from_wkt("LINESTRING (10 10, 11 11)")
+    u = algos.union(ga, gb)
+    assert wkt.format_array(u) == [
+        "MULTILINESTRING Z ((0 0 5, 1 1 7), (10 10 7, 11 11 7))"]
+    gc_ = ga_from_wkt("POLYGON Z ((0 0 3, 4 0 3, 4 4 9, 0 4 9, 0 0 3))")
+    gd = ga_from_wkt("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))")
+    u2 = algos.union(gc_, gd)
+    assert wkt.format_array(u2) == [
+        "MULTIPOLYGON Z (((0 0 3, 4 0 3, 4 4 9, 0 4 9, 0 0 3)), "
+        "((10 10 9, 12 10 9, 12 12 9, 10 12 9, 10 10 9)))"]
+    # pure-2-D unions stay 2-D
+    u3 = algos.union(gd, gd)
+    assert "Z" not in wkt.format_array(u3)[0]
+
+
 def test_convex_sat_intersects_parity():
     """r12 (VERDICT #3): the staged convex×convex SAT decides
     intersects for single-ring convex pairs (buffered points, hulls,
