@@ -336,11 +336,22 @@ def decode(values) -> GeometryArray:
     mbuf = (np.full(coord_start[-1], np.nan)
             if fb_ga is not None and fb_ga.m is not None else None)
 
-    # bucket parse: one frombuffer per (endianness, type, length) group
+    # bucket parse: one frombuffer per (endianness, type, length) group.
+    # r12: buckets come from ONE argsort + boundary split — the former
+    # per-unique-key nonzero scan was O(buckets x n) on varied batches
     hdr = {GT_POINT: 5, GT_LINESTRING: 9, GT_POLYGON: 13}
     keys = tcode * (1 << 40) + lens + bigend.astype(np.int64) * (1 << 50)
-    for key in np.unique(keys[simple]):
-        rows = np.nonzero(keys == key)[0]
+    srows_all = np.nonzero(simple)[0]
+    sorder = np.argsort(keys[srows_all], kind="stable")
+    srows_all = srows_all[sorder]
+    skeys = keys[srows_all]
+    bnds = np.concatenate([[0], np.nonzero(skeys[1:] != skeys[:-1])[0] + 1,
+                           [len(skeys)]]) if len(skeys) else np.zeros(1,
+                                                                      int)
+    for bi in range(len(bnds) - 1):
+        rows = np.sort(srows_all[bnds[bi]:bnds[bi + 1]])
+        if len(rows) == 0:
+            continue
         t = int(tcode[rows[0]])
         L = int(lens[rows[0]])
         k = len(rows)
@@ -388,9 +399,15 @@ def decode(values) -> GeometryArray:
                     coord_counts[i] = 0
                 # offsets already built; cheapest correct path: full redo
                 return _decode_fallback(vals)
-        dst = (coord_start[rows][:, None] +
-               np.arange(g_nv, dtype=np.int64)[None, :]).ravel()
-        coords[dst] = c.reshape(-1, 2)
+        dst0 = coord_start[rows]
+        if k == 1 or bool((np.diff(dst0) == g_nv).all()):
+            # contiguous destination (uniform batches): slice store,
+            # not a per-coordinate fancy store
+            coords[dst0[0]:dst0[0] + k * g_nv] = c.reshape(-1, 2)
+        else:
+            dst = (dst0[:, None] +
+                   np.arange(g_nv, dtype=np.int64)[None, :]).ravel()
+            coords[dst] = c.reshape(-1, 2)
 
     if fb_ga is not None:
         # fallback rows: copy ragged shapes row-by-row (few by construction)
