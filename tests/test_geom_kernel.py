@@ -2544,6 +2544,38 @@ def test_vectorized_distance_covers_parity():
     assert f.sum() > len(wa) * 0.9 and not bad.any(), \
         [(wa[i], wb[i], r[i], slow[i]) for i in np.nonzero(bad)[0][:3]]
     assert np.allclose(algos.distance(ga, gb), slow, equal_nan=True)
+    # r12 pruning paths: separated-bbox rows take the facing-vertex
+    # upper bound + bbox/projection element pruning; rect pairs take
+    # the closed form; monster rows (big vertex counts) exercise the
+    # prune at scale. All must stay bit-compatible with the per-pair
+    # path.
+    def wiggly(cx, cy, nv, seed):
+        rr = np.random.default_rng(seed)
+        ang = np.linspace(0, 2 * np.pi, nv + 1)[:-1]
+        rad = 2 + 0.8 * np.sin(5 * ang + rr.uniform(0, 6))
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        p = ", ".join(f"{x:.4f} {y:.4f}" for x, y in zip(xs, ys))
+        return f"POLYGON (({p}, {xs[0]:.4f} {ys[0]:.4f}))"
+
+    wa2, wb2 = [], []
+    rr = np.random.default_rng(77)
+    for i in range(120):
+        d = float(rr.uniform(0.1, 60))       # separated by varying gaps
+        wa2.append(wiggly(0, 0, int(rr.integers(8, 300)), i))
+        wb2.append(wiggly(6 + d, d * 0.3, int(rr.integers(8, 300)),
+                          1000 + i))
+    # exact rect pairs, overlapping-x / corner-separated / intersecting
+    wa2 += ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"] * 3
+    wb2 += ["POLYGON ((1 9, 3 9, 3 11, 1 11, 1 9))",
+            "POLYGON ((9 9, 12 9, 12 12, 9 12, 9 9))",
+            "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"]
+    ga2, gb2 = ga_from_wkt(*wa2), ga_from_wkt(*wb2)
+    slow2 = algos._pairwise(ga2, gb2, algos._pair_distance,
+                            np.float64, np.nan)
+    fast2 = algos.distance(ga2, gb2)
+    assert np.allclose(fast2, slow2, rtol=1e-12, equal_nan=True), \
+        np.nanmax(np.abs(fast2 - slow2))
     # covers / contains screens
     for req in (False, True):
         f, r = algos._covers_screen(ga, gb, req)
