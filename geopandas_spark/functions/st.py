@@ -1013,6 +1013,16 @@ def _f64_be(c: Column) -> Column:
     return F.unhex(F.lpad(F.hex(_f64_bits(c.cast("double"))), 16, "0"))
 
 
+# Expression-level peephole state (r12): Columns produced by st.point
+# remember their coordinate expressions, keyed by the JVM expression
+# tree's string form — structural equality of the tree implies value
+# equality, so a later st.distance over two remembered points can
+# rewrite to pure codegen arithmetic (the PostGIS
+# ST_Distance(ST_MakePoint(..), ST_MakePoint(..)) pattern) instead of
+# encode → Arrow hop → decode → sqrt. Bounded; cleared when full.
+_POINT_ARGS: dict = {}
+
+
 def point(x, y) -> Column:
     """WKB point constructor (Arrow-batched UDF — the measured default).
 
@@ -1023,7 +1033,15 @@ def point(x, y) -> Column:
     Arrow-batched numpy encode at the 100x bench tier (1.25 s vs 0.40 s
     per pass over 1.5M rows), and grid-join plans evaluate the constructor
     several times (stats probe, sample, cell explode, refine)."""
-    return _REGISTRY["st_point"](_col(x), _col(y))
+    xc, yc = _col(x), _col(y)
+    out = _REGISTRY["st_point"](xc, yc)
+    try:
+        if len(_POINT_ARGS) > 4096:
+            _POINT_ARGS.clear()
+        _POINT_ARGS[str(out._jc)] = (xc, yc)
+    except Exception:
+        pass
+    return out
 
 
 def point_native(x, y) -> Column:
@@ -1186,7 +1204,33 @@ def geom_equals_identical(a, b) -> Column:
 
 
 def distance(a, b) -> Column:
-    return _REGISTRY["st_distance"](_col(a), _col(b))
+    """Distance between geometry columns (Arrow-batched kernel).
+
+    Peephole (r12): when BOTH arguments are st.point(x, y) Columns
+    built in this session, rewrite to codegen'd
+    ``sqrt((x1-x2)² + (y1-y2)²)`` — identical values (the kernel's
+    all-points path computes the same sqrt(dx·dx + dy·dy) expressly
+    for SQL parity) and identical NULL propagation, but the plan stays
+    whole-stage JVM with no WKB encode/Arrow hop/decode round trip.
+    The lon/lat → point → distance pattern is the dominant pointwise
+    workload (PostGIS: ST_Distance(ST_MakePoint(..), ..)).
+
+    Known divergence on degenerate input: NaN coordinates yield NaN
+    here (SQL semantics, what the oracle computes); the Arrow path
+    yields NULL because a scalar pandas UDF cannot return NaN through
+    the pandas→Arrow boundary (the same artifact documented in
+    docs/geopandas-mapping.md)."""
+    a, b = _col(a), _col(b)
+    try:
+        pa_ = _POINT_ARGS.get(str(a._jc))
+        pb_ = _POINT_ARGS.get(str(b._jc))
+    except Exception:
+        pa_ = pb_ = None
+    if pa_ is not None and pb_ is not None:
+        dx = pa_[0].cast("double") - pb_[0].cast("double")
+        dy = pa_[1].cast("double") - pb_[1].cast("double")
+        return F.sqrt(dx * dx + dy * dy)
+    return _REGISTRY["st_distance"](a, b)
 
 
 def dwithin(a, b, d) -> Column:
