@@ -391,3 +391,31 @@ def test_polygonize_full_agg(spark):
     from geopandas_spark.geom import algos, wkt as wktm
     ga = wktm.parse_array(np.array([w for _g, w in rows], dtype=object))
     assert float(algos.area(algos.polygonize(ga)).sum()) == 2.0
+
+
+def test_distance_point_point_peephole(spark):
+    """r12: st.distance over two st.point Columns rewrites to codegen
+    sqrt — no ArrowEvalPython in the plan, values identical to the
+    Arrow kernel path, NULL coordinates propagate to NULL. NaN
+    coordinates yield NaN (SQL semantics; the Arrow path's NULL is the
+    documented pandas-boundary artifact)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 3.0, 4.0), (None, 1.0, 2.0, 2.0),
+         (float("nan"), 0.0, 1.0, 1.0)],
+        ["x1", "y1", "x2", "y2"])
+    fused = df.select(st.distance(st.point("x1", "y1"),
+                                  st.point("x2", "y2")).alias("d"))
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 0
+    rows = fused.collect()
+    assert rows[0].d == 5.0
+    assert rows[1].d is None
+    assert math.isnan(rows[2].d)
+    # materialized WKB columns take the Arrow kernel: same finite values
+    ref = (df.withColumn("g1", st.point("x1", "y1"))
+             .withColumn("g2", st.point("x2", "y2"))
+             .select(st.distance(F.col("g1"), F.col("g2")).alias("d"))
+             .collect())
+    assert ref[0].d == 5.0 and ref[1].d is None
