@@ -1013,14 +1013,19 @@ def _f64_be(c: Column) -> Column:
     return F.unhex(F.lpad(F.hex(_f64_bits(c.cast("double"))), 16, "0"))
 
 
-# Expression-level peephole state (r12): Columns produced by st.point
-# remember their coordinate expressions, keyed by the JVM expression
-# tree's string form — structural equality of the tree implies value
-# equality, so a later st.distance over two remembered points can
-# rewrite to pure codegen arithmetic (the PostGIS
-# ST_Distance(ST_MakePoint(..), ST_MakePoint(..)) pattern) instead of
-# encode → Arrow hop → decode → sqrt. Bounded; cleared when full.
-_POINT_ARGS: dict = {}
+# Expression-level peephole (r12, re-keyed r13): Columns produced by
+# st.point carry their coordinate expressions as an attribute on the
+# exact Column instance returned (``_gps_point_args``), so a later
+# st.distance over two remembered points can rewrite to pure codegen
+# arithmetic (the PostGIS ST_Distance(ST_MakePoint(..),
+# ST_MakePoint(..)) pattern) instead of encode → Arrow hop → decode →
+# sqrt. Identity-keyed on purpose: the r12 string key (str(_jc)) used
+# Spark's pretty-printed expression, which strips AttributeReference
+# exprIds — in a self-join st.point(a.x, a.y) and st.point(b.x, b.y)
+# printed identically and the rewrite collapsed both sides to one pair
+# (distance 0.0 everywhere). Attaching to the instance makes the
+# rewrite fire only for the Columns point() actually returned.
+_POINT_ARGS_ATTR = "_gps_point_args"
 
 
 def point(x, y) -> Column:
@@ -1036,9 +1041,7 @@ def point(x, y) -> Column:
     xc, yc = _col(x), _col(y)
     out = _REGISTRY["st_point"](xc, yc)
     try:
-        if len(_POINT_ARGS) > 4096:
-            _POINT_ARGS.clear()
-        _POINT_ARGS[str(out._jc)] = (xc, yc)
+        out.__dict__[_POINT_ARGS_ATTR] = (xc, yc)
     except Exception:
         pass
     return out
@@ -1206,30 +1209,32 @@ def geom_equals_identical(a, b) -> Column:
 def distance(a, b) -> Column:
     """Distance between geometry columns (Arrow-batched kernel).
 
-    Peephole (r12): when BOTH arguments are st.point(x, y) Columns
-    built in this session, rewrite to codegen'd
-    ``sqrt((x1-x2)² + (y1-y2)²)`` — identical values (the kernel's
-    all-points path computes the same sqrt(dx·dx + dy·dy) expressly
-    for SQL parity) and identical NULL propagation, but the plan stays
-    whole-stage JVM with no WKB encode/Arrow hop/decode round trip.
-    The lon/lat → point → distance pattern is the dominant pointwise
-    workload (PostGIS: ST_Distance(ST_MakePoint(..), ..)).
+    Peephole (r12, hardened r13): when BOTH arguments are the exact
+    Column instances ``st.point(x, y)`` returned in this session
+    (identity-attached args — see ``_POINT_ARGS_ATTR``), rewrite to
+    codegen'd ``sqrt((x1-x2)² + (y1-y2)²)`` — identical values (the
+    kernel's all-points path computes the same sqrt(dx·dx + dy·dy)
+    expressly for SQL parity) and identical NULL propagation, but the
+    plan stays whole-stage JVM with no WKB encode/Arrow hop/decode
+    round trip. The lon/lat → point → distance pattern is the dominant
+    pointwise workload (PostGIS: ST_Distance(ST_MakePoint(..), ..)).
 
-    Known divergence on degenerate input: NaN coordinates yield NaN
-    here (SQL semantics, what the oracle computes); the Arrow path
-    yields NULL because a scalar pandas UDF cannot return NaN through
-    the pandas→Arrow boundary (the same artifact documented in
-    docs/geopandas-mapping.md)."""
+    Degenerate input matches the Arrow kernel exactly: NaN coordinates
+    yield NULL on both paths (the kernel cannot return NaN through the
+    pandas→Arrow boundary — docs/geopandas-mapping.md — so the rewrite
+    wraps the sqrt in an isnan→NULL guard to keep st.distance
+    deterministic regardless of which path a plan takes)."""
     a, b = _col(a), _col(b)
-    try:
-        pa_ = _POINT_ARGS.get(str(a._jc))
-        pb_ = _POINT_ARGS.get(str(b._jc))
-    except Exception:
-        pa_ = pb_ = None
+    # NOTE: must read __dict__ directly — Column.__getattr__ turns any
+    # unknown attribute into a field-access Column, so getattr() with a
+    # default would "find" the attr on every Column.
+    pa_ = a.__dict__.get(_POINT_ARGS_ATTR)
+    pb_ = b.__dict__.get(_POINT_ARGS_ATTR)
     if pa_ is not None and pb_ is not None:
         dx = pa_[0].cast("double") - pb_[0].cast("double")
         dy = pa_[1].cast("double") - pb_[1].cast("double")
-        return F.sqrt(dx * dx + dy * dy)
+        d = F.sqrt(dx * dx + dy * dy)
+        return F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
     return _REGISTRY["st_distance"](a, b)
 
 

@@ -23,7 +23,9 @@ _HEAD = re.compile(r"\s*([A-Za-z]+)\s*(ZM|Z|M)?\s*(EMPTY)?\s*", re.IGNORECASE)
 
 
 def _fmt(v: float) -> str:
-    if v == int(v) and abs(v) < 1e15:
+    # inf/nan coords are representable (strtod accepts '1e500' → inf);
+    # guard before int() which overflows on them (r13 fuzz find)
+    if np.isfinite(v) and v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(float(v))
 
@@ -178,6 +180,15 @@ def _parse_rings(c: _Cursor, dim: int):
 def parse_one(s: str, builder: GeometryBuilder):
     c = _Cursor(s)
     _parse_geom(c, builder)
+    # GEOS WKT-reader parity (r13): trailing non-whitespace after the
+    # geometry is a parse error ("POINT (1 2) junk", "POLYGON ((..)),").
+    # Both parse paths share this rule — the vectorized fast path routes
+    # such rows here so the error text has one home.
+    c.skip_ws()
+    if c.pos != len(c.s):
+        raise ValueError(
+            f"WKT parse error at {c.pos}: unexpected trailing characters "
+            f"in {s[:80]!r}")
 
 
 def _parse_geom(c: _Cursor, builder: GeometryBuilder):
@@ -312,20 +323,29 @@ def _parse_geom(c: _Cursor, builder: GeometryBuilder):
         raise NotImplementedError(f"WKT type {name} not supported")
 
 
+
 # ---------------------------------------------------------------------------
-# Vectorized batch fast path (r12): the cursor parser costs ~14 µs/row —
-# fine for odd rows, ruinous for WKT ingest at scale (a 60M-row text
-# import would spend 500+ core-seconds in _Cursor.number). The fast path
-# parses a WHOLE batch with ~20 numpy passes over one concatenated byte
-# blob: char-class masks find number tokens, one np.fromstring call
-# converts every coordinate, and paren-depth prefix sums recover the
-# ring/part structure. It is ALL-OR-NOTHING per batch: any row that is
-# null-free-unrepresentable (Z/M tags, EMPTY, MULTIPOINT's two spellings,
-# GEOMETRYCOLLECTION, stray characters, unbalanced parens, odd token
-# counts, wrong nesting depth) bails the whole batch to the exact
-# cursor parser, so semantics and ERROR MESSAGES are unchanged — the
-# fast path only ever accepts inputs the slow parser would parse to the
-# same geometry. ~20-40x per core on homogeneous batches.
+# Vectorized batch fast path (r12, split-batch r13): the cursor parser
+# costs ~14 µs/row — fine for odd rows, ruinous for WKT ingest at scale
+# (a 60M-row text import would spend 500+ core-seconds in
+# _Cursor.number). The fast path parses a WHOLE batch with ~20 numpy
+# passes over one concatenated byte blob: char-class masks find number
+# tokens, one np.fromstring call converts every coordinate, and
+# paren-depth prefix sums recover the ring/part structure.
+#
+# r13: dirt is localized PER ROW instead of bailing the whole batch.
+# Every conformance check attributes its violations to rows (bad rows'
+# bytes are blanked out of the blob; structural elements — parens,
+# commas, number tokens — are verified to attribute within their own
+# row, so one dirty row can never corrupt or mask a neighbor). The
+# conforming subset parses vectorized; the caller routes only the dirty
+# rows through the exact cursor parser, so semantics and ERROR MESSAGES
+# are unchanged — the fast path only ever accepts inputs the slow
+# parser would parse to the same geometry. A handful of failure modes
+# that cannot be pinned to a row (np.fromstring drift the token-grammar
+# scan cannot explain) still fall back wholesale. ~20-40x per core on
+# homogeneous batches; a 1%-dirty batch keeps most of that (the
+# masking branches only execute when violations exist).
 # ---------------------------------------------------------------------------
 
 _FAST_DEPTH = {GT_POINT: 1, GT_LINESTRING: 1, GT_POLYGON: 2,
@@ -355,60 +375,170 @@ for _t, _nm in _FAST_NAMES:
     _NAME_LETTERS[_t] = sum(1 for _ch in _nm if _ch not in (0x45, 0x65))
 
 
+def _blank_rows(bufs, rows, starts, lens, total):
+    """Overwrite the byte spans of `rows` with spaces in each buffer.
+
+    Cost is proportional to the DIRTY bytes, not the blob: the span
+    positions are materialized directly (expand trick) instead of a
+    full-blob mask cumsum. Only runs when dirt exists — clean batches
+    never pay for it."""
+    rows = rows[lens[rows] > 0]
+    if len(rows) == 0:
+        return
+    rl = lens[rows]
+    tot = int(rl.sum())
+    within = np.arange(tot, dtype=np.int64) - \
+        np.repeat(np.cumsum(rl) - rl, rl)
+    pos = np.repeat(starts[rows], rl) + within
+    for buf in bufs:
+        buf[pos] = 0x20
+
+
+def _invalid_token_rows(barr, ts, te, trow):
+    """Rows whose number tokens are not valid float literals.
+
+    Called only when np.fromstring returned a different value count
+    than the token scan found. Token grammar (same language _NUM and
+    strtod accept in full): ``[+-]? (d+ (.d*)? | .d+) ([eE] [+-]? d+)?``
+    — verified with char-class prefix sums over each token span.
+    Returns unique row indices, or an empty array if every token is
+    grammatical (caller then falls back wholesale)."""
+    def cum(mask):
+        out = np.zeros(len(mask) + 1, dtype=np.int64)
+        np.cumsum(mask, out=out[1:])
+        return out
+
+    dig = (barr >= 0x30) & (barr <= 0x39)
+    eE = (barr == 0x45) | (barr == 0x65)
+    cd, cdot, ce, cs = (cum(dig), cum(barr == 0x2E), cum(eE),
+                        cum((barr == 0x2B) | (barr == 0x2D)))
+    n_e = ce[te] - ce[ts]
+    badt = n_e > 1
+    # mantissa ends at the (single) e/E, else at the token end
+    epos_all = np.nonzero(eE)[0]
+    if len(epos_all):
+        ei = np.minimum(np.searchsorted(epos_all, ts), len(epos_all) - 1)
+        me = np.where(n_e == 1, epos_all[ei], te)
+    else:
+        me = te.copy()
+    badt |= (cd[me] - cd[ts]) < 1            # mantissa needs a digit
+    badt |= (cdot[me] - cdot[ts]) > 1        # at most one '.'
+    badt |= (cdot[te] - cdot[me]) > 0        # no '.' in exponent
+    has_e = n_e == 1
+    badt |= has_e & ((cd[te] - cd[np.minimum(me + 1, te)]) < 1)
+    # signs: only at the token start and right after the e/E
+    scount = cs[te] - cs[ts]
+    sgn = (barr == 0x2B) | (barr == 0x2D)
+    allowed = sgn[ts].astype(np.int64)
+    allowed += (has_e & sgn[np.minimum(me + 1, len(barr) - 1)] &
+                (me + 1 < te)).astype(np.int64)
+    badt |= scount != allowed
+    return np.unique(trow[badt])
+
+
+def _concat_rows(a: GeometryArray, b: GeometryArray) -> GeometryArray:
+    """Row-wise concatenation (offset-shifted); Z/M NaN-padded when only
+    one side carries the buffer; gc_meta lists concatenated."""
+    za, zb, ma, mb = a.z, b.z, a.m, b.m
+    z = m = None
+    if za is not None or zb is not None:
+        z = np.concatenate([
+            za if za is not None else np.full(a.n_coords, np.nan),
+            zb if zb is not None else np.full(b.n_coords, np.nan)])
+    if ma is not None or mb is not None:
+        m = np.concatenate([
+            ma if ma is not None else np.full(a.n_coords, np.nan),
+            mb if mb is not None else np.full(b.n_coords, np.nan)])
+    gc = None
+    if a.gc_meta is not None or b.gc_meta is not None:
+        gc = (list(a.gc_meta) if a.gc_meta is not None
+              else [None] * len(a)) + \
+             (list(b.gc_meta) if b.gc_meta is not None
+              else [None] * len(b))
+    return GeometryArray(
+        np.concatenate([a.types, b.types]),
+        np.concatenate([a.geom_offsets,
+                        b.geom_offsets[1:] + a.geom_offsets[-1]]),
+        np.concatenate([a.part_offsets,
+                        b.part_offsets[1:] + a.part_offsets[-1]]),
+        np.concatenate([a.ring_offsets,
+                        b.ring_offsets[1:] + a.ring_offsets[-1]]),
+        np.concatenate([a.coords, b.coords]), z=z, m=m, gc_meta=gc)
+
+
 def _parse_array_fast(values):
-    """Vectorized parse of a whole batch; None → caller falls back."""
+    """Vectorized batch parse with per-row dirt localization.
+
+    Returns ``(ga, bad)`` where ``ga`` is a GeometryArray over ALL rows
+    (input nulls and dirty rows are NULL placeholders) and ``bad`` holds
+    the int64 indices the caller must route through the cursor parser
+    (empty on a fully clean batch) — or ``(None, None)`` when the batch
+    can't be localized and the caller should fall back wholesale."""
     n = len(values)
+    bad = np.zeros(n, dtype=bool)
     strs = []
-    for v in values:
+    for i, v in enumerate(values):
         if isinstance(v, str):
-            strs.append(v)
+            s = v
         elif v is None or (isinstance(v, float) and np.isnan(v)):
             strs.append("")
+            continue
         else:
-            strs.append(str(v))
+            s = str(v)
+        if s.isascii():
+            strs.append(s)
+        else:
+            bad[i] = True               # cursor parser owns non-ascii
+            strs.append("")
     blob = "\n".join(strs)
-    if not blob.isascii():
-        return None
+    # copy-on-write: the blob stays a zero-copy frombuffer view until a
+    # blanking pass actually needs to mutate it (clean batches never do)
     arr = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
+    arr_mut = False
+    total = len(arr)
     lens = np.fromiter(map(len, strs), dtype=np.int64, count=n)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=starts[1:])
-    live = lens > 0
-    if not live.any() or len(arr) == 0:
-        return None
-    # --- vectorized header recognition (no per-row regex; the per-row
-    # _HEAD.match loop alone cost 1.6 us/row) --- name = chars from the
-    # row's first non-space to the last non-space before its first '('
-    # — verified byte-exact (case-folded) against the five fast type
-    # names, so Z/M/EMPTY tags, unknown names, or any letter outside a
-    # name span fail the match or the letter-count check and fall back
-    # to the cursor parser
+    live = lens > 0                     # bad-ascii rows are "" → not live
+    if not live.any() or total == 0:
+        return None, None               # all-null batch: rare, punt
+    row_end = starts + lens - 1
+
+    # --- header recognition (vectorized; no per-row regex) --- name =
+    # chars from the row's first non-space to the last non-space before
+    # its first '(' — verified byte-exact (case-folded) against the five
+    # fast type names, so Z/M/EMPTY tags, MULTIPOINT, collections,
+    # unknown names, or any letter outside a name span mark the row
+    # dirty and route it to the cursor parser
     opos = np.nonzero(arr == 0x28)[0]
     oi = np.searchsorted(opos, starts)
-    if (oi[live] >= len(opos)).any():
-        return None                      # a live row without '('
+    has = live & (oi < len(opos))
     fo = np.zeros(n, dtype=np.int64)
-    fo[live] = opos[np.minimum(oi, len(opos) - 1)][live]
-    if ((fo > starts + lens) & live).any():
-        return None                      # '(' belongs to a later row
+    if len(opos):
+        fo[has] = opos[np.minimum(oi, len(opos) - 1)][has]
+    nb = live & (~has | (fo > row_end))      # no '(' in this row
+    bad |= nb
+    live &= ~nb
     ns = starts.copy()
-    top = len(arr) - 1
-    for _ in range(24):                  # strip leading whitespace
+    top = total - 1
+    for _ in range(24):                 # strip leading whitespace
         m_ = live & (ns < fo) & np.isin(arr[np.minimum(ns, top)],
                                         (0x20, 0x09))
         if not m_.any():
             break
         ns[m_] += 1
     ne = fo.copy()
-    for _ in range(24):                  # strip whitespace before '('
+    for _ in range(24):                 # strip whitespace before '('
         m_ = live & (ne > ns) & np.isin(arr[np.maximum(ne - 1, 0)],
                                         (0x20, 0x09))
         if not m_.any():
             break
         ne[m_] -= 1
     nl = np.where(live, ne - ns, 0)
-    if (live & (nl <= 0)).any() or nl.max() > 24:
-        return None
+    nb = live & ((nl <= 0) | (nl > 24))
+    bad |= nb
+    live &= ~nb
+    nl[~live] = 0
     types = np.zeros(n, dtype=np.uint8)
     matched = ~live
     for t, name in _FAST_NAMES:
@@ -421,91 +551,161 @@ def _parse_array_fast(values):
         ok = (g == np.frombuffer(name, dtype=np.uint8)[None, :]).all(axis=1)
         types[cand[ok]] = t
         matched[cand[ok]] = True
-    if not matched.all():
-        return None
-    # every letter in the blob must sit inside a verified name span
-    # (counted E-free on both sides: _LETTERS skips e/E)
-    if int(_LETTERS[arr].sum()) != int(_NAME_LETTERS[types].sum()):
-        return None
+    nb = ~matched
+    bad |= nb
+    live &= ~nb
+    # every letter in a row must sit inside its verified name span
+    # (counted E-free on both sides: _LETTERS skips e/E) — checked with
+    # one global sum on clean batches, localized per row only when the
+    # totals disagree, so one 'POINT Z (…)' no longer sinks its
+    # neighbors and a clean batch pays a single reduction
+    lmask = _LETTERS[arr]
+    if int(lmask.sum()) != int(_NAME_LETTERS[types[live]].sum()):
+        lcnt = np.add.reduceat(lmask.view(np.uint8).astype(np.int64),
+                               np.minimum(starts, total - 1))
+        lcnt[starts >= total] = 0
+        nb = live & (lcnt != _NAME_LETTERS[types])
+        # letters inside ALREADY-bad rows (not yet blanked) explain the
+        # rest of the global mismatch; any remainder on live rows marks
+        # those rows dirty
+        bad |= nb
+        live &= ~nb
+        if not live.any():
+            return None, None
+    if bad.any():
+        if not arr_mut:
+            arr = arr.copy()
+            arr_mut = True
+        _blank_rows([arr], np.nonzero(bad)[0], starts, lens, total)
+
+    # blank the (short) header spans, then the body must be made of
+    # number/paren/comma/space characters only — violations are per-row
+    liv = np.nonzero(live)[0]
+    K = int(nl[liv].max())
+    mat = ns[liv][:, None] + np.arange(K)[None, :]
+    harr = mat[np.arange(K)[None, :] < nl[liv][:, None]]
+    barr = arr.copy()
+    barr[harr] = 0x20
+    vio = np.nonzero(~_BODYCHARS[barr])[0]
+    if len(vio):
+        vrow = np.unique(np.searchsorted(starts, vio, side="right") - 1)
+        bad[vrow] = True
+        live[vrow] = False
+        if not live.any():
+            return None, None
+        if not arr_mut:
+            arr = arr.copy()
+            arr_mut = True
+        _blank_rows([arr, barr], vrow, starts, lens, total)
+
+    # paren depth: per-row balance and non-negativity (depth is made
+    # row-local by subtracting the pre-row cumulative balance, so an
+    # unbalanced row can't shift its neighbors' depths)
     d0 = (arr == 0x28).astype(np.int64)
     d0 -= arr == 0x29
     dep = np.cumsum(d0)
-    if dep.min() < 0:
-        return None
-    row_end = starts + lens - 1
-    if not (dep[row_end[live]] == 0).all():
-        return None
-    # blank the (short) header spans, then token-scan the body: names
-    # contain 'E'/'e', which would otherwise read as numeric chars
-    K = int(nl.max())
-    mat = ns[live][:, None] + np.arange(K)[None, :]
-    harr = mat[np.arange(K)[None, :] < nl[live][:, None]]
-    barr = arr.copy()
-    barr[harr] = 0x20
-    if not _BODYCHARS[barr].all():
-        return None
+    # clean batches pass the two global checks and skip the per-row
+    # balance localization entirely
+    if dep.min() < 0 or not (dep[row_end[live]] == 0).all():
+        base = np.zeros(n, dtype=np.int64)
+        base[1:] = dep[starts[1:] - 1]
+        segmin = np.minimum.reduceat(dep, np.minimum(starts, total - 1)) - base
+        endbal = dep[row_end] - base
+        nb = live & ((endbal != 0) | (segmin < 0))
+        bad |= nb
+        live &= ~nb
+        if not live.any():
+            return None, None
+        if not arr_mut:
+            arr = arr.copy()
+            arr_mut = True
+        _blank_rows([arr, barr], np.nonzero(nb)[0], starts, lens, total)
+        d0 = (arr == 0x28).astype(np.int64)
+        d0 -= arr == 0x29
+        dep = np.cumsum(d0)
+    # from here every remaining byte belongs to a balanced row, so the
+    # global cumsum IS the row-local depth and every structural element
+    # (paren, comma, token) sits between its own row's parens
+
+    op = arr == 0x28
+    expd = np.zeros(n, dtype=np.int32)
+    for t, d in _FAST_DEPTH.items():
+        expd[types == t] = d
+    allpos = np.nonzero(op | (arr == 0x29))[0]
+    prow_all = np.searchsorted(starts, allpos, side="right") - 1
+    pd_ = dep[allpos]
+    is_open = op[allpos]
+    sb = np.zeros(n, dtype=bool)        # structural badness, merged below
+    # every '(' must be the row's first paren, a ring open, or (MPG) a
+    # part open — balanced-but-unclassifiable groups like
+    # 'POLYGON ((..)) ()' are dirt, not silently ignored
+    opens_pos = allpos[is_open]
+    orow = prow_all[is_open]
+    od = pd_[is_open]
+    okopen = (opens_pos == fo[orow]) | (od == expd[orow]) | \
+             ((od == expd[orow] - 1) & (types[orow] == GT_MULTIPOLYGON))
+    sb[orow[~okopen]] = True
+    # ring spans: '(' raising depth to the row's coordinate depth
+    ro = allpos[is_open & (pd_ == expd[prow_all])]
+    if len(ro) == 0:
+        return None, None
+    ring_row = np.searchsorted(starts, ro, side="right") - 1
+    nrings = len(ro)
+
+    # number tokens
     isnum = _NUMCHARS[barr]
     prev = np.empty_like(isnum)
     prev[0] = False
     prev[1:] = isnum[:-1]
     ts = np.nonzero(isnum & ~prev)[0]
     if len(ts) == 0:
-        return None                      # all-empty fast batch: rare, punt
-    import warnings as _w
-    with _w.catch_warnings():
-        _w.simplefilter("ignore", DeprecationWarning)
-        np.copyto(barr, 0x20, where=~isnum)
-        vals = np.fromstring(barr.tobytes().decode("ascii"),
-                             dtype=np.float64, sep=" ")
-    if len(vals) != len(ts) or not np.isfinite(vals).all():
-        return None
-    op = arr == 0x28
-    cl = arr == 0x29
-    expd = np.zeros(n, dtype=np.int32)
-    for t, d in _FAST_DEPTH.items():
-        expd[types == t] = d
+        return None, None
     trow = np.searchsorted(starts, ts, side="right") - 1
-    if not (dep[ts] == expd[trow]).all():
-        return None
-    # ring spans: '(' raising depth to the row's coordinate depth
-    allpos = np.nonzero(op | cl)[0]
-    prow_all = np.searchsorted(starts, allpos, side="right") - 1
-    pd_ = dep[allpos]
-    is_open = op[allpos]
-    ro = allpos[is_open & (pd_ == expd[prow_all])]
-    if len(ro) == 0:
-        return None
+    dep_ok = dep[ts] == expd[trow]
+    sb[trow[~dep_ok]] = True
+    # token → ring attribution. Own-row attribution is GUARANTEED for
+    # depth-conforming tokens: to sit at depth expd inside a balanced
+    # row, some '(' within the row raised to expd before the token, and
+    # that '(' is a ring open of the same row — so the nearest ro at or
+    # before the token can never belong to a neighbor. Wrong-depth
+    # tokens CAN attribute across rows, so they are excluded from the
+    # counts (their own row is already marked dirty above) and the
+    # neighboring row's tallies stay pure.
     rt = np.searchsorted(ro, ts, side="right") - 1
-    if rt[0] < 0:
-        return None
-    nrings = len(ro)
-    rc = np.bincount(rt, minlength=nrings)
-    if (rc % 2).any() or (rc == 0).any():
-        return None
-    ring_row = np.searchsorted(starts, ro, side="right") - 1
-    # comma structure: commas at coordinate depth separate points
-    # (count must be points-1 per ring); at depth expd-1 they separate
-    # rings (PG/MLS: rings-1 per row; MPG: handled via parts below) —
-    # anything else is malformed and falls back for the exact error
+    rc = np.bincount(rt[dep_ok], minlength=nrings)
+
+    # comma structure: every comma must separate points (row depth),
+    # rings (depth-1) or MPG parts (depth-2); anything else is dirt
     commas = np.nonzero(arr == 0x2C)[0]
-    cd = dep[commas]
-    crow = np.searchsorted(starts, commas, side="right") - 1
-    pt_c = commas[cd == expd[crow]]
-    cring = np.searchsorted(ro, pt_c, side="right") - 1
-    if cring.min(initial=0) < 0:
-        return None
-    cc = np.bincount(cring, minlength=nrings)
-    if not (cc == rc // 2 - 1).all():
-        return None
+    if len(commas):
+        crow = np.searchsorted(starts, commas, side="right") - 1
+        cd = dep[commas]
+        is_pt = cd == expd[crow]
+        is_rc = (cd == expd[crow] - 1) & (expd[crow] >= 2)
+        is_pc = (cd == expd[crow] - 2) & (expd[crow] >= 3)
+        sb[crow[~(is_pt | is_rc | is_pc)]] = True
+        pt_c = commas[is_pt]
+        # point-separator commas sit at depth expd by construction, so
+        # (same argument as tokens) they attribute within their own row
+        cring = np.searchsorted(ro, pt_c, side="right") - 1
+        cc = np.bincount(cring, minlength=nrings)
+        rcc = np.bincount(crow[is_rc], minlength=n)
+        pcc = np.bincount(crow[is_pc], minlength=n)
+    else:
+        cc = np.zeros(nrings, dtype=np.int64)
+        rcc = np.zeros(n, dtype=np.int64)
+        pcc = np.zeros(n, dtype=np.int64)
+
+    # per-ring counts: token parity, emptiness, point-separator commas
+    sb[ring_row[(rc % 2 != 0) | (rc == 0)]] = True
+    sb[ring_row[cc != rc // 2 - 1]] = True
     # per-row ring counts & type-shape validation
     rr = np.bincount(ring_row, minlength=n)
     tpr = types[ring_row]
-    if ((types == GT_POINT) & (rr != 1)).any() or \
-       ((types == GT_LINESTRING) & (rr != 1)).any() or \
-       (live & (rr == 0)).any():
-        return None
-    if (rc[tpr == GT_POINT] != 2).any():
-        return None
+    sb |= live & (((types == GT_POINT) | (types == GT_LINESTRING)) &
+                  (rr != 1))
+    sb |= live & (rr == 0)
+    sb[ring_row[(tpr == GT_POINT) & (rc != 2)]] = True
     # part structure
     first_of_row = np.empty(nrings, dtype=bool)
     first_of_row[0] = True
@@ -515,70 +715,155 @@ def _parse_array_fast(values):
     if mpg.any():
         po = allpos[is_open & (pd_ == expd[prow_all] - 1) &
                     (types[prow_all] == GT_MULTIPOLYGON)]
+        # an MPG ring open at depth expd has its own row's part open
+        # (depth expd-1) before it by the same continuity argument, so
+        # pidx attribution is own-row; raw -1s (non-MPG rings before
+        # any part open) only feed the != comparison below
         pidx = np.searchsorted(po, ro, side="right") - 1
-        if (pidx[mpg] < 0).any():
-            return None
         npfirst = np.empty(nrings, dtype=bool)
         npfirst[0] = True
-        npfirst[1:] = pidx[1:] != pidx[:-1]
+        npfirst[1:] = pidx[1:] != pidx[:-1]   # raw pidx: -1 ≠ 0 matters
         new_part[mpg] = npfirst[mpg]
     pg = tpr == GT_POLYGON
     new_part[pg] = first_of_row[pg]
-    part_id = np.cumsum(new_part) - 1
     parts_per_row = np.bincount(ring_row[new_part], minlength=n)
-    rings_per_part = np.bincount(part_id)
     # separator commas must match structure exactly (a fast-path accept
-    # must parse to the same geometry the cursor parser would produce):
-    # depth expd-1 separates rings within a container (PG/MLS: rings-1
-    # per row; MPG: rings-parts per row), depth expd-2 (MPG only)
-    # separates parts (parts-1 per row)
-    ring_c = commas[(cd == expd[crow] - 1) & (expd[crow] >= 2)]
-    rcrow = np.searchsorted(starts, ring_c, side="right") - 1
-    rcc = np.bincount(rcrow, minlength=n)
+    # must parse to the same geometry the cursor parser would produce)
     exp_rc = np.where(types == GT_MULTIPOLYGON, rr - parts_per_row,
                       np.maximum(rr - 1, 0))
-    exp_rc[~live] = 0
     exp_rc[(types == GT_POINT) | (types == GT_LINESTRING)] = 0
-    if not (rcc == exp_rc).all():
-        return None
-    part_c = commas[(cd == expd[crow] - 2) & (expd[crow] >= 3)]
-    pcrow = np.searchsorted(starts, part_c, side="right") - 1
-    pcc = np.bincount(pcrow, minlength=n)
+    sb |= live & (rcc != exp_rc)
     exp_pc = np.where(types == GT_MULTIPOLYGON,
                       np.maximum(parts_per_row - 1, 0), 0)
-    if not (pcc == exp_pc).all():
-        return None
-    geom_offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(parts_per_row, out=geom_offsets[1:])
-    part_offsets = np.zeros(len(rings_per_part) + 1, dtype=np.int64)
-    np.cumsum(rings_per_part, out=part_offsets[1:])
-    ring_offsets = np.zeros(nrings + 1, dtype=np.int64)
-    np.cumsum(rc // 2, out=ring_offsets[1:])
+    sb |= live & (pcc != exp_pc)
+
+    bad |= sb
+    live &= ~sb
+    if not live.any():
+        return None, None
+    if bad.any():
+        _blank_rows([barr], np.nonzero(bad)[0], starts, lens, total)
+
+    # one np.fromstring pass converts every kept token; in-place blank
+    # of the non-number chars is safe (token bytes are all _NUMCHARS)
+    tok_keep = ~bad[trow]
+    ts_f, trow_f = ts[tok_keep], trow[tok_keep]
+    np.copyto(barr, 0x20, where=~isnum)
+    import warnings as _w
+
+    def _vals_of():
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", DeprecationWarning)
+            return np.fromstring(barr.tobytes().decode("ascii"),
+                                 dtype=np.float64, sep=" ")
+
+    vals = _vals_of()
+    if len(vals) != len(ts_f):
+        # token ends only needed for grammar localization — derive lazily
+        nxt = np.empty_like(isnum)
+        nxt[-1] = False
+        nxt[:-1] = isnum[1:]
+        te = np.nonzero(isnum & ~nxt)[0] + 1
+        vr = _invalid_token_rows(barr, ts_f, te[tok_keep], trow_f)
+        if len(vr) == 0:
+            return None, None           # drift we can't explain: punt
+        bad[vr] = True
+        live &= ~bad
+        if not live.any():
+            return None, None
+        _blank_rows([barr], vr, starts, lens, total)
+        tok_keep = ~bad[trow]
+        ts_f, trow_f = ts[tok_keep], trow[tok_keep]
+        vals = _vals_of()
+        if len(vals) != len(ts_f):
+            return None, None
+    nonfin = ~np.isfinite(vals)
+    if nonfin.any():
+        bad[np.unique(trow_f[nonfin])] = True
+        live &= ~bad
+        if not live.any():
+            return None, None
+        keep = ~bad[trow_f]
+        vals, trow_f = vals[keep], trow_f[keep]
+
+    # ring-level filter + offsets
+    ring_keep = ~bad[ring_row]
+    ring_row_f = ring_row[ring_keep]
+    rc_f = rc[ring_keep]
+    new_part_f = new_part[ring_keep]
+    if int(rc_f.sum()) != len(vals):
+        return None, None               # defensive: alignment lost
+    ring_offsets = np.zeros(len(rc_f) + 1, dtype=np.int64)
+    np.cumsum(rc_f // 2, out=ring_offsets[1:])
     coords = vals.reshape(-1, 2)
     # polygon rings must close with >= 4 points (same rule the cursor
-    # parser enforces) — violations bail so the fallback raises the
-    # actionable error
-    pring = np.isin(tpr, (GT_POLYGON, GT_MULTIPOLYGON))
+    # parser enforces) — violations route to the fallback so it raises
+    # the actionable error
+    tpr_f = types[ring_row_f]
+    pring = np.isin(tpr_f, (GT_POLYGON, GT_MULTIPOLYGON))
     if pring.any():
-        if (rc[pring] // 2 < 4).any():
-            return None
-        f = coords[ring_offsets[:-1][pring]]
-        last = coords[ring_offsets[1:][pring] - 1]
-        if (f != last).any():
-            return None
-    return GeometryArray(types, geom_offsets, part_offsets, ring_offsets,
-                         coords)
+        small = pring & (rc_f // 2 < 4)
+        ok4 = np.nonzero(pring & ~small)[0]
+        f = coords[ring_offsets[:-1][ok4]]
+        last = coords[ring_offsets[1:][ok4] - 1]
+        openr = (f != last).any(axis=1)
+        viol = np.concatenate([ring_row_f[small], ring_row_f[ok4[openr]]])
+        if len(viol):
+            bad[np.unique(viol)] = True
+            live &= ~bad
+            if not live.any():
+                return None, None
+            keep = ~bad[trow_f]
+            vals, trow_f = vals[keep], trow_f[keep]
+            rkeep = ~bad[ring_row_f]
+            ring_row_f = ring_row_f[rkeep]
+            rc_f = rc_f[rkeep]
+            new_part_f = new_part_f[rkeep]
+            ring_offsets = np.zeros(len(rc_f) + 1, dtype=np.int64)
+            np.cumsum(rc_f // 2, out=ring_offsets[1:])
+            coords = vals.reshape(-1, 2)
+
+    # assembly over ALL rows; bad rows (and input nulls) are NULL
+    if len(new_part_f) and not new_part_f[0]:
+        return None, None               # defensive: orphan ring
+    parts_per_row_f = np.bincount(ring_row_f[new_part_f], minlength=n)
+    part_id_f = np.cumsum(new_part_f) - 1
+    rings_per_part = (np.bincount(part_id_f) if len(part_id_f)
+                      else np.zeros(0, dtype=np.int64))
+    out_types = np.where(bad, 0, types).astype(np.uint8)
+    geom_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(parts_per_row_f, out=geom_offsets[1:])
+    part_offsets = np.zeros(len(rings_per_part) + 1, dtype=np.int64)
+    np.cumsum(rings_per_part, out=part_offsets[1:])
+    ga = GeometryArray(out_types, geom_offsets, part_offsets, ring_offsets,
+                       coords)
+    return ga, np.nonzero(bad)[0]
 
 
 def parse_array(values) -> GeometryArray:
     values = list(values)
     if len(values) >= 32:       # fixed costs dominate tiny batches
         try:
-            fast = _parse_array_fast(values)
+            fast, badrows = _parse_array_fast(values)
         except Exception:
-            fast = None
+            fast, badrows = None, None
         if fast is not None:
-            return fast
+            if badrows is None or len(badrows) == 0:
+                return fast
+            # cursor-parse only the dirty rows (ascending, so the first
+            # malformed row raises exactly as a full cursor pass would),
+            # then splice them back by position
+            b = GeometryBuilder()
+            for i in badrows:
+                v = values[i]
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    b.append_null()
+                else:
+                    parse_one(str(v), b)
+            merged = _concat_rows(fast, b.finish())
+            perm = np.arange(len(values), dtype=np.int64)
+            perm[badrows] = len(values) + np.arange(len(badrows))
+            return merged.take(perm)
     b = GeometryBuilder()
     for v in values:
         if v is None or (isinstance(v, float) and np.isnan(v)):

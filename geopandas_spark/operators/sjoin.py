@@ -467,8 +467,13 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
             if on_attribute and len(li):
                 lattrs = list(zip(*[b.column(c).to_pylist()
                                     for c in on_attribute]))
+                # NULL attrs never match (SQL `=` semantics, what the
+                # oracle's equi-join computes). r13: the r12 pandas →
+                # Arrow switch surfaced NULL as None, and None == None
+                # is True in Python — gate it out explicitly.
                 keep = np.fromiter(
-                    (lattrs[i] == rattrs[j] for i, j in zip(li, rj)),
+                    (lattrs[i] == rattrs[j] and None not in lattrs[i]
+                     for i, j in zip(li, rj)),
                     dtype=bool, count=len(li))
                 li, rj = li[keep], rj[keep]
             if len(li):

@@ -1,0 +1,98 @@
+"""r13 regression pin for the bench measurement protocol (VERDICT r12 #1).
+
+The r12 bench-integrity find: timing ``df.count()`` lets Catalyst's
+ColumnPruning delete every projected expression count() never reads —
+including ArrowEvalPython nodes — so a query whose UDF work sits in pure
+projection times only its scan/join skeleton. ``bench._consume`` (noop
+v2 sink) is the fix: it must force EVERY output column of the plan
+through evaluation. These tests make sure the protocol can never be
+quietly swapped back:
+
+* an accumulator inside a pandas UDF counts exactly the rows evaluated —
+  under ``_consume`` it must see ALL rows;
+* the same probe under ``count()`` documents the 0-row pruning (asserted
+  loosely: strictly fewer rows than the data has, so a future Spark
+  version that stops pruning flips this test and the protocol can be
+  revisited rather than silently drifting);
+* a representative headline-shaped plan (parse WKT → compute distance in
+  a projection) evaluates its UDF for every row under ``_consume``.
+"""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def acc(spark):
+    return spark.sparkContext.accumulator(0)
+
+
+def _probe_df(spark, acc, n=1000):
+    @pandas_udf("double")
+    def probed(x: pd.Series) -> pd.Series:
+        acc.add(len(x))
+        return x * 2.0
+
+    return (spark.range(n)
+            .select(F.col("id"), probed(F.col("id").cast("double"))
+                    .alias("y")))
+
+
+def test_consume_evaluates_every_row(spark, acc):
+    df = _probe_df(spark, acc, 1000)
+    before = acc.value
+    bench._consume(df)
+    assert acc.value - before == 1000
+
+
+def test_count_prunes_projected_udfs(spark, acc):
+    """Documents the Spark behavior that made count() timings invalid:
+    the projected pandas UDF is pruned, so the accumulator sees strictly
+    fewer rows than the data has (today: zero). If a Spark upgrade makes
+    this see all 1000 rows, the pruning is gone and the protocol choice
+    should be re-examined — the failure is the signal."""
+    df = _probe_df(spark, acc, 1000)
+    before = acc.value
+    df.count()
+    seen = acc.value - before
+    assert seen < 1000, (
+        "count() no longer prunes projected pandas UDFs — re-examine "
+        "bench._consume vs count() (see VERDICT r12)")
+
+
+def test_consume_materializes_headline_shaped_plan(spark, acc):
+    """A distance_pairs-shaped plan: WKT built with concat, parsed by the
+    kernel, distance computed — all in pure projection (the shape that
+    was silently pruned for 11 rounds). Every row must reach the UDFs."""
+    from geopandas_spark import st
+
+    @pandas_udf("double")
+    def row_witness(x: pd.Series) -> pd.Series:
+        acc.add(len(x))
+        return x
+
+    n = 500
+    df = (spark.range(n)
+          .select((F.col("id") % 97).cast("double").alias("x"),
+                  (F.col("id") % 89).cast("double").alias("y")))
+    wktcol = F.concat(F.lit("LINESTRING (0 0, "), F.col("x"),
+                      F.lit(" "), F.col("y"), F.lit(")"))
+    out = df.select(
+        st.length(st.geom_from_text(wktcol)).alias("len"),
+        row_witness(F.col("x")).alias("wx"))
+    before = acc.value
+    bench._consume(out)
+    assert acc.value - before == n
+    # and the plan really contains Python evaluation nodes (the UDF
+    # didn't get constant-folded away)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan

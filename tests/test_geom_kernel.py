@@ -53,8 +53,8 @@ class TestCodecs:
             None, "  point  ( 7   8 ) ",
         ]
         batch = (cases * 8)[:64]
-        fast = wkt._parse_array_fast(batch)
-        assert fast is not None
+        fast, bad = wkt._parse_array_fast(batch)
+        assert fast is not None and len(bad) == 0
         b = wkt.GeometryBuilder()
         for v in batch:
             if v is None:
@@ -100,30 +100,52 @@ class TestCodecs:
                     wkt.parse_one(str(v), b)
             assert wkt.format_array(a) == wkt.format_array(b.finish())
 
-    def test_wkt_fast_path_bails(self):
-        """Inputs the fast path can't represent (or that are malformed)
-        must return None so the cursor parser keeps owning semantics
-        and error messages."""
-        bails = [
-            ["POINT Z (1 2 3)"] * 40,
-            ["MULTIPOINT ((1 1), (2 2))"] * 40,
-            ["GEOMETRYCOLLECTION (POINT (1 1))"] * 40,
-            ["POLYGON EMPTY"] * 40,
-            ["POINT (1 2)"] * 39 + ["LINESTRING (0 0, 1 1"],
-            ["POINT (1 2)"] * 39 +
-            ["POLYGON ((1 2 3, 4 5 6, 7 8 9, 1 2 3))"],   # bare-Z width
-            ["POINT (1 2)"] * 39 + ["FOO (1 2)"],
-            ["POINT (1 2)"] * 39 + ["POINT (1 2) junk"],
-            ["POINT (1 2)"] * 39 + ["POINT M (1 2 3)"],
-            ["POINT (1 2)"] * 39 + ["POINT ((1 2))"],
-            ["POINT (1 2)"] * 39 + ["POLYGON (0 0, 1 0, 1 1, 0 0)"],
-            ["POINT (1 2)"] * 39 + ["POINT (1 x 2)"],
+    def test_wkt_fast_path_localizes_dirt(self):
+        """r13 split-batch: inputs the fast path can't represent (or
+        that are malformed) are localized to THEIR ROW — the remaining
+        39 clean rows still parse vectorized, and only the dirty row
+        routes through the cursor parser (which keeps owning semantics
+        and error messages). Wholly-unrepresentable batches punt."""
+        # homogeneous unrepresentable batches: every row dirty → punt
+        for bb in [["POINT Z (1 2 3)"] * 40,
+                   ["MULTIPOINT ((1 1), (2 2))"] * 40,
+                   ["GEOMETRYCOLLECTION (POINT (1 1))"] * 40,
+                   ["POLYGON EMPTY"] * 40]:
+            ga, bad = wkt._parse_array_fast(bb)
+            assert ga is None and bad is None
+        # one dirty row in a clean batch: exactly row 39 is localized
+        dirties = [
+            "LINESTRING (0 0, 1 1",
+            "POLYGON ((1 2 3, 4 5 6, 7 8 9, 1 2 3))",   # bare-Z width
+            "FOO (1 2)",
+            "POINT (1 2) junk",
+            "POINT M (1 2 3)",
+            "POINT ((1 2))",
+            "POLYGON (0 0, 1 0, 1 1, 0 0)",
+            "POINT (1 x 2)",
+            "POLYGON ((0 0, 1 0, 1 1, 0 0)),",          # trailing comma
+            "POLYGON ((0 0, 1 0, 1 1, 0 0)) ()",        # stray group
+            "POINT (1.2.3 4)",
+            "POINT (nan nan)",
+            "POINT (1e500 0)",
         ]
-        for i, bb in enumerate(bails):
-            assert wkt._parse_array_fast(bb) is None, f"case {i}"
+        for i, d in enumerate(dirties):
+            bb = ["POINT (1 2)"] * 39 + [d]
+            ga, bad = wkt._parse_array_fast(bb)
+            assert ga is not None and list(bad) == [39], f"case {i}: {bad}"
+            assert int(ga.types[39]) == 0          # NULL placeholder
+            assert (ga.types[:39] == 1).all()      # clean rows parsed
         # and parse_array still raises through the cursor parser
-        with pytest.raises(ValueError):
-            wkt.parse_array(["POINT (1 2)"] * 39 + ["FOO (1 2)"])
+        for d in ["FOO (1 2)", "POINT (1 2) junk",
+                  "POLYGON ((0 0, 1 0, 1 1, 0 0)),"]:
+            with pytest.raises(ValueError):
+                wkt.parse_array(["POINT (1 2)"] * 39 + [d])
+        # valid-but-fast-unrepresentable dirt splices through the cursor
+        mix = (["POINT (1 2)"] * 20 + ["POINT Z (1 2 3)"] +
+               ["LINESTRING (0 0, 1 1, 2 0)"] * 20 +
+               ["GEOMETRYCOLLECTION (POINT (5 5))", "POLYGON EMPTY"])
+        out = wkt.format_array(wkt.parse_array(mix))
+        assert out == mix
 
     def test_wkb_roundtrip(self):
         samples = [

@@ -635,6 +635,36 @@ def test_sjoin_grid_monster_left_outer_and_dups(spark):
         assert len(a) > 0
 
 
+def test_sjoin_on_attribute_null_never_matches(spark):
+    """r13 regression (ADVICE): the r12 mapInArrow switch surfaced NULL
+    join attributes as Python None, and None == None is True — so
+    NULL-on-both-sides rows silently matched, diverging from SQL `=`
+    (which never matches NULL). Both strategies must drop NULL-keyed
+    pairs, exactly like the equivalent DataFrame equi-join."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+
+    # ids 0/1 share key 7; ids 2/3 have NULL keys; geometries all overlap
+    left = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, None), (3, None)], ["lid", "k"]).select(
+        "lid", F.col("k").cast("long").alias("k"),
+        st.makebox(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0))
+          .alias("geom"))
+    right = spark.createDataFrame(
+        [(10, 7), (11, None)], ["rid", "k"]).select(
+        "rid", F.col("k").cast("long").alias("k"),
+        st.makebox(F.lit(5.0), F.lit(5.0), F.lit(15.0), F.lit(15.0))
+          .alias("geom"))
+    want = {(0, 10), (1, 10)}           # NULL keys match nothing
+    for strat in ("broadcast", "grid"):
+        got = {(r.lid, r.rid) for r in sjoin(
+            left, right, predicate="intersects", strategy=strat,
+            on_attribute=["k"]).select("lid", "rid").collect()}
+        assert got == want, (strat, got)
+
+
 def test_sjoin_nearest_grid_with_monster_right(spark):
     """The nearest-grid path inherits the band routing through the
     shared dwithin candidate join — monster strips on the build side

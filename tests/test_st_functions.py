@@ -394,13 +394,12 @@ def test_polygonize_full_agg(spark):
 
 
 def test_distance_point_point_peephole(spark):
-    """r12: st.distance over two st.point Columns rewrites to codegen
-    sqrt — no ArrowEvalPython in the plan, values identical to the
-    Arrow kernel path, NULL coordinates propagate to NULL. NaN
-    coordinates yield NaN (SQL semantics; the Arrow path's NULL is the
-    documented pandas-boundary artifact)."""
-    import math
-
+    """r12 (hardened r13): st.distance over two st.point Columns
+    rewrites to codegen sqrt — no ArrowEvalPython in the plan, values
+    identical to the Arrow kernel path, NULL coordinates propagate to
+    NULL, and NaN coordinates yield NULL on BOTH paths (r13: the
+    peephole wraps sqrt in an isnan guard so the result no longer
+    depends on which path a plan takes)."""
     df = spark.createDataFrame(
         [(0.0, 0.0, 3.0, 4.0), (None, 1.0, 2.0, 2.0),
          (float("nan"), 0.0, 1.0, 1.0)],
@@ -412,10 +411,38 @@ def test_distance_point_point_peephole(spark):
     rows = fused.collect()
     assert rows[0].d == 5.0
     assert rows[1].d is None
-    assert math.isnan(rows[2].d)
-    # materialized WKB columns take the Arrow kernel: same finite values
+    assert rows[2].d is None        # NaN coord -> NULL, same as kernel
+    # materialized WKB columns take the Arrow kernel: same values
     ref = (df.withColumn("g1", st.point("x1", "y1"))
              .withColumn("g2", st.point("x2", "y2"))
              .select(st.distance(F.col("g1"), F.col("g2")).alias("d"))
              .collect())
-    assert ref[0].d == 5.0 and ref[1].d is None
+    assert ref[0].d == 5.0 and ref[1].d is None and ref[2].d is None
+
+
+def test_distance_peephole_same_names_self_join(spark):
+    """r13 regression (ADVICE high): the r12 peephole keyed remembered
+    point args by the pretty-printed expression string, which strips
+    exprIds — in a self-join st.point(a.x, a.y) and st.point(b.x, b.y)
+    printed identically, the second store clobbered the first, and
+    st.distance rewrote BOTH sides to the same coordinate pair
+    (distance 0.0 for every row). Identity keying must keep the sides
+    distinct even when column NAMES collide."""
+    df = spark.createDataFrame([(1, 0.0, 0.0), (2, 3.0, 4.0)],
+                               ["id", "x", "y"])
+    a, b = df.alias("a"), df.alias("b")
+    out = (a.crossJoin(b)
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(st.distance(st.point(F.col("a.x"), F.col("a.y")),
+                                st.point(F.col("b.x"), F.col("b.y")))
+                    .alias("d")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 0     # peephole still fires
+    assert out.collect()[0].d == 5.0              # ...with correct sides
+    # and a foreign Column (same name, no remembered args) must NOT
+    # trigger the rewrite — it goes through the Arrow kernel
+    g = df.withColumn("g", st.point("x", "y"))
+    kern = g.select(st.distance(F.col("g"), F.col("g")).alias("d"))
+    kplan = kern._jdf.queryExecution().executedPlan().toString()
+    assert kplan.count("ArrowEvalPython") > 0
+    assert [r.d for r in kern.collect()] == [0.0, 0.0]
