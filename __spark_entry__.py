@@ -1407,18 +1407,47 @@ def q_minhash(spark, sf_dir):
                        F.col("mh2").alias("s2"), F.col("mh3").alias("s3"))
 
 
+# r13 minhash re-pricing: shingle hash = Rabin polynomial over
+# codepoints (B=131 mod 2^31-1 — the fingerprint family of Broder's
+# original shingling work), permutation p = affine mix (a_p*H + c_p)
+# mod M. The SQL below embeds the SAME base powers and mix constants
+# the Spark kernel uses (pipeline.dedup.mix_constants / _poly_powers),
+# so signature parity holds by construction: both engines' ascii(
+# substr(text, j, 1)) is the codepoint, and 0 past the string end
+# (the kernel zero-pads short rows identically). `hv` is the
+# per-shingle hash list, built once per row in a CTE; each signature
+# is a list_min over cheap integer arithmetic (the r12 twin recomputed
+# md5 per permutation per shingle and timed out at the 100x tier).
+def _sql_hv(k: int = 8) -> str:
+    from geopandas_spark.pipeline.dedup import _MIX_MOD, _poly_powers
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT) * {p}" if j else
+        "CAST(ascii(substr(text, i, 1)) AS BIGINT)"
+        for j, p in enumerate(_poly_powers(k)))
+    return (f"list_transform(range(1, greatest(length(text) - {k - 1}, 1)"
+            f" + 1), i -> ({terms}) % {_MIX_MOD}) AS hv")
+
+
+_SQL_HV = _sql_hv(8)
+
+
 def _sql_minhash_sig(i: int) -> str:
-    return (f"list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), "
-            f"i -> md5('{i}|' || substr(text, i, 8))))")
+    from geopandas_spark.pipeline.dedup import _MIX_MOD, mix_constants
+    a, _b, c = mix_constants(4)[i]
+    return (f"list_min(list_transform(hv, h -> "
+            f"({a} * h + {c}) % {_MIX_MOD}))")
 
 
 SQL_MINHASH = f"""
+WITH hv_t AS (
+  SELECT doc_id, {_SQL_HV} FROM documents WHERE n_chars >= 8
+)
 SELECT doc_id AS id,
        {_sql_minhash_sig(0)} AS s0,
        {_sql_minhash_sig(1)} AS s1,
        {_sql_minhash_sig(2)} AS s2,
        {_sql_minhash_sig(3)} AS s3
-FROM documents WHERE n_chars >= 8
+FROM hv_t
 """
 
 
@@ -1436,11 +1465,13 @@ WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 100 AND n_chars >= 8
   UNION ALL
   SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100 AND n_chars >= 8
+), hv_t AS (
+  SELECT doc_id, {_SQL_HV} FROM base
 ), sigs AS (
   SELECT doc_id AS id,
          {_sql_minhash_sig(0)} AS s0, {_sql_minhash_sig(1)} AS s1,
          {_sql_minhash_sig(2)} AS s2, {_sql_minhash_sig(3)} AS s3
-  FROM base
+  FROM hv_t
 ), banded AS (
   SELECT id, 0 AS band, s0 || '#' || s1 AS bk FROM sigs
   UNION ALL
@@ -4234,11 +4265,13 @@ WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 100 AND n_chars >= 8
   UNION ALL
   SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100 AND n_chars >= 8
+), hv_t AS (
+  SELECT doc_id, {_SQL_HV} FROM base
 ), sigs AS (
   SELECT doc_id AS id,
          {_sql_minhash_sig(0)} AS s0, {_sql_minhash_sig(1)} AS s1,
          {_sql_minhash_sig(2)} AS s2, {_sql_minhash_sig(3)} AS s3
-  FROM base
+  FROM hv_t
 ), banded AS (
   SELECT id, 0 AS band, s0 || '#' || s1 AS bk FROM sigs
   UNION ALL

@@ -55,9 +55,11 @@ HEADLINE_TO_ORACLE = {
 
 def _baseline_cache_path(sf_dir):
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("._")
-    # v2: r12 re-based the twin cache when the measurement protocol
-    # changed (see _consume) and distance_pairs gained the scale band
-    return os.path.join(REPO, ".bench", f"baseline_v2_{tag}.json")
+    # v3: r13 re-priced the minhash family (one md5 per shingle + affine
+    # mixes; the oracle SQL changed with it, so every cached twin keyed
+    # by headline name must re-measure). v2 was the r12 protocol change
+    # (_consume) + distance_pairs scale band.
+    return os.path.join(REPO, ".bench", f"baseline_v3_{tag}.json")
 
 
 def _consume(df):
