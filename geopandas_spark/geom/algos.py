@@ -1624,7 +1624,9 @@ def _sat_rows(g, rows):
     total = int(ends[-1])
     local = np.arange(total) - np.repeat(ends - nseg, nseg)
     idx0 = np.repeat(co[rows[cand]], nseg) + local
-    v = g.coords[idx0 + 1] - g.coords[idx0]
+    c0 = g.coords[idx0]
+    c1 = g.coords[idx0 + 1]
+    v = c1 - c0
     nxt = np.arange(total) + 1
     nxt[ends - 1] = ends - nseg                  # wrap to ring start
     cr = v[:, 0] * v[nxt, 1] - v[:, 1] * v[nxt, 0]
@@ -1633,34 +1635,59 @@ def _sat_rows(g, rows):
     mx = np.maximum.reduceat(cr, off)
     conv = (mn >= -_EPS) | (mx <= _EPS)
     area2 = np.add.reduceat(
-        g.coords[idx0, 0] * g.coords[idx0 + 1, 1] -
-        g.coords[idx0 + 1, 0] * g.coords[idx0, 1], off)
+        c0[:, 0] * c1[:, 1] - c1[:, 0] * c0[:, 1], off)
     good = conv & (area2 != 0)
     ok[cand[good]] = True
     sign[cand[good]] = np.sign(area2[good])
     return ok, sign
 
 
-def _sat_best(s0, s1, s_tgt, cnt_s_full, vx, vy, cnt_v_full,
-              sel, sign, nrows):
+def _sat_lin(s0, s1, s_tgt, sign):
+    """Linearize the inside-signed cross per SEGMENT once — s = Dx·vy −
+    Dy·vx − C with the row's orientation sign folded into (Dx, Dy, C) —
+    so each expanded combo costs 5 scalar gathers + 4 flops instead of
+    (N,2) row gathers + 8 flops. r13: split out of _sat_best so the
+    deep-overlap probe and both full SAT directions share ONE
+    linearization pass instead of rebuilding it per call."""
+    sgnseg = sign[s_tgt]
+    Dx = (s1[:, 0] - s0[:, 0]) * sgnseg
+    Dy = (s1[:, 1] - s0[:, 1]) * sgnseg
+    C = Dx * s0[:, 1] - Dy * s0[:, 0]
+    zseg = (s1[:, 0] == s0[:, 0]) & (s1[:, 1] == s0[:, 1])
+    return Dx, Dy, C, zseg
+
+
+def _sat_center_probe(lin, s_tgt, cnt_s_full, cx, cy, sel, nrows):
+    """min over a row's edges of the inside-signed distance to ONE
+    partner point (its bbox center) — the deep-overlap probe. With a
+    single partner vertex the generic _sat_best degenerates to
+    max-over-1 reduceat groups (per-group overhead with zero
+    amortization, ~3M combos/s measured); this specialization is one
+    vectorized pass over the segments: no expansion, no chunking.
+    +inf where unselected (callers mask by their own sel)."""
+    Dx, Dy, C, zseg = lin
+    if len(Dx) == 0:
+        return np.full(nrows, np.inf)
+    s = Dx * cy[s_tgt]
+    s -= Dy * cx[s_tgt]
+    s -= C
+    s[zseg] = np.inf
+    off = np.concatenate([[0], np.cumsum(cnt_s_full)])[:-1]
+    mn = np.minimum.reduceat(s, np.minimum(off, len(s) - 1))
+    return np.where(sel & (cnt_s_full > 0), mn, np.inf)
+
+
+def _sat_best(lin, s_tgt, cnt_s_full, vx, vy, cnt_v_full,
+              sel, nrows):
     """Per selected row: min over the row's OWN edges of (max over the
     partner's verts of the inside-signed cross) — one half of the
     convex SAT. For a CCW convex polygon, its extreme projection on an
     edge's outward normal IS that edge, so 'all partner verts strictly
     outside some edge' == 'a separating axis exists among this side's
     normals'. +inf where unselected; zero-length edges contribute +inf
-    (their axis is meaningless).
-
-    The cross is linearized per SEGMENT once — s = Dx·vy − Dy·vx − C
-    with the row's orientation sign folded into (Dx, Dy, C) — so each
-    expanded combo costs 5 scalar gathers + 4 flops instead of (N,2)
-    row gathers + 8 flops."""
+    (their axis is meaningless). ``lin`` is the shared _sat_lin output."""
+    Dx, Dy, C, zseg = lin
     best = np.full(nrows, np.inf)
-    sgnseg = sign[s_tgt]
-    Dx = (s1[:, 0] - s0[:, 0]) * sgnseg
-    Dy = (s1[:, 1] - s0[:, 1]) * sgnseg
-    C = Dx * s0[:, 1] - Dy * s0[:, 0]
-    zseg = (s1[:, 0] == s0[:, 0]) & (s1[:, 1] == s0[:, 1])
     off_s = np.concatenate([[0], np.cumsum(cnt_s_full)])[:-1]
     off_v = np.concatenate([[0], np.cumsum(cnt_v_full)])[:-1]
     cnt_s = np.where(sel, cnt_s_full, 0)
@@ -1755,36 +1782,55 @@ def _poly_line_intersects_fast(ga, gb):
         ext = np.maximum(ext, np.maximum(ba[rows, 3] - ba[rows, 1],
                                          bb[rows, 3] - bb[rows, 1]))
         tol = 1e-14 * (1.0 + ext) * (1.0 + bm) + _EPS
+        linA = _sat_lin(a0, a1, ta_, sgna)
+        linB = _sat_lin(b0, b1, tb_, sgnb)
         # stage 1 — deep-overlap probe: the partner's bbox CENTER
-        # strictly inside decides True at (edges × 1) cost. Worth the
-        # extra passes only when the full cross product is big (the
-        # staging overhead exceeds the saving on ~8-vertex rings)
+        # strictly inside decides True at (edges × 1) cost. r12 gated
+        # the probe on ring size (median > 24) because its fixed
+        # machinery wasn't worth ~8-vertex rings — which left dense-hit
+        # small-ring ensembles paying BOTH full SAT directions for
+        # every positive pair (0.09M pairs/s at 89% hits, VERDICT r12
+        # #6). r13 gates PER ROW on bbox-overlap fraction instead:
+        # pairs whose bbox intersection covers > 35% of the smaller
+        # bbox are overwhelmingly deep hits the probe decides at 1/v of
+        # the combo cost, while sparse ensembles skip the probe almost
+        # entirely (overlap fraction is already computed from the
+        # bounds in hand). Big rings keep the always-probe behavior.
         deep = np.zeros(nrows, dtype=bool)
+        ox = np.maximum(np.minimum(ba[rows, 2], bb[rows, 2]) -
+                        np.maximum(ba[rows, 0], bb[rows, 0]), 0.0)
+        oy = np.maximum(np.minimum(ba[rows, 3], bb[rows, 3]) -
+                        np.maximum(ba[rows, 1], bb[rows, 1]), 0.0)
+        aa_ = (ba[rows, 2] - ba[rows, 0]) * (ba[rows, 3] - ba[rows, 1])
+        ab_ = (bb[rows, 2] - bb[rows, 0]) * (bb[rows, 3] - bb[rows, 1])
+        frac = (ox * oy) / np.maximum(np.minimum(aa_, ab_), 1e-300)
         szs = cnt_a_full[sat_elig] + cnt_b_full[sat_elig]
-        if len(szs) and float(np.median(szs)) > 24:
-            one_ = np.ones(nrows, dtype=np.int64)
+        big_rings = bool(len(szs)) and float(np.median(szs)) > 24
+        probe_sel = sat_elig if big_rings else sat_elig & (frac > 0.35)
+        if probe_sel.any():
             cbx = (bb[rows, 0] + bb[rows, 2]) * 0.5
             cby = (bb[rows, 1] + bb[rows, 3]) * 0.5
             cax = (ba[rows, 0] + ba[rows, 2]) * 0.5
             cay = (ba[rows, 1] + ba[rows, 3]) * 0.5
-            inA = _sat_best(a0, a1, ta_, cnt_a_full, cbx, cby, one_,
-                            sat_elig, sgna, nrows) > tol
-            inB = _sat_best(b0, b1, tb_, cnt_b_full, cax, cay, one_,
-                            sat_elig & ~inA, sgnb, nrows) > tol
-            deep = sat_elig & (inA | inB)
+            inA = _sat_center_probe(linA, ta_, cnt_a_full, cbx, cby,
+                                    probe_sel, nrows) > tol
+            inB = _sat_center_probe(linB, tb_, cnt_b_full, cax, cay,
+                                    probe_sel & ~inA, nrows) > tol
+            deep = probe_sel & (inA | inB)
         # stage 2 — full SAT, direction A; robust separation decides
-        # False without running direction B
+        # False without running direction B. r13: a single-ring closed
+        # polygon's segment STARTS (a0/b0) are exactly its unique
+        # vertex set, so the partner-vertex arrays are the segment
+        # arrays already in hand — the two _row_vertices passes (and
+        # their bincounts) were pure duplication. Non-SAT rows have
+        # different seg/vert counts, but they are never selected here.
         rem = sat_elig & ~deep
-        va_, tva_ = _row_vertices(ga, rows)
-        vb_, tvb_ = _row_vertices(gb, rows)
-        cva_ = np.bincount(tva_, minlength=nrows)
-        cvb_ = np.bincount(tvb_, minlength=nrows)
-        bestA = _sat_best(a0, a1, ta_, cnt_a_full, vb_[:, 0], vb_[:, 1],
-                          cvb_, rem, sgna, nrows)
+        bestA = _sat_best(linA, ta_, cnt_a_full, b0[:, 0], b0[:, 1],
+                          cnt_b_full, rem, nrows)
         sepA = rem & (bestA < -tol)
         rem2 = rem & ~sepA
-        bestB = _sat_best(b0, b1, tb_, cnt_b_full, va_[:, 0], va_[:, 1],
-                          cva_, rem2, sgnb, nrows)
+        bestB = _sat_best(linB, tb_, cnt_b_full, a0[:, 0], a0[:, 1],
+                          cnt_a_full, rem2, nrows)
         best = np.minimum(bestA, bestB)
         dec2 = rem2 & np.isfinite(best) & (np.abs(best) > tol)
         dec = deep | sepA | dec2
