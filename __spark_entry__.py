@@ -4828,32 +4828,73 @@ FROM documents WHERE doc_id < 500
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ORDERING (r12 rotation; stamp-follows-change, VERDICT r8 #3):
+        # ORDERING (r13 rotation; stamp-follows-change, VERDICT r8 #3):
         # the driver stamps only the FIRST 50 entries into
-        # CORRECTNESS_r{N}.json. The r12 window = (a) 15 queries whose
-        # backing code changed THIS round — the banded distance
-        # headline + pruned pairwise-distance kernel, the mapInArrow
-        # NaN-preserving sjoin pair generation (sjoin family), the
-        # batched hole-pair validity pass (validity family), the bulk
-        # point-buffer and vectorized-centroid kernels (buffer/
-        # centroid users), the WKT/WKB codec hardening + vectorized
-        # batch parser (codec_roundtrip), and the crs bisection early
-        # exit (albers/polar inverses); then (b) ALL 25 queries still
-        # carrying r8 stamps; then (c) 10 of the r9 cohort — after
-        # this round no stamp is older than r9 (rotation criterion).
-        # All 144 queries run under tools/check_oracles.py regardless
-        # of position.
+        # CORRECTNESS_r{N}.json. The r13 window = (a) 21 queries whose
+        # backing code changed THIS round — the split-batch WKT parser
+        # + identity-keyed distance peephole (distance,
+        # codec_roundtrip), the sjoin NULL-attribute fix and the
+        # convex-SAT center-probe refactor on the shared refine path
+        # (sjoin/clip/overlay/predicates families), and the Rabin-
+        # polynomial minhash re-pricing (minhash family incl. the
+        # streaming LSH query); then (b) ALL 20 queries still carrying
+        # r9 stamps; then (c) 9 of the r10 cohort — after this round no
+        # stamp is older than r10 (rotation criterion). All 144 queries
+        # run under tools/check_oracles.py regardless of position.
         "distance": q_distance,
+        "codec_roundtrip": q_codec_roundtrip,
         "sjoin": q_sjoin,
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
         "sjoin_nearest_xr": q_sjoin_nearest_xr,
+        "predicates": q_predicates,
+        "clip": q_clip,
+        "clip_rect": q_clip_rect,
+        "overlay_union": q_overlay_union,
+        "overlay_mixed": q_overlay_mixed,
+        "overlay_difference": q_overlay_difference,
+        "overlay_intersection": q_overlay_intersection,
+        "overlay_identity": q_overlay_identity,
+        "overlay_symdiff": q_overlay_symdiff,
+        "minhash": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard": q_jaccard,
+        "dedup_components": q_dedup_components,
+        "stream_lsh_dedup": q_stream_lsh_dedup,
+        "pack_sequences": q_pack_sequences,
+        "polygonize_buildarea": q_polygonize_buildarea,
+        "polygonize_full": q_polygonize_full,
+        "read_pushdown": q_read_pushdown,
+        "relate": q_relate,
+        "rt_feather": q_rt_feather,
+        "rt_fgb": q_rt_fgb,
+        "rt_geojsonseq": q_rt_geojsonseq,
+        "rt_geoparquet": q_rt_geoparquet,
+        "rt_gml": q_rt_gml,
+        "rt_gpkg": q_rt_gpkg,
+        "rt_kml": q_rt_kml,
+        "rt_shapefile": q_rt_shapefile,
+        "subdivide": q_subdivide,
+        "to_crs_bng": q_to_crs_bng,
+        "to_crs_laea_merc": q_to_crs_laea_merc,
+        "to_crs_lambert93": q_to_crs_lambert93,
+        "to_crs_utm": q_to_crs_utm,
+        "union_lines": q_union_lines,
+        "union_mixed": q_union_mixed,
+        "cdt": q_cdt,
+        "char_entropy": q_char_entropy,
+        "coverage": q_coverage,
+        "decontaminate": q_decontaminate,
+        "dissolve": q_dissolve,
+        "dissolve_aggfuncs": q_dissolve_aggfuncs,
+        "dissolve_coverage": q_dissolve_coverage,
+        "dissolve_mean": q_dissolve_mean,
+        "explode": q_explode,
         "validity": q_validity,
         "valid_reason_orient": q_valid_reason_orient,
         "buffer": q_buffer,
         "buffer_styles": q_buffer_styles,
-        "codec_roundtrip": q_codec_roundtrip,
         "collect_bounds": q_collect_bounds,
         "mbc_mrr": q_mbc_mrr,
         "to_crs_albers": q_to_crs_albers,
@@ -4886,23 +4927,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affine3d": q_affine3d,
         "boundary": q_boundary,
         "concave": q_concave,
-        "dedup_components": q_dedup_components,
         "delaunay": q_delaunay,
         "gc_setops": q_gc_setops,
         "geomcollection": q_geomcollection,
         "grid_size": q_grid_size,
         "list_layers": q_list_layers,
         "offset_eq": q_offset_eq,
-        "clip": q_clip,
-        "predicates": q_predicates,
-        "overlay_union": q_overlay_union,
-        "overlay_mixed": q_overlay_mixed,
-        "overlay_difference": q_overlay_difference,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "lsh_topk": q_lsh_topk,
         "chunk_docs": q_chunk_docs,
-        "clip_rect": q_clip_rect,
         "concat_cx": q_concat_cx,
         "coords_dump": q_coords_dump,
         "densify_distances": q_densify_distances,
@@ -4911,7 +4945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_bbox_paths": q_fgb_bbox_paths,
         "fillna": q_fillna,
         "geometry_n": q_geometry_n,
-        "jaccard": q_jaccard,
         "line_merge": q_line_merge,
         "m_coords": q_m_coords,
         "multimodal_ops": q_multimodal_ops,
@@ -4920,7 +4953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotate_skew": q_rotate_skew,
         "sample_poisson": q_sample_poisson,
         "sample_pts": q_sample_pts,
-        "stream_lsh_dedup": q_stream_lsh_dedup,
         "stream_sjoin": q_stream_sjoin,
         "stream_stream_join": q_stream_stream_join,
         "stream_window_union": q_stream_window_union,
@@ -4934,19 +4966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory": q_trajectory,
         "transform_apply": q_transform_apply,
         "unique_rep": q_unique_rep,
-        "overlay_identity": q_overlay_identity,
-        "overlay_symdiff": q_overlay_symdiff,
-        "overlay_intersection": q_overlay_intersection,
-        "dissolve": q_dissolve,
-        "dissolve_mean": q_dissolve_mean,
-        "dissolve_aggfuncs": q_dissolve_aggfuncs,
-        "dissolve_coverage": q_dissolve_coverage,
         "make_valid": q_make_valid,
         "make_valid_linework": q_make_valid_linework,
-        "lsh_pairs": q_lsh_pairs,
-        "minhash": q_minhash,
-        "char_entropy": q_char_entropy,
-        "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "url_ops": q_url_ops,
         "exterior_interiors": q_exterior_interiors,
@@ -4960,33 +4981,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_boxes": q_union_boxes,
         "union_overlap": q_union_overlap,
         "hilbert": q_hilbert,
-        "explode": q_explode,
-        "coverage": q_coverage,
-        "cdt": q_cdt,
         "shared_paths": q_shared_paths,
         "intersection_all": q_intersection_all,
         "snap": q_snap,
         "simplify": q_simplify,
-        "relate": q_relate,
-        "polygonize_full": q_polygonize_full,
-        "polygonize_buildarea": q_polygonize_buildarea,
-        "union_lines": q_union_lines,
-        "union_mixed": q_union_mixed,
-        "pack_sequences": q_pack_sequences,
-        "read_pushdown": q_read_pushdown,
-        "subdivide": q_subdivide,
-        "rt_feather": q_rt_feather,
-        "rt_fgb": q_rt_fgb,
-        "rt_geojsonseq": q_rt_geojsonseq,
-        "rt_geoparquet": q_rt_geoparquet,
-        "rt_gml": q_rt_gml,
-        "rt_gpkg": q_rt_gpkg,
-        "rt_kml": q_rt_kml,
-        "rt_shapefile": q_rt_shapefile,
-        "to_crs_bng": q_to_crs_bng,
-        "to_crs_laea_merc": q_to_crs_laea_merc,
-        "to_crs_lambert93": q_to_crs_lambert93,
-        "to_crs_utm": q_to_crs_utm,
     }
 
 

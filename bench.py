@@ -86,6 +86,35 @@ def _consume(df):
 _TABLES = ("region", "nation", "customer", "supplier", "part",
            "orders", "lineitem", "events", "documents", "embeddings")
 
+_BW_BEST = [0.0]
+
+
+def _bw_recover(max_wait=12.0):
+    """Bounded wait until first-touch allocation bandwidth recovers
+    (same canary as tools/stress_scale.py — the r12 root cause of
+    'cold first run' readings). Every memory-heavy run leaves the
+    guest's first-touch bandwidth collapsed 20-30x for seconds; a
+    back-to-back best-of-N sequence starts each run inside the
+    previous run's collapse window, so the FIRST run of a query
+    following a heavy one could read 2-5x slow (sjoin_nearest at the
+    100x tier: 11-35 s cold vs 2-3 s recovered — measured r13; the
+    wait removes the spread entirely). The wait happens OUTSIDE the
+    timed region; max_wait bounds the cost when the weather simply is
+    bad."""
+    import numpy as np
+    t0 = time.time()
+    while True:
+        p0 = time.time()
+        a = np.ones(64_000_000)
+        b = a * 2.0
+        float(b[::1_000_000].sum())
+        bw = 1.5 / (time.time() - p0)
+        del a, b
+        _BW_BEST[0] = max(_BW_BEST[0], bw)
+        if bw >= 0.5 * _BW_BEST[0] or time.time() - t0 > max_wait:
+            return bw
+        time.sleep(1.0)
+
 
 def _twin_proc(sf_dir, sql, q):
     """Subprocess body: one DuckDB twin, result seconds via queue."""
@@ -173,7 +202,8 @@ def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
                     spark._jvm.System.gc()   # measurement stands alone
                 except Exception:
                     pass
-                df = fn(spark, sf_dir)
+                _bw_recover()    # start outside the previous run's
+                df = fn(spark, sf_dir)      # bandwidth-collapse window
                 t0 = time.time()
                 _consume(df)
                 samples.append(time.time() - t0)
@@ -403,11 +433,16 @@ def main():
                     # here must fail the gate loudly, not silently keep
                     # its old timing (r11 ADVICE)
                     try:
+                        _bw_recover()
                         df = headlines[qn](spark, big_dir)
                         t0 = time.time()
                         _consume(df)
                         tv = min(tv, round(time.time() - t0, 3))
                         bt_times[qn] = tv
+                        if bt_spread.get(qn):       # keep min coherent
+                            bt_spread[qn]["min"] = min(
+                                bt_spread[qn]["min"], tv)
+                            bt_spread[qn]["runs"] += 1
                     except Exception as e:
                         print(f"# ratio-gate retry {qn} crashed: {e}",
                               file=sys.stderr)
@@ -429,9 +464,10 @@ def main():
             }
             fails = [qn for qn, g in ratio_gate.items()
                      if not g.get("pass", True)]
+            ngated = sum(1 for qn in ratio_gate if qn != "_calibration")
             print(f"# big-tier ratio gate: "
                   f"{'FAIL ' + ','.join(fails) if fails else 'PASS'} "
-                  f"({len(ratio_gate)} gated)", file=sys.stderr)
+                  f"({ngated} gated)", file=sys.stderr)
             tiers[f"scale{BIG_FACTOR}x"] = {
                 "queries": bt_times,
                 "spread": bt_spread,

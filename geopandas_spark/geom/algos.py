@@ -8853,7 +8853,14 @@ def is_valid_coverage(ga: GeometryArray, gap_width: float = 0.0) -> bool:
     """Whole-series coverage check (reference base.py:378): polygons form a
     valid coverage when their interiors are pairwise disjoint (boundary
     touching allowed). Pairwise Martinez–Rueda intersection areas over a
-    bbox prefilter."""
+    bbox prefilter.
+
+    ``gap_width`` (r13 fuzz find: the parameter was accepted but silently
+    ignored — the r10 voronoi ``extend_to`` bug class): following GEOS
+    CoverageGapFinder, holes of the coverage UNION whose maximum inscribed
+    circle diameter is below ``gap_width`` are narrow gaps between cells
+    that should have shared an edge → invalid. Wider holes are legitimate
+    map holes and stay valid."""
     bb = bounds(ga)
     idx = [i for i in range(len(ga))
            if int(ga.types[i]) in POLYGON_TYPES and not ga.is_empty()[i]]
@@ -8870,18 +8877,53 @@ def is_valid_coverage(ga: GeometryArray, gap_width: float = 0.0) -> bool:
             area_ij = sum(_mr._ring_signed_area(r) for p in polys for r in p)
             if area_ij > _EPS:
                 return False
+    if gap_width > 0.0 and idx:
+        u = union_all(ga.take(np.asarray(idx, dtype=np.int64)))
+        hb = GeometryBuilder()
+        nholes = 0
+        for part in u.geom_slices(0):
+            for ring in part[1:]:           # interior rings = holes
+                hb.append(GT_POLYGON, [[ring]])
+                nholes += 1
+        if nholes:
+            mic = maximum_inscribed_circle(hb.finish(),
+                                           tolerance=gap_width / 100.0)
+            widths = 2.0 * length(mic)
+            if (widths < gap_width).any():
+                return False
     return True
 
 
-def invalid_coverage_edges(ga: GeometryArray) -> GeometryArray:
+def invalid_coverage_edges(ga: GeometryArray,
+                           gap_width: float = 0.0) -> GeometryArray:
     """Per-row MULTILINESTRING of the boundary portions that break the
     coverage — sub-segments of a polygon's boundary lying strictly inside
     another polygon (reference base.py:450; GEOS CoverageValidator's
-    invalid-edge output). Empty line for rows that are coverage-clean."""
+    invalid-edge output). Empty line for rows that are coverage-clean.
+    With ``gap_width`` > 0 (r13, reference-parity with is_valid_coverage),
+    boundary segments bordering a narrow gap — a union hole whose max
+    inscribed circle diameter is below ``gap_width`` — are flagged too."""
     bb = bounds(ga)
     empty = ga.is_empty()
     idx = [i for i in range(len(ga))
            if int(ga.types[i]) in POLYGON_TYPES and not empty[i]]
+    # narrow-gap boundaries (one union pass, only when requested)
+    gap_segs = []
+    if gap_width > 0.0 and idx:
+        u = union_all(ga.take(np.asarray(idx, dtype=np.int64)))
+        hb = GeometryBuilder()
+        nholes = 0
+        for part in u.geom_slices(0):
+            for ring in part[1:]:
+                hb.append(GT_POLYGON, [[ring]])
+                nholes += 1
+        if nholes:
+            holes = hb.finish()
+            mic = maximum_inscribed_circle(holes,
+                                           tolerance=gap_width / 100.0)
+            wid = 2.0 * length(mic)
+            for h in np.nonzero(wid < gap_width)[0]:
+                gap_segs.append(_geom_segments(holes, int(h)))
     b = GeometryBuilder()
     for i in range(len(ga)):
         if ga.types[i] == GT_MISSING:
@@ -8892,6 +8934,18 @@ def invalid_coverage_edges(ga: GeometryArray) -> GeometryArray:
             continue
         bad = []
         mysegs = _geom_segments(ga, i)
+        # segments lying on a narrow-gap hole boundary: compare midpoints
+        # against the gap segments (canon-rounded, orientation-free)
+        if gap_segs:
+            gs = np.concatenate(gap_segs)
+            gkey = {(tuple(np.round(sorted((tuple(s[0]), tuple(s[1])))[0], 9)),
+                     tuple(np.round(sorted((tuple(s[0]), tuple(s[1])))[1], 9)))
+                    for s in gs}
+            for k in range(len(mysegs)):
+                p, q = mysegs[k]
+                a, c = sorted((tuple(p), tuple(q)))
+                if (tuple(np.round(a, 9)), tuple(np.round(c, 9))) in gkey:
+                    bad.append(np.array([p, q]))
         for j in idx:
             if j == i:
                 continue

@@ -31,16 +31,20 @@ def _grouped(df: DataFrame, by):
 
 
 def invalid_coverage_edges(df: DataFrame, by, *, geom: str = "geom",
+                           gap_width: float = 0.0,
                            out: str = "invalid_edges") -> DataFrame:
     """Per-row MULTILINESTRING WKB of coverage-breaking boundary portions
-    (empty when the row is clean within its group's coverage)."""
+    (empty when the row is clean within its group's coverage). With
+    ``gap_width`` > 0, boundary segments bordering a narrow gap are
+    flagged too (reference base.py:450 kwarg; r13)."""
     schema = StructType(df.schema.fields +
                         [StructField(out, BinaryType(), True)])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         ga = wkb.decode(pdf[geom].tolist())
         pdf = pdf.copy()
-        pdf[out] = wkb.encode(algos.invalid_coverage_edges(ga))
+        pdf[out] = wkb.encode(
+            algos.invalid_coverage_edges(ga, gap_width=gap_width))
         return pdf
 
     return _grouped(df, by).applyInPandas(fn, schema=schema)

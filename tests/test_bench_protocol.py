@@ -69,6 +69,21 @@ def test_count_prunes_projected_udfs(spark, acc):
         "bench._consume vs count() (see VERDICT r12)")
 
 
+def test_bw_recover_is_bounded_and_untimed():
+    """r13: every timed bench run is preceded by the first-touch
+    bandwidth canary (the r12 pressure-mode root cause — a run starting
+    inside the previous run's collapse window reads 2-5x slow). The
+    wait must be bounded and must not leak into the timed region (it
+    runs before t0 in run_tier)."""
+    import time
+
+    t0 = time.time()
+    bw = bench._bw_recover(max_wait=3.0)
+    assert time.time() - t0 <= 3.0 + 5.0     # one probe past the bound
+    assert bw > 0
+    assert bench._BW_BEST[0] >= bw
+
+
 def test_consume_materializes_headline_shaped_plan(spark, acc):
     """A distance_pairs-shaped plan: WKT built with concat, parsed by the
     kernel, distance computed — all in pure projection (the shape that
