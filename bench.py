@@ -100,15 +100,19 @@ def _bw_recover(max_wait=12.0):
     100x tier: 11-35 s cold vs 2-3 s recovered — measured r13; the
     wait removes the spread entirely). The wait happens OUTSIDE the
     timed region; max_wait bounds the cost when the weather simply is
-    bad."""
+    bad. The probe buffer is 64 MB (vs the 512 MB stress-harness
+    canary) so ONE probe stays ~1 s even inside a full 20-30x collapse
+    (0.15 GB/s floor, pressure_probe2 data) — the recovery threshold
+    is self-relative, so the smaller touch changes nothing but the
+    worst-case overshoot past max_wait."""
     import numpy as np
     t0 = time.time()
     while True:
         p0 = time.time()
-        a = np.ones(64_000_000)
+        a = np.ones(8_000_000)
         b = a * 2.0
         float(b[::1_000_000].sum())
-        bw = 1.5 / (time.time() - p0)
+        bw = 0.1875 / (time.time() - p0)
         del a, b
         _BW_BEST[0] = max(_BW_BEST[0], bw)
         if bw >= 0.5 * _BW_BEST[0] or time.time() - t0 > max_wait:
