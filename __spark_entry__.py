@@ -290,7 +290,9 @@ FROM nation
 
 
 def q_clip(spark, sf_dir):
-    c = _cust(spark, sf_dir)
+    # r13: clip's bbox-prefilter + exact-predicate UDFs see only what we
+    # pass; the aggregate below reads only c_nationkey (guide §4.1)
+    c = _cust(spark, sf_dir).select("c_nationkey", "geom")
     clipped = clip(c, "POLYGON ((0 0, 500 0, 500 500, 0 500, 0 0))")
     return (clipped.groupBy("c_nationkey")
             .agg(F.count("*").alias("n"))
@@ -321,7 +323,11 @@ FROM customer
 
 
 def q_sjoin(spark, sf_dir):
-    cust = _cust(spark, sf_dir)
+    # r13: project the probe side to (payload, geom) BEFORE sjoin — the
+    # pair-generating mapInArrow is opaque to Catalyst, so every column
+    # passed in is shipped JVM→Python→JVM per emitted pair (guide §4.1);
+    # the aggregate below reads only c_acctbal and the right-side key
+    cust = _cust(spark, sf_dir).select("c_acctbal", "geom")
     nat = _nat(spark, sf_dir).select("n_nationkey", "geom")
     j = sjoin(cust, nat, predicate="intersects", strategy="broadcast")
     return (j.groupBy("n_nationkey")
@@ -342,7 +348,10 @@ GROUP BY n_nationkey
 
 
 def q_sjoin_grid(spark, sf_dir):
-    cust = _cust(spark, sf_dir)
+    # r13: geom-only probe side — the grid pair generator ships every
+    # input column through Python per candidate pair (guide §4.1), and
+    # this aggregate touches nothing from the left frame
+    cust = _cust(spark, sf_dir).select("c_custkey", "geom")
     nat = _nat(spark, sf_dir).select("n_nationkey", "geom")
     j = sjoin(cust, nat, predicate="intersects", strategy="grid",
               grid_cells=16)
@@ -360,7 +369,9 @@ GROUP BY n_nationkey
 
 
 def q_sjoin_nearest(spark, sf_dir):
-    cust = _cust(spark, sf_dir)
+    # r13: project the probe side first — the nearest pair generator is
+    # opaque to Catalyst (guide §4.1); output reads only (cid, sid, dist)
+    cust = _cust(spark, sf_dir).select("c_custkey", "geom")
     supp = _supp(spark, sf_dir).select("s_suppkey", "geom")
     j = sjoin_nearest(cust, supp, distance_col="dist")
     return j.select(F.col("c_custkey").alias("cid"),
@@ -386,7 +397,7 @@ def q_sjoin_nearest_xr(spark, sf_dir):
     _sjoin_nearest_grid_expanding) — no max_distance, no collected side;
     matched rows leave the loop, the rest retry at 4r up to the combined
     bounds diagonal. Must equal the full-cross argmin oracle exactly."""
-    cust = _cust(spark, sf_dir)
+    cust = _cust(spark, sf_dir).select("c_custkey", "geom")
     supp = _supp(spark, sf_dir).select("s_suppkey", "geom")
     j = sjoin_nearest(cust, supp, distance_col="dist", strategy="grid")
     return j.select(F.col("c_custkey").alias("cid"),
@@ -397,7 +408,7 @@ def q_sjoin_nearest_grid(spark, sf_dir):
     """Large x large nearest path: grid dwithin candidates + distributed
     argmin — no collected side (the broadcast variant above is the
     reference's single-STRtree shape)."""
-    cust = _cust(spark, sf_dir)
+    cust = _cust(spark, sf_dir).select("c_custkey", "geom")
     supp = _supp(spark, sf_dir).select("s_suppkey", "geom")
     j = sjoin_nearest(cust, supp, distance_col="dist", max_distance=100.0,
                       strategy="grid")

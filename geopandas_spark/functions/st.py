@@ -1119,6 +1119,27 @@ def bounds(c) -> Column:
     return _REGISTRY["st_bounds"](_col(c))
 
 
+# Optimizer-fenced bounds (r13, guide §4.4): identical values, but the
+# expression is marked non-deterministic so Catalyst may not duplicate
+# it below an inferred filter. The grid sjoin's cell-emission columns
+# feed equi-join keys; constraint propagation pushes IsNotNull(key)
+# down through the explode into a filter on the bounds fields, and the
+# pushed copy re-evaluates the whole _point→_bounds UDF chain — every
+# input row paid geometry construction + bounds TWICE per side
+# (measured: two ArrowEvalPython nodes in the r13 sjoin_grid 'before'
+# plan). The fence costs nothing here: the rows the pushed filter
+# would have dropped are dropped by the explode anyway (a NULL bounds
+# makes sequence() NULL and Generate emits no row).
+_BOUNDS_ND = None
+
+
+def bounds_fenced(c) -> Column:
+    global _BOUNDS_ND
+    if _BOUNDS_ND is None:
+        _BOUNDS_ND = _REGISTRY["st_bounds"].asNondeterministic()
+    return _BOUNDS_ND(_col(c))
+
+
 def npoints(c) -> Column:
     return _REGISTRY["st_npoints"](_col(c))
 

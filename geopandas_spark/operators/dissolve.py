@@ -203,6 +203,16 @@ def dissolve(df: DataFrame, by, aggfunc=None, *, geom: str = "geom",
         by = [by]
     aggs = _norm_aggfunc(aggfunc)
     holistic = any(callable(fn) or fn in _HOLISTIC for _, fn, _ in aggs)
+    # Project to the columns dissolve actually reads (keys + geometry +
+    # aggfunc inputs) BEFORE any shuffle or Python stage: the grouped
+    # pandas ops below are opaque to Catalyst, so without this every
+    # input column — however wide the frame — is shuffled in the
+    # exchange and serialized through Arrow, only to be dropped by the
+    # output schema (guide §2.3 "project before the exchange", §4.1
+    # "pass only the columns the function needs").
+    need = list(dict.fromkeys([*by, geom, *(c for c, _, _ in aggs)]))
+    if set(need) != {f.name for f in df.schema.fields}:
+        df = df.select(*need)
     if two_phase is None:
         try:
             nparts = df.rdd.getNumPartitions()

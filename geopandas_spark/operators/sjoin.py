@@ -778,8 +778,12 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
     gl = f"{geom_left}_{lsuffix}" if geom_left in overlap else geom_left
     gr = f"{geom_right}_{rsuffix}" if geom_right in overlap else geom_right
 
-    lb = lefts.withColumn("__b__", st.bounds(gl))
-    rb = rights.withColumn("__b__", st.bounds(gr))
+    # fenced bounds (st.bounds_fenced, guide §4.4): stops Catalyst from
+    # re-evaluating the geometry-constructor→bounds UDF chain below the
+    # IsNotNull filters it infers from the __cx__/__cy__ join keys —
+    # without the fence every input row paid the chain TWICE per side
+    lb = lefts.withColumn("__b__", st.bounds_fenced(gl))
+    rb = rights.withColumn("__b__", st.bounds_fenced(gr))
 
     # Plan-build probes (r9 rework — VERDICT r8 residual-cost item): the
     # old full-scan stats job (global extent, counts, mean dims, distinct
@@ -847,7 +851,7 @@ def _sjoin_grid(left, right, predicate, how, geom_left, geom_right, distance,
             dedup_right = bool(nd_right and nr >= 4 * nd_right)
         if dedup_right:
             rb = (rights.select(gr, *on_attribute).distinct()
-                  .withColumn("__b__", st.bounds(gr)))
+                  .withColumn("__b__", st.bounds_fenced(gr)))
             # size the sample scale-up against the deduped count, not the
             # pre-dedup nr, or the cost model overestimates right density
             # by the duplication factor (ADVICE r5); dedupe the sampled
