@@ -86,38 +86,19 @@ def _consume(df):
 _TABLES = ("region", "nation", "customer", "supplier", "part",
            "orders", "lineitem", "events", "documents", "embeddings")
 
-_BW_BEST = [0.0]
-
-
-def _bw_recover(max_wait=12.0):
-    """Bounded wait until first-touch allocation bandwidth recovers
-    (same canary as tools/stress_scale.py — the r12 root cause of
-    'cold first run' readings). Every memory-heavy run leaves the
-    guest's first-touch bandwidth collapsed 20-30x for seconds; a
-    back-to-back best-of-N sequence starts each run inside the
-    previous run's collapse window, so the FIRST run of a query
-    following a heavy one could read 2-5x slow (sjoin_nearest at the
-    100x tier: 11-35 s cold vs 2-3 s recovered — measured r13; the
-    wait removes the spread entirely). The wait happens OUTSIDE the
-    timed region; max_wait bounds the cost when the weather simply is
-    bad. The probe buffer is 64 MB (vs the 512 MB stress-harness
-    canary) so ONE probe stays ~1 s even inside a full 20-30x collapse
-    (0.15 GB/s floor, pressure_probe2 data) — the recovery threshold
-    is self-relative, so the smaller touch changes nothing but the
-    worst-case overshoot past max_wait."""
-    import numpy as np
-    t0 = time.time()
-    while True:
-        p0 = time.time()
-        a = np.ones(8_000_000)
-        b = a * 2.0
-        float(b[::1_000_000].sum())
-        bw = 0.1875 / (time.time() - p0)
-        del a, b
-        _BW_BEST[0] = max(_BW_BEST[0], bw)
-        if bw >= 0.5 * _BW_BEST[0] or time.time() - t0 > max_wait:
-            return bw
-        time.sleep(1.0)
+# r13 NOTE — no pre-run bandwidth canary. A mid-build r13 commit added
+# a `_bw_recover()` wait (allocate-and-free probe loop until first-touch
+# bandwidth recovers) before every timed run, reasoning from the r12
+# pressure-mode find. Measured A/B on the 100x tier this round, the
+# canary INFLATES the runs it precedes instead of stabilizing them:
+# sjoin_nearest read 46-53 s on every canary-preceded run vs 2.7-5.8 s
+# warm without it (three consecutive A/B sequences, identical plans) —
+# up to max_wait seconds of allocation hammering immediately before t0
+# leaves the guest allocator in exactly the collapsed state the wait
+# was meant to avoid, and the self-relative threshold ratchets so most
+# waits run the full max_wait. The protocol is therefore r12's: gc +
+# min-of-N with the spread reported (OPTIMIZATION_r13.md "bench
+# protocol").
 
 
 def _twin_proc(sf_dir, sql, q):
@@ -206,8 +187,7 @@ def run_tier(spark, entry, headlines, sf_dir, cache_baseline=False,
                     spark._jvm.System.gc()   # measurement stands alone
                 except Exception:
                     pass
-                _bw_recover()    # start outside the previous run's
-                df = fn(spark, sf_dir)      # bandwidth-collapse window
+                df = fn(spark, sf_dir)
                 t0 = time.time()
                 _consume(df)
                 samples.append(time.time() - t0)
@@ -437,7 +417,6 @@ def main():
                     # here must fail the gate loudly, not silently keep
                     # its old timing (r11 ADVICE)
                     try:
-                        _bw_recover()
                         df = headlines[qn](spark, big_dir)
                         t0 = time.time()
                         _consume(df)
