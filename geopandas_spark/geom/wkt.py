@@ -476,21 +476,35 @@ def _parse_array_fast(values):
     can't be localized and the caller should fall back wholesale."""
     n = len(values)
     bad = np.zeros(n, dtype=bool)
-    strs = []
-    for i, v in enumerate(values):
-        if isinstance(v, str):
-            s = v
-        elif v is None or (isinstance(v, float) and np.isnan(v)):
-            strs.append("")
-            continue
-        else:
-            s = str(v)
-        if s.isascii():
-            strs.append(s)
-        else:
-            bad[i] = True               # cursor parser owns non-ascii
-            strs.append("")
-    blob = "\n".join(strs)
+    # common case first (r13): a batch of all-str all-ascii rows joins
+    # and encodes in two C calls — the per-row isinstance/isascii loop
+    # below cost ~1 µs/row, about 40% of the whole fast path on clean
+    # batches (cProfile, 20k-row LINESTRING batch). join raises
+    # TypeError on any non-str row and encode raises UnicodeEncodeError
+    # on any non-ascii one; both fall to the per-row classification.
+    strs = None
+    try:
+        blob = "\n".join(values)
+        blob.encode("ascii")
+        strs = values if isinstance(values, list) else list(values)
+    except (TypeError, UnicodeEncodeError):
+        pass
+    if strs is None:
+        strs = []
+        for i, v in enumerate(values):
+            if isinstance(v, str):
+                s = v
+            elif v is None or (isinstance(v, float) and np.isnan(v)):
+                strs.append("")
+                continue
+            else:
+                s = str(v)
+            if s.isascii():
+                strs.append(s)
+            else:
+                bad[i] = True           # cursor parser owns non-ascii
+                strs.append("")
+        blob = "\n".join(strs)
     # copy-on-write: the blob stays a zero-copy frombuffer view until a
     # blanking pass actually needs to mutate it (clean batches never do)
     arr = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
