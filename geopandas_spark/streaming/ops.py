@@ -280,14 +280,19 @@ def lsh_dedup_stream(stream: DataFrame, *, id_col: str = "doc_id",
     if rows < 1:
         raise ValueError("num_hashes must be >= bands")
     sigs = minhash_signatures(stream, text_col, num_hashes, k)
-    banded = None
-    for b in range(bands):
-        key = F.concat_ws(
-            "#", F.lit(str(b)),
-            *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        sel = sigs.select(F.col(id_col).cast("string").alias("id"),
-                          key.alias("bk"), F.lit(b).alias("band"))
-        banded = sel if banded is None else banded.unionByName(sel)
+    # ONE signature pass (r13): the per-band union re-planned the
+    # signature subtree (scan + sig kernel) once per band branch;
+    # posexplode emits the same (id, bk, band) rows from a single
+    # evaluation. Values identical: pos == b and the key embeds the
+    # same str(b) prefix.
+    keys = [F.concat_ws(
+        "#", F.lit(str(b)),
+        *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        for b in range(bands)]
+    banded = (sigs.select(F.col(id_col).cast("string").alias("id"),
+                          F.posexplode(F.array(*keys))
+                           .alias("band", "bk"))
+              .select("id", "bk", "band"))
 
     out_schema = StructType([
         StructField("id", StringType()),
