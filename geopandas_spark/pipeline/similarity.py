@@ -420,19 +420,23 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.4, *,
     if method == "exact":
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        parts = []
-        for band in range(bands):
-            off = band * planes
-            la = a.withColumn("__bk__",
-                              lsh_sign_bucket("__va__", planes, off))
-            lb = b.withColumn("__bk__",
-                              lsh_sign_bucket("__vb__", planes, off))
-            parts.append(la.join(lb, on="__bk__")
-                           .filter(F.col("id_a") < F.col("id_b"))
-                           .drop("__bk__"))
-        cand = parts[0]
-        for p in parts[1:]:
-            cand = cand.unionByName(p)
+        # ONE scan per side (r13): the per-band loop joined per-band
+        # branches and unioned — each band re-planned both sides' scan +
+        # norm + bucket expressions (bands × 2 evaluations). posexplode
+        # emits every (band, bucket) row from a single pass per side;
+        # joining on (band, key) yields the identical candidate set
+        # (pair agreement in ANY band), deduped as before.
+        ka = F.array(*[lsh_sign_bucket("__va__", planes, band * planes)
+                       for band in range(bands)])
+        kb = F.array(*[lsh_sign_bucket("__vb__", planes, band * planes)
+                       for band in range(bands)])
+        la = a.select("id_a", "__va__", "__na__",
+                      F.posexplode(ka).alias("__band__", "__bk__"))
+        lb = b.select("id_b", "__vb__", "__nb__",
+                      F.posexplode(kb).alias("__band__", "__bk__"))
+        cand = (la.join(lb, on=["__band__", "__bk__"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .drop("__band__", "__bk__"))
         cand = cand.dropDuplicates(["id_a", "id_b"])
     else:
         raise ValueError(f"unknown method {method!r}")
