@@ -1240,6 +1240,104 @@ def _assemble_polygons(rings):
     return [polys[i] for i in sorted(polys)]
 
 
+def _weld_ulp_twins(subject_rings, clipping_rings):
+    """Weld distinct-but-ulp-close vertices across both operands.
+
+    Two vertices a few ulps apart sit INSIDE every robustness quantum of
+    the sweep (endpoint snap and _divide_segment no-op guard, both
+    1e-13·mag) yet compare UNEQUAL in the exact comparators. The sweep
+    then holds a status order derived from the raw coordinates while the
+    snap logic treats the points as one — and the corrective division
+    that would reorder the pair is suppressed as a no-op, so every later
+    crossing discovered through that adjacency is missed (r13 subdivide
+    fuzz find: a clip-box corner 2 ulps from a subject vertex lying on a
+    collinear edge made INTERSECTION return empty for BOTH bbox halves
+    of a concave polygon). Welding each twin group to one representative
+    (its lexicographically smallest member) restores the exact equality
+    the degenerate-case machinery assumes.
+
+    The weld threshold is ~1e-12 relative to the pair's own magnitude —
+    an order above the 1e-13 snap quantum, three below the tracer's
+    1e-9 canonicalization and the smallest real feature the kernel is
+    specified for. Inputs with no twins (every clean / integer-grid
+    operand) are returned unchanged, and the scan is a few vectorized
+    passes over the distinct-vertex set."""
+    pts = np.concatenate([np.asarray(r, dtype=np.float64)[:, :2]
+                          for r in subject_rings + clipping_rings], axis=0)
+    if len(pts) < 2:
+        return subject_rings, clipping_rings
+    # Fast reject (the common, clean-input case): a twin pair (unequal,
+    # both coords within eps) forces SOME lexsort-adjacent pair with
+    # 0 < dx <= eps (x-unequal twins: every x step between them is
+    # smaller still) or dx == 0 and 0 < dy <= eps (x-equal twins sort
+    # adjacent within their x block, or through another twin). One sort
+    # + one diff, vs the full unique/union-find weld below.
+    fmag = max(1.0, float(np.abs(pts).max()))
+    feps = 1e-12 * fmag
+    # complex sort == lexsort by (x, y); one call instead of three
+    cs = np.sort(pts[:, 0] + 1j * pts[:, 1])
+    dx = np.diff(cs.real)
+    dy = np.diff(cs.imag)
+    if not (((dx > 0.0) & (dx <= feps)) |
+            ((dx == 0.0) & (np.abs(dy) > 0.0) &
+             (np.abs(dy) <= feps))).any():
+        return subject_rings, clipping_rings
+    uq, inv = np.unique(pts, axis=0, return_inverse=True)
+    m = len(uq)
+    if m < 2:
+        return subject_rings, clipping_rings
+    gmag = max(1.0, float(np.abs(uq).max()))
+    geps = 1e-12 * gmag
+    # candidate generation: x-runs of lexicographically-sorted distinct
+    # vertices chained by dx <= geps (over-inclusive; the pair test below
+    # is local). Same-x columns always chain, so the cheap reject is on
+    # the y-sorted adjacent pair test, not here.
+    run_id = np.zeros(m, dtype=np.int64)
+    np.cumsum(np.diff(uq[:, 0]) > geps, out=run_id[1:])
+    order = np.lexsort((uq[:, 0], uq[:, 1], run_id))
+    xu, yu = uq[order, 0], uq[order, 1]
+    leps = 1e-12 * np.maximum.reduce(
+        [np.abs(xu[:-1]), np.abs(yu[:-1]), np.ones(m - 1)])
+    near = ((run_id[order][1:] == run_id[order][:-1]) &
+            (np.abs(np.diff(yu)) <= leps) &
+            (np.abs(np.diff(xu)) <= leps) &
+            ((np.diff(xu) != 0.0) | (np.diff(yu) != 0.0)))
+    if not near.any():
+        return subject_rings, clipping_rings
+    parent = np.arange(m)
+
+    def _find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for k in np.nonzero(near)[0]:
+        ri, rj = _find(order[k]), _find(order[k + 1])
+        if ri != rj:
+            # lower uq index = lexicographically smaller point wins
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    rep = np.array([_find(i) for i in range(m)], dtype=np.int64)
+    new_pts = uq[rep][inv]
+    out_s, out_c = [], []
+    pos = 0
+    for dst, rings in ((out_s, subject_rings), (out_c, clipping_rings)):
+        for r in rings:
+            k = len(r)
+            nr = new_pts[pos:pos + k]
+            pos += k
+            if k > 1:
+                keep = np.ones(k, dtype=bool)
+                keep[1:] = (nr[1:] != nr[:-1]).any(axis=1)
+                nr = nr[keep]
+            if len(nr) >= 3:
+                dst.append(nr)
+    return out_s, out_c
+
+
 def boolean_op(subject_rings, clipping_rings, op):
     """Boolean operation over two even-odd-filled ring sets.
 
@@ -1319,6 +1417,18 @@ def boolean_op(subject_rings, clipping_rings, op):
             out = boolean_op([r - t for r in subject_rings],
                              [r - t for r in clipping_rings], op)
             return [[r + t for r in poly] for poly in out]
+    subject_rings, clipping_rings = _weld_ulp_twins(subject_rings,
+                                                    clipping_rings)
+    if not subject_rings or not clipping_rings:
+        # a degenerate (sub-eps) ring dropped by the weld
+        if not subject_rings and not clipping_rings:
+            return []
+        if not subject_rings:
+            return (_assemble_polygons([_close(r) for r in clipping_rings])
+                    if op in (UNION, XOR) else [])
+        if op == INTERSECTION:
+            return []
+        return _assemble_polygons([_close(r) for r in subject_rings])
     sorted_events = _subdivide(subject_rings, clipping_rings, op)
     s_closed = [_close(r) for r in subject_rings]
     c_closed = [_close(r) for r in clipping_rings]

@@ -1336,3 +1336,49 @@ def test_exact_oracle_self_check_unit_boxes():
     # corner touch
     m, (_, _, I) = exact_de9im([box(0, 0, 2, 2)], [box(2, 2, 2, 2)])
     assert m == "FF2F01212" and I == 0
+
+
+def test_boolean_op_ulp_twin_vertex_weld():
+    """Regression: a subject vertex a couple of ulps from the clip-box
+    corner, on an edge collinear with the box bottom, used to corrupt
+    the sweep status (the endpoint snap treated the twin points as one
+    while the exact comparators kept them distinct), making INTERSECTION
+    return empty for BOTH bbox halves of a concave polygon (r13
+    subdivide fuzz find, seed 22732). The pre-sweep ulp-twin weld must
+    restore the crossing."""
+    from geopandas_spark.geom import clipping
+
+    tri = [(8.417, 15.5), (12.999999999999998, 15.5), (17.0, 22.0)]
+    box = [(6.0, 15.5), (13.0, 15.5), (13.0, 27.0), (6.0, 27.0)]
+    out = clipping.boolean_op([np.array(tri)], [np.array(box)],
+                              clipping.INTERSECTION)
+    got = 0.0
+    for poly in out:
+        for ring in poly:
+            r = np.asarray(ring)
+            x, y = r[:, 0], r[:, 1]
+            got += 0.5 * abs(np.dot(x, np.roll(y, -1)) -
+                             np.dot(y, np.roll(x, -1)))
+    # exact clipped area: triangle cut by x<=13 (vertex is ~at 13)
+    want = 7.953237708
+    assert abs(got - want) < 1e-6, (got, want)
+    # and subdivide of the original fuzz star must preserve area:
+    # both bbox halves of the triangle tile it exactly.
+    lo = clipping.boolean_op(
+        [np.array(tri)],
+        [np.array([(6.0, 15.5), (13.0, 15.5), (13.0, 27.0), (6.0, 27.0)])],
+        clipping.INTERSECTION)
+    hi = clipping.boolean_op(
+        [np.array(tri)],
+        [np.array([(13.0, 15.5), (17.5, 15.5), (17.5, 27.0), (13.0, 27.0)])],
+        clipping.INTERSECTION)
+    tot = 0.0
+    for polys in (lo, hi):
+        for poly in polys:
+            for ring in poly:
+                r = np.asarray(ring)
+                x, y = r[:, 0], r[:, 1]
+                tot += 0.5 * abs(np.dot(x, np.roll(y, -1)) -
+                                 np.dot(y, np.roll(x, -1)))
+    tri_area = 0.5 * abs((12.999999999999998 - 8.417) * (22.0 - 15.5))
+    assert abs(tot - tri_area) < 1e-6, (tot, tri_area)
