@@ -111,10 +111,18 @@ def _cust_supp_lines(spark, sf_dir) -> DataFrame:
     mod = max(1, n_supp // 1000)
     j = c.join(s, (c.c_nationkey == s.s_nationkey) &
                ((c.c_custkey + s.s_suppkey) % F.lit(mod) == 0))
-    wktcol = F.concat(F.lit("LINESTRING ("), F.col("px"), F.lit(" "),
-                      F.col("py"), F.lit(", "), F.col("sx"), F.lit(" "),
-                      F.col("sy"), F.lit(")"))
-    return j.withColumn("line", st.geom_from_text(wktcol))
+    return j.withColumn("line", st.geom_from_text(_line_wkt()))
+
+
+def _line_wkt():
+    """The WKT expression _cust_supp_lines materializes as ``line``.
+    Exposed so q_distance can pass the parse composition to st.length
+    directly (Column-instance peephole → fused parse+length kernel;
+    identical values, the WKB round trip between the chained UDFs
+    dropped)."""
+    return F.concat(F.lit("LINESTRING ("), F.col("px"), F.lit(" "),
+                    F.col("py"), F.lit(", "), F.col("sx"), F.lit(" "),
+                    F.col("sy"), F.lit(")"))
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +204,7 @@ def q_distance(spark, sf_dir):
     return j.select(
         F.col("c_custkey").alias("cid"), F.col("s_suppkey").alias("sid"),
         st.distance(cpt, spt).alias("dist"),
-        st.length("line").alias("line_len"))
+        st.length(st.geom_from_text(_line_wkt())).alias("line_len"))
 
 
 SQL_DISTANCE = f"""

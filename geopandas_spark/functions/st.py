@@ -126,6 +126,21 @@ def _geomfromtext(s: pd.Series) -> pd.Series:
     return _enc(ga)
 
 
+@_reg("st_length_of_wkt")
+@pandas_udf(DoubleType())
+def _length_of_wkt(s: pd.Series) -> pd.Series:
+    """Fused parse→length kernel (r13, guide §4.2): same parse_array and
+    same length kernel as the st_geomfromtext → st_length chain, minus
+    the per-row WKB encode → bytes Series → decode round trip between
+    the two UDFs (wkb.decode(wkb.encode(ga)) is the identity on every
+    parse_array output, so the values are unchanged by construction).
+    Selected by ``length()`` when its argument is a Column that
+    ``geom_from_text()`` returned in this session — see
+    ``_FROMTEXT_ARG_ATTR``."""
+    ga = wktmod.parse_array(s.tolist())
+    return _mask_float(ga, algos.length(ga))
+
+
 @_reg("st_astext")
 @pandas_udf(StringType())
 def _astext(s: pd.Series) -> pd.Series:
@@ -1079,8 +1094,22 @@ def makebox_native(xmin, ymin, xmax, ymax) -> Column:
         x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
 
 
+# Identity-attached source expression for WKT-parse fusion, same
+# mechanism (and same self-join-safety rationale) as _POINT_ARGS_ATTR:
+# the marker lives only on the exact Column instance geom_from_text
+# returned, so a measure over that instance can fuse parse+measure into
+# one kernel call instead of parse → WKB round trip → decode → measure.
+_FROMTEXT_ARG_ATTR = "_gps_fromtext_arg"
+
+
 def geom_from_text(c) -> Column:
-    return _REGISTRY["st_geomfromtext"](_col(c))
+    cc = _col(c)
+    out = _REGISTRY["st_geomfromtext"](cc)
+    try:
+        out.__dict__[_FROMTEXT_ARG_ATTR] = cc
+    except Exception:
+        pass
+    return out
 
 
 def as_text(c) -> Column:
@@ -1104,7 +1133,13 @@ def area(c) -> Column:
 
 
 def length(c) -> Column:
-    return _REGISTRY["st_length"](_col(c))
+    cc = _col(c)
+    if isinstance(cc, Column):
+        # __dict__ read on purpose — see the NOTE in distance()
+        src = cc.__dict__.get(_FROMTEXT_ARG_ATTR)
+        if src is not None:
+            return _REGISTRY["st_length_of_wkt"](src)
+    return _REGISTRY["st_length"](cc)
 
 
 def x(c) -> Column:

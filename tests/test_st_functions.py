@@ -446,3 +446,33 @@ def test_distance_peephole_same_names_self_join(spark):
     kplan = kern._jdf.queryExecution().executedPlan().toString()
     assert kplan.count("ArrowEvalPython") > 0
     assert [r.d for r in kern.collect()] == [0.0, 0.0]
+
+
+def test_length_from_text_fusion(spark):
+    """r13: st.length over the exact Column st.geom_from_text returned
+    fuses parse+length into ONE kernel (_length_of_wkt) — the WKB
+    encode → decode round trip between the chained UDFs is dropped.
+    Values must be identical to the chained path for clean, NULL and
+    degenerate rows, and a materialized geometry column (no remembered
+    source) must keep taking the plain st_length kernel."""
+    df = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 3 4)"), (2, None),
+         (3, "LINESTRING (1 1, 1 1)"),
+         (4, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")],
+        ["id", "w"])
+    fused = df.select("id", st.length(st.geom_from_text(F.col("w")))
+                      .alias("l"))
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "_length_of_wkt" in plan
+    assert "_geomfromtext" not in plan          # chain fully replaced
+    got = {r.id: r.l for r in fused.collect()}
+    # chained reference: materialize the geometry, then length
+    ref = {r.id: r.l for r in
+           df.withColumn("g", st.geom_from_text("w"))
+             .select("id", st.length("g").alias("l")).collect()}
+    assert got == ref == {1: 5.0, 2: None, 3: 0.0, 4: 16.0}
+    # the materialized-column path must NOT fuse
+    chained = (df.withColumn("g", st.geom_from_text("w"))
+                 .select(st.length("g").alias("l")))
+    cplan = chained._jdf.queryExecution().executedPlan().toString()
+    assert "_length_of_wkt" not in cplan and "_geomfromtext" in cplan
