@@ -11,6 +11,12 @@ from __future__ import annotations
 import re
 import numpy as np
 
+try:                                    # worker-side fast float parse
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+except Exception:                       # pragma: no cover - pyarrow ships
+    _pa = _pc = None                    # with pyspark; belt-and-braces
+
 from geopandas_spark.geom.array import (
     GT_MISSING, GT_POINT, GT_LINESTRING, GT_POLYGON, GT_MULTIPOINT,
     GT_MULTILINESTRING, GT_MULTIPOLYGON, GT_GEOMETRYCOLLECTION,
@@ -466,6 +472,42 @@ def _concat_rows(a: GeometryArray, b: GeometryArray) -> GeometryArray:
         np.concatenate([a.coords, b.coords]), z=z, m=m, gc_meta=gc)
 
 
+def _vals_arrow_cast(barr, isnum, ts, tok_keep):
+    """Token buffer → float64 via Arrow's string→double cast.
+
+    Both converters are correctly rounded (Arrow uses fast_float,
+    np.fromstring wraps strtod), so accepted values are bit-identical;
+    the cast runs ~4x faster than the fromstring pass (0.31 vs 1.2-1.5
+    µs/WKT-row on the distance_pairs LINESTRING shape) because it skips
+    the tobytes+decode copies and strtod's locale machinery. Returns
+    None on ANY irregularity — missing pyarrow, a token the cast
+    rejects (e.g. bare '+'/'1e'), byte-count drift — and the caller
+    falls back to the np.fromstring path with its per-row drift
+    localization, so acceptance/rejection behavior is unchanged.
+    """
+    if _pa is None:
+        return None
+    nxt = np.empty_like(isnum)
+    nxt[-1] = False
+    nxt[:-1] = isnum[1:]
+    te = np.nonzero(isnum & ~nxt)[0] + 1
+    lens = (te - ts)[tok_keep]
+    # bad-row token bytes were blanked to 0x20 in barr (a live token
+    # byte is never 0x20), so this keeps exactly the kept tokens' bytes
+    compact = barr[isnum & (barr != 0x20)]
+    if int(lens.sum()) != len(compact) or len(compact) > 2**31 - 8:
+        return None
+    ntok = len(lens)
+    offsets = np.zeros(ntok + 1, dtype=np.int32)
+    np.cumsum(lens.astype(np.int32), out=offsets[1:])
+    try:
+        sa = _pa.StringArray.from_buffers(
+            ntok, _pa.py_buffer(offsets), _pa.py_buffer(compact))
+        return _pc.cast(sa, _pa.float64()).to_numpy(zero_copy_only=False)
+    except Exception:
+        return None
+
+
 def _parse_array_fast(values):
     """Vectorized batch parse with per-row dirt localization.
 
@@ -771,7 +813,9 @@ def _parse_array_fast(values):
             return np.fromstring(barr.tobytes().decode("ascii"),
                                  dtype=np.float64, sep=" ")
 
-    vals = _vals_of()
+    vals = _vals_arrow_cast(barr, isnum, ts, tok_keep)
+    if vals is None:
+        vals = _vals_of()
     if len(vals) != len(ts_f):
         # token ends only needed for grammar localization — derive lazily
         nxt = np.empty_like(isnum)

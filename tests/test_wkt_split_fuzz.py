@@ -210,3 +210,50 @@ class TestSplitBatchFuzz:
             return min(t)
         tc, td = best(clean), best(dirty)
         assert td <= tc / 0.6, (tc, td)
+
+
+class TestArrowCastParity:
+    """r13: the float-token conversion runs through Arrow's
+    string→double cast (fast_float) instead of np.fromstring (strtod).
+    Both are correctly rounded, so accepted values must be BIT-identical;
+    any token the cast rejects must fall back to the fromstring path and
+    produce the exact same batch result."""
+
+    def test_bit_identical_coords_across_converters(self):
+        rng = np.random.default_rng(97)
+        batch = [_clean_corpus(rng) for _ in range(4000)]
+        # adversarial numerics: subnormals, negative zero, huge/tiny
+        # exponents, long mantissas — all round-trip-formatted
+        batch += [
+            "POINT (5e-324 -0.0)", "POINT (1.7976931348623157e308 1e-308)",
+            "POINT (0.1 0.30000000000000004)",
+            "LINESTRING (2.2250738585072014e-308 1, 9007199254740993 2)",
+        ]
+        ga_arrow = wkt.parse_array(batch)
+        pa_save = wkt._pa
+        try:
+            wkt._pa = None                  # force the fromstring path
+            ga_from = wkt.parse_array(batch)
+        finally:
+            wkt._pa = pa_save
+        assert np.array_equal(ga_arrow.coords.view(np.int64),
+                              ga_from.coords.view(np.int64))
+        assert wkt.format_array(ga_arrow) == wkt.format_array(ga_from)
+
+    def test_cast_rejects_fall_back_identically(self):
+        """Tokens fast_float may reject (bare signs, dangling exponent,
+        double dots) must not change batch-level behavior: the cursor
+        differential holds whether or not pyarrow is available."""
+        rng = np.random.default_rng(101)
+        base = [_clean_corpus(rng) for _ in range(256)]
+        for i, d in enumerate(["POINT (+ 1)", "LINESTRING (3e 4)",
+                               "POINT (. .)", "POINT (1.2.3 4)",
+                               "POINT (1e500 0)"]):
+            base[i * 40] = d
+        _assert_differential(base)
+        pa_save = wkt._pa
+        try:
+            wkt._pa = None
+            _assert_differential(base)
+        finally:
+            wkt._pa = pa_save
