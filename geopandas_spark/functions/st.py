@@ -23,6 +23,8 @@ the JVM→Python Arrow hop; batch size is governed by
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 
@@ -60,8 +62,46 @@ def _col(c):
     return F.lit(c)
 
 
+_SERIES_MEMO: dict = {}    # id(series) -> (weakref(series), GeometryArray)
+
+
+def _memo_get(s: pd.Series):
+    """Per-batch decode memo, keyed on Series OBJECT IDENTITY (r13).
+
+    When one ArrowEvalPython node evaluates several geometry UDFs over
+    the same input column (the predicates query runs six, each with the
+    same (box, pt) args; buffer+centroid share geom), the worker unpacks
+    each Arrow column to ONE pandas Series and passes that same object
+    to every UDF — so the column was decoded once per UDF per batch.
+    The memo returns the prior decode when the exact Series object is
+    seen again. A weakref guards id() reuse: an entry only hits while
+    the original Series is alive, and dead entries are swept on every
+    store, so at most the current batch's columns are retained (the
+    Series dies with the batch, taking the entry with it on the next
+    sweep — no cross-batch result caching, values only ever live within
+    one evaluation)."""
+    ent = _SERIES_MEMO.get(id(s))
+    if ent is not None and ent[0]() is s:
+        return ent[1]
+    return None
+
+
+def _memo_put(s: pd.Series, ga) -> None:
+    try:
+        ref = weakref.ref(s)
+    except TypeError:               # non-weakrefable input: skip memo
+        return
+    for k in [k for k, (r, _) in _SERIES_MEMO.items() if r() is None]:
+        del _SERIES_MEMO[k]
+    _SERIES_MEMO[id(s)] = (ref, ga)
+
+
 def _decode(s: pd.Series):
-    return wkb.decode(s.tolist())
+    ga = _memo_get(s)
+    if ga is None:
+        ga = wkb.decode(s.tolist())
+        _memo_put(s, ga)
+    return ga
 
 
 def _decode_dedup(s: pd.Series):
@@ -71,11 +111,17 @@ def _decode_dedup(s: pd.Series):
     DISTINCT buffer decodes once, then gather.  Falls back to the plain
     decode when the batch is mostly distinct (factorize cost ≈ 2 ms per
     20k rows vs ≈ 40 ms decode, so the check is nearly free)."""
+    ga = _memo_get(s)
+    if ga is not None:
+        return ga
     vals = s.to_numpy(dtype=object)
     codes, uniq = pd.factorize(vals, use_na_sentinel=False)
     if 2 * len(uniq) > len(vals):
-        return wkb.decode(vals.tolist())
-    return wkb.decode(list(uniq)).take(codes)
+        ga = wkb.decode(vals.tolist())
+    else:
+        ga = wkb.decode(list(uniq)).take(codes)
+    _memo_put(s, ga)
+    return ga
 
 
 def _enc(ga) -> pd.Series:

@@ -476,3 +476,70 @@ def test_length_from_text_fusion(spark):
                  .select(st.length("g").alias("l")))
     cplan = chained._jdf.queryExecution().executedPlan().toString()
     assert "_length_of_wkt" not in cplan and "_geomfromtext" in cplan
+
+
+def test_decode_memo_identity_and_lifetime():
+    """r13: _decode/_decode_dedup memoize on Series OBJECT identity so
+    one ArrowEvalPython batch decodes each input column once across the
+    UDFs that share it. The memo must hit only for the SAME live Series
+    object, never across distinct (even equal-valued) Series, and dead
+    entries must be swept."""
+    import pandas as pd
+    from geopandas_spark.functions import st as stmod
+    from geopandas_spark.geom import wkb as wkbmod
+    from geopandas_spark.geom.array import points_from_xy
+    import numpy as np
+
+    raw = wkbmod.encode(points_from_xy(np.arange(5.0), np.arange(5.0)))
+    s1 = pd.Series(raw, dtype=object)
+    s2 = pd.Series(raw, dtype=object)          # equal values, new object
+    stmod._SERIES_MEMO.clear()
+    ga1 = stmod._decode_dedup(s1)
+    assert stmod._decode_dedup(s1) is ga1      # identity hit
+    assert stmod._decode(s1) is ga1            # shared across both paths
+    ga2 = stmod._decode(s2)
+    assert ga2 is not ga1                      # distinct object: no hit
+    # values identical either way
+    assert wkbmod.encode(ga1) == wkbmod.encode(ga2)
+    n_before = len(stmod._SERIES_MEMO)
+    assert n_before >= 2
+    del s1, s2, ga1, ga2
+    # a store after death sweeps the dead entries
+    s3 = pd.Series(raw, dtype=object)
+    stmod._decode(s3)
+    alive = [k for k, (r, _) in stmod._SERIES_MEMO.items()
+             if r() is not None]
+    assert len(alive) == 1
+    stmod._SERIES_MEMO.clear()
+
+
+def test_predicates_share_one_decode(spark):
+    """Six predicate UDFs over the same (box, pt) columns must agree
+    with per-kernel results after the memo change (end-to-end through
+    the Arrow boundary)."""
+    from geopandas_spark import st
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"POINT ({i} {i})",
+          f"POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))") for i in range(40)],
+        ["id", "pw", "bw"])
+    g = df.select("id", st.geom_from_text("pw").alias("pt"),
+                  st.geom_from_text("bw").alias("box"))
+    out = g.select("id",
+                   st.contains("box", "pt").alias("c"),
+                   st.intersects("box", "pt").alias("i"),
+                   st.within("pt", "box").alias("w"),
+                   st.disjoint("pt", "box").alias("d"),
+                   st.covers("box", "pt").alias("v"),
+                   st.dwithin("pt", "box", F.lit(0.0)).alias("dw")
+                   ).orderBy("id").collect()
+    for r in out:
+        inside = 0 < r.id < 10
+        on_edge = r.id in (0, 10)
+        assert r.c == inside
+        assert r.i == (inside or on_edge)
+        assert r.w == inside
+        assert r.d == (not (inside or on_edge))
+        assert r.v == (inside or on_edge)
+        assert r.dw == (inside or on_edge)
