@@ -34,6 +34,37 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _alloc_env():
+    """Pin the Python workers' large allocations to the heap (r13).
+
+    glibc serves any malloc above the (dynamic, <=32 MB) mmap threshold
+    with a fresh mmap and munmaps it on free, so every Arrow batch's
+    transient numpy buffers are returned to the OS and FIRST-TOUCH
+    page-faulted again on the next batch. On healthy guest memory that
+    is a minor syscall+zero-fill tax; inside the collapse windows this
+    guest exhibits (first-touch bandwidth 5.5 -> 0.15 GB/s, the
+    r10-r13 'allocation weather' — see OPTIMIZATION_r13.md) it becomes
+    the dominant cost of every Python-heavy stage: an interleaved A/B
+    of the worker allocation pattern (50x1 MB + 4x32 MB per batch,
+    every page touched) measured 77-92 ms/iter default vs 2-5 ms/iter
+    with the thresholds raised, same collapsed window. Raising
+    MALLOC_MMAP_THRESHOLD_/MALLOC_TRIM_THRESHOLD_ keeps those buffers
+    in the arena across batches — pages stay faulted-in for the life
+    of the worker (RSS = high-water mark, bounded by per-batch working
+    sets; Arrow's own pool is jemalloc and unaffected). Set before the
+    JVM launches so the pyspark daemon (and its forked workers)
+    inherit it. Opt out with SPARK_GRAFT_MALLOC_TUNING=0; values
+    already present in the environment are respected. On a cluster the
+    same setting belongs in spark.executorEnv.*."""
+    if os.environ.get("SPARK_GRAFT_MALLOC_TUNING", "1") == "0":
+        return
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+
+_alloc_env()
 SKIP_SCALE = os.environ.get("SPARK_GRAFT_SKIP_SCALE_TIER", "") == "1"
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SKIP_BIG = os.environ.get("SPARK_GRAFT_SKIP_BIG_TIER", "") == "1"
@@ -259,6 +290,14 @@ def main():
              .config("spark.sql.shuffle.partitions", CPUS)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "48g")
+             # -Xms pins the heap's committed size to -Xmx: the
+             # protocol's System.gc() between timed runs otherwise lets
+             # G1 uncommit regions above the (tiny default) Xms, and the
+             # next run re-first-touches them — free work on healthy
+             # memory, dominant inside this guest's collapse windows
+             # (same mechanism as _alloc_env; r13). Touch stays lazy:
+             # startup is unchanged (no AlwaysPreTouch).
+             .config("spark.driver.extraJavaOptions", "-Xms48g")
              # local-mode split sizing: the scale dirs are 100 ~11 MB
              # files; the 128 MB default bins them into ~34 splits for
              # 32 cores (a 2-task serial tail) and serializes cold-read

@@ -112,3 +112,28 @@ def test_consume_materializes_headline_shaped_plan(spark, acc):
     # didn't get constant-folded away)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_alloc_env_pins_worker_malloc(monkeypatch):
+    """r13: bench pins the Python workers' large allocations to the
+    glibc arena (MALLOC_MMAP_THRESHOLD_/MALLOC_TRIM_THRESHOLD_) before
+    the JVM launches, so per-batch numpy buffers are not munmap'd and
+    first-touch re-faulted every batch (the dominant cost of
+    Python-heavy stages inside this guest's bandwidth-collapse
+    windows). Values already present, and the explicit opt-out, are
+    respected."""
+    monkeypatch.delenv("MALLOC_MMAP_THRESHOLD_", raising=False)
+    monkeypatch.delenv("MALLOC_TRIM_THRESHOLD_", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_MALLOC_TUNING", raising=False)
+    bench._alloc_env()
+    assert os.environ["MALLOC_MMAP_THRESHOLD_"] == "1073741824"
+    assert os.environ["MALLOC_TRIM_THRESHOLD_"] == "1073741824"
+
+    monkeypatch.setenv("MALLOC_MMAP_THRESHOLD_", "123")
+    bench._alloc_env()               # pre-set value wins
+    assert os.environ["MALLOC_MMAP_THRESHOLD_"] == "123"
+
+    monkeypatch.delenv("MALLOC_MMAP_THRESHOLD_", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_MALLOC_TUNING", "0")
+    bench._alloc_env()               # opt-out sets nothing
+    assert "MALLOC_MMAP_THRESHOLD_" not in os.environ

@@ -21,6 +21,9 @@ def main():
         REPO, ".bench", "scale100x")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    import bench as _b
+    _b._alloc_env()            # same worker-allocator pinning as bench.py
+
     from pyspark.sql import SparkSession, functions as F
 
     spark = (SparkSession.builder.master(f"local[{cpus}]")
@@ -28,6 +31,7 @@ def main():
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "48g")
+             .config("spark.driver.extraJavaOptions", "-Xms48g")
              .config("spark.sql.files.maxPartitionBytes", "16m")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
              .config("spark.ui.enabled", "false")
