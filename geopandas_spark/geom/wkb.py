@@ -202,24 +202,53 @@ def decode(values) -> GeometryArray:
     rows parses with ONE ``np.frombuffer`` pass (uniform-schema data — the
     sjoin-refine hot path — lands in a handful of buckets), and only
     stragglers (multi-parts, holes, big-endian, EWKB, empties) take the
-    per-row parser. Measured ~20x on 200k uniform polygons."""
-    vals = list(values)
-    n = len(vals)
+    per-row parser. Measured ~20x on 200k uniform polygons.
+
+    Accepts a pyarrow (Chunked)Array of binary directly (r13): the
+    mapInArrow operators previously did ``column.to_pylist()`` only for
+    decode to rebuild the same Arrow buffers one line later — the Arrow
+    entry skips both per-row conversions and materializes a Python list
+    lazily, only for rows routed to the per-row fallback parser."""
+    arr_in = None
+    try:
+        import pyarrow as _pa
+        if isinstance(values, _pa.ChunkedArray):
+            arr_in = values.combine_chunks()
+        elif isinstance(values, _pa.Array):
+            arr_in = values
+    except ImportError:
+        pass
+    if arr_in is not None:
+        vals = None
+        n = len(arr_in)
+    else:
+        vals = list(values)
+        n = len(vals)
     if n == 0:
         return GeometryBuilder().finish()
+
+    def _vals():
+        # lazy list view for the per-row fallback paths
+        nonlocal vals
+        if vals is None:
+            vals = arr_in.to_pylist()
+        return vals
 
     # zero-Python-loop classification: one pyarrow copy gives a contiguous
     # data buffer + int offsets, so header bytes of every row are examined
     # with plain numpy indexing
     try:
         import pyarrow as pa
-        try:
-            arr = pa.array(vals, type=pa.large_binary())
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            # stray float-NaN placeholders from pandas object columns
-            arr = pa.array((None if (v is None or (isinstance(v, float)
-                                                   and np.isnan(v))) else v
-                            for v in vals), type=pa.large_binary(), size=n)
+        if arr_in is not None:
+            arr = arr_in.cast(pa.large_binary())
+        else:
+            try:
+                arr = pa.array(vals, type=pa.large_binary())
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # stray float-NaN placeholders from pandas object columns
+                arr = pa.array((None if (v is None or (isinstance(v, float)
+                                                       and np.isnan(v))) else v
+                                for v in vals), type=pa.large_binary(), size=n)
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
                              count=n + 1, offset=arr.offset * 8)
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)             if arr.buffers()[2] is not None else np.zeros(0, np.uint8)
@@ -261,7 +290,7 @@ def decode(values) -> GeometryArray:
         bigend[valid[good_pt | good_ls | good_pg]] = \
             hdr_be[good_pt | good_ls | good_pg]
     else:
-        for i, v in enumerate(vals):
+        for i, v in enumerate(_vals()):
             if v is None or (isinstance(v, float) and np.isnan(v)):
                 tcode[i] = -1
                 continue
@@ -288,7 +317,7 @@ def decode(values) -> GeometryArray:
                 bigend[i] = be
     fallback = tcode == -2
     if fallback.all():
-        return _decode_fallback(vals)
+        return _decode_fallback(_vals())
 
     # per-row shape: parts, rings, coords (groups are 1-part/1-ring)
     part_counts = np.zeros(n, dtype=np.int64)
@@ -309,7 +338,7 @@ def decode(values) -> GeometryArray:
     fb_rows = np.nonzero(fallback)[0]
     fb_ga = None
     if len(fb_rows):
-        fb_ga = _decode_fallback([vals[i] for i in fb_rows])
+        fb_ga = _decode_fallback([_vals()[i] for i in fb_rows])
         types[fb_rows] = fb_ga.types
         part_counts[fb_rows] = fb_ga.parts_per_geom()
         ring_counts[fb_rows] = fb_ga.rings_per_geom()
@@ -366,7 +395,7 @@ def decode(values) -> GeometryArray:
                 raw = data[ro[:, None] +
                            np.arange(L, dtype=np.int64)[None, :]]
         else:
-            raw = np.frombuffer(b"".join(vals[i] for i in rows),
+            raw = np.frombuffer(b"".join(_vals()[i] for i in rows),
                                 dtype=np.uint8).reshape(k, L)
         off = hdr[t]
         g_nv = int(nv[rows[0]])
@@ -378,7 +407,7 @@ def decode(values) -> GeometryArray:
             ok = cnt == g_nv
             if not ok.all():
                 bad = rows[~ok]
-                sub = _decode_fallback([vals[i] for i in bad])
+                sub = _decode_fallback([_vals()[i] for i in bad])
                 for z, i in enumerate(bad):
                     s, e = sub.coord_offsets_per_geom()[z:z + 2]
                     coords[coord_start[i]:coord_start[i] + (e - s)] =                         sub.coords[s:e]
@@ -398,7 +427,7 @@ def decode(values) -> GeometryArray:
                 for i in rows[nanpt]:
                     coord_counts[i] = 0
                 # offsets already built; cheapest correct path: full redo
-                return _decode_fallback(vals)
+                return _decode_fallback(_vals())
         dst0 = coord_start[rows]
         if k == 1 or bool((np.diff(dst0) == g_nv).all()):
             # contiguous destination (uniform batches): slice store,

@@ -457,7 +457,10 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
         for b in batches:
             if b.num_rows == 0:
                 continue
-            lga = wkb.decode(b.column(geom_left).to_pylist())
+            # Arrow column straight into decode (r13): no per-row
+            # to_pylist materialization — decode reads the batch's
+            # binary buffers zero-copy
+            lga = wkb.decode(b.column(geom_left))
             lb = algos.bounds(lga)
             if cell_index is None:
                 li = np.empty(0, dtype=np.int64)
@@ -1314,7 +1317,10 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
         for b in batches:
             if b.num_rows == 0:
                 continue
-            lga = wkb.decode(b.column(geom_left).to_pylist())
+            # Arrow column straight into decode (r13): no per-row
+            # to_pylist materialization — decode reads the batch's
+            # binary buffers zero-copy
+            lga = wkb.decode(b.column(geom_left))
             li_out, ri_out, d_out = [], [], []
             lpt = (lga.types == 1).all() and lga.n_coords == len(lga)
             if rpt and lpt:

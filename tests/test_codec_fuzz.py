@@ -141,3 +141,57 @@ class TestMalformedWKT:
     def test_closed_triangle_still_parses(self):
         ga = wkt.parse_array(["POLYGON ((0 0, 1 0, 1 1, 0 0))"])
         assert int(ga.types[0]) == 3
+
+
+class TestArrowEntryDecode:
+    """r13: wkb.decode accepts a pyarrow (Chunked)Array directly — the
+    mapInArrow operators pass the batch column without to_pylist. The
+    Arrow entry must be value-identical to the list entry on every
+    shape class, including rows routed to the per-row fallback parser
+    (which materializes the list lazily) and sliced/chunked inputs."""
+
+    WKTS = [
+        "POINT (1 2)", "LINESTRING (0 0, 3 4, 5 5)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+        "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 3 2, 3 3, 2 2))",
+        "POINT EMPTY", "GEOMETRYCOLLECTION (POINT (9 9))",
+    ]
+
+    def _bufs(self):
+        ga = wkt.parse_array(self.WKTS)
+        vals = wkb.encode(ga)
+        vals = list(vals) + [None, vals[0]]
+        return vals
+
+    def _assert_same(self, a, b):
+        assert list(a.types) == list(b.types)
+        assert np.array_equal(a.geom_offsets, b.geom_offsets)
+        assert np.array_equal(a.part_offsets, b.part_offsets)
+        assert np.array_equal(a.ring_offsets, b.ring_offsets)
+        assert np.array_equal(a.coords, b.coords, equal_nan=True)
+
+    def test_array_matches_list(self):
+        import pyarrow as pa
+        vals = self._bufs()
+        ref = wkb.decode(vals)
+        for typ in (pa.binary(), pa.large_binary()):
+            self._assert_same(wkb.decode(pa.array(vals, type=typ)), ref)
+
+    def test_chunked_and_sliced(self):
+        import pyarrow as pa
+        vals = self._bufs()
+        arr = pa.array(vals, type=pa.binary())
+        ch = pa.chunked_array([arr.slice(0, 4), arr.slice(4)])
+        self._assert_same(wkb.decode(ch), ref := wkb.decode(vals))
+        sl = arr.slice(2, 5)
+        self._assert_same(wkb.decode(sl), wkb.decode(vals[2:7]))
+
+    def test_uniform_hot_bucket(self):
+        # the sjoin-refine shape: one uniform bucket, zero fallback rows
+        import pyarrow as pa
+        w = [f"POINT ({i} {i + 1})" for i in range(257)]
+        vals = wkb.encode(wkt.parse_array(w))
+        ref = wkb.decode(list(vals))
+        self._assert_same(wkb.decode(pa.array(list(vals),
+                                              type=pa.binary())), ref)
