@@ -104,25 +104,42 @@ def _cust_supp_lines(spark, sf_dir) -> DataFrame:
     keeps output ≈ 40 rows per customer (linear in sf) and leaves the
     query bit-identical at sf ≤ 0.1 (mod == 1), so correctness stamps
     and the base tier are unchanged. The oracle SQL computes the same
-    mod from COUNT(supplier)."""
+    mod from COUNT(supplier).
+
+    r13 (guide §3.1): the co-band gate is phrased as an EQUI-join key
+    instead of a non-equi condition — for positive keys and mod m > 0,
+    (c + s) % m == 0  ⟺  c % m == (m - s % m) % m, so hashing on
+    (nationkey, residue) lets the BroadcastHashJoin probe only the ~40
+    matching suppliers per customer instead of evaluating the mod
+    filter against all ~4000 same-nation suppliers (100x fewer pair
+    evaluations at the 100x tier; identical result set — equivalence
+    pinned for mod > 1 by
+    tests/test_bench_protocol.py::test_coband_residue_join_equivalence,
+    and mod == 1 makes both forms the plain nation join)."""
     c = _cust(spark, sf_dir).select("c_custkey", "c_nationkey", "px", "py")
     s = _supp(spark, sf_dir).select("s_suppkey", "s_nationkey", "sx", "sy")
     n_supp = s.count()
     mod = max(1, n_supp // 1000)
+    m = F.lit(mod)
     j = c.join(s, (c.c_nationkey == s.s_nationkey) &
-               ((c.c_custkey + s.s_suppkey) % F.lit(mod) == 0))
+               ((c.c_custkey % m) == ((m - s.s_suppkey % m) % m)))
     return j.withColumn("line", st.geom_from_text(_line_wkt()))
 
 
 def _line_wkt():
     """The WKT expression _cust_supp_lines materializes as ``line``.
-    Exposed so q_distance can pass the parse composition to st.length
-    directly (Column-instance peephole → fused parse+length kernel;
-    identical values, the WKB round trip between the chained UDFs
-    dropped)."""
-    return F.concat(F.lit("LINESTRING ("), F.col("px"), F.lit(" "),
-                    F.col("py"), F.lit(", "), F.col("sx"), F.lit(" "),
-                    F.col("sy"), F.lit(")"))
+    r13: built through ``st.wkt_linestring2`` — the canonical 2-point
+    template whose coordinates round-trip bit-exactly through
+    string-ization — so ``st.length(st.geom_from_text(_line_wkt()))``
+    in q_distance strength-reduces to codegen'd sqrt((px-sx)²+(py-sy)²)
+    with no Python evaluation (see st.wkt_linestring2 /
+    tests/test_length_linestring2_peephole.py for the bit-exactness
+    pin). The parsed ``line`` geometry consumed by q_envelope /
+    q_interpolate / q_project / q_line_metrics is byte-identical: the
+    token text changes ("1.0" for the former int-concat "1") but the
+    parsed double is the same exact value."""
+    return st.wkt_linestring2(F.col("px"), F.col("py"),
+                              F.col("sx"), F.col("sy"))
 
 
 # ---------------------------------------------------------------------------

@@ -1147,6 +1147,54 @@ def makebox_native(xmin, ymin, xmax, ymax) -> Column:
 # one kernel call instead of parse → WKB round trip → decode → measure.
 _FROMTEXT_ARG_ATTR = "_gps_fromtext_arg"
 
+# Identity-attached coordinate Columns of a 2-point-LINESTRING WKT
+# template (``wkt_linestring2``): measures over the parse of such a
+# template have closed forms in the coordinates themselves, so a later
+# ``length(geom_from_text(tmpl))`` can strength-reduce to codegen'd
+# sqrt instead of build-string → Arrow hop → parse → length.
+_LINESTRING2_ARGS_ATTR = "_gps_linestring2_args"
+
+
+def wkt_linestring2(x1, y1, x2, y2) -> Column:
+    """2-point LINESTRING WKT builder: ``LINESTRING (x1 y1, x2 y2)``
+    with every coordinate cast to double before string-ization, and
+    non-finite coordinates NULLed (WKT has no NaN/Infinity token — both
+    parse paths reject them, per GEOS-reader parity — so the template
+    only ever emits parseable strings or SQL NULL).
+
+    Why this exists (r13, guide §1.2/§4.2): string-built WKT fed to
+    ``geom_from_text`` is the standard Spark-SQL idiom for constructing
+    line geometries from coordinate columns, and measures over the
+    result pay build-string + Arrow transfer + parse per row. Because
+    this template fixes the grammar (exactly two points, canonical
+    separators) and the coordinate *values* (each token is Spark's
+    string-ization of a double — Java's shortest round-trippable repr —
+    and both the cursor and vectorized WKT parsers convert number
+    tokens with correctly-rounded string→double — Arrow fast_float /
+    strtod — the parsed coordinate is bit-identical to the double the
+    token was printed from), downstream measures over the exact
+    returned Column instance can strength-reduce to closed forms:
+    ``st.length`` becomes codegen'd sqrt((x1-x2)²+(y1-y2)²) with no
+    Python evaluation anywhere (see ``length``). NULL parity is exact
+    on both paths — a NULL / NaN / ±Infinity / unparseable-to-double
+    coordinate NULLs the concat (→ NULL string → NULL geometry → NULL
+    measure) exactly as it NULLs the closed form (pinned by
+    tests/test_length_linestring2_peephole.py)."""
+    _inf = F.lit(float("inf"))
+    xs = []
+    for v in (x1, y1, x2, y2):
+        c = _col(v).cast("double")
+        xs.append(F.when(F.isnan(c) | (F.abs(c) == _inf),
+                         F.lit(None).cast("double")).otherwise(c))
+    xs = tuple(xs)
+    out = F.concat(F.lit("LINESTRING ("), xs[0], F.lit(" "), xs[1],
+                   F.lit(", "), xs[2], F.lit(" "), xs[3], F.lit(")"))
+    try:
+        out.__dict__[_LINESTRING2_ARGS_ATTR] = xs
+    except Exception:
+        pass
+    return out
+
 
 def geom_from_text(c) -> Column:
     cc = _col(c)
@@ -1184,6 +1232,24 @@ def length(c) -> Column:
         # __dict__ read on purpose — see the NOTE in distance()
         src = cc.__dict__.get(_FROMTEXT_ARG_ATTR)
         if src is not None:
+            args = src.__dict__.get(_LINESTRING2_ARGS_ATTR)
+            if args is not None:
+                # strength-reduce length∘parse∘wkt_linestring2 to the
+                # closed form (r13): one segment's length is
+                # sqrt(dx·dx + dy·dy) — the literal expression the
+                # vectorized length kernel evaluates (algos.length
+                # deliberately avoids np.hypot for SQL-parity), over
+                # coordinates that round-trip bit-exactly through the
+                # template's string-ization (see wkt_linestring2). No
+                # NaN guard needed: the template's coordinates are
+                # finite-or-NULL by construction, finite−finite cannot
+                # be NaN (overflow goes to ±inf, and sqrt(inf)=inf on
+                # the kernel path too), and NULL propagates through
+                # the arithmetic exactly as a NULL WKT string NULLs
+                # the parsed geometry and its length.
+                dx = args[0] - args[2]
+                dy = args[1] - args[3]
+                return F.sqrt(dx * dx + dy * dy)
             return _REGISTRY["st_length_of_wkt"](src)
     return _REGISTRY["st_length"](cc)
 

@@ -137,3 +137,35 @@ def test_alloc_env_pins_worker_malloc(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MALLOC_TUNING", "0")
     bench._alloc_env()               # opt-out sets nothing
     assert "MALLOC_MMAP_THRESHOLD_" not in os.environ
+
+
+def test_coband_residue_join_equivalence(spark):
+    """r13 (guide §3.1): _cust_supp_lines phrases the co-band gate
+    (c_custkey + s_suppkey) % mod == 0 as an equi-join key —
+    c % m == (m - s % m) % m — so the broadcast join hashes on
+    (nationkey, residue) and probes ~1/mod of the build side instead
+    of filtering every same-nation pair. The two forms must produce
+    the IDENTICAL pair set for mod > 1 (the oracle SFs only ever see
+    mod == 1, where both degenerate to the plain nation join, so this
+    pin is the standing equivalence evidence for the scaled tiers)."""
+    import random
+
+    rnd = random.Random(7)
+    cust = [(i, rnd.randrange(5)) for i in range(1, 301)]
+    supp = [(j, rnd.randrange(5)) for j in range(1, 120)]
+    c = spark.createDataFrame(cust, ["c_custkey", "c_nationkey"])
+    s = spark.createDataFrame(supp, ["s_suppkey", "s_nationkey"])
+    for mod in (2, 7, 100):
+        m = F.lit(mod)
+        plain = c.join(s, (c.c_nationkey == s.s_nationkey) &
+                       ((c.c_custkey + s.s_suppkey) % m == 0))
+        resid = c.join(s, (c.c_nationkey == s.s_nationkey) &
+                       ((c.c_custkey % m) == ((m - s.s_suppkey % m) % m)))
+        p = sorted((r.c_custkey, r.s_suppkey) for r in plain.collect())
+        q = sorted((r.c_custkey, r.s_suppkey) for r in resid.collect())
+        assert p == q and len(p) > 0, mod
+        # and the residue form really is extracted as equi-join keys
+        plan = resid._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan \
+            or "ShuffledHashJoin" in plan
+        assert "% " + str(mod) in plan.replace("#", " #")
