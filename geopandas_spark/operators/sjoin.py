@@ -433,6 +433,11 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
     rbounds = algos.bounds(rga)
     rattrs = [tuple(full_rows[k][p] for p in apos) for k in uniq_idx] \
         if on_attribute else None
+    # r13 (§4.2): per-column value lists for the vectorized attribute
+    # equality (Arrow take + compute.equal per key column) — the tuple
+    # zip/compare generator ran per candidate pair in Python
+    rattr_cols = [[full_rows[k][p] for k in uniq_idx] for p in apos] \
+        if on_attribute else None
     # "right" needs unmatched lefts emitted only to be filtered below —
     # but emitting them in the UDF keeps one code path; "full" keeps
     # BOTH sides' unmatched rows (outer attach join below)
@@ -454,6 +459,15 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
         # missing), silently corrupting pass-through attributes; pure
         # Arrow take() is bit-exact and skips the conversion cost.
         import pyarrow as pa
+        import pyarrow.compute as pc
+        # right-side key columns as Arrow arrays, built once per task
+        vectorized_eq = bool(on_attribute)
+        rarrs = None
+        if on_attribute:
+            try:
+                rarrs = [pa.array(vals) for vals in rattr_cols]
+            except (pa.lib.ArrowError, TypeError):
+                vectorized_eq = False   # exotic key type: tuple path
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -468,16 +482,34 @@ def _sjoin_broadcast(left, right, predicate, how, geom_left, geom_right,
             else:
                 li, rj = _bcast_candidates(lb, rbounds, cell_index, pad)
             if on_attribute and len(li):
-                lattrs = list(zip(*[b.column(c).to_pylist()
-                                    for c in on_attribute]))
                 # NULL attrs never match (SQL `=` semantics, what the
-                # oracle's equi-join computes). r13: the r12 pandas →
-                # Arrow switch surfaced NULL as None, and None == None
-                # is True in Python — gate it out explicitly.
-                keep = np.fromiter(
-                    (lattrs[i] == rattrs[j] and None not in lattrs[i]
-                     for i, j in zip(li, rj)),
-                    dtype=bool, count=len(li))
+                # oracle's equi-join computes) — pc.equal propagates a
+                # NULL on either side and fill_null(False) drops it,
+                # exactly the tuple path's None gate. NaN != NaN and
+                # -0.0 == 0.0 agree between IEEE compare and the tuple
+                # compare (distinct float objects), pinned by
+                # test_sjoin_on_attribute_vectorized_eq_parity.
+                if vectorized_eq:
+                    try:
+                        ti = pa.array(li, type=pa.int64())
+                        tj = pa.array(rj, type=pa.int64())
+                        keep = np.ones(len(li), dtype=bool)
+                        for c, rv in zip(on_attribute, rarrs):
+                            eq = pc.fill_null(
+                                pc.equal(b.column(c).take(ti),
+                                         rv.take(tj)), False)
+                            keep &= eq.to_numpy(zero_copy_only=False)
+                    except pa.lib.ArrowError:
+                        vectorized_eq = False
+                if not vectorized_eq:
+                    # tuple fallback for key types Arrow equal cannot
+                    # compare; None-gated for the same NULL semantics
+                    lattrs = list(zip(*[b.column(c).to_pylist()
+                                        for c in on_attribute]))
+                    keep = np.fromiter(
+                        (lattrs[i] == rattrs[j] and None not in lattrs[i]
+                         for i, j in zip(li, rj)),
+                        dtype=bool, count=len(li))
                 li, rj = li[keep], rj[keep]
             if len(li):
                 ok = _refine_pairs(lga, rga, li, rj, predicate, distance)

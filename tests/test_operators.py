@@ -1104,3 +1104,33 @@ def test_sjoin_nearest_grid_ties_randomized(spark):
             want = base
         assert got == want, (kw, len(got), len(want),
                              sorted(want - got)[:5], sorted(got - want)[:5])
+
+
+def test_sjoin_on_attribute_vectorized_eq_parity(spark):
+    """r13 (guide §4.2): the broadcast sjoin's attribute equality runs
+    as Arrow take + compute.equal per key column instead of a per-pair
+    Python tuple compare. Semantics must be exactly SQL `=`: NULL on
+    either side never matches, NaN never equals NaN, -0.0 equals 0.0,
+    and cross-type keys (int left, double right) compare by value —
+    all identical to the equivalent DataFrame equi-join."""
+    from pyspark.sql import functions as F
+
+    from geopandas_spark import st
+    from geopandas_spark.operators import sjoin
+
+    lrows = [(0, 1.0), (1, float("nan")), (2, None), (3, -0.0), (4, 7.0)]
+    rrows = [(10, 1), (11, None), (12, 0), (13, 7)]
+    box = st.makebox(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0))
+    left = spark.createDataFrame(lrows, ["lid", "k"]).select(
+        "lid", F.col("k").cast("double").alias("k"), box.alias("geom"))
+    right = spark.createDataFrame(rrows, ["rid", "k"]).select(
+        "rid", F.col("k").cast("long").alias("k"),
+        st.makebox(F.lit(5.0), F.lit(5.0), F.lit(15.0), F.lit(15.0))
+          .alias("geom"))
+    got = {(r.lid, r.rid) for r in sjoin(
+        left, right, predicate="intersects", strategy="broadcast",
+        on_attribute=["k"]).select("lid", "rid").collect()}
+    ref = {(r.lid, r.rid) for r in
+           left.select("lid", "k").join(
+               right.select("rid", "k"), on="k").collect()}
+    assert got == ref == {(0, 10), (3, 12), (4, 13)}
