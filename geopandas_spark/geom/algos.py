@@ -7236,6 +7236,39 @@ def _polys_share_edges(polys: list) -> bool:
     return False
 
 
+def _merge_adjacent_holes(polys: list) -> list:
+    """Union holes of one polygon that share an undirected boundary edge.
+
+    Two even-parity arrangement faces separated by a doubled
+    (collinear-overlap) ring edge both classify as holes of the same
+    shell; the edge between them crosses depth by 2, so it is interior
+    to the excluded region and must cancel — emitting both faces as-is
+    ships two holes sharing an edge, which is invalid (r13 even-odd
+    oracle find). Holes touching only at pinch vertices share no edge
+    and pass through untouched. Kept regions nested inside the merged
+    hole coverage are separate odd-depth faces the nesting forest
+    already emits as their own polygons, so only the merged boundary's
+    outer rings come back as holes."""
+    out = []
+    for p in polys:
+        holes = p[1:]
+        if len(holes) < 2 or not _polys_share_edges([[h] for h in holes]):
+            out.append(p)
+            continue
+        tmp = GeometryBuilder()
+        for h in holes:
+            tmp.append(GT_POLYGON,
+                       [[_mr._close(np.asarray(h, dtype=np.float64))]])
+        merged = _coverage_union(tmp.finish())
+        if merged is None:
+            out.append(p)
+            continue
+        newholes = [np.asarray(part[0], dtype=np.float64)
+                    for part in merged.geom_slices(0)]
+        out.append([p[0]] + newholes)
+    return out
+
+
 def _clean_face_walks(faces) -> list:
     """Face-walk post-processing shared by make_valid's linework and
     structure paths: strip zero-width spike retraces (dangles traced on
@@ -7545,6 +7578,7 @@ def make_valid(ga: GeometryArray, method: str = "linework") -> GeometryArray:
             # a one-ulp difference on collinear incident edges reads as
             # a proper hole/shell crossing downstream (r10 extended
             # even-odd fuzz: repaired output failed its own is_valid)
+            polys = _merge_adjacent_holes(polys)
             polys = _snap_shared_vertices(polys)
             polys = _fix_pinched_polys(polys)
             _append_polys(b, polys)

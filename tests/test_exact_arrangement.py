@@ -486,6 +486,21 @@ def test_make_valid_linework_two_rings_even_odd_oracle(r1, r2):
          algos.is_valid_reason(fixed)[0])
 
 
+def test_make_valid_linework_merges_edge_adjacent_holes():
+    """Two even-parity faces separated by a doubled collinear ring edge
+    both classify as holes of the same shell; the shared edge crosses
+    depth by 2, so it must cancel — r13 find: the outer ring's edges
+    (1 4)-(3 2) and (3 2)-(0 5) both cover (2 3)-(3 2), and make_valid
+    emitted two hole triangles sharing that edge (invalid output)."""
+    w = "POLYGON ((5 2, 1 4, 3 2, 0 5, 0 0, 5 2), (2 2, 2 3, 4 2, 2 2))"
+    fixed = algos.make_valid(wkt.parse_array([w]), method="linework")
+    assert bool(algos.is_valid(fixed)[0]), algos.is_valid_reason(fixed)[0]
+    assert abs(algos.area(fixed)[0] - 10.5) < 1e-9
+    # exactly one merged hole survives
+    parts = fixed.geom_slices(0)
+    assert len(parts) == 1 and len(parts[0]) == 2
+
+
 def _slab_multi_areas(ring_sets):
     """Exact (per-set areas, union area, intersect-all area) of N
     even-odd regions via one vertical slab decomposition."""
