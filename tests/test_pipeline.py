@@ -532,3 +532,86 @@ def test_lsh_pairs_auto_probe(spark):
         hot_bucket_threshold=1, auto_window=4).collect()}
     # the forced-hot path emits the chain+star SUBSET, never a superset
     assert bounded_auto <= exact and len(bounded_auto) < len(exact)
+
+
+def test_minhash_bounded_kernel_parity():
+    """The chunked reusable-buffer signature kernel (r13, bounded
+    transient footprint) is BIT-identical to a direct per-row
+    reference of the declared hash family — Rabin polynomial over
+    codepoints mod 2^31-1, affine permutation mixes — including across
+    chunk boundaries, non-ASCII/astral codepoints, shorter-than-k rows,
+    empty strings and NULLs."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.pipeline import dedup as dd
+
+    def reference(texts, num_hashes, k):
+        consts = dd.mix_constants(num_hashes)
+        bpow = dd._poly_powers(k)
+        M = dd._MIX_MOD
+        out = []
+        for s in texts:
+            if not isinstance(s, str):
+                out.append(None)
+                continue
+            if len(s) < k:
+                s = s + "\0" * (k - len(s))
+            codes = [ord(ch) for ch in s]
+            hs = [sum(codes[i + j] * bpow[j] for j in range(k)) % M
+                  for i in range(len(codes) - k + 1)]
+            out.append([min((a * h + c) % M for h in hs)
+                        for (a, _b, c) in consts])
+        return out
+
+    rng = np.random.default_rng(42)
+    alphabet = list("abcdefgh ijkl") + ["é", "中", "\U0001F600"]
+    texts = ["".join(rng.choice(alphabet, size=int(n)))
+             for n in rng.integers(1, 60, size=120)]
+    texts += [None, "", "ab", "\0\0\0", "\U0010FFFF" * 10]
+
+    for nh, k in ((4, 8), (8, 5)):
+        ref = reference(texts, nh, k)
+        # tiny chunk bound forces many chunk boundaries mid-batch
+        old = dd._CHUNK_WINDOWS
+        try:
+            dd._CHUNK_WINDOWS = 7
+            got_chunked = dd._sig_kernel(nh, k)(pd.Series(texts))
+        finally:
+            dd._CHUNK_WINDOWS = old
+        got = dd._sig_kernel(nh, k)(pd.Series(texts))
+        for g1, g2, r in zip(got_chunked, got, ref):
+            assert (g1 is None and r is None) or list(g1) == r
+            assert (g2 is None and r is None) or list(g2) == r
+
+
+def test_minhash_kernel_buffers_are_bounded_and_reused():
+    """The signature kernel's large intermediates live in closure-held
+    buffers: a second batch through the same UDF instance allocates no
+    new large arrays (buffer ids stable), and no buffer exceeds the
+    chunk bound."""
+    import numpy as np
+    import pandas as pd
+
+    from geopandas_spark.pipeline import dedup as dd
+
+    fn = dd._sig_kernel(4, 8)
+    texts = pd.Series(["x" * 300] * 2000)
+    fn(texts)
+    # reach the closure's buffer dict (held by the _buf helper)
+    cells = {v: c.cell_contents for v, c in
+             zip(fn.__code__.co_freevars, fn.__closure__)}
+    helper = cells["_buf"]
+    hcells = {v: c.cell_contents for v, c in
+              zip(helper.__code__.co_freevars, helper.__closure__)}
+    bufs = hcells["bufs"]
+    assert bufs, "kernel did not populate its reusable buffers"
+    ids1 = {name: id(b) for name, b in bufs.items()}
+    sizes1 = {name: b.nbytes for name, b in bufs.items()}
+    fn(texts)
+    ids2 = {name: id(b) for name, b in bufs.items()}
+    assert ids1 == ids2, "buffers were re-allocated on the second batch"
+    # codes holds chunk chars = windows + (k-1) per row; allow that slack
+    bound = (dd._CHUNK_WINDOWS + 2000 * 8 + 16) * 8
+    for name, nb in sizes1.items():
+        assert nb <= bound, f"buffer {name} exceeds the chunk bound"
