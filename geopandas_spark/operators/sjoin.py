@@ -72,8 +72,8 @@ def _point_grid_build(rc: np.ndarray):
         cell = 1.0
     nx = int(ext_x / cell) + 1
     ny = int(ext_y / cell) + 1
-    cix = ((rc[:, 0] - gx0) / cell).astype(np.int64)
-    ciy = ((rc[:, 1] - gy0) / cell).astype(np.int64)
+    cix = ((rc[:, 0] - gx0) / cell).astype(np.int64, copy=False)
+    ciy = ((rc[:, 1] - gy0) / cell).astype(np.int64, copy=False)
     key = cix * ny + ciy
     order = np.argsort(key, kind="stable")
     return cell, gx0, gy0, nx, ny, key[order], rc[order], order
@@ -590,10 +590,10 @@ def _cells_covered(b, cx, cy, pad, cap=None):
     sides-monster stress ran 100x over budget because sampled planes/
     strips dominated the fine-grid dup cost and forced huge cells on
     the 99.5% normal rows)."""
-    x0 = np.floor((b[:, 0] - pad) / cx).astype(np.int64)
-    x1 = np.floor((b[:, 2] + pad) / cx).astype(np.int64)
-    y0 = np.floor((b[:, 1] - pad) / cy).astype(np.int64)
-    y1 = np.floor((b[:, 3] + pad) / cy).astype(np.int64)
+    x0 = np.floor((b[:, 0] - pad) / cx).astype(np.int64, copy=False)
+    x1 = np.floor((b[:, 2] + pad) / cx).astype(np.int64, copy=False)
+    y0 = np.floor((b[:, 1] - pad) / cy).astype(np.int64, copy=False)
+    y1 = np.floor((b[:, 3] + pad) / cy).astype(np.int64, copy=False)
     sx, sy = x1 - x0 + 1, y1 - y0 + 1
     rowids = np.arange(len(b))
     if cap is not None:
@@ -724,10 +724,10 @@ def _sampled_cell_pairs(sl, sr, scale_l, scale_r, ox, oy, w, hgt, pad):
     using the SAME cell ids as the join's explode.  Drives both the
     partition-count pin and the hot-cell salt table."""
     def counts(s, p):
-        cx0 = np.floor((s[:, 0] - ox - p) / w).astype(np.int64)
-        cx1 = np.floor((s[:, 2] - ox + p) / w).astype(np.int64)
-        cy0 = np.floor((s[:, 1] - oy - p) / hgt).astype(np.int64)
-        cy1 = np.floor((s[:, 3] - oy + p) / hgt).astype(np.int64)
+        cx0 = np.floor((s[:, 0] - ox - p) / w).astype(np.int64, copy=False)
+        cx1 = np.floor((s[:, 2] - ox + p) / w).astype(np.int64, copy=False)
+        cy0 = np.floor((s[:, 1] - oy - p) / hgt).astype(np.int64, copy=False)
+        cy1 = np.floor((s[:, 3] - oy + p) / hgt).astype(np.int64, copy=False)
         out = {}
         for a, b, c, d in zip(cx0, cx1, cy0, cy1):
             if (b - a + 1) > MONSTER_AXIS_CAP or \
@@ -1330,7 +1330,7 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
         # 153M tie rows would otherwise round-trip through Python)
         uniq_coords, loc_of_row = np.unique(rga.coords, axis=0,
                                             return_inverse=True)
-        loc_of_row = loc_of_row.astype(np.int64)
+        loc_of_row = loc_of_row.astype(np.int64, copy=False)
         rgrid = _point_grid_build(uniq_coords)
     else:
         uniq_coords = loc_of_row = rgrid = None
@@ -1353,7 +1353,15 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
             # to_pylist materialization — decode reads the batch's
             # binary buffers zero-copy
             lga = wkb.decode(b.column(geom_left))
-            li_out, ri_out, d_out = [], [], []
+            # output accumulation is numpy-chunked (r13, guide §4.2):
+            # the previous Python-list + .tolist() path boxed ~3 ints/
+            # floats per pair only for np.asarray to unbox them again at
+            # batch end — tens of MB of object churn per batch on the
+            # 100x tier, paid at collapsed first-touch bandwidth inside
+            # the §12 allocation-weather windows. Emit order per chunk
+            # is unchanged (unmatched-then-sorted-matched / matched-
+            # then-unmatched), so rows are byte-identical.
+            parts_li, parts_ri, parts_d = [], [], []
             lpt = (lga.types == 1).all() and lga.n_coords == len(lga)
             if rpt and lpt:
                 lc = lga.coords
@@ -1373,15 +1381,15 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                     if emit_unmatched:
                         matched = np.zeros(len(blk), dtype=bool)
                         matched[pli] = True
-                        for k in np.nonzero(~matched)[0]:
-                            li_out.append(s0 + int(k))
-                            ri_out.append(-1)
-                            d_out.append(np.nan)
+                        um = np.nonzero(~matched)[0]
+                        if len(um):
+                            parts_li.append((s0 + um).astype(np.int64))
+                            parts_ri.append(np.full(len(um), -1, np.int64))
+                            parts_d.append(np.full(len(um), np.nan))
                     srt = np.lexsort((pri, pli))
-                    pli, pri, dm = pli[srt], pri[srt], dm[srt]
-                    li_out.extend((s0 + pli).tolist())
-                    ri_out.extend(pri.tolist())
-                    d_out.extend(dm.tolist())
+                    parts_li.append(s0 + pli[srt])
+                    parts_ri.append(pri[srt])
+                    parts_d.append(dm[srt])
             else:
                 # non-point inputs: band-batched branch and bound. The
                 # bbox-distance lower-bound matrix is vectorized per row
@@ -1474,28 +1482,35 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                         srt = np.lexsort((ej, er))
                         er, ej = er[srt], ej[srt]
                         matched[er] = True
-                        li_out.extend(rchunk[er].tolist())
-                        ri_out.extend(ej.tolist())
-                        d_out.extend(best[er].tolist())
+                        parts_li.append(rchunk[er].astype(np.int64))
+                        parts_ri.append(ej.astype(np.int64))
+                        parts_d.append(best[er])
                     if emit_unmatched:
-                        for r in np.nonzero(~matched)[0]:
-                            li_out.append(int(rchunk[r]))
-                            ri_out.append(-1)
-                            d_out.append(np.nan)
+                        um = np.nonzero(~matched)[0]
+                        if len(um):
+                            parts_li.append(rchunk[um].astype(np.int64))
+                            parts_ri.append(np.full(len(um), -1, np.int64))
+                            parts_d.append(np.full(len(um), np.nan))
                 if emit_unmatched:
-                    for i in np.nonzero(~lvalid)[0]:
-                        li_out.append(int(i))
-                        ri_out.append(-1)
-                        d_out.append(np.nan)
-            ti = pa.array(np.asarray(li_out, dtype=np.int64),
-                          type=pa.int64())
+                    um = np.nonzero(~lvalid)[0]
+                    if len(um):
+                        parts_li.append(um.astype(np.int64))
+                        parts_ri.append(np.full(len(um), -1, np.int64))
+                        parts_d.append(np.full(len(um), np.nan))
+            if parts_li:
+                li_arr = np.concatenate(parts_li)
+                ri_arr = np.concatenate(parts_ri)
+                darr = np.concatenate(parts_d)
+            else:
+                li_arr = np.empty(0, np.int64)
+                ri_arr = np.empty(0, np.int64)
+                darr = np.empty(0, np.float64)
+            ti = pa.array(li_arr, type=pa.int64())
             cols = [b.column(i).take(ti) for i in range(b.num_columns)]
-            cols.append(pa.array(np.asarray(ri_out, dtype=np.int64),
-                                 type=pa.int64()))
+            cols.append(pa.array(ri_arr, type=pa.int64()))
             # unmatched rows carry dist NULL (left-join semantics, and
             # what the SQL oracle's LEFT JOIN produces) — matched
             # distances are always finite
-            darr = np.asarray(d_out, dtype=np.float64)
             cols.append(pa.array(darr, type=pa.float64(),
                                  mask=np.isnan(darr)))
             yield pa.RecordBatch.from_arrays(cols, names=out_names)
