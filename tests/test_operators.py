@@ -1134,3 +1134,77 @@ def test_sjoin_on_attribute_vectorized_eq_parity(spark):
            left.select("lid", "k").join(
                right.select("rid", "k"), on="k").collect()}
     assert got == ref == {(0, 10), (3, 12), (4, 13)}
+
+
+def test_sjoin_nearest_coincident_left_dedup_parity(spark):
+    """r13: the broadcast path probes one ring search per DISTINCT left
+    location and fans pairs back out by the unique-inverse. Parity
+    against a brute-force argmin reference on a coincident-heavy left
+    (12 distinct locations x many duplicate rows — the dedup gate
+    fires), covering inner/left, max_distance, exclusive, and exact
+    ties; and against the same join on a unique-location left (gate
+    does not fire)."""
+    import itertools
+    import math
+
+    rights = [(i * 10 + j, float(4 * i), float(4 * j))
+              for i, j in itertools.product(range(4), repeat=2)]
+    rdf = (spark.createDataFrame(rights, ["sid", "x", "y"])
+           .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+    # 12 distinct left locations: lattice-coincident (0-distance,
+    # exclusive must skip), cell centers (4-way exact ties), offsets,
+    # and one far outlier (unmatched under max_distance); each location
+    # duplicated 25x so 2*uniq <= n fires the dedup path
+    locs = ([(float(4 * k), float(4 * k)) for k in range(3)] +
+            [(2.0 + 4 * i, 2.0 + 4 * j) for i, j in
+             itertools.product(range(2), repeat=2)] +
+            [(1.0, 0.5), (7.25, 3.5), (0.1, 11.9), (5.0, 5.0),
+             (1000.0, 1000.0)])
+    lefts = [(loc_id * 1000 + c, x, y)
+             for loc_id, (x, y) in enumerate(locs) for c in range(25)]
+    ldf = (spark.createDataFrame(lefts, ["pid", "x", "y"])
+           .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+
+    def brute(max_distance=None, exclusive=False, how="inner"):
+        exp = set()
+        for pid, x, y in lefts:
+            ds = []
+            for sid, rx, ry in rights:
+                d = math.sqrt((x - rx) ** 2 + (y - ry) ** 2)
+                if exclusive and d == 0.0:
+                    continue
+                if max_distance is not None and d > max_distance:
+                    continue
+                ds.append((d, sid))
+            if not ds:
+                if how == "left":
+                    exp.add((pid, None, None))
+                continue
+            mind = min(d for d, _ in ds)
+            for d, sid in ds:
+                if d == mind:
+                    exp.add((pid, sid, d))
+        return exp
+
+    for kw in ({}, {"max_distance": 3.0}, {"exclusive": True},
+               {"how": "left"}, {"max_distance": 3.0, "how": "left"}):
+        out = sjoin_nearest(ldf, rdf, distance_col="d", **kw)
+        got = {(r.pid, r.sid, r.d) for r in out.collect()}
+        assert got == brute(**kw), f"mismatch for {kw}"
+
+    # unique-location left (gate off) stays correct too
+    uldf = (spark.createDataFrame(
+        [(k, 0.3 * k, 0.7 * k) for k in range(40)], ["pid", "x", "y"])
+        .withColumn("geom", st.point("x", "y")).drop("x", "y"))
+    out = sjoin_nearest(uldf, rdf, distance_col="d")
+    got = {(r.pid, r.sid, round(r.d, 12)) for r in out.collect()}
+    exp = set()
+    for k in range(40):
+        x, y = 0.3 * k, 0.7 * k
+        best = min(math.sqrt((x - rx) ** 2 + (y - ry) ** 2)
+                   for _, rx, ry in rights)
+        for sid, rx, ry in rights:
+            d = math.sqrt((x - rx) ** 2 + (y - ry) ** 2)
+            if d == best:
+                exp.add((k, sid, round(d, 12)))
+    assert got == exp

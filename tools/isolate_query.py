@@ -31,7 +31,8 @@ def main():
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "48g")
-             .config("spark.driver.extraJavaOptions", "-Xms48g")
+             .config("spark.driver.extraJavaOptions",
+                     "-Xms48g -XX:+AlwaysPreTouch")
              .config("spark.sql.files.maxPartitionBytes", "16m")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
              .config("spark.ui.enabled", "false")
