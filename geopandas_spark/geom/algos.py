@@ -767,7 +767,15 @@ def _ring_vertex_on_edge(ring: np.ndarray) -> bool:
         w = body - a
         cross = w[:, 0] * d[1] - w[:, 1] * d[0]
         t = (w @ d) / L2
-        if bool(((cross == 0) & (t > 0) & (t < 1)).any()):
+        # endpoint guard: a vertex bit-equal to a or b is incident, not a
+        # T-touch, but its t can land an ulp INSIDE (0, 1) because the
+        # numerator (BLAS gemv over the matrix) and denominator (dot over
+        # the lone edge vector) round differently for the same exact value
+        # (r14 fuzz find: triangle (0.8 0.8, 0 0, 4 0) read t=1-ulp on its
+        # closing edge and flunked)
+        incident = (((body[:, 0] == a[0]) & (body[:, 1] == a[1])) |
+                    ((body[:, 0] == b[0]) & (body[:, 1] == b[1])))
+        if bool(((cross == 0) & (t > 0) & (t < 1) & ~incident).any()):
             return True
     return False
 

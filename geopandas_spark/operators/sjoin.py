@@ -1373,8 +1373,24 @@ def sjoin_nearest(left: DataFrame, right: DataFrame, *,
                 # driver-side right-location dedup; every coincident row
                 # gets its location's exact pair set, so results are
                 # identical.
-                uc, linv = np.unique(lc, axis=0, return_inverse=True)
-                if 2 * len(uc) <= len(lc):
+                # cheap duplication screen (r14, ADVICE r13): the full
+                # row-unique below lexsorts every batch even when the
+                # dedup gate cannot fire — pure waste on unique-location
+                # corpora. Screen on a STRIDED ~1k sample (stride, not
+                # head: gridded corpora cycle locations, so a head
+                # sample reads as unique) with a 1-D exact (x+iy)
+                # combine; only a duplicate-heavy sample pays the real
+                # axis=0 unique, which still makes the actual decision.
+                # A screen miss only keeps the fallback path (perf, not
+                # results).
+                nlc = len(lc)
+                smp = lc[::max(1, nlc // 1024)][:1024]
+                su = np.unique(smp[:, 0] + 1j * smp[:, 1])
+                dedup_fire = False
+                if 2 * len(su) <= len(smp):
+                    uc, linv = np.unique(lc, axis=0, return_inverse=True)
+                    dedup_fire = 2 * len(uc) <= nlc
+                if dedup_fire:
                     pli, pri, dm = _point_grid_nearest(
                         uc, rgrid, max_distance, exclusive)
                     ok = np.isfinite(dm)

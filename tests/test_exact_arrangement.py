@@ -1397,3 +1397,25 @@ def test_boolean_op_ulp_twin_vertex_weld():
                                  np.dot(y, np.roll(x, -1)))
     tri_area = 0.5 * abs((12.999999999999998 - 8.417) * (22.0 - 15.5))
     assert abs(tot - tri_area) < 1e-6, (tot, tri_area)
+
+
+def test_is_valid_endpoint_vertex_gemv_ulp_guard():
+    """r14 fuzz find: a ring vertex bit-equal to an edge ENDPOINT must not
+    read as a T-touch. _ring_vertex_on_edge computes the parametric t as
+    (w @ d) / (d @ d); for the closing edge of triangle
+    (0.8 0.8, 0 0, 4 0) the BLAS gemv numerator and the dot-product
+    denominator round the same exact value differently, so t landed one
+    ulp inside (0, 1) and the valid triangle flunked is_valid — and
+    make_valid(linework)'s own bowtie output was declared invalid."""
+    tri = wkt.parse_array(["POLYGON ((0.8 0.8, 0 0, 4 0, 0.8 0.8))"])
+    assert bool(algos.is_valid(tri)[0]), algos.is_valid_reason(tri)[0]
+    # the full bowtie repair that surfaced it
+    ga = wkt.parse_array(["POLYGON ((4 0, 0 0, 1 1, 0 1, 4 0))"])
+    fixed = algos.make_valid(ga, method="linework")
+    assert bool(algos.is_valid(fixed)[0]), algos.is_valid_reason(fixed)[0]
+    # guard must not weaken the T-touch detection: vertex (2,2) revisits
+    # the interior of no edge here, but (2,0) sits strictly inside
+    # (0 0)-(4 0) on the spike retrace ring
+    bad = wkt.parse_array(
+        ["POLYGON ((0 0, 2 0, 2 2, 2 0, 4 0, 4 4, 0 4, 0 0))"])
+    assert not bool(algos.is_valid(bad)[0])

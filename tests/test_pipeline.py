@@ -615,3 +615,31 @@ def test_minhash_kernel_buffers_are_bounded_and_reused():
     bound = (dd._CHUNK_WINDOWS + 2000 * 8 + 16) * 8
     for name, nb in sizes1.items():
         assert nb <= bound, f"buffer {name} exceeds the chunk bound"
+
+
+def test_minhash_kernel_outlier_buffers_are_released():
+    """r14 (ADVICE r13): a single document longer than _CHUNK_WINDOWS
+    windows forms its own chunk and grows the closure-held buffers past
+    the chunk bound; the end-of-batch sweep must release them so
+    steady-state memory returns to the documented bound, while normal
+    batches keep reusing their (never-oversized) buffers."""
+    import pandas as pd
+
+    from geopandas_spark.pipeline import dedup as dd
+
+    k = 8
+    fn = dd._sig_kernel(4, k)
+    cap = (dd._CHUNK_WINDOWS + k) * 8          # bytes, int64 buffers
+    monster = "y" * (dd._CHUNK_WINDOWS + 5000 + k)
+    out_m = fn(pd.Series([monster, "abcdefghij"]))
+    cells = {v: c.cell_contents for v, c in
+             zip(fn.__code__.co_freevars, fn.__closure__)}
+    hcells = {v: c.cell_contents for v, c in
+              zip(cells["_buf"].__code__.co_freevars,
+                  cells["_buf"].__closure__)}
+    bufs = hcells["bufs"]
+    assert all(b.nbytes <= cap for b in bufs.values()), \
+        {n: b.nbytes for n, b in bufs.items()}
+    # values unchanged vs a fresh kernel over the same rows
+    ref = dd._sig_kernel(4, k)(pd.Series([monster, "abcdefghij"]))
+    assert [list(a) for a in out_m] == [list(b) for b in ref]
